@@ -1,0 +1,187 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+  * Column names/aliases match the Spark side exactly (driver sorts
+  * columns by name before hashing). Determinism rules documented on
+  * [[Queries]]; notable DuckDB-vs-Spark alignments:
+  *
+  *  - double sums go through DECIMAL (associative) then CAST AS DOUBLE;
+  *  - `CAST(ts AS TIMESTAMP)` truncates the events table's ns
+  *    timestamps to Spark's microsecond precision;
+  *  - `regexp_split_to_array(trim(x), '\s+')` ≡ Spark
+  *    `split(trim(x), "\\s+")`;
+  *  - integer outputs are BIGINT on both sides (DuckDB sum(BIGINT) is
+  *    HUGEINT → explicit cast).
+  */
+object OracleSql {
+
+  val all: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q04_join_shuffle_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q06_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q07_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal < 1000
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q09_union_all" ->
+      """SELECT 'customer' AS src, count(*) AS n FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS src, count(*) AS n FROM supplier
+        |ORDER BY src""".stripMargin,
+
+    "q10_anti_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q11_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 10
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q13_case_when" ->
+      """SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+        |            WHEN o_totalprice >= 100000 THEN 'mid'
+        |            ELSE 'low' END AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q14_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q15_transform_chain" ->
+      """SELECT event_id, user_id, event_type, value AS amount, 'kpipe' AS source
+        |FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_result_split" ->
+      """SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k,
+        |  CAST(NULL AS VARCHAR) AS decode_error
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q18_window_running" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q19_time_bucket_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q20_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q21_multi_route" ->
+      """SELECT event_id, 'clicks' AS route, value AS amount FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, 'errors' AS route, value AS amount FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+
+    "q22_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "q25_text_quality" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_lang_distribution" ->
+      """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q27_word_jaccard" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |    / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+        |FROM ws a JOIN ws b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+
+    "q28_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,411 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{TextFns, VectorFns}
+import graft.ops.{Ops, Pipeline}
+import graft.sim.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The oracle-facing query catalog: every entry here is registered in
+  * `SparkEntry.queries`, and the SQL-expressible ones have a DuckDB
+  * oracle in [[OracleSql]] (column names aligned exactly — the driver
+  * hashes values under sorted column names).
+  *
+  * Determinism rules (so hashes are stable across engines):
+  *  - every query ends in a total ORDER BY (unique key or full row);
+  *  - double aggregates go through an exact DECIMAL sum and a final
+  *    CAST(... AS DOUBLE), so Spark's and DuckDB's summation order
+  *    cannot produce different floats;
+  *  - integer outputs are BIGINT on both sides.
+  *
+  * Scale notes are on each query: what shuffles, what broadcasts, what
+  * gets pushed down. Verified with `.explain("formatted")` (see
+  * `PlanAudit`).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact decimal sum surfaced as double — associative, so identical
+    * across engines and partitionings.
+    */
+  private def decSum(c: Column, dec: String): Column =
+    sum(c.cast(s"decimal$dec")).cast("double")
+
+  // ---------------------------------------------------------------- //
+  // Relational core                                                  //
+  // ---------------------------------------------------------------- //
+
+  /** Scan + filter + project; filter and projection both push to the
+    * parquet scan (PushedFilters + 4-column ReadSchema).
+    */
+  val q01_scan_filter_project: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q1 shape: partial aggregation map-side, one shuffle on the
+    * 2-value grouping key.
+    */
+  val q02_pricing_summary: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val qty = sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        qty.as("sum_qty"),
+        decSum(col("l_extendedprice"), "(18,2)").as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), "(22,4)")
+          .as("sum_disc_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")),
+          "(24,6)").as("sum_charge"),
+        (qty / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Dimension joins: nation and region are tiny — both broadcast, so
+    * the only shuffle is the final groupBy on r_name.
+    */
+  val q03_join_broadcast: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"),
+        decSum(col("c_acctbal"), "(18,2)").as("total_acctbal"))
+      .orderBy("r_name")
+
+  /** Fact-fact shuffle join on the order key; AQE picks the join
+    * strategy at sf, shuffle-hash/sort-merge at 100 TB.
+    */
+  val q04_join_shuffle_agg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_orderkey").as("n_orders"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), "(22,4)").as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Window top-N per key: single shuffle on the partition key. */
+  val q05_window_topn: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Global top-k: compiles to TakeOrderedAndProject — per-partition
+    * heaps + driver merge of k rows, never a full sort.
+    */
+  val q06_sort_limit: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  /** EXCEPT (distinct) — low-balance customers minus big spenders. */
+  val q07_except: Q = (s, d) =>
+    Tables.customer(s, d).where(col("c_acctbal") < 1000).select("c_custkey")
+      .except(Tables.orders(s, d).where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** INTERSECT (distinct) on a small int key. */
+  val q08_intersect: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** UNION ALL of two aggregates. */
+  val q09_union_all: Q = (s, d) => {
+    val c = Tables.customer(s, d).agg(count(lit(1)).as("n"))
+      .select(lit("customer").as("src"), col("n"))
+    val p = Tables.supplier(s, d).agg(count(lit(1)).as("n"))
+      .select(lit("supplier").as("src"), col("n"))
+    c.unionByName(p).orderBy("src")
+  }
+
+  /** Left-anti join (NOT IN without null traps): the filtered customer
+    * side is small → broadcast anti join, no shuffle of orders.
+    */
+  val q10_anti_join: Q = (s, d) => {
+    val rich = Tables.customer(s, d).where(col("c_acctbal") > 9000).select("c_custkey")
+    Tables.orders(s, d)
+      .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-semi join (EXISTS). */
+  val q11_semi_join: Q = (s, d) => {
+    val big = Tables.orders(s, d).where(col("o_totalprice") > 400000).select("o_custkey")
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** groupBy + HAVING. */
+  val q12_having: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 10)
+      .orderBy("o_custkey")
+
+  /** Conditional branch (kpipe `when`) folded into an aggregation. */
+  val q13_case_when: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(when(col("o_totalprice") >= 300000, "high")
+        .when(col("o_totalprice") >= 100000, "mid")
+        .otherwise("low").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** dropDuplicates — exact dedup on the projected key. */
+  val q14_distinct: Q = (s, d) =>
+    Dedup.exact(Tables.lineitem(s, d).select("l_returnflag", "l_linestatus"),
+        Seq("l_returnflag", "l_linestatus"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- //
+  // kpipe pipeline surface over the events table                     //
+  // ---------------------------------------------------------------- //
+
+  /** The A3 fixture chain (FIXTURES.md): filter → requireField →
+    * rename → addField → removeFields, built with the Pipeline veneer —
+    * compiles to one scan + one filter + one projection.
+    */
+  val q15_transform_chain: Q = (s, d) =>
+    Pipeline(Tables.events(s, d))
+      .filter(col("event_type") === "click")
+      .requireField("value")
+      .rename("value", "amount")
+      .addField("source", lit("kpipe"))
+      .removeFields("props", "ts")
+      .toDF
+      .orderBy("event_id")
+
+  /** JSON decode (`from_json`) of the props payload. */
+  val q16_json_extract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"))
+      .orderBy("event_id")
+
+  /** Decode with error capture — the kpipe Result column: value +
+    * null error on success; malformed input would fill `decode_error`
+    * and route to the DLQ branch (graft.streaming).
+    */
+  val q17_result_split: Q = (s, d) => {
+    val decoded = graft.formats.Json.decodeResult(col("props"), "k BIGINT")
+    Tables.events(s, d)
+      .select(col("event_id"), decoded.as("res"))
+      .select(col("event_id"), col("res.value.k").as("k"), col("res.error").as("decode_error"))
+      .orderBy("event_id")
+  }
+
+  /** Running windowed sum per user (exact decimal accumulation). */
+  val q18_window_running: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** Tumbling time-bucket aggregation (batch mirror of the streaming
+    * windowed agg; same expressions run under `readStream`).
+    */
+  val q19_time_bucket_agg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("value"), "(18,2)").as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Keep-latest dedup per (user, event_type) — the batch mirror of
+    * streaming `dropDuplicatesWithinWatermark`.
+    */
+  val q20_dedup_latest: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(desc("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** KPipe.multi route emulation: one source, per-topic filtered
+    * branches, unioned — Catalyst reads the scan once per branch with
+    * the branch filter pushed down.
+    */
+  val q21_multi_route: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = Ops.compose(
+      Ops.filter(col("event_type") === "click"),
+      Ops.addField("route", lit("clicks")))(ev)
+    val errors = Ops.compose(
+      Ops.filter(col("event_type") === "error"),
+      Ops.addField("route", lit("errors")))(ev)
+    clicks.unionByName(errors)
+      .select(col("event_id"), col("route"), col("value").as("amount"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- //
+  // LLM-pipeline operators over documents / embeddings               //
+  // ---------------------------------------------------------------- //
+
+  /** Whitespace token count — map-only scan. */
+  val q22_token_count: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** MD5 content fingerprint. */
+  val q23_fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact content dedup: shuffle on the 32-char fingerprint only. */
+  val q24_exact_dedup: Q = (s, d) =>
+    Dedup.exactByContent(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("fp")
+
+  /** Text quality metrics (token count, mean token length). */
+  val q25_text_quality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.meanTokenLength(col("text")).as("mean_token_len"))
+      .orderBy("doc_id")
+
+  /** Language/corpus distribution (exact integer sums). */
+  val q26_lang_distribution: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+
+  /** Word-set Jaccard similarity between adjacent doc pairs — the
+    * verification kernel of near-dup detection, oracle-checkable.
+    */
+  val q27_word_jaccard: Q = (s, d) => {
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("w"))
+    val a = ws.as("a")
+    val b = ws.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.jaccardArrays(col("a.w"), col("b.w")).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  /** Brute-force cosine top-10 against doc 0's embedding — the exact
+    * ANN baseline. Query side broadcast; corpus side streams;
+    * TakeOrdered keeps k rows.
+    */
+  val q28_cosine_topk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+    val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(VectorFns.cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Rows-only queries (no SQL oracle — checked by ScalaTest instead) //
+  // ---------------------------------------------------------------- //
+
+  /** MinHash LSH bucket table (SURVEY §7 step 9): constant width per
+    * doc; the only shuffled artifact of near-dup detection.
+    */
+  val q29_minhash_buckets: Q = (s, d) =>
+    Dedup.minhashBuckets(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id", "band")
+
+  /** 64-bit SimHash signatures (explode + codegen'd bit-sum aggregate). */
+  val q30_simhash: Q = (s, d) =>
+    Dedup.simhashes(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id")
+
+  /** LSH-bucketed ANN top-10 for the first 5 vectors as queries. */
+  val q31_ann_lsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.lshTopK(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, dim = 64, numBits = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Heuristic language ID. */
+  val q32_langid: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Composite quality score. */
+  val q33_quality_score: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Bigram-shingle MinHash near-dup pairs (low threshold so the small
+    * random corpus yields candidates; real corpora use shingleWidth=3,
+    * threshold≈0.8).
+    */
+  val q34_near_dup_pairs: Q = (s, d) =>
+    Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.2, numHashes = 32, bands = 8, shingleWidth = 2)
+      .orderBy("id_a", "id_b")
+
+  /** All registered queries. */
+  val all: Map[String, Q] = Map(
+    "q01_scan_filter_project" -> q01_scan_filter_project,
+    "q02_pricing_summary" -> q02_pricing_summary,
+    "q03_join_broadcast" -> q03_join_broadcast,
+    "q04_join_shuffle_agg" -> q04_join_shuffle_agg,
+    "q05_window_topn" -> q05_window_topn,
+    "q06_sort_limit" -> q06_sort_limit,
+    "q07_except" -> q07_except,
+    "q08_intersect" -> q08_intersect,
+    "q09_union_all" -> q09_union_all,
+    "q10_anti_join" -> q10_anti_join,
+    "q11_semi_join" -> q11_semi_join,
+    "q12_having" -> q12_having,
+    "q13_case_when" -> q13_case_when,
+    "q14_distinct" -> q14_distinct,
+    "q15_transform_chain" -> q15_transform_chain,
+    "q16_json_extract" -> q16_json_extract,
+    "q17_result_split" -> q17_result_split,
+    "q18_window_running" -> q18_window_running,
+    "q19_time_bucket_agg" -> q19_time_bucket_agg,
+    "q20_dedup_latest" -> q20_dedup_latest,
+    "q21_multi_route" -> q21_multi_route,
+    "q22_token_count" -> q22_token_count,
+    "q23_fingerprint" -> q23_fingerprint,
+    "q24_exact_dedup" -> q24_exact_dedup,
+    "q25_text_quality" -> q25_text_quality,
+    "q26_lang_distribution" -> q26_lang_distribution,
+    "q27_word_jaccard" -> q27_word_jaccard,
+    "q28_cosine_topk" -> q28_cosine_topk,
+    "q29_minhash_buckets" -> q29_minhash_buckets,
+    "q30_simhash" -> q30_simhash,
+    "q31_ann_lsh" -> q31_ann_lsh,
+    "q32_langid" -> q32_langid,
+    "q33_quality_score" -> q33_quality_score,
+    "q34_near_dup_pairs" -> q34_near_dup_pairs)
+}

@@ -1,0 +1,215 @@
+package graft.dedup
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for
+  * 100 TB scale:
+  *
+  *  - exact dedup = hash-groupBy (one shuffle on a 16-byte key, never on
+  *    the full text);
+  *  - MinHash+LSH near-dup = signature → banding → bucket self-join:
+  *    the candidate join is on (band, bandHash) so shuffle volume is
+  *    O(docs × bands), never the O(docs²) of an all-pairs crossJoin;
+  *  - SimHash near-dup = 64-bit signature, banded into 4×16-bit chunks
+  *    for candidate generation, verified by hamming distance.
+  *
+  * All signatures are computed as single-projection array expressions —
+  * no explode-shuffle, no UDFs — so the signature pass is a map-only scan.
+  */
+object Dedup {
+
+  /** Exact row dedup — kpipe has no analog; Spark-native `dropDuplicates`. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** Exact content dedup by md5 fingerprint: one representative (min id)
+    * plus the duplicate count per distinct content. Shuffles the 32-char
+    * fingerprint + id, not the document text.
+    */
+  def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextFns.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature as a single column expression: `numHashes`
+    * minimums over xxhash64(shingle, seed).
+    *
+    * NOTE: convenience/testing API only. Higher-order-function lambdas
+    * are interpreted (not codegen'd) and the shingle subtree gets
+    * duplicated per hash — use [[minhashSignatures]] (explode +
+    * codegen'd min aggregate) for real corpora.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleWidth: Int = 3): Column = {
+    val sh = TextFns.shingles(text, shingleWidth)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** MinHash signature table (id, sig: array<long>) — the scale path.
+    * Shingles explode to rows, the `numHashes` minima are codegen'd
+    * min-aggregates with map-side partial aggregation, so the shuffle
+    * carries exactly (id, numHashes longs) per document regardless of
+    * document length. Produces values identical to [[minhashSignature]].
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, shingleWidth: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(TextFns.shingles(col(textCol), shingleWidth)).as("sh"))
+    val aggs = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"h$s"))
+    exploded.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding of a minhash signature: `bands` rows of
+    * (bandIndex, bandHash). Equal band hash ⇒ candidate pair.
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+    }: _*)
+
+  /** Per-document LSH bucket table: (id, band, band_hash). This is the
+    * thing that shuffles; its width is constant per doc regardless of
+    * document size.
+    */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 32, bands: Int = 8, shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    val r = numHashes / bands
+    minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+  }
+
+  /** Near-duplicate pairs via MinHash LSH: candidates from bucket
+    * self-join (shuffle co-located on (band, band_hash)), then exact
+    * word-shingle Jaccard verification on the candidate pairs only.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.7, numHashes: Int = 32,
+                          bands: Int = 8, shingleWidth: Int = 3): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, numHashes, bands, shingleWidth)
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shingleSets = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextFns.shingles(col(textCol), shingleWidth)).as("sh"))
+    candidates
+      .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingleSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccardArrays(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard similarity of two array-sets. */
+  def jaccardArrays(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Word-set Jaccard between two text columns (distinct whitespace
+    * tokens) — the n-gram variant uses `TextFns.shingles` instead.
+    */
+  def wordJaccard(a: Column, b: Column): Column =
+    jaccardArrays(array_distinct(TextFns.tokens(a)), array_distinct(TextFns.tokens(b)))
+
+  /** 64-bit SimHash signature table (id, sig: long) — the scale path:
+    * tokens explode to rows, the 64 per-bit sign sums are codegen'd
+    * aggregates with map-side combine (shuffle = id + 64 ints), and the
+    * final projection collapses signs into the signature. Values
+    * identical to the column-expression [[simhash]].
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val aggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    exploded.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted
+    * by token-hash bit, then collapse signs.
+    *
+    * NOTE: convenience/testing API — interpreted lambda evaluation; use
+    * [[simhashes]] for real corpora.
+    */
+  def simhash(text: Column): Column = {
+    val counts = aggregate(
+      TextFns.tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+      })
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => acc + when(element_at(counts, i + 1) > 0,
+        call_function("shiftleft", lit(1L), i)).otherwise(0L))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4 × 16-bit
+    * chunks (any pair within hamming distance 3 shares at least one
+    * chunk — pigeonhole), self-join per chunk, verify hamming <= maxDist.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3): DataFrame = {
+    val sigs = simhashes(df, idCol, textCol)
+    val chunked = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** N-gram (word-shingle) Jaccard near-dup pairs among an explicit
+    * candidate pair set — the verification half of LSH, usable standalone
+    * on pre-bucketed candidates.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(TextFns.shingles(col(textCol), n)).as("sh"))
+    pairs
+      .join(sets.toDF("id_a", "sh_a"), "id_a")
+      .join(sets.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), jaccardArrays(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+}

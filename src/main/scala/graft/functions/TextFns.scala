@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines. Everything is built from codegen'd `functions._`
+  * expressions — no UDFs — so a 100 TB documents scan stays inside
+  * whole-stage codegen with full column pruning.
+  */
+object TextFns {
+
+  /** Whitespace tokenization (trimmed; empty string → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count as BIGINT. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** Lowercase + strip everything but letters/digits/whitespace. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", "")
+
+  /** BPE-ish subword-count estimate: words + punctuation runs + digit
+    * runs each count as a token boundary (a cheap deterministic stand-in
+    * for a real tokenizer's token count; useful for budgeting).
+    */
+  def approxBpeTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=\\s)|(?=\\s)|(?<=\\p{Punct})|(?=\\p{Punct})"),
+      t => length(trim(t)) > 0)).cast("bigint")
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]` for n-word windows.
+    * Docs shorter than n shingle to the whole (trimmed) text so every
+    * document still has a non-empty signature.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(array_join(t, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** MD5 content fingerprint (hex string) — exact-dup key. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit fast fingerprint (xxhash64) — cheaper join key than md5. */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Rolling document fingerprint: xxhash64 over the n-gram shingle
+    * set, order-independent (min-combine) — stable under reordering of
+    * identical shingle content.
+    */
+  def rollingFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** Punctuation character ratio in [0,1]. */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0)).otherwise(
+      (len - length(regexp_replace(text, "\\p{Punct}", ""))).cast("double") / len)
+  }
+
+  /** Ratio of tokens that are in the given stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val sw = typedlit(stopwords)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, w => array_contains(sw, lower(w)))).cast("double") / size(t))
+  }
+
+  /** Mean token length (characters), 0 for empty docs. */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation and a natural stopword rate. Deterministic, heuristic —
+    * the shape a quality-filter stage needs, tune weights per corpus.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = EN_STOPWORDS): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / 100.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val swr = stopwordRatio(text, stopwords)
+    val stopScore = greatest(lit(0.0), lit(1.0) - abs(swr - 0.4) * 2.0)
+    round((lengthScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
+  }
+
+  val EN_STOPWORDS: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Deterministic, pure-expression; real corpora would use a
+    * larger table (broadcast map), same plan shape.
+    */
+  val LANG_MARKERS: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"))
+
+  /** Language-ID: argmax of marker-word hit counts; "und" (undetermined)
+    * when nothing matches. Single projection, no shuffle.
+    */
+  def langId(text: Column, markers: Map[String, Seq[String]] = LANG_MARKERS): Column = {
+    val t = transform(tokens(text), w => lower(w))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(t, w => array_contains(typedlit(words), w))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.sim
+
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * Scale posture (100 TB): the corpus side streams — it is never
+  * collected, never broadcast. The query side is assumed small and is
+  * broadcast. Brute force is the exact baseline (one corpus scan per
+  * query batch, TakeOrdered top-k — no global sort); the LSH variant
+  * buckets both sides on an H-bit hyperplane signature so the join
+  * shuffles O(corpus) rows once instead of scanning per query.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k: broadcast the (small) query set, score
+    * every (query, corpus) pair, keep top-k per query via window rank.
+    * For a single query, `orderBy(desc).limit(k)` compiles to
+    * TakeOrderedAndProject — no full sort, no driver collect.
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(qIdCol).as("query_id"), toDouble(col(qVecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"),
+        cosine(col("v"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "sim", "rank")
+  }
+
+  /** LSH-bucketed ANN: hash corpus and queries to H-bit hyperplane
+    * signatures, join on equal bucket (optionally multi-probe with
+    * 1-bit-flipped neighbors for recall), brute-force within the
+    * matched buckets only. Shuffle is on an 8-byte bucket id.
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int, dim: Int, numBits: Int = 12, multiProbeBits: Int = 1,
+              seed: Long = 42L): DataFrame = {
+    val planes = randomHyperplanes(numBits, dim, seed)
+    val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), planes))
+    // multi-probe: each query also probes buckets at hamming distance 1
+    // (flip each of the first `multiProbeBits*numBits` bits) — recall
+    // knob without re-scanning the corpus.
+    val probes: Seq[Column] = lit(0L) +: (if (multiProbeBits > 0)
+      (0 until numBits).map(i => lit(1L << i)) else Seq.empty)
+    val q = queries.select(col(qIdCol).as("query_id"), toDouble(col(qVecCol)).as("qv"))
+      .withColumn("sig", hyperplaneSignature(col("qv"), planes))
+      .withColumn("bucket", explode(array(probes.map(p => col("sig").bitwiseXOR(p)): _*)))
+      .drop("sig")
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+      .dropDuplicates("query_id", "id")
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "sim", "rank")
+  }
+
+  /** IVF-style coarse quantization ANN: assign every corpus vector to
+    * its nearest of `centroids` (a small driver-provided list — e.g.
+    * sampled corpus rows), then search only the query's `nProbe`
+    * closest cells. Centroid assignment is a constant-width projection;
+    * the search join shuffles on the cell id.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int, centroids: Seq[Array[Double]], nProbe: Int = 2): DataFrame = {
+    def cellOf(v: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (ctr, i) =>
+        struct(cosine(v, typedlit(ctr.toSeq)).as("sim"), lit(i).as("cell"))
+      }
+      array_max(array(scored: _*)).getField("cell")
+    }
+    def topCells(v: Column, n: Int): Column = {
+      val scored = centroids.zipWithIndex.map { case (ctr, i) =>
+        struct(cosine(v, typedlit(ctr.toSeq)).as("sim"), lit(i).as("cell"))
+      }
+      slice(reverse(array_sort(array(scored: _*))), 1, n).getField("cell")
+    }
+    val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("cell", cellOf(col("v")))
+    val q = queries.select(col(qIdCol).as("query_id"), toDouble(col(qVecCol)).as("qv"))
+      .withColumn("cell", explode(topCells(col("qv"), nProbe)))
+    val scored = c.join(broadcast(q), "cell")
+      .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "sim", "rank")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with planted near-dups: 0≈1 (one word changed), 2≈3 (one word
+  // appended), 4/5/6 unrelated
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (2L, "spark makes distributed data processing simple fast and reliable at scale"),
+    (3L, "spark makes distributed data processing simple fast and reliable at scale always"),
+    (4L, "completely different content about cooking pasta with tomato sauce basil"),
+    (5L, "orbital mechanics requires precise calculation of velocity and trajectory"),
+    (6L, "the quick brown fox jumps over the lazy dog near the river bank today")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup by content groups identical docs") {
+    val out = Dedup.exactByContent(docs, "doc_id", "text")
+    assert(out.count() === 6) // 7 docs, 0 and 6 identical
+    val dup = out.where(col("n_dups") === 2).collect()
+    assert(dup.length === 1 && dup.head.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("exact dropDuplicates on key columns") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    assert(Dedup.exact(df, Seq("k", "v")).count() === 2)
+  }
+
+  test("minhash signature: identical docs get identical signatures") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), 32, 3).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) === sigs(6L))
+    assert(sigs(0L) !== sigs(4L))
+    assert(sigs(0L).length === 32)
+  }
+
+  test("minhash signature similarity tracks jaccard") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), 64, 3).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def agreement(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    // near-dup pair agrees far more than unrelated pair
+    assert(agreement(sigs(0L), sigs(1L)) > 0.5)
+    assert(agreement(sigs(0L), sigs(4L)) < 0.2)
+  }
+
+  test("scale-path signatures equal the column-expression variants") {
+    val colSigs = docs.select(col("doc_id").as("id"),
+        Dedup.minhashSignature(col("text"), 16, 3).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val dfSigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(dfSigs === colSigs)
+    val colSim = docs.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val dfSim = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(dfSim === colSim)
+  }
+
+  test("LSH near-dup pairs finds planted pairs without all-pairs join") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.4, numHashes = 32, bands = 16, shingleWidth = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 6L)))  // exact dup
+    assert(pairs.contains((0L, 1L)) || pairs.contains((2L, 3L))) // near dup caught
+    assert(!pairs.contains((0L, 4L)) && !pairs.contains((4L, 5L)))
+  }
+
+  test("jaccard verification values are exact") {
+    val sets = docs.select(col("doc_id"),
+      array_distinct(TextFns.tokens(col("text"))).as("w"))
+    val j = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") === 0 && col("b.doc_id") === 6)
+      .select(Dedup.jaccardArrays(col("a.w"), col("b.w")).as("j"))
+      .as[Double].collect().head
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical → same sig; near-dup hamming < unrelated hamming") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(6L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(5L)))
+  }
+
+  test("simhash near-dup pairs: exact dups at distance 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 6L)))
+  }
+
+  test("ngram jaccard over explicit candidate pairs") {
+    val pairs = Seq((0L, 1L), (0L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", pairs, n = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((0L, 1L)) > 0.5)
+    assert(out((0L, 4L)) === 0.0)
+  }
+}

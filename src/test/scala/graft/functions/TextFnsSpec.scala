@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("tokens splits on whitespace runs, trims, empty → empty array") {
+    val t = Seq("  a  b\tc ", "", "one").toDF("t")
+      .select(TextFns.tokens(col("t")).as("v")).as[Seq[String]].collect()
+    assert(t(0) === Seq("a", "b", "c"))
+    assert(t(1) === Seq.empty)
+    assert(t(2) === Seq("one"))
+  }
+
+  test("tokenCount") {
+    assert(one[Long](TextFns.tokenCount(col("t")), "a b c") === 3L)
+    assert(one[Long](TextFns.tokenCount(col("t")), "") === 0L)
+  }
+
+  test("normalize lowercases and strips punctuation") {
+    assert(one[String](TextFns.normalize(col("t")), "Hello, World! 42") === "hello world 42")
+  }
+
+  test("shingles: n-word windows; short docs shingle whole text") {
+    assert(one[Seq[String]](TextFns.shingles(col("t"), 2), "a b c") === Seq("a b", "b c"))
+    assert(one[Seq[String]](TextFns.shingles(col("t"), 5), "a b") === Seq("a b"))
+  }
+
+  test("fingerprint is md5 hex") {
+    assert(one[String](TextFns.fingerprint(col("t")), "hello")
+      === "5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("punctRatio / stopwordRatio / meanTokenLength") {
+    assert(one[Double](TextFns.punctRatio(col("t")), "ab,.") === 0.5)
+    assert(one[Double](TextFns.stopwordRatio(col("t"), Seq("the")), "the cat the dog") === 0.5)
+    assert(one[Double](TextFns.meanTokenLength(col("t")), "ab abcd") === 3.0)
+    assert(one[Double](TextFns.meanTokenLength(col("t")), "") === 0.0)
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    assert(one[String](TextFns.langId(col("t")), "the cat and the dog is here") === "en")
+    assert(one[String](TextFns.langId(col("t")), "el perro y la casa de madrid") === "es")
+    assert(one[String](TextFns.langId(col("t")), "zzz qqq xxx") === "und")
+  }
+
+  test("qualityScore is bounded [0,1] and favors natural text") {
+    val natural = one[Double](TextFns.qualityScore(col("t")),
+      ("the quick brown fox jumps over the lazy dog and runs to the hill " * 8).trim)
+    val junk = one[Double](TextFns.qualityScore(col("t")), "!!! ### $$$ %%%")
+    assert(natural > junk)
+    assert(natural <= 1.0 && junk >= 0.0)
+  }
+
+  test("approxBpeTokenCount counts word+punct boundaries") {
+    assert(one[Long](TextFns.approxBpeTokenCount(col("t")), "hi, there") === 3L)
+  }
+}

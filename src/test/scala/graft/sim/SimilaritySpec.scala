@@ -1,0 +1,78 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector math: dot/norm/cosine/l2 on known values") {
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0))).toDF("a", "b")
+    val row = df.select(
+      VectorFns.dot(col("a"), col("b")).as("dot"),
+      VectorFns.norm(col("a")).as("na"),
+      VectorFns.cosine(col("a"), col("b")).as("cos"),
+      VectorFns.l2Distance(col("a"), col("b")).as("l2")).collect().head
+    assert(row.getDouble(0) === 2.0)
+    assert(row.getDouble(1) === 3.0)
+    assert(math.abs(row.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+    assert(math.abs(row.getDouble(3) - math.sqrt(1 + 4 + 4)) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+    assert(df.select(VectorFns.cosine(col("a"), col("b"))).as[Double].collect().head === 0.0)
+  }
+
+  // clustered synthetic corpus: 3 well-separated centers, 40 points each
+  private def clustered = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(3)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield ((ci * 40 + i).toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: self is rank 1 with sim 1; all from same cluster") {
+    val corpus = clustered
+    val queries = corpus.where(col("vec_id") === 0 || col("vec_id") === 40)
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    val rows = out.collect()
+    assert(rows.length === 10)
+    val r1 = rows.filter(r => r.getAs[Long]("query_id") == 0L && r.getAs[Int]("rank") == 1).head
+    assert(r1.getAs[Long]("id") === 0L)
+    assert(math.abs(r1.getAs[Double]("sim") - 1.0) < 1e-9)
+    // top-5 of query 0 all lie in cluster 0 (ids < 40)
+    assert(rows.filter(_.getAs[Long]("query_id") == 0L).forall(_.getAs[Long]("id") < 40))
+  }
+
+  test("LSH top-k recall vs brute force on clustered data") {
+    val corpus = clustered
+    val queries = corpus.where(col("vec_id").isin(0L, 40L, 80L))
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, dim = 16, numBits = 6)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("IVF top-k with corpus-sampled centroids finds cluster neighbors") {
+    val corpus = clustered
+    val centroids = corpus.where(col("vec_id").isin(5L, 45L, 85L))
+      .select(VectorFns.toDouble(col("embedding"))).as[Seq[Double]]
+      .collect().map(_.toArray).toSeq
+    val queries = corpus.where(col("vec_id") === 0)
+    val out = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, centroids, nProbe = 1)
+    val ids = out.select("id").as[Long].collect()
+    assert(ids.length === 5)
+    assert(ids.forall(_ < 40L)) // same cluster as query
+  }
+}
