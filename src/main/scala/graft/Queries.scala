@@ -372,6 +372,30 @@ object Queries {
         threshold = 0.2, numHashes = 32, bands = 8, shingleWidth = 2)
       .orderBy("id_a", "id_b")
 
+  /** Multimodal probe plumbing over opaque binary blobs (document text
+    * bytes stand in for media payloads — the codec is a deterministic
+    * stub, the schema/partitioning/batching is the real pipeline).
+    */
+  val q35_multimodal_probe: Q = (s, d) =>
+    graft.multimodal.Multimodal.probeMetadata(
+        Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("blob")),
+        "doc_id", "blob", graft.multimodal.Multimodal.Image)
+      .select(col("id"), col("meta.kind"), col("meta.format"), col("meta.width"),
+        col("meta.height"), col("meta.error"))
+      .orderBy("id")
+
+  /** Media feature-extraction → ANN hand-off: stub features feed the
+    * same similarity operators as real embeddings.
+    */
+  val q36_media_features: Q = (s, d) => {
+    val feats = graft.multimodal.Multimodal.extractFeatures(
+      Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("blob")),
+      "doc_id", "blob", dim = 16)
+    Similarity.bruteForceTopK(feats, "id", "embedding",
+        feats.where(col("id") === 0), "id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -407,5 +431,7 @@ object Queries {
     "q31_ann_lsh" -> q31_ann_lsh,
     "q32_langid" -> q32_langid,
     "q33_quality_score" -> q33_quality_score,
-    "q34_near_dup_pairs" -> q34_near_dup_pairs)
+    "q34_near_dup_pairs" -> q34_near_dup_pairs,
+    "q35_multimodal_probe" -> q35_multimodal_probe,
+    "q36_media_features" -> q36_media_features)
 }

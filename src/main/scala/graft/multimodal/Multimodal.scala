@@ -1,0 +1,175 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Design: media is an opaque `binary` column plus a typed metadata
+  * struct; decode/feature-extract/resize/frame-sample run as batched
+  * partition transforms (`mapPartitions` over grouped batches — the
+  * Scala analog of `mapInPandas`: one vectorized call per batch, not
+  * per row). The Spark-side plumbing — schema, partitioning, batch
+  * shape, null/error handling — is real and tested; the pixel/sample
+  * codecs themselves are STUBBED behind [[MediaCodec]] with
+  * deterministic fakes, because no image/audio libraries exist in this
+  * environment. Swapping in a real codec is a one-object change.
+  *
+  * Scale notes: decode is map-only (no shuffle); `repartitionForDecode`
+  * spreads skewed media sizes before the expensive stage; batches bound
+  * peak memory to batchSize × media size.
+  */
+object Multimodal {
+
+  val Image = "image"
+  val Audio = "audio"
+  val Video = "video"
+
+  /** Typed metadata carried alongside the opaque bytes. */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),          // image | audio | video
+    StructField("format", StringType),        // e.g. png / wav / mp4
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("error", StringType)))        // Result convention
+
+  def mediaSchema(idType: DataType = LongType): StructType = StructType(Seq(
+    StructField("id", idType),
+    StructField("media", BinaryType),
+    StructField("meta", metadataSchema)))
+
+  /** The codec seam. Every function is TOTAL: errors surface in
+    * `meta.error`, never as exceptions (Result convention — a poison
+    * blob must not kill a 100 TB decode stage).
+    */
+  trait MediaCodec extends Serializable {
+    def probe(kind: String, bytes: Array[Byte]): Row           // → metadataSchema row
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]]
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB codec — deterministic fakes driven by a hash of the bytes.
+    * Real deployments replace this with an object wrapping e.g. a JNI
+    * image library; everything else in this file stays unchanged.
+    */
+  object StubCodec extends MediaCodec {
+    private def h(bytes: Array[Byte]): Long =
+      scala.util.hashing.MurmurHash3.bytesHash(bytes, 42).toLong & 0x7FFFFFFFL
+
+    override def probe(kind: String, bytes: Array[Byte]): Row = {
+      if (bytes == null || bytes.length < 4)
+        return Row(kind, null, null, null, null, null, null, "truncated media payload")
+      val seed = h(bytes)
+      kind match {
+        case Image => Row(kind, "png", (seed % 1920 + 64).toInt, (seed % 1080 + 64).toInt,
+          null, null, 1, null)
+        case Audio => Row(kind, "wav", null, null, 16000, (seed % 60000 + 1000), null, null)
+        case Video => Row(kind, "mp4", (seed % 1920 + 64).toInt, (seed % 1080 + 64).toInt,
+          null, (seed % 600000 + 1000), (seed % 7200 + 24).toInt, null)
+        case other => Row(other, null, null, null, null, null, null, s"unknown kind '$other'")
+      }
+    }
+    override def resize(bytes: Array[Byte], w: Int, h0: Int): Array[Byte] =
+      bytes.take(math.max(4, math.min(bytes.length, w * h0 / 64)))
+    override def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
+      bytes.grouped(math.max(1, bytes.length / math.max(1, everyN))).take(everyN).toSeq
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val rnd = new scala.util.Random(h(bytes))
+      Array.fill(dim)(rnd.nextFloat())
+    }
+  }
+
+  /** Spread media rows before an expensive decode stage: binary sizes
+    * are skewed, and a decode stage inherits upstream partitioning —
+    * round-robin repartition rebalances without a key shuffle's hotspots.
+    */
+  def repartitionForDecode(df: DataFrame, partitions: Int): DataFrame =
+    df.repartition(partitions)
+
+  /** Probe/decode stage: batched partition transform producing the
+    * typed metadata struct. Batch shape: `batchSize` rows per codec
+    * call, bounding memory while amortizing codec setup.
+    */
+  def probeMetadata(df: DataFrame, idCol: String, mediaCol: String, kind: String,
+                    codec: MediaCodec = StubCodec, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("media", BinaryType),
+      StructField("meta", metadataSchema)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = r.getAs[Array[Byte]]("media")
+            Row(r.get(0), bytes, codec.probe(kind, bytes))
+          }
+        }
+      }(enc)
+  }
+
+  /** Feature-extraction stage: media → embedding column (`array<float>`),
+    * ready for graft.sim.Similarity ANN.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, mediaCol: String, dim: Int,
+                      codec: MediaCodec = StubCodec, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = r.getAs[Array[Byte]]("media")
+            val feats = if (bytes == null) Array.empty[Float] else codec.features(bytes, dim)
+            Row(r.get(0), feats.toSeq)
+          }
+        }
+      }(enc)
+  }
+
+  /** Resize stage (images): media → resized media, metadata preserved. */
+  def resize(df: DataFrame, idCol: String, mediaCol: String, w: Int, h: Int,
+             codec: MediaCodec = StubCodec, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("media", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          Row(r.get(0), if (bytes == null) null else codec.resize(bytes, w, h))
+        })
+      }(enc)
+  }
+
+  /** Frame-sampling stage (video): one row per sampled frame —
+    * `(id, frame_idx, frame)`. Explodes inside the partition transform,
+    * so a long video never materializes all frames in one row.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, mediaCol: String, everyN: Int,
+                   codec: MediaCodec = StubCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          if (bytes == null) Iterator.empty
+          else codec.sampleFrames(bytes, everyN).iterator.zipWithIndex
+            .map { case (frame, i) => Row(r.get(0), i, frame) }
+        }
+      }(enc)
+  }
+}
