@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Checkpoint crash-restart contract — the `CrashRestartHarness` analog
+  * (reference: `lib/kpipe-test/.../CrashRestartHarness.java:24-100`):
+  * stop a query, restart from the same checkpoint, and verify the
+  * commit frontier — already-committed batches are not redelivered,
+  * data arriving while down is picked up, nothing is lost.
+  *
+  * Uses a file source (offsets = files) because its offsets are
+  * replayable across restarts, unlike MemoryStream.
+  */
+class CrashRestartSpec extends SparkSpec {
+  import spark.implicits._
+  import CrashRestartSpec.processed
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("payload", StringType)))
+
+  test("restart from checkpoint: no loss, no redelivery of committed batches") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-crash-ckpt").toString
+    processed.clear()
+
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit =
+      Seq(rows: _*).toDF("id", "payload").coalesce(1)
+        .write.mode("append").json(s"$srcDir/staging-$name")
+    // json source reads a directory of files; write each wave into the
+    // same dir via temp + move for atomicity
+    def wave(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wave")
+      Seq(rows: _*).toDF("id", "payload").coalesce(1).write.mode("overwrite")
+        .json(tmp.toString)
+      java.nio.file.Files.list(tmp).forEach { p =>
+        if (p.toString.endsWith(".json"))
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(srcDir, s"$name.json"))
+      }
+    }
+
+    def startQuery() = spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        df.select("id").collect().foreach(r => processed.add(r.getLong(0)))
+        ()
+      }.start()
+
+    // wave 1: two files, process, stop ("crash")
+    wave("w1a", Seq((1L, "a"), (2L, "b")))
+    wave("w1b", Seq((3L, "c")))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(processed.asScala.toSeq.sorted === Seq(1L, 2L, 3L))
+
+    // wave 2 arrives while the query is down
+    wave("w2", Seq((4L, "d"), (5L, "e")))
+
+    // restart from the same checkpoint
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val all = processed.asScala.toSeq
+    // nothing lost, and the committed wave-1 batches were not replayed
+    assert(all.sorted === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(all.size === 5, s"redelivery of committed batch detected: $all")
+  }
+}
+
+object CrashRestartSpec {
+  val processed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+}
