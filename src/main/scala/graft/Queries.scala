@@ -396,6 +396,37 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** The kpipe-comparable end-to-end pipeline: Kafka-shaped records →
+    * JSON decode (Result capture) → filter/addField/removeFields chain →
+    * passed-rows projection. This is the decode→operators→sink shape the
+    * reference benchmarks (BASELINE.md rec/s figures); Bench divides the
+    * events row count by this query's wall time for `pipeline_rec_per_sec`.
+    */
+  val q37_pipeline_e2e: Q = (s, d) => {
+    val records = Tables.events(s, d).select(
+      col("event_id").cast("string").cast("binary").as("key"),
+      to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value")))
+        .cast("binary").as("value"),
+      lit("events").as("topic"),
+      lit(0).as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"),
+      lit(0).as("timestampType"),
+      array().cast("array<struct<key:string,value:binary>>").as("headers"))
+    graft.streaming.Graft
+      .json(records, "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .filter(col("res.error").isNull && col("res.value.event_type") =!= "error")
+      .addField("source", lit("kpipe"))
+      .removeFields("key", "value", "headers")
+      .toDF
+      .select(col("res.value.event_id").as("event_id"),
+        col("res.value.user_id").as("user_id"),
+        col("res.value.event_type").as("event_type"),
+        col("res.value.value").as("amount"),
+        col("source"))
+      .orderBy("event_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -433,5 +464,6 @@ object Queries {
     "q33_quality_score" -> q33_quality_score,
     "q34_near_dup_pairs" -> q34_near_dup_pairs,
     "q35_multimodal_probe" -> q35_multimodal_probe,
-    "q36_media_features" -> q36_media_features)
+    "q36_media_features" -> q36_media_features,
+    "q37_pipeline_e2e" -> q37_pipeline_e2e)
 }

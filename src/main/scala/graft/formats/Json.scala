@@ -46,6 +46,31 @@ object Json {
         .otherwise(lit(null).cast("string")).as("error"))
   }
 
+  /** DataFrame-level decode with error capture — the hot-path form.
+    *
+    * The Column form above references the parse result three times, and
+    * `JsonToStructs` is CodegenFallback (no subexpression elimination),
+    * so Catalyst evaluates THREE full JSON parses per record — measured
+    * 5.9× slower at 2M records. This form parses once into an
+    * intermediate attribute; CollapseProject keeps it separate because
+    * the non-cheap expression is multiply referenced.
+    */
+  def decodeResultDF(df: org.apache.spark.sql.DataFrame, payload: Column, ddl: String,
+                     outCol: String): org.apache.spark.sql.DataFrame = {
+    val schema = schemaOf(ddl).add("_corrupt", org.apache.spark.sql.types.StringType)
+    val tmp = s"__${outCol}_parsed"
+    val p = col(tmp)
+    val failed = p.getField("_corrupt").isNotNull
+    df.withColumn(tmp, DecodeBarrier(from_json(payload, schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))))
+      .withColumn(outCol, struct(
+        when(failed, lit(null).cast(schemaOf(ddl))).otherwise(p.dropFields("_corrupt"))
+          .as("value"),
+        when(failed, concat(lit("malformed JSON: "), substring(payload, 1, 64)))
+          .otherwise(lit(null).cast("string")).as("error")))
+      .drop(tmp)
+  }
+
   /** Encode a struct column back to JSON text (`to_json`). */
   def encode(value: Column): Column = to_json(value)
 }

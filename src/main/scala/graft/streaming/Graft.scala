@@ -20,8 +20,7 @@ object Graft {
 
   /** JSON payloads (`KPipe.json`). */
   def json(records: DataFrame, schemaDdl: String): Pipeline =
-    Pipeline(records.withColumn("res",
-      Json.decodeResult(col("value").cast("string"), schemaDdl)))
+    Pipeline(Json.decodeResultDF(records, col("value").cast("string"), schemaDdl, "res"))
 
   /** Static-schema Avro (`KPipe.avro`). */
   def avro(records: DataFrame, schemaJson: String): Pipeline =
@@ -76,9 +75,19 @@ object Graft {
       : Map[String, DataFrame] =
     KafkaShape.routes(records, routes)
 
-  private def withResult(records: DataFrame, decoded: Column, diag: String): Pipeline =
-    Pipeline(records.withColumn("res", struct(
-      decoded.as("value"),
-      when(col("value").isNotNull && decoded.isNull, lit(diag))
-        .otherwise(lit(null).cast("string")).as("error"))))
+  /** Decode once into an intermediate attribute, then build the Result
+    * struct — the decode expressions are CodegenFallback (no
+    * subexpression elimination), so referencing them twice would run
+    * the decode twice per record (see Json.decodeResultDF).
+    */
+  private def withResult(records: DataFrame, decoded: Column, diag: String): Pipeline = {
+    val p = col("__decoded")
+    Pipeline(records
+      .withColumn("__decoded", graft.formats.DecodeBarrier(decoded))
+      .withColumn("res", struct(
+        p.as("value"),
+        when(col("value").isNotNull && p.isNull, lit(diag))
+          .otherwise(lit(null).cast("string")).as("error")))
+      .drop("__decoded"))
+  }
 }
