@@ -183,5 +183,74 @@ object OracleSql {
         |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
         |       * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
         |FROM embeddings e, q WHERE e.vec_id <> 0
-        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q37_pipeline_e2e" ->
+      """SELECT event_id, user_id, event_type, value AS amount, 'kpipe' AS source
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin,
+
+    "q39_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY coalesce(o_orderstatus, '~'), coalesce(o_orderpriority, '~')""".stripMargin,
+
+    "q40_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""".stripMargin,
+
+    "q41_pivot" ->
+      """SELECT lang,
+        |  count(*) FILTER (WHERE source = 'src0') AS src0,
+        |  count(*) FILTER (WHERE source = 'src1') AS src1,
+        |  count(*) FILTER (WHERE source = 'src2') AS src2,
+        |  count(*) FILTER (WHERE source = 'src3') AS src3
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q42_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q43_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 8) AS name8,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_u,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q44_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q45_null_funcs" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q46_agg_stats" ->
+      """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  round(stddev_samp(l_quantity), 2) AS sd_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q47_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS last_purchase
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin)
 }

@@ -427,6 +427,129 @@ object Queries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- //
+  // Extended relational surface (round 2 widening)                   //
+  // ---------------------------------------------------------------- //
+
+  /** ROLLUP hierarchy totals. Ordered via null-coalesced keys so Spark
+    * and DuckDB null-ordering defaults can't diverge.
+    */
+  val q38_rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        decSum(col("l_quantity"), "(18,2)").as("total_qty"))
+      .orderBy(coalesce(col("l_returnflag"), lit("~")),
+        coalesce(col("l_linestatus"), lit("~")))
+
+  /** CUBE over two order dimensions. */
+  val q39_cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(coalesce(col("o_orderstatus"), lit("~")),
+        coalesce(col("o_orderpriority"), lit("~")))
+
+  /** GROUPING SETS — per-returnflag and per-linestatus marginals in one
+    * pass.
+    */
+  val q40_grouping_sets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(coalesce(col("l_returnflag"), lit("~")),
+        coalesce(col("l_linestatus"), lit("~")))
+
+  /** Pivot: doc counts per lang × source (explicit value list keeps the
+    * output schema static — required at scale anyway, and for the
+    * oracle's conditional-aggregation mirror).
+    */
+  val q41_pivot: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .pivot("source", Seq("src0", "src1", "src2", "src3"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("src0", "src1", "src2", "src3"))
+      .orderBy("lang")
+
+  /** Cross join of two tiny dimensions (the only legitimate cartesian). */
+  val q42_cross_join: Q = (s, d) =>
+    Tables.region(s, d).select("r_name")
+      .crossJoin(Tables.nation(s, d).select("n_name"))
+      .orderBy("r_name", "n_name")
+
+  /** Scalar string functions over part. */
+  val q43_string_funcs: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Scalar date/time functions over orders. */
+  val q44_date_funcs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("bigint")
+          .as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** Null-handling scalars: nullif / coalesce. */
+  val q45_null_funcs: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        when(col("c_acctbal") < 0, lit(null).cast("double")).otherwise(col("c_acctbal"))
+          .as("pos_bal"))
+      .orderBy("c_custkey")
+
+  /** Aggregate statistics (min/max exact; avg via decimal; stddev
+    * rounded — the one aggregate where float summation order matters,
+    * bounded by 2dp rounding).
+    */
+  val q46_agg_stats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** As-of join — for each click, the user's most recent purchase at or
+    * before it. Spark lacks a native as-of join; per SURVEY §7 the
+    * preference order starts with "compose built-ins", and the
+    * tagged-union + running `last(ignoreNulls)` window IS the scalable
+    * composition: one shuffle on the key, no range-join explosion, no
+    * per-key state. (DuckDB verifies via its native ASOF JOIN.)
+    */
+  val q47_asof_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("is_click"), lit(null).cast("long").as("p_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        lit(0).as("is_click"), col("event_id").as("p_id"))
+    // purchases sort before clicks at equal ts ⇒ `p.ts <= c.ts` semantics
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_click"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("last_purchase", last(col("p_id"), ignoreNulls = true).over(w))
+      .where(col("is_click") === 1)
+      .select(col("event_id"), col("user_id"), col("last_purchase"))
+      .orderBy("event_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -465,5 +588,15 @@ object Queries {
     "q34_near_dup_pairs" -> q34_near_dup_pairs,
     "q35_multimodal_probe" -> q35_multimodal_probe,
     "q36_media_features" -> q36_media_features,
-    "q37_pipeline_e2e" -> q37_pipeline_e2e)
+    "q37_pipeline_e2e" -> q37_pipeline_e2e,
+    "q38_rollup" -> q38_rollup,
+    "q39_cube" -> q39_cube,
+    "q40_grouping_sets" -> q40_grouping_sets,
+    "q41_pivot" -> q41_pivot,
+    "q42_cross_join" -> q42_cross_join,
+    "q43_string_funcs" -> q43_string_funcs,
+    "q44_date_funcs" -> q44_date_funcs,
+    "q45_null_funcs" -> q45_null_funcs,
+    "q46_agg_stats" -> q46_agg_stats,
+    "q47_asof_join" -> q47_asof_join)
 }

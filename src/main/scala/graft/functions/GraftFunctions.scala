@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.dedup.Dedup
+import graft.formats.{AvroCodec, AvroDecodeExpression, ConfluentEnvelope}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL-visible registration of the engine's column functions, so
+  * `spark.sql("SELECT graft_cosine(a, b) ...")` works alongside the
+  * Scala API — the `MessageProcessorRegistry`'s "named operators usable
+  * from configuration" role (`MessageProcessorRegistry.java:51-228`) at
+  * the SQL layer.
+  *
+  * Two wiring paths:
+  *  - [[GraftFunctions.register]] on a live session (tests, notebooks);
+  *  - [[GraftExtensions]] via `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (cluster deploys — the SURVEY §7 `SparkSessionExtensions` seam).
+  */
+object GraftFunctions {
+
+  /** name → builder over child expressions. Composite column functions
+    * are wrapped through the Column API and unwrapped back to an
+    * Expression — they stay pure Catalyst trees.
+    */
+  private def viaColumns(f: Seq[Column] => Column): Seq[Expression] => Expression =
+    exprs => GraftBridge.expression(f(exprs.map(GraftBridge.column)))
+
+  val all: Map[String, Seq[Expression] => Expression] = Map(
+    "graft_cosine" -> viaColumns { case Seq(a, b) => VectorFns.cosine(a, b) },
+    "graft_dot" -> viaColumns { case Seq(a, b) => VectorFns.dot(a, b) },
+    "graft_l2" -> viaColumns { case Seq(a, b) => VectorFns.l2Distance(a, b) },
+    "graft_tokens" -> viaColumns { case Seq(t) => TextFns.tokens(t) },
+    "graft_token_count" -> viaColumns { case Seq(t) => TextFns.tokenCount(t) },
+    "graft_normalize" -> viaColumns { case Seq(t) => TextFns.normalize(t) },
+    "graft_langid" -> viaColumns { case Seq(t) => TextFns.langId(t) },
+    "graft_quality" -> viaColumns { case Seq(t) => TextFns.qualityScore(t) },
+    "graft_fingerprint" -> viaColumns { case Seq(t) => TextFns.fingerprint(t) },
+    "graft_fingerprint64" -> viaColumns { case Seq(t) => TextFns.fingerprint64(t) },
+    "graft_simhash" -> viaColumns { case Seq(t) => Dedup.simhash(t) },
+    "graft_word_jaccard" -> viaColumns { case Seq(a, b) => Dedup.wordJaccard(a, b) },
+    "graft_envelope_ok" -> viaColumns { case Seq(v) => ConfluentEnvelope.hasEnvelope(v) },
+    "graft_schema_id" -> viaColumns { case Seq(v) => ConfluentEnvelope.schemaId(v) },
+    "graft_avro_body" -> viaColumns { case Seq(v) => ConfluentEnvelope.avroBody(v) },
+    // schema passed as a string literal: graft_from_avro(value, '{...}')
+    "graft_from_avro" -> { exprs =>
+      val schemaJson = exprs(1).eval(null).toString
+      AvroDecodeExpression(exprs.head, schemaJson)
+    })
+
+  /** Register every function on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftFunctions.type].getName, name),
+        builder))
+    }
+}

@@ -9,5 +9,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Column → catalyst Expression.
+    *
+    * `ExpressionUtils.expression` wraps the column node in an
+    * `Unevaluable` `ColumnNodeExpression` — fine inside a Dataset plan
+    * (the analyzer unwraps it) but dead weight inside a
+    * FunctionRegistry builder, where nothing converts it. The node
+    * converter produces the real (possibly unresolved) catalyst tree,
+    * which analysis then resolves in either context.
+    */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions evaluate through spark.sql") {
+    GraftFunctions.register(spark)
+    Seq(("the cat and the dog is here", Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0)))
+      .toDF("text", "a", "b").createOrReplaceTempView("g")
+    val row = spark.sql(
+      """SELECT graft_token_count(text) AS n,
+        |       graft_langid(text) AS lang,
+        |       graft_fingerprint(text) AS fp,
+        |       round(graft_cosine(a, b), 6) AS cos,
+        |       graft_word_jaccard(text, text) AS jac
+        |FROM g""".stripMargin).collect().head
+    assert(row.getAs[Long]("n") === 7L)
+    assert(row.getAs[String]("lang") === "en")
+    assert(row.getAs[String]("fp").length === 32)
+    assert(row.getAs[Double]("cos") === math.round(2.0 / 6.0 * 1e6) / 1e6)
+    assert(row.getAs[Double]("jac") === 1.0)
+  }
+
+  test("envelope + avro SQL functions decode a wrapped record") {
+    GraftFunctions.register(spark)
+    val schemaJson =
+      """{"type":"record","name":"E","fields":[{"name":"id","type":"long"}]}"""
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("id", 11L)
+    val wrapped = graft.formats.ConfluentEnvelope.wrap(9,
+      graft.formats.AvroCodec.serialize(rec, schema))
+    Seq(wrapped).toDF("value").createOrReplaceTempView("w")
+    val row = spark.sql(
+      s"""SELECT graft_envelope_ok(value) AS ok, graft_schema_id(value) AS sid,
+         |       graft_from_avro(graft_avro_body(value), '$schemaJson').id AS id
+         |FROM w""".stripMargin).collect().head
+    assert(row.getAs[Boolean]("ok"))
+    assert(row.getAs[Long]("sid") === 9L)
+    assert(row.getAs[Long]("id") === 11L)
+  }
+
+  test("extensions class registers the same surface") {
+    // applying the extensions object to a builder is exercised at
+    // session construction; here we assert the builder set is complete
+    assert(GraftFunctions.all.keySet.contains("graft_from_avro"))
+    assert(GraftFunctions.all.size >= 15)
+    assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+}
