@@ -252,5 +252,13 @@ object OracleSql {
         |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |      FROM events WHERE event_type = 'purchase') p
         |ON c.user_id = p.user_id AND p.ts <= c.ts
-        |ORDER BY c.event_id""".stripMargin)
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q48_topk_aggregate" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
 }

@@ -550,6 +550,17 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Top-N per key via the bounded-heap TopKAggregate — same rows as
+    * q05's window pattern (the oracle is identical SQL), but the plan
+    * shuffles at most k rows per key per map partition instead of
+    * sorting every row (see graft.plans.TopK).
+    */
+  val q48_topk_aggregate: Q = (s, d) =>
+    graft.plans.TopK.topKPerKey(Tables.orders(s, d), Seq("o_custkey"),
+        col("o_totalprice"), Seq(col("o_orderkey")), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -598,5 +609,6 @@ object Queries {
     "q44_date_funcs" -> q44_date_funcs,
     "q45_null_funcs" -> q45_null_funcs,
     "q46_agg_stats" -> q46_agg_stats,
-    "q47_asof_join" -> q47_asof_join)
+    "q47_asof_join" -> q47_asof_join,
+    "q48_topk_aggregate" -> q48_topk_aggregate)
 }
