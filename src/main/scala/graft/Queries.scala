@@ -561,6 +561,24 @@ object Queries {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy("o_custkey", "rn")
 
+  /** Embedding-cosine near-dup pairs over the embeddings table
+    * (LSH-bucketed self-join + exact cosine verify; low threshold so
+    * the random test vectors yield candidate rows).
+    */
+  val q49_embedding_near_dup: Q = (s, d) =>
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.1, dim = 64, numBits = 6)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  /** BPE-ish token-count estimate (budgeting signal; the regex uses
+    * lookarounds DuckDB's RE2 lacks, so rows-only).
+    */
+  val q50_bpe_token_count: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -610,5 +628,7 @@ object Queries {
     "q45_null_funcs" -> q45_null_funcs,
     "q46_agg_stats" -> q46_agg_stats,
     "q47_asof_join" -> q47_asof_join,
-    "q48_topk_aggregate" -> q48_topk_aggregate)
+    "q48_topk_aggregate" -> q48_topk_aggregate,
+    "q49_embedding_near_dup" -> q49_embedding_near_dup,
+    "q50_bpe_token_count" -> q50_bpe_token_count)
 }

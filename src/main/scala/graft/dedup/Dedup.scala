@@ -199,6 +199,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-dup pairs: hyperplane-LSH bucket the corpus
+    * against itself (shuffle on an 8-byte bucket id — never the
+    * O(n²) crossJoin), then verify candidates by exact cosine.
+    * Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.95, dim: Int = 64,
+                            numBits: Int = 12, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFns
+    val planes = VectorFns.randomHyperplanes(numBits, dim, seed)
+    val sigs = df.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", VectorFns.hyperplaneSignature(col("v"), planes))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        VectorFns.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** N-gram (word-shingle) Jaccard near-dup pairs among an explicit
     * candidate pair set — the verification half of LSH, usable standalone
     * on pre-bucketed candidates.

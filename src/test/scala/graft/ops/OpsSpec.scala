@@ -79,6 +79,15 @@ class OpsSpec extends SparkSpec {
     assert(Ops.safe(Ops.filter($"status" === "active"))(df).count() === 2)
   }
 
+  test("TryEval: per-row runtime failure yields null, row survives") {
+    val out = Seq("5", "not-a-number").toDF("s")
+      .select(col("s"), TryEval(expr("assert_true(s = '5')")).as("checked"))
+      .collect()
+    assert(out.length === 2)
+    assert(out(0).isNullAt(1))   // assert_true returns null on success
+    assert(out(1).isNullAt(1))   // failure caught per row, not thrown
+  }
+
   test("skipBytes strips a fixed prefix from a binary column") {
     val bin = Seq(Array[Byte](0, 1, 2, 3, 4, 5)).toDF("value")
     val out = Ops.skipBytes("value", 2)(bin).as[Array[Byte]].collect().head
