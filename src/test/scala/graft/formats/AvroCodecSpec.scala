@@ -138,6 +138,38 @@ class AvroCodecSpec extends SparkSpec {
     assert(rows(2).getAs[Row]("c") == null)   // no envelope → null
   }
 
+  test("logical types: timestamp-millis/micros, date, decimal round through") {
+    val schemaJson =
+      """{"type":"record","name":"L","fields":[
+        |{"name":"ts_ms","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |{"name":"ts_us","type":{"type":"long","logicalType":"timestamp-micros"}},
+        |{"name":"d","type":{"type":"int","logicalType":"date"}},
+        |{"name":"amt","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}}
+        |]}""".stripMargin
+    val schema = new Schema.Parser().parse(schemaJson)
+    val st = AvroCodec.sparkType(schema).asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st("ts_ms").dataType.typeName === "timestamp")
+    assert(st("ts_us").dataType.typeName === "timestamp")
+    assert(st("d").dataType.typeName === "date")
+    assert(st("amt").dataType.typeName === "decimal(10,2)")
+
+    val rec = new GenericData.Record(schema)
+    rec.put("ts_ms", 1723400000123L)                      // ms
+    rec.put("ts_us", 1723400000123456L)                   // µs
+    rec.put("d", 19900)                                   // days since epoch
+    rec.put("amt", java.nio.ByteBuffer.wrap(BigInt(123456).toByteArray))  // 1234.56
+    val bytes = AvroCodec.serialize(rec, schema)
+    val row = Seq(bytes).toDF("value")
+      .select(AvroCodec.from_avro(col("value"), schemaJson).as("r"))
+      .select("r.*").collect().head
+    assert(row.getAs[java.sql.Timestamp]("ts_ms").getTime === 1723400000123L)
+    assert(row.getAs[java.sql.Timestamp]("ts_us").getTime === 1723400000123L)  // ms precision of getTime
+    assert(row.getAs[java.sql.Date]("d").toLocalDate ===
+      java.time.LocalDate.ofEpochDay(19900))
+    assert(row.getAs[java.math.BigDecimal]("amt") ===
+      new java.math.BigDecimal("1234.56"))
+  }
+
   test("cached resolver counts hits and misses, caches by id") {
     val resolver = new CachedSchemaResolver(MapSchemaResolver(Map(1 -> "\"int\"")))
     assert(resolver.lookupById(1) === "\"int\"")

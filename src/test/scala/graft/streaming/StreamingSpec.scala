@@ -77,6 +77,20 @@ class StreamingSpec extends SparkSpec {
     assert(headers(Dlq.SourceTimestampHeader).toLong > 0)
   }
 
+  test("DLQ outage fails the batch — stall, never drop (invariant I3)") {
+    val batch = Seq(record("t", 0, 0, "a", "poison")).toDF()
+      .withColumn("res", Json.decodeResult(col("value").cast("string"), "k BIGINT"))
+    var sinkRan = false
+    intercept[RuntimeException] {
+      Dlq.processBatch(batch, col("res.error"),
+        sink = _ => sinkRan = true,
+        dlqSink = Some(_ => throw new RuntimeException("DLQ broker down")))
+    }
+    // the DLQ write precedes the sink: a DLQ outage aborts the batch
+    // before anything commits, so the micro-batch retries whole
+    assert(!sinkRan)
+  }
+
   test("no DLQ configured = log-and-advance: failures counted, dropped, batch succeeds") {
     val batch = Seq(
       record("t", 0, 0, "a", """{"k": 1}"""),
