@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns for skew and co-location — the knobs a 100 TB job
+  * turns when AQE's defaults aren't enough.
+  */
+object Scale {
+
+  /** Salted join for skewed keys: the skewed (big) side gets a random
+    * salt in [0, saltFactor); the small side is exploded saltFactor
+    * ways so every (key, salt) bucket finds its match. One hot key
+    * spreads over saltFactor reducers at the cost of replicating the
+    * small side — the classic trade when AQE skew-join splitting can't
+    * kick in (e.g. aggregation-free joins on pathological keys).
+    *
+    * Join keys must be equi-keys; result columns = big ++ small (as
+    * with an inner join on `bigKey === smallKey`).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String,
+                 saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val saltedBig = big.withColumn("__salt",
+      (rand(42) * saltFactor).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(saltedSmall,
+        saltedBig("__salt") === saltedSmall("__salt") &&
+          col(bigKey) === col(smallKey))
+      .drop("__salt")
+  }
+
+  /** Aggregate a skewed groupBy in two phases: partial aggregate on
+    * (key, salt), then final aggregate on key. `partials` must be
+    * decomposable aggregates expressed over the input, `finals` the
+    * re-aggregation over the partial columns (e.g. sum → sum of sums,
+    * count → sum of counts).
+    */
+  def twoPhaseAgg(df: DataFrame, key: String, saltFactor: Int)(
+      partials: Seq[Column], finals: Seq[Column]): DataFrame =
+    df.withColumn("__salt", (rand(42) * saltFactor).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(key))
+      .agg(finals.head, finals.tail: _*)
+
+  /** Write a table bucketed on a join key: subsequent equi-joins
+    * between tables bucketed the same way need no shuffle (the scan
+    * reports the hash partitioning). This is the static form of
+    * co-location; `repartition(key)` is the per-query form.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Co-located join of two same-bucketed tables. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      col(leftKey) === col(rightKey))
+}
