@@ -29,4 +29,51 @@ object Stateful {
     df.withWatermark(eventTimeCol, delay)
       .groupBy(window(col(eventTimeCol), windowDuration) +: keyCols: _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  // ------------------------------------------------------------------ //
+  // Custom keyed state (flatMapGroupsWithState)                        //
+  // ------------------------------------------------------------------ //
+
+  final case class SessionEvent(user: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(count: Long, total: Double, lastTs: Long)
+  final case class SessionUpdate(user: Long, events: Long, total: Double, closed: Boolean)
+
+  /** Inactivity-gap sessionization over a typed event stream — the
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` shape: per-key
+    * mutable state with an EVENT-TIME inactivity timeout (the
+    * watermark drives session close, so behavior is deterministic and
+    * replayable; processing-time timeouts would re-trigger forever in
+    * tests and drift in production). Emits a running update per batch
+    * and a final `closed=true` row when the watermark passes the gap,
+    * then clears the state — bounded-state discipline: every key's
+    * state has a scheduled death.
+    */
+  def sessionize(ds: org.apache.spark.sql.Dataset[SessionEvent],
+                 gapMs: Long, watermarkDelay: String = "1 second")
+      : org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(user, s.count, s.total, closed = true))
+          } else {
+            val evs = events.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, 0.0, 0L))
+            val next = SessionState(
+              prev.count + evs.size,
+              prev.total + evs.map(_.value).sum,
+              evs.map(_.ts.getTime).foldLeft(prev.lastTs)(math.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
+            Iterator(SessionUpdate(user, next.count, next.total, closed = false))
+          }
+      }
+  }
 }

@@ -36,6 +36,39 @@ class StatefulSpec extends SparkSpec {
     assert(out.sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("flatMapGroupsWithState sessionization accumulates per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.SessionEvent]
+    val updates = mutable.Buffer.empty[Stateful.SessionUpdate]
+    val q = Stateful.sessionize(stream.toDS(), gapMs = 60000).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.SessionUpdate], _: Long) =>
+        updates.synchronized { updates ++= df.collect() }
+        ()
+      }.start()
+    def sev(user: Long, hhmm: String, v: Double) =
+      Stateful.SessionEvent(user, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), v)
+    stream.addData(sev(1, "10:00", 2.0), sev(1, "10:01", 3.0), sev(2, "10:00", 1.0))
+    q.processAllAvailable()
+    stream.addData(sev(1, "10:02", 5.0))
+    q.processAllAvailable()
+    // jump event time far past the gap: the next batch's watermark
+    // closes user 1 and 2's sessions via event-time timeout
+    stream.addData(sev(99, "11:00", 1.0))
+    q.processAllAvailable()
+    stream.addData(sev(99, "11:01", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = updates.filter(_.user == 1L)
+    // batch 1: count=2 total=5; batch 2 accumulates state: count=3 total=10
+    assert(u1.filter(!_.closed).map(u => (u.events, u.total)).toSet
+      === Set((2L, 5.0), (3L, 10.0)))
+    assert(u1.filter(_.closed).map(u => (u.events, u.total)) === Seq((3L, 10.0)))
+    assert(updates.filter(u => u.user == 2L && u.closed)
+      .map(u => (u.events, u.total)) === Seq((1L, 1.0)))
+  }
+
   test("watermarked windowed aggregation emits closed windows (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
