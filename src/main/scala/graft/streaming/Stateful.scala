@@ -30,6 +30,24 @@ object Stateful {
       .groupBy(window(col(eventTimeCol), windowDuration) +: keyCols: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Watermarked stream-stream interval join: left rows match right
+    * rows with the same key whose event time falls in
+    * [leftTs, leftTs + within]. Both sides carry watermarks so the
+    * join state is bounded — Spark drops buffered rows once the
+    * watermark passes the interval, the only way a stream-stream join
+    * survives at scale.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String, leftTsCol: String, rightTsCol: String,
+                   delay: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, delay).as("l")
+    val r = right.withWatermark(rightTsCol, delay).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") &&
+        col(s"r.$rightTsCol") <= col(s"l.$leftTsCol") + expr(s"INTERVAL $within"))
+  }
+
   // ------------------------------------------------------------------ //
   // Custom keyed state (flatMapGroupsWithState)                        //
   // ------------------------------------------------------------------ //

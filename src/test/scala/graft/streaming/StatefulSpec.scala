@@ -36,6 +36,38 @@ class StatefulSpec extends SparkSpec {
     assert(out.sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join matches clicks to purchases within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    final case class Click(user: Long, cts: java.sql.Timestamp, click_id: Long)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val matched = mutable.Buffer.empty[(Long, Long)]
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+    val joined = Stateful.intervalJoin(
+      clicks.toDF().toDF("user", "cts", "click_id"),
+      purchases.toDF().toDF("user", "pts", "purchase_id"),
+      key = "user", leftTsCol = "cts", rightTsCol = "pts",
+      delay = "1 minute", within = "10 minutes")
+    val q = joined.writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        matched.synchronized {
+          matched ++= df.select("click_id", "purchase_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    clicks.addData((1L, t("10:00"), 100L), (2L, t("10:00"), 200L))
+    purchases.addData(
+      (1L, t("10:05"), 500L),   // in window for click 100
+      (1L, t("10:20"), 501L),   // outside +10min
+      (2L, t("09:55"), 502L))   // before the click
+    q.processAllAvailable()
+    q.stop()
+    assert(matched.toSet === Set((100L, 500L)))
+  }
+
   test("flatMapGroupsWithState sessionization accumulates per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.SessionEvent]
