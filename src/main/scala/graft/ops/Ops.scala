@@ -166,4 +166,22 @@ final class OperatorRegistry {
     * (`TypedPipelineBuilder.java:108-164`).
     */
   def pipeline(names: String*): Ops.Op = Ops.compose(names.map(operator): _*)
+
+  /** Registry-level best-effort fan-out over registered sinks
+    * (`MessageProcessorRegistry.compositeSink`, `:314-325`): each named
+    * sink is attempted; a throwing sink is logged and suppressed;
+    * unknown names are skipped with a warning.
+    */
+  def compositeSink(names: String*): DataFrame => Unit = df =>
+    names.foreach { name =>
+      sinks.get(name) match {
+        case Some(sink) =>
+          try sink(df)
+          catch {
+            case e: Exception =>
+              log.warn(s"composite sink '$name' failed (suppressed): ${e.getMessage}")
+          }
+        case None => log.warn(s"composite sink '$name' not registered — skipped")
+      }
+    }
 }

@@ -28,6 +28,22 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((df: Dataset[Row], id: Long) => sink(df.toDF(), id))
 
+  /** `KafkaMessageSink` — produce processed values to another topic
+    * (`lib/kpipe-producer/.../sink/KafkaMessageSink.java:28-109`).
+    * Expects `key`/`value` (binary or string) and optional `headers`
+    * columns; inject trace context first via `Tracing.injectTraceparent`.
+    * Requires the spark-sql-kafka connector at deploy time (not in this
+    * distribution — the builder is config-complete and the row shape is
+    * tested via the DLQ/record specs).
+    */
+  def kafka(ds: Dataset[Row], bootstrapServers: String, topic: String,
+            checkpoint: String): DataStreamWriter[Row] =
+    ds.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("includeHeaders", "true")
+      .option("checkpointLocation", checkpoint)
+
   /** `toMulti` — best-effort fan-out (`CompositeMessageSink.java:11-33`,
     * failure matrix `docs/GUARANTEES.md:56`): every sink is attempted,
     * a throwing sink is logged and suppressed, the batch still commits,

@@ -115,6 +115,15 @@ class OpsSpec extends SparkSpec {
     assert(chained.count() === 2)
   }
 
+  test("registry compositeSink: best-effort over registered sinks, unknown skipped") {
+    val seen = scala.collection.mutable.Buffer.empty[String]
+    val reg = new OperatorRegistry()
+      .registerSink("good", _ => seen += "good")
+      .registerSink("boom", _ => throw new RuntimeException("down"))
+    reg.compositeSink("boom", "good", "missing")(df)
+    assert(seen.toSeq === Seq("good"))
+  }
+
   test("peek/observe leaves rows untouched") {
     val out = Ops.peek("metrics", count(lit(1)).as("rows"))(df)
     assert(out.count() === 3)
