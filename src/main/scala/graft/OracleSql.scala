@@ -260,5 +260,179 @@ object OracleSql {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q29_minhash_buckets" -> Gen.minhashBucketsSql,
+    "q30_simhash" -> Gen.simhashSql,
+    "q31_ann_lsh" -> Gen.annLshSql,
+    "q32_langid" -> Gen.langIdSql,
+    "q33_quality_score" -> Gen.qualityScoreSql,
+    "q34_near_dup_pairs" -> Gen.nearDupPairsSql,
+    "q49_embedding_near_dup" -> Gen.embeddingNearDupSql,
+    "q50_bpe_token_count" -> Gen.bpeTokenCountSql)
+
+  /** Programmatically built oracles for the hash/LSH queries. These
+    * mirror [[graft.functions.HashFns]] bit-for-bit (its Spark builders
+    * and DuckDB emitters are kept side-by-side) and embed the same
+    * seeded hyperplane literals [[graft.functions.VectorFns.randomHyperplanes]]
+    * generates for the Spark plans.
+    */
+  private object Gen {
+    import graft.functions.HashFns._
+    import graft.functions.{TextFns, VectorFns}
+
+    /** ASCII punct class (= TextFns.PUNCT_CLASS), RE2-safe. */
+    private val PUNCT = "[!-/:-@\\[-`{-~]"
+
+    /** DuckDB twin of TextFns.tokens. */
+    private def tokensE(textE: String): String =
+      s"CASE WHEN len(trim($textE)) = 0 THEN [] " +
+        s"ELSE regexp_split_to_array(trim($textE), '\\s+') END"
+
+    /** DuckDB twin of TextFns.shingles over a word-list expression. */
+    private def shinglesE(wE: String, n: Int): String =
+      s"CASE WHEN len($wE) < $n THEN [array_to_string($wE, ' ')] " +
+        s"ELSE [array_to_string($wE[i:i+${n - 1}], ' ') " +
+        s"for i in range(1, len($wE) - ${n - 2})] END"
+
+    /** DuckDB twin of VectorFns.cosine (no zero guard — embeddings are
+      * non-zero, and q28 set this convention). */
+    private def cosineE(aE: String, bE: String): String =
+      s"(list_dot_product($aE, $bE) / (sqrt(list_dot_product($aE, $aE)) " +
+        s"* sqrt(list_dot_product($bE, $bE))))"
+
+    /** DuckDB twin of VectorFns.hyperplaneSignature with plane literals. */
+    private def sigE(vE: String, planes: Seq[Array[Double]]): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        val lit = "[" + p.map(_.toString).mkString(", ") + "]"
+        s"(CASE WHEN list_dot_product($vE, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+
+    /** Shared CTE chain: documents → shingles → (b1,b2) → 32-min
+      * signature → 8 LSH band buckets. Twin of Dedup.minhashBuckets. */
+    private def minhashBucketCtes(width: Int): String = {
+      val sigCols = (0 until 32).map(k =>
+        s"min(${duckHashAt("x", k)}) AS h$k").mkString(", ")
+      val bandRows = (0 until 8).map { b =>
+        val joined = "array_to_string([" +
+          (0 until 4).map(i => s"h${b * 4 + i}").mkString(", ") + "], ',')"
+        s"SELECT id, $b AS band, ${duckHash61(joined)} AS band_hash FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |sh AS (SELECT id, unnest(${shinglesE("w", width)}) AS s FROM words),
+         |xp AS (SELECT id, ${duckHash61("s")} AS x FROM sh),
+         |sig AS (SELECT id, $sigCols FROM xp GROUP BY id),
+         |buckets AS (
+         |  $bandRows
+         |)""".stripMargin
+    }
+
+    def minhashBucketsSql: String =
+      minhashBucketCtes(3) +
+        "\nSELECT id, band, band_hash FROM buckets ORDER BY id, band"
+
+    def nearDupPairsSql: String =
+      minhashBucketCtes(2) + s""",
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+        |shs AS (SELECT id, list_distinct(${shinglesE("w", 2)}) AS s FROM words)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        |  FROM cand c JOIN shs sa ON sa.id = c.id_a JOIN shs sb ON sb.id = c.id_b) t
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+
+    def simhashSql: String = {
+      val sums = (0 until 64).map(b =>
+        s"sum(CASE WHEN ${duckBitAt("lo", "hi", b)} = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val sigExpr = ((0 until 63).map(b =>
+        s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END") :+
+        "CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END").mkString(" + ")
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |tok AS (SELECT id, unnest(w) AS tok FROM words),
+         |hx AS (SELECT id, md5(tok) AS m FROM tok),
+         |ch AS (SELECT id, ${duckChunk("m", 1)} AS lo, ${duckChunk("m", 0)} AS hi FROM hx),
+         |agg AS (SELECT id, $sums FROM ch GROUP BY id)
+         |SELECT id, ($sigExpr) AS sig FROM agg ORDER BY id""".stripMargin
+    }
+
+    def annLshSql: String = {
+      val planes = VectorFns.randomHyperplanes(numBits = 8, dim = 64, seed = 42L)
+      val probes = (Seq("xor(sig, 0)") ++ (0 until 8).map(i => s"xor(sig, ${1L << i})"))
+        .mkString(", ")
+      s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |csig AS (SELECT id, v, (${sigE("v", planes)}) AS bucket FROM c),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |qsig AS (SELECT query_id, qv, (${sigE("qv", planes)}) AS sig FROM q),
+         |probes AS (SELECT query_id, qv, unnest([$probes]) AS bucket FROM qsig),
+         |scored AS (SELECT DISTINCT p.query_id, c.id, ${cosineE("c.v", "p.qv")} AS sim
+         |  FROM csig c JOIN probes p ON c.bucket = p.bucket),
+         |ranked AS (SELECT query_id, id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, id, round(sim, 4) AS sim, "rank" FROM ranked
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+    }
+
+    def embeddingNearDupSql: String = {
+      val planes = VectorFns.randomHyperplanes(numBits = 6, dim = 64, seed = 42L)
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT id, v, (${sigE("v", planes)}) AS bucket FROM e)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    round(${cosineE("a.v", "b.v")}, 4) AS cosine,
+         |    ${cosineE("a.v", "b.v")} AS rawc
+         |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id) t
+         |WHERE rawc >= 0.1 ORDER BY id_a, id_b""".stripMargin
+    }
+
+    def langIdSql: String = {
+      val g = "greatest(s_de, s_en, s_es, s_fr)"
+      val scores = TextFns.LANG_MARKERS.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(tk, x -> list_contains([$lst], x))) AS s_$lang"
+      }.mkString(", ")
+      // tie-break mirrors Spark's array_max over struct(score, lang):
+      // highest score wins, ties go to the lexicographically greatest lang
+      s"""WITH t AS (SELECT doc_id, list_transform(${tokensE("text")}, x -> lower(x)) AS tk
+         |  FROM documents),
+         |s AS (SELECT doc_id, $scores FROM t)
+         |SELECT doc_id, CASE WHEN $g = 0 THEN 'und'
+         |  WHEN s_fr = $g THEN 'fr'
+         |  WHEN s_es = $g THEN 'es'
+         |  WHEN s_en = $g THEN 'en'
+         |  ELSE 'de' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
+
+    def qualityScoreSql: String = {
+      val stop = TextFns.EN_STOPWORDS.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, ${tokensE("text")} AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS DOUBLE) AS n_tok,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) - length(regexp_replace(text, '$PUNCT', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS pr,
+         |  CASE WHEN len(tk) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(tk, x -> list_contains([$stop], lower(x)))) AS DOUBLE)
+         |      / len(tk) END AS swr
+         |  FROM t)
+         |SELECT doc_id, round((least(n_tok / 100.0, 1.0) * 0.4
+         |  + greatest(0.0, 1.0 - pr * 4.0) * 0.3
+         |  + greatest(0.0, 1.0 - abs(swr - 0.4) * 2.0) * 0.3), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
+
+    def bpeTokenCountSql: String =
+      s"""SELECT doc_id, CAST(
+         |  (length(text) - length(regexp_replace(text, '$PUNCT', '', 'g')))
+         |  + len(list_filter(string_split_regex(text, '[\\s!-/:-@\\[-`{-~]+'),
+         |      x -> len(x) > 0)) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

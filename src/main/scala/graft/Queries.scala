@@ -348,6 +348,7 @@ object Queries {
     Similarity.lshTopK(e, "vec_id", "embedding",
         e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, dim = 64, numBits = 8)
+      .select(col("query_id"), col("id"), round(col("sim"), 4).as("sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.functions.TextFns
+import graft.functions.{HashFns, TextFns}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -34,17 +34,19 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash signature as a single column expression: `numHashes`
-    * minimums over xxhash64(shingle, seed).
+    * minimums of the md5-derived double-hashing family
+    * ([[graft.functions.HashFns]] — one digest per shingle, k derived
+    * hashes, DuckDB-oracle-computable).
     *
     * NOTE: convenience/testing API only. Higher-order-function lambdas
     * are interpreted (not codegen'd) and the shingle subtree gets
-    * duplicated per hash — use [[minhashSignatures]] (explode +
+    * re-evaluated per hash — use [[minhashSignatures]] (explode +
     * codegen'd min aggregate) for real corpora.
     */
   def minhashSignature(text: Column, numHashes: Int = 32, shingleWidth: Int = 3): Column = {
-    val sh = TextFns.shingles(text, shingleWidth)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    val xs = transform(TextFns.shingles(text, shingleWidth), s => HashFns.hash61(s))
+    array((0 until numHashes).map { k =>
+      array_min(transform(xs, x => HashFns.hashAt(x, k)))
     }: _*)
   }
 
@@ -52,26 +54,34 @@ object Dedup {
     * Shingles explode to rows, the `numHashes` minima are codegen'd
     * min-aggregates with map-side partial aggregation, so the shuffle
     * carries exactly (id, numHashes longs) per document regardless of
-    * document length. Produces values identical to [[minhashSignature]].
+    * document length. One md5 per shingle feeds all `numHashes` hashes
+    * (double hashing), so hash cost is O(shingle), not O(shingle × k).
+    * Produces values identical to [[minhashSignature]].
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleWidth: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(TextFns.shingles(col(textCol), shingleWidth)).as("sh"))
-    val aggs = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"h$s"))
-    exploded.groupBy("id")
+    val based = df.select(col(idCol).as("id"),
+        explode(TextFns.shingles(col(textCol), shingleWidth)).as("sh"))
+      .select(col("id"), HashFns.hash61(col("sh")).as("x"))
+    val aggs = (0 until numHashes).map(k =>
+      min(HashFns.hashAt(col("x"), k)).as(s"h$k"))
+    based.groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** LSH banding of a minhash signature: `bands` rows of
-    * (bandIndex, bandHash). Equal band hash ⇒ candidate pair.
+    * (bandIndex, bandHash). Equal band hash ⇒ candidate pair. The band
+    * hash is [[HashFns.hash61]] over the comma-joined band slice
+    * (oracle-computable; a 61-bit key shuffles like any long).
     */
   def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
+      val bandSlice = slice(signature, b * rowsPerBand + 1, rowsPerBand)
       struct(
         lit(b).as("band"),
-        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+        HashFns.hash61(array_join(transform(bandSlice, _.cast("string")), ","))
+          .as("band_hash"))
     }: _*)
 
   /** Per-document LSH bucket table: (id, band, band_hash). This is the
@@ -135,16 +145,20 @@ object Dedup {
     * identical to the column-expression [[simhash]].
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
+    val (lo, hi) = HashFns.bitChunks(col("tok"))
+    val chunked = df.select(col(idCol).as("id"),
         explode(TextFns.tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .select(col("id"), lo.as("lo"), hi.as("hi"))
     val aggs = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    exploded.groupBy("id")
+      sum(when(HashFns.bitAt(col("lo"), col("hi"), b) === 1, 1).otherwise(-1)).as(s"b$b"))
+    // bit 63 is the sign bit: add Long.MinValue instead of 1L << 63 so the
+    // fold never overflows under ANSI arithmetic (bits 0..62 sum < 2^63).
+    val low63 = (0 until 63).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    chunked.groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
+        (low63 + when(col("b63") > 0, lit(Long.MinValue)).otherwise(lit(0L))).as("sig"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted
@@ -158,16 +172,21 @@ object Dedup {
       TextFns.tokens(text),
       array_repeat(lit(0L), 64),
       (acc, t) => {
-        val h = xxhash64(t)
+        val (lo, hi) = HashFns.bitChunks(t)
         zip_with(acc, sequence(lit(0), lit(63)),
-          (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
+          (c, i) => {
+            val bit = when(i < 32, call_function("shiftright", lo, i))
+              .otherwise(call_function("shiftright", hi, i - 32))
+              .bitwiseAND(lit(1L))
+            c + when(bit === 1, 1L).otherwise(-1L)
+          })
       })
     aggregate(
-      sequence(lit(0), lit(63)),
+      sequence(lit(0), lit(62)),
       lit(0L),
       (acc, i) => acc + when(element_at(counts, i + 1) > 0,
-        call_function("shiftleft", lit(1L), i)).otherwise(0L))
+        call_function("shiftleft", lit(1L), i)).otherwise(0L)) +
+      when(element_at(counts, 64) > 0, lit(Long.MinValue)).otherwise(lit(0L))
   }
 
   /** Hamming distance between two 64-bit signatures. */

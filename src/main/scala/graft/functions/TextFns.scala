@@ -22,14 +22,22 @@ object TextFns {
   def normalize(text: Column): Column =
     regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", "")
 
-  /** BPE-ish subword-count estimate: words + punctuation runs + digit
-    * runs each count as a token boundary (a cheap deterministic stand-in
-    * for a real tokenizer's token count; useful for budgeting).
+  /** ASCII punctuation as an explicit class — identical in Java regex
+    * and DuckDB's RE2 (`\p{Punct}` exists only in Java; RE2 has no
+    * lookarounds either, so oracle-facing regexes stick to plain classes).
+    */
+  val PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+
+  /** BPE-ish subword-count estimate: each punctuation character is one
+    * token, each maximal run of non-space non-punctuation characters is
+    * one token (equivalent to splitting at every boundary adjacent to
+    * whitespace/punctuation and dropping blanks — but with no regex
+    * lookarounds, so it is cheaper and DuckDB-oracle-expressible).
     */
   def approxBpeTokenCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=\\s)|(?=\\s)|(?<=\\p{Punct})|(?=\\p{Punct})"),
-      t => length(trim(t)) > 0)).cast("bigint")
+    ((length(text) - length(regexp_replace(text, PUNCT_CLASS, ""))) +
+      size(filter(split(text, s"[\\s!-/:-@\\[-`{-~]+"), t => length(t) > 0)))
+      .cast("bigint")
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]` for n-word windows.
     * Docs shorter than n shingle to the whole (trimmed) text so every
@@ -49,18 +57,18 @@ object TextFns {
   /** 64-bit fast fingerprint (xxhash64) — cheaper join key than md5. */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
-  /** Rolling document fingerprint: xxhash64 over the n-gram shingle
-    * set, order-independent (min-combine) — stable under reordering of
-    * identical shingle content.
+  /** Rolling document fingerprint: 61-bit hash ([[HashFns.hash61]])
+    * over the n-gram shingle set, order-independent (min-combine) —
+    * stable under reordering of identical shingle content.
     */
   def rollingFingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(shingles(text, n), s => xxhash64(s)))
+    array_min(transform(shingles(text, n), s => HashFns.hash61(s)))
 
-  /** Punctuation character ratio in [0,1]. */
+  /** Punctuation character ratio in [0,1] (ASCII [[PUNCT_CLASS]]). */
   def punctRatio(text: Column): Column = {
     val len = length(text)
     when(len === 0, lit(0.0)).otherwise(
-      (len - length(regexp_replace(text, "\\p{Punct}", ""))).cast("double") / len)
+      (len - length(regexp_replace(text, PUNCT_CLASS, ""))).cast("double") / len)
   }
 
   /** Ratio of tokens that are in the given stopword list. */
