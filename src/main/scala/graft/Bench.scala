@@ -53,11 +53,13 @@ object Bench {
     // kpipe-comparable figure: records/s through the decode→operators→
     // sink pipeline (BASELINE.md reports the reference's consumer in
     // rec/s). Same decode→transform→sink shape as q37, but unordered
-    // (a consumer pipeline has no global sort) and replicated 20× so
-    // fixed job overhead doesn't masquerade as per-record cost.
+    // (a consumer pipeline has no global sort) and replicated 60× so
+    // each timed trial runs multiple seconds — long enough that fixed
+    // job overhead and transient host contention can't dominate the
+    // best-of-3.
     import org.apache.spark.sql.functions._
     val replicated = Tables.events(spark, sfDir)
-      .withColumn("rep", explode(sequence(lit(0), lit(19))))
+      .withColumn("rep", explode(sequence(lit(0), lit(59))))
     val records = replicated.select(
       col("event_id").cast("string").cast("binary").as("key"),
       to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value")))

@@ -2,7 +2,7 @@ package graft
 
 import graft.dedup.Dedup
 import graft.functions.{TextFns, VectorFns}
-import graft.ops.{Ops, Pipeline}
+import graft.ops.{Ops, Pipeline, Scale}
 import graft.sim.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -334,17 +334,17 @@ object Queries {
     * doc; the only shuffled artifact of near-dup detection.
     */
   val q29_minhash_buckets: Q = (s, d) =>
-    Dedup.minhashBuckets(Tables.documents(s, d), "doc_id", "text")
+    Dedup.minhashBuckets(Scale.fanOut(Tables.documents(s, d)), "doc_id", "text")
       .orderBy("id", "band")
 
   /** 64-bit SimHash signatures (explode + codegen'd bit-sum aggregate). */
   val q30_simhash: Q = (s, d) =>
-    Dedup.simhashes(Tables.documents(s, d), "doc_id", "text")
+    Dedup.simhashes(Scale.fanOut(Tables.documents(s, d)), "doc_id", "text")
       .orderBy("id")
 
   /** LSH-bucketed ANN top-10 for the first 5 vectors as queries. */
   val q31_ann_lsh: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
+    val e = Scale.fanOut(Tables.embeddings(s, d))
     Similarity.lshTopK(e, "vec_id", "embedding",
         e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, dim = 64, numBits = 8)
@@ -369,7 +369,7 @@ object Queries {
     * threshold≈0.8).
     */
   val q34_near_dup_pairs: Q = (s, d) =>
-    Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+    Dedup.minhashNearDupPairs(Scale.fanOut(Tables.documents(s, d)), "doc_id", "text",
         threshold = 0.2, numHashes = 32, bands = 8, shingleWidth = 2)
       .orderBy("id_a", "id_b")
 
@@ -567,7 +567,7 @@ object Queries {
     * the random test vectors yield candidate rows).
     */
   val q49_embedding_near_dup: Q = (s, d) =>
-    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+    Dedup.embeddingNearDupPairs(Scale.fanOut(Tables.embeddings(s, d)), "vec_id", "embedding",
         threshold = 0.1, dim = 64, numBits = 6)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")

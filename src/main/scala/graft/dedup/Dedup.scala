@@ -34,7 +34,7 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash signature as a single column expression: `numHashes`
-    * minimums of the md5-derived double-hashing family
+    * minimums of the md5-derived multiply-add family
     * ([[graft.functions.HashFns]] — one digest per shingle, k derived
     * hashes, DuckDB-oracle-computable).
     *
@@ -54,8 +54,9 @@ object Dedup {
     * Shingles explode to rows, the `numHashes` minima are codegen'd
     * min-aggregates with map-side partial aggregation, so the shuffle
     * carries exactly (id, numHashes longs) per document regardless of
-    * document length. One md5 per shingle feeds all `numHashes` hashes
-    * (double hashing), so hash cost is O(shingle), not O(shingle × k).
+    * document length. One md5 per shingle ([[graft.functions.Md5Long]],
+    * codegen'd, no hex round-trip) feeds all `numHashes` multiply-add
+    * hashes, so hash cost is O(shingle), not O(shingle × k).
     * Produces values identical to [[minhashSignature]].
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,

@@ -47,13 +47,6 @@ object HashFns {
       (r.nextLong() & Long.MaxValue) % P61))
   }
 
-  /** i-th 32-bit big-endian chunk of an md5 hex digest column. */
-  private def chunk(hex: Column, i: Int): Column =
-    conv(substring(hex, 1 + 8 * i, 8), 16, 10).cast("long")
-
-  def b1Of(hex: Column): Column =
-    shiftleft(chunk(hex, 0).bitwiseAND(lit(M29)), 32).bitwiseOR(chunk(hex, 1))
-
   /** k-th hash of the 2-universal family over a 61-bit element hash x.
     * Overflow-free (a_k·x + b_k) mod p via the Mersenne identity
     * 2^61 ≡ 1 (mod p): split x = xh·2^31 + xl, reduce a·xh·2^31 by
@@ -66,8 +59,11 @@ object HashFns {
     (hi + lit(a) * x.bitwiseAND(lit(M31)) + lit(b)) % lit(P61)
   }
 
-  /** Single 61-bit string hash: element hashes, bucket ids, band hashes. */
-  def hash61(c: Column): Column = b1Of(md5(c))
+  /** Single 61-bit string hash: element hashes, bucket ids, band hashes.
+    * = top 61 bits of the md5 digest ([[Md5Long]] masked to the modulus
+    * range), identical to [[duckHash61]] on the oracle side.
+    */
+  def hash61(c: Column): Column = Md5Long(c).bitwiseAND(lit(P61))
 
   /** Bits of a 64-bit token hash without signed-shift hazards: bit b is
     * read from the low (c1) or high (c0) 32-bit chunk directly. Returns
@@ -75,8 +71,8 @@ object HashFns {
     * extractions.
     */
   def bitChunks(c: Column): (Column, Column) = {
-    val hex = md5(c)
-    (chunk(hex, 1), chunk(hex, 0))
+    val h = Md5Long(c)
+    (h.bitwiseAND(lit((1L << 32) - 1)), shiftrightunsigned(h, 32))
   }
 
   /** Bit b (0..63) of the 64-bit hash given (lo, hi) 32-bit chunks. */

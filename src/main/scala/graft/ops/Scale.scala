@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Rebalance before a CPU-heavy map stage (hashing, decode, feature
+    * extraction) when the upstream scan yields fewer partitions than
+    * cores — the single-small-parquet-file trap: one file = one
+    * partition = one busy core. At real scale the scan already has
+    * hundreds of splits and this is a no-op (no shuffle); checking the
+    * partition count first keeps it from ever ADDING a 100 TB shuffle.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Salted join for skewed keys: the skewed (big) side gets a random
     * salt in [0, saltFactor); the small side is exploded saltFactor
     * ways so every (key, salt) bucket finds its match. One hot key
