@@ -262,6 +262,50 @@ object OracleSql {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+    "q51_asof_custom" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS last_purchase
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q52_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q53_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q54_posexplode" -> Gen.posexplodeSql,
+
+    "q55_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q56_regexp_extract" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  regexp_extract(p_type, '(\w+)$', 1) AS last_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q57_array_funcs" -> Gen.arrayFuncsSql,
+    "q58_hash_sample" -> Gen.hashSampleSql,
+
+    "q59_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q29_minhash_buckets" -> Gen.minhashBucketsSql,
     "q30_simhash" -> Gen.simhashSql,
     "q31_ann_lsh" -> Gen.annLshSql,
@@ -427,6 +471,27 @@ object OracleSql {
          |  + greatest(0.0, 1.0 - abs(swr - 0.4) * 2.0) * 0.3), 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     }
+
+    def posexplodeSql: String =
+      s"""SELECT doc_id, u['pos'] AS pos, u['token'] AS token FROM (
+         |  SELECT doc_id,
+         |    unnest(list_transform(w, (x, i) -> {'pos': i - 1, 'token': x})) AS u
+         |  FROM (SELECT doc_id, ${tokensE("text")} AS w
+         |        FROM documents WHERE doc_id < 100) t)
+         |ORDER BY doc_id, pos""".stripMargin
+
+    def arrayFuncsSql: String =
+      s"""SELECT doc_id,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+         |  array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS first3_sorted,
+         |  list_contains(w, 'the') AS has_the
+         |FROM (SELECT doc_id, ${tokensE("text")} AS w FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+
+    def hashSampleSql: String =
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE (${duckHash61("CAST(o_orderkey AS VARCHAR)")}) % 20 = 0
+         |ORDER BY o_orderkey""".stripMargin
 
     def bpeTokenCountSql: String =
       s"""SELECT doc_id, CAST(

@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.{HashFns, TextFns, VectorFns}
 import graft.ops.{Ops, Pipeline, Scale}
 import graft.sim.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -572,13 +572,102 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
-  /** BPE-ish token-count estimate (budgeting signal; the regex uses
-    * lookarounds DuckDB's RE2 lacks, so rows-only).
+  /** BPE-ish token-count estimate (budgeting signal; punct chars +
+    * non-punct runs — exactly mirrored by the DuckDB oracle).
     */
   val q50_bpe_token_count: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), TextFns.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
+
+  /** Same result as q47, but through the custom as-of join operator
+    * (graft.plans.AsOfJoinPlan → AsOfJoinExec): one sort-merge pass per
+    * partition instead of union + running-last window. The oracle is
+    * DuckDB's native ASOF JOIN — identical SQL to q47's.
+    */
+  val q51_asof_custom: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    graft.plans.AsOf.join(clicks, purchases, "user_id", "p_user", "ts", "p_ts")
+      .select(col("event_id"), col("user_id"), col("p_id").as("last_purchase"))
+      .orderBy("event_id")
+  }
+
+  /** Correlated EXISTS subquery through the SQL surface. */
+  val q52_exists_subquery: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""SELECT c_custkey, c_name FROM customer
+             WHERE EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             ORDER BY c_custkey""")
+  }
+
+  /** Scalar subquery: orders above the average total price. */
+  val q53_scalar_subquery: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+             ORDER BY o_orderkey""")
+  }
+
+  /** Lateral explode with position (posexplode) — one row per token. */
+  val q54_posexplode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
+  /** Exact interpolated percentiles (continuous quantiles). */
+  val q55_percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag")
+
+  /** Regex extraction (leading word + trailing digits of part names). */
+  val q56_regexp_extract: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "(\\w+)$", 1).as("last_type"))
+      .orderBy("p_partkey")
+
+  /** Array functions over token lists: sort, dedup, membership, slice. */
+  val q57_array_funcs: Q = (s, d) => {
+    val t = TextFns.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(t)).cast("bigint").as("n_unique"),
+        array_join(slice(array_sort(array_distinct(t)), 1, 3), " ").as("first3_sorted"),
+        array_contains(t, "the").as("has_the"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic hash sampling — the reproducible-at-any-scale sample
+    * (a seeded `sample()` is not stable across partitionings; a content
+    * hash is).
+    */
+  val q58_hash_sample: Q = (s, d) =>
+    Tables.orders(s, d)
+      .where(HashFns.hash61(col("o_orderkey").cast("string")) % 20 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Pearson correlation + sample covariance per group. */
+  val q59_corr: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
 
   /** All registered queries. */
   val all: Map[String, Q] = Map(
@@ -631,5 +720,14 @@ object Queries {
     "q47_asof_join" -> q47_asof_join,
     "q48_topk_aggregate" -> q48_topk_aggregate,
     "q49_embedding_near_dup" -> q49_embedding_near_dup,
-    "q50_bpe_token_count" -> q50_bpe_token_count)
+    "q50_bpe_token_count" -> q50_bpe_token_count,
+    "q51_asof_custom" -> q51_asof_custom,
+    "q52_exists_subquery" -> q52_exists_subquery,
+    "q53_scalar_subquery" -> q53_scalar_subquery,
+    "q54_posexplode" -> q54_posexplode,
+    "q55_percentiles" -> q55_percentiles,
+    "q56_regexp_extract" -> q56_regexp_extract,
+    "q57_array_funcs" -> q57_array_funcs,
+    "q58_hash_sample" -> q58_hash_sample,
+    "q59_corr" -> q59_corr)
 }

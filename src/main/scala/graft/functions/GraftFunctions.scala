@@ -56,9 +56,11 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + the custom
+  * operator planner strategies (as-of join).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -66,4 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[GraftFunctions.type].getName, name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

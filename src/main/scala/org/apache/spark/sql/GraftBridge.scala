@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Column ⇄ catalyst Expression bridge. Spark 4 hides the classic
   * converters behind `private[sql]`; custom expressions (AvroCodec,
@@ -21,4 +22,10 @@ object GraftBridge {
     */
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** LogicalPlan → DataFrame (`Dataset.ofRows` is private[sql]); the hop
+    * a custom logical operator needs to surface as a DataFrame.
+    */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
