@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps `runMain graft.Bench` stdout for a bare JSON line;
+// sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] ", which breaks that parse. StdoutOutput passes the child's
+// stdout/stderr through untouched. showSuccess drops the trailing
+// "[success] Total time" line for parsers that read the last line only.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -96,8 +96,12 @@ object Bench {
     }.min
     val recPerSec = if (pipelineSec > 0) eventRows / pipelineSec else 0.0
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""pipeline_rec_per_sec":${recPerSec.round},"pipeline_rows":$eventRows,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""pipeline_rec_per_sec":${recPerSec.round},"pipeline_rows":$eventRows,"sf":"$sfDir"}"""
+    // stop BEFORE printing so Spark's shutdown logging can't interleave
+    // after the JSON line — the driver parses the last stdout line(s).
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
