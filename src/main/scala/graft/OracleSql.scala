@@ -145,7 +145,7 @@ object OracleSql {
         |ORDER BY event_id""".stripMargin,
 
     "q22_token_count" ->
-      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q23_fingerprint" ->
@@ -157,9 +157,9 @@ object OracleSql {
 
     "q25_text_quality" ->
       """SELECT doc_id,
-        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-        |    / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+        |  len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens,
+        |  CAST(length(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q26_lang_distribution" ->
@@ -306,6 +306,8 @@ object OracleSql {
         |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q35_multimodal_probe" -> Gen.multimodalProbeSql,
+    "q36_media_features" -> Gen.mediaFeaturesSql,
     "q29_minhash_buckets" -> Gen.minhashBucketsSql,
     "q30_simhash" -> Gen.simhashSql,
     "q31_ann_lsh" -> Gen.annLshSql,
@@ -328,10 +330,13 @@ object OracleSql {
     /** ASCII punct class (= TextFns.PUNCT_CLASS), RE2-safe. */
     private val PUNCT = "[!-/:-@\\[-`{-~]"
 
+    /** ASCII whitespace class (= TextFns.WS_CLASS), RE2-safe. */
+    private val WS = "[ \\t\\n\\x0b\\f\\r]"
+
     /** DuckDB twin of TextFns.tokens. */
     private def tokensE(textE: String): String =
       s"CASE WHEN len(trim($textE)) = 0 THEN [] " +
-        s"ELSE regexp_split_to_array(trim($textE), '\\s+') END"
+        s"ELSE regexp_split_to_array(trim($textE), '$WS+') END"
 
     /** DuckDB twin of TextFns.shingles over a word-list expression. */
     private def shinglesE(wE: String, n: Int): String =
@@ -435,6 +440,37 @@ object OracleSql {
          |WHERE rawc >= 0.1 ORDER BY id_a, id_b""".stripMargin
     }
 
+    /** Twin of Multimodal.StubCodec.probe (image kind): fake dims are
+      * hash61(bytes) arithmetic; blobs are the documents' text bytes.
+      */
+    def multimodalProbeSql: String =
+      s"""WITH x AS (SELECT doc_id AS id, coalesce(strlen(text), 0) AS nb,
+         |    ${duckHash61("text")} AS seed FROM documents)
+         |SELECT id, 'image' AS kind,
+         |  CASE WHEN nb < 4 THEN NULL ELSE 'png' END AS format,
+         |  CASE WHEN nb < 4 THEN NULL ELSE seed % 1920 + 64 END AS width,
+         |  CASE WHEN nb < 4 THEN NULL ELSE seed % 1080 + 64 END AS height,
+         |  CASE WHEN nb < 4 THEN 'truncated media payload'
+         |       ELSE CAST(NULL AS VARCHAR) END AS error
+         |FROM x ORDER BY id""".stripMargin
+
+    /** Twin of StubCodec.features (16 dyadic-rational dims — exact in
+      * float32 and float64) + brute-force cosine top-5 vs doc 0.
+      */
+    def mediaFeaturesSql: String = {
+      val feat = (0 until 16)
+        .map(j => s"CAST(${duckHashAt("seed", j)} % 1024 AS DOUBLE) / 1024.0")
+        .mkString(", ")
+      s"""WITH x AS (SELECT doc_id AS id, ${duckHash61("text")} AS seed FROM documents),
+         |f AS (SELECT id, [$feat] AS v FROM x),
+         |q AS (SELECT v AS qv FROM f WHERE id = 0),
+         |scored AS (SELECT f.id, ${cosineE("f.v", "q.qv")} AS sim FROM f, q),
+         |ranked AS (SELECT id, sim,
+         |  row_number() OVER (ORDER BY sim DESC, id) AS "rank" FROM scored)
+         |SELECT CAST(0 AS BIGINT) AS query_id, id, round(sim, 4) AS sim, "rank"
+         |FROM ranked WHERE "rank" <= 5 ORDER BY "rank"""".stripMargin
+    }
+
     def langIdSql: String = {
       val g = "greatest(s_de, s_en, s_es, s_fr)"
       val scores = TextFns.LANG_MARKERS.toSeq.sortBy(_._1).map { case (lang, words) =>
@@ -496,7 +532,7 @@ object OracleSql {
     def bpeTokenCountSql: String =
       s"""SELECT doc_id, CAST(
          |  (length(text) - length(regexp_replace(text, '$PUNCT', '', 'g')))
-         |  + len(list_filter(string_split_regex(text, '[\\s!-/:-@\\[-`{-~]+'),
+         |  + len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r!-/:-@\\[-`{-~]+'),
          |      x -> len(x) > 0)) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin
   }

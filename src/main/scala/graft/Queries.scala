@@ -375,18 +375,23 @@ object Queries {
 
   /** Multimodal probe plumbing over opaque binary blobs (document text
     * bytes stand in for media payloads — the codec is a deterministic
-    * stub, the schema/partitioning/batching is the real pipeline).
+    * stub whose fake dimensions derive from the md5 hash family, so the
+    * DuckDB oracle computes the identical metadata; the
+    * schema/partitioning/batching is the real pipeline).
     */
   val q35_multimodal_probe: Q = (s, d) =>
     graft.multimodal.Multimodal.probeMetadata(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("blob")),
         "doc_id", "blob", graft.multimodal.Multimodal.Image)
-      .select(col("id"), col("meta.kind"), col("meta.format"), col("meta.width"),
-        col("meta.height"), col("meta.error"))
+      .select(col("id"), col("meta.kind"), col("meta.format"),
+        col("meta.width").cast("bigint").as("width"),
+        col("meta.height").cast("bigint").as("height"), col("meta.error"))
       .orderBy("id")
 
   /** Media feature-extraction → ANN hand-off: stub features feed the
-    * same similarity operators as real embeddings.
+    * same similarity operators as real embeddings. Stub features are
+    * dyadic rationals (exact in float32 AND float64), so the cosine
+    * scores hash-match the DuckDB double-precision oracle.
     */
   val q36_media_features: Q = (s, d) => {
     val feats = graft.multimodal.Multimodal.extractFeatures(
@@ -394,6 +399,7 @@ object Queries {
       "doc_id", "blob", dim = 16)
     Similarity.bruteForceTopK(feats, "id", "embedding",
         feats.where(col("id") === 0), "id", "embedding", k = 5)
+      .select(col("query_id"), col("id"), round(col("sim"), 4).as("sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 

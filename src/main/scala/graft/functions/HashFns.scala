@@ -65,6 +65,25 @@ object HashFns {
     */
   def hash61(c: Column): Column = Md5Long(c).bitwiseAND(lit(P61))
 
+  // ------------------------------------------------------------------ //
+  // Scala-native forms — identical values computed off-plan (e.g. by   //
+  // the multimodal StubCodec inside mapPartitions), so non-Column code //
+  // stays oracle-verifiable through the same family.                   //
+  // ------------------------------------------------------------------ //
+
+  /** Scala-native [[hash61]] over raw bytes ([[Md5Long.hashBytes]]
+    * masked to the modulus range).
+    */
+  def hash61Bytes(bytes: Array[Byte]): Long = Md5Long.hashBytes(bytes) & P61
+
+  /** Scala-native [[hashAt]]: k-th 2-universal hash of a 61-bit x. */
+  def hashAtLong(x: Long, k: Int): Long = {
+    val (a, b) = MINHASH_AB(k)
+    val t1 = a * (x >> 31)
+    val hi = (t1 >> 30) + ((t1 & M30) << 31)
+    (hi + a * (x & M31) + b) % P61
+  }
+
   /** Bits of a 64-bit token hash without signed-shift hazards: bit b is
     * read from the low (c1) or high (c0) 32-bit chunk directly. Returns
     * (loChunk, hiChunk) to alias once per row before fanning out 64 bit

@@ -48,10 +48,15 @@ object Md5Long {
   }
 
   /** First 8 md5 digest bytes, big-endian. Called from generated code. */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  /** Raw-bytes form, same thread-local digest (used off-plan too —
+    * [[HashFns.md5LongBytes]]).
+    */
+  def hashBytes(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    val d = md.digest(bytes)
     ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
       ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
       ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)

@@ -10,10 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** ASCII whitespace as an explicit class — Java's `\s` matches
+    * vertical tab the same as RE2's, but pinning the exact characters
+    * (like [[PUNCT_CLASS]]) removes any engine-version drift between
+    * Spark regexes and their DuckDB oracle twins.
+    */
+  val WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Whitespace tokenization (trimmed; empty string → empty array). */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+      .otherwise(split(trim(text), WS_CLASS + "+"))
 
   /** Token count as BIGINT. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
@@ -36,7 +43,7 @@ object TextFns {
     */
   def approxBpeTokenCount(text: Column): Column =
     ((length(text) - length(regexp_replace(text, PUNCT_CLASS, ""))) +
-      size(filter(split(text, s"[\\s!-/:-@\\[-`{-~]+"), t => length(t) > 0)))
+      size(filter(split(text, "[ \\t\\n\\x0B\\f\\r!-/:-@\\[-`{-~]+"), t => length(t) > 0)))
       .cast("bigint")
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]` for n-word windows.

@@ -52,15 +52,32 @@ object Multimodal {
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
     def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]]
     def features(bytes: Array[Byte], dim: Int): Array[Float]
+
+    /** Batch-level entry points — ONE call per `batchSize` chunk, so a
+      * real vectorized/JNI codec amortizes per-call setup (model load,
+      * pinned buffers) across the whole chunk. Defaults delegate per
+      * row; a real codec overrides these.
+      */
+    def probeAll(kind: String, batch: Seq[Array[Byte]]): Seq[Row] =
+      batch.map(probe(kind, _))
+    def featuresAll(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+      batch.map(b => if (b == null) Array.empty[Float] else features(b, dim))
+    def resizeAll(batch: Seq[Array[Byte]], w: Int, h: Int): Seq[Array[Byte]] =
+      batch.map(b => if (b == null) null else resize(b, w, h))
   }
 
-  /** STUB codec — deterministic fakes driven by a hash of the bytes.
-    * Real deployments replace this with an object wrapping e.g. a JNI
-    * image library; everything else in this file stays unchanged.
+  /** STUB codec — deterministic fakes driven by the md5-derived
+    * oracle-parity hash family ([[graft.functions.HashFns]]): every
+    * fake dimension/duration/feature is pure arithmetic over
+    * `hash61(bytes)`, so the DuckDB correctness oracle can compute the
+    * identical values (q35/q36). Real deployments replace this with an
+    * object wrapping e.g. a JNI image library; everything else in this
+    * file stays unchanged.
     */
   object StubCodec extends MediaCodec {
-    private def h(bytes: Array[Byte]): Long =
-      scala.util.hashing.MurmurHash3.bytesHash(bytes, 42).toLong & 0x7FFFFFFFL
+    import graft.functions.HashFns
+
+    private def h(bytes: Array[Byte]): Long = HashFns.hash61Bytes(bytes)
 
     override def probe(kind: String, bytes: Array[Byte]): Row = {
       if (bytes == null || bytes.length < 4)
@@ -79,9 +96,16 @@ object Multimodal {
       bytes.take(math.max(4, math.min(bytes.length, w * h0 / 64)))
     override def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       bytes.grouped(math.max(1, bytes.length / math.max(1, everyN))).take(everyN).toSeq
+
+    /** Feature j = (hash_j(x) mod 1024) / 1024 — a dyadic rational with
+      * ≤10 significant bits, exactly representable in BOTH float32 and
+      * float64, so Spark's float pipeline and DuckDB's double oracle
+      * compute bit-identical cosines. dim ≤ 64 (the seeded family size).
+      */
     override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val rnd = new scala.util.Random(h(bytes))
-      Array.fill(dim)(rnd.nextFloat())
+      require(dim <= 64, s"StubCodec supports dim <= 64, got $dim")
+      val x = h(bytes)
+      Array.tabulate(dim)(j => (HashFns.hashAtLong(x, j) % 1024L).toFloat / 1024.0f)
     }
   }
 
@@ -106,9 +130,10 @@ object Multimodal {
     df.select(col(idCol).as("id"), col(mediaCol).as("media"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          batch.map { r =>
-            val bytes = r.getAs[Array[Byte]]("media")
-            Row(r.get(0), bytes, codec.probe(kind, bytes))
+          val blobs = batch.map(_.getAs[Array[Byte]]("media"))
+          val metas = codec.probeAll(kind, blobs)          // ONE codec call per chunk
+          batch.lazyZip(blobs).lazyZip(metas).map { (r, bytes, meta) =>
+            Row(r.get(0), bytes, meta)
           }
         }
       }(enc)
@@ -126,11 +151,9 @@ object Multimodal {
     df.select(col(idCol).as("id"), col(mediaCol).as("media"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          batch.map { r =>
-            val bytes = r.getAs[Array[Byte]]("media")
-            val feats = if (bytes == null) Array.empty[Float] else codec.features(bytes, dim)
-            Row(r.get(0), feats.toSeq)
-          }
+          val blobs = batch.map(_.getAs[Array[Byte]]("media"))
+          val feats = codec.featuresAll(blobs, dim)        // ONE codec call per chunk
+          batch.lazyZip(feats).map((r, f) => Row(r.get(0), f.toSeq))
         }
       }(enc)
   }
@@ -144,10 +167,11 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     df.select(col(idCol).as("id"), col(mediaCol).as("media"))
       .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap(_.map { r =>
-          val bytes = r.getAs[Array[Byte]]("media")
-          Row(r.get(0), if (bytes == null) null else codec.resize(bytes, w, h))
-        })
+        rows.grouped(batchSize).flatMap { batch =>
+          val blobs = batch.map(_.getAs[Array[Byte]]("media"))
+          val resized = codec.resizeAll(blobs, w, h)       // ONE codec call per chunk
+          batch.lazyZip(resized).map((r, b) => Row(r.get(0), b))
+        }
       }(enc)
   }
 

@@ -1,8 +1,8 @@
 package graft.sim
 
 import graft.functions.VectorFns._
+import graft.plans.TopK
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
@@ -11,16 +11,30 @@ import org.apache.spark.sql.functions._
   * Scale posture (100 TB): the corpus side streams — it is never
   * collected, never broadcast. The query side is assumed small and is
   * broadcast. Brute force is the exact baseline (one corpus scan per
-  * query batch, TakeOrdered top-k — no global sort); the LSH variant
-  * buckets both sides on an H-bit hyperplane signature so the join
-  * shuffles O(corpus) rows once instead of scanning per query.
+  * query batch); the LSH variant buckets both sides on an H-bit
+  * hyperplane signature so the join shuffles O(corpus) rows once
+  * instead of scanning per query.
+  *
+  * Top-k per query uses [[graft.plans.TopK.topKPerKey]] (bounded-heap
+  * aggregate with map-side partials), NOT a `row_number` window: with
+  * few queries × a huge corpus, a window partitioned by `query_id`
+  * shuffles EVERY candidate of a query to one reducer — the hot-key
+  * full shuffle that kills the plan at 100×. The aggregate shuffles at
+  * most k rows per query per map partition and is oracle-proven
+  * row-identical to the window form (q48 vs q05).
   */
 object Similarity {
 
+  /** (query_id, id, sim) → top-k rows per query, ranked sim DESC then
+    * id ASC, as (query_id, id, sim, rank).
+    */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    TopK.topKPerKey(scored, Seq("query_id"), col("sim"), Seq(col("id")), k)
+      .select(col("query_id"), col("id"), col("sim"), col("rn").as("rank"))
+
   /** Exact brute-force top-k: broadcast the (small) query set, score
-    * every (query, corpus) pair, keep top-k per query via window rank.
-    * For a single query, `orderBy(desc).limit(k)` compiles to
-    * TakeOrderedAndProject — no full sort, no driver collect.
+    * every (query, corpus) pair, keep top-k per query via the
+    * bounded-heap aggregate.
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -30,10 +44,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("id"),
         cosine(col("v"), col("qv")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "id", "sim", "rank")
+    topKRanked(scored, k)
   }
 
   /** LSH-bucketed ANN: hash corpus and queries to H-bit hyperplane
@@ -60,10 +71,7 @@ object Similarity {
     val scored = c.join(broadcast(q), "bucket")
       .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
       .dropDuplicates("query_id", "id")
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "id", "sim", "rank")
+    topKRanked(scored, k)
   }
 
   /** IVF-style coarse quantization ANN: assign every corpus vector to
@@ -93,9 +101,6 @@ object Similarity {
       .withColumn("cell", explode(topCells(col("qv"), nProbe)))
     val scored = c.join(broadcast(q), "cell")
       .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "id", "sim", "rank")
+    topKRanked(scored, k)
   }
 }

@@ -43,7 +43,8 @@ class SimilaritySpec extends SparkSpec {
       queries, "vec_id", "embedding", k = 5)
     val rows = out.collect()
     assert(rows.length === 10)
-    val r1 = rows.filter(r => r.getAs[Long]("query_id") == 0L && r.getAs[Int]("rank") == 1).head
+    // rank is BIGINT now — topKPerKey's 1-based rn, not a window row_number
+    val r1 = rows.filter(r => r.getAs[Long]("query_id") == 0L && r.getAs[Long]("rank") == 1L).head
     assert(r1.getAs[Long]("id") === 0L)
     assert(math.abs(r1.getAs[Double]("sim") - 1.0) < 1e-9)
     // top-5 of query 0 all lie in cluster 0 (ids < 40)
