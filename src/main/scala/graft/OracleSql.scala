@@ -306,6 +306,22 @@ object OracleSql {
         |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q60_avro_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // proto3 collapses null/default: absent fields decode as 0/''
+    "q61_proto_roundtrip" ->
+      """SELECT event_id, coalesce(user_id, 0) AS user_id,
+        |  coalesce(event_type, '') AS event_type,
+        |  coalesce(value, 0.0) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q62_envelope" ->
+      """SELECT event_id, TRUE AS has_envelope, CAST(42 AS BIGINT) AS schema_id,
+        |  props AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q35_multimodal_probe" -> Gen.multimodalProbeSql,
     "q36_media_features" -> Gen.mediaFeaturesSql,
     "q29_minhash_buckets" -> Gen.minhashBucketsSql,

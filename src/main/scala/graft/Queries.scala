@@ -1,6 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
+import graft.formats.{AvroCodec, ConfluentEnvelope, ProtoCodec}
 import graft.functions.{HashFns, TextFns, VectorFns}
 import graft.ops.{Ops, Pipeline, Scale}
 import graft.sim.Similarity
@@ -675,6 +676,67 @@ object Queries {
         round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- //
+  // Format codecs, end-to-end                                        //
+  // ---------------------------------------------------------------- //
+
+  /** Avro encode→decode round trip over events — drives
+    * `AvroCodec.to_avro`/`from_avro` end-to-end (reference analog:
+    * `lib/kpipe-format-avro/.../AvroFormatRoundTripTest.java`). The
+    * oracle is the identity projection: a faithful codec is invisible.
+    */
+  val q60_avro_roundtrip: Q = (s, d) => {
+    val schema =
+      """{"type":"record","name":"Event","fields":[
+        |{"name":"event_id","type":"long"},
+        |{"name":"user_id","type":["null","long"],"default":null},
+        |{"name":"event_type","type":["null","string"],"default":null},
+        |{"name":"value","type":["null","double"],"default":null}]}""".stripMargin
+    Tables.events(s, d)
+      .select(AvroCodec.to_avro(
+        struct(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        schema).as("avro"))
+      .select(AvroCodec.from_avro(col("avro"), schema).as("r"))
+      .select(col("r.*"))
+      .orderBy("event_id")
+  }
+
+  /** Protobuf encode→decode round trip over events — drives the wire
+    * encoder (`to_protobuf`) against the wire decoder (reference analog:
+    * `ProtobufConfluentWireCompatTest.java`). proto3 collapses null to
+    * the field default, so the oracle coalesces the nullable columns.
+    */
+  val q61_proto_roundtrip: Q = (s, d) => {
+    import ProtoCodec._
+    val desc = MessageDescriptor("Event", Seq(
+      FieldDescriptor(1, "event_id", PInt64),
+      FieldDescriptor(2, "user_id", PInt64),
+      FieldDescriptor(3, "event_type", PString),
+      FieldDescriptor(4, "value", PDouble)))
+    Tables.events(s, d)
+      .select(to_protobuf(
+        struct(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        desc).as("pb"))
+      .select(from_protobuf(col("pb"), desc).as("r"))
+      .select(col("r.*"))
+      .orderBy("event_id")
+  }
+
+  /** Confluent envelope wrap → magic-byte check → schema-id parse →
+    * 5-byte skip, all pure column expressions (one concat + offset
+    * moves, stays in codegen). Oracle = identity payload + constants.
+    */
+  val q62_envelope: Q = (s, d) => {
+    val wrapped = ConfluentEnvelope.envelope(42, col("props").cast("binary"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        ConfluentEnvelope.hasEnvelope(wrapped).as("has_envelope"),
+        ConfluentEnvelope.schemaId(wrapped).as("schema_id"),
+        ConfluentEnvelope.skipBytes(wrapped, ConfluentEnvelope.PrefixLength)
+          .cast("string").as("payload"))
+      .orderBy("event_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -735,5 +797,8 @@ object Queries {
     "q56_regexp_extract" -> q56_regexp_extract,
     "q57_array_funcs" -> q57_array_funcs,
     "q58_hash_sample" -> q58_hash_sample,
-    "q59_corr" -> q59_corr)
+    "q59_corr" -> q59_corr,
+    "q60_avro_roundtrip" -> q60_avro_roundtrip,
+    "q61_proto_roundtrip" -> q61_proto_roundtrip,
+    "q62_envelope" -> q62_envelope)
 }

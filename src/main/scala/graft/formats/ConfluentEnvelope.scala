@@ -47,6 +47,12 @@ object ConfluentEnvelope {
   /** Avro body after the 5-byte envelope. */
   def avroBody(value: Column): Column = skipBytes(value, PrefixLength)
 
+  /** Column form of [[wrap]]: constant 5-byte prefix + body, one codegen
+    * concat — the sink-side envelope writer.
+    */
+  def envelope(schemaId: Int, body: Column): Column =
+    concat(lit(wrap(schemaId, Array.empty[Byte])), body)
+
   // ------------------------------------------------------------------ //
   // Byte-level (decode expressions, tests)                             //
   // ------------------------------------------------------------------ //

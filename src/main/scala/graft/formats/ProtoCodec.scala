@@ -255,10 +255,132 @@ object ProtoCodec {
     decodeMessage(bytes, 0, bytes.length, desc)
 
   // ------------------------------------------------------------------ //
-  // Wire encode (test-fixture construction; mirrors serialize)          //
+  // Wire encode                                                        //
   // ------------------------------------------------------------------ //
 
-  /** Minimal field writer used to build test fixtures. */
+  /** Encode a Catalyst row against a descriptor — the inverse of
+    * [[decode]], with canonical proto3 emission: singular scalar fields
+    * holding the proto3 default (0 / "" / false / empty bytes) are
+    * omitted, packable repeated scalars are packed, null fields are
+    * absent. Mirrors the reference's serializer path
+    * (`lib/kpipe-format-protobuf/.../ProtobufFormat.java:125-143`).
+    *
+    * proto3 semantics to note at the column layer: absence and default
+    * are indistinguishable, so `null` struct fields decode back as the
+    * type's default, not null — the round-trip law is
+    * `decode(encode(x)) == withProto3Defaults(x)`.
+    */
+  def encode(row: InternalRow, desc: MessageDescriptor): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeMessage(out, row, desc)
+    out.toByteArray
+  }
+
+  private def writeMessage(out: java.io.ByteArrayOutputStream, row: InternalRow,
+                           desc: MessageDescriptor): Unit = {
+    val struct = desc.sparkType
+    desc.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        val dt = struct(i).dataType
+        f.ptype match {
+          case PMap(kt, vt) =>
+            val m = row.getMap(i)
+            val MapType(kDt, vDt, _) = dt: @unchecked
+            var j = 0
+            while (j < m.numElements()) {
+              val entry = new java.io.ByteArrayOutputStream()
+              writeScalarOrMessageField(entry, 1, kt, m.keyArray().get(j, kDt))
+              writeScalarOrMessageField(entry, 2, vt, m.valueArray().get(j, vDt))
+              out.write(Writer.bytesField(f.number, entry.toByteArray))
+              j += 1
+            }
+          case t if f.repeated =>
+            val arr = row.getArray(i)
+            val ArrayType(elemDt, _) = dt: @unchecked
+            if (arr.numElements() > 0) {
+              if (isPackable(t)) {
+                val packed = new java.io.ByteArrayOutputStream()
+                var j = 0
+                while (j < arr.numElements()) {
+                  packed.write(rawScalar(t, arr.get(j, elemDt))); j += 1
+                }
+                out.write(Writer.bytesField(f.number, packed.toByteArray))
+              } else {
+                var j = 0
+                while (j < arr.numElements()) {
+                  writeScalarOrMessageField(out, f.number, t, arr.get(j, elemDt)); j += 1
+                }
+              }
+            }
+          case PMessage(md) =>
+            out.write(Writer.bytesField(f.number,
+              encode(row.getStruct(i, md.fields.size), md)))
+          case scalar =>
+            val v = row.get(i, dt)
+            if (!isProto3Default(scalar, v))
+              writeScalarOrMessageField(out, f.number, scalar, v)
+        }
+      }
+    }
+  }
+
+  /** One tagged field write for a scalar or nested-message value. */
+  private def writeScalarOrMessageField(out: java.io.ByteArrayOutputStream,
+                                        fieldNo: Int, t: PType, v: Any): Unit = t match {
+    case PMessage(md) =>
+      out.write(Writer.bytesField(fieldNo, encode(v.asInstanceOf[InternalRow], md)))
+    case PString =>
+      out.write(Writer.bytesField(fieldNo, v.asInstanceOf[UTF8String].getBytes))
+    case PBytes =>
+      out.write(Writer.bytesField(fieldNo, v.asInstanceOf[Array[Byte]]))
+    case scalar =>
+      out.write(Writer.tag(fieldNo, expectedWireType(scalar)))
+      out.write(rawScalar(scalar, v))
+  }
+
+  /** Un-tagged scalar wire bytes (also the packed-element form). */
+  private def rawScalar(t: PType, v: Any): Array[Byte] = t match {
+    case PInt32 | PEnum => ConfluentEnvelope.writeVarint(v.asInstanceOf[Int].toLong)
+    case PInt64 => ConfluentEnvelope.writeVarint(v.asInstanceOf[Long])
+    case PSInt32 => ConfluentEnvelope.writeVarint(
+      ConfluentEnvelope.zigzagEncode(v.asInstanceOf[Int].toLong))
+    case PSInt64 => ConfluentEnvelope.writeVarint(
+      ConfluentEnvelope.zigzagEncode(v.asInstanceOf[Long]))
+    case PBool => ConfluentEnvelope.writeVarint(if (v.asInstanceOf[Boolean]) 1L else 0L)
+    case PFixed32 => le4(v.asInstanceOf[Int])
+    case PFixed64 => le8(v.asInstanceOf[Long])
+    case PFloat => le4(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+    case PDouble => le8(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+    case PString =>
+      val b = v.asInstanceOf[UTF8String].getBytes
+      ConfluentEnvelope.writeVarint(b.length.toLong) ++ b
+    case PBytes =>
+      val b = v.asInstanceOf[Array[Byte]]
+      ConfluentEnvelope.writeVarint(b.length.toLong) ++ b
+    case other => throw new IllegalArgumentException(s"not a scalar: $other")
+  }
+
+  private def le4(v: Int): Array[Byte] =
+    Array(v & 0xFF, (v >>> 8) & 0xFF, (v >>> 16) & 0xFF, (v >>> 24) & 0xFF).map(_.toByte)
+  private def le8(v: Long): Array[Byte] =
+    (0 until 8).map(i => ((v >>> (8 * i)) & 0xFF).toByte).toArray
+
+  private def isProto3Default(t: PType, v: Any): Boolean = t match {
+    case PInt32 | PSInt32 | PEnum | PFixed32 => v.asInstanceOf[Int] == 0
+    case PInt64 | PSInt64 | PFixed64 => v.asInstanceOf[Long] == 0L
+    case PBool => !v.asInstanceOf[Boolean]
+    case PFloat => v.asInstanceOf[Float] == 0.0f
+    case PDouble => v.asInstanceOf[Double] == 0.0
+    case PString => v.asInstanceOf[UTF8String].numBytes() == 0
+    case PBytes => v.asInstanceOf[Array[Byte]].isEmpty
+    case _ => false
+  }
+
+  // ------------------------------------------------------------------ //
+  // Wire-primitive writer (encode internals + test fixtures)           //
+  // ------------------------------------------------------------------ //
+
+  /** Minimal field writer used by [[encode]] and test fixtures. */
   object Writer {
     def tag(fieldNo: Int, wireType: Int): Array[Byte] =
       ConfluentEnvelope.writeVarint((fieldNo.toLong << 3) | wireType)
@@ -300,6 +422,12 @@ object ProtoCodec {
                        messagesByIndexPath: Map[List[Int], MessageDescriptor]): Column =
     GraftBridge.column(ConfluentProtoDecodeExpression(
       GraftBridge.expression(data), messagesByIndexPath))
+
+  /** Encode a struct column to proto3 wire bytes against a descriptor —
+    * sink-side parity with [[AvroCodec.to_avro]] / JSON encode.
+    */
+  def to_protobuf(data: Column, desc: MessageDescriptor): Column =
+    GraftBridge.column(ProtoEncodeExpression(GraftBridge.expression(data), desc))
 }
 
 /** `binary → struct` proto3 decode against a declared descriptor. */
@@ -315,6 +443,30 @@ case class ProtoDecodeExpression(child: Expression, desc: ProtoCodec.MessageDesc
     catch { case _: Exception => null }
 
   override protected def withNewChildInternal(newChild: Expression): ProtoDecodeExpression =
+    copy(child = newChild)
+}
+
+/** `struct → binary` proto3 encode against a declared descriptor. The
+  * input struct's shape must match the descriptor's Spark type.
+  */
+case class ProtoEncodeExpression(child: Expression, desc: ProtoCodec.MessageDescriptor)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType, desc.sparkType, ignoreNullability = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName input ${child.dataType.catalogString} does not match " +
+        s"descriptor type ${desc.sparkType.catalogString}")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_to_protobuf"
+
+  override def nullSafeEval(input: Any): Any =
+    ProtoCodec.encode(input.asInstanceOf[InternalRow], desc)
+
+  override protected def withNewChildInternal(newChild: Expression): ProtoEncodeExpression =
     copy(child = newChild)
 }
 

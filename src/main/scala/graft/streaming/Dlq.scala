@@ -63,28 +63,48 @@ object Dlq {
     failed.select(dlqRecords(failed, errorCol, exceptionClass).as("dlq")).select("dlq.*")
 
   /** The foreachBatch body implementing the full matrix: decode-split,
-    * good rows to `sink`, failed rows to `dlqSink` BEFORE returning.
-    * Either sink throwing fails the batch → micro-batch retry → the
-    * no-loss invariant. `dlqSink=None` = log-and-advance.
+    * failed rows to `dlqSink` FIRST (a DLQ outage aborts the batch
+    * before anything commits), then good rows to `sink`, both BEFORE
+    * returning. Either sink throwing fails the batch → micro-batch
+    * retry → the no-loss invariant. `dlqSink=None` = log-and-advance.
+    *
+    * Single-pass observability: pass/fail counts come from accumulators
+    * wired UNDER the cache, filled when the first sink action
+    * materializes the batch — no extra `count()` jobs (the old form ran
+    * two, tripling the passes over every micro-batch). The counts are
+    * observability counters with accumulator semantics: a sink that
+    * never runs an action leaves them 0, and speculative task retries
+    * could in principle over-count (same caveat as every Spark metric).
     */
   def processBatch(batch: DataFrame, errorCol: Column,
                    sink: DataFrame => Unit,
                    dlqSink: Option[DataFrame => Unit],
                    exceptionClass: String = "graft.DecodeFailure"): BatchOutcome = {
+    val sc = batch.sparkSession.sparkContext
+    val nPassed = sc.longAccumulator("graft.dlq.passed")
+    val nFailed = sc.longAccumulator("graft.dlq.failed")
     val withErr = batch.withColumn("__error", errorCol)
-    // one pass over the source batch feeds both branches
-    withErr.persist()
-    try {
-      val (passed, failed) = split(withErr, col("__error"))
-      val nFailed = failed.count()
-      if (nFailed > 0) dlqSink match {
-        case Some(dlq) => dlq(toDlq(failed, col("__error"), exceptionClass))
-        case None => ()   // log-and-advance: counted, dropped
+    val errIdx = withErr.schema.fieldIndex("__error")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(withErr.schema)
+    // tally both branches while the batch streams into the cache: the
+    // first action materializes whole partitions, so one pass fills both
+    val counted = withErr.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(errIdx)) nPassed.add(1L) else nFailed.add(1L)
+        r
       }
-      val good = passed.drop("__error")
-      sink(good)
-      BatchOutcome(passed = good.count(), failed = nFailed, dlqWritten = dlqSink.isDefined)
-    } finally withErr.unpersist()
+    }(enc)
+    counted.persist()
+    try {
+      val (passed, failed) = split(counted, col("__error"))
+      // DLQ write precedes the sink; with no failures the DLQ branch is
+      // an empty DataFrame and a well-behaved sink writes nothing
+      dlqSink.foreach(dlq => dlq(toDlq(failed, col("__error"), exceptionClass)))
+      sink(passed.drop("__error"))
+      BatchOutcome(passed = nPassed.value, failed = nFailed.value,
+        dlqWritten = dlqSink.isDefined)
+    } finally counted.unpersist()
   }
 
   final case class BatchOutcome(passed: Long, failed: Long, dlqWritten: Boolean)

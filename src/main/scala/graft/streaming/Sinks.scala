@@ -108,21 +108,25 @@ object Sinks {
     * (`BatchPipelineWrapper.java:167-255`): the sink reports an outcome
     * per input row; rows it does not account for become synthetic
     * failures (→ DLQ branch), so a buggy sink cannot silently drop
-    * records. Runs inside foreachBatch; rows are collected per
-    * partition, never to the driver.
+    * records. Runs inside foreachBatch; rows flow per partition, never
+    * to the driver, and are flushed to the sink in `maxChunk`-row
+    * chunks — peak executor buffering is maxChunk rows, so a skewed
+    * 10 M-row partition never materializes as one Vector (the reference
+    * flushes at `maxSize` the same way). Outcome indices are relative
+    * to the chunk the sink was called with.
     */
   def batchWithOutcomes(batch: DataFrame,
                         sink: Seq[Row] => Map[Int, RecordOutcome],
-                        onFailure: (Row, String) => Unit): Unit = {
+                        onFailure: (Row, String) => Unit,
+                        maxChunk: Int = 500): Unit = {
     batch.foreachPartition { rows: Iterator[Row] =>
-      val buf = rows.toVector
-      if (buf.nonEmpty) {
-        val outcomes = sink(buf)
-        buf.indices.foreach { i =>
+      rows.grouped(maxChunk).foreach { chunk =>
+        val outcomes = sink(chunk)
+        chunk.indices.foreach { i =>
           outcomes.get(i) match {
             case Some(Ok) => ()
-            case Some(Failed(reason)) => onFailure(buf(i), reason)
-            case None => onFailure(buf(i),
+            case Some(Failed(reason)) => onFailure(chunk(i), reason)
+            case None => onFailure(chunk(i),
               "batch sink did not account for record (coverage contract)")
           }
         }

@@ -101,6 +101,22 @@ class ProtoCodecSpec extends SparkSpec {
     assert(rows(1).getAs[Row]("c") != null)
   }
 
+  test("encode: canonical round trip — encode(decode(bytes)) == bytes, defaults omitted") {
+    // the fixture is written in field order with no default values, so
+    // canonical re-encode must be byte-identical
+    val out = Seq(customerBytes).toDF("value")
+      .select(to_protobuf(from_protobuf(col("value"), customerDesc), customerDesc).as("pb"))
+      .collect().head.getAs[Array[Byte]]("pb")
+    assert(out.toSeq === customerBytes.toSeq)
+    // a message of nothing but proto3 defaults re-encodes to just the
+    // non-default field (canonical emission omits defaults)
+    val minimal = varintField(1, 1L)
+    val outMin = Seq(minimal).toDF("value")
+      .select(to_protobuf(from_protobuf(col("value"), customerDesc), customerDesc).as("pb"))
+      .collect().head.getAs[Array[Byte]]("pb")
+    assert(outMin.toSeq === minimal.toSeq)
+  }
+
   test("Confluent envelope: shorthand index selects message [0]") {
     val enveloped = ConfluentEnvelope.wrap(55, Array[Byte](0) ++ customerBytes)
     val row = Seq(enveloped).toDF("value")

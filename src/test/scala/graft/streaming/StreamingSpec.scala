@@ -163,6 +163,49 @@ class StreamingSpec extends SparkSpec {
     assert(collected.asScala.toSeq.exists(_.contains("coverage contract")))
   }
 
+  test("batch sink flushes in maxChunk chunks — peak buffer is maxChunk, not the partition") {
+    val df = (0 until 1000).map(i => record("t", 0, i.toLong, s"k$i", s"v$i")).toDF().coalesce(1)
+    StreamingSpec.chunkSizes.clear()
+    Sinks.batchWithOutcomes(df,
+      sink = rows => {
+        StreamingSpec.chunkSizes.add(rows.size)
+        rows.indices.map(_ -> (Sinks.Ok: Sinks.RecordOutcome)).toMap
+      },
+      onFailure = (_, _) => throw new IllegalStateException("no failures expected"),
+      maxChunk = 128)
+    import scala.jdk.CollectionConverters._
+    val sizes = StreamingSpec.chunkSizes.asScala.toSeq
+    assert(sizes.sum === 1000)
+    assert(sizes.max === 128)                  // never buffers more than maxChunk
+    assert(sizes.count(_ == 128) === 7 && sizes.count(_ == 104) === 1)
+  }
+
+  test("processBatch is single-pass: one DLQ action + one sink action, no count jobs") {
+    val batch = Seq(
+      record("t", 0, 0, "a", """{"k": 1}"""),
+      record("t", 0, 1, "b", "oops")).toDF()
+      .withColumn("res", Json.decodeResult(col("value").cast("string"), "k BIGINT"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val outcome = Dlq.processBatch(batch, col("res.error"),
+        sink = df => { df.collect(); () },
+        dlqSink = Some(df => { df.collect(); () }))
+      assert(outcome.passed === 1 && outcome.failed === 1 && outcome.dlqWritten)
+      // the listener bus is async — wait for the two expected job-start
+      // events, then a beat longer to catch any stray extra jobs
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      Thread.sleep(300)
+      assert(jobs.get === 2, s"expected exactly 2 jobs (dlq + sink), saw ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ofVoid: success-on-return covers all rows; throw fails the batch") {
     val df = Seq(record("t", 0, 0, "a", "1"), record("t", 0, 1, "b", "2")).toDF()
     collected.clear()
@@ -241,4 +284,5 @@ class StreamingSpec extends SparkSpec {
 object StreamingSpec {
   /** JVM-static collector visible to both driver and local executor tasks. */
   val collected = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val chunkSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
 }
