@@ -322,6 +322,8 @@ object OracleSql {
         |  props AS payload
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q63_contamination" -> Gen.contaminationSql,
+    "q64_pii_redact" -> Gen.piiRedactSql,
     "q35_multimodal_probe" -> Gen.multimodalProbeSql,
     "q36_media_features" -> Gen.mediaFeaturesSql,
     "q29_minhash_buckets" -> Gen.minhashBucketsSql,
@@ -485,6 +487,36 @@ object OracleSql {
          |  row_number() OVER (ORDER BY sim DESC, id) AS "rank" FROM scored)
          |SELECT CAST(0 AS BIGINT) AS query_id, id, round(sim, 4) AS sim, "rank"
          |FROM ranked WHERE "rank" <= 5 ORDER BY "rank"""".stripMargin
+    }
+
+    /** Twin of Dedup.contaminationScores: per-doc distinct 3-gram
+      * shingle hashes vs the eval subset's (doc_id % 50 = 0) hash set.
+      */
+    def contaminationSql: String =
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |sh AS (SELECT id, unnest(list_distinct(${shinglesE("w", 3)})) AS s FROM words),
+         |h AS (SELECT id, ${duckHash61("s")} AS hh FROM sh),
+         |ev AS (SELECT DISTINCT hh FROM h WHERE id % 50 = 0)
+         |SELECT id, count(*) AS n_shingles, count(e.hh) AS n_overlap,
+         |  round(CAST(count(e.hh) AS DOUBLE) / count(*), 6) AS overlap_ratio
+         |FROM h LEFT JOIN ev e ON h.hh = e.hh
+         |GROUP BY id ORDER BY id""".stripMargin
+
+    /** Twin of TextFns.redactPii/piiCount over the same augmented text. */
+    def piiRedactSql: String = {
+      val aug = "(text || ' contact: user' || doc_id || " +
+        "'@test.org call 555-867-5309 ssn 123-45-6789')"
+      val email = TextFns.EMAIL_RE
+      val ssn = TextFns.SSN_RE
+      val phone = TextFns.PHONE_RE
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all($aug, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all($aug, '$ssn')) AS BIGINT) AS n_ssns,
+         |  CAST(len(regexp_extract_all($aug, '$phone')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace($aug,
+         |    '$email', '<EMAIL>', 'g'), '$ssn', '<SSN>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin
     }
 
     def langIdSql: String = {

@@ -737,6 +737,39 @@ object Queries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- //
+  // LLM-pipeline hygiene: contamination + PII                        //
+  // ---------------------------------------------------------------- //
+
+  /** Benchmark-contamination check: per-doc 3-gram overlap vs a small
+    * "eval set" (stand-in: every 50th document). The eval shingle-hash
+    * set is broadcast; the corpus side is one map-only scan + one
+    * per-doc count aggregation.
+    */
+  val q63_contamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationScores(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 50 === 0), "text", n = 3)
+      .orderBy("id")
+  }
+
+  /** PII detection + redaction: synthetic PII is appended to each doc
+    * (identically in the oracle), then counted and redacted with
+    * RE2-safe patterns so the DuckDB twin is exact.
+    */
+  val q64_pii_redact: Q = (s, d) => {
+    val aug = concat(col("text"),
+      lit(" contact: user"), col("doc_id"),
+      lit("@test.org call 555-867-5309 ssn 123-45-6789"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.piiCount(aug, TextFns.EMAIL_RE).as("n_emails"),
+        TextFns.piiCount(aug, TextFns.SSN_RE).as("n_ssns"),
+        TextFns.piiCount(aug, TextFns.PHONE_RE).as("n_phones"),
+        TextFns.redactPii(aug).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -800,5 +833,7 @@ object Queries {
     "q59_corr" -> q59_corr,
     "q60_avro_roundtrip" -> q60_avro_roundtrip,
     "q61_proto_roundtrip" -> q61_proto_roundtrip,
-    "q62_envelope" -> q62_envelope)
+    "q62_envelope" -> q62_envelope,
+    "q63_contamination" -> q63_contamination,
+    "q64_pii_redact" -> q64_pii_redact)
 }

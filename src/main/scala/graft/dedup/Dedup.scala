@@ -252,4 +252,34 @@ object Dedup {
       .join(sets.toDF("id_b", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"), jaccardArrays(col("sh_a"), col("sh_b")).as("jaccard"))
   }
+
+  /** Benchmark-contamination check: per-document n-gram overlap against
+    * a (small) eval set. Per doc: distinct word-shingle count, how many
+    * of those shingles appear anywhere in the eval set, and the overlap
+    * ratio — filter `overlap_ratio >= t` to drop contaminated docs.
+    *
+    * Scale shape: both sides reduce shingles to 61-bit hashes
+    * ([[graft.functions.HashFns.hash61]], so the join keys are 8 bytes,
+    * never text); the distinct eval-shingle set is BROADCAST (eval sets
+    * are thousands of rows, the corpus is the 100 TB side), making the
+    * overlap join map-only; the only shuffle is the per-doc count
+    * aggregation with map-side partials.
+    */
+  def contaminationScores(docs: DataFrame, idCol: String, textCol: String,
+                          eval: DataFrame, evalTextCol: String,
+                          n: Int = 3): DataFrame = {
+    val docH = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
+      .select(col("id"), HashFns.hash61(col("s")).as("h"))
+    val evalH = eval
+      .select(explode(array_distinct(TextFns.shingles(col(evalTextCol), n))).as("s"))
+      .select(HashFns.hash61(col("s")).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    docH.join(broadcast(evalH), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+  }
 }

@@ -106,6 +106,33 @@ object TextFns {
     round((lengthScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
   }
 
+  // ------------------------------------------------------------------ //
+  // PII detection / redaction                                          //
+  // ------------------------------------------------------------------ //
+
+  /** RE2-safe PII patterns (no lookarounds, explicit classes) — shared
+    * verbatim with the DuckDB oracle twins. `\d`/`\b` are ASCII in both
+    * engines here.
+    */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SSN_RE = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact emails, SSNs, then phone numbers (fixed order — SSN before
+    * phone so `ddd-dd-dddd` is never half-eaten by the phone pattern).
+    * Pure codegen'd regexp_replace chain, map-only at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        SSN_RE, "<SSN>"),
+      PHONE_RE, "<PHONE>")
+
+  /** Match count of one PII pattern, as BIGINT. */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("bigint")
+
   val EN_STOPWORDS: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "was", "at", "by", "be", "this")

@@ -105,4 +105,17 @@ class DedupSpec extends SparkSpec {
     assert(out((0L, 1L)) > 0.5)
     assert(out((0L, 4L)) === 0.0)
   }
+
+  test("contamination: eval member is fully contaminated, unrelated doc is 0") {
+    val evalSet = docs.where(col("doc_id") === 0)
+    val scores = Dedup.contaminationScores(docs, "doc_id", "text", evalSet, "text", n = 3)
+      .select("id", "n_shingles", "n_overlap", "overlap_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n0, o0, r0) = scores(0L)
+    assert(n0 === o0 && r0 === 1.0)           // the eval doc overlaps itself fully
+    assert(scores(4L)._4 === 0.0)             // unrelated doc: zero overlap
+    assert(scores(6L)._4 === 1.0)             // exact duplicate of doc 0
+    assert(scores.values.forall(s => s._3 <= s._2))
+  }
 }

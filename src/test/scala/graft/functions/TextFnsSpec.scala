@@ -60,4 +60,15 @@ class TextFnsSpec extends SparkSpec {
   test("approxBpeTokenCount counts word+punct boundaries") {
     assert(one[Long](TextFns.approxBpeTokenCount(col("t")), "hi, there") === 3L)
   }
+
+  test("PII: counts find email/ssn/phone; redaction replaces all, leaves clean text") {
+    val dirty = "mail a@b.co or x.y+z@mail.org, call 555-867-5309, ssn 123-45-6789 ok"
+    assert(one[Long](TextFns.piiCount(col("t"), TextFns.EMAIL_RE), dirty) === 2L)
+    assert(one[Long](TextFns.piiCount(col("t"), TextFns.SSN_RE), dirty) === 1L)
+    assert(one[Long](TextFns.piiCount(col("t"), TextFns.PHONE_RE), dirty) === 1L)
+    val red = one[String](TextFns.redactPii(col("t")), dirty)
+    assert(red === "mail <EMAIL> or <EMAIL>, call <PHONE>, ssn <SSN> ok")
+    val clean = "no personal data here, just 12 words and 3 numbers"
+    assert(one[String](TextFns.redactPii(col("t")), clean) === clean)
+  }
 }
