@@ -45,10 +45,22 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = headline.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // best-of-2 per query, with per-trial times in the artifact: a
+    // single-shot number under transient host contention is
+    // indistinguishable from a real regression; the trial spread makes
+    // a contended run diagnosable from the JSON alone.
+    val nTrials = 2
+    val results = headline.map(n => n -> (1 to nTrials).map(_ => run(n)))
+    def bestOf(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val trialsJson = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(r => bestOf(r._2)).filter(_ >= 0).sum
 
     // kpipe-comparable figure: records/s through the decode→operators→
     // sink pipeline (BASELINE.md reports the reference's consumer in
@@ -89,14 +101,17 @@ object Bench {
     stagedPipeline.write.format("noop").mode("overwrite").save()   // warm codegen
     // best of 3 timed trials — single-trial numbers swing ±50% with
     // JIT/GC in a fresh JVM; steady-state throughput is the max
-    val pipelineSec = (1 to 3).map { _ =>
+    val pipelineTrials = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       stagedPipeline.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    val pipelineSec = pipelineTrials.min
     val recPerSec = if (pipelineSec > 0) eventRows / pipelineSec else 0.0
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""trials":$trialsJson,""" +
+      s""""pipeline_trials_sec":[${pipelineTrials.mkString(",")}],""" +
       s""""pipeline_rec_per_sec":${recPerSec.round},"pipeline_rows":$eventRows,"sf":"$sfDir"}"""
     // stop BEFORE printing so Spark's shutdown logging can't interleave
     // after the JSON line — the driver parses the last stdout line(s).

@@ -598,26 +598,34 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("ts"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-    graft.plans.AsOf.join(clicks, purchases, "user_id", "p_user", "ts", "p_ts")
+    // tiebreak on p_id: duplicate (user, ts) purchases would otherwise
+    // make the carried p_id partition-nondeterministic
+    graft.plans.AsOf.join(clicks, purchases, "user_id", "p_user", "ts", "p_ts",
+        rightTiebreakCol = Some("p_id"))
       .select(col("event_id"), col("user_id"), col("p_id").as("last_purchase"))
       .orderBy("event_id")
   }
 
-  /** Correlated EXISTS subquery through the SQL surface. */
+  /** Correlated EXISTS subquery through the SQL surface. Views are
+    * namespaced (`graft_q52_*`) so building the query can never clobber
+    * a caller's own `customer`/`orders` temp views.
+    */
   val q52_exists_subquery: Q = (s, d) => {
-    Tables.customer(s, d).createOrReplaceTempView("customer")
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql("""SELECT c_custkey, c_name FROM customer
-             WHERE EXISTS (SELECT 1 FROM orders
+    Tables.customer(s, d).createOrReplaceTempView("graft_q52_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q52_orders")
+    s.sql("""SELECT c_custkey, c_name FROM graft_q52_customer
+             WHERE EXISTS (SELECT 1 FROM graft_q52_orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 300000)
              ORDER BY c_custkey""")
   }
 
-  /** Scalar subquery: orders above the average total price. */
+  /** Scalar subquery: orders above the average total price (namespaced
+    * view, as q52).
+    */
   val q53_scalar_subquery: Q = (s, d) => {
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql("""SELECT o_orderkey, o_totalprice FROM orders
-             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    Tables.orders(s, d).createOrReplaceTempView("graft_q53_orders")
+    s.sql("""SELECT o_orderkey, o_totalprice FROM graft_q53_orders
+             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM graft_q53_orders)
              ORDER BY o_orderkey""")
   }
 
@@ -638,7 +646,9 @@ object Queries {
         round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
       .orderBy("l_returnflag")
 
-  /** Regex extraction (leading word + trailing digits of part names). */
+  /** Regex extraction: leading word of part names + trailing word of
+    * part types.
+    */
   val q56_regexp_extract: Q = (s, d) =>
     Tables.part(s, d)
       .select(col("p_partkey"),

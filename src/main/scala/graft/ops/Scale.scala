@@ -9,15 +9,23 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /** Rebalance before a CPU-heavy map stage (hashing, decode, feature
-    * extraction) when the upstream scan yields fewer partitions than
+    * extraction) when the upstream scan yields fewer splits than
     * cores — the single-small-parquet-file trap: one file = one
     * partition = one busy core. At real scale the scan already has
-    * hundreds of splits and this is a no-op (no shuffle); checking the
-    * partition count first keeps it from ever ADDING a 100 TB shuffle.
+    * hundreds of files and this is a no-op (no shuffle); checking first
+    * keeps it from ever ADDING a 100 TB shuffle.
+    *
+    * The check reads `inputFiles` off the logical plan (file-index
+    * listing, already cached) rather than `df.rdd.getNumPartitions`,
+    * which would force a full physical-planning pass per call and
+    * finalize the plan outside AQE. File count ≈ partition count in the
+    * regime this guards (small files, 1 file = 1 partition); non-file
+    * sources report no files and pass through untouched.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val files = df.inputFiles.length
+    if (files > 0 && files < cores) df.repartition(cores) else df
   }
 
   /** Salted join for skewed keys: the skewed (big) side gets a random

@@ -40,7 +40,8 @@ import org.apache.spark.sql.functions.col
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Option[Expression] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -53,15 +54,23 @@ case class AsOfJoinPlan(
 /** Planner strategy: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
+/** Tie semantics: the walk carries the LAST right row in sort order
+  * among rows equal on (key, time). Without `rightTiebreak` that winner
+  * is partition-nondeterministic across runs (exactly like DuckDB's
+  * `ASOF JOIN`, which also picks an arbitrary tie winner); with a
+  * tiebreak expression the right sort extends to (key, time, tiebreak)
+  * and the carried row is deterministically the tiebreak-greatest.
+  */
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Option[Expression],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -72,7 +81,8 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTiebreak.map(SortOrder(_, Ascending)))
 
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -169,10 +179,15 @@ object AsOf {
     * (both legs reading the same source) cannot collide on attribute
     * ids; duplicate column NAMES between the sides are the caller's to
     * rename.
+    *
+    * `rightTiebreakCol` pins which right row wins among exact (key,
+    * time) duplicates (the greatest tiebreak value); without it the tie
+    * winner is partition-nondeterministic, matching DuckDB ASOF JOIN.
     */
   def join(left: DataFrame, right: DataFrame,
            leftKeyCol: String, rightKeyCol: String,
-           leftTimeCol: String, rightTimeCol: String): DataFrame = {
+           leftTimeCol: String, rightTimeCol: String,
+           rightTiebreakCol: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     // fresh aliases → fresh attribute ids on the right leg
@@ -186,6 +201,7 @@ object AsOf {
     GraftBridge.dataFrame(spark, AsOfJoinPlan(
       lPlan, rPlan,
       attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
+      rightTiebreakCol.map(attr(rPlan, _))))
   }
 }

@@ -77,6 +77,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(custom.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(custom).isEmpty)
   }
 
+  test("tiebreak pins the winner among exact (key, time) duplicates") {
+    // three quotes tied on (A, 10): without a tiebreak the carried px is
+    // whichever sorted last (partition-nondeterministic); with
+    // tiebreak=qid the greatest qid deterministically wins
+    val l = Seq(("A", 10L, 1L)).toDF("sym", "t", "trade_id")
+    val r = Seq(("A", 10L, 1L, 100.0), ("A", 10L, 3L, 300.0), ("A", 10L, 2L, 200.0))
+      .toDF("qsym", "qt", "qid", "px")
+      .repartition(3)   // scramble input order so sort ties are real
+    (1 to 5).foreach { _ =>
+      val out = AsOf.join(l, r, "sym", "qsym", "t", "qt",
+          rightTiebreakCol = Some("qid"))
+        .select("px").as[Double].collect()
+      assert(out.toSeq === Seq(300.0))
+    }
+  }
+
   test("self-join legs from one source do not collide on attribute ids") {
     // both legs project the SAME attributes of the same scan
     val base = trades
