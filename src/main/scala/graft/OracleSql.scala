@@ -109,12 +109,13 @@ object OracleSql {
         |FROM events WHERE event_type = 'click' AND value IS NOT NULL
         |ORDER BY event_id""".stripMargin,
 
+    // real JSON parsing (not regexp): robust to any key order/payload
     "q16_json_extract" ->
-      """SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k
+      """SELECT event_id, CAST(json_extract_string(props, 'k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q17_result_split" ->
-      """SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k,
+      """SELECT event_id, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
         |  CAST(NULL AS VARCHAR) AS decode_error
         |FROM events ORDER BY event_id""".stripMargin,
 
