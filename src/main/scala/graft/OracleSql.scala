@@ -324,6 +324,7 @@ object OracleSql {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q63_contamination" -> Gen.contaminationSql,
+    "q65_dedup_clusters" -> Gen.dedupClustersSql,
     "q64_pii_redact" -> Gen.piiRedactSql,
     "q35_multimodal_probe" -> Gen.multimodalProbeSql,
     "q36_media_features" -> Gen.mediaFeaturesSql,
@@ -489,6 +490,34 @@ object OracleSql {
          |SELECT CAST(0 AS BIGINT) AS query_id, id, round(sim, 4) AS sim, "rank"
          |FROM ranked WHERE "rank" <= 5 ORDER BY "rank"""".stripMargin
     }
+
+    /** Twin of Dedup.nearDupClusters over q34's candidate pairs: the
+      * min-label-propagation fixpoint equals min reachable id, computed
+      * here as a recursive-CTE transitive closure over the undirected
+      * near-dup edges.
+      */
+    def dedupClustersSql: String =
+      minhashBucketCtes(2).replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id),
+        |shs AS (SELECT id, list_distinct(${shinglesE("w", 2)}) AS s FROM words),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT c.id_a, c.id_b,
+        |      CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        |    FROM cand c JOIN shs sa ON sa.id = c.id_a JOIN shs sb ON sb.id = c.id_b) t
+        |  WHERE jaccard >= 0.2),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin
 
     /** Twin of Dedup.contaminationScores: per-doc distinct 3-gram
       * shingle hashes vs the eval subset's (doc_id % 50 = 0) hash set.

@@ -780,6 +780,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup clustering: MinHash-LSH candidate pairs → connected
+    * components → canonical (minimum) doc id per cluster. The oracle
+    * computes the identical fixpoint via a recursive-CTE transitive
+    * closure.
+    */
+  val q65_dedup_clusters: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDupPairs(Scale.fanOut(Tables.documents(s, d)),
+      "doc_id", "text", threshold = 0.2, numHashes = 32, bands = 8, shingleWidth = 2)
+    Dedup.nearDupClusters(pairs).orderBy("id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -845,5 +856,6 @@ object Queries {
     "q61_proto_roundtrip" -> q61_proto_roundtrip,
     "q62_envelope" -> q62_envelope,
     "q63_contamination" -> q63_contamination,
-    "q64_pii_redact" -> q64_pii_redact)
+    "q64_pii_redact" -> q64_pii_redact,
+    "q65_dedup_clusters" -> q65_dedup_clusters)
 }

@@ -253,6 +253,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccardArrays(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Near-dup clusters: connected components over a candidate-pair set,
+    * labeling every member with the MINIMUM doc id reachable through
+    * near-dup edges — the canonical representative a dedup stage keeps
+    * (drop every id where `id != cluster_id`).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels, stopping
+    * when a round changes nothing; converges in O(component diameter)
+    * rounds. Near-dup components are short chains (diameter ≪ 20), so
+    * the default cap is generous. Each round is one shuffle join on the
+    * 8-byte id plus one aggregate; the edge list is persisted once.
+    * The fixpoint (min reachable id) is partition-order-independent,
+    * which is what makes an exact DuckDB oracle possible (transitive
+    * closure via recursive CTE).
+    */
+  def nearDupClusters(pairs: DataFrame, idACol: String = "id_a",
+                      idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+    edges.persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      var cachedRound: DataFrame = null
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min("lbl").as("nbr_lbl"))
+        val updated = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("lbl"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
+        updated.persist()
+        val changed = updated.where(col("new_lbl") < col("lbl")).count()
+        if (cachedRound != null) cachedRound.unpersist(blocking = false)
+        cachedRound = updated
+        labels = updated.select(col("id"), col("new_lbl").as("lbl"))
+        converged = changed == 0
+        iter += 1
+      }
+      // materialize and cut the O(iter)-deep iterative lineage (a real
+      // cluster job would use a reliable checkpoint dir here)
+      val out = labels.select(col("id"), col("lbl").as("cluster_id"))
+        .localCheckpoint(true)
+      if (cachedRound != null) cachedRound.unpersist(blocking = false)
+      out
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Benchmark-contamination check: per-document n-gram overlap against
     * a (small) eval set. Per doc: distinct word-shingle count, how many
     * of those shingles appear anywhere in the eval set, and the overlap

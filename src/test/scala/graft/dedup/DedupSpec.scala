@@ -106,6 +106,14 @@ class DedupSpec extends SparkSpec {
     assert(out((0L, 4L)) === 0.0)
   }
 
+  test("near-dup clusters: multi-hop chains collapse to the min id") {
+    // components: {1,2,3} via chain 1-2, 2-3 (no direct 1-3 edge, so the
+    // min label must propagate two hops) and {10,11}
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("contamination: eval member is fully contaminated, unrelated doc is 0") {
     val evalSet = docs.where(col("doc_id") === 0)
     val scores = Dedup.contaminationScores(docs, "doc_id", "text", evalSet, "text", n = 3)
