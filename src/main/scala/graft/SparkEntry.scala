@@ -27,11 +27,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Hash/LSH queries use the md5-derived
-    * [[graft.functions.HashFns]] family so even minhash/simhash/ANN have
-    * exact oracles; only the multimodal stub probes (q35/q36, driven by
-    * a JVM-only fake codec) are rows-only — those are checked in
-    * `sbt test` instead.
+    * the same parquet tables. Every query has an exact oracle: hash/LSH
+    * queries use the md5-derived [[graft.functions.HashFns]] family, and
+    * the multimodal stub codec derives its fake metadata/features from
+    * the same family (dyadic-rational features), so even q35/q36
+    * hash-match.
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }

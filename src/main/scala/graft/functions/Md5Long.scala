@@ -51,7 +51,7 @@ object Md5Long {
   def hash(s: UTF8String): Long = hashBytes(s.getBytes)
 
   /** Raw-bytes form, same thread-local digest (used off-plan too —
-    * [[HashFns.md5LongBytes]]).
+    * [[HashFns.hash61Bytes]]).
     */
   def hashBytes(bytes: Array[Byte]): Long = {
     val md = digests.get()
