@@ -325,6 +325,7 @@ object OracleSql {
 
     "q63_contamination" -> Gen.contaminationSql,
     "q65_dedup_clusters" -> Gen.dedupClustersSql,
+    "q66_curation_pipeline" -> Gen.curationPipelineSql,
     "q64_pii_redact" -> Gen.piiRedactSql,
     "q35_multimodal_probe" -> Gen.multimodalProbeSql,
     "q36_media_features" -> Gen.mediaFeaturesSql,
@@ -518,6 +519,52 @@ object OracleSql {
         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
         |SELECT a AS id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY id""".stripMargin
+
+    /** Twin of q66: dedup keep-min → quality formula (as q33) → langid
+      * (as q32) → token count → PII redaction, composed in CTEs.
+      */
+    def curationPipelineSql: String = {
+      val stop = TextFns.EN_STOPWORDS.map(w => s"'$w'").mkString(", ")
+      val scores = TextFns.LANG_MARKERS.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(lk, x -> list_contains([$lst], x))) AS s_$lang"
+      }.mkString(", ")
+      val g = "greatest(s_de, s_en, s_es, s_fr)"
+      val email = TextFns.EMAIL_RE
+      val ssn = TextFns.SSN_RE
+      val phone = TextFns.PHONE_RE
+      s"""WITH keep AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)),
+         |d AS (SELECT doc_id, text FROM documents
+         |      WHERE doc_id IN (SELECT kid FROM keep)),
+         |t AS (SELECT doc_id, text, ${tokensE("text")} AS tk FROM d),
+         |m AS (SELECT doc_id, text, tk,
+         |  CAST(len(tk) AS DOUBLE) AS n_tok,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) - length(regexp_replace(text, '$PUNCT', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS pr,
+         |  CASE WHEN len(tk) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(tk, x -> list_contains([$stop], lower(x)))) AS DOUBLE)
+         |      / len(tk) END AS swr,
+         |  list_transform(tk, x -> lower(x)) AS lk
+         |  FROM t),
+         |s AS (SELECT doc_id, text, tk,
+         |  round((least(n_tok / 100.0, 1.0) * 0.4
+         |    + greatest(0.0, 1.0 - pr * 4.0) * 0.3
+         |    + greatest(0.0, 1.0 - abs(swr - 0.4) * 2.0) * 0.3), 6) AS quality,
+         |  $scores FROM m)
+         |SELECT doc_id,
+         |  CASE WHEN $g = 0 THEN 'und'
+         |    WHEN s_fr = $g THEN 'fr'
+         |    WHEN s_es = $g THEN 'es'
+         |    WHEN s_en = $g THEN 'en'
+         |    ELSE 'de' END AS lang_pred,
+         |  quality,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ssn', '<SSN>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS redacted
+         |FROM s WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin
+    }
 
     /** Twin of Dedup.contaminationScores: per-doc distinct 3-gram
       * shingle hashes vs the eval subset's (doc_id % 50 = 0) hash set.

@@ -791,6 +791,28 @@ object Queries {
     Dedup.nearDupClusters(pairs).orderBy("id")
   }
 
+  /** End-to-end curation pipeline — the composed form of the verified
+    * pieces: exact dedup (keep min id per content hash) → quality
+    * filter → language-ID → token budget → PII redaction. One broadcast
+    * semi-join + map-only projections; the oracle composes the same
+    * formulas in CTEs.
+    */
+  val q66_curation_pipeline: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val keepIds = docs
+      .select(TextFns.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextFns.langId(col("text")).as("lang_pred"),
+        TextFns.qualityScore(col("text")).as("quality"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.redactPii(col("text")).as("redacted"))
+      .where(col("quality") >= 0.5)
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -857,5 +879,6 @@ object Queries {
     "q62_envelope" -> q62_envelope,
     "q63_contamination" -> q63_contamination,
     "q64_pii_redact" -> q64_pii_redact,
-    "q65_dedup_clusters" -> q65_dedup_clusters)
+    "q65_dedup_clusters" -> q65_dedup_clusters,
+    "q66_curation_pipeline" -> q66_curation_pipeline)
 }
