@@ -4,11 +4,29 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan audit main: prints the formatted physical plan of each headline
   * query and flags scale killers — missing filter pushdown, unpruned
-  * scans, cartesian products, missing broadcasts, non-codegen spans.
+  * scans, cartesian products, missing broadcasts, non-codegen spans —
+  * then sweeps the ENTIRE catalog flags-only, so a scale killer in any
+  * of the 66 queries surfaces even if it is not a headline.
   *
   * Run: `sbt "runMain graft.PlanAudit [sfDir]"`.
   */
 object PlanAudit {
+
+  /** Queries where a BroadcastNestedLoopJoin is the intended plan: a
+    * deliberately-broadcast tiny side under a cross/inequality join
+    * (single-query-vector scoring, the q42 cross join demo).
+    */
+  private val bnljExpected = Set(
+    "q28_cosine_topk", "q31_ann_lsh", "q36_media_features", "q42_cross_join")
+
+  private def flagsFor(name: String, plan: String, executed: String): Seq[String] =
+    Seq(
+      "CartesianProduct" -> plan.contains("CartesianProduct"),
+      "no-WholeStageCodegen" -> !(executed.contains("WholeStageCodegen") || executed.contains("*(")),
+      "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
+        !bnljExpected.contains(name))
+    ).collect { case (f, true) => f }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -29,15 +47,26 @@ object PlanAudit {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println(s"\n================ $name ================")
       println(plan)
-      val executed = df.queryExecution.executedPlan.toString
-      val flags = Seq(
-        "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "no-WholeStageCodegen" -> !(executed.contains("WholeStageCodegen") || executed.contains("*(")),
-        "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
-          !Set("q28_cosine_topk", "q31_ann_lsh").contains(name))
-      ).collect { case (f, true) => f }
+      val flags = flagsFor(name, plan, df.queryExecution.executedPlan.toString)
       if (flags.nonEmpty) println(s"!! FLAGS: ${flags.mkString(", ")}")
     }
+
+    // full-catalog sweep, flags only (q65 builds iteratively with
+    // actions inside — plan-shape inspection does not apply; skip)
+    println("\n================ full-catalog flag sweep ================")
+    var flagged = 0
+    Queries.all.keys.toSeq.sorted.filterNot(_ == "q65_dedup_clusters").foreach { name =>
+      try {
+        val df = Queries.all(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val flags = flagsFor(name, plan, df.queryExecution.executedPlan.toString)
+        if (flags.nonEmpty) { flagged += 1; println(s"!! $name: ${flags.mkString(", ")}") }
+      } catch {
+        case e: Exception => flagged += 1; println(s"!! $name: plan build failed: ${e.getMessage}")
+      }
+    }
+    println(s"sweep done: $flagged flagged of ${Queries.all.size - 1} audited")
     spark.stop()
   }
 }
