@@ -326,6 +326,7 @@ object OracleSql {
     "q63_contamination" -> Gen.contaminationSql,
     "q65_dedup_clusters" -> Gen.dedupClustersSql,
     "q66_curation_pipeline" -> Gen.curationPipelineSql,
+    "q67_sequence_packing" -> Gen.sequencePackingSql,
     "q64_pii_redact" -> Gen.piiRedactSql,
     "q35_multimodal_probe" -> Gen.multimodalProbeSql,
     "q36_media_features" -> Gen.mediaFeaturesSql,
@@ -565,6 +566,17 @@ object OracleSql {
          |    '$phone', '<PHONE>', 'g') AS redacted
          |FROM s WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin
     }
+
+    /** Twin of Packing.packBySequenceBudget (shard=8, budget=2000). */
+    def sequencePackingSql: String =
+      s"""WITH t AS (SELECT doc_id,
+         |    ${duckHash61("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |    CAST(len(${tokensE("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |    - n_tokens) / 2000) AS BIGINT) AS pack_id
+         |FROM t ORDER BY doc_id""".stripMargin
 
     /** Twin of Dedup.contaminationScores: per-doc distinct 3-gram
       * shingle hashes vs the eval subset's (doc_id % 50 = 0) hash set.

@@ -813,6 +813,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: shard by stable id hash, order by id, cut into
+    * 2000-token packs — the per-shard window keeps parallelism at any
+    * scale (never a global-order window).
+    */
+  val q67_sequence_packing: Q = (s, d) =>
+    graft.ops.Packing.packBySequenceBudget(
+        Tables.documents(s, d), "doc_id", "text", budgetTokens = 2000, shards = 8)
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -880,5 +889,6 @@ object Queries {
     "q63_contamination" -> q63_contamination,
     "q64_pii_redact" -> q64_pii_redact,
     "q65_dedup_clusters" -> q65_dedup_clusters,
-    "q66_curation_pipeline" -> q66_curation_pipeline)
+    "q66_curation_pipeline" -> q66_curation_pipeline,
+    "q67_sequence_packing" -> q67_sequence_packing)
 }

@@ -55,4 +55,18 @@ class ScaleSpec extends SparkSpec {
     s.sql("DROP TABLE IF EXISTS bucketed_a")
     s.sql("DROP TABLE IF EXISTS bucketed_b")
   }
+
+  test("sequence packing: greedy per-shard cut at the token budget") {
+    import spark.implicits._
+    // shards=1 → one ordered run; token counts 3,3,3,3 with budget 5:
+    // tokens-before = 0,3,6,9 → packs 0,0,1,1 (boundary doc overflows
+    // its pack, never starts underfull)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h i"), (4L, "j k l"))
+      .toDF("doc_id", "text")
+    val out = Packing.packBySequenceBudget(docs, "doc_id", "text",
+        budgetTokens = 5, shards = 1)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
 }
