@@ -88,16 +88,21 @@ object Bench {
         .toDF
         .select(col("res.value.event_id"), col("res.value.user_id"),
           col("res.value.value"), col("source"))
-    // pre-materialize the input as parquet (the reference benchmark
-    // consumes pre-produced records; synthesizing them is not pipeline
-    // cost, and a columnar scan is the realistic ingest path)
-    val stage = java.nio.file.Files.createTempDirectory("graft-bench-records").toString
-    // spread across all cores — events is a single small parquet file,
-    // so without this the decode stage would run on 1-2 partitions
-    records.repartition(cpus.toInt).write.mode("overwrite").parquet(stage)
-    val staged = spark.read.parquet(stage)
+    // pre-materialize the input in executor memory (the reference
+    // benchmark consumes pre-produced records whose segments sit in the
+    // broker's page cache — its measured cost is decode→transform→sink,
+    // not ingest IO). Round 4 staged these rows as parquet in /tmp and
+    // re-read them per trial; on a contended host that turned the trial
+    // into a disk benchmark (BENCH_r04: 29–141 s/trial for work that is
+    // ~1.5 s of CPU). An in-memory cache keeps the timed region honest
+    // and host-independent. ~6 M rows × ~200 B ≈ 1.2 GB — far under the
+    // local[32] storage pool.
+    // spread across all cores first — events is a single small parquet
+    // file, so without this the decode stage would run on 1-2 partitions
+    val staged = records.repartition(cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val stagedPipeline = pipelineOver(staged)
-    val eventRows = staged.count()
+    val eventRows = staged.count()   // materializes the cache
     stagedPipeline.write.format("noop").mode("overwrite").save()   // warm codegen
     // best of 3 timed trials — single-trial numbers swing ±50% with
     // JIT/GC in a fresh JVM; steady-state throughput is the max
