@@ -296,13 +296,46 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
-      // materialize and cut the O(iter)-deep iterative lineage (a real
-      // cluster job would use a reliable checkpoint dir here)
-      val out = labels.select(col("id"), col("lbl").as("cluster_id"))
-        .localCheckpoint(true)
+      // materialize and cut the O(iter)-deep iterative lineage. Prefer
+      // the session's reliable checkpoint dir when one is configured —
+      // on a real cluster that survives executor loss; localCheckpoint
+      // stores blocks on executors and loses them with the executor.
+      val labeled = labels.select(col("id"), col("lbl").as("cluster_id"))
+      val out =
+        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          labeled.checkpoint(eager = true)
+        else labeled.localCheckpoint(true)
       if (cachedRound != null) cachedRound.unpersist(blocking = false)
       out
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Corpus-level boilerplate detection (C4-style): per-document
+    * fraction of its distinct word n-grams that occur in at least
+    * `minDocs` documents — headers, footers, licence blurbs and other
+    * boilerplate score high and get cut (or stripped) by a curation
+    * stage.
+    *
+    * Scale shape: shingles reduce to 61-bit hashes immediately
+    * ([[graft.functions.HashFns.hash61]]), so both shuffles move 8-byte
+    * keys, never text: one hash-aggregation for corpus document
+    * frequency, one shuffle join back (the frequent-gram side is
+    * NOT broadcast — at corpus scale it is large), one per-doc count
+    * aggregation with map-side partials.
+    */
+  def boilerplateScores(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minDocs: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
+      .select(col("id"), HashFns.hash61(col("s")).as("h"))
+    val frequent = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("h"), lit(1).as("hit"))
+    sh.join(frequent, Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_boilerplate"))
+      .withColumn("boilerplate_frac",
+        round(col("n_boilerplate").cast("double") / col("n_shingles"), 6))
   }
 
   /** Benchmark-contamination check: per-document n-gram overlap against

@@ -114,6 +114,33 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("near-dup clusters use the reliable checkpoint dir when configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+      val out = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+      assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the lineage cut actually went through the reliable dir
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("boilerplate: shared n-grams in >= minDocs docs are flagged, unique text is 0") {
+    // docs 0, 1 and 6 share the full "the quick brown fox..." prefix
+    // (doc 1 differs only in one word), so its 3-grams hit minDocs=3;
+    // docs 4/5 are unique text → zero boilerplate
+    val out = Dedup.boilerplateScores(docs, "doc_id", "text", n = 3, minDocs = 3)
+      .select("id", "n_shingles", "n_boilerplate", "boilerplate_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3 > 0 && out(0L)._4 > 0.5)   // shared prefix dominates
+    assert(out(6L) === out(0L).copy(_1 = 6L))    // identical docs → identical scores
+    assert(out(4L)._3 === 0L && out(4L)._4 === 0.0)
+    assert(out(5L)._3 === 0L)
+    assert(out.values.forall(s => s._3 <= s._2))
+  }
+
   test("contamination: eval member is fully contaminated, unrelated doc is 0") {
     val evalSet = docs.where(col("doc_id") === 0)
     val scores = Dedup.contaminationScores(docs, "doc_id", "text", evalSet, "text", n = 3)
