@@ -337,7 +337,25 @@ object OracleSql {
     "q33_quality_score" -> Gen.qualityScoreSql,
     "q34_near_dup_pairs" -> Gen.nearDupPairsSql,
     "q49_embedding_near_dup" -> Gen.embeddingNearDupSql,
-    "q50_bpe_token_count" -> Gen.bpeTokenCountSql)
+    "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
+    "q68_doc_repetition" -> Gen.docRepetitionSql,
+    "q69_mixture_sample" -> Gen.mixtureSampleSql,
+    "q70_boilerplate" -> Gen.boilerplateSql,
+
+    // bucketed range join: DuckDB expresses the same semantics as a
+    // plain inequality join — the bucketing is a Spark physical-plan
+    // strategy, not a semantic change
+    "q71_range_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type, value FROM events),
+        |i AS (SELECT event_id AS incident_id, user_id, ts AS w_start,
+        |    ts + INTERVAL 1 HOUR AS w_end FROM e WHERE event_type = 'error'),
+        |p AS (SELECT user_id, ts, value FROM e WHERE event_type <> 'error')
+        |SELECT incident_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM i JOIN p ON i.user_id = p.user_id
+        |  AND p.ts >= i.w_start AND p.ts < i.w_end
+        |GROUP BY incident_id ORDER BY incident_id""".stripMargin)
 
   /** Programmatically built oracles for the hash/LSH queries. These
     * mirror [[graft.functions.HashFns]] bit-for-bit (its Spark builders
@@ -581,6 +599,43 @@ object OracleSql {
     /** Twin of Dedup.contaminationScores: per-doc distinct 3-gram
       * shingle hashes vs the eval subset's (doc_id % 50 = 0) hash set.
       */
+    /** Twin of ops.TextStats.repetitionStats (n=2). */
+    def docRepetitionSql: String =
+      s"""WITH words AS (SELECT doc_id, ${tokensE("text")} AS w,
+         |    length(text) AS nc FROM documents),
+         |g AS (SELECT doc_id, unnest(${shinglesE("w", 2)}) AS g FROM words),
+         |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+         |top AS (SELECT doc_id, max(c * length(g)) AS top_chars FROM cnt GROUP BY doc_id)
+         |SELECT w.doc_id, len(w.w) AS n_tokens,
+         |  round(CASE WHEN len(w.w) = 0 THEN 0
+         |    ELSE 1 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w) END, 6)
+         |    AS dup_word_frac,
+         |  round(CASE WHEN w.nc = 0 THEN 0
+         |    ELSE CAST(t.top_chars AS DOUBLE) / w.nc END, 6) AS top_ngram_char_frac
+         |FROM words w JOIN top t ON w.doc_id = t.doc_id
+         |ORDER BY w.doc_id""".stripMargin
+
+    /** Twin of ops.Mixture.sampleByRates (per-lang rates, default 300). */
+    def mixtureSampleSql: String =
+      s"""WITH r AS (SELECT doc_id, lang, source,
+         |  CASE lang WHEN 'en' THEN 900 WHEN 'es' THEN 600 WHEN 'de' THEN 400
+         |            WHEN 'fr' THEN 200 ELSE 300 END AS pm,
+         |  ${duckHash61("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 AS sample_key
+         |  FROM documents)
+         |SELECT doc_id, lang, source, sample_key FROM r WHERE sample_key < pm
+         |ORDER BY doc_id""".stripMargin
+
+    /** Twin of Dedup.boilerplateScores (n=3, minDocs=3). */
+    def boilerplateSql: String =
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |sh AS (SELECT id, unnest(list_distinct(${shinglesE("w", 3)})) AS s FROM words),
+         |hx AS (SELECT id, ${duckHash61("s")} AS h FROM sh),
+         |freq AS (SELECT h FROM hx GROUP BY h HAVING count(*) >= 3)
+         |SELECT id, count(*) AS n_shingles, count(f.h) AS n_boilerplate,
+         |  round(CAST(count(f.h) AS DOUBLE) / count(*), 6) AS boilerplate_frac
+         |FROM hx LEFT JOIN freq f ON hx.h = f.h
+         |GROUP BY id ORDER BY id""".stripMargin
+
     def contaminationSql: String =
       s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
          |sh AS (SELECT id, unnest(list_distinct(${shinglesE("w", 3)})) AS s FROM words),

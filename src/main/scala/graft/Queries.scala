@@ -822,6 +822,57 @@ object Queries {
         Tables.documents(s, d), "doc_id", "text", budgetTokens = 2000, shards = 8)
       .orderBy("doc_id")
 
+  /** Gopher-style repetition stats: duplicate-word fraction (map-only)
+    * and most-frequent-bigram character coverage (explode + two
+    * partial-agg shuffles on the 8-byte doc id).
+    */
+  val q68_doc_repetition: Q = (s, d) =>
+    graft.ops.TextStats.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
+  /** Deterministic mixture sampling: per-language keep rates via a
+    * broadcast weights table; membership = hash61("mix:"+id) % 1000.
+    * Map-only — reproducible on any partitioning (zh exercises the
+    * default-rate path: absent from the rate map on both sides).
+    */
+  val q69_mixture_sample: Q = (s, d) =>
+    graft.ops.Mixture.sampleByRates(
+        Tables.documents(s, d).select("doc_id", "lang", "source"),
+        "doc_id", "lang",
+        rates = Map("en" -> 900, "es" -> 600, "de" -> 400, "fr" -> 200),
+        defaultPerMille = 300)
+      .orderBy("doc_id")
+
+  /** Corpus-level boilerplate n-grams: fraction of each doc's distinct
+    * 3-grams occurring in ≥3 documents. Both shuffles move 8-byte
+    * shingle hashes; the frequent set is joined, not broadcast.
+    */
+  val q70_boilerplate: Q = (s, d) =>
+    Dedup.boilerplateScores(Tables.documents(s, d), "doc_id", "text", n = 3, minDocs = 3)
+      .orderBy("id")
+
+  /** Bucketed range join: for every "error" event, count same-user
+    * events (and their exact-decimal value sum) in the following hour.
+    * The interval side explodes into 1-2 hour buckets; the join is a
+    * plain shuffle equi-join on (user_id, bucket) — never a
+    * BroadcastNestedLoopJoin.
+    */
+  val q71_range_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val incidents = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val points = ev.where(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.plans.RangeJoin.pointInInterval(points, incidents,
+        "user_id", "ts", "w_start", "w_end", bucketSeconds = 3600)
+      .groupBy("incident_id")
+      .agg(count(lit(1)).as("n_events"),
+        decSum(col("value"), "(18,4)").as("sum_value"))
+      .orderBy("incident_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -890,5 +941,9 @@ object Queries {
     "q64_pii_redact" -> q64_pii_redact,
     "q65_dedup_clusters" -> q65_dedup_clusters,
     "q66_curation_pipeline" -> q66_curation_pipeline,
-    "q67_sequence_packing" -> q67_sequence_packing)
+    "q67_sequence_packing" -> q67_sequence_packing,
+    "q68_doc_repetition" -> q68_doc_repetition,
+    "q69_mixture_sample" -> q69_mixture_sample,
+    "q70_boilerplate" -> q70_boilerplate,
+    "q71_range_join" -> q71_range_join)
 }
