@@ -341,6 +341,7 @@ object OracleSql {
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
     "q70_boilerplate" -> Gen.boilerplateSql,
+    "q72_tfidf_keywords" -> Gen.tfidfKeywordsSql,
 
     // bucketed range join: DuckDB expresses the same semantics as a
     // plain inequality join — the bucketing is a Spark physical-plan
@@ -624,6 +625,25 @@ object OracleSql {
          |  FROM documents)
          |SELECT doc_id, lang, source, sample_key FROM r WHERE sample_key < pm
          |ORDER BY doc_id""".stripMargin
+
+    /** Twin of Queries.q72_tfidf_keywords: tf × N / df, top-3 per doc
+      * (row_number here; the Spark side uses the bounded-heap aggregate,
+      * proven row-identical to the window by q48 vs q05).
+      */
+    def tfidfKeywordsSql: String =
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |tok AS (SELECT id, unnest(w) AS term FROM words),
+         |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tf.id, tf.term,
+         |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT id, term, score,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |SELECT id, term, round(score, 6) AS score, rn FROM ranked
+         |WHERE rn <= 3 ORDER BY id, rn""".stripMargin
 
     /** Twin of Dedup.boilerplateScores (n=3, minDocs=3). */
     def boilerplateSql: String =

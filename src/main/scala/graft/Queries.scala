@@ -873,6 +873,30 @@ object Queries {
       .orderBy("incident_id")
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * `tf × N / df`. All heavy shuffles move (8-byte id, short term)
+    * pairs; the corpus size N rides in as a broadcast 1-row cross join
+    * (never an action), and the per-doc top-3 goes through the
+    * bounded-heap aggregate — ≤3 rows per doc per partition shuffle,
+    * no per-doc window sort. The score is a single IEEE division of
+    * exactly-representable integers, so Spark and DuckDB produce
+    * bit-identical doubles.
+    */
+  val q72_tfidf_keywords: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id").as("id"),
+        explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+    graft.plans.TopK.topKPerKey(scored, Seq("id"), col("score"), Seq(col("term")), 3)
+      .select(col("id"), col("term"), round(col("score"), 6).as("score"), col("rn"))
+      .orderBy("id", "rn")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -945,5 +969,6 @@ object Queries {
     "q68_doc_repetition" -> q68_doc_repetition,
     "q69_mixture_sample" -> q69_mixture_sample,
     "q70_boilerplate" -> q70_boilerplate,
-    "q71_range_join" -> q71_range_join)
+    "q71_range_join" -> q71_range_join,
+    "q72_tfidf_keywords" -> q72_tfidf_keywords)
 }

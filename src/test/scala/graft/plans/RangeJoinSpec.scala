@@ -40,6 +40,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.toSet === Set((100L, 1L), (100L, 2L), (200L, 5L)))
   }
 
+  test("differential: matches the naive inequality join on random data") {
+    val rng = new scala.util.Random(42)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def randTs() = new java.sql.Timestamp(base + rng.nextInt(6 * 3600) * 1000L)
+    val ivs = (0 until 60).map { i =>
+      val start = randTs()
+      val span = (rng.nextInt(7200) + 1) * 1000L  // 1s .. 2h — spans 0..3 buckets
+      (i.toLong, rng.nextInt(5).toLong, start,
+        new java.sql.Timestamp(start.getTime + span))
+    }.toDF("iid", "user", "w_start", "w_end")
+    val pts = (0 until 400).map { i =>
+      (i.toLong, rng.nextInt(5).toLong, randTs())
+    }.toDF("pid", "user", "t")
+
+    val bucketed = RangeJoin.pointInInterval(pts, ivs,
+        "user", "t", "w_start", "w_end", bucketSeconds = 3600)
+      .select("iid", "pid").as[(Long, Long)].collect().sorted.toList
+    val naive = pts.as("p").join(ivs.as("i"),
+        col("p.user") === col("i.user") &&
+          col("p.t") >= col("i.w_start") && col("p.t") < col("i.w_end"))
+      .select("iid", "pid").as[(Long, Long)].collect().sorted.toList
+    assert(bucketed === naive)
+    assert(naive.nonEmpty)  // the comparison actually exercised matches
+  }
+
   test("plan is an equi-join, not BroadcastNestedLoopJoin") {
     val plan = RangeJoin.pointInInterval(points, intervals,
         "user", "t", "w_start", "w_end", bucketSeconds = 3600)
