@@ -343,6 +343,17 @@ object OracleSql {
     "q70_boilerplate" -> Gen.boilerplateSql,
     "q72_tfidf_keywords" -> Gen.tfidfKeywordsSql,
 
+    // value-based RANGE frame: the frame is decided by epoch-second
+    // values, so tie order within a second cannot change the sum
+    "q73_range_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |                       CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_10m
+        |FROM events ORDER BY event_id""".stripMargin,
+
     // bucketed range join: DuckDB expresses the same semantics as a
     // plain inequality join — the bucketing is a Spark physical-plan
     // strategy, not a semantic change

@@ -52,7 +52,9 @@ object Queries {
     * 2-value grouping key.
     */
   val q02_pricing_summary: Q = (s, d) => {
-    val l = Tables.lineitem(s, d)
+    // fanOut: the decimal partial aggregation is the CPU-heavy stage;
+    // single-row-group local files scan as one split (no-op at scale)
+    val l = Scale.fanOut(Tables.lineitem(s, d))
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
     val qty = sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
     l.groupBy("l_returnflag", "l_linestatus")
@@ -84,8 +86,8 @@ object Queries {
     * strategy at sf, shuffle-hash/sort-merge at 100 TB.
     */
   val q04_join_shuffle_agg: Q = (s, d) =>
-    Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+    Scale.fanOut(Tables.orders(s, d))
+      .join(Scale.fanOut(Tables.lineitem(s, d)), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(countDistinct("o_orderkey").as("n_orders"),
         decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), "(22,4)").as("revenue"))
@@ -888,13 +890,37 @@ object Queries {
         explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // equi-join on an always-zero key so the 1-row corpus count rides
+    // in as a BroadcastHashJoin, never a BroadcastNestedLoopJoin. The
+    // key must be non-foldable (pmod of a runtime column) — a literal
+    // key constant-folds and the join degenerates back to a cross join.
     val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("__k", pmod(col("n"), lit(1L)))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("__k", pmod(col("df"), lit(1L)))
+      .join(broadcast(n), "__k")
       .select(col("id"), col("term"),
         ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
     graft.plans.TopK.topKPerKey(scored, Seq("id"), col("score"), Seq(col("term")), 3)
       .select(col("id"), col("term"), round(col("score"), 6).as("score"), col("rn"))
       .orderBy("id", "rn")
+  }
+
+  /** Time-RANGE sliding window: per event, the exact-decimal sum of the
+    * same user's values over the trailing 10 minutes — the value-based
+    * frame (`rangeBetween`) complement to q18's row-based frame. The
+    * frame is defined by the epoch-seconds value, so the result is
+    * independent of tie order within a second; one shuffle on user_id.
+    */
+  val q73_range_window: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-600, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      .withColumn("sum_10m",
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+      .select("event_id", "user_id", "sum_10m")
+      .orderBy("event_id")
   }
 
   /** All registered queries. */
@@ -970,5 +996,6 @@ object Queries {
     "q69_mixture_sample" -> q69_mixture_sample,
     "q70_boilerplate" -> q70_boilerplate,
     "q71_range_join" -> q71_range_join,
-    "q72_tfidf_keywords" -> q72_tfidf_keywords)
+    "q72_tfidf_keywords" -> q72_tfidf_keywords,
+    "q73_range_window" -> q73_range_window)
 }
