@@ -325,6 +325,7 @@ object OracleSql {
 
     "q63_contamination" -> Gen.contaminationSql,
     "q65_dedup_clusters" -> Gen.dedupClustersSql,
+    "q74_leakage_safe_split" -> Gen.leakageSafeSplitSql,
     "q66_curation_pipeline" -> Gen.curationPipelineSql,
     "q67_sequence_packing" -> Gen.sequencePackingSql,
     "q64_pii_redact" -> Gen.piiRedactSql,
@@ -528,7 +529,12 @@ object OracleSql {
       * here as a recursive-CTE transitive closure over the undirected
       * near-dup edges.
       */
-    def dedupClustersSql: String =
+    /** Shared CTE chain: minhash buckets → candidate pairs → Jaccard
+      * verify → symmetric edges → recursive transitive closure →
+      * (id, cluster_id) labels. Twin of Dedup.minhashNearDupPairs +
+      * nearDupClusters (min-reachable-id fixpoint).
+      */
+    private def clusterCtes: String =
       minhashBucketCtes(2).replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
         |cand AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -547,9 +553,27 @@ object OracleSql {
         |reach(a, b) AS (
         |  SELECT a, b FROM e
         |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-        |SELECT a AS id, least(a, min(b)) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY id""".stripMargin
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |labels AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        |           FROM reach GROUP BY a)""".stripMargin
+
+    def dedupClustersSql: String =
+      clusterCtes + "\nSELECT id, cluster_id FROM labels ORDER BY id"
+
+    /** Twin of Dedup.leakageSafeSplit over q65's clusters: the split
+      * bucket hashes the CLUSTER id (singletons: the doc id).
+      */
+    def leakageSafeSplitSql: String =
+      clusterCtes + s""",
+        |docsplit AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+        |k AS (SELECT doc_id, cluster_id,
+        |  ${duckHash61("'split:' || CAST(cluster_id AS VARCHAR)")} % 10 AS b
+        |  FROM docsplit)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM k ORDER BY doc_id""".stripMargin
 
     /** Twin of q66: dedup keep-min → quality formula (as q33) → langid
       * (as q32) → token count → PII redaction, composed in CTEs.

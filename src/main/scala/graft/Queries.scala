@@ -923,6 +923,19 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Leakage-safe train/val/test split: the split key is the near-dup
+    * cluster id (q65's connected components), so near-duplicates never
+    * straddle a split boundary. 8/1/1 buckets via the hash family;
+    * singleton docs split on their own id.
+    */
+  val q74_leakage_safe_split: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDupPairs(Scale.fanOut(docs),
+      "doc_id", "text", threshold = 0.2, numHashes = 32, bands = 8, shingleWidth = 2)
+    Dedup.leakageSafeSplit(docs, "doc_id", Dedup.nearDupClusters(pairs))
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -997,5 +1010,6 @@ object Queries {
     "q70_boilerplate" -> q70_boilerplate,
     "q71_range_join" -> q71_range_join,
     "q72_tfidf_keywords" -> q72_tfidf_keywords,
-    "q73_range_window" -> q73_range_window)
+    "q73_range_window" -> q73_range_window,
+    "q74_leakage_safe_split" -> q74_leakage_safe_split)
 }

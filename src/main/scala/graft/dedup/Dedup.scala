@@ -310,6 +310,31 @@ object Dedup {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Leakage-safe dataset split: assign train/val/test by the near-dup
+    * CLUSTER id rather than the doc id, so near-duplicate documents can
+    * never straddle a split boundary — the classic eval-contamination
+    * bug a doc-id hash split silently commits. Docs in no cluster are
+    * their own singleton. Membership is `hash61(salt ++ cluster_id)`
+    * (deterministic on any partitioning); after the cluster join the
+    * assignment is map-only.
+    *
+    * @param clusters `(id, cluster_id)` as produced by
+    *                 [[nearDupClusters]] (only ids that appear in a
+    *                 near-dup pair need be present)
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                       salt: String = "split:"): DataFrame = {
+    val labeled = docs.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val bucket =
+      HashFns.hash61(concat(lit(salt), col("cluster_id").cast("string"))) % 10
+    labeled.withColumn("split",
+      when(bucket < 8, lit("train"))
+        .when(bucket === 8, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Corpus-level boilerplate detection (C4-style): per-document
     * fraction of its distinct word n-grams that occur in at least
     * `minDocs` documents — headers, footers, licence blurbs and other

@@ -127,6 +127,20 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("leakage-safe split: cluster members share a split; singletons covered") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+    val docIds = Seq(1L, 2L, 3L, 10L, 11L, 42L).toDF("doc_id")
+    val out = Dedup.leakageSafeSplit(docIds, "doc_id", clusters)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 10L, 11L, 42L))
+    // the leakage guarantee: same cluster → same split
+    assert(Set(out(1L), out(2L), out(3L)).size === 1)
+    assert(out(10L) === out(11L))
+    assert(out(42L)._1 === 42L)  // singleton splits on its own id
+    assert(out.values.forall(v => Set("train", "val", "test").contains(v._2)))
+  }
+
   test("boilerplate: shared n-grams in >= minDocs docs are flagged, unique text is 0") {
     // docs 0, 1 and 6 share the full "the quick brown fox..." prefix
     // (doc 1 differs only in one word), so its 3-grams hit minDocs=3;
