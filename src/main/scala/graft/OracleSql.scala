@@ -326,6 +326,7 @@ object OracleSql {
     "q63_contamination" -> Gen.contaminationSql,
     "q65_dedup_clusters" -> Gen.dedupClustersSql,
     "q74_leakage_safe_split" -> Gen.leakageSafeSplitSql,
+    "q75_token_chunks" -> Gen.tokenChunksSql,
     "q66_curation_pipeline" -> Gen.curationPipelineSql,
     "q67_sequence_packing" -> Gen.sequencePackingSql,
     "q64_pii_redact" -> Gen.piiRedactSql,
@@ -679,6 +680,20 @@ object OracleSql {
          |  FROM scored)
          |SELECT id, term, round(score, 6) AS score, rn FROM ranked
          |WHERE rn <= 3 ORDER BY id, rn""".stripMargin
+
+    /** Twin of Queries.q75_token_chunks: 40-token chunks on a 30-token
+      * stride. DuckDB list slices are 1-based inclusive, matching
+      * Spark's `slice(w, start+1, 40)` = elements start+1 .. start+40.
+      */
+    def tokenChunksSql: String =
+      s"""WITH words AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |nz AS (SELECT doc_id, w FROM words WHERE len(w) > 0),
+         |st AS (SELECT doc_id, w, unnest(range(0, len(w), 30)) AS start FROM nz),
+         |ck AS (SELECT doc_id, start // 30 AS chunk_idx,
+         |         w[start + 1 : start + 40] AS ck FROM st)
+         |SELECT doc_id, chunk_idx, len(ck) AS n_tokens,
+         |  array_to_string(ck, ' ') AS chunk_text
+         |FROM ck ORDER BY doc_id, chunk_idx""".stripMargin
 
     /** Twin of Dedup.boilerplateScores (n=3, minDocs=3). */
     def boilerplateSql: String =

@@ -936,6 +936,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Token-window chunking: split each document into overlapping
+    * 40-token chunks on a 30-token stride (the context-length prep
+    * step before packing). Map-only — the chunk starts come from a
+    * per-row `sequence`, the slice/join are codegen'd array ops, and
+    * the explode multiplies rows by ~n_tokens/stride only.
+    */
+  val q75_token_chunks: Q = (s, d) => {
+    val chunkTokens = 40
+    val stride = 30
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("bigint"))
+      .withColumn("ck", slice(col("w"), col("start") + 1, lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ck")).cast("bigint").as("n_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1011,5 +1034,6 @@ object Queries {
     "q71_range_join" -> q71_range_join,
     "q72_tfidf_keywords" -> q72_tfidf_keywords,
     "q73_range_window" -> q73_range_window,
-    "q74_leakage_safe_split" -> q74_leakage_safe_split)
+    "q74_leakage_safe_split" -> q74_leakage_safe_split,
+    "q75_token_chunks" -> q75_token_chunks)
 }
