@@ -143,20 +143,30 @@ object Bench {
       col("value").as("offset"), col("timestamp"),
       lit(0).as("timestampType"),
       array().cast("array<struct<key:string,value:binary>>").as("headers"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
-    val sq = pipelineOver(kafkaShaped).writeStream
-      .format("noop").option("checkpointLocation", ckpt).start()
-    while (Option(sq.lastProgress).forall(_.batchId < 5) && sq.isActive)
-      Thread.sleep(20)
-    sq.stop()
-    val measured = sq.recentProgress.filter(p => p.batchId >= 1 && p.batchId <= 4)
-    if (sys.env.contains("GRAFT_BENCH_DEBUG"))
-      sq.recentProgress.foreach(p => System.err.println(
-        s"[bench-debug] batch=${p.batchId} rows=${p.numInputRows} " +
-          s"durationMs=${p.durationMs}"))
-    val streamRows = measured.map(_.numInputRows).sum
-    val streamingSec = measured
-      .map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000).sum
+    // a failure or stall here must not discard the batch results above:
+    // bounded wait, exceptions degrade to a 0 sentinel in the JSON
+    val (streamRows, streamingSec) = try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+      val sq = pipelineOver(kafkaShaped).writeStream
+        .format("noop").option("checkpointLocation", ckpt).start()
+      // progress for batch N posts when N completes, so batchId == 4
+      // means the measured batches 1-4 are all done
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (Option(sq.lastProgress).forall(_.batchId < 4) && sq.isActive
+             && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      sq.stop()
+      val measured = sq.recentProgress.filter(p => p.batchId >= 1 && p.batchId <= 4)
+      if (sys.env.contains("GRAFT_BENCH_DEBUG"))
+        sq.recentProgress.foreach(p => System.err.println(
+          s"[bench-debug] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      (measured.map(_.numInputRows).sum,
+        measured.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000).sum)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+      (0L, 0.0)
+    }
     val streamingRecPerSec =
       if (streamingSec > 0) streamRows / streamingSec else 0.0
 

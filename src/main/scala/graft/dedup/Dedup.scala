@@ -300,6 +300,11 @@ object Dedup {
       // the session's reliable checkpoint dir when one is configured —
       // on a real cluster that survives executor loss; localCheckpoint
       // stores blocks on executors and loses them with the executor.
+      // Reliable-checkpoint files persist until the RDD is GC'd and are
+      // only auto-deleted under
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true — a
+      // long-lived session invoking this repeatedly should enable that
+      // (or clean the checkpoint dir between jobs).
       val labeled = labels.select(col("id"), col("lbl").as("cluster_id"))
       val out =
         if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
@@ -341,24 +346,25 @@ object Dedup {
     * boilerplate score high and get cut (or stripped) by a curation
     * stage.
     *
-    * Scale shape: shingles reduce to 61-bit hashes immediately
-    * ([[graft.functions.HashFns.hash61]]), so both shuffles move 8-byte
-    * keys, never text: one hash-aggregation for corpus document
-    * frequency, one shuffle join back (the frequent-gram side is
-    * NOT broadcast — at corpus scale it is large), one per-doc count
-    * aggregation with map-side partials.
+    * Scale shape: ONE corpus scan. Shingles reduce to 61-bit hashes
+    * immediately ([[graft.functions.HashFns.hash61]]) so nothing wider
+    * than 8-byte keys shuffles: document frequency comes from a
+    * whole-partition `count` window over the shingle hash (one shuffle
+    * on h — a self-join against a separate aggregation would re-scan
+    * and re-explode the entire corpus for the probe side), then the
+    * per-doc counts aggregate with map-side partials (one shuffle on
+    * id).
     */
   def boilerplateScores(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minDocs: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
         explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
       .select(col("id"), HashFns.hash61(col("s")).as("h"))
-    val frequent = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") >= minDocs)
-      .select(col("h"), lit(1).as("hit"))
-    sh.join(frequent, Seq("h"), "left")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_boilerplate"))
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    withDf.groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boilerplate"))
       .withColumn("boilerplate_frac",
         round(col("n_boilerplate").cast("double") / col("n_shingles"), 6))
   }

@@ -9,25 +9,31 @@ import org.apache.spark.sql.functions._
   * into a million tiny files; the next scan pays a listing + footer read
   * per file.
   *
-  * `writeSized` bounds both ends: `repartition(partitionCols)` routes
-  * each output partition value to one task (one writer per value instead
-  * of one per task×value), and `maxRecordsPerFile` re-splits any hot
-  * partition value so no single file grows unbounded. Skew between
-  * partition values is handled by the file-size cap rather than by
-  * pre-splitting, so the plan stays one shuffle regardless of the value
-  * histogram.
+  * `writeSized` bounds both ends: routing by the partition columns
+  * gives one writer per value instead of one per task×value, and
+  * `maxRecordsPerFile` re-splits so no single file grows unbounded.
+  * One writer per value is itself a straggler at scale when one value
+  * dominates (lang=en at 40 % of a corpus would funnel through a single
+  * task) — `spreadPerValue` adds a deterministic row-hash sub-key to
+  * the routing so a hot value fans across that many writers while cold
+  * values still produce few files.
   */
 object Layout {
 
   /** Write `df` as parquet partitioned by `partitionCols`, with at most
-    * `maxRecordsPerFile` rows per file and one writer task per
-    * partition value (plus re-splits for values exceeding the cap).
+    * `maxRecordsPerFile` rows per file and `spreadPerValue` writer
+    * tasks per partition value.
     */
   def writeSized(df: DataFrame, path: String, partitionCols: Seq[String],
-                 maxRecordsPerFile: Long): Unit = {
+                 maxRecordsPerFile: Long, spreadPerValue: Int = 1): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    df.repartition(partitionCols.map(col): _*)
-      .write
+    require(spreadPerValue >= 1, "spreadPerValue must be >= 1")
+    val keys = partitionCols.map(col)
+    val routed =
+      if (spreadPerValue == 1) df.repartition(keys: _*)
+      else df.repartition(keys :+
+        pmod(xxhash64(df.columns.map(col): _*), lit(spreadPerValue.toLong)): _*)
+    routed.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *    8-byte doc id (both aggregations get map-side partials; nothing
   *    wider than (id, gram) ever shuffles).
   *
-  * Scale shape: one scan, one explode, two hash aggregations and a
-  * per-doc join on the id — no window, no driver-side state; survives a
+  * Scale shape: ONE scan — the per-row token stats ride through the
+  * n-gram explode as extra columns (constant per doc, re-aggregated
+  * with `max`), so the text is decoded and tokenized once, followed by
+  * two hash aggregations on the 8-byte doc id (both with map-side
+  * partials); no join, no window, no driver-side state. Survives a
   * 100 TB documents table as long as single documents fit in a task.
   */
 object TextStats {
@@ -28,18 +31,25 @@ object TextStats {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {
-    // most-repeated n-gram, measured in characters it covers; max of
-    // (count × length) is tie-stable where "the" most common gram is not
-    val topChars = df
-      .select(col(idCol).as("__id"), explode(TextFns.shingles(col(textCol), n)).as("g"))
-      .groupBy("__id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("__id").agg(max(col("c") * length(col("g"))).as("top_chars"))
     val toks = TextFns.tokens(col(textCol))
-    val perDoc = df.select(col(idCol).as("__id"),
+    val exploded = df.select(col(idCol).as("__id"),
       size(toks).cast("bigint").as("n_tokens"),
       size(array_distinct(toks)).cast("bigint").as("n_distinct"),
-      length(col(textCol)).cast("bigint").as("n_chars"))
-    perDoc.join(topChars, Seq("__id"))
+      length(col(textCol)).cast("bigint").as("n_chars"),
+      explode(TextFns.shingles(col(textCol), n)).as("g"))
+    // most-repeated n-gram, measured in characters it covers; max of
+    // (count × length) is tie-stable where "the" most common gram is not.
+    // The per-doc stats are constant within a group, so max() re-emits
+    // them without a second scan of the text.
+    val topChars = exploded
+      .groupBy("__id", "g")
+      .agg(count(lit(1)).as("c"), max("n_tokens").as("n_tokens"),
+        max("n_distinct").as("n_distinct"), max("n_chars").as("n_chars"))
+      .groupBy("__id")
+      .agg(max(col("c") * length(col("g"))).as("top_chars"),
+        max("n_tokens").as("n_tokens"), max("n_distinct").as("n_distinct"),
+        max("n_chars").as("n_chars"))
+    topChars
       .select(col("__id").as(idCol),
         col("n_tokens"),
         round(when(col("n_tokens") === 0, lit(0.0))

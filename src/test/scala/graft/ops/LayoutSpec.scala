@@ -29,4 +29,30 @@ class LayoutSpec extends SparkSpec {
     assert(back.select(sum("id")).as[Long].head() === (0L until 1000L).sum)
     assert(back.where(col("grp") === "hot").count() === 100)
   }
+
+  test("writeSized spreadPerValue fans a hot value across several writers") {
+    val out = java.nio.file.Files.createTempDirectory("graft-layout-spread").toString
+    // one dominant partition value — without spread it would be 1 writer
+    val df = (0 until 300).map(i => (i.toLong, s"p$i", "hot")).toDF("id", "payload", "grp")
+    // at test size AQE coalesces the whole shuffle into one partition
+    // (at scale that merging only collapses values BELOW the advisory
+    // partition size — a hot value stays spread); disable it and widen
+    // the reducer count so the routing shape itself is observable
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      Layout.writeSized(df, out, Seq("grp"), maxRecordsPerFile = 1000, spreadPerValue = 4)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    val files = new java.io.File(s"$out/grp=hot").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2)   // deterministic row-hash sub-key spreads writers
+    val back = spark.read.parquet(out)
+    assert(back.count() === 300)
+    assert(back.columns.sorted.toSeq === Seq("grp", "id", "payload"))
+  }
 }
