@@ -339,6 +339,7 @@ object OracleSql {
     "q33_quality_score" -> Gen.qualityScoreSql,
     "q34_near_dup_pairs" -> Gen.nearDupPairsSql,
     "q49_embedding_near_dup" -> Gen.embeddingNearDupSql,
+    "q76_knn_self" -> Gen.knnSelfSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -480,6 +481,27 @@ object OracleSql {
          |  FROM scored)
          |SELECT query_id, id, round(sim, 4) AS sim, "rank" FROM ranked
          |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+    }
+
+    /** Twin of Similarity.knnSelfJoin (k=3, 8 bits, 1-bit multi-probe):
+      * same plane literals, self-join on equal bucket, row_number
+      * ranking on the unrounded cosine.
+      */
+    def knnSelfSql: String = {
+      val planes = VectorFns.randomHyperplanes(numBits = 8, dim = 64, seed = 42L)
+      val probes = (Seq("xor(sig, 0)") ++ (0 until 8).map(i => s"xor(sig, ${1L << i})"))
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT id, v, (${sigE("v", planes)}) AS bucket FROM e),
+         |p AS (SELECT id AS query_id, qv, unnest([$probes]) AS bucket
+         |      FROM (SELECT id, v AS qv, (${sigE("v", planes)}) AS sig FROM e)),
+         |scored AS (SELECT DISTINCT p.query_id, s.id, ${cosineE("s.v", "p.qv")} AS sim
+         |  FROM s JOIN p ON s.bucket = p.bucket AND s.id <> p.query_id),
+         |ranked AS (SELECT query_id, id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, id, round(sim, 4) AS sim, "rank" FROM ranked
+         |WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin
     }
 
     def embeddingNearDupSql: String = {

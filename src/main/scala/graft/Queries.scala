@@ -959,6 +959,17 @@ object Queries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** All-pairs kNN self-join over the embeddings table: each vector's
+    * top-3 neighbors via LSH buckets + multi-probe, bounded-heap top-k
+    * per id. Ranking uses the unrounded cosine; rounding happens only
+    * in the output projection (matching the oracle).
+    */
+  val q76_knn_self: Q = (s, d) =>
+    Similarity.knnSelfJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 3, dim = 64, numBits = 8)
+      .select(col("query_id"), col("id"), round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1035,5 +1046,6 @@ object Queries {
     "q72_tfidf_keywords" -> q72_tfidf_keywords,
     "q73_range_window" -> q73_range_window,
     "q74_leakage_safe_split" -> q74_leakage_safe_split,
-    "q75_token_chunks" -> q75_token_chunks)
+    "q75_token_chunks" -> q75_token_chunks,
+    "q76_knn_self" -> q76_knn_self)
 }

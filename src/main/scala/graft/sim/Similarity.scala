@@ -74,6 +74,33 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** All-pairs kNN self-join — the semantic-dedup / embedding-cluster
+    * primitive: every row's top-k nearest neighbors. Both sides bucket
+    * on the hyperplane signature; the probe side additionally explodes
+    * 1-bit-flipped buckets for recall (a (numBits+1)× row multiplication
+    * of 8-byte-keyed rows — the recall knob's explicit shuffle cost).
+    * Never an O(n²) cross join: the self-join shuffles on the bucket id
+    * and neither side is broadcast (both are corpus-sized); the per-id
+    * top-k is the bounded-heap aggregate, not a window.
+    */
+  def knnSelfJoin(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, dim: Int, numBits: Int = 12, multiProbeBits: Int = 1,
+                  seed: Long = 42L): DataFrame = {
+    val planes = randomHyperplanes(numBits, dim, seed)
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), planes))
+    val probes: Seq[Column] = lit(0L) +: (if (multiProbeBits > 0)
+      (0 until numBits).map(i => lit(1L << i)) else Seq.empty)
+    val probing = base
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(array(probes.map(p => col("bucket").bitwiseXOR(p)): _*)).as("bucket"))
+    val scored = base.join(probing, "bucket")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+      .dropDuplicates("query_id", "id")
+    topKRanked(scored, k)
+  }
+
   /** IVF-style coarse quantization ANN: assign every corpus vector to
     * its nearest of `centroids` (a small driver-provided list — e.g.
     * sampled corpus rows), then search only the query's `nProbe`
