@@ -64,6 +64,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("kNN self-join: neighbors come from the same cluster, never self") {
+    val corpus = clustered
+    val out = Similarity.knnSelfJoin(corpus, "vec_id", "embedding",
+        k = 3, dim = 16, numBits = 6)
+      .select("query_id", "id", "rank").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._1 != r._2))          // self excluded
+    assert(out.forall(r => r._3 >= 1L && r._3 <= 3L))
+    // cluster purity: with 3 well-separated centers, a neighbor from a
+    // different cluster means the join is broken (bucket sharing between
+    // far clusters at 6 bits is possible but cosine ranking fixes it)
+    val sameCluster = out.count(r => r._1 / 40 == r._2 / 40)
+    assert(sameCluster.toDouble / out.length >= 0.9,
+      s"cluster purity ${sameCluster.toDouble / out.length} too low")
+    // every vector that surfaced as a query has at most k neighbors
+    assert(out.groupBy(_._1).forall(_._2.length <= 3))
+  }
+
   test("IVF top-k with corpus-sampled centroids finds cluster neighbors") {
     val corpus = clustered
     val centroids = corpus.where(col("vec_id").isin(5L, 45L, 85L))
