@@ -27,6 +27,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // stop() joins the stream thread FOREVER by default — a wedged
+      // micro-batch would hang the bench after the deadline fired
+      .config("spark.sql.streaming.stopTimeout", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -155,12 +158,16 @@ object Bench {
       while (Option(sq.lastProgress).forall(_.batchId < 4) && sq.isActive
              && System.nanoTime() < deadline)
         Thread.sleep(20)
-      sq.stop()
+      // read progress BEFORE stop(): even if the stop times out, the
+      // completed batches' numbers survive into the JSON
       val measured = sq.recentProgress.filter(p => p.batchId >= 1 && p.batchId <= 4)
       if (sys.env.contains("GRAFT_BENCH_DEBUG"))
         sq.recentProgress.foreach(p => System.err.println(
           s"[bench-debug] batch=${p.batchId} rows=${p.numInputRows} " +
             s"durationMs=${p.durationMs}"))
+      try sq.stop()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming stop timed out: ${e.getMessage}") }
       (measured.map(_.numInputRows).sum,
         measured.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000).sum)
     } catch { case e: Throwable =>

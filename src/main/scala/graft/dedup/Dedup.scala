@@ -346,25 +346,29 @@ object Dedup {
     * boilerplate score high and get cut (or stripped) by a curation
     * stage.
     *
-    * Scale shape: ONE corpus scan. Shingles reduce to 61-bit hashes
-    * immediately ([[graft.functions.HashFns.hash61]]) so nothing wider
-    * than 8-byte keys shuffles: document frequency comes from a
-    * whole-partition `count` window over the shingle hash (one shuffle
-    * on h — a self-join against a separate aggregation would re-scan
-    * and re-explode the entire corpus for the probe side), then the
-    * per-doc counts aggregate with map-side partials (one shuffle on
-    * id).
+    * Scale shape: shingles reduce to 61-bit hashes immediately
+    * ([[graft.functions.HashFns.hash61]]), so every shuffle moves
+    * 8-byte keys, never text. Document frequency is a pre-aggregation
+    * on h (map-side partials, bounded state) joined back to the probe
+    * side — which costs a second scan+explode of the corpus, and that
+    * is deliberate: the single-scan alternative, a `count` window
+    * partitioned by h, buffers each hash group in one task, and
+    * boilerplate shingles are by definition the hottest keys (a blurb
+    * in 10⁹ docs = a 10⁹-row window group in one straggler task). A 2×
+    * map-side cost beats an unbounded per-key buffer. The frequent-gram
+    * side is NOT broadcast — at corpus scale it is large.
     */
   def boilerplateScores(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minDocs: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
         explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
       .select(col("id"), HashFns.hash61(col("s")).as("h"))
-    val withDf = sh.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-    withDf.groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boilerplate"))
+    val frequent = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("h"), lit(1).as("hit"))
+    sh.join(frequent, Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_boilerplate"))
       .withColumn("boilerplate_frac",
         round(col("n_boilerplate").cast("double") / col("n_shingles"), 6))
   }

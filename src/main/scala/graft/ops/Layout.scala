@@ -29,10 +29,22 @@ object Layout {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     require(spreadPerValue >= 1, "spreadPerValue must be >= 1")
     val keys = partitionCols.map(col)
+    // the spread sub-key hashes only hashable columns — xxhash64
+    // rejects MapType, and a metadata map column must not make the
+    // skew knob crash a write that works at spreadPerValue = 1
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val hashCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val subKey =
+      if (hashCols.nonEmpty) pmod(xxhash64(hashCols: _*), lit(spreadPerValue.toLong))
+      else pmod(spark_partition_id().cast("long"), lit(spreadPerValue.toLong))
     val routed =
       if (spreadPerValue == 1) df.repartition(keys: _*)
-      else df.repartition(keys :+
-        pmod(xxhash64(df.columns.map(col): _*), lit(spreadPerValue.toLong)): _*)
+      else df.repartition(keys :+ subKey: _*)
     routed.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   * Scale shape: ONE scan — the per-row token stats ride through the
   * n-gram explode as extra columns (constant per doc, re-aggregated
   * with `max`), so the text is decoded and tokenized once, followed by
-  * two hash aggregations on the 8-byte doc id (both with map-side
-  * partials); no join, no window, no driver-side state. Survives a
-  * 100 TB documents table as long as single documents fit in a task.
+  * two hash aggregations on the doc id (both with map-side partials);
+  * no join, no window, no driver-side state. The carried stats widen
+  * the (id, gram) shuffle rows by three bigints — the price of the
+  * single scan. Survives a 100 TB documents table as long as single
+  * documents fit in a task.
   */
 object TextStats {
 
   /** Per-doc repetition metrics: `(idCol, n_tokens, dup_word_frac,
-    * top_ngram_char_frac)`, one row per input row.
+    * top_ngram_char_frac)`, one row per distinct id (rows sharing an id
+    * aggregate as one document: gram counts pool across them).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {

@@ -32,6 +32,19 @@ object Similarity {
     TopK.topKPerKey(scored, Seq("query_id"), col("sim"), Seq(col("id")), k)
       .select(col("query_id"), col("id"), col("sim"), col("rn").as("rank"))
 
+  /** XOR deltas for multi-probing: every mask flipping at most
+    * `maxFlips` of the `numBits` signature bits (0 ⇒ just the home
+    * bucket). Probe count is Σ C(numBits, f) for f ≤ maxFlips — the
+    * explicit shuffle-multiplication cost of the recall knob.
+    */
+  private[sim] def probeDeltas(numBits: Int, maxFlips: Int): Seq[Long] = {
+    def combos(start: Int, flips: Int): Seq[Long] =
+      if (flips == 0) Seq(0L)
+      else (start until numBits).flatMap(i =>
+        combos(i + 1, flips - 1).map(m => m | (1L << i)))
+    (0 to maxFlips).flatMap(f => combos(0, f))
+  }
+
   /** Exact brute-force top-k: broadcast the (small) query set, score
     * every (query, corpus) pair, keep top-k per query via the
     * bounded-heap aggregate.
@@ -59,11 +72,10 @@ object Similarity {
     val planes = randomHyperplanes(numBits, dim, seed)
     val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", hyperplaneSignature(col("v"), planes))
-    // multi-probe: each query also probes buckets at hamming distance 1
-    // (flip each of the first `multiProbeBits*numBits` bits) — recall
-    // knob without re-scanning the corpus.
-    val probes: Seq[Column] = lit(0L) +: (if (multiProbeBits > 0)
-      (0 until numBits).map(i => lit(1L << i)) else Seq.empty)
+    // multi-probe: each query also probes buckets within hamming
+    // distance `multiProbeBits` — recall knob without re-scanning the
+    // corpus.
+    val probes: Seq[Column] = probeDeltas(numBits, multiProbeBits).map(lit)
     val q = queries.select(col(qIdCol).as("query_id"), toDouble(col(qVecCol)).as("qv"))
       .withColumn("sig", hyperplaneSignature(col("qv"), planes))
       .withColumn("bucket", explode(array(probes.map(p => col("sig").bitwiseXOR(p)): _*)))
@@ -77,8 +89,9 @@ object Similarity {
   /** All-pairs kNN self-join — the semantic-dedup / embedding-cluster
     * primitive: every row's top-k nearest neighbors. Both sides bucket
     * on the hyperplane signature; the probe side additionally explodes
-    * 1-bit-flipped buckets for recall (a (numBits+1)× row multiplication
-    * of 8-byte-keyed rows — the recall knob's explicit shuffle cost).
+    * buckets within hamming distance `multiProbeBits` for recall (the
+    * probe-count row multiplication of 8-byte-keyed rows is the recall
+    * knob's explicit shuffle cost).
     * Never an O(n²) cross join: the self-join shuffles on the bucket id
     * and neither side is broadcast (both are corpus-sized); the per-id
     * top-k is the bounded-heap aggregate, not a window.
@@ -89,8 +102,7 @@ object Similarity {
     val planes = randomHyperplanes(numBits, dim, seed)
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", hyperplaneSignature(col("v"), planes))
-    val probes: Seq[Column] = lit(0L) +: (if (multiProbeBits > 0)
-      (0 until numBits).map(i => lit(1L << i)) else Seq.empty)
+    val probes: Seq[Column] = probeDeltas(numBits, multiProbeBits).map(lit)
     val probing = base
       .select(col("id").as("query_id"), col("v").as("qv"),
         explode(array(probes.map(p => col("bucket").bitwiseXOR(p)): _*)).as("bucket"))

@@ -55,4 +55,16 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() === 300)
     assert(back.columns.sorted.toSeq === Seq("grp", "id", "payload"))
   }
+
+  test("writeSized spread tolerates unhashable map columns") {
+    val out = java.nio.file.Files.createTempDirectory("graft-layout-map").toString
+    val df = (0 until 50).map(i => (i.toLong, Map("k" -> s"v$i"), "g"))
+      .toDF("id", "meta", "grp")
+    // xxhash64 rejects MapType — the spread sub-key must skip it
+    Layout.writeSized(df, out, Seq("grp"), maxRecordsPerFile = 1000, spreadPerValue = 2)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 50)
+    assert(back.select("meta").where(col("id") === 7).as[Map[String, String]].head()
+      === Map("k" -> "v7"))
+  }
 }
