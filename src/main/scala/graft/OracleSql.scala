@@ -340,6 +340,7 @@ object OracleSql {
     "q34_near_dup_pairs" -> Gen.nearDupPairsSql,
     "q49_embedding_near_dup" -> Gen.embeddingNearDupSql,
     "q76_knn_self" -> Gen.knnSelfSql,
+    "q77_eval_sample" -> Gen.evalSampleSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -716,6 +717,21 @@ object OracleSql {
          |SELECT doc_id, chunk_idx, len(ck) AS n_tokens,
          |  array_to_string(ck, ' ') AS chunk_text
          |FROM ck ORDER BY doc_id, chunk_idx""".stripMargin
+
+    /** Twin of q77_eval_sample: top-20 per lang in hash order (the
+      * Spark side ranks hash DESC via the bounded-heap aggregate; the
+      * window mirrors that order with doc_id as tiebreak).
+      */
+    def evalSampleSql: String =
+      s"""WITH k AS (SELECT doc_id, lang,
+         |    ${duckHash61("'eval:' || CAST(doc_id AS VARCHAR)")} AS rank_key
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY rank_key DESC, doc_id) AS rn
+         |  FROM k)
+         |SELECT lang, doc_id, rn FROM r WHERE rn <= 20
+         |ORDER BY lang, rn""".stripMargin
 
     /** Twin of Dedup.boilerplateScores (n=3, minDocs=3). */
     def boilerplateSql: String =

@@ -970,6 +970,23 @@ object Queries {
       .select(col("query_id"), col("id"), round(col("sim"), 4).as("sim"), col("rank"))
       .orderBy("query_id", "rank")
 
+  /** Deterministic stratified fixed-count sample: 20 documents per
+    * language, chosen by hash order — the eval-set builder
+    * (complement of q69's rate-based mixture: fixed COUNT per group,
+    * not a fraction). Ranking by `hash61("eval:"+id)` through the
+    * bounded-heap top-k shuffles ≤20 rows per lang per partition;
+    * no per-group sort, no window, reproducible on any partitioning.
+    */
+  val q77_eval_sample: Q = (s, d) => {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        HashFns.hash61(concat(lit("eval:"), col("doc_id").cast("string")))
+          .as("rank_key"))
+    graft.plans.TopK.topKPerKey(keyed, Seq("lang"), col("rank_key"), Seq(col("doc_id")), 20)
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1047,5 +1064,6 @@ object Queries {
     "q73_range_window" -> q73_range_window,
     "q74_leakage_safe_split" -> q74_leakage_safe_split,
     "q75_token_chunks" -> q75_token_chunks,
-    "q76_knn_self" -> q76_knn_self)
+    "q76_knn_self" -> q76_knn_self,
+    "q77_eval_sample" -> q77_eval_sample)
 }
