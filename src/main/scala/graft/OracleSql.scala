@@ -341,6 +341,7 @@ object OracleSql {
     "q49_embedding_near_dup" -> Gen.embeddingNearDupSql,
     "q76_knn_self" -> Gen.knnSelfSql,
     "q77_eval_sample" -> Gen.evalSampleSql,
+    "q78_adaptive_quality" -> Gen.adaptiveQualitySql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -790,10 +791,14 @@ object OracleSql {
          |FROM s ORDER BY doc_id""".stripMargin
     }
 
-    def qualityScoreSql: String = {
+    /** CTE chain (t → m → q) computing the quality formula exactly as
+      * TextFns.qualityScore, carrying `extra` columns (e.g. ", lang")
+      * through to the final q(doc_id[, extra], quality) relation.
+      */
+    private def qualityCtes(extra: String): String = {
       val stop = TextFns.EN_STOPWORDS.map(w => s"'$w'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, text, ${tokensE("text")} AS tk FROM documents),
-         |m AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id$extra, text, ${tokensE("text")} AS tk FROM documents),
+         |m AS (SELECT doc_id$extra,
          |  CAST(len(tk) AS DOUBLE) AS n_tok,
          |  CASE WHEN length(text) = 0 THEN 0.0
          |    ELSE CAST(length(text) - length(regexp_replace(text, '$PUNCT', '', 'g')) AS DOUBLE)
@@ -801,12 +806,26 @@ object OracleSql {
          |  CASE WHEN len(tk) = 0 THEN 0.0
          |    ELSE CAST(len(list_filter(tk, x -> list_contains([$stop], lower(x)))) AS DOUBLE)
          |      / len(tk) END AS swr
-         |  FROM t)
-         |SELECT doc_id, round((least(n_tok / 100.0, 1.0) * 0.4
+         |  FROM t),
+         |q AS (SELECT doc_id$extra, round((least(n_tok / 100.0, 1.0) * 0.4
          |  + greatest(0.0, 1.0 - pr * 4.0) * 0.3
          |  + greatest(0.0, 1.0 - abs(swr - 0.4) * 2.0) * 0.3), 6) AS quality
-         |FROM m ORDER BY doc_id""".stripMargin
+         |FROM m)""".stripMargin
     }
+
+    def qualityScoreSql: String =
+      qualityCtes("") + "\nSELECT doc_id, quality FROM q ORDER BY doc_id"
+
+    /** Twin of q78_adaptive_quality: keep docs at or above their own
+      * language's median quality (quantile_cont ≡ Spark `percentile`,
+      * parity established by q55).
+      */
+    def adaptiveQualitySql: String =
+      qualityCtes(", lang") + s""",
+        |med AS (SELECT lang, quantile_cont(quality, 0.5) AS lang_median
+        |        FROM q GROUP BY lang)
+        |SELECT q.doc_id, q.lang, q.quality FROM q JOIN med ON q.lang = med.lang
+        |WHERE q.quality >= med.lang_median ORDER BY q.doc_id""".stripMargin
 
     def posexplodeSql: String =
       s"""SELECT doc_id, u['pos'] AS pos, u['token'] AS token FROM (

@@ -987,6 +987,28 @@ object Queries {
       .orderBy("lang", "rn")
   }
 
+  /** Adaptive quality filtering: keep documents at or above their own
+    * language's MEDIAN quality — per-group thresholds instead of one
+    * global cutoff (a fixed threshold over-filters low-resource
+    * languages whose score distribution sits lower). The per-lang
+    * medians are a tiny aggregate, broadcast back; the threshold pass
+    * re-derives quality rather than caching the scored scan — at
+    * cluster scale a real job would checkpoint the scored table, but
+    * the formula is a map-only projection and the plan stays
+    * shuffle-free beyond the 5-row aggregate.
+    */
+  val q78_adaptive_quality: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextFns.qualityScore(col("text")).as("quality"))
+    val thresholds = scored.groupBy("lang")
+      .agg(expr("percentile(quality, 0.5)").as("lang_median"))
+    scored.join(broadcast(thresholds), "lang")
+      .where(col("quality") >= col("lang_median"))
+      .select("doc_id", "lang", "quality")
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1065,5 +1087,6 @@ object Queries {
     "q74_leakage_safe_split" -> q74_leakage_safe_split,
     "q75_token_chunks" -> q75_token_chunks,
     "q76_knn_self" -> q76_knn_self,
-    "q77_eval_sample" -> q77_eval_sample)
+    "q77_eval_sample" -> q77_eval_sample,
+    "q78_adaptive_quality" -> q78_adaptive_quality)
 }
