@@ -38,13 +38,13 @@ object Layout {
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
       case _ => true
     }
+    // hashCols always includes at least the partition columns (atomic
+    // by parquet's partitionBy contract), so it is never empty
     val hashCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
-    val subKey =
-      if (hashCols.nonEmpty) pmod(xxhash64(hashCols: _*), lit(spreadPerValue.toLong))
-      else pmod(spark_partition_id().cast("long"), lit(spreadPerValue.toLong))
     val routed =
       if (spreadPerValue == 1) df.repartition(keys: _*)
-      else df.repartition(keys :+ subKey: _*)
+      else df.repartition(keys :+
+        pmod(xxhash64(hashCols: _*), lit(spreadPerValue.toLong)): _*)
     routed.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
 object TextStats {
 
   /** Per-doc repetition metrics: `(idCol, n_tokens, dup_word_frac,
-    * top_ngram_char_frac)`, one row per distinct id (rows sharing an id
-    * aggregate as one document: gram counts pool across them).
+    * top_ngram_char_frac)`, one row per distinct id. Expects one input
+    * row per id: duplicate-id rows merge (gram counts pool while the
+    * per-row stats combine via max), which inflates the fractions —
+    * dedupe upstream if ids can repeat.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {

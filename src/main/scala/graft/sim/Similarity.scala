@@ -42,7 +42,8 @@ object Similarity {
       if (flips == 0) Seq(0L)
       else (start until numBits).flatMap(i =>
         combos(i + 1, flips - 1).map(m => m | (1L << i)))
-    (0 to maxFlips).flatMap(f => combos(0, f))
+    // non-positive maxFlips ⇒ home bucket only (never an empty probe set)
+    (0 to math.max(0, maxFlips)).flatMap(f => combos(0, f))
   }
 
   /** Exact brute-force top-k: broadcast the (small) query set, score
