@@ -19,12 +19,22 @@ object PlanAudit {
   private val bnljExpected = Set(
     "q28_cosine_topk", "q31_ann_lsh", "q36_media_features", "q42_cross_join")
 
+  /** Queries whose LSH self-join must carry the hot-bucket guard
+    * (Scale.cappedBucketJoin — its `__bs`/`__ps` grid-salt columns show
+    * up in the plan). A missing guard means a dense bucket regenerates
+    * the O(b²)-pairs-in-one-task straggler.
+    */
+  private val bucketGuardExpected = Set(
+    "q49_embedding_near_dup", "q76_knn_self")
+
   private def flagsFor(name: String, plan: String, executed: String): Seq[String] =
     Seq(
       "CartesianProduct" -> plan.contains("CartesianProduct"),
       "no-WholeStageCodegen" -> !(executed.contains("WholeStageCodegen") || executed.contains("*(")),
       "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
-        !bnljExpected.contains(name))
+        !bnljExpected.contains(name)),
+      "missing-hot-bucket-guard" -> (bucketGuardExpected.contains(name) &&
+        !plan.contains("__bs"))
     ).collect { case (f, true) => f }
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.functions.{HashFns, TextFns}
+import graft.ops.Scale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -102,18 +103,26 @@ object Dedup {
     * self-join (shuffle co-located on (band, band_hash)), then exact
     * word-shingle Jaccard verification on the candidate pairs only.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * `bucketCap` (opt-in, default off) grid-splits band buckets larger
+    * than the cap via [[graft.ops.Scale.cappedBucketJoin]]. Off by
+    * default because band hashes derive from content hashes and spread
+    * well — and the guard's count pass would recompute the full minhash
+    * signature stage; turn it on for corpora with massive exact-dup
+    * families (identical docs share every band).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.7, numHashes: Int = 32,
-                          bands: Int = 8, shingleWidth: Int = 3): DataFrame = {
+                          bands: Int = 8, shingleWidth: Int = 3,
+                          bucketCap: Int = Int.MaxValue,
+                          maxBucket: Long = Long.MaxValue): DataFrame = {
     val buckets = minhashBuckets(df, idCol, textCol, numHashes, bands, shingleWidth)
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val a = buckets.select(col("id").as("id_a"), col("band"), col("band_hash"))
+    val b = buckets.select(col("id").as("id_b"), col("band"), col("band_hash"))
+    val candidates = Scale.cappedBucketJoin(a, b, Seq("band", "band_hash"),
+        col("id_a"), col("id_b"), bucketCap, maxBucket)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
     val shingleSets = df.select(
       col(idCol).as("id"),
@@ -198,7 +207,9 @@ object Dedup {
     * chunk — pigeonhole), self-join per chunk, verify hamming <= maxDist.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3): DataFrame = {
+                          maxDist: Int = 3,
+                          bucketCap: Int = Int.MaxValue,
+                          maxBucket: Long = Long.MaxValue): DataFrame = {
     val sigs = simhashes(df, idCol, textCol)
     val chunked = sigs.select(
       col("id"), col("sig"),
@@ -207,14 +218,15 @@ object Dedup {
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))
       }: _*)).as("ck"))
       .select(col("id"), col("sig"), col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(b,
-        col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+    val a = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("chunk"), col("chunk_val"))
+    val b = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk"), col("chunk_val"))
+    Scale.cappedBucketJoin(a, b, Seq("chunk", "chunk_val"),
+        col("id_a"), col("id_b"), bucketCap, maxBucket)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
   }
@@ -223,19 +235,30 @@ object Dedup {
     * against itself (shuffle on an 8-byte bucket id — never the
     * O(n²) crossJoin), then verify candidates by exact cosine.
     * Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    *
+    * Hot-bucket guard: dense embedding regions — exactly the
+    * near-identical clusters a dedup corpus has most of — concentrate
+    * in few buckets and would generate O(b²) candidates inside one join
+    * task; buckets above `bucketCap` are grid-split via
+    * [[graft.ops.Scale.cappedBucketJoin]] (results identical), and
+    * `maxBucket` optionally drops degenerate buckets entirely.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.95, dim: Int = 64,
-                            numBits: Int = 12, seed: Long = 42L): DataFrame = {
+                            numBits: Int = 12, seed: Long = 42L,
+                            bucketCap: Int = 10000,
+                            maxBucket: Long = Long.MaxValue): DataFrame = {
     import graft.functions.VectorFns
     val planes = VectorFns.randomHyperplanes(numBits, dim, seed)
     val sigs = df.select(col(idCol).as("id"), VectorFns.toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", VectorFns.hyperplaneSignature(col("v"), planes))
-    val a = sigs.as("a")
-    val b = sigs.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        VectorFns.cosine(col("a.v"), col("b.v")).as("cosine"))
+    val a = sigs.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = sigs.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    Scale.cappedBucketJoin(a, b, Seq("bucket"),
+        col("id_a"), col("id_b"), bucketCap, maxBucket)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFns.cosine(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

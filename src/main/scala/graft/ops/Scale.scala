@@ -66,6 +66,63 @@ object Scale {
       .groupBy(col(key))
       .agg(finals.head, finals.tail: _*)
 
+  /** Skew guard for bucketed candidate-pair self-joins (LSH): a bucket
+    * holding b rows emits O(b²) candidate pairs INSIDE ONE JOIN KEY, so
+    * one dense bucket — a near-identical embedding cluster, precisely
+    * what a dedup corpus has most of — turns the candidate stage into a
+    * single quadratic straggler task. This grid-splits oversized
+    * buckets: each side's rows land in one of `s = ceil(rows/cap)`
+    * deterministic sub-splits (hash of that side's id) and replicate
+    * across the OTHER side's sub-splits, so every (base, probe) pair
+    * still meets exactly once — at join key (bucket, baseSplit(base),
+    * probeSplit(probe)) — but any one task holds ≤ ~cap rows of the
+    * base side and ~1/s of the probe side. The result set is IDENTICAL
+    * to `base.join(probe, bucketCols)`; only the parallelism re-shapes.
+    *
+    * Only oversized buckets pay: counts above `cap` form a hot-bucket
+    * table that is tiny by construction (≤ totalRows/cap entries) and is
+    * broadcast; rows in normal buckets flow through with a single zero
+    * salt and no replication. `maxBucket` (opt-in) additionally DROPS
+    * buckets larger than the limit from BOTH sides — standard LSH/C4
+    * practice: a bucket that dense is degenerate (boilerplate, zero
+    * vectors) and its pairs are not worth generating.
+    *
+    * Cost: one extra count-aggregate pass over the base side (8-byte
+    * bucket keys, map-side partials) — the 2×-scan-beats-straggler trade
+    * argued at Dedup.boilerplateScores. Callers whose bucket column is
+    * expensive to recompute (e.g. minhash band hashes) can pass
+    * `cap = Int.MaxValue` to skip the guard entirely (no count pass is
+    * planned in that case).
+    */
+  def cappedBucketJoin(base: DataFrame, probe: DataFrame,
+                       bucketCols: Seq[String],
+                       baseSalt: Column, probeSalt: Column,
+                       cap: Int, maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    if (cap == Int.MaxValue && maxBucket == Long.MaxValue)
+      return base.join(probe, bucketCols)
+    val keys = bucketCols.map(col)
+    val hot = base.groupBy(keys: _*).agg(count(lit(1)).as("__bcnt"))
+      .where(col("__bcnt") > cap || col("__bcnt") > maxBucket)
+      .select(keys :+
+        (floor((col("__bcnt") - 1) / cap) + 1).cast("int").as("__splits") :+
+        (col("__bcnt") > maxBucket).as("__skip"): _*)
+    // own = this side's fixed sub-split; rep = replication over the
+    // other side's sub-splits. Non-hot buckets: own = 0, rep = [0].
+    def salted(df: DataFrame, own: Column, ownName: String, repName: String): DataFrame =
+      df.join(broadcast(hot), bucketCols, "left")
+        .where(not(coalesce(col("__skip"), lit(false))))
+        .withColumn(ownName,
+          when(col("__splits").isNull, lit(0))
+            .otherwise(pmod(xxhash64(own), col("__splits")).cast("int")))
+        .withColumn(repName,
+          explode(sequence(lit(0), coalesce(col("__splits"), lit(1)) - 1)))
+        .drop("__splits", "__skip")
+    salted(base, baseSalt, "__bs", "__ps")
+      .join(salted(probe, probeSalt, "__ps", "__bs"), bucketCols ++ Seq("__bs", "__ps"))
+      .drop("__bs", "__ps")
+  }
+
   /** Write a table bucketed on a join key: subsequent equi-joins
     * between tables bucketed the same way need no shuffle (the scan
     * reports the hash partitioning). This is the static form of

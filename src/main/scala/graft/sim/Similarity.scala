@@ -1,6 +1,7 @@
 package graft.sim
 
 import graft.functions.VectorFns._
+import graft.ops.Scale
 import graft.plans.TopK
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -96,10 +97,18 @@ object Similarity {
     * Never an O(n²) cross join: the self-join shuffles on the bucket id
     * and neither side is broadcast (both are corpus-sized); the per-id
     * top-k is the bounded-heap aggregate, not a window.
+    *
+    * Hot-bucket guard: a dense embedding cluster puts b rows in one
+    * bucket and would generate O(b²) pairs inside one join task.
+    * Buckets larger than `bucketCap` are grid-split via
+    * [[graft.ops.Scale.cappedBucketJoin]] (deterministic salt, results
+    * identical); `maxBucket` optionally drops degenerate buckets
+    * entirely (SemDeDup practice for boilerplate/zero-vector masses).
     */
   def knnSelfJoin(df: DataFrame, idCol: String, vecCol: String,
                   k: Int, dim: Int, numBits: Int = 12, multiProbeBits: Int = 1,
-                  seed: Long = 42L): DataFrame = {
+                  seed: Long = 42L, bucketCap: Int = 10000,
+                  maxBucket: Long = Long.MaxValue): DataFrame = {
     val planes = randomHyperplanes(numBits, dim, seed)
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", hyperplaneSignature(col("v"), planes))
@@ -107,7 +116,8 @@ object Similarity {
     val probing = base
       .select(col("id").as("query_id"), col("v").as("qv"),
         explode(array(probes.map(p => col("bucket").bitwiseXOR(p)): _*)).as("bucket"))
-    val scored = base.join(probing, "bucket")
+    val scored = Scale.cappedBucketJoin(base, probing, Seq("bucket"),
+        col("id"), col("query_id"), bucketCap, maxBucket)
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
       .dropDuplicates("query_id", "id")
