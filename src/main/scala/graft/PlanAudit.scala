@@ -20,9 +20,10 @@ object PlanAudit {
     "q28_cosine_topk", "q31_ann_lsh", "q36_media_features", "q42_cross_join")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
-    * (Scale.cappedBucketJoin — its `__bs`/`__ps` grid-salt columns show
-    * up in the plan). A missing guard means a dense bucket regenerates
-    * the O(b²)-pairs-in-one-task straggler.
+    * (Scale.cappedBucketJoin — its grid-salt columns, named by
+    * [[graft.ops.Scale.BaseSplitCol]], show up in the plan). A missing
+    * guard means a dense bucket regenerates the
+    * O(b²)-pairs-in-one-task straggler.
     */
   private val bucketGuardExpected = Set(
     "q49_embedding_near_dup", "q76_knn_self")
@@ -34,7 +35,7 @@ object PlanAudit {
       "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
         !bnljExpected.contains(name)),
       "missing-hot-bucket-guard" -> (bucketGuardExpected.contains(name) &&
-        !plan.contains("__bs"))
+        !plan.contains(graft.ops.Scale.BaseSplitCol))
     ).collect { case (f, true) => f }
 
   def main(args: Array[String]): Unit = {

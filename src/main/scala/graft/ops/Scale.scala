@@ -71,28 +71,33 @@ object Scale {
     * one dense bucket — a near-identical embedding cluster, precisely
     * what a dedup corpus has most of — turns the candidate stage into a
     * single quadratic straggler task. This grid-splits oversized
-    * buckets: each side's rows land in one of `s = ceil(rows/cap)`
+    * buckets: each side's rows land in one of `ceil(thatSideRows/cap)`
     * deterministic sub-splits (hash of that side's id) and replicate
     * across the OTHER side's sub-splits, so every (base, probe) pair
     * still meets exactly once — at join key (bucket, baseSplit(base),
-    * probeSplit(probe)) — but any one task holds ≤ ~cap rows of the
-    * base side and ~1/s of the probe side. The result set is IDENTICAL
-    * to `base.join(probe, bucketCols)`; only the parallelism re-shapes.
+    * probeSplit(probe)) — but any one join key holds ≤ ~cap rows of
+    * each side. The result set is IDENTICAL to
+    * `base.join(probe, bucketCols)`; only the parallelism re-shapes.
     *
-    * Only oversized buckets pay: counts above `cap` form a hot-bucket
-    * table that is tiny by construction (≤ totalRows/cap entries) and is
-    * broadcast; rows in normal buckets flow through with a single zero
-    * salt and no replication. `maxBucket` (opt-in) additionally DROPS
-    * buckets larger than the limit from BOTH sides — standard LSH/C4
-    * practice: a bucket that dense is degenerate (boilerplate, zero
-    * vectors) and its pairs are not worth generating.
+    * Only oversized buckets pay: BOTH sides are counted (the probe side
+    * of a kNN self-join is multi-probe-exploded and can concentrate in
+    * buckets that are cold on the base side), and buckets above `cap`
+    * on either side form a hot-bucket table that is tiny by
+    * construction (≤ totalRows/cap entries) and is broadcast; rows in
+    * normal buckets flow through with a single zero salt and no
+    * replication. A pair's task then holds ≤ ~cap rows of EACH side.
+    * `maxBucket` (opt-in) additionally DROPS buckets larger than the
+    * limit from BOTH sides — standard LSH/C4 practice: a bucket that
+    * dense is degenerate (boilerplate, zero vectors) and its pairs are
+    * not worth generating.
     *
-    * Cost: one extra count-aggregate pass over the base side (8-byte
+    * Cost: one extra count-aggregate pass over each side (8-byte
     * bucket keys, map-side partials) — the 2×-scan-beats-straggler trade
     * argued at Dedup.boilerplateScores. Callers whose bucket column is
     * expensive to recompute (e.g. minhash band hashes) can pass
-    * `cap = Int.MaxValue` to skip the guard entirely (no count pass is
-    * planned in that case).
+    * `cap = Int.MaxValue` and leave `maxBucket` unset to skip the guard
+    * entirely (no count pass is planned in that case; a finite
+    * `maxBucket` inherently requires the count pass to enforce).
     */
   def cappedBucketJoin(base: DataFrame, probe: DataFrame,
                        bucketCols: Seq[String],
@@ -102,26 +107,43 @@ object Scale {
     if (cap == Int.MaxValue && maxBucket == Long.MaxValue)
       return base.join(probe, bucketCols)
     val keys = bucketCols.map(col)
-    val hot = base.groupBy(keys: _*).agg(count(lit(1)).as("__bcnt"))
-      .where(col("__bcnt") > cap || col("__bcnt") > maxBucket)
+    def splitsOf(cnt: String): Column =
+      (floor((col(cnt) - 1) / cap) + 1).cast("int")
+    def counted(df: DataFrame, cnt: String): DataFrame =
+      df.groupBy(keys: _*).agg(count(lit(1)).as(cnt))
+    // A bucket produces pairs only when present on BOTH sides, so the
+    // inner join loses nothing; `where` keeps only genuinely hot rows.
+    val hot = counted(base, "__bcnt").join(counted(probe, "__pcnt"), bucketCols)
+      .where(col("__bcnt") > cap || col("__pcnt") > cap ||
+        col("__bcnt") > maxBucket || col("__pcnt") > maxBucket)
       .select(keys :+
-        (floor((col("__bcnt") - 1) / cap) + 1).cast("int").as("__splits") :+
-        (col("__bcnt") > maxBucket).as("__skip"): _*)
+        splitsOf("__bcnt").as("__bsplits") :+
+        splitsOf("__pcnt").as("__psplits") :+
+        (col("__bcnt") > maxBucket || col("__pcnt") > maxBucket).as("__skip"): _*)
     // own = this side's fixed sub-split; rep = replication over the
     // other side's sub-splits. Non-hot buckets: own = 0, rep = [0].
-    def salted(df: DataFrame, own: Column, ownName: String, repName: String): DataFrame =
+    def salted(df: DataFrame, own: Column, ownSplits: String, repSplits: String,
+               ownName: String, repName: String): DataFrame =
       df.join(broadcast(hot), bucketCols, "left")
         .where(not(coalesce(col("__skip"), lit(false))))
         .withColumn(ownName,
-          when(col("__splits").isNull, lit(0))
-            .otherwise(pmod(xxhash64(own), col("__splits")).cast("int")))
+          when(col(ownSplits).isNull, lit(0))
+            .otherwise(pmod(xxhash64(own), col(ownSplits)).cast("int")))
         .withColumn(repName,
-          explode(sequence(lit(0), coalesce(col("__splits"), lit(1)) - 1)))
-        .drop("__splits", "__skip")
-    salted(base, baseSalt, "__bs", "__ps")
-      .join(salted(probe, probeSalt, "__ps", "__bs"), bucketCols ++ Seq("__bs", "__ps"))
-      .drop("__bs", "__ps")
+          explode(sequence(lit(0), coalesce(col(repSplits), lit(1)) - 1)))
+        .drop("__bsplits", "__psplits", "__skip")
+    salted(base, baseSalt, "__bsplits", "__psplits", BaseSplitCol, ProbeSplitCol)
+      .join(salted(probe, probeSalt, "__psplits", "__bsplits", ProbeSplitCol, BaseSplitCol),
+        bucketCols ++ Seq(BaseSplitCol, ProbeSplitCol))
+      .drop(BaseSplitCol, ProbeSplitCol)
   }
+
+  /** Grid-salt column names [[cappedBucketJoin]] joins on — exposed so
+    * plan inspection (graft.PlanAudit's missing-hot-bucket-guard flag)
+    * references the same names the operator emits.
+    */
+  val BaseSplitCol = "__bs"
+  val ProbeSplitCol = "__ps"
 
   /** Write a table bucketed on a join key: subsequent equi-joins
     * between tables bucketed the same way need no shuffle (the scan

@@ -69,4 +69,57 @@ class ScaleSpec extends SparkSpec {
       .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
+
+  // --- cappedBucketJoin skew guard ---------------------------------
+  // bucket 1 is hot on both sides (50 base rows, 30 probe rows ⇒
+  // splits 5 and 3 at cap=10 — the grid-split path actually executes);
+  // buckets 2..5 are cold and must flow through un-replicated.
+
+  private def hotBase = spark.range(70).select(
+    col("id").as("id_a"),
+    when(col("id") < 50, lit(1L)).otherwise(col("id") % 4 + 2).as("bucket"))
+
+  private def hotProbe = spark.range(100, 140).select(
+    col("id").as("id_b"),
+    when(col("id") < 130, lit(1L)).otherwise(col("id") % 4 + 2).as("bucket"))
+
+  test("capped bucket join: hot bucket grid-splits, pair set identical to plain join") {
+    val plain = hotBase.join(hotProbe, Seq("bucket")).select("id_a", "id_b")
+    val capped = Scale.cappedBucketJoin(hotBase, hotProbe, Seq("bucket"),
+        col("id_a"), col("id_b"), cap = 10)
+      .select("id_a", "id_b")
+    // the split path is planned (salt columns in the join), not just
+    // the pass-through
+    assert(capped.queryExecution.executedPlan.toString
+      .contains(Scale.BaseSplitCol))
+    // multiset equality: replication must not duplicate or drop a pair
+    assert(plain.exceptAll(capped).count() === 0)
+    assert(capped.exceptAll(plain).count() === 0)
+  }
+
+  test("capped bucket join: probe-hot base-cold bucket is still split (both sides counted)") {
+    // 5 base rows, 60 probe rows in one bucket: hot only when the
+    // probe side's counts participate
+    val base = spark.range(5).select(col("id").as("id_a"), lit(1L).as("bucket"))
+    val probe = spark.range(100, 160).select(col("id").as("id_b"), lit(1L).as("bucket"))
+    val plain = base.join(probe, Seq("bucket")).select("id_a", "id_b")
+    val capped = Scale.cappedBucketJoin(base, probe, Seq("bucket"),
+        col("id_a"), col("id_b"), cap = 10)
+      .select("id_a", "id_b")
+    assert(plain.exceptAll(capped).count() === 0)
+    assert(capped.exceptAll(plain).count() === 0)
+  }
+
+  test("capped bucket join: maxBucket drops the degenerate bucket from both sides") {
+    val capped = Scale.cappedBucketJoin(hotBase, hotProbe, Seq("bucket"),
+        col("id_a"), col("id_b"), cap = 10, maxBucket = 20)
+      .select("bucket", "id_a", "id_b")
+    // bucket 1 (50 rows > 20) contributes nothing; cold buckets intact
+    assert(capped.where(col("bucket") === 1).count() === 0)
+    val expected = hotBase.where(col("bucket") =!= 1)
+      .join(hotProbe.where(col("bucket") =!= 1), Seq("bucket"))
+      .select("bucket", "id_a", "id_b")
+    assert(expected.exceptAll(capped).count() === 0)
+    assert(capped.exceptAll(expected).count() === 0)
+  }
 }
