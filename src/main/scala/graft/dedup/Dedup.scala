@@ -281,61 +281,105 @@ object Dedup {
     * near-dup edges — the canonical representative a dedup stage keeps
     * (drop every id where `id != cluster_id`).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels, stopping
-    * when a round changes nothing; converges in O(component diameter)
-    * rounds. Near-dup components are short chains (diameter ≪ 20), so
-    * the default cap is generous. Each round is one shuffle join on the
-    * 8-byte id plus one aggregate; the edge list is persisted once.
-    * The fixpoint (min reachable id) is partition-order-independent,
-    * which is what makes an exact DuckDB oracle possible (transitive
-    * closure via recursive CTE).
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — each round rewires every edge toward the smallest id
+    * seen in its neighborhood, converging to a forest of stars rooted
+    * at each component's minimum in O(log n) rounds. That bound (vs the
+    * O(diameter) of plain min-label propagation) is what makes
+    * long-chain components — boilerplate template families — safe: a
+    * 200-link chain converges in ~8 rounds, not ~200, and each round
+    * costs one driver action for the convergence check. All shuffles
+    * carry 8-byte id pairs. The fixpoint (min reachable id) is
+    * partition-order-independent, which is what makes an exact DuckDB
+    * oracle possible (transitive closure via recursive CTE).
     */
   def nearDupClusters(pairs: DataFrame, idACol: String = "id_a",
-                      idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+                      idBCol: String = "id_b", maxIter: Int = 20): DataFrame =
+    connectedComponents(pairs, idACol, idBCol, maxIter)._1
+
+  /** [[nearDupClusters]] plus the number of rounds the star contraction
+    * took to converge — exposed for convergence tests and job telemetry.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b",
+                          maxIter: Int = 20): (DataFrame, Int) = {
+    // large-star: every neighbor larger than u points to the min of
+    // u's closed neighborhood. Keeps connectivity, kills long chains.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val nbrs = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      nbrs.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star: orient edges big→small, then point every small
+    // neighbor (and u itself) at the neighborhood minimum.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val oriented = edges.select(
+          greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val mins = oriented.groupBy("src").agg(min("dst").as("m"))
+      oriented.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    val initial = pairs.select(
+        greatest(col(idACol), col(idBCol)).as("src"),
+        least(col(idACol), col(idBCol)).as("dst"))
+      .where(col("src") =!= col("dst"))
       .distinct()
-    edges.persist()
-    try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-      var cachedRound: DataFrame = null
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIter) {
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("id", "dst"), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min("lbl").as("nbr_lbl"))
-        val updated = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), col("lbl"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
-        updated.persist()
-        val changed = updated.where(col("new_lbl") < col("lbl")).count()
-        if (cachedRound != null) cachedRound.unpersist(blocking = false)
-        cachedRound = updated
-        labels = updated.select(col("id"), col("new_lbl").as("lbl"))
-        converged = changed == 0
-        iter += 1
-      }
-      // materialize and cut the O(iter)-deep iterative lineage. Prefer
-      // the session's reliable checkpoint dir when one is configured —
-      // on a real cluster that survives executor loss; localCheckpoint
-      // stores blocks on executors and loses them with the executor.
-      // Reliable-checkpoint files persist until the RDD is GC'd and are
-      // only auto-deleted under
-      // spark.cleaner.referenceTracking.cleanCheckpoints=true — a
-      // long-lived session invoking this repeatedly should enable that
-      // (or clean the checkpoint dir between jobs).
-      val labeled = labels.select(col("id"), col("lbl").as("cluster_id"))
-      val out =
-        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          labeled.checkpoint(eager = true)
-        else labeled.localCheckpoint(true)
-      if (cachedRound != null) cachedRound.unpersist(blocking = false)
-      out
-    } finally edges.unpersist(blocking = false)
+    val allIds = pairs.select(col(idACol).as("id"))
+      .union(pairs.select(col(idBCol).as("id"))).distinct()
+    // each round's plan references the previous round's ~4× (two star
+    // ops, each reading its input twice), so lineage MUST be cut every
+    // round — persist alone leaves an exponentially-growing logical
+    // plan that the optimizer re-walks per round. Prefer the session's
+    // reliable checkpoint dir (survives executor loss); localCheckpoint
+    // otherwise — see the trade-off note on the final cut below.
+    def cut(df: DataFrame): DataFrame =
+      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var edges = cut(initial)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = cut(smallStar(largeStar(edges)))
+      // set equality (both are distinct): one symmetric-difference probe
+      val diff = next.exceptAll(edges).union(edges.exceptAll(next))
+        .limit(1).count()
+      edges.unpersist(blocking = false)
+      edges = next
+      converged = diff == 0
+      iter += 1
+    }
+    // at the star-forest fixpoint every non-root points at its
+    // component minimum; roots (never a src) label themselves. The min
+    // aggregate is a no-op at the fixpoint but guarantees one row per
+    // id even if maxIter truncated the contraction early.
+    val labeled = edges.select(col("src").as("id"), col("dst").as("cluster_id"))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      .union(allIds.join(edges.select(col("src").as("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_id")))
+    // materialize and cut the iterative lineage. Prefer the session's
+    // reliable checkpoint dir when one is configured — on a real
+    // cluster that survives executor loss; localCheckpoint stores
+    // blocks on executors and loses them with the executor. Reliable-
+    // checkpoint files persist until the RDD is GC'd and are only
+    // auto-deleted under
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true — a
+    // long-lived session invoking this repeatedly should enable that
+    // (or clean the checkpoint dir between jobs).
+    val out = cut(labeled)
+    edges.unpersist(blocking = false)
+    (out, iter)
   }
 
   /** Leakage-safe dataset split: assign train/val/test by the near-dup

@@ -114,6 +114,19 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("near-dup clusters: a 200-link chain converges in O(log n) rounds") {
+    // the long-chain stress (template families): plain min-label
+    // propagation needs ~200 rounds here; star contraction must land
+    // the whole chain on id 0 in a handful
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (out, rounds) = Dedup.connectedComponents(pairs, maxIter = 12)
+    val labels = out.as[(Long, Long)].collect().toMap
+    assert(labels.size === 201)
+    assert(labels.values.forall(_ === 0L), s"non-min labels: ${labels.filter(_._2 != 0L).take(5)}")
+    // ~log2(200) contraction rounds + the final no-change confirmation
+    assert(rounds <= 10, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
   test("near-dup clusters use the reliable checkpoint dir when configured") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
