@@ -600,8 +600,10 @@ object OracleSql {
         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
         |FROM k ORDER BY doc_id""".stripMargin
 
-    /** Twin of q66: dedup keep-min → quality formula (as q33) → langid
-      * (as q32) → token count → PII redaction, composed in CTEs.
+    /** Twin of q66: exact dedup keep-min → near-dup canonical keep
+      * (the q65 cluster labels — same shared CTE chain) → quality
+      * formula (as q33) → langid (as q32) → token count → PII
+      * redaction, composed in CTEs.
       */
     def curationPipelineSql: String = {
       val stop = TextFns.EN_STOPWORDS.map(w => s"'$w'").mkString(", ")
@@ -613,9 +615,11 @@ object OracleSql {
       val email = TextFns.EMAIL_RE
       val ssn = TextFns.SSN_RE
       val phone = TextFns.PHONE_RE
-      s"""WITH keep AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)),
+      clusterCtes + s""",
+         |keep AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)),
          |d AS (SELECT doc_id, text FROM documents
-         |      WHERE doc_id IN (SELECT kid FROM keep)),
+         |      WHERE doc_id IN (SELECT kid FROM keep)
+         |        AND doc_id NOT IN (SELECT id FROM labels WHERE cluster_id <> id)),
          |t AS (SELECT doc_id, text, ${tokensE("text")} AS tk FROM d),
          |m AS (SELECT doc_id, text, tk,
          |  CAST(len(tk) AS DOUBLE) AS n_tok,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.dedup.Dedup
+import graft.dedup.{Curation, Dedup}
 import graft.formats.{AvroCodec, ConfluentEnvelope, ProtoCodec}
 import graft.functions.{HashFns, TextFns, VectorFns}
 import graft.ops.{Ops, Pipeline, Scale}
@@ -787,16 +787,17 @@ object Queries {
     * computes the identical fixpoint via a recursive-CTE transitive
     * closure.
     */
-  val q65_dedup_clusters: Q = (s, d) => {
-    val pairs = Dedup.minhashNearDupPairs(Scale.fanOut(Tables.documents(s, d)),
-      "doc_id", "text", threshold = 0.2, numHashes = 32, bands = 8, shingleWidth = 2)
-    Dedup.nearDupClusters(pairs).orderBy("id")
-  }
+  val q65_dedup_clusters: Q = (s, d) =>
+    Curation.clusterLabels(Tables.documents(s, d), "doc_id", "text",
+      corpusKey = d).orderBy("id")
 
   /** End-to-end curation pipeline — the composed form of the verified
-    * pieces: exact dedup (keep min id per content hash) → quality
-    * filter → language-ID → token budget → PII redaction. One broadcast
-    * semi-join + map-only projections; the oracle composes the same
+    * pieces: exact dedup (keep min id per content hash) → near-dup
+    * dedup (keep each cluster's canonical member, from the STAGED
+    * label table q65/q74 also consume — the clustering job runs once
+    * per corpus, not once per query) → quality filter → language-ID →
+    * token budget → PII redaction. One broadcast semi-join + one label
+    * join + map-only projections; the oracle composes the same
     * formulas in CTEs.
     */
   val q66_curation_pipeline: Q = (s, d) => {
@@ -805,7 +806,9 @@ object Queries {
       .select(TextFns.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val clusters = Curation.clusterLabels(docs, "doc_id", "text", corpusKey = d)
+    Curation.dedupCanonical(docs.join(keepIds, Seq("doc_id"), "left_semi"),
+        "doc_id", clusters)
       .select(col("doc_id"),
         TextFns.langId(col("text")).as("lang_pred"),
         TextFns.qualityScore(col("text")).as("quality"),
@@ -930,9 +933,8 @@ object Queries {
     */
   val q74_leakage_safe_split: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashNearDupPairs(Scale.fanOut(docs),
-      "doc_id", "text", threshold = 0.2, numHashes = 32, bands = 8, shingleWidth = 2)
-    Dedup.leakageSafeSplit(docs, "doc_id", Dedup.nearDupClusters(pairs))
+    Dedup.leakageSafeSplit(docs, "doc_id",
+        Curation.clusterLabels(docs, "doc_id", "text", corpusKey = d))
       .orderBy("doc_id")
   }
 
