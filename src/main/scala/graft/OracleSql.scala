@@ -342,6 +342,7 @@ object OracleSql {
     "q76_knn_self" -> Gen.knnSelfSql,
     "q77_eval_sample" -> Gen.evalSampleSql,
     "q78_adaptive_quality" -> Gen.adaptiveQualitySql,
+    "q79_ivf_auto" -> Gen.ivfAutoSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -830,6 +831,54 @@ object OracleSql {
         |        FROM q GROUP BY lang)
         |SELECT q.doc_id, q.lang, q.quality FROM q JOIN med ON q.lang = med.lang
         |WHERE q.quality >= med.lang_median ORDER BY q.doc_id""".stripMargin
+
+    /** Twin of q79_ivf_auto: the identical deterministic IVF pipeline —
+      * hash61-ordered sample of 64, first 4 as init centroids, one
+      * Lloyd round with exact DECIMAL(30,15) dimension sums (cosine is
+      * scale-invariant, so the un-divided sums ARE the centroids),
+      * nearest-cell assignment with ties to the larger cell, nProbe=2
+      * probing, top-5 by (sim DESC, id).
+      */
+    def ivfAutoSql: String = {
+      val h = duckHash61("'ivf42:' || CAST(id AS VARCHAR)")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |smp AS (SELECT id, v, $h AS h FROM e ORDER BY h LIMIT 64),
+         |init AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, v
+         |         FROM (SELECT h, v FROM smp ORDER BY h LIMIT 4) t),
+         |sasn AS (SELECT id, cell FROM (
+         |   SELECT s.id, c.cell,
+         |     row_number() OVER (PARTITION BY s.id
+         |       ORDER BY ${cosineE("s.v", "c.v")} DESC, c.cell DESC) AS rnk
+         |   FROM smp s CROSS JOIN init c) t WHERE rnk = 1),
+         |sdim AS (SELECT a.cell, unnest(s.v) AS x,
+         |                unnest(range(1, len(s.v) + 1)) AS pos
+         |         FROM sasn a JOIN smp s USING(id)),
+         |upd AS (SELECT cell, pos, SUM(CAST(x AS DECIMAL(30,15))) AS sd
+         |        FROM sdim GROUP BY cell, pos),
+         |cvec AS (SELECT cell, list(CAST(sd AS DOUBLE) ORDER BY pos) AS v
+         |         FROM upd GROUP BY cell),
+         |cfin AS (SELECT i.cell, COALESCE(c.v, i.v) AS v
+         |         FROM init i LEFT JOIN cvec c USING (cell)),
+         |casn AS (SELECT id, cell FROM (
+         |  SELECT e.id, f.cell, row_number() OVER (PARTITION BY e.id
+         |    ORDER BY ${cosineE("e.v", "f.v")} DESC, f.cell DESC) AS rnk
+         |  FROM e CROSS JOIN cfin f) t WHERE rnk = 1),
+         |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 3),
+         |qp AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, f.cell, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosineE("q.qv", "f.v")} DESC, f.cell DESC) AS rnk
+         |  FROM q CROSS JOIN cfin f) t WHERE rnk <= 2),
+         |scored AS (
+         |  SELECT qp.query_id, ca.id, ${cosineE("ev.v", "qq.qv")} AS sim
+         |  FROM qp JOIN casn ca ON ca.cell = qp.cell
+         |       JOIN e ev ON ev.id = ca.id
+         |       JOIN q qq ON qq.query_id = qp.query_id),
+         |ranked AS (SELECT query_id, id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, id, round(sim, 4) AS sim, "rank" FROM ranked
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    }
 
     def posexplodeSql: String =
       s"""SELECT doc_id, u['pos'] AS pos, u['token'] AS token FROM (

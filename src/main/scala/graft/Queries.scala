@@ -1011,6 +1011,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** End-to-end IVF ANN from raw embeddings only: hash-deterministic
+    * sampled k-means (one Lloyd round; dimension sums are exact
+    * DECIMAL and, cosine being scale-invariant, serve directly as
+    * centroids) builds the cells, then the nProbe=2 IVF search runs as
+    * an equi-join on the cell id. Every step is deterministic on any
+    * partitioning, so the oracle replays the identical pipeline in SQL.
+    */
+  val q79_ivf_auto: Q = (s, d) => {
+    val e = Scale.fanOut(Tables.embeddings(s, d))
+    Similarity.ivfTopKAuto(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, numCells = 4, nProbe = 2, iters = 1, sampleN = 64)
+      .select(col("query_id"), col("id"), round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1090,5 +1106,6 @@ object Queries {
     "q75_token_chunks" -> q75_token_chunks,
     "q76_knn_self" -> q76_knn_self,
     "q77_eval_sample" -> q77_eval_sample,
-    "q78_adaptive_quality" -> q78_adaptive_quality)
+    "q78_adaptive_quality" -> q78_adaptive_quality,
+    "q79_ivf_auto" -> q79_ivf_auto)
 }

@@ -133,24 +133,91 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int, centroids: Seq[Array[Double]], nProbe: Int = 2): DataFrame = {
-    def cellOf(v: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (ctr, i) =>
-        struct(cosine(v, typedlit(ctr.toSeq)).as("sim"), lit(i).as("cell"))
-      }
-      array_max(array(scored: _*)).getField("cell")
-    }
-    def topCells(v: Column, n: Int): Column = {
-      val scored = centroids.zipWithIndex.map { case (ctr, i) =>
-        struct(cosine(v, typedlit(ctr.toSeq)).as("sim"), lit(i).as("cell"))
-      }
-      slice(reverse(array_sort(array(scored: _*))), 1, n).getField("cell")
-    }
     val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("cell", cellOf(col("v")))
+      .withColumn("cell", nearestCell(col("v"), centroids))
     val q = queries.select(col(qIdCol).as("query_id"), toDouble(col(qVecCol)).as("qv"))
-      .withColumn("cell", explode(topCells(col("qv"), nProbe)))
+      .withColumn("cell", explode(topCells(col("qv"), centroids, nProbe)))
     val scored = c.join(broadcast(q), "cell")
       .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
     topKRanked(scored, k)
   }
+
+  /** (sim, cell) structs of `v` against each centroid; ties break
+    * toward the larger cell via struct ordering — deterministic.
+    */
+  private def cellScores(v: Column, centroids: Seq[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(cosine(v, typedlit(ctr.toSeq)).as("sim"), lit(i).as("cell"))
+    }
+
+  /** Nearest IVF cell (constant-width codegen'd projection). */
+  private[sim] def nearestCell(v: Column, centroids: Seq[Array[Double]]): Column =
+    array_max(array(cellScores(v, centroids): _*)).getField("cell")
+
+  /** The `n` nearest cells, best first (query-side multi-probe). */
+  private[sim] def topCells(v: Column, centroids: Seq[Array[Double]], n: Int): Column =
+    slice(reverse(array_sort(array(cellScores(v, centroids): _*))), 1, n).getField("cell")
+
+  /** Sampled k-means centroid builder — the "where do centroids come
+    * from" half of [[ivfTopK]], so IVF runs end-to-end from raw
+    * embeddings without leaving the engine.
+    *
+    * Shape: a hash-deterministic sample (order by `hash61(seed:id)`,
+    * take `sampleN` — a bounded TakeOrdered, never a full sort) seeds
+    * and feeds a few Lloyd rounds run as DataFrame aggregates:
+    * assignment is the constant-width [[nearestCell]] projection, the
+    * update is a (cell, dim) grouped SUM — k×dim rows to the driver
+    * per round, tiny by construction. Sums are exact DECIMAL (partial
+    * aggregation order never changes the result) and are used directly
+    * as centroids: cosine is scale-invariant, so the un-divided sum
+    * IS the mean direction. Every step is deterministic on any
+    * partitioning, making a SQL oracle twin possible.
+    *
+    * At corpus scale nothing here grows: the sample is `sampleN` rows,
+    * each round shuffles k×dim grouped partials, and the result is a
+    * k×dim driver-side list that [[ivfTopK]] folds into expressions.
+    */
+  def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2, sampleN: Int = 512,
+                      seed: Long = 42L): Seq[Array[Double]] = {
+    require(k > 0 && sampleN >= k, "need sampleN >= k > 0")
+    import graft.functions.HashFns
+    val h = HashFns.hash61(concat(lit(s"ivf$seed:"), col(idCol).cast("string")))
+    val sample = corpus
+      .select(toDouble(col(vecCol)).as("v"), h.as("h"))
+      .orderBy("h").limit(sampleN)
+    sample.persist()
+    try {
+      var centroids: Seq[Array[Double]] = sample.orderBy("h").limit(k)
+        .select("v").collect()
+        .map(_.getSeq[Double](0).toArray).toSeq
+      for (_ <- 0 until iters) {
+        val sums = sample
+          .select(nearestCell(col("v"), centroids).as("cell"), col("v"))
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(sum(col("x").cast("decimal(30,15)")).as("s"))
+          .collect()
+        // empty cells keep their previous centroid
+        val next = centroids.map(_.clone).toArray
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue()
+        }
+        centroids = next.toSeq
+      }
+      centroids
+    } finally sample.unpersist(blocking = false)
+  }
+
+  /** End-to-end IVF ANN from raw embeddings: build centroids with
+    * [[kMeansCentroids]], then search with [[ivfTopK]].
+    */
+  def ivfTopKAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                  k: Int, numCells: Int = 8, nProbe: Int = 2,
+                  iters: Int = 2, sampleN: Int = 512,
+                  seed: Long = 42L): DataFrame =
+    ivfTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k,
+      kMeansCentroids(corpus, idCol, vecCol, numCells, iters, sampleN, seed),
+      nProbe)
 }

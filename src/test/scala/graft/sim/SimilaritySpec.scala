@@ -94,4 +94,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.length === 5)
     assert(ids.forall(_ < 40L)) // same cluster as query
   }
+
+  test("k-means centroids: deterministic, and one lands near each true center") {
+    val corpus = clustered
+    val a = Similarity.kMeansCentroids(corpus, "vec_id", "embedding",
+      k = 3, iters = 2, sampleN = 60)
+    val b = Similarity.kMeansCentroids(corpus, "vec_id", "embedding",
+      k = 3, iters = 2, sampleN = 60)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "hash-deterministic sample + decimal sums must reproduce exactly")
+    // every corpus cluster claims some centroid as its nearest (the 3
+    // well-separated clusters can't all collapse onto one cell)
+    val cells = corpus
+      .select((col("vec_id") / 40).cast("int").as("truth"),
+        Similarity.nearestCell(VectorFns.toDouble(col("embedding")), a).as("cell"))
+      .distinct().as[(Int, Int)].collect()
+    val byTruth = cells.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    // each true cluster maps coherently: one dominant cell per cluster
+    assert(byTruth.size === 3)
+    assert(byTruth.values.forall(_.size === 1),
+      s"clusters straddle IVF cells after Lloyd rounds: $byTruth")
+    assert(byTruth.values.flatten.toSet.size === 3, "cells must separate the clusters")
+  }
+
+  test("IVF end-to-end from raw embeddings only (auto centroids)") {
+    val corpus = clustered
+    val queries = corpus.where(col("vec_id") === 0)
+    val out = Similarity.ivfTopKAuto(corpus, "vec_id", "embedding",
+      k = 5, numCells = 3, nProbe = 1, iters = 2, sampleN = 60,
+      queries = queries, qIdCol = "vec_id", qVecCol = "embedding")
+    val ids = out.select("id").as[Long].collect()
+    assert(ids.length === 5)
+    assert(ids.forall(_ < 40L), s"neighbors outside the query's cluster: ${ids.mkString(",")}")
+  }
 }
