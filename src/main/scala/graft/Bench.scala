@@ -130,52 +130,65 @@ object Bench {
     // warm-up) is excluded, matching the batch trials' warm-up run;
     // batches 1-4 are measured by their own triggerExecution times, so
     // trigger-idle gaps don't inflate the denominator.
-    val synth = spark.readStream.format("rate-micro-batch")
-      .option("rowsPerBatch", 250000)
-      .option("numPartitions", cpus.toInt)
-      .load()
-    val kafkaShaped = synth.select(
-      col("value").cast("string").cast("binary").as("key"),
-      to_json(struct(
-        col("value").as("event_id"),
-        pmod(col("value"), lit(150L)).as("user_id"),
-        when(pmod(col("value"), lit(20L)) === 0L, lit("error"))
-          .otherwise(lit("click")).as("event_type"),
-        round(col("value") / 7.0, 3).as("value"))).cast("binary").as("value"),
-      lit("events").as("topic"), lit(0).as("partition"),
-      col("value").as("offset"), col("timestamp"),
-      lit(0).as("timestampType"),
-      array().cast("array<struct<key:string,value:binary>>").as("headers"))
-    // a failure or stall here must not discard the batch results above:
-    // bounded wait, exceptions degrade to a 0 sentinel in the JSON
-    val (streamRows, streamingSec) = try {
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
-      val sq = pipelineOver(kafkaShaped).writeStream
-        .format("noop").option("checkpointLocation", ckpt).start()
-      // progress for batch N posts when N completes, so batchId == 4
-      // means the measured batches 1-4 are all done
-      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-      while (Option(sq.lastProgress).forall(_.batchId < 4) && sq.isActive
-             && System.nanoTime() < deadline)
-        Thread.sleep(20)
-      // read progress BEFORE stop(): even if the stop times out, the
-      // completed batches' numbers survive into the JSON
-      val measured = sq.recentProgress.filter(p => p.batchId >= 1 && p.batchId <= 4)
-      if (sys.env.contains("GRAFT_BENCH_DEBUG"))
-        sq.recentProgress.foreach(p => System.err.println(
-          s"[bench-debug] batch=${p.batchId} rows=${p.numInputRows} " +
-            s"durationMs=${p.durationMs}"))
-      try sq.stop()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming stop timed out: ${e.getMessage}") }
-      (measured.map(_.numInputRows).sum,
-        measured.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000).sum)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] streaming failed: ${e.getMessage}")
-      (0L, 0.0)
+    // measured at several batch sizes: per-trigger fixed cost (offset
+    // log + commit log writes, planning) is amortized by batch size, so
+    // the sweep separates pipeline throughput from trigger overhead —
+    // the headline is the best size, the sweep is in the JSON.
+    def measureStreaming(rowsPerBatch: Long): (Long, Double) = {
+      val synth = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch)
+        .option("numPartitions", cpus.toInt)
+        .load()
+      val kafkaShaped = synth.select(
+        col("value").cast("string").cast("binary").as("key"),
+        to_json(struct(
+          col("value").as("event_id"),
+          pmod(col("value"), lit(150L)).as("user_id"),
+          when(pmod(col("value"), lit(20L)) === 0L, lit("error"))
+            .otherwise(lit("click")).as("event_type"),
+          round(col("value") / 7.0, 3).as("value"))).cast("binary").as("value"),
+        lit("events").as("topic"), lit(0).as("partition"),
+        col("value").as("offset"), col("timestamp"),
+        lit(0).as("timestampType"),
+        array().cast("array<struct<key:string,value:binary>>").as("headers"))
+      // a failure or stall here must not discard the batch results
+      // above: bounded wait, exceptions degrade to a 0 sentinel
+      try {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+        val sq = pipelineOver(kafkaShaped).writeStream
+          .format("noop").option("checkpointLocation", ckpt).start()
+        // progress for batch N posts when N completes, so batchId == 4
+        // means the measured batches 1-4 are all done
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (Option(sq.lastProgress).forall(_.batchId < 4) && sq.isActive
+               && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        // read progress BEFORE stop(): even if the stop times out, the
+        // completed batches' numbers survive into the JSON
+        val measured = sq.recentProgress.filter(p => p.batchId >= 1 && p.batchId <= 4)
+        if (sys.env.contains("GRAFT_BENCH_DEBUG"))
+          sq.recentProgress.foreach(p => System.err.println(
+            s"[bench-debug] rowsPerBatch=$rowsPerBatch batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durationMs=${p.durationMs}"))
+        try sq.stop()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming stop timed out: ${e.getMessage}") }
+        (measured.map(_.numInputRows).sum,
+          measured.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000).sum)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        (0L, 0.0)
+      }
     }
-    val streamingRecPerSec =
-      if (streamingSec > 0) streamRows / streamingSec else 0.0
+    val streamSweep = Seq(250000L, 1000000L, 2000000L).map { n =>
+      val (rows, sec) = measureStreaming(n)
+      (n, rows, sec, if (sec > 0) rows / sec else 0.0)
+    }
+    val (_, streamRows, streamingSec, streamingRecPerSec) =
+      streamSweep.maxBy(_._4)
+    val sweepJson = streamSweep.map { case (n, _, _, rps) =>
+      "\"" + n + "\":" + rps.round
+    }.mkString("{", ",", "}")
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""trials":$trialsJson,""" +
@@ -183,7 +196,8 @@ object Bench {
       s""""pipeline_rec_per_sec":${recPerSec.round},"pipeline_rows":$eventRows,""" +
       s""""streaming_rec_per_sec":${streamingRecPerSec.round},""" +
       s""""streaming_rows":$streamRows,""" +
-      s""""streaming_sec":$streamingSec,"sf":"$sfDir"}"""
+      s""""streaming_sec":$streamingSec,""" +
+      s""""streaming_by_batch_size":$sweepJson,"sf":"$sfDir"}"""
     // stop BEFORE printing so Spark's shutdown logging can't interleave
     // after the JSON line — the driver parses the last stdout line(s).
     spark.stop()
