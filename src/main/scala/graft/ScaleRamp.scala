@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10× scale-ramp smoke test: "the plan survives a scale-up" argued
+  * from a measurement instead of plan shape alone.
+  *
+  * Synthesizes a `factor`× corpus from the sf0.1 fixtures by exploding
+  * each fact row into `factor` replicas with REMAPPED keys
+  * (`id*factor+rep`), so each replica occupies a disjoint id space:
+  * join fan-outs, group sizes and LSH bucket densities stay realistic
+  * instead of multiplying (10 exact copies of every doc id would square
+  * the candidate-pair stages — a different, artificial workload).
+  * Dimensions (nation/region/supplier/part) copy unchanged, like real
+  * scale-ups. The output is written `repartition(cpus)` so scans open
+  * with real split parallelism — multi-row-group files, unlike the
+  * single-row-group test fixtures.
+  *
+  * Then times every Bench headline query at both scales (best of 2,
+  * noop sink) and prints one JSON line with per-query scaling factors.
+  * A healthy plan lands ≤ ~12× at 10× data (linear + spill/shuffle
+  * slack); super-linear factors flag the query for a plan audit at
+  * scale (`runMain graft.PlanAudit <rampDir>`).
+  *
+  * Run: `sbt "runMain graft.ScaleRamp [srcDir] [outDir]"`.
+  */
+object ScaleRamp {
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-ramp"
+    val factor = sys.env.getOrElse("GRAFT_RAMP_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-ramp")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // fact tables: replicate with remapped keys (FK pairs consistently,
+    // so every replica joins exactly like the original)
+    val remapKeys: Map[String, Seq[String]] = Map(
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey"),
+      "events" -> Seq("event_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    val copyOnly = Seq("nation", "region", "supplier", "part")
+
+    remapKeys.foreach { case (name, keys) =>
+      val raw = spark.read.parquet(s"$srcDir/$name.parquet")
+      val rep = raw.withColumn("__rep",
+        explode(sequence(lit(0), lit(factor - 1))))
+      val remapped = keys.foldLeft(rep) { (d, k) =>
+        d.withColumn(k, col(k) * factor + col("__rep"))
+      }.drop("__rep")
+      remapped.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    copyOnly.foreach { name =>
+      spark.read.parquet(s"$srcDir/$name.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    System.err.println(s"[ramp] wrote ${factor}x fixtures to $outDir")
+
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      Queries.all(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = Bench.headline.map { name =>
+      val base = (1 to 2).map(_ => time(srcDir, name)).min
+      val ramped = (1 to 2).map(_ => time(outDir, name)).min
+      System.err.println(f"[ramp] $name%-26s base=$base%6.2fs ramped=$ramped%6.2fs factor=${ramped / base}%5.2f")
+      (name, base, ramped, ramped / base)
+    }
+    val json = rows.map { case (n, b, r, f) =>
+      s""""$n":{"base_sec":$b,"ramped_sec":$r,"factor":${math.round(f * 100) / 100.0}}"""
+    }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"metric":"scale_ramp","factor":$factor,"src":"$srcDir","queries":$json}""")
+    System.out.flush()
+  }
+}
