@@ -343,6 +343,9 @@ object OracleSql {
     "q77_eval_sample" -> Gen.evalSampleSql,
     "q78_adaptive_quality" -> Gen.adaptiveQualitySql,
     "q79_ivf_auto" -> Gen.ivfAutoSql,
+    "q80_dup_ngram_spans" -> Gen.dupNgramSpansSql,
+    "q81_semdedup" -> Gen.semDedupSql,
+    "q82_shuffle_shards" -> Gen.shuffleShardsSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -839,7 +842,15 @@ object OracleSql {
       * nearest-cell assignment with ties to the larger cell, nProbe=2
       * probing, top-5 by (sim DESC, id).
       */
-    def ivfAutoSql: String = {
+    /** Shared CTE chain of the deterministic IVF pipeline (q79/q81):
+      * corpus `e`, hash-ordered 64-sample, 4 init centroids, one Lloyd
+      * round with exact DECIMAL(30,15) dimension sums, final centroids
+      * `cfin`, and the full-corpus nearest-cell assignment `casn`
+      * (ties to the larger cell). Twin of
+      * Similarity.kMeansCentroids(numCells=4, iters=1, sampleN=64) +
+      * nearestCell over every corpus vector.
+      */
+    private def ivfCellCtes: String = {
       val h = duckHash61("'ivf42:' || CAST(id AS VARCHAR)")
       s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |smp AS (SELECT id, v, $h AS h FROM e ORDER BY h LIMIT 64),
@@ -862,7 +873,11 @@ object OracleSql {
          |casn AS (SELECT id, cell FROM (
          |  SELECT e.id, f.cell, row_number() OVER (PARTITION BY e.id
          |    ORDER BY ${cosineE("e.v", "f.v")} DESC, f.cell DESC) AS rnk
-         |  FROM e CROSS JOIN cfin f) t WHERE rnk = 1),
+         |  FROM e CROSS JOIN cfin f) t WHERE rnk = 1)""".stripMargin
+    }
+
+    def ivfAutoSql: String = {
+      s"""$ivfCellCtes,
          |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 3),
          |qp AS (SELECT query_id, cell FROM (
          |  SELECT q.query_id, f.cell, row_number() OVER (PARTITION BY q.query_id
@@ -878,6 +893,65 @@ object OracleSql {
          |  FROM scored)
          |SELECT query_id, id, round(sim, 4) AS sim, "rank" FROM ranked
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    }
+
+    /** Twin of q81_semdedup: the q79 IVF cells, then within each cell
+      * drop every vector with a lower-id neighbor at cosine >= 0.4
+      * (each near-dup chain keeps its min id).
+      */
+    def semDedupSql: String =
+      s"""$ivfCellCtes,
+         |p AS (SELECT x.id AS id
+         |      FROM casn x JOIN casn y ON x.cell = y.cell AND y.id < x.id
+         |      JOIN e ex ON ex.id = x.id JOIN e ey ON ey.id = y.id
+         |      WHERE ${cosineE("ex.v", "ey.v")} >= 0.4
+         |      GROUP BY x.id)
+         |SELECT c.id AS vec_id, CAST(c.cell AS INT) AS cell,
+         |  (p.id IS NULL) AS kept
+         |FROM casn c LEFT JOIN p ON p.id = c.id ORDER BY vec_id""".stripMargin
+
+    /** Twin of q80_dup_ngram_spans: positioned 5-gram hashes, grams in
+      * >= 2 distinct docs, per-doc gaps-and-islands union via a running
+      * max window (contribution = tokens past the previous covered
+      * end).
+      */
+    def dupNgramSpansSql: String = {
+      val gramHash = duckHash61("array_to_string(w[i:i+4], ' ')")
+      s"""WITH t AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |tt AS (SELECT doc_id, w, len(w) AS n_tokens FROM t WHERE len(w) >= 5),
+         |g AS (SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
+         |  SELECT doc_id,
+         |    unnest([{'pos': i - 1, 'h': $gramHash}
+         |            for i in range(1, len(w) - 3)]) AS u
+         |  FROM tt) z),
+         |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM g) gd
+         |        GROUP BY h HAVING count(*) >= 2),
+         |hit AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+         |sp AS (SELECT doc_id, pos,
+         |         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM hit),
+         |agg AS (SELECT doc_id,
+         |          SUM(CASE WHEN prev_end IS NULL THEN 5
+         |              ELSE greatest(0, least(5, pos + 4 - prev_end)) END) AS dup_tokens
+         |        FROM sp GROUP BY doc_id)
+         |SELECT tt.doc_id, CAST(tt.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  round(CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE) / tt.n_tokens, 6) AS dup_frac
+         |FROM tt LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+    }
+
+    /** Twin of q82_shuffle_shards: hash-sharded, hash-ordered training
+      * manifest (ties broken by doc_id).
+      */
+    def shuffleShardsSql: String = {
+      val sh = duckHash61("'shard42:' || CAST(doc_id AS VARCHAR)")
+      val ord = duckHash61("'ord42:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH x AS (SELECT doc_id, CAST($sh % 16 AS INT) AS shard, $ord AS o
+         |           FROM documents)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY o, doc_id) AS pos
+         |FROM x ORDER BY doc_id""".stripMargin
     }
 
     def posexplodeSql: String =

@@ -3,7 +3,7 @@ package graft
 import graft.dedup.{Curation, Dedup}
 import graft.formats.{AvroCodec, ConfluentEnvelope, ProtoCodec}
 import graft.functions.{HashFns, TextFns, VectorFns}
-import graft.ops.{Ops, Pipeline, Scale}
+import graft.ops.{Ops, Pipeline, Scale, Sharding}
 import graft.sim.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1027,6 +1027,42 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Duplicate n-gram span stats (Lee-et-al substring dedup, token
+    * formulation): per document, the tokens covered by 5-grams that
+    * also occur in at least one other document, overlaps merged so no
+    * token counts twice. All heavy traffic is (8-byte hash, id, pos)
+    * triples; the span merge is a per-doc running-max window. See
+    * [[graft.dedup.Dedup.dupNgramSpans]] for the 100 TB argument.
+    */
+  val q80_dup_ngram_spans: Q = (s, d) =>
+    Dedup.dupNgramSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** SemDeDup: semantic dedup via the q79 deterministic IVF cells +
+    * within-cell cosine pruning at 0.4 (the synthetic embeddings top
+    * out at cos ≈ 0.51, same convention as q49's low threshold). Keeps
+    * the min id of every near-dup chain; emits (vec_id, cell, kept)
+    * for the whole corpus.
+    */
+  val q81_semdedup: Q = (s, d) =>
+    Similarity.semDedup(Scale.fanOut(Tables.embeddings(s, d)),
+        "vec_id", "embedding",
+        threshold = 0.4, numCells = 4, iters = 1, sampleN = 64)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  /** Deterministic training-order manifest: hash-sharded,
+    * hash-ordered-within-shard global shuffle of the corpus — the
+    * reproducible permutation a dataloader consumes as (shard file,
+    * offset). One hash shuffle + per-shard sort; nShards is the scale
+    * knob (see [[graft.ops.Sharding.shardManifest]]).
+    */
+  val q82_shuffle_shards: Q = (s, d) =>
+    Sharding.shardManifest(Tables.documents(s, d), "doc_id", nShards = 16)
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1107,5 +1143,8 @@ object Queries {
     "q76_knn_self" -> q76_knn_self,
     "q77_eval_sample" -> q77_eval_sample,
     "q78_adaptive_quality" -> q78_adaptive_quality,
-    "q79_ivf_auto" -> q79_ivf_auto)
+    "q79_ivf_auto" -> q79_ivf_auto,
+    "q80_dup_ngram_spans" -> q80_dup_ngram_spans,
+    "q81_semdedup" -> q81_semdedup,
+    "q82_shuffle_shards" -> q82_shuffle_shards)
 }

@@ -469,4 +469,68 @@ object Dedup {
       .withColumn("overlap_ratio",
         round(col("n_overlap").cast("double") / col("n_shingles"), 6))
   }
+
+  /** Substring-level exact-duplication stats — the distributable
+    * token-n-gram formulation of suffix-array substring dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"; kpipe has no analog). A token position is
+    * "duplicated" when it is covered by at least one length-`n` token
+    * n-gram that also occurs in `minDocs` or more distinct documents;
+    * overlapping duplicated n-grams merge into spans, so a token is
+    * never counted twice. Returns one row per document with >= n
+    * tokens: (id, n_tokens, dup_tokens, dup_frac) — filter
+    * `dup_frac >= t` to drop template-heavy docs, or feed the spans to
+    * a cut pass. Within-doc-only repetition is deliberately excluded
+    * (that is repetitionStats' job — see ops.TextStats).
+    *
+    * Scale shape: positioned n-grams are hashed to 61-bit keys inside
+    * the same projection that explodes them, so the frequency
+    * aggregate and the hit join shuffle (hash, id, pos) — ~24
+    * bytes/gram, never text. The distinct-doc count is a two-level
+    * aggregate on the 8-byte hash (dedup (h, id) first, then count —
+    * both with map-side partials), not a count window, so a
+    * boilerplate gram shared by 10⁹ docs never buffers in one task.
+    * The duplicated-gram table is NOT broadcast (at corpus scale it is
+    * large); the hit join shuffles on the hash. Span merging is a
+    * per-document gaps-and-islands window — a running max over rows
+    * sorted within the doc partition, state bounded by the longest
+    * single document, not by any corpus property.
+    */
+  def dupNgramSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && minDocs >= 1, "need n >= 1 and minDocs >= 1")
+    val toks = docs
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+    val grams = toks.select(col("id"),
+      posexplode(transform(sequence(lit(0), size(col("w")) - n),
+        i => HashFns.hash61(array_join(slice(col("w"), i + 1, lit(n)), " "))))
+        .as(Seq("pos", "h")))
+    val dupGrams = grams.select("h", "id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select("h")
+    val hits = grams.join(dupGrams, "h").select("id", "pos")
+    // Gaps-and-islands without island ids: each gram [pos, pos+n-1]
+    // contributes the tokens past the running max end of all earlier
+    // grams in the doc — n for a fresh island, the non-overlap for an
+    // extension, 0 when fully covered. Summing contributions IS the
+    // union size.
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = hits
+      .withColumn("prev_end", max(col("pos") + (n - 1)).over(w))
+      .select(col("id"),
+        when(col("prev_end").isNull, lit(n.toLong))
+          .otherwise(greatest(lit(0L), least(lit(n.toLong),
+            col("pos") + (n - 1) - col("prev_end")))).as("add"))
+    val perDoc = contrib.groupBy("id").agg(sum("add").as("dup_tokens"))
+    toks.select(col("id"), size(col("w")).cast("bigint").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_frac"))
+  }
 }

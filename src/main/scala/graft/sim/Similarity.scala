@@ -220,4 +220,46 @@ object Similarity {
     ivfTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k,
       kMeansCentroids(corpus, idCol, vecCol, numCells, iters, sampleN, seed),
       nProbe)
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic dedup by
+    * coarse clustering + within-cluster cosine pruning. Every vector
+    * is assigned to its nearest [[kMeansCentroids]] cell; within a
+    * cell, a vector is DROPPED when some lower-id vector of the same
+    * cell sits at cosine >= `threshold` (so each near-dup chain keeps
+    * its minimum id — deterministic, no iteration). Returns one row
+    * per corpus vector: (id, cell, kept).
+    *
+    * Scale shape: the centroid build touches only a `sampleN`-row
+    * hash-deterministic sample; cell assignment is a constant-width
+    * codegen'd projection (numCells × dim literals folded into the
+    * plan), so the corpus is never collected or broadcast. The
+    * within-cell pair generation is the whole point of the algorithm —
+    * comparisons drop from O(corpus²) to Σ cell² — and runs through
+    * [[graft.ops.Scale.cappedBucketJoin]]: a dense cell (exactly what
+    * a near-dup-heavy corpus produces) grid-splits instead of becoming
+    * one quadratic task. At real scale numCells grows with the corpus
+    * (the paper uses ~10⁵ cells for web scale) so cells stay bounded;
+    * `maxBucket` additionally drops degenerate cells outright.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, numCells: Int = 8,
+               iters: Int = 2, sampleN: Int = 512, seed: Long = 42L,
+               bucketCap: Int = 10000,
+               maxBucket: Long = Long.MaxValue): DataFrame = {
+    val centroids =
+      kMeansCentroids(corpus, idCol, vecCol, numCells, iters, sampleN, seed)
+    val c = corpus
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("cell", nearestCell(col("v"), centroids))
+    val lo = c.select(col("cell"), col("id").as("id_lo"), col("v").as("v_lo"))
+    val dropped = Scale.cappedBucketJoin(c, lo, Seq("cell"),
+        col("id"), col("id_lo"), bucketCap, maxBucket)
+      .where(col("id_lo") < col("id") &&
+        cosine(col("v"), col("v_lo")) >= threshold)
+      .select("id").distinct()
+      .withColumn("hit", lit(1))
+    c.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("hit").isNull.as("kept"))
+  }
 }

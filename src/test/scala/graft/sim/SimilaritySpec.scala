@@ -127,4 +127,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.length === 5)
     assert(ids.forall(_ < 40L), s"neighbors outside the query's cluster: ${ids.mkString(",")}")
   }
+
+  // 8 distinct directions (4 axes ± ), pairwise cosine ∈ {0, -1}; ids
+  // 10..17 duplicate 0..7 scaled ×2 (cosine is scale-invariant, so each
+  // copy sits at cos 1 from its original).
+  private def dupCorpus = {
+    val axes = (0 until 8).map { i =>
+      val v = Array.fill(4)(0.0f); v(i % 4) = if (i < 4) 1.0f else -1.0f; v
+    }
+    (axes.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      axes.zipWithIndex.map { case (v, i) => (i + 10L, v.map(_ * 2.0f).toSeq) })
+      .toDF("vec_id", "embedding")
+  }
+
+  test("semDedup drops the higher id of each near-dup pair, keeps uniques") {
+    val out = Similarity.semDedup(dupCorpus, "vec_id", "embedding",
+        threshold = 0.9, numCells = 2, iters = 1, sampleN = 8)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.size === 16)
+    (0L until 8L).foreach { i =>
+      assert(out(i), s"original $i must be kept")
+      assert(!out(i + 10), s"duplicate ${i + 10} must be dropped")
+    }
+  }
+
+  test("semDedup is unchanged under a tiny bucket cap (split path active)") {
+    val default = Similarity.semDedup(dupCorpus, "vec_id", "embedding",
+      threshold = 0.9, numCells = 2, iters = 1, sampleN = 8)
+    val capped = Similarity.semDedup(dupCorpus, "vec_id", "embedding",
+      threshold = 0.9, numCells = 2, iters = 1, sampleN = 8, bucketCap = 3)
+    assert(default.exceptAll(capped).count() === 0)
+    assert(capped.exceptAll(default).count() === 0)
+  }
 }
