@@ -26,7 +26,7 @@ object PlanAudit {
     * O(b²)-pairs-in-one-task straggler.
     */
   private val bucketGuardExpected = Set(
-    "q49_embedding_near_dup", "q76_knn_self")
+    "q49_embedding_near_dup", "q76_knn_self", "q81_semdedup")
 
   private def flagsFor(name: String, plan: String, executed: String): Seq[String] =
     Seq(
