@@ -346,6 +346,7 @@ object OracleSql {
     "q80_dup_ngram_spans" -> Gen.dupNgramSpansSql,
     "q81_semdedup" -> Gen.semDedupSql,
     "q82_shuffle_shards" -> Gen.shuffleShardsSql,
+    "q83_dedup_cut" -> Gen.dedupCutSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -939,6 +940,52 @@ object OracleSql {
          |  CAST(COALESCE(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
          |  round(CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE) / tt.n_tokens, 6) AS dup_frac
          |FROM tt LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+    }
+
+    /** Twin of q83_dedup_cut: q80's positioned dup grams, each gram
+      * attributed to its min-doc canonical owner; non-canonical
+      * occurrences merge into islands, explode to covered positions,
+      * and the surviving tokens reassemble in position order.
+      */
+    def dedupCutSql: String = {
+      val gramHash = duckHash61("array_to_string(w[i:i+4], ' ')")
+      s"""WITH t AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |tt AS (SELECT doc_id, w FROM t WHERE len(w) >= 5),
+         |g AS (SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
+         |  SELECT doc_id,
+         |    unnest([{'pos': i - 1, 'h': $gramHash}
+         |            for i in range(1, len(w) - 3)]) AS u
+         |  FROM tt) z),
+         |dup AS (SELECT h, min(doc_id) AS keep_id
+         |        FROM (SELECT DISTINCT h, doc_id FROM g) gd
+         |        GROUP BY h HAVING count(*) >= 2),
+         |hit AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+         |        WHERE g.doc_id != dup.keep_id),
+         |sp AS (SELECT doc_id, pos,
+         |         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM hit),
+         |isl AS (SELECT doc_id, pos,
+         |          SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY doc_id ORDER BY pos
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |        FROM sp),
+         |rng AS (SELECT doc_id, min(pos) AS lo, max(pos) + 4 AS hi
+         |        FROM isl GROUP BY doc_id, isl),
+         |cov AS (SELECT doc_id, unnest(range(lo, hi + 1)) AS pos FROM rng),
+         |tok AS (SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (
+         |  SELECT doc_id,
+         |    unnest(list_transform(w, (x, i) -> {'pos': i - 1, 'tok': x})) AS u
+         |  FROM t) z),
+         |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+         |           array_to_string(list(k.tok ORDER BY k.pos), ' ') AS text_clean
+         |         FROM tok k LEFT JOIN cov c
+         |           ON c.doc_id = k.doc_id AND c.pos = k.pos
+         |         WHERE c.pos IS NULL GROUP BY k.doc_id)
+         |SELECT b.doc_id,
+         |  CAST(len(b.w) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(kept.text_clean, '') AS text_clean
+         |FROM t b LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
     }
 
     /** Twin of q82_shuffle_shards: hash-sharded, hash-ordered training

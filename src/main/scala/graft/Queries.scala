@@ -1063,6 +1063,18 @@ object Queries {
     Sharding.shardManifest(Tables.documents(s, d), "doc_id", nShards = 16)
       .orderBy("doc_id")
 
+  /** The dedup CUT pass (companion of q80): delete every span covered
+    * by a cross-doc duplicated 5-gram except in the gram's canonical
+    * (min-id) document, and reassemble the surviving tokens — exactly
+    * one copy of each duplicated passage survives the corpus. See
+    * [[graft.dedup.Dedup.cutDupSpans]].
+    */
+  val q83_dedup_cut: Q = (s, d) =>
+    Dedup.cutDupSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1146,5 +1158,6 @@ object Queries {
     "q79_ivf_auto" -> q79_ivf_auto,
     "q80_dup_ngram_spans" -> q80_dup_ngram_spans,
     "q81_semdedup" -> q81_semdedup,
-    "q82_shuffle_shards" -> q82_shuffle_shards)
+    "q82_shuffle_shards" -> q82_shuffle_shards,
+    "q83_dedup_cut" -> q83_dedup_cut)
 }

@@ -533,4 +533,70 @@ object Dedup {
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
           / col("n_tokens"), 6).as("dup_frac"))
   }
+
+  /** The CUT pass of substring-level dedup (the second half of Lee et
+    * al. 2021 — [[dupNgramSpans]] measures, this removes): every token
+    * span covered by a cross-document duplicated n-gram is deleted
+    * EXCEPT in the gram's canonical document (its minimum id), so
+    * exactly one copy of each duplicated passage survives the corpus.
+    * Returns every input document as (id, n_removed, text_clean) with
+    * `text_clean` the surviving tokens joined by single spaces
+    * (tokenization is not invertible; single-space reassembly is the
+    * documented canonical form, applied to untouched docs too).
+    *
+    * Scale shape: identical traffic to [[dupNgramSpans]] — (hash, id,
+    * pos) triples, two-level distinct-doc aggregate, no broadcast of
+    * the dup-gram table — plus one token-level reassembly shuffle:
+    * tokens ride as (id, pos, token) rows and regroup per doc
+    * (`sort_array(collect_list(struct))`, state bounded by the longest
+    * document — the same bound any per-doc operator carries). Deleted
+    * positions are exploded only for covered spans, so that side's
+    * volume is the duplicated-token count, not the corpus.
+    */
+  def cutDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
+    val toks = docs
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("w"))
+    val grams = toks.where(size(col("w")) >= n).select(col("id"),
+      posexplode(transform(sequence(lit(0), size(col("w")) - n),
+        i => HashFns.hash61(array_join(slice(col("w"), i + 1, lit(n)), " "))))
+        .as(Seq("pos", "h")))
+    val dup = grams.select("h", "id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"), min("id").as("keep_id"))
+      .where(col("ndocs") >= minDocs)
+      .select("h", "keep_id")
+    val hits = grams.join(dup, "h")
+      .where(col("id") =!= col("keep_id"))
+      .select("id", "pos")
+    // islands: a hit starts a new island when it clears the running max
+    // end of all earlier hits in the doc; island ranges then explode to
+    // the exact covered positions (volume = duplicated tokens only).
+    val past = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = hits
+      .withColumn("prev_end", max(col("pos") + (n - 1)).over(past))
+      .withColumn("isl",
+        sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+          .over(Window.partitionBy("id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "isl")
+      .agg(min("pos").as("lo"), (max("pos") + (n - 1)).as("hi"))
+      .select(col("id"), explode(sequence(col("lo"), col("hi"))).as("pos"))
+    val kept = toks
+      .select(col("id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ps"))
+      .select(col("id"), size(col("ps")).cast("bigint").as("n_kept"),
+        array_join(transform(col("ps"), p => p.getField("tok")), " ")
+          .as("text_clean"))
+    toks.select(col("id"), size(col("w")).cast("bigint").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -94,4 +94,83 @@ object Stateful {
           }
       }
   }
+
+  // ------------------------------------------------------------------ //
+  // Streaming near-dup detection (SimHash LSH over keyed state)        //
+  // ------------------------------------------------------------------ //
+
+  final case class DocEvent(id: Long, ts: java.sql.Timestamp, text: String)
+  final case class DupCandidate(id: Long, dup_of: Long, band: Int, hamming: Int)
+  final case class BucketSigs(entries: List[(Long, Long)], lastTs: Long)
+
+  /** Streaming near-duplicate detection — the streaming twin of the
+    * batch [[graft.dedup.Dedup.simhashNearDupPairs]]: each document's
+    * 64-bit SimHash is banded into 4×16-bit chunks; a doc lands in 4
+    * band buckets and is compared (full-signature hamming ≤ `maxDist`)
+    * against the signatures its buckets have seen. Emits a
+    * [[DupCandidate]] per matching band — AT-LEAST-ONCE per pair (a
+    * pair sharing b bands emits b times; pairs are idempotent, so
+    * consumers dedupe per micro-batch or key their sink by (id,
+    * dup_of)). `dup_of` is the minimum matching prior id, so output is
+    * deterministic given arrival order.
+    *
+    * Bounded-state discipline, twice over: (1) every bucket's state
+    * dies `stateTtlMs` after its last arrival (event-time timeout — the
+    * dedup horizon is explicit, exactly like
+    * `dropDuplicatesWithinWatermark`); (2) a bucket retains at most
+    * `maxPerBucket` signatures — the streaming analog of the batch
+    * hot-bucket guard: a degenerate bucket (boilerplate near-dups all
+    * hashing together) stops GROWING but keeps MATCHING against what it
+    * holds, so state never amplifies quadratically while detection
+    * degrades gracefully.
+    */
+  def nearDupCandidates(docs: org.apache.spark.sql.Dataset[DocEvent],
+                        watermarkDelay: String, stateTtlMs: Long,
+                        maxDist: Int = 3, maxPerBucket: Int = 1024)
+      : org.apache.spark.sql.Dataset[DupCandidate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs.toDF()
+      .withColumn("sig", graft.dedup.Dedup.simhash(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("id"), col("ts"), col("sig"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*))
+          .as("bk"))
+      .select(col("id"), col("ts"), col("sig"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+      .as[(Long, java.sql.Timestamp, Long, Int, Long)]
+    banded.groupByKey { case (_, _, _, band, bval) => (band, bval) }
+      .flatMapGroupsWithState[BucketSigs, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long),
+         rows: Iterator[(Long, java.sql.Timestamp, Long, Int, Long)],
+         state: GroupState[BucketSigs]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within-batch order: by (ts, id)
+            val evs = rows.toSeq.sortBy(e => (e._2.getTime, e._1))
+            var s = state.getOption.getOrElse(BucketSigs(Nil, 0L))
+            val out = Seq.newBuilder[DupCandidate]
+            evs.foreach { case (id, ts, sig, band, _) =>
+              val matches = s.entries.filter { case (seenSig, seenId) =>
+                seenId != id && java.lang.Long.bitCount(seenSig ^ sig) <= maxDist
+              }
+              if (matches.nonEmpty) {
+                val (mSig, mId) = matches.minBy(_._2)
+                out += DupCandidate(id, mId, band,
+                  java.lang.Long.bitCount(mSig ^ sig))
+              }
+              val withNew =
+                if (s.entries.size < maxPerBucket) (sig, id) :: s.entries
+                else s.entries
+              s = BucketSigs(withNew, math.max(s.lastTs, ts.getTime))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -59,4 +59,42 @@ class DupSpanSpec extends SparkSpec {
     assert(row(out, 2L).getAs[Long]("dup_tokens") === 0L)
     assert(row(out, 2L).getAs[Double]("dup_frac") === 0.0)
   }
+
+  test("cut pass keeps the canonical (min-id) copy, removes the rest") {
+    val docs = Seq(
+      (0L, "a b c d e f x1 y1 z1 w1"),
+      (1L, "a b c d e f x2 y2 z2 w2"),
+      (2L, "a b c d e f x3 y3 z3 w3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDupSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("text_clean"))).toMap
+    assert(out(0L) === ((0L, "a b c d e f x1 y1 z1 w1")))
+    assert(out(1L) === ((6L, "x2 y2 z2 w2")))
+    assert(out(2L) === ((6L, "x3 y3 z3 w3")))
+  }
+
+  test("cut pass: doc fully covered by a duplicated span empties out") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDupSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("text_clean"))).toMap
+    assert(out(0L) === ((0L, "a b c d e f g h")))
+    assert(out(1L) === ((8L, "")))
+  }
+
+  test("cut pass: untouched and short docs pass through token-joined") {
+    val docs = Seq(
+      (0L, "unique content one two three"),
+      (1L, "short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDupSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("text_clean"))).toMap
+    assert(out(0L) === ((0L, "unique content one two three")))
+    assert(out(1L) === ((0L, "short")))
+  }
 }

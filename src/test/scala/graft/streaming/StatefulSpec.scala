@@ -101,6 +101,73 @@ class StatefulSpec extends SparkSpec {
       .map(u => (u.events, u.total)) === Seq((1L, 1.0)))
   }
 
+  test("streaming near-dup: duplicates flagged within TTL, state dies after it") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.DocEvent]
+    val out = mutable.Buffer.empty[Stateful.DupCandidate]
+    val q = Stateful.nearDupCandidates(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 5 * 60 * 1000).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.DupCandidate], _: Long) =>
+        out.synchronized { out ++= df.collect() }
+        ()
+      }.start()
+    def doc(id: Long, hhmm: String, text: String) =
+      Stateful.DocEvent(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), text)
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    stream.addData(
+      doc(1, "10:00", dupText),
+      doc(2, "10:00", "completely different content about cooking pasta with basil"))
+    q.processAllAvailable()
+    stream.addData(doc(3, "10:02", dupText)) // exact dup of 1, next batch
+    q.processAllAvailable()
+    // jump event time far past the TTL: buckets expire...
+    stream.addData(doc(4, "11:00", "unrelated filler to advance the watermark now"))
+    q.processAllAvailable()
+    stream.addData(doc(5, "11:01", "more filler advancing the watermark further still"))
+    q.processAllAvailable()
+    // ...so a later re-arrival of the same text finds empty buckets
+    stream.addData(doc(6, "11:02", dupText))
+    q.processAllAvailable()
+    q.stop()
+    val byId = out.groupBy(_.id)
+    // doc 3 matched doc 1 on all 4 bands at hamming 0
+    assert(byId(3L).map(_.dup_of).toSet === Set(1L))
+    assert(byId(3L).count(_.hamming == 0) === 4)
+    // the unrelated doc was never flagged; the post-TTL dup found nothing
+    assert(!byId.contains(2L) && !byId.contains(4L) && !byId.contains(5L))
+    assert(!byId.contains(6L), s"state must expire after the TTL: $out")
+  }
+
+  test("streaming near-dup: full bucket stops growing but keeps matching") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.DocEvent]
+    val out = mutable.Buffer.empty[Stateful.DupCandidate]
+    val q = Stateful.nearDupCandidates(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000,
+        maxPerBucket = 1).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.DupCandidate], _: Long) =>
+        out.synchronized { out ++= df.collect() }
+        ()
+      }.start()
+    def doc(id: Long, hhmm: String, text: String) =
+      Stateful.DocEvent(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), text)
+    val dupText = "same boilerplate blurb repeated across the whole corpus daily"
+    stream.addData(doc(1, "10:00", dupText))
+    q.processAllAvailable()
+    stream.addData(doc(2, "10:01", dupText))
+    q.processAllAvailable()
+    stream.addData(doc(3, "10:02", dupText))
+    q.processAllAvailable()
+    q.stop()
+    // both later docs matched against the single retained signature (id 1)
+    assert(out.filter(_.id == 2L).map(_.dup_of).toSet === Set(1L))
+    assert(out.filter(_.id == 3L).map(_.dup_of).toSet === Set(1L))
+  }
+
   test("watermarked windowed aggregation emits closed windows (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
