@@ -58,8 +58,20 @@ object ScaleRamp {
         explode(sequence(lit(0), lit(factor - 1))))
       val remapped = keys.foldLeft(rep) { (d, k) =>
         d.withColumn(k, col(k) * factor + col("__rep"))
-      }.drop("__rep")
-      remapped.repartition(cpus.toInt)
+      }
+      // Embedding replicas get a deterministic jitter (±2.5% per dim):
+      // exact copies would co-bucket under ANY LSH/IVF scheme, turning
+      // every ANN ramp quadratic by construction rather than by plan —
+      // a 10× corpus means NEW vectors near the old ones, not clones.
+      // (Document text stays replicated: for the text-dedup ramp the
+      // all-dup corpus is the deliberate worst case.)
+      val jittered =
+        if (name != "embeddings") remapped
+        else remapped.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            (x + (pmod(xxhash64(col("vec_id"), col("__rep"), j), lit(1000))
+              .cast("float") / 1000.0f - 0.5f) * 0.05f).cast("float")))
+      jittered.drop("__rep").repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
     copyOnly.foreach { name =>
@@ -79,11 +91,56 @@ object ScaleRamp {
       System.err.println(f"[ramp] $name%-26s base=$base%6.2fs ramped=$ramped%6.2fs factor=${ramped / base}%5.2f")
       (name, base, ramped, ramped / base)
     }
-    val json = rows.map { case (n, b, r, f) =>
-      s""""$n":{"base_sec":$b,"ramped_sec":$r,"factor":${math.round(f * 100) / 100.0}}"""
-    }.mkString("{", ",", "}")
+    // Parameter-scaled operator ramp: a real 10× scale-up also turns
+    // the algorithm knobs — LSH signature bits grow with log(corpus)
+    // to hold bucket occupancy constant, IVF cell count grows with the
+    // corpus (SemDeDup's own recipe), the centroid sample grows with
+    // the cells. Fixed-knob text ops ramp on the replicated (all-dup,
+    // worst-case) documents; ANN ops ramp on the jittered embeddings
+    // with scaled knobs.
+    import graft.dedup.Dedup
+    import graft.sim.Similarity
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+    def timeDf(mk: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      mk().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val opRows: Seq[(String, Double, Double, Double)] = Seq[
+        (String, () => org.apache.spark.sql.DataFrame,
+          () => org.apache.spark.sql.DataFrame)](
+      ("dup_ngram_spans",
+        () => Dedup.dupNgramSpans(docs(srcDir), "doc_id", "text"),
+        () => Dedup.dupNgramSpans(docs(outDir), "doc_id", "text")),
+      ("dedup_cut",
+        () => Dedup.cutDupSpans(docs(srcDir), "doc_id", "text"),
+        () => Dedup.cutDupSpans(docs(outDir), "doc_id", "text")),
+      ("knn_self_join",
+        () => Similarity.knnSelfJoin(emb(srcDir), "vec_id", "embedding",
+          k = 3, dim = 64, numBits = 8),
+        () => Similarity.knnSelfJoin(emb(outDir), "vec_id", "embedding",
+          k = 3, dim = 64, numBits = 12)),
+      ("semdedup",
+        () => Similarity.semDedup(emb(srcDir), "vec_id", "embedding",
+          threshold = 0.4, numCells = 4, iters = 1, sampleN = 64),
+        () => Similarity.semDedup(emb(outDir), "vec_id", "embedding",
+          threshold = 0.4, numCells = 40, iters = 1, sampleN = 640))
+    ).map { case (label, mkBase, mkRamped) =>
+      val base = (1 to 2).map(_ => timeDf(mkBase)).min
+      val ramped = (1 to 2).map(_ => timeDf(mkRamped)).min
+      System.err.println(f"[ramp-op] $label%-26s base=$base%6.2fs ramped=$ramped%6.2fs factor=${ramped / base}%5.2f")
+      (label, base, ramped, ramped / base)
+    }
+
+    def jsonOf(rs: Seq[(String, Double, Double, Double)]): String =
+      rs.map { case (n, b, r, f) =>
+        s""""$n":{"base_sec":$b,"ramped_sec":$r,"factor":${math.round(f * 100) / 100.0}}"""
+      }.mkString("{", ",", "}")
+    val json = jsonOf(rows)
+    val opJson = jsonOf(opRows)
     spark.stop()
-    println(s"""{"metric":"scale_ramp","factor":$factor,"src":"$srcDir","queries":$json}""")
+    println(s"""{"metric":"scale_ramp","factor":$factor,"src":"$srcDir","queries":$json,"ops":$opJson}""")
     System.out.flush()
   }
 }
