@@ -65,6 +65,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(r => bestOf(r._2)).filter(_ >= 0).sum
 
+    // the round-7 heavy operators, tracked OUTSIDE the headline total
+    // so round-over-round totals stay comparable to earlier BENCH_r*
+    val extended = Seq("q76_knn_self", "q79_ivf_auto", "q80_dup_ngram_spans",
+      "q81_semdedup", "q82_shuffle_shards", "q83_dedup_cut")
+      .map(n => n -> (1 to nTrials).map(_ => run(n)))
+    val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
+      .mkString("{", ",", "}")
+
     // kpipe-comparable figure: records/s through the decode→operators→
     // sink pipeline (BASELINE.md reports the reference's consumer in
     // rec/s). Same decode→transform→sink shape as q37, but unordered
@@ -191,7 +199,7 @@ object Bench {
     }.mkString("{", ",", "}")
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""trials":$trialsJson,""" +
+      s""""trials":$trialsJson,"extended":$extJson,""" +
       s""""pipeline_trials_sec":[${pipelineTrials.mkString(",")}],""" +
       s""""pipeline_rec_per_sec":${recPerSec.round},"pipeline_rows":$eventRows,""" +
       s""""streaming_rec_per_sec":${streamingRecPerSec.round},""" +

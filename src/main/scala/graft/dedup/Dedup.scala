@@ -546,12 +546,15 @@ object Dedup {
     *
     * Scale shape: identical traffic to [[dupNgramSpans]] — (hash, id,
     * pos) triples, two-level distinct-doc aggregate, no broadcast of
-    * the dup-gram table — plus one token-level reassembly shuffle:
-    * tokens ride as (id, pos, token) rows and regroup per doc
-    * (`sort_array(collect_list(struct))`, state bounded by the longest
-    * document — the same bound any per-doc operator carries). Deleted
-    * positions are exploded only for covered spans, so that side's
-    * volume is the duplicated-token count, not the corpus.
+    * the dup-gram table. The cut itself never shuffles tokens: merged
+    * islands aggregate to one (lo, hi)-ranges array per affected doc
+    * (shuffle volume = islands, bounded by dup grams), join back to
+    * the docs, and the delete is a map-side indexed-lambda filter over
+    * the token array. The lambda is interpreted, not codegen'd — the
+    * deliberate trade: O(tokens × islands) local CPU beats shuffling
+    * every token of a 100 TB corpus through a regroup (the first
+    * version did exactly that, and the islands join is strictly
+    * smaller traffic).
     */
   def cutDupSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 5, minDocs: Int = 2): DataFrame = {
@@ -575,7 +578,7 @@ object Dedup {
     // the exact covered positions (volume = duplicated tokens only).
     val past = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val covered = hits
+    val ranges = hits
       .withColumn("prev_end", max(col("pos") + (n - 1)).over(past))
       .withColumn("isl",
         sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
@@ -584,19 +587,16 @@ object Dedup {
             .rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("id", "isl")
       .agg(min("pos").as("lo"), (max("pos") + (n - 1)).as("hi"))
-      .select(col("id"), explode(sequence(col("lo"), col("hi"))).as("pos"))
-    val kept = toks
-      .select(col("id"), posexplode(col("w")).as(Seq("pos", "tok")))
-      .join(covered, Seq("id", "pos"), "left_anti")
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ps"))
-      .select(col("id"), size(col("ps")).cast("bigint").as("n_kept"),
-        array_join(transform(col("ps"), p => p.getField("tok")), " ")
-          .as("text_clean"))
-    toks.select(col("id"), size(col("w")).cast("bigint").as("n_tokens"))
-      .join(kept, Seq("id"), "left")
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("cov"),
+        sum(col("hi") - col("lo") + 1).as("n_cov"))
+    toks.join(ranges, Seq("id"), "left")
       .select(col("id"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        coalesce(col("n_cov"), lit(0L)).as("n_removed"),
+        when(col("cov").isNull, array_join(col("w"), " "))
+          .otherwise(array_join(
+            filter(col("w"), (_, i) => !exists(col("cov"),
+              r => i >= r.getField("lo") && i <= r.getField("hi"))), " "))
+          .as("text_clean"))
   }
 }
