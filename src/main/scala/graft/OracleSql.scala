@@ -347,6 +347,7 @@ object OracleSql {
     "q81_semdedup" -> Gen.semDedupSql,
     "q82_shuffle_shards" -> Gen.shuffleShardsSql,
     "q83_dedup_cut" -> Gen.dedupCutSql,
+    "q84_weighted_interleave" -> Gen.weightedInterleaveSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -986,6 +987,28 @@ object OracleSql {
          |  CAST(len(b.w) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
          |  COALESCE(kept.text_clean, '') AS text_clean
          |FROM t b LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
+    }
+
+    /** Twin of q84_weighted_interleave: per-(shard, source) hash rank,
+      * vt = rank / weight (one IEEE division of an integer rank by a
+      * literal — bit-identical across engines), merged per shard by
+      * (vt, hash, doc_id).
+      */
+    def weightedInterleaveSql: String = {
+      val sh = duckHash61("'shard42:' || CAST(doc_id AS VARCHAR)")
+      val ord = duckHash61("'ord42:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH x AS (SELECT doc_id, source,
+         |    CAST($sh % 8 AS INT) AS shard, $ord AS o
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, shard, o,
+         |    CAST(row_number() OVER (PARTITION BY shard, source
+         |        ORDER BY o, doc_id) AS DOUBLE)
+         |      / (CASE WHEN source = 'src0' THEN 3.0
+         |              WHEN source = 'src1' THEN 0.7 ELSE 1.0 END) AS vt
+         |  FROM x)
+         |SELECT doc_id, source, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY vt, o, doc_id) AS pos
+         |FROM r ORDER BY doc_id""".stripMargin
     }
 
     /** Twin of q82_shuffle_shards: hash-sharded, hash-ordered training

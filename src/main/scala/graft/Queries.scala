@@ -1075,6 +1075,17 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Weighted mixture interleave: deterministic training order where
+    * src0 runs at 3× base rate and src1 at 0.7× (virtual-time merge —
+    * weighted fair queuing's stride schedule). The scheduling
+    * complement of q69's rate sampling; see
+    * [[graft.ops.Sharding.weightedInterleave]].
+    */
+  val q84_weighted_interleave: Q = (s, d) =>
+    Sharding.weightedInterleave(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 3.0, "src1" -> 0.7), nShards = 8)
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1159,5 +1170,6 @@ object Queries {
     "q80_dup_ngram_spans" -> q80_dup_ngram_spans,
     "q81_semdedup" -> q81_semdedup,
     "q82_shuffle_shards" -> q82_shuffle_shards,
-    "q83_dedup_cut" -> q83_dedup_cut)
+    "q83_dedup_cut" -> q83_dedup_cut,
+    "q84_weighted_interleave" -> q84_weighted_interleave)
 }

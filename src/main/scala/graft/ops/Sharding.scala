@@ -39,4 +39,50 @@ object Sharding {
       .withColumn("pos", row_number().over(w).cast("bigint"))
       .drop("__ord")
   }
+
+  /** Weighted mixture interleave — the scheduling complement of rate
+    * sampling (`Mixture.sampleByRates` decides WHAT goes in the mix;
+    * this decides WHEN): a deterministic training order in which each
+    * source appears in proportion to its weight, produced by the
+    * classic virtual-time merge (a source's k-th shard-local row runs
+    * at vt = k / weight; merging by vt yields weight-proportional
+    * interleaving at every prefix — weighted fair queuing's stride
+    * schedule). Sources missing from `weights` run at weight 1.
+    *
+    * Determinism: within a source, order is the seeded hash (ties on
+    * the hash broken by id); across sources, vt is one IEEE division
+    * of a BIGINT rank by a literal weight — bit-identical on any
+    * engine, so the manifest is oracle-checkable. Pick weights whose
+    * vt values cannot collide across sources (e.g. 3.0 vs 0.7), or
+    * accept the deterministic (hash, id) tiebreak.
+    *
+    * Scale shape: same as [[shardManifest]] — one hash shuffle, then
+    * per-shard window sorts; `nShards` scales with the corpus. The
+    * per-(shard, source) rank and the per-shard merge both sort the
+    * same shard partition, so Spark plans ONE exchange on shard
+    * (the rank window's (shard, source) ordering is a prefix-refine
+    * of the shard partition).
+    */
+  def weightedInterleave(df: DataFrame, idCol: String, srcCol: String,
+                         weights: Map[String, Double], nShards: Int,
+                         seed: String = "42"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val idStr = col(idCol).cast("string")
+    val wExpr = weights.foldLeft(lit(1.0)) { case (acc, (s, wt)) =>
+      when(col(srcCol) === s, lit(wt)).otherwise(acc)
+    }
+    val rankW = Window.partitionBy("shard", srcCol)
+      .orderBy(col("__ord"), col(idCol))
+    val mergeW = Window.partitionBy("shard")
+      .orderBy(col("vt"), col("__ord"), col(idCol))
+    df.select(col(idCol), col(srcCol),
+        pmod(HashFns.hash61(concat(lit(s"shard$seed:"), idStr)),
+          lit(nShards.toLong)).cast("int").as("shard"),
+        HashFns.hash61(concat(lit(s"ord$seed:"), idStr)).as("__ord"))
+      .withColumn("vt",
+        row_number().over(rankW).cast("double") / wExpr)
+      .withColumn("pos", row_number().over(mergeW).cast("bigint"))
+      .drop("__ord", "vt")
+  }
 }

@@ -33,4 +33,35 @@ class ShardingSpec extends SparkSpec {
     val b = Sharding.shardManifest(ids, "doc_id", nShards = 8, seed = "7")
     assert(a.join(b, Seq("doc_id", "shard", "pos")).count() < 100)
   }
+
+  test("weighted interleave holds the stride-schedule prefix invariant") {
+    // 30 docs per source, weights 2:1 — at every prefix of every
+    // shard's order, na/wa and nb/wb differ by at most 1/wa + 1/wb
+    // (each source is within one stride of the merged virtual clock).
+    val (wa, wb) = (2.0, 1.0)
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      when(col("id") < 30, "a").otherwise("b").as("source"))
+    val m = Sharding.weightedInterleave(docs, "doc_id", "source",
+        Map("a" -> wa, "b" -> wb), nShards = 2)
+      .select("shard", "pos", "source")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(m.length === 60)
+    m.groupBy(_._1).values.foreach { shard =>
+      val totalA = shard.count(_._3 == "a")
+      val totalB = shard.count(_._3 == "b")
+      var (na, nb) = (0, 0)
+      shard.sortBy(_._2).foreach { case (_, _, src) =>
+        if (src == "a") na += 1 else nb += 1
+        // the stride bound holds while BOTH sources still have supply
+        // in this shard; after one drains, the other runs out its tail
+        if (na < totalA && nb < totalB)
+          assert(math.abs(na / wa - nb / wb) <= 1 / wa + 1 / wb + 1e-9,
+            s"stride invariant broken at prefix ($na a, $nb b)")
+      }
+    }
+    // the full order is still a dense permutation per shard
+    m.groupBy(_._1).values.foreach { shard =>
+      assert(shard.map(_._2).sorted.toSeq === (1L to shard.length).toSeq)
+    }
+  }
 }

@@ -72,8 +72,61 @@ class CrashRestartSpec extends SparkSpec {
     assert(all.sorted === Seq(1L, 2L, 3L, 4L, 5L))
     assert(all.size === 5, s"redelivery of committed batch detected: $all")
   }
+  test("near-dup bucket state survives a checkpoint restart") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-nd-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString
+    CrashRestartSpec.candidates.clear()
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+
+    def wave(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-nd-wave")
+      rows.map { case (id, ts, text) =>
+          (id, java.sql.Timestamp.valueOf(s"2024-01-01 $ts:00"), text)
+        }.toDF("id", "ts", "text").coalesce(1)
+        .write.mode("overwrite").json(tmp.toString)
+      java.nio.file.Files.list(tmp).forEach { p =>
+        if (p.toString.endsWith(".json"))
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(srcDir, s"$name.json"))
+      }
+    }
+    def startQuery() = Stateful.nearDupCandidates(
+        spark.readStream.schema(docSchema).json(srcDir)
+          .as[Stateful.DocEvent](org.apache.spark.sql.Encoders.product[Stateful.DocEvent]),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.DupCandidate], _: Long) =>
+        df.collect().foreach(c => CrashRestartSpec.candidates.add((c.id, c.dup_of)))
+        ()
+      }.start()
+
+    // wave 1 seeds the buckets, then the query "crashes"
+    wave("w1", Seq((1L, "10:00", dupText),
+      (2L, "10:00", "completely unrelated content about pasta and basil")))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(CrashRestartSpec.candidates.asScala.isEmpty)
+
+    // a duplicate of doc 1 arrives while the query is down; after the
+    // restart it must match state RECOVERED from the checkpoint
+    wave("w2", Seq((3L, "10:02", dupText)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val pairs = CrashRestartSpec.candidates.asScala.toSet
+    assert(pairs === Set((3L, 1L)),
+      s"recovered state must flag the post-restart duplicate: $pairs")
+  }
 }
 
 object CrashRestartSpec {
   val processed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  val candidates = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
 }
