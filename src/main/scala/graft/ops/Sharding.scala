@@ -56,12 +56,15 @@ object Sharding {
     * vt values cannot collide across sources (e.g. 3.0 vs 0.7), or
     * accept the deterministic (hash, id) tiebreak.
     *
-    * Scale shape: same as [[shardManifest]] — one hash shuffle, then
-    * per-shard window sorts; `nShards` scales with the corpus. The
-    * per-(shard, source) rank and the per-shard merge both sort the
-    * same shard partition, so Spark plans ONE exchange on shard
-    * (the rank window's (shard, source) ordering is a prefix-refine
-    * of the shard partition).
+    * Scale shape: same as [[shardManifest]] — ONE hash shuffle on
+    * shard, then two in-partition window sorts; `nShards` scales with
+    * the corpus. The single exchange is deliberate: the explicit
+    * `repartition(shard)` below already CLUSTERS every (shard, source)
+    * group (HashPartitioning(shard) satisfies the rank window's
+    * ClusteredDistribution(shard, source) — hash keys are a subset of
+    * the clustering keys), so neither window plans its own exchange;
+    * left to defaults, Spark would shuffle twice — once per window
+    * partitioning. Verified with `graft.tools.PlanDump`.
     */
   def weightedInterleave(df: DataFrame, idCol: String, srcCol: String,
                          weights: Map[String, Double], nShards: Int,
@@ -80,6 +83,7 @@ object Sharding {
         pmod(HashFns.hash61(concat(lit(s"shard$seed:"), idStr)),
           lit(nShards.toLong)).cast("int").as("shard"),
         HashFns.hash61(concat(lit(s"ord$seed:"), idStr)).as("__ord"))
+      .repartition(col("shard"))
       .withColumn("vt",
         row_number().over(rankW).cast("double") / wExpr)
       .withColumn("pos", row_number().over(mergeW).cast("bigint"))
