@@ -348,6 +348,7 @@ object OracleSql {
     "q82_shuffle_shards" -> Gen.shuffleShardsSql,
     "q83_dedup_cut" -> Gen.dedupCutSql,
     "q84_weighted_interleave" -> Gen.weightedInterleaveSql,
+    "q85_hll_distinct" -> Gen.hllDistinctSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1009,6 +1010,31 @@ object OracleSql {
          |SELECT doc_id, source, shard,
          |  row_number() OVER (PARTITION BY shard ORDER BY vt, o, doc_id) AS pos
          |FROM r ORDER BY doc_id""".stripMargin
+    }
+
+    /** Twin of q85_hll_distinct: the identical integer-exact HLL —
+      * bucket = h % 1024, rho via length(bin(w)) (no float log),
+      * register sums as exact BIGINT Σ 2^(52-reg), empty buckets at
+      * 2^52, one final double division (both engines fold the alpha
+      * constant left-to-right from the same literals).
+      */
+    def hllDistinctSql: String = {
+      val h = duckHash61("tok")
+      s"""WITH t AS (SELECT lang, unnest(${tokensE("text")}) AS tok FROM documents),
+         |hx AS (SELECT lang, tok, $h AS h FROM t),
+         |b AS (SELECT lang, h % 1024 AS bucket, h // 1024 AS w FROM hx),
+         |r AS (SELECT lang, bucket,
+         |        max(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS reg
+         |      FROM b GROUP BY lang, bucket),
+         |s AS (SELECT lang,
+         |        SUM(1::BIGINT << (52 - reg))
+         |          + (1024 - count(*)) * (1::BIGINT << 52) AS hll_reg_sum
+         |      FROM r GROUP BY lang),
+         |e AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM t GROUP BY lang)
+         |SELECT e.lang, CAST(e.n_exact AS BIGINT) AS n_exact, s.hll_reg_sum,
+         |  round(0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+         |    * 4503599627370496.0 / CAST(s.hll_reg_sum AS DOUBLE), 1) AS hll_est
+         |FROM e JOIN s USING (lang) ORDER BY lang""".stripMargin
     }
 
     /** Twin of q82_shuffle_shards: hash-sharded, hash-ordered training

@@ -3,7 +3,7 @@ package graft
 import graft.dedup.{Curation, Dedup}
 import graft.formats.{AvroCodec, ConfluentEnvelope, ProtoCodec}
 import graft.functions.{HashFns, TextFns, VectorFns}
-import graft.ops.{Ops, Pipeline, Scale, Sharding}
+import graft.ops.{Ops, Pipeline, Scale, Sharding, Sketch}
 import graft.sim.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1086,6 +1086,20 @@ object Queries {
         Map("src0" -> 3.0, "src1" -> 0.7), nShards = 8)
       .orderBy("doc_id")
 
+  /** Per-language distinct-token profile: the exact count next to the
+    * oracle-exact HLL sketch estimate (integer register sums — the
+    * sketch itself is hash-verified, not just its error bound). See
+    * [[graft.ops.Sketch.hllDistinct]].
+    */
+  val q85_hll_distinct: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("lang").agg(countDistinct("tok").as("n_exact"))
+    exact.join(Sketch.hllDistinct(toks, Seq("lang"), col("tok")), "lang")
+      .select("lang", "n_exact", "hll_reg_sum", "hll_est")
+      .orderBy("lang")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1171,5 +1185,6 @@ object Queries {
     "q81_semdedup" -> q81_semdedup,
     "q82_shuffle_shards" -> q82_shuffle_shards,
     "q83_dedup_cut" -> q83_dedup_cut,
-    "q84_weighted_interleave" -> q84_weighted_interleave)
+    "q84_weighted_interleave" -> q84_weighted_interleave,
+    "q85_hll_distinct" -> q85_hll_distinct)
 }

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL estimate lands within 5% at 100k distinct values") {
+    val df = spark.range(100000).select(lit("k").as("k"),
+      col("id").cast("string").as("v"))
+    val est = Sketch.hllDistinct(df, Seq("k"), col("v"))
+      .select("hll_est").as[Double].collect().head
+    assert(math.abs(est - 100000) / 100000 < 0.05, s"estimate $est")
+  }
+
+  test("sketch is exact-deterministic: identical on any partitioning") {
+    val df = spark.range(50000).select(lit("k").as("k"),
+      col("id").cast("string").as("v"))
+    val a = Sketch.hllDistinct(df, Seq("k"), col("v"))
+      .select("hll_reg_sum", "hll_est").collect().head
+    val b = Sketch.hllDistinct(df.repartition(17), Seq("k"), col("v"))
+      .select("hll_reg_sum", "hll_est").collect().head
+    assert(a === b)
+  }
+
+  test("duplicates do not move the sketch; disjoint halves merge to the whole") {
+    val half1 = spark.range(30000)
+    val half2 = spark.range(30000, 60000)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Sketch.hllDistinct(df, Seq("k"), col("v"))
+        .select("hll_reg_sum").as[Long].collect().head
+    val whole = sk(half1.union(half2)
+      .select(lit("k").as("k"), col("id").cast("string").as("v")))
+    val withDups = sk(half1.union(half2).union(half1)
+      .select(lit("k").as("k"), col("id").cast("string").as("v")))
+    assert(whole === withDups, "re-observed values must not change registers")
+  }
+}
