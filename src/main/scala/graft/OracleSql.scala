@@ -1015,8 +1015,10 @@ object OracleSql {
     /** Twin of q85_hll_distinct: the identical integer-exact HLL —
       * bucket = h % 1024, rho via length(bin(w)) (no float log),
       * register sums as exact BIGINT Σ 2^(52-reg), empty buckets at
-      * 2^52, one final double division (both engines fold the alpha
-      * constant left-to-right from the same literals).
+      * 2^52, and the estimate as HUGEINT integer division of the same
+      * precomputed 23-digit constant ([[graft.ops.Sketch.HllEstNumX10]])
+      * by the register sum — no float anywhere, so no round()-ulp
+      * divergence across DuckDB builds.
       */
     def hllDistinctSql: String = {
       val h = duckHash61("tok")
@@ -1032,8 +1034,8 @@ object OracleSql {
          |      FROM r GROUP BY lang),
          |e AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM t GROUP BY lang)
          |SELECT e.lang, CAST(e.n_exact AS BIGINT) AS n_exact, s.hll_reg_sum,
-         |  round(0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
-         |    * 4503599627370496.0 / CAST(s.hll_reg_sum AS DOUBLE), 1) AS hll_est
+         |  CAST(CAST('${graft.ops.Sketch.HllEstNumX10}' AS HUGEINT)
+         |    // s.hll_reg_sum AS BIGINT) AS hll_est_x10
          |FROM e JOIN s USING (lang) ORDER BY lang""".stripMargin
     }
 

@@ -1096,7 +1096,7 @@ object Queries {
       .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
     val exact = toks.groupBy("lang").agg(countDistinct("tok").as("n_exact"))
     exact.join(Sketch.hllDistinct(toks, Seq("lang"), col("tok")), "lang")
-      .select("lang", "n_exact", "hll_reg_sum", "hll_est")
+      .select("lang", "n_exact", "hll_reg_sum", "hll_est_x10")
       .orderBy("lang")
   }
 

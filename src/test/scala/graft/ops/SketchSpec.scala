@@ -10,17 +10,28 @@ class SketchSpec extends SparkSpec {
     val df = spark.range(100000).select(lit("k").as("k"),
       col("id").cast("string").as("v"))
     val est = Sketch.hllDistinct(df, Seq("k"), col("v"))
-      .select("hll_est").as[Double].collect().head
+      .select(Sketch.hllEstimate(col("hll_est_x10")).as("est"))
+      .as[Double].collect().head
     assert(math.abs(est - 100000) / 100000 < 0.05, s"estimate $est")
+  }
+
+  test("estimate column is BIGINT (no float in the oracle surface)") {
+    val df = spark.range(10).select(lit("k").as("k"),
+      col("id").cast("string").as("v"))
+    val out = Sketch.hllDistinct(df, Seq("k"), col("v"))
+    assert(out.schema("hll_est_x10").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(out.schema("hll_reg_sum").dataType ===
+      org.apache.spark.sql.types.LongType)
   }
 
   test("sketch is exact-deterministic: identical on any partitioning") {
     val df = spark.range(50000).select(lit("k").as("k"),
       col("id").cast("string").as("v"))
     val a = Sketch.hllDistinct(df, Seq("k"), col("v"))
-      .select("hll_reg_sum", "hll_est").collect().head
+      .select("hll_reg_sum", "hll_est_x10").collect().head
     val b = Sketch.hllDistinct(df.repartition(17), Seq("k"), col("v"))
-      .select("hll_reg_sum", "hll_est").collect().head
+      .select("hll_reg_sum", "hll_est_x10").collect().head
     assert(a === b)
   }
 
