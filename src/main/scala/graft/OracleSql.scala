@@ -240,11 +240,18 @@ object OracleSql {
         |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // sd_qty from exact BIGINT sums + IEEE div/sqrt — mirrors the Spark
+    // side exactly; stddev_samp(double) would be partial-agg-order- and
+    // engine-sensitive (q85 hazard class).
     "q46_agg_stats" ->
       """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-        |  round(stddev_samp(l_quantity), 2) AS sd_qty, count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |  sqrt(CAST(CAST(count(*) * sum(q*q) - sum(q) * sum(q) AS BIGINT) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE))) AS sd_qty,
+        |  count(*) AS n
+        |FROM (SELECT l_returnflag, l_quantity, CAST(l_quantity AS BIGINT) AS q
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q47_asof_join" ->
       """SELECT c.event_id, c.user_id, p.event_id AS last_purchase
@@ -301,11 +308,25 @@ object OracleSql {
     "q57_array_funcs" -> Gen.arrayFuncsSql,
     "q58_hash_sample" -> Gen.hashSampleSql,
 
+    // corr/covar from exact BIGINT sums (d = discount·100 integer) +
+    // IEEE −·/·sqrt — mirrors the Spark side; built-in corr/covar_samp
+    // merge float co-moments in partition order (q85 hazard class).
     "q59_corr" ->
-      """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |             CAST(round(l_discount * 100.0, 0) AS BIGINT) AS d
+        |           FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |        CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+        |        CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(d*d) AS BIGINT) AS sdd,
+        |        CAST(sum(q*d) AS BIGINT) AS sqd
+        |      FROM b GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(n*sqd - sq*sd AS DOUBLE)
+        |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE)))
+        |    AS corr_qty_disc,
+        |  CAST(n*sqd - sq*sd AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+        |    / 100.0 AS covar_qty_disc
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q60_avro_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events

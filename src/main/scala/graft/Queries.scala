@@ -524,16 +524,29 @@ object Queries {
     * rounded — the one aggregate where float summation order matters,
     * bounded by 2dp rounding).
     */
-  val q46_agg_stats: Q = (s, d) =>
+  val q46_agg_stats: Q = (s, d) => {
+    // Sample stddev from EXACT integer sums (l_quantity is integer-
+    // valued): sqrt((n·Σq² − (Σq)²) / (n·(n−1))) with BIGINT sums cast
+    // exactly to double, then one IEEE division + one IEEE sqrt — both
+    // correctly-rounded primitives, bit-identical on any engine and
+    // any partition order. `stddev_samp(double)` would merge float
+    // co-moments in partition order (non-deterministic even within
+    // Spark) — the q85 hazard class. BIGINT-exact to ~1e12 rows/group;
+    // swap DECIMAL(38,0) sums beyond.
+    val q = col("l_quantity").cast("bigint")
+    val n = count(lit(1))
+    val varNum = (n * sum(q * q) - sum(q) * sum(q)).cast("double")
+    val varDen = n.cast("double") * (n - lit(1)).cast("double")
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(min("l_quantity").as("min_qty"),
         max("l_quantity").as("max_qty"),
         (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
           .as("avg_qty"),
-        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        sqrt(varNum / varDen).as("sd_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+  }
 
   /** As-of join — for each click, the user's most recent purchase at or
     * before it. Spark lacks a native as-of join; per SURVEY §7 the
@@ -679,14 +692,30 @@ object Queries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
-  /** Pearson correlation + sample covariance per group. */
-  val q59_corr: Q = (s, d) =>
+  /** Pearson correlation + sample covariance per group, from EXACT
+    * integer sums. l_quantity is integer-valued and l_discount is a
+    * 2-decimal value, so q = quantity and d = round(discount·100) are
+    * exact BIGINTs; corr is scale-invariant in d and covar scales by
+    * 100. The final formula runs on exactly-cast doubles through IEEE
+    * −·/·sqrt only (each correctly rounded ⇒ bit-identical across
+    * engines and partition orders). The built-in `corr`/`covar_samp`
+    * merge float co-moments in partition order — the q85 hazard class.
+    */
+  val q59_corr: Q = (s, d) => {
+    val q = col("l_quantity").cast("bigint")
+    val disc = round(col("l_discount") * 100.0, 0).cast("bigint")
+    val n = count(lit(1))
+    val num = (n * sum(q * disc) - sum(q) * sum(disc)).cast("double")
+    val dq = (n * sum(q * q) - sum(q) * sum(q)).cast("double")
+    val dd = (n * sum(disc * disc) - sum(disc) * sum(disc)).cast("double")
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+        (num / (sqrt(dq) * sqrt(dd))).as("corr_qty_disc"),
+        (num / (n.cast("double") * (n - lit(1)).cast("double")) / 100.0)
+          .as("covar_qty_disc"))
       .orderBy("l_returnflag")
+  }
 
   // ---------------------------------------------------------------- //
   // Format codecs, end-to-end                                        //
