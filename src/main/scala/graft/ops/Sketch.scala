@@ -67,4 +67,68 @@ object Sketch {
     * surface by design.
     */
   def hllEstimate(estX10: Column): Column = estX10.cast("double") / 10.0
+
+  /** Reassemble a dense 1024-slot register array from sparse
+    * (bucket, reg) rows: map-index the observed buckets, 0 for empty.
+    * collect_list is bounded at ≤1024 entries per key by construction
+    * (post-max over buckets), so per-key state is ~1 KiB regardless of
+    * corpus size.
+    */
+  private def assembleRegs(sparse: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    sparse
+      .groupBy(keys: _*)
+      .agg(map_from_entries(collect_list(struct(
+        col("bucket").cast("int").as("b"), col("reg").cast("tinyint").as("r"))))
+        .as("m"))
+      .select(keys :+ transform(sequence(lit(0), lit(1023)),
+        i => coalesce(element_at(col("m"), i), lit(0).cast("tinyint")))
+        .as("hll_regs"): _*)
+  }
+
+  /** The full register table as a column: one row per key with
+    * `hll_regs array<tinyint>[1024]`. This is the MERGEABLE form of
+    * [[hllDistinct]] — element-wise max combines sketches across
+    * shards/days/corpora without rescanning history (max is
+    * idempotent, commutative, associative). ~1 KiB per key; store it
+    * next to daily partition stats and fold with
+    * [[hllMergeRegisters]].
+    */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String],
+                   value: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val h = HashFns.hash61(value)
+    val w = shiftright(h, 10)
+    val rho = when(w === 0, lit(52)).otherwise(lit(52) - length(bin(w)))
+    val sparse = df
+      .select(keys :+ h.bitwiseAND(lit(1023L)).as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(max("rho").as("reg"))
+    assembleRegs(sparse, keyCols)
+  }
+
+  /** Merge register tables: many `hll_regs` rows per key → one, by
+    * element-wise max. Runs as posexplode → map-side-partial max on
+    * (key, bucket) → reassemble, so the shuffle carries at most
+    * 1024 × distinct-keys tiny rows — sketch tables are already one
+    * row per key, this is metadata-scale work.
+    */
+  def hllMergeRegisters(df: DataFrame, keyCols: Seq[String],
+                        regsCol: String = "hll_regs"): DataFrame = {
+    val keys = keyCols.map(col)
+    val sparse = df
+      .select(keys :+ posexplode(col(regsCol)).as(Seq("bucket", "reg")): _*)
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(max("reg").as("reg"))
+    assembleRegs(sparse, keyCols)
+  }
+
+  /** Collapse a register array to the exact integer denominator
+    * Σ 2^(52-reg) — the same `hll_reg_sum` [[hllDistinct]] emits, so
+    * a merged register table feeds the same integer-exact estimate:
+    * `HllEstNumX10 div hllRegSum(regs)`.
+    */
+  def hllRegSum(regs: Column): Column =
+    aggregate(regs, lit(0L),
+      (acc, r) => acc + call_function("shiftleft", lit(1L), lit(52) - r.cast("int")))
 }

@@ -35,6 +35,36 @@ class SketchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("register form: merge(regs(A), regs(B)) == regs(A ∪ B), and reg-sum matches hllDistinct") {
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(lit("k").as("k"), col("id").cast("string").as("v"))
+    val a = docs(0, 20000); val b = docs(20000, 40000)
+    val merged = Sketch.hllMergeRegisters(
+      Sketch.hllRegisters(a, Seq("k"), col("v"))
+        .union(Sketch.hllRegisters(b, Seq("k"), col("v"))), Seq("k"))
+      .select("hll_regs").as[Seq[Byte]].collect().head
+    val whole = Sketch.hllRegisters(a.union(b), Seq("k"), col("v"))
+      .select("hll_regs").as[Seq[Byte]].collect().head
+    assert(merged === whole, "element-wise max must equal the union sketch")
+    assert(whole.length === 1024)
+    // the collapsed register sum is the exact hll_reg_sum fingerprint
+    val viaRegs = Sketch.hllRegisters(a.union(b), Seq("k"), col("v"))
+      .select(Sketch.hllRegSum(col("hll_regs")).as("s")).as[Long].collect().head
+    val viaScalar = Sketch.hllDistinct(a.union(b), Seq("k"), col("v"))
+      .select("hll_reg_sum").as[Long].collect().head
+    assert(viaRegs === viaScalar)
+  }
+
+  test("register merge is idempotent: merging a sketch with itself is a no-op") {
+    val df = spark.range(5000).select(lit("k").as("k"),
+      col("id").cast("string").as("v"))
+    val regs = Sketch.hllRegisters(df, Seq("k"), col("v"))
+    val twice = Sketch.hllMergeRegisters(regs.union(regs), Seq("k"))
+      .select("hll_regs").as[Seq[Byte]].collect().head
+    val once = regs.select("hll_regs").as[Seq[Byte]].collect().head
+    assert(twice === once)
+  }
+
   test("duplicates do not move the sketch; disjoint halves merge to the whole") {
     val half1 = spark.range(30000)
     val half2 = spark.range(30000, 60000)
