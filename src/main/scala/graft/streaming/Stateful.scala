@@ -123,10 +123,22 @@ object Stateful {
     * hashing together) stops GROWING but keeps MATCHING against what it
     * holds, so state never amplifies quadratically while detection
     * degrades gracefully.
+    *
+    * Per-batch input is bounded too: events are processed in sorted
+    * chunks of `sortChunk`, so a degenerate bucket receiving a huge
+    * micro-batch never materializes more than `sortChunk` events at
+    * once (the prior form buffered + sorted the whole group).
+    * Within-batch (ts, id) ordering — and therefore the deterministic
+    * minimum `dup_of` — is exact when a bucket sees ≤ `sortChunk`
+    * events per micro-batch; past that, ordering is chunk-local and
+    * `dup_of` may name a different (still-matching) prior doc.
+    * Candidate SEMANTICS (at-least-once emission against
+    * already-observed signatures) are unaffected.
     */
   def nearDupCandidates(docs: org.apache.spark.sql.Dataset[DocEvent],
                         watermarkDelay: String, stateTtlMs: Long,
-                        maxDist: Int = 3, maxPerBucket: Int = 1024)
+                        maxDist: Int = 3, maxPerBucket: Int = 1024,
+                        sortChunk: Int = 4096)
       : org.apache.spark.sql.Dataset[DupCandidate] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
@@ -149,23 +161,28 @@ object Stateful {
          state: GroupState[BucketSigs]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // deterministic within-batch order: by (ts, id)
-            val evs = rows.toSeq.sortBy(e => (e._2.getTime, e._1))
             var s = state.getOption.getOrElse(BucketSigs(Nil, 0L))
+            // out is bounded by ≤1 candidate per input event (tiny rows);
+            // the INPUT buffer is the bounded one: `grouped` materializes
+            // at most sortChunk events at a time, sorted by (ts, id) for
+            // chunk-deterministic processing order.
             val out = Seq.newBuilder[DupCandidate]
-            evs.foreach { case (id, ts, sig, band, _) =>
-              val matches = s.entries.filter { case (seenSig, seenId) =>
-                seenId != id && java.lang.Long.bitCount(seenSig ^ sig) <= maxDist
+            rows.grouped(sortChunk).foreach { chunk =>
+              chunk.sortBy(e => (e._2.getTime, e._1)).foreach {
+                case (id, ts, sig, band, _) =>
+                  val matches = s.entries.filter { case (seenSig, seenId) =>
+                    seenId != id && java.lang.Long.bitCount(seenSig ^ sig) <= maxDist
+                  }
+                  if (matches.nonEmpty) {
+                    val (mSig, mId) = matches.minBy(_._2)
+                    out += DupCandidate(id, mId, band,
+                      java.lang.Long.bitCount(mSig ^ sig))
+                  }
+                  val withNew =
+                    if (s.entries.size < maxPerBucket) (sig, id) :: s.entries
+                    else s.entries
+                  s = BucketSigs(withNew, math.max(s.lastTs, ts.getTime))
               }
-              if (matches.nonEmpty) {
-                val (mSig, mId) = matches.minBy(_._2)
-                out += DupCandidate(id, mId, band,
-                  java.lang.Long.bitCount(mSig ^ sig))
-              }
-              val withNew =
-                if (s.entries.size < maxPerBucket) (sig, id) :: s.entries
-                else s.entries
-              s = BucketSigs(withNew, math.max(s.lastTs, ts.getTime))
             }
             state.update(s)
             state.setTimeoutTimestamp(s.lastTs + stateTtlMs)

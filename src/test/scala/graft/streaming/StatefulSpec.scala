@@ -168,6 +168,99 @@ class StatefulSpec extends SparkSpec {
     assert(out.filter(_.id == 3L).map(_.dup_of).toSet === Set(1L))
   }
 
+  test("streaming near-dup ≡ batch simhashNearDupPairs on a replayed corpus (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    // seeded corpus: exact-dup family, near-dup variants, and unrelated noise
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus: Seq[(Long, String)] =
+      Seq(1L -> base, 2L -> base, 3L -> (base + " indeed"),
+        4L -> "unrelated cooking text about pasta sauce with fresh basil leaves",
+        5L -> base.replace("lazy", "sleepy"),
+        6L -> "another entirely different document covering quarterly revenue figures",
+        7L -> base, 8L -> (base + " indeed"),
+        9L -> "short noise", 10L -> "more filler text that resembles nothing else here at all")
+    val batchDf = corpus.toDF("id", "text")
+    val batchPairs = graft.dedup.Dedup
+      .simhashNearDupPairs(batchDf, "id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    // per-band chunk values, to pin band-for-band coverage
+    val sigs = graft.dedup.Dedup.simhashes(batchDf, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    def chunk(sig: Long, b: Int): Long = (sig >>> (16 * b)) & 0xFFFFL
+
+    // replay the identical corpus in ONE micro-batch, ts ascending with id
+    // (so "prior" == smaller id), TTL far away, unlimited bucket cap
+    val stream = MemoryStream[Stateful.DocEvent]
+    val out = mutable.Buffer.empty[Stateful.DupCandidate]
+    val q = Stateful.nearDupCandidates(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.DupCandidate], _: Long) =>
+        out.synchronized { out ++= df.collect() }
+        ()
+      }.start()
+    stream.addData(corpus.map { case (id, text) =>
+      Stateful.DocEvent(id,
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:${id}%02d:00"), text)
+    })
+    q.processAllAvailable()
+    q.stop()
+
+    // (1) every streaming candidate is a batch pair with the same hamming
+    out.foreach { c =>
+      val key = (math.min(c.id, c.dup_of), math.max(c.id, c.dup_of))
+      assert(batchPairs.contains(key), s"streaming-only pair $c")
+      assert(batchPairs(key) === c.hamming.toLong, s"hamming drift on $c")
+      assert(chunk(sigs(c.id), c.band) === chunk(sigs(c.dup_of), c.band),
+        s"candidate on band ${c.band} without a shared chunk: $c")
+    }
+    // (2) band-for-band coverage: every batch pair's later doc is flagged
+    // on every band where the pair shares a chunk
+    val flagged = out.map(c => (c.id, c.band)).toSet
+    batchPairs.keys.foreach { case (a, b) =>
+      (0 until 4).foreach { band =>
+        if (chunk(sigs(a), band) == chunk(sigs(b), band))
+          assert(flagged.contains((b, band)),
+            s"batch pair ($a,$b) shares band $band but $b was not flagged there")
+      }
+    }
+  }
+
+  test("streaming near-dup chunked input (sortChunk=1) still finds every dup") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.DocEvent]
+    val out = mutable.Buffer.empty[Stateful.DupCandidate]
+    val q = Stateful.nearDupCandidates(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000,
+        sortChunk = 1).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.DupCandidate], _: Long) =>
+        out.synchronized { out ++= df.collect() }
+        ()
+      }.start()
+    val dupText = "identical boilerplate repeated five times inside one micro batch"
+    val events = (1L to 5L).map(i => Stateful.DocEvent(i,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"), dupText)) :+
+      Stateful.DocEvent(9L,
+        java.sql.Timestamp.valueOf("2024-01-01 10:09:00"),
+        "totally different content about mountain weather forecasts")
+    stream.addData(events)
+    q.processAllAvailable()
+    q.stop()
+    // whatever the chunk boundaries, all but the first-processed copy must
+    // be flagged on all 4 bands, and never against themselves or doc 9
+    val flaggedIds = out.map(_.id).toSet
+    assert(flaggedIds.size === 4 && flaggedIds.subsetOf((1L to 5L).toSet),
+      s"expected 4 of the 5 exact dups flagged, got $out")
+    flaggedIds.foreach { id =>
+      assert(out.count(_.id == id) === 4, s"doc $id not flagged on all bands")
+    }
+    assert(out.forall(c => c.dup_of != c.id && c.dup_of <= 5L && c.hamming == 0))
+  }
+
   test("watermarked windowed aggregation emits closed windows (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
