@@ -18,7 +18,97 @@ object Bench {
     "q19_time_bucket_agg", "q22_token_count", "q24_exact_dedup",
     "q28_cosine_topk", "q29_minhash_buckets", "q30_simhash", "q31_ann_lsh")
 
+  /** 1/5/15-minute host load — stamped into the JSON at start and end
+    * so a contended run is self-diagnosing (BENCH_r07 was judged
+    * unusable only by out-of-band load data).
+    */
+  def loadavg(): Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+
+  /** Sweep cell value: rec/s when all `required` batches completed
+    * inside the deadline, else the -1 sentinel — a partial run under
+    * host contention must be distinguishable from "measured zero"
+    * (BENCH_r07 reported 0 for sweeps whose batch 1 never finished).
+    */
+  def sweepValue(rows: Long, sec: Double, nBatches: Int, required: Int): Double =
+    if (nBatches < required) -1.0
+    else if (sec > 0) rows / sec
+    else 0.0
+
+  /** Shared micro-batch timing harness: start the query, wait for
+    * batches 1..4 (batch 0 = codegen warm-up, excluded), time them by
+    * their own triggerExecution, and report HOW MANY completed — the
+    * caller turns a partial run into the -1 sentinel instead of a
+    * misleading 0 (sweepValue). A failure or stall must not discard
+    * earlier results: bounded wait, exceptions degrade to (0, 0, 0).
+    */
+  def timeStream(start: String => org.apache.spark.sql.streaming.StreamingQuery,
+                 deadlineSec: Long = 180L): (Long, Double, Int) = {
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+      val sq = start(ckpt)
+      // progress for batch N posts when N completes, so batchId == 4
+      // means the measured batches 1-4 are all done
+      val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
+      while (Option(sq.lastProgress).forall(_.batchId < 4) && sq.isActive
+             && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      // read progress BEFORE stop(): even if the stop times out, the
+      // completed batches' numbers survive into the JSON
+      val measured = sq.recentProgress.filter(p => p.batchId >= 1 && p.batchId <= 4)
+      if (sys.env.contains("GRAFT_BENCH_DEBUG"))
+        sq.recentProgress.foreach(p => System.err.println(
+          s"[bench-debug] batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}"))
+      try sq.stop()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming stop timed out: ${e.getMessage}") }
+      (measured.map(_.numInputRows).sum,
+        measured.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000).sum,
+        measured.length)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+      (0L, 0.0, 0)
+    }
+  }
+
+  /** Deterministic rate-source doc stream for the stateful bench:
+    * 12-token docs from a 200-word synthetic vocabulary (~19 docs per
+    * SimHash band bucket at 1 M docs — buckets populate and match
+    * without degenerating).
+    */
+  def statefulDocs(spark: SparkSession, rowsPerBatch: Long, numPartitions: Int)
+      : org.apache.spark.sql.Dataset[graft.streaming.Stateful.DocEvent] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("numPartitions", numPartitions)
+      .load()
+      .select(col("value").as("id"), col("timestamp").as("ts"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(col("value") * 2654435761L + i * 40503L, lit(200L)))): _*)
+          .as("text"))
+      .as[graft.streaming.Stateful.DocEvent]
+  }
+
+  /** Stateful-path throughput: nearDupCandidates (flatMapGroupsWithState,
+    * keyed state, event-time TTL) over the rate source — the operator a
+    * real deployment sizes. Returns (rows, sec, batchesMeasured).
+    */
+  def measureStateful(spark: SparkSession, rowsPerBatch: Long, numPartitions: Int,
+                      deadlineSec: Long = 180L): (Long, Double, Int) =
+    timeStream(ckpt => graft.streaming.Stateful
+      .nearDupCandidates(statefulDocs(spark, rowsPerBatch, numPartitions),
+        watermarkDelay = "10 seconds", stateTtlMs = 3600L * 1000)
+      .writeStream.outputMode("append")
+      .format("noop").option("checkpointLocation", ckpt).start(),
+      deadlineSec)
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark: SparkSession = SparkSession.builder()
@@ -65,10 +155,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(r => bestOf(r._2)).filter(_ >= 0).sum
 
-    // the round-7 heavy operators, tracked OUTSIDE the headline total
+    // the round-7+ heavy operators, tracked OUTSIDE the headline total
     // so round-over-round totals stay comparable to earlier BENCH_r*
     val extended = Seq("q76_knn_self", "q79_ivf_auto", "q80_dup_ngram_spans",
-      "q81_semdedup", "q82_shuffle_shards", "q83_dedup_cut")
+      "q81_semdedup", "q82_shuffle_shards", "q83_dedup_cut",
+      "q84_weighted_interleave", "q85_hll_distinct")
       .map(n => n -> (1 to nTrials).map(_ => run(n)))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")
@@ -142,7 +233,7 @@ object Bench {
     // log + commit log writes, planning) is amortized by batch size, so
     // the sweep separates pipeline throughput from trigger overhead —
     // the headline is the best size, the sweep is in the JSON.
-    def measureStreaming(rowsPerBatch: Long): (Long, Double) = {
+    def measureStreaming(rowsPerBatch: Long): (Long, Double, Int) = {
       val synth = spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rowsPerBatch)
         .option("numPartitions", cpus.toInt)
@@ -159,53 +250,47 @@ object Bench {
         col("value").as("offset"), col("timestamp"),
         lit(0).as("timestampType"),
         array().cast("array<struct<key:string,value:binary>>").as("headers"))
-      // a failure or stall here must not discard the batch results
-      // above: bounded wait, exceptions degrade to a 0 sentinel
-      try {
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
-        val sq = pipelineOver(kafkaShaped).writeStream
-          .format("noop").option("checkpointLocation", ckpt).start()
-        // progress for batch N posts when N completes, so batchId == 4
-        // means the measured batches 1-4 are all done
-        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-        while (Option(sq.lastProgress).forall(_.batchId < 4) && sq.isActive
-               && System.nanoTime() < deadline)
-          Thread.sleep(20)
-        // read progress BEFORE stop(): even if the stop times out, the
-        // completed batches' numbers survive into the JSON
-        val measured = sq.recentProgress.filter(p => p.batchId >= 1 && p.batchId <= 4)
-        if (sys.env.contains("GRAFT_BENCH_DEBUG"))
-          sq.recentProgress.foreach(p => System.err.println(
-            s"[bench-debug] rowsPerBatch=$rowsPerBatch batch=${p.batchId} " +
-              s"rows=${p.numInputRows} durationMs=${p.durationMs}"))
-        try sq.stop()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] streaming stop timed out: ${e.getMessage}") }
-        (measured.map(_.numInputRows).sum,
-          measured.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000).sum)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
-        (0L, 0.0)
-      }
+      timeStream(ckpt => pipelineOver(kafkaShaped).writeStream
+        .format("noop").option("checkpointLocation", ckpt).start())
     }
     val streamSweep = Seq(250000L, 1000000L, 2000000L).map { n =>
-      val (rows, sec) = measureStreaming(n)
-      (n, rows, sec, if (sec > 0) rows / sec else 0.0)
+      val (rows, sec, nBatches) = measureStreaming(n)
+      (n, rows, sec, sweepValue(rows, sec, nBatches, 4))
     }
+    val complete = streamSweep.filter(_._4 >= 0)
     val (_, streamRows, streamingSec, streamingRecPerSec) =
-      streamSweep.maxBy(_._4)
+      if (complete.nonEmpty) complete.maxBy(_._4)
+      else (0L, 0L, 0.0, -1.0)
     val sweepJson = streamSweep.map { case (n, _, _, rps) =>
-      "\"" + n + "\":" + rps.round
+      "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
     }.mkString("{", ",", "}")
 
+    // STATEFUL streaming throughput — the operator a real deployment
+    // sizes is the keyed-state path (flatMapGroupsWithState), not the
+    // stateless decode pipeline; the reference's KEY_ORDERED figure
+    // (BASELINE.md: 285,750 rec/s @0 µs) is its natural comparable.
+    // SimHash + band explode + per-bucket state scan all inside the
+    // measured trigger.
+    val statefulRowsPerBatch =
+      sys.env.getOrElse("GRAFT_STATEFUL_ROWS", "250000").toLong
+    val (statefulRows, statefulSec, statefulBatches) =
+      measureStateful(spark, statefulRowsPerBatch, cpus.toInt)
+    val statefulRecPerSec =
+      sweepValue(statefulRows, statefulSec, statefulBatches, 4)
+
+    val loadEnd = loadavg()
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""trials":$trialsJson,"extended":$extJson,""" +
       s""""pipeline_trials_sec":[${pipelineTrials.mkString(",")}],""" +
       s""""pipeline_rec_per_sec":${recPerSec.round},"pipeline_rows":$eventRows,""" +
-      s""""streaming_rec_per_sec":${streamingRecPerSec.round},""" +
+      s""""streaming_rec_per_sec":${if (streamingRecPerSec < 0) "-1" else streamingRecPerSec.round.toString},""" +
       s""""streaming_rows":$streamRows,""" +
       s""""streaming_sec":$streamingSec,""" +
-      s""""streaming_by_batch_size":$sweepJson,"sf":"$sfDir"}"""
+      s""""streaming_by_batch_size":$sweepJson,""" +
+      s""""stateful_rec_per_sec":${if (statefulRecPerSec < 0) "-1" else statefulRecPerSec.round.toString},""" +
+      s""""stateful_rows":$statefulRows,"stateful_sec":$statefulSec,""" +
+      s""""loadavg_start":[${loadStart.mkString(",")}],""" +
+      s""""loadavg_end":[${loadEnd.mkString(",")}],"sf":"$sfDir"}"""
     // stop BEFORE printing so Spark's shutdown logging can't interleave
     // after the JSON line — the driver parses the last stdout line(s).
     spark.stop()

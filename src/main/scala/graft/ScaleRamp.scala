@@ -59,8 +59,11 @@ object ScaleRamp {
       val remapped = keys.foldLeft(rep) { (d, k) =>
         d.withColumn(k, col(k) * factor + col("__rep"))
       }
-      // Embedding replicas get a deterministic jitter (±2.5% per dim):
-      // exact copies would co-bucket under ANY LSH/IVF scheme, turning
+      // Embedding replicas get a deterministic ABSOLUTE jitter of
+      // ±0.025 per dim (symmetric: (k − 499.5)/999 spans ±0.5 for
+      // k ∈ 0..999). For unit-norm 64-dim components (~0.125
+      // magnitude) that is ~20% relative — deliberately loud: exact
+      // copies would co-bucket under ANY LSH/IVF scheme, turning
       // every ANN ramp quadratic by construction rather than by plan —
       // a 10× corpus means NEW vectors near the old ones, not clones.
       // (Document text stays replicated: for the text-dedup ramp the
@@ -69,8 +72,8 @@ object ScaleRamp {
         if (name != "embeddings") remapped
         else remapped.withColumn("embedding",
           transform(col("embedding"), (x, j) =>
-            (x + (pmod(xxhash64(col("vec_id"), col("__rep"), j), lit(1000))
-              .cast("float") / 1000.0f - 0.5f) * 0.05f).cast("float")))
+            (x + ((pmod(xxhash64(col("vec_id"), col("__rep"), j), lit(1000))
+              .cast("float") - 499.5f) / 999.0f) * 0.05f).cast("float")))
       jittered.drop("__rep").repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }

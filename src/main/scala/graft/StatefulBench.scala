@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: measure the stateful streaming path in isolation —
+  * `runMain graft.StatefulBench [rowsPerBatch ...]`. Prints per-batch
+  * progress (GRAFT_BENCH_DEBUG-style) and the rec/s each size lands,
+  * without waiting for the full `graft.Bench` sweep.
+  */
+object StatefulBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
+      else Seq(50000L, 100000L, 250000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stopTimeout", "30s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sizes.foreach { n =>
+      val (rows, sec, batches) = Bench.measureStateful(spark, n, cpus.toInt)
+      val rps = Bench.sweepValue(rows, sec, batches, 4)
+      println(f"rowsPerBatch=$n%-8d batches=$batches rows=$rows sec=$sec%.2f rec/s=${rps.round}")
+    }
+    spark.stop()
+  }
+}

@@ -199,6 +199,40 @@ object Dedup {
       when(element_at(counts, 64) > 0, lit(Long.MinValue)).otherwise(lit(0L))
   }
 
+  /** Scala-native [[simhash]] — bit-identical values computed off-plan
+    * in a tight JVM loop. The column form evaluates ~770 interpreted
+    * lambda calls per doc (~1.5 ms); this is microseconds, which is
+    * what the streaming per-row hot path needs. Tokenization mirrors
+    * `TextFns.tokens` exactly: Spark `trim` strips ASCII spaces ONLY,
+    * and Spark `split` keeps trailing empty tokens (Java limit -1).
+    */
+  def simhashLong(text: String): Long = {
+    var i = 0; var j = text.length
+    while (i < j && text.charAt(i) == ' ') i += 1
+    while (j > i && text.charAt(j - 1) == ' ') j -= 1
+    val trimmed = text.substring(i, j)
+    val counts = new Array[Int](64)
+    if (trimmed.nonEmpty) {
+      val toks = trimmed.split(TextFns.WS_CLASS + "+", -1)
+      var t = 0
+      while (t < toks.length) {
+        val h = graft.functions.Md5Long.hashBytes(
+          toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var b = 0
+        while (b < 64) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        t += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 63) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    if (counts(63) > 0) sig += Long.MinValue
+    sig
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -143,8 +143,13 @@ object Stateful {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = docs.toDF()
-      .withColumn("sig", graft.dedup.Dedup.simhash(col("text")))
+    // signature via the Scala-native simhash (bit-identical to the
+    // column form, pinned by DedupSpec): the interpreted column
+    // expression costs ~1.5 ms/doc — 650 rec/s, 400× under the
+    // stateless pipeline — while the typed map is microseconds/doc
+    val banded = docs
+      .map(d => (d.id, d.ts, graft.dedup.Dedup.simhashLong(d.text)))
+      .toDF("id", "ts", "sig")
       .withWatermark("ts", watermarkDelay)
       .select(col("id"), col("ts"), col("sig"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),

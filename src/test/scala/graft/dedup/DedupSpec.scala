@@ -65,6 +65,19 @@ class DedupSpec extends SparkSpec {
     assert(dfSim === colSim)
   }
 
+  test("Scala-native simhashLong equals the column expression, edge cases included") {
+    // edges: empty, spaces-only (Spark trim strips ' ' only), leading tab
+    // (survives trim → empty first token), trailing tab (split keeps the
+    // trailing empty at limit -1), multi-space runs, unicode
+    val samples = Seq("", "   ", "one", "two words here",
+      "\tleading tab", "trailing tab\t", "a  b   c", "naïve café déjà-vu",
+      "the quick brown fox jumps over the lazy dog")
+    val viaColumn = samples.toDF("text")
+      .select(Dedup.simhash(col("text")).as("sig")).as[Long].collect().toSeq
+    val viaNative = samples.map(Dedup.simhashLong)
+    assert(viaNative === viaColumn)
+  }
+
   test("LSH near-dup pairs finds planted pairs without all-pairs join") {
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         threshold = 0.4, numHashes = 32, bands = 16, shingleWidth = 3)
