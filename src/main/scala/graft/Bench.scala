@@ -159,7 +159,7 @@ object Bench {
     // so round-over-round totals stay comparable to earlier BENCH_r*
     val extended = Seq("q76_knn_self", "q79_ivf_auto", "q80_dup_ngram_spans",
       "q81_semdedup", "q82_shuffle_shards", "q83_dedup_cut",
-      "q84_weighted_interleave", "q85_hll_distinct")
+      "q84_weighted_interleave", "q85_hll_distinct", "q86_hll_merge")
       .map(n => n -> (1 to nTrials).map(_ => run(n)))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

@@ -370,6 +370,7 @@ object OracleSql {
     "q83_dedup_cut" -> Gen.dedupCutSql,
     "q84_weighted_interleave" -> Gen.weightedInterleaveSql,
     "q85_hll_distinct" -> Gen.hllDistinctSql,
+    "q86_hll_merge" -> Gen.hllMergeSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1058,6 +1059,30 @@ object OracleSql {
          |  CAST(CAST('${graft.ops.Sketch.HllEstNumX10}' AS HUGEINT)
          |    // s.hll_reg_sum AS BIGINT) AS hll_est_x10
          |FROM e JOIN s USING (lang) ORDER BY lang""".stripMargin
+    }
+
+    /** Twin of q86_hll_merge: the WHOLE-CORPUS sketch. The Spark side
+      * builds per-half register tables and merges them by element-wise
+      * max; max over (lang, bucket) is associative, so the merged
+      * sketch must equal this single-pass form bit-for-bit — the hash
+      * match IS the merge-correctness proof at sf0.01.
+      */
+    def hllMergeSql: String = {
+      val h = duckHash61("tok")
+      s"""WITH t AS (SELECT lang, unnest(${tokensE("text")}) AS tok FROM documents),
+         |hx AS (SELECT lang, tok, $h AS h FROM t),
+         |b AS (SELECT lang, h % 1024 AS bucket, h // 1024 AS w FROM hx),
+         |r AS (SELECT lang, bucket,
+         |        max(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS reg
+         |      FROM b GROUP BY lang, bucket),
+         |s AS (SELECT lang,
+         |        SUM(1::BIGINT << (52 - reg))
+         |          + (1024 - count(*)) * (1::BIGINT << 52) AS hll_reg_sum
+         |      FROM r GROUP BY lang)
+         |SELECT lang, hll_reg_sum,
+         |  CAST(CAST('${graft.ops.Sketch.HllEstNumX10}' AS HUGEINT)
+         |    // hll_reg_sum AS BIGINT) AS hll_est_x10
+         |FROM s ORDER BY lang""".stripMargin
     }
 
     /** Twin of q82_shuffle_shards: hash-sharded, hash-ordered training

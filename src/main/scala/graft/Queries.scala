@@ -1129,6 +1129,31 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Mergeable-sketch differential: HLL register tables built
+    * INDEPENDENTLY on two disjoint halves of the corpus (doc_id
+    * parity), merged by element-wise max, collapsed to the exact
+    * integer fingerprint + estimate. The oracle pins the merged result
+    * to the whole-corpus sketch — max is associative, so
+    * merge(regs(A), regs(B)) MUST equal regs(A ∪ B) bit-for-bit;
+    * this is the incremental-profiling contract (fold yesterday's
+    * sketch with today's instead of rescanning 100 TB of history).
+    * See [[graft.ops.Sketch.hllMergeRegisters]].
+    */
+  val q86_hll_merge: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+    val half = (p: Int) => toks.where(pmod(col("doc_id"), lit(2)) === p)
+    val merged = Sketch.hllMergeRegisters(
+      Sketch.hllRegisters(half(0), Seq("lang"), col("tok"))
+        .unionByName(Sketch.hllRegisters(half(1), Seq("lang"), col("tok"))),
+      Seq("lang"))
+    merged
+      .select(col("lang"), Sketch.hllRegSum(col("hll_regs")).as("hll_reg_sum"))
+      .withColumn("hll_est_x10", Sketch.hllEstX10("hll_reg_sum"))
+      .orderBy("lang")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1215,5 +1240,6 @@ object Queries {
     "q82_shuffle_shards" -> q82_shuffle_shards,
     "q83_dedup_cut" -> q83_dedup_cut,
     "q84_weighted_interleave" -> q84_weighted_interleave,
-    "q85_hll_distinct" -> q85_hll_distinct)
+    "q85_hll_distinct" -> q85_hll_distinct,
+    "q86_hll_merge" -> q86_hll_merge)
 }

@@ -58,9 +58,14 @@ object Sketch {
       .groupBy(keys: _*)
       .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - reg AS INT))")) +
         (lit(1024L) - count(lit(1))) * lit(1L << 52)).as("hll_reg_sum"))
-      .withColumn("hll_est_x10",
-        expr(s"CAST('$HllEstNumX10' AS DECIMAL(38,0)) div hll_reg_sum"))
+      .withColumn("hll_est_x10", hllEstX10("hll_reg_sum"))
   }
+
+  /** est×10 as BIGINT: [[HllEstNumX10]] integer-divided by the named
+    * register-sum column — the oracle-exact estimate form.
+    */
+  def hllEstX10(regSumCol: String): Column =
+    expr(s"CAST('$HllEstNumX10' AS DECIMAL(38,0)) div $regSumCol")
 
   /** Engine-side convenience: the estimate as a plain double (est_x10
     * / 10). NOT oracle-hashed — floats stay out of the verified
