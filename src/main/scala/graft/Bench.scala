@@ -270,13 +270,20 @@ object Bench {
     // stateless decode pipeline; the reference's KEY_ORDERED figure
     // (BASELINE.md: 285,750 rec/s @0 µs) is its natural comparable.
     // SimHash + band explode + per-bucket state scan all inside the
-    // measured trigger.
-    val statefulRowsPerBatch =
-      sys.env.getOrElse("GRAFT_STATEFUL_ROWS", "250000").toLong
-    val (statefulRows, statefulSec, statefulBatches) =
-      measureStateful(spark, statefulRowsPerBatch, cpus.toInt)
-    val statefulRecPerSec =
-      sweepValue(statefulRows, statefulSec, statefulBatches, 4)
+    // measured trigger. Swept over batch sizes like the stateless
+    // path: per-trigger state-store commit cost amortizes with batch
+    // size.
+    val statefulSweep = Seq(250000L, 1000000L).map { n =>
+      val (rows, sec, nBatches) = measureStateful(spark, n, cpus.toInt)
+      (n, rows, sec, sweepValue(rows, sec, nBatches, 4))
+    }
+    val statefulComplete = statefulSweep.filter(_._4 >= 0)
+    val (_, statefulRows, statefulSec, statefulRecPerSec) =
+      if (statefulComplete.nonEmpty) statefulComplete.maxBy(_._4)
+      else (0L, 0L, 0.0, -1.0)
+    val statefulSweepJson = statefulSweep.map { case (n, _, _, rps) =>
+      "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
+    }.mkString("{", ",", "}")
 
     val loadEnd = loadavg()
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -289,6 +296,7 @@ object Bench {
       s""""streaming_by_batch_size":$sweepJson,""" +
       s""""stateful_rec_per_sec":${if (statefulRecPerSec < 0) "-1" else statefulRecPerSec.round.toString},""" +
       s""""stateful_rows":$statefulRows,"stateful_sec":$statefulSec,""" +
+      s""""stateful_by_batch_size":$statefulSweepJson,""" +
       s""""loadavg_start":[${loadStart.mkString(",")}],""" +
       s""""loadavg_end":[${loadEnd.mkString(",")}],"sf":"$sfDir"}"""
     // stop BEFORE printing so Spark's shutdown logging can't interleave

@@ -101,7 +101,14 @@ object Stateful {
 
   final case class DocEvent(id: Long, ts: java.sql.Timestamp, text: String)
   final case class DupCandidate(id: Long, dup_of: Long, band: Int, hamming: Int)
-  final case class BucketSigs(entries: List[(Long, Long)], lastTs: Long)
+  /** Per-bucket state as PARALLEL PRIMITIVE ARRAYS, not a
+    * List[(sig, id)]: the state row is re-encoded on every update
+    * (≈ once per input event), and Spark's encoder writes Array[Long]
+    * through the unsafe primitive-array writer while a List of tuples
+    * goes through per-element object serialization — at 10⁶ state
+    * updates per micro-batch the encoder IS the hot path.
+    */
+  final case class BucketSigs(sigs: Array[Long], ids: Array[Long], lastTs: Long)
 
   /** Streaming near-duplicate detection — the streaming twin of the
     * batch [[graft.dedup.Dedup.simhashNearDupPairs]]: each document's
@@ -166,7 +173,15 @@ object Stateful {
          state: GroupState[BucketSigs]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var s = state.getOption.getOrElse(BucketSigs(Nil, 0L))
+            val s = state.getOption
+              .getOrElse(BucketSigs(Array.emptyLongArray, Array.emptyLongArray, 0L))
+            val storedN = s.sigs.length
+            // this batch's additions buffer separately and concatenate
+            // into the state ONCE per batch — appending per event would
+            // copy the arrays quadratically
+            val newSigs = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var lastTs = s.lastTs
             // out is bounded by ≤1 candidate per input event (tiny rows);
             // the INPUT buffer is the bounded one: `grouped` materializes
             // at most sortChunk events at a time, sorted by (ts, id) for
@@ -175,22 +190,36 @@ object Stateful {
             rows.grouped(sortChunk).foreach { chunk =>
               chunk.sortBy(e => (e._2.getTime, e._1)).foreach {
                 case (id, ts, sig, band, _) =>
-                  val matches = s.entries.filter { case (seenSig, seenId) =>
-                    seenId != id && java.lang.Long.bitCount(seenSig ^ sig) <= maxDist
+                  // min matching prior id across stored state + this batch
+                  var bestId = Long.MaxValue
+                  var bestSig = 0L
+                  var i = 0
+                  while (i < storedN) {
+                    if (s.ids(i) != id && s.ids(i) < bestId &&
+                        java.lang.Long.bitCount(s.sigs(i) ^ sig) <= maxDist) {
+                      bestId = s.ids(i); bestSig = s.sigs(i)
+                    }
+                    i += 1
                   }
-                  if (matches.nonEmpty) {
-                    val (mSig, mId) = matches.minBy(_._2)
-                    out += DupCandidate(id, mId, band,
-                      java.lang.Long.bitCount(mSig ^ sig))
+                  var j = 0
+                  while (j < newSigs.length) {
+                    if (newIds(j) != id && newIds(j) < bestId &&
+                        java.lang.Long.bitCount(newSigs(j) ^ sig) <= maxDist) {
+                      bestId = newIds(j); bestSig = newSigs(j)
+                    }
+                    j += 1
                   }
-                  val withNew =
-                    if (s.entries.size < maxPerBucket) (sig, id) :: s.entries
-                    else s.entries
-                  s = BucketSigs(withNew, math.max(s.lastTs, ts.getTime))
+                  if (bestId != Long.MaxValue)
+                    out += DupCandidate(id, bestId, band,
+                      java.lang.Long.bitCount(bestSig ^ sig))
+                  if (storedN + newSigs.length < maxPerBucket) {
+                    newSigs += sig; newIds += id
+                  }
+                  lastTs = math.max(lastTs, ts.getTime)
               }
             }
-            state.update(s)
-            state.setTimeoutTimestamp(s.lastTs + stateTtlMs)
+            state.update(BucketSigs(s.sigs ++ newSigs, s.ids ++ newIds, lastTs))
+            state.setTimeoutTimestamp(lastTs + stateTtlMs)
             out.result().iterator
           }
       }
