@@ -371,6 +371,7 @@ object OracleSql {
     "q84_weighted_interleave" -> Gen.weightedInterleaveSql,
     "q85_hll_distinct" -> Gen.hllDistinctSql,
     "q86_hll_merge" -> Gen.hllMergeSql,
+    "q87_bloom_contamination" -> Gen.bloomContaminationSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1083,6 +1084,39 @@ object OracleSql {
          |  CAST(CAST('${graft.ops.Sketch.HllEstNumX10}' AS HUGEINT)
          |    // hll_reg_sum AS BIGINT) AS hll_est_x10
          |FROM s ORDER BY lang""".stripMargin
+    }
+
+    /** Twin of q87_bloom_contamination: identical bloom construction —
+      * positions from [[HashFns.duckHashAt]] mod 65536, words as
+      * bit_or of 64-bit masks, probe = bool_and over the k=4 position
+      * tests. Integer/boolean arithmetic only.
+      */
+    def bloomContaminationSql: String = {
+      val mBits = 1 << 16
+      val k = 4
+      def positionsE(xE: String): String =
+        (0 until k).map(j => s"(${duckHashAt(xE, j)} % $mBits)")
+          .mkString("[", ", ", "]")
+      // bit 63: DuckDB overflow-checks 1::BIGINT << 63, Spark's
+      // shiftleft wraps to Long.MinValue — write the sign bit explicitly
+      val maskE =
+        "CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1) " +
+          "ELSE 1::BIGINT << CAST(pos % 64 AS INT) END"
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |sh AS (SELECT id, unnest(list_distinct(${shinglesE("w", 3)})) AS s FROM words),
+         |h AS (SELECT id, ${duckHash61("s")} AS x FROM sh),
+         |evpos AS (SELECT unnest(${positionsE("x")}) AS pos FROM h WHERE id % 50 = 0),
+         |bw AS (SELECT pos // 64 AS widx, bit_or($maskE) AS word
+         |       FROM evpos GROUP BY widx),
+         |pp AS (SELECT id, x, unnest(${positionsE("x")}) AS pos FROM h),
+         |pb AS (SELECT id, x, pos // 64 AS widx,
+         |         ($maskE) AS mask FROM pp),
+         |pj AS (SELECT id, x,
+         |         bool_and((COALESCE(b.word, 0) & mask) = mask) AS maybe
+         |       FROM pb LEFT JOIN bw b USING (widx) GROUP BY id, x)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+         |FROM pj GROUP BY id ORDER BY id""".stripMargin
     }
 
     /** Twin of q82_shuffle_shards: hash-sharded, hash-ordered training

@@ -1154,6 +1154,19 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Bloom-filter contamination — q63's scale shape: the eval shingle
+    * set becomes a fixed 8 KiB bitmap instead of an exact broadcast
+    * set that grows with the eval corpus. Hash-verified end to end
+    * (the position family is the same oracle-exact md5 + multiply-add
+    * family); `n_bloom_hits` ≥ q63's `n_overlap` by construction.
+    */
+  val q87_bloom_contamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.bloomContaminationScores(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 50 === 0), "text", n = 3)
+      .orderBy("id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1241,5 +1254,6 @@ object Queries {
     "q83_dedup_cut" -> q83_dedup_cut,
     "q84_weighted_interleave" -> q84_weighted_interleave,
     "q85_hll_distinct" -> q85_hll_distinct,
-    "q86_hll_merge" -> q86_hll_merge)
+    "q86_hll_merge" -> q86_hll_merge,
+    "q87_bloom_contamination" -> q87_bloom_contamination)
 }

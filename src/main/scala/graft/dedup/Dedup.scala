@@ -486,6 +486,48 @@ object Dedup {
     * overlap join map-only; the only shuffle is the per-doc count
     * aggregation with map-side partials.
     */
+  /** Contamination via a BLOOM FILTER of the eval shingle set — the
+    * 100 TB shape of [[contaminationScores]]: that one broadcasts the
+    * exact eval hash set, which grows with the eval corpus; this
+    * broadcasts a fixed mBits/64-word bitmap (8 KiB at the default)
+    * regardless of eval size, at the cost of a bounded false-positive
+    * rate. `n_bloom_hits ≥ n_overlap` always (no false negatives —
+    * specced); positions come from the same oracle-exact hash family,
+    * so the whole probe is integer arithmetic end to end. Plan shape:
+    * build = one tiny shuffle on word index; probe = shingle explode →
+    * k-position explode → ONE broadcast join on the 4-byte widx →
+    * two-level aggregation back to docs. See
+    * [[graft.ops.Sketch.bloomWords]].
+    */
+  def bloomContaminationScores(docs: DataFrame, idCol: String, textCol: String,
+                               eval: DataFrame, evalTextCol: String,
+                               n: Int = 3, mBits: Int = 1 << 16, k: Int = 4)
+      : DataFrame = {
+    val evalH = eval
+      .select(explode(array_distinct(TextFns.shingles(col(evalTextCol), n))).as("s"))
+      .select(HashFns.hash61(col("s")).as("x"))
+    val words = graft.ops.Sketch.bloomWords(evalH, col("x"), mBits, k)
+    val docH = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
+      .select(col("id"), HashFns.hash61(col("s")).as("x"))
+    docH
+      .select(col("id"), col("x"),
+        explode(array((0 until k).map(j =>
+          HashFns.hashAt(col("x"), j) % mBits): _*)).as("pos"))
+      .select(col("id"), col("x"),
+        shiftright(col("pos"), 6).cast("int").as("widx"),
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+      .join(broadcast(words), Seq("widx"), "left")
+      .groupBy("id", "x")
+      .agg(expr("bool_and((coalesce(word, CAST(0 AS BIGINT)) & mask) = mask)")
+        .as("maybe"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_bloom_hits"))
+  }
+
   def contaminationScores(docs: DataFrame, idCol: String, textCol: String,
                           eval: DataFrame, evalTextCol: String,
                           n: Int = 3): DataFrame = {

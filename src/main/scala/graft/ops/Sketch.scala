@@ -128,6 +128,34 @@ object Sketch {
     assembleRegs(sparse, keyCols)
   }
 
+  /** Bloom filter over the 2-universal position family, as a sparse
+    * (widx INT, word BIGINT) table: position j of element hash x is
+    * `hashAt(x, j) mod mBits` ([[HashFns.hashAt]] — the same md5 +
+    * multiply-add family every oracle query uses, so the filter is
+    * integer-exact and DuckDB-twinnable). mBits/64 words ≈ KBs —
+    * broadcast to the probe side, the CONSTANT-SIZE alternative to
+    * broadcasting an exact key set that grows with the reference
+    * corpus. Mergeable: OR is idempotent/commutative/associative
+    * ([[bloomMerge]]), so per-shard/per-day filters fold without
+    * rescanning. `x61` must be the 61-bit element hash (e.g.
+    * `HashFns.hash61(value)`).
+    */
+  def bloomWords(items: DataFrame, x61: Column, mBits: Int, k: Int): DataFrame =
+    items
+      .select(explode(array((0 until k).map(j =>
+        HashFns.hashAt(x61, j) % mBits): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).cast("int").as("widx"),
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+      .groupBy("widx").agg(expr("bit_or(mask)").as("word"))
+
+  /** Merge bloom word tables by bitwise OR — merge(A, B) equals the
+    * filter built on A ∪ B exactly.
+    */
+  def bloomMerge(words: Seq[DataFrame]): DataFrame =
+    words.reduce(_ unionByName _)
+      .groupBy("widx").agg(expr("bit_or(word)").as("word"))
+
   /** Collapse a register array to the exact integer denominator
     * Σ 2^(52-reg) — the same `hll_reg_sum` [[hllDistinct]] emits, so
     * a merged register table feeds the same integer-exact estimate:

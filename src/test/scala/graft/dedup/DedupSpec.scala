@@ -193,4 +193,25 @@ class DedupSpec extends SparkSpec {
     assert(scores(6L)._4 === 1.0)             // exact duplicate of doc 0
     assert(scores.values.forall(s => s._3 <= s._2))
   }
+
+  test("bloom contamination: superset of exact overlap, exact on eval members") {
+    val evalSet = docs.where(col("doc_id") === 0)
+    val exact = Dedup.contaminationScores(docs, "doc_id", "text", evalSet, "text", n = 3)
+      .select("id", "n_shingles", "n_overlap")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val bloom = Dedup.bloomContaminationScores(docs, "doc_id", "text", evalSet, "text", n = 3)
+      .select("id", "n_shingles", "n_bloom_hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(bloom.keySet === exact.keySet)
+    exact.foreach { case (id, (_, n, overlap)) =>
+      val (_, bn, hits) = bloom(id)
+      assert(bn === n, s"doc $id shingle count drift")
+      // no false negatives: every exact overlap is a bloom hit
+      assert(hits >= overlap, s"doc $id lost overlaps: $hits < $overlap")
+      assert(hits <= n)
+    }
+    // the eval doc still probes fully contaminated through the filter
+    assert(bloom(0L)._3 === bloom(0L)._2)
+    assert(bloom(6L)._3 === bloom(6L)._2)     // exact duplicate of doc 0
+  }
 }

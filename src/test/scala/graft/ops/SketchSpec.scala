@@ -65,6 +65,32 @@ class SketchSpec extends SparkSpec {
     assert(twice === once)
   }
 
+  test("bloom filter: no false negatives, and merge(A, B) == build(A ∪ B)") {
+    import graft.functions.HashFns
+    def items(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(HashFns.hash61(col("id").cast("string")).as("x"))
+    val a = items(0, 3000); val b = items(3000, 6000)
+    val whole = Sketch.bloomWords(a.union(b), col("x"), 1 << 16, 4)
+      .as[(Int, Long)].collect().toMap
+    val merged = Sketch.bloomMerge(Seq(
+      Sketch.bloomWords(a, col("x"), 1 << 16, 4),
+      Sketch.bloomWords(b, col("x"), 1 << 16, 4)))
+      .as[(Int, Long)].collect().toMap
+    assert(merged === whole)
+    // no false negatives: every inserted element probes positive
+    val probes = items(0, 6000)
+      .select(col("x"), explode(array((0 until 4).map(j =>
+        HashFns.hashAt(col("x"), j) % (1 << 16)): _*)).as("pos"))
+      .select(col("x"), shiftright(col("pos"), 6).cast("int").as("widx"),
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+      .as[(Long, Int, Long)].collect()
+    val misses = probes.filter { case (_, widx, mask) =>
+      (whole.getOrElse(widx, 0L) & mask) != mask
+    }
+    assert(misses.isEmpty, s"${misses.length} false negatives")
+  }
+
   test("duplicates do not move the sketch; disjoint halves merge to the whole") {
     val half1 = spark.range(30000)
     val half2 = spark.range(30000, 60000)
