@@ -372,6 +372,7 @@ object OracleSql {
     "q85_hll_distinct" -> Gen.hllDistinctSql,
     "q86_hll_merge" -> Gen.hllMergeSql,
     "q87_bloom_contamination" -> Gen.bloomContaminationSql,
+    "q88_cms_topk" -> Gen.cmsTopkSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1117,6 +1118,33 @@ object OracleSql {
          |SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
          |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
          |FROM pj GROUP BY id ORDER BY id""".stripMargin
+    }
+
+    /** Twin of q88_cms_topk: identical count-min construction — cells
+      * from [[duckHashAt]] mod w for each token occurrence, exact
+      * top-20 (count DESC, token tiebreak), point estimate = min over
+      * the d probed cells. Integer arithmetic only.
+      */
+    def cmsTopkSql: String = {
+      val w = 8192
+      val k = 4
+      def cellsE(xE: String): String =
+        (0 until k).map(j =>
+          s"{'row': $j, 'col': (${duckHashAt(xE, j)} % $w)}")
+          .mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT unnest(${tokensE("text")}) AS tok FROM documents),
+         |hx AS (SELECT tok, ${duckHash61("tok")} AS x FROM t),
+         |cells AS (SELECT unnest(${cellsE("x")}) AS u FROM hx),
+         |cnts AS (SELECT u['row'] AS row, u['col'] AS col, count(*) AS cnt
+         |         FROM cells GROUP BY 1, 2),
+         |top AS (SELECT tok, count(*) AS n_exact FROM hx GROUP BY tok
+         |        ORDER BY n_exact DESC, tok LIMIT 20),
+         |tx AS (SELECT tok, n_exact, ${duckHash61("tok")} AS x FROM top),
+         |pj AS (SELECT tok, n_exact, u['row'] AS row, u['col'] AS col
+         |       FROM (SELECT tok, n_exact, unnest(${cellsE("x")}) AS u FROM tx))
+         |SELECT tok, n_exact, min(cnt) AS cms_est
+         |FROM pj JOIN cnts USING (row, col)
+         |GROUP BY tok, n_exact ORDER BY n_exact DESC, tok""".stripMargin
     }
 
     /** Twin of q82_shuffle_shards: hash-sharded, hash-ordered training

@@ -1167,6 +1167,37 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Count-min sketch frequency profile: build the (4 × 8192) counter
+    * table over every token occurrence, then read back the top-20
+    * tokens (by exact count, token tiebreak) with their point
+    * estimates — `cms_est ≥ n_exact` always, equality when the
+    * token's 4 cells are collision-free. Integer arithmetic end to
+    * end. See [[graft.ops.Sketch.cmsCounts]].
+    */
+  val q88_cms_topk: Q = (s, d) => {
+    val w = 8192
+    val k = 4
+    val toks = Tables.documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+    val hashed = toks.select(col("tok"), HashFns.hash61(col("tok")).as("x"))
+    val counts = Sketch.cmsCounts(hashed, col("x"), w, k)
+    val top = hashed.groupBy("tok")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(20)
+    top
+      .select(col("tok"), col("n_exact"), HashFns.hash61(col("tok")).as("x"))
+      .select(col("tok"), col("n_exact"),
+        explode(array((0 until k).map(j =>
+          struct(lit(j).as("row"),
+            (HashFns.hashAt(col("x"), j) % w).cast("int").as("col"))): _*)).as("cell"))
+      .join(broadcast(counts),
+        col("cell.row") === counts("row") && col("cell.col") === counts("col"))
+      .groupBy("tok", "n_exact")
+      .agg(min("cnt").as("cms_est"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1255,5 +1286,6 @@ object Queries {
     "q84_weighted_interleave" -> q84_weighted_interleave,
     "q85_hll_distinct" -> q85_hll_distinct,
     "q86_hll_merge" -> q86_hll_merge,
-    "q87_bloom_contamination" -> q87_bloom_contamination)
+    "q87_bloom_contamination" -> q87_bloom_contamination,
+    "q88_cms_topk" -> q88_cms_topk)
 }

@@ -156,6 +156,31 @@ object Sketch {
     words.reduce(_ unionByName _)
       .groupBy("widx").agg(expr("bit_or(word)").as("word"))
 
+  /** Count-min sketch as a sparse (row INT, col INT, cnt BIGINT)
+    * counter table: element hash x increments cell
+    * (j, hashAt(x, j) mod w) for j < d. Point estimate = min over the
+    * d cells — NEVER an undercount (collisions only add), bounded
+    * overcount with the usual (d, w) guarantees. Integer sums through
+    * the oracle-exact hash family end to end, and mergeable by
+    * cell-wise ADD ([[cmsMerge]]): per-shard/per-day sketches fold
+    * into the exact union-corpus sketch, which is the point — frequency
+    * profiling over 100 TB keeps d·w counters, not a token dictionary.
+    */
+  def cmsCounts(items: DataFrame, x61: Column, w: Int, d: Int): DataFrame =
+    items
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"),
+          (HashFns.hashAt(x61, j) % w).cast("int").as("col"))): _*)).as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge count-min counter tables by cell-wise sum — merge(A, B)
+    * equals the sketch built on the concatenation of A and B exactly.
+    */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "col").agg(sum("cnt").cast("long").as("cnt"))
+
   /** Collapse a register array to the exact integer denominator
     * Σ 2^(52-reg) — the same `hll_reg_sum` [[hllDistinct]] emits, so
     * a merged register table feeds the same integer-exact estimate:

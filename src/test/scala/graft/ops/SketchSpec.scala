@@ -91,6 +91,34 @@ class SketchSpec extends SparkSpec {
     assert(misses.isEmpty, s"${misses.length} false negatives")
   }
 
+  test("count-min: estimates never undercount; merge(A, B) == build(A ++ B)") {
+    import graft.functions.HashFns
+    // skewed stream: value v appears v+1 times, v in 0..99
+    val items = spark.range(100)
+      .select(explode(sequence(lit(0), col("id"))).as("rep"), col("id"))
+      .select(HashFns.hash61(col("id").cast("string")).as("x"), col("id"))
+    val counts = Sketch.cmsCounts(items, col("x"), w = 256, d = 4)
+      .as[(Int, Int, Long)].collect().map { case (r, c, n) => (r, c) -> n }.toMap
+    val exact = (0L until 100L).map(v => v -> (v + 1)).toMap
+    // probe every value: min over the 4 cells >= true count
+    import graft.functions.{HashFns => HF}
+    val est = items.select(col("id"), col("x")).distinct()
+      .select(col("id") +: (0 until 4).map(j =>
+        (HF.hashAt(col("x"), j) % 256).cast("int").as(s"p$j")): _*)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    est.foreach { case (v, p0, p1, p2, p3) =>
+      val e = Seq((0, p0), (1, p1), (2, p2), (3, p3)).map(counts).min
+      assert(e >= exact(v), s"undercount for $v: $e < ${exact(v)}")
+    }
+    // merge = build on concatenation
+    val a = items.where(col("id") < 50); val b = items.where(col("id") >= 50)
+    val merged = Sketch.cmsMerge(Seq(
+      Sketch.cmsCounts(a, col("x"), 256, 4),
+      Sketch.cmsCounts(b, col("x"), 256, 4)))
+      .as[(Int, Int, Long)].collect().map { case (r, c, n) => (r, c) -> n }.toMap
+    assert(merged === counts)
+  }
+
   test("duplicates do not move the sketch; disjoint halves merge to the whole") {
     val half1 = spark.range(30000)
     val half2 = spark.range(30000, 60000)
