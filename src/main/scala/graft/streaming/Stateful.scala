@@ -99,6 +99,68 @@ object Stateful {
   // Streaming near-dup detection (SimHash LSH over keyed state)        //
   // ------------------------------------------------------------------ //
 
+  final case class KeyedValue(key: String, ts: java.sql.Timestamp, value: String)
+  final case class HllState(regs: Array[Byte], lastTs: Long)
+  final case class HllUpdate(key: String, hll_reg_sum: Long, hll_est_x10: Long,
+                             n_events: Long)
+
+  /** Incremental HLL distinct-count per key — the STREAMING form of
+    * [[graft.ops.Sketch.hllDistinct]]: the keyed state IS the 1 KiB
+    * register table (max-folded per event, so re-deliveries and
+    * duplicates are free no-ops), and every micro-batch emits the
+    * updated exact fingerprint + integer estimate for the keys it
+    * touched. This is the incremental-profiling loop executed as a
+    * stream: per-key state is 1024 bytes FOREVER regardless of how
+    * many values flow through, and the emitted `hll_reg_sum` /
+    * `hll_est_x10` are bit-identical to what the batch operator
+    * computes over the same value multiset (differential-specced) —
+    * fold today's stream into yesterday's registers instead of
+    * rescanning history. State dies `stateTtlMs` after a key's last
+    * arrival (event-time timeout), like [[nearDupCandidates]].
+    */
+  def hllRunning(events: org.apache.spark.sql.Dataset[KeyedValue],
+                 watermarkDelay: String, stateTtlMs: Long)
+      : org.apache.spark.sql.Dataset[HllUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val estNum = BigInt(graft.ops.Sketch.HllEstNumX10)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HllState, HllUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[HllState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption.getOrElse(HllState(new Array[Byte](1024), 0L))
+            val regs = s.regs.clone()
+            var lastTs = s.lastTs
+            var n = 0L
+            rows.foreach { kv =>
+              // native twin of the column pipeline: h = md5-derived
+              // 61-bit hash, bucket = low 10 bits, rho = rank of the
+              // remaining 51 bits (52 - bitLength), register = max
+              val h = graft.functions.HashFns.hash61Bytes(
+                kv.value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val bucket = (h & 1023L).toInt
+              val w = h >>> 10
+              val rho =
+                (if (w == 0L) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
+              if (rho > regs(bucket)) regs(bucket) = rho
+              lastTs = math.max(lastTs, kv.ts.getTime)
+              n += 1
+            }
+            state.update(HllState(regs, lastTs))
+            state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            var regSum = 0L
+            var i = 0
+            while (i < 1024) { regSum += 1L << (52 - regs(i)); i += 1 }
+            Iterator.single(HllUpdate(key, regSum, (estNum / regSum).toLong, n))
+          }
+      }
+  }
+
   final case class DocEvent(id: Long, ts: java.sql.Timestamp, text: String)
   final case class DupCandidate(id: Long, dup_of: Long, band: Int, hamming: Int)
   /** Per-bucket state as PARALLEL PRIMITIVE ARRAYS, not a

@@ -261,6 +261,50 @@ class StatefulSpec extends SparkSpec {
     assert(out.forall(c => c.dup_of != c.id && c.dup_of <= 5L && c.hamming == 0))
   }
 
+  test("streaming incremental HLL ≡ batch sketch after replaying the same values") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val out = mutable.Buffer.empty[(Long, Stateful.HllUpdate)]
+    var batchNo = 0L
+    val q = Stateful.hllRunning(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.HllUpdate], id: Long) =>
+        out.synchronized { out ++= df.collect().map(u => (id, u)) }
+        ()
+      }.start()
+    def kv(key: String, minute: Int, v: String) = Stateful.KeyedValue(key,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    // two batches with overlap and re-delivery across them
+    val batch1 = (0 until 40).map(i => kv("a", 1, s"tok$i")) ++
+      (0 until 10).map(i => kv("b", 1, s"word$i"))
+    val batch2 = (20 until 60).map(i => kv("a", 2, s"tok$i")) ++ // 20 re-observed
+      (0 until 10).map(i => kv("b", 2, s"word$i"))               // all re-observed
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    // batch twin over the union multiset
+    val allValues = (batch1 ++ batch2).map(e => (e.key, e.value))
+    val expected = graft.ops.Sketch.hllDistinct(
+        allValues.toDF("key", "v"), Seq("key"), col("v"))
+      .select("key", "hll_reg_sum", "hll_est_x10")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val lastUpdate = out.groupBy(_._2.key)
+      .map { case (k, us) => k -> us.maxBy(_._1)._2 }
+    assert(lastUpdate("a").hll_reg_sum === expected("a")._1)
+    assert(lastUpdate("a").hll_est_x10 === expected("a")._2)
+    assert(lastUpdate("b").hll_reg_sum === expected("b")._1)
+    assert(lastUpdate("b").hll_est_x10 === expected("b")._2)
+    // batch 2 re-delivered all of b's values: the sketch must not move
+    val bUpdates = out.filter(_._2.key == "b").sortBy(_._1).map(_._2)
+    assert(bUpdates.length === 2 &&
+      bUpdates.head.hll_reg_sum === bUpdates.last.hll_reg_sum,
+      s"re-observed values moved the sketch: $bUpdates")
+  }
+
   test("watermarked windowed aggregation emits closed windows (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
