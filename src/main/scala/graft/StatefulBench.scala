@@ -6,19 +6,27 @@ import org.apache.spark.sql.SparkSession
   * `runMain graft.StatefulBench [rowsPerBatch ...]`. Prints per-batch
   * progress (GRAFT_BENCH_DEBUG-style) and the rec/s each size lands,
   * without waiting for the full `graft.Bench` sweep.
+  * `GRAFT_STATE_STORE=rocksdb` switches the provider from the
+  * default heap-backed HDFS store to RocksDB — the provider a real
+  * deployment uses once keyed state outgrows executor heap (state
+  * lives off-heap/on-disk with changelog checkpointing; heap-backed
+  * holds every key in JVM memory).
   */
 object StatefulBench {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
       else Seq(50000L, 100000L, 250000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stopTimeout", "30s")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sizes.foreach { n =>
       val (rows, sec, batches) = Bench.measureStateful(spark, n, cpus.toInt)
