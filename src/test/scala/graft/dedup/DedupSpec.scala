@@ -65,6 +65,31 @@ class DedupSpec extends SparkSpec {
     assert(dfSim === colSim)
   }
 
+  test("simhashLong ≡ column expression over 300 seeded random texts (property)") {
+    // house convention: seeded samples instead of the scalacheck bridge
+    // (offline classpath). Texts mix unicode letters with every WS_CLASS
+    // member in random runs, the exact surface where a native tokenizer
+    // could drift from Spark trim/split semantics.
+    val rnd = new scala.util.Random(20260813L)
+    val ws = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    def randText(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(12)).foreach { _ =>
+        if (rnd.nextBoolean()) sb.append(rnd.nextString(rnd.nextInt(8)))
+        (0 until rnd.nextInt(3)).foreach(_ => sb.append(ws(rnd.nextInt(ws.length))))
+      }
+      sb.toString
+    }
+    val samples = Seq.fill(300)(randText()).distinct
+    val viaColumn = samples.toDF("text")
+      .select(col("text"), Dedup.simhash(col("text")).as("sig"))
+      .as[(String, Long)].collect().toMap
+    samples.foreach { s =>
+      assert(Dedup.simhashLong(s) === viaColumn(s),
+        s"native/column drift on ${s.map(_.toInt).mkString("[", ",", "]")}")
+    }
+  }
+
   test("Scala-native simhashLong equals the column expression, edge cases included") {
     // edges: empty, spaces-only (Spark trim strips ' ' only), leading tab
     // (survives trim → empty first token), trailing tab (split keeps the
