@@ -45,7 +45,7 @@ object Bench {
     * earlier results: bounded wait, exceptions degrade to (0, 0, 0).
     */
   def timeStream(start: String => org.apache.spark.sql.streaming.StreamingQuery,
-                 deadlineSec: Long = 180L): (Long, Double, Int) = {
+                 deadlineSec: Long = 180L, label: String = ""): (Long, Double, Int) = {
     try {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
       val sq = start(ckpt)
@@ -60,7 +60,7 @@ object Bench {
       val measured = sq.recentProgress.filter(p => p.batchId >= 1 && p.batchId <= 4)
       if (sys.env.contains("GRAFT_BENCH_DEBUG"))
         sq.recentProgress.foreach(p => System.err.println(
-          s"[bench-debug] batch=${p.batchId} " +
+          s"[bench-debug] $label batch=${p.batchId} " +
             s"rows=${p.numInputRows} durationMs=${p.durationMs}"))
       try sq.stop()
       catch { case e: Throwable =>
@@ -75,9 +75,12 @@ object Bench {
   }
 
   /** Deterministic rate-source doc stream for the stateful bench:
-    * 12-token docs from a 200-word synthetic vocabulary (~19 docs per
-    * SimHash band bucket at 1 M docs — buckets populate and match
-    * without degenerating).
+    * 12 tokens drawn INDEPENDENTLY per position from a 200-word
+    * vocabulary via xxhash64(value, i) — ~200¹² possible texts, so
+    * signatures stay diverse and band buckets fill to ~15 entries at
+    * 1 M docs instead of degenerating. (An earlier affine draw
+    * (value·a + i·b) mod 200 collapsed to value mod 200 — only 200
+    * distinct docs, every bucket a 1024-duplicate worst case.)
     */
   def statefulDocs(spark: SparkSession, rowsPerBatch: Long, numPartitions: Int)
       : org.apache.spark.sql.Dataset[graft.streaming.Stateful.DocEvent] = {
@@ -89,7 +92,7 @@ object Bench {
       .load()
       .select(col("value").as("id"), col("timestamp").as("ts"),
         concat_ws(" ", (0 until 12).map(i =>
-          concat(lit("w"), pmod(col("value") * 2654435761L + i * 40503L, lit(200L)))): _*)
+          concat(lit("w"), pmod(xxhash64(col("value"), lit(i)), lit(200L)))): _*)
           .as("text"))
       .as[graft.streaming.Stateful.DocEvent]
   }
@@ -105,7 +108,7 @@ object Bench {
         watermarkDelay = "10 seconds", stateTtlMs = 3600L * 1000)
       .writeStream.outputMode("append")
       .format("noop").option("checkpointLocation", ckpt).start(),
-      deadlineSec)
+      deadlineSec, label = s"stateful/$rowsPerBatch")
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadavg()
@@ -159,7 +162,8 @@ object Bench {
     // so round-over-round totals stay comparable to earlier BENCH_r*
     val extended = Seq("q76_knn_self", "q79_ivf_auto", "q80_dup_ngram_spans",
       "q81_semdedup", "q82_shuffle_shards", "q83_dedup_cut",
-      "q84_weighted_interleave", "q85_hll_distinct", "q86_hll_merge")
+      "q84_weighted_interleave", "q85_hll_distinct", "q86_hll_merge",
+      "q87_bloom_contamination", "q88_cms_topk")
       .map(n => n -> (1 to nTrials).map(_ => run(n)))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")
@@ -251,7 +255,8 @@ object Bench {
         lit(0).as("timestampType"),
         array().cast("array<struct<key:string,value:binary>>").as("headers"))
       timeStream(ckpt => pipelineOver(kafkaShaped).writeStream
-        .format("noop").option("checkpointLocation", ckpt).start())
+        .format("noop").option("checkpointLocation", ckpt).start(),
+        label = s"stateless/$rowsPerBatch")
     }
     val streamSweep = Seq(250000L, 1000000L, 2000000L).map { n =>
       val (rows, sec, nBatches) = measureStreaming(n)
@@ -273,7 +278,7 @@ object Bench {
     // measured trigger. Swept over batch sizes like the stateless
     // path: per-trigger state-store commit cost amortizes with batch
     // size.
-    val statefulSweep = Seq(250000L, 1000000L).map { n =>
+    val statefulSweep = Seq(250000L, 500000L, 1000000L).map { n =>
       val (rows, sec, nBatches) = measureStateful(spark, n, cpus.toInt)
       (n, rows, sec, sweepValue(rows, sec, nBatches, 4))
     }

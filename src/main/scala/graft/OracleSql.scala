@@ -240,14 +240,19 @@ object OracleSql {
         |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
-    // sd_qty from exact BIGINT sums + IEEE div/sqrt — mirrors the Spark
-    // side exactly; stddev_samp(double) would be partial-agg-order- and
-    // engine-sensitive (q85 hazard class).
+    // sd_qty from exact BIGINT sums, each cast to DOUBLE before the
+    // co-moment products (IEEE ops in the same order as the Spark
+    // side); stddev_samp(double) would be partial-agg-order- and
+    // engine-sensitive (q85 hazard class); n=1 guards to NULL (0/0 is
+    // engine-divergent NaN/NULL).
     "q46_agg_stats" ->
       """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-        |  sqrt(CAST(CAST(count(*) * sum(q*q) - sum(q) * sum(q) AS BIGINT) AS DOUBLE)
-        |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE))) AS sd_qty,
+        |  CASE WHEN count(*) > 1 THEN
+        |    sqrt((CAST(count(*) AS DOUBLE) * CAST(CAST(sum(q*q) AS BIGINT) AS DOUBLE)
+        |       - CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(q) AS BIGINT) AS DOUBLE))
+        |      / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)))
+        |  END AS sd_qty,
         |  count(*) AS n
         |FROM (SELECT l_returnflag, l_quantity, CAST(l_quantity AS BIGINT) AS q
         |      FROM lineitem)
@@ -308,25 +313,35 @@ object OracleSql {
     "q57_array_funcs" -> Gen.arrayFuncsSql,
     "q58_hash_sample" -> Gen.hashSampleSql,
 
-    // corr/covar from exact BIGINT sums (d = discount·100 integer) +
-    // IEEE −·/·sqrt — mirrors the Spark side; built-in corr/covar_samp
-    // merge float co-moments in partition order (q85 hazard class).
+    // corr/covar from exact BIGINT sums (d = discount·100 integer),
+    // each cast to DOUBLE before the co-moment products (same IEEE op
+    // order as the Spark side; BIGINT products would wrap at ~6e7
+    // rows/group); built-in corr/covar_samp merge float co-moments in
+    // partition order (q85 hazard class). Zero-variance/n=1 groups
+    // guard to NULL (0/0 is engine-divergent NaN/NULL).
     "q59_corr" ->
       """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
         |             CAST(round(l_discount * 100.0, 0) AS BIGINT) AS d
         |           FROM lineitem),
         |s AS (SELECT l_returnflag, count(*) AS n,
-        |        CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
-        |        CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(d*d) AS BIGINT) AS sdd,
-        |        CAST(sum(q*d) AS BIGINT) AS sqd
-        |      FROM b GROUP BY l_returnflag)
+        |        CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) AS sq,
+        |        CAST(CAST(sum(d) AS BIGINT) AS DOUBLE) AS sd,
+        |        CAST(CAST(sum(q*q) AS BIGINT) AS DOUBLE) AS sqq,
+        |        CAST(CAST(sum(d*d) AS BIGINT) AS DOUBLE) AS sdd,
+        |        CAST(CAST(sum(q*d) AS BIGINT) AS DOUBLE) AS sqd
+        |      FROM b GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n,
+        |        CAST(n AS DOUBLE) * sqd - sq * sd AS num,
+        |        CAST(n AS DOUBLE) * sqq - sq * sq AS dq,
+        |        CAST(n AS DOUBLE) * sdd - sd * sd AS dd
+        |      FROM s)
         |SELECT l_returnflag,
-        |  CAST(n*sqd - sq*sd AS DOUBLE)
-        |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE)))
+        |  CASE WHEN dq > 0 AND dd > 0 THEN num / (sqrt(dq) * sqrt(dd)) END
         |    AS corr_qty_disc,
-        |  CAST(n*sqd - sq*sd AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
-        |    / 100.0 AS covar_qty_disc
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+        |  CASE WHEN n > 1 THEN
+        |    num / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0 END
+        |    AS covar_qty_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q60_avro_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events

@@ -526,24 +526,30 @@ object Queries {
     */
   val q46_agg_stats: Q = (s, d) => {
     // Sample stddev from EXACT integer sums (l_quantity is integer-
-    // valued): sqrt((n·Σq² − (Σq)²) / (n·(n−1))) with BIGINT sums cast
-    // exactly to double, then one IEEE division + one IEEE sqrt — both
-    // correctly-rounded primitives, bit-identical on any engine and
-    // any partition order. `stddev_samp(double)` would merge float
+    // valued): sqrt((n·Σq² − (Σq)²) / (n·(n−1))). Each SUM is a BIGINT
+    // (exact, order-free) cast exactly to double (< 2^53); the
+    // co-moment PRODUCTS then run in double-land — n·Σq² would wrap
+    // BIGINT at ~6e7 rows/group, while IEEE multiplication is
+    // deterministic at any magnitude. Every subsequent op (−·/·sqrt)
+    // is a correctly-rounded primitive, bit-identical on any engine
+    // and any partition order. `stddev_samp(double)` would merge float
     // co-moments in partition order (non-deterministic even within
-    // Spark) — the q85 hazard class. BIGINT-exact to ~1e12 rows/group;
-    // swap DECIMAL(38,0) sums beyond.
+    // Spark) — the q85 hazard class. n=1 guards to NULL explicitly:
+    // 0/0 is NaN on Spark but NULL on some DuckDB builds — the same
+    // engine-divergence class, banned by construction.
     val q = col("l_quantity").cast("bigint")
     val n = count(lit(1))
-    val varNum = (n * sum(q * q) - sum(q) * sum(q)).cast("double")
-    val varDen = n.cast("double") * (n - lit(1)).cast("double")
+    val nD = n.cast("double")
+    val varNum = nD * sum(q * q).cast("double") -
+      sum(q).cast("double") * sum(q).cast("double")
+    val varDen = nD * (n - lit(1)).cast("double")
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(min("l_quantity").as("min_qty"),
         max("l_quantity").as("max_qty"),
         (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
           .as("avg_qty"),
-        sqrt(varNum / varDen).as("sd_qty"),
+        when(n > 1, sqrt(varNum / varDen)).as("sd_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
@@ -696,23 +702,32 @@ object Queries {
     * integer sums. l_quantity is integer-valued and l_discount is a
     * 2-decimal value, so q = quantity and d = round(discount·100) are
     * exact BIGINTs; corr is scale-invariant in d and covar scales by
-    * 100. The final formula runs on exactly-cast doubles through IEEE
-    * −·/·sqrt only (each correctly rounded ⇒ bit-identical across
-    * engines and partition orders). The built-in `corr`/`covar_samp`
-    * merge float co-moments in partition order — the q85 hazard class.
+    * 100. Each SUM is BIGINT-exact and casts exactly to double
+    * (< 2^53); the co-moment PRODUCTS run in double-land (n·Σq² would
+    * wrap BIGINT at ~6e7 rows/group — IEEE multiplication is
+    * deterministic at any magnitude), then −·/·sqrt only (each
+    * correctly rounded ⇒ bit-identical across engines and partition
+    * orders). The built-in `corr`/`covar_samp` merge float co-moments
+    * in partition order — the q85 hazard class. Zero-variance groups
+    * guard corr to NULL and n=1 guards covar: 0/0 is NaN on Spark but
+    * NULL on some DuckDB builds — engine-divergent, banned by
+    * construction.
     */
   val q59_corr: Q = (s, d) => {
     val q = col("l_quantity").cast("bigint")
     val disc = round(col("l_discount") * 100.0, 0).cast("bigint")
     val n = count(lit(1))
-    val num = (n * sum(q * disc) - sum(q) * sum(disc)).cast("double")
-    val dq = (n * sum(q * q) - sum(q) * sum(q)).cast("double")
-    val dd = (n * sum(disc * disc) - sum(disc) * sum(disc)).cast("double")
+    val nD = n.cast("double")
+    def sumD(c: Column) = sum(c).cast("double")
+    val num = nD * sumD(q * disc) - sumD(q) * sumD(disc)
+    val dq = nD * sumD(q * q) - sumD(q) * sumD(q)
+    val dd = nD * sumD(disc * disc) - sumD(disc) * sumD(disc)
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        (num / (sqrt(dq) * sqrt(dd))).as("corr_qty_disc"),
-        (num / (n.cast("double") * (n - lit(1)).cast("double")) / 100.0)
+        when(dq > 0 && dd > 0, num / (sqrt(dq) * sqrt(dd)))
+          .as("corr_qty_disc"),
+        when(n > 1, num / (nD * (n - lit(1)).cast("double")) / 100.0)
           .as("covar_qty_disc"))
       .orderBy("l_returnflag")
   }

@@ -88,7 +88,14 @@ object ScaleRamp {
       Queries.all(name)(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val rows = Bench.headline.map { name =>
+    // sketch queries ride the ramp with FIXED knobs deliberately:
+    // their state is constant-size by construction (1024 registers /
+    // 8 KiB bitmap / d×w counters), so the 10× factor should track the
+    // scan, not the operator — a super-linear factor here would mean
+    // the sketch state is secretly corpus-proportional.
+    val rampQueries = Bench.headline ++ Seq("q85_hll_distinct",
+      "q86_hll_merge", "q87_bloom_contamination", "q88_cms_topk")
+    val rows = rampQueries.map { name =>
       val base = (1 to 2).map(_ => time(srcDir, name)).min
       val ramped = (1 to 2).map(_ => time(outDir, name)).min
       System.err.println(f"[ramp] $name%-26s base=$base%6.2fs ramped=$ramped%6.2fs factor=${ramped / base}%5.2f")

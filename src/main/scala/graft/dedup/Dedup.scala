@@ -511,14 +511,8 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
       .select(col("id"), HashFns.hash61(col("s")).as("x"))
-    docH
-      .select(col("id"), col("x"),
-        explode(array((0 until k).map(j =>
-          HashFns.hashAt(col("x"), j) % mBits): _*)).as("pos"))
-      .select(col("id"), col("x"),
-        shiftright(col("pos"), 6).cast("int").as("widx"),
-        call_function("shiftleft", lit(1L),
-          col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+    graft.ops.Sketch
+      .bloomCells(docH, Seq(col("id"), col("x")), col("x"), mBits, k)
       .join(broadcast(words), Seq("widx"), "left")
       .groupBy("id", "x")
       .agg(expr("bool_and((coalesce(word, CAST(0 AS BIGINT)) & mask) = mask)")

@@ -46,8 +46,14 @@ object Sketch {
     * the sketch. max is idempotent and associative, so the same
     * register tables merge across days/shards for free.
     */
-  def hllDistinct(df: DataFrame, keyCols: Seq[String],
-                  value: Column): DataFrame = {
+  /** Sparse (keys..., bucket, reg) register rows — THE single
+    * definition of the hash → bucket → rank derivation, shared by the
+    * scalar ([[hllDistinct]]) and register-table ([[hllRegisters]])
+    * forms (and mirrored natively by
+    * `graft.streaming.Stateful.hllRunning`).
+    */
+  private def sparseRegs(df: DataFrame, keyCols: Seq[String],
+                         value: Column): DataFrame = {
     val keys = keyCols.map(col)
     val h = HashFns.hash61(value)
     val w = shiftright(h, 10)
@@ -55,6 +61,12 @@ object Sketch {
     df.select(keys :+ h.bitwiseAND(lit(1023L)).as("bucket") :+ rho.as("rho"): _*)
       .groupBy(keys :+ col("bucket"): _*)
       .agg(max("rho").as("reg"))
+  }
+
+  def hllDistinct(df: DataFrame, keyCols: Seq[String],
+                  value: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    sparseRegs(df, keyCols, value)
       .groupBy(keys: _*)
       .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - reg AS INT))")) +
         (lit(1024L) - count(lit(1))) * lit(1L << 52)).as("hll_reg_sum"))
@@ -100,17 +112,8 @@ object Sketch {
     * [[hllMergeRegisters]].
     */
   def hllRegisters(df: DataFrame, keyCols: Seq[String],
-                   value: Column): DataFrame = {
-    val keys = keyCols.map(col)
-    val h = HashFns.hash61(value)
-    val w = shiftright(h, 10)
-    val rho = when(w === 0, lit(52)).otherwise(lit(52) - length(bin(w)))
-    val sparse = df
-      .select(keys :+ h.bitwiseAND(lit(1023L)).as("bucket") :+ rho.as("rho"): _*)
-      .groupBy(keys :+ col("bucket"): _*)
-      .agg(max("rho").as("reg"))
-    assembleRegs(sparse, keyCols)
-  }
+                   value: Column): DataFrame =
+    assembleRegs(sparseRegs(df, keyCols, value), keyCols)
 
   /** Merge register tables: many `hll_regs` rows per key → one, by
     * element-wise max. Runs as posexplode → map-side-partial max on
@@ -128,6 +131,24 @@ object Sketch {
     assembleRegs(sparse, keyCols)
   }
 
+  /** The k bloom positions of element hash `x61`, exploded to one row
+    * per position and packed to (widx, mask) — THE single definition
+    * of the position family and word layout, shared by build
+    * ([[bloomWords]]) and probe (`Dedup.bloomContaminationScores`) so
+    * the two sides cannot drift. `carry` columns pass through (e.g.
+    * the probe's doc id + element hash). Bit 63 relies on Spark's
+    * shiftleft wrap to Long.MinValue — the DuckDB twin writes that
+    * sign bit explicitly (DuckDB overflow-checks 1<<63).
+    */
+  def bloomCells(items: DataFrame, carry: Seq[Column], x61: Column,
+                 mBits: Int, k: Int): DataFrame =
+    items
+      .select(carry :+ explode(array((0 until k).map(j =>
+        HashFns.hashAt(x61, j) % mBits): _*)).as("pos"): _*)
+      .select(carry :+ shiftright(col("pos"), 6).cast("int").as("widx") :+
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"): _*)
+
   /** Bloom filter over the 2-universal position family, as a sparse
     * (widx INT, word BIGINT) table: position j of element hash x is
     * `hashAt(x, j) mod mBits` ([[HashFns.hashAt]] — the same md5 +
@@ -141,12 +162,7 @@ object Sketch {
     * `HashFns.hash61(value)`).
     */
   def bloomWords(items: DataFrame, x61: Column, mBits: Int, k: Int): DataFrame =
-    items
-      .select(explode(array((0 until k).map(j =>
-        HashFns.hashAt(x61, j) % mBits): _*)).as("pos"))
-      .select(shiftright(col("pos"), 6).cast("int").as("widx"),
-        call_function("shiftleft", lit(1L),
-          col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+    bloomCells(items, Seq.empty, x61, mBits, k)
       .groupBy("widx").agg(expr("bit_or(mask)").as("word"))
 
   /** Merge bloom word tables by bitwise OR — merge(A, B) equals the

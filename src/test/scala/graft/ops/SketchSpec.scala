@@ -78,12 +78,10 @@ class SketchSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     assert(merged === whole)
     // no false negatives: every inserted element probes positive
-    val probes = items(0, 6000)
-      .select(col("x"), explode(array((0 until 4).map(j =>
-        HashFns.hashAt(col("x"), j) % (1 << 16)): _*)).as("pos"))
-      .select(col("x"), shiftright(col("pos"), 6).cast("int").as("widx"),
-        call_function("shiftleft", lit(1L),
-          col("pos").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+    // (probe cells come from the SAME bloomCells definition the build
+    // side uses)
+    val probes = Sketch.bloomCells(items(0, 6000), Seq(col("x")), col("x"),
+        1 << 16, 4)
       .as[(Long, Int, Long)].collect()
     val misses = probes.filter { case (_, widx, mask) =>
       (whole.getOrElse(widx, 0L) & mask) != mask
