@@ -522,6 +522,41 @@ object Dedup {
         sum(when(col("maybe"), 1L).otherwise(0L)).as("n_bloom_hits"))
   }
 
+  /** Flag documents whose shingles hit a PRE-BUILT bloom filter
+    * ([[graft.ops.Sketch.bloomWords]]) — the decontamination FILTER to
+    * [[bloomContaminationScores]]'s diagnostic. `maxHits` is the
+    * tolerance: a doc survives if at most that many of its distinct
+    * shingles probe positive (0 = strict). Pure per-doc composition
+    * (explode → broadcast join → per-doc aggregate, no cross-doc
+    * state), so the SAME operator applies to a batch corpus or to each
+    * streaming micro-batch inside `foreachBatch` (specced) — build the
+    * filter once from the eval set, apply it to every incoming shard
+    * or stream forever; no false negatives means a `false` flag is a
+    * GUARANTEE the doc shares no probed shingle with the eval set.
+    */
+  def bloomFlagDocs(docs: DataFrame, idCol: String, textCol: String,
+                    words: DataFrame, n: Int = 3, mBits: Int = 1 << 16,
+                    k: Int = 4, maxHits: Long = 0): DataFrame = {
+    val docH = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
+      .select(col("id"), HashFns.hash61(col("s")).as("x"))
+    val hits = graft.ops.Sketch
+      .bloomCells(docH, Seq(col("id"), col("x")), col("x"), mBits, k)
+      .join(broadcast(words), Seq("widx"), "left")
+      .groupBy("id", "x")
+      .agg(expr("bool_and((coalesce(word, CAST(0 AS BIGINT)) & mask) = mask)")
+        .as("maybe"))
+      .groupBy("id")
+      .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      .withColumnRenamed("id", "__bloom_id")   // docs' own idCol may be "id"
+    docs.join(hits, docs(idCol) === hits("__bloom_id"), "left")
+      .drop("__bloom_id")
+      .withColumn("contaminated",
+        coalesce(col("n_bloom_hits"), lit(0L)) > maxHits)
+      .drop("n_bloom_hits")
+  }
+
   def contaminationScores(docs: DataFrame, idCol: String, textCol: String,
                           eval: DataFrame, evalTextCol: String,
                           n: Int = 3): DataFrame = {

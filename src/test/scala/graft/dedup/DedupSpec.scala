@@ -239,4 +239,24 @@ class DedupSpec extends SparkSpec {
     assert(bloom(0L)._3 === bloom(0L)._2)
     assert(bloom(6L)._3 === bloom(6L)._2)     // exact duplicate of doc 0
   }
+
+  test("bloomFlagDocs: eval members and dups flagged, clean docs keep all columns") {
+    val words = graft.ops.Sketch.bloomWords(
+      docs.where(col("doc_id") === 0)
+        .select(explode(array_distinct(TextFns.shingles(col("text"), 3))).as("s"))
+        .select(graft.functions.HashFns.hash61(col("s")).as("x")),
+      col("x"), 1 << 16, 4)
+    val flagged = Dedup.bloomFlagDocs(docs, "doc_id", "text", words)
+      .select("doc_id", "text", "contaminated")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(flagged.size === 7, "every doc must come back exactly once")
+    assert(flagged(0L) && flagged(6L), "eval member and its exact dup flagged")
+    assert(!flagged(4L) && !flagged(5L), "unrelated docs pass")
+    // doc 1 shares most shingles with doc 0 (one word changed) → flagged at 0 tolerance
+    assert(flagged(1L))
+    // ...but survives a loose tolerance higher than its shared-shingle count
+    val loose = Dedup.bloomFlagDocs(docs, "doc_id", "text", words, maxHits = 1000)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(loose.values.forall(_ == false))
+  }
 }

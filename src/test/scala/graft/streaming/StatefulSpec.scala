@@ -305,6 +305,47 @@ class StatefulSpec extends SparkSpec {
       s"re-observed values moved the sketch: $bUpdates")
   }
 
+  test("batch-built bloom filter decontaminates a doc stream via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // filter built ONCE from the (batch) eval corpus
+    val words = graft.ops.Sketch.bloomWords(
+      Seq(evalText).toDF("text")
+        .select(explode(array_distinct(
+          graft.functions.TextFns.shingles(col("text"), 3))).as("s"))
+        .select(graft.functions.HashFns.hash61(col("s")).as("x")),
+      col("x"), 1 << 16, 4).cache()
+    words.count()
+
+    val stream = MemoryStream[Stateful.DocEvent]
+    val kept = mutable.Buffer.empty[Long]
+    val dropped = mutable.Buffer.empty[Long]
+    val q = stream.toDS().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.DocEvent], _: Long) =>
+        val flagged = graft.dedup.Dedup
+          .bloomFlagDocs(df.toDF(), "id", "text", words)
+          .select(col("id"), col("contaminated"))
+          .as[(Long, Boolean)].collect()
+        kept.synchronized { kept ++= flagged.filter(!_._2).map(_._1) }
+        dropped.synchronized { dropped ++= flagged.filter(_._2).map(_._1) }
+        ()
+      }.start()
+    def doc(id: Long, text: String) = Stateful.DocEvent(id,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), text)
+    stream.addData(
+      doc(1, evalText),                                       // exact eval dup
+      doc(2, "fresh training text about alpine glacier formation processes"),
+      doc(3, evalText + " with a small suffix appended here")) // partial overlap
+    q.processAllAvailable()
+    stream.addData(doc(4, "another clean document mentioning orbital mechanics"))
+    q.processAllAvailable()
+    q.stop()
+    assert(dropped.toSet === Set(1L, 3L), s"dropped=$dropped")
+    assert(kept.toSet === Set(2L, 4L), s"kept=$kept")
+  }
+
   test("watermarked windowed aggregation emits closed windows (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
