@@ -161,6 +161,67 @@ object Stateful {
       }
   }
 
+  final case class CmsState(counts: Array[Long], lastTs: Long)
+  final case class CmsEstimate(key: String, value: String, cms_est: Long)
+
+  /** Incremental count-min frequencies per key — the streaming form of
+    * [[graft.ops.Sketch.cmsCounts]]: keyed state is the flattened
+    * d×w counter matrix (w·d·8 bytes forever — 32 KiB at the default),
+    * and each micro-batch emits the updated point estimate for every
+    * DISTINCT value it delivered (live hot-token detection without a
+    * token dictionary). Estimates are bit-identical to the batch
+    * sketch over the same delivered multiset (differential-specced).
+    * Counting state means at-least-once delivery INFLATES counts —
+    * unlike the max-folded [[hllRunning]], re-delivery is not a no-op;
+    * feed exactly-once sources or dedupe upstream when that matters.
+    * State dies `stateTtlMs` after a key's last arrival.
+    */
+  def cmsRunning(events: org.apache.spark.sql.Dataset[KeyedValue],
+                 watermarkDelay: String, stateTtlMs: Long,
+                 w: Int = 1024, d: Int = 4)
+      : org.apache.spark.sql.Dataset[CmsEstimate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CmsState, CmsEstimate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[CmsState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption.getOrElse(CmsState(new Array[Long](d * w), 0L))
+            val counts = s.counts.clone()
+            var lastTs = s.lastTs
+            val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+            rows.foreach { kv =>
+              val x = graft.functions.HashFns.hash61Bytes(
+                kv.value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var j = 0
+              while (j < d) {
+                counts(j * w + (graft.functions.HashFns.hashAtLong(x, j) % w).toInt) += 1
+                j += 1
+              }
+              lastTs = math.max(lastTs, kv.ts.getTime)
+              seen.put(kv.value, x)
+            }
+            state.update(CmsState(counts, lastTs))
+            state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            seen.iterator.map { case (v, x) =>
+              var est = Long.MaxValue
+              var j = 0
+              while (j < d) {
+                val c = counts(j * w + (graft.functions.HashFns.hashAtLong(x, j) % w).toInt)
+                if (c < est) est = c
+                j += 1
+              }
+              CmsEstimate(key, v, est)
+            }.toSeq.iterator
+          }
+      }
+  }
+
   final case class DocEvent(id: Long, ts: java.sql.Timestamp, text: String)
   final case class DupCandidate(id: Long, dup_of: Long, band: Int, hamming: Int)
   /** Per-bucket state as PARALLEL PRIMITIVE ARRAYS, not a

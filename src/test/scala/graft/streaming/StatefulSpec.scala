@@ -305,6 +305,57 @@ class StatefulSpec extends SparkSpec {
       s"re-observed values moved the sketch: $bUpdates")
   }
 
+  test("streaming incremental CMS ≡ batch sketch over the delivered multiset") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val out = mutable.Buffer.empty[(Long, Stateful.CmsEstimate)]
+    // small w forces collisions, so the differential exercises the
+    // overcount path, not just exact cells
+    val q = Stateful.cmsRunning(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000,
+        w = 64, d = 4).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.CmsEstimate], id: Long) =>
+        out.synchronized { out ++= df.collect().map(u => (id, u)) }
+        ()
+      }.start()
+    def kv(minute: Int, v: String) = Stateful.KeyedValue("a",
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    // skewed: tok0 heavy, long tail
+    val batch1 = (0 until 60).map(i => kv(1, s"tok${i % 10}"))
+    val batch2 = (0 until 40).map(i => kv(2, s"tok${i % 20}"))
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    // batch twin over the full delivered multiset
+    val allValues = (batch1 ++ batch2).map(e => (e.key, e.value))
+    val hashed = allValues.toDF("key", "v")
+      .select(col("v"), graft.functions.HashFns.hash61(col("v")).as("x"))
+    val counts = graft.ops.Sketch.cmsCounts(hashed, col("x"), w = 64, d = 4)
+      .as[(Int, Int, Long)].collect().map { case (r, c, n) => (r, c) -> n }.toMap
+    def batchEst(v: String): Long = {
+      val x = graft.functions.HashFns.hash61Bytes(v.getBytes("UTF-8"))
+      (0 until 4).map(j =>
+        counts((j, (graft.functions.HashFns.hashAtLong(x, j) % 64).toInt))).min
+    }
+    // every value delivered in the FINAL batch: last emission equals the
+    // batch sketch over everything delivered so far
+    val lastEst = out.filter(_._1 == out.map(_._1).max).map(_._2)
+    assert(lastEst.nonEmpty)
+    lastEst.foreach { e =>
+      assert(e.cms_est === batchEst(e.value),
+        s"streaming/batch drift for ${e.value}")
+    }
+    // counts only grow: batch-2 estimates dominate batch-1's for re-seen values
+    val byBatch = out.groupBy(_._2.value)
+    byBatch.foreach { case (_, emissions) =>
+      val sorted = emissions.sortBy(_._1).map(_._2.cms_est)
+      assert(sorted === sorted.sorted, s"estimate shrank: $emissions")
+    }
+  }
+
   test("batch-built bloom filter decontaminates a doc stream via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val evalText = "the quick brown fox jumps over the lazy dog near the river bank today"
