@@ -1177,8 +1177,11 @@ object Queries {
     */
   val q87_bloom_contamination: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // mBits/k pinned explicitly: the DuckDB twin hardcodes 65536/4, so
+    // a changed operator default must not silently diverge the oracle
     Dedup.bloomContaminationScores(docs, "doc_id", "text",
-        docs.where(col("doc_id") % 50 === 0), "text", n = 3)
+        docs.where(col("doc_id") % 50 === 0), "text", n = 3,
+        mBits = 1 << 16, k = 4)
       .orderBy("id")
   }
 
