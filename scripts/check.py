@@ -32,6 +32,14 @@ for name, sql in sorted(oracle.items()):
     mismatch = None
     for c in exp.columns:
         e, g = exp[c], got[c]
+        # Type-strict gate: an integer column on one side fetched as
+        # float on the other is the uncast-HUGEINT class (DuckDB
+        # SUM(BIGINT) -> HUGEINT -> float64, lossy past 2^53). Numeric
+        # comparison is structurally blind to it (both sides round the
+        # same way), so dtype-kind divergence must fail outright.
+        if e.dtype.kind != g.dtype.kind:
+            mismatch = f'col {c}: DTYPE KIND MISMATCH oracle={e.dtype} spark={g.dtype}'
+            break
         try:
             if e.dtype.kind == 'f' or g.dtype.kind == 'f':
                 same = ((e.isna() & g.isna()) | (e == g)).all()

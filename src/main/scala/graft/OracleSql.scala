@@ -1051,25 +1051,41 @@ object OracleSql {
          |FROM r ORDER BY doc_id""".stripMargin
     }
 
+    /** rho of the 51 post-bucket hash bits as a pure comparison ladder:
+      * rho = 52 - bitlength(w), written as a CASE over the power-of-two
+      * thresholds so the twin contains only arithmetic/comparison
+      * operators — `length(bin(w))` assumed minimal-width `bin()`
+      * output, a FORMAT (not value) assumption an engine build could
+      * change (the r7/r8 failure class). w < 2^51 by construction
+      * (61-bit hash >> 10), so the ladder tops out at 2^50 → rho 1.
+      */
+    private val rhoCaseE: String =
+      "CASE WHEN w = 0 THEN 52 " +
+        (50 to 1 by -1).map(j => s"WHEN w >= ${1L << j} THEN ${51 - j}")
+          .mkString(" ") + " ELSE 51 END"
+
     /** Twin of q85_hll_distinct: the identical integer-exact HLL —
-      * bucket = h % 1024, rho via length(bin(w)) (no float log),
+      * bucket = h % 1024, rho via the [[rhoCaseE]] threshold ladder,
       * register sums as exact BIGINT Σ 2^(52-reg), empty buckets at
       * 2^52, and the estimate as HUGEINT integer division of the same
       * precomputed 23-digit constant ([[graft.ops.Sketch.HllEstNumX10]])
       * by the register sum — no float anywhere, so no round()-ulp
-      * divergence across DuckDB builds.
+      * divergence across DuckDB builds. The register sum is CAST to
+      * BIGINT (fits: max 1024·2^52 = 2^62) — DuckDB SUM(BIGINT) widens
+      * to HUGEINT, which the driver fetches as float64, lossy past 2^53
+      * (the r8 hash-fail root cause).
       */
     def hllDistinctSql: String = {
       val h = duckHash61("tok")
       s"""WITH t AS (SELECT lang, unnest(${tokensE("text")}) AS tok FROM documents),
          |hx AS (SELECT lang, tok, $h AS h FROM t),
          |b AS (SELECT lang, h % 1024 AS bucket, h // 1024 AS w FROM hx),
-         |r AS (SELECT lang, bucket,
-         |        max(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS reg
+         |r AS (SELECT lang, bucket, max($rhoCaseE) AS reg
          |      FROM b GROUP BY lang, bucket),
          |s AS (SELECT lang,
-         |        SUM(1::BIGINT << (52 - reg))
-         |          + (1024 - count(*)) * (1::BIGINT << 52) AS hll_reg_sum
+         |        CAST(SUM(1::BIGINT << (52 - reg))
+         |          + (1024 - count(*)) * (1::BIGINT << 52) AS BIGINT)
+         |          AS hll_reg_sum
          |      FROM r GROUP BY lang),
          |e AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM t GROUP BY lang)
          |SELECT e.lang, CAST(e.n_exact AS BIGINT) AS n_exact, s.hll_reg_sum,
@@ -1089,12 +1105,12 @@ object OracleSql {
       s"""WITH t AS (SELECT lang, unnest(${tokensE("text")}) AS tok FROM documents),
          |hx AS (SELECT lang, tok, $h AS h FROM t),
          |b AS (SELECT lang, h % 1024 AS bucket, h // 1024 AS w FROM hx),
-         |r AS (SELECT lang, bucket,
-         |        max(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS reg
+         |r AS (SELECT lang, bucket, max($rhoCaseE) AS reg
          |      FROM b GROUP BY lang, bucket),
          |s AS (SELECT lang,
-         |        SUM(1::BIGINT << (52 - reg))
-         |          + (1024 - count(*)) * (1::BIGINT << 52) AS hll_reg_sum
+         |        CAST(SUM(1::BIGINT << (52 - reg))
+         |          + (1024 - count(*)) * (1::BIGINT << 52) AS BIGINT)
+         |          AS hll_reg_sum
          |      FROM r GROUP BY lang)
          |SELECT lang, hll_reg_sum,
          |  CAST(CAST('${graft.ops.Sketch.HllEstNumX10}' AS HUGEINT)

@@ -75,6 +75,17 @@ object Sketch {
 
   /** est×10 as BIGINT: [[HllEstNumX10]] integer-divided by the named
     * register-sum column — the oracle-exact estimate form.
+    *
+    * Overflow ceiling, for the record: hll_reg_sum ≥ 1024 by
+    * construction (1024 registers, each contributing ≥ 2^0), so
+    * est_x10 ≤ HllEstNumX10/1024 ≈ 3.3e19 > Long.MaxValue only when
+    * reg_sum < ~3690 — which requires ~2^49+ distinct values in ONE
+    * key group. Practically unreachable (that's half a petabyte of
+    * 1-byte tokens in one group); below that bound all three forms
+    * (this DECIMAL div, the streaming BigInt division in
+    * `Stateful.hllRunning`, and the DuckDB HUGEINT `//` twin) are
+    * exact and identical. Not clamped: a clamp would add a branch to
+    * the hashed surface for a region no real corpus reaches.
     */
   def hllEstX10(regSumCol: String): Column =
     expr(s"CAST('$HllEstNumX10' AS DECIMAL(38,0)) div $regSumCol")
