@@ -14,10 +14,14 @@ object PlanAudit {
 
   /** Queries where a BroadcastNestedLoopJoin is the intended plan: a
     * deliberately-broadcast tiny side under a cross/inequality join
-    * (single-query-vector scoring, the q42 cross join demo).
+    * (single-query-vector scoring, the q42 cross join demo, and q87's
+    * ONE-row dense bloom bitmap — the probe cross-joins the 8 KiB
+    * bitmap row so all k position tests run in one codegen'd
+    * projection with no explode/shuffle).
     */
   private val bnljExpected = Set(
-    "q28_cosine_topk", "q31_ann_lsh", "q36_media_features", "q42_cross_join")
+    "q28_cosine_topk", "q31_ann_lsh", "q36_media_features", "q42_cross_join",
+    "q87_bloom_contamination")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

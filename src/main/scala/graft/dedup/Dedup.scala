@@ -494,10 +494,12 @@ object Dedup {
     * rate. `n_bloom_hits ≥ n_overlap` always (no false negatives —
     * specced); positions come from the same oracle-exact hash family,
     * so the whole probe is integer arithmetic end to end. Plan shape:
-    * build = one tiny shuffle on word index; probe = shingle explode →
-    * k-position explode → ONE broadcast join on the 4-byte widx →
-    * two-level aggregation back to docs. See
-    * [[graft.ops.Sketch.bloomWords]].
+    * build = one tiny shuffle on word index; probe = the whole bitmap
+    * densified to ONE broadcast row ([[graft.ops.Sketch.bloomDense]]),
+    * then per shingle ALL k position tests evaluate in a single
+    * codegen'd projection ([[graft.ops.Sketch.bloomMaybe]]) — no
+    * position explode, no join, and the only shuffle is the final
+    * per-doc count with map-side partials.
     */
   def bloomContaminationScores(docs: DataFrame, idCol: String, textCol: String,
                                eval: DataFrame, evalTextCol: String,
@@ -511,12 +513,10 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
       .select(col("id"), HashFns.hash61(col("s")).as("x"))
-    graft.ops.Sketch
-      .bloomCells(docH, Seq(col("id"), col("x")), col("x"), mBits, k)
-      .join(broadcast(words), Seq("widx"), "left")
-      .groupBy("id", "x")
-      .agg(expr("bool_and((coalesce(word, CAST(0 AS BIGINT)) & mask) = mask)")
-        .as("maybe"))
+    docH
+      .crossJoin(broadcast(graft.ops.Sketch.bloomDense(words, mBits)))
+      .select(col("id"), graft.ops.Sketch
+        .bloomMaybe(col("x"), col("bloom_words"), mBits, k).as("maybe"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("maybe"), 1L).otherwise(0L)).as("n_bloom_hits"))
@@ -541,12 +541,10 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
       .select(col("id"), HashFns.hash61(col("s")).as("x"))
-    val hits = graft.ops.Sketch
-      .bloomCells(docH, Seq(col("id"), col("x")), col("x"), mBits, k)
-      .join(broadcast(words), Seq("widx"), "left")
-      .groupBy("id", "x")
-      .agg(expr("bool_and((coalesce(word, CAST(0 AS BIGINT)) & mask) = mask)")
-        .as("maybe"))
+    val hits = docH
+      .crossJoin(broadcast(graft.ops.Sketch.bloomDense(words, mBits)))
+      .select(col("id"), graft.ops.Sketch
+        .bloomMaybe(col("x"), col("bloom_words"), mBits, k).as("maybe"))
       .groupBy("id")
       .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("n_bloom_hits"))
       .withColumnRenamed("id", "__bloom_id")   // docs' own idCol may be "id"

@@ -143,11 +143,11 @@ object Sketch {
   }
 
   /** The k bloom positions of element hash `x61`, exploded to one row
-    * per position and packed to (widx, mask) — THE single definition
-    * of the position family and word layout, shared by build
-    * ([[bloomWords]]) and probe (`Dedup.bloomContaminationScores`) so
-    * the two sides cannot drift. `carry` columns pass through (e.g.
-    * the probe's doc id + element hash). Bit 63 relies on Spark's
+    * per position and packed to (widx, mask) — the BUILD-side layout
+    * ([[bloomWords]] ORs the masks per word). The probe side evaluates
+    * the same position family without exploding ([[bloomMaybe]]);
+    * `SketchSpec` pins the two forms against each other so they cannot
+    * drift. `carry` columns pass through. Bit 63 relies on Spark's
     * shiftleft wrap to Long.MinValue — the DuckDB twin writes that
     * sign bit explicitly (DuckDB overflow-checks 1<<63).
     */
@@ -182,6 +182,40 @@ object Sketch {
   def bloomMerge(words: Seq[DataFrame]): DataFrame =
     words.reduce(_ unionByName _)
       .groupBy("widx").agg(expr("bit_or(word)").as("word"))
+
+  /** The sparse (widx, word) table densified to ONE row holding the
+    * whole bitmap as `bloom_words array<bigint>[mBits/64]` (absent
+    * words are 0). mBits/64 ≤ 1024 at the default — 8 KiB — so the
+    * single row broadcasts for free and the probe side never joins:
+    * it cross-joins this row once and tests membership per shingle in
+    * a single codegen'd projection ([[bloomMaybe]]), instead of
+    * exploding k position rows and shuffling them back together.
+    */
+  def bloomDense(words: DataFrame, mBits: Int): DataFrame =
+    words
+      .agg(map_from_entries(collect_list(struct(
+        col("widx"), col("word")))).as("m"))
+      .select(transform(sequence(lit(0), lit(mBits / 64 - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom_words"))
+
+  /** Membership test of element hash `x61` against a dense bitmap
+    * column ([[bloomDense]]), all k positions in one expression:
+    * AND over j of `(words[pos_j / 64] & (1 << (pos_j % 64))) ==
+    * mask`. Every operand is a plain codegen'd expression (element_at
+    * on a 1024-slot array is O(1)), so the whole probe stays inside
+    * whole-stage codegen — no explode, no join, no pre-aggregation.
+    * Position family identical to [[bloomCells]] (hashAt mod mBits;
+    * bit 63 via Spark shiftleft wrap), so build and probe cannot
+    * drift.
+    */
+  def bloomMaybe(x61: Column, denseCol: Column, mBits: Int, k: Int): Column =
+    (0 until k).map { j =>
+      val pos = HashFns.hashAt(x61, j) % mBits
+      val mask = call_function("shiftleft", lit(1L),
+        pos.bitwiseAND(lit(63L)).cast("int"))
+      element_at(denseCol, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(mask) === mask
+    }.reduce(_ && _)
 
   /** Count-min sketch as a sparse (row INT, col INT, cnt BIGINT)
     * counter table: element hash x increments cell

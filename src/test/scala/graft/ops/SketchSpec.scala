@@ -89,6 +89,30 @@ class SketchSpec extends SparkSpec {
     assert(misses.isEmpty, s"${misses.length} false negatives")
   }
 
+  test("dense probe (bloomMaybe) ≡ exploded-cells probe; no false negatives") {
+    import graft.functions.HashFns
+    def items(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(HashFns.hash61(col("id").cast("string")).as("x"))
+    val inserted = items(0, 2000); val all = items(0, 4000)
+    val words = Sketch.bloomWords(inserted, col("x"), 1 << 16, 4)
+    val viaDense = all
+      .crossJoin(broadcast(Sketch.bloomDense(words, 1 << 16)))
+      .select(col("x"),
+        Sketch.bloomMaybe(col("x"), col("bloom_words"), 1 << 16, 4).as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    // reference probe: the exploded (widx, mask) cells against the
+    // sparse word table — the two position families must be identical
+    val wmap = words.as[(Int, Long)].collect().toMap
+    val viaCells = Sketch.bloomCells(all, Seq(col("x")), col("x"), 1 << 16, 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (x, cs) =>
+        x -> cs.forall { case (_, w, m) => (wmap.getOrElse(w, 0L) & m) == m }
+      }
+    assert(viaDense === viaCells)
+    inserted.as[Long].collect()
+      .foreach(x => assert(viaDense(x), s"false negative for $x"))
+  }
+
   test("count-min: estimates never undercount; merge(A, B) == build(A ++ B)") {
     import graft.functions.HashFns
     // skewed stream: value v appears v+1 times, v in 0..99
