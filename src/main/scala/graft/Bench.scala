@@ -127,13 +127,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def run(name: String): (Double, Double) = {
+      val load1 = loadavg().head
       val t0 = System.nanoTime()
       try Queries.all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return (-1.0, load1)
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, load1)
+    }
+
+    // Trial pair + contention retry: BENCH_r07 and r08 were both
+    // produced on a contended host (loadavg stamps proved it, but only
+    // post-hoc). A trial pair whose spread exceeds 3× is re-run once —
+    // external load is transient, so a third sample usually lands near
+    // the true time — and every trial carries the 1-min loadavg at its
+    // start, so the artifact is diagnosable per-trial, not just
+    // per-run. A 3-entry trials array IS the retry marker.
+    val nTrials = 2
+    def trialsOf(name: String): Seq[(Double, Double)] = {
+      val pair = (1 to nTrials).map(_ => run(name))
+      val ok = pair.map(_._1).filter(_ >= 0)
+      if (ok.size == nTrials && ok.max / ok.min.max(1e-9) > 3.0) pair :+ run(name)
+      else pair
     }
 
     // warm-up: JVM/codegen/parquet-footer caches on a small query
@@ -141,21 +158,22 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // best-of-2 per query, with per-trial times in the artifact: a
-    // single-shot number under transient host contention is
-    // indistinguishable from a real regression; the trial spread makes
-    // a contended run diagnosable from the JSON alone.
-    val nTrials = 2
-    val results = headline.map(n => n -> (1 to nTrials).map(_ => run(n)))
-    def bestOf(ts: Seq[Double]): Double = {
-      val ok = ts.filter(_ >= 0)
+    val results = headline.map(n => n -> trialsOf(n))
+    def bestOf(ts: Seq[(Double, Double)]): Double = {
+      val ok = ts.map(_._1).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
+    def trialsJsonOf(rs: Seq[(String, Seq[(Double, Double)])]): String =
+      rs.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(_._1).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    def loadJsonOf(rs: Seq[(String, Seq[(Double, Double)])]): String =
+      rs.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
+      }.mkString("{", ",", "}")
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")
-    val trialsJson = results.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.mkString(",") + "]"
-    }.mkString("{", ",", "}")
+    val trialsJson = trialsJsonOf(results)
     val total = results.map(r => bestOf(r._2)).filter(_ >= 0).sum
 
     // the round-7+ heavy operators, tracked OUTSIDE the headline total
@@ -164,9 +182,10 @@ object Bench {
       "q81_semdedup", "q82_shuffle_shards", "q83_dedup_cut",
       "q84_weighted_interleave", "q85_hll_distinct", "q86_hll_merge",
       "q87_bloom_contamination", "q88_cms_topk")
-      .map(n => n -> (1 to nTrials).map(_ => run(n)))
+      .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")
+    val trialLoadJson = loadJsonOf(results ++ extended)
 
     // kpipe-comparable figure: records/s through the decode→operators→
     // sink pipeline (BASELINE.md reports the reference's consumer in
@@ -211,12 +230,20 @@ object Bench {
     val eventRows = staged.count()   // materializes the cache
     stagedPipeline.write.format("noop").mode("overwrite").save()   // warm codegen
     // best of 3 timed trials — single-trial numbers swing ±50% with
-    // JIT/GC in a fresh JVM; steady-state throughput is the max
-    val pipelineTrials = (1 to 3).map { _ =>
+    // JIT/GC in a fresh JVM; steady-state throughput is the max.
+    // Same contention-retry rule as the catalog trials: a >3× spread
+    // (BENCH_r08's pipeline trials spanned 129-641 s under external
+    // load) earns one extra sample — a 4-entry array is the marker.
+    def pipelineTrial(): Double = {
       val t0 = System.nanoTime()
       stagedPipeline.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    val pipelineBase = (1 to 3).map(_ => pipelineTrial())
+    val pipelineTrials =
+      if (pipelineBase.max / pipelineBase.min.max(1e-9) > 3.0)
+        pipelineBase :+ pipelineTrial()
+      else pipelineBase
     val pipelineSec = pipelineTrials.min
     val recPerSec = if (pipelineSec > 0) eventRows / pipelineSec else 0.0
 
@@ -278,8 +305,11 @@ object Bench {
     // measured trigger. Swept over batch sizes like the stateless
     // path: per-trigger state-store commit cost amortizes with batch
     // size.
-    val statefulSweep = Seq(250000L, 500000L, 1000000L).map { n =>
-      val (rows, sec, nBatches) = measureStateful(spark, n, cpus.toInt)
+    // the 2M cell runs 10M docs through growing per-bucket state —
+    // give it headroom so a loaded host yields a number, not a -1
+    val statefulSweep = Seq(250000L, 500000L, 1000000L, 2000000L).map { n =>
+      val (rows, sec, nBatches) = measureStateful(spark, n, cpus.toInt,
+        deadlineSec = if (n >= 2000000L) 300L else 180L)
       (n, rows, sec, sweepValue(rows, sec, nBatches, 4))
     }
     val statefulComplete = statefulSweep.filter(_._4 >= 0)
@@ -287,6 +317,32 @@ object Bench {
       if (statefulComplete.nonEmpty) statefulComplete.maxBy(_._4)
       else (0L, 0L, 0.0, -1.0)
     val statefulSweepJson = statefulSweep.map { case (n, _, _, rps) =>
+      "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
+    }.mkString("{", ",", "}")
+
+    // The same keyed-state path on the RocksDB provider at the large
+    // batch sizes: the HDFS-backed heap store snapshots the WHOLE store
+    // per commit, so its commit cost scales with total state; RocksDB
+    // commits incrementally — the crossover is exactly the
+    // state-volume regime the sweep's big batches reach. Provider is a
+    // per-query conf read at stream start, so flipping it between
+    // sweeps is safe.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: commit only the batch's delta instead of
+    // the full SST snapshot — without it RocksDB commit cost grows with
+    // TOTAL state and the comparison to heap is meaningless
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val rocksSweep = Seq(1000000L, 2000000L).map { n =>
+      val (rows, sec, nBatches) = measureStateful(spark, n, cpus.toInt,
+        deadlineSec = 300L)
+      (n, rows, sec, sweepValue(rows, sec, nBatches, 4))
+    }
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    val rocksSweepJson = rocksSweep.map { case (n, _, _, rps) =>
       "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
     }.mkString("{", ",", "}")
 
@@ -302,6 +358,8 @@ object Bench {
       s""""stateful_rec_per_sec":${if (statefulRecPerSec < 0) "-1" else statefulRecPerSec.round.toString},""" +
       s""""stateful_rows":$statefulRows,"stateful_sec":$statefulSec,""" +
       s""""stateful_by_batch_size":$statefulSweepJson,""" +
+      s""""stateful_rocksdb_by_batch_size":$rocksSweepJson,""" +
+      s""""trial_loadavg":$trialLoadJson,""" +
       s""""loadavg_start":[${loadStart.mkString(",")}],""" +
       s""""loadavg_end":[${loadEnd.mkString(",")}],"sf":"$sfDir"}"""
     // stop BEFORE printing so Spark's shutdown logging can't interleave

@@ -26,6 +26,14 @@ object StatefulBench {
     val spark = (if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // without changelog checkpointing every commit uploads the FULL
+        // SST snapshot — commit cost grows with total state and the
+        // provider loses to heap on any growing-state workload;
+        // changelog mode commits only the batch's delta (snapshots
+        // happen in background maintenance), the configuration a real
+        // deployment runs
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sizes.foreach { n =>
