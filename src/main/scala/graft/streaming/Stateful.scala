@@ -137,6 +137,7 @@ object Stateful {
             val regs = s.regs.clone()
             var lastTs = s.lastTs
             var n = 0L
+            var changed = false
             rows.foreach { kv =>
               // native twin of the column pipeline: h = md5-derived
               // 61-bit hash, bucket = low 10 bits, rho = rank of the
@@ -147,12 +148,21 @@ object Stateful {
               val w = h >>> 10
               val rho =
                 (if (w == 0L) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
-              if (rho > regs(bucket)) regs(bucket) = rho
+              if (rho > regs(bucket)) { regs(bucket) = rho; changed = true }
               lastTs = math.max(lastTs, kv.ts.getTime)
               n += 1
             }
-            state.update(HllState(regs, lastTs))
-            state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            // State-store commit volume is the throughput ceiling on
+            // this path, so a batch that bumped NO register (every
+            // value already observed — redelivery, duplicates) skips
+            // the 1 KiB state rewrite and only advances the TTL clock.
+            // rho ≥ 1 always bumps fresh all-zero state, so the skip
+            // branch implies state exists (setTimeoutTimestamp without
+            // update is legal). The stored lastTs then lags the true
+            // last arrival; the TTL drift is bounded by the watermark
+            // delay (late events past the watermark never reach here).
+            if (changed) state.update(HllState(regs, lastTs))
+            if (state.exists) state.setTimeoutTimestamp(lastTs + stateTtlMs)
             var regSum = 0L
             var i = 0
             while (i < 1024) { regSum += 1L << (52 - regs(i)); i += 1 }
@@ -222,6 +232,71 @@ object Stateful {
       }
   }
 
+  final case class BloomState(words: Array[Long], lastTs: Long)
+  final case class BloomSeen(key: String, value: String, seen_before: Boolean)
+
+  /** Incremental bloom membership per key — the streaming form of
+    * [[graft.ops.Sketch.bloomWords]] run as probe-then-insert: each
+    * event reports whether its value's k positions were ALREADY all
+    * set (`seen_before`), then sets them. This is streaming
+    * approximate first-occurrence detection at CONSTANT memory —
+    * `dropDuplicatesWithinWatermark` keeps every key it has seen
+    * inside the watermark; this keeps mBits/64 words (8 KiB at the
+    * default) per key FOREVER, trading a bounded false-positive rate
+    * ("seen" for a value that never arrived) for zero false negatives
+    * (a re-delivered value ALWAYS probes seen — OR-folding is
+    * idempotent, so redelivery never moves the filter). Position
+    * family is the native twin of the column form (hashAtLong mod
+    * mBits; bit 63 via Scala's << wrap, same as Spark shiftleft) —
+    * pinned against [[graft.ops.Sketch.bloomMaybe]] by spec. A batch
+    * that sets no new bit skips the state rewrite like [[hllRunning]].
+    * State dies `stateTtlMs` after a key's last arrival.
+    */
+  def bloomRunning(events: org.apache.spark.sql.Dataset[KeyedValue],
+                   watermarkDelay: String, stateTtlMs: Long,
+                   mBits: Int = 1 << 16, k: Int = 4)
+      : org.apache.spark.sql.Dataset[BloomSeen] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[BloomState, BloomSeen](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[BloomState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption
+              .getOrElse(BloomState(new Array[Long](mBits / 64), 0L))
+            val words = s.words.clone()
+            var lastTs = s.lastTs
+            var changed = false
+            val out = Seq.newBuilder[BloomSeen]
+            rows.foreach { kv =>
+              val x = graft.functions.HashFns.hash61Bytes(
+                kv.value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var seen = true
+              var j = 0
+              while (j < k) {
+                val pos = (graft.functions.HashFns.hashAtLong(x, j) % mBits).toInt
+                val mask = 1L << (pos & 63)
+                val widx = pos >>> 6
+                if ((words(widx) & mask) == 0L) {
+                  seen = false; words(widx) |= mask; changed = true
+                }
+                j += 1
+              }
+              out += BloomSeen(key, kv.value, seen)
+              lastTs = math.max(lastTs, kv.ts.getTime)
+            }
+            if (changed) state.update(BloomState(words, lastTs))
+            if (state.exists) state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class DocEvent(id: Long, ts: java.sql.Timestamp, text: String)
   final case class DupCandidate(id: Long, dup_of: Long, band: Int, hamming: Int)
   /** Per-bucket state as PARALLEL PRIMITIVE ARRAYS, not a
@@ -276,8 +351,12 @@ object Stateful {
     // signature via the Scala-native simhash (bit-identical to the
     // column form, pinned by DedupSpec): the interpreted column
     // expression costs ~1.5 ms/doc — 650 rec/s, 400× under the
-    // stateless pipeline — while the typed map is microseconds/doc
+    // stateless pipeline — while the typed map is microseconds/doc.
+    // Null-text events are dropped (a null doc has no signature; the
+    // pre-r8 column path emitted a null sig that matched nothing,
+    // whereas simhashLong(null) would kill the query).
     val banded = docs
+      .filter(_.text != null)
       .map(d => (d.id, d.ts, graft.dedup.Dedup.simhashLong(d.text)))
       .toDF("id", "ts", "sig")
       .withWatermark("ts", watermarkDelay)
@@ -341,8 +420,19 @@ object Stateful {
                   lastTs = math.max(lastTs, ts.getTime)
               }
             }
-            state.update(BucketSigs(s.sigs ++ newSigs, s.ids ++ newIds, lastTs))
-            state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            // A batch that appended nothing — exactly the at-cap hot
+            // bucket, where every event still matches but none is
+            // retained — previously re-encoded the full maxPerBucket
+            // arrays (~16 KiB) into the state store anyway. Skip the
+            // write and only advance the TTL clock (state exists here:
+            // an empty bucket always accepts its first event, so
+            // newSigs is only empty when storedN > 0 or rows was
+            // empty). TTL drift from the stale stored lastTs is
+            // bounded by the watermark delay, as in [[hllRunning]].
+            if (newSigs.nonEmpty)
+              state.update(BucketSigs(s.sigs ++ newSigs, s.ids ++ newIds, lastTs))
+            if (storedN + newSigs.length > 0)
+              state.setTimeoutTimestamp(lastTs + stateTtlMs)
             out.result().iterator
           }
       }

@@ -356,6 +356,62 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental bloom ≡ column-form bloom probe (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val out = mutable.Buffer.empty[(Long, Stateful.BloomSeen)]
+    val q = Stateful.bloomRunning(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.BloomSeen], id: Long) =>
+        out.synchronized { out ++= df.collect().map(u => (id, u)) }
+        ()
+      }.start()
+    def kv(minute: Int, v: String) = Stateful.KeyedValue("a",
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    val a = (0 until 200).map(i => s"tok$i")
+    stream.addData(a.map(kv(1, _))); q.processAllAvailable()
+    // full redelivery: zero false negatives, and the no-new-bit batch
+    // exercises the skipped state write
+    stream.addData(a.map(kv(2, _))); q.processAllAvailable()
+    // then five probes, ONE per micro-batch so each has a well-defined
+    // prior delivered set — the exact differential against the
+    // COLUMN-form filter (cross-pins hashAtLong/bit math vs
+    // bloomWords/bloomMaybe)
+    val probes = (0 until 5).map(i => s"probe$i")
+    probes.zipWithIndex.foreach { case (p, i) =>
+      stream.addData(kv(3 + i, p)); q.processAllAvailable()
+    }
+    q.stop()
+
+    // batch ids are NOT 1:1 with addData calls (watermark advance runs
+    // extra no-data batches), so key every assertion by VALUE and order
+    // emissions by batch id
+    val byValue = out.groupBy(_._2.value)
+    a.foreach { v =>
+      val es = byValue(v).sortBy(_._1).map(_._2.seen_before)
+      assert(es.size === 2, s"$v expected 2 emissions, got $es")
+      assert(es.last, s"redelivered $v must probe seen (no false negatives)")
+    }
+
+    import graft.functions.HashFns
+    import graft.ops.Sketch
+    probes.zipWithIndex.foreach { case (p, i) =>
+      val prior = a ++ probes.take(i)   // distinct values delivered before p
+      val words = Sketch.bloomWords(
+        prior.toDF("v").select(HashFns.hash61(col("v")).as("x")),
+        col("x"), 1 << 16, 4)
+      val expected = Seq(p).toDF("v")
+        .crossJoin(broadcast(Sketch.bloomDense(words, 1 << 16)))
+        .select(Sketch.bloomMaybe(HashFns.hash61(col("v")), col("bloom_words"),
+          1 << 16, 4))
+        .as[Boolean].collect().head
+      val got = byValue(p).map(_._2.seen_before)
+      assert(got === Seq(expected), s"probe $p: stream=$got batch=$expected")
+    }
+  }
+
   test("batch-built bloom filter decontaminates a doc stream via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val evalText = "the quick brown fox jumps over the lazy dog near the river bank today"
