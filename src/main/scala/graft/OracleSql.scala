@@ -244,13 +244,16 @@ object OracleSql {
     // co-moment products (IEEE ops in the same order as the Spark
     // side); stddev_samp(double) would be partial-agg-order- and
     // engine-sensitive (q85 hazard class); n=1 guards to NULL (0/0 is
-    // engine-divergent NaN/NULL).
+    // engine-divergent NaN/NULL); the numerator is clamped at 0 like
+    // the Spark side — past-2^53 rounding could push a zero-variance
+    // group to a tiny negative, and sqrt(neg) is NaN-vs-ERROR across
+    // the engines.
     "q46_agg_stats" ->
       """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  CASE WHEN count(*) > 1 THEN
-        |    sqrt((CAST(count(*) AS DOUBLE) * CAST(CAST(sum(q*q) AS BIGINT) AS DOUBLE)
-        |       - CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(q) AS BIGINT) AS DOUBLE))
+        |    sqrt(greatest(CAST(count(*) AS DOUBLE) * CAST(CAST(sum(q*q) AS BIGINT) AS DOUBLE)
+        |       - CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(q) AS BIGINT) AS DOUBLE), 0.0)
         |      / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)))
         |  END AS sd_qty,
         |  count(*) AS n
@@ -388,6 +391,7 @@ object OracleSql {
     "q86_hll_merge" -> Gen.hllMergeSql,
     "q87_bloom_contamination" -> Gen.bloomContaminationSql,
     "q88_cms_topk" -> Gen.cmsTopkSql,
+    "q89_bloom_flag" -> Gen.bloomFlagSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1149,6 +1153,39 @@ object OracleSql {
          |SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
          |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
          |FROM pj GROUP BY id ORDER BY id""".stripMargin
+    }
+
+    /** Twin of q89_bloom_flag: q87's bloom construction and probe,
+      * finished as the per-doc boolean gate (maxHits = 0 ⇒ contaminated
+      * = any shingle probes positive). Docs with no shingle (text
+      * shorter than n words) left-join to FALSE, matching the Spark
+      * side's coalesce(n_bloom_hits, 0) > 0.
+      */
+    def bloomFlagSql: String = {
+      val mBits = 1 << 16
+      val k = 4
+      def positionsE(xE: String): String =
+        (0 until k).map(j => s"(${duckHashAt(xE, j)} % $mBits)")
+          .mkString("[", ", ", "]")
+      val maskE =
+        "CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1) " +
+          "ELSE 1::BIGINT << CAST(pos % 64 AS INT) END"
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |sh AS (SELECT id, unnest(list_distinct(${shinglesE("w", 3)})) AS s FROM words),
+         |h AS (SELECT id, ${duckHash61("s")} AS x FROM sh),
+         |evpos AS (SELECT unnest(${positionsE("x")}) AS pos FROM h WHERE id % 50 = 0),
+         |bw AS (SELECT pos // 64 AS widx, bit_or($maskE) AS word
+         |       FROM evpos GROUP BY widx),
+         |pp AS (SELECT id, x, unnest(${positionsE("x")}) AS pos FROM h),
+         |pb AS (SELECT id, x, pos // 64 AS widx,
+         |         ($maskE) AS mask FROM pp),
+         |pj AS (SELECT id, x,
+         |         bool_and((COALESCE(b.word, 0) & mask) = mask) AS maybe
+         |       FROM pb LEFT JOIN bw b USING (widx) GROUP BY id, x),
+         |f AS (SELECT id, bool_or(maybe) AS any_hit FROM pj GROUP BY id)
+         |SELECT d.doc_id, COALESCE(f.any_hit, FALSE) AS contaminated
+         |FROM documents d LEFT JOIN f ON d.doc_id = f.id
+         |ORDER BY d.doc_id""".stripMargin
     }
 
     /** Twin of q88_cms_topk: identical count-min construction — cells

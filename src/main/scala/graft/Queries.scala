@@ -536,12 +536,17 @@ object Queries {
     // co-moments in partition order (non-deterministic even within
     // Spark) — the q85 hazard class. n=1 guards to NULL explicitly:
     // 0/0 is NaN on Spark but NULL on some DuckDB builds — the same
-    // engine-divergence class, banned by construction.
+    // engine-divergence class, banned by construction. varNum is
+    // clamped at 0 on BOTH sides: once the exact sums exceed 2^53 the
+    // double products round, and a zero-variance group could land at a
+    // tiny NEGATIVE numerator — sqrt(neg) is NaN on Spark but an ERROR
+    // on DuckDB, the same divergence class (the clamp is identical
+    // IEEE max on both engines, so parity holds either way).
     val q = col("l_quantity").cast("bigint")
     val n = count(lit(1))
     val nD = n.cast("double")
-    val varNum = nD * sum(q * q).cast("double") -
-      sum(q).cast("double") * sum(q).cast("double")
+    val varNum = greatest(nD * sum(q * q).cast("double") -
+      sum(q).cast("double") * sum(q).cast("double"), lit(0.0))
     val varDen = nD * (n - lit(1)).cast("double")
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
@@ -1185,6 +1190,26 @@ object Queries {
       .orderBy("id")
   }
 
+  /** The decontamination FILTER over a pre-built bloom
+    * ([[graft.dedup.Dedup.bloomFlagDocs]]): build the 8 KiB filter
+    * from the eval slice once, flag every corpus doc whose shingles
+    * probe positive (maxHits = 0, strict). The q87 diagnostic says HOW
+    * contaminated; this is the operator a pipeline actually gates on —
+    * same bloom, same probe, boolean verdict per doc. Docs too short
+    * to produce a shingle are clean by definition.
+    */
+  val q89_bloom_flag: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val evalH = docs.where(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(TextFns.shingles(col("text"), 3))).as("sh"))
+      .select(HashFns.hash61(col("sh")).as("x"))
+    val words = Sketch.bloomWords(evalH, col("x"), mBits = 1 << 16, k = 4)
+    Dedup.bloomFlagDocs(docs, "doc_id", "text", words, n = 3,
+        mBits = 1 << 16, k = 4, maxHits = 0)
+      .select(col("doc_id"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Count-min sketch frequency profile: build the (4 × 8192) counter
     * table over every token occurrence, then read back the top-20
     * tokens (by exact count, token tiebreak) with their point
@@ -1305,5 +1330,6 @@ object Queries {
     "q85_hll_distinct" -> q85_hll_distinct,
     "q86_hll_merge" -> q86_hll_merge,
     "q87_bloom_contamination" -> q87_bloom_contamination,
-    "q88_cms_topk" -> q88_cms_topk)
+    "q88_cms_topk" -> q88_cms_topk,
+    "q89_bloom_flag" -> q89_bloom_flag)
 }
