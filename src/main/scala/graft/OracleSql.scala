@@ -392,6 +392,10 @@ object OracleSql {
     "q87_bloom_contamination" -> Gen.bloomContaminationSql,
     "q88_cms_topk" -> Gen.cmsTopkSql,
     "q89_bloom_flag" -> Gen.bloomFlagSql,
+    "q90_kmv_distinct" -> Gen.kmvDistinctSql,
+    "q91_kmv_merge" -> Gen.kmvMergeSql,
+    "q92_hist_quantiles" -> Gen.histQuantilesSql,
+    "q93_minhash_sources" -> Gen.minhashSourcesSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1213,6 +1217,111 @@ object OracleSql {
          |SELECT tok, n_exact, min(cnt) AS cms_est
          |FROM pj JOIN cnts USING (row, col)
          |GROUP BY tok, n_exact ORDER BY n_exact DESC, tok""".stripMargin
+    }
+
+    /** Twin of q90_kmv_distinct: identical KMV — distinct (lang,
+      * shingle-hash), bottom-256 via row_number, kth = max of the held
+      * values, estimate = the precomputed integer numerator
+      * ([[graft.ops.Sketch.kmvEstNumX10]]) HUGEINT-divided by kth (or
+      * exact-count×10 when the sketch is not full). The CASE result is
+      * HUGEINT (one branch is), so the whole expression is CAST to
+      * BIGINT — the r8 HUGEINT-fetch rule.
+      */
+    def kmvDistinctSql: String = {
+      val k = 256
+      s"""WITH wd AS (SELECT lang, ${tokensE("text")} AS w FROM documents),
+         |sh0 AS (SELECT lang, unnest(${shinglesE("w", 3)}) AS s FROM wd),
+         |hx AS (SELECT DISTINCT lang, ${duckHash61("s")} AS h FROM sh0),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |      FROM hx),
+         |sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS kmv_n,
+         |         max(h) AS kmv_kth
+         |       FROM r WHERE rn <= $k GROUP BY lang),
+         |e AS (SELECT lang, count(DISTINCT s) AS n_exact FROM sh0 GROUP BY lang)
+         |SELECT e.lang, CAST(e.n_exact AS BIGINT) AS n_exact, sk.kmv_n,
+         |  CAST(sk.kmv_kth AS BIGINT) AS kmv_kth,
+         |  CAST(CASE WHEN sk.kmv_n < $k THEN sk.kmv_n * 10
+         |       ELSE CAST('${graft.ops.Sketch.kmvEstNumX10(k)}' AS HUGEINT)
+         |         // greatest(sk.kmv_kth, 1) END AS BIGINT) AS kmv_est_x10
+         |FROM e JOIN sk USING (lang) ORDER BY lang""".stripMargin
+    }
+
+    /** Twin of q91_kmv_merge: the WHOLE-CORPUS single-pass KMV. The
+      * Spark side builds per-half sketches and merges (k smallest of
+      * the distinct union); every global bottom-k hash is inside its
+      * half's bottom-k, so the merged sketch must equal this
+      * bit-for-bit — the hash match IS the merge proof.
+      */
+    def kmvMergeSql: String = {
+      val k = 256
+      s"""WITH wd AS (SELECT lang, ${tokensE("text")} AS w FROM documents),
+         |sh0 AS (SELECT lang, unnest(${shinglesE("w", 3)}) AS s FROM wd),
+         |hx AS (SELECT DISTINCT lang, ${duckHash61("s")} AS h FROM sh0),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |      FROM hx),
+         |sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS kmv_n,
+         |         max(h) AS kmv_kth
+         |       FROM r WHERE rn <= $k GROUP BY lang)
+         |SELECT lang, kmv_n, CAST(kmv_kth AS BIGINT) AS kmv_kth,
+         |  CAST(CASE WHEN kmv_n < $k THEN kmv_n * 10
+         |       ELSE CAST('${graft.ops.Sketch.kmvEstNumX10(k)}' AS HUGEINT)
+         |         // greatest(kmv_kth, 1) END AS BIGINT) AS kmv_est_x10
+         |FROM sk ORDER BY lang""".stripMargin
+    }
+
+    /** Twin of q92_hist_quantiles: single-pass fixed-bin histogram
+      * (sum is associative, so it must equal Spark's merged per-half
+      * build), cumulative window over the tiny bin table, smallest bin
+      * reaching ceil(pct·N/100). SUM() OVER is HUGEINT in DuckDB —
+      * every final column is CAST to BIGINT.
+      */
+    def histQuantilesSql: String =
+      s"""WITH v AS (SELECT CAST(len(${tokensE("text")}) AS BIGINT) AS v
+         |           FROM documents),
+         |h AS (SELECT v // 8 AS bin, count(*) AS cnt FROM v GROUP BY 1),
+         |c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+         |        SUM(cnt) OVER () AS total FROM h),
+         |p AS (SELECT bin, cum, total, unnest([50, 90, 99]) AS pct FROM c),
+         |r AS (SELECT pct, (pct * total + 99) // 100 AS target_rank,
+         |        min(bin) AS bin
+         |      FROM p WHERE cum >= (pct * total + 99) // 100
+         |      GROUP BY pct, total)
+         |SELECT CAST(pct AS BIGINT) AS pct,
+         |  CAST(target_rank AS BIGINT) AS target_rank,
+         |  CAST(bin AS BIGINT) AS bin, CAST(bin * 8 AS BIGINT) AS bin_lo
+         |FROM r ORDER BY pct""".stripMargin
+
+    /** Twin of q93_minhash_sources: per-source 32-component MinHash
+      * signature over the distinct shingle-hash set, pairwise component
+      * agreement, exact intersection/union from the same distinct set.
+      * Integer/boolean arithmetic only.
+      */
+    def minhashSourcesSql: String = {
+      val K = 32
+      val sigCols = (0 until K).map(j =>
+        s"min(${duckHashAt("x", j)}) AS m$j").mkString(", ")
+      val agreeE = (0 until K).map(j =>
+        s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH wd AS (SELECT source, ${tokensE("text")} AS w FROM documents),
+         |sh0 AS (SELECT source, unnest(${shinglesE("w", 3)}) AS s FROM wd),
+         |sh AS (SELECT DISTINCT source, ${duckHash61("s")} AS x FROM sh0),
+         |sig AS (SELECT source, count(*) AS n_sh, $sigCols
+         |        FROM sh GROUP BY source),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         a.n_sh AS na, b.n_sh AS nb, ($agreeE) AS sig_agree
+         |       FROM sig a JOIN sig b ON a.source < b.source),
+         |iv AS (SELECT l.source AS src_a, r.source AS src_b,
+         |         count(*) AS n_inter
+         |       FROM sh l JOIN sh r
+         |         ON l.x = r.x AND l.source < r.source GROUP BY 1, 2)
+         |SELECT pr.src_a, pr.src_b, CAST(pr.sig_agree AS BIGINT) AS sig_agree,
+         |  CAST(COALESCE(iv.n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(pr.na + pr.nb - COALESCE(iv.n_inter, 0) AS BIGINT) AS n_union
+         |FROM pr LEFT JOIN iv
+         |  ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b
+         |ORDER BY 1, 2""".stripMargin
     }
 
     /** Twin of q82_shuffle_shards: hash-sharded, hash-ordered training

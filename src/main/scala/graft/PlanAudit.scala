@@ -21,7 +21,10 @@ object PlanAudit {
     */
   private val bnljExpected = Set(
     "q28_cosine_topk", "q31_ann_lsh", "q36_media_features", "q42_cross_join",
-    "q87_bloom_contamination", "q89_bloom_flag")
+    "q87_bloom_contamination", "q89_bloom_flag",
+    // 20-row per-source signature table under an inequality self-join —
+    // pairs of SOURCES (corpus-level profile), broadcast by design
+    "q93_minhash_sources")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -1241,6 +1241,105 @@ object Queries {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  /** KMV distinct profile per language over 3-gram shingles: exact
+    * count next to the k=256 k-minimum-values sketch — the
+    * order-statistics dual of q85's HLL, and its values double as a
+    * uniform distinct-sample (bottom-k of a union is computable from
+    * bottom-k's alone). Integer surface end to end: kmv_kth is the
+    * 256th-smallest 61-bit hash, the estimate is a constant integer
+    * divided by it. See [[graft.ops.Sketch.kmvSketch]].
+    */
+  val q90_kmv_distinct: Q = (s, d) => {
+    val k = 256
+    val sh = Tables.documents(s, d)
+      .select(col("lang"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
+    val exact = sh.groupBy("lang").agg(countDistinct("sh").as("n_exact"))
+    exact.join(Sketch.kmvStats(Sketch.kmvSketch(sh, Seq("lang"), col("sh"), k), k), "lang")
+      .select("lang", "n_exact", "kmv_n", "kmv_kth", "kmv_est_x10")
+      .orderBy("lang")
+  }
+
+  /** KMV merge differential: sketches built INDEPENDENTLY on the two
+    * doc_id-parity halves, merged (k smallest of the distinct union),
+    * read back. The oracle pins the merged sketch to the whole-corpus
+    * single-pass sketch — every global bottom-k hash lies inside its
+    * own half's bottom-k, so the merge is exact, which is the
+    * incremental contract (fold yesterday's sketch with today's). See
+    * [[graft.ops.Sketch.kmvMerge]].
+    */
+  val q91_kmv_merge: Q = (s, d) => {
+    val k = 256
+    val sh = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(TextFns.shingles(col("text"), 3)).as("sh"))
+    val half = (p: Int) => sh.where(pmod(col("doc_id"), lit(2)) === p)
+    val merged = Sketch.kmvMerge(
+      Sketch.kmvSketch(half(0), Seq("lang"), col("sh"), k)
+        .unionByName(Sketch.kmvSketch(half(1), Seq("lang"), col("sh"), k)),
+      Seq("lang"), k)
+    Sketch.kmvStats(merged, k)
+      .select("lang", "kmv_n", "kmv_kth", "kmv_est_x10")
+      .orderBy("lang")
+  }
+
+  /** Mergeable histogram + integer quantile readback over per-doc token
+    * counts: per-half (doc_id parity) fixed-bin histograms merged by
+    * cell-wise sum, then p50/p90/p99 as the smallest bin reaching
+    * ceil(pct·N/100) — the 100 TB distribution-profile shape (state =
+    * bins, not rows; merge = add), with an integer-exact readback
+    * unlike percentile_approx. See [[graft.ops.Sketch.histogram]].
+    */
+  val q92_hist_quantiles: Q = (s, d) => {
+    val binW = 8L
+    val v = Tables.documents(s, d)
+      .select(pmod(col("doc_id"), lit(2)).as("half"),
+        TextFns.tokenCount(col("text")).as("v"))
+    val merged = Sketch.histMerge(
+      (0 to 1).map(p => Sketch.histogram(v.where(col("half") === p), col("v"), binW)))
+    Sketch.histQuantiles(merged, binW, Seq(50, 90, 99))
+      .orderBy("pct")
+  }
+
+  /** Corpus-level source similarity: one 32-component MinHash signature
+    * per source over its distinct 3-gram shingle-hash set (constant
+    * bytes per source — the whole-corpus profile is 20 rows), pairwise
+    * signature agreement next to the EXACT Jaccard ingredients
+    * (n_inter/n_union via a distinct-set self-join) so the estimate is
+    * verified against ground truth in the same query. sig_agree/32
+    * estimates Jaccard; at 100 TB only the signature path survives —
+    * the exact path is the sf-small oracle anchor.
+    */
+  val q93_minhash_sources: Q = (s, d) => {
+    val K = 32
+    val sh = Tables.documents(s, d)
+      .select(col("source"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
+      .select(col("source"), HashFns.hash61(col("sh")).as("x")).distinct()
+    val sig = sh.groupBy("source").agg(
+      count(lit(1)).as("n_sh"),
+      (0 until K).map(j => min(HashFns.hashAt(col("x"), j)).as(s"m$j")): _*)
+    val a = sig.select(col("source").as("src_a") +: col("n_sh").as("na") +:
+      (0 until K).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sig.select(col("source").as("src_b") +: col("n_sh").as("nb") +:
+      (0 until K).map(j => col(s"m$j").as(s"b$j")): _*)
+    val agree = (0 until K)
+      .map(j => when(col(s"a$j") === col(s"b$j"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val inter = sh.as("l")
+      .join(sh.as("r"), col("l.x") === col("r.x") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("ia"), col("r.source").as("ib"))
+      .agg(count(lit(1)).as("ni"))
+    // 20-row signature table: broadcast inequality self-join (BNLJ) is
+    // the intended plan — pairs of sources, not pairs of documents
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("sig_agree", agree)
+      .join(broadcast(inter),
+        col("src_a") === col("ia") && col("src_b") === col("ib"), "left")
+      .select(col("src_a"), col("src_b"), col("sig_agree"),
+        coalesce(col("ni"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).as("n_union"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1331,5 +1430,9 @@ object Queries {
     "q86_hll_merge" -> q86_hll_merge,
     "q87_bloom_contamination" -> q87_bloom_contamination,
     "q88_cms_topk" -> q88_cms_topk,
-    "q89_bloom_flag" -> q89_bloom_flag)
+    "q89_bloom_flag" -> q89_bloom_flag,
+    "q90_kmv_distinct" -> q90_kmv_distinct,
+    "q91_kmv_merge" -> q91_kmv_merge,
+    "q92_hist_quantiles" -> q92_hist_quantiles,
+    "q93_minhash_sources" -> q93_minhash_sources)
 }

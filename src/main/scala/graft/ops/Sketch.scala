@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.HashFns
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed sketches for 100 TB profiling. */
@@ -241,6 +242,123 @@ object Sketch {
   def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
     sketches.reduce(_ unionByName _)
       .groupBy("row", "col").agg(sum("cnt").cast("long").as("cnt"))
+
+  // ------------------------------------------------------------------ //
+  // KMV (k minimum values) distinct sketch                              //
+  // ------------------------------------------------------------------ //
+
+  /** Numerator of the KMV estimate ×10 as an exact integer string:
+    * (k−1)·10·2^61 — [[graft.functions.HashFns.hash61]] is uniform on
+    * [0, 2^61), so D̂ = (k−1)·2^61 / h_(k) (Bar-Yossef et al. 2002).
+    * Embedded as a DECIMAL/HUGEINT literal so the estimate is integer
+    * division of exact integers — bit-identical on any engine, the same
+    * no-float construction as [[HllEstNumX10]].
+    */
+  def kmvEstNumX10(k: Int): String = ((BigInt(1) << 61) * (k - 1) * 10).toString
+
+  /** KMV distinct sketch per key group: the k smallest DISTINCT 61-bit
+    * element hashes, ascending, as `kmv array<bigint>` (fewer than k
+    * when the group has fewer distinct hashes). The order-statistics
+    * dual of [[hllDistinct]]: better relative error per byte at small
+    * k·|D|, and the sketch VALUES double as a uniform sample of the
+    * distinct elements' hashes (useful for downstream Jaccard — the
+    * bottom-k of a union is computable from bottom-k's alone).
+    *
+    * Scale shape: hash + distinct (map-side partial) shrinks the corpus
+    * to its distinct-hash set; the per-key bottom-k then runs as a
+    * row_number window over that reduced set, and the collected sketch
+    * is bounded at k·8 bytes per key by construction. Mergeable:
+    * [[kmvMerge]] — every global bottom-k element is inside its own
+    * shard's bottom-k, so merge(bottomK(A), bottomK(B)) = bottomK(A∪B)
+    * exactly, the incremental-profiling contract.
+    */
+  def kmvSketch(df: DataFrame, keyCols: Seq[String], value: Column,
+                k: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val hx = df.select(keys :+ HashFns.hash61(value).as("h"): _*).distinct()
+    val w = Window.partitionBy(keys: _*).orderBy("h")
+    hx.select(keys :+ col("h") :+ row_number().over(w).as("rn"): _*)
+      .where(col("rn") <= k)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+  }
+
+  /** Merge KMV sketches: many `kmv` rows per key → one, as the k
+    * smallest of the distinct union of all values. Exact: the union of
+    * per-shard bottom-k's contains every global bottom-k element. Each
+    * input row is ≤ k values and rows-per-key is the shard count, so
+    * per-key merge state is tiny (tree-merge per day/shard level if the
+    * shard count itself ever grows large).
+    */
+  def kmvMerge(df: DataFrame, keyCols: Seq[String], k: Int,
+               kmvCol: String = "kmv"): DataFrame = {
+    val keys = keyCols.map(col)
+    df.groupBy(keys: _*)
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col(kmvCol))))),
+        1, k).as("kmv"))
+  }
+
+  /** Readback of a KMV sketch column into the oracle-exact surface:
+    * kmv_n BIGINT (values held, = min(k, distinct hashes)), kmv_kth
+    * BIGINT (the largest held value — the k-th order statistic when
+    * full), kmv_est_x10 BIGINT (exact-count×10 when not full — the
+    * sketch IS the distinct set then — else [[kmvEstNumX10]] div
+    * kmv_kth). No float anywhere; `greatest(kth, 1)` guards the
+    * measure-zero h_(k) = 0 case identically on both engines.
+    */
+  def kmvStats(df: DataFrame, k: Int, kmvCol: String = "kmv"): DataFrame =
+    df.withColumn("kmv_n", size(col(kmvCol)).cast("bigint"))
+      .withColumn("kmv_kth", element_at(col(kmvCol), size(col(kmvCol))))
+      .withColumn("kmv_est_x10",
+        when(col("kmv_n") < k, col("kmv_n") * 10)
+          .otherwise(expr(s"CAST('${kmvEstNumX10(k)}' AS DECIMAL(38,0)) " +
+            "div greatest(kmv_kth, CAST(1 AS BIGINT))")))
+
+  // ------------------------------------------------------------------ //
+  // Mergeable fixed-bin histogram                                       //
+  // ------------------------------------------------------------------ //
+
+  /** Fixed-bin histogram of a non-negative integer value as a sparse
+    * (bin BIGINT, cnt BIGINT) table, bin = v div binWidth. The
+    * mergeable distribution profile: cell-wise ADD combines per-shard /
+    * per-day histograms into the exact union histogram ([[histMerge]]),
+    * and the table is bounded by the value range — distribution
+    * profiling over 100 TB keeps bins, not rows. Integer end to end.
+    */
+  def histogram(df: DataFrame, value: Column, binWidth: Long): DataFrame =
+    df.select(value.cast("bigint").as("__v"))
+      .select(expr(s"__v div $binWidth").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Merge histograms by cell-wise sum — merge(A, B) equals the
+    * histogram of the concatenation exactly (sum is associative).
+    */
+  def histMerge(hists: Seq[DataFrame]): DataFrame =
+    hists.reduce(_ unionByName _)
+      .groupBy("bin").agg(sum("cnt").cast("long").as("cnt"))
+
+  /** Integer quantile readback: for each pct, the smallest bin whose
+    * cumulative count reaches target_rank = ceil(pct·N/100), emitted as
+    * (pct, target_rank, bin, bin_lo = bin·binWidth) — all BIGINT, all
+    * integer arithmetic, so the readback is oracle-exact (unlike
+    * percentile_approx, whose sketch internals have no DuckDB twin).
+    * The cumulative window runs over the HISTOGRAM (≤ range/binWidth
+    * rows — metadata scale), never the data, so the unpartitioned
+    * window is deliberate.
+    */
+  def histQuantiles(hist: DataFrame, binWidth: Long,
+                    pcts: Seq[Int]): DataFrame = {
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum("cnt").over(Window.orderBy("bin")).as("cum"),
+      sum("cnt").over(Window.partitionBy()).as("total"))
+    cum
+      .select(col("bin"), col("cum"), col("total"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .withColumn("target_rank", expr("(pct * total + 99) div 100"))
+      .where(col("cum") >= col("target_rank"))
+      .groupBy("pct", "target_rank").agg(min("bin").as("bin"))
+      .withColumn("bin_lo", col("bin") * binWidth)
+  }
 
   /** Collapse a register array to the exact integer denominator
     * Σ 2^(52-reg) — the same `hll_reg_sum` [[hllDistinct]] emits, so

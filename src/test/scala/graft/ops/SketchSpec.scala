@@ -153,4 +153,89 @@ class SketchSpec extends SparkSpec {
       .select(lit("k").as("k"), col("id").cast("string").as("v")))
     assert(whole === withDups, "re-observed values must not change registers")
   }
+
+  // ---------------------------------------------------------------- //
+  // KMV                                                              //
+  // ---------------------------------------------------------------- //
+
+  private def kvals(n: Long) = spark.range(n)
+    .select(lit("k").as("k"), col("id").cast("string").as("v"))
+
+  test("KMV estimate lands within 20% at 100k distinct (k=256, se≈6%)") {
+    val est = Sketch.kmvStats(Sketch.kmvSketch(kvals(100000), Seq("k"), col("v"), 256), 256)
+      .select("kmv_est_x10").as[Long].collect().head / 10.0
+    assert(math.abs(est - 100000) / 100000 < 0.20, s"estimate $est")
+  }
+
+  test("KMV below k is the exact distinct count, and all columns are BIGINT") {
+    val out = Sketch.kmvStats(Sketch.kmvSketch(kvals(100), Seq("k"), col("v"), 256), 256)
+    val row = out.select("kmv_n", "kmv_kth", "kmv_est_x10")
+      .as[(Long, Long, Long)].collect().head
+    assert(row._1 === 100L)
+    assert(row._3 === 1000L, "not-full sketch must read back exact count ×10")
+    Seq("kmv_n", "kmv_kth", "kmv_est_x10").foreach(c =>
+      assert(out.schema(c).dataType === org.apache.spark.sql.types.LongType))
+  }
+
+  test("KMV merge of disjoint halves equals the whole-corpus sketch; dups are no-ops") {
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      Sketch.kmvSketch(df, Seq("k"), col("v"), 64)
+    val a = kvals(20000).where(col("v").cast("long") < 10000)
+    val b = kvals(20000).where(col("v").cast("long") >= 10000)
+    val merged = Sketch.kmvMerge(sketch(a).unionByName(sketch(b)), Seq("k"), 64)
+      .select("kmv").as[Seq[Long]].collect().head
+    val whole = sketch(kvals(20000)).select("kmv").as[Seq[Long]].collect().head
+    assert(merged === whole, "bottom-k of union must equal union of bottom-k's")
+    assert(whole.length === 64)
+    assert(whole === whole.sorted, "sketch values are ascending")
+    // overlapping (duplicate) inputs change nothing: distinct semantics
+    val withDups = Sketch.kmvMerge(
+      sketch(kvals(20000)).unionByName(sketch(a)), Seq("k"), 64)
+      .select("kmv").as[Seq[Long]].collect().head
+    assert(withDups === whole)
+  }
+
+  test("KMV is partition-invariant") {
+    val a = Sketch.kmvSketch(kvals(5000), Seq("k"), col("v"), 32)
+      .select("kmv").as[Seq[Long]].collect().head
+    val b = Sketch.kmvSketch(kvals(5000).repartition(17), Seq("k"), col("v"), 32)
+      .select("kmv").as[Seq[Long]].collect().head
+    assert(a === b)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Mergeable histogram                                              //
+  // ---------------------------------------------------------------- //
+
+  test("histogram merge equals single-pass; quantile readback matches exact ranks") {
+    // values 0..999 once each: bin width 100 -> 10 bins of 100
+    val vals = spark.range(1000).select(col("id").as("v"))
+    val whole = Sketch.histogram(vals, col("v"), 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(whole === (0L until 10L).map(_ -> 100L).toMap)
+    val merged = Sketch.histMerge(Seq(
+      Sketch.histogram(vals.where(col("v") % 3 === 0), col("v"), 100L),
+      Sketch.histogram(vals.where(col("v") % 3 === 1), col("v"), 100L),
+      Sketch.histogram(vals.where(col("v") % 3 === 2), col("v"), 100L)))
+      .as[(Long, Long)].collect().toMap
+    assert(merged === whole, "cell-wise sum must equal the union histogram")
+    // p50 of 1000 uniform values: rank 500 -> bin 4 (cum hits 500 there);
+    // p90 -> rank 900 -> bin 8; p99 -> rank 990 -> bin 9
+    val q = Sketch.histQuantiles(
+      Sketch.histogram(vals, col("v"), 100L), 100L, Seq(50, 90, 99))
+      .select("pct", "target_rank", "bin", "bin_lo")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(q === Array((50L, 500L, 4L, 400L), (90L, 900L, 8L, 800L),
+      (99L, 990L, 9L, 900L)))
+  }
+
+  test("histogram quantiles: ceil rank semantics on odd counts") {
+    // 7 values in bins 0,0,0,1,1,2,5 — p50 rank ceil(3.5)=4 -> bin 1
+    val vals = Seq(0L, 1L, 2L, 10L, 11L, 20L, 50L).toDF("v")
+    val q = Sketch.histQuantiles(
+      Sketch.histogram(vals, col("v"), 10L), 10L, Seq(50, 100))
+      .select("pct", "target_rank", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(q === Array((50L, 4L, 1L), (100L, 7L, 5L)))
+  }
 }
