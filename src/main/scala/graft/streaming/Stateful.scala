@@ -297,6 +297,67 @@ object Stateful {
       }
   }
 
+  final case class KmvState(vals: Array[Long], lastTs: Long)
+  final case class KmvUpdate(key: String, kmv_n: Long, kmv_kth: Long,
+                             kmv_est_x10: Long, n_events: Long)
+
+  /** Incremental KMV distinct sketch per key — the streaming form of
+    * [[graft.ops.Sketch.kmvSketch]], completing the streaming sketch
+    * family next to [[hllRunning]]/[[cmsRunning]]/[[bloomRunning]]:
+    * keyed state is the ≤k smallest distinct 61-bit value hashes
+    * (k·8 bytes forever), and each micro-batch emits the updated
+    * (kmv_n, kmv_kth, kmv_est_x10) for the keys it touched —
+    * bit-identical to the batch [[graft.ops.Sketch.kmvStats]] readback
+    * over the same delivered multiset (differential-specced). Like the
+    * HLL, the fold is idempotent (set semantics): re-deliveries and
+    * duplicates move nothing, and a batch that displaces no sketch
+    * value skips the state rewrite entirely. State dies `stateTtlMs`
+    * after a key's last arrival (event-time timeout).
+    */
+  def kmvRunning(events: org.apache.spark.sql.Dataset[KeyedValue],
+                 watermarkDelay: String, stateTtlMs: Long, k: Int = 256)
+      : org.apache.spark.sql.Dataset[KmvUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val estNum = BigInt(graft.ops.Sketch.kmvEstNumX10(k))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KmvState, KmvUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[KmvState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption.getOrElse(KmvState(Array.emptyLongArray, 0L))
+            val set = scala.collection.mutable.TreeSet.from(s.vals)
+            var lastTs = s.lastTs
+            var n = 0L
+            var changed = false
+            rows.foreach { kv =>
+              val h = graft.functions.HashFns.hash61Bytes(
+                kv.value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // insert only if it belongs in the bottom-k; evict the
+              // displaced max so the set never exceeds k entries
+              if ((set.size < k || h < set.last) && set.add(h)) {
+                if (set.size > k) set.remove(set.last)
+                changed = true
+              }
+              lastTs = math.max(lastTs, kv.ts.getTime)
+              n += 1
+            }
+            if (changed) state.update(KmvState(set.toArray, lastTs))
+            if (state.exists) state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            val held = set.size.toLong
+            val kth = if (set.isEmpty) 0L else set.last
+            val est =
+              if (held < k) held * 10
+              else (estNum / math.max(kth, 1L)).toLong
+            Iterator.single(KmvUpdate(key, held, kth, est, n))
+          }
+      }
+  }
+
   final case class DocEvent(id: Long, ts: java.sql.Timestamp, text: String)
   final case class DupCandidate(id: Long, dup_of: Long, band: Int, hamming: Int)
   /** Per-bucket state as PARALLEL PRIMITIVE ARRAYS, not a

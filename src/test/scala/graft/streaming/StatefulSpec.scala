@@ -484,4 +484,57 @@ class StatefulSpec extends SparkSpec {
     assert(results.exists { case (start, n, total) =>
       start.startsWith("2024-01-01 10:00") && n == 2 && total == 5.0 })
   }
+
+  test("streaming incremental KMV ≡ batch sketch over the delivered multiset") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val out = mutable.Buffer.empty[(Long, Stateful.KmvUpdate)]
+    // k=16: key "a" overfills (estimator branch), key "b" stays below k
+    // (exact branch) — both readback paths in one differential
+    val q = Stateful.kmvRunning(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000, k = 16)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.KmvUpdate], id: Long) =>
+        out.synchronized { out ++= df.collect().map(u => (id, u)) }
+        ()
+      }.start()
+    def kv(key: String, minute: Int, v: String) = Stateful.KeyedValue(key,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    val batch1 = (0 until 40).map(i => kv("a", 1, s"tok$i")) ++
+      (0 until 10).map(i => kv("b", 1, s"word$i"))
+    val batch2 = (20 until 60).map(i => kv("a", 2, s"tok$i")) ++ // 20 re-observed
+      (0 until 10).map(i => kv("b", 2, s"word$i"))               // all re-observed
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    // batch twin over the union multiset
+    val allValues = (batch1 ++ batch2).map(e => (e.key, e.value))
+    val expected = graft.ops.Sketch.kmvStats(
+        graft.ops.Sketch.kmvSketch(allValues.toDF("key", "v"), Seq("key"),
+          col("v"), 16), 16)
+      .select("key", "kmv_n", "kmv_kth", "kmv_est_x10")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    val lastUpdate = out.groupBy(_._2.key)
+      .map { case (k, us) => k -> us.maxBy(_._1)._2 }
+    Seq("a", "b").foreach { key =>
+      assert((lastUpdate(key).kmv_n, lastUpdate(key).kmv_kth,
+        lastUpdate(key).kmv_est_x10) === expected(key),
+        s"streaming/batch drift for $key")
+    }
+    assert(lastUpdate("a").kmv_n === 16L, "a must overfill the sketch")
+    assert(lastUpdate("b").kmv_n === 10L)
+    assert(lastUpdate("b").kmv_est_x10 === 100L,
+      "below-k readback must be the exact count ×10")
+    // batch 2 re-delivered all of b's values: the sketch must not move
+    val bUpdates = out.filter(_._2.key == "b").sortBy(_._1).map(_._2)
+    assert(bUpdates.length === 2 &&
+      bUpdates.head.kmv_kth === bUpdates.last.kmv_kth &&
+      bUpdates.head.kmv_n === bUpdates.last.kmv_n,
+      s"re-observed values moved the sketch: $bUpdates")
+  }
 }
