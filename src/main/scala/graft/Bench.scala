@@ -181,7 +181,9 @@ object Bench {
     val extended = Seq("q76_knn_self", "q79_ivf_auto", "q80_dup_ngram_spans",
       "q81_semdedup", "q82_shuffle_shards", "q83_dedup_cut",
       "q84_weighted_interleave", "q85_hll_distinct", "q86_hll_merge",
-      "q87_bloom_contamination", "q88_cms_topk")
+      "q87_bloom_contamination", "q88_cms_topk", "q89_bloom_flag",
+      "q90_kmv_distinct", "q91_kmv_merge", "q92_hist_quantiles",
+      "q93_minhash_sources")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")
@@ -324,27 +326,53 @@ object Bench {
     // batch sizes: the HDFS-backed heap store snapshots the WHOLE store
     // per commit, so its commit cost scales with total state; RocksDB
     // commits incrementally — the crossover is exactly the
-    // state-volume regime the sweep's big batches reach. Provider is a
-    // per-query conf read at stream start, so flipping it between
-    // sweeps is safe.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // changelog checkpointing: commit only the batch's delta instead of
-    // the full SST snapshot — without it RocksDB commit cost grows with
-    // TOTAL state and the comparison to heap is meaningless
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    val rocksSweep = Seq(1000000L, 2000000L).map { n =>
-      val (rows, sec, nBatches) = measureStateful(spark, n, cpus.toInt,
-        deadlineSec = 300L)
-      (n, rows, sec, sweepValue(rows, sec, nBatches, 4))
+    // state-volume regime the sweep's big batches reach. Runs in a
+    // FORKED child JVM ([[RocksBench]]): rocksdbjni's logger callback
+    // can SEGV from an unattached background thread during store
+    // teardown (observed once in dev — SetBGError during flush after a
+    // deadline stop), and in-process that would kill the bench before
+    // this JSON line prints. A child crash degrades to -1 sentinels.
+    val rocksSweepJson = {
+      val fallback = "{\"1000000\":-1,\"2000000\":-1}"
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.RocksBench")
+        val proc = new ProcessBuilder(cmd.asJava).start()
+        // drain stderr concurrently (Spark logs freely there — an
+        // undrained pipe fills and deadlocks the child)
+        val drainer = new Thread(() => {
+          try scala.io.Source.fromInputStream(proc.getErrorStream).foreach(_ => ())
+          catch { case _: Throwable => () }
+        })
+        drainer.setDaemon(true); drainer.start()
+        // watchdog: the child self-bounds at ~2×300 s deadlines + spark
+        // startup; 20 min means it wedged — kill it so the stdout read
+        // below unblocks and the parent still emits its artifact
+        val watchdog = new Thread(() => {
+          try {
+            if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES))
+              proc.destroyForcibly()
+          } catch { case _: Throwable => () }
+        })
+        watchdog.setDaemon(true); watchdog.start()
+        val out = scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines().toList
+        proc.waitFor()
+        out.reverseIterator.find(_.startsWith("ROCKS_SWEEP "))
+          .map(_.stripPrefix("ROCKS_SWEEP ").trim)
+          .getOrElse { System.err.println(
+            s"[bench] rocksdb child produced no sweep line (exit ${proc.exitValue()})")
+            fallback }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] rocksdb child failed: ${e.getMessage}")
+        fallback
+      }
     }
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.unset(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
-    val rocksSweepJson = rocksSweep.map { case (n, _, _, rps) =>
-      "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
-    }.mkString("{", ",", "}")
 
     val loadEnd = loadavg()
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-process main for the RocksDB state-store sweep.
+  *
+  * Run in its own JVM (forked by [[Bench]]) because rocksdbjni's
+  * `LoggerJniCallback` can SEGV when a background flush thread logs an
+  * error during store teardown (observed: SetBGError → Log → Logv from
+  * an unattached native thread, hs_err during the round-9 dev run).
+  * In-process that crash would kill the whole bench before its JSON
+  * line prints; in a child it costs only this sweep — the parent falls
+  * back to -1 sentinels.
+  *
+  * Prints exactly one marker line `ROCKS_SWEEP {...}` the parent scans
+  * for, then exits 0 WITHOUT stopping Spark: session stop unloads all
+  * RocksDB stores, which is precisely the teardown window where the
+  * JNI logger race fires, and the halt skips shutdown hooks entirely.
+  */
+object RocksBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stopTimeout", "30s")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: commit only the batch's delta instead
+      // of the full SST snapshot — without it RocksDB commit cost grows
+      // with TOTAL state and the comparison to heap is meaningless
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cells = Seq(1000000L, 2000000L).map { n =>
+      val (rows, sec, nBatches) =
+        Bench.measureStateful(spark, n, cpus.toInt, deadlineSec = 300L)
+      n -> Bench.sweepValue(rows, sec, nBatches, 4)
+    }
+    val json = cells.map { case (n, rps) =>
+      "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
+    }.mkString("{", ",", "}")
+    println("ROCKS_SWEEP " + json)
+    System.out.flush()
+    // halt, not exit: no shutdown hooks, no store unload, no JNI race
+    Runtime.getRuntime.halt(0)
+  }
+}
