@@ -396,6 +396,8 @@ object OracleSql {
     "q91_kmv_merge" -> Gen.kmvMergeSql,
     "q92_hist_quantiles" -> Gen.histQuantilesSql,
     "q93_minhash_sources" -> Gen.minhashSourcesSql,
+    "q94_kmv_jaccard" -> Gen.kmvJaccardSql,
+    "q95_hist_by_lang" -> Gen.histByLangSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1323,6 +1325,70 @@ object OracleSql {
          |  ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b
          |ORDER BY 1, 2""".stripMargin
     }
+
+    /** Twin of q94_kmv_jaccard: identical per-lang bottom-256 KMV
+      * sketches (list(h ORDER BY h) over the row_number bottom-k), pair
+      * rows via inequality self-join, U = sorted distinct concat
+      * sliced to k, match = |U ∩ A ∩ B| via list_filter/list_contains,
+      * exact n_inter/n_union from the same distinct-hash set. Integer
+      * and list-membership operators only; len() is BIGINT in DuckDB
+      * but every count column is CAST anyway (HUGEINT rule discipline).
+      */
+    def kmvJaccardSql: String = {
+      val k = 256
+      s"""WITH wd AS (SELECT lang, ${tokensE("text")} AS w FROM documents),
+         |sh0 AS (SELECT lang, unnest(${shinglesE("w", 3)}) AS s FROM wd),
+         |hx AS (SELECT DISTINCT lang, ${duckHash61("s")} AS h FROM sh0),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |      FROM hx),
+         |sk AS (SELECT lang, list(h ORDER BY h) AS kmv
+         |       FROM r WHERE rn <= $k GROUP BY lang),
+         |n AS (SELECT lang, count(*) AS n FROM hx GROUP BY lang),
+         |iv AS (SELECT l.lang AS ia, r2.lang AS ib, count(*) AS ni
+         |       FROM hx l JOIN hx r2
+         |         ON l.h = r2.h AND l.lang < r2.lang GROUP BY 1, 2),
+         |pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |         a.kmv AS kmv_a, b.kmv AS kmv_b, na.n AS na, nb.n AS nb
+         |       FROM sk a JOIN sk b ON a.lang < b.lang
+         |       JOIN n na ON na.lang = a.lang
+         |       JOIN n nb ON nb.lang = b.lang),
+         |j AS (SELECT lang_a, lang_b, na, nb, kmv_a, kmv_b,
+         |        list_sort(list_distinct(list_concat(kmv_a, kmv_b)))[1:$k] AS u
+         |      FROM pr)
+         |SELECT lang_a, lang_b,
+         |  CAST(len(list_filter(u, x -> list_contains(kmv_a, x)
+         |    AND list_contains(kmv_b, x))) AS BIGINT) AS kmv_match,
+         |  CAST(len(u) AS BIGINT) AS kmv_denom,
+         |  CAST(COALESCE(iv.ni, 0) AS BIGINT) AS n_inter,
+         |  CAST(na + nb - COALESCE(iv.ni, 0) AS BIGINT) AS n_union
+         |FROM j LEFT JOIN iv ON j.lang_a = iv.ia AND j.lang_b = iv.ib
+         |ORDER BY 1, 2""".stripMargin
+    }
+
+    /** Twin of q95_hist_by_lang: single-pass per-lang fixed-bin
+      * histogram (sum is associative, so it must equal Spark's merged
+      * per-half build), cumulative window PARTITION BY lang over the
+      * tiny bin table, smallest bin reaching ceil(pct·N/100) per lang.
+      * SUM() OVER is HUGEINT in DuckDB — every final column is CAST to
+      * BIGINT.
+      */
+    def histByLangSql: String =
+      s"""WITH v AS (SELECT lang, CAST(len(${tokensE("text")}) AS BIGINT) AS v
+         |           FROM documents),
+         |h AS (SELECT lang, v // 8 AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+         |c AS (SELECT lang, bin, cnt,
+         |        SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         |        SUM(cnt) OVER (PARTITION BY lang) AS total FROM h),
+         |p AS (SELECT lang, bin, cum, total, unnest([50, 90, 99]) AS pct FROM c),
+         |r AS (SELECT lang, pct, (pct * total + 99) // 100 AS target_rank,
+         |        min(bin) AS bin
+         |      FROM p WHERE cum >= (pct * total + 99) // 100
+         |      GROUP BY 1, 2, 3)
+         |SELECT lang, CAST(pct AS BIGINT) AS pct,
+         |  CAST(target_rank AS BIGINT) AS target_rank,
+         |  CAST(bin AS BIGINT) AS bin, CAST(bin * 8 AS BIGINT) AS bin_lo
+         |FROM r ORDER BY lang, pct""".stripMargin
 
     /** Twin of q82_shuffle_shards: hash-sharded, hash-ordered training
       * manifest (ties broken by doc_id).

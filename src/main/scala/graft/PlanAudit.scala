@@ -24,7 +24,9 @@ object PlanAudit {
     "q87_bloom_contamination", "q89_bloom_flag",
     // 20-row per-source signature table under an inequality self-join —
     // pairs of SOURCES (corpus-level profile), broadcast by design
-    "q93_minhash_sources")
+    "q93_minhash_sources",
+    // 5-row per-lang KMV sketch table, same pairs-of-groups shape
+    "q94_kmv_jaccard")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

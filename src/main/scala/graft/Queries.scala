@@ -1340,6 +1340,67 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Pairwise per-language Jaccard ESTIMATED from KMV sketches next to
+    * its exact ingredients: for each lang pair, U = bottom-k of the
+    * sketch union; kmv_match/kmv_denom = |U ∩ A ∩ B| / |U| estimates
+    * J(A, B) (Beyer et al. 2007 — the union's bottom-k is a uniform
+    * sample of the union's distinct hashes, and membership in both sets
+    * is readable from the sketches alone). The exact n_inter/n_union
+    * pair from the distinct-hash self-join is the sf-small oracle
+    * anchor; at 100 TB only the sketch path survives — S languages
+    * cost S constant-size sketches plus O(S²) pair rows, never a
+    * corpus-size join. Integer surface end to end.
+    */
+  val q94_kmv_jaccard: Q = (s, d) => {
+    val k = 256
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
+    val hx = docs.select(col("lang"), HashFns.hash61(col("sh")).as("x")).distinct()
+    val n = hx.groupBy("lang").agg(count(lit(1)).as("n"))
+    val skn = Sketch.kmvSketch(docs, Seq("lang"), col("sh"), k).join(n, "lang")
+    val a = skn.select(col("lang").as("lang_a"), col("kmv").as("kmv_a"),
+      col("n").as("na"))
+    val b = skn.select(col("lang").as("lang_b"), col("kmv").as("kmv_b"),
+      col("n").as("nb"))
+    val inter = hx.as("l")
+      .join(hx.as("r"), col("l.x") === col("r.x") && col("l.lang") < col("r.lang"))
+      .groupBy(col("l.lang").as("ia"), col("r.lang").as("ib"))
+      .agg(count(lit(1)).as("ni"))
+    val u = Sketch.kmvUnionK(col("kmv_a"), col("kmv_b"), k)
+    // 5-row sketch table: broadcast inequality self-join (BNLJ) is the
+    // intended plan — pairs of LANGUAGES, not pairs of documents
+    a.join(broadcast(b), col("lang_a") < col("lang_b"))
+      .withColumn("kmv_match", Sketch.kmvMatchCount(u, col("kmv_a"), col("kmv_b")))
+      .withColumn("kmv_denom", size(u).cast("bigint"))
+      .join(broadcast(inter),
+        col("lang_a") === col("ia") && col("lang_b") === col("ib"), "left")
+      .select(col("lang_a"), col("lang_b"), col("kmv_match"), col("kmv_denom"),
+        coalesce(col("ni"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).as("n_union"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** Keyed mergeable histogram: per-LANGUAGE token-count distribution,
+    * built per doc_id-parity half and merged by cell-wise sum, then
+    * p50/p90/p99 read back per language with the integer ceil-rank
+    * rule — q92's profile generalized to grouped profiling (state =
+    * langs × bins, merge = add), the shape a per-source/per-day
+    * quality dashboard needs at 100 TB. See
+    * [[graft.ops.Sketch.histogramBy]].
+    */
+  val q95_hist_by_lang: Q = (s, d) => {
+    val binW = 8L
+    val v = Tables.documents(s, d)
+      .select(col("lang"), pmod(col("doc_id"), lit(2)).as("half"),
+        TextFns.tokenCount(col("text")).as("v"))
+    val merged = Sketch.histMergeBy(
+      (0 to 1).map(p =>
+        Sketch.histogramBy(v.where(col("half") === p), Seq("lang"), col("v"), binW)),
+      Seq("lang"))
+    Sketch.histQuantilesBy(merged, Seq("lang"), binW, Seq(50, 90, 99))
+      .orderBy("lang", "pct")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1434,5 +1495,7 @@ object Queries {
     "q90_kmv_distinct" -> q90_kmv_distinct,
     "q91_kmv_merge" -> q91_kmv_merge,
     "q92_hist_quantiles" -> q92_hist_quantiles,
-    "q93_minhash_sources" -> q93_minhash_sources)
+    "q93_minhash_sources" -> q93_minhash_sources,
+    "q94_kmv_jaccard" -> q94_kmv_jaccard,
+    "q95_hist_by_lang" -> q95_hist_by_lang)
 }

@@ -298,6 +298,28 @@ object Sketch {
         1, k).as("kmv"))
   }
 
+  /** Bottom-k of the UNION of two KMV sketch columns — the k smallest
+    * of the distinct concatenation. Exact for the same reason
+    * [[kmvMerge]] is: every union bottom-k element is inside one of the
+    * operand sketches. Pure array expression over ≤2k elements, so a
+    * pairwise profile over S sources/languages costs O(S²·k) driver-free
+    * work on S rows — constant per pair regardless of corpus size.
+    */
+  def kmvUnionK(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** |U ∩ A ∩ B| for the KMV Jaccard estimator (Beyer et al. 2007):
+    * with U = [[kmvUnionK]](A, B, k), match/|U| estimates J(A, B) —
+    * the sketch values double as a uniform sample of the union's
+    * distinct hashes, and a sampled hash is in both sets iff it is in
+    * both sketches (bottom-k membership is hash-order-determined).
+    * Emitted as BIGINT so the estimate's exact integer ingredients sit
+    * in the oracle surface; the float ratio stays downstream.
+    */
+  def kmvMatchCount(u: Column, a: Column, b: Column): Column =
+    size(filter(u, e => array_contains(a, e) && array_contains(b, e)))
+      .cast("bigint")
+
   /** Readback of a KMV sketch column into the oracle-exact surface:
     * kmv_n BIGINT (values held, = min(k, distinct hashes)), kmv_kth
     * BIGINT (the largest held value — the k-th order statistic when
@@ -319,46 +341,66 @@ object Sketch {
   // ------------------------------------------------------------------ //
 
   /** Fixed-bin histogram of a non-negative integer value as a sparse
-    * (bin BIGINT, cnt BIGINT) table, bin = v div binWidth. The
+    * (keys..., bin BIGINT, cnt BIGINT) table, bin = v div binWidth. The
     * mergeable distribution profile: cell-wise ADD combines per-shard /
-    * per-day histograms into the exact union histogram ([[histMerge]]),
-    * and the table is bounded by the value range — distribution
+    * per-day histograms into the exact union histogram ([[histMergeBy]]),
+    * and the table is bounded by keys × value range — distribution
     * profiling over 100 TB keeps bins, not rows. Integer end to end.
     */
+  def histogramBy(df: DataFrame, keyCols: Seq[String], value: Column,
+                  binWidth: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    df.select(keys :+ value.cast("bigint").as("__v"): _*)
+      .select(keys :+ expr(s"__v div $binWidth").as("bin"): _*)
+      .groupBy(keys :+ col("bin"): _*).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Unkeyed [[histogramBy]]: one global histogram. */
   def histogram(df: DataFrame, value: Column, binWidth: Long): DataFrame =
-    df.select(value.cast("bigint").as("__v"))
-      .select(expr(s"__v div $binWidth").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    histogramBy(df, Seq.empty, value, binWidth)
 
   /** Merge histograms by cell-wise sum — merge(A, B) equals the
     * histogram of the concatenation exactly (sum is associative).
     */
-  def histMerge(hists: Seq[DataFrame]): DataFrame =
+  def histMergeBy(hists: Seq[DataFrame], keyCols: Seq[String]): DataFrame =
     hists.reduce(_ unionByName _)
-      .groupBy("bin").agg(sum("cnt").cast("long").as("cnt"))
+      .groupBy(keyCols.map(col) :+ col("bin"): _*)
+      .agg(sum("cnt").cast("long").as("cnt"))
 
-  /** Integer quantile readback: for each pct, the smallest bin whose
-    * cumulative count reaches target_rank = ceil(pct·N/100), emitted as
-    * (pct, target_rank, bin, bin_lo = bin·binWidth) — all BIGINT, all
-    * integer arithmetic, so the readback is oracle-exact (unlike
-    * percentile_approx, whose sketch internals have no DuckDB twin).
-    * The cumulative window runs over the HISTOGRAM (≤ range/binWidth
-    * rows — metadata scale), never the data, so the unpartitioned
-    * window is deliberate.
+  /** Unkeyed [[histMergeBy]]. */
+  def histMerge(hists: Seq[DataFrame]): DataFrame =
+    histMergeBy(hists, Seq.empty)
+
+  /** Integer quantile readback: per key group and pct, the smallest bin
+    * whose cumulative count reaches target_rank = ceil(pct·N/100),
+    * emitted as (keys..., pct, target_rank, bin, bin_lo = bin·binWidth)
+    * — all BIGINT, all integer arithmetic, so the readback is
+    * oracle-exact (unlike percentile_approx, whose sketch internals
+    * have no DuckDB twin). The cumulative window runs over the
+    * HISTOGRAM (≤ keys × range/binWidth rows — metadata scale), never
+    * the data, so a window partitioned only by the profile keys is
+    * deliberate.
     */
-  def histQuantiles(hist: DataFrame, binWidth: Long,
-                    pcts: Seq[Int]): DataFrame = {
-    val cum = hist.select(col("bin"), col("cnt"),
-      sum("cnt").over(Window.orderBy("bin")).as("cum"),
-      sum("cnt").over(Window.partitionBy()).as("total"))
+  def histQuantilesBy(hist: DataFrame, keyCols: Seq[String], binWidth: Long,
+                      pcts: Seq[Int]): DataFrame = {
+    val keys = keyCols.map(col)
+    val cum = hist.select(keys :+ col("bin") :+ col("cnt") :+
+      sum("cnt").over(Window.partitionBy(keys: _*).orderBy("bin")).as("cum") :+
+      sum("cnt").over(Window.partitionBy(keys: _*)).as("total"): _*)
     cum
-      .select(col("bin"), col("cum"), col("total"),
-        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .select(keys :+ col("bin") :+ col("cum") :+ col("total") :+
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"): _*)
       .withColumn("target_rank", expr("(pct * total + 99) div 100"))
       .where(col("cum") >= col("target_rank"))
-      .groupBy("pct", "target_rank").agg(min("bin").as("bin"))
+      .groupBy(keys :+ col("pct") :+ col("target_rank"): _*)
+      .agg(min("bin").as("bin"))
       .withColumn("bin_lo", col("bin") * binWidth)
   }
+
+  /** Unkeyed [[histQuantilesBy]]: global quantiles. */
+  def histQuantiles(hist: DataFrame, binWidth: Long,
+                    pcts: Seq[Int]): DataFrame =
+    histQuantilesBy(hist, Seq.empty, binWidth, pcts)
 
   /** Collapse a register array to the exact integer denominator
     * Σ 2^(52-reg) — the same `hll_reg_sum` [[hllDistinct]] emits, so

@@ -358,6 +358,78 @@ object Stateful {
       }
   }
 
+  final case class HistState(bins: Array[Long], cnts: Array[Long], lastTs: Long)
+  final case class HistQuantileUpdate(key: String, pct: Long, target_rank: Long,
+                                      bin: Long, bin_lo: Long, total: Long)
+
+  /** Incremental keyed histogram quantiles — the streaming form of
+    * [[graft.ops.Sketch.histogramBy]] + `histQuantilesBy`: keyed state
+    * is the sparse (bin, cnt) table (bounded by the value range over
+    * binWidth, NOT by row count), and each micro-batch emits the
+    * updated integer quantile readback — one row per pct, same columns
+    * and same ceil-rank rule as the batch operator, bit-identical over
+    * the same delivered multiset (differential-specced). This is the
+    * live distribution dashboard at constant memory: p50/p90/p99
+    * document lengths per source, updated per trigger, no percentile
+    * sketch approximation. Counting state means at-least-once delivery
+    * INFLATES counts (like [[cmsRunning]], unlike the idempotent
+    * [[hllRunning]]/[[kmvRunning]]); feed exactly-once sources or
+    * dedupe upstream when that matters. `value` must parse as a
+    * non-negative Long ([[graft.ops.Sketch.histogramBy]]'s contract).
+    * State dies `stateTtlMs` after a key's last arrival.
+    */
+  def histRunning(events: org.apache.spark.sql.Dataset[KeyedValue],
+                  watermarkDelay: String, stateTtlMs: Long,
+                  binWidth: Long = 8L, pcts: Seq[Int] = Seq(50, 90, 99))
+      : org.apache.spark.sql.Dataset[HistQuantileUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HistState, HistQuantileUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[HistState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption
+              .getOrElse(HistState(Array.emptyLongArray, Array.emptyLongArray, 0L))
+            val m = scala.collection.mutable.HashMap.empty[Long, Long]
+            var i = 0
+            while (i < s.bins.length) { m.put(s.bins(i), s.cnts(i)); i += 1 }
+            var lastTs = s.lastTs
+            var n = 0L
+            rows.foreach { kv =>
+              val b = kv.value.toLong / binWidth
+              m.update(b, m.getOrElse(b, 0L) + 1L)
+              lastTs = math.max(lastTs, kv.ts.getTime)
+              n += 1
+            }
+            // counting fold: any delivered event moves a counter, so
+            // only a genuinely empty batch skips the state rewrite
+            val sorted = m.toArray.sortBy(_._1)
+            if (n > 0)
+              state.update(HistState(sorted.map(_._1), sorted.map(_._2), lastTs))
+            if (state.exists) state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            val total = sorted.iterator.map(_._2).sum
+            pcts.iterator.map { p =>
+              // same integer ceil-rank rule as the batch readback:
+              // target_rank = (pct·total + 99) div 100, bin = smallest
+              // bin whose cumulative count reaches it
+              val target = (p * total + 99L) / 100L
+              var cum = 0L
+              var j = 0
+              while (j < sorted.length && cum + sorted(j)._2 < target) {
+                cum += sorted(j)._2; j += 1
+              }
+              val bin = if (sorted.isEmpty) 0L else sorted(math.min(j, sorted.length - 1))._1
+              HistQuantileUpdate(key, p.toLong, target, bin, bin * binWidth, total)
+            }.toSeq.iterator
+          }
+      }
+  }
+
   final case class DocEvent(id: Long, ts: java.sql.Timestamp, text: String)
   final case class DupCandidate(id: Long, dup_of: Long, band: Int, hamming: Int)
   /** Per-bucket state as PARALLEL PRIMITIVE ARRAYS, not a

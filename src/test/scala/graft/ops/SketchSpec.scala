@@ -238,4 +238,46 @@ class SketchSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(q === Array((50L, 4L, 1L), (100L, 7L, 5L)))
   }
+
+  test("KMV Jaccard: exact when the union fits in k; near-truth when sketched") {
+    // A = {0..999}, B = {500..1499}: J = 500/1500 = 1/3
+    def set(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(lit("k").as("k"), col("id").cast("string").as("v"))
+    def pair(k: Int) = Sketch.kmvSketch(set(0, 1000), Seq("k"), col("v"), k)
+      .select(col("kmv").as("kmv_a"))
+      .crossJoin(Sketch.kmvSketch(set(500, 1500), Seq("k"), col("v"), k)
+        .select(col("kmv").as("kmv_b")))
+    // k=4096 holds the whole 1500-element union: the estimator is EXACT
+    val u = Sketch.kmvUnionK(col("kmv_a"), col("kmv_b"), 4096)
+    val exact = pair(4096)
+      .select(Sketch.kmvMatchCount(u, col("kmv_a"), col("kmv_b")).as("m"),
+        size(u).cast("bigint").as("d"))
+      .as[(Long, Long)].collect().head
+    assert(exact === ((500L, 1500L)))
+    // k=64: within sampling error of 1/3 (se ≈ sqrt(J(1-J)/k) ≈ 6%)
+    val u64 = Sketch.kmvUnionK(col("kmv_a"), col("kmv_b"), 64)
+    val (m, d) = pair(64)
+      .select(Sketch.kmvMatchCount(u64, col("kmv_a"), col("kmv_b")).as("m"),
+        size(u64).cast("bigint").as("d"))
+      .as[(Long, Long)].collect().head
+    assert(d === 64L)
+    assert(math.abs(m.toDouble / d - 1.0 / 3) < 0.20, s"est ${m.toDouble / d}")
+  }
+
+  test("keyed histogram: per-key merge equals single-pass; quantiles are per-key") {
+    // two keys, each holding 0..499 once: 5 bins of 100 per key
+    val vals = spark.range(1000).select(
+      (col("id") % 2).cast("string").as("g"), expr("id div 2").as("v"))
+    val whole = Sketch.histogramBy(vals, Seq("g"), col("v"), 100L)
+    val merged = Sketch.histMergeBy(Seq(
+      Sketch.histogramBy(vals.where(col("v") % 2 === 0), Seq("g"), col("v"), 100L),
+      Sketch.histogramBy(vals.where(col("v") % 2 === 1), Seq("g"), col("v"), 100L)),
+      Seq("g"))
+    assert(merged.collect().toSet === whole.collect().toSet)
+    // p50 per key: rank 250 of 500 -> bin 2 (cum 300 ≥ 250), both keys
+    val q = Sketch.histQuantilesBy(whole, Seq("g"), 100L, Seq(50))
+      .select("g", "pct", "target_rank", "bin", "bin_lo")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(q === Set(("0", 50L, 250L, 2L, 200L), ("1", 50L, 250L, 2L, 200L)))
+  }
 }

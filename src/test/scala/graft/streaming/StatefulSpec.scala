@@ -537,4 +537,51 @@ class StatefulSpec extends SparkSpec {
       bUpdates.head.kmv_n === bUpdates.last.kmv_n,
       s"re-observed values moved the sketch: $bUpdates")
   }
+
+  test("streaming incremental histogram ≡ batch quantile readback (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val out = mutable.Buffer.empty[(Long, Stateful.HistQuantileUpdate)]
+    val q = Stateful.histRunning(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000,
+        binWidth = 10L, pcts = Seq(50, 99))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[Stateful.HistQuantileUpdate], id: Long) =>
+          out.synchronized { out ++= df.collect().map(u => (id, u)) }
+          ()
+      }.start()
+    def kv(key: String, minute: Int, v: Long) = Stateful.KeyedValue(key,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v.toString)
+    // key "a": 0..99 across two batches; key "b": skewed tiny set
+    val batch1 = (0L until 50L).map(v => kv("a", 1, v)) ++
+      Seq(0L, 1L, 2L, 90L).map(v => kv("b", 1, v))
+    val batch2 = (50L until 100L).map(v => kv("a", 2, v)) ++
+      Seq(91L).map(v => kv("b", 2, v))
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    // batch twin over the union multiset: same bins, same ceil-rank rule
+    val allValues = (batch1 ++ batch2).map(e => (e.key, e.value.toLong))
+    val expected = graft.ops.Sketch.histQuantilesBy(
+        graft.ops.Sketch.histogramBy(allValues.toDF("key", "v"), Seq("key"),
+          col("v"), 10L), Seq("key"), 10L, Seq(50, 99))
+      .select("key", "pct", "target_rank", "bin", "bin_lo")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+    val last = out.groupBy(u => (u._2.key, u._2.pct))
+      .map { case (k, us) => k -> us.maxBy(_._1)._2 }
+    expected.foreach { case (k, (rank, bin, lo)) =>
+      assert((last(k).target_rank, last(k).bin, last(k).bin_lo) === ((rank, bin, lo)),
+        s"streaming/batch drift for $k")
+    }
+    // spot-check the arithmetic: key a holds 0..99 in width-10 bins —
+    // p50 rank 50 -> bin 4, p99 rank 99 -> bin 9
+    assert((last(("a", 50L)).bin, last(("a", 99L)).bin) === ((4L, 9L)))
+    assert(last(("a", 50L)).total === 100L)
+  }
 }
