@@ -332,6 +332,13 @@ object Bench {
     // teardown (observed once in dev — SetBGError during flush after a
     // deadline stop), and in-process that would kill the bench before
     // this JSON line prints. A child crash degrades to -1 sentinels.
+    // the parent is done with Spark here: release the staged cache and
+    // the whole session BEFORE forking, so child + parent never hold
+    // two full 8 GB heaps + a 1.2 GB cache at once — a swapping host
+    // would distort the child's timed sweeps, the exact contention
+    // class the bench hardening exists to avoid
+    staged.unpersist(blocking = true)
+    spark.stop()
     val rocksSweepJson = {
       val fallback = "{\"1000000\":-1,\"2000000\":-1}"
       try {
@@ -339,17 +346,23 @@ object Bench {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
           .getInputArguments.asScala.toSeq
-          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+            a.startsWith("-agentpath") || a.startsWith("-Xrunjdwp"))
+        // the child's Runtime.halt (needed to dodge the rocksdbjni
+        // teardown SEGV) skips Spark's shutdown-hook temp cleanup —
+        // give the child a dedicated tmpdir the PARENT deletes after
+        // waitFor, so checkpoints/SSTs/extracted JNI libs can't
+        // accumulate across bench runs
+        val childTmp = java.nio.file.Files.createTempDirectory("graft-rocks-tmp")
         val cmd = Seq(javaBin) ++ jvmArgs ++
-          Seq("-cp", System.getProperty("java.class.path"), "graft.RocksBench")
-        val proc = new ProcessBuilder(cmd.asJava).start()
-        // drain stderr concurrently (Spark logs freely there — an
-        // undrained pipe fills and deadlocks the child)
-        val drainer = new Thread(() => {
-          try scala.io.Source.fromInputStream(proc.getErrorStream).foreach(_ => ())
-          catch { case _: Throwable => () }
-        })
-        drainer.setDaemon(true); drainer.start()
+          Seq(s"-Djava.io.tmpdir=$childTmp",
+            "-cp", System.getProperty("java.class.path"), "graft.RocksBench")
+        val pb = new ProcessBuilder(cmd.asJava)
+        // child stderr flows through to ours: a failed sweep must leave
+        // its '[bench] streaming failed: ...' diagnostics in the log,
+        // not vanish into a drain thread
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
         // watchdog: the child self-bounds at ~2×300 s deadlines + spark
         // startup; 20 min means it wedged — kill it so the stdout read
         // below unblocks and the parent still emits its artifact
@@ -363,6 +376,12 @@ object Bench {
         val out = scala.io.Source.fromInputStream(proc.getInputStream)
           .getLines().toList
         proc.waitFor()
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(childTmp).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }
         out.reverseIterator.find(_.startsWith("ROCKS_SWEEP "))
           .map(_.stripPrefix("ROCKS_SWEEP ").trim)
           .getOrElse { System.err.println(
@@ -390,9 +409,9 @@ object Bench {
       s""""trial_loadavg":$trialLoadJson,""" +
       s""""loadavg_start":[${loadStart.mkString(",")}],""" +
       s""""loadavg_end":[${loadEnd.mkString(",")}],"sf":"$sfDir"}"""
-    // stop BEFORE printing so Spark's shutdown logging can't interleave
-    // after the JSON line — the driver parses the last stdout line(s).
-    spark.stop()
+    // the session was already stopped before the RocksDB fork, so no
+    // Spark shutdown logging can interleave after the JSON line — the
+    // driver parses the last stdout line(s).
     println(json)
     System.out.flush()
   }

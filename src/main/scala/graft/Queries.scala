@@ -1355,9 +1355,12 @@ object Queries {
     val k = 256
     val docs = Tables.documents(s, d)
       .select(col("lang"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
+    // ONE shingle+hash+distinct pass feeds the sketch, the per-lang
+    // counts, and both sides of the exact-anchor self-join (identical
+    // subtrees -> the distinct's exchange is reused, not recomputed)
     val hx = docs.select(col("lang"), HashFns.hash61(col("sh")).as("x")).distinct()
     val n = hx.groupBy("lang").agg(count(lit(1)).as("n"))
-    val skn = Sketch.kmvSketch(docs, Seq("lang"), col("sh"), k).join(n, "lang")
+    val skn = Sketch.kmvFromHashes(hx, Seq("lang"), col("x"), k).join(n, "lang")
     val a = skn.select(col("lang").as("lang_a"), col("kmv").as("kmv_a"),
       col("n").as("na"))
     val b = skn.select(col("lang").as("lang_b"), col("kmv").as("kmv_b"),

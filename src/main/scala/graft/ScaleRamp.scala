@@ -94,7 +94,9 @@ object ScaleRamp {
     // scan, not the operator — a super-linear factor here would mean
     // the sketch state is secretly corpus-proportional.
     val rampQueries = Bench.headline ++ Seq("q85_hll_distinct",
-      "q86_hll_merge", "q87_bloom_contamination", "q88_cms_topk")
+      "q86_hll_merge", "q87_bloom_contamination", "q88_cms_topk",
+      "q90_kmv_distinct", "q92_hist_quantiles", "q94_kmv_jaccard",
+      "q95_hist_by_lang")
     val rows = rampQueries.map { name =>
       val base = (1 to 2).map(_ => time(srcDir, name)).min
       val ramped = (1 to 2).map(_ => time(outDir, name)).min

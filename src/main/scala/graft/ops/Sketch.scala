@@ -275,9 +275,23 @@ object Sketch {
   def kmvSketch(df: DataFrame, keyCols: Seq[String], value: Column,
                 k: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val hx = df.select(keys :+ HashFns.hash61(value).as("h"): _*).distinct()
-    val w = Window.partitionBy(keys: _*).orderBy("h")
-    hx.select(keys :+ col("h") :+ row_number().over(w).as("rn"): _*)
+    kmvFromHashes(
+      df.select(keys :+ HashFns.hash61(value).as("h"): _*).distinct(),
+      keyCols, col("h"), k)
+  }
+
+  /** [[kmvSketch]] over an ALREADY-DISTINCT (keys..., hash) table — the
+    * shared-scan form: a caller that also needs the distinct hash set
+    * for other work (exact-Jaccard anchors, per-key distinct counts)
+    * builds it once and passes it here, so the corpus is shingled and
+    * hashed a single time and the distinct aggregation's exchange is
+    * reusable across every consumer of the same subtree.
+    */
+  def kmvFromHashes(hx: DataFrame, keyCols: Seq[String], hashCol: Column,
+                    k: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(hashCol)
+    hx.select(keys :+ hashCol.as("h") :+ row_number().over(w).as("rn"): _*)
       .where(col("rn") <= k)
       .groupBy(keys: _*)
       .agg(sort_array(collect_list(col("h"))).as("kmv"))

@@ -423,7 +423,10 @@ object Stateful {
               while (j < sorted.length && cum + sorted(j)._2 < target) {
                 cum += sorted(j)._2; j += 1
               }
-              val bin = if (sorted.isEmpty) 0L else sorted(math.min(j, sorted.length - 1))._1
+              // sorted is non-empty: this branch only runs for groups
+              // that delivered rows (timeouts returned above), and any
+              // delivered row populates at least one bin
+              val bin = sorted(math.min(j, sorted.length - 1))._1
               HistQuantileUpdate(key, p.toLong, target, bin, bin * binWidth, total)
             }.toSeq.iterator
           }
