@@ -124,9 +124,72 @@ class CrashRestartSpec extends SparkSpec {
     assert(pairs === Set((3L, 1L)),
       s"recovered state must flag the post-restart duplicate: $pairs")
   }
+
+  test("incremental HLL register state survives a checkpoint restart") {
+    // pins the sketch-family state encoders (primitive-array state rows)
+    // across a stop/restore cycle: the restarted query must fold new
+    // values into REGISTERS RECOVERED from the checkpoint, and the
+    // idempotent max-fold must leave re-observed values as no-ops — so
+    // the final readback equals the batch sketch over the union multiset
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-hll-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hll-ckpt").toString
+    CrashRestartSpec.hllUpdates.clear()
+    val kvSchema = StructType(Seq(
+      StructField("key", StringType), StructField("ts", TimestampType),
+      StructField("value", StringType)))
+
+    def wave(name: String, rows: Seq[(String, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hll-wave")
+      rows.map { case (k, ts, v) =>
+          (k, java.sql.Timestamp.valueOf(s"2024-01-01 $ts:00"), v)
+        }.toDF("key", "ts", "value").coalesce(1)
+        .write.mode("overwrite").json(tmp.toString)
+      java.nio.file.Files.list(tmp).forEach { p =>
+        if (p.toString.endsWith(".json"))
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(srcDir, s"$name.json"))
+      }
+    }
+    def startQuery() = Stateful.hllRunning(
+        spark.readStream.schema(kvSchema).json(srcDir)
+          .as[Stateful.KeyedValue](
+            org.apache.spark.sql.Encoders.product[Stateful.KeyedValue]),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.HllUpdate], _: Long) =>
+        df.collect().foreach(u => CrashRestartSpec.hllUpdates.add(u))
+        ()
+      }.start()
+
+    wave("w1", (0 until 40).map(i => ("k", "10:00", s"tok$i")))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // 20 re-observed + 20 new values arrive while the query is down
+    wave("w2", (20 until 60).map(i => ("k", "10:02", s"tok$i")))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val updates = CrashRestartSpec.hllUpdates.asScala.toSeq
+    assert(updates.nonEmpty)
+    val last = updates.last
+    val expected = graft.ops.Sketch.hllDistinct(
+        (0 until 60).map(i => ("k", s"tok$i")).toDF("key", "v"),
+        Seq("key"), col("v"))
+      .select("hll_reg_sum", "hll_est_x10")
+      .as[(Long, Long)].collect().head
+    assert((last.hll_reg_sum, last.hll_est_x10) === expected,
+      "post-restart readback must equal the batch sketch over the union")
+  }
 }
 
 object CrashRestartSpec {
   val processed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
   val candidates = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+  val hllUpdates = new java.util.concurrent.ConcurrentLinkedQueue[Stateful.HllUpdate]()
 }
