@@ -183,7 +183,8 @@ object Bench {
       "q84_weighted_interleave", "q85_hll_distinct", "q86_hll_merge",
       "q87_bloom_contamination", "q88_cms_topk", "q89_bloom_flag",
       "q90_kmv_distinct", "q91_kmv_merge", "q92_hist_quantiles",
-      "q93_minhash_sources", "q94_kmv_jaccard", "q95_hist_by_lang")
+      "q93_minhash_sources", "q94_kmv_jaccard", "q95_hist_by_lang",
+      "q96_multi_bloom")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

@@ -398,6 +398,7 @@ object OracleSql {
     "q93_minhash_sources" -> Gen.minhashSourcesSql,
     "q94_kmv_jaccard" -> Gen.kmvJaccardSql,
     "q95_hist_by_lang" -> Gen.histByLangSql,
+    "q96_multi_bloom" -> Gen.multiBloomSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1324,6 +1325,47 @@ object OracleSql {
          |FROM pr LEFT JOIN iv
          |  ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b
          |ORDER BY 1, 2""".stripMargin
+    }
+
+    /** Twin of q96_multi_bloom: q87's bloom construction with a set
+      * dimension — per-suite word tables (bit_or grouped by set_id and
+      * word index), probe = every (doc shingle, suite) pair via a
+      * cross join with the 3-suite list, bool_and over the k=4
+      * position tests against that suite's words. Integer/boolean
+      * arithmetic only; eval shingles derive from the same per-doc
+      * distinct-shingle table, which matches the Spark build because
+      * bloom insertion is idempotent (OR).
+      */
+    def multiBloomSql: String = {
+      val mBits = 1 << 16
+      val k = 4
+      def positionsE(xE: String): String =
+        (0 until k).map(j => s"(${duckHashAt(xE, j)} % $mBits)")
+          .mkString("[", ", ", "]")
+      val maskE =
+        "CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1) " +
+          "ELSE 1::BIGINT << CAST(pos % 64 AS INT) END"
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |sh AS (SELECT id, unnest(list_distinct(${shinglesE("w", 3)})) AS s FROM words),
+         |h AS (SELECT id, ${duckHash61("s")} AS x FROM sh),
+         |ev AS (SELECT 'suite' || CAST(id % 50 AS VARCHAR) AS set_id, x
+         |       FROM h WHERE id % 50 <= 2),
+         |evpos AS (SELECT set_id, unnest(${positionsE("x")}) AS pos FROM ev),
+         |bw AS (SELECT set_id, pos // 64 AS widx, bit_or($maskE) AS word
+         |       FROM evpos GROUP BY 1, 2),
+         |sets AS (SELECT DISTINCT set_id FROM bw),
+         |pp AS (SELECT id, x, unnest(${positionsE("x")}) AS pos FROM h),
+         |pb AS (SELECT id, x, pos // 64 AS widx, ($maskE) AS mask FROM pp),
+         |px AS (SELECT pb.id, pb.x, pb.widx, pb.mask, s.set_id
+         |       FROM pb CROSS JOIN sets s),
+         |pj AS (SELECT px.id AS id, px.x AS x, px.set_id AS set_id,
+         |         bool_and((COALESCE(b.word, 0) & px.mask) = px.mask) AS maybe
+         |       FROM px LEFT JOIN bw b
+         |         ON b.set_id = px.set_id AND b.widx = px.widx
+         |       GROUP BY px.id, px.x, px.set_id)
+         |SELECT id, set_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+         |FROM pj GROUP BY id, set_id ORDER BY id, set_id""".stripMargin
     }
 
     /** Twin of q94_kmv_jaccard: identical per-lang bottom-256 KMV

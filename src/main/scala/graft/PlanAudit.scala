@@ -26,7 +26,10 @@ object PlanAudit {
     // pairs of SOURCES (corpus-level profile), broadcast by design
     "q93_minhash_sources",
     // 5-row per-lang KMV sketch table, same pairs-of-groups shape
-    "q94_kmv_jaccard")
+    "q94_kmv_jaccard",
+    // 3-row per-suite dense bloom table cross-joined into the probe —
+    // q87's single-row pattern with a set dimension
+    "q96_multi_bloom")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -1404,6 +1404,23 @@ object Queries {
       .orderBy("lang", "pct")
   }
 
+  /** Multi-benchmark decontamination: three eval suites (doc_id % 50 ∈
+    * {0,1,2}), one 8 KiB bloom filter each, every corpus doc scored
+    * against ALL suites in one scan — the shape a real pipeline needs
+    * when gating against many benchmark suites at once (K filters =
+    * K·8 KiB broadcast, never K exact sets). See
+    * [[graft.dedup.Dedup.bloomContaminationBySet]].
+    */
+  val q96_multi_bloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val evalSets = docs.where(col("doc_id") % 50 <= 2)
+      .select(concat(lit("suite"), (col("doc_id") % 50).cast("string")).as("set_id"),
+        col("text"))
+    Dedup.bloomContaminationBySet(docs, "doc_id", "text", evalSets, "set_id",
+        "text", n = 3, mBits = 1 << 16, k = 4)
+      .orderBy("id", "set_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1500,5 +1517,6 @@ object Queries {
     "q92_hist_quantiles" -> q92_hist_quantiles,
     "q93_minhash_sources" -> q93_minhash_sources,
     "q94_kmv_jaccard" -> q94_kmv_jaccard,
-    "q95_hist_by_lang" -> q95_hist_by_lang)
+    "q95_hist_by_lang" -> q95_hist_by_lang,
+    "q96_multi_bloom" -> q96_multi_bloom)
 }

@@ -534,6 +534,43 @@ object Dedup {
     * or stream forever; no false negatives means a `false` flag is a
     * GUARANTEE the doc shares no probed shingle with the eval set.
     */
+  /** Multi-benchmark contamination scores: one bloom filter PER EVAL
+    * SET (built in a single pass via
+    * [[graft.ops.Sketch.bloomWordsBy]]), every doc probed against all
+    * K filters at once — K·mBits/8 bytes of broadcast state total, so
+    * checking a corpus against MMLU+GSM8K+HumanEval-style suite lists
+    * costs one scan regardless of how many suites there are or how
+    * big they grow. `evalSets` carries (setCol, evalTextCol); output
+    * is one row per (id, set_id) with the same n_shingles /
+    * n_bloom_hits contract as [[bloomContaminationScores]]. Probe
+    * plan: doc shingles cross-join the K-row broadcast dense table
+    * (BNLJ by design — K rows) and all k position tests run in one
+    * codegen'd projection per (shingle, set).
+    */
+  def bloomContaminationBySet(docs: DataFrame, idCol: String, textCol: String,
+                              evalSets: DataFrame, setCol: String,
+                              evalTextCol: String, n: Int = 3,
+                              mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val evalH = evalSets
+      .select(col(setCol).as("set_id"),
+        explode(array_distinct(TextFns.shingles(col(evalTextCol), n))).as("s"))
+      .select(col("set_id"), HashFns.hash61(col("s")).as("x"))
+    val dense = graft.ops.Sketch.bloomDenseBy(
+      graft.ops.Sketch.bloomWordsBy(evalH, Seq("set_id"), col("x"), mBits, k),
+      Seq("set_id"), mBits)
+    val docH = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("s"))
+      .select(col("id"), HashFns.hash61(col("s")).as("x"))
+    docH
+      .crossJoin(broadcast(dense))
+      .select(col("id"), col("set_id"), graft.ops.Sketch
+        .bloomMaybe(col("x"), col("bloom_words"), mBits, k).as("maybe"))
+      .groupBy("id", "set_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_bloom_hits"))
+  }
+
   def bloomFlagDocs(docs: DataFrame, idCol: String, textCol: String,
                     words: DataFrame, n: Int = 3, mBits: Int = 1 << 16,
                     k: Int = 4, maxHits: Long = 0): DataFrame = {

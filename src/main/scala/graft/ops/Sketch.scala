@@ -174,8 +174,21 @@ object Sketch {
     * `HashFns.hash61(value)`).
     */
   def bloomWords(items: DataFrame, x61: Column, mBits: Int, k: Int): DataFrame =
-    bloomCells(items, Seq.empty, x61, mBits, k)
-      .groupBy("widx").agg(expr("bit_or(mask)").as("word"))
+    bloomWordsBy(items, Seq.empty, x61, mBits, k)
+
+  /** Per-key bloom word tables — one independent filter per key group
+    * (e.g. one per eval benchmark), built in ONE pass over the keyed
+    * element table: the multi-benchmark decontamination shape, where K
+    * suites cost K·mBits/8 bytes of filter instead of K exact sets.
+    * Same position family and (widx, word) layout as [[bloomWords]]
+    * with the keys carried through; each key's rows are exactly the
+    * filter [[bloomWords]] would build on that key's slice.
+    */
+  def bloomWordsBy(items: DataFrame, keyCols: Seq[String], x61: Column,
+                   mBits: Int, k: Int): DataFrame =
+    bloomCells(items, keyCols.map(col), x61, mBits, k)
+      .groupBy(keyCols.map(col) :+ col("widx"): _*)
+      .agg(expr("bit_or(mask)").as("word"))
 
   /** Merge bloom word tables by bitwise OR — merge(A, B) equals the
     * filter built on A ∪ B exactly.
@@ -193,11 +206,25 @@ object Sketch {
     * exploding k position rows and shuffling them back together.
     */
   def bloomDense(words: DataFrame, mBits: Int): DataFrame =
-    words
+    bloomDenseBy(words, Seq.empty, mBits)
+
+  /** Per-key [[bloomDense]]: one row per key holding that key's whole
+    * bitmap — a K-row table for K filters, still KBs, still broadcast
+    * material for a single-projection probe against every filter at
+    * once.
+    */
+  def bloomDenseBy(words: DataFrame, keyCols: Seq[String],
+                   mBits: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val grouped =
+      if (keyCols.isEmpty) words.groupBy()
+      else words.groupBy(keys: _*)
+    grouped
       .agg(map_from_entries(collect_list(struct(
         col("widx"), col("word")))).as("m"))
-      .select(transform(sequence(lit(0), lit(mBits / 64 - 1)),
-        i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom_words"))
+      .select(keys :+ transform(sequence(lit(0), lit(mBits / 64 - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom_words"): _*)
+  }
 
   /** Membership test of element hash `x61` against a dense bitmap
     * column ([[bloomDense]]), all k positions in one expression:

@@ -239,6 +239,22 @@ class SketchSpec extends SparkSpec {
     assert(q === Array((50L, 4L, 1L), (100L, 7L, 5L)))
   }
 
+  test("keyed bloom: each key's filter equals the unkeyed build on that key's slice") {
+    import graft.functions.HashFns
+    val items = spark.range(4000).select(
+      (col("id") % 3).cast("string").as("g"),
+      HashFns.hash61(col("id").cast("string")).as("x"))
+    val keyed = Sketch.bloomWordsBy(items, Seq("g"), col("x"), 1 << 12, 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val perSlice = (0 until 3).flatMap { g =>
+      Sketch.bloomWords(items.where(col("g") === g.toString), col("x"), 1 << 12, 4)
+        .collect().map(r => (g.toString, r.getInt(0), r.getLong(1)))
+    }.toSet
+    assert(keyed === perSlice)
+    // filters genuinely differ between keys (disjoint element sets)
+    assert(keyed.groupBy(_._1).values.map(_.map(t => (t._2, t._3))).toSet.size === 3)
+  }
+
   test("KMV Jaccard: exact when the union fits in k; near-truth when sketched") {
     // A = {0..999}, B = {500..1499}: J = 500/1500 = 1/3
     def set(lo: Long, hi: Long) = spark.range(lo, hi)
