@@ -184,7 +184,7 @@ object Bench {
       "q87_bloom_contamination", "q88_cms_topk", "q89_bloom_flag",
       "q90_kmv_distinct", "q91_kmv_merge", "q92_hist_quantiles",
       "q93_minhash_sources", "q94_kmv_jaccard", "q95_hist_by_lang",
-      "q96_multi_bloom")
+      "q96_multi_bloom", "q97_cms_by_lang")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

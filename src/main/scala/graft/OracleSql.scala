@@ -399,6 +399,7 @@ object OracleSql {
     "q94_kmv_jaccard" -> Gen.kmvJaccardSql,
     "q95_hist_by_lang" -> Gen.histByLangSql,
     "q96_multi_bloom" -> Gen.multiBloomSql,
+    "q97_cms_by_lang" -> Gen.cmsByLangSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1325,6 +1326,41 @@ object OracleSql {
          |FROM pr LEFT JOIN iv
          |  ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b
          |ORDER BY 1, 2""".stripMargin
+    }
+
+    /** Twin of q97_cms_by_lang: q88's count-min construction with a
+      * language dimension — cells grouped by (lang, row, col), exact
+      * top-5 per language via row_number (count DESC, token tiebreak),
+      * point estimate = min over the d probed cells of THAT language's
+      * table. Integer arithmetic only (count(*) is BIGINT, no HUGEINT
+      * sums).
+      */
+    def cmsByLangSql: String = {
+      val w = 8192
+      val k = 4
+      def cellsE(xE: String): String =
+        (0 until k).map(j =>
+          s"{'row': $j, 'col': (${duckHashAt(xE, j)} % $w)}")
+          .mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT lang, unnest(${tokensE("text")}) AS tok FROM documents),
+         |hx AS (SELECT lang, tok, ${duckHash61("tok")} AS x FROM t),
+         |cells AS (SELECT lang, unnest(${cellsE("x")}) AS u FROM hx),
+         |cnts AS (SELECT lang, u['row'] AS row, u['col'] AS col,
+         |           count(*) AS cnt
+         |         FROM cells GROUP BY 1, 2, 3),
+         |ex AS (SELECT lang, tok, count(*) AS n_exact FROM hx GROUP BY 1, 2),
+         |top AS (SELECT lang, tok, n_exact FROM (
+         |          SELECT lang, tok, n_exact, row_number() OVER (
+         |            PARTITION BY lang ORDER BY n_exact DESC, tok) AS rn
+         |          FROM ex) r WHERE rn <= 5),
+         |tx AS (SELECT lang, tok, n_exact, ${duckHash61("tok")} AS x FROM top),
+         |pj AS (SELECT lang, tok, n_exact, u['row'] AS row, u['col'] AS col
+         |       FROM (SELECT lang, tok, n_exact, unnest(${cellsE("x")}) AS u
+         |             FROM tx) q)
+         |SELECT pj.lang, pj.tok, pj.n_exact, min(c.cnt) AS cms_est
+         |FROM pj JOIN cnts c
+         |  ON c.lang = pj.lang AND c.row = pj.row AND c.col = pj.col
+         |GROUP BY 1, 2, 3 ORDER BY pj.lang, pj.n_exact DESC, pj.tok""".stripMargin
     }
 
     /** Twin of q96_multi_bloom: q87's bloom construction with a set

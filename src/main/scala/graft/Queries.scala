@@ -1421,6 +1421,42 @@ object Queries {
       .orderBy("id", "set_id")
   }
 
+  /** Per-language count-min frequency profiles: one d×w counter table
+    * per language ([[graft.ops.Sketch.cmsCountsBy]] — the keyed
+    * completion of q88), read back as each language's top-5 exact
+    * tokens with their per-language point estimates. cms_est ≥
+    * n_exact always, per language, since only that language's
+    * occurrences hit its table — grouped frequency profiling with
+    * langs × d×w counters of state, never a per-language token
+    * dictionary.
+    */
+  val q97_cms_by_lang: Q = (s, d) => {
+    val w = 8192
+    val k = 4
+    val hashed = Tables.documents(s, d)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("lang"), col("tok"), HashFns.hash61(col("tok")).as("x"))
+    val counts = Sketch.cmsCountsBy(hashed, Seq("lang"), col("x"), w, k)
+      .withColumnRenamed("lang", "clang")
+    val wnd = Window.partitionBy("lang")
+      .orderBy(col("n_exact").desc, col("tok"))
+    val top = hashed.groupBy("lang", "tok").agg(count(lit(1)).as("n_exact"))
+      .withColumn("rn", row_number().over(wnd)).where(col("rn") <= 5).drop("rn")
+    top
+      .select(col("lang"), col("tok"), col("n_exact"),
+        HashFns.hash61(col("tok")).as("x"))
+      .select(col("lang"), col("tok"), col("n_exact"),
+        explode(array((0 until k).map(j =>
+          struct(lit(j).as("row"),
+            (HashFns.hashAt(col("x"), j) % w).cast("int").as("col"))): _*)).as("cell"))
+      .join(broadcast(counts),
+        col("lang") === col("clang") && col("cell.row") === col("row") &&
+          col("cell.col") === col("col"))
+      .groupBy("lang", "tok", "n_exact")
+      .agg(min("cnt").as("cms_est"))
+      .orderBy(col("lang"), col("n_exact").desc, col("tok"))
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1518,5 +1554,6 @@ object Queries {
     "q93_minhash_sources" -> q93_minhash_sources,
     "q94_kmv_jaccard" -> q94_kmv_jaccard,
     "q95_hist_by_lang" -> q95_hist_by_lang,
-    "q96_multi_bloom" -> q96_multi_bloom)
+    "q96_multi_bloom" -> q96_multi_bloom,
+    "q97_cms_by_lang" -> q97_cms_by_lang)
 }

@@ -256,19 +256,36 @@ object Sketch {
     * profiling over 100 TB keeps d·w counters, not a token dictionary.
     */
   def cmsCounts(items: DataFrame, x61: Column, w: Int, d: Int): DataFrame =
+    cmsCountsBy(items, Seq.empty, x61, w, d)
+
+  /** Per-key count-min sketches — one independent d×w counter table
+    * per key group (per-language / per-source frequency profiles),
+    * built in one pass with the keys carried through. Each key's rows
+    * are exactly the sketch [[cmsCounts]] builds on that key's slice;
+    * keyed merge via [[cmsMergeBy]].
+    */
+  def cmsCountsBy(items: DataFrame, keyCols: Seq[String], x61: Column,
+                  w: Int, d: Int): DataFrame = {
+    val keys = keyCols.map(col)
     items
-      .select(explode(array((0 until d).map(j =>
+      .select(keys :+ explode(array((0 until d).map(j =>
         struct(lit(j).as("row"),
-          (HashFns.hashAt(x61, j) % w).cast("int").as("col"))): _*)).as("cell"))
-      .groupBy(col("cell.row").as("row"), col("cell.col").as("col"))
+          (HashFns.hashAt(x61, j) % w).cast("int").as("col"))): _*)).as("cell"): _*)
+      .groupBy(keys :+ col("cell.row").as("row") :+ col("cell.col").as("col"): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Merge count-min counter tables by cell-wise sum — merge(A, B)
     * equals the sketch built on the concatenation of A and B exactly.
     */
   def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    cmsMergeBy(sketches, Seq.empty)
+
+  /** Keyed [[cmsMerge]]: cell-wise sum within each key group. */
+  def cmsMergeBy(sketches: Seq[DataFrame], keyCols: Seq[String]): DataFrame =
     sketches.reduce(_ unionByName _)
-      .groupBy("row", "col").agg(sum("cnt").cast("long").as("cnt"))
+      .groupBy(keyCols.map(col) :+ col("row") :+ col("col"): _*)
+      .agg(sum("cnt").cast("long").as("cnt"))
 
   // ------------------------------------------------------------------ //
   // KMV (k minimum values) distinct sketch                              //

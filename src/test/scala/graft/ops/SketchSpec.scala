@@ -239,6 +239,20 @@ class SketchSpec extends SparkSpec {
     assert(q === Array((50L, 4L, 1L), (100L, 7L, 5L)))
   }
 
+  test("keyed CMS: each key's table equals the unkeyed build on that key's slice") {
+    import graft.functions.HashFns
+    val items = spark.range(3000).select(
+      (col("id") % 2).cast("string").as("g"),
+      HashFns.hash61((col("id") % 100).cast("string")).as("x"))
+    val keyed = Sketch.cmsCountsBy(items, Seq("g"), col("x"), 64, 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val perSlice = (0 until 2).flatMap { g =>
+      Sketch.cmsCounts(items.where(col("g") === g.toString), col("x"), 64, 4)
+        .collect().map(r => (g.toString, r.getInt(0), r.getInt(1), r.getLong(2)))
+    }.toSet
+    assert(keyed === perSlice)
+  }
+
   test("keyed bloom: each key's filter equals the unkeyed build on that key's slice") {
     import graft.functions.HashFns
     val items = spark.range(4000).select(
