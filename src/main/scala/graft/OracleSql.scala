@@ -400,6 +400,7 @@ object OracleSql {
     "q95_hist_by_lang" -> Gen.histByLangSql,
     "q96_multi_bloom" -> Gen.multiBloomSql,
     "q97_cms_by_lang" -> Gen.cmsByLangSql,
+    "q98_topk_shards" -> Gen.topkShardsSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1361,6 +1362,51 @@ object OracleSql {
          |FROM pj JOIN cnts c
          |  ON c.lang = pj.lang AND c.row = pj.row AND c.col = pj.col
          |GROUP BY 1, 2, 3 ORDER BY pj.lang, pj.n_exact DESC, pj.tok""".stripMargin
+    }
+
+    /** Twin of q98_topk_shards: exact per-(lang, shard) counts, each
+      * shard's top-32 kept via row_number (cnt DESC, tok tiebreak)
+      * with thr = min kept count (0 when the shard kept fewer than
+      * 32), merged into est_lo = Σ kept counts and est_hi = est_lo +
+      * (Σ all shard thresholds − Σ thresholds of shards that kept the
+      * token), top-5 per language by est_lo. Every sum is CAST AS
+      * BIGINT (HUGEINT rule); +/− on cast BIGINTs stays BIGINT.
+      */
+    def topkShardsSql: String = {
+      val kPrime = 32
+      s"""WITH t AS (SELECT lang, doc_id % 4 AS shard,
+         |             unnest(${tokensE("text")}) AS tok FROM documents),
+         |c AS (SELECT lang, shard, tok, count(*) AS cnt
+         |      FROM t GROUP BY 1, 2, 3),
+         |r AS (SELECT lang, shard, tok, cnt, row_number() OVER (
+         |        PARTITION BY lang, shard ORDER BY cnt DESC, tok) AS rn
+         |      FROM c),
+         |kept AS (SELECT lang, shard, tok, cnt FROM r WHERE rn <= $kPrime),
+         |kthr AS (SELECT lang, shard, tok, cnt,
+         |           CASE WHEN count(*) OVER (PARTITION BY lang, shard)
+         |                  < $kPrime THEN CAST(0 AS BIGINT)
+         |                ELSE min(cnt) OVER (PARTITION BY lang, shard)
+         |           END AS thr
+         |         FROM kept),
+         |tt AS (SELECT lang, CAST(sum(thr_s) AS BIGINT) AS thr_tot FROM (
+         |         SELECT lang, shard, max(thr) AS thr_s
+         |         FROM kthr GROUP BY 1, 2) s GROUP BY 1),
+         |m AS (SELECT lang, tok, CAST(sum(cnt) AS BIGINT) AS est_lo,
+         |        CAST(sum(thr) AS BIGINT) AS thr_present
+         |      FROM kthr GROUP BY 1, 2),
+         |ex AS (SELECT lang, tok, CAST(sum(cnt) AS BIGINT) AS n_exact
+         |       FROM c GROUP BY 1, 2),
+         |top AS (SELECT m.lang, m.tok, m.est_lo,
+         |          m.est_lo + tt.thr_tot - m.thr_present AS est_hi,
+         |          row_number() OVER (PARTITION BY m.lang
+         |            ORDER BY m.est_lo DESC, m.tok) AS rn
+         |        FROM m JOIN tt ON tt.lang = m.lang)
+         |SELECT top.lang, top.tok, top.est_lo, top.est_hi,
+         |  CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact
+         |FROM top LEFT JOIN ex
+         |  ON ex.lang = top.lang AND ex.tok = top.tok
+         |WHERE top.rn <= 5
+         |ORDER BY top.lang, top.est_lo DESC, top.tok""".stripMargin
     }
 
     /** Twin of q96_multi_bloom: q87's bloom construction with a set

@@ -1457,6 +1457,44 @@ object Queries {
       .orderBy(col("lang"), col("n_exact").desc, col("tok"))
   }
 
+  /** Mergeable top-k with error certificates: four doc_id-parity
+    * shards each keep their exact per-language top-32 tokens plus a
+    * threshold ([[graft.ops.Sketch.topkSummary]] — anything a shard
+    * dropped occurs at most thr times there), merged into per-token
+    * [est_lo, est_hi] bounds ([[graft.ops.Sketch.topkMerge]]), read
+    * back as each language's top-5 by est_lo next to the exact count.
+    * By construction est_lo ≤ n_exact ≤ est_hi on every row — the
+    * summary carries its own error certificate, which count-min
+    * cannot. At 100 TB only kPrime rows per (lang, shard) cross the
+    * network; the exact path is the sf-small oracle anchor. Integer
+    * surface end to end.
+    */
+  val q98_topk_shards: Q = (s, d) => {
+    val kPrime = 32
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), pmod(col("doc_id"), lit(4)).as("shard"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+      // no-op (explode never yields null), but the final join pushes
+      // isnotnull(tok) into ITS copy of this subtree — carrying the
+      // filter on the shared projection keeps every copy canonical-
+      // identical so the counts exchange is reused, not recomputed
+      .where(col("tok").isNotNull)
+    val counts = tok.groupBy("lang", "shard", "tok").agg(count(lit(1)).as("cnt"))
+    val summ = Sketch.topkSummary(counts, Seq("lang"), "shard", "tok", "cnt", kPrime)
+    val bounds = Sketch.topkMerge(summ, Seq("lang"), "shard", "tok", "cnt")
+    // exact anchor from the SAME per-shard counts (Σ shards), so the
+    // tokenize+count exchange is computed once and reused
+    val exact = counts.groupBy("lang", "tok")
+      .agg(sum("cnt").cast("long").as("n_exact"))
+    val wnd = Window.partitionBy("lang").orderBy(col("est_lo").desc, col("tok"))
+    bounds
+      .withColumn("rn", row_number().over(wnd)).where(col("rn") <= 5).drop("rn")
+      .join(exact, Seq("lang", "tok"), "left")
+      .select(col("lang"), col("tok"), col("est_lo"), col("est_hi"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .orderBy(col("lang"), col("est_lo").desc, col("tok"))
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1555,5 +1593,6 @@ object Queries {
     "q94_kmv_jaccard" -> q94_kmv_jaccard,
     "q95_hist_by_lang" -> q95_hist_by_lang,
     "q96_multi_bloom" -> q96_multi_bloom,
-    "q97_cms_by_lang" -> q97_cms_by_lang)
+    "q97_cms_by_lang" -> q97_cms_by_lang,
+    "q98_topk_shards" -> q98_topk_shards)
 }

@@ -460,6 +460,66 @@ object Sketch {
                     pcts: Seq[Int]): DataFrame =
     histQuantilesBy(hist, Seq.empty, binWidth, pcts)
 
+  // ------------------------------------------------------------------ //
+  // Mergeable top-k summary (per-shard exact top-k' + threshold bound)  //
+  // ------------------------------------------------------------------ //
+
+  /** Per-shard mergeable top-k summary over exact (keys..., shard,
+    * item, cnt) counts: keep each shard's kPrime highest-count items
+    * (count DESC, item ASC tie-break — fully deterministic) and attach
+    * the shard THRESHOLD `thr` = the smallest kept count (0 when the
+    * shard holds fewer than kPrime items, i.e. nothing was dropped).
+    * Any item a shard dropped has true count ≤ that shard's thr — the
+    * invariant [[topkMerge]] turns into per-item error bounds. This is
+    * the distributed approximate top-k every serving layer ships
+    * (Druid/Presto `approx_most_frequent` shape): shards summarize
+    * locally, only kPrime rows per (key, shard) ever cross the
+    * network, and unlike count-min the summary carries its own error
+    * certificate. Integer end to end.
+    */
+  def topkSummary(counts: DataFrame, keyCols: Seq[String], shardCol: String,
+                  itemCol: String, cntCol: String, kPrime: Int): DataFrame = {
+    val part = (keyCols :+ shardCol).map(col)
+    val ranked = Window.partitionBy(part: _*)
+      .orderBy(col(cntCol).desc, col(itemCol).asc)
+    val whole = Window.partitionBy(part: _*)
+    counts
+      .withColumn("__rn", row_number().over(ranked))
+      .where(col("__rn") <= kPrime)
+      .withColumn("thr",
+        when(count(lit(1)).over(whole) < kPrime, lit(0L))
+          .otherwise(min(col(cntCol)).over(whole)))
+      .drop("__rn")
+  }
+
+  /** Merge per-shard [[topkSummary]] rows into per-item bounds:
+    * est_lo = Σ counts from shards that kept the item (every kept
+    * count is exact, so est_lo ≤ true count), est_hi = est_lo +
+    * Σ thr over shards that did NOT keep it (each such shard holds at
+    * most thr occurrences, so true count ≤ est_hi). The merge is a
+    * grouped sum over kPrime × S rows per key — summary scale, never
+    * a token-dictionary shuffle. Emits (keys..., item, est_lo BIGINT,
+    * est_hi BIGINT); rank downstream by est_lo (deterministic — every
+    * input is an exact integer).
+    */
+  def topkMerge(summary: DataFrame, keyCols: Seq[String], shardCol: String,
+                itemCol: String, cntCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    // thr is constant per (key, shard); total it once per key
+    val thrTot = summary
+      .groupBy((keyCols :+ shardCol).map(col): _*).agg(max("thr").as("__thr_s"))
+      .groupBy(keys: _*).agg(sum("__thr_s").cast("long").as("__thr_tot"))
+    val merged = summary
+      .groupBy(keys :+ col(itemCol): _*)
+      .agg(sum(col(cntCol)).cast("long").as("est_lo"),
+        sum(col("thr")).cast("long").as("__thr_present"))
+    (if (keyCols.isEmpty) merged.crossJoin(thrTot)
+     else merged.join(thrTot, keyCols))
+      .withColumn("est_hi",
+        col("est_lo") + col("__thr_tot") - col("__thr_present"))
+      .drop("__thr_tot", "__thr_present")
+  }
+
   /** Collapse a register array to the exact integer denominator
     * Σ 2^(52-reg) — the same `hll_reg_sum` [[hllDistinct]] emits, so
     * a merged register table feeds the same integer-exact estimate:

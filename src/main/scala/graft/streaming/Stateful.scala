@@ -433,6 +433,65 @@ object Stateful {
       }
   }
 
+  final case class TopkState(items: Array[String], cnts: Array[Long],
+                             errs: Array[Long], lastTs: Long)
+  final case class TopkUpdate(key: String, item: String, est: Long, err: Long,
+                              rank: Long)
+
+  /** Streaming heavy hitters per key — Space-Saving (Metwally et al.
+    * 2005) as keyed state: at most `cap` (item, est, err) counters per
+    * key FOREVER. A known item increments; an unknown item with free
+    * capacity starts at (1, 0); otherwise it REPLACES the minimum
+    * counter m, inheriting est = m+1 with err = m (the classic
+    * overestimate bound). Invariants, per key and delivered multiset:
+    * est ≥ true count ≥ est − err for every held item, and any item
+    * with true count > n/cap is guaranteed held — the summary carries
+    * its own error certificate, which [[cmsRunning]] cannot. Each
+    * micro-batch emits the top `emitK` counters (est DESC, item ASC —
+    * victim choice breaks count ties by smallest item, so the fold is
+    * deterministic given per-key arrival order). Counting state:
+    * at-least-once redelivery inflates counts (like [[cmsRunning]],
+    * unlike the idempotent [[hllRunning]]/[[kmvRunning]]). State dies
+    * `stateTtlMs` after a key's last arrival. The per-event fold is
+    * [[SpaceSaving]], unit-pinned by spec.
+    */
+  def topkRunning(events: org.apache.spark.sql.Dataset[KeyedValue],
+                  watermarkDelay: String, stateTtlMs: Long,
+                  cap: Int = 64, emitK: Int = 5)
+      : org.apache.spark.sql.Dataset[TopkUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TopkState, TopkUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[TopkState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption.getOrElse(
+              TopkState(Array.empty, Array.emptyLongArray, Array.emptyLongArray, 0L))
+            val ss = SpaceSaving.restore(cap, s.items, s.cnts, s.errs)
+            var lastTs = s.lastTs
+            var n = 0L
+            rows.foreach { kv =>
+              ss.add(kv.value)
+              lastTs = math.max(lastTs, kv.ts.getTime)
+              n += 1
+            }
+            // counting fold: any delivered event moves a counter, so
+            // only a genuinely empty batch skips the state rewrite
+            val (items, cnts, errs) = ss.snapshot()
+            if (n > 0) state.update(TopkState(items, cnts, errs, lastTs))
+            if (state.exists) state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            ss.top(emitK).zipWithIndex.map { case ((item, est, err), i) =>
+              TopkUpdate(key, item, est, err, i + 1L)
+            }.iterator
+          }
+      }
+  }
+
   final case class DocEvent(id: Long, ts: java.sql.Timestamp, text: String)
   final case class DupCandidate(id: Long, dup_of: Long, band: Int, hamming: Int)
   /** Per-bucket state as PARALLEL PRIMITIVE ARRAYS, not a
@@ -572,5 +631,56 @@ object Stateful {
             out.result().iterator
           }
       }
+  }
+}
+
+/** Mutable Space-Saving summary (Metwally et al. 2005): at most `cap`
+  * (item → est, err) counters. Eviction picks the exact minimum by
+  * (count, item) — a full O(cap) scan, so the fold is deterministic
+  * regardless of hash-map iteration order. cap is small (≤ a few
+  * hundred) by design; the scan is not the hot path.
+  */
+private[streaming] final class SpaceSaving(cap: Int) {
+  private val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+  private val err = scala.collection.mutable.HashMap.empty[String, Long]
+
+  def add(v: String): Unit =
+    cnt.get(v) match {
+      case Some(c) => cnt.update(v, c + 1)
+      case None if cnt.size < cap =>
+        cnt.update(v, 1L); err.update(v, 0L)
+      case None =>
+        var vi: String = null
+        var vc = Long.MaxValue
+        cnt.foreach { case (it, c) =>
+          if (c < vc || (c == vc && (vi == null || it < vi))) { vi = it; vc = c }
+        }
+        cnt.remove(vi); err.remove(vi)
+        cnt.update(v, vc + 1); err.update(v, vc)
+    }
+
+  /** Counters in item order — the canonical state encoding. */
+  def snapshot(): (Array[String], Array[Long], Array[Long]) = {
+    val items = cnt.keys.toArray.sorted
+    (items, items.map(cnt), items.map(err))
+  }
+
+  /** Top k by (est DESC, item ASC). */
+  def top(k: Int): Seq[(String, Long, Long)] =
+    cnt.toSeq.sortBy { case (it, c) => (-c, it) }.take(k)
+      .map { case (it, c) => (it, c, err(it)) }
+}
+
+private[streaming] object SpaceSaving {
+  def restore(cap: Int, items: Array[String], cnts: Array[Long],
+              errs: Array[Long]): SpaceSaving = {
+    val ss = new SpaceSaving(cap)
+    var i = 0
+    while (i < items.length) {
+      ss.cnt.update(items(i), cnts(i))
+      ss.err.update(items(i), errs(i))
+      i += 1
+    }
+    ss
   }
 }

@@ -310,4 +310,61 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(q === Set(("0", 50L, 250L, 2L, 200L), ("1", 50L, 250L, 2L, 200L)))
   }
+
+  /** Skewed corpus for the top-k summary: item i (0..49) appears 60−i
+    * times, occurrences scattered over 3 shards by repetition index.
+    */
+  private def topkRows = spark.range(50)
+    .select(col("id").as("i"),
+      explode(sequence(lit(1L), lit(60L) - col("id"))).as("rep"))
+    .select(concat(lit("w"), lpad(col("i").cast("string"), 2, "0")).as("item"),
+      pmod(col("rep"), lit(3)).as("shard"))
+
+  test("top-k summary: merged bounds sandwich the exact count") {
+    val counts = topkRows.groupBy("shard", "item").agg(count(lit(1)).as("cnt"))
+    val summ = Sketch.topkSummary(counts, Seq.empty, "shard", "item", "cnt", 8)
+    val bounds = Sketch.topkMerge(summ, Seq.empty, "shard", "item", "cnt")
+    val exact = topkRows.groupBy("item").agg(count(lit(1)).as("n"))
+    val rows = bounds.join(exact, "item")
+      .select("item", "est_lo", "est_hi", "n")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (it, lo, hi, n) =>
+      assert(lo <= n && n <= hi, s"$it: [$lo, $hi] vs exact $n")
+    }
+    // the global top item is in every shard's top-8, so its bound is tight
+    val top = rows.minBy { case (it, _, _, _) => it }
+    assert(top._1 === "w00" && top._2 === 60L && top._2 === top._4)
+  }
+
+  test("top-k summary: kPrime ≥ distinct items makes every bound exact") {
+    val counts = topkRows.groupBy("shard", "item").agg(count(lit(1)).as("cnt"))
+    val summ = Sketch.topkSummary(counts, Seq.empty, "shard", "item", "cnt", 100)
+    val bounds = Sketch.topkMerge(summ, Seq.empty, "shard", "item", "cnt")
+    val exact = topkRows.groupBy("item").agg(count(lit(1)).as("n"))
+    val rows = bounds.join(exact, "item")
+      .select("est_lo", "est_hi", "n").as[(Long, Long, Long)].collect()
+    assert(rows.length === 50)
+    rows.foreach { case (lo, hi, n) => assert(lo === n && hi === n) }
+  }
+
+  test("keyed top-k summary: each key's bounds equal the unkeyed build on its slice") {
+    val keyed = topkRows.withColumn("g",
+      when(col("item") < "w25", lit("a")).otherwise(lit("b")))
+    val kc = keyed.groupBy("g", "shard", "item").agg(count(lit(1)).as("cnt"))
+    val kb = Sketch.topkMerge(
+      Sketch.topkSummary(kc, Seq("g"), "shard", "item", "cnt", 8),
+      Seq("g"), "shard", "item", "cnt")
+    Seq("a", "b").foreach { g =>
+      val slice = keyed.where(col("g") === g)
+        .groupBy("shard", "item").agg(count(lit(1)).as("cnt"))
+      val ub = Sketch.topkMerge(
+        Sketch.topkSummary(slice, Seq.empty, "shard", "item", "cnt", 8),
+        Seq.empty, "shard", "item", "cnt")
+        .select("item", "est_lo", "est_hi").collect().toSet
+      val ks = kb.where(col("g") === g)
+        .select("item", "est_lo", "est_hi").collect().toSet
+      assert(ks === ub, s"key $g")
+    }
+  }
 }

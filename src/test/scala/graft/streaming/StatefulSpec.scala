@@ -584,4 +584,81 @@ class StatefulSpec extends SparkSpec {
     assert((last(("a", 50L)).bin, last(("a", 99L)).bin) === ((4L, 9L)))
     assert(last(("a", 50L)).total === 100L)
   }
+
+  test("Space-Saving fold: deterministic eviction with exact error certificates") {
+    val ss = new SpaceSaving(2)
+    Seq("a", "a", "a", "b", "c").foreach(ss.add)
+    // c evicts b (min count 1): est = 2, err = 1
+    assert(ss.top(3) === Seq(("a", 3L, 0L), ("c", 2L, 1L)))
+    // count tie at 1: victim is the SMALLEST item ("a"), deterministically
+    val tie = new SpaceSaving(2)
+    Seq("a", "b", "c").foreach(tie.add)
+    assert(tie.top(3) === Seq(("c", 2L, 1L), ("b", 1L, 0L)))
+    // snapshot → restore roundtrip preserves the summary exactly
+    val (i, c, e) = ss.snapshot()
+    assert(SpaceSaving.restore(2, i, c, e).top(3) === ss.top(3))
+  }
+
+  test("streaming heavy hitters ≡ exact top-k below cap, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val out = mutable.Buffer.empty[(Long, Stateful.TopkUpdate)]
+    val q = Stateful.topkRunning(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000,
+        cap = 8, emitK = 3)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.TopkUpdate], id: Long) =>
+        out.synchronized { out ++= df.collect().map(u => (id, u)) }
+        ()
+      }.start()
+    def kv(key: String, minute: Int, v: String) = Stateful.KeyedValue(key,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    val b1 = Seq.fill(5)(kv("a", 1, "x")) ++ Seq.fill(3)(kv("a", 1, "y")) ++
+      Seq(kv("a", 1, "z"))
+    val b2 = Seq.fill(4)(kv("a", 2, "y")) ++ Seq.fill(2)(kv("a", 2, "w"))
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    // delivered multiset: x5 y7 w2 z1 — alphabet < cap, so the summary
+    // is EXACT (err 0) and the readback is the true top-3
+    val lastBatch = out.map(_._1).max
+    val last = out.filter(u => u._1 == lastBatch && u._2.key == "a")
+      .map(_._2).sortBy(_.rank)
+    assert(last.map(u => (u.item, u.est, u.err, u.rank)) ===
+      Seq(("y", 7L, 0L, 1L), ("x", 5L, 0L, 2L), ("w", 2L, 0L, 3L)))
+  }
+
+  test("streaming heavy hitters: eviction inherits the victim's count as err") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val out = mutable.Buffer.empty[(Long, Stateful.TopkUpdate)]
+    val q = Stateful.topkRunning(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000,
+        cap = 2, emitK = 2)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.TopkUpdate], id: Long) =>
+        out.synchronized { out ++= df.collect().map(u => (id, u)) }
+        ()
+      }.start()
+    def kv(key: String, minute: Int, v: String) = Stateful.KeyedValue(key,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    stream.addData(Seq(kv("b", 1, "a"), kv("b", 1, "a"), kv("b", 1, "a"),
+      kv("b", 1, "b")))
+    q.processAllAvailable()
+    stream.addData(Seq(kv("b", 2, "c")))
+    q.processAllAvailable()
+    q.stop()
+    val byBatch = out.groupBy(_._1).view.mapValues(
+      _.map(_._2).sortBy(_.rank).map(u => (u.item, u.est, u.err))).toMap
+    val batches = byBatch.keys.toSeq.sorted
+    assert(byBatch(batches.head) === Seq(("a", 3L, 0L), ("b", 1L, 0L)))
+    // batch 2: "c" evicts "b" (min counter 1) → est 2, err 1; the
+    // restored "a" counter survives untouched. Sandwich holds: for
+    // "c", est 2 ≥ true 1 ≥ est − err = 1.
+    assert(byBatch(batches.last) === Seq(("a", 3L, 0L), ("c", 2L, 1L)))
+  }
 }
