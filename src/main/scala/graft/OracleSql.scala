@@ -401,6 +401,7 @@ object OracleSql {
     "q96_multi_bloom" -> Gen.multiBloomSql,
     "q97_cms_by_lang" -> Gen.cmsByLangSql,
     "q98_topk_shards" -> Gen.topkShardsSql,
+    "q99_priority_sample" -> Gen.prioritySampleSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1407,6 +1408,39 @@ object OracleSql {
          |  ON ex.lang = top.lang AND ex.tok = top.tok
          |WHERE top.rn <= 5
          |ORDER BY top.lang, top.est_lo DESC, top.tok""".stripMargin
+    }
+
+    /** Twin of q99_priority_sample: t = hash61(doc_id) // max(w, 1)
+      * (BIGINT // BIGINT stays BIGINT — no HUGEINT appears anywhere),
+      * sample = 500 smallest by (t, doc_id) via ORDER BY + LIMIT, τ =
+      * the 501st t (NULL when the corpus holds ≤ 500 docs), w_hat =
+      * max(w, 2^61 // max(τ, 1)). 2^61 is a BIGINT literal on both
+      * engines; every column is BIGINT by construction.
+      */
+    def prioritySampleSql: String = {
+      val k = 500
+      val two61 = 2305843009213693952L
+      s"""WITH w AS (SELECT doc_id,
+         |             greatest(CAST(len(${tokensE("text")}) AS BIGINT),
+         |               CAST(1 AS BIGINT)) AS w
+         |           FROM documents),
+         |b AS (SELECT doc_id, w,
+         |        ${duckHash61("CAST(doc_id AS VARCHAR)")}
+         |          // greatest(w, CAST(1 AS BIGINT)) AS t
+         |      FROM w),
+         |lim AS (SELECT doc_id, w, t FROM b
+         |        ORDER BY t, doc_id LIMIT ${k + 1}),
+         |tau AS (SELECT CASE WHEN count(*) = ${k + 1} THEN max(t)
+         |               END AS tau FROM lim),
+         |kept AS (SELECT doc_id, w, t FROM lim
+         |         ORDER BY t, doc_id LIMIT $k)
+         |SELECT kp.doc_id, kp.w, kp.t,
+         |  CASE WHEN tau.tau IS NULL THEN kp.w
+         |       ELSE greatest(kp.w,
+         |         $two61 // greatest(tau.tau, CAST(1 AS BIGINT)))
+         |  END AS w_hat
+         |FROM kept kp CROSS JOIN tau
+         |ORDER BY kp.t, kp.doc_id""".stripMargin
     }
 
     /** Twin of q96_multi_bloom: q87's bloom construction with a set

@@ -29,7 +29,10 @@ object PlanAudit {
     "q94_kmv_jaccard",
     // 3-row per-suite dense bloom table cross-joined into the probe —
     // q87's single-row pattern with a set dimension
-    "q96_multi_bloom")
+    "q96_multi_bloom",
+    // ONE-row τ (the priority-sampling threshold) cross-joined into
+    // the 500-row sample — broadcast scalar by design
+    "q99_priority_sample")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -3,7 +3,7 @@ package graft
 import graft.dedup.{Curation, Dedup}
 import graft.formats.{AvroCodec, ConfluentEnvelope, ProtoCodec}
 import graft.functions.{HashFns, TextFns, VectorFns}
-import graft.ops.{Ops, Pipeline, Scale, Sharding, Sketch}
+import graft.ops.{Mixture, Ops, Pipeline, Scale, Sharding, Sketch}
 import graft.sim.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -890,7 +890,7 @@ object Queries {
     * default-rate path: absent from the rate map on both sides).
     */
   val q69_mixture_sample: Q = (s, d) =>
-    graft.ops.Mixture.sampleByRates(
+    Mixture.sampleByRates(
         Tables.documents(s, d).select("doc_id", "lang", "source"),
         "doc_id", "lang",
         rates = Map("en" -> 900, "es" -> 600, "de" -> 400, "fr" -> 200),
@@ -1495,6 +1495,26 @@ object Queries {
       .orderBy(col("lang"), col("est_lo").desc, col("tok"))
   }
 
+  /** Weighted document sampling via priority sampling (Duffield–Lund–
+    * Thorup): keep 500 documents weight-sensitively by token count —
+    * long documents enter with certainty, short ones with probability
+    * ∝ weight and up-weighted to the threshold τ, so Σ w_hat over the
+    * sample estimates the corpus token total unbiasedly (pinned
+    * statistically by `MixtureSpec`; this oracle row pins the
+    * deterministic integer construction). The selection is two
+    * TakeOrderedAndProject passes (O(k) state per partition, no global
+    * sort, no RNG state) — the sampler a 100 TB quality-weighted
+    * subset selection actually runs. See
+    * [[graft.ops.Mixture.prioritySample]].
+    */
+  val q99_priority_sample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        greatest(TextFns.tokenCount(col("text")), lit(1L)).as("wt"))
+    Mixture.prioritySample(docs, "doc_id", col("wt"), 500)
+      .orderBy("t", "doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1594,5 +1614,6 @@ object Queries {
     "q95_hist_by_lang" -> q95_hist_by_lang,
     "q96_multi_bloom" -> q96_multi_bloom,
     "q97_cms_by_lang" -> q97_cms_by_lang,
-    "q98_topk_shards" -> q98_topk_shards)
+    "q98_topk_shards" -> q98_topk_shards,
+    "q99_priority_sample" -> q99_priority_sample)
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.HashFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic mixture sampling — the "data mixing" stage of a
@@ -35,5 +35,50 @@ object Mixture {
         HashFns.hash61(concat(lit(salt), col(idCol).cast("string"))) % 1000)
       .where(col("sample_key") < coalesce(col("__pm"), lit(defaultPerMille)))
       .drop("__g", "__pm")
+  }
+
+  /** 2^61 — the modulus of [[HashFns.hash61]], so h/2^61 is uniform
+    * in [0, 1). Fits BIGINT (2^63 ceiling) on both engines.
+    */
+  private val Two61 = 2305843009213693952L
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    * weight-sensitive sample-without-replacement of k rows whose
+    * per-row estimate `w_hat` makes Σ w_hat over the sample an
+    * (asymptotically) unbiased estimate of Σ w over ANY weight-summed
+    * population — heavy rows enter with certainty, light rows enter
+    * with probability ∝ w and are up-weighted to τ when they do.
+    *
+    * Deterministic integer construction: each row's "threshold time"
+    * t = hash61(id) div max(w, 1) (the integer floor of 2^61·u/w, u
+    * uniform from the hash — SMALL t ⇔ HIGH priority w/u); the sample
+    * is the k smallest by (t, id), τ is the (k+1)-th smallest t, and
+    * w_hat = max(w, 2^61 div max(τ, 1)) converts τ back to the weight
+    * scale. No RNG state, no float: the same rows are kept on every
+    * run, any partitioning, both engines. When the input holds ≤ k
+    * rows τ is NULL and w_hat = w exactly (the sample is a census).
+    *
+    * Scale shape: both the sample and τ come from `orderBy().limit()`
+    * — TakeOrderedAndProject, a per-partition top-k merge with O(k)
+    * state per partition, never a global sort; τ then broadcasts as a
+    * 1-row table. Returns (idCol, w, t, w_hat), all BIGINT.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    val base = df
+      .select(col(idCol), weight.cast("bigint").as("w"))
+      .withColumn("__h", HashFns.hash61(col(idCol).cast("string")))
+      .withColumn("t", expr("__h div greatest(w, CAST(1 AS BIGINT))"))
+      .drop("__h")
+    val lim = base.orderBy(col("t"), col(idCol)).limit(k + 1)
+    val tau = lim.agg(count(lit(1)).as("__n"), max("t").as("__mx"))
+      .select(when(col("__n") === k + 1, col("__mx")).as("__tau"))
+    lim.orderBy(col("t"), col(idCol)).limit(k)
+      .crossJoin(broadcast(tau))
+      .withColumn("w_hat",
+        when(col("__tau").isNull, col("w"))
+          .otherwise(greatest(col("w"),
+            expr(s"CAST($Two61 AS BIGINT) div greatest(__tau, CAST(1 AS BIGINT))"))))
+      .drop("__tau")
   }
 }
