@@ -402,6 +402,7 @@ object OracleSql {
     "q97_cms_by_lang" -> Gen.cmsByLangSql,
     "q98_topk_shards" -> Gen.topkShardsSql,
     "q99_priority_sample" -> Gen.prioritySampleSql,
+    "q100_priority_by_lang" -> Gen.priorityByLangSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1441,6 +1442,39 @@ object OracleSql {
          |  END AS w_hat
          |FROM kept kp CROSS JOIN tau
          |ORDER BY kp.t, kp.doc_id""".stripMargin
+    }
+
+    /** Twin of q100_priority_by_lang: q99's construction with a
+      * PARTITION BY lang row_number in place of the global LIMIT, τ
+      * per language = the 101st t of groups holding ≥ 101 docs (NULL
+      * ⇒ census ⇒ w_hat = w). All BIGINT; row_number is filtered,
+      * never emitted.
+      */
+    def priorityByLangSql: String = {
+      val k = 100
+      val two61 = 2305843009213693952L
+      s"""WITH w AS (SELECT lang, doc_id,
+         |             greatest(CAST(len(${tokensE("text")}) AS BIGINT),
+         |               CAST(1 AS BIGINT)) AS w
+         |           FROM documents),
+         |b AS (SELECT lang, doc_id, w,
+         |        ${duckHash61("CAST(doc_id AS VARCHAR)")}
+         |          // greatest(w, CAST(1 AS BIGINT)) AS t
+         |      FROM w),
+         |r AS (SELECT lang, doc_id, w, t, row_number() OVER (
+         |        PARTITION BY lang ORDER BY t, doc_id) AS rn
+         |      FROM b),
+         |rk AS (SELECT lang, doc_id, w, t, rn FROM r WHERE rn <= ${k + 1}),
+         |tau AS (SELECT lang, CASE WHEN count(*) = ${k + 1} THEN max(t)
+         |               END AS tau FROM rk GROUP BY lang)
+         |SELECT rk.lang, rk.doc_id, rk.w, rk.t,
+         |  CASE WHEN tau.tau IS NULL THEN rk.w
+         |       ELSE greatest(rk.w,
+         |         $two61 // greatest(tau.tau, CAST(1 AS BIGINT)))
+         |  END AS w_hat
+         |FROM rk LEFT JOIN tau ON tau.lang = rk.lang
+         |WHERE rk.rn <= $k
+         |ORDER BY rk.lang, rk.t, rk.doc_id""".stripMargin
     }
 
     /** Twin of q96_multi_bloom: q87's bloom construction with a set

@@ -1515,6 +1515,23 @@ object Queries {
       .orderBy("t", "doc_id")
   }
 
+  /** Stratified priority sampling: an independent 100-document
+    * weight-sensitive sample PER LANGUAGE with per-group thresholds —
+    * q99's estimator with quota stratification, the form a mixture
+    * recipe actually needs ("100 quality-weighted docs from every
+    * language, estimate each language's token mass from its own
+    * sample"). One ranked window (WindowGroupLimit caps the exchange
+    * at k+1 rows per group) feeds both the sample and the τ table.
+    * See [[graft.ops.Mixture.prioritySampleBy]].
+    */
+  val q100_priority_by_lang: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        greatest(TextFns.tokenCount(col("text")), lit(1L)).as("wt"))
+    Mixture.prioritySampleBy(docs, Seq("lang"), "doc_id", col("wt"), 100)
+      .orderBy("lang", "t", "doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1615,5 +1632,6 @@ object Queries {
     "q96_multi_bloom" -> q96_multi_bloom,
     "q97_cms_by_lang" -> q97_cms_by_lang,
     "q98_topk_shards" -> q98_topk_shards,
-    "q99_priority_sample" -> q99_priority_sample)
+    "q99_priority_sample" -> q99_priority_sample,
+    "q100_priority_by_lang" -> q100_priority_by_lang)
 }

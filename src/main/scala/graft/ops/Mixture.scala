@@ -81,4 +81,39 @@ object Mixture {
             expr(s"CAST($Two61 AS BIGINT) div greatest(__tau, CAST(1 AS BIGINT))"))))
       .drop("__tau")
   }
+
+  /** Keyed [[prioritySample]]: an independent k-row priority sample
+    * per key group (per-language / per-source quotas — the stratified
+    * form a mixture recipe actually needs), with a per-group τ. ONE
+    * pass: rank ≤ k+1 runs as a WindowGroupLimit (per-partition
+    * group-local top-(k+1) BEFORE the shuffle, so the exchange carries
+    * at most k+1 rows per group, never the corpus), and τ = the
+    * (k+1)-th t rides the same partitioning as a conditional max over
+    * the ≤ k+1 survivors — no second scan, no join. Groups holding ≤ k
+    * rows have no (k+1)-th row, so τ is NULL and w_hat = w (census).
+    * Returns (keys..., idCol, w, t, w_hat), all BIGINT.
+    */
+  def prioritySampleBy(df: DataFrame, keyCols: Seq[String], idCol: String,
+                       weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val base = df
+      .select(keys :+ col(idCol) :+ weight.cast("bigint").as("w"): _*)
+      .withColumn("__h", HashFns.hash61(col(idCol).cast("string")))
+      .withColumn("t", expr("__h div greatest(w, CAST(1 AS BIGINT))"))
+      .drop("__h")
+    val ranked = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("t"), col(idCol))))
+      .where(col("__rn") <= k + 1)
+      .withColumn("__tau",
+        max(when(col("__rn") === k + 1, col("t")))
+          .over(Window.partitionBy(keys: _*)))
+    ranked.where(col("__rn") <= k).drop("__rn")
+      .withColumn("w_hat",
+        when(col("__tau").isNull, col("w"))
+          .otherwise(greatest(col("w"),
+            expr(s"CAST($Two61 AS BIGINT) div greatest(__tau, CAST(1 AS BIGINT))"))))
+      .drop("__tau")
+  }
 }

@@ -44,4 +44,24 @@ class MixtureSpec extends SparkSpec {
     // enters with (effective) certainty and w ≥ τ ⇒ w_hat = w exactly
     assert(hit.toSeq === Seq((10000000L, 10000000L)))
   }
+
+  test("keyed priority sample: each group ≡ the unkeyed sample on its slice") {
+    val df = corpus.withColumn("g", (col("id") % 3).cast("string"))
+    val keyed = Mixture.prioritySampleBy(df, Seq("g"), "id", col("wt"), 150)
+    Seq("0", "1", "2").foreach { g =>
+      val slice = Mixture.prioritySample(df.where(col("g") === g), "id",
+          col("wt"), 150)
+        .select("id", "w", "t", "w_hat").collect().toSet
+      val grp = keyed.where(col("g") === g)
+        .select("id", "w", "t", "w_hat").collect().toSet
+      assert(grp === slice, s"group $g")
+    }
+  }
+
+  test("keyed priority sample: census groups (≤ k rows) keep w_hat = w") {
+    val df = corpus.withColumn("g", (col("id") % 3).cast("string"))
+    val out = Mixture.prioritySampleBy(df, Seq("g"), "id", col("wt"), 7000)
+    assert(out.count() === 20000)
+    assert(out.where(col("w_hat") =!= col("w")).count() === 0)
+  }
 }
