@@ -492,6 +492,94 @@ object Stateful {
       }
   }
 
+  final case class WeightedEvent(key: String, ts: java.sql.Timestamp,
+                                 id: String, w: Long)
+  final case class PrioState(ts: Array[Long], ids: Array[String],
+                             ws: Array[Long], lastTs: Long)
+  final case class PrioUpdate(key: String, n_held: Long, tau: Long,
+                              w_hat_sum: Long, n_events: Long)
+
+  /** Streaming priority sampling per key — the streaming form of
+    * [[graft.ops.Mixture.prioritySampleBy]]: keyed state is the
+    * bottom-(k+1) of (t = hash61(id) div max(w,1), id) plus each held
+    * row's weight — at most k+1 entries FOREVER. Because membership is
+    * decided purely by the (t, id) ORDER SET, the fold is insertion-
+    * order-free and redelivery is a no-op (set semantics) — the
+    * streaming sample is bit-identical to the batch sampler over the
+    * same delivered document set (differential-specced), the same
+    * idempotence class as [[hllRunning]]/[[kmvRunning]]. Each batch
+    * emits the live estimate: n_held (sample size, ≤ k), τ (the
+    * (k+1)-th t, −1 while the key is still a census), and w_hat_sum =
+    * Σ max(w, 2^61 div max(τ,1)) over the sample — an unbiased
+    * running estimate of the key's TOTAL weight mass (e.g. token
+    * count) maintained in O(k) memory. State dies `stateTtlMs` after
+    * a key's last arrival.
+    */
+  def priorityRunning(events: org.apache.spark.sql.Dataset[WeightedEvent],
+                      watermarkDelay: String, stateTtlMs: Long, k: Int = 256)
+      : org.apache.spark.sql.Dataset[PrioUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Two61 = 2305843009213693952L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PrioState, PrioUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[WeightedEvent], state: GroupState[PrioState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption.getOrElse(
+              PrioState(Array.emptyLongArray, Array.empty, Array.emptyLongArray, 0L))
+            val set = scala.collection.mutable.TreeSet.empty[(Long, String)]
+            val wOf = scala.collection.mutable.HashMap.empty[(Long, String), Long]
+            var i = 0
+            while (i < s.ts.length) {
+              val e = (s.ts(i), s.ids(i))
+              set.add(e); wOf.put(e, s.ws(i)); i += 1
+            }
+            var lastTs = s.lastTs
+            var changed = false
+            var n = 0L
+            rows.foreach { ev =>
+              val h = graft.functions.HashFns.hash61Bytes(
+                ev.id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val t = h / math.max(ev.w, 1L)
+              val e = (t, ev.id)
+              // bottom-(k+1) insert with displaced-max eviction;
+              // re-delivered ids land on an existing (t, id) — no-op
+              if ((set.size < k + 1 || implicitly[Ordering[(Long, String)]]
+                    .lt(e, set.last)) && set.add(e)) {
+                wOf.put(e, ev.w)
+                if (set.size > k + 1) { val mx = set.last; set.remove(mx); wOf.remove(mx) }
+                changed = true
+              }
+              lastTs = math.max(lastTs, ev.ts.getTime)
+              n += 1
+            }
+            if (changed) {
+              val arr = set.toArray
+              state.update(PrioState(arr.map(_._1), arr.map(_._2),
+                arr.map(wOf), lastTs))
+            }
+            if (state.exists || n > 0) {
+              if (state.exists) state.setTimeoutTimestamp(lastTs + stateTtlMs)
+              val held = set.toSeq
+              val (sample, tau) =
+                if (held.size == k + 1) (held.init, held.last._1)
+                else (held, -1L)
+              val whs = sample.iterator.map { e =>
+                if (tau < 0) wOf(e)
+                else math.max(wOf(e), Two61 / math.max(tau, 1L))
+              }.sum
+              Iterator.single(
+                PrioUpdate(key, sample.size.toLong, tau, whs, n))
+            } else Iterator.empty
+          }
+      }
+  }
+
   final case class DocEvent(id: Long, ts: java.sql.Timestamp, text: String)
   final case class DupCandidate(id: Long, dup_of: Long, band: Int, hamming: Int)
   /** Per-bucket state as PARALLEL PRIMITIVE ARRAYS, not a

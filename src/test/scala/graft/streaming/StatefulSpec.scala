@@ -661,4 +661,46 @@ class StatefulSpec extends SparkSpec {
     // "c", est 2 ≥ true 1 ≥ est − err = 1.
     assert(byBatch(batches.last) === Seq(("a", 3L, 0L), ("c", 2L, 1L)))
   }
+
+  test("streaming priority sample ≡ batch sampler over the delivered document set") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.WeightedEvent]
+    val out = mutable.Buffer.empty[(Long, Stateful.PrioUpdate)]
+    val k = 8
+    val q = Stateful.priorityRunning(stream.toDS(),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000, k = k)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.PrioUpdate], id: Long) =>
+        out.synchronized { out ++= df.collect().map(u => (id, u)) }
+        ()
+      }.start()
+    def we(minute: Int, i: Int) = Stateful.WeightedEvent("a",
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+      f"d$i%02d", 1L + (i % 7) * 10L)
+    stream.addData((0 until 6).map(we(1, _)))   // 6 distinct < k → census
+    q.processAllAvailable()
+    stream.addData((3 until 26).map(we(2, _)))  // 26 distinct total, 3 redelivered
+    q.processAllAvailable()
+    stream.addData((3 until 26).map(we(3, _)))  // full redelivery: must not move
+    q.processAllAvailable()
+    q.stop()
+    val ups = out.sortBy(_._1).map(_._2)
+    assert(ups.length === 3)
+    // census phase: exact — τ = −1, Σ w_hat = Σ w of the 6 docs
+    assert((ups(0).n_held, ups(0).tau, ups(0).w_hat_sum) ===
+      ((6L, -1L, (0 until 6).map(i => 1L + (i % 7) * 10L).sum)))
+    // batch twin over the DISTINCT delivered docs
+    val docs = (0 until 26).map(i => (f"d$i%02d", 1L + (i % 7) * 10L))
+      .toDF("id", "wt")
+    val twin = graft.ops.Mixture.prioritySample(docs, "id", col("wt"), k)
+    val expSum = twin.agg(sum("w_hat")).as[Long].collect().head
+    assert((ups(1).n_held, ups(1).w_hat_sum) === ((k.toLong, expSum)),
+      s"streaming/batch drift: ${ups(1)} vs $expSum")
+    // idempotence: redelivering every doc changes nothing
+    assert((ups(2).n_held, ups(2).tau, ups(2).w_hat_sum) ===
+      ((ups(1).n_held, ups(1).tau, ups(1).w_hat_sum)))
+    assert(ups(2).n_events === 23L)
+  }
 }
