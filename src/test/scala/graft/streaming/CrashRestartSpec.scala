@@ -186,10 +186,72 @@ class CrashRestartSpec extends SparkSpec {
     assert((last.hll_reg_sum, last.hll_est_x10) === expected,
       "post-restart readback must equal the batch sketch over the union")
   }
+
+  test("priority-sample reservoir state survives a checkpoint restart") {
+    // pins the bottom-(k+1) order-set state across stop/restore: the
+    // restarted query folds new docs into the RECOVERED reservoir,
+    // redeliveries are set-membership no-ops, and the final estimate
+    // equals the batch sampler over the distinct delivered docs
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-prio-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-prio-ckpt").toString
+    CrashRestartSpec.prioUpdates.clear()
+    val weSchema = StructType(Seq(
+      StructField("key", StringType), StructField("ts", TimestampType),
+      StructField("id", StringType), StructField("w", LongType)))
+    def wOf(i: Int): Long = 1L + (i % 7) * 10L
+
+    def wave(name: String, rows: Seq[Int]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-prio-wave")
+      rows.map(i => ("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          f"d$i%02d", wOf(i)))
+        .toDF("key", "ts", "id", "w").coalesce(1)
+        .write.mode("overwrite").json(tmp.toString)
+      java.nio.file.Files.list(tmp).forEach { p =>
+        if (p.toString.endsWith(".json"))
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(srcDir, s"$name.json"))
+      }
+    }
+    def startQuery() = Stateful.priorityRunning(
+        spark.readStream.schema(weSchema).json(srcDir)
+          .as[Stateful.WeightedEvent](
+            org.apache.spark.sql.Encoders.product[Stateful.WeightedEvent]),
+        watermarkDelay = "1 second", stateTtlMs = 60 * 60 * 1000, k = 8)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.PrioUpdate], _: Long) =>
+        df.collect().foreach(u => CrashRestartSpec.prioUpdates.add(u))
+        ()
+      }.start()
+
+    wave("w1", 0 until 20)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // 10 redelivered + 15 new docs arrive while the query is down
+    wave("w2", 10 until 35)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val updates = CrashRestartSpec.prioUpdates.asScala.toSeq
+    assert(updates.nonEmpty)
+    val last = updates.last
+    val twin = graft.ops.Mixture.prioritySample(
+      (0 until 35).map(i => (f"d$i%02d", wOf(i))).toDF("id", "wt"),
+      "id", col("wt"), 8)
+    val expSum = twin.agg(sum("w_hat")).as[Long].collect().head
+    assert((last.n_held, last.w_hat_sum) === ((8L, expSum)),
+      s"post-restart estimate must equal the batch sampler: $last vs $expSum")
+  }
 }
 
 object CrashRestartSpec {
   val processed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
   val candidates = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
   val hllUpdates = new java.util.concurrent.ConcurrentLinkedQueue[Stateful.HllUpdate]()
+  val prioUpdates = new java.util.concurrent.ConcurrentLinkedQueue[Stateful.PrioUpdate]()
 }
