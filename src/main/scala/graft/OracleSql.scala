@@ -403,6 +403,7 @@ object OracleSql {
     "q98_topk_shards" -> Gen.topkShardsSql,
     "q99_priority_sample" -> Gen.prioritySampleSql,
     "q100_priority_by_lang" -> Gen.priorityByLangSql,
+    "q101_hll_windowed" -> Gen.hllWindowedSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1107,6 +1108,32 @@ object OracleSql {
          |  CAST(CAST('${graft.ops.Sketch.HllEstNumX10}' AS HUGEINT)
          |    // s.hll_reg_sum AS BIGINT) AS hll_est_x10
          |FROM e JOIN s USING (lang) ORDER BY lang""".stripMargin
+    }
+
+    /** Twin of q101_hll_windowed: the same relational register
+      * construction as [[hllDistinctSql]], keyed by (hour,
+      * event_type) — the Spark side runs the ONE-PASS `HllAgg` UDAF,
+      * so this hash match pins the aggregator's native fold against
+      * the relational derivation in the driver's own gate.
+      */
+    def hllWindowedSql: String = {
+      val h = duckHash61("CAST(user_id AS VARCHAR)")
+      s"""WITH t AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |             event_type, $h AS h
+         |           FROM events),
+         |b AS (SELECT hour, event_type, h % 1024 AS bucket,
+         |        h // 1024 AS w FROM t),
+         |r AS (SELECT hour, event_type, bucket, max($rhoCaseE) AS reg
+         |      FROM b GROUP BY 1, 2, 3),
+         |s AS (SELECT hour, event_type,
+         |        CAST(SUM(1::BIGINT << (52 - reg))
+         |          + (1024 - count(*)) * (1::BIGINT << 52) AS BIGINT)
+         |          AS hll_reg_sum
+         |      FROM r GROUP BY 1, 2)
+         |SELECT hour, event_type, hll_reg_sum,
+         |  CAST(CAST('${graft.ops.Sketch.HllEstNumX10}' AS HUGEINT)
+         |    // hll_reg_sum AS BIGINT) AS hll_est_x10
+         |FROM s ORDER BY hour, event_type""".stripMargin
     }
 
     /** Twin of q86_hll_merge: the WHOLE-CORPUS sketch. The Spark side

@@ -1532,6 +1532,28 @@ object Queries {
       .orderBy("lang", "t", "doc_id")
   }
 
+  /** Windowed HLL distinct: distinct users per (hour, event_type) via
+    * the ONE-PASS [[graft.functions.HllAgg]] aggregator — a single
+    * aggregation whose 1 KiB partial buffers merge map-side (no
+    * (key, bucket) shuffle rows), emitting the same integer
+    * `hll_reg_sum` readback as q85's two-step column construction.
+    * This is the aggregator the STREAMING windowed form reuses
+    * verbatim (`groupBy(window(ts), type).agg(hllAgg)` is one
+    * stateful operator — `StatefulSpec` pins the streaming emission
+    * against this batch result); the oracle twin rebuilds the
+    * registers relationally, so the driver hash-verifies the UDAF
+    * path end to end.
+    */
+  val q101_hll_windowed: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"),
+        HashFns.hash61(col("user_id").cast("string")).as("hx"))
+    ev.groupBy("hour", "event_type")
+      .agg(Sketch.hllAgg(col("hx")).as("hll_reg_sum"))
+      .withColumn("hll_est_x10", Sketch.hllEstX10("hll_reg_sum"))
+      .orderBy("hour", "event_type")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1633,5 +1655,6 @@ object Queries {
     "q97_cms_by_lang" -> q97_cms_by_lang,
     "q98_topk_shards" -> q98_topk_shards,
     "q99_priority_sample" -> q99_priority_sample,
-    "q100_priority_by_lang" -> q100_priority_by_lang)
+    "q100_priority_by_lang" -> q100_priority_by_lang,
+    "q101_hll_windowed" -> q101_hll_windowed)
 }

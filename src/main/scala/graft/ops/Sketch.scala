@@ -520,6 +520,19 @@ object Sketch {
       .drop("__thr_tot", "__thr_present")
   }
 
+  /** [[graft.functions.HllAgg]] as a callable aggregate column: a
+    * ONE-PASS HLL over a 61-bit hash column — `groupBy(...)
+    * .agg(Sketch.hllAgg(h).as("hll_reg_sum"))`. Same integer readback
+    * as [[hllDistinct]] (differential-specced); use it where a single
+    * aggregation matters: map-side 1 KiB partial buffers instead of
+    * (key, bucket) shuffle rows, and single-stateful-operator
+    * STREAMING WINDOWS (`groupBy(window(ts), key).agg(hllAgg(h))`
+    * under a watermark — windowed distinct counts with append-mode
+    * emission, which the two-aggregation column form cannot express).
+    */
+  lazy val hllAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(graft.functions.HllAgg, org.apache.spark.sql.Encoders.scalaLong)
+
   /** Collapse a register array to the exact integer denominator
     * Σ 2^(52-reg) — the same `hll_reg_sum` [[hllDistinct]] emits, so
     * a merged register table feeds the same integer-exact estimate:

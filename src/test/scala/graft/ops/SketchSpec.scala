@@ -311,6 +311,31 @@ class SketchSpec extends SparkSpec {
     assert(q === Set(("0", 50L, 250L, 2L, 200L), ("1", 50L, 250L, 2L, 200L)))
   }
 
+  test("one-pass HllAgg ≡ the two-step column construction, bit for bit") {
+    val df = spark.range(50000).select((col("id") % 3).cast("string").as("g"),
+      col("id").cast("string").as("v"))
+    val twoStep = Sketch.hllDistinct(df, Seq("g"), col("v"))
+      .select("g", "hll_reg_sum").as[(String, Long)].collect().toMap
+    val onePass = df
+      .select(col("g"), graft.functions.HashFns.hash61(col("v")).as("hx"))
+      .groupBy("g").agg(Sketch.hllAgg(col("hx")).as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(onePass === twoStep)
+  }
+
+  test("HllAgg is partition-invariant and idempotent under duplicates") {
+    val df = spark.range(20000).select(lit("k").as("g"),
+      (col("id") % 5000).cast("string").as("v"))
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("g"), graft.functions.HashFns.hash61(col("v")).as("hx"))
+      .groupBy("g").agg(Sketch.hllAgg(col("hx")).as("s"))
+      .select("s").as[Long].collect().head
+    val a = run(df)
+    assert(a === run(df.repartition(17)))
+    // 4× duplication of every value must not move a max-fold
+    assert(a === run(df.union(df).union(df).union(df)))
+  }
+
   /** Skewed corpus for the top-k summary: item i (0..49) appears 60−i
     * times, occurrences scattered over 3 shards by repetition index.
     */

@@ -662,6 +662,47 @@ class StatefulSpec extends SparkSpec {
     assert(byBatch(batches.last) === Seq(("a", 3L, 0L), ("c", 2L, 1L)))
   }
 
+  test("windowed streaming HLL via the one-pass aggregator closes with the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val out = mutable.Buffer.empty[(java.sql.Timestamp, String, Long, Long)]
+    // ONE stateful operator: watermarked window + the HllAgg UDAF —
+    // the shape the two-aggregation column construction cannot stream
+    val agg = stream.toDS()
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "10 minutes"), col("key"))
+      .agg(graft.ops.Sketch.hllAgg(
+        graft.functions.HashFns.hash61(col("value"))).as("hll_reg_sum"))
+      .select(col("window.start").as("ws"), col("key"), col("hll_reg_sum"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        out.synchronized {
+          out ++= df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+            r.getLong(2), id))
+        }
+        ()
+      }.start()
+    def kv(minute: Int, v: String) = Stateful.KeyedValue("a",
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    stream.addData((0 until 40).map(i => kv(1 + i % 5, s"tok$i")))
+    q.processAllAvailable()
+    assert(out.isEmpty, "append mode must hold the window open")
+    // an event 30 min later pushes the watermark past the window end
+    stream.addData(Seq(kv(35, "later")))
+    q.processAllAvailable()
+    q.stop()
+    val closed = out.filter(_._1.toString.startsWith("2024-01-01 10:00"))
+    assert(closed.size === 1)
+    val expected = graft.ops.Sketch.hllDistinct(
+        (0 until 40).map(i => ("a", s"tok$i")).toDF("key", "v"),
+        Seq("key"), col("v"))
+      .select("hll_reg_sum").as[Long].collect().head
+    assert(closed.head._3 === expected,
+      "closed-window register sum must equal the batch sketch")
+  }
+
   test("streaming priority sample ≡ batch sampler over the delivered document set") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.WeightedEvent]
