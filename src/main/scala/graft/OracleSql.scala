@@ -404,6 +404,7 @@ object OracleSql {
     "q99_priority_sample" -> Gen.prioritySampleSql,
     "q100_priority_by_lang" -> Gen.priorityByLangSql,
     "q101_hll_windowed" -> Gen.hllWindowedSql,
+    "q102_kmv_windowed" -> Gen.kmvWindowedSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1134,6 +1135,33 @@ object OracleSql {
          |  CAST(CAST('${graft.ops.Sketch.HllEstNumX10}' AS HUGEINT)
          |    // hll_reg_sum AS BIGINT) AS hll_est_x10
          |FROM s ORDER BY hour, event_type""".stripMargin
+    }
+
+    /** Twin of q102_kmv_windowed: bottom-256 per (hour, event_type)
+      * rebuilt relationally (distinct → row_number → rn ≤ k), q90's
+      * stats readback. The Spark side runs the imperative
+      * `KmvAggregate`; bottom-k of a distinct set is
+      * partition-invariant, so the two must match bit for bit.
+      */
+    def kmvWindowedSql: String = {
+      val k = 256
+      val h = duckHash61("CAST(user_id AS VARCHAR)")
+      s"""WITH t AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |             event_type, $h AS h
+         |           FROM events),
+         |hx AS (SELECT DISTINCT hour, event_type, h FROM t),
+         |r AS (SELECT hour, event_type, h, row_number() OVER (
+         |        PARTITION BY hour, event_type ORDER BY h) AS rn
+         |      FROM hx),
+         |sk AS (SELECT hour, event_type, CAST(count(*) AS BIGINT) AS kmv_n,
+         |         max(h) AS kmv_kth
+         |       FROM r WHERE rn <= $k GROUP BY 1, 2)
+         |SELECT hour, event_type, kmv_n,
+         |  CAST(kmv_kth AS BIGINT) AS kmv_kth,
+         |  CAST(CASE WHEN kmv_n < $k THEN kmv_n * 10
+         |       ELSE CAST('${graft.ops.Sketch.kmvEstNumX10(k)}' AS HUGEINT)
+         |         // greatest(kmv_kth, 1) END AS BIGINT) AS kmv_est_x10
+         |FROM sk ORDER BY hour, event_type""".stripMargin
     }
 
     /** Twin of q86_hll_merge: the WHOLE-CORPUS sketch. The Spark side

@@ -1554,6 +1554,26 @@ object Queries {
       .orderBy("hour", "event_type")
   }
 
+  /** Windowed KMV distinct: per (hour, event_type) bottom-256 user
+    * sketch via the ONE-PASS [[graft.plans.KmvAggregate]] — at most k
+    * longs per group cross the shuffle (the relational build ranks
+    * every distinct hash), and the output array feeds the standard
+    * [[graft.ops.Sketch.kmvStats]] readback unchanged. q101's
+    * aggregator pattern applied to the order-statistics sketch; the
+    * oracle twin rebuilds the bottom-k relationally, pinning the
+    * imperative fold in the driver's gate.
+    */
+  val q102_kmv_windowed: Q = (s, d) => {
+    val k = 256
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"),
+        HashFns.hash61(col("user_id").cast("string")).as("hx"))
+    val sk = ev.groupBy("hour", "event_type")
+      .agg(graft.plans.KmvAgg.kmv_sketch(col("hx"), k).as("kmv"))
+    Sketch.kmvStats(sk, k).drop("kmv")
+      .orderBy("hour", "event_type")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1656,5 +1676,6 @@ object Queries {
     "q98_topk_shards" -> q98_topk_shards,
     "q99_priority_sample" -> q99_priority_sample,
     "q100_priority_by_lang" -> q100_priority_by_lang,
-    "q101_hll_windowed" -> q101_hll_windowed)
+    "q101_hll_windowed" -> q101_hll_windowed,
+    "q102_kmv_windowed" -> q102_kmv_windowed)
 }
