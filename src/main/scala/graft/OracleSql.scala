@@ -405,6 +405,7 @@ object OracleSql {
     "q100_priority_by_lang" -> Gen.priorityByLangSql,
     "q101_hll_windowed" -> Gen.hllWindowedSql,
     "q102_kmv_windowed" -> Gen.kmvWindowedSql,
+    "q103_cms_agg" -> Gen.cmsAggSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1162,6 +1163,46 @@ object OracleSql {
          |       ELSE CAST('${graft.ops.Sketch.kmvEstNumX10(k)}' AS HUGEINT)
          |         // greatest(kmv_kth, 1) END AS BIGINT) AS kmv_est_x10
          |FROM sk ORDER BY hour, event_type""".stripMargin
+    }
+
+    /** Twin of q103_cms_agg: the count-min table rebuilt relationally
+      * (q97's cell construction keyed by event_type over user_id),
+      * top-3 exact users per type, point estimate = min over the d
+      * probed cells. Cell-wise add is associative, so the imperative
+      * buffer must equal this bit for bit.
+      */
+    def cmsAggSql: String = {
+      val w = 1024
+      val k = 4
+      val h = duckHash61("CAST(user_id AS VARCHAR)")
+      def cellsE(xE: String): String =
+        (0 until k).map(j =>
+          s"{'row': $j, 'col': (${duckHashAt(xE, j)} % $w)}")
+          .mkString("[", ", ", "]")
+      s"""WITH hx AS (SELECT event_type, user_id, $h AS x FROM events),
+         |cells AS (SELECT event_type, unnest(${cellsE("x")}) AS u FROM hx),
+         |cnts AS (SELECT event_type, u['row'] AS row, u['col'] AS col,
+         |           count(*) AS cnt
+         |         FROM cells GROUP BY 1, 2, 3),
+         |ex AS (SELECT event_type, user_id, x, count(*) AS n_exact
+         |       FROM hx GROUP BY 1, 2, 3),
+         |top AS (SELECT event_type, user_id, x, n_exact FROM (
+         |          SELECT event_type, user_id, x, n_exact, row_number() OVER (
+         |            PARTITION BY event_type
+         |            ORDER BY n_exact DESC, user_id) AS rn
+         |          FROM ex) r WHERE rn <= 3),
+         |pj AS (SELECT event_type, user_id, n_exact, u['row'] AS row,
+         |         u['col'] AS col
+         |       FROM (SELECT event_type, user_id, n_exact,
+         |               unnest(${cellsE("x")}) AS u
+         |             FROM top) q)
+         |SELECT pj.event_type, pj.user_id, pj.n_exact,
+         |  min(c.cnt) AS cms_est
+         |FROM pj JOIN cnts c
+         |  ON c.event_type = pj.event_type AND c.row = pj.row
+         |  AND c.col = pj.col
+         |GROUP BY 1, 2, 3
+         |ORDER BY pj.event_type, pj.n_exact DESC, pj.user_id""".stripMargin
     }
 
     /** Twin of q86_hll_merge: the WHOLE-CORPUS sketch. The Spark side

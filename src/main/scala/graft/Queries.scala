@@ -1574,6 +1574,39 @@ object Queries {
       .orderBy("hour", "event_type")
   }
 
+  /** One-pass CMS heavy-user profile: per event_type, the d×w
+    * count-min table built by [[graft.plans.CmsAggregate]] (one 32 KiB
+    * buffer per map partition per group crosses the shuffle — the
+    * relational build ships d cell rows per EVENT), read back as each
+    * type's top-3 exact users with their point estimates probed
+    * straight from the array (`element_at(cms, j·w + c + 1)`, least
+    * over the d rows). cms_est ≥ n_exact always. Completes the
+    * one-pass aggregate trio (q101 HLL, q102 KMV).
+    */
+  val q103_cms_agg: Q = (s, d) => {
+    val w = 1024
+    val dd = 4
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        HashFns.hash61(col("user_id").cast("string")).as("hx"))
+    val cms = ev.groupBy("event_type")
+      .agg(graft.plans.CmsAgg.cms_counts(col("hx"), w, dd).as("cms"))
+      .withColumnRenamed("event_type", "ct")
+    val wnd = Window.partitionBy("event_type")
+      .orderBy(col("n_exact").desc, col("user_id"))
+    val top = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("rn", row_number().over(wnd)).where(col("rn") <= 3).drop("rn")
+      .withColumn("hx", HashFns.hash61(col("user_id").cast("string")))
+    top.join(broadcast(cms), col("event_type") === col("ct"))
+      .withColumn("cms_est", least((0 until dd).map(j =>
+        element_at(col("cms"),
+          (pmod(HashFns.hashAt(col("hx"), j), lit(w.toLong)) +
+            lit(j.toLong * w) + lit(1L)).cast("int"))): _*))
+      .select(col("event_type"), col("user_id"), col("n_exact"), col("cms_est"))
+      .orderBy(col("event_type"), col("n_exact").desc, col("user_id"))
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1677,5 +1710,6 @@ object Queries {
     "q99_priority_sample" -> q99_priority_sample,
     "q100_priority_by_lang" -> q100_priority_by_lang,
     "q101_hll_windowed" -> q101_hll_windowed,
-    "q102_kmv_windowed" -> q102_kmv_windowed)
+    "q102_kmv_windowed" -> q102_kmv_windowed,
+    "q103_cms_agg" -> q103_cms_agg)
 }

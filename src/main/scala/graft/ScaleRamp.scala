@@ -97,7 +97,8 @@ object ScaleRamp {
       "q86_hll_merge", "q87_bloom_contamination", "q88_cms_topk",
       "q90_kmv_distinct", "q92_hist_quantiles", "q94_kmv_jaccard",
       "q95_hist_by_lang", "q96_multi_bloom", "q97_cms_by_lang",
-      "q98_topk_shards", "q99_priority_sample")
+      "q98_topk_shards", "q99_priority_sample", "q101_hll_windowed",
+      "q102_kmv_windowed")
     val rows = rampQueries.map { name =>
       val base = (1 to 2).map(_ => time(srcDir, name)).min
       val ramped = (1 to 2).map(_ => time(outDir, name)).min
