@@ -703,6 +703,49 @@ class StatefulSpec extends SparkSpec {
       "closed-window register sum must equal the batch sketch")
   }
 
+  test("windowed streaming KMV via the imperative aggregate closes with the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val out = mutable.Buffer.empty[(java.sql.Timestamp, String, Seq[Long])]
+    // TypedImperativeAggregate inside a watermarked streaming window:
+    // the BINARY agg buffer round-trips through the state store
+    val agg = stream.toDS()
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "10 minutes"), col("key"))
+      .agg(graft.plans.KmvAgg.kmv_sketch(
+        graft.functions.HashFns.hash61(col("value")), 16).as("kmv"))
+      .select(col("window.start").as("ws"), col("key"), col("kmv"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+            r.getSeq[Long](2)))
+        }
+        ()
+      }.start()
+    def kv(minute: Int, v: String) = Stateful.KeyedValue("a",
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    // two micro-batches inside the window force a partial-buffer
+    // merge against state, then a late event closes the window
+    stream.addData((0 until 30).map(i => kv(1 + i % 5, s"tok$i")))
+    q.processAllAvailable()
+    stream.addData((20 until 50).map(i => kv(1 + i % 5, s"tok$i")))
+    q.processAllAvailable()
+    stream.addData(Seq(kv(35, "later")))
+    q.processAllAvailable()
+    q.stop()
+    val closed = out.filter(_._1.toString.startsWith("2024-01-01 10:00"))
+    assert(closed.size === 1)
+    val expected = graft.ops.Sketch.kmvSketch(
+        (0 until 50).map(i => ("a", s"tok$i")).toDF("key", "v"),
+        Seq("key"), col("v"), 16)
+      .select("kmv").as[Seq[Long]].collect().head
+    assert(closed.head._3 === expected,
+      "closed-window sketch must equal the batch bottom-k over the union")
+  }
+
   test("streaming priority sample ≡ batch sampler over the delivered document set") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.WeightedEvent]
