@@ -459,6 +459,7 @@ object Stateful {
                   watermarkDelay: String, stateTtlMs: Long,
                   cap: Int = 64, emitK: Int = 5)
       : org.apache.spark.sql.Dataset[TopkUpdate] = {
+    require(cap > 0 && emitK > 0, s"need positive cap/emitK, got $cap/$emitK")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -518,6 +519,7 @@ object Stateful {
   def priorityRunning(events: org.apache.spark.sql.Dataset[WeightedEvent],
                       watermarkDelay: String, stateTtlMs: Long, k: Int = 256)
       : org.apache.spark.sql.Dataset[PrioUpdate] = {
+    require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._

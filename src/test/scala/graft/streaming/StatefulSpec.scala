@@ -746,6 +746,48 @@ class StatefulSpec extends SparkSpec {
       "closed-window sketch must equal the batch bottom-k over the union")
   }
 
+  test("windowed streaming CMS via the imperative aggregate closes with the batch table") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.KeyedValue]
+    val (w, d) = (64, 4)
+    val out = mutable.Buffer.empty[(java.sql.Timestamp, String, Seq[Long])]
+    val agg = stream.toDS()
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "10 minutes"), col("key"))
+      .agg(graft.plans.CmsAgg.cms_counts(
+        graft.functions.HashFns.hash61(col("value")), w, d).as("cms"))
+      .select(col("window.start").as("ws"), col("key"), col("cms"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+            r.getSeq[Long](2)))
+        }
+        ()
+      }.start()
+    def kv(minute: Int, v: String) = Stateful.KeyedValue("a",
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    stream.addData((0 until 40).map(i => kv(1 + i % 5, s"tok${i % 10}")))
+    q.processAllAvailable()
+    stream.addData(Seq(kv(35, "later")))
+    q.processAllAvailable()
+    q.stop()
+    val closed = out.filter(_._1.toString.startsWith("2024-01-01 10:00"))
+    assert(closed.size === 1)
+    assert(closed.head._3.sum === 40L * d, "40 events × d increments")
+    val dense = new Array[Long](d * w)
+    graft.ops.Sketch.cmsCounts(
+        (0 until 40).map(i => s"tok${i % 10}").toDF("v")
+          .select(graft.functions.HashFns.hash61(col("v")).as("hx")),
+        col("hx"), w, d)
+      .select("row", "col", "cnt").as[(Int, Int, Long)].collect()
+      .foreach { case (r, c, n) => dense(r * w + c) = n }
+    assert(closed.head._3 === dense.toSeq,
+      "closed-window table must equal the batch cell build")
+  }
+
   test("streaming priority sample ≡ batch sampler over the delivered document set") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.WeightedEvent]
