@@ -406,6 +406,7 @@ object OracleSql {
     "q101_hll_windowed" -> Gen.hllWindowedSql,
     "q102_kmv_windowed" -> Gen.kmvWindowedSql,
     "q103_cms_agg" -> Gen.cmsAggSql,
+    "q104_kmv_matrix" -> Gen.kmvMatrixSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1203,6 +1204,35 @@ object OracleSql {
          |  AND c.col = pj.col
          |GROUP BY 1, 2, 3
          |ORDER BY pj.event_type, pj.n_exact DESC, pj.user_id""".stripMargin
+    }
+
+    /** Twin of q104_kmv_matrix: bottom-128 per SOURCE rebuilt
+      * relationally (the Spark side runs the imperative KmvAggregate —
+      * bottom-k of a distinct set is construction-invariant), then
+      * q94's pair estimator over all 190 source pairs, no exact
+      * anchor. Integer and list-membership operators only.
+      */
+    def kmvMatrixSql: String = {
+      val k = 128
+      s"""WITH wd AS (SELECT source, ${tokensE("text")} AS w FROM documents),
+         |sh0 AS (SELECT source, unnest(${shinglesE("w", 3)}) AS s FROM wd),
+         |hx AS (SELECT DISTINCT source, ${duckHash61("s")} AS h FROM sh0),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM hx),
+         |sk AS (SELECT source, list(h ORDER BY h) AS kmv
+         |       FROM r WHERE rn <= $k GROUP BY source),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         a.kmv AS kmv_a, b.kmv AS kmv_b
+         |       FROM sk a JOIN sk b ON a.source < b.source),
+         |j AS (SELECT src_a, src_b, kmv_a, kmv_b,
+         |        list_sort(list_distinct(list_concat(kmv_a, kmv_b)))[1:$k] AS u
+         |      FROM pr)
+         |SELECT src_a, src_b,
+         |  CAST(len(list_filter(u, x -> list_contains(kmv_a, x)
+         |    AND list_contains(kmv_b, x))) AS BIGINT) AS kmv_match,
+         |  CAST(len(u) AS BIGINT) AS kmv_denom
+         |FROM j ORDER BY 1, 2""".stripMargin
     }
 
     /** Twin of q86_hll_merge: the WHOLE-CORPUS sketch. The Spark side

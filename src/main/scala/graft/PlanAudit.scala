@@ -32,7 +32,10 @@ object PlanAudit {
     "q96_multi_bloom",
     // ONE-row τ (the priority-sampling threshold) cross-joined into
     // the 500-row sample — broadcast scalar by design
-    "q99_priority_sample")
+    "q99_priority_sample",
+    // 20-row per-source sketch table under an inequality self-join —
+    // q93/q94's pairs-of-groups shape
+    "q104_kmv_matrix")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -1607,6 +1607,34 @@ object Queries {
       .orderBy(col("event_type"), col("n_exact").desc, col("user_id"))
   }
 
+  /** Pairwise source-similarity matrix from one-pass sketches: one
+    * bottom-128 KMV per source via [[graft.plans.KmvAggregate]] (the
+    * aggregate dedups internally — no distinct+rank pass, ONE scan
+    * for all 20 sketches), then all 190 source pairs estimated from
+    * the sketches alone (kmv_match/kmv_denom per Beyer et al., q94's
+    * estimator with the exact anchor dropped — q94 already verifies
+    * the estimator against ground truth at the language level). This
+    * is the true 100 TB shape: S constant-size sketches + O(S²) pair
+    * rows on a 20-row broadcast table, nothing corpus-sized after the
+    * scan.
+    */
+  val q104_kmv_matrix: Q = (s, d) => {
+    val k = 128
+    val hx = Tables.documents(s, d)
+      .select(col("source"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
+      .select(col("source"), HashFns.hash61(col("sh")).as("x"))
+    val sk = hx.groupBy("source")
+      .agg(graft.plans.KmvAgg.kmv_sketch(col("x"), k).as("kmv"))
+    val a = sk.select(col("source").as("src_a"), col("kmv").as("kmv_a"))
+    val b = sk.select(col("source").as("src_b"), col("kmv").as("kmv_b"))
+    val u = Sketch.kmvUnionK(col("kmv_a"), col("kmv_b"), k)
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        Sketch.kmvMatchCount(u, col("kmv_a"), col("kmv_b")).as("kmv_match"),
+        size(u).cast("bigint").as("kmv_denom"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1711,5 +1739,6 @@ object Queries {
     "q100_priority_by_lang" -> q100_priority_by_lang,
     "q101_hll_windowed" -> q101_hll_windowed,
     "q102_kmv_windowed" -> q102_kmv_windowed,
-    "q103_cms_agg" -> q103_cms_agg)
+    "q103_cms_agg" -> q103_cms_agg,
+    "q104_kmv_matrix" -> q104_kmv_matrix)
 }
