@@ -46,6 +46,20 @@ object GraftFunctions {
     "graft_from_avro" -> { exprs =>
       val schemaJson = exprs(1).eval(null).toString
       AvroDecodeExpression(exprs.head, schemaJson)
+    },
+    "graft_hash61" -> viaColumns { case Seq(c) => HashFns.hash61(c) },
+    // one-pass sketch AGGREGATES (arguments after the hash column are
+    // literal knobs, folded at registration like graft_from_avro's
+    // schema): SELECT g, graft_hll_agg(graft_hash61(v)) ... GROUP BY g
+    "graft_hll_agg" -> viaColumns { case Seq(h) => graft.ops.Sketch.hllAgg(h) },
+    "graft_kmv_agg" -> { exprs =>
+      graft.plans.KmvAggregate(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue).toAggregateExpression()
+    },
+    "graft_cms_agg" -> { exprs =>
+      graft.plans.CmsAggregate(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue,
+        exprs(2).eval(null).asInstanceOf[Number].intValue).toAggregateExpression()
     })
 
   /** Register every function on a live session (idempotent). */

@@ -42,6 +42,31 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getAs[Long]("id") === 11L)
   }
 
+  test("SQL sketch aggregates match the library builds") {
+    GraftFunctions.register(spark)
+    spark.range(5000)
+      .selectExpr("CAST(id % 2 AS STRING) AS g", "CAST(id % 700 AS STRING) AS v")
+      .createOrReplaceTempView("sk")
+    val viaSql = spark.sql(
+      """SELECT g, graft_hll_agg(graft_hash61(v)) AS reg_sum,
+        |       graft_kmv_agg(graft_hash61(v), 16) AS kmv,
+        |       graft_cms_agg(graft_hash61(v), 64, 4) AS cms
+        |FROM sk GROUP BY g""".stripMargin)
+      .select("g", "reg_sum", "kmv").as[(String, Long, Seq[Long])]
+      .collect().map { case (g, r, kv) => g -> ((r, kv)) }.toMap
+    val df = spark.table("sk")
+    val hll = graft.ops.Sketch.hllDistinct(df, Seq("g"),
+        org.apache.spark.sql.functions.col("v"))
+      .select("g", "hll_reg_sum").as[(String, Long)].collect().toMap
+    val kmv = graft.ops.Sketch.kmvSketch(df, Seq("g"),
+        org.apache.spark.sql.functions.col("v"), 16)
+      .select("g", "kmv").as[(String, Seq[Long])].collect().toMap
+    Seq("0", "1").foreach { g =>
+      assert(viaSql(g)._1 === hll(g), s"hll $g")
+      assert(viaSql(g)._2 === kmv(g), s"kmv $g")
+    }
+  }
+
   test("extensions class registers the same surface") {
     // applying the extensions object to a builder is exercised at
     // session construction; here we assert the builder set is complete
