@@ -54,13 +54,28 @@ object GraftFunctions {
     "graft_hll_agg" -> viaColumns { case Seq(h) => graft.ops.Sketch.hllAgg(h) },
     "graft_kmv_agg" -> { exprs =>
       graft.plans.KmvAggregate(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue).toAggregateExpression()
+        literalKnob("graft_kmv_agg", "k", exprs(1))).toAggregateExpression()
     },
     "graft_cms_agg" -> { exprs =>
       graft.plans.CmsAggregate(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue,
-        exprs(2).eval(null).asInstanceOf[Number].intValue).toAggregateExpression()
+        literalKnob("graft_cms_agg", "w", exprs(1)),
+        literalKnob("graft_cms_agg", "d", exprs(2))).toAggregateExpression()
     })
+
+  /** Fold a sketch-size knob that must be a literal (the aggregate's
+    * buffer shape is fixed at plan time). A non-foldable argument gets
+    * a clear error instead of an opaque NPE from `eval(null)`.
+    */
+  private def literalKnob(fn: String, arg: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal integer (got non-foldable ${e.sql})")
+    e.eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal integer (got $other)")
+    }
+  }
 
   /** Register every function on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -25,12 +25,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * stateful aggs) cannot express as cleanly. max is idempotent, so
   * at-least-once redelivery never moves the result.
   */
-object HllAgg extends Aggregator[Long, Array[Byte], Long] {
+object HllAgg extends Aggregator[java.lang.Long, Array[Byte], Long] {
   private final val M = 1024
 
   def zero: Array[Byte] = new Array[Byte](M)
 
-  def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+  // Boxed input + explicit null skip (like the KMV/CMS imperative
+  // twins): a NULL hash must not fold as h=0 (bucket 0, rho 52),
+  // which would silently skew hll_reg_sum.
+  def reduce(b: Array[Byte], boxed: java.lang.Long): Array[Byte] = {
+    if (boxed == null) return b
+    val h = boxed.longValue
     val bucket = (h & (M - 1).toLong).toInt
     val w = h >>> 10
     val rho =

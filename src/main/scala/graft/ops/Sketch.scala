@@ -531,7 +531,7 @@ object Sketch {
     * emission, which the two-aggregation column form cannot express).
     */
   lazy val hllAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udaf(graft.functions.HllAgg, org.apache.spark.sql.Encoders.scalaLong)
+    udaf(graft.functions.HllAgg, org.apache.spark.sql.Encoders.LONG)
 
   /** Collapse a register array to the exact integer denominator
     * Σ 2^(52-reg) — the same `hll_reg_sum` [[hllDistinct]] emits, so
