@@ -44,7 +44,7 @@ object GraftFunctions {
     "graft_avro_body" -> viaColumns { case Seq(v) => ConfluentEnvelope.avroBody(v) },
     // schema passed as a string literal: graft_from_avro(value, '{...}')
     "graft_from_avro" -> { exprs =>
-      val schemaJson = exprs(1).eval(null).toString
+      val schemaJson = literalString("graft_from_avro", "schema", exprs(1))
       AvroDecodeExpression(exprs.head, schemaJson)
     },
     "graft_hash61" -> viaColumns { case Seq(c) => HashFns.hash61(c) },
@@ -71,9 +71,30 @@ object GraftFunctions {
       throw new IllegalArgumentException(
         s"$fn: argument '$arg' must be a literal integer (got non-foldable ${e.sql})")
     e.eval(null) match {
-      case n: Number => n.intValue
+      case b: java.lang.Byte => b.intValue
+      case s: java.lang.Short => s.intValue
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue => l.intValue
       case other => throw new IllegalArgumentException(
         s"$fn: argument '$arg' must be a literal integer (got $other)")
+    }
+  }
+
+  /** Fold a string argument that must be a literal (e.g. an Avro schema
+    * compiled at plan time). Same contract as [[literalKnob]]: clear
+    * errors for non-foldable or NULL inputs instead of an opaque NPE.
+    */
+  private def literalString(fn: String, arg: String, e: Expression): String = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal string (got non-foldable ${e.sql})")
+    e.eval(null) match {
+      case null => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal string (got NULL)")
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a literal string (got $other)")
     }
   }
 

@@ -67,6 +67,33 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("literal guards reject fractional knobs, NULL schemas, non-foldables") {
+    GraftFunctions.register(spark)
+    spark.range(10)
+      .selectExpr("CAST(id AS STRING) AS v").createOrReplaceTempView("lk")
+    // fractional literal must NOT silently truncate to k=2
+    val frac = intercept[Exception] {
+      spark.sql("SELECT graft_kmv_agg(graft_hash61(v), 2.9) FROM lk").collect()
+    }
+    assert(frac.getMessage.contains("literal integer"), frac.getMessage)
+    // non-foldable knob
+    val nf = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_kmv_agg(graft_hash61(v), length(v)) FROM lk GROUP BY v")
+        .collect()
+    }
+    assert(nf.getMessage.contains("literal integer"), nf.getMessage)
+    // NULL schema argument: clear error, not an NPE
+    val ns = intercept[Exception] {
+      spark.sql("SELECT graft_from_avro(CAST(v AS BINARY), CAST(NULL AS STRING)) FROM lk")
+        .collect()
+    }
+    assert(ns.getMessage.contains("literal string"), ns.getMessage)
+    // integral literals still work (LONG literal within Int range)
+    assert(spark.sql("SELECT graft_kmv_agg(graft_hash61(v), CAST(4 AS BIGINT)) AS s FROM lk")
+      .collect().head.getAs[Seq[Long]]("s").size === 4)
+  }
+
   test("extensions class registers the same surface") {
     // applying the extensions object to a builder is exercised at
     // session construction; here we assert the builder set is complete

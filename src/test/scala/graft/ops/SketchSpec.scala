@@ -323,6 +323,33 @@ class SketchSpec extends SparkSpec {
     assert(onePass === twoStep)
   }
 
+  test("HllAgg skips NULL hash inputs (no fold as h=0)") {
+    val df = spark.range(30000).select((col("id") % 3).cast("string").as("g"),
+      col("id").cast("string").as("v"))
+    def agg(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy("g").agg(Sketch.hllAgg(col("hx")).as("s"))
+      .as[(String, Long)].collect().toMap
+    val clean = agg(df
+      .select(col("g"), graft.functions.HashFns.hash61(col("v")).as("hx")))
+    // inject NULL hashes on a third of the rows, plus all-NULL extra rows
+    val withNulls = df
+      .select(col("g"),
+        when(col("v").cast("long") % 5 === 0, lit(null).cast("long"))
+          .otherwise(graft.functions.HashFns.hash61(col("v"))).as("hx"))
+      .union(df.limit(500).select(col("g"), lit(null).cast("long").as("hx")))
+    val cleanSubset = agg(df.where(col("v").cast("long") % 5 =!= 0)
+      .select(col("g"), graft.functions.HashFns.hash61(col("v")).as("hx")))
+    // NULL rows contribute nothing: result equals the NULL-free subset...
+    assert(agg(withNulls) === cleanSubset)
+    // ...and matches the two-step column construction on that subset
+    val twoStep = Sketch.hllDistinct(
+      df.where(col("v").cast("long") % 5 =!= 0), Seq("g"), col("v"))
+      .select("g", "hll_reg_sum").as[(String, Long)].collect().toMap
+    assert(cleanSubset === twoStep)
+    // sanity: the injected NULLs did change the input (different from clean)
+    assert(agg(withNulls) !== clean)
+  }
+
   test("HllAgg is partition-invariant and idempotent under duplicates") {
     val df = spark.range(20000).select(lit("k").as("g"),
       (col("id") % 5000).cast("string").as("v"))
