@@ -407,6 +407,7 @@ object OracleSql {
     "q102_kmv_windowed" -> Gen.kmvWindowedSql,
     "q103_cms_agg" -> Gen.cmsAggSql,
     "q104_kmv_matrix" -> Gen.kmvMatrixSql,
+    "q105_kmv_setops" -> Gen.kmvSetOpsSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1681,6 +1682,67 @@ object OracleSql {
          |  CAST(COALESCE(iv.ni, 0) AS BIGINT) AS n_inter,
          |  CAST(na + nb - COALESCE(iv.ni, 0) AS BIGINT) AS n_union
          |FROM j LEFT JOIN iv ON j.lang_a = iv.ia AND j.lang_b = iv.ib
+         |ORDER BY 1, 2""".stripMargin
+    }
+
+    /** Twin of q105_kmv_setops: q94's sketch/pair construction plus
+      * the set-operation readback — membership counts for ∩ / A∖B /
+      * B∖A via list_filter over the union sample, and the exact-integer
+      * estimate arithmetic mirrored operation for operation (HUGEINT
+      * literal // greatest(kth, 1), then count · that // k, CAST to
+      * BIGINT — same order as Sketch.kmvSetOpStats, so the integer
+      * divisions round identically by construction). Exact anchors
+      * (n_inter and the two differences) come from the same
+      * distinct-hash set.
+      */
+    def kmvSetOpsSql: String = {
+      val k = 256
+      val num = s"CAST('${graft.ops.Sketch.kmvEstNumX10(k)}' AS HUGEINT)"
+      val uEst = s"$num // greatest(u_kth, CAST(1 AS BIGINT))"
+      def scaled(cnt: String) =
+        s"CAST(CASE WHEN u_n < $k THEN $cnt * 10 " +
+          s"ELSE ($cnt * ($uEst)) // $k END AS BIGINT)"
+      s"""WITH wd AS (SELECT lang, ${tokensE("text")} AS w FROM documents),
+         |sh0 AS (SELECT lang, unnest(${shinglesE("w", 3)}) AS s FROM wd),
+         |hx AS (SELECT DISTINCT lang, ${duckHash61("s")} AS h FROM sh0),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |      FROM hx),
+         |sk AS (SELECT lang, list(h ORDER BY h) AS kmv
+         |       FROM r WHERE rn <= $k GROUP BY lang),
+         |n AS (SELECT lang, count(*) AS n FROM hx GROUP BY lang),
+         |iv AS (SELECT l.lang AS ia, r2.lang AS ib, count(*) AS ni
+         |       FROM hx l JOIN hx r2
+         |         ON l.h = r2.h AND l.lang < r2.lang GROUP BY 1, 2),
+         |pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |         a.kmv AS kmv_a, b.kmv AS kmv_b, na.n AS na, nb.n AS nb
+         |       FROM sk a JOIN sk b ON a.lang < b.lang
+         |       JOIN n na ON na.lang = a.lang
+         |       JOIN n nb ON nb.lang = b.lang),
+         |j AS (SELECT lang_a, lang_b, na, nb, kmv_a, kmv_b,
+         |        list_sort(list_distinct(list_concat(kmv_a, kmv_b)))[1:$k] AS u
+         |      FROM pr),
+         |m AS (SELECT lang_a, lang_b, na, nb,
+         |        CAST(len(u) AS BIGINT) AS u_n,
+         |        list_extract(u, len(u)) AS u_kth,
+         |        CAST(len(list_filter(u, x -> list_contains(kmv_a, x)
+         |          AND list_contains(kmv_b, x))) AS BIGINT) AS kmv_match,
+         |        CAST(len(list_filter(u, x -> list_contains(kmv_a, x)
+         |          AND NOT list_contains(kmv_b, x))) AS BIGINT) AS kmv_a_only,
+         |        CAST(len(list_filter(u, x -> list_contains(kmv_b, x)
+         |          AND NOT list_contains(kmv_a, x))) AS BIGINT) AS kmv_b_only
+         |      FROM j)
+         |SELECT m.lang_a, m.lang_b, m.kmv_match, m.kmv_a_only, m.kmv_b_only,
+         |  m.u_n AS kmv_denom,
+         |  CAST(CASE WHEN u_n < $k THEN u_n * 10 ELSE $uEst END AS BIGINT)
+         |    AS union_est_x10,
+         |  ${scaled("kmv_match")} AS inter_est_x10,
+         |  ${scaled("kmv_a_only")} AS a_only_est_x10,
+         |  ${scaled("kmv_b_only")} AS b_only_est_x10,
+         |  CAST(COALESCE(iv.ni, 0) AS BIGINT) AS n_inter,
+         |  CAST(m.na - COALESCE(iv.ni, 0) AS BIGINT) AS n_a_only,
+         |  CAST(m.nb - COALESCE(iv.ni, 0) AS BIGINT) AS n_b_only
+         |FROM m LEFT JOIN iv ON m.lang_a = iv.ia AND m.lang_b = iv.ib
          |ORDER BY 1, 2""".stripMargin
     }
 

@@ -1635,6 +1635,51 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Sketch-level SET ALGEBRA per language pair: intersection and
+    * both one-sided differences estimated from the KMV sketches alone
+    * ([[graft.ops.Sketch.kmvSetOpStats]]) — the reading HLL registers
+    * can never express (HLL merges by max, so it unions but cannot
+    * subtract; KMV's union sample supports ∩ / A∖B / B∖A directly).
+    * Exact anchors ride along from the same distinct-hash pass
+    * (n_inter via self-join; differences by arithmetic), so the
+    * estimator is pinned to ground truth in the same row. Integer
+    * surface end to end: estimates are count · (NumX10 div h_(k))
+    * div k — exact integer products and divisions, no float anywhere.
+    * At 100 TB only the sketch path survives: S langs cost S
+    * constant-size sketches plus O(S²) broadcast pair rows.
+    */
+  val q105_kmv_setops: Q = (s, d) => {
+    val k = 256
+    val hx = Tables.documents(s, d)
+      .select(col("lang"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
+      .select(col("lang"), HashFns.hash61(col("sh")).as("x")).distinct()
+    val n = hx.groupBy("lang").agg(count(lit(1)).as("n"))
+    val skn = Sketch.kmvFromHashes(hx, Seq("lang"), col("x"), k).join(n, "lang")
+    val a = skn.select(col("lang").as("lang_a"), col("kmv").as("kmv_a"),
+      col("n").as("na"))
+    val b = skn.select(col("lang").as("lang_b"), col("kmv").as("kmv_b"),
+      col("n").as("nb"))
+    val inter = hx.as("l")
+      .join(hx.as("r"), col("l.x") === col("r.x") && col("l.lang") < col("r.lang"))
+      .groupBy(col("l.lang").as("ia"), col("r.lang").as("ib"))
+      .agg(count(lit(1)).as("ni"))
+    // 5-row sketch table: broadcast inequality self-join is intended
+    val pairs = a.join(broadcast(b), col("lang_a") < col("lang_b"))
+    Sketch.kmvSetOpStats(pairs, k)
+      .join(broadcast(inter),
+        col("lang_a") === col("ia") && col("lang_b") === col("ib"), "left")
+      .withColumn("n_inter", coalesce(col("ni"), lit(0L)))
+      .select(col("lang_a"), col("lang_b"),
+        col("kmv_match"), col("kmv_a_only"), col("kmv_b_only"),
+        col("u_n").as("kmv_denom"),
+        col("union_est_x10"), col("inter_est_x10"),
+        col("a_only_est_x10"), col("b_only_est_x10"),
+        col("n_inter"),
+        (col("na") - col("n_inter")).as("n_a_only"),
+        (col("nb") - col("n_inter")).as("n_b_only"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1740,5 +1785,6 @@ object Queries {
     "q101_hll_windowed" -> q101_hll_windowed,
     "q102_kmv_windowed" -> q102_kmv_windowed,
     "q103_cms_agg" -> q103_cms_agg,
-    "q104_kmv_matrix" -> q104_kmv_matrix)
+    "q104_kmv_matrix" -> q104_kmv_matrix,
+    "q105_kmv_setops" -> q105_kmv_setops)
 }

@@ -378,6 +378,54 @@ object Sketch {
     size(filter(u, e => array_contains(a, e) && array_contains(b, e)))
       .cast("bigint")
 
+  /** |U ∩ A ∖ B|: of the union-sample hashes, how many sit in sketch A
+    * but not sketch B. With U = [[kmvUnionK]](a, b, k) this is the
+    * difference-estimator counterpart of [[kmvMatchCount]] (Beyer et
+    * al. 2007): U is a uniform sample of the union's distinct hashes,
+    * and "in A only" is readable from the sketches alone, so
+    * only/|U| · |A∪B| estimates |A ∖ B| — the set-algebra reading HLL
+    * registers cannot express (HLL unions but never subtracts).
+    */
+  def kmvOnlyCount(u: Column, a: Column, b: Column): Column =
+    size(filter(u, e => array_contains(a, e) && !array_contains(b, e)))
+      .cast("bigint")
+
+  /** Full set-operation readback over a pair table carrying `kmv_a` /
+    * `kmv_b` sketch columns: appends the union sample (size + k-th
+    * order statistic), the three membership counts (∩, A∖B, B∖A), and
+    * exact-integer estimates ×10 of |A∪B|, |A∩B|, |A∖B|, |B∖A|.
+    *
+    * The estimate arithmetic is integer end to end, mirroring
+    * [[kmvStats]]: when the union sample holds fewer than k hashes it
+    * IS the union (counts are exact, est = count·10); at k, Û·10 =
+    * [[kmvEstNumX10]] div h_(k), and each subset estimate is
+    * count · Û·10 div k — products of exact integers under integer
+    * division, bit-identical on any engine. Per pair this is O(k)
+    * array work on one row; an S-source profile costs O(S²·k)
+    * driver-free work regardless of corpus size.
+    */
+  def kmvSetOpStats(pairs: DataFrame, k: Int): DataFrame = {
+    val num = s"CAST('${kmvEstNumX10(k)}' AS DECIMAL(38,0))"
+    val uEst = s"$num div greatest(u_kth, CAST(1 AS BIGINT))"
+    def scaled(cnt: String) =
+      s"CAST(CASE WHEN u_n < $k THEN $cnt * 10 " +
+        s"ELSE ($cnt * ($uEst)) div $k END AS BIGINT)"
+    val u = kmvUnionK(col("kmv_a"), col("kmv_b"), k)
+    pairs
+      .withColumn("u", u)
+      .withColumn("u_n", size(col("u")).cast("bigint"))
+      .withColumn("u_kth", element_at(col("u"), size(col("u"))))
+      .withColumn("kmv_match", kmvMatchCount(col("u"), col("kmv_a"), col("kmv_b")))
+      .withColumn("kmv_a_only", kmvOnlyCount(col("u"), col("kmv_a"), col("kmv_b")))
+      .withColumn("kmv_b_only", kmvOnlyCount(col("u"), col("kmv_b"), col("kmv_a")))
+      .withColumn("union_est_x10",
+        expr(s"CAST(CASE WHEN u_n < $k THEN u_n * 10 ELSE $uEst END AS BIGINT)"))
+      .withColumn("inter_est_x10", expr(scaled("kmv_match")))
+      .withColumn("a_only_est_x10", expr(scaled("kmv_a_only")))
+      .withColumn("b_only_est_x10", expr(scaled("kmv_b_only")))
+      .drop("u")
+  }
+
   /** Readback of a KMV sketch column into the oracle-exact surface:
     * kmv_n BIGINT (values held, = min(k, distinct hashes)), kmv_kth
     * BIGINT (the largest held value — the k-th order statistic when

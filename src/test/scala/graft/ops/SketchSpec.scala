@@ -294,6 +294,37 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(m.toDouble / d - 1.0 / 3) < 0.20, s"est ${m.toDouble / d}")
   }
 
+  test("KMV set ops: exact when the union fits in k; near-truth when sketched") {
+    // A = {0..999}, B = {500..1499}: |∩|=500, |A∖B|=500, |B∖A|=500, |∪|=1500
+    def set(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(lit("k").as("k"), col("id").cast("string").as("v"))
+    def pair(k: Int) = Sketch.kmvSketch(set(0, 1000), Seq("k"), col("v"), k)
+      .select(col("kmv").as("kmv_a"))
+      .crossJoin(Sketch.kmvSketch(set(500, 1500), Seq("k"), col("v"), k)
+        .select(col("kmv").as("kmv_b")))
+    // k=4096 holds the whole union: counts and estimates are EXACT
+    val exact = Sketch.kmvSetOpStats(pair(4096), 4096)
+      .select("kmv_match", "kmv_a_only", "kmv_b_only", "u_n",
+        "union_est_x10", "inter_est_x10", "a_only_est_x10", "b_only_est_x10")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(exact === ((500L, 500L, 500L, 1500L, 15000L, 5000L, 5000L, 5000L)))
+    // k=128: each estimate lands within sampling error of the truth
+    val est = Sketch.kmvSetOpStats(pair(128), 128)
+      .select("union_est_x10", "inter_est_x10", "a_only_est_x10", "b_only_est_x10")
+      .as[(Long, Long, Long, Long)].collect().head
+    val (u, i, ao, bo) =
+      (est._1 / 10.0, est._2 / 10.0, est._3 / 10.0, est._4 / 10.0)
+    assert(math.abs(u - 1500) / 1500.0 < 0.25, s"union $u")
+    assert(math.abs(i - 500) / 500.0 < 0.45, s"inter $i")
+    assert(math.abs(ao - 500) / 500.0 < 0.45, s"a_only $ao")
+    assert(math.abs(bo - 500) / 500.0 < 0.45, s"b_only $bo")
+    // the three membership counts tile the union sample exactly
+    val parts = Sketch.kmvSetOpStats(pair(128), 128)
+      .select("kmv_match", "kmv_a_only", "kmv_b_only", "u_n")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(parts._1 + parts._2 + parts._3 === parts._4)
+  }
+
   test("keyed histogram: per-key merge equals single-pass; quantiles are per-key") {
     // two keys, each holding 0..499 once: 5 bins of 100 per key
     val vals = spark.range(1000).select(
