@@ -408,6 +408,7 @@ object OracleSql {
     "q103_cms_agg" -> Gen.cmsAggSql,
     "q104_kmv_matrix" -> Gen.kmvMatrixSql,
     "q105_kmv_setops" -> Gen.kmvSetOpsSql,
+    "q106_lm_surprisal" -> Gen.lmSurprisalSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1744,6 +1745,42 @@ object OracleSql {
          |  CAST(m.nb - COALESCE(iv.ni, 0) AS BIGINT) AS n_b_only
          |FROM m LEFT JOIN iv ON m.lang_a = iv.ia AND m.lang_b = iv.ib
          |ORDER BY 1, 2""".stripMargin
+    }
+
+    /** Twin of q106_lm_surprisal: same bigram counts (c2 over the
+      * 2-shingle string, c1 over the left token — parallel unnest of
+      * the two aligned lists zips them in DuckDB), same V, and the
+      * IDENTICAL generated Mitchell-log CASE expression
+      * (TextStats.mitchellE8Sql with DuckDB's `//` spelling of integer
+      * division — every other token of the expression is shared with
+      * the Spark plan, so the integer arithmetic cannot drift).
+      */
+    def lmSurprisalSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      s"""WITH wd AS (SELECT doc_id, lang, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+         |          unnest(${shinglesE("w", 2)}) AS bg
+         |        FROM wd WHERE len(w) >= 2),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM bgl GROUP BY bg),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bgl GROUP BY w1),
+         |v AS (SELECT count(DISTINCT t) AS v
+         |      FROM (SELECT unnest(w) AS t FROM wd)),
+         |sc AS (SELECT b.doc_id,
+         |         ((c1.c1 + v.v) * CAST(${1L << shift} AS BIGINT))
+         |           // (c2.c2 + 1) AS q
+         |       FROM bgl b JOIN c2 ON b.bg = c2.bg
+         |       JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+         |m AS (SELECT doc_id, count(*) AS nb,
+         |        SUM($m8 - ${8 * shift}) AS s8
+         |      FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(COALESCE(m.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(m.s8, 0) AS BIGINT) AS surprisal_e8,
+         |  CAST((COALESCE(m.s8, 0) * 10)
+         |    // greatest(8 * COALESCE(m.nb, 0), 1) AS BIGINT) AS avg_bits_x10
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     }
 
     /** Twin of q95_hist_by_lang: single-pass per-lang fixed-bin

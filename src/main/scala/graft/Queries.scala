@@ -3,7 +3,7 @@ package graft
 import graft.dedup.{Curation, Dedup}
 import graft.formats.{AvroCodec, ConfluentEnvelope, ProtoCodec}
 import graft.functions.{HashFns, TextFns, VectorFns}
-import graft.ops.{Mixture, Ops, Pipeline, Scale, Sharding, Sketch}
+import graft.ops.{Mixture, Ops, Pipeline, Scale, Sharding, Sketch, TextStats}
 import graft.sim.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1680,6 +1680,20 @@ object Queries {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** Corpus-trained bigram LM surprisal per document
+    * ([[graft.ops.TextStats.lmSurprisal]]) — the CCNet-style
+    * "improbable under the corpus's own statistics" quality signal,
+    * with the float perplexity replaced by Mitchell's integer log2
+    * approximation in eighth-bit units so the entire surface is
+    * oracle-hashable (no engine log/exp anywhere). The classic
+    * distributed LM shape: bigram explode → two count aggregations →
+    * re-join by key — all map-side-partial hash aggs and key joins
+    * that survive a 100 TB corpus; V broadcast as one row.
+    */
+  val q106_lm_surprisal: Q = (s, d) =>
+    TextStats.lmSurprisal(Tables.documents(s, d), "doc_id", "text", Seq("lang"))
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1786,5 +1800,6 @@ object Queries {
     "q102_kmv_windowed" -> q102_kmv_windowed,
     "q103_cms_agg" -> q103_cms_agg,
     "q104_kmv_matrix" -> q104_kmv_matrix,
-    "q105_kmv_setops" -> q105_kmv_setops)
+    "q105_kmv_setops" -> q105_kmv_setops,
+    "q106_lm_surprisal" -> q106_lm_surprisal)
 }

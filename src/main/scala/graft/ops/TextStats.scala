@@ -64,4 +64,108 @@ object TextStats {
           .otherwise(col("top_chars").cast("double") / col("n_chars")), 6)
           .as("top_ngram_char_frac"))
   }
+
+  // ------------------------------------------------------------------ //
+  // Integer-exact n-gram LM surprisal (CCNet-style quality scoring)    //
+  // ------------------------------------------------------------------ //
+
+  /** Scale shift for the surprisal ratio: q = ((c1+V) << SHIFT) div
+    * (c2+1), so one integer carries ~6 decimal digits of the ratio.
+    */
+  final val LmShift = 20
+
+  /** floor(log2(q)) for q in [2^20, 2^63) as an explicit threshold
+    * CASE — NO engine log/bin function anywhere, so the value (and its
+    * output format) cannot drift between Spark and the oracle engine.
+    * Kept as a generated SQL string so the Spark plan and the DuckDB
+    * twin evaluate the IDENTICAL expression.
+    */
+  def floorLog2CaseSql(qE: String): String =
+    "(CASE " + (62 to LmShift by -1)
+      .map(i => s"WHEN $qE >= ${1L << i} THEN $i").mkString(" ") +
+      s" ELSE ${LmShift} END)"
+
+  /** 2^floor(log2(q)) by the same threshold CASE (literal values — no
+    * shift-by-column, whose typing differs across engines).
+    */
+  def pow2FloorCaseSql(qE: String): String =
+    "(CASE " + (62 to LmShift by -1)
+      .map(i => s"WHEN $qE >= ${1L << i} THEN CAST(${1L << i} AS BIGINT)")
+      .mkString(" ") + s" ELSE CAST(${1L << LmShift} AS BIGINT) END)"
+
+  /** Mitchell's logarithm approximation (Mitchell 1962) in EIGHTH-bit
+    * units, integer end to end: with e = floor(log2 q) and p = 2^e,
+    * m8(q) = 8e + (q − p)·8 div p — log2 with linear interpolation
+    * between powers of two, monotone, max error ~0.086 bit. Exact
+    * integer products and divisions, so it is bit-identical on any
+    * engine — the same no-float discipline as the sketch estimates.
+    * Only the integer-division SPELLING differs per engine (`div` in
+    * Spark SQL, `//` in DuckDB) — pass `divOp` accordingly; every
+    * other token of the generated expression is shared.
+    */
+  def mitchellE8Sql(qE: String, divOp: String = "div"): String = {
+    val e = floorLog2CaseSql(qE)
+    val p = pow2FloorCaseSql(qE)
+    s"(8 * $e + (($qE - $p) * 8) $divOp $p)"
+  }
+
+  /** Corpus-trained bigram language-model surprisal per document —
+    * the LM-quality signal of a CCNet-style filtering stage (Wenzek et
+    * al. 2020), with the float perplexity replaced by an integer-exact
+    * surrogate so the whole surface is oracle-hashable:
+    *
+    * p(w2|w1) = (c2+1)/(c1+V)  (add-one smoothing; c2 = corpus bigram
+    * count, c1 = corpus left-context count, V = vocabulary size), and
+    * per-bigram surprisal −log2 p ≈ (m8(q) − 8·SHIFT)/8 bits with
+    * q = ((c1+V) << SHIFT) div (c2+1) and m8 = [[mitchellE8Sql]].
+    * c1+V ≥ c2+1 always (every bigram occurrence contributes its left
+    * token to c1), so q ≥ 2^SHIFT and surprisal is ≥ 0.
+    *
+    * Returns one row per input doc: (idCol, carry..., n_bigrams,
+    * surprisal_e8 = Σ per-bigram eighth-bits, avg_bits_x10 =
+    * 10·surprisal_e8 div (8·n_bigrams)) — high average surprisal =
+    * improbable text under the corpus's own statistics = the cut
+    * candidate. Docs with < 2 tokens emit (0, 0, 0).
+    *
+    * Scale shape: the classic distributed LM-count job — one scan
+    * explodes bigrams (map-side), c2/c1 are hash aggregations on the
+    * bigram/token string with map-side partials, scoring re-joins the
+    * bigram stream to the two count tables by key (sort-merge at 100 TB
+    * corpus scale; Catalyst broadcasts them when small), V rides in as
+    * a broadcast single-row cross join. No driver-side state, no
+    * window, nothing unbounded per key.
+    */
+  def lmSurprisal(df: DataFrame, idCol: String,
+                  textCol: String, carry: Seq[String] = Seq.empty): DataFrame = {
+    val toks = df.select(col(idCol).as("__id") +: carry.map(col) :+
+      TextFns.tokens(col(textCol)).as("w"): _*)
+    // (id, w1, bg) rows; docs with < 2 tokens contribute none
+    val bg = toks
+      .where(size(col("w")) >= 2)
+      .select(col("__id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("z"))
+      .select(col("__id"), col("z.w1").as("w1"), col("z.bg").as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("w")).as("t")).agg(
+      countDistinct(col("t")).as("v"))
+    val scored = bg
+      .join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
+      .withColumn("q",
+        expr(s"((c1 + v) * CAST(${1L << LmShift} AS BIGINT)) div (c2 + 1)"))
+      .withColumn("m8", expr(mitchellE8Sql("q")))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"m8 - ${8 * LmShift}")).as("surprisal_e8"))
+    toks.select((col("__id") +: carry.map(col)): _*)
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol) +: carry.map(col) :+
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams") :+
+        coalesce(col("surprisal_e8"), lit(0L)).as("surprisal_e8"): _*)
+      .withColumn("avg_bits_x10",
+        expr("(surprisal_e8 * 10) div greatest(8 * n_bigrams, CAST(1 AS BIGINT))"))
+  }
 }

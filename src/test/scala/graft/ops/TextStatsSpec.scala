@@ -24,6 +24,31 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L)._4 === 1.0)                     // whole-text shingle covers all chars
   }
 
+  test("LM surprisal: hand-computed bigram counts, Mitchell eighth-bits") {
+    // corpus: c2("a b")=3, c2("b a")=1, c1(a)=3, c1(b)=1, V=3 ({a,b,c})
+    val docs = Seq(
+      (1L, "en", "a b a b"),  // bigrams (a b),(b a),(a b)
+      (2L, "en", "a b"),      // (a b)
+      (3L, "de", "c")         // < 2 tokens: (0, 0, 0)
+    ).toDF("doc_id", "lang", "text")
+    val out = TextStats.lmSurprisal(docs, "doc_id", "text", Seq("lang"))
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "a b": q = (3+3)·2^20 div (3+1) = 1.5·2^20 → e=20, frac8=4 → 4 e8
+    //   (true −log2(4/6) = 0.585 bits; Mitchell 0.5)
+    // "b a": q = (1+3)·2^20 div (1+1) = 2·2^20 → e=21, frac8=0 → 8 e8
+    //   (true −log2(2/4) = 1 bit exactly; Mitchell exact at powers of 2)
+    assert(out(1L) === ((1L, "en", 3L, 16L, 6L)))  // (16·10) div 24 = 6
+    assert(out(2L) === ((2L, "en", 1L, 4L, 5L)))   // (4·10) div 8 = 5
+    assert(out(3L) === ((3L, "de", 0L, 0L, 0L)))
+    // surprisal is non-negative by construction (c1+V ≥ c2+1)
+    val rnd = spark.range(200).selectExpr("id AS doc_id", "'en' AS lang",
+      "concat('w', CAST(id % 7 AS STRING), ' w', CAST(id % 3 AS STRING), " +
+        "' w', CAST(id % 11 AS STRING)) AS text")
+    val all = TextStats.lmSurprisal(rnd, "doc_id", "text")
+      .select("surprisal_e8").as[Long].collect()
+    assert(all.forall(_ >= 0L))
+  }
+
   test("mixture sampling: rates honored exactly by the hash rule") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "xx")).toDF("id", "grp")
