@@ -409,6 +409,7 @@ object OracleSql {
     "q104_kmv_matrix" -> Gen.kmvMatrixSql,
     "q105_kmv_setops" -> Gen.kmvSetOpsSql,
     "q106_lm_surprisal" -> Gen.lmSurprisalSql,
+    "q107_zorder_stats" -> Gen.zorderStatsSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1781,6 +1782,22 @@ object OracleSql {
          |    // greatest(8 * COALESCE(m.nb, 0), 1) AS BIGINT) AS avg_bits_x10
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    }
+
+    /** Twin of q107_zorder_stats: the IDENTICAL generated Morton
+      * interleave (Layout.zValueSql — same bit positions and masks as
+      * the Column form, `+` over disjoint bits), same 14-bit bucket
+      * shift, min/max of both dimensions per bucket.
+      */
+    def zorderStatsSql: String = {
+      val z = graft.ops.Layout.zValueSql(Seq("x", "y"), 10)
+      s"""WITH b AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+         |           FROM lineitem),
+         |zt AS (SELECT x, y, $z AS z FROM b)
+         |SELECT z >> 14 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+         |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+         |FROM zt GROUP BY 1 ORDER BY bucket""".stripMargin
     }
 
     /** Twin of q95_hist_by_lang: single-pass per-lang fixed-bin

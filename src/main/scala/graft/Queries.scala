@@ -1694,6 +1694,28 @@ object Queries {
     TextStats.lmSurprisal(Tables.documents(s, d), "doc_id", "text", Seq("lang"))
       .orderBy("doc_id")
 
+  /** Z-order (Morton) clustering readback
+    * ([[graft.ops.Layout.zValue]]): lineitem's (partkey, suppkey)
+    * quantized to 10 bits each and interleaved; per 14-bit z-range
+    * bucket, the count plus min/max of BOTH dimensions — showing each
+    * contiguous z-range covers a bounded rectangle of both keys at
+    * once, which is exactly why `writeZOrdered`'s parquet min/max
+    * stats prune scans filtered on EITHER dimension at 100 TB. Pure
+    * literal bit arithmetic (oracle-exact), one map-side projection +
+    * one 64-group aggregation.
+    */
+  val q107_zorder_stats: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      pmod(col("l_partkey"), lit(1024L)).as("x"),
+      pmod(col("l_suppkey"), lit(1024L)).as("y"))
+    li.withColumn("z", graft.ops.Layout.zValue(Seq(col("x"), col("y")), 10))
+      .groupBy(shiftright(col("z"), 14).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("bucket")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1801,5 +1823,6 @@ object Queries {
     "q103_cms_agg" -> q103_cms_agg,
     "q104_kmv_matrix" -> q104_kmv_matrix,
     "q105_kmv_setops" -> q105_kmv_setops,
-    "q106_lm_surprisal" -> q106_lm_surprisal)
+    "q106_lm_surprisal" -> q106_lm_surprisal,
+    "q107_zorder_stats" -> q107_zorder_stats)
 }

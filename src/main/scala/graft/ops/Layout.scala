@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Output-layout control — at 100 TB the shape of what you WRITE decides
@@ -51,4 +51,58 @@ object Layout {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  // ------------------------------------------------------------------ //
+  // Z-order (Morton) clustering                                        //
+  // ------------------------------------------------------------------ //
+
+  /** Morton/Z-curve interleave of D dimension columns, `bits` bits
+    * each: bit i of dimension d lands at position i·D + d. Inputs must
+    * already be non-negative integers < 2^bits (quantize upstream —
+    * modulo, bucketing, or rank). D·bits ≤ 62.
+    *
+    * Why this exists: at 100 TB, sorting by ONE column clusters scans
+    * on that column only; range-partitioning by the z-value clusters
+    * on ALL interleaved dimensions at once, so parquet min/max file
+    * stats prune a scan filtered on ANY of them — the Delta/Iceberg
+    * OPTIMIZE ZORDER capability, Spark-native. Pure literal shifts and
+    * masks, codegen-friendly, no shuffle of its own.
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.size
+    require(d >= 1 && d * bits <= 62, s"d=$d bits=$bits out of range")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** DuckDB-twin emitter of [[zValue]] — kept side by side so the bit
+    * arithmetic cannot drift (same positions, same masks; `+` instead
+    * of `|` is sound because the terms occupy disjoint bits).
+    */
+  def zValueSql(colEs: Seq[String], bits: Int): String = {
+    val d = colEs.size
+    (for {
+      i <- 0 until bits
+      (c, j) <- colEs.zipWithIndex
+    } yield s"((($c >> $i) & 1) << ${i * d + j})").mkString("(", " + ", ")")
+  }
+
+  /** Write `df` as parquet range-partitioned AND sorted by the z-value
+    * of `zCols`: `numFiles` contiguous z-ranges, each file covering a
+    * bounded hyper-rectangle of every interleaved dimension, so
+    * min/max stats prune on any of them.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[Column],
+                    bits: Int, numFiles: Int,
+                    maxRecordsPerFile: Long = Long.MaxValue): Unit =
+    df.withColumn("__z", zValue(zCols, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
 }

@@ -56,6 +56,51 @@ class LayoutSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq === Seq("grp", "id", "payload"))
   }
 
+  test("zValue: hand-computed Morton interleave; round-trippable bit layout") {
+    // reference interleave computed in plain Scala
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L), (512L, 7L))
+    val got = pts.toDF("x", "y")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 10))
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(x, y, 10), s"($x, $y)")
+    }
+    // the DuckDB emitter targets the same bit positions as the Column
+    // form: every shift amount 0..19 appears exactly once
+    val sql = Layout.zValueSql(Seq("x", "y"), 10)
+    val shifts = "<< (\\d+)\\)".r.findAllMatchIn(sql).map(_.group(1).toInt).toList
+    assert(shifts.sorted === (0 until 20).toList)
+  }
+
+  test("writeZOrdered: each file covers a bounded rectangle of BOTH dims") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // uniform 2-D grid: 64 × 64 points, both dims 0..1023 globally
+    val df = spark.range(4096).select(
+      ((col("id") % 64) * 16).as("x"), ((col("id") / 64).cast("long") * 16).as("y"))
+    Layout.writeZOrdered(df, out, Seq(col("x"), col("y")), bits = 10, numFiles = 16)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(perFile.length >= 8)
+    // a linear sort on x alone would leave y unbounded (range 1008) in
+    // every file; z-ordering bounds the AREA: each file's rectangle
+    // must cover well under the full 1008×1008 square, on average
+    // ~1/numFiles of it
+    val areas = perFile.map { case (_, x0, x1, y0, y1) =>
+      (x1 - x0 + 16).toDouble * (y1 - y0 + 16).toDouble }
+    val full = 1024.0 * 1024.0
+    assert(areas.max <= full / 2, s"worst file covers ${areas.max / full} of the plane")
+    assert(areas.sum / areas.length <= full / 4,
+      s"mean coverage ${areas.sum / areas.length / full}")
+    // roundtrip intact
+    assert(spark.read.parquet(out).count() === 4096)
+  }
+
   test("writeSized spread tolerates unhashable map columns") {
     val out = java.nio.file.Files.createTempDirectory("graft-layout-map").toString
     val df = (0 until 50).map(i => (i.toLong, Map("k" -> s"v$i"), "g"))
