@@ -184,7 +184,11 @@ object Bench {
       "q87_bloom_contamination", "q88_cms_topk", "q89_bloom_flag",
       "q90_kmv_distinct", "q91_kmv_merge", "q92_hist_quantiles",
       "q93_minhash_sources", "q94_kmv_jaccard", "q95_hist_by_lang",
-      "q96_multi_bloom", "q97_cms_by_lang")
+      "q96_multi_bloom", "q97_cms_by_lang", "q98_topk_shards",
+      "q99_priority_sample", "q100_priority_by_lang", "q101_hll_windowed",
+      "q102_kmv_windowed", "q103_cms_agg", "q104_kmv_matrix",
+      "q105_kmv_setops", "q106_lm_surprisal", "q107_zorder_stats",
+      "q108_sq_ann")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

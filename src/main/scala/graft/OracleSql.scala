@@ -410,6 +410,7 @@ object OracleSql {
     "q105_kmv_setops" -> Gen.kmvSetOpsSql,
     "q106_lm_surprisal" -> Gen.lmSurprisalSql,
     "q107_zorder_stats" -> Gen.zorderStatsSql,
+    "q108_sq_ann" -> Gen.sqAnnSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1799,6 +1800,34 @@ object OracleSql {
          |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
          |FROM zt GROUP BY 1 ORDER BY bucket""".stripMargin
     }
+
+    /** Twin of q108_sq_ann: identical per-dimension max-abs scales
+      * (max is order-free; FLOAT → DOUBLE widening is exact, so both
+      * engines see the same scale values), identical floor(x·127/s)
+      * quantization, and an integer dot product — the only float ops
+      * are the per-element multiply/divide, evaluated in the same
+      * IEEE double order on both engines; the SUM is integer.
+      */
+    def sqAnnSql: String =
+      s"""WITH ex AS (SELECT vec_id,
+         |        unnest([{'pos': i, 'x': embedding[i]}
+         |                for i in range(1, len(embedding)+1)]) AS u
+         |      FROM embeddings),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY u.pos),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT vec_id,
+         |         [CASE WHEN s[i] = 0 THEN 0
+         |               ELSE CAST(floor(embedding[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(embedding)+1)] AS qe
+         |       FROM embeddings CROSS JOIN sl),
+         |qv AS (SELECT qe AS qv FROM qz WHERE vec_id = 0)
+         |SELECT z.vec_id,
+         |  CAST(list_sum([z.qe[i] * qv.qv[i]
+         |                 for i in range(1, len(z.qe)+1)]) AS BIGINT) AS qdot
+         |FROM qz z CROSS JOIN qv
+         |WHERE z.vec_id <> 0
+         |ORDER BY qdot DESC, z.vec_id
+         |LIMIT 10""".stripMargin
 
     /** Twin of q95_hist_by_lang: single-pass per-lang fixed-bin
       * histogram (sum is associative, so it must equal Spark's merged

@@ -35,7 +35,16 @@ object PlanAudit {
     "q99_priority_sample",
     // 20-row per-source sketch table under an inequality self-join —
     // q93/q94's pairs-of-groups shape
-    "q104_kmv_matrix")
+    "q104_kmv_matrix",
+    // 5-row per-lang sketch pairs (q94's shape) + ONE-row broadcast V
+    // under the set-op readback
+    "q105_kmv_setops",
+    // ONE-row vocabulary size V cross-joined into the bigram scoring
+    // stream — broadcast scalar by design
+    "q106_lm_surprisal",
+    // ONE-row quantized query vector cross-joined into the scoring
+    // scan — q28's single-query-vector shape
+    "q108_sq_ann")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

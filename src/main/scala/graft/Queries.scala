@@ -1324,10 +1324,7 @@ object Queries {
     val agree = (0 until K)
       .map(j => when(col(s"a$j") === col(s"b$j"), lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val inter = sh.as("l")
-      .join(sh.as("r"), col("l.x") === col("r.x") && col("l.source") < col("r.source"))
-      .groupBy(col("l.source").as("ia"), col("r.source").as("ib"))
-      .agg(count(lit(1)).as("ni"))
+    val inter = Sketch.pairIntersections(sh, "source", "x")
     // 20-row signature table: broadcast inequality self-join (BNLJ) is
     // the intended plan — pairs of sources, not pairs of documents
     a.join(broadcast(b), col("src_a") < col("src_b"))
@@ -1365,10 +1362,7 @@ object Queries {
       col("n").as("na"))
     val b = skn.select(col("lang").as("lang_b"), col("kmv").as("kmv_b"),
       col("n").as("nb"))
-    val inter = hx.as("l")
-      .join(hx.as("r"), col("l.x") === col("r.x") && col("l.lang") < col("r.lang"))
-      .groupBy(col("l.lang").as("ia"), col("r.lang").as("ib"))
-      .agg(count(lit(1)).as("ni"))
+    val inter = Sketch.pairIntersections(hx, "lang", "x")
     val u = Sketch.kmvUnionK(col("kmv_a"), col("kmv_b"), k)
     // 5-row sketch table: broadcast inequality self-join (BNLJ) is the
     // intended plan — pairs of LANGUAGES, not pairs of documents
@@ -1659,10 +1653,7 @@ object Queries {
       col("n").as("na"))
     val b = skn.select(col("lang").as("lang_b"), col("kmv").as("kmv_b"),
       col("n").as("nb"))
-    val inter = hx.as("l")
-      .join(hx.as("r"), col("l.x") === col("r.x") && col("l.lang") < col("r.lang"))
-      .groupBy(col("l.lang").as("ia"), col("r.lang").as("ib"))
-      .agg(count(lit(1)).as("ni"))
+    val inter = Sketch.pairIntersections(hx, "lang", "x")
     // 5-row sketch table: broadcast inequality self-join is intended
     val pairs = a.join(broadcast(b), col("lang_a") < col("lang_b"))
     Sketch.kmvSetOpStats(pairs, k)
@@ -1714,6 +1705,27 @@ object Queries {
         min("x").as("x_min"), max("x").as("x_max"),
         min("y").as("y_min"), max("y").as("y_max"))
       .orderBy("bucket")
+  }
+
+  /** Int8 scalar-quantized ANN ([[graft.sim.Similarity.sqQuantize]]):
+    * q28's single-query top-10 re-ranked in the quantized space — the
+    * corpus compressed 4× (64 int8 codes per vector), the scoring an
+    * exact INTEGER dot product, so the whole surface is
+    * oracle-hashable with no float summation anywhere. The scales are
+    * a dim-sized bounded collect (one stats scan); at 100 TB the
+    * quantized table is what you cache/shuffle, not the floats.
+    */
+  val q108_sq_ann: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val scales = Similarity.sqScales(e, "embedding")
+    val eq = e.select(col("vec_id"),
+      Similarity.sqQuantize(col("embedding"), scales).as("qe"))
+    val qv = eq.where(col("vec_id") === 0).select(col("qe").as("qv"))
+    eq.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), Similarity.sqDot(col("qe"), col("qv")).as("qdot"))
+      .orderBy(desc("qdot"), col("vec_id"))
+      .limit(10)
   }
 
   /** All registered queries. */
@@ -1824,5 +1836,6 @@ object Queries {
     "q104_kmv_matrix" -> q104_kmv_matrix,
     "q105_kmv_setops" -> q105_kmv_setops,
     "q106_lm_surprisal" -> q106_lm_surprisal,
-    "q107_zorder_stats" -> q107_zorder_stats)
+    "q107_zorder_stats" -> q107_zorder_stats,
+    "q108_sq_ann" -> q108_sq_ann)
 }

@@ -48,9 +48,18 @@ object TextFns {
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]` for n-word windows.
     * Docs shorter than n shingle to the whole (trimmed) text so every
-    * document still has a non-empty signature.
+    * document still has a non-empty signature. Native one-pass
+    * expression ([[WordShingles]] — the hottest path in the catalog;
+    * the HOF construction it replaced paid an interpreted lambda +
+    * slice + join per window).
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column = WordShingles(text, n)
+
+  /** The `transform`/`slice`/`array_join` relational construction of
+    * [[shingles]] — kept as the independent cross-check
+    * [[WordShingles]] is differentially specced against.
+    */
+  def shinglesRelational(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array(array_join(t, " ")))
       .otherwise(transform(

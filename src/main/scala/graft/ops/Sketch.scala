@@ -317,22 +317,40 @@ object Sketch {
     * exactly, the incremental-profiling contract.
     */
   def kmvSketch(df: DataFrame, keyCols: Seq[String], value: Column,
-                k: Int): DataFrame = {
-    val keys = keyCols.map(col)
+                k: Int): DataFrame =
+    // no distinct() pass: the one-pass aggregate dedups internally, so
+    // the raw hash stream folds straight into ≤k-long buffers
     kmvFromHashes(
-      df.select(keys :+ HashFns.hash61(value).as("h"): _*).distinct(),
+      df.select(keyCols.map(col) :+ HashFns.hash61(value).as("h"): _*),
       keyCols, col("h"), k)
-  }
 
-  /** [[kmvSketch]] over an ALREADY-DISTINCT (keys..., hash) table — the
-    * shared-scan form: a caller that also needs the distinct hash set
-    * for other work (exact-Jaccard anchors, per-key distinct counts)
-    * builds it once and passes it here, so the corpus is shingled and
-    * hashed a single time and the distinct aggregation's exchange is
-    * reusable across every consumer of the same subtree.
+  /** [[kmvSketch]] over a pre-hashed (keys..., hash) table — the
+    * shared-scan form: a caller that also needs the hash set for other
+    * work (exact-Jaccard anchors, per-key distinct counts) builds it
+    * once and passes it here. ONE aggregation via
+    * [[graft.plans.KmvAggregate]]: map-side partial bottom-k buffers,
+    * at most k longs per (group, map partition) cross the shuffle —
+    * the `row_number` window construction this replaced shuffled EVERY
+    * distinct hash to one reducer per key to rank it, a per-key sort
+    * that cannot survive 100 TB key cardinality skew. Duplicates are
+    * folded inside the aggregate, so the input needs no distinct().
+    * Output bit-identical to the ranked form on any partitioning
+    * (bottom-k of a set is partition-invariant — `KmvAggSpec` pins the
+    * two constructions against each other).
     */
   def kmvFromHashes(hx: DataFrame, keyCols: Seq[String], hashCol: Column,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    hx.groupBy(keyCols.map(col): _*)
+      .agg(graft.plans.KmvAgg.kmv_sketch(hashCol, k).as("kmv"))
+
+  /** The relational `row_number`-window construction of
+    * [[kmvFromHashes]] — kept as the independent cross-check the
+    * aggregate is differentially specced against (and as the form an
+    * engine without imperative aggregates would run). Expects a
+    * DISTINCT (keys..., hash) input.
+    */
+  def kmvFromHashesRanked(hx: DataFrame, keyCols: Seq[String],
+                          hashCol: Column, k: Int): DataFrame = {
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(hashCol)
     hx.select(keys :+ hashCol.as("h") :+ row_number().over(w).as("rn"): _*)
@@ -377,6 +395,26 @@ object Sketch {
   def kmvMatchCount(u: Column, a: Column, b: Column): Column =
     size(filter(u, e => array_contains(a, e) && array_contains(b, e)))
       .cast("bigint")
+
+  /** Exact |A ∩ B| for every unordered key pair, from a DISTINCT
+    * (key, x) element table: group by element, collect the ≤S keys
+    * holding it (sorted), expand each row's C(|ks|, 2) pairs, count
+    * per pair. ONE aggregation on the element plus a bounded per-row
+    * expansion — the equi-self-join form this replaces shuffled the
+    * element table TWICE and built a join hash map over one copy; at
+    * S small (languages, sources) the collect_set is ≤S entries and
+    * the pair fan-out ≤C(S,2). Returns (ia, ib, ni) with ia < ib.
+    */
+  def pairIntersections(hx: DataFrame, keyCol: String, xCol: String): DataFrame = {
+    val pairs = flatten(transform(col("ks"), (a, i) =>
+      transform(slice(col("ks"), i + lit(2), size(col("ks"))),
+        b => struct(a.as("ia"), b.as("ib")))))
+    hx.groupBy(col(xCol))
+      .agg(sort_array(collect_set(col(keyCol))).as("ks"))
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .agg(count(lit(1)).as("ni"))
+  }
 
   /** |U ∩ A ∖ B|: of the union-sample hashes, how many sit in sketch A
     * but not sketch B. With U = [[kmvUnionK]](a, b, k) this is the

@@ -31,6 +31,26 @@ class TextFnsSpec extends SparkSpec {
     assert(one[Seq[String]](TextFns.shingles(col("t"), 5), "a b") === Seq("a b"))
   }
 
+  test("native shingles ≡ the relational HOF construction, edge cases included") {
+    // deliberate hazards: non-space whitespace at the ends (Spark trim
+    // strips spaces ONLY, so split emits leading/trailing empty
+    // tokens), runs of mixed whitespace, short docs, empty, spaces-only
+    val corpus = Seq(
+      "a b c d e", "  padded  with   runs \t and\ttabs ", "\tleading tab",
+      "trailing newline\n", "", "   ", "one", "x y", "ab\fc\rd",
+      " \t mixed \n ends  ") ++
+      (0 until 200).map(i => s"w${i % 7} w${i % 3} w${i % 11} w${i % 5} w$i")
+    for (n <- Seq(2, 3, 5)) {
+      val both = corpus.toDF("t").select(
+        TextFns.shingles(col("t"), n).as("native"),
+        TextFns.shinglesRelational(col("t"), n).as("rel"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.zip(corpus).foreach { case ((nat, rel), text) =>
+        assert(nat === rel, s"n=$n text=${text.take(30)}")
+      }
+    }
+  }
+
   test("fingerprint is md5 hex") {
     assert(one[String](TextFns.fingerprint(col("t")), "hello")
       === "5d41402abc4b2a76b9719d911017c592")

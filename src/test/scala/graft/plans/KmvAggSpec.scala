@@ -16,7 +16,12 @@ class KmvAggSpec extends SparkSpec {
     val k = 64
     val df = spark.range(20000).select((col("id") % 2).cast("string").as("g"),
       (col("id") % 5000).cast("string").as("v"))
-    val relational = Sketch.kmvSketch(df, Seq("g"), col("v"), k)
+    // the INDEPENDENT row_number-window construction (kmvSketch itself
+    // now routes through the aggregate, so comparing against it would
+    // be a tautology)
+    val relational = Sketch.kmvFromHashesRanked(
+      df.select(col("g"), HashFns.hash61(col("v")).as("h")).distinct(),
+      Seq("g"), col("h"), k)
       .select("g", "kmv").as[(String, Seq[Long])].collect().toMap
     val onePass = df.select(col("g"), HashFns.hash61(col("v")).as("hx"))
       .groupBy("g").agg(KmvAgg.kmv_sketch(col("hx"), k).as("kmv"))

@@ -140,6 +140,46 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  test("SQ int8 quantization: codes in [-127,127], qdot tracks the whitened dot") {
+    val corpus = clustered
+    val scales = Similarity.sqScales(corpus, "embedding")
+    assert(scales.length === 16)
+    assert(scales.forall(_ > 0))
+    val q = corpus.select(col("vec_id"),
+      Similarity.sqQuantize(col("embedding"), scales).as("qe"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    // every code within the int8 grid
+    val codes = q.select(explode(col("qe"))).as[Long].collect()
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    // qdot ≈ 127² × whitened dot, within ±1 quantization error per
+    // component on each side: |qdot − 127²·Σ(a/s)(b/s)| ≤ Σ(|qb|+127|a/s|+1)
+    val a = q.where(col("vec_id") === 0).select(col("qe"), col("v"))
+      .collect().head
+    val b = q.where(col("vec_id") === 1).select(col("qe"), col("v"))
+      .collect().head
+    val (qa, va) = (a.getSeq[Long](0), a.getSeq[Double](1))
+    val (qb, vb) = (b.getSeq[Long](0), b.getSeq[Double](1))
+    val qdot = qa.zip(qb).map { case (x, y) => x * y }.sum
+    val wdot = va.zip(vb).zip(scales).map { case ((x, y), s) =>
+      (x / s) * (y / s) }.sum * 127.0 * 127.0
+    val bound = qa.zip(vb.zip(scales)).map { case (x, (y, s)) =>
+      math.abs(x) * 0 + 127 * math.abs(y / s) + math.abs(x) + 1.0 }.sum
+    assert(math.abs(qdot - wdot) <= bound, s"qdot $qdot vs $wdot (±$bound)")
+    // the Spark sqDot column agrees with the Scala fold
+    val viaCol = q.where(col("vec_id") === 0).select(col("qe").as("qa"))
+      .crossJoin(q.where(col("vec_id") === 1).select(col("qe").as("qb")))
+      .select(Similarity.sqDot(col("qa"), col("qb"))).as[Long].collect().head
+    assert(viaCol === qdot)
+    // quantized ANN preserves cluster structure: top-10 by qdot for a
+    // cluster-0 query are all cluster-0 members (ids < 40)
+    val qv = q.where(col("vec_id") === 0).select(col("qe").as("qv"))
+    val top = q.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"), Similarity.sqDot(col("qe"), col("qv")).as("qd"))
+      .orderBy(desc("qd"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect()
+    assert(top.forall(_ < 40), s"non-cluster neighbor in ${top.toSeq}")
+  }
+
   test("semDedup drops the higher id of each near-dup pair, keeps uniques") {
     val out = Similarity.semDedup(dupCorpus, "vec_id", "embedding",
         threshold = 0.9, numCells = 2, iters = 1, sampleN = 8)
