@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native vector kernels — the codegen-friendly forms of the
+  * `zip_with`/`aggregate` constructions they replace. Spark's
+  * higher-order functions carry no `doGenCode`: every element of every
+  * row pays an interpreted lambda frame, and the ANN family
+  * (q28/q31/q49/q76/q79/q81) evaluates one dot product per candidate
+  * PAIR. These expressions run the identical left-to-right IEEE
+  * accumulation (acc + a_i·b_i ascending — bit-identical results, the
+  * DuckDB twins' `list_dot_product` order) as a tight loop called from
+  * generated code, like [[Md5Long]] and [[WordShingles]].
+  *
+  * Length mismatch returns NULL (the `zip_with` null-padding
+  * convention it replaces). Element nulls are not expected — embedding
+  * arrays are dense; `containsNull` inputs fold null slots as 0.
+  */
+object VecMath {
+
+  /** Σ a_i·b_i, ascending; null on length mismatch. Called from
+    * generated code.
+    */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Σ (a_i−b_i)², ascending; null on length mismatch. */
+  def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Shared shape of the two binary vector kernels. */
+abstract class VecBinaryExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> inputs, got " +
+          s"${l.catalogString} / ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  // a length mismatch yields null even for non-null children
+  override def nullable: Boolean = true
+}
+
+/** Dot product Σ a_i·b_i as one generated-code loop. */
+case class VecDot(left: Expression, right: Expression) extends VecBinaryExpression {
+  override def prettyName: String = "graft_vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecDot")
+      s"""java.lang.Double $r = graft.functions.VecMath.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance Σ (a_i−b_i)² as one generated-code loop. */
+case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryExpression {
+  override def prettyName: String = "graft_vec_l2sq"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecL2")
+      s"""java.lang.Double $r = graft.functions.VecMath.l2sq($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+object VecL2Sq {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(VecL2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -4,9 +4,12 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector column math over `array<float>` / `array<double>`
-  * embedding columns. Pure `zip_with`/`aggregate` expressions — codegen'd,
-  * no UDF, no driver involvement — so similarity scans distribute
-  * trivially across a 1000-executor cluster.
+  * embedding columns. The kernels are native expressions
+  * ([[VecDot]]/[[VecL2Sq]] — one generated-code loop per pair, no
+  * interpreted lambda frames), no UDF, no driver involvement — so
+  * similarity scans distribute trivially across a 1000-executor
+  * cluster. Inputs are cast to array<double> so the accumulation is
+  * the same left-to-right IEEE double fold on every engine.
   */
 object VectorFns {
 
@@ -17,11 +20,17 @@ object VectorFns {
 
   /** Dot product; sequential left-fold sum (deterministic order). */
   def dot(a: Column, b: Column): Column =
+    VecDot(toDouble(a), toDouble(b))
+
+  /** The `zip_with`/`aggregate` construction of [[dot]] — kept as the
+    * independent cross-check [[VecDot]] is differentially specced
+    * against.
+    */
+  def dotRelational(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Squared L2 norm. */
-  def normSq(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+  /** Squared L2 norm (= dot(v, v): identical acc + x·x fold). */
+  def normSq(v: Column): Column = { val d = toDouble(v); VecDot(d, d) }
 
   /** L2 norm. */
   def norm(v: Column): Column = sqrt(normSq(v))
@@ -36,6 +45,10 @@ object VectorFns {
 
   /** Euclidean (L2) distance. */
   def l2Distance(a: Column, b: Column): Column =
+    sqrt(VecL2Sq(toDouble(a), toDouble(b)))
+
+  /** The HOF construction of [[l2Distance]] (differential twin). */
+  def l2DistanceRelational(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
   /** Random-hyperplane (sign-bit) LSH signature for cosine similarity:

@@ -20,6 +20,32 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - math.sqrt(1 + 4 + 4)) < 1e-12)
   }
 
+  test("native VecDot/VecL2Sq ≡ the HOF constructions, bit for bit") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((Seq.fill(16)(rnd.nextGaussian()),
+      Seq.fill(16)(rnd.nextGaussian())))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      VectorFns.dot(col("a"), col("b")).as("nd"),
+      VectorFns.dotRelational(col("a"), col("b")).as("rd"),
+      VectorFns.l2Distance(col("a"), col("b")).as("nl"),
+      VectorFns.l2DistanceRelational(col("a"), col("b")).as("rl"))
+      .as[(Double, Double, Double, Double)].collect()
+    diff.foreach { case (nd, rd, nl, rl) =>
+      assert(nd === rd, "dot must be bit-identical (same fold order)")
+      assert(nl === rl, "l2 must be bit-identical")
+    }
+    // length mismatch → null (zip_with padding convention)
+    val mism = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(mism.isNullAt(0))
+    // empty vectors → 0.0
+    val empty = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b"))).as[Double].collect().head
+    assert(empty === 0.0)
+  }
+
   test("cosine of zero vector is 0, not NaN") {
     val df = Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
     assert(df.select(VectorFns.cosine(col("a"), col("b"))).as[Double].collect().head === 0.0)
