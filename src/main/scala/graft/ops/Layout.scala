@@ -105,4 +105,27 @@ object Layout {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+
+  /** Write `df` as a BUCKETED (and optionally sort-bucketed) parquet
+    * table at `path`, registered as `tableName` — Spark's co-located
+    * join layout: two tables bucketed by the same key into the same
+    * bucket count join with NO shuffle exchange on either side (and a
+    * groupBy on the bucket key needs no exchange at all), because the
+    * on-disk hash partitioning IS the join distribution. At 100 TB
+    * this converts the nightly fact-fact join from two full-corpus
+    * shuffles into a zip of pre-aligned files — the single biggest
+    * recurring-shuffle eliminator Spark offers, and it only exists at
+    * WRITE time, which is why it lives here in the layout layer.
+    * `LayoutSpec` asserts the exchange-free plan shape.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    bucketCols: Seq[String], numBuckets: Int,
+                    sortCols: Seq[String] = Seq.empty): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
 }

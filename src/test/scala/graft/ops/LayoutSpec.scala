@@ -101,6 +101,44 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 4096)
   }
 
+  test("writeBucketed: same-bucket join and bucket-key groupBy run with NO exchange") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val facts = spark.range(10000).select(col("id").as("k"),
+      (col("id") * 3).as("va"))
+    val dims = spark.range(10000).select(col("id").as("k"),
+      (col("id") % 7).as("vb"))
+    Layout.writeBucketed(facts, "graft_bkt_a", s"$base/a", Seq("k"), 8, Seq("k"))
+    Layout.writeBucketed(dims, "graft_bkt_b", s"$base/b", Seq("k"), 8, Seq("k"))
+    // disable auto-broadcast: at test size the small side would be
+    // broadcast and hide the bucket alignment this spec asserts
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("graft_bkt_a")
+      val b = spark.table("graft_bkt_b")
+      val joined = a.join(b, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() === 10000)
+      // aggregation on the bucket key: no exchange either
+      val agg = a.groupBy("k").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(agg.count() === 10000)
+      // sanity: the same join over plain (unbucketed) parquet DOES shuffle
+      facts.write.mode("overwrite").parquet(s"$base/plain_a")
+      dims.write.mode("overwrite").parquet(s"$base/plain_b")
+      val plain = spark.read.parquet(s"$base/plain_a")
+        .join(spark.read.parquet(s"$base/plain_b"), "k")
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      assert(plainPlan.contains("Exchange"), "control join should shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("writeSized spread tolerates unhashable map columns") {
     val out = java.nio.file.Files.createTempDirectory("graft-layout-map").toString
     val df = (0 until 50).map(i => (i.toLong, Map("k" -> s"v$i"), "g"))
