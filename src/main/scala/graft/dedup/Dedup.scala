@@ -641,12 +641,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1 && minDocs >= 1, "need n >= 1 and minDocs >= 1")
     val toks = docs
-      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("w"))
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("w"),
+        col(textCol).as("__text"))
       .where(size(col("w")) >= n)
+    // positioned n-grams via the native shingle pass (for ≥n tokens,
+    // shingle i IS the space-join of tokens [i, i+n)) — the
+    // transform/slice/array_join lambda chain this replaced was
+    // interpreted per window
     val grams = toks.select(col("id"),
-      posexplode(transform(sequence(lit(0), size(col("w")) - n),
-        i => HashFns.hash61(array_join(slice(col("w"), i + 1, lit(n)), " "))))
-        .as(Seq("pos", "h")))
+      posexplode(TextFns.shingles(col("__text"), n)).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"), HashFns.hash61(col("s")).as("h"))
     val dupGrams = grams.select("h", "id").distinct()
       .groupBy("h").agg(count(lit(1)).as("ndocs"))
       .where(col("ndocs") >= minDocs)
@@ -701,11 +705,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
     val toks = docs
-      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("w"))
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("w"),
+        col(textCol).as("__text"))
+    // same native positioned-gram construction as dupNgramSpans
     val grams = toks.where(size(col("w")) >= n).select(col("id"),
-      posexplode(transform(sequence(lit(0), size(col("w")) - n),
-        i => HashFns.hash61(array_join(slice(col("w"), i + 1, lit(n)), " "))))
-        .as(Seq("pos", "h")))
+      posexplode(TextFns.shingles(col("__text"), n)).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"), HashFns.hash61(col("s")).as("h"))
     val dup = grams.select("h", "id").distinct()
       .groupBy("h").agg(count(lit(1)).as("ndocs"), min("id").as("keep_id"))
       .where(col("ndocs") >= minDocs)
