@@ -98,7 +98,9 @@ object ScaleRamp {
       "q90_kmv_distinct", "q92_hist_quantiles", "q94_kmv_jaccard",
       "q95_hist_by_lang", "q96_multi_bloom", "q97_cms_by_lang",
       "q98_topk_shards", "q99_priority_sample", "q101_hll_windowed",
-      "q102_kmv_windowed", "q103_cms_agg", "q104_kmv_matrix")
+      "q102_kmv_windowed", "q103_cms_agg", "q104_kmv_matrix",
+      "q105_kmv_setops", "q106_lm_surprisal", "q107_zorder_stats",
+      "q108_sq_ann")
     val rows = rampQueries.map { name =>
       val base = (1 to 2).map(_ => time(srcDir, name)).min
       val ramped = (1 to 2).map(_ => time(outDir, name)).min

@@ -48,6 +48,16 @@ object GraftFunctions {
       AvroDecodeExpression(exprs.head, schemaJson)
     },
     "graft_hash61" -> viaColumns { case Seq(c) => HashFns.hash61(c) },
+    // width passed as a literal knob: graft_shingles(text, 3)
+    "graft_shingles" -> { exprs =>
+      WordShingles(exprs.head, literalKnob("graft_shingles", "n", exprs(1)))
+    },
+    // graft_zvalue(dim1, ..., dimD, bits) — trailing literal bit width
+    "graft_zvalue" -> { exprs =>
+      val bits = literalKnob("graft_zvalue", "bits", exprs.last)
+      GraftBridge.expression(graft.ops.Layout.zValue(
+        exprs.init.map(GraftBridge.column), bits))
+    },
     // one-pass sketch AGGREGATES (arguments after the hash column are
     // literal knobs, folded at registration like graft_from_avro's
     // schema): SELECT g, graft_hll_agg(graft_hash61(v)) ... GROUP BY g

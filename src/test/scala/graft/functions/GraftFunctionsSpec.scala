@@ -67,6 +67,17 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingles and graft_zvalue evaluate through spark.sql") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_shingles('a b c d', 2) AS sh,
+        |       graft_zvalue(3L, 5L, 10) AS z""".stripMargin).collect().head
+    assert(row.getAs[Seq[String]]("sh") === Seq("a b", "b c", "c d"))
+    // interleave of x=3 (bits 0,1) and y=5 (bits 0,2):
+    // z = 1<<0 | 1<<2 | 1<<1 | 1<<5 = 0b100111 = 39
+    assert(row.getAs[Long]("z") === 39L)
+  }
+
   test("literal guards reject fractional knobs, NULL schemas, non-foldables") {
     GraftFunctions.register(spark)
     spark.range(10)
