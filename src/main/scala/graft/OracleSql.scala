@@ -411,6 +411,7 @@ object OracleSql {
     "q106_lm_surprisal" -> Gen.lmSurprisalSql,
     "q107_zorder_stats" -> Gen.zorderStatsSql,
     "q108_sq_ann" -> Gen.sqAnnSql,
+    "q109_bm25" -> Gen.bm25Sql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1828,6 +1829,47 @@ object OracleSql {
          |WHERE z.vec_id <> 0
          |ORDER BY qdot DESC, z.vec_id
          |LIMIT 10""".stripMargin
+
+    /** Twin of q109_bm25: identical corpus-mined query terms (count
+      * DESC, token ASC, LIMIT 4), integer avdl (SUM // count), the
+      * same clamped Mitchell-log IDF CASE (TextStats.mitchellE8Sql
+      * with `//`), and the same 10·avdl-rationalized TF normalization.
+      * SUM/HUGEINT discipline: every emitted aggregate is CAST.
+      */
+    def bm25Sql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val two20 = s"CAST(${1L << shift} AS BIGINT)"
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      s"""WITH wd AS (SELECT doc_id, lang, ${tokensE("text")} AS w FROM documents),
+         |dlt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM wd),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(greatest(SUM(dl) // count(*), 1) AS BIGINT) AS avdl
+         |       FROM dlt),
+         |tok AS (SELECT doc_id, unnest(w) AS t FROM wd),
+         |qt AS (SELECT t FROM (
+         |         SELECT t, count(*) AS c FROM tok WHERE len(t) >= 5
+         |         GROUP BY t ORDER BY c DESC, t LIMIT 4)),
+         |tf AS (SELECT doc_id, tok.t AS t, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok JOIN qt ON tok.t = qt.t GROUP BY doc_id, tok.t),
+         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |sc AS (SELECT tf.doc_id, tf.tf, dfq.df, dlt.dl, st.n_docs, st.avdl,
+         |         greatest((((2 * st.n_docs) - (2 * dfq.df) + 1) * $two20)
+         |           // ((2 * dfq.df) + 1), $two20) AS q
+         |       FROM tf JOIN dfq ON tf.t = dfq.t
+         |       JOIN dlt ON tf.doc_id = dlt.doc_id CROSS JOIN st),
+         |rowsc AS (SELECT doc_id, dl,
+         |            ($m8 - ${8 * shift}) AS idf_e8,
+         |            ((22000 * tf * avdl)
+         |              // ((10 * tf * avdl) + (3 * avdl) + (9 * dl))) AS tfn
+         |          FROM sc),
+         |agg AS (SELECT doc_id, CAST(SUM(idf_e8 * tfn) AS BIGINT) AS bm25_x,
+         |          CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |          CAST(min(dl) AS BIGINT) AS n_tokens
+         |        FROM rowsc GROUP BY doc_id)
+         |SELECT a.doc_id, d.lang, a.n_tokens, a.n_terms_hit, a.bm25_x
+         |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+         |ORDER BY a.bm25_x DESC, a.doc_id LIMIT 100""".stripMargin
+    }
 
     /** Twin of q95_hist_by_lang: single-pass per-lang fixed-bin
       * histogram (sum is associative, so it must equal Spark's merged

@@ -1728,6 +1728,23 @@ object Queries {
       .limit(10)
   }
 
+  /** Retrieval-based curation: BM25 top-100 against a corpus-MINED
+    * query (the 4 most frequent ≥5-char tokens — deterministic count
+    * DESC, token ASC), integer-exact end to end
+    * ([[graft.ops.TextStats.bm25]] — Mitchell-log IDF in eighth-bits
+    * with the Lucene-style zero floor, k1/b as exact rationals via a
+    * 10·avdl common denominator). The seed-set relevance-mining shape:
+    * terms broadcast, tf/df map-side-partial aggs, TakeOrdered top-k.
+    */
+  val q109_bm25: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(explode(TextFns.tokens(col("text"))).as("t"))
+      .where(length(col("t")) >= 5)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("t")).limit(4)
+    TextStats.bm25(docs, "doc_id", "text", terms, "t", Seq("lang"), 100)
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1837,5 +1854,6 @@ object Queries {
     "q105_kmv_setops" -> q105_kmv_setops,
     "q106_lm_surprisal" -> q106_lm_surprisal,
     "q107_zorder_stats" -> q107_zorder_stats,
-    "q108_sq_ann" -> q108_sq_ann)
+    "q108_sq_ann" -> q108_sq_ann,
+    "q109_bm25" -> q109_bm25)
 }

@@ -135,6 +135,63 @@ object TextStats {
     * a broadcast single-row cross join. No driver-side state, no
     * window, nothing unbounded per key.
     */
+  /** Integer-exact BM25 retrieval scoring — the seed-set relevance
+    * miner of a retrieval-based curation stage (score every corpus doc
+    * against a term set, keep the top k), with both float surfaces of
+    * the classic formula replaced by exact integer constructions:
+    *
+    *  - IDF: log2((N − df + ½)/(df + ½)) via [[mitchellE8Sql]] over
+    *    q = ((2N − 2df + 1) << SHIFT) div (2df + 1) (doubling clears
+    *    the halves), clamped at 2^SHIFT so common terms floor to
+    *    idf = 0 — the standard Lucene-style negative-IDF floor;
+    *  - TF normalization with k1 = 1.2, b = 0.75 as exact rationals:
+    *    multiplying numerator and denominator by 10·avdl gives
+    *    tfn·1000 = (22000·tf·avdl) div (10·tf·avdl + 3·avdl + 9·dl),
+    *    with avdl = Σdl div N (integer division, documented).
+    *
+    * score = Σ_t idf_e8(t) · tfn_x1000(d, t). Returns the top `k`
+    * docs with ≥1 term hit as (idCol, carry..., n_tokens,
+    * n_terms_hit, bm25_x), ordered score DESC then id.
+    *
+    * Scale shape: terms broadcast; tf/df are map-side-partial hash
+    * aggregations on (id, term)/(term); the per-doc score joins tiny
+    * broadcast tables onto the tf rows; top-k is a TakeOrdered (O(k)
+    * per partition, no global sort materialization).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: DataFrame, termCol: String, carry: Seq[String] = Seq.empty,
+           k: Int = 100): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id") +: carry.map(col) :+
+      TextFns.tokens(col(textCol)).as("w"): _*)
+    val dl = toks.select(col("__id"), size(col("w")).cast("bigint").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+      .select(col("n_docs"),
+        expr("greatest(tot div n_docs, CAST(1 AS BIGINT))").as("avdl"))
+    val tok = toks.select(col("__id"), explode(col("w")).as("t"))
+    val tf = tok.join(broadcast(terms.select(col(termCol).as("t"))), "t")
+      .groupBy("__id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val two20 = s"CAST(${1L << LmShift} AS BIGINT)"
+    val scored = tf
+      .join(broadcast(dfreq), "t")
+      .join(dl, "__id")
+      .crossJoin(broadcast(stats))
+      .withColumn("q", expr(
+        s"greatest((((2 * n_docs) - (2 * df) + 1) * $two20) div ((2 * df) + 1), $two20)"))
+      .withColumn("idf_e8", expr(s"${mitchellE8Sql("q")} - ${8 * LmShift}"))
+      .withColumn("tfn_x1000", expr(
+        "(22000 * tf * avdl) div ((10 * tf * avdl) + (3 * avdl) + (9 * dl))"))
+      .groupBy("__id")
+      .agg(sum(expr("idf_e8 * tfn_x1000")).as("bm25_x"),
+        count(lit(1)).as("n_terms_hit"), min(col("dl")).as("n_tokens"))
+    scored
+      .join(toks.select(col("__id") +: carry.map(col): _*), "__id")
+      .orderBy(desc("bm25_x"), col("__id"))
+      .limit(k)
+      .select(col("__id").as(idCol) +: carry.map(col) :+
+        col("n_tokens") :+ col("n_terms_hit") :+ col("bm25_x"): _*)
+  }
+
   def lmSurprisal(df: DataFrame, idCol: String,
                   textCol: String, carry: Seq[String] = Seq.empty): DataFrame = {
     val toks = df.select(col(idCol).as("__id") +: carry.map(col) :+

@@ -49,6 +49,32 @@ class TextStatsSpec extends SparkSpec {
     assert(all.forall(_ >= 0L))
   }
 
+  test("BM25: hand-computed integer scores; zero-IDF floor; absent docs dropped") {
+    // N=3, dl = (3, 2, 4), tot 9, avdl = 9 div 3 = 3
+    // df(x)=1 (d1): q_idf = 5·2^20 div 3 = 1747626 → e=20, frac8=5 → idf_e8 = 5
+    // df(y)=2 (d1,d3): q = 3·2^20 div 5 < 2^20 → clamped → idf_e8 = 0
+    val docs = Seq(
+      (1L, "en", "x x y"), (2L, "en", "z z"), (3L, "de", "y y y z")
+    ).toDF("doc_id", "lang", "text")
+    val terms = Seq("x", "y").toDF("t")
+    val out = TextStats.bm25(docs, "doc_id", "text", terms, "t",
+      Seq("lang"), k = 10)
+      .as[(Long, String, Long, Long, Long)].collect()
+    // d1: x → tfn = (22000·2·3) div (60+9+27) = 132000 div 96 = 1375,
+    //     score 5·1375 = 6875; y → idf 0; two terms hit.
+    // d3: only y (idf 0) → score 0, one term hit. d2: no hits, absent.
+    assert(out.toSeq === Seq(
+      (1L, "en", 3L, 2L, 6875L),
+      (3L, "de", 4L, 1L, 0L)))
+    // sanity of the rational TF at tf=1, dl=avdl: tfn must be exactly 1000
+    val tfnRow = TextStats.bm25(
+      Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("a").toDF("t"), "t", Seq.empty, 10)
+      .select("bm25_x").as[Long].collect().head
+    // df=1, N=3 → idf_e8 = 5 (same clamp arithmetic as above) → 5·1000
+    assert(tfnRow === 5000L)
+  }
+
   test("mixture sampling: rates honored exactly by the hash rule") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "xx")).toDF("id", "grp")
