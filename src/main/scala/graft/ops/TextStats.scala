@@ -192,27 +192,77 @@ object TextStats {
         col("n_tokens") :+ col("n_terms_hit") :+ col("bm25_x"): _*)
   }
 
-  def lmSurprisal(df: DataFrame, idCol: String,
-                  textCol: String, carry: Seq[String] = Seq.empty): DataFrame = {
-    val toks = df.select(col(idCol).as("__id") +: carry.map(col) :+
-      TextFns.tokens(col(textCol)).as("w"): _*)
-    // (id, w1, bg) rows; docs with < 2 tokens contribute none
-    val bg = toks
-      .where(size(col("w")) >= 2)
+  /** A trained bigram LM as two mergeable tables:
+    * `bigrams(w1, bg, c2)` — bigram occurrence counts (c1, the
+    * left-context count, is Σ c2 per w1 by definition and is derived
+    * at score time) — and `vocab(t)`, the DISTINCT token set (kept as
+    * a set, not a count, so merges stay exact: counts of distinct
+    * things do not add). Both persist to parquet losslessly and merge
+    * associatively — the train-once / fold-daily-increments /
+    * score-streams lifecycle of the sketch profile-store family.
+    */
+  final case class LmModel(bigrams: DataFrame, vocab: DataFrame)
+
+  /** (id, w1, bg) bigram rows of a doc table — shared by train and
+    * score. Docs with < 2 tokens contribute none.
+    */
+  private def lmBigramRows(toks: DataFrame): DataFrame =
+    toks.where(size(col("w")) >= 2)
       .select(col("__id"),
         explode(zip_with(
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1),
           (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("z"))
       .select(col("__id"), col("z.w1").as("w1"), col("z.bg").as("bg"))
-    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = toks.select(explode(col("w")).as("t")).agg(
-      countDistinct(col("t")).as("v"))
+
+  private def lmToks(df: DataFrame, idCol: String, textCol: String,
+                     carry: Seq[String]): DataFrame =
+    df.select(col(idCol).as("__id") +: carry.map(col) :+
+      TextFns.tokens(col(textCol)).as("w"): _*)
+
+  /** Train a bigram LM over a corpus: two map-side-partial hash
+    * aggregations (bigram counts + distinct tokens), nothing else.
+    */
+  def lmTrain(df: DataFrame, idCol: String, textCol: String): LmModel = {
+    val toks = lmToks(df, idCol, textCol, Seq.empty)
+    LmModel(
+      lmBigramRows(toks).groupBy("w1", "bg").agg(count(lit(1)).as("c2")),
+      toks.select(explode(col("w")).as("t")).distinct())
+  }
+
+  /** Fold LM models: bigram counts add (count of a concatenation IS
+    * the sum of counts), vocab sets union — both associative, so
+    * shards/days merge in any order and `lmMerge(train(A), train(B))
+    * == train(A ∪ B)` exactly (specced).
+    */
+  def lmMerge(a: LmModel, b: LmModel): LmModel = LmModel(
+    a.bigrams.unionByName(b.bigrams)
+      .groupBy("w1", "bg").agg(sum("c2").as("c2")),
+    a.vocab.unionByName(b.vocab).distinct())
+
+  /** Score docs under a (possibly separately-trained) model — the
+    * apply half of [[lmSurprisal]]; unseen bigrams/left-contexts fold
+    * as count 0 through the add-one smoothing, so a model trained on
+    * yesterday's corpus scores today's stream unchanged (foreachBatch
+    * application specced in `StatefulSpec`'s profile-store style).
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              model: LmModel, carry: Seq[String] = Seq.empty): DataFrame = {
+    val toks = lmToks(df, idCol, textCol, carry)
+    val bg = lmBigramRows(toks)
+    val c2 = model.bigrams.select(col("bg"), col("c2"))
+    val c1 = model.bigrams.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = model.vocab.agg(count(lit(1)).as("v"))
     val scored = bg
-      .join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
+      .join(c2, Seq("bg"), "left").na.fill(0L, Seq("c2"))
+      .join(c1, Seq("w1"), "left").na.fill(0L, Seq("c1"))
+      .crossJoin(broadcast(v))
+      // clamp is a no-op whenever the vocab is non-empty (c1+v ≥ c2+1
+      // because c1 = Σ c2 over the left context); it only guards the
+      // degenerate empty-model case so m8 stays in range
       .withColumn("q",
-        expr(s"((c1 + v) * CAST(${1L << LmShift} AS BIGINT)) div (c2 + 1)"))
+        expr(s"greatest(((c1 + v) * CAST(${1L << LmShift} AS BIGINT)) div (c2 + 1), " +
+          s"CAST(${1L << LmShift} AS BIGINT))"))
       .withColumn("m8", expr(mitchellE8Sql("q")))
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -225,4 +275,12 @@ object TextStats {
       .withColumn("avg_bits_x10",
         expr("(surprisal_e8 * 10) div greatest(8 * n_bigrams, CAST(1 AS BIGINT))"))
   }
+
+  /** Train-and-score in one call (the q106 oracle surface):
+    * `lmScore(df, lmTrain(df))`. Kept as the single-corpus entry
+    * point; the split lifecycle is for incremental profiles.
+    */
+  def lmSurprisal(df: DataFrame, idCol: String,
+                  textCol: String, carry: Seq[String] = Seq.empty): DataFrame =
+    lmScore(df, idCol, textCol, lmTrain(df, idCol, textCol), carry)
 }

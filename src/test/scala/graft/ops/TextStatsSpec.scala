@@ -49,6 +49,43 @@ class TextStatsSpec extends SparkSpec {
     assert(all.forall(_ >= 0L))
   }
 
+  test("LM lifecycle: merge(train(A), train(B)) ≡ train(A∪B); cross-corpus scoring") {
+    def corpus(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr(
+      "id AS doc_id",
+      "concat('w', CAST(id % 5 AS STRING), ' w', CAST(id % 3 AS STRING), " +
+        "' w', CAST(id % 7 AS STRING), ' w', CAST(id % 2 AS STRING)) AS text")
+    val whole = corpus(0, 400)
+    val direct = TextStats.lmTrain(whole, "doc_id", "text")
+    val merged = TextStats.lmMerge(
+      TextStats.lmTrain(corpus(0, 200), "doc_id", "text"),
+      TextStats.lmTrain(corpus(200, 400), "doc_id", "text"))
+    assert(merged.bigrams.collect().toSet === direct.bigrams.collect().toSet)
+    assert(merged.vocab.as[String].collect().toSet
+      === direct.vocab.as[String].collect().toSet)
+    // scoring through the merged model is identical to single-pass
+    def scores(m: TextStats.LmModel) =
+      TextStats.lmScore(whole, "doc_id", "text", m)
+        .select("doc_id", "surprisal_e8").as[(Long, Long)].collect().toMap
+    assert(scores(merged) === scores(direct))
+    // and lmSurprisal is exactly score-under-own-model
+    val oneCall = TextStats.lmSurprisal(whole, "doc_id", "text")
+      .select("doc_id", "surprisal_e8").as[(Long, Long)].collect().toMap
+    assert(oneCall === scores(direct))
+    // cross-corpus: unseen bigrams smooth as count 0 (higher surprisal,
+    // never a crash); in-distribution text scores strictly lower
+    val inDist = TextStats.lmScore(corpus(400, 410), "doc_id", "text", direct)
+      .select("avg_bits_x10").as[Long].collect()
+    val outDist = TextStats.lmScore(
+      spark.range(5).selectExpr("id + 1000 AS doc_id",
+        "concat('zz', CAST(id AS STRING), ' qq', CAST(id AS STRING), " +
+          "' vv', CAST(id AS STRING)) AS text"),
+      "doc_id", "text", direct)
+      .select("avg_bits_x10").as[Long].collect()
+    assert(inDist.nonEmpty && outDist.nonEmpty)
+    assert(outDist.min > inDist.max,
+      s"unseen text must score higher: ${outDist.min} vs ${inDist.max}")
+  }
+
   test("BM25: hand-computed integer scores; zero-IDF floor; absent docs dropped") {
     // N=3, dl = (3, 2, 4), tot 9, avdl = 9 div 3 = 3
     // df(x)=1 (d1): q_idf = 5·2^20 div 3 = 1747626 → e=20, frac8=5 → idf_e8 = 5

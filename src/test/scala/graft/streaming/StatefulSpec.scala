@@ -17,6 +17,40 @@ class StatefulSpec extends SparkSpec {
   private def ev(id: Long, user: Long, minute: Int, value: Double = 1.0): Ev =
     Ev(id, user, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), value)
 
+  test("foreachBatch LM scoring: a pre-trained model scores a doc stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextStats
+    // train on yesterday's corpus once; the model tables are static
+    val trainDocs = spark.range(300).selectExpr("id AS doc_id",
+      "concat('w', CAST(id % 5 AS STRING), ' w', CAST(id % 3 AS STRING), " +
+        "' w', CAST(id % 7 AS STRING)) AS text")
+    val model = TextStats.lmTrain(trainDocs, "doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, Long, Long)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val scored = TextStats.lmScore(df, "doc_id", "text", model)
+          .select("doc_id", "n_bigrams", "surprisal_e8")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        out.synchronized { out ++= scored }
+        ()
+      }.start()
+    val docs = (0 until 20).map(i =>
+      (1000L + i, s"w${i % 5} w${i % 3} zz$i w${i % 7}"))
+    stream.addData(docs.take(10): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    // per-micro-batch application ≡ one batch pass over the delivered set
+    val batch = TextStats.lmScore(docs.toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .select("doc_id", "n_bigrams", "surprisal_e8")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+  }
+
   test("streaming dedup within watermark drops re-deliveries, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
