@@ -412,6 +412,7 @@ object OracleSql {
     "q107_zorder_stats" -> Gen.zorderStatsSql,
     "q108_sq_ann" -> Gen.sqAnnSql,
     "q109_bm25" -> Gen.bm25Sql,
+    "q110_table_profile" -> Gen.tableProfileSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1869,6 +1870,31 @@ object OracleSql {
          |SELECT a.doc_id, d.lang, a.n_tokens, a.n_terms_hit, a.bm25_x
          |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
          |ORDER BY a.bm25_x DESC, a.doc_id LIMIT 100""".stripMargin
+    }
+
+    /** Twin of q110_table_profile: one UNION ALL branch per column
+      * with the identical DECIMAL(18,2) pre-cast on the double columns
+      * (binary doubles never land on exact decimal midpoints for
+      * 2-decimal business values, so the rounding agrees) and VARCHAR
+      * renderings of min/max.
+      */
+    def tableProfileSql: String = {
+      def branch(name: String, e: String): String =
+        s"""SELECT '$name' AS col_name,
+           |  CAST(count($e) AS BIGINT) AS n_non_null,
+           |  CAST(count(*) - count($e) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+           |  CAST(min($e) AS VARCHAR) AS min_s,
+           |  CAST(max($e) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin
+      Seq(
+        branch("l_orderkey", "l_orderkey"),
+        branch("l_linenumber", "CAST(l_linenumber AS BIGINT)"),
+        branch("l_quantity", "CAST(l_quantity AS DECIMAL(18,2))"),
+        branch("l_extendedprice", "CAST(l_extendedprice AS DECIMAL(18,2))"),
+        branch("l_returnflag", "l_returnflag"),
+        branch("l_shipdate", "l_shipdate")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     }
 
     /** Twin of q95_hist_by_lang: single-pass per-lang fixed-bin

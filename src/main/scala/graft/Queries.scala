@@ -1745,6 +1745,27 @@ object Queries {
     TextStats.bm25(docs, "doc_id", "text", terms, "t", Seq("lang"), 100)
   }
 
+  /** ANALYZE-style one-pass table profile
+    * ([[graft.ops.Profile.profile]]): per-column non-null/null/exact-
+    * distinct counts and min/max over six heterogeneous lineitem
+    * columns (bigint, decimal-cast doubles, string, timestamp) — the
+    * trust-a-new-drop data-quality scan. One aggregation (multi-
+    * distinct plans as Expand with map-side partials); doubles pre-
+    * cast to DECIMAL(18,2) so min/max strings render identically on
+    * both engines.
+    */
+  val q110_table_profile: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("bigint").as("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+      col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"),
+      col("l_returnflag"),
+      col("l_shipdate"))
+    graft.ops.Profile.profile(li, Seq("l_orderkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1855,5 +1876,6 @@ object Queries {
     "q106_lm_surprisal" -> q106_lm_surprisal,
     "q107_zorder_stats" -> q107_zorder_stats,
     "q108_sq_ann" -> q108_sq_ann,
-    "q109_bm25" -> q109_bm25)
+    "q109_bm25" -> q109_bm25,
+    "q110_table_profile" -> q110_table_profile)
 }

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: per-column null/distinct/min-max over mixed types, one pass") {
+    val df = Seq(
+      (Some(3L), Some("b"), Some(1.50)),
+      (Some(1L), None, Some(2.25)),
+      (Some(3L), Some("a"), None),
+      (None, Some("a"), Some(0.75))
+    ).toDF("k", "s", "x")
+      .select(col("k"), col("s"), col("x").cast("decimal(18,2)").as("x"))
+    val rows = Profile.profile(df, Seq("k", "s", "x"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("k") === (("k", 3L, 1L, 2L, "1", "3")))
+    assert(rows("s") === (("s", 3L, 1L, 2L, "a", "b")))
+    assert(rows("x") === (("x", 3L, 1L, 3L, "0.75", "2.25")))
+    // output is ordered by col_name
+    assert(Profile.profile(df, Seq("x", "k", "s"))
+      .select("col_name").as[String].collect().toSeq === Seq("k", "s", "x"))
+  }
+
+  test("profile: all-null and no-null columns behave") {
+    val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("a", "b")
+    val rows = Profile.profile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("a") === (("a", 2L, 0L, 2L, "1", "2")))
+    assert(rows("b")._2 === 0L)       // n_non_null
+    assert(rows("b")._3 === 2L)       // n_null
+    assert(rows("b")._4 === 0L)       // n_distinct
+    assert(rows("b")._5 == null && rows("b")._6 == null)
+  }
+}
