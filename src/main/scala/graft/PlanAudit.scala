@@ -44,7 +44,10 @@ object PlanAudit {
     "q106_lm_surprisal",
     // ONE-row quantized query vector cross-joined into the scoring
     // scan — q28's single-query-vector shape
-    "q108_sq_ann")
+    "q108_sq_ann",
+    // ONE-row (n_docs, avdl) corpus stats cross-joined into the tf
+    // rows — broadcast scalar by design
+    "q109_bm25")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -55,15 +58,33 @@ object PlanAudit {
   private val bucketGuardExpected = Set(
     "q49_embedding_near_dup", "q76_knn_self", "q81_semdedup")
 
-  private def flagsFor(name: String, plan: String, executed: String): Seq[String] =
+  /** Queries where an unpartitioned window is intended. A global
+    * window funnels its input through ONE task — acceptable ONLY when
+    * that input is already a bounded aggregate, never the corpus.
+    */
+  private val globalWindowExpected = Set(
+    // unkeyed histogram quantiles: the cumulative sum runs over the
+    // BIN table (≤ max(value)/binWidth rows — constant in corpus
+    // size), after the corpus has been reduced to per-bin counts;
+    // the keyed form (q95) partitions by lang instead
+    "q92_hist_quantiles")
+
+  private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
+                       plan: String, executed: String): Seq[String] = {
+    val globalWindow = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.nonEmpty
     Seq(
       "CartesianProduct" -> plan.contains("CartesianProduct"),
       "no-WholeStageCodegen" -> !(executed.contains("WholeStageCodegen") || executed.contains("*(")),
       "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
         !bnljExpected.contains(name)),
       "missing-hot-bucket-guard" -> (bucketGuardExpected.contains(name) &&
-        !plan.contains(graft.ops.Scale.BaseSplitCol))
+        !plan.contains(graft.ops.Scale.BaseSplitCol)),
+      "global-window" -> (globalWindow && !globalWindowExpected.contains(name))
     ).collect { case (f, true) => f }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -85,7 +106,7 @@ object PlanAudit {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println(s"\n================ $name ================")
       println(plan)
-      val flags = flagsFor(name, plan, df.queryExecution.executedPlan.toString)
+      val flags = flagsFor(name, df, plan, df.queryExecution.executedPlan.toString)
       if (flags.nonEmpty) println(s"!! FLAGS: ${flags.mkString(", ")}")
     }
 
@@ -98,7 +119,7 @@ object PlanAudit {
         val df = Queries.all(name)(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        val flags = flagsFor(name, plan, df.queryExecution.executedPlan.toString)
+        val flags = flagsFor(name, df, plan, df.queryExecution.executedPlan.toString)
         if (flags.nonEmpty) { flagged += 1; println(s"!! $name: ${flags.mkString(", ")}") }
       } catch {
         case e: Exception => flagged += 1; println(s"!! $name: plan build failed: ${e.getMessage}")
