@@ -36,6 +36,18 @@ object VecMath {
     acc
   }
 
+  /** Integer Σ a_i·b_i, ascending; null on length mismatch. Exact —
+    * the quantized-ANN (int8 SQ) scoring kernel.
+    */
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
   /** Σ (a_i−b_i)², ascending; null on length mismatch. */
   def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -103,6 +115,39 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryExpress
 object VecDot {
   def apply(a: Column, b: Column): Column =
     GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Integer dot product over two array<bigint> columns (SQ codes). */
+case class VecDotLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got " +
+          s"${l.catalogString} / ${r.catalogString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_dot_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecDotL")
+      s"""java.lang.Long $r = graft.functions.VecMath.dotLong($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDotLong {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(VecDotLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
 object VecL2Sq {

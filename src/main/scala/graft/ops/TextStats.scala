@@ -204,21 +204,21 @@ object TextStats {
   final case class LmModel(bigrams: DataFrame, vocab: DataFrame)
 
   /** (id, w1, bg) bigram rows of a doc table — shared by train and
-    * score. Docs with < 2 tokens contribute none.
+    * score. Docs with < 2 tokens contribute none. Built from the
+    * native 2-shingle pass: bg IS the "w1 w2" join, and w1 is its
+    * prefix before the first space (tokens cannot contain spaces) —
+    * every step codegen'd, no per-window lambda.
     */
   private def lmBigramRows(toks: DataFrame): DataFrame =
     toks.where(size(col("w")) >= 2)
       .select(col("__id"),
-        explode(zip_with(
-          slice(col("w"), lit(1), size(col("w")) - 1),
-          slice(col("w"), lit(2), size(col("w")) - 1),
-          (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("z"))
-      .select(col("__id"), col("z.w1").as("w1"), col("z.bg").as("bg"))
+        explode(TextFns.shingles(col("__text"), 2)).as("bg"))
+      .select(col("__id"), substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
 
   private def lmToks(df: DataFrame, idCol: String, textCol: String,
                      carry: Seq[String]): DataFrame =
     df.select(col(idCol).as("__id") +: carry.map(col) :+
-      TextFns.tokens(col(textCol)).as("w"): _*)
+      TextFns.tokens(col(textCol)).as("w") :+ col(textCol).as("__text"): _*)
 
   /** Train a bigram LM over a corpus: two map-side-partial hash
     * aggregations (bigram counts + distinct tokens), nothing else.

@@ -296,11 +296,13 @@ object Similarity {
   }
 
   /** Integer dot product of two quantized vectors — the asymmetric-
-    * distance read over [[sqQuantize]] output. Ranking happens in the
-    * max-abs-normalized space (each dim whitened to [−1, 1]); qdot
-    * approximates 127² · Σ (a_i/s_i)(b_i/s_i) within ±1 quantization
-    * error per component.
+    * distance read over [[sqQuantize]] output, as a native kernel
+    * ([[graft.functions.VecDotLong]] — one generated-code loop per
+    * pair). Ranking happens in the max-abs-normalized space (each dim
+    * whitened to [−1, 1]); qdot approximates
+    * 127² · Σ (a_i/s_i)(b_i/s_i) within ±1 quantization error per
+    * component.
     */
   def sqDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    graft.functions.VecDotLong(a, b)
 }
