@@ -8,17 +8,21 @@ import org.apache.spark.sql.functions._
   * count, null count, exact distinct count, and min/max (rendered as
   * strings so heterogeneous columns share one output schema).
   *
-  * Scale shape: ONE aggregation over one scan. Multiple exact
-  * distincts over different columns plan as Catalyst's Expand (k
-  * streams through one pass) with map-side partials — the same shape
-  * SQL engines use for ANALYZE; no per-column re-scan, no window, no
-  * driver state. The k× Expand fan-out is the price of EXACT distinct
-  * counts; swap in the HLL/KMV sketches from [[Sketch]] when
-  * approximate profiles are acceptable at 100 TB.
+  * Scale shape: one COLUMN-PRUNED scan per column (parquet reads only
+  * that column's pages), reduced to its distinct-value table by a
+  * hash aggregation with map-side partials, then collapsed to one
+  * stats row — so the shuffle carries distinct VALUES, never rows. A
+  * first version used one pass with k exact distincts, which Catalyst
+  * plans as an Expand that multiplies EVERY row k× before the
+  * shuffle — 11 s vs ~1 s on 6 lineitem columns at sf0.1, and
+  * strictly worse at 100 TB where the k× expansion dwarfs the extra
+  * column-pruned scans. Swap in the HLL/KMV sketches from [[Sketch]]
+  * when approximate profiles are acceptable and even distinct-value
+  * shuffles are too much.
   */
 object Profile {
 
-  /** Profile `cols` of `df` in one pass → one row per column:
+  /** Profile `cols` of `df` → one row per column:
     * (col_name, n_non_null, n_null, n_distinct, min_s, max_s),
     * ordered by col_name. Pre-cast float/double columns to DECIMAL
     * upstream if their min/max string rendering must be
@@ -26,24 +30,21 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+    val per = cols.map { c =>
+      df.select(col(c).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("nn"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("nu"),
+          count(when(col("v").isNotNull, lit(1))).as("nd"),
+          min(col("v")).cast("string").as("min_s"),
+          max(col("v")).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"),
+          coalesce(col("nn"), lit(0L)).as("n_non_null"),
+          coalesce(col("nu"), lit(0L)).as("n_null"),
+          col("nd").as("n_distinct"),
+          col("min_s"), col("max_s"))
     }
-    val agged = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map(c => struct(
-      lit(c).as("col_name"),
-      col(s"__cnt_$c").as("n_non_null"),
-      coalesce(col(s"__null_$c"), lit(0L)).as("n_null"),
-      col(s"__nd_$c").as("n_distinct"),
-      col(s"__min_$c").as("min_s"),
-      col(s"__max_$c").as("max_s")))
-    agged.select(explode(array(rows: _*)).as("p"))
-      .select("p.*")
-      .orderBy("col_name")
+    per.reduce(_.unionByName(_)).orderBy("col_name")
   }
 }
