@@ -135,6 +135,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup candidates: every unordered id pair sharing
+    * an LSH bucket that touches AT LEAST ONE new document — new-vs-
+    * history pairs come from joining the new docs' bucket rows against
+    * the PERSISTED index, new-vs-new from the same join's new side, and
+    * history-vs-history pairs (already emitted in previous runs) are
+    * never regenerated. History is touched only through its (id, band,
+    * band_hash) index rows — ~20 bytes/doc/band — never re-shingled,
+    * never re-hashed: the fold-daily-increments contract of the sketch
+    * profile-store family applied to the MinHash index (persist
+    * [[minhashBuckets]] output, union each day's new rows back in).
+    *
+    * Candidate generation only (the verification join needs document
+    * text, which lives with the caller's store); with an EMPTY index
+    * this degenerates to exactly the all-pairs bucket self-join of
+    * [[minhashNearDupPairs]] — `DedupSpec` pins
+    * incremental(index(A), buckets(B)) == allPairs(A ∪ B) ∖ allPairs(A).
+    */
+  def minhashCandidatesAgainstIndex(index: DataFrame,
+                                    newBuckets: DataFrame): DataFrame = {
+    val all = index.unionByName(newBuckets)
+    newBuckets.select(col("id").as("id_n"), col("band"), col("band_hash"))
+      .join(all.select(col("id").as("id_o"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .where(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+  }
+
   /** Exact Jaccard similarity of two array-sets. */
   def jaccardArrays(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -112,6 +112,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 4L)) && !pairs.contains((4L, 5L)))
   }
 
+  test("incremental index: candidates(index(A), B) == allPairs(A∪B) ∖ allPairs(A)") {
+    // a 60-doc corpus with planted families across the A/B boundary:
+    // family f = ids {f, f+30} share text, so every family pair crosses
+    val corpus = spark.range(60).selectExpr("id AS doc_id",
+      "concat('w', CAST(id % 30 AS STRING), ' x', CAST(id % 30 AS STRING), " +
+        "' y', CAST(id % 30 AS STRING), ' z', CAST(id % 30 AS STRING)) AS text")
+    val dayA = corpus.where(col("doc_id") < 30)
+    val dayB = corpus.where(col("doc_id") >= 30)
+    def buckets(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBuckets(d, "doc_id", "text", numHashes = 32, bands = 8)
+    val bA = buckets(dayA); val bB = buckets(dayB); val bAll = buckets(corpus)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val empty = bAll.limit(0)
+    val full = pairSet(Dedup.minhashCandidatesAgainstIndex(empty, bAll))
+    val withinA = pairSet(Dedup.minhashCandidatesAgainstIndex(empty, bA))
+    // persist/reload the index like a real daily fold would
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+    bA.write.mode("overwrite").parquet(idxPath)
+    val incr = pairSet(Dedup.minhashCandidatesAgainstIndex(
+      spark.read.parquet(idxPath), bB))
+    assert(incr === (full -- withinA), "incremental must equal the cross+new slice")
+    // every planted cross-boundary family pair is present
+    (0L until 30L).foreach(f => assert(incr.contains((f, f + 30))))
+    // and nothing within history is regenerated
+    assert(incr.forall { case (a, b) => b >= 30 })
+  }
+
   test("jaccard verification values are exact") {
     val sets = docs.select(col("doc_id"),
       array_distinct(TextFns.tokens(col("text"))).as("w"))
