@@ -188,7 +188,8 @@ object Bench {
       "q99_priority_sample", "q100_priority_by_lang", "q101_hll_windowed",
       "q102_kmv_windowed", "q103_cms_agg", "q104_kmv_matrix",
       "q105_kmv_setops", "q106_lm_surprisal", "q107_zorder_stats",
-      "q108_sq_ann", "q109_bm25", "q110_table_profile")
+      "q108_sq_ann", "q109_bm25", "q110_table_profile",
+      "q111_incremental_minhash")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

@@ -413,6 +413,7 @@ object OracleSql {
     "q108_sq_ann" -> Gen.sqAnnSql,
     "q109_bm25" -> Gen.bm25Sql,
     "q110_table_profile" -> Gen.tableProfileSql,
+    "q111_incremental_minhash" -> Gen.incrementalMinhashSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -507,6 +508,22 @@ object OracleSql {
     def minhashBucketsSql: String =
       minhashBucketCtes(3) +
         "\nSELECT id, band, band_hash FROM buckets ORDER BY id, band"
+
+    /** Twin of q111_incremental_minhash: the same 32-sig/8-band bucket
+      * chain over ALL docs; the incremental set is exactly the
+      * unordered bucket-sharing pairs touching ≥1 odd (= "new") doc —
+      * the Spark side builds it from an index join, this from the
+      * global self-join plus the membership predicate; the sets must
+      * hash-match.
+      */
+    def incrementalMinhashSql: String =
+      minhashBucketCtes(3) + s"""
+        |SELECT DISTINCT least(n.id, o.id) AS id_a,
+        |  greatest(n.id, o.id) AS id_b
+        |FROM buckets n JOIN buckets o
+        |  ON n.band = o.band AND n.band_hash = o.band_hash AND n.id <> o.id
+        |WHERE n.id % 2 = 1 OR o.id % 2 = 1
+        |ORDER BY id_a, id_b""".stripMargin
 
     def nearDupPairsSql: String =
       minhashBucketCtes(2) + s""",

@@ -1766,6 +1766,25 @@ object Queries {
       "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))
   }
 
+  /** Incremental near-dup candidate generation
+    * ([[graft.dedup.Dedup.minhashCandidatesAgainstIndex]]): the
+    * even-doc_id half plays yesterday's PERSISTED bucket index, the
+    * odd half today's new docs — every candidate pair touching ≥1 new
+    * doc emerges from joining the new bucket rows against the index
+    * (~20-byte rows, history never re-shingled), and within-history
+    * pairs are never regenerated. The daily-fold contract of the
+    * sketch profile store applied to the MinHash index, in the
+    * driver's hash gate.
+    */
+  val q111_incremental_minhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val half = (p: Int) => docs.where(pmod(col("doc_id"), lit(2)) === p)
+    val index = Dedup.minhashBuckets(half(0), "doc_id", "text")
+    val fresh = Dedup.minhashBuckets(half(1), "doc_id", "text")
+    Dedup.minhashCandidatesAgainstIndex(index, fresh)
+      .orderBy("id_a", "id_b")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1877,5 +1896,6 @@ object Queries {
     "q107_zorder_stats" -> q107_zorder_stats,
     "q108_sq_ann" -> q108_sq_ann,
     "q109_bm25" -> q109_bm25,
-    "q110_table_profile" -> q110_table_profile)
+    "q110_table_profile" -> q110_table_profile,
+    "q111_incremental_minhash" -> q111_incremental_minhash)
 }

@@ -100,7 +100,8 @@ object ScaleRamp {
       "q98_topk_shards", "q99_priority_sample", "q101_hll_windowed",
       "q102_kmv_windowed", "q103_cms_agg", "q104_kmv_matrix",
       "q105_kmv_setops", "q106_lm_surprisal", "q107_zorder_stats",
-      "q108_sq_ann", "q109_bm25", "q110_table_profile")
+      "q108_sq_ann", "q109_bm25", "q110_table_profile",
+      "q111_incremental_minhash")
     val rows = rampQueries.map { name =>
       val base = (1 to 2).map(_ => time(srcDir, name)).min
       val ramped = (1 to 2).map(_ => time(outDir, name)).min
