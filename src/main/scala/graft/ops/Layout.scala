@@ -56,10 +56,11 @@ object Layout {
   // Z-order (Morton) clustering                                        //
   // ------------------------------------------------------------------ //
 
-  /** Morton/Z-curve interleave of D dimension columns, `bits` bits
-    * each: bit i of dimension d lands at position i·D + d. Inputs must
-    * already be non-negative integers < 2^bits (quantize upstream —
-    * modulo, bucketing, or rank). D·bits ≤ 62.
+  /** Morton/Z-curve interleave (Morton 1966; the space-filling-curve
+    * clustering of Delta/Iceberg OPTIMIZE ZORDER) of D dimension
+    * columns, `bits` bits each: bit i of dimension d lands at position
+    * i·D + d. Inputs must already be non-negative integers < 2^bits
+    * (quantize upstream — modulo, bucketing, or rank). D·bits ≤ 62.
     *
     * Why this exists: at 100 TB, sorting by ONE column clusters scans
     * on that column only; range-partitioning by the z-value clusters

@@ -135,10 +135,12 @@ object TextStats {
     * a broadcast single-row cross join. No driver-side state, no
     * window, nothing unbounded per key.
     */
-  /** Integer-exact BM25 retrieval scoring — the seed-set relevance
-    * miner of a retrieval-based curation stage (score every corpus doc
-    * against a term set, keep the top k), with both float surfaces of
-    * the classic formula replaced by exact integer constructions:
+  /** Integer-exact BM25 retrieval scoring (Robertson & Zaragoza 2009,
+    * "The Probabilistic Relevance Framework: BM25 and Beyond") — the
+    * seed-set relevance miner of a retrieval-based curation stage
+    * (score every corpus doc against a term set, keep the top k),
+    * with both float surfaces of the classic formula replaced by
+    * exact integer constructions:
     *
     *  - IDF: log2((N − df + ½)/(df + ½)) via [[mitchellE8Sql]] over
     *    q = ((2N − 2df + 1) << SHIFT) div (2df + 1) (doubling clears
