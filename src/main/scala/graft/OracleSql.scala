@@ -1719,11 +1719,9 @@ object OracleSql {
       */
     def kmvSetOpsSql: String = {
       val k = 256
-      val num = s"CAST('${graft.ops.Sketch.kmvEstNumX10(k)}' AS HUGEINT)"
-      val uEst = s"$num // greatest(u_kth, CAST(1 AS BIGINT))"
-      def scaled(cnt: String) =
-        s"CAST(CASE WHEN u_n < $k THEN $cnt * 10 " +
-          s"ELSE ($cnt * ($uEst)) // $k END AS BIGINT)"
+      // the SAME emitters the Spark plan evaluates, with DuckDB's `//`
+      // spelling — one definition, no hand-mirrored arithmetic
+      def scaled(cnt: String) = graft.ops.Sketch.kmvScaledEstX10Sql(cnt, k, "//")
       s"""WITH wd AS (SELECT lang, ${tokensE("text")} AS w FROM documents),
          |sh0 AS (SELECT lang, unnest(${shinglesE("w", 3)}) AS s FROM wd),
          |hx AS (SELECT DISTINCT lang, ${duckHash61("s")} AS h FROM sh0),
@@ -1756,7 +1754,7 @@ object OracleSql {
          |      FROM j)
          |SELECT m.lang_a, m.lang_b, m.kmv_match, m.kmv_a_only, m.kmv_b_only,
          |  m.u_n AS kmv_denom,
-         |  CAST(CASE WHEN u_n < $k THEN u_n * 10 ELSE $uEst END AS BIGINT)
+         |  ${graft.ops.Sketch.kmvUnionEstX10Sql(k, "//")}
          |    AS union_est_x10,
          |  ${scaled("kmv_match")} AS inter_est_x10,
          |  ${scaled("kmv_a_only")} AS a_only_est_x10,
@@ -1788,7 +1786,7 @@ object OracleSql {
          |v AS (SELECT count(DISTINCT t) AS v
          |      FROM (SELECT unnest(w) AS t FROM wd)),
          |sc AS (SELECT b.doc_id,
-         |         ((c1.c1 + v.v) * CAST(${1L << shift} AS BIGINT))
+         |         (CAST(c1.c1 + v.v AS HUGEINT) * ${1L << shift})
          |           // (c2.c2 + 1) AS q
          |       FROM bgl b JOIN c2 ON b.bg = c2.bg
          |       JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
@@ -1871,8 +1869,8 @@ object OracleSql {
          |       FROM tok JOIN qt ON tok.t = qt.t GROUP BY doc_id, tok.t),
          |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
          |sc AS (SELECT tf.doc_id, tf.tf, dfq.df, dlt.dl, st.n_docs, st.avdl,
-         |         greatest((((2 * st.n_docs) - (2 * dfq.df) + 1) * $two20)
-         |           // ((2 * dfq.df) + 1), $two20) AS q
+         |         greatest((CAST((2 * st.n_docs) - (2 * dfq.df) + 1 AS HUGEINT)
+         |           * ${1L << shift}) // ((2 * dfq.df) + 1), $two20) AS q
          |       FROM tf JOIN dfq ON tf.t = dfq.t
          |       JOIN dlt ON tf.doc_id = dlt.doc_id CROSS JOIN st),
          |rowsc AS (SELECT doc_id, dl,

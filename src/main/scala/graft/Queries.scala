@@ -1349,24 +1349,9 @@ object Queries {
     * corpus-size join. Integer surface end to end.
     */
   val q94_kmv_jaccard: Q = (s, d) => {
-    val k = 256
-    val docs = Tables.documents(s, d)
-      .select(col("lang"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
-    // ONE shingle+hash+distinct pass feeds the sketch, the per-lang
-    // counts, and both sides of the exact-anchor self-join (identical
-    // subtrees -> the distinct's exchange is reused, not recomputed)
-    val hx = docs.select(col("lang"), HashFns.hash61(col("sh")).as("x")).distinct()
-    val n = hx.groupBy("lang").agg(count(lit(1)).as("n"))
-    val skn = Sketch.kmvFromHashes(hx, Seq("lang"), col("x"), k).join(n, "lang")
-    val a = skn.select(col("lang").as("lang_a"), col("kmv").as("kmv_a"),
-      col("n").as("na"))
-    val b = skn.select(col("lang").as("lang_b"), col("kmv").as("kmv_b"),
-      col("n").as("nb"))
-    val inter = Sketch.pairIntersections(hx, "lang", "x")
-    val u = Sketch.kmvUnionK(col("kmv_a"), col("kmv_b"), k)
-    // 5-row sketch table: broadcast inequality self-join (BNLJ) is the
-    // intended plan — pairs of LANGUAGES, not pairs of documents
-    a.join(broadcast(b), col("lang_a") < col("lang_b"))
+    val (pairs, inter) = langPairSketches(s, d, k = 256)
+    val u = Sketch.kmvUnionK(col("kmv_a"), col("kmv_b"), 256)
+    pairs
       .withColumn("kmv_match", Sketch.kmvMatchCount(u, col("kmv_a"), col("kmv_b")))
       .withColumn("kmv_denom", size(u).cast("bigint"))
       .join(broadcast(inter),
@@ -1375,6 +1360,29 @@ object Queries {
         coalesce(col("ni"), lit(0L)).as("n_inter"),
         (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).as("n_union"))
       .orderBy("lang_a", "lang_b")
+  }
+
+  /** Shared q94/q105 scaffold: ONE shingle+hash+distinct pass feeds
+    * the per-lang bottom-k sketches, the per-lang distinct counts,
+    * and the exact pairwise-intersection anchors; the 5-row sketch
+    * table pairs under a broadcast inequality self-join (pairs of
+    * LANGUAGES, not documents — the intended BNLJ). Returns
+    * (pairs(lang_a, kmv_a, na, lang_b, kmv_b, nb),
+    * inter(ia, ib, ni)).
+    */
+  private def langPairSketches(s: SparkSession, d: String,
+                               k: Int): (DataFrame, DataFrame) = {
+    val hx = Tables.documents(s, d)
+      .select(col("lang"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
+      .select(col("lang"), HashFns.hash61(col("sh")).as("x")).distinct()
+    val n = hx.groupBy("lang").agg(count(lit(1)).as("n"))
+    val skn = Sketch.kmvFromHashes(hx, Seq("lang"), col("x"), k).join(n, "lang")
+    val a = skn.select(col("lang").as("lang_a"), col("kmv").as("kmv_a"),
+      col("n").as("na"))
+    val b = skn.select(col("lang").as("lang_b"), col("kmv").as("kmv_b"),
+      col("n").as("nb"))
+    (a.join(broadcast(b), col("lang_a") < col("lang_b")),
+      Sketch.pairIntersections(hx, "lang", "x"))
   }
 
   /** Keyed mergeable histogram: per-LANGUAGE token-count distribution,
@@ -1644,18 +1652,7 @@ object Queries {
     */
   val q105_kmv_setops: Q = (s, d) => {
     val k = 256
-    val hx = Tables.documents(s, d)
-      .select(col("lang"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
-      .select(col("lang"), HashFns.hash61(col("sh")).as("x")).distinct()
-    val n = hx.groupBy("lang").agg(count(lit(1)).as("n"))
-    val skn = Sketch.kmvFromHashes(hx, Seq("lang"), col("x"), k).join(n, "lang")
-    val a = skn.select(col("lang").as("lang_a"), col("kmv").as("kmv_a"),
-      col("n").as("na"))
-    val b = skn.select(col("lang").as("lang_b"), col("kmv").as("kmv_b"),
-      col("n").as("nb"))
-    val inter = Sketch.pairIntersections(hx, "lang", "x")
-    // 5-row sketch table: broadcast inequality self-join is intended
-    val pairs = a.join(broadcast(b), col("lang_a") < col("lang_b"))
+    val (pairs, inter) = langPairSketches(s, d, k)
     Sketch.kmvSetOpStats(pairs, k)
       .join(broadcast(inter),
         col("lang_a") === col("ia") && col("lang_b") === col("ib"), "left")

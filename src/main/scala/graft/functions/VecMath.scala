@@ -18,43 +18,57 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * DuckDB twins' `list_dot_product` order) as a tight loop called from
   * generated code, like [[Md5Long]] and [[WordShingles]].
   *
-  * Length mismatch returns NULL (the `zip_with` null-padding
-  * convention it replaces). Element nulls are not expected — embedding
-  * arrays are dense; `containsNull` inputs fold null slots as 0.
+  * Length mismatch and null elements both return NULL — exactly the
+  * `zip_with`/`aggregate` null conventions the kernels replace (a
+  * null slot nulls the product, which nulls the fold), so the
+  * SQL-registered `graft_dot`/`graft_l2` surface keeps its semantics.
   */
 object VecMath {
 
-  /** Σ a_i·b_i, ascending; null on length mismatch. Called from
-    * generated code.
+  /** Σ a_i·b_i, ascending; null on length mismatch OR any null
+    * element — the exact null-propagation the `zip_with`/`aggregate`
+    * construction has (a null slot nulls the product, which nulls the
+    * fold). Called from generated code.
     */
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
-  /** Integer Σ a_i·b_i, ascending; null on length mismatch. Exact —
-    * the quantized-ANN (int8 SQ) scoring kernel.
+  /** Integer Σ a_i·b_i, ascending; null on length mismatch or null
+    * element. Exact — the quantized-ANN (int8 SQ) scoring kernel.
     */
   def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     acc
   }
 
-  /** Σ (a_i−b_i)², ascending; null on length mismatch. */
+  /** Σ (a_i−b_i)², ascending; null on length mismatch or null
+    * element.
+    */
   def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1

@@ -55,8 +55,12 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordShingles {
-  /** = TextFns.WS_CLASS, compiled once. */
-  private val WS = Pattern.compile("[ \\t\\n\\x0B\\f\\r]+")
+  /** THE whitespace class (compiled once) — referenced from
+    * [[TextFns.WS_CLASS]] rather than copied, so the oracle-parity
+    * tokenization cannot drift between the native kernel and the
+    * relational `tokens`/`shinglesRelational` forms.
+    */
+  private val WS = Pattern.compile(TextFns.WS_CLASS + "+")
 
   /** All n-token windows of `text`, space-joined. Called from
     * generated code.

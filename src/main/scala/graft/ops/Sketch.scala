@@ -442,25 +442,47 @@ object Sketch {
     * array work on one row; an S-source profile costs O(S²·k)
     * driver-free work regardless of corpus size.
     */
+  /** Union estimate ×10 over (u_n, u_kth) columns as a generated SQL
+    * string — div-parameterized so the Spark plan (`div`, DECIMAL)
+    * and the DuckDB twin (`//`, HUGEINT) evaluate the IDENTICAL
+    * arithmetic from ONE emitter (the mitchellE8Sql discipline; a
+    * hand-mirrored copy is exactly where an integer-division drift
+    * would hide).
+    */
+  def kmvUnionEstX10Sql(k: Int, divOp: String = "div"): String =
+    s"CAST(CASE WHEN u_n < $k THEN u_n * 10 " +
+      s"ELSE ${kmvUEstSql(k, divOp)} END AS BIGINT)"
+
+  /** Subset estimate ×10: `cnt` of the union sample scaled by the
+    * union estimate — same shared-emitter contract.
+    */
+  def kmvScaledEstX10Sql(cnt: String, k: Int, divOp: String = "div"): String =
+    s"CAST(CASE WHEN u_n < $k THEN $cnt * 10 " +
+      s"ELSE ($cnt * (${kmvUEstSql(k, divOp)})) $divOp $k END AS BIGINT)"
+
+  private def kmvUEstSql(k: Int, divOp: String): String = {
+    val wide = if (divOp == "//") "HUGEINT" else "DECIMAL(38,0)"
+    s"CAST('${kmvEstNumX10(k)}' AS $wide) $divOp greatest(u_kth, CAST(1 AS BIGINT))"
+  }
+
   def kmvSetOpStats(pairs: DataFrame, k: Int): DataFrame = {
-    val num = s"CAST('${kmvEstNumX10(k)}' AS DECIMAL(38,0))"
-    val uEst = s"$num div greatest(u_kth, CAST(1 AS BIGINT))"
-    def scaled(cnt: String) =
-      s"CAST(CASE WHEN u_n < $k THEN $cnt * 10 " +
-        s"ELSE ($cnt * ($uEst)) div $k END AS BIGINT)"
     val u = kmvUnionK(col("kmv_a"), col("kmv_b"), k)
     pairs
       .withColumn("u", u)
       .withColumn("u_n", size(col("u")).cast("bigint"))
-      .withColumn("u_kth", element_at(col("u"), size(col("u"))))
+      // guarded: element_at(u, 0) raises on an empty union (a pair of
+      // all-NULL-input sketches); the estimates never read u_kth in
+      // that branch (u_n = 0 < k), so NULL is safe
+      .withColumn("u_kth",
+        when(size(col("u")) > 0, element_at(col("u"), size(col("u"))))
+          .otherwise(lit(null).cast("long")))
       .withColumn("kmv_match", kmvMatchCount(col("u"), col("kmv_a"), col("kmv_b")))
       .withColumn("kmv_a_only", kmvOnlyCount(col("u"), col("kmv_a"), col("kmv_b")))
       .withColumn("kmv_b_only", kmvOnlyCount(col("u"), col("kmv_b"), col("kmv_a")))
-      .withColumn("union_est_x10",
-        expr(s"CAST(CASE WHEN u_n < $k THEN u_n * 10 ELSE $uEst END AS BIGINT)"))
-      .withColumn("inter_est_x10", expr(scaled("kmv_match")))
-      .withColumn("a_only_est_x10", expr(scaled("kmv_a_only")))
-      .withColumn("b_only_est_x10", expr(scaled("kmv_b_only")))
+      .withColumn("union_est_x10", expr(kmvUnionEstX10Sql(k)))
+      .withColumn("inter_est_x10", expr(kmvScaledEstX10Sql("kmv_match", k)))
+      .withColumn("a_only_est_x10", expr(kmvScaledEstX10Sql("kmv_a_only", k)))
+      .withColumn("b_only_est_x10", expr(kmvScaledEstX10Sql("kmv_b_only", k)))
       .drop("u")
   }
 

@@ -103,10 +103,23 @@ object TextStats {
     * Spark SQL, `//` in DuckDB) — pass `divOp` accordingly; every
     * other token of the generated expression is shared.
     */
+  /** 2^(floor(log2(q)) − 3) by the same threshold CASE — the exact
+    * eighth of [[pow2FloorCaseSql]] (valid because SHIFT ≥ 3).
+    */
+  def pow2FloorDiv8CaseSql(qE: String): String =
+    "(CASE " + (62 to LmShift by -1)
+      .map(i => s"WHEN $qE >= ${1L << i} THEN CAST(${1L << (i - 3)} AS BIGINT)")
+      .mkString(" ") + s" ELSE CAST(${1L << (LmShift - 3)} AS BIGINT) END)"
+
   def mitchellE8Sql(qE: String, divOp: String = "div"): String = {
     val e = floorLog2CaseSql(qE)
     val p = pow2FloorCaseSql(qE)
-    s"(8 * $e + (($qE - $p) * 8) $divOp $p)"
+    val p8 = pow2FloorDiv8CaseSql(qE)
+    // (q − p)·8 div p ≡ (q − p) div (p/8) exactly (p is a power of two
+    // ≥ 2^20, so p/8 is exact and floor commutes) — the division-only
+    // form never multiplies, so no q in [2^20, 2^63) can overflow the
+    // interpolation term ((q − p)·8 would wrap past q > p + 2^60)
+    s"(8 * $e + ($qE - $p) $divOp $p8)"
   }
 
   /** Corpus-trained bigram language-model surprisal per document —
@@ -179,7 +192,8 @@ object TextStats {
       .join(dl, "__id")
       .crossJoin(broadcast(stats))
       .withColumn("q", expr(
-        s"greatest((((2 * n_docs) - (2 * df) + 1) * $two20) div ((2 * df) + 1), $two20)"))
+        s"greatest((CAST((2 * n_docs) - (2 * df) + 1 AS DECIMAL(38,0)) " +
+          s"* ${1L << LmShift}) div ((2 * df) + 1), $two20)"))
       .withColumn("idf_e8", expr(s"${mitchellE8Sql("q")} - ${8 * LmShift}"))
       .withColumn("tfn_x1000", expr(
         "(22000 * tf * avdl) div ((10 * tf * avdl) + (3 * avdl) + (9 * dl))"))
@@ -261,9 +275,14 @@ object TextStats {
       .crossJoin(broadcast(v))
       // clamp is a no-op whenever the vocab is non-empty (c1+v ≥ c2+1
       // because c1 = Σ c2 over the left context); it only guards the
-      // degenerate empty-model case so m8 stays in range
+      // degenerate empty-model case so m8 stays in range. The product
+      // goes through DECIMAL (HUGEINT on the oracle side) so a
+      // trillion-token c1 cannot wrap the << SHIFT scaling; the div
+      // result is BIGINT-ranged by construction (q < 2^63 whenever
+      // (c1+v)/(c2+1) < 2^43, i.e. always — c2+1 ≥ 1 and c1 ≤ corpus
+      // bigrams means the RATIO, not the product, bounds q)
       .withColumn("q",
-        expr(s"greatest(((c1 + v) * CAST(${1L << LmShift} AS BIGINT)) div (c2 + 1), " +
+        expr(s"greatest((CAST(c1 + v AS DECIMAL(38,0)) * ${1L << LmShift}) div (c2 + 1), " +
           s"CAST(${1L << LmShift} AS BIGINT))"))
       .withColumn("m8", expr(mitchellE8Sql("q")))
       .groupBy("__id")

@@ -40,6 +40,15 @@ class SimilaritySpec extends SparkSpec {
       .select(VectorFns.dot(col("a"), col("b")).as("d"))
       .collect().head
     assert(mism.isNullAt(0))
+    // a null ELEMENT also nulls the fold — the zip_with semantics the
+    // SQL-registered graft_dot/graft_l2 surface keeps
+    val withNull = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")).as("d"),
+        VectorFns.dotRelational(col("a"), col("b")).as("rd"),
+        VectorFns.l2Distance(col("a"), col("b")).as("l"))
+      .collect().head
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1) && withNull.isNullAt(2))
     // empty vectors → 0.0
     val empty = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
       .select(VectorFns.dot(col("a"), col("b"))).as[Double].collect().head
