@@ -414,6 +414,8 @@ object OracleSql {
     "q109_bm25" -> Gen.bm25Sql,
     "q110_table_profile" -> Gen.tableProfileSql,
     "q111_incremental_minhash" -> Gen.incrementalMinhashSql,
+    "q112_bpe_train" -> Gen.bpeTrainSql,
+    "q113_bpe_tokens" -> Gen.bpeTokensSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -524,6 +526,70 @@ object OracleSql {
         |  ON n.band = o.band AND n.band_hash = o.band_hash AND n.id <> o.id
         |WHERE n.id % 2 = 1 OR o.id % 2 = 1
         |ORDER BY id_a, id_b""".stripMargin
+
+    /** Shared CTE chain of the BPE trainer twins (q112/q113): top-N
+      * word counts, char-split initial symbols, then `numMerges`
+      * unrolled (pair-count → argmax → merge-apply) stages. The
+      * merge-application expression is the double-delimited
+      * exact-greedy replace of [[graft.ops.Bpe.applyMerge]], token
+      * for token (widen delimiters, one replace pass, collapse,
+      * trim); the argmax tie-break (count DESC, pair ASC) is a total
+      * order in both engines. LEFT JOIN ON TRUE keeps a stage a
+      * no-op when the dictionary runs out of pairs, matching the
+      * Spark trainer's early stop.
+      */
+    private def bpeCtes(numMerges: Int, topWords: Int): String = {
+      val init =
+        s"""WITH wc AS (SELECT word, cnt FROM (
+           |  SELECT word, count(*) AS cnt
+           |  FROM (SELECT unnest(${tokensE("text")}) AS word FROM documents)
+           |  GROUP BY word ORDER BY cnt DESC, word LIMIT $topWords)),
+           |w0 AS (SELECT word, cnt,
+           |  array_to_string([substr(word, i, 1) for i in range(1, len(word) + 1)], ' ') AS r
+           |  FROM wc)""".stripMargin
+      val stages = (1 to numMerges).map { i =>
+        val p = i - 1
+        s""",
+           |p$i AS (SELECT bg, SUM(cnt) AS c FROM (
+           |  SELECT cnt, unnest(${shinglesE("string_split(r, ' ')", 2)}) AS bg FROM w$p) t
+           |  WHERE bg LIKE '% %' GROUP BY bg),
+           |t$i AS (SELECT bg, replace(bg, ' ', '') AS m,
+           |  ' ' || replace(bg, ' ', '  ') || ' ' AS pat
+           |  FROM p$i ORDER BY c DESC, bg LIMIT 1),
+           |w$i AS (SELECT w.word, w.cnt,
+           |  CASE WHEN t.bg IS NULL THEN w.r ELSE
+           |    trim(replace(replace(
+           |      ' ' || replace(w.r, ' ', '  ') || ' ', t.pat, ' ' || t.m || ' '),
+           |      '  ', ' ')) END AS r
+           |  FROM w$p w LEFT JOIN t$i t ON TRUE)""".stripMargin
+      }.mkString
+      init + stages
+    }
+
+    /** Twin of q112_bpe_train: six unrolled merge rounds, then the
+      * dictionary segmentation.
+      */
+    def bpeTrainSql: String =
+      bpeCtes(6, 200) + s"""
+        |SELECT word, cnt, r AS seg,
+        |  CAST(len(string_split(r, ' ')) AS BIGINT) AS n_symbols
+        |FROM w6 ORDER BY word""".stripMargin
+
+    /** Twin of q113_bpe_tokens: the q112 model's dictionary joined to
+      * the token stream; off-dictionary words fall back to character
+      * count (every char a symbol when no merge applies).
+      */
+    def bpeTokensSql: String =
+      bpeCtes(6, 200) + s""",
+        |dict AS (SELECT word,
+        |  CAST(len(string_split(r, ' ')) AS BIGINT) AS n_symbols FROM w6),
+        |tok AS (SELECT doc_id, unnest(${tokensE("text")}) AS word FROM documents),
+        |agg AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |  SUM(COALESCE(d.n_symbols, len(t.word))) AS n_bpe
+        |  FROM tok t LEFT JOIN dict d USING (word) GROUP BY t.doc_id)
+        |SELECT d.doc_id, d.lang, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
     def nearDupPairsSql: String =
       minhashBucketCtes(2) + s""",

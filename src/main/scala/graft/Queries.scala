@@ -1782,6 +1782,38 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Distributed BPE merge training ([[graft.ops.Bpe.train]]):
+    * 6 merges over the top-200 word dictionary, then the trained
+    * tokenizer's segmentation of that dictionary — (word, cnt, seg,
+    * n_symbols). The corpus is scanned once (word counts); the merge
+    * loop runs on the bounded dictionary with a 1-row argmax per
+    * round (the bounded-collect class). The oracle replays all six
+    * rounds as unrolled CTE stages sharing the same replace-based
+    * exact-greedy merge expression.
+    */
+  val q112_bpe_train: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 6, topWords = 200)
+    graft.ops.Bpe.segmentWords(docs, "text", merges, topWords = 200)
+      .orderBy("word")
+  }
+
+  /** Corpus tokenization under the trained BPE model
+    * ([[graft.ops.Bpe.tokenCounts]]): per-doc whitespace-token and
+    * BPE-symbol counts — the token-budget accounting pass of a
+    * training-data pipeline. The segmentation dictionary is bounded
+    * (top-200 words) and broadcast; off-dictionary words fall back to
+    * character count; the corpus side is one scan + one hash agg on
+    * the 8-byte doc id.
+    */
+  val q113_bpe_tokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 6, topWords = 200)
+    graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges,
+        topWords = 200, carry = Seq("lang"))
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1894,5 +1926,7 @@ object Queries {
     "q108_sq_ann" -> q108_sq_ann,
     "q109_bm25" -> q109_bm25,
     "q110_table_profile" -> q110_table_profile,
-    "q111_incremental_minhash" -> q111_incremental_minhash)
+    "q111_incremental_minhash" -> q111_incremental_minhash,
+    "q112_bpe_train" -> q112_bpe_train,
+    "q113_bpe_tokens" -> q113_bpe_tokens)
 }
