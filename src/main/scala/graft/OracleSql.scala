@@ -416,6 +416,7 @@ object OracleSql {
     "q111_incremental_minhash" -> Gen.incrementalMinhashSql,
     "q112_bpe_train" -> Gen.bpeTrainSql,
     "q113_bpe_tokens" -> Gen.bpeTokensSql,
+    "q114_nb_classifier" -> Gen.nbClassifierSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -590,6 +591,56 @@ object OracleSql {
         |SELECT d.doc_id, d.lang, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+    /** Twin of q114_nb_classifier: identical class/token/vocab counts
+      * over the 80% hold-in, the IDENTICAL generated Mitchell-log CASE
+      * (`//` spelling) for both the priors and the smoothed per-token
+      * surprisals, the same argmin tie-break (s_e8, label) and
+      * runner-up margin.
+      */
+    def nbClassifierSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8q = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      val m8qp = graft.ops.TextStats.mitchellE8Sql("qp", divOp = "//")
+      val two20 = 1L << shift
+      s"""WITH tr AS (SELECT lang, ${tokensE("text")} AS w FROM documents
+         |            WHERE doc_id % 5 <> 0),
+         |te AS (SELECT doc_id, lang, ${tokensE("text")} AS w FROM documents
+         |       WHERE doc_id % 5 = 0),
+         |cls AS (SELECT lang AS label, count(*) AS n_docs,
+         |          CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+         |        FROM tr GROUP BY lang),
+         |tokc AS (SELECT lang AS label, t, count(*) AS c
+         |         FROM (SELECT lang, unnest(w) AS t FROM tr) GROUP BY lang, t),
+         |v AS (SELECT count(DISTINCT t) AS v
+         |      FROM (SELECT unnest(w) AS t FROM tr)),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all FROM cls),
+         |pri AS (SELECT label, n_tokens, qp, $m8qp - ${8 * shift} AS prior_e8
+         |        FROM (SELECT label, n_tokens,
+         |          greatest((CAST(n_all AS HUGEINT) * $two20) // n_docs,
+         |            $two20) AS qp
+         |          FROM cls CROSS JOIN tot) t),
+         |ttok AS (SELECT doc_id, unnest(w) AS t FROM te),
+         |pt AS (SELECT tt.doc_id, p.label,
+         |         greatest((CAST(p.n_tokens + v.v AS HUGEINT) * $two20)
+         |           // (COALESCE(tc.c, 0) + 1), $two20) AS q
+         |       FROM ttok tt CROSS JOIN pri p CROSS JOIN v
+         |       LEFT JOIN tokc tc ON tc.label = p.label AND tc.t = tt.t),
+         |pa AS (SELECT doc_id, label,
+         |         CAST(SUM($m8q - ${8 * shift}) AS BIGINT) AS tok_e8
+         |       FROM pt GROUP BY doc_id, label),
+         |sc AS (SELECT te.doc_id, te.lang, p.label,
+         |         p.prior_e8 + COALESCE(pa.tok_e8, 0) AS s_e8
+         |       FROM te CROSS JOIN pri p
+         |       LEFT JOIN pa ON pa.doc_id = te.doc_id AND pa.label = p.label),
+         |rk AS (SELECT doc_id, lang, label, s_e8,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY s_e8, label) AS rnk,
+         |         lead(s_e8) OVER (PARTITION BY doc_id ORDER BY s_e8, label) AS nxt
+         |       FROM sc)
+         |SELECT doc_id, lang, label AS pred, CAST(s_e8 AS BIGINT) AS s_e8,
+         |  CAST(COALESCE(nxt - s_e8, 0) AS BIGINT) AS margin_e8
+         |FROM rk WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+    }
 
     def nearDupPairsSql: String =
       minhashBucketCtes(2) + s""",

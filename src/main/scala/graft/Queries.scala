@@ -1814,6 +1814,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Integer-exact multinomial Naive Bayes
+    * ([[graft.ops.NaiveBayes]]): train a language classifier on the
+    * 80% hold-in (doc_id % 5 ≠ 0), score the 20% hold-out — per doc
+    * the minimum-surprisal class, its total surprisal in eighth-bits
+    * (Mitchell integer log2, the q106 discipline) and the margin to
+    * the runner-up. Training is two map-side-partial aggregations;
+    * scoring is token-stream × L classes with the count table joined
+    * by key and a per-doc argmin window.
+    */
+  val q114_nb_classifier: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.NaiveBayes.trainScore(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(5)) === 0),
+        "lang", "doc_id", "text", Seq("lang"))
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1928,5 +1946,6 @@ object Queries {
     "q110_table_profile" -> q110_table_profile,
     "q111_incremental_minhash" -> q111_incremental_minhash,
     "q112_bpe_train" -> q112_bpe_train,
-    "q113_bpe_tokens" -> q113_bpe_tokens)
+    "q113_bpe_tokens" -> q113_bpe_tokens,
+    "q114_nb_classifier" -> q114_nb_classifier)
 }
