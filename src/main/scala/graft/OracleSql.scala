@@ -417,6 +417,8 @@ object OracleSql {
     "q112_bpe_train" -> Gen.bpeTrainSql,
     "q113_bpe_tokens" -> Gen.bpeTokensSql,
     "q114_nb_classifier" -> Gen.nbClassifierSql,
+    "q115_image_header_probe" -> Gen.imageHeaderProbeSql,
+    "q116_wav_probe" -> Gen.wavProbeSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -641,6 +643,33 @@ object OracleSql {
          |  CAST(COALESCE(nxt - s_e8, 0) AS BIGINT) AS margin_e8
          |FROM rk WHERE rnk = 1 ORDER BY doc_id""".stripMargin
     }
+
+    /** Twin of q115_image_header_probe: the Spark side lays out real
+      * PNG/GIF/JPEG header bytes from each doc id and parses them back
+      * with the native header parser; the twin states what a correct
+      * construct∘parse round trip must return, arithmetically. (The
+      * parser itself is pinned against hand-laid golden fixtures in
+      * `MediaHeadersSpec`; this query pins the round trip at corpus
+      * scale in the hash gate.)
+      */
+    def imageHeaderProbeSql: String =
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |    WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+        |  CAST(doc_id % 800 + 16 AS INT) AS width,
+        |  CAST(doc_id % 600 + 16 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+
+    /** Twin of q116_wav_probe: same construct∘parse contract for the
+      * RIFF/WAVE chunk walker — duration_ms = data bytes · 1000 div
+      * byte rate (rate · 2), exact integer division both sides.
+      */
+    def wavProbeSql: String =
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST((doc_id % 1000 + 1) * 100 * 1000
+        |    // ((8000 + (doc_id % 8) * 1000) * 2) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin
 
     def nearDupPairsSql: String =
       minhashBucketCtes(2) + s""",

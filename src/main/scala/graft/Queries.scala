@@ -1832,6 +1832,69 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Real image-header probing at corpus scale
+    * ([[graft.functions.ImageDims]] over
+    * [[graft.multimodal.MediaHeaders.parseImage]]): deterministic
+    * PNG / GIF / JPEG container bytes are laid out per spec from each
+    * doc id (BE32 IHDR dims, LE16 GIF screen descriptor, BE16 SOF0
+    * frame header), then parsed back by the native codegen'd
+    * expression — pinning the construct∘parse round trip through
+    * real byte layouts in the driver's hash gate (the golden-fixture
+    * spec pins the parser against hand-laid headers independently).
+    * Map-only, stays in whole-stage codegen; no mapPartitions stage.
+    */
+  val q115_image_header_probe: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(800)) + 16).cast("int").as("w"),
+      (pmod(col("doc_id"), lit(600)) + 16).cast("int").as("h"),
+      pmod(col("doc_id"), lit(3)).as("f"))
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(col("w")), 8, "0"), lpad(hex(col("h")), 8, "0"), lit("0806000000"))
+    val gifHex = concat(lit("474946383961"),
+      lpad(hex(expr("w % 256")), 2, "0"), lpad(hex(expr("w div 256")), 2, "0"),
+      lpad(hex(expr("h % 256")), 2, "0"), lpad(hex(expr("h div 256")), 2, "0"))
+    val jpgHex = concat(lit("FFD8FFC0001108"),
+      lpad(hex(col("h")), 4, "0"), lpad(hex(col("w")), 4, "0"),
+      lit("03012200021101031101"))
+    val bin = unhex(when(col("f") === 0, pngHex)
+      .when(col("f") === 1, gifHex).otherwise(jpgHex))
+    base.select(col("doc_id"), graft.functions.ImageDims(bin).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"))
+      .orderBy("doc_id")
+  }
+
+  /** Real WAV-header probing through the batched decode stage
+    * ([[graft.multimodal.Multimodal.probeMetadata]] with the
+    * header-parsing codec): spec-laid RIFF/WAVE bytes (fmt chunk
+    * sample rate + byte rate, data chunk size) per doc id, probed by
+    * the chunk walker — the mapPartitions plumbing (batch shape,
+    * metadata struct, Result-convention errors) carrying REAL parsing
+    * instead of the stub. duration_ms = data bytes · 1000 div byte
+    * rate, exact integers on both sides.
+    */
+  val q116_wav_probe: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("int").as("rate"),
+      ((pmod(col("doc_id"), lit(1000)) + 1) * 100).cast("int").as("dsz"))
+    def le16(e: String) = concat(
+      lpad(hex(expr(s"($e) % 256")), 2, "0"),
+      lpad(hex(expr(s"($e) div 256")), 2, "0"))
+    def le32(e: String) = concat(le16(s"($e) % 65536"), le16(s"($e) div 65536"))
+    val wavHex = concat(lit("52494646"), le32("dsz + 36"), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("01000100"),
+      le32("rate"), le32("rate * 2"), lit("02001000"),
+      lit("64617461"), le32("dsz"))
+    val withBin = base.select(col("doc_id"), unhex(wavHex).as("bin"))
+    graft.multimodal.Multimodal.probeMetadata(withBin, "doc_id", "bin",
+        graft.multimodal.Multimodal.Audio,
+        codec = graft.multimodal.Multimodal.HeaderCodec)
+      .select(col("id").as("doc_id"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -1947,5 +2010,7 @@ object Queries {
     "q111_incremental_minhash" -> q111_incremental_minhash,
     "q112_bpe_train" -> q112_bpe_train,
     "q113_bpe_tokens" -> q113_bpe_tokens,
-    "q114_nb_classifier" -> q114_nb_classifier)
+    "q114_nb_classifier" -> q114_nb_classifier,
+    "q115_image_header_probe" -> q115_image_header_probe,
+    "q116_wav_probe" -> q116_wav_probe)
 }

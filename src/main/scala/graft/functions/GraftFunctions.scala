@@ -48,6 +48,8 @@ object GraftFunctions {
       AvroDecodeExpression(exprs.head, schemaJson)
     },
     "graft_hash61" -> viaColumns { case Seq(c) => HashFns.hash61(c) },
+    // real container-header probe: binary → struct(format,width,height)
+    "graft_image_dims" -> { exprs => ImageDims(exprs.head) },
     // width passed as a literal knob: graft_shingles(text, 3)
     "graft_shingles" -> { exprs =>
       WordShingles(exprs.head, literalKnob("graft_shingles", "n", exprs(1)))

@@ -109,6 +109,36 @@ object Multimodal {
     }
   }
 
+  /** REAL header-parsing codec: image dimensions and WAV
+    * sample-rate/duration come from actual container-layout parsing
+    * ([[MediaHeaders]] — PNG/GIF/BMP/JPEG/RIFF byte offsets, pure
+    * JVM), so the probe stage is no longer stubbed for those paths.
+    * Pixel decode (resize / frame sampling / feature extraction)
+    * still delegates to [[StubCodec]]: those genuinely need an image
+    * library this environment lacks, and the seam is the point.
+    */
+  object HeaderCodec extends MediaCodec {
+    override def probe(kind: String, bytes: Array[Byte]): Row = kind match {
+      case Image =>
+        val d = MediaHeaders.parseImage(bytes)
+        if (d == null)
+          Row(kind, null, null, null, null, null, null, "unrecognized image header")
+        else Row(kind, d.format, d.width, d.height, null, null, 1, null)
+      case Audio =>
+        val w = MediaHeaders.parseWav(bytes)
+        if (w == null)
+          Row(kind, null, null, null, null, null, null, "unrecognized audio header")
+        else Row(kind, "wav", null, null, w.sampleRate, w.durationMs, null, null)
+      case _ => StubCodec.probe(kind, bytes)
+    }
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      StubCodec.resize(bytes, w, h)
+    override def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
+      StubCodec.sampleFrames(bytes, everyN)
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      StubCodec.features(bytes, dim)
+  }
+
   /** Spread media rows before an expensive decode stage: binary sizes
     * are skewed, and a decode stage inherits upstream partitioning —
     * round-robin repartition rebalances without a key shuffle's hotspots.
