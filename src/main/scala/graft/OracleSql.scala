@@ -419,6 +419,7 @@ object OracleSql {
     "q114_nb_classifier" -> Gen.nbClassifierSql,
     "q115_image_header_probe" -> Gen.imageHeaderProbeSql,
     "q116_wav_probe" -> Gen.wavProbeSql,
+    "q117_pq_adc" -> Gen.pqAdcSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -670,6 +671,84 @@ object OracleSql {
         |  CAST((doc_id % 1000 + 1) * 100 * 1000
         |    // ((8000 + (doc_id % 8) * 1000) * 2) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin
+
+    /** Twin of q117_pq_adc: per subspace, the ivfCellCtes pattern on
+      * the SLICED vectors (same hash-ordered 64-sample — the id hash
+      * ignores the slice — first 4 as init, one Lloyd round with
+      * DECIMAL(30,15) sums, ties to the larger cell), then the
+      * centroid self-max-abs int8 grid, the q108 corpus-wide query
+      * quantization, per-subspace integer lookup tables, and the
+      * 4-lookup integer sum — the ranking surface is exact integers,
+      * so no rounding appears anywhere.
+      */
+    def pqAdcSql: String = {
+      val m = 4; val subDim = 16; val ksub = 4; val sampleN = 64; val k = 5
+      val h = duckHash61("'ivf42:' || CAST(id AS VARCHAR)")
+      def lo(s: Int) = s * subDim + 1
+      def hi(s: Int) = (s + 1) * subDim
+      val subs = (0 until m).map { s =>
+        s""",
+           |init$s AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell,
+           |            v[${lo(s)}:${hi(s)}] AS cv
+           |          FROM (SELECT h, v FROM smp ORDER BY h LIMIT $ksub) t),
+           |sasn$s AS (SELECT id, cell FROM (
+           |   SELECT p.id, c.cell,
+           |     row_number() OVER (PARTITION BY p.id
+           |       ORDER BY ${cosineE(s"p.v[${lo(s)}:${hi(s)}]", "c.cv")} DESC,
+           |         c.cell DESC) AS rnk
+           |   FROM smp p CROSS JOIN init$s c) t WHERE rnk = 1),
+           |sdim$s AS (SELECT a.cell, unnest(p.v[${lo(s)}:${hi(s)}]) AS x,
+           |            unnest(range(1, ${subDim + 1})) AS pos
+           |          FROM sasn$s a JOIN smp p USING(id)),
+           |upd$s AS (SELECT cell, pos, SUM(CAST(x AS DECIMAL(30,15))) AS sd
+           |         FROM sdim$s GROUP BY cell, pos),
+           |cvec$s AS (SELECT cell, list(CAST(sd AS DOUBLE) ORDER BY pos) AS cv
+           |          FROM upd$s GROUP BY cell),
+           |cfin$s AS (SELECT i.cell, COALESCE(c.cv, i.cv) AS cv
+           |          FROM init$s i LEFT JOIN cvec$s c USING (cell)),
+           |cq$s AS (SELECT cell,
+           |          [CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+           |                ELSE CAST(floor(cv[i] * 127.0 / mx) AS BIGINT) END
+           |           for i in range(1, ${subDim + 1})] AS c8
+           |         FROM (SELECT cell, cv,
+           |            list_aggregate([abs(x) for x in cv], 'max') AS mx
+           |            FROM cfin$s) t),
+           |casn$s AS (SELECT id, cell AS code FROM (
+           |  SELECT e.id, f.cell, row_number() OVER (PARTITION BY e.id
+           |    ORDER BY ${cosineE(s"e.v[${lo(s)}:${hi(s)}]", "f.cv")} DESC,
+           |      f.cell DESC) AS rnk
+           |  FROM e CROSS JOIN cfin$s f) t WHERE rnk = 1),
+           |qtab$s AS (SELECT q.query_id, c.cell,
+           |   CAST(list_sum([q.q8[${lo(s) - 1} + i] * c.c8[i]
+           |                  for i in range(1, ${subDim + 1})]) AS BIGINT) AS dot
+           |   FROM qz q CROSS JOIN cq$s c)""".stripMargin
+      }.mkString
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |smp AS (SELECT id, v, $h AS h FROM e ORDER BY h LIMIT $sampleN),
+         |ex AS (SELECT unnest([{'pos': i, 'x': v[i]}
+         |                     for i in range(1, len(v)+1)]) AS u FROM e),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS mm FROM ex GROUP BY u.pos),
+         |sl AS (SELECT list(mm ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT id AS query_id,
+         |        [CASE WHEN sl.s[i] = 0 THEN 0
+         |              ELSE CAST(floor(v[i] * 127.0 / sl.s[i]) AS BIGINT) END
+         |         for i in range(1, len(v)+1)] AS q8
+         |       FROM e CROSS JOIN sl WHERE id < 3)$subs,
+         |scored AS (SELECT q0.query_id, c0.id,
+         |   q0.dot + q1.dot + q2.dot + q3.dot AS pq_dot
+         |   FROM casn0 c0 JOIN casn1 c1 USING (id)
+         |     JOIN casn2 c2 USING (id) JOIN casn3 c3 USING (id)
+         |   JOIN qtab0 q0 ON q0.cell = c0.code
+         |   JOIN qtab1 q1 ON q1.cell = c1.code AND q1.query_id = q0.query_id
+         |   JOIN qtab2 q2 ON q2.cell = c2.code AND q2.query_id = q0.query_id
+         |   JOIN qtab3 q3 ON q3.cell = c3.code AND q3.query_id = q0.query_id),
+         |ranked AS (SELECT query_id, id, pq_dot,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY pq_dot DESC, id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, id, pq_dot, "rank" FROM ranked
+         |WHERE "rank" <= $k ORDER BY query_id, "rank"""".stripMargin
+    }
 
     def nearDupPairsSql: String =
       minhashBucketCtes(2) + s""",

@@ -1895,6 +1895,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Product-quantization ANN with integer ADC readback
+    * ([[graft.sim.Similarity.pqTrain]]/`pqTopK`, Jégou et al. 2011):
+    * 4 subspaces × 16 dims, 4-centroid spherical codebooks from the
+    * deterministic sampled k-means (same hash-ordered sample per
+    * subspace), corpus encoded to 4 small codes, queries scored by
+    * per-subspace int8 lookup tables summed as EXACT integers — the
+    * compressed-corpus ANN scan (4 B/vector instead of 256 B), fully
+    * replayed by the oracle. Encode is a constant-width codegen'd
+    * projection; scoring joins the tiny broadcast query tables and
+    * ends in the bounded-heap top-k.
+    */
+  val q117_pq_adc: Q = (s, d) => {
+    val e = Scale.fanOut(Tables.embeddings(s, d))
+    val model = Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 1, sampleN = 64)
+    Similarity.pqTopK(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 3), "vec_id", "embedding", k = 5, model)
+      .orderBy("query_id", "rank")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2012,5 +2032,6 @@ object Queries {
     "q113_bpe_tokens" -> q113_bpe_tokens,
     "q114_nb_classifier" -> q114_nb_classifier,
     "q115_image_header_probe" -> q115_image_header_probe,
-    "q116_wav_probe" -> q116_wav_probe)
+    "q116_wav_probe" -> q116_wav_probe,
+    "q117_pq_adc" -> q117_pq_adc)
 }

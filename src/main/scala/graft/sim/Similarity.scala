@@ -305,4 +305,112 @@ object Similarity {
     */
   def sqDot(a: Column, b: Column): Column =
     graft.functions.VecDotLong(a, b)
+
+  // ---------------------------------------------------------------- //
+  // Product quantization (PQ) — m-subspace codebook compression      //
+  // ---------------------------------------------------------------- //
+
+  /** A trained PQ model (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector splits
+    * into `m` subspaces of `subDim` dims; each subspace carries a
+    * `ksub`-centroid spherical codebook (cosine assignment — the
+    * [[kMeansCentroids]] trainer on the slice), plus the full-dim
+    * max-abs scales and the int8-quantized centroids the ADC readback
+    * scores against. A vector stores as m small codes (m bytes at
+    * ksub ≤ 256) instead of dim floats — the 100 TB story: a 64-dim
+    * float corpus (256 B/vector) re-shuffles and caches as 4 B/vector
+    * wherever approximate ranking suffices.
+    */
+  final case class PqModel(m: Int, subDim: Int,
+                           codebooks: Seq[Seq[Array[Double]]],
+                           scales: Array[Double],
+                           codebooks8: Seq[Seq[Array[Long]]]) {
+    def ksub: Int = codebooks.head.size
+  }
+
+  /** Train PQ codebooks: per subspace, the hash-deterministic sampled
+    * k-means of [[kMeansCentroids]] over the SLICED vectors — the id
+    * hash ignores the slice, so every subspace trains on the same
+    * bounded sample rows and the whole build replays in SQL. Queries
+    * quantize on the corpus-wide per-dimension max-abs scales
+    * ([[sqQuantize]]); each CENTROID quantizes by its own max-abs
+    * (centroids are un-normalized sums — only their direction matters
+    * to the dot readback, and self-scaling puts every codebook entry
+    * on the same [-127, 127] magnitude).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int = 1, sampleN: Int = 512,
+              seed: Long = 42L): PqModel = {
+    val dim = corpus.select(size(toDouble(col(vecCol)))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val scales = sqScales(corpus, vecCol)
+    val codebooks = (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(toDouble(col(vecCol)), s * subDim + 1, subDim).as("__sv"))
+      kMeansCentroids(sliced, idCol, "__sv", ksub, iters, sampleN, seed)
+    }
+    // Centroids are un-normalized DECIMAL sums (cosine is
+    // scale-invariant), so they overflow a corpus-scaled int8 grid;
+    // each quantizes by its OWN max-abs instead — direction is all
+    // the dot-product readback needs, and every codebook entry lands
+    // on the same [-127, 127] magnitude. abs/max are order-free and
+    // the floor(c·127/mx) doubles replay identically in SQL.
+    val cb8 = codebooks.map { cbs =>
+      cbs.map { c =>
+        val mx = c.map(math.abs).max
+        Array.tabulate(subDim) { i =>
+          if (mx == 0.0) 0L else math.floor(c(i) * 127.0 / mx).toLong
+        }
+      }
+    }
+    PqModel(m, subDim, codebooks, scales, cb8)
+  }
+
+  /** Encode a corpus under a PQ model: `(id, code0..code{m-1})` — per
+    * subspace the nearest codebook centroid by cosine (ties to the
+    * larger code, the [[nearestCell]] convention). A constant-width
+    * codegen'd projection (m × ksub centroid literals folded into the
+    * plan); the corpus is never collected.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val codeCols = (0 until model.m).map { s =>
+      nearestCell(slice(v, s * model.subDim + 1, model.subDim),
+        model.codebooks(s)).as(s"code$s")
+    }
+    corpus.select(col(idCol).as("id") +: codeCols: _*)
+  }
+
+  /** PQ top-k by asymmetric distance computation: each query
+    * int8-quantizes once, precomputes its per-subspace lookup table
+    * (ksub integer dots against the quantized centroids —
+    * [[graft.functions.VecDotLong]] kernels), and every corpus code
+    * row scores with m array lookups summed — EXACT integer
+    * arithmetic, so the ANN surface is oracle-hashable with no float
+    * summation anywhere in the ranking. Corpus side: the encode
+    * projection + one broadcast join against the tiny query tables +
+    * the bounded-heap top-k; nothing shuffles wider than the m codes.
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qIdCol: String, qVecCol: String,
+             k: Int, model: PqModel): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, model)
+    val qtabCols = (0 until model.m).map { s =>
+      val sub = slice(col("__q8"), s * model.subDim + 1, model.subDim)
+      array((0 until model.ksub).map(j =>
+        sqDot(sub, typedlit(model.codebooks8(s)(j).toSeq))): _*).as(s"qtab$s")
+    }
+    val qt = queries
+      .select(col(qIdCol).as("query_id"),
+        sqQuantize(col(qVecCol), model.scales).as("__q8"))
+      .select(col("query_id") +: qtabCols: _*)
+    val scored = codes.crossJoin(broadcast(qt))
+      .select(col("query_id"), col("id"),
+        (0 until model.m).map(s =>
+          element_at(col(s"qtab$s"), col(s"code$s") + 1)).reduce(_ + _).as("pq_dot"))
+    TopK.topKPerKey(scored, Seq("query_id"), col("pq_dot"), Seq(col("id")), k)
+      .select(col("query_id"), col("id"), col("pq_dot"), col("rn").as("rank"))
+  }
 }
