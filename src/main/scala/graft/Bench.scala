@@ -189,7 +189,9 @@ object Bench {
       "q102_kmv_windowed", "q103_cms_agg", "q104_kmv_matrix",
       "q105_kmv_setops", "q106_lm_surprisal", "q107_zorder_stats",
       "q108_sq_ann", "q109_bm25", "q110_table_profile",
-      "q111_incremental_minhash")
+      "q111_incremental_minhash", "q112_bpe_train", "q113_bpe_tokens",
+      "q114_nb_classifier", "q115_image_header_probe", "q116_wav_probe",
+      "q117_pq_adc", "q118_ivfpq")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

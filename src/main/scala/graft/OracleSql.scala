@@ -420,6 +420,7 @@ object OracleSql {
     "q115_image_header_probe" -> Gen.imageHeaderProbeSql,
     "q116_wav_probe" -> Gen.wavProbeSql,
     "q117_pq_adc" -> Gen.pqAdcSql,
+    "q118_ivfpq" -> Gen.ivfPqSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -681,48 +682,60 @@ object OracleSql {
       * 4-lookup integer sum — the ranking surface is exact integers,
       * so no rounding appears anywhere.
       */
-    def pqAdcSql: String = {
-      val m = 4; val subDim = 16; val ksub = 4; val sampleN = 64; val k = 5
+    /** One k-means cell chain (the ivfCellCtes pattern) over the
+      * vector slice `v[lo:hi]`, CTE names suffixed: init/sasn/sdim/
+      * upd/cvec/cfin/casn`sfx`. `lo=1, hi=dim` gives the full-vector
+      * coarse quantizer; PQ subspaces pass their slice bounds.
+      */
+    private def pqCellChain(sfx: String, lo: Int, hi: Int, ksub: Int): String = {
+      val subDim = hi - lo + 1
+      s""",
+         |init$sfx AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell,
+         |            v[$lo:$hi] AS cv
+         |          FROM (SELECT h, v FROM smp ORDER BY h LIMIT $ksub) t),
+         |sasn$sfx AS (SELECT id, cell FROM (
+         |   SELECT p.id, c.cell,
+         |     row_number() OVER (PARTITION BY p.id
+         |       ORDER BY ${cosineE(s"p.v[$lo:$hi]", "c.cv")} DESC,
+         |         c.cell DESC) AS rnk
+         |   FROM smp p CROSS JOIN init$sfx c) t WHERE rnk = 1),
+         |sdim$sfx AS (SELECT a.cell, unnest(p.v[$lo:$hi]) AS x,
+         |            unnest(range(1, ${subDim + 1})) AS pos
+         |          FROM sasn$sfx a JOIN smp p USING(id)),
+         |upd$sfx AS (SELECT cell, pos, SUM(CAST(x AS DECIMAL(30,15))) AS sd
+         |         FROM sdim$sfx GROUP BY cell, pos),
+         |cvec$sfx AS (SELECT cell, list(CAST(sd AS DOUBLE) ORDER BY pos) AS cv
+         |          FROM upd$sfx GROUP BY cell),
+         |cfin$sfx AS (SELECT i.cell, COALESCE(c.cv, i.cv) AS cv
+         |          FROM init$sfx i LEFT JOIN cvec$sfx c USING (cell)),
+         |casn$sfx AS (SELECT id, cell AS code FROM (
+         |  SELECT e.id, f.cell, row_number() OVER (PARTITION BY e.id
+         |    ORDER BY ${cosineE(s"e.v[$lo:$hi]", "f.cv")} DESC,
+         |      f.cell DESC) AS rnk
+         |  FROM e CROSS JOIN cfin$sfx f) t WHERE rnk = 1)""".stripMargin
+    }
+
+    /** Per-subspace centroid int8 grid + per-query lookup table. */
+    private def pqLookupChain(s: Int, lo: Int, subDim: Int): String =
+      s""",
+         |cq$s AS (SELECT cell,
+         |          [CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+         |                ELSE CAST(floor(cv[i] * 127.0 / mx) AS BIGINT) END
+         |           for i in range(1, ${subDim + 1})] AS c8
+         |         FROM (SELECT cell, cv,
+         |            list_aggregate([abs(x) for x in cv], 'max') AS mx
+         |            FROM cfin$s) t),
+         |qtab$s AS (SELECT q.query_id, c.cell,
+         |   CAST(list_sum([q.q8[${lo - 1} + i] * c.c8[i]
+         |                  for i in range(1, ${subDim + 1})]) AS BIGINT) AS dot
+         |   FROM qz q CROSS JOIN cq$s c)""".stripMargin
+
+    /** Shared header of the PQ twins: corpus `e`, the hash-ordered
+      * sample, the q108 corpus-wide scales, and the int8-quantized
+      * query vectors (id < 3).
+      */
+    private def pqHeader(sampleN: Int): String = {
       val h = duckHash61("'ivf42:' || CAST(id AS VARCHAR)")
-      def lo(s: Int) = s * subDim + 1
-      def hi(s: Int) = (s + 1) * subDim
-      val subs = (0 until m).map { s =>
-        s""",
-           |init$s AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell,
-           |            v[${lo(s)}:${hi(s)}] AS cv
-           |          FROM (SELECT h, v FROM smp ORDER BY h LIMIT $ksub) t),
-           |sasn$s AS (SELECT id, cell FROM (
-           |   SELECT p.id, c.cell,
-           |     row_number() OVER (PARTITION BY p.id
-           |       ORDER BY ${cosineE(s"p.v[${lo(s)}:${hi(s)}]", "c.cv")} DESC,
-           |         c.cell DESC) AS rnk
-           |   FROM smp p CROSS JOIN init$s c) t WHERE rnk = 1),
-           |sdim$s AS (SELECT a.cell, unnest(p.v[${lo(s)}:${hi(s)}]) AS x,
-           |            unnest(range(1, ${subDim + 1})) AS pos
-           |          FROM sasn$s a JOIN smp p USING(id)),
-           |upd$s AS (SELECT cell, pos, SUM(CAST(x AS DECIMAL(30,15))) AS sd
-           |         FROM sdim$s GROUP BY cell, pos),
-           |cvec$s AS (SELECT cell, list(CAST(sd AS DOUBLE) ORDER BY pos) AS cv
-           |          FROM upd$s GROUP BY cell),
-           |cfin$s AS (SELECT i.cell, COALESCE(c.cv, i.cv) AS cv
-           |          FROM init$s i LEFT JOIN cvec$s c USING (cell)),
-           |cq$s AS (SELECT cell,
-           |          [CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
-           |                ELSE CAST(floor(cv[i] * 127.0 / mx) AS BIGINT) END
-           |           for i in range(1, ${subDim + 1})] AS c8
-           |         FROM (SELECT cell, cv,
-           |            list_aggregate([abs(x) for x in cv], 'max') AS mx
-           |            FROM cfin$s) t),
-           |casn$s AS (SELECT id, cell AS code FROM (
-           |  SELECT e.id, f.cell, row_number() OVER (PARTITION BY e.id
-           |    ORDER BY ${cosineE(s"e.v[${lo(s)}:${hi(s)}]", "f.cv")} DESC,
-           |      f.cell DESC) AS rnk
-           |  FROM e CROSS JOIN cfin$s f) t WHERE rnk = 1),
-           |qtab$s AS (SELECT q.query_id, c.cell,
-           |   CAST(list_sum([q.q8[${lo(s) - 1} + i] * c.c8[i]
-           |                  for i in range(1, ${subDim + 1})]) AS BIGINT) AS dot
-           |   FROM qz q CROSS JOIN cq$s c)""".stripMargin
-      }.mkString
       s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |smp AS (SELECT id, v, $h AS h FROM e ORDER BY h LIMIT $sampleN),
          |ex AS (SELECT unnest([{'pos': i, 'x': v[i]}
@@ -733,7 +746,27 @@ object OracleSql {
          |        [CASE WHEN sl.s[i] = 0 THEN 0
          |              ELSE CAST(floor(v[i] * 127.0 / sl.s[i]) AS BIGINT) END
          |         for i in range(1, len(v)+1)] AS q8
-         |       FROM e CROSS JOIN sl WHERE id < 3)$subs,
+         |       FROM e CROSS JOIN sl WHERE id < 3)""".stripMargin
+    }
+
+    private val PqM = 4; private val PqSubDim = 16; private val PqKsub = 4
+
+    private def pqSubspaces: String = (0 until PqM).map { s =>
+      pqCellChain(s.toString, s * PqSubDim + 1, (s + 1) * PqSubDim, PqKsub) +
+        pqLookupChain(s, s * PqSubDim + 1, PqSubDim)
+    }.mkString
+
+    private def pqRankedTail(k: Int): String =
+      s""",
+         |ranked AS (SELECT query_id, id, pq_dot,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY pq_dot DESC, id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, id, pq_dot, "rank" FROM ranked
+         |WHERE "rank" <= $k ORDER BY query_id, "rank"""".stripMargin
+
+    def pqAdcSql: String =
+      pqHeader(64) + pqSubspaces + s""",
          |scored AS (SELECT q0.query_id, c0.id,
          |   q0.dot + q1.dot + q2.dot + q3.dot AS pq_dot
          |   FROM casn0 c0 JOIN casn1 c1 USING (id)
@@ -741,14 +774,31 @@ object OracleSql {
          |   JOIN qtab0 q0 ON q0.cell = c0.code
          |   JOIN qtab1 q1 ON q1.cell = c1.code AND q1.query_id = q0.query_id
          |   JOIN qtab2 q2 ON q2.cell = c2.code AND q2.query_id = q0.query_id
-         |   JOIN qtab3 q3 ON q3.cell = c3.code AND q3.query_id = q0.query_id),
-         |ranked AS (SELECT query_id, id, pq_dot,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY pq_dot DESC, id) AS "rank"
-         |  FROM scored)
-         |SELECT query_id, id, pq_dot, "rank" FROM ranked
-         |WHERE "rank" <= $k ORDER BY query_id, "rank"""".stripMargin
-    }
+         |   JOIN qtab3 q3 ON q3.cell = c3.code AND q3.query_id = q0.query_id)""".stripMargin +
+        pqRankedTail(5)
+
+    /** Twin of q118_ivfpq: the q117 PQ chains plus a full-vector
+      * coarse chain (suffix g) and the q79-style nProbe=2 probe set;
+      * candidates are the corpus rows whose coarse cell is probed by
+      * the query, scored by the same integer lookups.
+      */
+    def ivfPqSql: String =
+      pqHeader(64) + pqCellChain("g", 1, 64, 4) + pqSubspaces + s""",
+         |qv AS (SELECT id AS query_id, v FROM e WHERE id < 3),
+         |qp AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, f.cell, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosineE("q.v", "f.cv")} DESC, f.cell DESC) AS rnk
+         |  FROM qv q CROSS JOIN cfing f) t WHERE rnk <= 2),
+         |scored AS (SELECT qp.query_id, c0.id,
+         |   q0.dot + q1.dot + q2.dot + q3.dot AS pq_dot
+         |   FROM casng g JOIN casn0 c0 USING (id) JOIN casn1 c1 USING (id)
+         |     JOIN casn2 c2 USING (id) JOIN casn3 c3 USING (id)
+         |   JOIN qp ON qp.cell = g.code
+         |   JOIN qtab0 q0 ON q0.cell = c0.code AND q0.query_id = qp.query_id
+         |   JOIN qtab1 q1 ON q1.cell = c1.code AND q1.query_id = qp.query_id
+         |   JOIN qtab2 q2 ON q2.cell = c2.code AND q2.query_id = qp.query_id
+         |   JOIN qtab3 q3 ON q3.cell = c3.code AND q3.query_id = qp.query_id)""".stripMargin +
+        pqRankedTail(5)
 
     def nearDupPairsSql: String =
       minhashBucketCtes(2) + s""",

@@ -1915,6 +1915,24 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ: the FAISS-layout web-scale ANN composition
+    * ([[graft.sim.Similarity.ivfPqTopKAuto]]) — the q79 coarse IVF
+    * partition (4 cells, nProbe 2) restricts candidates, and the q117
+    * PQ codes score them with exact-integer ADC lookups. The corpus
+    * carries ~5 B/vector (cell + 4 codes); each query touches only
+    * its probed cells through a broadcast join on the cell id. Both
+    * quantizers train on the same bounded hash-ordered sample, so the
+    * full index build replays in the oracle.
+    */
+  val q118_ivfpq: Q = (s, d) => {
+    val e = Scale.fanOut(Tables.embeddings(s, d))
+    Similarity.ivfPqTopKAuto(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, numCells = 4, nProbe = 2, m = 4, ksub = 4,
+        iters = 1, sampleN = 64)
+      .orderBy("query_id", "rank")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2033,5 +2051,6 @@ object Queries {
     "q114_nb_classifier" -> q114_nb_classifier,
     "q115_image_header_probe" -> q115_image_header_probe,
     "q116_wav_probe" -> q116_wav_probe,
-    "q117_pq_adc" -> q117_pq_adc)
+    "q117_pq_adc" -> q117_pq_adc,
+    "q118_ivfpq" -> q118_ivfpq)
 }

@@ -373,15 +373,17 @@ object Similarity {
     * codegen'd projection (m × ksub centroid literals folded into the
     * plan); the corpus is never collected.
     */
-  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               model: PqModel): DataFrame = {
-    val v = toDouble(col(vecCol))
-    val codeCols = (0 until model.m).map { s =>
+  /** Per-subspace code columns of a vector under a PQ model. */
+  private def pqCodeCols(v: Column, model: PqModel): Seq[Column] =
+    (0 until model.m).map { s =>
       nearestCell(slice(v, s * model.subDim + 1, model.subDim),
         model.codebooks(s)).as(s"code$s")
     }
-    corpus.select(col(idCol).as("id") +: codeCols: _*)
-  }
+
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame =
+    corpus.select(col(idCol).as("id") +:
+      pqCodeCols(toDouble(col(vecCol)), model): _*)
 
   /** PQ top-k by asymmetric distance computation: each query
     * int8-quantizes once, precomputes its per-subspace lookup table
@@ -393,23 +395,73 @@ object Similarity {
     * projection + one broadcast join against the tiny query tables +
     * the bounded-heap top-k; nothing shuffles wider than the m codes.
     */
-  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
-             queries: DataFrame, qIdCol: String, qVecCol: String,
-             k: Int, model: PqModel): DataFrame = {
-    val codes = pqEncode(corpus, idCol, vecCol, model)
+  /** Per-query PQ lookup tables: `(query_id, carry..., qtab0..)` —
+    * each qtab is the ksub integer dots of the int8-quantized query
+    * subvector against that subspace's quantized centroids.
+    */
+  private def pqQueryTables(queries: DataFrame, qIdCol: String,
+                            qVecCol: String, model: PqModel,
+                            carry: Seq[String] = Seq.empty): DataFrame = {
     val qtabCols = (0 until model.m).map { s =>
       val sub = slice(col("__q8"), s * model.subDim + 1, model.subDim)
       array((0 until model.ksub).map(j =>
         sqDot(sub, typedlit(model.codebooks8(s)(j).toSeq))): _*).as(s"qtab$s")
     }
-    val qt = queries
-      .select(col(qIdCol).as("query_id"),
-        sqQuantize(col(qVecCol), model.scales).as("__q8"))
-      .select(col("query_id") +: qtabCols: _*)
+    queries
+      .select(col(qIdCol).as("query_id") +: carry.map(col) :+
+        sqQuantize(col(qVecCol), model.scales).as("__q8"): _*)
+      .select(col("query_id") +: carry.map(col) ++: qtabCols: _*)
+  }
+
+  /** ADC score: m lookups summed, exact integers. */
+  private def pqAdcScore(model: PqModel): Column =
+    (0 until model.m).map(s =>
+      element_at(col(s"qtab$s"), col(s"code$s") + 1)).reduce(_ + _)
+
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qIdCol: String, qVecCol: String,
+             k: Int, model: PqModel): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, model)
+    val qt = pqQueryTables(queries, qIdCol, qVecCol, model)
     val scored = codes.crossJoin(broadcast(qt))
-      .select(col("query_id"), col("id"),
-        (0 until model.m).map(s =>
-          element_at(col(s"qtab$s"), col(s"code$s") + 1)).reduce(_ + _).as("pq_dot"))
+      .select(col("query_id"), col("id"), pqAdcScore(model).as("pq_dot"))
+    TopK.topKPerKey(scored, Seq("query_id"), col("pq_dot"), Seq(col("id")), k)
+      .select(col("query_id"), col("id"), col("pq_dot"), col("rn").as("rank"))
+  }
+
+  /** IVF-PQ: the web-scale ANN composition (FAISS's IVFADC layout,
+    * Jégou et al. 2011 §III) — a coarse full-dim IVF partition
+    * restricts candidates to the query's `nProbe` nearest cells, and
+    * PQ ADC scores only those, off the compressed codes. Both
+    * quantizers train on the SAME hash-deterministic sample (the id
+    * hash ignores slicing), so the whole index build replays in SQL.
+    *
+    * Scale shape: the corpus encodes once into (cell, m codes) —
+    * ~5 B/vector; search joins the tiny broadcast (query × probed
+    * cell) table on the cell id, so each query touches only its
+    * probed cells' rows (at real scale numCells grows so cells stay
+    * bounded, the IVF contract), scores them with m array lookups,
+    * and ends in the bounded-heap top-k. No full-corpus scan per
+    * query, no float math in the ranking.
+    */
+  def ivfPqTopKAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    k: Int, numCells: Int, nProbe: Int, m: Int, ksub: Int,
+                    iters: Int = 1, sampleN: Int = 512,
+                    seed: Long = 42L): DataFrame = {
+    val coarse = kMeansCentroids(corpus, idCol, vecCol, numCells, iters, sampleN, seed)
+    val model = pqTrain(corpus, idCol, vecCol, m, ksub, iters, sampleN, seed)
+    val enc = corpus.select(col(idCol).as("id") +:
+      nearestCell(toDouble(col(vecCol)), coarse).as("cell") +:
+      pqCodeCols(toDouble(col(vecCol)), model): _*)
+    val qt = pqQueryTables(
+        queries.select(col(qIdCol), col(qVecCol),
+          topCells(toDouble(col(qVecCol)), coarse, nProbe).as("__cells")),
+        qIdCol, qVecCol, model, carry = Seq("__cells"))
+      .select(col("query_id") +: explode(col("__cells")).as("cell") +:
+        (0 until m).map(s => col(s"qtab$s")): _*)
+    val scored = enc.join(broadcast(qt), "cell")
+      .select(col("query_id"), col("id"), pqAdcScore(model).as("pq_dot"))
     TopK.topKPerKey(scored, Seq("query_id"), col("pq_dot"), Seq(col("id")), k)
       .select(col("query_id"), col("id"), col("pq_dot"), col("rn").as("rank"))
   }

@@ -62,6 +62,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ = PQ scores restricted to the probed coarse cells") {
+    import org.apache.spark.sql.functions.{col => c}
+    val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 2, ksub = 2,
+      iters = 1, sampleN = 8)
+    val coarse = Similarity.kMeansCentroids(df, "vec_id", "embedding", 2,
+      iters = 1, sampleN = 8)
+    val queries = df.where(c("vec_id") < 2)
+    val got = Similarity.ivfPqTopKAuto(df, "vec_id", "embedding", queries,
+        "vec_id", "embedding", k = 20, numCells = 2, nProbe = 1, m = 2,
+        ksub = 2, iters = 1, sampleN = 8)
+      .collect().map { case Row(q: Long, id: Long, s: Long, _: Long) => ((q, id), s) }
+      .toMap
+    // expected candidate set: corpus rows whose coarse cell is the
+    // query's top probe; expected scores: the full-PQ ADC scores.
+    val cells = df.select(c("vec_id"),
+        Similarity.nearestCell(c("embedding").cast("array<double>"), coarse).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = queries.select(c("vec_id"),
+        Similarity.topCells(c("embedding").cast("array<double>"), coarse, 1).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    val full = Similarity.pqTopK(df, "vec_id", "embedding", queries,
+        "vec_id", "embedding", k = 20, model)
+      .collect().map { case Row(q: Long, id: Long, s: Long, _: Long) => ((q, id), s) }
+      .toMap
+    val want = for {
+      q <- probes.keys; id <- cells.keys if probes(q).contains(cells(id))
+    } yield ((q, id), full((q, id)))
+    assert(got == want.toMap)
+  }
+
   test("PQ ranking finds the query's own cluster first") {
     val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 2, ksub = 2,
       iters = 1, sampleN = 8)
