@@ -142,21 +142,24 @@ object Similarity {
     topKRanked(scored, k)
   }
 
-  /** (sim, cell) structs of `v` against each centroid; ties break
-    * toward the larger cell via struct ordering — deterministic.
+  /** Nearest IVF cell — ONE kernel call whose generated code is
+    * constant in numCells ([[graft.functions.NearestCellExpr]]; the
+    * centroid matrix ships as one reference object). Replaces
+    * `array_max(array(struct(cosine(v, lit(c_i)), i)))`, whose code
+    * grew linearly with the cell count and got replicated into
+    * join-key null filters — ScaleRamp's 40-cell semDedup tripped
+    * janino's 64 KB method limit (whole-stage codegen disabled, ~2×
+    * wall clock). Value surface unchanged: same ascending-fold dots,
+    * same zero-norm guard, same ties-to-the-larger-cell rule.
     */
-  private def cellScores(v: Column, centroids: Seq[Array[Double]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (ctr, i) =>
-      struct(cosine(v, typedlit(ctr.toSeq)).as("sim"), lit(i).as("cell"))
-    }
-
-  /** Nearest IVF cell (constant-width codegen'd projection). */
   private[sim] def nearestCell(v: Column, centroids: Seq[Array[Double]]): Column =
-    array_max(array(cellScores(v, centroids): _*)).getField("cell")
+    graft.functions.NearestCellExpr(toDouble(v), centroids)
 
-  /** The `n` nearest cells, best first (query-side multi-probe). */
+  /** The `n` nearest cells, best first (query-side multi-probe) —
+    * same kernel family, (sim DESC, cell DESC) order.
+    */
   private[sim] def topCells(v: Column, centroids: Seq[Array[Double]], n: Int): Column =
-    slice(reverse(array_sort(array(cellScores(v, centroids): _*))), 1, n).getField("cell")
+    graft.functions.TopCellsExpr(toDouble(v), centroids, n)
 
   /** Sampled k-means centroid builder — the "where do centroids come
     * from" half of [[ivfTopK]], so IVF runs end-to-end from raw
@@ -177,36 +180,53 @@ object Similarity {
     * each round shuffles k×dim grouped partials, and the result is a
     * k×dim driver-side list that [[ivfTopK]] folds into expressions.
     */
+  /** The hash-deterministic `(v, h)` training sample — ONE corpus
+    * scan + TakeOrdered; multi-quantizer builds (PQ, IVF-PQ) persist
+    * it once and run every Lloyd loop against the cached rows.
+    */
+  private[sim] def kMeansSample(corpus: DataFrame, idCol: String,
+                                vecCol: String, sampleN: Int,
+                                seed: Long): DataFrame = {
+    import graft.functions.HashFns
+    val h = HashFns.hash61(concat(lit(s"ivf$seed:"), col(idCol).cast("string")))
+    corpus.select(toDouble(col(vecCol)).as("v"), h.as("h"))
+      .orderBy("h").limit(sampleN)
+  }
+
+  /** Lloyd loop over a (v, h) sample: first `k` by hash order seed,
+    * `iters` rounds of constant-width assignment + (cell, dim)
+    * DECIMAL sums — k×dim rows to the driver per round.
+    */
+  private[sim] def lloydFromSample(sample: DataFrame, k: Int,
+                                   iters: Int): Seq[Array[Double]] = {
+    var centroids: Seq[Array[Double]] = sample.orderBy("h").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+    for (_ <- 0 until iters) {
+      val sums = sample
+        .select(nearestCell(col("v"), centroids).as("cell"), col("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast("decimal(30,15)")).as("s"))
+        .collect()
+      // empty cells keep their previous centroid
+      val next = centroids.map(_.clone).toArray
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue()
+      }
+      centroids = next.toSeq
+    }
+    centroids
+  }
+
   def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 2, sampleN: Int = 512,
                       seed: Long = 42L): Seq[Array[Double]] = {
     require(k > 0 && sampleN >= k, "need sampleN >= k > 0")
-    import graft.functions.HashFns
-    val h = HashFns.hash61(concat(lit(s"ivf$seed:"), col(idCol).cast("string")))
-    val sample = corpus
-      .select(toDouble(col(vecCol)).as("v"), h.as("h"))
-      .orderBy("h").limit(sampleN)
+    val sample = kMeansSample(corpus, idCol, vecCol, sampleN, seed)
     sample.persist()
-    try {
-      var centroids: Seq[Array[Double]] = sample.orderBy("h").limit(k)
-        .select("v").collect()
-        .map(_.getSeq[Double](0).toArray).toSeq
-      for (_ <- 0 until iters) {
-        val sums = sample
-          .select(nearestCell(col("v"), centroids).as("cell"), col("v"))
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg(sum(col("x").cast("decimal(30,15)")).as("s"))
-          .collect()
-        // empty cells keep their previous centroid
-        val next = centroids.map(_.clone).toArray
-        sums.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue()
-        }
-        centroids = next.toSeq
-      }
-      centroids
-    } finally sample.unpersist(blocking = false)
+    try lloydFromSample(sample, k, iters)
+    finally sample.unpersist(blocking = false)
   }
 
   /** End-to-end IVF ANN from raw embeddings: build centroids with
@@ -338,17 +358,20 @@ object Similarity {
     * to the dot readback, and self-scaling puts every codebook entry
     * on the same [-127, 127] magnitude).
     */
-  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-              m: Int, ksub: Int, iters: Int = 1, sampleN: Int = 512,
-              seed: Long = 42L): PqModel = {
-    val dim = corpus.select(size(toDouble(col(vecCol)))).first().getInt(0)
+  /** PQ codebooks from an already-persisted (v, h) sample — the
+    * shared-scan path: slicing AFTER sampling selects the same rows
+    * (the hash ignores the vector), so this is value-identical to
+    * sampling each sliced corpus, without the per-subspace scans.
+    */
+  private def pqTrainFromSample(sample: DataFrame, scales: Array[Double],
+                                m: Int, ksub: Int, iters: Int): PqModel = {
+    val dim = sample.select(size(col("v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
-    val scales = sqScales(corpus, vecCol)
     val codebooks = (0 until m).map { s =>
-      val sliced = corpus.select(col(idCol),
-        slice(toDouble(col(vecCol)), s * subDim + 1, subDim).as("__sv"))
-      kMeansCentroids(sliced, idCol, "__sv", ksub, iters, sampleN, seed)
+      lloydFromSample(
+        sample.select(slice(col("v"), s * subDim + 1, subDim).as("v"), col("h")),
+        ksub, iters)
     }
     // Centroids are un-normalized DECIMAL sums (cosine is
     // scale-invariant), so they overflow a corpus-scaled int8 grid;
@@ -367,12 +390,16 @@ object Similarity {
     PqModel(m, subDim, codebooks, scales, cb8)
   }
 
-  /** Encode a corpus under a PQ model: `(id, code0..code{m-1})` — per
-    * subspace the nearest codebook centroid by cosine (ties to the
-    * larger code, the [[nearestCell]] convention). A constant-width
-    * codegen'd projection (m × ksub centroid literals folded into the
-    * plan); the corpus is never collected.
-    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int = 1, sampleN: Int = 512,
+              seed: Long = 42L): PqModel = {
+    val scales = sqScales(corpus, vecCol)
+    val sample = kMeansSample(corpus, idCol, vecCol, sampleN, seed)
+    sample.persist()
+    try pqTrainFromSample(sample, scales, m, ksub, iters)
+    finally sample.unpersist(blocking = false)
+  }
+
   /** Per-subspace code columns of a vector under a PQ model. */
   private def pqCodeCols(v: Column, model: PqModel): Seq[Column] =
     (0 until model.m).map { s =>
@@ -380,6 +407,12 @@ object Similarity {
         model.codebooks(s)).as(s"code$s")
     }
 
+  /** Encode a corpus under a PQ model: `(id, code0..code{m-1})` — per
+    * subspace the nearest codebook centroid by cosine (ties to the
+    * larger code, the [[nearestCell]] convention). A constant-width
+    * codegen'd projection (m × ksub centroid literals folded into the
+    * plan); the corpus is never collected.
+    */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                model: PqModel): DataFrame =
     corpus.select(col(idCol).as("id") +:
@@ -449,8 +482,14 @@ object Similarity {
                     k: Int, numCells: Int, nProbe: Int, m: Int, ksub: Int,
                     iters: Int = 1, sampleN: Int = 512,
                     seed: Long = 42L): DataFrame = {
-    val coarse = kMeansCentroids(corpus, idCol, vecCol, numCells, iters, sampleN, seed)
-    val model = pqTrain(corpus, idCol, vecCol, m, ksub, iters, sampleN, seed)
+    // one corpus scan feeds BOTH quantizers (the sample hash ignores
+    // the vector, so coarse and subspace builds share rows exactly)
+    val sample = kMeansSample(corpus, idCol, vecCol, sampleN, seed)
+    sample.persist()
+    val (coarse, model) =
+      try (lloydFromSample(sample, numCells, iters),
+        pqTrainFromSample(sample, sqScales(corpus, vecCol), m, ksub, iters))
+      finally sample.unpersist(blocking = false)
     val enc = corpus.select(col(idCol).as("id") +:
       nearestCell(toDouble(col(vecCol)), coarse).as("cell") +:
       pqCodeCols(toDouble(col(vecCol)), model): _*)

@@ -51,6 +51,41 @@ class StatefulSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
   }
 
+  test("foreachBatch NB classification: a pre-trained model scores a doc stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.NaiveBayes
+    // train once on yesterday's labeled corpus; the three model tables
+    // are static — today's stream classifies per micro-batch
+    val trainDocs = spark.range(200).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS lang",
+      "CASE WHEN id % 2 = 0 THEN concat('x', CAST(id % 4 AS STRING), ' common') " +
+        "ELSE concat('y', CAST(id % 3 AS STRING), ' common') END AS text")
+    val model = NaiveBayes.train(trainDocs, "lang", "text")
+    val stream = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, String, Long, Long)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val scored = NaiveBayes.score(df, "doc_id", "text", model)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        out.synchronized { out ++= scored }
+        ()
+      }.start()
+    val docs = (0 until 16).map(i =>
+      (2000L + i, if (i % 2 == 0) s"x${i % 4} common zz$i" else s"y${i % 3} common"))
+    stream.addData(docs.take(8): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(8): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = NaiveBayes.score(docs.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+    // and the classifier actually separates the stream
+    assert(out.forall { case (id, pred, _, _) =>
+      pred == (if (id % 2 == 0) "a" else "b") })
+  }
+
   test("streaming dedup within watermark drops re-deliveries, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
