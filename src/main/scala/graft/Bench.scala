@@ -191,7 +191,7 @@ object Bench {
       "q108_sq_ann", "q109_bm25", "q110_table_profile",
       "q111_incremental_minhash", "q112_bpe_train", "q113_bpe_tokens",
       "q114_nb_classifier", "q115_image_header_probe", "q116_wav_probe",
-      "q117_pq_adc", "q118_ivfpq")
+      "q117_pq_adc", "q118_ivfpq", "q119_gopher_rules")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

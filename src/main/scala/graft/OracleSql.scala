@@ -421,6 +421,7 @@ object OracleSql {
     "q116_wav_probe" -> Gen.wavProbeSql,
     "q117_pq_adc" -> Gen.pqAdcSql,
     "q118_ivfpq" -> Gen.ivfPqSql,
+    "q119_gopher_rules" -> Gen.gopherRulesSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -799,6 +800,39 @@ object OracleSql {
          |   JOIN qtab2 q2 ON q2.cell = c2.code AND q2.query_id = qp.query_id
          |   JOIN qtab3 q3 ON q3.cell = c3.code AND q3.query_id = qp.query_id)""".stripMargin +
         pqRankedTail(5)
+
+    /** Twin of q119_gopher_rules: the same integer-exact rule
+      * arithmetic — replace-length deltas for symbol counts, the
+      * shared WS class for the non-whitespace char count, list
+      * membership for the stop list, list_distinct for the repeat
+      * fraction. Booleans and integers only; nothing hashed is float.
+      */
+    def gopherRulesSql: String = {
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val stopSum = stops.map(s0 =>
+        s"(CASE WHEN list_contains(w, '$s0') THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH wd AS (SELECT doc_id, lang, text, ${tokensE("text")} AS w FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+         |  CAST(len(regexp_replace(text, '$WS+', '', 'g')) AS BIGINT) AS chars,
+         |  CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS hsh,
+         |  CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS ell,
+         |  CAST($stopSum AS BIGINT) AS stops
+         |  FROM wd)
+         |SELECT doc_id, lang, n_tokens,
+         |  (n_tokens >= 10 AND n_tokens <= 10000) AS ok_words,
+         |  (3 * n_tokens <= chars AND chars <= 10 * n_tokens) AS ok_mean_len,
+         |  (10 * (hsh + ell) <= n_tokens) AS ok_symbols,
+         |  (stops >= 1) AS ok_stopwords,
+         |  (10 * (n_tokens - nd) <= 6 * n_tokens) AS ok_dup,
+         |  ((n_tokens >= 10 AND n_tokens <= 10000)
+         |    AND (3 * n_tokens <= chars AND chars <= 10 * n_tokens)
+         |    AND (10 * (hsh + ell) <= n_tokens)
+         |    AND (stops >= 1)
+         |    AND (10 * (n_tokens - nd) <= 6 * n_tokens)) AS keep
+         |FROM b ORDER BY doc_id""".stripMargin
+    }
 
     def nearDupPairsSql: String =
       minhashBucketCtes(2) + s""",

@@ -47,7 +47,13 @@ object PlanAudit {
     "q108_sq_ann",
     // ONE-row (n_docs, avdl) corpus stats cross-joined into the tf
     // rows — broadcast scalar by design
-    "q109_bm25")
+    "q109_bm25",
+    // L-row (≤ 5 langs) class table cross-joined into the token
+    // stream — the standard NB score shape, broadcast by design
+    "q114_nb_classifier",
+    // 3-row per-query lookup-table set cross-joined into the code
+    // scan — q28's single-query shape over PQ codes
+    "q117_pq_adc")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

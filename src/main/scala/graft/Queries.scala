@@ -1933,6 +1933,19 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Gopher-rule composite quality gate
+    * ([[graft.ops.TextStats.gopherRules]], Rae et al. 2021 §A.1.1):
+    * per-doc rule booleans + the keep conjunction — word-count
+    * bounds, integer cross-multiplied mean word length, symbol
+    * ratio, stop-list hits, repeated-word fraction. One map-only
+    * projection, no explode/shuffle/HOF; thresholds tuned to the
+    * fixture corpus so both branches of every rule appear.
+    */
+  val q119_gopher_rules: Q = (s, d) =>
+    TextStats.gopherRules(Tables.documents(s, d), "doc_id", "text",
+        carry = Seq("lang"), minWords = 10, maxWords = 10000, stopMin = 1)
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2052,5 +2065,6 @@ object Queries {
     "q115_image_header_probe" -> q115_image_header_probe,
     "q116_wav_probe" -> q116_wav_probe,
     "q117_pq_adc" -> q117_pq_adc,
-    "q118_ivfpq" -> q118_ivfpq)
+    "q118_ivfpq" -> q118_ivfpq,
+    "q119_gopher_rules" -> q119_gopher_rules)
 }

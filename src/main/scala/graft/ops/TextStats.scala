@@ -304,4 +304,56 @@ object TextStats {
   def lmSurprisal(df: DataFrame, idCol: String,
                   textCol: String, carry: Seq[String] = Seq.empty): DataFrame =
     lmScore(df, idCol, textCol, lmTrain(df, idCol, textCol), carry)
+
+  /** Gopher-style composite quality rules (Rae et al. 2021 §A.1.1) —
+    * the classic pre-training quality gate, emitted as per-rule
+    * booleans plus the conjunction, so a pipeline can both filter and
+    * report WHY a document was cut:
+    *
+    *  - `ok_words`: word count in [minWords, maxWords];
+    *  - `ok_mean_len`: mean word length in [3, 10] characters,
+    *    cross-multiplied to exact integers (3·n ≤ non-ws chars ≤ 10·n);
+    *  - `ok_symbols`: symbol-to-word ratio ('#' plus "..." hits) ≤ 0.1,
+    *    as 10·symbols ≤ n;
+    *  - `ok_stopwords`: at least `stopMin` of the 8-word Gopher stop
+    *    list present;
+    *  - `ok_dup`: repeated-word fraction 1 − distinct/total ≤ 0.6, as
+    *    10·(n − distinct) ≤ 6·n.
+    *
+    * (Gopher's line-based rules — bullet/ellipsis line ratios — need a
+    * multi-line corpus; the fixture text is single-line, and multiline
+    * regex semantics differ across engines, so they are deliberately
+    * out of the oracle surface.)
+    *
+    * Scale shape: ONE map-only projection — token array, char counts
+    * via replace-length deltas, stopword hits via `array_contains` —
+    * no explode, no shuffle, no HOF lambda; at 100 TB this is a pure
+    * scan at parquet read speed.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  carry: Seq[String] = Seq.empty,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  stopMin: Int = 2): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = col(textCol)
+    val w = TextFns.tokens(t)
+    val base = df.select(col(idCol).as("__id") +: carry.map(col) :+
+      size(w).cast("bigint").as("n_tokens") :+
+      size(array_distinct(w)).cast("bigint").as("__nd") :+
+      length(regexp_replace(t, TextFns.WS_CLASS + "+", "")).cast("bigint").as("__chars") :+
+      (length(t) - length(replace(t, lit("#"), lit("")))).cast("bigint").as("__hash") :+
+      ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("bigint").as("__ell") :+
+      gopherStops.map(s0 => when(array_contains(w, lit(s0)), 1L).otherwise(0L))
+        .reduce(_ + _).as("__stops"): _*)
+    base.select(col("__id").as(idCol) +: carry.map(col) :+
+      col("n_tokens") :+
+      (col("n_tokens") >= minWords && col("n_tokens") <= maxWords).as("ok_words") :+
+      (lit(3) * col("n_tokens") <= col("__chars") &&
+        col("__chars") <= lit(10) * col("n_tokens")).as("ok_mean_len") :+
+      (lit(10) * (col("__hash") + col("__ell")) <= col("n_tokens")).as("ok_symbols") :+
+      (col("__stops") >= stopMin).as("ok_stopwords") :+
+      (lit(10) * (col("n_tokens") - col("__nd")) <= lit(6) * col("n_tokens")).as("ok_dup"): _*)
+      .withColumn("keep", col("ok_words") && col("ok_mean_len") &&
+        col("ok_symbols") && col("ok_stopwords") && col("ok_dup"))
+  }
 }

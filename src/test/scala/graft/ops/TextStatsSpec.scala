@@ -130,4 +130,28 @@ class TextStatsSpec extends SparkSpec {
     assert(out2.select("id").as[Long].collect().toSet === expected)
   }
 
+  test("gopherRules: each rule flips on its own signal, keep is the conjunction") {
+    import spark.implicits._
+    val longs = (1 to 10).map(i => s"abcdefghijklmnopq$i").mkString(" ")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over some lazy dogs running far"),
+      (2L, "a b"),                                       // too few words
+      (3L, s"the $longs"),                               // mean word length > 10
+      (4L, "the aaa bbb ccc ddd eee fff ggg hhh iii ###"), // symbol ratio
+      (5L, "zzz yyy xxx wwv vvu uut tts ssr rrq qqp"),   // no stopword
+      (6L, "the the the the the the the the the the")    // dup fraction
+    ).toDF("doc_id", "text")
+    val got = TextStats.gopherRules(docs, "doc_id", "text",
+        minWords = 10, maxWords = 100, stopMin = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+    //              (id, words, meanLen, symbols, stops, dup, keep)
+    assert(got(0) == ((1L, true, true, true, true, true, true)))
+    assert(got(1)._2 == false && got(1)._7 == false)
+    assert(got(2) == ((3L, true, false, true, true, true, false)))
+    assert(got(3) == ((4L, true, true, false, true, true, false)))
+    assert(got(4) == ((5L, true, true, true, false, true, false)))
+    assert(got(5) == ((6L, true, true, true, true, false, false)))
+  }
 }
