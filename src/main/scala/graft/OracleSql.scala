@@ -422,6 +422,7 @@ object OracleSql {
     "q117_pq_adc" -> Gen.pqAdcSql,
     "q118_ivfpq" -> Gen.ivfPqSql,
     "q119_gopher_rules" -> Gen.gopherRulesSql,
+    "q120_dsir_scores" -> Gen.dsirScoresSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -832,6 +833,49 @@ object OracleSql {
          |    AND (stops >= 1)
          |    AND (10 * (n_tokens - nd) <= 6 * n_tokens)) AS keep
          |FROM b ORDER BY doc_id""".stripMargin
+    }
+
+    /** Twin of q120_dsir_scores: same hashed-unigram buckets
+      * (md5-derived hash61 % 64), same add-one-smoothed inverted
+      * ratios through HUGEINT (exact, like the LM twin's DECIMAL
+      * path), and the IDENTICAL generated Mitchell-log CASE — only
+      * the `//` spelling differs. Unseen buckets come from a
+      * range(64) left join exactly as the Spark side's `range(B)`.
+      * Every SUM in a hashed projection is CAST to BIGINT
+      * (OracleSql.scala:13's rule — DuckDB SUM(BIGINT) is HUGEINT).
+      */
+    def dsirScoresSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val b = 64
+      def q(totE: String, cE: String): String =
+        s"CAST(least(greatest((CAST($totE + $b AS HUGEINT) * ${1L << shift}) " +
+          s"// ($cE + 1), CAST(${1L << shift} AS BIGINT)), " +
+          s"CAST(${1L << 62} AS BIGINT)) AS BIGINT)"
+      val m8r = graft.ops.TextStats.mitchellE8Sql("q_r", divOp = "//")
+      val m8t = graft.ops.TextStats.mitchellE8Sql("q_t", divOp = "//")
+      s"""WITH tok AS (SELECT doc_id, ${duckHash61("t")} % $b AS b,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+         |       FROM (SELECT doc_id, lang, unnest(${tokensE("text")}) AS t
+         |             FROM documents)),
+         |cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+         |          CAST(sum(is_t) AS BIGINT) AS c_t
+         |        FROM tok GROUP BY b),
+         |tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS tot_r,
+         |          CAST(sum(c_t) AS BIGINT) AS tot_t FROM cnt),
+         |qs AS (SELECT r.range AS b,
+         |         ${q("tot_t", "coalesce(c_t, 0)")} AS q_t,
+         |         ${q("tot_r", "coalesce(c_r, 0)")} AS q_r
+         |       FROM range($b) r LEFT JOIN cnt ON cnt.b = r.range
+         |       CROSS JOIN tot),
+         |lam AS (SELECT b, ($m8r) - ($m8t) AS lam_e8 FROM qs),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(lam_e8) AS BIGINT) AS dsir_e8
+         |       FROM tok JOIN lam USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  COALESCE(sc.n_tokens, 0) AS n_tokens,
+         |  COALESCE(sc.dsir_e8, 0) AS dsir_e8
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     }
 
     def nearDupPairsSql: String =

@@ -3,7 +3,7 @@ package graft
 import graft.dedup.{Curation, Dedup}
 import graft.formats.{AvroCodec, ConfluentEnvelope, ProtoCodec}
 import graft.functions.{HashFns, TextFns, VectorFns}
-import graft.ops.{Mixture, Ops, Pipeline, Scale, Sharding, Sketch, TextStats}
+import graft.ops.{Dsir, Mixture, Ops, Pipeline, Scale, Sharding, Sketch, TextStats}
 import graft.sim.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1946,6 +1946,19 @@ object Queries {
         carry = Seq("lang"), minWords = 10, maxWords = 10000, stopMin = 1)
       .orderBy("doc_id")
 
+  /** DSIR importance scores ([[graft.ops.Dsir]], Xie et al. 2023):
+    * hashed-unigram bucket counts (target = English docs, raw = the
+    * whole corpus), integer Mitchell-log likelihood-ratio weights,
+    * per-doc summed score. Train = one bounded-bucket aggregation;
+    * score = token stream ⋈ broadcast 64-row λ table + one doc-id
+    * aggregation. The full train→score lifecycle in one query.
+    */
+  val q120_dsir_scores: Q = (s, d) =>
+    Dsir.selectScores(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("lang") === "en", numBuckets = 64,
+        carry = Seq("lang"))
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2066,5 +2079,6 @@ object Queries {
     "q116_wav_probe" -> q116_wav_probe,
     "q117_pq_adc" -> q117_pq_adc,
     "q118_ivfpq" -> q118_ivfpq,
-    "q119_gopher_rules" -> q119_gopher_rules)
+    "q119_gopher_rules" -> q119_gopher_rules,
+    "q120_dsir_scores" -> q120_dsir_scores)
 }
