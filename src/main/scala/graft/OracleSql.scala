@@ -423,6 +423,7 @@ object OracleSql {
     "q118_ivfpq" -> Gen.ivfPqSql,
     "q119_gopher_rules" -> Gen.gopherRulesSql,
     "q120_dsir_scores" -> Gen.dsirScoresSql,
+    "q121_containment" -> Gen.containmentSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -877,6 +878,29 @@ object OracleSql {
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     }
+
+    /** Twin of q121_containment: same distinct (id, hash61(shingle))
+      * postings, df ≤ 20 filter, plain capped self-join for the pair
+      * counts (the bounded pair expansion is a Spark physical shape,
+      * not a semantic change), integer ×1000 containments both ways.
+      */
+    def containmentSql: String =
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |shs AS (SELECT id, unnest(list_distinct(${shinglesE("w", 3)})) AS s FROM words),
+         |sh AS (SELECT DISTINCT id, ${duckHash61("s")} AS x FROM shs),
+         |dfx AS (SELECT x, count(*) AS dfc FROM sh GROUP BY x),
+         |rare AS (SELECT id, sh.x FROM sh JOIN dfx USING (x) WHERE dfc <= 20),
+         |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY id),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |       FROM rare a JOIN rare b ON a.x = b.x AND a.id < b.id
+         |       GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST((1000 * n_inter) // sa.n AS BIGINT) AS cont_a_x1000,
+         |  CAST((1000 * n_inter) // sb.n AS BIGINT) AS cont_b_x1000
+         |FROM pr JOIN sz sa ON sa.id = pr.id_a JOIN sz sb ON sb.id = pr.id_b
+         |WHERE greatest((1000 * n_inter) // sa.n, (1000 * n_inter) // sb.n) >= 300
+         |ORDER BY id_a, id_b""".stripMargin
 
     def nearDupPairsSql: String =
       minhashBucketCtes(2) + s""",

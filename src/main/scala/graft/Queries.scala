@@ -1959,6 +1959,17 @@ object Queries {
         carry = Seq("lang"))
       .orderBy("doc_id")
 
+  /** Containment / quote detection ([[graft.dedup.Dedup.containmentPairs]]):
+    * rare-shingle inverted index (df ≤ 20), bounded pair expansion,
+    * asymmetric |A∩B|/|A| both ways ×1000 integer — surfaces the
+    * short-doc-quoted-in-long-doc pairs MinHash Jaccard structurally
+    * misses.
+    */
+  val q121_containment: Q = (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleWidth = 3, maxDf = 20, minContX1000 = 300, minInter = 3)
+      .orderBy("id_a", "id_b")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2080,5 +2091,6 @@ object Queries {
     "q117_pq_adc" -> q117_pq_adc,
     "q118_ivfpq" -> q118_ivfpq,
     "q119_gopher_rules" -> q119_gopher_rules,
-    "q120_dsir_scores" -> q120_dsir_scores)
+    "q120_dsir_scores" -> q120_dsir_scores,
+    "q121_containment" -> q121_containment)
 }

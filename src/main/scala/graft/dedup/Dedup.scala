@@ -773,4 +773,56 @@ object Dedup {
               r => i >= r.getField("lo") && i <= r.getField("hi"))), " "))
           .as("text_clean"))
   }
+
+  /** Containment / quote detection — the asymmetric cousin of
+    * near-dup Jaccard: a short document quoted inside a long one has
+    * LOW Jaccard (the union is big) but HIGH containment
+    * |A ∩ B| / |A| measured on the short side, so MinHash-band
+    * candidates never surface it. Candidates and intersections come
+    * instead from a RARE-shingle inverted index: shingles with
+    * document frequency ≤ `maxDf` (ubiquitous shingles are
+    * boilerplate — they carry no identity signal and are excluded
+    * from the containment profile by design; `maxDf` is the scale
+    * knob, exactly the df-cap practice of posting-list joins).
+    *
+    * Returns (id_a, id_b, n_inter, n_a, n_b, cont_a_x1000,
+    * cont_b_x1000) with id_a < id_b, where n_a/n_b are the docs'
+    * rare-shingle profile sizes, cont_a_x1000 = 1000·n_inter div n_a
+    * (how much of A sits inside B), and pairs are kept when the
+    * intersection reaches `minInter` shingles (single-shingle
+    * collisions are noise, not quotes) AND either direction reaches
+    * `minContX1000`. Integer outputs only.
+    *
+    * Scale shape: one scan → distinct (id, 8-byte shingle hash)
+    * postings; a df aggregation on the hash; pair generation via
+    * [[graft.ops.Sketch.pairIntersections]] (one groupBy(hash) with
+    * collect_set ≤ maxDf ids, pair expansion ≤ maxDf² per shingle —
+    * bounded by construction, never an unbounded self-join); profile
+    * sizes re-join on the 8-byte id. Shuffles carry hashes and ids,
+    * never text.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleWidth: Int = 3, maxDf: Int = 20,
+                       minContX1000: Long = 300,
+                       minInter: Long = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextFns.shingles(col(textCol), shingleWidth)).as("s"))
+      .select(col("id"), HashFns.hash61(col("s")).as("x"))
+      .distinct()
+    val dfx = sh.groupBy("x").agg(count(lit(1)).as("dfc"))
+    val rare = sh.join(dfx.where(col("dfc") <= maxDf), "x")
+      .select("id", "x")
+    val sizes = rare.groupBy("id").agg(count(lit(1)).as("n"))
+    graft.ops.Sketch.pairIntersections(rare, "id", "x")
+      .withColumnRenamed("ia", "id_a").withColumnRenamed("ib", "id_b")
+      .withColumnRenamed("ni", "n_inter")
+      .where(col("n_inter") >= minInter)
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("cont_a_x1000", expr("(1000 * n_inter) div n_a"))
+      .withColumn("cont_b_x1000", expr("(1000 * n_inter) div n_b"))
+      .where(greatest(col("cont_a_x1000"), col("cont_b_x1000")) >= minContX1000)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b",
+        "cont_a_x1000", "cont_b_x1000")
+  }
 }
