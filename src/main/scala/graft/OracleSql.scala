@@ -424,6 +424,7 @@ object OracleSql {
     "q119_gopher_rules" -> Gen.gopherRulesSql,
     "q120_dsir_scores" -> Gen.dsirScoresSql,
     "q121_containment" -> Gen.containmentSql,
+    "q122_budget_select" -> Gen.budgetSelectSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -845,7 +846,10 @@ object OracleSql {
       * Every SUM in a hashed projection is CAST to BIGINT
       * (OracleSql.scala:13's rule — DuckDB SUM(BIGINT) is HUGEINT).
       */
-    def dsirScoresSql: String = {
+    /** Shared DSIR CTE chain producing `ds(doc_id, lang, n_tokens,
+      * dsir_e8)` — used by the q120 twin and the q122 budget gate.
+      */
+    private def dsirCtes: String = {
       val shift = graft.ops.TextStats.LmShift
       val b = 64
       def q(totE: String, cE: String): String =
@@ -871,13 +875,36 @@ object OracleSql {
          |lam AS (SELECT b, ($m8r) - ($m8t) AS lam_e8 FROM qs),
          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |         CAST(sum(lam_e8) AS BIGINT) AS dsir_e8
-         |       FROM tok JOIN lam USING (b) GROUP BY doc_id)
-         |SELECT d.doc_id, d.lang,
-         |  COALESCE(sc.n_tokens, 0) AS n_tokens,
-         |  COALESCE(sc.dsir_e8, 0) AS dsir_e8
-         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |       FROM tok JOIN lam USING (b) GROUP BY doc_id),
+         |ds AS (SELECT d.doc_id, d.lang,
+         |         COALESCE(sc.n_tokens, 0) AS n_tokens,
+         |         COALESCE(sc.dsir_e8, 0) AS dsir_e8
+         |       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
     }
+
+    def dsirScoresSql: String =
+      dsirCtes + "\nSELECT doc_id, lang, n_tokens, dsir_e8 FROM ds ORDER BY doc_id"
+
+    /** Twin of q122_budget_select: same milli-quality integer score
+      * (floor of the q33-proven double), bucket histogram, cumulative
+      * window best-first, greedy whole-bucket cut, final filter.
+      */
+    def budgetSelectSql: String =
+      qualityCtes(", lang") + s""",
+        |sd AS (SELECT doc_id, lang, n_tokens,
+        |         CAST(floor(quality * 1000) AS BIGINT) AS score FROM q),
+        |bkt AS (SELECT score, CAST(sum(n_tokens) AS BIGINT) AS bt
+        |        FROM sd GROUP BY score),
+        |cm AS (SELECT score, CAST(SUM(bt) OVER (ORDER BY score DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum FROM bkt),
+        |k AS (SELECT CAST(min(score) AS BIGINT) AS cut_score,
+        |        CAST(max(cum) AS BIGINT) AS tokens_used
+        |      FROM cm WHERE cum <= 8000)
+        |SELECT sd.doc_id, sd.lang, sd.score, sd.n_tokens,
+        |  k.cut_score, k.tokens_used
+        |FROM sd CROSS JOIN k WHERE sd.score >= k.cut_score
+        |ORDER BY sd.doc_id""".stripMargin
 
     /** Twin of q121_containment: same distinct (id, hash61(shingle))
       * postings, df ≤ 20 filter, plain capped self-join for the pair
@@ -1276,7 +1303,8 @@ object OracleSql {
          |    ELSE CAST(len(list_filter(tk, x -> list_contains([$stop], lower(x)))) AS DOUBLE)
          |      / len(tk) END AS swr
          |  FROM t),
-         |q AS (SELECT doc_id$extra, round((least(n_tok / 100.0, 1.0) * 0.4
+         |q AS (SELECT doc_id$extra, CAST(n_tok AS BIGINT) AS n_tokens,
+         |  round((least(n_tok / 100.0, 1.0) * 0.4
          |  + greatest(0.0, 1.0 - pr * 4.0) * 0.3
          |  + greatest(0.0, 1.0 - abs(swr - 0.4) * 2.0) * 0.3), 6) AS quality
          |FROM m)""".stripMargin

@@ -73,7 +73,12 @@ object PlanAudit {
     // BIN table (≤ max(value)/binWidth rows — constant in corpus
     // size), after the corpus has been reduced to per-bin counts;
     // the keyed form (q95) partitions by lang instead
-    "q92_hist_quantiles")
+    "q92_hist_quantiles",
+    // budget selection: the cumulative-token window runs over the
+    // SCORE-BUCKET table (≤ 1001 milli-quality values — constant in
+    // corpus size), after the corpus has been reduced to per-bucket
+    // token sums; the corpus itself is filtered by a broadcast join
+    "q122_budget_select")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

@@ -1970,6 +1970,24 @@ object Queries {
         shingleWidth = 3, maxDf = 20, minContX1000 = 300, minInter = 3)
       .orderBy("id_a", "id_b")
 
+  /** Token-budget corpus selection ([[graft.ops.Mixture.budgetSelect]])
+    * fed by the integer-milli quality score (q33's formula — the
+    * floor(×1000) of a hash-proven double is itself engine-exact):
+    * bounded score-bucket histogram → cumulative tokens over the
+    * bucket table (q92's justified bounded global window) → greedy
+    * whole-bucket cut → broadcast filter. The "spend the training
+    * budget on the best documents" gate with no corpus-wide sort.
+    */
+  val q122_budget_select: Q = (s, d) => {
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      floor(TextFns.qualityScore(col("text")) * 1000).cast("long").as("score"),
+      TextFns.tokenCount(col("text")).as("n_tokens"))
+    Mixture.budgetSelect(scored, "doc_id", "score", "n_tokens",
+        budget = 8000L, carry = Seq("lang"))
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2092,5 +2110,6 @@ object Queries {
     "q118_ivfpq" -> q118_ivfpq,
     "q119_gopher_rules" -> q119_gopher_rules,
     "q120_dsir_scores" -> q120_dsir_scores,
-    "q121_containment" -> q121_containment)
+    "q121_containment" -> q121_containment,
+    "q122_budget_select" -> q122_budget_select)
 }

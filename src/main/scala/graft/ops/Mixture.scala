@@ -116,4 +116,46 @@ object Mixture {
             expr(s"CAST($Two61 AS BIGINT) div greatest(__tau, CAST(1 AS BIGINT))"))))
       .drop("__tau")
   }
+
+  /** Token-budget corpus selection — "take the best documents until
+    * the training budget is spent", the final gate of a curation
+    * pipeline, WITHOUT a global sort of the corpus:
+    *
+    *  1. aggregate token counts per integer score value (`scoreCol`
+    *     must have a BOUNDED value range — a per-token average score,
+    *     a quality decile, an eighth-bit rate — so this table is
+    *     constant-size in corpus scale);
+    *  2. cumulative tokens over that bounded table, best score first
+    *     (the one justified global window — q92's bin-table pattern;
+    *     its input is an aggregate, never the corpus);
+    *  3. cut = the lowest score whose whole bucket still fits the
+    *     budget (greedy whole buckets: score ties are kept or cut
+    *     together — deterministic, no tiebreak-by-id global sort);
+    *  4. one broadcast join filters the corpus to `score >= cut`.
+    *
+    * Returns the selected rows as (idCol, carry..., scoreCol,
+    * tokensCol) plus constant columns `cut_score` and `tokens_used`
+    * (Σ tokens of all selected buckets). Selects nothing when even
+    * the best bucket exceeds the budget.
+    *
+    * Scale shape: one map-side-partial aggregation on the bounded
+    * score key, a window over that bounded table, and a broadcast
+    * single-row join back onto the scan — no corpus-wide sort or
+    * unbounded window anywhere.
+    */
+  def budgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
+                   tokensCol: String, budget: Long,
+                   carry: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = scored.groupBy(scoreCol)
+      .agg(sum(tokensCol).as("__bt"))
+    val cum = buckets.withColumn("__cum",
+      sum("__bt").over(Window.orderBy(desc(scoreCol))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val cut = cum.where(col("__cum") <= budget)
+      .agg(min(scoreCol).as("cut_score"), max("__cum").as("tokens_used"))
+    scored.join(broadcast(cut), scored(scoreCol) >= cut("cut_score"))
+      .select(col(idCol) +: carry.map(col) :+ col(scoreCol) :+
+        col(tokensCol) :+ col("cut_score") :+ col("tokens_used"): _*)
+  }
 }

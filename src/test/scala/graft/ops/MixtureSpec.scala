@@ -64,4 +64,57 @@ class MixtureSpec extends SparkSpec {
     assert(out.count() === 20000)
     assert(out.where(col("w_hat") =!= col("w")).count() === 0)
   }
+
+  // ------------------------------------------------------------------ //
+  // budgetSelect                                                       //
+  // ------------------------------------------------------------------ //
+
+  private def scoredDocs(rows: (Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("id", "score", "toks")
+  }
+
+  test("budgetSelect takes whole buckets best-first until the budget") {
+    // buckets: score 9 → 40 toks, score 8 → 35, score 7 → 50
+    val df = scoredDocs((1L, 9L, 20L), (2L, 9L, 20L), (3L, 8L, 35L),
+      (4L, 7L, 50L), (5L, 6L, 10L))
+    val out = Mixture.budgetSelect(df, "id", "score", "toks", budget = 80L)
+      .orderBy("id").collect()
+    // 40 + 35 = 75 ≤ 80; adding score-7's 50 would blow it
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.head.getLong(3) === 8L)   // cut_score
+    assert(out.head.getLong(4) === 75L)  // tokens_used
+  }
+
+  test("budgetSelect keeps or cuts score ties together") {
+    val df = scoredDocs((1L, 5L, 30L), (2L, 5L, 30L), (3L, 4L, 10L))
+    // the score-5 bucket is 60 > 50: neither tied doc fits ⇒ nothing
+    // above the next bucket either (cumulative is monotone)
+    val out = Mixture.budgetSelect(df, "id", "score", "toks", budget = 50L)
+    assert(out.count() === 0)
+    // at 60 the whole tied bucket fits
+    val out2 = Mixture.budgetSelect(df, "id", "score", "toks", budget = 60L)
+      .orderBy("id").collect()
+    assert(out2.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out2.head.getLong(4) === 60L)
+  }
+
+  test("budgetSelect: budget larger than the corpus selects everything") {
+    val df = scoredDocs((1L, 3L, 10L), (2L, 1L, 10L), (3L, 2L, 10L))
+    val out = Mixture.budgetSelect(df, "id", "score", "toks", budget = 1000L)
+      .orderBy("id").collect()
+    assert(out.length === 3)
+    assert(out.head.getLong(3) === 1L)
+    assert(out.head.getLong(4) === 30L)
+  }
+
+  test("budgetSelect is partition-invariant") {
+    val df = scoredDocs((1L to 100L).map(i => (i, i % 7, 5L)): _*)
+    val a = Mixture.budgetSelect(df, "id", "score", "toks", 200L)
+      .orderBy("id").collect()
+    val b = Mixture.budgetSelect(df.repartition(11), "id", "score", "toks", 200L)
+      .orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
 }
