@@ -425,6 +425,7 @@ object OracleSql {
     "q120_dsir_scores" -> Gen.dsirScoresSql,
     "q121_containment" -> Gen.containmentSql,
     "q122_budget_select" -> Gen.budgetSelectSql,
+    "q123_ann_recall" -> Gen.annRecallSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1383,6 +1384,40 @@ object OracleSql {
          |SELECT query_id, id, round(sim, 4) AS sim, "rank" FROM ranked
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
     }
+
+    /** Twin of q123_ann_recall: the q79 IVF pipeline (shared
+      * ivfCellCtes) vs a brute-force ranking over the same queries,
+      * joined on (query_id, id), integer recall×1000. Both rankings
+      * tiebreak sim DESC then id ASC — the q28/q79-proven pattern —
+      * so the two k-sets are engine-exact.
+      */
+    def annRecallSql: String =
+      s"""$ivfCellCtes,
+         |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 3),
+         |qp AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, f.cell, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosineE("q.qv", "f.v")} DESC, f.cell DESC) AS rnk
+         |  FROM q CROSS JOIN cfin f) t WHERE rnk <= 2),
+         |scored AS (
+         |  SELECT qp.query_id, ca.id, ${cosineE("ev.v", "qq.qv")} AS sim
+         |  FROM qp JOIN casn ca ON ca.cell = qp.cell
+         |       JOIN e ev ON ev.id = ca.id
+         |       JOIN q qq ON qq.query_id = qp.query_id),
+         |ann AS (SELECT query_id, id FROM (SELECT query_id, id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rnk
+         |  FROM scored) t WHERE rnk <= 5),
+         |bscored AS (SELECT q.query_id, ev.id, ${cosineE("ev.v", "q.qv")} AS sim
+         |  FROM e ev CROSS JOIN q),
+         |bex AS (SELECT query_id, id FROM (SELECT query_id, id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rnk
+         |  FROM bscored) t WHERE rnk <= 5),
+         |h AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM ann a JOIN bex b ON a.query_id = b.query_id AND a.id = b.id
+         |      GROUP BY a.query_id)
+         |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST((1000 * COALESCE(h.n_hits, 0)) // 5 AS BIGINT) AS recall_x1000
+         |FROM (SELECT DISTINCT query_id FROM bex) qq LEFT JOIN h USING (query_id)
+         |ORDER BY qq.query_id""".stripMargin
 
     /** Twin of q81_semdedup: the q79 IVF cells, then within each cell
       * drop every vector with a lower-id neighbor at cosine >= 0.4

@@ -1988,6 +1988,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** ANN recall@k evaluation ([[graft.sim.Similarity.recallAtK]]):
+    * the q79 IVF configuration scored against exact brute-force
+    * ground truth on the same three queries — per-query hit counts
+    * and integer recall×1000. The tune-before-deploy gate of every
+    * approximate index.
+    */
+  val q123_ann_recall: Q = (s, d) => {
+    val e = Scale.fanOut(Tables.embeddings(s, d))
+    val qs = e.where(col("vec_id") < 3)
+    val ann = Similarity.ivfTopKAuto(e, "vec_id", "embedding",
+      qs, "vec_id", "embedding",
+      k = 5, numCells = 4, nProbe = 2, iters = 1, sampleN = 64)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5)
+    Similarity.recallAtK(ann, exact, k = 5).orderBy("query_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2111,5 +2128,6 @@ object Queries {
     "q119_gopher_rules" -> q119_gopher_rules,
     "q120_dsir_scores" -> q120_dsir_scores,
     "q121_containment" -> q121_containment,
-    "q122_budget_select" -> q122_budget_select)
+    "q122_budget_select" -> q122_budget_select,
+    "q123_ann_recall" -> q123_ann_recall)
 }

@@ -504,4 +504,30 @@ object Similarity {
     TopK.topKPerKey(scored, Seq("query_id"), col("pq_dot"), Seq(col("id")), k)
       .select(col("query_id"), col("id"), col("pq_dot"), col("rn").as("rank"))
   }
+
+  /** Recall@k of an ANN result against exact ground truth — the
+    * evaluation operator every approximate index needs before it
+    * gates a production pipeline (tune nProbe/numBits/m against a
+    * brute-forced query sample, THEN deploy). Both inputs are
+    * (query_id, id, ...) top-k tables (e.g. [[ivfTopKAuto]] vs
+    * [[bruteForceTopK]] over the same queries); output is one row per
+    * ground-truth query: (query_id, n_hits, recall_x1000 =
+    * 1000·n_hits div k) — integer only, so the evaluation surface is
+    * oracle-hashable. Queries the ANN missed entirely score 0.
+    *
+    * Scale shape: one equi-join on (query_id, id) — both sides are
+    * k-bounded per query — and a count aggregation on query_id. The
+    * ground truth is usually a small query sample; nothing here
+    * touches the corpus.
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = ann.select(col("query_id"), col("id"))
+      .join(exact.select(col("query_id"), col("id")), Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_x1000", expr(s"(1000 * n_hits) div $k"))
+  }
 }

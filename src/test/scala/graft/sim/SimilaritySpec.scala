@@ -234,4 +234,26 @@ class SimilaritySpec extends SparkSpec {
     assert(default.exceptAll(capped).count() === 0)
     assert(capped.exceptAll(default).count() === 0)
   }
+
+  test("recallAtK: hand-computed hit counts, zero-hit queries still emit rows") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("query_id", "id")
+    val ann = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (3L, 98L), (3L, 97L))
+      .toDF("query_id", "id")
+    val out = Similarity.recallAtK(ann, exact, k = 2).orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1000L), (2L, 1L, 500L), (3L, 0L, 0L)))
+  }
+
+  test("recallAtK of a method against itself is 1000 everywhere") {
+    val rnd = new scala.util.Random(7)
+    val e = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val qs = e.where(col("id") < 3)
+    val exact = Similarity.bruteForceTopK(e, "id", "v", qs, "id", "v", k = 5)
+    val out = Similarity.recallAtK(exact, exact, k = 5)
+    assert(out.count() === 3)
+    assert(out.where(col("recall_x1000") =!= 1000L).count() === 0)
+  }
 }
