@@ -426,6 +426,7 @@ object OracleSql {
     "q121_containment" -> Gen.containmentSql,
     "q122_budget_select" -> Gen.budgetSelectSql,
     "q123_ann_recall" -> Gen.annRecallSql,
+    "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -885,6 +886,31 @@ object OracleSql {
 
     def dsirScoresSql: String =
       dsirCtes + "\nSELECT doc_id, lang, n_tokens, dsir_e8 FROM ds ORDER BY doc_id"
+
+    /** Twin of q124_pmi_collocations: same bigram counts (2-shingle
+      * strings), same self-marginals, the IDENTICAL Mitchell CASE
+      * over q = (c2·N << 20) // (c1l·c1r) through HUGEINT, same
+      * clamp, same (pmi DESC, bigram ASC) top-50.
+      */
+    def pmiCollocationsSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT unnest(${shinglesE("w", 2)}) AS bg FROM wd WHERE len(w) >= 2),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgl GROUP BY bg),
+         |p AS (SELECT bg, c2, split_part(bg, ' ', 1) AS w1,
+         |        split_part(bg, ' ', 2) AS w2 FROM c2),
+         |l AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1l FROM p GROUP BY w1),
+         |r AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS c1r FROM p GROUP BY w2),
+         |n AS (SELECT CAST(sum(c2) AS BIGINT) AS n_tot FROM c2),
+         |s AS (SELECT p.bg, p.c2,
+         |  CAST(least(greatest((CAST(p.c2 AS HUGEINT) * n.n_tot * ${1L << shift})
+         |    // (CAST(l.c1l AS HUGEINT) * r.c1r),
+         |    CAST(${1L << shift} AS BIGINT)), CAST(${1L << 62} AS BIGINT)) AS BIGINT) AS q
+         |  FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n)
+         |SELECT bg AS bigram, c2, ($m8 - ${8 * shift}) AS pmi_e8 FROM s
+         |WHERE c2 >= 5 ORDER BY pmi_e8 DESC, bigram LIMIT 50""".stripMargin
+    }
 
     /** Twin of q122_budget_select: same milli-quality integer score
       * (floor of the q33-proven double), bucket histogram, cumulative

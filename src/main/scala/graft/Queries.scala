@@ -2005,6 +2005,15 @@ object Queries {
     Similarity.recallAtK(ann, exact, k = 5).orderBy("query_id")
   }
 
+  /** PMI collocation mining ([[graft.ops.TextStats.pmiCollocations]],
+    * Church & Hanks 1990): top word pairs by integer-Mitchell
+    * pointwise mutual information over the corpus bigram table — the
+    * multi-word-expression / tokenizer-vocab-seeding statistic.
+    */
+  val q124_pmi_collocations: Q = (s, d) =>
+    TextStats.pmiCollocations(Tables.documents(s, d), "doc_id", "text",
+      minCount = 5, k = 50)
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2129,5 +2138,6 @@ object Queries {
     "q120_dsir_scores" -> q120_dsir_scores,
     "q121_containment" -> q121_containment,
     "q122_budget_select" -> q122_budget_select,
-    "q123_ann_recall" -> q123_ann_recall)
+    "q123_ann_recall" -> q123_ann_recall,
+    "q124_pmi_collocations" -> q124_pmi_collocations)
 }

@@ -305,6 +305,57 @@ object TextStats {
                   textCol: String, carry: Seq[String] = Seq.empty): DataFrame =
     lmScore(df, idCol, textCol, lmTrain(df, idCol, textCol), carry)
 
+  /** PMI collocation mining (Church & Hanks 1990, "Word Association
+    * Norms, Mutual Information, and Lexicography") — the corpus
+    * statistic behind multi-word-expression extraction and
+    * tokenizer-vocabulary seeding: rank adjacent word pairs by
+    * pointwise mutual information, PMI(a,b) = log2(p(a,b) /
+    * (p(a)·p(b))), with probabilities as the bigram table's OWN
+    * marginals (p(a) = left-position count / N, p(b) =
+    * right-position count / N, N = total bigrams) so the whole
+    * statistic derives from ONE count table.
+    *
+    * The log is the integer Mitchell form: q = (c2·N << 20) div
+    * (c1l·c1r) through DECIMAL(38) (N ≤ 2^40 bigrams keeps c2·N ≤
+    * 2^80 and the shifted product ≤ 2^100, inside DECIMAL(38) ≈
+    * 2^126), clamped to [2^20, 2^62]; pmi_e8 = m8(q) − 160 eighth-
+    * bits. Negative-PMI pairs floor at 0 — a collocation miner only
+    * ranks the positive tail.
+    *
+    * Returns the top `k` pairs with c2 ≥ `minCount` as (bigram, c2,
+    * pmi_e8), ordered pmi_e8 DESC then bigram ASC.
+    *
+    * Scale shape: one scan explodes bigrams (native 2-shingle pass);
+    * ONE map-side-partial count aggregation on the bigram string;
+    * marginals are two re-aggregations of that (already reduced)
+    * count table; N broadcasts as a single row; top-k is a
+    * TakeOrdered. Nothing shuffles more than the distinct-bigram
+    * table.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toks = lmToks(df, idCol, textCol, Seq.empty)
+    val c2t = lmBigramRows(toks).groupBy("bg").agg(count(lit(1)).as("c2"))
+    val parts = c2t
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val c1l = parts.groupBy("w1").agg(sum("c2").as("c1l"))
+    val c1r = parts.groupBy("w2").agg(sum("c2").as("c1r"))
+    val nTot = c2t.agg(sum("c2").as("n_tot"))
+    parts
+      .join(c1l, "w1").join(c1r, "w2")
+      .crossJoin(broadcast(nTot))
+      .withColumn("q", expr(
+        s"CAST(least(greatest((CAST(c2 AS DECIMAL(38,0)) * n_tot * ${1L << LmShift}) " +
+          s"div (CAST(c1l AS DECIMAL(38,0)) * c1r), CAST(${1L << LmShift} AS BIGINT)), " +
+          s"CAST(${1L << 62} AS BIGINT)) AS BIGINT)"))
+      .withColumn("pmi_e8", expr(s"${mitchellE8Sql("q")} - ${8 * LmShift}"))
+      .where(col("c2") >= minCount)
+      .select(col("bg").as("bigram"), col("c2"), col("pmi_e8"))
+      .orderBy(desc("pmi_e8"), col("bigram"))
+      .limit(k)
+  }
+
   /** Gopher-style composite quality rules (Rae et al. 2021 §A.1.1) —
     * the classic pre-training quality gate, emitted as per-rule
     * booleans plus the conjunction, so a pipeline can both filter and

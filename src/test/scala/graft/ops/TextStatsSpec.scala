@@ -154,4 +154,32 @@ class TextStatsSpec extends SparkSpec {
     assert(got(4) == ((5L, true, true, true, false, true, false)))
     assert(got(5) == ((6L, true, true, true, true, false, false)))
   }
+
+  test("pmiCollocations: an exclusive pair outranks a promiscuous word's pairs") {
+    import spark.implicits._
+    // "strong glue" only ever occur together; "of" pairs with everything
+    val docs = ((1L to 8L).map(i => (i, "strong glue of x" + i + " of y" + i)) ++
+      Seq((20L, "of z1 of z2 of z3"))).toDF("id", "text")
+    val out = TextStats.pmiCollocations(docs, "id", "text", minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.head._1 === "strong glue",
+      s"exclusive collocation should rank first, got ${out.head}")
+    // and its PMI must strictly exceed any "of"-pair that qualified
+    val ofPmi = out.filter(_._1.split(" ").contains("of")).map(_._3)
+    ofPmi.foreach(p => assert(out.head._3 > p))
+  }
+
+  test("pmiCollocations: integer, deterministic, partition-invariant") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, s"w${i % 6} w${i % 4} w${i % 6} w${i % 3} end")).toDF("id", "text")
+    val a = TextStats.pmiCollocations(docs, "id", "text", 2, 20).collect()
+    val b = TextStats.pmiCollocations(docs.repartition(9), "id", "text", 2, 20)
+      .collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach(r => assert(r.getLong(2) >= 0L,
+      "negative PMI floors at 0 via the clamp"))
+  }
 }
