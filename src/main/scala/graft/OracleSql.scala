@@ -427,6 +427,7 @@ object OracleSql {
     "q122_budget_select" -> Gen.budgetSelectSql,
     "q123_ann_recall" -> Gen.annRecallSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
+    "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -932,6 +933,21 @@ object OracleSql {
         |  k.cut_score, k.tokens_used
         |FROM sd CROSS JOIN k WHERE sd.score >= k.cut_score
         |ORDER BY sd.doc_id""".stripMargin
+
+    /** Twin of q125_fuzzy_names: a plain exact Levenshtein self-join
+      * over the distinct normalized names — the q-gram blocking is a
+      * Spark physical strategy (complete by the q-gram lemma at this
+      * configuration), not a semantic change, so the exact join IS
+      * the reference answer.
+      */
+    def fuzzyNamesSql: String =
+      s"""WITH n AS (SELECT DISTINCT lower(trim(p_name)) AS s FROM part
+         |           WHERE length(trim(p_name)) > 0)
+         |SELECT a.s AS name_a, b.s AS name_b,
+         |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         |FROM n a JOIN n b ON a.s < b.s
+         |WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+         |ORDER BY name_a, name_b""".stripMargin
 
     /** Twin of q121_containment: same distinct (id, hash61(shingle))
       * postings, df ≤ 20 filter, plain capped self-join for the pair

@@ -2014,6 +2014,16 @@ object Queries {
     TextStats.pmiCollocations(Tables.documents(s, d), "doc_id", "text",
       minCount = 5, k = 50)
 
+  /** Fuzzy entity resolution ([[graft.dedup.Dedup.fuzzyValueMatches]]):
+    * all distinct part-name pairs within Levenshtein distance 2, via
+    * complete 2-gram blocking + codegen'd edit-distance verify — never
+    * an O(n²) cross join.
+    */
+  val q125_fuzzy_names: Q = (s, d) =>
+    Dedup.fuzzyValueMatches(Tables.part(s, d), "p_name",
+        maxDist = 2, gramLen = 2, maxDf = 1000)
+      .orderBy("name_a", "name_b")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2139,5 +2149,6 @@ object Queries {
     "q121_containment" -> q121_containment,
     "q122_budget_select" -> q122_budget_select,
     "q123_ann_recall" -> q123_ann_recall,
-    "q124_pmi_collocations" -> q124_pmi_collocations)
+    "q124_pmi_collocations" -> q124_pmi_collocations,
+    "q125_fuzzy_names" -> q125_fuzzy_names)
 }

@@ -825,4 +825,51 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_a", "n_b",
         "cont_a_x1000", "cont_b_x1000")
   }
+
+  /** Fuzzy value matching — the entity-resolution primitive ("same
+    * part/supplier/merchant under a typo'd name"): all pairs of
+    * DISTINCT normalized values within Levenshtein distance
+    * `maxDist`, found without an O(n²) cross join.
+    *
+    * Candidates come from character q-gram blocking: values sharing
+    * at least one q-gram pair up via the bounded
+    * [[graft.ops.Sketch.pairIntersections]] expansion, then the exact
+    * edit distance (codegen'd `levenshtein`) verifies. The q-gram
+    * lemma makes blocking COMPLETE for this configuration: strings
+    * within edit distance d share ≥ (len − q + 1) − q·d q-grams, so
+    * with q = `gramLen` = 2 and d ≤ 2 every qualifying pair of
+    * values ≥ 7 chars is guaranteed a shared gram (shorter values
+    * still pair through their whole-string gram in practice).
+    * `maxDf` caps a gram's posting list — the recall/straggler knob:
+    * a gram shared by more than `maxDf` values generates no pairs
+    * (at web scale, "th" pairs nobody — discriminative grams do the
+    * work).
+    *
+    * Returns (name_a, name_b, dist) with name_a < name_b, 1 ≤ dist ≤
+    * maxDist, over `lower(trim(value))`.
+    *
+    * Scale shape: the value DOMAIN (distinct strings) drives
+    * everything — one distinct, one gram explode (≤ len rows per
+    * value), df-capped pair expansion, and a map-only levenshtein
+    * verify per candidate. The corpus itself is touched once, by the
+    * distinct.
+    */
+  def fuzzyValueMatches(df: DataFrame, strCol: String, maxDist: Int = 2,
+                        gramLen: Int = 2, maxDf: Int = 1000): DataFrame = {
+    val names = df.select(lower(trim(col(strCol))).as("s"))
+      .where(length(col("s")) > 0).distinct()
+    val grams = names
+      .select(col("s"), explode(sequence(lit(1),
+        greatest(length(col("s")) - (gramLen - 1), lit(1)))).as("p"))
+      .select(col("s"), expr(s"substring(s, p, $gramLen)").as("g"))
+      .distinct()
+    val dfg = grams.groupBy("g").agg(count(lit(1)).as("dfc"))
+    val keep = grams.join(dfg.where(col("dfc") <= maxDf), "g").select("s", "g")
+    graft.ops.Sketch.pairIntersections(keep, "s", "g")
+      .select(col("ia").as("name_a"), col("ib").as("name_b"))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .where(col("dist") >= 1 && col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist")
+  }
 }

@@ -62,4 +62,57 @@ class ContainmentSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
     assert(a.nonEmpty)
   }
+
+  // ------------------------------------------------------------------ //
+  // fuzzyValueMatches                                                  //
+  // ------------------------------------------------------------------ //
+
+  test("fuzzyValueMatches ≡ the exact cross-join answer on a typo'd value set") {
+    val values = Seq("acme corp", "acme c0rp", "acme corps", "globex inc",
+      "globex incx", "initech ltd", "unrelated name").map(Tuple1(_))
+      .toDF("name")
+    val got = Dedup.fuzzyValueMatches(values, "name", maxDist = 2,
+        gramLen = 2, maxDf = 1000)
+      .orderBy("name_a", "name_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // exact reference: all C(7,2) pairs, Levenshtein in [1,2]
+    val names = values.collect().map(_.getString(0)).sorted
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = for {
+      i <- names.indices; j <- (i + 1) until names.length
+      dd = lev(names(i), names(j)) if dd >= 1 && dd <= 2
+    } yield (names(i), names(j), dd.toLong)
+    assert(got.toSeq === want)
+    assert(want.nonEmpty)
+  }
+
+  test("fuzzyValueMatches: df-capped grams drop pair generation (the recall knob)") {
+    // two values share ONLY the gram pool of 'aa'; with maxDf below the
+    // number of values carrying it, no pairs emerge
+    val values = (1 to 9).map(i => Tuple1(s"aa$i")).toDF("name")
+    val all = Dedup.fuzzyValueMatches(values, "name", maxDist = 2, 2, maxDf = 1000)
+    val capped = Dedup.fuzzyValueMatches(values, "name", maxDist = 2, 2, maxDf = 5)
+    assert(all.count() > 0)
+    assert(capped.count() === 0)
+  }
+
+  test("fuzzyValueMatches normalizes case/whitespace and is partition-invariant") {
+    val values = Seq("  Acme Corp ", "acme corp", "ACME CORPS").map(Tuple1(_))
+      .toDF("name")
+    val out = Dedup.fuzzyValueMatches(values, "name", 2, 2, 1000)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // "  Acme Corp " and "acme corp" normalize to the SAME value (dist 0,
+    // excluded); only the corps variant pairs
+    assert(out.toSeq === Seq(("acme corp", "acme corps", 1L)))
+    val rep = Dedup.fuzzyValueMatches(values.repartition(5), "name", 2, 2, 1000)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rep.toSeq === out.toSeq)
+  }
 }
