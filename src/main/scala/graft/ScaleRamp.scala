@@ -103,7 +103,9 @@ object ScaleRamp {
       "q108_sq_ann", "q109_bm25", "q110_table_profile",
       "q111_incremental_minhash", "q112_bpe_train", "q113_bpe_tokens",
       "q114_nb_classifier", "q115_image_header_probe", "q116_wav_probe",
-      "q117_pq_adc", "q118_ivfpq", "q119_gopher_rules")
+      "q117_pq_adc", "q118_ivfpq", "q119_gopher_rules",
+      "q120_dsir_scores", "q121_containment", "q122_budget_select",
+      "q123_ann_recall", "q124_pmi_collocations", "q125_fuzzy_names")
     val rows = rampQueries.map { name =>
       val base = (1 to 2).map(_ => time(srcDir, name)).min
       val ramped = (1 to 2).map(_ => time(outDir, name)).min

@@ -51,6 +51,42 @@ class StatefulSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
   }
 
+  test("foreachBatch DSIR scoring: a pre-trained count table scores a doc stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dsir
+    // train once over yesterday's raw∪target corpus; the count table is
+    // a static mergeable profile — today's stream scores per micro-batch
+    val trainDocs = spark.range(200).selectExpr("id AS doc_id",
+      "concat('t', CAST(id % 11 AS STRING), ' r', CAST(id % 7 AS STRING), " +
+        "' t', CAST(id % 13 AS STRING)) AS text",
+      "CAST(id % 3 = 0 AS BOOLEAN) AS is_t")
+    val counts = Dsir.train(trainDocs, "text", col("is_t"), numBuckets = 64)
+    counts.persist()
+    val stream = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, Long, Long)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val scored = Dsir.score(df, "doc_id", "text", counts, numBuckets = 64)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        out.synchronized { out ++= scored }
+        ()
+      }.start()
+    val docs = (0 until 18).map(i =>
+      (2000L + i, s"t${i % 11} r${i % 7} new$i t${i % 13}"))
+    stream.addData(docs.take(9): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(9): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Dsir.score(docs.toDF("doc_id", "text"),
+        "doc_id", "text", counts, numBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    counts.unpersist(blocking = false)
+    assert(out.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+    assert(out.nonEmpty)
+  }
+
   test("foreachBatch NB classification: a pre-trained model scores a doc stream ≡ batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.NaiveBayes
