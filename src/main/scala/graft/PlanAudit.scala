@@ -53,7 +53,19 @@ object PlanAudit {
     "q114_nb_classifier",
     // 3-row per-query lookup-table set cross-joined into the code
     // scan — q28's single-query shape over PQ codes
-    "q117_pq_adc")
+    "q117_pq_adc",
+    // ONE-row (tot_r, tot_t) count totals cross-joined into the
+    // 64-row λ table build — broadcast scalar by design
+    "q120_dsir_scores",
+    // ONE-row (cut_score, tokens_used) broadcast under the
+    // score >= cut inequality filter — broadcast scalar by design
+    "q122_budget_select",
+    // q79's IVF probe shape plus the brute-force ground truth's
+    // 3-row query set cross join (q28's shape) — both by design
+    "q123_ann_recall",
+    // ONE-row total-bigram count N cross-joined into the PMI
+    // projection — broadcast scalar by design
+    "q124_pmi_collocations")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

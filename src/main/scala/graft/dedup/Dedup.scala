@@ -793,13 +793,15 @@ object Dedup {
     * collisions are noise, not quotes) AND either direction reaches
     * `minContX1000`. Integer outputs only.
     *
-    * Scale shape: one scan → distinct (id, 8-byte shingle hash)
-    * postings; a df aggregation on the hash; pair generation via
-    * [[graft.ops.Sketch.pairIntersections]] (one groupBy(hash) with
-    * collect_set ≤ maxDf ids, pair expansion ≤ maxDf² per shingle —
-    * bounded by construction, never an unbounded self-join); profile
-    * sizes re-join on the 8-byte id. Shuffles carry hashes and ids,
-    * never text.
+    * Scale shape: ONE aggregation does everything the old
+    * distinct + df-join + re-aggregate chain did: group the exploded
+    * (id, 8-byte shingle hash) stream by hash, collect the sorted
+    * distinct id set (`collect_set` dedups per-doc repeats in the
+    * same pass), and drop sets larger than `maxDf`. Profile sizes
+    * and candidate pairs both derive from that one posting table —
+    * pair expansion is ≤ maxDf² per shingle, bounded by
+    * construction, never an unbounded self-join. Shuffles carry
+    * hashes and ids, never text.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleWidth: Int = 3, maxDf: Int = 20,
@@ -808,14 +810,15 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(TextFns.shingles(col(textCol), shingleWidth)).as("s"))
       .select(col("id"), HashFns.hash61(col("s")).as("x"))
-      .distinct()
-    val dfx = sh.groupBy("x").agg(count(lit(1)).as("dfc"))
-    val rare = sh.join(dfx.where(col("dfc") <= maxDf), "x")
-      .select("id", "x")
-    val sizes = rare.groupBy("id").agg(count(lit(1)).as("n"))
-    graft.ops.Sketch.pairIntersections(rare, "id", "x")
-      .withColumnRenamed("ia", "id_a").withColumnRenamed("ib", "id_b")
-      .withColumnRenamed("ni", "n_inter")
+    val grouped = sh.groupBy("x")
+      .agg(sort_array(collect_set(col("id"))).as("ks"))
+      .where(size(col("ks")) <= maxDf)
+    val sizes = grouped.select(explode(col("ks")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    grouped.where(size(col("ks")) >= 2)
+      .select(explode(graft.ops.Sketch.pairStructs(col("ks"))).as("p"))
+      .groupBy(col("p.ia").as("id_a"), col("p.ib").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
       .where(col("n_inter") >= minInter)
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")

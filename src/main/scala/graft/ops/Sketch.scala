@@ -405,16 +405,22 @@ object Sketch {
     * S small (languages, sources) the collect_set is ≤S entries and
     * the pair fan-out ≤C(S,2). Returns (ia, ib, ni) with ia < ib.
     */
-  def pairIntersections(hx: DataFrame, keyCol: String, xCol: String): DataFrame = {
-    val pairs = flatten(transform(col("ks"), (a, i) =>
-      transform(slice(col("ks"), i + lit(2), size(col("ks"))),
+  /** All C(|ks|, 2) ordered pairs of a SORTED array column as
+    * (ia, ib) structs, ia < ib — the bounded per-row expansion shared
+    * by [[pairIntersections]] and the posting-list candidate
+    * generators (containment, fuzzy matching).
+    */
+  def pairStructs(ks: Column): Column =
+    flatten(transform(ks, (a, i) =>
+      transform(slice(ks, i + lit(2), size(ks)),
         b => struct(a.as("ia"), b.as("ib")))))
+
+  def pairIntersections(hx: DataFrame, keyCol: String, xCol: String): DataFrame =
     hx.groupBy(col(xCol))
       .agg(sort_array(collect_set(col(keyCol))).as("ks"))
-      .select(explode(pairs).as("p"))
+      .select(explode(pairStructs(col("ks"))).as("p"))
       .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .agg(count(lit(1)).as("ni"))
-  }
 
   /** |U ∩ A ∖ B|: of the union-sample hashes, how many sit in sketch A
     * but not sketch B. With U = [[kmvUnionK]](a, b, k) this is the
