@@ -193,7 +193,8 @@ object Bench {
       "q114_nb_classifier", "q115_image_header_probe", "q116_wav_probe",
       "q117_pq_adc", "q118_ivfpq", "q119_gopher_rules",
       "q120_dsir_scores", "q121_containment", "q122_budget_select",
-      "q123_ann_recall", "q124_pmi_collocations", "q125_fuzzy_names")
+      "q123_ann_recall", "q124_pmi_collocations", "q125_fuzzy_names",
+      "q126_skew_report", "q127_centroid_drift")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

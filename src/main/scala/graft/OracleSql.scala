@@ -428,6 +428,8 @@ object OracleSql {
     "q123_ann_recall" -> Gen.annRecallSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
+    "q126_skew_report" -> Gen.skewReportSql,
+    "q127_centroid_drift" -> Gen.centroidDriftSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -933,6 +935,62 @@ object OracleSql {
         |  k.cut_score, k.tokens_used
         |FROM sd CROSS JOIN k WHERE sd.score >= k.cut_score
         |ORDER BY sd.doc_id""".stripMargin
+
+    /** Twin of q127_centroid_drift: the q108-proven max-abs scales
+      * and floor-quantization, per-label integer dimension sums
+      * (exact — CAST-wrapped), and an ALL-INTEGER similarity surface
+      * (centroid dot + squared norms; a round(cos, 4) draft fell on
+      * a decimal rounding boundary between engines — integers never
+      * do).
+      */
+    def centroidDriftSql: String =
+      s"""WITH ed AS (SELECT vec_id, label,
+         |        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label,
+         |        unnest([{'pos': i, 'x': v[i]}
+         |                for i in range(1, len(v)+1)]) AS u
+         |      FROM ed),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY u.pos),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT label AS g,
+         |         [CASE WHEN s[i] = 0 THEN 0
+         |               ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(v)+1)] AS qe
+         |       FROM ed CROSS JOIN sl),
+         |qx AS (SELECT g, unnest([{'pos': i, 'x': qe[i]}
+         |                         for i in range(1, len(qe)+1)]) AS u FROM qz),
+         |sm AS (SELECT g, u.pos AS pos, CAST(sum(u.x) AS BIGINT) AS sx
+         |       FROM qx GROUP BY g, u.pos),
+         |cv AS (SELECT g, list(sx ORDER BY pos) AS cv FROM sm GROUP BY g),
+         |nrm AS (SELECT g, cv,
+         |          CAST(list_sum([cv[i] * cv[i]
+         |                         for i in range(1, len(cv)+1)]) AS BIGINT) AS nrm2
+         |        FROM cv),
+         |nn AS (SELECT label AS g, CAST(count(*) AS BIGINT) AS n
+         |       FROM embeddings GROUP BY 1)
+         |SELECT a.g AS g_a, b.g AS g_b, na.n AS n_a, nb.n AS n_b,
+         |  CAST(list_sum([a.cv[i] * b.cv[i]
+         |                 for i in range(1, len(a.cv)+1)]) AS BIGINT) AS cdot,
+         |  a.nrm2 AS nrm2_a, b.nrm2 AS nrm2_b
+         |FROM nrm a JOIN nrm b ON a.g < b.g
+         |JOIN nn na ON na.g = a.g JOIN nn nb ON nb.g = b.g
+         |ORDER BY g_a, g_b""".stripMargin
+
+    /** Twin of q126_skew_report: per-key counts, row_number ranking
+      * (count DESC, key ASC — the TopK aggregate's exact order), and
+      * per-mille shares off the cast total.
+      */
+    def skewReportSql: String =
+      s"""WITH c AS (SELECT coalesce(CAST(l_suppkey AS VARCHAR), '<null>') AS key,
+         |             CAST(count(*) AS BIGINT) AS cnt
+         |           FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |r AS (SELECT key, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS "rank"
+         |      FROM c)
+         |SELECT key, cnt, CAST((1000 * cnt) // total AS BIGINT) AS share_x1000,
+         |  "rank"
+         |FROM r CROSS JOIN t WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin
 
     /** Twin of q125_fuzzy_names: a plain exact Levenshtein self-join
       * over the distinct normalized names — the q-gram blocking is a
@@ -2308,17 +2366,19 @@ object OracleSql {
       * IEEE double order on both engines; the SUM is integer.
       */
     def sqAnnSql: String =
-      s"""WITH ex AS (SELECT vec_id,
-         |        unnest([{'pos': i, 'x': embedding[i]}
-         |                for i in range(1, len(embedding)+1)]) AS u
+      s"""WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |      FROM embeddings),
+         |ex AS (SELECT vec_id,
+         |        unnest([{'pos': i, 'x': v[i]}
+         |                for i in range(1, len(v)+1)]) AS u
+         |      FROM ed),
          |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY u.pos),
          |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
          |qz AS (SELECT vec_id,
          |         [CASE WHEN s[i] = 0 THEN 0
-         |               ELSE CAST(floor(embedding[i] * 127.0 / s[i]) AS BIGINT) END
-         |          for i in range(1, len(embedding)+1)] AS qe
-         |       FROM embeddings CROSS JOIN sl),
+         |               ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(v)+1)] AS qe
+         |       FROM ed CROSS JOIN sl),
          |qv AS (SELECT qe AS qv FROM qz WHERE vec_id = 0)
          |SELECT z.vec_id,
          |  CAST(list_sum([z.qe[i] * qv.qv[i]

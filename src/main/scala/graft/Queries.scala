@@ -2024,6 +2024,24 @@ object Queries {
         maxDist = 2, gramLen = 2, maxDf = 1000)
       .orderBy("name_a", "name_b")
 
+  /** Join-key skew report ([[graft.ops.Profile.skewReport]]): the k
+    * heaviest l_suppkey values with exact counts and per-mille row
+    * share — the pre-shuffle straggler check; bounded-heap top-k
+    * over the reduced key table, never a global sort.
+    */
+  val q126_skew_report: Q = (s, d) =>
+    graft.ops.Profile.skewReport(Tables.lineitem(s, d), "l_suppkey", k = 10)
+      .orderBy("rank")
+
+  /** Embedding centroid drift ([[graft.sim.Similarity.centroidDrift]]):
+    * per-label int8-quantized centroid sums (exact integers) and all
+    * pairwise centroid cosines — the index-health / corpus-drift
+    * report.
+    */
+  val q127_centroid_drift: Q = (s, d) =>
+    Similarity.centroidDrift(Tables.embeddings(s, d), "label", "embedding")
+      .orderBy("g_a", "g_b")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2150,5 +2168,7 @@ object Queries {
     "q122_budget_select" -> q122_budget_select,
     "q123_ann_recall" -> q123_ann_recall,
     "q124_pmi_collocations" -> q124_pmi_collocations,
-    "q125_fuzzy_names" -> q125_fuzzy_names)
+    "q125_fuzzy_names" -> q125_fuzzy_names,
+    "q126_skew_report" -> q126_skew_report,
+    "q127_centroid_drift" -> q127_centroid_drift)
 }

@@ -47,4 +47,36 @@ object Profile {
     }
     per.reduce(_.unionByName(_)).orderBy("col_name")
   }
+
+  /** Join-key skew diagnostic — the "is this key safe to shuffle on"
+    * report a pipeline runs before keying a 100 TB join or groupBy:
+    * the `k` heaviest key values with exact counts and per-mille
+    * share of all rows. A key whose top value carries 30% of the
+    * table needs salting or AQE skew handling; this report is how
+    * you find out BEFORE the straggler does.
+    *
+    * Returns (key, cnt, share_x1000, rank) for the top `k` values,
+    * rank 1 = heaviest (count DESC, key ASC tiebreak); NULL keys
+    * count under the literal key `<null>`.
+    *
+    * Scale shape: one hash aggregation on the key (map-side
+    * partials), then the bounded-heap [[graft.plans.TopK]] aggregate
+    * over the already-reduced distinct-key table (≤ k rows per
+    * partition travel — never a global sort), and a broadcast
+    * single-row total for the shares.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    import graft.plans.TopK
+    val counts = df
+      .select(coalesce(col(keyCol).cast("string"), lit("<null>")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"))
+    counts.agg(TopK.top_k(struct(col("cnt"), col("key")), k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__row")))
+      .select(col("__row.key").as("key"), col("__row.cnt").as("cnt"),
+        (col("__pos") + 1).cast("bigint").as("rank"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_x1000", expr("(1000 * cnt) div total"))
+      .select("key", "cnt", "share_x1000", "rank")
+  }
 }

@@ -520,6 +520,56 @@ object Similarity {
     * ground truth is usually a small query sample; nothing here
     * touches the corpus.
     */
+  /** Embedding centroid drift — the corpus-observability report that
+    * catches "source X's embeddings moved" / "labels Y and Z have
+    * collapsed together" before a similarity index silently degrades:
+    * per-group centroids and all pairwise centroid cosines.
+    *
+    * The centroid is the per-dimension SUM of the int8-quantized
+    * vectors ([[sqQuantize]] over shared [[sqScales]]) — exact
+    * integers, so the centroid is engine-exact, and the similarity
+    * surface stays INTEGER: the report emits the exact centroid dot
+    * product and both squared norms (cos = cdot/√(nrm2_a·nrm2_b) is
+    * one float op away for a human, but a float rounded at a decimal
+    * boundary is exactly how engines disagree — q127's first draft
+    * proved it at round(cos, 4)). Dividing by n would only rescale —
+    * cosine is scale-invariant, so the unnormalized sum IS the
+    * centroid for this purpose.
+    *
+    * Returns (g_a, g_b, n_a, n_b, cdot, nrm2_a, nrm2_b) for every
+    * unordered group pair, g_a < g_b — all BIGINT, all exact.
+    *
+    * Scale shape: one scan quantizes and explodes to (group, dim,
+    * int) — a map-side-partial sum on the bounded (groups × dim)
+    * key; centroid assembly and the pairwise join touch only
+    * G-row tables (G = #groups, broadcast inequality self-join —
+    * the q93 pairs-of-groups shape). The dim-sized scales collect
+    * is the k-means-centroid bounded-driver-state class.
+    */
+  def centroidDrift(df: DataFrame, groupCol: String,
+                    vecCol: String): DataFrame = {
+    val scales = sqScales(df, vecCol)
+    val q = df.select(col(groupCol).as("g"),
+      sqQuantize(col(vecCol), scales).as("qe"))
+    val cvecs = q
+      .select(col("g"), posexplode(col("qe")).as(Seq("pos", "x")))
+      .groupBy("g", "pos").agg(sum("x").as("sx"))
+      .groupBy("g")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+        s => s.getField("sx")).as("cv"))
+    val counts = q.groupBy("g").agg(count(lit(1)).as("n"))
+    val sides = cvecs.join(counts, "g")
+      .withColumn("nrm2", sqDot(col("cv"), col("cv")))
+    val a = sides.select(col("g").as("g_a"), col("cv").as("cv_a"),
+      col("n").as("n_a"), col("nrm2").as("nrm2_a"))
+    val b = sides.select(col("g").as("g_b"), col("cv").as("cv_b"),
+      col("n").as("n_b"), col("nrm2").as("nrm2_b"))
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        sqDot(col("cv_a"), col("cv_b")).as("cdot"),
+        col("nrm2_a"), col("nrm2_b"))
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val hits = ann.select(col("query_id"), col("id"))
       .join(exact.select(col("query_id"), col("id")), Seq("query_id", "id"))

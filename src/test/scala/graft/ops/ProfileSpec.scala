@@ -36,4 +36,25 @@ class ProfileSpec extends SparkSpec {
     assert(rows("b")._4 === 0L)       // n_distinct
     assert(rows("b")._5 == null && rows("b")._6 == null)
   }
+
+  test("skewReport: hand-computed counts, shares, and rank order") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .map(Tuple1(_)).toDF("k")
+    val out = Profile.skewReport(df, "k", k = 2).orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("hot", 6L, 600L, 1L), ("warm", 3L, 300L, 2L)))
+  }
+
+  test("skewReport counts NULL keys under <null> and is partition-invariant") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(Some("x")) ++ Seq.fill(2)(Option.empty[String]))
+      .map(Tuple1(_)).toDF("k")
+    val out = Profile.skewReport(df, "k", 5).orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("x", 4L), ("<null>", 2L)))
+    val rep = Profile.skewReport(df.repartition(7), "k", 5).orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rep.toSeq === out.toSeq)
+  }
 }

@@ -246,6 +246,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1000L), (2L, 1L, 500L), (3L, 0L, 0L)))
   }
 
+  test("centroidDrift: identical groups give cdot² == nrm2_a·nrm2_b (cos = 1)") {
+    import spark.implicits._
+    // two groups with the SAME member vectors → identical centroids;
+    // a third group orthogonal-ish
+    val rows = (0L until 20L).flatMap { i =>
+      val v = Seq.tabulate(8)(j => math.sin(i + j).toFloat)
+      Seq((0, v), (1, v), (2, Seq.tabulate(8)(j => math.cos(3 * i + j).toFloat)))
+    }
+    val df = rows.toDF("label", "embedding")
+    val out = Similarity.centroidDrift(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(4),
+        r.getLong(5), r.getLong(6))).sortBy(p => (p._1, p._2))
+    val p01 = out.find(p => p._1 == 0 && p._2 == 1).get
+    assert(p01._3 * p01._3 === p01._4 * p01._5,
+      s"equal centroids must have |cos| = 1 exactly: $p01")
+    assert(p01._3 > 0)
+    val p02 = out.find(p => p._1 == 0 && p._2 == 2).get
+    assert(p02._3 * p02._3 < p02._4 * p02._5,
+      "different centroids must have |cos| < 1")
+  }
+
+  test("centroidDrift is partition-invariant") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i =>
+      ((i % 3).toInt, Seq.tabulate(6)(j => ((i * 7 + j) % 13 - 6).toFloat)))
+    val df = rows.toDF("label", "embedding")
+    val a = Similarity.centroidDrift(df, "label", "embedding")
+      .orderBy("g_a", "g_b").collect()
+    val b = Similarity.centroidDrift(df.repartition(11), "label", "embedding")
+      .orderBy("g_a", "g_b").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 3)
+  }
+
   test("recallAtK of a method against itself is 1000 everywhere") {
     val rnd = new scala.util.Random(7)
     val e = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
