@@ -430,6 +430,7 @@ object OracleSql {
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
     "q127_centroid_drift" -> Gen.centroidDriftSql,
+    "q128_cdc_chunks" -> Gen.cdcChunksSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -975,6 +976,39 @@ object OracleSql {
          |FROM nrm a JOIN nrm b ON a.g < b.g
          |JOIN nn na ON na.g = a.g JOIN nn nb ON nb.g = b.g
          |ORDER BY g_a, g_b""".stripMargin
+
+    /** Twin of q128_cdc_chunks: same hash-boundary flags, running-sum
+      * chunk index (ROWS frame, pos unique), order-pinned string_agg
+      * chunk text, md5-hash61 chunk keys, distinct-doc dup counts.
+      */
+    def cdcChunksSql: String =
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |p AS (SELECT doc_id, u['pos'] AS pos, u['t'] AS t FROM (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 't': w[i]}
+         |                         for i in range(1, len(w)+1)]) AS u
+         |  FROM wd WHERE len(w) > 0) z),
+         |b AS (SELECT doc_id, pos, t,
+         |        CASE WHEN ${duckHash61("t")} % 16 = 0 THEN 1 ELSE 0 END AS bnd
+         |      FROM p),
+         |c AS (SELECT doc_id, pos, t,
+         |        SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+         |      FROM b),
+         |ch AS (SELECT doc_id, ck,
+         |         ${duckHash61("string_agg(t, ' ' ORDER BY pos)")} AS h
+         |       FROM c GROUP BY doc_id, ck),
+         |ndc AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |         CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_dup
+         |       FROM ch JOIN ndc USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_chunks, 0) AS n_chunks,
+         |  coalesce(n_dup, 0) AS n_dup_chunks,
+         |  CAST((1000 * coalesce(n_dup, 0))
+         |    // greatest(coalesce(n_chunks, 0), 1) AS BIGINT) AS dup_chunk_x1000
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
 
     /** Twin of q126_skew_report: per-key counts, row_number ranking
       * (count DESC, key ASC — the TopK aggregate's exact order), and

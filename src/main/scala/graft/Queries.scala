@@ -2042,6 +2042,17 @@ object Queries {
     Similarity.centroidDrift(Tables.embeddings(s, d), "label", "embedding")
       .orderBy("g_a", "g_b")
 
+  /** Content-defined chunking dedup ([[graft.dedup.Dedup.cdcChunkStats]],
+    * LBFS-style CDC at token granularity): local-content chunk
+    * boundaries, per-chunk corpus dedup, per-doc duplicated-chunk
+    * fraction — the chunk-granular (and proportionally cheaper)
+    * complement of the n-gram span stats.
+    */
+  val q128_cdc_chunks: Q = (s, d) =>
+    Dedup.cdcChunkStats(Tables.documents(s, d), "doc_id", "text",
+        boundaryMod = 16)
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2170,5 +2181,6 @@ object Queries {
     "q124_pmi_collocations" -> q124_pmi_collocations,
     "q125_fuzzy_names" -> q125_fuzzy_names,
     "q126_skew_report" -> q126_skew_report,
-    "q127_centroid_drift" -> q127_centroid_drift)
+    "q127_centroid_drift" -> q127_centroid_drift,
+    "q128_cdc_chunks" -> q128_cdc_chunks)
 }

@@ -829,6 +829,65 @@ object Dedup {
         "cont_a_x1000", "cont_b_x1000")
   }
 
+  /** Content-defined chunking dedup stats (the Rabin/CDC idea of
+    * storage dedup — LBFS, Muthitacharoen et al. 2001 — at token
+    * granularity): chunk boundaries are declared wherever
+    * hash61(token) % `boundaryMod` == 0, so boundaries depend only
+    * on LOCAL content — insert a paragraph and every downstream
+    * chunk of a byte-offset chunker shifts, but CDC chunks
+    * re-synchronize immediately. Each chunk's hash is then a
+    * corpus-wide dedup key.
+    *
+    * Returns one row per doc: (idCol, n_chunks, n_dup_chunks,
+    * dup_chunk_x1000) where a chunk is "dup" when its (hash) also
+    * appears in ≥1 OTHER document — the per-doc duplicated-content
+    * fraction at chunk granularity (coarser than the n-gram span
+    * stats, ~`boundaryMod` tokens per chunk, and proportionally
+    * cheaper: one hash per CHUNK shuffles, not one per token).
+    *
+    * Scale shape: one scan explodes positioned tokens; the chunk
+    * index is a per-doc running sum window (partitioned by the doc
+    * id — never global); chunk strings reduce to 8-byte hashes
+    * before the cross-doc aggregation; the dup decision is a
+    * map-side-partial count on the chunk hash.
+    */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+                    boundaryMod: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      TextFns.tokens(col(textCol)).as("w"))
+    val pos = toks.where(size(col("w")) > 0)
+      .select(col("id"), posexplode(col("w")).as(Seq("pos", "t")))
+      .withColumn("bnd",
+        when(HashFns.hash61(col("t")) % boundaryMod === 0, 1L).otherwise(0L))
+    // a boundary token STARTS a new chunk: chunk index = count of
+    // boundaries at or before this position (the preceding-frame sum
+    // + own flag keeps the window frame cheap)
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = pos
+      .withColumn("ck", coalesce(sum("bnd").over(win), lit(0L)) + col("bnd"))
+      .groupBy("id", "ck")
+      // sort_array on (pos, t) structs restores token order regardless
+      // of aggregation order, then the chunk text hashes to 8 bytes
+      .agg(sort_array(collect_list(struct(col("pos"), col("t")))).as("ps"))
+      .select(col("id"),
+        HashFns.hash61(array_join(
+          transform(col("ps"), s => s.getField("t")), " ")).as("h"))
+    val docsPerH = chunks.select("h", "id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    val perDoc = chunks.join(docsPerH, "h")
+      .withColumn("isdup", (col("nd") >= 2).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"), sum("isdup").as("n_dup_chunks"))
+    toks.select("id").join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_x1000",
+        expr("(1000 * n_dup_chunks) div greatest(n_chunks, CAST(1 AS BIGINT))"))
+  }
+
   /** Fuzzy value matching — the entity-resolution primitive ("same
     * part/supplier/merchant under a typo'd name"): all pairs of
     * DISTINCT normalized values within Levenshtein distance

@@ -64,6 +64,46 @@ class ContainmentSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------ //
+  // cdcChunkStats                                                      //
+  // ------------------------------------------------------------------ //
+
+  test("CDC chunks re-synchronize after a prefix insertion") {
+    val body = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, body),
+      (2L, "inserted preamble words here " + body),
+      (3L, (301 to 500).map(i => s"other$i").mkString(" ")))
+      .toDF("id", "text")
+    val rows = Dedup.cdcChunkStats(corpus, "id", "text", boundaryMod = 8)
+      .orderBy("id").collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 2 = doc 1 with a prefix: after the first content-defined
+    // boundary, chunking realigns, so MOST chunks are shared — a
+    // byte-offset chunker would share none
+    assert(byId(1L)._3 > 700,
+      s"doc 1 should be mostly duplicated chunks, got ${byId(1L)}")
+    assert(byId(2L)._3 > 700,
+      s"doc 2 should re-synchronize onto doc 1's chunks, got ${byId(2L)}")
+    // the unrelated doc shares nothing
+    assert(byId(3L)._2 === 0L)
+  }
+
+  test("cdcChunkStats: empty docs emit (0,0,0); partition-invariant") {
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, ""), (3L, "   "))
+      .toDF("id", "text")
+    val out = Dedup.cdcChunkStats(corpus, "id", "text", 4).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 3)
+    assert(out(1) === ((2L, 0L, 0L, 0L)))
+    assert(out(2) === ((3L, 0L, 0L, 0L)))
+    val rep = Dedup.cdcChunkStats(corpus.repartition(5), "id", "text", 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq === out.toSeq)
+  }
+
+  // ------------------------------------------------------------------ //
   // fuzzyValueMatches                                                  //
   // ------------------------------------------------------------------ //
 

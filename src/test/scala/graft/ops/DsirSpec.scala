@@ -62,6 +62,17 @@ class DsirSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("count table round-trips through parquet (profile-store lifecycle)") {
+    val corpus = docs((1L, "alpha beta gamma", "t"), (2L, "delta beta zeta", "r"))
+    val counts = Dsir.train(corpus, "text", col("dom") === "t", 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    counts.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val a = Dsir.score(corpus, "id", "text", counts, 32).orderBy("id").collect()
+    val b = Dsir.score(corpus, "id", "text", reloaded, 32).orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("a pre-trained count table scores a disjoint corpus (split lifecycle)") {
     val tVocab = (0 until 10).map(i => s"t$i").mkString(" ")
     val rVocab = (0 until 10).map(i => s"r$i").mkString(" ")
