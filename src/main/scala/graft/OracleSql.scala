@@ -431,6 +431,7 @@ object OracleSql {
     "q126_skew_report" -> Gen.skewReportSql,
     "q127_centroid_drift" -> Gen.centroidDriftSql,
     "q128_cdc_chunks" -> Gen.cdcChunksSql,
+    "q129_winnow_matches" -> Gen.winnowMatchesSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1009,6 +1010,32 @@ object OracleSql {
          |    // greatest(coalesce(n_chunks, 0), 1) AS BIGINT) AS dup_chunk_x1000
          |FROM documents d LEFT JOIN pd USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+
+    /** Twin of q129_winnow_matches: positioned 3-gram hashes, the
+      * same full-width forward window min, distinct per-doc
+      * fingerprints, df-bounded self-join pair counts (the bounded
+      * pair expansion is a Spark physical shape).
+      */
+    def winnowMatchesSql: String =
+      s"""WITH words AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |sh AS (SELECT id, ${shinglesE("w", 3)} AS sl FROM words),
+         |g AS (SELECT id, u['pos'] AS pos, u['s'] AS s FROM (
+         |  SELECT id, unnest([{'pos': i - 1, 's': sl[i]}
+         |                     for i in range(1, len(sl)+1)]) AS u FROM sh) z),
+         |gh AS (SELECT id, pos, ${duckHash61("s")} AS h FROM g),
+         |f AS (SELECT id, pos, h,
+         |        count(*) OVER (PARTITION BY id) AS n,
+         |        min(h) OVER (PARTITION BY id ORDER BY pos
+         |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+         |      FROM gh),
+         |fp AS (SELECT DISTINCT id, mn AS h FROM f WHERE pos <= n - 4),
+         |dfx AS (SELECT h, count(*) AS c FROM fp GROUP BY h),
+         |rare AS (SELECT fp.id, fp.h FROM fp JOIN dfx USING (h)
+         |         WHERE c BETWEEN 2 AND 20)
+         |SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM rare a JOIN rare b ON a.h = b.h AND a.id < b.id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin
 
     /** Twin of q126_skew_report: per-key counts, row_number ranking
       * (count DESC, key ASC — the TopK aggregate's exact order), and

@@ -2053,6 +2053,17 @@ object Queries {
         boundaryMod = 16)
       .orderBy("doc_id")
 
+  /** Winnowing fingerprint matches ([[graft.dedup.Dedup.winnowMatches]],
+    * Schleimer-Wilkerson-Aiken 2003 / MOSS): per-window minimum
+    * k-gram hashes as a ~2/(w+1)-density fingerprint sample with a
+    * shared-run guarantee — overlap detection at a fraction of the
+    * full positional-hash shuffle.
+    */
+  val q129_winnow_matches: Q = (s, d) =>
+    Dedup.winnowMatches(Tables.documents(s, d), "doc_id", "text",
+        shingleWidth = 3, window = 4, maxDf = 20, minShared = 2)
+      .orderBy("id_a", "id_b")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2182,5 +2193,6 @@ object Queries {
     "q125_fuzzy_names" -> q125_fuzzy_names,
     "q126_skew_report" -> q126_skew_report,
     "q127_centroid_drift" -> q127_centroid_drift,
-    "q128_cdc_chunks" -> q128_cdc_chunks)
+    "q128_cdc_chunks" -> q128_cdc_chunks,
+    "q129_winnow_matches" -> q129_winnow_matches)
 }

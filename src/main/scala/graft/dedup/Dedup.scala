@@ -888,6 +888,55 @@ object Dedup {
         expr("(1000 * n_dup_chunks) div greatest(n_chunks, CAST(1 AS BIGINT))"))
   }
 
+  /** Winnowing fingerprint matches (Schleimer, Wilkerson & Aiken
+    * 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the MOSS algorithm): from each document's
+    * positioned k-gram hash sequence, every length-`w` window
+    * contributes its MINIMUM hash; the distinct selected hashes are
+    * the doc's fingerprint set. Winnowing's guarantee: any shared
+    * run of ≥ w + k − 1 tokens shares at least one fingerprint, at
+    * ~2/(w+1) the density of the full k-gram set — the sampling
+    * rate is the scale knob the full positional-hash join lacks.
+    *
+    * Returns fingerprint-sharing pairs (id_a, id_b, n_shared) with
+    * id_a < id_b and n_shared ≥ `minShared`, candidates generated
+    * from the fingerprint posting lists (df ≤ `maxDf`, the
+    * containment-operator discipline).
+    *
+    * Scale shape: one scan (native shingle pass) → per-doc window
+    * min (partitioned by the doc id — never global) → distinct
+    * 8-byte fingerprints (≈ 2/(w+1) of the grams) → one collect_set
+    * aggregation + bounded pair expansion. Only fingerprints
+    * shuffle cross-doc; the w× reduction happens before any
+    * corpus-wide traffic.
+    */
+  def winnowMatches(df: DataFrame, idCol: String, textCol: String,
+                    shingleWidth: Int = 3, window: Int = 4,
+                    maxDf: Int = 20, minShared: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol).as("id"),
+        posexplode(TextFns.shingles(col(textCol), shingleWidth)).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"), HashFns.hash61(col("s")).as("h"))
+    val part = Window.partitionBy("id")
+    val fwd = part.orderBy("pos").rowsBetween(0, window - 1)
+    val fps = grams
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("mn", min("h").over(fwd))
+      // only full-width windows select (the winnowing definition);
+      // docs with fewer than `window` grams contribute none
+      .where(col("pos") <= col("n") - window)
+      .select(col("id"), col("mn").as("h"))
+      .distinct()
+    val grouped = fps.groupBy("h")
+      .agg(sort_array(collect_set(col("id"))).as("ks"))
+      .where(size(col("ks")).between(2, maxDf))
+    grouped
+      .select(explode(graft.ops.Sketch.pairStructs(col("ks"))).as("p"))
+      .groupBy(col("p.ia").as("id_a"), col("p.ib").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Fuzzy value matching — the entity-resolution primitive ("same
     * part/supplier/merchant under a typo'd name"): all pairs of
     * DISTINCT normalized values within Levenshtein distance

@@ -104,6 +104,39 @@ class ContainmentSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------ //
+  // winnowMatches                                                      //
+  // ------------------------------------------------------------------ //
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    // k=3, w=4 → any shared run of ≥ 6 tokens must produce ≥1 shared
+    // fingerprint. Give the pair a 30-token shared run (≳2 shared
+    // prints at density 2/(w+1)) inside otherwise-disjoint docs.
+    val run = (1 to 30).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, (1 to 20).map(i => s"a$i").mkString(" ") + " " + run),
+      (2L, run + " " + (1 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"c$i").mkString(" ")))
+      .toDF("id", "text")
+    val pairs = Dedup.winnowMatches(corpus, "id", "text",
+        shingleWidth = 3, window = 4, maxDf = 10, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length === 1)
+    assert(pairs.head._1 === 1L && pairs.head._2 === 2L)
+    assert(pairs.head._3 >= 2, s"expected ≥2 shared fingerprints, got ${pairs.head._3}")
+  }
+
+  test("winnowing samples at roughly 2/(w+1) density and is partition-invariant") {
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until 120).map(j => s"w${(i * 131 + j * 7) % 997}").mkString(" ")))
+      .toDF("id", "text")
+    val a = Dedup.winnowMatches(docs, "id", "text", 3, 4, 30, 1)
+      .orderBy("id_a", "id_b").collect()
+    val b = Dedup.winnowMatches(docs.repartition(7), "id", "text", 3, 4, 30, 1)
+      .orderBy("id_a", "id_b").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  // ------------------------------------------------------------------ //
   // fuzzyValueMatches                                                  //
   // ------------------------------------------------------------------ //
 
