@@ -194,7 +194,8 @@ object Bench {
       "q117_pq_adc", "q118_ivfpq", "q119_gopher_rules",
       "q120_dsir_scores", "q121_containment", "q122_budget_select",
       "q123_ann_recall", "q124_pmi_collocations", "q125_fuzzy_names",
-      "q126_skew_report", "q127_centroid_drift", "q128_cdc_chunks", "q129_winnow_matches")
+      "q126_skew_report", "q127_centroid_drift", "q128_cdc_chunks", "q129_winnow_matches",
+      "q130_blocklist_gate", "q131_cross_source_dups")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

@@ -432,6 +432,8 @@ object OracleSql {
     "q127_centroid_drift" -> Gen.centroidDriftSql,
     "q128_cdc_chunks" -> Gen.cdcChunksSql,
     "q129_winnow_matches" -> Gen.winnowMatchesSql,
+    "q130_blocklist_gate" -> Gen.blocklistGateSql,
+    "q131_cross_source_dups" -> Gen.crossSourceDupsSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1036,6 +1038,38 @@ object OracleSql {
          |FROM rare a JOIN rare b ON a.h = b.h AND a.id < b.id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY id_a, id_b""".stripMargin
+
+    /** Twin of q130_blocklist_gate: same lowercase token matching
+      * against the literal term list, same counts and keep rule.
+      */
+    def blocklistGateSql: String =
+      s"""WITH wd AS (SELECT doc_id, lang, ${tokensE("text")} AS w FROM documents),
+         |tk AS (SELECT doc_id, lower(t) AS t FROM (
+         |  SELECT doc_id, unnest(w) AS t FROM wd) z),
+         |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |        CAST(count(DISTINCT t) AS BIGINT) AS n_terms
+         |      FROM tk WHERE t IN ('slow', 'big', 'the') GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_terms, 0) AS n_terms,
+         |  (coalesce(h.n_hits, 0) <= 2) AS keep
+         |FROM documents d LEFT JOIN h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+    /** Twin of q131_cross_source_dups: the shared MinHash bucket
+      * CTEs (q34's), source map join, distinct (bucket-key, source),
+      * plain pair self-join counts of DISTINCT shared keys.
+      */
+    def crossSourceDupsSql: String =
+      minhashBucketCtes(2) + s""",
+        |kk AS (SELECT DISTINCT
+        |         CAST(b.band AS VARCHAR) || ':' || CAST(b.band_hash AS VARCHAR) AS key,
+        |         d.source AS src
+        |       FROM buckets b JOIN documents d ON d.doc_id = b.id)
+        |SELECT a.src AS src_a, b.src AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kk a JOIN kk b ON a.key = b.key AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
     /** Twin of q126_skew_report: per-key counts, row_number ranking
       * (count DESC, key ASC — the TopK aggregate's exact order), and

@@ -2064,6 +2064,27 @@ object Queries {
         shingleWidth = 3, window = 4, maxDf = 20, minShared = 2)
       .orderBy("id_a", "id_b")
 
+  /** Token-blocklist gate ([[graft.ops.TextStats.blocklistGate]],
+    * C4 §2.2 badwords shape): per-doc hit counts + distinct blocked
+    * terms + keep decision, blocklist broadcast, audit-trail
+    * semantics (counts, not silent drops).
+    */
+  val q130_blocklist_gate: Q = (s, d) =>
+    TextStats.blocklistGate(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("slow", "big", "the"), maxHits = 2, carry = Seq("lang"))
+      .orderBy("doc_id")
+
+  /** Cross-source NEAR-duplication matrix
+    * ([[graft.dedup.Dedup.crossSourceNearDupMatrix]]): MinHash band
+    * buckets shared by each source pair — the double-counting check
+    * before mixture weights are set (exact-fingerprint variant
+    * available; this fixture's planted dups are near-dups).
+    */
+  val q131_cross_source_dups: Q = (s, d) =>
+    Dedup.crossSourceNearDupMatrix(Tables.documents(s, d), "doc_id",
+        "text", "source")
+      .orderBy("src_a", "src_b")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2194,5 +2215,7 @@ object Queries {
     "q126_skew_report" -> q126_skew_report,
     "q127_centroid_drift" -> q127_centroid_drift,
     "q128_cdc_chunks" -> q128_cdc_chunks,
-    "q129_winnow_matches" -> q129_winnow_matches)
+    "q129_winnow_matches" -> q129_winnow_matches,
+    "q130_blocklist_gate" -> q130_blocklist_gate,
+    "q131_cross_source_dups" -> q131_cross_source_dups)
 }

@@ -937,6 +937,55 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Cross-source duplication matrix — the mixture-design diagnostic
+    * ("source X is 40% re-hosted copies of source Y"): for every
+    * unordered source pair, how many DISTINCT document contents
+    * appear in both. Upweighting two sources that mirror each other
+    * double-counts the same data; this matrix is how you see it
+    * before setting mixture weights.
+    *
+    * Scale shape: contents reduce to 16-byte fingerprints in the
+    * scan; ONE aggregation per fingerprint collects its (bounded —
+    * sources are a dimension, ≤ thousands) source set; the pair
+    * expansion is C(|sources|, 2) per duplicated fingerprint; the
+    * final count aggregates on the tiny source-pair key. Text never
+    * shuffles.
+    */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+                           srcCol: String): DataFrame =
+    sharedKeyMatrix(df.select(
+      TextFns.fingerprint(col(textCol)).as("key"), col(srcCol).as("src")))
+
+  /** Near-dup variant of [[crossSourceDupMatrix]]: the shared keys
+    * are MinHash LSH band buckets instead of exact fingerprints, so
+    * the matrix counts near-duplicate candidate mass between source
+    * pairs — re-hosted copies survive edits that break the exact
+    * fingerprint.
+    */
+  def crossSourceNearDupMatrix(df: DataFrame, idCol: String,
+                               textCol: String, srcCol: String,
+                               numHashes: Int = 32, bands: Int = 8,
+                               shingleWidth: Int = 2): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, numHashes, bands, shingleWidth)
+    val srcs = df.select(col(idCol).as("id"), col(srcCol).as("src"))
+    sharedKeyMatrix(buckets.join(srcs, "id")
+      .select(concat_ws(":", col("band"), col("band_hash")).as("key"),
+        col("src")))
+  }
+
+  /** Core of the duplication matrices: from (key, src) rows, count
+    * the DISTINCT keys shared by each unordered source pair. One
+    * distinct, one collect_set aggregation (source sets are bounded —
+    * sources are a dimension), bounded pair expansion.
+    */
+  def sharedKeyMatrix(keyed: DataFrame): DataFrame =
+    keyed.distinct()
+      .groupBy("key").agg(sort_array(collect_set(col("src"))).as("ks"))
+      .where(size(col("ks")) >= 2)
+      .select(explode(graft.ops.Sketch.pairStructs(col("ks"))).as("p"))
+      .groupBy(col("p.ia").as("src_a"), col("p.ib").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
   /** Fuzzy value matching — the entity-resolution primitive ("same
     * part/supplier/merchant under a typo'd name"): all pairs of
     * DISTINCT normalized values within Levenshtein distance

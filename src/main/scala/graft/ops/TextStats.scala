@@ -305,6 +305,43 @@ object TextStats {
                   textCol: String, carry: Seq[String] = Seq.empty): DataFrame =
     lmScore(df, idCol, textCol, lmTrain(df, idCol, textCol), carry)
 
+  /** Token-blocklist gate (the C4 "bad words" filter, Raffel et al.
+    * 2020 §2.2 — reference list public as badwords_en): per doc, how
+    * many token occurrences hit the blocklist, how many DISTINCT
+    * blocked terms appear, and the keep decision (`hits ≤ maxHits`).
+    * Emitting counts instead of silently dropping is deliberate: the
+    * audit trail ("WHY was this cut") is part of the stage.
+    *
+    * Scale shape: tokens explode once; the blocklist joins as a
+    * BROADCAST (blocklists are thousands of terms, never
+    * corpus-sized); two map-side-partial aggregations on the 8-byte
+    * doc id; docs with zero hits come back via the left join. Case
+    * folds on the token side so the list is matched
+    * case-insensitively.
+    */
+  def blocklistGate(df: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], maxHits: Long = 0,
+                    carry: Seq[String] = Seq.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = broadcast(terms.map(_.toLowerCase).distinct.toDF("__term"))
+    val base = df.select(col(idCol).as("__id") +: carry.map(col) :+
+      TextFns.tokens(col(textCol)).as("w"): _*)
+    val hits = base
+      .select(col("__id"), explode(col("w")).as("t"))
+      .select(col("__id"), lower(col("t")).as("t"))
+      .join(bl, col("t") === col("__term"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_hits"),
+        size(collect_set(col("t"))).cast("bigint").as("n_terms"))
+    base.select(col("__id") +: carry.map(col): _*)
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol) +: carry.map(col) :+
+        coalesce(col("n_hits"), lit(0L)).as("n_hits") :+
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"): _*)
+      .withColumn("keep", col("n_hits") <= maxHits)
+  }
+
   /** PMI collocation mining (Church & Hanks 1990, "Word Association
     * Norms, Mutual Information, and Lexicography") — the corpus
     * statistic behind multi-word-expression extraction and

@@ -104,6 +104,37 @@ class ContainmentSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------ //
+  // duplication matrices                                               //
+  // ------------------------------------------------------------------ //
+
+  test("crossSourceDupMatrix counts distinct shared contents per source pair") {
+    val corpus = Seq(
+      (1L, "shared doc one", "A"), (2L, "shared doc one", "B"),
+      (3L, "shared doc two", "A"), (4L, "shared doc two", "B"),
+      (5L, "shared doc two", "C"),
+      (6L, "only in a", "A"), (7L, "only in c", "C"),
+      // a WITHIN-source duplicate must not inflate anything
+      (8L, "shared doc one", "A"))
+      .toDF("id", "text", "src")
+    val out = Dedup.crossSourceDupMatrix(corpus, "text", "src")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)))
+  }
+
+  test("crossSourceNearDupMatrix surfaces near-dup (not just exact) sharing") {
+    val base = (1 to 40).map(i => s"n$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base, "A"),
+      (2L, base + " tailword", "B"),   // near-dup of 1, different source
+      (3L, (100 to 140).map(i => s"m$i").mkString(" "), "C"))
+      .toDF("id", "text", "src")
+    val out = Dedup.crossSourceNearDupMatrix(corpus, "id", "text", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("A", "B")))
+  }
+
+  // ------------------------------------------------------------------ //
   // winnowMatches                                                      //
   // ------------------------------------------------------------------ //
 

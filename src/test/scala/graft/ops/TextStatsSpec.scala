@@ -155,6 +155,24 @@ class TextStatsSpec extends SparkSpec {
     assert(got(5) == ((6L, true, true, true, true, false, false)))
   }
 
+  test("blocklistGate: hand-computed hits, case-insensitive, zero-hit docs kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "BAD words bad words"),
+      (3L, "one Bad apple"),
+      (4L, "")).toDF("id", "text")
+    val out = TextStats.blocklistGate(docs, "id", "text",
+        terms = Seq("bad", "evil"), maxHits = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, true),
+      (2L, 2L, 1L, false),   // "BAD" + "bad" → 2 hits, 1 distinct term
+      (3L, 1L, 1L, true),
+      (4L, 0L, 0L, true)))
+  }
+
   test("pmiCollocations: an exclusive pair outranks a promiscuous word's pairs") {
     import spark.implicits._
     // "strong glue" only ever occur together; "of" pairs with everything
