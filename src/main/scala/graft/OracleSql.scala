@@ -434,6 +434,7 @@ object OracleSql {
     "q129_winnow_matches" -> Gen.winnowMatchesSql,
     "q130_blocklist_gate" -> Gen.blocklistGateSql,
     "q131_cross_source_dups" -> Gen.crossSourceDupsSql,
+    "q132_bpe_coverage" -> Gen.bpeCoverageSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -608,6 +609,25 @@ object OracleSql {
         |SELECT d.doc_id, d.lang, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+    /** Twin of q132_bpe_coverage: the q113 dictionary CTEs, grouped
+      * by lang with the same OOV / fertility integer arithmetic.
+      */
+    def bpeCoverageSql: String =
+      bpeCtes(6, 20) + s""",
+        |dict AS (SELECT word,
+        |  CAST(len(string_split(r, ' ')) AS BIGINT) AS n_symbols FROM w6),
+        |tok AS (SELECT lang, unnest(${tokensE("text")}) AS word FROM documents),
+        |agg AS (SELECT t.lang,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(CASE WHEN d.n_symbols IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_dict,
+        |  CAST(SUM(COALESCE(d.n_symbols, len(t.word))) AS BIGINT) AS n_sym
+        |  FROM tok t LEFT JOIN dict d USING (word) GROUP BY t.lang)
+        |SELECT lang, n_words, n_in_dict,
+        |  CAST((1000 * (n_words - n_in_dict)) // n_words AS BIGINT) AS oov_x1000,
+        |  CAST((1000 * n_sym) // n_words AS BIGINT) AS fert_x1000
+        |FROM agg ORDER BY lang""".stripMargin
 
     /** Twin of q114_nb_classifier: identical class/token/vocab counts
       * over the 80% hold-in, the IDENTICAL generated Mitchell-log CASE

@@ -2085,6 +2085,19 @@ object Queries {
         "text", "source")
       .orderBy("src_a", "src_b")
 
+  /** Tokenizer coverage / fertility by language
+    * ([[graft.ops.Bpe.coverageReport]]): OOV rate and BPE symbols
+    * per word under the q112-trained model — the
+    * per-slice-tokenizer-health check.
+    */
+  val q132_bpe_coverage: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 6, topWords = 20)
+    graft.ops.Bpe.coverageReport(docs, "text", merges,
+        topWords = 20, groupCol = "lang")
+      .orderBy("lang")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2217,5 +2230,6 @@ object Queries {
     "q128_cdc_chunks" -> q128_cdc_chunks,
     "q129_winnow_matches" -> q129_winnow_matches,
     "q130_blocklist_gate" -> q130_blocklist_gate,
-    "q131_cross_source_dups" -> q131_cross_source_dups)
+    "q131_cross_source_dups" -> q131_cross_source_dups,
+    "q132_bpe_coverage" -> q132_bpe_coverage)
 }

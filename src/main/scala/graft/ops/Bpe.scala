@@ -167,4 +167,36 @@ object Bpe {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens") :+
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"): _*)
   }
+
+  /** Tokenizer coverage / fertility report — the per-slice health
+    * check before a tokenizer ships: by `groupCol` (language, source),
+    * how many word occurrences the trained dictionary covers
+    * (`oov_x1000` = out-of-dictionary rate per mille — OOV words pay
+    * the char-fallback) and the fertility `fert_x1000` = BPE symbols
+    * per word ×1000 (the compression proxy; a slice whose fertility
+    * is 2× the corpus average is being tokenized badly and will eat
+    * the training budget). Integer outputs only.
+    *
+    * Scale shape: identical to [[tokenCounts]] — broadcast dictionary
+    * join over the exploded token stream, one map-side-partial
+    * aggregation on the bounded group key.
+    */
+  def coverageReport(docs: DataFrame, textCol: String,
+                     merges: Seq[BpeMerge], topWords: Int = 1000,
+                     groupCol: String = "lang"): DataFrame = {
+    val dict = segmentWords(docs, textCol, merges, topWords)
+      .select(col("word"), col("n_symbols"))
+    docs.select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+      .withColumn("n_chars", length(col("word")).cast("bigint"))
+      .join(broadcast(dict), Seq("word"), "left")
+      .withColumn("in_dict", col("n_symbols").isNotNull.cast("long"))
+      .withColumn("n_sym", coalesce(col("n_symbols"), col("n_chars")))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_words"), sum("in_dict").as("n_in_dict"),
+        sum("n_sym").as("n_sym"))
+      .select(col("g").as(groupCol), col("n_words"), col("n_in_dict"),
+        expr("(1000 * (n_words - n_in_dict)) div n_words").as("oov_x1000"),
+        expr("(1000 * n_sym) div n_words").as("fert_x1000"))
+  }
 }

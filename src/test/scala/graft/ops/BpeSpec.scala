@@ -106,4 +106,23 @@ class BpeSpec extends SparkSpec {
     // doc 2: "zzz" is off-dictionary -> 3 chars = 3 symbols.
     assert(got.toSeq == Seq((1L, 2L, 2L), (2L, 2L, 4L), (3L, 0L, 0L)))
   }
+
+  test("coverageReport: OOV rate and fertility per group, hand-computed") {
+    import spark.implicits._
+    // "aa" dominates and merges to one symbol; "zz" never enters the
+    // 1-word dictionary
+    val docs = Seq(
+      ("g1", "aa aa aa aa"),      // 4 words, all in dict
+      ("g2", "aa zz zz zz"))      // 1 in dict, 3 OOV (2 chars each)
+      .toDF("lang", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 2, topWords = 1)
+    val out = Bpe.coverageReport(docs, "text", merges, topWords = 1, "lang")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // g1: 4 words, 4 in dict, oov 0; "aa" merges a+a → 1 symbol → fert 1000
+    // g2: 4 words, 1 in dict, oov 750; symbols = 1 + 3×2 = 7 → 1750
+    assert(out.toSeq === Seq(
+      ("g1", 4L, 4L, 0L, 1000L),
+      ("g2", 4L, 1L, 750L, 1750L)))
+  }
 }
