@@ -65,7 +65,13 @@ object PlanAudit {
     "q123_ann_recall",
     // ONE-row total-bigram count N cross-joined into the PMI
     // projection — broadcast scalar by design
-    "q124_pmi_collocations")
+    "q124_pmi_collocations",
+    // ONE-row row total cross-joined into the ≤k top-key rows for
+    // the per-mille shares — broadcast scalar by design
+    "q126_skew_report",
+    // G-row centroid table under an inequality self-join — the
+    // q93/q104 pairs-of-groups shape, broadcast by design
+    "q127_centroid_drift")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
