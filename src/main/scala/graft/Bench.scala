@@ -195,7 +195,8 @@ object Bench {
       "q120_dsir_scores", "q121_containment", "q122_budget_select",
       "q123_ann_recall", "q124_pmi_collocations", "q125_fuzzy_names",
       "q126_skew_report", "q127_centroid_drift", "q128_cdc_chunks", "q129_winnow_matches",
-      "q130_blocklist_gate", "q131_cross_source_dups", "q132_bpe_coverage")
+      "q130_blocklist_gate", "q131_cross_source_dups", "q132_bpe_coverage",
+      "q133_budget_by_lang", "q134_hard_negatives")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

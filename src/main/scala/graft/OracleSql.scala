@@ -435,6 +435,8 @@ object OracleSql {
     "q130_blocklist_gate" -> Gen.blocklistGateSql,
     "q131_cross_source_dups" -> Gen.crossSourceDupsSql,
     "q132_bpe_coverage" -> Gen.bpeCoverageSql,
+    "q133_budget_by_lang" -> Gen.budgetByLangSql,
+    "q134_hard_negatives" -> Gen.hardNegativesSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -913,6 +915,27 @@ object OracleSql {
 
     def dsirScoresSql: String =
       dsirCtes + "\nSELECT doc_id, lang, n_tokens, dsir_e8 FROM ds ORDER BY doc_id"
+
+    /** Twin of q133_budget_by_lang: the q122 twin partitioned by
+      * lang, per-group cut rows, same greedy-whole-buckets rule.
+      */
+    def budgetByLangSql: String =
+      qualityCtes(", lang") + s""",
+        |sd AS (SELECT doc_id, lang, n_tokens,
+        |         CAST(floor(quality * 1000) AS BIGINT) AS score FROM q),
+        |bkt AS (SELECT lang, score, CAST(sum(n_tokens) AS BIGINT) AS bt
+        |        FROM sd GROUP BY lang, score),
+        |cm AS (SELECT lang, score, CAST(SUM(bt) OVER (PARTITION BY lang
+        |          ORDER BY score DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum FROM bkt),
+        |k AS (SELECT lang, CAST(min(score) AS BIGINT) AS cut_score,
+        |        CAST(max(cum) AS BIGINT) AS tokens_used
+        |      FROM cm WHERE cum <= 2000 GROUP BY lang)
+        |SELECT sd.doc_id, sd.lang, sd.score, sd.n_tokens,
+        |  k.cut_score, k.tokens_used
+        |FROM sd JOIN k ON k.lang = sd.lang AND sd.score >= k.cut_score
+        |ORDER BY sd.doc_id""".stripMargin
 
     /** Twin of q124_pmi_collocations: same bigram counts (2-shingle
       * strings), same self-marginals, the IDENTICAL Mitchell CASE
@@ -1599,6 +1622,23 @@ object OracleSql {
          |SELECT query_id, id, round(sim, 4) AS sim, "rank" FROM ranked
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
     }
+
+    /** Twin of q134_hard_negatives: q28's cosine ranking with the
+      * wrong-label filter and a 5-query set.
+      */
+    def hardNegativesSql: String =
+      s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |             label AS lbl FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         |        label AS qlbl FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, c.id, ${cosineE("c.v", "q.qv")} AS sim
+         |  FROM c CROSS JOIN q WHERE c.lbl <> q.qlbl),
+         |ranked AS (SELECT query_id, id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id)
+         |    AS "rank"
+         |  FROM scored)
+         |SELECT query_id, id, round(sim, 4) AS sim, "rank" FROM ranked
+         |WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin
 
     /** Twin of q123_ann_recall: the q79 IVF pipeline (shared
       * ivfCellCtes) vs a brute-force ranking over the same queries,

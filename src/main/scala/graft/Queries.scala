@@ -2098,6 +2098,33 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Per-language token budgets ([[graft.ops.Mixture.budgetSelectBy]]):
+    * every language gets its own 2000-token quota filled best-first —
+    * the balanced-multilingual-mixture gate (q122's global pot,
+    * keyed).
+    */
+  val q133_budget_by_lang: Q = (s, d) => {
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      floor(TextFns.qualityScore(col("text")) * 1000).cast("long").as("score"),
+      TextFns.tokenCount(col("text")).as("n_tokens"))
+    Mixture.budgetSelectBy(scored, "lang", "doc_id", "score", "n_tokens",
+        budgetPerGroup = 2000L)
+      .orderBy("doc_id")
+  }
+
+  /** Hard-negative mining ([[graft.sim.Similarity.hardNegatives]],
+    * DPR-style): per query, the top-3 most-similar corpus vectors
+    * with a DIFFERENT label — the contrastive-training pair
+    * generator.
+    */
+  val q134_hard_negatives: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+        e.where(col("vec_id") < 5), "vec_id", "embedding", "label", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2231,5 +2258,7 @@ object Queries {
     "q129_winnow_matches" -> q129_winnow_matches,
     "q130_blocklist_gate" -> q130_blocklist_gate,
     "q131_cross_source_dups" -> q131_cross_source_dups,
-    "q132_bpe_coverage" -> q132_bpe_coverage)
+    "q132_bpe_coverage" -> q132_bpe_coverage,
+    "q133_budget_by_lang" -> q133_budget_by_lang,
+    "q134_hard_negatives" -> q134_hard_negatives)
 }

@@ -158,4 +158,33 @@ object Mixture {
       .select(col(idCol) +: carry.map(col) :+ col(scoreCol) :+
         col(tokensCol) :+ col("cut_score") :+ col("tokens_used"): _*)
   }
+
+  /** Keyed [[budgetSelect]]: each `groupCol` value gets its OWN token
+    * budget — "2 M tokens of every language", the balanced-mixture
+    * shape (per-group quotas, not one global pot). Same
+    * greedy-whole-buckets semantics per group; the cumulative window
+    * partitions by group over the bounded (group × score) bucket
+    * table, and the cut table (one row per group) joins back
+    * broadcast. Output adds the group's `cut_score` / `tokens_used`.
+    */
+  def budgetSelectBy(scored: DataFrame, groupCol: String, idCol: String,
+                     scoreCol: String, tokensCol: String,
+                     budgetPerGroup: Long,
+                     carry: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = scored.groupBy(groupCol, scoreCol)
+      .agg(sum(tokensCol).as("__bt"))
+    val cum = buckets.withColumn("__cum",
+      sum("__bt").over(Window.partitionBy(groupCol).orderBy(desc(scoreCol))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val cut = cum.where(col("__cum") <= budgetPerGroup)
+      .groupBy(groupCol)
+      .agg(min(scoreCol).as("cut_score"), max("__cum").as("tokens_used"))
+    scored.join(broadcast(cut.withColumnRenamed(groupCol, "__g")),
+        scored(groupCol) === col("__g") &&
+          scored(scoreCol) >= col("cut_score"))
+      .select(col(idCol) +: carry.map(col) :+ col(groupCol) :+
+        col(scoreCol) :+ col(tokensCol) :+ col("cut_score") :+
+        col("tokens_used"): _*)
+  }
 }

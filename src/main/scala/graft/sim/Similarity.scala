@@ -570,6 +570,36 @@ object Similarity {
         col("nrm2_a"), col("nrm2_b"))
   }
 
+  /** Hard-negative mining — the contrastive-training data generator
+    * (e.g. DPR, Karpukhin et al. 2020): for each query, the corpus
+    * vectors MOST similar to it that carry a DIFFERENT label. Easy
+    * negatives (random) teach a retriever nothing; the near-miss
+    * with the wrong label is the gradient that matters.
+    *
+    * Returns (query_id, id, sim, rank) — the top `k` wrong-label
+    * neighbors per query, cosine rounded to 4, rank 1 = hardest.
+    *
+    * Scale shape: the query set broadcasts (training batches are
+    * small); label mismatch filters BEFORE scoring; per-query top-k
+    * is the bounded-heap aggregate. Swap the scored cross join for
+    * [[lshTopK]]/[[ivfTopK]] candidates at corpus scale — the
+    * label-filter + heap shape is unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, qIdCol: String,
+                    qVecCol: String, qLabelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
+      col(labelCol).as("lbl"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      toDouble(col(qVecCol)).as("qv"), col(qLabelCol).as("qlbl"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("lbl") =!= col("qlbl"))
+      .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+    topKRanked(scored, k)
+      .select(col("query_id"), col("id"), round(col("sim"), 4).as("sim"),
+        col("rank"))
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val hits = ann.select(col("query_id"), col("id"))
       .join(exact.select(col("query_id"), col("id")), Seq("query_id", "id"))

@@ -108,6 +108,30 @@ class MixtureSpec extends SparkSpec {
     assert(out.head.getLong(4) === 30L)
   }
 
+  test("budgetSelectBy: each group ≡ the unkeyed select on its slice") {
+    val df = ((1L to 40L).map(i => (i, "g" + (i % 2), i % 5, 10L)))
+      .toDF("id", "g", "score", "toks")
+    val keyed = Mixture.budgetSelectBy(df, "g", "id", "score", "toks", 90L)
+    Seq("g0", "g1").foreach { g =>
+      val slice = Mixture.budgetSelect(df.where(col("g") === g),
+          "id", "score", "toks", 90L)
+        .select("id", "score", "toks", "cut_score", "tokens_used")
+        .collect().map(_.toString).sorted.toSeq
+      val grp = keyed.where(col("g") === g)
+        .select("id", "score", "toks", "cut_score", "tokens_used")
+        .collect().map(_.toString).sorted.toSeq
+      assert(grp === slice, s"group $g")
+    }
+  }
+
+  test("budgetSelectBy: a group whose best bucket exceeds the budget selects nothing") {
+    val df = Seq((1L, "a", 5L, 100L), (2L, "b", 5L, 10L))
+      .toDF("id", "g", "score", "toks")
+    val out = Mixture.budgetSelectBy(df, "g", "id", "score", "toks", 50L)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(2L))
+  }
+
   test("budgetSelect is partition-invariant") {
     val df = scoredDocs((1L to 100L).map(i => (i, i % 7, 5L)): _*)
     val a = Mixture.budgetSelect(df, "id", "score", "toks", 200L)

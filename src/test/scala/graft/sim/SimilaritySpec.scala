@@ -280,6 +280,28 @@ class SimilaritySpec extends SparkSpec {
     assert(a.length === 3)
   }
 
+  test("hardNegatives never returns the query's own label and ranks hardest first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val e = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()), (i % 4).toInt))
+      .toDF("id", "v", "lbl")
+    val out = Similarity.hardNegatives(e, "id", "v", "lbl",
+        e.where(col("id") < 4), "id", "v", "lbl", k = 5)
+      .collect()
+    assert(out.length === 20)
+    val lblOf = e.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    out.foreach { r =>
+      assert(lblOf(r.getLong(1)) !== lblOf(r.getLong(0)),
+        s"negative ${r.getLong(1)} shares the query's label")
+    }
+    // ranks descend in similarity per query
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("recallAtK of a method against itself is 1000 everywhere") {
     val rnd = new scala.util.Random(7)
     val e = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
