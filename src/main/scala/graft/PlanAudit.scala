@@ -71,7 +71,10 @@ object PlanAudit {
     "q126_skew_report",
     // G-row centroid table under an inequality self-join — the
     // q93/q104 pairs-of-groups shape, broadcast by design
-    "q127_centroid_drift")
+    "q127_centroid_drift",
+    // 5-row query set cross-joined into the corpus scan with a
+    // label-mismatch filter — q28's single-query shape
+    "q134_hard_negatives")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
