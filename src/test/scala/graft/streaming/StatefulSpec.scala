@@ -87,6 +87,40 @@ class StatefulSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("streaming DSIR training: complete-mode count aggregation ≡ batch train") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dsir
+    import graft.functions.{HashFns, TextFns}
+    // the train aggregation is a plain groupBy-sum, so Structured
+    // Streaming maintains the count table NATIVELY in complete mode —
+    // the "train on the live stream" half of the profile-store story
+    val stream = MemoryStream[(Long, String, Boolean)]
+    val src = stream.toDF().toDF("doc_id", "text", "is_t")
+    val counts = src
+      .select(explode(TextFns.tokens(col("text"))).as("t"),
+        col("is_t").cast("long").as("is_t"))
+      .select((HashFns.hash61(col("t")) % 32).as("b"), col("is_t"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("c_r"), sum("is_t").as("c_t"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("dsir_counts")
+      .option("checkpointLocation", tmpDir()).start()
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"t${i % 9} r${i % 5} t${i % 7}", i % 3 == 0))
+    stream.addData(docs.take(15): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_counts")
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = Dsir.train(docs.toDF("doc_id", "text", "is_t"),
+        "text", col("is_t"), numBuckets = 32)
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("foreachBatch NB classification: a pre-trained model scores a doc stream ≡ batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.NaiveBayes
