@@ -807,6 +807,8 @@ object Dedup {
                        shingleWidth: Int = 3, maxDf: Int = 20,
                        minContX1000: Long = 300,
                        minInter: Long = 3): DataFrame = {
+    require(shingleWidth >= 1, s"shingleWidth=$shingleWidth must be >= 1")
+    require(maxDf >= 2, s"maxDf=$maxDf must be >= 2 (pairs need two docs)")
     val sh = df.select(col(idCol).as("id"),
         explode(TextFns.shingles(col(textCol), shingleWidth)).as("s"))
       .select(col("id"), HashFns.hash61(col("s")).as("x"))
@@ -853,6 +855,8 @@ object Dedup {
     */
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
                     boundaryMod: Int = 16): DataFrame = {
+    require(boundaryMod >= 2, s"boundaryMod=$boundaryMod must be >= 2 " +
+      "(1 would make every token a boundary)")
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"),
       TextFns.tokens(col(textCol)).as("w"))
@@ -913,6 +917,8 @@ object Dedup {
   def winnowMatches(df: DataFrame, idCol: String, textCol: String,
                     shingleWidth: Int = 3, window: Int = 4,
                     maxDf: Int = 20, minShared: Long = 2): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(maxDf >= 2, s"maxDf=$maxDf must be >= 2 (pairs need two docs)")
     import org.apache.spark.sql.expressions.Window
     val grams = df.select(col(idCol).as("id"),
         posexplode(TextFns.shingles(col(textCol), shingleWidth)).as(Seq("pos", "s")))
@@ -1016,6 +1022,8 @@ object Dedup {
     */
   def fuzzyValueMatches(df: DataFrame, strCol: String, maxDist: Int = 2,
                         gramLen: Int = 2, maxDf: Int = 1000): DataFrame = {
+    require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
+    require(gramLen >= 1, s"gramLen=$gramLen must be >= 1")
     val names = df.select(lower(trim(col(strCol))).as("s"))
       .where(length(col("s")) > 0).distinct()
     val grams = names

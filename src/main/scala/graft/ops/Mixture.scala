@@ -146,6 +146,7 @@ object Mixture {
   def budgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
                    tokensCol: String, budget: Long,
                    carry: Seq[String] = Seq.empty): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be non-negative")
     import org.apache.spark.sql.expressions.Window
     val buckets = scored.groupBy(scoreCol)
       .agg(sum(tokensCol).as("__bt"))
@@ -171,6 +172,7 @@ object Mixture {
                      scoreCol: String, tokensCol: String,
                      budgetPerGroup: Long,
                      carry: Seq[String] = Seq.empty): DataFrame = {
+    require(budgetPerGroup >= 0, s"budgetPerGroup=$budgetPerGroup must be non-negative")
     import org.apache.spark.sql.expressions.Window
     val buckets = scored.groupBy(groupCol, scoreCol)
       .agg(sum(tokensCol).as("__bt"))
