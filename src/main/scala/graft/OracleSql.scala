@@ -437,6 +437,8 @@ object OracleSql {
     "q132_bpe_coverage" -> Gen.bpeCoverageSql,
     "q133_budget_by_lang" -> Gen.budgetByLangSql,
     "q134_hard_negatives" -> Gen.hardNegativesSql,
+    "q135_cluster_balance" -> Gen.clusterBalanceSql,
+    "q136_quantile_norm" -> Gen.quantileNormSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -915,6 +917,22 @@ object OracleSql {
 
     def dsirScoresSql: String =
       dsirCtes + "\nSELECT doc_id, lang, n_tokens, dsir_e8 FROM ds ORDER BY doc_id"
+
+    /** Twin of q136_quantile_norm: the q122 milli-quality, rank-based
+      * per-source percentile with the identical (score, id) tiebreak.
+      */
+    def quantileNormSql: String =
+      qualityCtes(", source") + s""",
+        |sd AS (SELECT doc_id, source,
+        |         CAST(floor(quality * 1000) AS BIGINT) AS score FROM q),
+        |rk AS (SELECT doc_id, source, score,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY score, doc_id) AS BIGINT) AS rk,
+        |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |       FROM sd)
+        |SELECT doc_id, source, score,
+        |  CAST(((rk - 1) * 1000) // greatest(n - 1, 1) AS BIGINT) AS pct_x1000
+        |FROM rk ORDER BY doc_id""".stripMargin
 
     /** Twin of q133_budget_by_lang: the q122 twin partitioned by
       * lang, per-group cut rows, same greedy-whole-buckets rule.
@@ -1602,6 +1620,21 @@ object OracleSql {
          |  SELECT e.id, f.cell, row_number() OVER (PARTITION BY e.id
          |    ORDER BY ${cosineE("e.v", "f.v")} DESC, f.cell DESC) AS rnk
          |  FROM e CROSS JOIN cfin f) t WHERE rnk = 1)""".stripMargin
+    }
+
+    /** Twin of q135_cluster_balance: the q79 cell chain + the q99
+      * uniform-priority rank (t = hash61 of the id string, weight 1)
+      * per cell, rn ≤ 10.
+      */
+    def clusterBalanceSql: String = {
+      val t = duckHash61("CAST(id AS VARCHAR)")
+      s"""$ivfCellCtes,
+         |rk AS (SELECT id, cell,
+         |         row_number() OVER (PARTITION BY cell
+         |           ORDER BY $t, id) AS rn
+         |       FROM casn)
+         |SELECT id AS vec_id, CAST(cell AS INT) AS cell
+         |FROM rk WHERE rn <= 10 ORDER BY vec_id""".stripMargin
     }
 
     def ivfAutoSql: String = {

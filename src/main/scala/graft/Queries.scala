@@ -2125,6 +2125,35 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Cluster-balanced sampling ([[graft.sim.Similarity.assignCells]]
+    * + [[graft.ops.Mixture.prioritySampleBy]]): assign every vector
+    * its k-means cell, then a uniform deterministic 10-per-cell
+    * sample — "don't let one dense topic eat the mixture"
+    * (DataComp-style cluster balancing).
+    */
+  val q135_cluster_balance: Q = (s, d) => {
+    val e = Scale.fanOut(Tables.embeddings(s, d))
+    val assigned = Similarity.assignCells(e, "vec_id", "embedding",
+      numCells = 4, iters = 1, sampleN = 64)
+    Mixture.prioritySampleBy(assigned, Seq("cell"), "id", lit(1L), 10)
+      .select(col("id").as("vec_id"), col("cell").cast("int").as("cell"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-source quantile normalization
+    * ([[graft.ops.TextStats.quantileNormalize]]): every doc's
+    * milli-quality mapped to its percentile within its own source —
+    * the cross-source-comparable score a uniform "top 30%" cut
+    * needs.
+    */
+  val q136_quantile_norm: Q = (s, d) => {
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      floor(TextFns.qualityScore(col("text")) * 1000).cast("long").as("score"))
+    TextStats.quantileNormalize(scored, "doc_id", "source", "score")
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2260,5 +2289,7 @@ object Queries {
     "q131_cross_source_dups" -> q131_cross_source_dups,
     "q132_bpe_coverage" -> q132_bpe_coverage,
     "q133_budget_by_lang" -> q133_budget_by_lang,
-    "q134_hard_negatives" -> q134_hard_negatives)
+    "q134_hard_negatives" -> q134_hard_negatives,
+    "q135_cluster_balance" -> q135_cluster_balance,
+    "q136_quantile_norm" -> q136_quantile_norm)
 }

@@ -342,6 +342,34 @@ object TextStats {
       .withColumn("keep", col("n_hits") <= maxHits)
   }
 
+  /** Per-group quantile normalization of an integer score — the fix
+    * for "source A's quality scores run hot": a raw threshold keeps
+    * 80% of A and 20% of B even when both are internally fine.
+    * Normalizing each doc to its PERCENTILE WITHIN ITS OWN GROUP
+    * (×1000, rank-based: (rank−1)·1000 div (n−1), ties broken by id
+    * for a total order) makes "keep the top 30% of every source"
+    * one uniform cut — the per-slice-threshold practice of CCNet's
+    * per-language perplexity buckets.
+    *
+    * Scale shape: ONE window pass partitioned by the group (never
+    * global; huge groups externally sort within their partition —
+    * the q05 window class) carrying (id, group, score) only.
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        scoreCol: String,
+                        carry: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+    df.select(col(idCol) +: carry.map(col) :+ col(groupCol) :+
+        col(scoreCol): _*)
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col(scoreCol), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("pct_x1000", expr(
+        "((__rk - 1) * 1000) div greatest(__n - 1, CAST(1 AS BIGINT))"))
+      .drop("__rk", "__n")
+  }
+
   /** PMI collocation mining (Church & Hanks 1990, "Word Association
     * Norms, Mutual Information, and Lexicography") — the corpus
     * statistic behind multi-word-expression extraction and

@@ -570,6 +570,25 @@ object Similarity {
         col("nrm2_a"), col("nrm2_b"))
   }
 
+  /** Public cell assignment — the clustering half of SemDeDup/IVF as
+    * a standalone operator: every corpus vector labeled with its
+    * nearest [[kMeansCentroids]] cell. The building block of
+    * cluster-balanced sampling ("don't let one dense topic eat the
+    * mixture") and cluster-sharded layouts.
+    *
+    * Scale shape: the centroids are a bounded driver-side model (the
+    * sampled-Lloyd class); assignment is one map-only scan through
+    * the native nearest-cell kernel.
+    */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  numCells: Int = 8, iters: Int = 2, sampleN: Int = 512,
+                  seed: Long = 42L): DataFrame = {
+    val cents = kMeansCentroids(corpus, idCol, vecCol, numCells, iters,
+      sampleN, seed)
+    corpus.select(col(idCol).as("id"),
+      nearestCell(toDouble(col(vecCol)), cents).as("cell"))
+  }
+
   /** Hard-negative mining — the contrastive-training data generator
     * (e.g. DPR, Karpukhin et al. 2020): for each query, the corpus
     * vectors MOST similar to it that carry a DIFFERENT label. Easy

@@ -155,6 +155,23 @@ class TextStatsSpec extends SparkSpec {
     assert(got(5) == ((6L, true, true, true, true, false, false)))
   }
 
+  test("quantileNormalize: hand-computed per-group percentiles") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L), (5L, "a", 50L),
+      (6L, "b", 500L), (7L, "b", 100L),
+      (8L, "c", 7L)).toDF("id", "g", "score")
+    val out = TextStats.quantileNormalize(df, "id", "g", "score")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // group a: ranks 1..5 → 0, 250, 500, 750, 1000
+    // group b: low score → 0, high → 1000 (raw 500 beats a's 50 — the
+    // normalization is exactly what makes them comparable)
+    // group c: single doc → 0
+    assert(out.toSeq === Seq((1L, 0L), (2L, 250L), (3L, 500L), (4L, 750L),
+      (5L, 1000L), (6L, 1000L), (7L, 0L), (8L, 0L)))
+  }
+
   test("blocklistGate: hand-computed hits, case-insensitive, zero-hit docs kept") {
     import spark.implicits._
     val docs = Seq(

@@ -302,6 +302,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("assignCells: every vector labeled with a cell in [0, k), deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val e = (0L until 100L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val a = Similarity.assignCells(e, "id", "v", numCells = 4, iters = 1,
+      sampleN = 32).orderBy("id").collect()
+    assert(a.length === 100)
+    a.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) < 4))
+    val b = Similarity.assignCells(e.repartition(9), "id", "v", 4, 1, 32)
+      .orderBy("id").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
   test("recallAtK of a method against itself is 1000 everywhere") {
     val rnd = new scala.util.Random(7)
     val e = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
