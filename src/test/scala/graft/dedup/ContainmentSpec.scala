@@ -156,6 +156,27 @@ class ContainmentSpec extends SparkSpec {
     assert(pairs.head._3 >= 2, s"expected ≥2 shared fingerprints, got ${pairs.head._3}")
   }
 
+  test("winnowing guarantee holds over 40 seeded random shared-run pairs") {
+    // property (seeded-sample house convention): for random docs with a
+    // planted shared run of exactly w+k-1 = 6 tokens, the pair ALWAYS
+    // shares >= 1 fingerprint — the Schleimer et al. §3 guarantee
+    val rnd = new scala.util.Random(20260814L)
+    val rows = (0 until 40).flatMap { i =>
+      val run = (0 until 6).map(_ => s"r${i}x${rnd.nextInt(1000)}").mkString(" ")
+      val da = (0 until 30).map(_ => s"a${i}x${rnd.nextInt(5000)}").mkString(" ")
+      val db = (0 until 30).map(_ => s"b${i}x${rnd.nextInt(5000)}").mkString(" ")
+      Seq((2L * i, da + " " + run), (2L * i + 1, run + " " + db))
+    }
+    val corpus = rows.toDF("id", "text")
+    val pairs = Dedup.winnowMatches(corpus, "id", "text",
+        shingleWidth = 3, window = 4, maxDf = 10, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 40).foreach { i =>
+      assert(pairs.contains((2L * i, 2L * i + 1)),
+        s"planted pair $i lost its guaranteed fingerprint")
+    }
+  }
+
   test("winnowing samples at roughly 2/(w+1) density and is partition-invariant") {
     val docs = (1L to 30L).map(i =>
       (i, (0 until 120).map(j => s"w${(i * 131 + j * 7) % 997}").mkString(" ")))
