@@ -439,6 +439,7 @@ object OracleSql {
     "q134_hard_negatives" -> Gen.hardNegativesSql,
     "q135_cluster_balance" -> Gen.clusterBalanceSql,
     "q136_quantile_norm" -> Gen.quantileNormSql,
+    "q137_fuzzy_decontam" -> Gen.fuzzyDecontamSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -533,6 +534,24 @@ object OracleSql {
     def minhashBucketsSql: String =
       minhashBucketCtes(3) +
         "\nSELECT id, band, band_hash FROM buckets ORDER BY id, band"
+
+    /** Twin of q137_fuzzy_decontam: ONE bucket chain over all docs
+      * (the q111 membership-predicate trick) — eval buckets are the
+      * % 13 = 0 slice, corpus rows the rest, joined on the bucket
+      * key.
+      */
+    def fuzzyDecontamSql: String =
+      minhashBucketCtes(2) + s""",
+        |eb AS (SELECT DISTINCT band, band_hash FROM buckets
+        |       WHERE id % 13 = 0),
+        |hits AS (SELECT b.id, CAST(count(*) AS BIGINT) AS n_shared
+        |         FROM buckets b JOIN eb USING (band, band_hash)
+        |         WHERE b.id % 13 <> 0 GROUP BY b.id)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(h.n_shared, 0) AS n_shared_buckets,
+        |  (COALESCE(h.n_shared, 0) > 0) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+        |WHERE d.doc_id % 13 <> 0 ORDER BY d.doc_id""".stripMargin
 
     /** Twin of q111_incremental_minhash: the same 32-sig/8-band bucket
       * chain over ALL docs; the incremental set is exactly the

@@ -2154,6 +2154,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy decontamination
+    * ([[graft.dedup.Dedup.nearDupContamination]]): corpus docs
+    * (doc_id % 13 ≠ 0) flagged when a MinHash band bucket collides
+    * with the eval split (doc_id % 13 = 0) — the near-dup-strength
+    * upgrade of q63's exact check.
+    */
+  val q137_fuzzy_decontam: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.nearDupContamination(
+        docs.where(col("doc_id") % 13 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 13 === 0), "doc_id", "text",
+        carry = Seq("lang"))
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2291,5 +2306,6 @@ object Queries {
     "q133_budget_by_lang" -> q133_budget_by_lang,
     "q134_hard_negatives" -> q134_hard_negatives,
     "q135_cluster_balance" -> q135_cluster_balance,
-    "q136_quantile_norm" -> q136_quantile_norm)
+    "q136_quantile_norm" -> q136_quantile_norm,
+    "q137_fuzzy_decontam" -> q137_fuzzy_decontam)
 }

@@ -943,6 +943,43 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Fuzzy benchmark decontamination — the near-dup-strength upgrade
+    * of the exact-shingle contamination check (GPT-3 App. C / PaLM
+    * report their decontamination at n-gram overlap; a paraphrased
+    * or lightly-edited eval item slips an EXACT filter): corpus docs
+    * are flagged when any of their MinHash LSH band buckets collides
+    * with an eval-set bucket — the same similarity level that would
+    * have merged the pair in near-dup dedup.
+    *
+    * Returns one row per corpus doc: (idCol, carry...,
+    * n_shared_buckets, contaminated) — counts, not silent drops (the
+    * audit-trail convention). Zero-collision docs pass with (0,
+    * false).
+    *
+    * Scale shape: the eval side reduces to DISTINCT (band,
+    * band_hash) 16-byte rows and BROADCASTS (eval sets are small by
+    * definition); the corpus side is its normal bucket table — one
+    * signature scan + a broadcast hash join + a doc-id aggregation.
+    * History/corpus size never inflates the broadcast.
+    */
+  def nearDupContamination(corpus: DataFrame, idCol: String, textCol: String,
+                           eval: DataFrame, evalIdCol: String,
+                           evalTextCol: String,
+                           numHashes: Int = 32, bands: Int = 8,
+                           shingleWidth: Int = 2,
+                           carry: Seq[String] = Seq.empty): DataFrame = {
+    val cb = minhashBuckets(corpus, idCol, textCol, numHashes, bands, shingleWidth)
+    val eb = minhashBuckets(eval, evalIdCol, evalTextCol, numHashes, bands, shingleWidth)
+      .select("band", "band_hash").distinct()
+    val hits = cb.join(broadcast(eb), Seq("band", "band_hash"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared_buckets"))
+    corpus.select(col(idCol).as("id") +: carry.map(col): _*)
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol) +: carry.map(col) :+
+        coalesce(col("n_shared_buckets"), lit(0L)).as("n_shared_buckets"): _*)
+      .withColumn("contaminated", col("n_shared_buckets") > 0)
+  }
+
   /** Cross-source duplication matrix — the mixture-design diagnostic
     * ("source X is 40% re-hosted copies of source Y"): for every
     * unordered source pair, how many DISTINCT document contents

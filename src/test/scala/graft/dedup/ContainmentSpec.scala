@@ -104,6 +104,44 @@ class ContainmentSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------ //
+  // fuzzy decontamination                                              //
+  // ------------------------------------------------------------------ //
+
+  test("nearDupContamination flags an edited copy of an eval item, passes the rest") {
+    val evalItem = (1 to 40).map(i => s"e$i").mkString(" ")
+    // light edit: one word changed — an exact full-content fingerprint
+    // would miss it; the band buckets still collide
+    val edited = evalItem.replace("e20", "EDITED")
+    val corpus = Seq(
+      (1L, edited),
+      (2L, (1 to 40).map(i => s"c$i").mkString(" ")))
+      .toDF("id", "text")
+    val eval = Seq((100L, evalItem)).toDF("id", "text")
+    val out = Dedup.nearDupContamination(corpus, "id", "text",
+        eval, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === 2)
+    assert(out(0)._3 === true, s"edited copy must flag: ${out(0)}")
+    assert(out(0)._2 > 0)
+    assert(out(1)._3 === false, s"unrelated doc must pass: ${out(1)}")
+  }
+
+  test("nearDupContamination is partition-invariant") {
+    val evalDf = Seq((1L, (1 to 30).map(i => s"q$i").mkString(" ")))
+      .toDF("id", "text")
+    val corpus = (10L to 40L).map(i =>
+      (i, (1 to 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("id", "text")
+    val a = Dedup.nearDupContamination(corpus, "id", "text", evalDf, "id", "text")
+      .orderBy("id").collect()
+    val b = Dedup.nearDupContamination(corpus.repartition(7), "id", "text",
+        evalDf, "id", "text")
+      .orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  // ------------------------------------------------------------------ //
   // duplication matrices                                               //
   // ------------------------------------------------------------------ //
 
