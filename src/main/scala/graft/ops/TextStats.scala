@@ -362,8 +362,10 @@ object TextStats {
     val w = Window.partitionBy(groupCol)
     df.select(col(idCol) +: carry.map(col) :+ col(groupCol) :+
         col(scoreCol): _*)
+      // row_number is INT — cast before the ×1000 or a >2.1M-row group
+      // overflows the product
       .withColumn("__rk", row_number().over(
-        w.orderBy(col(scoreCol), col(idCol))))
+        w.orderBy(col(scoreCol), col(idCol))).cast("bigint"))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("pct_x1000", expr(
         "((__rk - 1) * 1000) div greatest(__n - 1, CAST(1 AS BIGINT))"))
