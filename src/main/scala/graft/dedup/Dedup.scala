@@ -1073,7 +1073,11 @@ object Dedup {
     graft.ops.Sketch.pairIntersections(keep, "s", "g")
       .select(col("ia").as("name_a"), col("ib").as("name_b"))
       .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      // thresholded levenshtein abandons the DP row once maxDist is
+      // exceeded (returns -1) — same accepted set, less work per
+      // candidate pair
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("bigint"))
       .where(col("dist") >= 1 && col("dist") <= maxDist)
       .select("name_a", "name_b", "dist")
   }
