@@ -62,6 +62,21 @@ class DsirSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("merge is associative: (A⊕B)⊕C == A⊕(B⊕C) == train(A∪B∪C)") {
+    val a = docs((1L, "alpha beta", "t"), (2L, "gamma", "r"))
+    val b = docs((3L, "alpha delta", "r"))
+    val c = docs((4L, "beta beta epsilon", "t"))
+    val ta = Dsir.train(a, "text", col("dom") === "t", 16)
+    val tb = Dsir.train(b, "text", col("dom") === "t", 16)
+    val tc = Dsir.train(c, "text", col("dom") === "t", 16)
+    val left = Dsir.merge(Dsir.merge(ta, tb), tc).orderBy("b").collect()
+    val right = Dsir.merge(ta, Dsir.merge(tb, tc)).orderBy("b").collect()
+    val direct = Dsir.train(a.unionByName(b).unionByName(c), "text",
+      col("dom") === "t", 16).orderBy("b").collect()
+    assert(left.toSeq === direct.toSeq)
+    assert(right.toSeq === direct.toSeq)
+  }
+
   test("count table round-trips through parquet (profile-store lifecycle)") {
     val corpus = docs((1L, "alpha beta gamma", "t"), (2L, "delta beta zeta", "r"))
     val counts = Dsir.train(corpus, "text", col("dom") === "t", 32)

@@ -316,6 +316,22 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
+  test("recallAtK: LSH with full multi-probe reaches recall 1000 vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val e = (0L until 120L).map(i => (i, Seq.fill(12)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val qs = e.where(col("id") < 3)
+    val exact = Similarity.bruteForceTopK(e, "id", "v", qs, "id", "v", k = 4)
+    // numBits=4 with 4-bit multi-probe = every bucket probed ⇒ the LSH
+    // candidate set is the whole corpus ⇒ recall must be exactly 1000
+    val ann = Similarity.lshTopK(e, "id", "v", qs, "id", "v",
+      k = 4, dim = 12, numBits = 4, multiProbeBits = 4)
+    val out = Similarity.recallAtK(ann, exact, k = 4)
+    assert(out.count() === 3)
+    assert(out.where(col("recall_x1000") =!= 1000L).count() === 0)
+  }
+
   test("recallAtK of a method against itself is 1000 everywhere") {
     val rnd = new scala.util.Random(7)
     val e = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
