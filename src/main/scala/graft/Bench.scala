@@ -197,7 +197,8 @@ object Bench {
       "q126_skew_report", "q127_centroid_drift", "q128_cdc_chunks", "q129_winnow_matches",
       "q130_blocklist_gate", "q131_cross_source_dups", "q132_bpe_coverage",
       "q133_budget_by_lang", "q134_hard_negatives",
-      "q135_cluster_balance", "q136_quantile_norm", "q137_fuzzy_decontam")
+      "q135_cluster_balance", "q136_quantile_norm", "q137_fuzzy_decontam",
+      "q138_temperature_mix")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

@@ -440,6 +440,7 @@ object OracleSql {
     "q135_cluster_balance" -> Gen.clusterBalanceSql,
     "q136_quantile_norm" -> Gen.quantileNormSql,
     "q137_fuzzy_decontam" -> Gen.fuzzyDecontamSql,
+    "q138_temperature_mix" -> Gen.temperatureMixSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -952,6 +953,40 @@ object OracleSql {
         |SELECT doc_id, source, score,
         |  CAST(((rk - 1) * 1000) // greatest(n - 1, 1) AS BIGINT) AS pct_x1000
         |FROM rk ORDER BY doc_id""".stripMargin
+
+    /** Twin of q138_temperature_mix: same per-source token counts,
+      * the IDENTICAL generated Mitchell CASE (ratio form) and its
+      * IDENTICAL generated inverse (exp2E8 — both from the one
+      * emitter, `//` spelling), same normalization and hash filter.
+      */
+    def temperatureMixSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("__q", divOp = "//")
+      val exp2 = graft.ops.TextStats.exp2E8Sql(
+        s"((3 * delta_e8) // 10) + ${8 * shift}", divOp = "//")
+      val hk = duckHash61("'temp:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH wd AS (SELECT doc_id, source,
+         |        CAST(len(${tokensE("text")}) AS BIGINT) AS t FROM documents),
+         |c AS (SELECT source AS src, CAST(sum(t) AS BIGINT) AS n
+         |      FROM wd GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+         |s1 AS (SELECT src, n,
+         |         CAST(greatest((CAST(tot AS HUGEINT) * ${1L << shift})
+         |           // greatest(n, 1), CAST(${1L << shift} AS BIGINT))
+         |           AS BIGINT) AS __q
+         |       FROM c CROSS JOIN tt),
+         |s2 AS (SELECT src, n, ($m8 - ${8 * shift}) AS delta_e8 FROM s1),
+         |s3 AS (SELECT src, n, delta_e8, $exp2 AS d FROM s2),
+         |dm AS (SELECT max(d) AS dmax FROM s3),
+         |r AS (SELECT src, CAST((1000 * d) // greatest(dmax, 1) AS BIGINT)
+         |        AS rate_pm
+         |      FROM s3 CROSS JOIN dm)
+         |SELECT w.doc_id, w.source, r.rate_pm,
+         |  $hk % 1000 AS sample_key
+         |FROM wd w JOIN r ON r.src = w.source
+         |WHERE $hk % 1000 < r.rate_pm
+         |ORDER BY w.doc_id""".stripMargin
+    }
 
     /** Twin of q133_budget_by_lang: the q122 twin partitioned by
       * lang, per-group cut rows, same greedy-whole-buckets rule.

@@ -2169,6 +2169,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Temperature mixture sampling
+    * ([[graft.ops.Mixture.temperatureSample]], XLM-R §3.1): α = 0.7
+    * per-source downsampling rates from the integer Mitchell log AND
+    * its inverse (exp2E8) — big sources flattened toward p^α, the
+    * smallest source kept whole, applied as the deterministic hash
+    * filter.
+    */
+  val q138_temperature_mix: Q = (s, d) =>
+    Mixture.temperatureSample(Tables.documents(s, d), "doc_id", "source",
+        TextFns.tokenCount(col("text")), alphaNum = 7, alphaDen = 10)
+      .select(col("doc_id"), col("source"), col("rate_pm"), col("sample_key"))
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2307,5 +2320,6 @@ object Queries {
     "q134_hard_negatives" -> q134_hard_negatives,
     "q135_cluster_balance" -> q135_cluster_balance,
     "q136_quantile_norm" -> q136_quantile_norm,
-    "q137_fuzzy_decontam" -> q137_fuzzy_decontam)
+    "q137_fuzzy_decontam" -> q137_fuzzy_decontam,
+    "q138_temperature_mix" -> q138_temperature_mix)
 }

@@ -117,6 +117,67 @@ object Mixture {
       .drop("__tau")
   }
 
+  /** Temperature-based mixture rates (Conneau et al. 2020, XLM-R
+    * §3.1; also mBERT's exponential smoothing): resample sources so
+    * the mixture follows q_s ∝ p_s^α instead of the raw p_s — α < 1
+    * flattens the distribution, keeping big sources from drowning
+    * small ones without fully equalizing. As a FILTER the achievable
+    * reshape is the downsampling r_s ∝ p_s^(α−1), normalized so the
+    * smallest source keeps everything.
+    *
+    * Integer end to end (the Mitchell discipline, both directions):
+    * per source, Δ = m8((N << 20) div n_s) − 160 ≈ 8·log2(N/n_s)
+    * (the RATIO form — never an overflowable N << 20), then
+    * d_s = exp2E8(((αDen − αNum)·Δ) div αDen + 160) ≈
+    * 2^20·(N/n_s)^(1−α), and rate_pm(s) = (1000·d_s) div d_max —
+    * the 2^20 scale cancels in the ratio.
+    *
+    * Returns one row per source: (src, n, delta_e8, rate_pm).
+    *
+    * Scale shape: one count aggregation on the bounded source key, a
+    * broadcast total, and a broadcast max — the per-doc application
+    * ([[temperatureSample]]) is the usual map-only hash filter.
+    */
+  def temperatureRates(df: DataFrame, srcCol: String, tokens: Column,
+                       alphaNum: Int = 7, alphaDen: Int = 10): DataFrame = {
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
+      s"need 0 <= alpha = $alphaNum/$alphaDen <= 1")
+    val m8 = TextStats.mitchellE8Sql("__q")
+    val counts = df.select(col(srcCol).as("src"), tokens.as("__t"))
+      .groupBy("src").agg(sum("__t").as("n"))
+    val tot = counts.agg(sum("n").as("__tot"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("__q", expr(
+        s"greatest((CAST(__tot AS DECIMAL(38,0)) * ${1L << TextStats.LmShift}) " +
+          s"div greatest(n, CAST(1 AS BIGINT)), " +
+          s"CAST(${1L << TextStats.LmShift} AS BIGINT))"))
+      .withColumn("delta_e8", expr(s"$m8 - ${8 * TextStats.LmShift}"))
+      .withColumn("__d", expr(TextStats.exp2E8Sql(
+        s"(((${alphaDen - alphaNum}) * delta_e8) div $alphaDen) + " +
+          s"${8 * TextStats.LmShift}")))
+    val dmax = scored.agg(max("__d").as("__dmax"))
+    scored.crossJoin(broadcast(dmax))
+      .withColumn("rate_pm", expr(
+        "(1000 * __d) div greatest(__dmax, CAST(1 AS BIGINT))"))
+      .select("src", "n", "delta_e8", "rate_pm")
+  }
+
+  /** Apply [[temperatureRates]] as the deterministic hash filter —
+    * the same reproducible membership rule as [[sampleByRates]].
+    */
+  def temperatureSample(df: DataFrame, idCol: String, srcCol: String,
+                        tokens: Column, alphaNum: Int = 7,
+                        alphaDen: Int = 10,
+                        salt: String = "temp:"): DataFrame = {
+    val rates = temperatureRates(df, srcCol, tokens, alphaNum, alphaDen)
+      .select(col("src").as("__src"), col("rate_pm"))
+    df.join(broadcast(rates), df(srcCol) === col("__src"))
+      .withColumn("sample_key",
+        HashFns.hash61(concat(lit(salt), col(idCol).cast("string"))) % 1000)
+      .where(col("sample_key") < col("rate_pm"))
+      .drop("__src")
+  }
+
   /** Token-budget corpus selection — "take the best documents until
     * the training budget is spent", the final gate of a curation
     * pipeline, WITHOUT a global sort of the corpus:

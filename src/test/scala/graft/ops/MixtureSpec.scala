@@ -66,6 +66,61 @@ class MixtureSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------ //
+  // temperature sampling                                               //
+  // ------------------------------------------------------------------ //
+
+  test("exp2E8 inverts mitchellE8 within the linear-interpolation band") {
+    import graft.ops.TextStats
+    // both maps are monotone piecewise-linear; composing them must land
+    // within one interpolation step of the identity for q in [2^20, 2^40]
+    val qs = Seq(1L << 20, (1L << 20) + 12345, 1L << 25, (1L << 30) + 999983,
+      1L << 40, (3L << 33) + 7)
+    val df = qs.toDF("q")
+    val out = df.selectExpr(
+      "q", TextStats.exp2E8Sql(TextStats.mitchellE8Sql("q")) + " AS back")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { case (q, back) =>
+      val rel = math.abs(back - q).toDouble / q
+      assert(rel < 0.09, s"roundtrip q=$q back=$back rel=$rel")
+    }
+  }
+
+  test("temperatureRates: alpha=1 keeps everything; alpha=0 equalizes tokens") {
+    // source A has 64x the tokens of B
+    val df = ((1L to 640L).map(i => (i, "A", 10L)) ++
+      (1000L to 1009L).map(i => (i, "B", 10L))).toDF("id", "src", "t")
+    val r1 = Mixture.temperatureRates(df, "src", col("t"), 1, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(r1("A") === 1000L && r1("B") === 1000L, s"alpha=1 must not resample: $r1")
+    val r0 = Mixture.temperatureRates(df, "src", col("t"), 0, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(r0("B") === 1000L, "smallest source keeps everything")
+    // equal-token target: A's rate ≈ 1000/64 ≈ 15‰ (Mitchell-approx)
+    assert(r0("A") < 25 && r0("A") > 8, s"alpha=0 should equalize: $r0")
+    // and the default alpha=0.7 sits strictly between
+    val r7 = Mixture.temperatureRates(df, "src", col("t"), 7, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(r7("A") > r0("A") && r7("A") < 1000L, s"alpha=0.7 between: $r7")
+  }
+
+  test("temperatureSample is deterministic and keeps the planted rates") {
+    val df = ((1L to 2000L).map(i => (i, "big", 5L)) ++
+      (10000L to 10099L).map(i => (i, "small", 5L))).toDF("id", "src", "t")
+    val a = Mixture.temperatureSample(df, "id", "src", col("t"), 1, 2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Mixture.temperatureSample(df.repartition(13), "id", "src", col("t"), 1, 2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // small source survives whole; big source is thinned near its rate
+    assert(a.count(_ >= 10000L) === 100)
+    val keptBig = a.count(_ < 10000L)
+    val rate = Mixture.temperatureRates(df, "src", col("t"), 1, 2)
+      .where(col("src") === "big").collect().head.getLong(3)
+    assert(math.abs(keptBig - 2000.0 * rate / 1000) < 120,
+      s"kept $keptBig of 2000 at rate $rate‰")
+  }
+
+  // ------------------------------------------------------------------ //
   // budgetSelect                                                       //
   // ------------------------------------------------------------------ //
 
