@@ -441,6 +441,7 @@ object OracleSql {
     "q136_quantile_norm" -> Gen.quantileNormSql,
     "q137_fuzzy_decontam" -> Gen.fuzzyDecontamSql,
     "q138_temperature_mix" -> Gen.temperatureMixSql,
+    "q139_entity_clusters" -> Gen.entityClustersSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1387,6 +1388,27 @@ object OracleSql {
 
     def dedupClustersSql: String =
       clusterCtes + "\nSELECT id, cluster_id FROM labels ORDER BY id"
+
+    /** Twin of q139_entity_clusters: the q125 exact fuzzy pairs as
+      * edges, transitive closure via the q65 recursive-CTE pattern,
+      * least-name labels — over STRING ids.
+      */
+    def entityClustersSql: String =
+      s"""WITH RECURSIVE nm AS (SELECT DISTINCT lower(trim(p_name)) AS s
+         |           FROM part WHERE length(trim(p_name)) > 0),
+         |pairs AS (SELECT a.s AS id_a, b.s AS id_b
+         |  FROM nm a JOIN nm b ON a.s < b.s
+         |  WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |labels AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+         |           FROM reach GROUP BY a)
+         |SELECT id AS name, cluster_id AS canon FROM labels
+         |ORDER BY name""".stripMargin
 
     /** Twin of Dedup.leakageSafeSplit over q65's clusters: the split
       * bucket hashes the CLUSTER id (singletons: the doc id).

@@ -2182,6 +2182,21 @@ object Queries {
       .select(col("doc_id"), col("source"), col("rate_pm"), col("sample_key"))
       .orderBy("doc_id")
 
+  /** Entity clusters: connected components over the q125 fuzzy name
+    * pairs — each typo'd/variant name mapped to its canonical
+    * (lexicographic-min) cluster representative. The same
+    * large-star/small-star machinery as document near-dup clusters
+    * (q65), working over STRING ids.
+    */
+  val q139_entity_clusters: Q = (s, d) => {
+    val pairs = Dedup.fuzzyValueMatches(Tables.part(s, d), "p_name",
+        maxDist = 2, gramLen = 2, maxDf = 1000)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    Dedup.nearDupClusters(pairs)
+      .select(col("id").as("name"), col("cluster_id").as("canon"))
+      .orderBy("name")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2321,5 +2336,6 @@ object Queries {
     "q135_cluster_balance" -> q135_cluster_balance,
     "q136_quantile_norm" -> q136_quantile_norm,
     "q137_fuzzy_decontam" -> q137_fuzzy_decontam,
-    "q138_temperature_mix" -> q138_temperature_mix)
+    "q138_temperature_mix" -> q138_temperature_mix,
+    "q139_entity_clusters" -> q139_entity_clusters)
 }

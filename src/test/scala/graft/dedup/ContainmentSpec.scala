@@ -266,6 +266,20 @@ class ContainmentSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("fuzzy pairs chain into entity clusters over string ids (transitive)") {
+    // acme -> acme1 -> acme12 chain: each adjacent pair is within
+    // dist 2, the ends are dist 2 apart too; all must share a cluster
+    val values = Seq("acme", "acme1", "acme12", "zzz unrelated")
+      .map(Tuple1(_)).toDF("name")
+    val pairs = Dedup.fuzzyValueMatches(values, "name", 2, 2, 1000)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters.keySet === Set("acme", "acme1", "acme12"))
+    assert(clusters.values.toSet === Set("acme"),
+      s"all chain members must share the min-name canon: $clusters")
+  }
+
   test("fuzzyValueMatches normalizes case/whitespace and is partition-invariant") {
     val values = Seq("  Acme Corp ", "acme corp", "ACME CORPS").map(Tuple1(_))
       .toDF("name")
