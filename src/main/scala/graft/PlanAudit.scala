@@ -74,7 +74,10 @@ object PlanAudit {
     "q127_centroid_drift",
     // 5-row query set cross-joined into the corpus scan with a
     // label-mismatch filter — q28's single-query shape
-    "q134_hard_negatives")
+    "q134_hard_negatives",
+    // ONE-row token total and ONE-row d_max cross-joined into the
+    // 20-row per-source rate table — broadcast scalars by design
+    "q138_temperature_mix")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
