@@ -442,6 +442,7 @@ object OracleSql {
     "q137_fuzzy_decontam" -> Gen.fuzzyDecontamSql,
     "q138_temperature_mix" -> Gen.temperatureMixSql,
     "q139_entity_clusters" -> Gen.entityClustersSql,
+    "q140_price_outliers" -> Gen.priceOutliersSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1186,6 +1187,21 @@ object OracleSql {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM kk a JOIN kk b ON a.key = b.key AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
+    /** Twin of q140_price_outliers: quantile_cont ≡ Spark
+      * `percentile` (q55 parity), same two-stage median/MAD and the
+      * same 2·MAD comparison on identical doubles.
+      */
+    def priceOutliersSql: String =
+      s"""WITH m AS (SELECT p_type, quantile_cont(p_retailprice, 0.5) AS med
+         |           FROM part GROUP BY 1),
+         |st AS (SELECT p.p_type, min(m.med) AS med,
+         |         quantile_cont(abs(p.p_retailprice - m.med), 0.5) AS mad
+         |       FROM part p JOIN m USING (p_type) GROUP BY p.p_type)
+         |SELECT p.p_partkey, p.p_type, p.p_retailprice, st.med, st.mad,
+         |  (abs(p.p_retailprice - st.med) > 2 * st.mad) AS is_outlier
+         |FROM part p JOIN st USING (p_type)
+         |ORDER BY p.p_partkey""".stripMargin
 
     /** Twin of q126_skew_report: per-key counts, row_number ranking
       * (count DESC, key ASC — the TopK aggregate's exact order), and

@@ -2197,6 +2197,16 @@ object Queries {
       .orderBy("name")
   }
 
+  /** Robust MAD outlier flags ([[graft.ops.Profile.outlierFlags]],
+    * Hampel 1974): per part type, retail prices beyond 3 median
+    * absolute deviations — the breakdown-resistant data-quality
+    * gate.
+    */
+  val q140_price_outliers: Q = (s, d) =>
+    graft.ops.Profile.outlierFlags(Tables.part(s, d), "p_partkey",
+        "p_type", "p_retailprice", k = 2.0)
+      .orderBy("p_partkey")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2337,5 +2347,6 @@ object Queries {
     "q136_quantile_norm" -> q136_quantile_norm,
     "q137_fuzzy_decontam" -> q137_fuzzy_decontam,
     "q138_temperature_mix" -> q138_temperature_mix,
-    "q139_entity_clusters" -> q139_entity_clusters)
+    "q139_entity_clusters" -> q139_entity_clusters,
+    "q140_price_outliers" -> q140_price_outliers)
 }

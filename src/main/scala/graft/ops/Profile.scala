@@ -65,6 +65,39 @@ object Profile {
     * partition travel — never a global sort), and a broadcast
     * single-row total for the shares.
     */
+  /** Robust per-group outlier flags — the data-quality gate a price /
+    * metric column gets before aggregation trusts it: median/MAD
+    * (median absolute deviation) instead of mean/stddev, so the
+    * outliers being hunted cannot drag the threshold toward
+    * themselves (the classic breakdown-point argument; Hampel 1974).
+    * A row is flagged when |x − med| > k·MAD.
+    *
+    * Returns every input row as (idCol, groupCol, valueCol, med,
+    * mad, is_outlier). Exact-interpolation `percentile` on both
+    * engines (the q55-proven parity).
+    *
+    * Scale shape: two aggregations on the bounded group key (the
+    * second needs the first's medians — a broadcast join, groups are
+    * a dimension), then one broadcast stats join over the scan.
+    * Percentile state is per-group value-list — bounded by group
+    * cardinality of the VALUE domain at decimal-ish columns; swap in
+    * the histogram sketch when values are high-cardinality doubles
+    * at 100 TB.
+    */
+  def outlierFlags(df: DataFrame, idCol: String, groupCol: String,
+                   valueCol: String, k: Double = 3.0): DataFrame = {
+    val g = col(groupCol)
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val stats = df.join(broadcast(med), groupCol :: Nil)
+      .groupBy(groupCol)
+      .agg(min("med").as("med"),
+        expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    df.join(broadcast(stats), groupCol :: Nil)
+      .select(col(idCol), g, col(valueCol), col("med"), col("mad"),
+        (abs(col(valueCol) - col("med")) > lit(k) * col("mad")).as("is_outlier"))
+  }
+
   def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     import graft.plans.TopK
     val counts = df

@@ -37,6 +37,32 @@ class ProfileSpec extends SparkSpec {
     assert(rows("b")._5 == null && rows("b")._6 == null)
   }
 
+  test("outlierFlags: MAD resists the outlier that would drag a stddev gate") {
+    import spark.implicits._
+    // 9 well-behaved values + one wild outlier; mean/stddev would let
+    // the outlier inflate the threshold — median/MAD must not
+    val df = ((1L to 9L).map(i => (i, "g", 100.0 + i)) :+ (10L, "g", 100000.0))
+      .toDF("id", "g", "v")
+    val out = Profile.outlierFlags(df, "id", "g", "v", k = 3.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(10L) === true, "the wild value must flag")
+    (1L to 9L).foreach(i => assert(out(i) === false, s"row $i must pass"))
+  }
+
+  test("outlierFlags: constant group (MAD 0) flags only deviants; deterministic") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(7.0) :+ 8.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "c", v) }.toDF("id", "g", "v")
+    val out = Profile.outlierFlags(df, "id", "g", "v", 3.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    // med = 7, MAD = 0 → any deviation flags, equality does not
+    assert(out(5L) === true)
+    assert((0L to 4L).forall(!out(_)))
+    val rep = Profile.outlierFlags(df.repartition(3), "id", "g", "v", 3.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(rep === out)
+  }
+
   test("skewReport: hand-computed counts, shares, and rank order") {
     import spark.implicits._
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
