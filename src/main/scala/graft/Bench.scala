@@ -198,7 +198,7 @@ object Bench {
       "q130_blocklist_gate", "q131_cross_source_dups", "q132_bpe_coverage",
       "q133_budget_by_lang", "q134_hard_negatives",
       "q135_cluster_balance", "q136_quantile_norm", "q137_fuzzy_decontam",
-      "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers")
+      "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers", "q141_sessionization")
       .map(n => n -> trialsOf(n))
     val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
       .mkString("{", ",", "}")

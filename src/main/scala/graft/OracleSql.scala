@@ -443,6 +443,7 @@ object OracleSql {
     "q138_temperature_mix" -> Gen.temperatureMixSql,
     "q139_entity_clusters" -> Gen.entityClustersSql,
     "q140_price_outliers" -> Gen.priceOutliersSql,
+    "q141_sessionization" -> Gen.sessionizationSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1187,6 +1188,35 @@ object OracleSql {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM kk a JOIN kk b ON a.key = b.key AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
+    /** Twin of q141_sessionization: same lag/gap/running-sum session
+      * index on epoch seconds, same per-session aggregates (DECIMAL
+      * value sums, the decSum convention).
+      */
+    def sessionizationSql: String =
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |             value FROM events),
+         |l AS (SELECT event_id, user_id, ts, value,
+         |        lag(ts) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS prev
+         |      FROM e),
+         |f AS (SELECT event_id, user_id, ts, value,
+         |        CASE WHEN prev IS NULL OR
+         |          date_diff('second', prev, ts) > 600 THEN 1 ELSE 0 END AS nw
+         |      FROM l),
+         |sx AS (SELECT user_id, ts, value,
+         |         CAST(SUM(nw) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS session_idx
+         |       FROM f)
+         |SELECT user_id, session_idx,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min(ts) AS t_start, max(ts) AS t_end,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_sec
+         |FROM sx GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin
 
     /** Twin of q140_price_outliers: quantile_cont ≡ Spark
       * `percentile` (q55 parity), same two-stage median/MAD and the

@@ -2207,6 +2207,33 @@ object Queries {
         "p_type", "p_retailprice", k = 2.0)
       .orderBy("p_partkey")
 
+  /** Batch inactivity-gap sessionization — the batch mirror of
+    * [[graft.streaming.Stateful.sessionize]]'s semantics: a new
+    * session starts when a user's gap exceeds 10 minutes; per
+    * session, event count, span, and exact value sum. One per-user
+    * window pass (lag → gap flag → running session index) — never a
+    * global window; epoch-second arithmetic so the gap rule is
+    * engine-exact.
+    */
+  val q141_sessionization: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("__prev", lag("ts", 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > 600, 1L)
+        .otherwise(0L))
+      .withColumn("session_idx", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("t_start"), max("ts").as("t_end"),
+        decSum(col("value"), "(18,2)").as("total_value"))
+      .withColumn("span_sec",
+        unix_timestamp(col("t_end")) - unix_timestamp(col("t_start")))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2348,5 +2375,6 @@ object Queries {
     "q137_fuzzy_decontam" -> q137_fuzzy_decontam,
     "q138_temperature_mix" -> q138_temperature_mix,
     "q139_entity_clusters" -> q139_entity_clusters,
-    "q140_price_outliers" -> q140_price_outliers)
+    "q140_price_outliers" -> q140_price_outliers,
+    "q141_sessionization" -> q141_sessionization)
 }

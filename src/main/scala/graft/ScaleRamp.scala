@@ -110,7 +110,7 @@ object ScaleRamp {
       "q130_blocklist_gate", "q131_cross_source_dups", "q132_bpe_coverage",
       "q133_budget_by_lang", "q134_hard_negatives",
       "q135_cluster_balance", "q136_quantile_norm", "q137_fuzzy_decontam",
-      "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers")
+      "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers", "q141_sessionization")
     val rows = rampQueries.map { name =>
       val base = (1 to 2).map(_ => time(srcDir, name)).min
       val ramped = (1 to 2).map(_ => time(outDir, name)).min
