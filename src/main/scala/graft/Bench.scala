@@ -110,6 +110,34 @@ object Bench {
       .format("noop").option("checkpointLocation", ckpt).start(),
       deadlineSec, label = s"stateful/$rowsPerBatch")
 
+  /** Cumulative artifact: every field the final JSON line carries,
+    * initialized to sentinels and overwritten as phases complete.
+    * [[emit]] prints the WHOLE current state as one JSON line after
+    * every phase — the driver takes the last complete JSON line on
+    * stdout, so a SIGKILL during phase N leaves a valid artifact
+    * carrying phases 1..N-1 (BENCH_r11 was SIGKILLed mid-stateful and
+    * lost the already-measured headline + extended sections; r09/r10
+    * failed two other ways — the single end-of-run println was the
+    * common single point of failure).
+    */
+  private val artifact =
+    scala.collection.mutable.LinkedHashMap[String, String]()
+
+  private def emit(phase: String): Unit = {
+    artifact("phases_done") = "\"" + phase + "\""
+    // one synchronized println per emit: PrintStream.println of a
+    // single String is atomic, so Spark log interleaving cannot split
+    // the line
+    println(artifact.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}"))
+    System.out.flush()
+    System.err.println(s"[bench] phase=$phase done t=${System.currentTimeMillis / 1000}")
+  }
+
+  private def phaseStart(phase: String): Unit =
+    System.err.println(
+      s"[bench] phase=$phase start t=${System.currentTimeMillis / 1000} load=${loadavg().head}")
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,13 +166,14 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, load1)
     }
 
-    // Trial pair + contention retry: BENCH_r07 and r08 were both
-    // produced on a contended host (loadavg stamps proved it, but only
-    // post-hoc). A trial pair whose spread exceeds 3× is re-run once —
-    // external load is transient, so a third sample usually lands near
-    // the true time — and every trial carries the 1-min loadavg at its
-    // start, so the artifact is diagnosable per-trial, not just
-    // per-run. A 3-entry trials array IS the retry marker.
+    // Trial pair + contention retry (headline set): BENCH_r07 and r08
+    // were both produced on a contended host (loadavg stamps proved it,
+    // but only post-hoc). A trial pair whose spread exceeds 3× is
+    // re-run once — external load is transient, so a third sample
+    // usually lands near the true time — and every trial carries the
+    // 1-min loadavg at its start, so the artifact is diagnosable
+    // per-trial, not just per-run. A 3-entry trials array IS the retry
+    // marker.
     val nTrials = 2
     def trialsOf(name: String): Seq[(Double, Double)] = {
       val pair = (1 to nTrials).map(_ => run(name))
@@ -152,13 +181,17 @@ object Bench {
       if (ok.size == nTrials && ok.max / ok.min.max(1e-9) > 3.0) pair :+ run(name)
       else pair
     }
+    // Extended set gets ONE trial (66 queries × 2 trials was ~half the
+    // ~12-minute wall-clock that got BENCH_r11 SIGKILLed mid-run); the
+    // contention guard stays — a trial started under external load
+    // (1-min loadavg above half the worker threads) or a failed trial
+    // earns one retry, best-of. A 2-entry array IS the retry marker.
+    def extTrialsOf(name: String): Seq[(Double, Double)] = {
+      val first = run(name)
+      if (first._1 < 0 || first._2 > cpus.toInt / 2.0) Seq(first, run(name))
+      else Seq(first)
+    }
 
-    // warm-up: JVM/codegen/parquet-footer caches on a small query
-    try Queries.all("q01_scan_filter_project")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-
-    val results = headline.map(n => n -> trialsOf(n))
     def bestOf(ts: Seq[(Double, Double)]): Double = {
       val ok = ts.map(_._1).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
@@ -171,14 +204,10 @@ object Bench {
       rs.map { case (k, ts) =>
         "\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
       }.mkString("{", ",", "}")
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
-      .mkString("{", ",", "}")
-    val trialsJson = trialsJsonOf(results)
-    val total = results.map(r => bestOf(r._2)).filter(_ >= 0).sum
 
     // the round-7+ heavy operators, tracked OUTSIDE the headline total
     // so round-over-round totals stay comparable to earlier BENCH_r*
-    val extended = Seq("q76_knn_self", "q79_ivf_auto", "q80_dup_ngram_spans",
+    val extendedNames = Seq("q76_knn_self", "q79_ivf_auto", "q80_dup_ngram_spans",
       "q81_semdedup", "q82_shuffle_shards", "q83_dedup_cut",
       "q84_weighted_interleave", "q85_hll_distinct", "q86_hll_merge",
       "q87_bloom_contamination", "q88_cms_topk", "q89_bloom_flag",
@@ -199,11 +228,64 @@ object Bench {
       "q133_budget_by_lang", "q134_hard_negatives",
       "q135_cluster_balance", "q136_quantile_norm", "q137_fuzzy_decontam",
       "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers", "q141_sessionization")
-      .map(n => n -> trialsOf(n))
-    val extJson = extended.map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
-      .mkString("{", ",", "}")
-    val trialLoadJson = loadJsonOf(results ++ extended)
 
+    // sentinel-initialize EVERY artifact field up front so the first
+    // emit — and any emit a kill interrupts after — is a complete,
+    // parseable JSON object with -1 for whatever has not run yet
+    artifact("metric") = "\"total\""
+    artifact("value") = "-1"
+    artifact("unit") = "\"sec\""
+    artifact("queries") =
+      headline.map(n => "\"" + n + "\":-1").mkString("{", ",", "}")
+    artifact("trials") = "{}"
+    artifact("extended") =
+      extendedNames.map(n => "\"" + n + "\":-1").mkString("{", ",", "}")
+    artifact("pipeline_trials_sec") = "[]"
+    artifact("pipeline_rec_per_sec") = "-1"
+    artifact("pipeline_rows") = "-1"
+    artifact("streaming_rec_per_sec") = "-1"
+    artifact("streaming_rows") = "-1"
+    artifact("streaming_sec") = "-1"
+    artifact("streaming_by_batch_size") = "{}"
+    artifact("stateful_rec_per_sec") = "-1"
+    artifact("stateful_rows") = "-1"
+    artifact("stateful_sec") = "-1"
+    artifact("stateful_by_batch_size") = "{}"
+    artifact("stateful_rocksdb_by_batch_size") =
+      "{\"1000000\":-1,\"2000000\":-1}"
+    artifact("trial_loadavg") = "{}"
+    artifact("loadavg_start") = "[" + loadStart.mkString(",") + "]"
+    artifact("loadavg_end") = "[" + loadStart.mkString(",") + "]"
+    artifact("sf") = "\"" + sfDir + "\""
+    artifact("phases_done") = "\"none\""
+
+    phaseStart("headline")
+    // warm-up: JVM/codegen/parquet-footer caches on a small query
+    try Queries.all("q01_scan_filter_project")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val results = headline.map(n => n -> trialsOf(n))
+    val total = results.map(r => bestOf(r._2)).filter(_ >= 0).sum
+    artifact("value") = total.toString
+    artifact("queries") = results
+      .map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
+      .mkString("{", ",", "}")
+    artifact("trials") = trialsJsonOf(results)
+    artifact("trial_loadavg") = loadJsonOf(results)
+    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
+    emit("headline")
+
+    phaseStart("extended")
+    val extended = extendedNames.map(n => n -> extTrialsOf(n))
+    artifact("extended") = extended
+      .map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
+      .mkString("{", ",", "}")
+    artifact("trial_loadavg") = loadJsonOf(results ++ extended)
+    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
+    emit("extended")
+
+    phaseStart("pipeline")
     // kpipe-comparable figure: records/s through the decode→operators→
     // sink pipeline (BASELINE.md reports the reference's consumer in
     // rec/s). Same decode→transform→sink shape as q37, but unordered
@@ -263,7 +345,13 @@ object Bench {
       else pipelineBase
     val pipelineSec = pipelineTrials.min
     val recPerSec = if (pipelineSec > 0) eventRows / pipelineSec else 0.0
+    artifact("pipeline_trials_sec") = "[" + pipelineTrials.mkString(",") + "]"
+    artifact("pipeline_rec_per_sec") = recPerSec.round.toString
+    artifact("pipeline_rows") = eventRows.toString
+    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
+    emit("pipeline")
 
+    phaseStart("streaming")
     // streaming micro-batch throughput — BASELINE.md names "micro-batch
     // streaming throughput for the Kafka path" as the kpipe-comparable
     // streaming figure. Same decode→transform→sink pipeline, running as
@@ -302,7 +390,11 @@ object Bench {
         .format("noop").option("checkpointLocation", ckpt).start(),
         label = s"stateless/$rowsPerBatch")
     }
-    val streamSweep = Seq(250000L, 1000000L, 2000000L).map { n =>
+    // two sizes, not three: the 250k cell prices per-trigger overhead,
+    // the 2M cell is where throughput peaks (r10/r11 sweep shape) — the
+    // middle cell never changed the headline and cost ~1 min of the
+    // wall-clock budget the SIGKILL hardening is trying to reclaim
+    val streamSweep = Seq(250000L, 2000000L).map { n =>
       val (rows, sec, nBatches) = measureStreaming(n)
       (n, rows, sec, sweepValue(rows, sec, nBatches, 4))
     }
@@ -313,6 +405,15 @@ object Bench {
     val sweepJson = streamSweep.map { case (n, _, _, rps) =>
       "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
     }.mkString("{", ",", "}")
+    artifact("streaming_rec_per_sec") =
+      if (streamingRecPerSec < 0) "-1" else streamingRecPerSec.round.toString
+    artifact("streaming_rows") = streamRows.toString
+    artifact("streaming_sec") = streamingSec.toString
+    artifact("streaming_by_batch_size") = sweepJson
+    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
+    emit("streaming")
+
+    phaseStart("stateful")
 
     // STATEFUL streaming throughput — the operator a real deployment
     // sizes is the keyed-state path (flatMapGroupsWithState), not the
@@ -323,8 +424,12 @@ object Bench {
     // path: per-trigger state-store commit cost amortizes with batch
     // size.
     // the 2M cell runs 10M docs through growing per-bucket state —
-    // give it headroom so a loaded host yields a number, not a -1
-    val statefulSweep = Seq(250000L, 500000L, 1000000L, 2000000L).map { n =>
+    // give it headroom so a loaded host yields a number, not a -1.
+    // Two cells, not four: 500k prices the small-batch commit
+    // overhead, 2M is the throughput peak — the 250k/1M cells were
+    // ~5 min of deadline exposure in a phase whose kill window has
+    // already destroyed one round's artifact.
+    val statefulSweep = Seq(500000L, 2000000L).map { n =>
       val (rows, sec, nBatches) = measureStateful(spark, n, cpus.toInt,
         deadlineSec = if (n >= 2000000L) 300L else 180L)
       (n, rows, sec, sweepValue(rows, sec, nBatches, 4))
@@ -336,6 +441,15 @@ object Bench {
     val statefulSweepJson = statefulSweep.map { case (n, _, _, rps) =>
       "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
     }.mkString("{", ",", "}")
+    artifact("stateful_rec_per_sec") =
+      if (statefulRecPerSec < 0) "-1" else statefulRecPerSec.round.toString
+    artifact("stateful_rows") = statefulRows.toString
+    artifact("stateful_sec") = statefulSec.toString
+    artifact("stateful_by_batch_size") = statefulSweepJson
+    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
+    emit("stateful")
+
+    phaseStart("rocksdb")
 
     // The same keyed-state path on the RocksDB provider at the large
     // batch sizes: the HDFS-backed heap store snapshots the WHOLE store
@@ -379,11 +493,11 @@ object Bench {
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
         // watchdog: the child self-bounds at ~2×300 s deadlines + spark
-        // startup; 20 min means it wedged — kill it so the stdout read
+        // startup; 12 min means it wedged — kill it so the stdout read
         // below unblocks and the parent still emits its artifact
         val watchdog = new Thread(() => {
           try {
-            if (!proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES))
+            if (!proc.waitFor(12, java.util.concurrent.TimeUnit.MINUTES))
               proc.destroyForcibly()
           } catch { case _: Throwable => () }
         })
@@ -408,26 +522,11 @@ object Bench {
       }
     }
 
-    val loadEnd = loadavg()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""trials":$trialsJson,"extended":$extJson,""" +
-      s""""pipeline_trials_sec":[${pipelineTrials.mkString(",")}],""" +
-      s""""pipeline_rec_per_sec":${recPerSec.round},"pipeline_rows":$eventRows,""" +
-      s""""streaming_rec_per_sec":${if (streamingRecPerSec < 0) "-1" else streamingRecPerSec.round.toString},""" +
-      s""""streaming_rows":$streamRows,""" +
-      s""""streaming_sec":$streamingSec,""" +
-      s""""streaming_by_batch_size":$sweepJson,""" +
-      s""""stateful_rec_per_sec":${if (statefulRecPerSec < 0) "-1" else statefulRecPerSec.round.toString},""" +
-      s""""stateful_rows":$statefulRows,"stateful_sec":$statefulSec,""" +
-      s""""stateful_by_batch_size":$statefulSweepJson,""" +
-      s""""stateful_rocksdb_by_batch_size":$rocksSweepJson,""" +
-      s""""trial_loadavg":$trialLoadJson,""" +
-      s""""loadavg_start":[${loadStart.mkString(",")}],""" +
-      s""""loadavg_end":[${loadEnd.mkString(",")}],"sf":"$sfDir"}"""
+    artifact("stateful_rocksdb_by_batch_size") = rocksSweepJson
+    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
     // the session was already stopped before the RocksDB fork, so no
     // Spark shutdown logging can interleave after the JSON line — the
     // driver parses the last stdout line(s).
-    println(json)
-    System.out.flush()
+    emit("all")
   }
 }

@@ -1250,10 +1250,13 @@ object OracleSql {
          |FROM r CROSS JOIN t WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin
 
     /** Twin of q125_fuzzy_names: a plain exact Levenshtein self-join
-      * over the distinct normalized names — the q-gram blocking is a
-      * Spark physical strategy (complete by the q-gram lemma at this
-      * configuration), not a semantic change, so the exact join IS
-      * the reference answer.
+      * over the distinct normalized names — the positional-prefix
+      * blocking is a Spark physical strategy (provably complete:
+      * Gravano count filter + Chaudhuri prefix principle + the
+      * short-value length buckets, see
+      * [[graft.dedup.Dedup.fuzzyValueMatches]]), not a semantic
+      * change, so the exact join IS the reference answer at any
+      * scale factor.
       */
     def fuzzyNamesSql: String =
       s"""WITH n AS (SELECT DISTINCT lower(trim(p_name)) AS s FROM part

@@ -2016,12 +2016,13 @@ object Queries {
 
   /** Fuzzy entity resolution ([[graft.dedup.Dedup.fuzzyValueMatches]]):
     * all distinct part-name pairs within Levenshtein distance 2, via
-    * complete 2-gram blocking + codegen'd edit-distance verify — never
+    * complete positional-prefix blocking + codegen'd edit-distance
+    * verify — never
     * an O(n²) cross join.
     */
   val q125_fuzzy_names: Q = (s, d) =>
     Dedup.fuzzyValueMatches(Tables.part(s, d), "p_name",
-        maxDist = 2, gramLen = 2, maxDf = 1000)
+        maxDist = 2, gramLen = 2)
       .orderBy("name_a", "name_b")
 
   /** Join-key skew report ([[graft.ops.Profile.skewReport]]): the k
@@ -2190,7 +2191,7 @@ object Queries {
     */
   val q139_entity_clusters: Q = (s, d) => {
     val pairs = Dedup.fuzzyValueMatches(Tables.part(s, d), "p_name",
-        maxDist = 2, gramLen = 2, maxDf = 1000)
+        maxDist = 2, gramLen = 2)
       .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
     Dedup.nearDupClusters(pairs)
       .select(col("id").as("name"), col("cluster_id").as("canon"))

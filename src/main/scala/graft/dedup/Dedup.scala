@@ -1034,43 +1034,84 @@ object Dedup {
     * DISTINCT normalized values within Levenshtein distance
     * `maxDist`, found without an O(n²) cross join.
     *
-    * Candidates come from character q-gram blocking: values sharing
-    * at least one q-gram pair up via the bounded
-    * [[graft.ops.Sketch.pairIntersections]] expansion, then the exact
-    * edit distance (codegen'd `levenshtein`) verifies. The q-gram
-    * lemma makes blocking COMPLETE for this configuration: strings
-    * within edit distance d share ≥ (len − q + 1) − q·d q-grams, so
-    * with q = `gramLen` = 2 and d ≤ 2 every qualifying pair of
-    * values ≥ 7 chars is guaranteed a shared gram (shorter values
-    * still pair through their whole-string gram in practice).
-    * `maxDf` caps a gram's posting list — the recall/straggler knob:
-    * a gram shared by more than `maxDf` values generates no pairs
-    * (at web scale, "th" pairs nobody — discriminative grams do the
-    * work).
+    * Blocking is POSITIONAL-PREFIX filtering, provably complete:
+    *
+    *  - Count filter (Gravano et al., VLDB 2001): strings x, y within
+    *    edit distance d share at least t = max(n_x, n_y) − q·d
+    *    positional q-gram occurrences, where n_x = |x| − q + 1 (each
+    *    edit destroys at most q grams). Occurrences are modeled as
+    *    set elements (gram, occ#) so multiset overlap is set overlap.
+    *  - Prefix filter (Chaudhuri et al., ICDE 2006): under ANY global
+    *    total order on tokens, if |A ∩ B| ≥ t then the first
+    *    |A| − t + 1 tokens of A intersect the first |B| − t + 1 of B.
+    *    With t ≥ n_x − q·d the prefix size is ≤ q·d + 1, so each
+    *    value contributes at most q·d + 1 blocking keys — its RAREST
+    *    gram occurrences under the (df, gram, occ) order, which makes
+    *    posting lists small without affecting completeness (the
+    *    order is a heuristic; correctness holds for any order).
+    *  - Short-value fallback: the count filter needs t ≥ 1, i.e.
+    *    max(|x|, |y|) ≥ q·(d + 1). Pairs where BOTH values are
+    *    shorter get length-bucket keys `L<len>..L<len+d>` instead —
+    *    any two short values within length d (a consequence of edit
+    *    distance d) share a bucket. Short distinct values are
+    *    alphabet-bounded, so these buckets stay small.
+    *
+    * Both legs were the round-11 advisor finding: the old whole-gram
+    * blocking lost (a) pairs of values < ~7 chars with no shared
+    * 2-gram ('abc'/'axc') and (b) pairs whose shared grams all
+    * exceeded the df cap. With `maxDf` at its Int.MaxValue default
+    * the candidate set now provably covers every qualifying pair, so
+    * the exact-Levenshtein-join oracle is the reference answer at ANY
+    * scale factor. `maxDf` remains an explicit straggler valve — a
+    * prefix token shared verbatim (same gram AND occurrence rank) by
+    * more than `maxDf` values generates no pairs; leaving it unset
+    * costs nothing on natural vocabularies because prefixes already
+    * pick each value's globally rarest grams.
     *
     * Returns (name_a, name_b, dist) with name_a < name_b, 1 ≤ dist ≤
     * maxDist, over `lower(trim(value))`.
     *
     * Scale shape: the value DOMAIN (distinct strings) drives
-    * everything — one distinct, one gram explode (≤ len rows per
-    * value), df-capped pair expansion, and a map-only levenshtein
-    * verify per candidate. The corpus itself is touched once, by the
-    * distinct.
+    * everything — one distinct, ≤ len gram rows per value collapsing
+    * to ≤ q·d + 1 prefix keys, a bounded pair expansion
+    * ([[graft.ops.Sketch.pairIntersections]]), and a map-only
+    * thresholded-levenshtein verify per candidate. The corpus itself
+    * is touched once, by the distinct.
     */
   def fuzzyValueMatches(df: DataFrame, strCol: String, maxDist: Int = 2,
-                        gramLen: Int = 2, maxDf: Int = 1000): DataFrame = {
+                        gramLen: Int = 2,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
     require(gramLen >= 1, s"gramLen=$gramLen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val q = gramLen
+    val prefixLen = q * maxDist + 1
     val names = df.select(lower(trim(col(strCol))).as("s"))
       .where(length(col("s")) > 0).distinct()
-    val grams = names
+    // positional gram occurrences as set elements: (s, gram, occ#)
+    val occs = names
       .select(col("s"), explode(sequence(lit(1),
-        greatest(length(col("s")) - (gramLen - 1), lit(1)))).as("p"))
-      .select(col("s"), expr(s"substring(s, p, $gramLen)").as("g"))
-      .distinct()
-    val dfg = grams.groupBy("g").agg(count(lit(1)).as("dfc"))
-    val keep = grams.join(dfg.where(col("dfc") <= maxDf), "g").select("s", "g")
-    graft.ops.Sketch.pairIntersections(keep, "s", "g")
+        greatest(length(col("s")) - (q - 1), lit(1)))).as("p"))
+      .select(col("s"), expr(s"substring(s, p, $q)").as("g"))
+      .groupBy("s", "g").agg(count(lit(1)).as("c"))
+      .select(col("s"), col("g"), explode(sequence(lit(1), col("c"))).as("occ"))
+    val dft = occs.groupBy("g", "occ").agg(count(lit(1)).as("dfc"))
+    // per-value prefix: the q·d+1 rarest tokens under the global
+    // (df, gram, occ) order; the window partition is one value's ≤ len
+    // tokens, never a data-sized partition
+    val prefix = occs.join(dft, Seq("g", "occ"))
+      .withColumn("rk", row_number().over(Window.partitionBy("s")
+        .orderBy(col("dfc"), col("g"), col("occ"))))
+      .where(col("rk") <= prefixLen && col("dfc") <= maxDf)
+      .select(col("s"), concat_ws("#", col("g"), col("occ")).as("k"))
+    // both-short pairs sit below the count filter's domain: block them
+    // by length bucket (keys carry no '#', so the namespaces are
+    // disjoint from the gram#occ tokens)
+    val shortKeys = names.where(length(col("s")) < q * (maxDist + 1))
+      .select(col("s"), explode(sequence(length(col("s")),
+        length(col("s")) + maxDist)).as("l"))
+      .select(col("s"), concat(lit("L"), col("l")).as("k"))
+    graft.ops.Sketch.pairIntersections(prefix.union(shortKeys), "s", "k")
       .select(col("ia").as("name_a"), col("ib").as("name_b"))
       .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       // thresholded levenshtein abandons the DP row once maxDist is

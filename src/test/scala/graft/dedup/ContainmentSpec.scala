@@ -256,13 +256,36 @@ class ContainmentSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
-  test("fuzzyValueMatches: df-capped grams drop pair generation (the recall knob)") {
-    // two values share ONLY the gram pool of 'aa'; with maxDf below the
-    // number of values carrying it, no pairs emerge
-    val values = (1 to 9).map(i => Tuple1(s"aa$i")).toDF("name")
-    val all = Dedup.fuzzyValueMatches(values, "name", maxDist = 2, 2, maxDf = 1000)
-    val capped = Dedup.fuzzyValueMatches(values, "name", maxDist = 2, 2, maxDf = 5)
-    assert(all.count() > 0)
+  test("fuzzyValueMatches: short values with no shared gram still pair (advisor case)") {
+    // 'abc' vs 'axc' share NO 2-gram (ab,bc vs ax,xc) yet are distance
+    // 1 — the round-11 blocking lost them; the length-bucket fallback
+    // must find them. 'a' vs 'ab' exercises the sub-gram-length edge.
+    val values = Seq("abc", "axc", "a", "ab").map(Tuple1(_)).toDF("name")
+    val got = Dedup.fuzzyValueMatches(values, "name", maxDist = 2, gramLen = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.contains(("abc", "axc", 1L)))
+    assert(got.contains(("a", "ab", 1L)))
+    assert(got.contains(("ab", "abc", 1L)))
+  }
+
+  test("fuzzyValueMatches: pairs whose shared grams are ALL common still pair (advisor case)") {
+    // every shared gram occurrence ('aa'#1..#5) is carried by all 9
+    // values — under the old per-gram df cap a small maxDf erased the
+    // whole candidate set; the complete default must keep every
+    // qualifying pair because prefixes need no df filter at all
+    val values = (1 to 9).map(i => Tuple1(s"aaaaaa$i")).toDF("name")
+    val got = Dedup.fuzzyValueMatches(values, "name", maxDist = 2, gramLen = 2)
+    assert(got.count() === (9L * 8 / 2), "all C(9,2) pairs are distance 1")
+  }
+
+  test("fuzzyValueMatches: maxDf remains the explicit straggler valve") {
+    // long values (above the short-fallback range) whose prefix tokens
+    // are shared by all: capping below the token df drops the pairs —
+    // the documented recall/straggler trade, now opt-in instead of on
+    // by default
+    val values = (1 to 9).map(i => Tuple1(s"aaaaaa$i")).toDF("name")
+    val capped = Dedup.fuzzyValueMatches(values, "name", maxDist = 2,
+      gramLen = 2, maxDf = 5)
     assert(capped.count() === 0)
   }
 
