@@ -54,10 +54,24 @@ object ProtoCodec {
     def sparkType: DataType = MapType(key.sparkType, value.sparkType)
   }
 
+  /** `oneofName`: set when the field is a member of a proto3 `oneof`
+    * block. Members are ordinary fields on the wire; the descriptor
+    * tag drives which-branch tracking during decode and
+    * emit-even-at-default presence semantics during encode.
+    */
   final case class FieldDescriptor(number: Int, name: String, ptype: PType,
-                                   repeated: Boolean = false)
+                                   repeated: Boolean = false,
+                                   oneofName: Option[String] = None)
 
+  /** The Spark row type carries one extra `which_<oneof>` STRING
+    * column per oneof, AFTER the declared fields: the set member's
+    * field name, or null when no member was present — the
+    * which-branch-was-set signal proto3 accessors expose but a
+    * flattened column layout loses (members themselves are null
+    * unless they are the set branch).
+    */
   final case class MessageDescriptor(name: String, fields: Seq[FieldDescriptor]) {
+    lazy val oneofs: Seq[String] = fields.flatMap(_.oneofName).distinct
     lazy val sparkType: StructType = StructType(fields.map { f =>
       val dt = f.ptype match {
         case m: PMap => m.sparkType
@@ -65,7 +79,7 @@ object ProtoCodec {
         case t => t.sparkType
       }
       StructField(f.name, dt, nullable = true)
-    })
+    } ++ oneofs.map(o => StructField(s"which_$o", StringType, nullable = true)))
     lazy val byNumber: Map[Int, FieldDescriptor] = fields.map(f => f.number -> f).toMap
   }
 
@@ -108,6 +122,9 @@ object ProtoCodec {
     val values = mutable.Map.empty[Int, Any]
     val repeats = mutable.Map.empty[Int, mutable.ArrayBuffer[Any]]
     val maps = mutable.Map.empty[Int, mutable.ArrayBuffer[(Any, Any)]]
+    // oneof name → field number of the LAST member seen on the wire
+    // (proto3: later members override earlier ones, across branches)
+    val oneofSet = mutable.Map.empty[String, Int]
 
     while (r.hasMore) {
       val tag = r.readVarint()
@@ -115,7 +132,9 @@ object ProtoCodec {
       val wireType = (tag & 7).toInt
       desc.byNumber.get(fieldNo) match {
         case None => skip(r, wireType)
-        case Some(f) => f.ptype match {
+        case Some(f) =>
+          f.oneofName.foreach(o => oneofSet(o) = fieldNo)
+          f.ptype match {
           case PMap(kt, vt) =>
             requireWireType(wireType, 2, f)
             val len = r.readVarint().toInt
@@ -148,18 +167,27 @@ object ProtoCodec {
     }
 
     InternalRow.fromSeq(desc.fields.map { f =>
-      f.ptype match {
-        case _: PMap =>
-          val entries = maps.getOrElse(f.number, mutable.ArrayBuffer.empty)
-          new ArrayBasedMapData(
-            new GenericArrayData(entries.map(_._1).toArray),
-            new GenericArrayData(entries.map(_._2).toArray))
-        case _ if f.repeated =>
-          new GenericArrayData(repeats.getOrElse(f.number, mutable.ArrayBuffer.empty).toArray)
-        case _: PMessage => values.getOrElse(f.number, null)
-        case t => values.getOrElse(f.number, default(t))   // proto3 default
+      f.oneofName match {
+        // a oneof member is null unless it is the SET branch — the
+        // proto3-default fill would erase exactly the presence signal
+        // oneof exists to carry
+        case Some(o) =>
+          if (oneofSet.get(o).contains(f.number)) values.getOrElse(f.number, null)
+          else null
+        case None => f.ptype match {
+          case _: PMap =>
+            val entries = maps.getOrElse(f.number, mutable.ArrayBuffer.empty)
+            new ArrayBasedMapData(
+              new GenericArrayData(entries.map(_._1).toArray),
+              new GenericArrayData(entries.map(_._2).toArray))
+          case _ if f.repeated =>
+            new GenericArrayData(repeats.getOrElse(f.number, mutable.ArrayBuffer.empty).toArray)
+          case _: PMessage => values.getOrElse(f.number, null)
+          case t => values.getOrElse(f.number, default(t))   // proto3 default
+        }
       }
-    }.toSeq)
+    }.toSeq ++ desc.oneofs.map(o => oneofSet.get(o)
+      .map(n => UTF8String.fromString(desc.byNumber(n).name)).orNull))
   }
 
   /** Wire type a scalar field must arrive with (proto3 spec). A
@@ -268,7 +296,11 @@ object ProtoCodec {
     * proto3 semantics to note at the column layer: absence and default
     * are indistinguishable, so `null` struct fields decode back as the
     * type's default, not null — the round-trip law is
-    * `decode(encode(x)) == withProto3Defaults(x)`.
+    * `decode(encode(x)) == withProto3Defaults(x)`. Exception: oneof
+    * members carry presence — a non-null member is emitted even at the
+    * default value, a null member is absent, and the trailing
+    * `which_<oneof>` columns are recomputed on decode (ignored by
+    * encode).
     */
   def encode(row: InternalRow, desc: MessageDescriptor): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -317,7 +349,11 @@ object ProtoCodec {
               encode(row.getStruct(i, md.fields.size), md)))
           case scalar =>
             val v = row.get(i, dt)
-            if (!isProto3Default(scalar, v))
+            // oneof members have presence semantics: a set branch is
+            // emitted even at the type's default value (that emission
+            // IS how the wire distinguishes "set to default" from
+            // "unset"); plain singular fields keep canonical omission
+            if (f.oneofName.isDefined || !isProto3Default(scalar, v))
               writeScalarOrMessageField(out, f.number, scalar, v)
         }
       }

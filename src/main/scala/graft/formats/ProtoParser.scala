@@ -15,9 +15,10 @@ import scala.collection.mutable
   * `syntax`/`package`/`option`/`import` headers, top-level and nested
   * `message` definitions, scalar fields, `repeated`, `map<K,V>`,
   * message-type fields (same-file references), `enum` (decoded as
-  * int), `reserved`, comments. Unsupported: `oneof` (fields are
-  * flattened — wire-compatible for decode), `extend`, groups,
-  * `service`.
+  * int), `reserved`, `oneof` (members become nullable columns plus a
+  * trailing `which_<oneof>` tag column naming the set branch — see
+  * [[ProtoCodec.MessageDescriptor]]), comments. Unsupported:
+  * `extend`, groups, `service`.
   */
 object ProtoParser {
 
@@ -50,7 +51,8 @@ object ProtoParser {
     val p = new Parser(toks)
     // raw message AST: name → (fields, nested messages), in order
     final case class RawField(repeated: Boolean, tpe: String, mapKey: Option[String],
-                              mapValue: Option[String], name: String, number: Int)
+                              mapValue: Option[String], name: String, number: Int,
+                              oneof: Option[String] = None)
     final case class RawMessage(name: String, fields: List[RawField],
                                 nested: List[RawMessage], enums: Set[String])
 
@@ -72,16 +74,25 @@ object ProtoParser {
             while (p.peek != ";") p.next()
             p.expect(";")
           case "oneof" =>
-            p.next(); p.ident(); p.expect("{")
+            p.next()
+            val oneofName = p.ident()
+            p.expect("{")
             while (p.peek != "}") {
-              // oneof members are plain fields — flatten
-              val tpe = p.next()
-              val fname = p.ident()
-              p.expect("=")
-              val num = p.int()
-              skipFieldOptions(p)
-              p.expect(";")
-              fields += RawField(repeated = false, tpe, None, None, fname, num)
+              if (p.peek == "option") {
+                while (p.peek != ";") p.next()
+                p.expect(";")
+              } else {
+                // members are plain fields on the wire; the oneof tag
+                // drives which-branch tracking + presence semantics
+                val tpe = p.next()
+                val fname = p.ident()
+                p.expect("=")
+                val num = p.int()
+                skipFieldOptions(p)
+                p.expect(";")
+                fields += RawField(repeated = false, tpe, None, None, fname, num,
+                  oneof = Some(oneofName))
+              }
             }
             p.expect("}")
           case _ =>
@@ -169,7 +180,7 @@ object ProtoParser {
             val vt = resolve(f.mapValue.get)
             PMap(kt, vt)
           } else resolve(f.tpe)
-        FieldDescriptor(f.number, f.name, ptype, f.repeated)
+        FieldDescriptor(f.number, f.name, ptype, f.repeated, f.oneof)
       }
       MessageDescriptor(m.name, fields)
     })

@@ -62,7 +62,7 @@ class ProtoParserSpec extends SparkSpec {
     assert(c.byIndexPath(List(0, 0)).name === "Inner")
   }
 
-  test("enums decode as int; oneof members flatten") {
+  test("enums decode as int; oneof members carry the oneof tag and a which column") {
     val src =
       """syntax = "proto3";
         |message M {
@@ -74,8 +74,13 @@ class ProtoParserSpec extends SparkSpec {
     val c = ProtoParser.compile(src)
     val m = c.byName("M")
     assert(m.byNumber(1).ptype === PEnum)
+    assert(m.byNumber(1).oneofName === None)
     assert(m.byNumber(2).ptype === PString)
+    assert(m.byNumber(2).oneofName === Some("payload"))
     assert(m.byNumber(3).ptype === PInt64)
+    assert(m.byNumber(3).oneofName === Some("payload"))
+    assert(m.oneofs === Seq("payload"))
+    assert(m.sparkType.fieldNames.toSeq === Seq("color", "s", "n", "which_payload"))
   }
 
   test("end-to-end: source text → descriptor → envelope dispatch → decode") {

@@ -143,6 +143,88 @@ class WireCompatSpec extends SparkSpec {
     assert(out === ((42L, "Mariano")))
   }
 
+  // ------------------------------------------------------------------ //
+  // oneof golden vectors                                                //
+  // ------------------------------------------------------------------ //
+
+  private val eventProto =
+    """syntax = "proto3";
+      |message Event {
+      |  int64 id = 1;
+      |  oneof payload {
+      |    string note = 2;
+      |    int64 amount = 3;
+      |  }
+      |}
+      |""".stripMargin
+  private lazy val eventDesc = ProtoParser.compile(eventProto).byName("Event")
+
+  /** KafkaProtobufSerializer output for Event{id=5, note="hi"}, schema
+    * id 9: envelope, `[0]` shorthand, `08 05` (field 1 varint 5),
+    * `12 02 68 69` (field 2 len-2 "hi").
+    */
+  private val eventNoteWire: Array[Byte] =
+    Array(0x00, 0x00, 0x00, 0x00, 0x09,
+      0x00,
+      0x08, 0x05,
+      0x12, 0x02, 0x68, 0x69).map(_.toByte)
+
+  /** Event{id=5, amount=0}: the set branch carries the TYPE DEFAULT —
+    * protobuf still emits `18 00` (field 3 varint 0) because oneof
+    * members have presence semantics; that byte pair is exactly what
+    * distinguishes "amount set to 0" from "nothing set".
+    */
+  private val eventAmountZeroWire: Array[Byte] =
+    Array(0x00, 0x00, 0x00, 0x00, 0x09,
+      0x00,
+      0x08, 0x05,
+      0x18, 0x00).map(_.toByte)
+
+  test("protobuf oneof: set-branch bytes decode with the which tag and re-encode byte-identically") {
+    val body = java.util.Arrays.copyOfRange(
+      eventNoteWire, ConfluentEnvelope.PrefixLength + 1, eventNoteWire.length)
+    val row = ProtoCodec.decode(body, eventDesc)
+    assert(row.getLong(0) === 5L)
+    assert(row.getUTF8String(1).toString === "hi")          // note: the set branch
+    assert(row.isNullAt(2), "unset oneof member must be null, not the proto3 default")
+    assert(row.getUTF8String(3).toString === "note")        // which_payload
+    val reencoded = ConfluentEnvelope.wrap(9,
+      ConfluentEnvelope.writeMessageIndexes(List(0)) ++ ProtoCodec.encode(row, eventDesc))
+    assert(reencoded.sameElements(eventNoteWire),
+      s"re-encode diverged: ${reencoded.map("%02X".format(_)).mkString(" ")}")
+  }
+
+  test("protobuf oneof: branch set to the default value keeps presence through the round trip") {
+    val body = java.util.Arrays.copyOfRange(
+      eventAmountZeroWire, ConfluentEnvelope.PrefixLength + 1, eventAmountZeroWire.length)
+    val row = ProtoCodec.decode(body, eventDesc)
+    assert(row.isNullAt(1))
+    assert(row.getLong(2) === 0L)                           // set, AT the default
+    assert(row.getUTF8String(3).toString === "amount")
+    // re-encode must keep the 18 00 bytes a plain singular field would
+    // canonically omit — dropping them would flip which_payload to null
+    // on the next decode
+    val reencoded = ConfluentEnvelope.wrap(9,
+      ConfluentEnvelope.writeMessageIndexes(List(0)) ++ ProtoCodec.encode(row, eventDesc))
+    assert(reencoded.sameElements(eventAmountZeroWire),
+      s"re-encode diverged: ${reencoded.map("%02X".format(_)).mkString(" ")}")
+  }
+
+  test("protobuf oneof: no branch set → null members, null which tag") {
+    val row = ProtoCodec.decode(Array[Byte](0x08, 0x05), eventDesc)
+    assert(row.getLong(0) === 5L)
+    assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3))
+  }
+
+  test("protobuf oneof: last branch on the wire wins") {
+    // note="hi" then amount=7: proto3 keeps only the LAST member seen
+    val bytes = Array[Byte](0x12, 0x02, 0x68, 0x69, 0x18, 0x07)
+    val row = ProtoCodec.decode(bytes, eventDesc)
+    assert(row.isNullAt(1))
+    assert(row.getLong(2) === 7L)
+    assert(row.getUTF8String(3).toString === "amount")
+  }
+
   test("message-index shorthand: [0] encodes as the single 0x00 byte") {
     assert(ConfluentEnvelope.writeMessageIndexes(List(0)).sameElements(Array[Byte](0x00)))
     // and a non-[0] list never uses the shorthand
