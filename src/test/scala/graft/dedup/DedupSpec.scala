@@ -184,8 +184,10 @@ class DedupSpec extends SparkSpec {
     // the long-chain stress (template families): plain min-label
     // propagation needs ~200 rounds here; star contraction must land
     // the whole chain on id 0 in a handful
+    // smallCutoff = 0 forces pure star contraction — the default would
+    // route 200 edges straight to the union-find finisher
     val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (out, rounds) = Dedup.connectedComponents(pairs, maxIter = 12)
+    val (out, rounds) = Dedup.connectedComponents(pairs, maxIter = 12, smallCutoff = 0L)
     val labels = out.as[(Long, Long)].collect().toMap
     assert(labels.size === 201)
     assert(labels.values.forall(_ === 0L), s"non-min labels: ${labels.filter(_._2 != 0L).take(5)}")
@@ -193,12 +195,35 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 10, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("small-residue union-find finisher ≡ star contraction, on longs and strings") {
+    // a chain (multi-hop min propagation), a triangle with a tail, and
+    // singleton edges; both paths must produce identical labels
+    val longPairs = Seq((2L, 3L), (1L, 2L), (5L, 4L), (4L, 6L), (5L, 6L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val viaFinisher = Dedup.nearDupClusters(longPairs)
+      .as[(Long, Long)].collect().toMap
+    val viaStars = Dedup.nearDupClusters(longPairs, smallCutoff = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaFinisher === viaStars)
+    assert(viaFinisher(3L) === 1L && viaFinisher(6L) === 4L)
+
+    val strPairs = Seq(("b", "c"), ("a", "b"), ("z", "y")).toDF("id_a", "id_b")
+    val sFin = Dedup.nearDupClusters(strPairs).as[(String, String)].collect().toMap
+    val sStar = Dedup.nearDupClusters(strPairs, smallCutoff = 0L)
+      .as[(String, String)].collect().toMap
+    assert(sFin === sStar)
+    assert(sFin === Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "y", "y" -> "y"))
+  }
+
   test("near-dup clusters use the reliable checkpoint dir when configured") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try {
+      // smallCutoff = 0: the star-contraction loop is what checkpoints
+      // per round (the finisher path has no iterative lineage to cut)
       val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
-      val out = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+      val out = Dedup.nearDupClusters(pairs, smallCutoff = 0L)
+        .as[(Long, Long)].collect().toMap
       assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
       // the lineage cut actually went through the reliable dir
       val wrote = new java.io.File(dir).listFiles()
