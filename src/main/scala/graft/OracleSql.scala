@@ -974,8 +974,9 @@ object OracleSql {
          |      FROM wd GROUP BY 1),
          |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
          |s1 AS (SELECT src, n,
-         |         CAST(greatest((CAST(tot AS HUGEINT) * ${1L << shift})
-         |           // greatest(n, 1), CAST(${1L << shift} AS BIGINT))
+         |         CAST(least(greatest((CAST(tot AS HUGEINT) * ${1L << shift})
+         |           // greatest(n, 1), CAST(${1L << shift} AS BIGINT)),
+         |           CAST(${1L << 62} AS BIGINT))
          |           AS BIGINT) AS __q
          |       FROM c CROSS JOIN tt),
          |s2 AS (SELECT src, n, ($m8 - ${8 * shift}) AS delta_e8 FROM s1),

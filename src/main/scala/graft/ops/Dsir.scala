@@ -79,12 +79,24 @@ object Dsir {
     * training deserves).
     */
   def weights(counts: DataFrame, numBuckets: Int = 256): DataFrame = {
-    val tot = counts.agg(
+    // the trained table carries no record of its numBuckets; a caller
+    // re-passing a DIFFERENT value would silently mis-score (range(B)
+    // left-join treats out-of-range buckets as unseen, the modulo
+    // remaps tokens). Fail fast instead: a map-only in-plan check, no
+    // extra job — any bucket id outside [0, numBuckets) aborts the
+    // evaluation with a diagnostic.
+    val checked = counts.withColumn("b",
+      when(col("b") >= 0 && col("b") < numBuckets, col("b"))
+        .otherwise(raise_error(format_string(
+          s"DSIR bucket id %s outside [0, $numBuckets) — counts were " +
+            "trained with a different numBuckets than weights()/score() " +
+            "was given", col("b").cast("string"))).cast("long")))
+    val tot = checked.agg(
       coalesce(sum("c_r"), lit(0L)).as("tot_r"),
       coalesce(sum("c_t"), lit(0L)).as("tot_t"))
     val full = counts.sparkSession.range(numBuckets.toLong)
       .select(col("id").as("b"))
-      .join(counts, Seq("b"), "left")
+      .join(checked, Seq("b"), "left")
       .na.fill(0L, Seq("c_r", "c_t"))
       .crossJoin(broadcast(tot))
     def q(totE: String, cE: String): String =

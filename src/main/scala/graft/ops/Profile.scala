@@ -48,23 +48,6 @@ object Profile {
     per.reduce(_.unionByName(_)).orderBy("col_name")
   }
 
-  /** Join-key skew diagnostic — the "is this key safe to shuffle on"
-    * report a pipeline runs before keying a 100 TB join or groupBy:
-    * the `k` heaviest key values with exact counts and per-mille
-    * share of all rows. A key whose top value carries 30% of the
-    * table needs salting or AQE skew handling; this report is how
-    * you find out BEFORE the straggler does.
-    *
-    * Returns (key, cnt, share_x1000, rank) for the top `k` values,
-    * rank 1 = heaviest (count DESC, key ASC tiebreak); NULL keys
-    * count under the literal key `<null>`.
-    *
-    * Scale shape: one hash aggregation on the key (map-side
-    * partials), then the bounded-heap [[graft.plans.TopK]] aggregate
-    * over the already-reduced distinct-key table (≤ k rows per
-    * partition travel — never a global sort), and a broadcast
-    * single-row total for the shares.
-    */
   /** Robust per-group outlier flags — the data-quality gate a price /
     * metric column gets before aggregation trusts it: median/MAD
     * (median absolute deviation) instead of mean/stddev, so the
@@ -98,6 +81,23 @@ object Profile {
         (abs(col(valueCol) - col("med")) > lit(k) * col("mad")).as("is_outlier"))
   }
 
+  /** Join-key skew diagnostic — the "is this key safe to shuffle on"
+    * report a pipeline runs before keying a 100 TB join or groupBy:
+    * the `k` heaviest key values with exact counts and per-mille
+    * share of all rows. A key whose top value carries 30% of the
+    * table needs salting or AQE skew handling; this report is how
+    * you find out BEFORE the straggler does.
+    *
+    * Returns (key, cnt, share_x1000, rank) for the top `k` values,
+    * rank 1 = heaviest (count DESC, key ASC tiebreak); NULL keys
+    * count under the literal key `<null>`.
+    *
+    * Scale shape: one hash aggregation on the key (map-side
+    * partials), then the bounded-heap [[graft.plans.TopK]] aggregate
+    * over the already-reduced distinct-key table (≤ k rows per
+    * partition travel — never a global sort), and a broadcast
+    * single-row total for the shares.
+    */
   def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     import graft.plans.TopK
     val counts = df

@@ -111,18 +111,25 @@ object TextStats {
       .map(i => s"WHEN $qE >= ${1L << i} THEN CAST(${1L << (i - 3)} AS BIGINT)")
       .mkString(" ") + s" ELSE CAST(${1L << (LmShift - 3)} AS BIGINT) END)"
 
-  /** Inverse Mitchell: 2^(m/8) for integer eighth-bit m ≥ 24, as the
+  /** Inverse Mitchell: 2^(m/8) for integer eighth-bit m, as the
     * exact piecewise-linear inverse of [[mitchellE8Sql]] — with
     * e = m div 8 and f = m mod 8, 2^(m/8) ≈ 2^e·(1 + f/8) =
     * (8 + f)·2^(e−3), exact integers throughout. Emitted as a
     * threshold CASE over literal 2^(e−3) multipliers (never a
-    * shift-by-column, whose typing differs across engines); e is
-    * capped at 59 so (8+f)·2^56 stays far inside BIGINT. Same
+    * shift-by-column, whose typing differs across engines). Same
     * one-emitter discipline as the forward log.
+    *
+    * Domain [24, 479]: below 24 the ELSE arm returns 1; m is clamped
+    * to 479 BEFORE splitting into e/f, so at saturation the function
+    * pins to the maximum 15·2^56 and stays MONOTONE (clamping only e,
+    * the round-11 shape, let f keep cycling — m = 479 mapped to
+    * 15·2^56 while m = 480 dropped to 8·2^56, silently inverting
+    * order past the cap). 15·2^56 stays far inside BIGINT.
     */
   def exp2E8Sql(mE: String, divOp: String = "div"): String = {
-    val e = s"least(($mE) $divOp 8, 59)"
-    val f = s"(($mE) % 8)"
+    val mc = s"least(($mE), 479)"
+    val e = s"(($mc) $divOp 8)"
+    val f = s"(($mc) % 8)"
     val cases = (3 to 59).map(i =>
       s"WHEN $e = $i THEN (8 + $f) * CAST(${1L << (i - 3)} AS BIGINT)")
       .mkString(" ")

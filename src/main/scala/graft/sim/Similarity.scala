@@ -505,21 +505,6 @@ object Similarity {
       .select(col("query_id"), col("id"), col("pq_dot"), col("rn").as("rank"))
   }
 
-  /** Recall@k of an ANN result against exact ground truth — the
-    * evaluation operator every approximate index needs before it
-    * gates a production pipeline (tune nProbe/numBits/m against a
-    * brute-forced query sample, THEN deploy). Both inputs are
-    * (query_id, id, ...) top-k tables (e.g. [[ivfTopKAuto]] vs
-    * [[bruteForceTopK]] over the same queries); output is one row per
-    * ground-truth query: (query_id, n_hits, recall_x1000 =
-    * 1000·n_hits div k) — integer only, so the evaluation surface is
-    * oracle-hashable. Queries the ANN missed entirely score 0.
-    *
-    * Scale shape: one equi-join on (query_id, id) — both sides are
-    * k-bounded per query — and a count aggregation on query_id. The
-    * ground truth is usually a small query sample; nothing here
-    * touches the corpus.
-    */
   /** Embedding centroid drift — the corpus-observability report that
     * catches "source X's embeddings moved" / "labels Y and Z have
     * collapsed together" before a similarity index silently degrades:
@@ -619,6 +604,21 @@ object Similarity {
         col("rank"))
   }
 
+  /** Recall@k of an ANN result against exact ground truth — the
+    * evaluation operator every approximate index needs before it
+    * gates a production pipeline (tune nProbe/numBits/m against a
+    * brute-forced query sample, THEN deploy). Both inputs are
+    * (query_id, id, ...) top-k tables (e.g. [[ivfTopKAuto]] vs
+    * [[bruteForceTopK]] over the same queries); output is one row per
+    * ground-truth query: (query_id, n_hits, recall_x1000 =
+    * 1000·n_hits div k) — integer only, so the evaluation surface is
+    * oracle-hashable. Queries the ANN missed entirely score 0.
+    *
+    * Scale shape: one equi-join on (query_id, id) — both sides are
+    * k-bounded per query — and a count aggregation on query_id. The
+    * ground truth is usually a small query sample; nothing here
+    * touches the corpus.
+    */
   def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val hits = ann.select(col("query_id"), col("id"))
       .join(exact.select(col("query_id"), col("id")), Seq("query_id", "id"))

@@ -109,4 +109,19 @@ class DsirSpec extends SparkSpec {
     assert(out(12L) > out(11L),
       s"unseen-vocab ${out(12L)} should outscore raw-vocab ${out(11L)}")
   }
+
+  test("a numBuckets mismatch between train and score fails fast, not silently") {
+    // trained at 256, scored at 64: the modulo would remap tokens and
+    // range(64) would treat buckets 64..255 as unseen — silent wrong
+    // scores; the in-plan guard must abort with a diagnostic instead
+    val corpus = docs((1L, "a b c d e f g h i j k l m n o p", "t"),
+      (2L, "q r s t u v w x y z aa bb cc dd ee ff", "r"))
+    val counts = Dsir.train(corpus, "text", col("dom") === "t", 256)
+    val e = intercept[Exception](
+      Dsir.score(corpus, "id", "text", counts, 64).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("outside [0, 64)")),
+      s"expected the bucket-range diagnostic, got: ${msgs(e).mkString(" | ")}")
+  }
 }

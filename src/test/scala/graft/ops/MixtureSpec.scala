@@ -85,6 +85,22 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("exp2E8 is monotone through its saturation point") {
+    import graft.ops.TextStats
+    // the round-11 shape capped e but let f = m % 8 keep cycling, so
+    // m=479 → 15·2^56 but m=480 → 8·2^56 — a silent order inversion
+    // right at the cap; m must clamp BEFORE the e/f split
+    val ms = (470L to 490L) ++ Seq(1000L, 100000L)
+    val out = ms.toDF("m")
+      .selectExpr("m", TextStats.exp2E8Sql("m") + " AS v")
+      .orderBy("m").collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.sliding(2).foreach { case Array((m1, v1), (m2, v2)) =>
+      assert(v2 >= v1, s"non-monotone: exp2($m1)=$v1 > exp2($m2)=$v2")
+    }
+    assert(out.filter(_._1 >= 479).forall(_._2 === 15L * (1L << 56)),
+      "saturation must pin to the maximum value")
+  }
+
   test("temperatureRates: alpha=1 keeps everything; alpha=0 equalizes tokens") {
     // source A has 64x the tokens of B
     val df = ((1L to 640L).map(i => (i, "A", 10L)) ++
