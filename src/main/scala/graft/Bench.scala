@@ -227,7 +227,8 @@ object Bench {
       "q130_blocklist_gate", "q131_cross_source_dups", "q132_bpe_coverage",
       "q133_budget_by_lang", "q134_hard_negatives",
       "q135_cluster_balance", "q136_quantile_norm", "q137_fuzzy_decontam",
-      "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers", "q141_sessionization")
+      "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers",
+      "q141_sessionization", "q142_png_pixels")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

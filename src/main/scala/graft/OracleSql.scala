@@ -444,6 +444,7 @@ object OracleSql {
     "q139_entity_clusters" -> Gen.entityClustersSql,
     "q140_price_outliers" -> Gen.priceOutliersSql,
     "q141_sessionization" -> Gen.sessionizationSql,
+    "q142_png_pixels" -> Gen.pngPixelsSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1218,6 +1219,30 @@ object OracleSql {
          |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_sec
          |FROM sx GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin
+
+    /** Twin of q142_png_pixels: the Spark side PNG-encodes a
+      * deterministic test pattern and DECODES it back through real
+      * zlib + scanline unfiltering before averaging; the twin computes
+      * the identical ×100 channel means straight from the closed-form
+      * pixel formula (PngCodec.testImage) — a hash match therefore
+      * certifies the decode path reproduced every pixel. All-integer
+      * arithmetic; `%` operands are non-negative on both engines.
+      */
+    def pngPixelsSql: String =
+      s"""WITH base AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+         |                     doc_id % 11 + 4 AS h FROM documents),
+         |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM base),
+         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST((100 * sum((doc_id * 7 + 3 * x + 5 * y) % 256)) // (w * h) AS BIGINT)
+         |    AS mean_r_x100,
+         |  CAST((100 * sum((doc_id * 11 + x + 2 * y) % 256)) // (w * h) AS BIGINT)
+         |    AS mean_g_x100,
+         |  CAST((100 * sum((doc_id * 13 + 2 * x + y) % 256)) // (w * h) AS BIGINT)
+         |    AS mean_b_x100,
+         |  CAST((100 * sum(255)) // (w * h) AS BIGINT) AS mean_a_x100
+         |FROM px GROUP BY doc_id, w, h
+         |ORDER BY doc_id""".stripMargin
 
     /** Twin of q140_price_outliers: quantile_cont ≡ Spark
       * `percentile` (q55 parity), same two-stage median/MAD and the

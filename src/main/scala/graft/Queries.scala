@@ -2235,6 +2235,28 @@ object Queries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Real PNG pixel decode
+    * ([[graft.multimodal.Multimodal.pngPixelStats]]): per doc, a
+    * deterministic RGBA test pattern is PNG-ENCODED (real deflate,
+    * row filters cycling through all five types), then DECODED back
+    * through the pure-JDK zlib + unfilter + expansion path, and the
+    * integer ×100 channel means are reported. The DuckDB twin
+    * computes the same means straight from the closed-form pixel
+    * formula — a hash match proves the decoder reproduced every
+    * pixel through a real compressed PNG, not a stub.
+    */
+  val q142_png_pixels: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.PngCodec.testImage(
+      id, (id % 13 + 4).toInt, (id % 11 + 4).toInt))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("png"))
+    graft.multimodal.Multimodal.pngPixelStats(media, "doc_id", "png")
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("mean_r_x100"), col("mean_g_x100"), col("mean_b_x100"),
+        col("mean_a_x100"))
+      .orderBy("doc_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2377,5 +2399,6 @@ object Queries {
     "q138_temperature_mix" -> q138_temperature_mix,
     "q139_entity_clusters" -> q139_entity_clusters,
     "q140_price_outliers" -> q140_price_outliers,
-    "q141_sessionization" -> q141_sessionization)
+    "q141_sessionization" -> q141_sessionization,
+    "q142_png_pixels" -> q142_png_pixels)
 }

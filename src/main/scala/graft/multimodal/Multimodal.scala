@@ -139,6 +139,26 @@ object Multimodal {
       StubCodec.features(bytes, dim)
   }
 
+  /** Real-pixel codec: header probing from [[HeaderCodec]] plus REAL
+    * PNG pixel work from [[PngCodec]] (pure-JDK zlib — decode to RGBA,
+    * nearest-neighbor resize, re-encode). Non-PNG bytes fall back to
+    * the stub paths, keeping every function total. Features stay
+    * stubbed: an embedding model is genuinely out of scope here, and
+    * the stub's hash features are what the DuckDB oracle can mirror.
+    */
+  object PixelCodec extends MediaCodec {
+    override def probe(kind: String, bytes: Array[Byte]): Row =
+      HeaderCodec.probe(kind, bytes)
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val real = PngCodec.resize(bytes, w, h)
+      if (real != null) real else StubCodec.resize(bytes, w, h)
+    }
+    override def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
+      StubCodec.sampleFrames(bytes, everyN)
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      StubCodec.features(bytes, dim)
+  }
+
   /** Spread media rows before an expensive decode stage: binary sizes
     * are skewed, and a decode stage inherits upstream partitioning —
     * round-robin repartition rebalances without a key shuffle's hotspots.
@@ -184,6 +204,47 @@ object Multimodal {
           val blobs = batch.map(_.getAs[Array[Byte]]("media"))
           val feats = codec.featuresAll(blobs, dim)        // ONE codec call per chunk
           batch.lazyZip(feats).map((r, f) => Row(r.get(0), f.toSeq))
+        }
+      }(enc)
+  }
+
+  /** REAL pixel statistics over a PNG binary column — the first decode
+    * stage whose numbers come from actual pixels (PngCodec's pure-JDK
+    * zlib + unfilter + color-type expansion), not the stub hash:
+    * (id, width, height, mean_r_x100, mean_g_x100, mean_b_x100,
+    * mean_a_x100, error). Total per the Result convention — blobs that
+    * are not decodable 8-bit non-interlaced PNG yield null stats and an
+    * error string. Integer ×100 means keep the surface oracle-hashable.
+    *
+    * Scale shape: batched map-only partition transform (same plumbing
+    * as [[probeMetadata]]); per-blob cost is O(pixels), peak memory
+    * batchSize × decoded size. No shuffle.
+    */
+  def pngPixelStats(df: DataFrame, idCol: String, mediaCol: String,
+                    batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r_x100", LongType),
+      StructField("mean_g_x100", LongType),
+      StructField("mean_b_x100", LongType),
+      StructField("mean_a_x100", LongType),
+      StructField("error", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img = PngCodec.decode(r.getAs[Array[Byte]]("media"))
+            if (img == null)
+              Row(r.get(0), null, null, null, null, null, null,
+                "not a decodable 8-bit non-interlaced PNG")
+            else {
+              val (mr, mg, mb, ma) = PngCodec.channelMeansX100(img)
+              Row(r.get(0), img.width, img.height, mr, mg, mb, ma, null)
+            }
+          }
         }
       }(enc)
   }

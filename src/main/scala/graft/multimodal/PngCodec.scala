@@ -1,0 +1,317 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Real PNG pixel codec on pure-JDK primitives — the piece that closes
+  * the multimodal probe stage's "stops exactly at pixel decode" seam
+  * for one format: `java.util.zip.Inflater`/`Deflater` ARE the zlib
+  * the PNG spec (RFC 2083 / ISO 15948) requires, so decoding needs no
+  * image library at all, just the chunk walk, the five scanline
+  * filters, and the color-type expansion.
+  *
+  * Scope: non-interlaced, 8-bit-per-sample images of every color type
+  * (0 gray, 2 RGB, 3 palette via PLTE, 4 gray+alpha, 6 RGBA), decoded
+  * to a width×height×RGBA byte buffer. Interlaced (Adam7), 1/2/4/16-bit
+  * and malformed inputs return null — decode is TOTAL (the Result
+  * convention: a poison blob must not kill a 100 TB decode stage).
+  *
+  * The encoder writes the same subset back (RGBA, one IDAT, per-row
+  * filter choice) — which makes the decoder testable far beyond a
+  * fixed fixture: any pixel buffer round-trips through real
+  * deflate + real filters, and a hand-laid STORED-block golden vector
+  * pins the byte layout against implementation-mirrored bugs.
+  *
+  * Scale shape: per-blob work is O(pixels); used inside the batched
+  * [[Multimodal]] mapPartitions stages it is map-only, no shuffle, and
+  * peak memory is batchSize × decoded size.
+  */
+object PngCodec {
+
+  final case class Png(width: Int, height: Int, rgba: Array[Byte])
+
+  private val Signature =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def be32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
+      ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+
+  /** Decode to RGBA; null on anything outside the supported subset. */
+  def decode(bytes: Array[Byte]): Png = {
+    try {
+      if (bytes == null || bytes.length < Signature.length + 12) return null
+      var i = 0
+      while (i < Signature.length) {
+        if (bytes(i) != Signature(i)) return null
+        i += 1
+      }
+      var pos = Signature.length
+      var w = 0; var h = 0; var bitDepth = -1; var colorType = -1
+      var interlace = -1; var sawIhdr = false; var sawIend = false
+      var palette: Array[Byte] = null
+      val idat = new ByteArrayOutputStream()
+      while (!sawIend && pos + 8 <= bytes.length) {
+        val len = be32(bytes, pos)
+        if (len < 0 || pos + 12 + len > bytes.length) return null
+        val chunkType = new String(bytes, pos + 4, 4, "US-ASCII")
+        val dataStart = pos + 8
+        chunkType match {
+          case "IHDR" =>
+            if (len != 13) return null
+            w = be32(bytes, dataStart); h = be32(bytes, dataStart + 4)
+            bitDepth = bytes(dataStart + 8) & 0xFF
+            colorType = bytes(dataStart + 9) & 0xFF
+            interlace = bytes(dataStart + 12) & 0xFF
+            sawIhdr = true
+          case "PLTE" =>
+            palette = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len)
+          case "IDAT" => idat.write(bytes, dataStart, len)
+          case "IEND" => sawIend = true
+          case _ => ()   // ancillary chunks (tEXt, gAMA, tRNS…) skipped
+        }
+        pos += 12 + len
+      }
+      if (!sawIhdr || w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0)
+        return null
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return null
+      }
+      if (colorType == 3 && (palette == null || palette.length % 3 != 0))
+        return null
+      // guard absurd dimensions before allocating (w·h·4 must fit an
+      // array; a hostile header must not OOM the executor)
+      if (w.toLong * h * channels + h > Int.MaxValue / 8) return null
+
+      val stride = w * channels
+      val raw = inflateExact(idat.toByteArray, (stride + 1) * h)
+      if (raw == null) return null
+
+      // undo the per-scanline filter in place (PNG spec §6)
+      val recon = new Array[Byte](stride * h)
+      val bpp = channels
+      var y = 0
+      while (y < h) {
+        val filter = raw(y * (stride + 1)) & 0xFF
+        val rowIn = y * (stride + 1) + 1
+        val rowOut = y * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowIn + x) & 0xFF
+          val a = if (x >= bpp) recon(rowOut + x - bpp) & 0xFF else 0
+          val b = if (y > 0) recon(rowOut - stride + x) & 0xFF else 0
+          val c = if (x >= bpp && y > 0) recon(rowOut - stride + x - bpp) & 0xFF else 0
+          val v = filter match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + ((a + b) >> 1)
+            case 4 => cur + paeth(a, b, c)
+            case _ => return null
+          }
+          recon(rowOut + x) = (v & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+
+      // expand to RGBA
+      val rgba = new Array[Byte](w * h * 4)
+      var p = 0
+      var q = 0
+      val n = w * h
+      var k = 0
+      while (k < n) {
+        colorType match {
+          case 0 =>
+            val g = recon(p); rgba(q) = g; rgba(q + 1) = g; rgba(q + 2) = g
+            rgba(q + 3) = 0xFF.toByte; p += 1
+          case 2 =>
+            rgba(q) = recon(p); rgba(q + 1) = recon(p + 1); rgba(q + 2) = recon(p + 2)
+            rgba(q + 3) = 0xFF.toByte; p += 3
+          case 3 =>
+            val idx = (recon(p) & 0xFF) * 3
+            if (idx + 2 >= palette.length) return null
+            rgba(q) = palette(idx); rgba(q + 1) = palette(idx + 1)
+            rgba(q + 2) = palette(idx + 2); rgba(q + 3) = 0xFF.toByte; p += 1
+          case 4 =>
+            val g = recon(p); rgba(q) = g; rgba(q + 1) = g; rgba(q + 2) = g
+            rgba(q + 3) = recon(p + 1); p += 2
+          case 6 =>
+            rgba(q) = recon(p); rgba(q + 1) = recon(p + 1); rgba(q + 2) = recon(p + 2)
+            rgba(q + 3) = recon(p + 3); p += 4
+        }
+        q += 4
+        k += 1
+      }
+      Png(w, h, rgba)
+    } catch { case _: Exception => null }
+  }
+
+  /** PNG spec §6.6 Paeth predictor — ties resolve a, then b. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def inflateExact(deflated: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(deflated)
+      val out = new Array[Byte](expected)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        if (n == 0 && inf.needsInput()) return null   // truncated stream
+        off += n
+      }
+      if (off == expected) out else null
+    } catch { case _: Exception => null }
+    finally inf.end()
+  }
+
+  /** Encode an RGBA buffer as a color-type-6 non-interlaced PNG. The
+    * filter for each row comes from `filterFor(y)` ∈ [0, 4] — exposing
+    * the choice lets round-trip tests drive EVERY unfilter path, not
+    * just the None default.
+    */
+  def encode(width: Int, height: Int, rgba: Array[Byte],
+             filterFor: Int => Int = _ => 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(rgba.length == width * height * 4,
+      s"rgba length ${rgba.length} != ${width * height * 4}")
+    val stride = width * 4
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val filter = filterFor(y)
+      require(filter >= 0 && filter <= 4, s"bad filter $filter")
+      raw(y * (stride + 1)) = filter.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgba(y * stride + x) & 0xFF
+        val a = if (x >= 4) rgba(y * stride + x - 4) & 0xFF else 0
+        val b = if (y > 0) rgba((y - 1) * stride + x) & 0xFF else 0
+        val c = if (x >= 4 && y > 0) rgba((y - 1) * stride + x - 4) & 0xFF else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 => paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new Deflater()
+    val deflated = try {
+      def_.setInput(raw); def_.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new ByteArrayOutputStream()
+      while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+      out.toByteArray
+    } finally def_.end()
+
+    val png = new ByteArrayOutputStream()
+    png.write(Signature, 0, Signature.length)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 6; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(png, "IHDR", ihdr)
+    writeChunk(png, "IDAT", deflated)
+    writeChunk(png, "IEND", Array.empty[Byte])
+    png.toByteArray
+  }
+
+  private def putBe32(b: Array[Byte], p: Int, v: Int): Unit = {
+    b(p) = ((v >>> 24) & 0xFF).toByte; b(p + 1) = ((v >>> 16) & 0xFF).toByte
+    b(p + 2) = ((v >>> 8) & 0xFF).toByte; b(p + 3) = (v & 0xFF).toByte
+  }
+
+  private def writeChunk(out: ByteArrayOutputStream, chunkType: String,
+                         data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4); putBe32(len, 0, data.length)
+    out.write(len, 0, 4)
+    val t = chunkType.getBytes("US-ASCII")
+    out.write(t, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new CRC32()
+    crc.update(t); crc.update(data)
+    val c = new Array[Byte](4); putBe32(c, 0, crc.getValue.toInt)
+    out.write(c, 0, 4)
+  }
+
+  /** Integer per-channel means ×100 over the decoded RGBA —
+    * (mean_r, mean_g, mean_b, mean_a), each `(100·Σchannel) div
+    * (w·h)`: exact integers, so a DuckDB oracle computing the same
+    * sums from the source pixel formula hashes identically.
+    */
+  def channelMeansX100(png: Png): (Long, Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L; var a = 0L
+    var i = 0
+    while (i < png.rgba.length) {
+      r += png.rgba(i) & 0xFF; g += png.rgba(i + 1) & 0xFF
+      b += png.rgba(i + 2) & 0xFF; a += png.rgba(i + 3) & 0xFF
+      i += 4
+    }
+    val n = png.width.toLong * png.height
+    (100 * r / n, 100 * g / n, 100 * b / n, 100 * a / n)
+  }
+
+  /** Deterministic RGBA test pattern, PNG-encoded — the shared fixture
+    * generator behind the q142 catalog query and its DuckDB twin: the
+    * twin computes channel sums straight from this closed-form pixel
+    * formula, so a hash match proves the whole real-zlib encode →
+    * decode → unfilter path reproduces the pixels exactly. The row
+    * filter cycles through all five types so every unfilter branch is
+    * on the measured path.
+    *
+    * pixel(x, y) = ((id·7 + 3x + 5y) % 256, (id·11 + x + 2y) % 256,
+    * (id·13 + 2x + y) % 256, 255).
+    */
+  def testImage(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rgba = new Array[Byte](w * h * 4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 4
+        rgba(p) = ((id * 7 + 3L * x + 5L * y) % 256).toByte
+        rgba(p + 1) = ((id * 11 + x + 2L * y) % 256).toByte
+        rgba(p + 2) = ((id * 13 + 2L * x + y) % 256).toByte
+        rgba(p + 3) = 0xFF.toByte
+        x += 1
+      }
+      y += 1
+    }
+    encode(w, h, rgba, y => ((id + y) % 5).toInt)
+  }
+
+  /** Real nearest-neighbor resize for PNG bytes: decode → sample →
+    * re-encode. Null in (unsupported) → null out.
+    */
+  def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = decode(bytes)
+    if (img == null || w <= 0 || h <= 0) return null
+    val out = new Array[Byte](w * h * 4)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.height / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.width / w).toInt
+        val s = (sy * img.width + sx) * 4
+        val d = (y * w + x) * 4
+        out(d) = img.rgba(s); out(d + 1) = img.rgba(s + 1)
+        out(d + 2) = img.rgba(s + 2); out(d + 3) = img.rgba(s + 3)
+        x += 1
+      }
+      y += 1
+    }
+    encode(w, h, out)
+  }
+}
