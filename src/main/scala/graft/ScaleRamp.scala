@@ -93,7 +93,11 @@ object ScaleRamp {
     // 8 KiB bitmap / d×w counters), so the 10× factor should track the
     // scan, not the operator — a super-linear factor here would mean
     // the sketch state is secretly corpus-proportional.
-    val rampQueries = Bench.headline ++ Seq("q85_hll_distinct",
+    // GRAFT_RAMP_QUERIES / GRAFT_RAMP_OPS narrow a run to named
+    // entries (comma-separated; empty = skip the section) — the 100×
+    // sweeps target only the known-worst scalers instead of re-running
+    // the whole catalog at 100× the data
+    val defaultRampQueries = Bench.headline ++ Seq("q85_hll_distinct",
       "q86_hll_merge", "q87_bloom_contamination", "q88_cms_topk",
       "q90_kmv_distinct", "q92_hist_quantiles", "q94_kmv_jaccard",
       "q95_hist_by_lang", "q96_multi_bloom", "q97_cms_by_lang",
@@ -110,7 +114,12 @@ object ScaleRamp {
       "q130_blocklist_gate", "q131_cross_source_dups", "q132_bpe_coverage",
       "q133_budget_by_lang", "q134_hard_negatives",
       "q135_cluster_balance", "q136_quantile_norm", "q137_fuzzy_decontam",
-      "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers", "q141_sessionization")
+      "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers",
+      "q141_sessionization", "q142_png_pixels")
+    val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
+      case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      case None => defaultRampQueries
+    }
     val rows = rampQueries.map { name =>
       val base = (1 to 2).map(_ => time(srcDir, name)).min
       val ramped = (1 to 2).map(_ => time(outDir, name)).min
@@ -145,14 +154,22 @@ object ScaleRamp {
       ("knn_self_join",
         () => Similarity.knnSelfJoin(emb(srcDir), "vec_id", "embedding",
           k = 3, dim = 64, numBits = 8),
+        // signature bits grow with log2(corpus) to hold bucket
+        // occupancy constant: 10× → 12 bits, 100× → 15
         () => Similarity.knnSelfJoin(emb(outDir), "vec_id", "embedding",
-          k = 3, dim = 64, numBits = 12)),
+          k = 3, dim = 64, numBits = math.min(20,
+            8 + math.ceil(math.log(factor.toDouble) / math.log(2)).toInt))),
       ("semdedup",
         () => Similarity.semDedup(emb(srcDir), "vec_id", "embedding",
           threshold = 0.4, numCells = 4, iters = 1, sampleN = 64),
+        // IVF cells grow with the corpus (SemDeDup's recipe); the
+        // centroid sample grows with the cells
         () => Similarity.semDedup(emb(outDir), "vec_id", "embedding",
-          threshold = 0.4, numCells = 40, iters = 1, sampleN = 640))
-    ).map { case (label, mkBase, mkRamped) =>
+          threshold = 0.4, numCells = 4 * factor, iters = 1,
+          sampleN = 64 * factor))
+    ).filter { case (label, _, _) =>
+      sys.env.get("GRAFT_RAMP_OPS").forall(_.split(",").map(_.trim).contains(label))
+    }.map { case (label, mkBase, mkRamped) =>
       val base = (1 to 2).map(_ => timeDf(mkBase)).min
       val ramped = (1 to 2).map(_ => timeDf(mkRamped)).min
       System.err.println(f"[ramp-op] $label%-26s base=$base%6.2fs ramped=$ramped%6.2fs factor=${ramped / base}%5.2f")
