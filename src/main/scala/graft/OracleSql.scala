@@ -445,6 +445,7 @@ object OracleSql {
     "q140_price_outliers" -> Gen.priceOutliersSql,
     "q141_sessionization" -> Gen.sessionizationSql,
     "q142_png_pixels" -> Gen.pngPixelsSql,
+    "q143_setsim_join" -> Gen.setSimJoinSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1219,6 +1220,30 @@ object OracleSql {
          |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_sec
          |FROM sx GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin
+
+    /** Twin of q143_setsim_join: the plain exact Jaccard self-join
+      * over the same distinct 3-shingle sets — the prefix-filter
+      * candidate generation is a Spark physical strategy (complete by
+      * the All-Pairs prefix theorem), not a semantic change, so the
+      * cross join IS the reference answer. All-integer ×1000
+      * similarity on both sides.
+      */
+    def setSimJoinSql: String =
+      s"""WITH wl AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |shx AS (SELECT id, unnest(${shinglesE("w", 3)}) AS s FROM wl),
+         |sh AS (SELECT id, list_distinct(list(${duckHash61("s")})) AS ts
+         |       FROM shx GROUP BY id),
+         |s AS (SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM sh
+         |      WHERE len(ts) >= 1),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
+         |         a.n AS n_a, b.n AS n_b
+         |       FROM s a JOIN s b ON a.id < b.id)
+         |SELECT id_a, id_b, n_inter, n_a, n_b,
+         |  CAST((1000 * n_inter) // (n_a + n_b - n_inter) AS BIGINT)
+         |    AS jaccard_x1000
+         |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
+         |ORDER BY id_a, id_b""".stripMargin
 
     /** Twin of q142_png_pixels: the Spark side PNG-encodes a
       * deterministic test pattern and DECODES it back through real

@@ -2257,6 +2257,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Exact set-similarity self-join ([[graft.dedup.Dedup.setSimJoin]],
+    * All-Pairs/PPJoin prefix filtering): every doc pair whose 3-word
+    * shingle sets overlap at Jaccard ≥ 0.6, with the EXACT integer
+    * per-mille similarity — the deterministic complement to the
+    * MinHash near-dup queries (q29/q34): no probabilistic misses, no
+    * false positives, candidates still generated by a bounded prefix
+    * join instead of the O(n²) cross join the oracle runs.
+    */
+  val q143_setsim_join: Q = (s, d) =>
+    Dedup.setSimJoin(Tables.documents(s, d), "doc_id",
+        TextFns.shingles(col("text"), 3), tauX1000 = 600,
+        itemKey = HashFns.hash61)
+      .orderBy("id_a", "id_b")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2400,5 +2414,6 @@ object Queries {
     "q139_entity_clusters" -> q139_entity_clusters,
     "q140_price_outliers" -> q140_price_outliers,
     "q141_sessionization" -> q141_sessionization,
-    "q142_png_pixels" -> q142_png_pixels)
+    "q142_png_pixels" -> q142_png_pixels,
+    "q143_setsim_join" -> q143_setsim_join)
 }

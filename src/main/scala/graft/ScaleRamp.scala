@@ -52,7 +52,13 @@ object ScaleRamp {
       "embeddings" -> Seq("vec_id"))
     val copyOnly = Seq("nation", "region", "supplier", "part")
 
-    remapKeys.foreach { case (name, keys) =>
+    // GRAFT_RAMP_REUSE=1 skips fixture synthesis when outDir already
+    // holds a ramped corpus — re-sweeping a different query subset at
+    // 100× should not pay the multi-minute write again
+    val reuse = sys.env.get("GRAFT_RAMP_REUSE").contains("1") &&
+      new java.io.File(s"$outDir/lineitem.parquet").exists()
+    if (reuse) System.err.println(s"[ramp] reusing fixtures in $outDir")
+    (if (reuse) Map.empty[String, Seq[String]] else remapKeys).foreach { case (name, keys) =>
       val raw = spark.read.parquet(s"$srcDir/$name.parquet")
       val rep = raw.withColumn("__rep",
         explode(sequence(lit(0), lit(factor - 1))))
@@ -77,7 +83,7 @@ object ScaleRamp {
       jittered.drop("__rep").repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
-    copyOnly.foreach { name =>
+    (if (reuse) Seq.empty[String] else copyOnly).foreach { name =>
       spark.read.parquet(s"$srcDir/$name.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }

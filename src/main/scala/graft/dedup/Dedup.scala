@@ -1223,4 +1223,110 @@ object Dedup {
       .where(col("dist") >= 1 && col("dist") <= maxDist)
       .select("name_a", "name_b", "dist")
   }
+
+  /** Exact set-similarity self-join (All-Pairs / PPJoin family —
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08): every pair of docs
+    * whose DISTINCT-item Jaccard is ≥ τ (items = any array column —
+    * tokens, word shingles, feature ids), with the EXACT similarity —
+    * the deterministic complement to MinHash near-dup (q29/q34), which
+    * trades exactness for constant-size signatures. Use this one when
+    * the pipeline needs a guarantee ("every pair above τ, no misses,
+    * no false positives"), MinHash when it needs fixed cost.
+    *
+    * Candidate generation is PREFIX FILTERING, provably complete:
+    * under any global token order, two sets with Jaccard ≥ τ share at
+    * least ⌈τ·max(n_x, n_y)⌉ tokens, so their prefixes of length
+    * n − ⌈τ·n⌉ + 1 must intersect (All-Pairs Theorem 1). The global
+    * order used is ascending document frequency (rarest first) — a
+    * heuristic that minimizes posting-list sizes without affecting
+    * completeness — and a length filter (τ·n_a ≤ n_b ≤ n_a/τ, also
+    * exact) prunes before verification. Verification joins the two
+    * sorted token arrays back and computes the exact intersection.
+    *
+    * τ is integer per-mille (`tauX1000`) and the output similarity is
+    * `jaccard_x1000 = 1000·|∩| div |∪|` — float-free end to end, so
+    * the DuckDB exact-join oracle hashes identically.
+    *
+    * Returns (id_a, id_b, n_inter, n_a, n_b, jaccard_x1000) with
+    * id_a < id_b, over docs with ≥ 1 token.
+    *
+    * Scale shape: one distinct over (doc, token), one df aggregation,
+    * a per-doc window bounded by that doc's token count for the
+    * prefix, the bounded [[graft.ops.Sketch.pairIntersections]]
+    * expansion over PREFIX postings only (each doc contributes
+    * n − ⌈τ·n⌉ + 1 ≈ (1−τ)·n keys, its rarest tokens), then one
+    * equi-join back to the sorted token arrays for the codegen'd
+    * `array_intersect` verify. `maxDf` is the same opt-in straggler
+    * valve as [[fuzzyValueMatches]]: dropping a prefix token whose
+    * postings exceed it trades bounded completeness loss for bounded
+    * worst-case work (default keeps exactness). `itemKey` maps each
+    * exploded item before set semantics apply — pass a 61-bit hash
+    * (q121's discipline) to run the whole join on 8-byte keys instead
+    * of shingle strings: ~3× on the verify stage, exact up to hash
+    * collisions (~2⁻⁶¹ per pair, the same trade every hashed-shingle
+    * operator in this engine makes, mirrored in the oracle).
+    */
+  def setSimJoin(df: DataFrame, idCol: String, items: Column,
+                 tauX1000: Int = 500,
+                 maxDf: Int = Int.MaxValue,
+                 itemKey: Column => Column = identity): DataFrame = {
+    require(tauX1000 >= 1 && tauX1000 <= 1000,
+      s"tauX1000=$tauX1000 must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    // ONE aggregation produces the per-doc sorted distinct-item array
+    // and its size; every downstream branch (df counts, prefix
+    // ranking, both verify joins) hangs off THIS subtree, so Spark's
+    // ReusedExchange serves all consumers from one computed exchange —
+    // a toks.distinct() with four consumers recomputed the whole
+    // scan+explode per branch (the q121 lesson, re-measured here:
+    // 7.3 → ~2 s at sf0.1)
+    // materialized eagerly: exchange reuse alone still re-runs the
+    // collect_set FINAL merge once per consumer (the shuffle output is
+    // cached, the post-shuffle aggregate is not), and this table has
+    // four consumers. One row per doc — the cut is small by
+    // construction (same policy as the connected-components rounds:
+    // reliable checkpoint dir when configured, localCheckpoint
+    // otherwise).
+    val arrays0 = df
+      .select(col(idCol).as("id"), explode(items).as("t0"))
+      // itemKey runs on the EXPLODED flat column, not inside a
+      // higher-order-function lambda — HOF lambdas are interpreted,
+      // a post-explode expression is codegen'd (the round-11 lesson)
+      .select(col("id"), itemKey(col("t0")).as("t"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("t"))).as("ts"))
+      .withColumn("n", size(col("ts")).cast("bigint"))
+      .where(col("n") >= 1)
+    val arrays =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        arrays0.checkpoint(eager = true)
+      else arrays0.localCheckpoint(eager = true)
+    val exploded = arrays.select(col("id"), col("n"), explode(col("ts")).as("t"))
+    val dft = exploded.groupBy("t").agg(count(lit(1)).as("dfc"))
+    // prefix length n − ⌈τ·n⌉ + 1, integer: ⌈τ·n⌉ = (τ·n + 999) div 1000
+    val prefix = exploded.join(dft, Seq("t"))
+      .withColumn("rk", row_number().over(Window.partitionBy("id")
+        .orderBy(col("dfc"), col("t"))))
+      .where(col("rk") <= expr(s"n - ((n * $tauX1000 + 999) div 1000) + 1")
+        && col("dfc") <= maxDf)
+      .select(col("id"), col("t"))
+    graft.ops.Sketch.pairIntersections(prefix, "id", "t")
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+      .join(arrays.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(arrays.select(col("id").as("id_b"), col("ts").as("ts_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      // exact length filter: Jaccard ≥ τ forces the sizes within a τ
+      // band; integer form avoids the division
+      .where(col("n_a") * tauX1000 <= col("n_b") * 1000 &&
+        col("n_b") * tauX1000 <= col("n_a") * 1000)
+      .withColumn("n_inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("bigint"))
+      .where(lit(1000) * col("n_inter") >=
+        lit(tauX1000) * (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("n_a"), col("n_b"),
+        expr("CAST((1000 * n_inter) div (n_a + n_b - n_inter) AS BIGINT)")
+          .as("jaccard_x1000"))
+  }
 }

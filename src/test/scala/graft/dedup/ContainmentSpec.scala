@@ -227,6 +227,69 @@ class ContainmentSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------ //
+  // setSimJoin                                                         //
+  // ------------------------------------------------------------------ //
+
+  test("setSimJoin ≡ the exact cross-join answer over token sets") {
+    // vocab-overlapping docs at a mid threshold: the prefix-filter
+    // candidates must reproduce EXACTLY the cross join's accepted set
+    val docs = (1L to 30L).map(i =>
+      (i, (0 to 11).map(j => s"w${(i * 3 + j * 5) % 17}").mkString(" ")))
+      .toDF("id", "text")
+    val got = Dedup.setSimJoin(docs, "id",
+        graft.functions.TextFns.tokens(col("text")), tauX1000 = 500)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val sets = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet).toMap
+    val want = (for {
+      a <- sets.keys.toSeq.sorted; b <- sets.keys.toSeq.sorted if a < b
+      inter = (sets(a) & sets(b)).size.toLong
+      union = (sets(a) | sets(b)).size.toLong
+      if 1000 * inter >= 500 * union
+    } yield (a, b, inter, 1000 * inter / union))
+    assert(got.toSeq === want)
+    assert(want.nonEmpty && want.size < (30 * 29) / 2,
+      s"test needs a non-trivial accepted subset, had ${want.size}")
+  }
+
+  test("setSimJoin finds exact duplicates and near-misses at the threshold boundary") {
+    val base = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                      // J(1,2)=1.0
+      (2L, base),
+      (3L, (1 to 9).map(i => s"t$i").mkString(" ")),   // J(1,3)=9/10
+      (4L, (1 to 5).map(i => s"t$i").mkString(" ")),   // J(1,4)=5/10 = τ exactly
+      (5L, (1 to 4).map(i => s"t$i").mkString(" ")),   // J(1,5)=4/10 < τ
+      (6L, "zz yy xx")).toDF("id", "text")
+    val out = Dedup.setSimJoin(docs, "id",
+        graft.functions.TextFns.tokens(col("text")), tauX1000 = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(out((1L, 2L)) === 1000L)
+    assert(out((1L, 3L)) === 900L)
+    assert(out((1L, 4L)) === 500L, "pairs AT the threshold are included")
+    assert(!out.contains((1L, 5L)), "pairs under the threshold are excluded")
+    assert(!out.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("setSimJoin is partition-invariant and works over shingle sets") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (3L, "p q r s t u v w")).toDF("id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.setSimJoin(d, "id", graft.functions.TextFns.shingles(col("text"), 3),
+          tauX1000 = 300)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSeq
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    assert(a === b)
+    // docs 1,2 share 5 of their 6+6 3-shingles: J = 5/7 ≈ 714‰
+    assert(a === Seq((1L, 2L, 714L)))
+  }
+
+  // ------------------------------------------------------------------ //
   // fuzzyValueMatches                                                  //
   // ------------------------------------------------------------------ //
 
