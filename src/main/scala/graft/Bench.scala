@@ -228,7 +228,8 @@ object Bench {
       "q133_budget_by_lang", "q134_hard_negatives",
       "q135_cluster_balance", "q136_quantile_norm", "q137_fuzzy_decontam",
       "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers",
-      "q141_sessionization", "q142_png_pixels", "q143_setsim_join")
+      "q141_sessionization", "q142_png_pixels", "q143_setsim_join",
+      "q144_event_funnel", "q145_funnel_report")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -446,6 +446,8 @@ object OracleSql {
     "q141_sessionization" -> Gen.sessionizationSql,
     "q142_png_pixels" -> Gen.pngPixelsSql,
     "q143_setsim_join" -> Gen.setSimJoinSql,
+    "q144_event_funnel" -> Gen.eventFunnelSql,
+    "q145_funnel_report" -> Gen.funnelReportSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
     "q69_mixture_sample" -> Gen.mixtureSampleSql,
@@ -1244,6 +1246,61 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id_a, id_b""".stripMargin
+
+    /** Shared CTE chain of the q144/q145 twins: earliest-completion
+      * funnel times per user — each step's min(ts) strictly after the
+      * previous step's recorded time.
+      */
+    private def funnelTimesCtes: String =
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+         |       JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+         |       JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+         |ft AS (SELECT u.user_id, t1 AS t_view, t2 AS t_click,
+         |         t3 AS t_purchase,
+         |         CAST(CASE WHEN t3 IS NOT NULL THEN 3
+         |              WHEN t2 IS NOT NULL THEN 2
+         |              WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |           AS steps_completed,
+         |         CAST(CASE WHEN t3 IS NOT NULL
+         |              THEN date_diff('second', t1, t3) END AS BIGINT)
+         |           AS secs_to_convert
+         |       FROM u LEFT JOIN s1 USING (user_id)
+         |         LEFT JOIN s2 USING (user_id)
+         |         LEFT JOIN s3 USING (user_id))""".stripMargin
+
+    /** Twin of q144_event_funnel: the funnel CTEs, one row per user. */
+    def eventFunnelSql: String =
+      funnelTimesCtes + "\nSELECT * FROM ft ORDER BY user_id"
+
+    /** Twin of q145_funnel_report: per-step reach + per-mille
+      * conversions off the same funnel CTEs.
+      */
+    def funnelReportSql: String =
+      funnelTimesCtes + s""",
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |        CAST(count(t_view) AS BIGINT) AS c0,
+        |        CAST(count(t_click) AS BIGINT) AS c1,
+        |        CAST(count(t_purchase) AS BIGINT) AS c2 FROM ft)
+        |SELECT step, event_type, n_users, conv_from_prev_x1000,
+        |  conv_from_top_x1000 FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |    c0 AS n_users,
+        |    CAST((1000 * c0) // greatest(total, 1) AS BIGINT) AS conv_from_prev_x1000,
+        |    CAST((1000 * c0) // greatest(c0, 1) AS BIGINT) AS conv_from_top_x1000
+        |  FROM c
+        |  UNION ALL SELECT 2, 'click', c1,
+        |    CAST((1000 * c1) // greatest(c0, 1) AS BIGINT),
+        |    CAST((1000 * c1) // greatest(c0, 1) AS BIGINT) FROM c
+        |  UNION ALL SELECT 3, 'purchase', c2,
+        |    CAST((1000 * c2) // greatest(c1, 1) AS BIGINT),
+        |    CAST((1000 * c2) // greatest(c0, 1) AS BIGINT) FROM c)
+        |ORDER BY step""".stripMargin
 
     /** Twin of q142_png_pixels: the Spark side PNG-encodes a
       * deterministic test pattern and DECODES it back through real

@@ -2271,6 +2271,28 @@ object Queries {
         itemKey = HashFns.hash61)
       .orderBy("id_a", "id_b")
 
+  /** Ordered event funnel ([[graft.ops.Funnel.funnelTimes]]): per
+    * user, the earliest view → click → purchase completion chain
+    * (step i counts only strictly after step i−1 — order is the
+    * point), with steps-completed depth and whole-funnel seconds.
+    * S filtered scans + user-keyed min aggregations; never a
+    * per-user event-history window.
+    */
+  val q144_event_funnel: Q = (s, d) =>
+    graft.ops.Funnel.funnelTimes(Tables.events(s, d), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  /** The aggregate funnel report ([[graft.ops.Funnel.funnelReport]]):
+    * per step, users reaching it and integer per-mille conversion
+    * from the previous step and from the top — a broadcast-sized
+    * table derived from q144's per-user times.
+    */
+  val q145_funnel_report: Q = (s, d) =>
+    graft.ops.Funnel.funnelReport(Tables.events(s, d), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("step")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2415,5 +2437,7 @@ object Queries {
     "q140_price_outliers" -> q140_price_outliers,
     "q141_sessionization" -> q141_sessionization,
     "q142_png_pixels" -> q142_png_pixels,
-    "q143_setsim_join" -> q143_setsim_join)
+    "q143_setsim_join" -> q143_setsim_join,
+    "q144_event_funnel" -> q144_event_funnel,
+    "q145_funnel_report" -> q145_funnel_report)
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered event-funnel analysis — "of the users who did A, how many
+  * went on to do B after it, then C after that, and how fast": the
+  * product-analytics staple over an event stream (view → click →
+  * purchase), and the same shape a data pipeline uses for multi-stage
+  * process tracking (ingested → parsed → indexed).
+  *
+  * Semantics: the funnel is EARLIEST-COMPLETION — step 1's time is the
+  * user's first step-1 event; step i's time is the first step-i event
+  * STRICTLY AFTER the recorded step-(i−1) time. A user stops counting
+  * at the first step they never performed after the previous one
+  * (events before the prior step do not count — order matters, that is
+  * the point of a funnel).
+  *
+  * Note the earliest-completion greedy choice is deliberate and
+  * standard, not the maximal matching: taking the EARLIEST valid event
+  * at each step never forecloses a later completion (any chain through
+  * a later step-i event is also a chain through the earliest one),
+  * so "completed k steps" is exact; only the reported times are the
+  * greedy ones.
+  *
+  * Scale shape: one filtered pass over the events per step — the
+  * `event_type = step` predicate reaches the scan as a pushed filter,
+  * so each pass reads only its step's rows — each aggregated
+  * (map-side partial min) by user and joined on the user key; S steps
+  * = S scans + S user-keyed shuffles, never a per-user window over
+  * the full event history (a power user with 10⁹ events costs the
+  * same as anyone else: min() partials, no sort, no collected list).
+  */
+object Funnel {
+
+  /** One row per user: `(user, t_<step1>.., steps_completed,
+    * secs_to_convert)` — times null from the first missed step on;
+    * `secs_to_convert` = whole-funnel seconds, null unless every step
+    * completed.
+    */
+  def funnelTimes(df: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val users = df.select(col(userCol).as("__u")).distinct()
+    var acc: DataFrame = null
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val ev = df.where(col(typeCol) === st)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+      val stepMin =
+        if (i == 0) ev.groupBy("__u").agg(min("__ts").as(s"__t$i"))
+        else ev.join(acc.select(col("__u"), col(s"__t${i - 1}")), "__u")
+          .where(col("__ts") > col(s"__t${i - 1}"))
+          .groupBy("__u").agg(min("__ts").as(s"__t$i"))
+      acc = if (i == 0) stepMin else acc.join(stepMin, Seq("__u"), "left")
+    }
+    val withTimes = users.join(acc, Seq("__u"), "left")
+    // ascending fold so the DEEPEST completed step wraps outermost —
+    // each later `when` shadows the earlier ones
+    val completed = steps.indices
+      .foldLeft(lit(0L)) { (els, i) =>
+        when(col(s"__t$i").isNotNull, lit((i + 1).toLong)).otherwise(els)
+      }
+    val last = steps.size - 1
+    withTimes.select(
+      col("__u").as(userCol) +:
+        steps.zipWithIndex.map { case (st, i) => col(s"__t$i").as(s"t_$st") } :+
+        completed.as("steps_completed") :+
+        when(col(s"__t$last").isNotNull,
+          (unix_timestamp(col(s"__t$last")) - unix_timestamp(col("__t0")))
+            .cast("bigint")).as("secs_to_convert"): _*)
+  }
+
+  /** The aggregate funnel report over [[funnelTimes]]: one row per
+    * step — users reaching it, conversion from the previous step and
+    * from the top, integer per-mille. The row count is the step list,
+    * so the whole report is a broadcastable handful of rows.
+    */
+  def funnelReport(df: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String]): DataFrame = {
+    val times = funnelTimes(df, userCol, typeCol, tsCol, steps)
+    val counts = times.agg(
+      count(lit(1)).as("__total"),
+      steps.indices.map(i =>
+        count(col(s"t_${steps(i)}")).as(s"__c$i")): _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      counts.select(
+        lit((i + 1).toLong).as("step"),
+        lit(st).as("event_type"),
+        col(s"__c$i").as("n_users"),
+        expr(s"CAST((1000 * __c$i) div greatest(${if (i == 0) "__total" else s"__c${i - 1}"}, 1) AS BIGINT)")
+          .as("conv_from_prev_x1000"),
+        expr(s"CAST((1000 * __c$i) div greatest(__c0, 1) AS BIGINT)")
+          .as("conv_from_top_x1000"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+}

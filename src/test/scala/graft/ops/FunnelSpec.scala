@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val events = Seq(
+    // user 1: clean view -> click -> purchase chain
+    (1L, "view", "2024-01-01 10:00:00"),
+    (1L, "click", "2024-01-01 10:05:00"),
+    (1L, "purchase", "2024-01-01 10:10:00"),
+    // user 2: clicked BEFORE ever viewing — the pre-view click must
+    // not count; a later click after the view completes step 2, but
+    // there is no purchase after that click
+    (2L, "click", "2024-01-01 09:00:00"),
+    (2L, "purchase", "2024-01-01 09:30:00"),
+    (2L, "view", "2024-01-01 10:00:00"),
+    (2L, "click", "2024-01-01 11:00:00"),
+    // user 3: viewed only
+    (3L, "view", "2024-01-01 08:00:00"),
+    // user 4: never in the funnel (only signups)
+    (4L, "signup", "2024-01-01 08:00:00"),
+    // user 5: two full chains — earliest completion wins
+    (5L, "view", "2024-01-01 01:00:00"),
+    (5L, "click", "2024-01-01 02:00:00"),
+    (5L, "purchase", "2024-01-01 03:00:00"),
+    (5L, "view", "2024-01-02 01:00:00"),
+    (5L, "click", "2024-01-02 02:00:00"),
+    (5L, "purchase", "2024-01-02 03:00:00"))
+    .map { case (u, t, s) => (u, t, ts(s)) }
+    .toDF("user_id", "event_type", "ts")
+
+  private val steps = Seq("view", "click", "purchase")
+
+  test("funnelTimes: order matters, earliest completion, partial depths") {
+    val out = Funnel.funnelTimes(events, "user_id", "event_type", "ts", steps)
+      .orderBy("user_id").collect()
+    val byUser = out.map(r => r.getLong(0) ->
+      (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(byUser.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(byUser(1L)._4 === 3L)
+    assert(byUser(1L)._5 === 600L, "10:00 -> 10:10 is 600 seconds")
+    // user 2: the 09:00 click and 09:30 purchase precede the view —
+    // only the 11:00 click counts, purchase never completes
+    assert(byUser(2L)._2 === ts("2024-01-01 11:00:00"))
+    assert(byUser(2L)._3 === null && byUser(2L)._4 === 2L && byUser(2L)._5 === -1L)
+    assert(byUser(3L)._4 === 1L)
+    assert(byUser(4L) === ((null, null, null, 0L, -1L)))
+    // user 5: the FIRST chain's times, not the second's
+    assert(byUser(5L)._1 === ts("2024-01-01 01:00:00"))
+    assert(byUser(5L)._3 === ts("2024-01-01 03:00:00"))
+    assert(byUser(5L)._4 === 3L)
+  }
+
+  test("funnelTimes is partition-invariant") {
+    val a = Funnel.funnelTimes(events, "user_id", "event_type", "ts", steps)
+      .orderBy("user_id").collect()
+    val b = Funnel.funnelTimes(events.repartition(7), "user_id", "event_type", "ts", steps)
+      .orderBy("user_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("funnelReport: per-step reach and per-mille conversions") {
+    val rep = Funnel.funnelReport(events, "user_id", "event_type", "ts", steps)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 5 users total; 4 viewed (1,2,3,5), 3 clicked after view (1,2,5),
+    // 2 purchased after that (1,5)
+    assert(rep.toSeq === Seq(
+      (1L, "view", 4L, 800L, 1000L),
+      (2L, "click", 3L, 750L, 750L),
+      (3L, "purchase", 2L, 666L, 500L)))
+  }
+
+  test("a single-step funnel degenerates to first-event-per-user") {
+    val out = Funnel.funnelTimes(events, "user_id", "event_type", "ts", Seq("view"))
+      .orderBy("user_id").collect()
+    val u1 = out.find(_.getLong(0) == 1L).get
+    assert(u1.getTimestamp(1) === ts("2024-01-01 10:00:00"))
+    assert(u1.getLong(2) === 1L)
+    assert(u1.getLong(3) === 0L, "single-step conversion time is zero")
+  }
+}
