@@ -447,6 +447,7 @@ object OracleSql {
     "q142_png_pixels" -> Gen.pngPixelsSql,
     "q143_setsim_join" -> Gen.setSimJoinSql,
     "q144_event_funnel" -> Gen.eventFunnelSql,
+    "q146_png_grid_features" -> Gen.pngGridFeaturesSql,
     "q145_funnel_report" -> Gen.funnelReportSql,
     "q50_bpe_token_count" -> Gen.bpeTokenCountSql,
     "q68_doc_repetition" -> Gen.docRepetitionSql,
@@ -1325,6 +1326,35 @@ object OracleSql {
          |  CAST((100 * sum(255)) // (w * h) AS BIGINT) AS mean_a_x100
          |FROM px GROUP BY doc_id, w, h
          |ORDER BY doc_id""".stripMargin
+
+    /** Twin of q146_png_grid_features: every grid-cell channel mean
+      * recomputed from the closed-form test-pattern formula — cell id
+      * uses the SAME integer split as the decoder-side descriptor
+      * ((g·y) div h, (g·x) div w), so a hash match certifies the
+      * whole decode→grid→mean pipeline pixel-exactly. Unpivoted to
+      * (doc_id, pos, feature) with pos = 3·cell + channel.
+      */
+    def pngGridFeaturesSql: String =
+      s"""WITH base AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+         |                     doc_id % 11 + 4 AS h FROM documents),
+         |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM base),
+         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+         |cp AS (SELECT doc_id,
+         |         ((2 * y) // h) * 2 + ((2 * x) // w) AS cell,
+         |         (doc_id * 7 + 3 * x + 5 * y) % 256 AS r,
+         |         (doc_id * 11 + x + 2 * y) % 256 AS g,
+         |         (doc_id * 13 + 2 * x + y) % 256 AS b
+         |       FROM px),
+         |cm AS (SELECT doc_id, cell,
+         |         sum(r) // count(*) AS mr, sum(g) // count(*) AS mg,
+         |         sum(b) // count(*) AS mb
+         |       FROM cp GROUP BY doc_id, cell)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(feature AS BIGINT) AS feature FROM (
+         |  SELECT doc_id, 3 * cell AS pos, mr AS feature FROM cm
+         |  UNION ALL SELECT doc_id, 3 * cell + 1, mg FROM cm
+         |  UNION ALL SELECT doc_id, 3 * cell + 2, mb FROM cm)
+         |ORDER BY doc_id, pos""".stripMargin
 
     /** Twin of q140_price_outliers: quantile_cont ≡ Spark
       * `percentile` (q55 parity), same two-stage median/MAD and the

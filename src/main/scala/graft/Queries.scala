@@ -2293,6 +2293,26 @@ object Queries {
         "event_type", "ts", Seq("view", "click", "purchase"))
       .orderBy("step")
 
+  /** Real PNG grid pixel features
+    * ([[graft.multimodal.Multimodal.pngGridFeatures]]): the q142 test
+    * pattern decoded back through real zlib, then the 2×2-cell
+    * color-layout descriptor (integer per-channel RGB means per cell)
+    * — emitted relationally as (doc_id, pos, feature) so the DuckDB
+    * twin recomputes every feature from the closed-form pixel formula
+    * and a hash match certifies the feature pipeline end to end.
+    */
+  val q146_png_grid_features: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.PngCodec.testImage(
+      id, (id % 13 + 4).toInt, (id % 11 + 4).toInt))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("png"))
+    graft.multimodal.Multimodal.pngGridFeatures(media, "doc_id", "png", grid = 2)
+      .select(col("id").as("doc_id"),
+        posexplode(col("features")).as(Seq("pos", "feature")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("feature"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2439,5 +2459,6 @@ object Queries {
     "q142_png_pixels" -> q142_png_pixels,
     "q143_setsim_join" -> q143_setsim_join,
     "q144_event_funnel" -> q144_event_funnel,
-    "q145_funnel_report" -> q145_funnel_report)
+    "q145_funnel_report" -> q145_funnel_report,
+    "q146_png_grid_features" -> q146_png_grid_features)
 }

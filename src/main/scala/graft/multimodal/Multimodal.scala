@@ -249,6 +249,31 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL pixel-feature stage for PNG media: per blob, the g×g
+    * grid of integer per-channel RGB means over the DECODED pixels
+    * ([[PngCodec.gridFeatures]] — the color-layout descriptor), as an
+    * `array<bigint>` of length 3·g² ready for the similarity
+    * operators (cast to float for cosine, or use as-is for exact
+    * L1/L2 over integers). Undecodable blobs yield a null vector.
+    * Same batched map-only shape as [[probeMetadata]].
+    */
+  def pngGridFeatures(df: DataFrame, idCol: String, mediaCol: String,
+                      grid: Int = 2, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("features", ArrayType(LongType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val f = PngCodec.gridFeatures(r.getAs[Array[Byte]]("media"), grid)
+            Row(r.get(0), if (f == null) null else f.toSeq)
+          }
+        }
+      }(enc)
+  }
+
   /** Resize stage (images): media → resized media, metadata preserved. */
   def resize(df: DataFrame, idCol: String, mediaCol: String, w: Int, h: Int,
              codec: MediaCodec = StubCodec, batchSize: Int = 64): DataFrame = {

@@ -291,6 +291,43 @@ object PngCodec {
     encode(w, h, rgba, y => ((id + y) % 5).toInt)
   }
 
+  /** REAL pixel features from a decoded PNG: the image is cut into a
+    * g×g cell grid and each cell contributes its integer per-channel
+    * RGB mean — a 3·g² feature vector of actual pixel statistics (the
+    * classic color-layout descriptor), not a content-hash fake. Cells
+    * partition the image by the same integer split nearest-neighbor
+    * resize uses (pixel (x,y) → cell (g·x div w, g·y div h)), so every
+    * pixel lands in exactly one cell and the means are exact integers
+    * — a DuckDB oracle can recompute them from a closed-form pixel
+    * formula. Layout: cell-major row order, (r, g, b) per cell.
+    * Returns null for undecodable bytes.
+    */
+  def gridFeatures(bytes: Array[Byte], g: Int): Array[Long] = {
+    val img = decode(bytes)
+    if (img == null || g <= 0) return null
+    val sums = new Array[Long](g * g * 3)
+    val counts = new Array[Long](g * g)
+    var y = 0
+    while (y < img.height) {
+      val cy = g * y / img.height
+      var x = 0
+      while (x < img.width) {
+        val cell = cy * g + g * x / img.width
+        val p = (y * img.width + x) * 4
+        sums(cell * 3) += img.rgba(p) & 0xFF
+        sums(cell * 3 + 1) += img.rgba(p + 1) & 0xFF
+        sums(cell * 3 + 2) += img.rgba(p + 2) & 0xFF
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(g * g * 3) { i =>
+      val c = counts(i / 3)
+      if (c == 0) 0L else sums(i) / c
+    }
+  }
+
   /** Real nearest-neighbor resize for PNG bytes: decode → sample →
     * re-encode. Null in (unsupported) → null out.
     */

@@ -130,6 +130,30 @@ class PngCodecSpec extends SparkSpec {
     }
   }
 
+  test("gridFeatures: cell means are exact over a hand-checkable image") {
+    // 2x2 image, one pixel per cell at g=2 — the feature vector IS the
+    // pixel values, channel by channel
+    val rgba = Array[Byte](
+      10, 20, 30, -1, 40, 50, 60, -1,
+      70, 80, 90, -1, 100, 110, 120, -1)
+    val f = PngCodec.gridFeatures(PngCodec.encode(2, 2, rgba), 2)
+    assert(f.toSeq === Seq(10L, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+    // g=1 collapses to the whole-image mean
+    val f1 = PngCodec.gridFeatures(PngCodec.encode(2, 2, rgba), 1)
+    assert(f1.toSeq === Seq((10L + 40 + 70 + 100) / 4,
+      (20L + 50 + 80 + 110) / 4, (30L + 60 + 90 + 120) / 4))
+    assert(PngCodec.gridFeatures("nope".getBytes, 2) === null)
+  }
+
+  test("pngGridFeatures stage feeds exact integer vectors; null for bad blobs") {
+    val rows = Seq((1L, PngCodec.testImage(3L, 8, 6)),
+      (2L, "bad".getBytes)).toDF("doc_id", "png")
+    val out = Multimodal.pngGridFeatures(rows, "doc_id", "png", grid = 2)
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1).length === 12)
+    assert(out(1).isNullAt(1))
+  }
+
   test("pngPixelStats: batched stage decodes good blobs and error-routes bad ones") {
     val good = PngCodec.testImage(5L, 6, 4)
     val rows = Seq((1L, good), (2L, "garbage".getBytes), (3L, null))
