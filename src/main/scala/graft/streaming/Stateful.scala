@@ -96,6 +96,77 @@ object Stateful {
   }
 
   // ------------------------------------------------------------------ //
+  // Streaming ordered funnel (keyed greedy chain state)                //
+  // ------------------------------------------------------------------ //
+
+  final case class FunnelEvent(user: Long, eventType: String,
+                               ts: java.sql.Timestamp)
+  /** Epoch-millis time of each completed step so far (length = depth). */
+  final case class FunnelState(times: Array[Long])
+  final case class FunnelUpdate(user: Long, steps_completed: Int,
+                                last_step_ts: java.sql.Timestamp,
+                                converted: Boolean)
+
+  /** STREAMING form of [[graft.ops.Funnel.funnelTimes]]: per user, the
+    * greedy earliest view→…→purchase chain advanced incrementally —
+    * state is just the completed steps' times (≤ S longs per user,
+    * bounded by construction), never the event history. Emits an
+    * update whenever a user's depth advances; `converted` marks full
+    * completion. State dies `stateTtlMs` after the user's last event
+    * (event-time timeout — deterministic and replayable).
+    *
+    * Semantics note (documented micro-batch deviation, same class as
+    * the per-attempt observer deviation): events are processed in
+    * event-time order WITHIN each micro-batch, so the result is
+    * bit-identical to the batch operator whenever each user's events
+    * arrive across batches in event-time order (the Kafka
+    * per-partition guarantee for a user-keyed topic). A cross-batch
+    * straggler that lands behind an already-advanced step cannot
+    * retroactively lower the chain — the batch operator would; the
+    * differential spec pins the identical-order case.
+    */
+  def funnelUpdates(ds: org.apache.spark.sql.Dataset[FunnelEvent],
+                    steps: Seq[String], watermarkDelay: String = "10 seconds",
+                    stateTtlMs: Long = 3600L * 1000)
+      : org.apache.spark.sql.Dataset[FunnelUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"bad step list: $steps")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var times = state.getOption.map(_.times).getOrElse(Array.empty[Long])
+            val before = times.length
+            val evs = events.toArray.sortBy(_.ts.getTime)
+            var lastTs = 0L
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              lastTs = math.max(lastTs, t)
+              if (times.length < stepArr.length &&
+                  e.eventType == stepArr(times.length) &&
+                  (times.isEmpty || t > times.last))
+                times = times :+ t
+            }
+            if (times.length > before || state.getOption.isEmpty)
+              state.update(FunnelState(times))
+            if (lastTs > 0L) state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            if (times.length > before)
+              Iterator(FunnelUpdate(user, times.length,
+                new java.sql.Timestamp(times.last),
+                converted = times.length == stepArr.length))
+            else Iterator.empty
+          }
+      }
+  }
+
+  // ------------------------------------------------------------------ //
   // Streaming near-dup detection (SimHash LSH over keyed state)        //
   // ------------------------------------------------------------------ //
 

@@ -240,6 +240,75 @@ class StatefulSpec extends SparkSpec {
       .map(u => (u.events, u.total)) === Seq((1L, 1.0)))
   }
 
+  test("streaming funnel ≡ batch funnelTimes on event-time-ordered batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    def fev(user: Long, tpe: String, hhmm: String) =
+      Stateful.FunnelEvent(user, tpe, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"))
+    // users: 1 converts across batches; 2 clicked before viewing (the
+    // pre-view click must not count); 3 views only
+    val batch1 = Seq(fev(1, "view", "10:00"), fev(2, "click", "09:00"),
+      fev(2, "view", "10:00"), fev(3, "view", "08:00"))
+    // later batches stay within the 10s watermark of each other's max
+    // event time — a cross-batch event older than the advanced
+    // watermark is dropped by design (the documented ordered-arrival
+    // contract)
+    val batch2 = Seq(fev(1, "click", "10:05"), fev(2, "click", "10:06"))
+    val batch3 = Seq(fev(1, "purchase", "10:10"))
+    val stream = MemoryStream[Stateful.FunnelEvent]
+    val updates = mutable.Buffer.empty[Stateful.FunnelUpdate]
+    val q = Stateful.funnelUpdates(stream.toDS(), steps).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.FunnelUpdate], _: Long) =>
+        updates.synchronized { updates ++= df.collect() }
+        ()
+      }.start()
+    Seq(batch1, batch2, batch3).foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // final depth per user from the stream
+    val streamDepth = updates.groupBy(_.user)
+      .map { case (u, us) => u -> us.map(_.steps_completed).max }
+    // batch readback over the SAME events
+    val all = (batch1 ++ batch2 ++ batch3)
+      .map(e => (e.user, e.eventType, e.ts)).toDF("user_id", "event_type", "ts")
+    val batchDepth = graft.ops.Funnel
+      .funnelTimes(all, "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(streamDepth === Map(1L -> 3, 2L -> 2, 3L -> 1))
+    assert(batchDepth.view.filterKeys(streamDepth.contains).toMap
+      === streamDepth.map { case (k, v) => k -> v.toLong })
+    // conversion flag and time match the batch chain's last step
+    val conv = updates.filter(_.converted)
+    assert(conv.map(_.user) === Seq(1L))
+    assert(conv.head.last_step_ts === java.sql.Timestamp.valueOf("2024-01-01 10:10:00"))
+  }
+
+  test("streaming funnel: out-of-order WITHIN a batch is ordered; depth never regresses") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click")
+    def fev(user: Long, tpe: String, hhmm: String) =
+      Stateful.FunnelEvent(user, tpe, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"))
+    val stream = MemoryStream[Stateful.FunnelEvent]
+    val updates = mutable.Buffer.empty[Stateful.FunnelUpdate]
+    val q = Stateful.funnelUpdates(stream.toDS(), steps).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.FunnelUpdate], _: Long) =>
+        updates.synchronized { updates ++= df.collect() }
+        ()
+      }.start()
+    // click arrives FIRST in the batch but is event-time AFTER the
+    // view — in-batch ordering must complete both steps
+    stream.addData(fev(7, "click", "10:30"), fev(7, "view", "10:00"))
+    q.processAllAvailable()
+    q.stop()
+    assert(updates.map(u => (u.user, u.steps_completed, u.converted))
+      === Seq((7L, 2, true)))
+  }
+
   test("streaming near-dup: duplicates flagged within TTL, state dies after it") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.DocEvent]
