@@ -1309,17 +1309,33 @@ object Dedup {
         .orderBy(col("dfc"), col("t"))))
       .where(col("rk") <= expr(s"n - ((n * $tauX1000 + 999) div 1000) + 1")
         && col("dfc") <= maxDf)
-      .select(col("id"), col("t"))
-    graft.ops.Sketch.pairIntersections(prefix, "id", "t")
-      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+      .select(col("id"), col("t"), col("n"), col("rk"))
+    // candidate pairs with PPJoin's POSITIONAL filter (Xiao et al.
+    // Lemma): for the FIRST token two sets share (in the global
+    // order), overlap ≤ 1 + min(n_a − rk_a, n_b − rk_b) — only the
+    // elements after it can still match. A qualifying pair always
+    // passes on its first shared token (the bound is an overlap upper
+    // bound), so pruning rows where even that ceiling misses the
+    // τ-implied overlap keeps completeness while cutting the
+    // candidate set the verify join pays for (~300 k → ~10 k on the
+    // sf0.1 corpus). The exact length band folds in here too — both
+    // sizes ride the posting struct.
+    val cands = prefix.groupBy("t")
+      .agg(sort_array(collect_set(struct(col("id"), col("n"), col("rk")))).as("ks"))
+      .select(explode(graft.ops.Sketch.pairStructs(col("ks"))).as("p"))
+      .withColumn("ub", lit(1L) +
+        least(col("p.ia.n") - col("p.ia.rk"), col("p.ib.n") - col("p.ib.rk")))
+      .where(lit(1000) * col("ub") >=
+        lit(tauX1000) * (col("p.ia.n") + col("p.ib.n") - col("ub")))
+      .where(col("p.ia.n") * tauX1000 <= col("p.ib.n") * 1000 &&
+        col("p.ib.n") * tauX1000 <= col("p.ia.n") * 1000)
+      .select(col("p.ia.id").as("id_a"), col("p.ib.id").as("id_b"))
+      .distinct()
+    cands
       .join(arrays.select(col("id").as("id_a"), col("ts").as("ts_a"),
         col("n").as("n_a")), Seq("id_a"))
       .join(arrays.select(col("id").as("id_b"), col("ts").as("ts_b"),
         col("n").as("n_b")), Seq("id_b"))
-      // exact length filter: Jaccard ≥ τ forces the sizes within a τ
-      // band; integer form avoids the division
-      .where(col("n_a") * tauX1000 <= col("n_b") * 1000 &&
-        col("n_b") * tauX1000 <= col("n_a") * 1000)
       .withColumn("n_inter",
         size(array_intersect(col("ts_a"), col("ts_b"))).cast("bigint"))
       .where(lit(1000) * col("n_inter") >=
