@@ -426,6 +426,7 @@ object OracleSql {
     "q121_containment" -> Gen.containmentSql,
     "q122_budget_select" -> Gen.budgetSelectSql,
     "q123_ann_recall" -> Gen.annRecallSql,
+    "q147_rank_eval" -> Gen.rankEvalSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1969,6 +1970,51 @@ object OracleSql {
          |  CAST((1000 * COALESCE(h.n_hits, 0)) // 5 AS BIGINT) AS recall_x1000
          |FROM (SELECT DISTINCT query_id FROM bex) qq LEFT JOIN h USING (query_id)
          |ORDER BY qq.query_id""".stripMargin
+
+    /** Twin of q147_rank_eval: the q123 CTEs with ranks kept on both
+      * rankings, gains from the SAME emitted integer CASE tables
+      * (graft.sim.Similarity.dcgGainCaseSql / idcgCaseSql) — the
+      * one-emitter discipline makes the nDCG surface engine-exact
+      * despite its logarithmic definition.
+      */
+    def rankEvalSql: String = {
+      val gain = graft.sim.Similarity.dcgGainCaseSql("a.rank", 5)
+      val idcg = graft.sim.Similarity.idcgCaseSql("n_gt", 5)
+      s"""$ivfCellCtes,
+         |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 3),
+         |qp AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, f.cell, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosineE("q.qv", "f.v")} DESC, f.cell DESC) AS rnk
+         |  FROM q CROSS JOIN cfin f) t WHERE rnk <= 2),
+         |scored AS (
+         |  SELECT qp.query_id, ca.id, ${cosineE("ev.v", "qq.qv")} AS sim
+         |  FROM qp JOIN casn ca ON ca.cell = qp.cell
+         |       JOIN e ev ON ev.id = ca.id
+         |       JOIN q qq ON qq.query_id = qp.query_id),
+         |ann AS (SELECT query_id, id, CAST(rnk AS BIGINT) AS rank
+         |  FROM (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rnk
+         |  FROM scored) t WHERE rnk <= 5),
+         |bscored AS (SELECT q.query_id, ev.id, ${cosineE("ev.v", "q.qv")} AS sim
+         |  FROM e ev CROSS JOIN q),
+         |bex AS (SELECT query_id, id FROM (SELECT query_id, id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rnk
+         |  FROM bscored) t WHERE rnk <= 5),
+         |h AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |        CAST(min(a.rank) AS BIGINT) AS fhr,
+         |        CAST(sum($gain) AS BIGINT) AS dcg
+         |      FROM ann a JOIN bex b ON a.query_id = b.query_id AND a.id = b.id
+         |      GROUP BY a.query_id),
+         |g AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gt
+         |      FROM bex GROUP BY 1)
+         |SELECT g.query_id, COALESCE(n_hits, 0) AS n_hits,
+         |  COALESCE(fhr, 0) AS first_hit_rank,
+         |  CAST(CASE WHEN COALESCE(fhr, 0) > 0 THEN 1000 // fhr
+         |       ELSE 0 END AS BIGINT) AS mrr_x1000,
+         |  CAST((1000 * COALESCE(dcg, 0)) // greatest($idcg, 1) AS BIGINT)
+         |    AS ndcg_x1000
+         |FROM g LEFT JOIN h USING (query_id) ORDER BY g.query_id""".stripMargin
+    }
 
     /** Twin of q81_semdedup: the q79 IVF cells, then within each cell
       * drop every vector with a lower-id neighbor at cosine >= 0.4

@@ -2313,6 +2313,22 @@ object Queries {
       .orderBy("doc_id", "pos")
   }
 
+  /** Ranking-quality evaluation ([[graft.sim.Similarity.rankEval]]):
+    * MRR + integer nDCG@5 of the q123 IVF index against the same
+    * brute-force ground truth — recall says whether the true
+    * neighbors were found, this says where the index ranked them.
+    */
+  val q147_rank_eval: Q = (s, d) => {
+    val e = Scale.fanOut(Tables.embeddings(s, d))
+    val qs = e.where(col("vec_id") < 3)
+    val ann = Similarity.ivfTopKAuto(e, "vec_id", "embedding",
+      qs, "vec_id", "embedding",
+      k = 5, numCells = 4, nProbe = 2, iters = 1, sampleN = 64)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5)
+    Similarity.rankEval(ann, exact, k = 5).orderBy("query_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2460,5 +2476,6 @@ object Queries {
     "q143_setsim_join" -> q143_setsim_join,
     "q144_event_funnel" -> q144_event_funnel,
     "q145_funnel_report" -> q145_funnel_report,
-    "q146_png_grid_features" -> q146_png_grid_features)
+    "q146_png_grid_features" -> q146_png_grid_features,
+    "q147_rank_eval" -> q147_rank_eval)
 }

@@ -122,7 +122,8 @@ object ScaleRamp {
       "q135_cluster_balance", "q136_quantile_norm", "q137_fuzzy_decontam",
       "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers",
       "q141_sessionization", "q142_png_pixels", "q143_setsim_join",
-      "q144_event_funnel", "q145_funnel_report", "q146_png_grid_features")
+      "q144_event_funnel", "q145_funnel_report", "q146_png_grid_features",
+      "q147_rank_eval")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

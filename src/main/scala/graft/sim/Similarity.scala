@@ -629,4 +629,67 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall_x1000", expr(s"(1000 * n_hits) div $k"))
   }
+
+  /** Integer DCG gain ×10⁶ at 1-indexed rank r: round(10⁶/log2(r+1)).
+    * A FIXED table of constants per k, so "nDCG needs floats" never
+    * enters the plan — both engines consume the SAME literals via the
+    * emitters below (the one-emitter oracle discipline).
+    */
+  def dcgGainX1e6(r: Int): Long =
+    math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Gain CASE over a 1-indexed rank expression, ranks beyond k → 0. */
+  def dcgGainCaseSql(rankE: String, k: Int): String =
+    "(CASE " + (1 to k).map(r =>
+      s"WHEN ($rankE) = $r THEN CAST(${dcgGainX1e6(r)} AS BIGINT)")
+      .mkString(" ") + " ELSE CAST(0 AS BIGINT) END)"
+
+  /** Ideal-DCG CASE over a ground-truth-size expression (n ≤ k holds
+    * by construction — the ground truth is a top-k table).
+    */
+  def idcgCaseSql(nE: String, k: Int): String = {
+    val prefix = (1 to k).scanLeft(0L)(_ + dcgGainX1e6(_)).tail
+    "(CASE " + (1 to k).map(r =>
+      s"WHEN ($nE) = $r THEN CAST(${prefix(r - 1)} AS BIGINT)")
+      .mkString(" ") + s" ELSE CAST(${prefix(k - 1)} AS BIGINT) END)"
+  }
+
+  /** Ranking-quality evaluation beyond set recall: MRR and nDCG@k of
+    * a ranked ANN result against exact ground truth — recall@k says
+    * WHETHER the true neighbors were found, these say WHERE the index
+    * put them (an index that returns every true neighbor at the
+    * bottom of its list recalls 1000 but ranks badly — re-ranking
+    * pipelines gate on exactly this difference). `ann` must carry
+    * (query_id, id, rank); `exact` is the ground-truth top-k.
+    *
+    * Integer end to end: gains are precomputed ×10⁶ literals
+    * ([[dcgGainX1e6]]), mrr_x1000 = 1000 div first_hit_rank, and
+    * ndcg_x1000 = 1000·DCG div IDCG(n_gt) — so the DuckDB twin
+    * consuming the same emitted CASE tables hashes identically.
+    *
+    * Scale shape: one equi-join on (query_id, id) — both sides
+    * k-bounded per query — and two aggregations on query_id; the gain
+    * lookup is a codegen'd CASE over k literal arms.
+    */
+  def rankEval(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = ann.select(col("query_id"), col("id"),
+        col("rank").cast("bigint").as("rank"))
+      .join(exact.select(col("query_id"), col("id")), Seq("query_id", "id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min("rank").as("first_hit_rank"),
+        sum(expr(dcgGainCaseSql("rank", k))).as("__dcg"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("__n_gt"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
+        coalesce(col("__dcg"), lit(0L)).as("__dcg"), col("__n_gt"))
+      .withColumn("mrr_x1000", expr(
+        "CASE WHEN first_hit_rank > 0 THEN 1000 div first_hit_rank " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("ndcg_x1000", expr(
+        s"CAST((1000 * __dcg) div greatest(${idcgCaseSql("__n_gt", k)}, 1) AS BIGINT)"))
+      .select("query_id", "n_hits", "first_hit_rank", "mrr_x1000", "ndcg_x1000")
+  }
 }

@@ -83,6 +83,32 @@ class ProtoParserSpec extends SparkSpec {
     assert(m.sparkType.fieldNames.toSeq === Seq("color", "s", "n", "which_payload"))
   }
 
+  test("oneof inside a NESTED message decodes with its own which column") {
+    import Writer._
+    val src =
+      """syntax = "proto3";
+        |message Outer {
+        |  message Inner {
+        |    oneof val { int64 n = 1; string s = 2; }
+        |  }
+        |  Inner inner = 1;
+        |  int32 tag = 2;
+        |}
+        |""".stripMargin
+    val c = ProtoParser.compile(src)
+    val outer = c.byName("Outer")
+    assert(c.byName("Inner").sparkType.fieldNames.toSeq
+      === Seq("n", "s", "which_val"))
+    // Inner{s="x"} nested in Outer{tag=9}
+    val bytes = messageField(1, stringField(2, "x")) ++ varintField(2, 9L)
+    val row = ProtoCodec.decode(bytes, outer)
+    val inner = row.getStruct(0, 3)
+    assert(inner.isNullAt(0))
+    assert(inner.getUTF8String(1).toString === "x")
+    assert(inner.getUTF8String(2).toString === "s")
+    assert(row.getInt(1) === 9)
+  }
+
   test("end-to-end: source text → descriptor → envelope dispatch → decode") {
     import Writer._
     val compiled = ProtoParser.compile(customerProto)

@@ -342,4 +342,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() === 3)
     assert(out.where(col("recall_x1000") =!= 1000L).count() === 0)
   }
+
+  test("rankEval: MRR and nDCG from hand-computed ranks") {
+    // query 1: hits at ann ranks 1 and 3 of ground truth {10, 11, 12}
+    //   first_hit_rank = 1, mrr = 1000
+    //   dcg = g(1) + g(3); idcg(n_gt = 3) = g(1) + g(2) + g(3)
+    // query 2: no hits -> all zeros, ndcg 0
+    val ann = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 97L, 2)).toDF("query_id", "id", "rank")
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 50L))
+      .toDF("query_id", "id")
+    val out = Similarity.rankEval(ann, exact, k = 5)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def g(r: Int) = Similarity.dcgGainX1e6(r)
+    val wantNdcg1 = 1000L * (g(1) + g(3)) / (g(1) + g(2) + g(3))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 1000L, wantNdcg1),
+      (2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("rankEval: perfect ranking scores ndcg 1000; late first hit halves MRR") {
+    val ann = Seq((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 99L, 1), (2L, 20L, 2)).toDF("query_id", "id", "rank")
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "id")
+    val out = Similarity.rankEval(ann, exact, k = 5)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    def g(r: Int) = Similarity.dcgGainX1e6(r)
+    assert(out(0) === ((1L, 1000L, 1000L)))
+    assert(out(1) === ((2L, 500L, 1000L * g(2) / (g(1) + g(2)))))
+  }
 }
