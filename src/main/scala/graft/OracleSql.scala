@@ -427,6 +427,7 @@ object OracleSql {
     "q122_budget_select" -> Gen.budgetSelectSql,
     "q123_ann_recall" -> Gen.annRecallSql,
     "q147_rank_eval" -> Gen.rankEvalSql,
+    "q148_random_projection" -> Gen.randomProjectionSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -2862,6 +2863,33 @@ object OracleSql {
       * are the per-element multiply/divide, evaluated in the same
       * IEEE double order on both engines; the SUM is integer.
       */
+    /** Twin of q148_random_projection: the q108 SQ-quantization CTEs,
+      * then each output dim j sums q_i · sign(i, j) with the sign
+      * drawn from the shared md5 hash family — all-integer, no float
+      * summation order anywhere.
+      */
+    def randomProjectionSql: String = {
+      val sign = s"(1 - 2 * (${duckHash61("'rp:' || CAST(i - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % 2))"
+      s"""WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |ex AS (SELECT vec_id,
+         |        unnest([{'pos': i, 'x': v[i]}
+         |                for i in range(1, len(v)+1)]) AS u
+         |      FROM ed),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY u.pos),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT vec_id,
+         |         [CASE WHEN s[i] = 0 THEN 0
+         |               ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(v)+1)] AS qe
+         |       FROM ed CROSS JOIN sl)
+         |SELECT vec_id, CAST(j AS BIGINT) AS pos,
+         |  CAST(list_sum([qe[i] * $sign
+         |                 for i in range(1, len(qe)+1)]) AS BIGINT) AS value
+         |FROM qz, generate_series(0, 15) t(j)
+         |ORDER BY vec_id, pos""".stripMargin
+    }
+
     def sqAnnSql: String =
       s"""WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |      FROM embeddings),

@@ -2329,6 +2329,22 @@ object Queries {
     Similarity.rankEval(ann, exact, k = 5).orderBy("query_id")
   }
 
+  /** Signed random projection
+    * ([[graft.sim.Similarity.randomProjection]], Achlioptas ±1 JL):
+    * 64-dim embeddings cut to 16 integer dimensions over the
+    * int8-quantized space — deterministic hash-drawn ±1 matrix, so
+    * the projection is integer-exact on both engines. Unpivoted to
+    * (vec_id, pos, value) for the oracle.
+    */
+  val q148_random_projection: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val scales = Similarity.sqScales(e, "embedding")
+    Similarity.randomProjection(e, "vec_id", "embedding", outDim = 16, scales)
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("pos", "value")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"), col("value"))
+      .orderBy("vec_id", "pos")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2477,5 +2493,6 @@ object Queries {
     "q144_event_funnel" -> q144_event_funnel,
     "q145_funnel_report" -> q145_funnel_report,
     "q146_png_grid_features" -> q146_png_grid_features,
-    "q147_rank_eval" -> q147_rank_eval)
+    "q147_rank_eval" -> q147_rank_eval,
+    "q148_random_projection" -> q148_random_projection)
 }

@@ -315,6 +315,42 @@ object Similarity {
         .otherwise(floor(x * lit(127.0) / get(s, i)).cast("long")))
   }
 
+  /** Signed random projection (Johnson–Lindenstrauss / Achlioptas
+    * ±1 variant) over the int8-quantized vectors: output dimension j
+    * is Σ_i sign(i, j) · q_i with sign(i, j) = 1 − 2·(hash61("rp:i:j")
+    * mod 2) — a deterministic, seedless ±1 matrix drawn from the
+    * md5-derived oracle-parity hash family, so the projection is
+    * INTEGER-EXACT on both engines (no float summation order anywhere;
+    * the classic JL guarantee holds for ±1 entries, Achlioptas 2003).
+    *
+    * The training-data use: cut embedding width 4× (64 → 16 dims)
+    * before an ANN/clustering pass whose cost scales with dimension,
+    * with JL distance distortion bounds instead of hope.
+    *
+    * Scale shape: one posexplode (dim rows per vector) and ONE
+    * hash aggregation producing all `outDim` sums as map-side-partial
+    * integer aggregates — never an outDim-way self-join, never a
+    * driver-side matrix. Returns (idCol, rp = array<bigint> of
+    * outDim).
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int, scales: Array[Double],
+                       salt: String = "rp"): DataFrame = {
+    require(outDim >= 1, s"outDim=$outDim must be >= 1")
+    val q = df.select(col(idCol).as("__id"),
+        posexplode(sqQuantize(col(vecCol), scales)).as(Seq("pos", "q")))
+    val sums = (0 until outDim).map { j =>
+      val sign = lit(1L) - lit(2L) * pmod(
+        graft.functions.HashFns.hash61(
+          concat(lit(s"$salt:"), col("pos").cast("string"), lit(s":$j"))),
+        lit(2L))
+      sum(col("q") * sign).as(s"rp$j")
+    }
+    q.groupBy("__id").agg(sums.head, sums.tail: _*)
+      .select(col("__id").as(idCol),
+        array((0 until outDim).map(j => col(s"rp$j")): _*).as("rp"))
+  }
+
   /** Integer dot product of two quantized vectors — the asymmetric-
     * distance read over [[sqQuantize]] output, as a native kernel
     * ([[graft.functions.VecDotLong]] — one generated-code loop per

@@ -375,4 +375,56 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0) === ((1L, 1000L, 1000L)))
     assert(out(1) === ((2L, 500L, 1000L * g(2) / (g(1) + g(2)))))
   }
+
+  test("randomProjection: integer-exact against an off-plan recomputation") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.8f)),
+      (2L, Seq(-1.0f, 0.5f, 0.0f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    val scales = Similarity.sqScales(vecs, "embedding")
+    val out = Similarity.randomProjection(vecs, "vec_id", "embedding",
+        outDim = 3, scales)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // off-plan recomputation through the same hash family
+    def sign(i: Int, j: Int): Long = {
+      val h = graft.functions.HashFns.hash61Bytes(s"rp:$i:$j".getBytes("UTF-8"))
+      1L - 2L * (((h % 2) + 2) % 2)
+    }
+    def quant(v: Seq[Float]): Seq[Long] = v.zipWithIndex.map { case (x, i) =>
+      if (scales(i) == 0.0) 0L
+      else math.floor(x.toDouble * 127.0 / scales(i)).toLong
+    }
+    val rows = Map(1L -> Seq(1.0f, -0.5f, 0.25f, 0.8f),
+      2L -> Seq(-1.0f, 0.5f, 0.0f, -0.8f))
+    rows.foreach { case (id, v) =>
+      val q = quant(v)
+      val want = (0 until 3).map(j => q.zipWithIndex.map {
+        case (qi, i) => qi * sign(i, j) }.sum)
+      assert(out(id) === want, s"vec $id")
+    }
+  }
+
+  test("randomProjection is partition-invariant and opposite vectors project oppositely") {
+    val vecs = (1L to 20L).map(i =>
+      (i, (0 until 8).map(d => ((i * 7 + d * 3) % 11).toFloat / 11f - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val scales = Similarity.sqScales(vecs, "embedding")
+    val a = Similarity.randomProjection(vecs, "vec_id", "embedding", 4, scales)
+      .orderBy("vec_id").collect().map(r => r.getSeq[Long](1)).toSeq
+    val b = Similarity.randomProjection(vecs.repartition(7), "vec_id", "embedding", 4, scales)
+      .orderBy("vec_id").collect().map(r => r.getSeq[Long](1)).toSeq
+    assert(a === b)
+    // linearity: rp(-v) = -rp(v) up to the int8 floor asymmetry
+    val pair = Seq((1L, Seq(0.5f, -0.5f, 0.25f, -0.25f)),
+      (2L, Seq(-0.5f, 0.5f, -0.25f, 0.25f))).toDF("vec_id", "embedding")
+    val ps = Similarity.sqScales(pair, "embedding")
+    val pr = Similarity.randomProjection(pair, "vec_id", "embedding", 4, ps)
+      .orderBy("vec_id").collect().map(r => r.getSeq[Long](1))
+    // floor(-x*127/s) = -ceil(x*127/s): each dim differs by at most 1,
+    // so the 4-term sums differ from exact negation by at most 4
+    pr(0).zip(pr(1)).foreach { case (x, y) =>
+      assert(math.abs(x + y) <= 4, s"rp(-v) should approx -rp(v): $x vs $y")
+    }
+  }
 }
