@@ -428,6 +428,7 @@ object OracleSql {
     "q123_ann_recall" -> Gen.annRecallSql,
     "q147_rank_eval" -> Gen.rankEvalSql,
     "q148_random_projection" -> Gen.randomProjectionSql,
+    "q149_rp_recall" -> Gen.rpRecallSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -2888,6 +2889,56 @@ object OracleSql {
          |                 for i in range(1, len(qe)+1)]) AS BIGINT) AS value
          |FROM qz, generate_series(0, 15) t(j)
          |ORDER BY vec_id, pos""".stripMargin
+    }
+
+    /** Twin of q149_rp_recall: the q148 rp vectors rebuilt as lists,
+      * integer-dot top-5 per query (dot DESC, id ASC — the TopK
+      * aggregate's convention), full-dimension brute cosine top-5 as
+      * ground truth, recall joined per query.
+      */
+    def rpRecallSql: String = {
+      val sign = s"(1 - 2 * (${duckHash61("'rp:' || CAST(i - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % 2))"
+      s"""WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |ex AS (SELECT vec_id,
+         |        unnest([{'pos': i, 'x': v[i]}
+         |                for i in range(1, len(v)+1)]) AS u
+         |      FROM ed),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY u.pos),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT vec_id,
+         |         [CASE WHEN s[i] = 0 THEN 0
+         |               ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(v)+1)] AS qe
+         |       FROM ed CROSS JOIN sl),
+         |rpv AS (SELECT vec_id,
+         |         [CAST(list_sum([qe[i] * $sign
+         |            for i in range(1, len(qe)+1)]) AS BIGINT)
+         |          for j in range(0, 16)] AS rp
+         |        FROM qz),
+         |qv AS (SELECT vec_id AS query_id, rp AS qrp FROM rpv
+         |       WHERE vec_id < 3),
+         |scored AS (SELECT q.query_id, r.vec_id AS id,
+         |    CAST(list_sum([r.rp[i] * q.qrp[i]
+         |      for i in range(1, 17)]) AS BIGINT) AS dot
+         |  FROM rpv r CROSS JOIN qv q),
+         |ann AS (SELECT query_id, id FROM (SELECT query_id, id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, id) AS rnk
+         |  FROM scored) t WHERE rnk <= 5),
+         |bscored AS (SELECT q.query_id, ev.vec_id AS id,
+         |    ${cosineE("ev.v", "q.qv")} AS sim
+         |  FROM ed ev CROSS JOIN
+         |    (SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 3) q),
+         |bex AS (SELECT query_id, id FROM (SELECT query_id, id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rnk
+         |  FROM bscored) t WHERE rnk <= 5),
+         |h AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM ann a JOIN bex b ON a.query_id = b.query_id AND a.id = b.id
+         |      GROUP BY a.query_id)
+         |SELECT qq.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST((1000 * COALESCE(h.n_hits, 0)) // 5 AS BIGINT) AS recall_x1000
+         |FROM (SELECT DISTINCT query_id FROM bex) qq LEFT JOIN h USING (query_id)
+         |ORDER BY qq.query_id""".stripMargin
     }
 
     def sqAnnSql: String =

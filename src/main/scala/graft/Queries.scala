@@ -2345,6 +2345,29 @@ object Queries {
       .orderBy("vec_id", "pos")
   }
 
+  /** Recall of ANN in the PROJECTED space (q148's 16-dim integer
+    * vectors) against full-dimension brute-force ground truth — the
+    * measurement that justifies a JL dimension cut before an
+    * expensive similarity pass: integer-dot ranking in rp space,
+    * exact cosine ranking in the original space, recall@5 joined per
+    * query.
+    */
+  val q149_rp_recall: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val scales = Similarity.sqScales(e, "embedding")
+    val rp = Similarity.randomProjection(e, "vec_id", "embedding", 16, scales)
+    val qrp = rp.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("rp").as("qrp"))
+    val scored = rp.crossJoin(broadcast(qrp))
+      .select(col("query_id"), col("vec_id").as("id"),
+        Similarity.sqDot(col("rp"), col("qrp")).as("dot"))
+    val ann = graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+      col("dot"), Seq(col("id")), 5)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      e.where(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+    Similarity.recallAtK(ann, exact, k = 5).orderBy("query_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2494,5 +2517,6 @@ object Queries {
     "q145_funnel_report" -> q145_funnel_report,
     "q146_png_grid_features" -> q146_png_grid_features,
     "q147_rank_eval" -> q147_rank_eval,
-    "q148_random_projection" -> q148_random_projection)
+    "q148_random_projection" -> q148_random_projection,
+    "q149_rp_recall" -> q149_rp_recall)
 }
