@@ -63,6 +63,11 @@ object PlanAudit {
     // q79's IVF probe shape plus the brute-force ground truth's
     // 3-row query set cross join (q28's shape) — both by design
     "q123_ann_recall",
+    // q123's brute-force-ground-truth shape: the 3-row query-vector
+    // table cross-joined into the corpus scan for the exact ranking
+    // the rank/recall metrics are judged against — broadcast by design
+    "q147_rank_eval",
+    "q149_rp_recall",
     // ONE-row total-bigram count N cross-joined into the PMI
     // projection — broadcast scalar by design
     "q124_pmi_collocations",
