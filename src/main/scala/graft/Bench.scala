@@ -230,7 +230,8 @@ object Bench {
       "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers",
       "q141_sessionization", "q142_png_pixels", "q143_setsim_join",
       "q144_event_funnel", "q145_funnel_report", "q146_png_grid_features",
-      "q147_rank_eval", "q148_random_projection", "q149_rp_recall")
+      "q147_rank_eval", "q148_random_projection", "q149_rp_recall",
+      "q150_exact_decontam")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

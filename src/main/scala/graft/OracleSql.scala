@@ -429,6 +429,7 @@ object OracleSql {
     "q147_rank_eval" -> Gen.rankEvalSql,
     "q148_random_projection" -> Gen.randomProjectionSql,
     "q149_rp_recall" -> Gen.rpRecallSql,
+    "q150_exact_decontam" -> Gen.exactDecontamSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1305,6 +1306,28 @@ object OracleSql {
         |    CAST((1000 * c2) // greatest(c1, 1) AS BIGINT),
         |    CAST((1000 * c2) // greatest(c0, 1) AS BIGINT) FROM c)
         |ORDER BY step""".stripMargin
+
+    /** Twin of q150_exact_decontam: the plain exact bipartite Jaccard
+      * join over the same hashed 3-shingle sets — the two-sided prefix
+      * blocking is a Spark physical strategy, not a semantic change.
+      */
+    def exactDecontamSql: String =
+      s"""WITH wl AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |shx AS (SELECT id, unnest(${shinglesE("w", 3)}) AS s FROM wl),
+         |sh AS (SELECT id, list_distinct(list(${duckHash61("s")})) AS ts
+         |       FROM shx GROUP BY id),
+         |s AS (SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM sh
+         |      WHERE len(ts) >= 1),
+         |r AS (SELECT id, ts, n FROM s WHERE id % 50 = 0),
+         |pr AS (SELECT a.id AS id, b.id AS ref_id,
+         |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
+         |         a.n AS n_a, b.n AS n_b
+         |       FROM s a CROSS JOIN r b)
+         |SELECT id, ref_id, n_inter, n_a, n_b,
+         |  CAST((1000 * n_inter) // (n_a + n_b - n_inter) AS BIGINT)
+         |    AS jaccard_x1000
+         |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
+         |ORDER BY id, ref_id""".stripMargin
 
     /** Twin of q142_png_pixels: the Spark side PNG-encodes a
       * deterministic test pattern and DECODES it back through real

@@ -2368,6 +2368,24 @@ object Queries {
     Similarity.recallAtK(ann, exact, k = 5).orderBy("query_id")
   }
 
+  /** Exact cross-corpus decontamination
+    * ([[graft.dedup.Dedup.setSimJoinAgainst]]): every corpus doc
+    * whose 3-shingle set matches an eval-set doc at exact Jaccard ≥
+    * 0.6 — the deterministic complement to q137's MinHash-bucket
+    * form (no probabilistic misses). Eval set = every 50th doc, so
+    * exact copies (J = 1000) and the corpus's natural near-dups both
+    * surface.
+    */
+  val q150_exact_decontam: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.setSimJoinAgainst(docs, "doc_id",
+        TextFns.shingles(col("text"), 3),
+        docs.where(col("doc_id") % 50 === 0), "doc_id",
+        TextFns.shingles(col("text"), 3),
+        tauX1000 = 600, itemKey = HashFns.hash61)
+      .orderBy("id", "ref_id")
+  }
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2518,5 +2536,6 @@ object Queries {
     "q146_png_grid_features" -> q146_png_grid_features,
     "q147_rank_eval" -> q147_rank_eval,
     "q148_random_projection" -> q148_random_projection,
-    "q149_rp_recall" -> q149_rp_recall)
+    "q149_rp_recall" -> q149_rp_recall,
+    "q150_exact_decontam" -> q150_exact_decontam)
 }

@@ -123,7 +123,8 @@ object ScaleRamp {
       "q138_temperature_mix", "q139_entity_clusters", "q140_price_outliers",
       "q141_sessionization", "q142_png_pixels", "q143_setsim_join",
       "q144_event_funnel", "q145_funnel_report", "q146_png_grid_features",
-      "q147_rank_eval", "q148_random_projection", "q149_rp_recall")
+      "q147_rank_eval", "q148_random_projection", "q149_rp_recall",
+      "q150_exact_decontam")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

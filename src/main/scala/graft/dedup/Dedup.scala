@@ -484,6 +484,83 @@ object Dedup {
     (labeled, iter)
   }
 
+  /** Cross-corpus EXACT set-similarity join ([[setSimJoin]]'s
+    * bipartite form): every (corpus doc, reference doc) pair whose
+    * distinct item sets meet the exact Jaccard threshold — the
+    * deterministic decontamination/match primitive against an eval
+    * benchmark or a previous corpus snapshot (q137's MinHash form
+    * trades exactness for constant cost; this one guarantees "every
+    * pair ≥ τ, none below").
+    *
+    * Same machinery as the self-join: one aggregation per side, a
+    * SHARED global token order (df over the union of both sides —
+    * the prefix theorem needs one common total order; union df keeps
+    * posting lists balanced), per-side prefixes of length
+    * n − ⌈τ·n⌉ + 1, then a bipartite equi-join on prefix tokens with
+    * the positional overlap ceiling and the exact length band before
+    * the `array_intersect` verify. Returns (id, ref_id, n_inter,
+    * n_a, n_b, jaccard_x1000).
+    */
+  def setSimJoinAgainst(df: DataFrame, idCol: String, items: Column,
+                        ref: DataFrame, refIdCol: String, refItems: Column,
+                        tauX1000: Int = 500,
+                        maxDf: Int = Int.MaxValue,
+                        itemKey: Column => Column = identity): DataFrame = {
+    require(tauX1000 >= 1 && tauX1000 <= 1000,
+      s"tauX1000=$tauX1000 must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    def side(d: DataFrame, id: String, its: Column): DataFrame = {
+      val a = d.select(col(id).as("id"), explode(its).as("t0"))
+        .select(col("id"), itemKey(col("t0")).as("t"))
+        .groupBy("id")
+        .agg(sort_array(collect_set(col("t"))).as("ts"))
+        .withColumn("n", size(col("ts")).cast("bigint"))
+        .where(col("n") >= 1)
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        a.checkpoint(eager = true)
+      else a.localCheckpoint(eager = true)
+    }
+    val left = side(df, idCol, items)
+    val right = side(ref, refIdCol, refItems)
+    val expL = left.select(col("id"), col("n"), explode(col("ts")).as("t"))
+    val expR = right.select(col("id"), col("n"), explode(col("ts")).as("t"))
+    val dft = expL.select(col("t")).union(expR.select(col("t")))
+      .groupBy("t").agg(count(lit(1)).as("dfc"))
+    def prefixOf(exp: DataFrame): DataFrame =
+      exp.join(dft, Seq("t"))
+        .withColumn("rk", row_number().over(Window.partitionBy("id")
+          .orderBy(col("dfc"), col("t"))))
+        .where(col("rk") <= expr(s"n - ((n * $tauX1000 + 999) div 1000) + 1")
+          && col("dfc") <= maxDf)
+        .select(col("id"), col("n"), col("rk"), col("t"))
+    val cands = prefixOf(expL)
+      .select(col("id").as("id_a"), col("n").as("pn_a"), col("rk").as("rk_a"), col("t"))
+      .join(prefixOf(expR)
+        .select(col("id").as("id_b"), col("n").as("pn_b"), col("rk").as("rk_b"), col("t")),
+        Seq("t"))
+      .withColumn("ub", lit(1L) +
+        least(col("pn_a") - col("rk_a"), col("pn_b") - col("rk_b")))
+      .where(lit(1000) * col("ub") >=
+        lit(tauX1000) * (col("pn_a") + col("pn_b") - col("ub")))
+      .where(col("pn_a") * tauX1000 <= col("pn_b") * 1000 &&
+        col("pn_b") * tauX1000 <= col("pn_a") * 1000)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(left.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(right.select(col("id").as("id_b"), col("ts").as("ts_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("bigint"))
+      .where(lit(1000) * col("n_inter") >=
+        lit(tauX1000) * (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("id_a").as("id"), col("id_b").as("ref_id"), col("n_inter"),
+        col("n_a"), col("n_b"),
+        expr("CAST((1000 * n_inter) div (n_a + n_b - n_inter) AS BIGINT)")
+          .as("jaccard_x1000"))
+  }
+
   /** Single-task exact connected components over a SMALL edge set
     * (the [[connectedComponents]] small-residue finisher): coalesce
     * the edges into one partition and run union-find with path

@@ -289,6 +289,31 @@ class ContainmentSpec extends SparkSpec {
     assert(a === Seq((1L, 2L, 714L)))
   }
 
+  test("setSimJoinAgainst ≡ the exact bipartite cross-join answer") {
+    val corpus = (1L to 20L).map(i =>
+      (i, (0 to 9).map(j => s"w${(i * 3 + j * 5) % 13}").mkString(" ")))
+      .toDF("id", "text")
+    val ref = (1L to 20L by 4).map(i =>
+      (i * 100, (0 to 9).map(j => s"w${(i * 3 + j * 5) % 13}").mkString(" ")))
+      .toDF("rid", "rtext")
+    val got = Dedup.setSimJoinAgainst(corpus, "id",
+        graft.functions.TextFns.tokens(col("text")),
+        ref, "rid", graft.functions.TextFns.tokens(col("rtext")),
+        tauX1000 = 500)
+      .orderBy("id", "ref_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    val cs = corpus.collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet)
+    val rs = ref.collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet)
+    val want = (for {
+      (a, sa) <- cs; (b, sb) <- rs
+      inter = (sa & sb).size.toLong; union = (sa | sb).size.toLong
+      if 1000 * inter >= 500 * union
+    } yield (a, b, 1000 * inter / union)).sortBy(x => (x._1, x._2))
+    assert(got.toSeq === want.toSeq)
+    // every ref doc's corpus original is an exact J=1000 match
+    assert(want.count(_._3 == 1000L) >= rs.length)
+  }
+
   // ------------------------------------------------------------------ //
   // fuzzyValueMatches                                                  //
   // ------------------------------------------------------------------ //
