@@ -142,9 +142,16 @@ object Multimodal {
   /** Real-pixel codec: header probing from [[HeaderCodec]] plus REAL
     * PNG pixel work from [[PngCodec]] (pure-JDK zlib — decode to RGBA,
     * nearest-neighbor resize, re-encode). Non-PNG bytes fall back to
-    * the stub paths, keeping every function total. Features stay
-    * stubbed: an embedding model is genuinely out of scope here, and
-    * the stub's hash features are what the DuckDB oracle can mirror.
+    * the stub paths, keeping every function total.
+    *
+    * Features are REAL for decodable PNGs: the g×g grid color-layout
+    * descriptor ([[PngCodec.gridFeatures]]) with g sized so 3·g² ≥
+    * dim, each cell mean scaled to [0, 1) by /256 (dyadic rationals —
+    * exactly representable in float32, the same oracle-parity
+    * discipline as the stub's hash features), truncated to `dim`. A
+    * neural embedding model remains out of scope; a color-layout
+    * vector is what classical CBIR systems actually indexed, and it
+    * comes from actual pixels. Non-PNG bytes keep the stub features.
     */
   object PixelCodec extends MediaCodec {
     override def probe(kind: String, bytes: Array[Byte]): Row =
@@ -155,8 +162,14 @@ object Multimodal {
     }
     override def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       StubCodec.sampleFrames(bytes, everyN)
-    override def features(bytes: Array[Byte], dim: Int): Array[Float] =
-      StubCodec.features(bytes, dim)
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 1, s"dim=$dim must be >= 1")
+      val g = math.ceil(math.sqrt(dim / 3.0)).toInt.max(1)
+      val grid = PngCodec.gridFeatures(bytes, g)
+      if (grid == null) StubCodec.features(bytes, dim)
+      else Array.tabulate(dim)(i =>
+        if (i < grid.length) grid(i).toFloat / 256.0f else 0.0f)
+    }
   }
 
   /** Spread media rows before an expensive decode stage: binary sizes

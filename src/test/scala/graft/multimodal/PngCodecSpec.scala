@@ -169,6 +169,26 @@ class PngCodecSpec extends SparkSpec {
     assert(!out(2).isNullAt(out(2).fieldIndex("error")))
   }
 
+  test("PixelCodec features come from real pixels for PNG, stub otherwise") {
+    // 2x2 image with known pixels: dim 12 at g=2 is the full grid,
+    // each feature = pixel channel / 256
+    val rgba = Array[Byte](
+      10, 20, 30, -1, 40, 50, 60, -1,
+      70, 80, 90, -1, 100, 110, 120, -1)
+    val png = PngCodec.encode(2, 2, rgba)
+    val f = Multimodal.PixelCodec.features(png, 12)
+    assert(f.toSeq === Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+      .map(_.toFloat / 256.0f))
+    // dim 14 grows the grid to 3x3 (3·g² ≥ dim): indices 12-13 are
+    // cell 4's real means — pixel (1,1) = (100, 110) under the 3-split
+    assert(Multimodal.PixelCodec.features(png, 14).drop(12).toSeq
+      === Seq(100.0f / 256, 110.0f / 256))
+    assert(Multimodal.PixelCodec.features(png, 5).toSeq === f.take(5).toSeq)
+    // non-PNG bytes keep the deterministic stub family
+    val stub = Multimodal.PixelCodec.features("not png".getBytes, 8)
+    assert(stub.toSeq === Multimodal.StubCodec.features("not png".getBytes, 8).toSeq)
+  }
+
   test("PixelCodec resize is REAL for PNG bytes and falls back for others") {
     val png = PngCodec.testImage(9L, 8, 8)
     val resized = Multimodal.PixelCodec.resize(png, 4, 4)
