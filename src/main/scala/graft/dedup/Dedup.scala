@@ -546,13 +546,19 @@ object Dedup {
         col("pn_b") * tauX1000 <= col("pn_a") * 1000)
       .select(col("id_a"), col("id_b"))
       .distinct()
+    val interOf: (Column, Column) => Column =
+      left.schema("ts").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) =>
+          (a, b) => graft.functions.SortedIntersectCount(a, b)
+        case _ => (a, b) => size(array_intersect(a, b)).cast("bigint")
+      }
     cands
       .join(left.select(col("id").as("id_a"), col("ts").as("ts_a"),
         col("n").as("n_a")), Seq("id_a"))
       .join(right.select(col("id").as("id_b"), col("ts").as("ts_b"),
         col("n").as("n_b")), Seq("id_b"))
-      .withColumn("n_inter",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("bigint"))
+      .withColumn("n_inter", interOf(col("ts_a"), col("ts_b")))
       .where(lit(1000) * col("n_inter") >=
         lit(tauX1000) * (col("n_a") + col("n_b") - col("n_inter")))
       .select(col("id_a").as("id"), col("id_b").as("ref_id"), col("n_inter"),
@@ -1408,13 +1414,22 @@ object Dedup {
         col("p.ib.n") * tauX1000 <= col("p.ia.n") * 1000)
       .select(col("p.ia.id").as("id_a"), col("p.ib.id").as("id_b"))
       .distinct()
+    // long-keyed item sets verify through the codegen'd merge-scan
+    // kernel (the arrays are sort_array(collect_set(...)) — sorted by
+    // construction); other element types keep array_intersect
+    val interOf: (Column, Column) => Column =
+      arrays.schema("ts").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) =>
+          (a, b) => graft.functions.SortedIntersectCount(a, b)
+        case _ => (a, b) => size(array_intersect(a, b)).cast("bigint")
+      }
     cands
       .join(arrays.select(col("id").as("id_a"), col("ts").as("ts_a"),
         col("n").as("n_a")), Seq("id_a"))
       .join(arrays.select(col("id").as("id_b"), col("ts").as("ts_b"),
         col("n").as("n_b")), Seq("id_b"))
-      .withColumn("n_inter",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("bigint"))
+      .withColumn("n_inter", interOf(col("ts_a"), col("ts_b")))
       .where(lit(1000) * col("n_inter") >=
         lit(tauX1000) * (col("n_a") + col("n_b") - col("n_inter")))
       .select(col("id_a"), col("id_b"), col("n_inter"),

@@ -59,6 +59,28 @@ object VecMath {
     acc
   }
 
+  /** |A ∩ B| of two SORTED distinct long arrays by merge scan —
+    * allocation-free (no per-row hash set, unlike
+    * `array_intersect`), O(|A| + |B|), null on any null element.
+    * The set-similarity verify kernel: inputs are the
+    * `sort_array(collect_set(...))` arrays every candidate pair
+    * joins back to, so sortedness holds by construction (documented
+    * precondition — an unsorted input undercounts, it does not
+    * throw).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Σ (a_i−b_i)², ascending; null on length mismatch or null
     * element.
     */
@@ -167,4 +189,43 @@ object VecDotLong {
 object VecL2Sq {
   def apply(a: Column, b: Column): Column =
     GraftBridge.column(VecL2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** |A ∩ B| over two SORTED distinct array<bigint> columns as one
+  * generated-code merge scan ([[VecMath.sortedIntersectCount]]) — the
+  * allocation-free replacement for `size(array_intersect(a, b))` on
+  * the set-similarity verify path.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got " +
+          s"${l.catalogString} / ${r.catalogString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("sic")
+      s"""java.lang.Long $r = graft.functions.VecMath.sortedIntersectCount($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -343,6 +343,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.where(col("recall_x1000") =!= 1000L).count() === 0)
   }
 
+  test("native SortedIntersectCount ≡ size(array_intersect) on sorted distinct longs") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(300) {
+      val a = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (a, b)
+    }
+    val out = rows.toDF("a", "b").select(
+      graft.functions.SortedIntersectCount(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("bigint").as("r"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (k, r) => assert(k === r) }
+    // empty / disjoint / identical edges
+    val edges = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(7L, 8L, 9L), Seq(7L, 8L, 9L))).toDF("a", "b")
+      .select(graft.functions.SortedIntersectCount(col("a"), col("b")))
+      .as[Long].collect()
+    assert(edges.toSeq === Seq(0L, 0L, 3L))
+  }
+
   test("rankEval: MRR and nDCG from hand-computed ranks") {
     // query 1: hits at ann ranks 1 and 3 of ground truth {10, 11, 12}
     //   first_hit_rank = 1, mrr = 1000
