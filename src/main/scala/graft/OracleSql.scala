@@ -430,6 +430,10 @@ object OracleSql {
     "q148_random_projection" -> Gen.randomProjectionSql,
     "q149_rp_recall" -> Gen.rpRecallSql,
     "q150_exact_decontam" -> Gen.exactDecontamSql,
+    "q151_retention_cohorts" -> Gen.retentionCohortsSql,
+    "q152_textrank" -> Gen.textRankSql,
+    "q153_label_noise" -> Gen.labelNoiseSql,
+    "q154_novelty_curve" -> Gen.noveltyCurveSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1306,6 +1310,127 @@ object OracleSql {
         |    CAST((1000 * c2) // greatest(c1, 1) AS BIGINT),
         |    CAST((1000 * c2) // greatest(c0, 1) AS BIGINT) FROM c)
         |ORDER BY step""".stripMargin
+
+    /** Twin of q151_retention_cohorts: same Monday-based week
+      * truncation, first-event cohort per user, distinct (user,
+      * active-week) pairs, day-diff // 7 offsets, integer per-mille
+      * retention.
+      */
+    def retentionCohortsSql: String =
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+         |      FROM ev GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM ev),
+         |o AS (SELECT f.cohort_week,
+         |        CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT)
+         |          AS week_offset
+         |      FROM a JOIN f USING (user_id)),
+         |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+         |       FROM f GROUP BY 1),
+         |g AS (SELECT cohort_week, week_offset,
+         |        CAST(count(*) AS BIGINT) AS active_users
+         |      FROM o GROUP BY 1, 2)
+         |SELECT g.cohort_week, g.week_offset, g.active_users, sz.cohort_size,
+         |  CAST((1000 * g.active_users) // greatest(sz.cohort_size, 1) AS BIGINT)
+         |    AS retention_x1000
+         |FROM g JOIN sz USING (cohort_week)
+         |ORDER BY cohort_week, week_offset""".stripMargin
+
+    /** Twin of q152_textrank: the identical integer fixed-point
+      * PageRank — same bigram edges (2-shingles, q124's split
+      * convention), same undirected doubling, same ⌊w·10⁶/wdeg⌋
+      * shares through HUGEINT, and the same 5 damped iterations
+      * unrolled as chained CTEs with every floor division mirrored.
+      */
+    def textRankSql: String = {
+      val iters = 5
+      val scale = 1000000000000L
+      val iterCtes = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS node,
+           |  CAST(sum((r.r * e.share_ppm) // 1000000) AS BIGINT) AS s
+           |  FROM shp e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1),
+           |r$i AS (SELECT nd.node,
+           |  CAST((15 * $scale) // (100 * n.n_nodes)
+           |    + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes nd CROSS JOIN n LEFT JOIN c$i c ON c.node = nd.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT unnest(${shinglesE("w", 2)}) AS bg FROM wd WHERE len(w) >= 2),
+         |bgp AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |          split_part(bg, ' ', 2) AS w2 FROM bgl),
+         |ed AS (SELECT w1, w2 FROM bgp WHERE w1 <> w2),
+         |dir AS (SELECT w1 AS src, w2 AS dst FROM ed
+         |        UNION ALL SELECT w2 AS src, w1 AS dst FROM ed),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM dir
+         |      GROUP BY 1, 2),
+         |dg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+         |shp AS (SELECT e.src, e.dst,
+         |          CAST((CAST(e.w AS HUGEINT) * 1000000) // dg.wdeg AS BIGINT)
+         |            AS share_ppm
+         |        FROM e JOIN dg USING (src)),
+         |nodes AS (SELECT src AS node FROM dg),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+         |r0 AS (SELECT node, CAST($scale // n.n_nodes AS BIGINT) AS r
+         |       FROM nodes CROSS JOIN n),
+         |$iterCtes
+         |SELECT r.node AS word, r.r AS rank_p12, dg.wdeg
+         |FROM r$iters r JOIN dg ON dg.src = r.node
+         |ORDER BY rank_p12 DESC, word LIMIT 10""".stripMargin
+    }
+
+    /** Twin of q153_label_noise: q76's exact LSH-mirrored kNN chain
+      * (same plane literals, same 1-bit multi-probe, same (sim DESC,
+      * id) ranking), then label joins and the per-vector
+      * disagreement aggregate — integer counts and a boolean, so the
+      * float cosine never reaches the output surface.
+      */
+    def labelNoiseSql: String = {
+      val planes = VectorFns.randomHyperplanes(numBits = 8, dim = 64, seed = 42L)
+      val probes = (Seq("xor(sig, 0)") ++ (0 until 8).map(i => s"xor(sig, ${1L << i})"))
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |             CAST(label AS BIGINT) AS lbl FROM embeddings),
+         |s AS (SELECT id, v, (${sigE("v", planes)}) AS bucket FROM e),
+         |p AS (SELECT id AS query_id, qv, unnest([$probes]) AS bucket
+         |      FROM (SELECT id, v AS qv, (${sigE("v", planes)}) AS sig FROM e)),
+         |scored AS (SELECT DISTINCT p.query_id, s.id, ${cosineE("s.v", "p.qv")} AS sim
+         |  FROM s JOIN p ON s.bucket = p.bucket AND s.id <> p.query_id),
+         |ranked AS (SELECT query_id, id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS "rank"
+         |  FROM scored),
+         |kn AS (SELECT query_id, id FROM ranked WHERE "rank" <= 3),
+         |j AS (SELECT k.query_id, a.lbl AS own, b.lbl AS nb
+         |      FROM kn k JOIN e a ON a.id = k.query_id JOIN e b ON b.id = k.id),
+         |g AS (SELECT query_id, own AS label,
+         |        CAST(count(*) AS BIGINT) AS n_neighbors,
+         |        CAST(sum(CASE WHEN nb <> own THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_disagree
+         |      FROM j GROUP BY 1, 2)
+         |SELECT query_id AS vec_id, label, n_neighbors, n_disagree,
+         |  CAST((1000 * n_disagree) // n_neighbors AS BIGINT) AS disagree_x1000,
+         |  (n_disagree * 2 > n_neighbors) AS suspect
+         |FROM g ORDER BY vec_id""".stripMargin
+    }
+
+    /** Twin of q154_novelty_curve: same distinct (doc, 3-shingle
+      * hash) pairs, same global min-doc first-occurrence, same
+      * per-doc seen-before counts and per-mille novelty.
+      */
+    def noveltyCurveSql: String =
+      s"""WITH wl AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |shx AS (SELECT DISTINCT id, ${duckHash61("s")} AS h
+         |        FROM (SELECT id, unnest(${shinglesE("w", 3)}) AS s FROM wl)),
+         |f AS (SELECT h, min(id) AS first_id FROM shx GROUP BY 1)
+         |SELECT shx.id AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_id < shx.id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_seen_before,
+         |  CAST((1000 * (count(*) -
+         |    sum(CASE WHEN f.first_id < shx.id THEN 1 ELSE 0 END)))
+         |    // count(*) AS BIGINT) AS novelty_x1000
+         |FROM shx JOIN f USING (h)
+         |GROUP BY shx.id ORDER BY doc_id""".stripMargin
 
     /** Twin of q150_exact_decontam: the plain exact bipartite Jaccard
       * join over the same hashed 3-shingle sets — the two-sided prefix

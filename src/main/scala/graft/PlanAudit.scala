@@ -82,7 +82,11 @@ object PlanAudit {
     "q134_hard_negatives",
     // ONE-row token total and ONE-row d_max cross-joined into the
     // 20-row per-source rate table — broadcast scalars by design
-    "q138_temperature_mix")
+    "q138_temperature_mix",
+    // ONE-row node count N cross-joined into the vocab-sized rank
+    // table (once at init, once per PageRank iteration) — broadcast
+    // scalar by design, the q124 convention
+    "q152_textrank")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -91,7 +95,9 @@ object PlanAudit {
     * O(b²)-pairs-in-one-task straggler.
     */
   private val bucketGuardExpected = Set(
-    "q49_embedding_near_dup", "q76_knn_self", "q81_semdedup")
+    "q49_embedding_near_dup", "q76_knn_self", "q81_semdedup",
+    // wraps q76's guarded kNN self-join before the label joins
+    "q153_label_noise")
 
   /** Queries where an unpartitioned window is intended. A global
     * window funnels its input through ONE task — acceptable ONLY when

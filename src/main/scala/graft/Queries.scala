@@ -2386,6 +2386,54 @@ object Queries {
       .orderBy("id", "ref_id")
   }
 
+  /** Weekly retention cohorts ([[graft.ops.Funnel.retentionCohorts]]):
+    * users grouped by first-event week; per (cohort, week-offset) the
+    * distinct users still active and the integer per-mille retention
+    * — the analytics staple next to q144's funnel. Two user-keyed
+    * partial aggregations + one user-keyed join; the report itself is
+    * a weeks²-bounded broadcast-sized table.
+    */
+  val q151_retention_cohorts: Q = (s, d) =>
+    graft.ops.Funnel.retentionCohorts(Tables.events(s, d), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
+  /** TextRank keywords ([[graft.ops.TextStats.textRank]], Mihalcea &
+    * Tarau 2004): integer-exact damped PageRank (5 iterations,
+    * 1e-12-unit fixed point) over the corpus word co-occurrence
+    * graph, top-10 words — graph centrality as the complement to
+    * q72's TF-IDF and q124's PMI. The corpus is scanned once; the
+    * iterations run on the checkpointed vocab²-bounded edge table
+    * with node-keyed shuffles.
+    */
+  val q152_textrank: Q = (s, d) =>
+    TextStats.textRank(Tables.documents(s, d), "doc_id", "text",
+      iters = 5, k = 10)
+
+  /** kNN label-noise detection
+    * ([[graft.sim.Similarity.labelNoise]]): q76's bucketed kNN
+    * self-join (k=3, 8-bit signatures) + label joins → per-vector
+    * neighbor-disagreement counts and the majority `suspect` flag —
+    * the classical annotation-error screen over an embedded, labeled
+    * training set.
+    */
+  val q153_label_noise: Q = (s, d) =>
+    Similarity.labelNoise(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", k = 3, dim = 64, numBits = 8)
+      .orderBy("vec_id")
+
+  /** Ingest-order novelty curve ([[graft.dedup.Dedup.noveltyScores]]):
+    * per document, the per-mille share of its distinct 3-shingles
+    * never seen in any earlier document — the diminishing-returns
+    * signal a curation pipeline watches while consuming a source.
+    * Shuffles only 8-byte shingle hashes; no windows.
+    */
+  val q154_novelty_curve: Q = (s, d) =>
+    Dedup.noveltyScores(Tables.documents(s, d), "doc_id",
+        TextFns.shingles(col("text"), 3), itemKey = HashFns.hash61)
+      .select(col("id").as("doc_id"), col("n_shingles"),
+        col("n_seen_before"), col("novelty_x1000"))
+      .orderBy("doc_id")
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2537,5 +2585,9 @@ object Queries {
     "q147_rank_eval" -> q147_rank_eval,
     "q148_random_projection" -> q148_random_projection,
     "q149_rp_recall" -> q149_rp_recall,
-    "q150_exact_decontam" -> q150_exact_decontam)
+    "q150_exact_decontam" -> q150_exact_decontam,
+    "q151_retention_cohorts" -> q151_retention_cohorts,
+    "q152_textrank" -> q152_textrank,
+    "q153_label_noise" -> q153_label_noise,
+    "q154_novelty_curve" -> q154_novelty_curve)
 }

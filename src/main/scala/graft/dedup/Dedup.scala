@@ -1437,4 +1437,36 @@ object Dedup {
         expr("CAST((1000 * n_inter) div (n_a + n_b - n_inter) AS BIGINT)")
           .as("jaccard_x1000"))
   }
+
+  /** Per-document novelty against everything BEFORE it — the
+    * diminishing-returns curve a curation pipeline watches while
+    * ingesting a source (SlimPajama-style: as a crawl is consumed in
+    * order, what fraction of each new document's shingles has the
+    * corpus already seen?). A shingle is "seen" if any document with
+    * a SMALLER id contains it; `novelty_x1000` is the integer
+    * per-mille share of the doc's distinct shingles that are new.
+    * Documents whose text yields no shingle are absent (novelty of
+    * nothing is undefined).
+    *
+    * Scale shape: distinct (doc, shingle-hash) pairs → a global
+    * min(doc) per hash (ONE map-side-partial aggregation on an
+    * 8-byte key) → join back on the hash (co-partitioned with the
+    * distinct) → per-doc counts. Only fingerprints shuffle, never
+    * text; no windows, no sorts, no driver state.
+    */
+  def noveltyScores(df: DataFrame, idCol: String, items: Column,
+                    itemKey: Column => Column = identity): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(items).as("s"))
+      .select(col("id"), itemKey(col("s")).as("h"))
+      .distinct()
+    val firsts = sh.groupBy("h").agg(min("id").as("__first"))
+    sh.join(firsts, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") < col("id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .select(col("id"), col("n_shingles"), col("n_seen_before"),
+        expr("CAST((1000 * (n_shingles - n_seen_before)) div n_shingles AS BIGINT)")
+          .as("novelty_x1000"))
+  }
 }

@@ -95,4 +95,42 @@ object Funnel {
     }
     rows.reduce(_.unionByName(_))
   }
+
+  /** Weekly retention cohorts — the other product-analytics staple
+    * next to the funnel: group users by the week of their FIRST
+    * event (their cohort), then for each (cohort, week-offset) count
+    * how many of the cohort's users were active that many weeks
+    * later. `retention_x1000` is the integer per-mille share of the
+    * cohort still active (offset 0 is 1000 by construction — every
+    * user is active in their own first week).
+    *
+    * Scale shape: one user-keyed aggregation for first-event times,
+    * one distinct over (user, week) — both map-side partial — and one
+    * user-keyed join between them (co-partitioned: same key); the
+    * final (cohort, offset) aggregation and the cohort-size join are
+    * over a weeks² -bounded table, broadcast-sized. Never a per-user
+    * window over event history; a user with 10⁹ events costs two
+    * min/distinct partials.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firsts = df.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col("__u"), date_trunc("week", col("__first")).as("cohort_week"))
+    val active = df
+      .select(col(userCol).as("__u"), date_trunc("week", col(tsCol)).as("__w"))
+      .distinct()
+    // one row per (user, active week): cohort_week is functional on
+    // the user, so count(*) per (cohort, offset) IS distinct users
+    val offsets = active.join(firsts, "__u")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(__w, cohort_week) div 7 AS BIGINT)").as("week_offset"))
+    val sizes = firsts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    offsets.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        expr("CAST((1000 * active_users) div greatest(cohort_size, 1) AS BIGINT)")
+          .as("retention_x1000"))
+  }
 }

@@ -448,6 +448,69 @@ object TextStats {
       .limit(k)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Texts") — PageRank over the word
+    * co-occurrence graph: nodes are words, edges are adjacent-word
+    * pairs (the same 2-shingles the PMI miner counts), undirected
+    * (each adjacency feeds both directions), weighted by corpus
+    * co-occurrence count. Returns the top `k` words by rank — the
+    * graph-centrality complement to q72's TF-IDF keywords.
+    *
+    * All-integer fixed point so both engines agree bit-for-bit:
+    * ranks live in 1e-12 units (`SCALE`); each edge carries
+    * `share_ppm = ⌊w·10⁶ / wdeg(src)⌋` (≤ 10⁶ by w ≤ wdeg, computed
+    * through DECIMAL(38) so a 10¹²-count edge cannot overflow);
+    * one damping iteration is
+    * `r'(v) = ⌊0.15·SCALE/N⌋ + ⌊85·Σᵤ ⌊r(u)·share(u,v)/10⁶⌋ / 100⌋`
+    * — every product stays under 10¹⁸ because r ≤ SCALE = 10¹² and
+    * share ≤ 10⁶.
+    *
+    * Scale shape: the corpus is touched ONCE (bigram explode +
+    * count); everything after runs on the vocab²-bounded edge table
+    * — localCheckpointed, since `iters` joins re-read it — with
+    * node-keyed shuffles per iteration (the standard distributed
+    * PageRank shape: O(E) per round, O(log-ish) rounds, never
+    * corpus-sized state). N reaches the expression as a broadcast
+    * one-row cross join, the q124 convention.
+    */
+  def textRank(df: DataFrame, idCol: String, textCol: String,
+               iters: Int = 5, k: Int = 10): DataFrame = {
+    val Scale = 1000000000000L // 1e12: rank fixed-point
+    val toks = lmToks(df, idCol, textCol, Seq.empty)
+    val bg = lmBigramRows(toks)
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .where(col("w1") =!= col("w2")) // no self-loops
+    val dir = bg.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(bg.select(col("w2").as("src"), col("w1").as("dst")))
+    val edges = dir.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val deg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+    // vocab²-bounded and re-read every iteration — cut lineage once
+    val shares = edges.join(deg, "src")
+      .select(col("src"), col("dst"), expr(
+        "CAST((CAST(w AS DECIMAL(38,0)) * 1000000) div wdeg AS BIGINT)")
+        .as("share_ppm"))
+      .localCheckpoint()
+    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    val nTot = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(nTot))
+      .select(col("node"), expr(s"CAST($Scale div n_nodes AS BIGINT)").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = shares.join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"),
+          expr("CAST((r * share_ppm) div 1000000 AS BIGINT)").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("node"), expr(
+          s"CAST((15 * $Scale) div (100 * n_nodes) " +
+            "+ (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS BIGINT)").as("r"))
+    }
+    ranks.join(deg.select(col("src").as("node"), col("wdeg")), "node")
+      .select(col("node").as("word"), col("r").as("rank_p12"), col("wdeg"))
+      .orderBy(desc("rank_p12"), col("word"))
+      .limit(k)
+  }
+
   /** Gopher-style composite quality rules (Rae et al. 2021 §A.1.1) —
     * the classic pre-training quality gate, emitted as per-rule
     * booleans plus the conjunction, so a pipeline can both filter and

@@ -124,6 +124,45 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** Label-noise detection by kNN label disagreement (the
+    * Confident-Learning / Wilson-editing heuristic: a point whose
+    * nearest neighbors mostly carry a DIFFERENT label is a likely
+    * annotation error — Northcutt et al. 2021 use model confidence,
+    * the classical kNN form uses neighborhood votes). Runs
+    * [[knnSelfJoin]] with the given knobs, joins each side's label,
+    * and reports per vector: its label, neighbors found, how many
+    * disagree, the integer per-mille disagreement, and the majority
+    * `suspect` flag (2·disagree > neighbors).
+    *
+    * Scale shape: the kNN is the bucketed, hot-bucket-guarded
+    * self-join (never O(n²)); the two label lookups are 8-byte-keyed
+    * equi-joins on corpus-sized tables (shuffle, not broadcast); the
+    * final per-vector aggregation is map-side partial over ≤ k rows
+    * per key.
+    */
+  def labelNoise(df: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, k: Int, dim: Int, numBits: Int = 12,
+                 multiProbeBits: Int = 1, seed: Long = 42L): DataFrame = {
+    val knn = knnSelfJoin(df, idCol, vecCol, k, dim, numBits,
+      multiProbeBits, seed)
+    val labels = df.select(col(idCol).as("__lid"),
+      col(labelCol).cast("bigint").as("__lbl"))
+    knn
+      .join(labels.select(col("__lid").as("query_id"),
+        col("__lbl").as("label")), "query_id")
+      .join(labels.select(col("__lid").as("id"),
+        col("__lbl").as("__nb")), "id")
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nb") =!= col("label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("query_id").as("vec_id"), col("label"),
+        col("n_neighbors"), col("n_disagree"),
+        expr("CAST((1000 * n_disagree) div n_neighbors AS BIGINT)")
+          .as("disagree_x1000"),
+        (col("n_disagree") * 2 > col("n_neighbors")).as("suspect"))
+  }
+
   /** IVF-style coarse quantization ANN: assign every corpus vector to
     * its nearest of `centroids` (a small driver-provided list — e.g.
     * sampled corpus rows), then search only the query's `nProbe`

@@ -312,4 +312,33 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
     assert(loose.values.forall(_ == false))
   }
+
+  test("noveltyScores: exact dup is 0-novel, fresh doc is 1000, half is 500") {
+    val corpus = Seq(
+      (0L, "a b c d"),  // first doc: everything novel
+      (1L, "a b c d"),  // exact dup of doc 0: nothing novel
+      (2L, "x y z w"),  // all-fresh vocabulary
+      (3L, "a b c x"))  // shingles {a b c, b c x}: one seen, one new
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(corpus, "doc_id",
+        TextFns.shingles(col("text"), 3),
+        itemKey = graft.functions.HashFns.hash61)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 0L, 1000L),
+      (1L, 2L, 2L, 0L),
+      (2L, 2L, 0L, 1000L),
+      (3L, 2L, 1L, 500L)))
+  }
+
+  test("noveltyScores is partition-invariant") {
+    val corpus = spark.range(0, 150).selectExpr("id AS doc_id",
+      "concat('w', CAST(id % 13 AS STRING), ' w', CAST(id % 7 AS STRING), " +
+        "' w', CAST(id % 5 AS STRING), ' w', CAST(id % 11 AS STRING)) AS text")
+    val mk = (df: org.apache.spark.sql.DataFrame) =>
+      Dedup.noveltyScores(df, "doc_id", TextFns.shingles(col("text"), 3),
+        itemKey = graft.functions.HashFns.hash61).orderBy("id").collect().toSeq
+    assert(mk(corpus) === mk(corpus.repartition(11)) && mk(corpus).nonEmpty)
+  }
 }

@@ -85,4 +85,39 @@ class FunnelSpec extends SparkSpec {
     assert(u1.getLong(2) === 1L)
     assert(u1.getLong(3) === 0L, "single-step conversion time is zero")
   }
+
+  test("retentionCohorts: first-week cohort, offsets, per-mille") {
+    // 2024-01-01 is a Monday, so weeks truncate to Jan 1 / 8 / 15 / 22
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), // cohort Jan-1
+      (1L, "2024-01-08 10:00:00"), // active at offset 1
+      (1L, "2024-01-22 10:00:00"), // active at offset 3
+      (2L, "2024-01-03 09:00:00"), // cohort Jan-1 (mid-week first event)
+      (2L, "2024-01-04 09:00:00"), // same week — still one active row
+      (3L, "2024-01-10 12:00:00")) // cohort Jan-8
+      .map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val out = Funnel.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val w1 = ts("2024-01-01 00:00:00")
+    val w2 = ts("2024-01-08 00:00:00")
+    assert(out.toSeq === Seq(
+      (w1, 0L, 2L, 2L, 1000L), // both cohort members active in week 0
+      (w1, 1L, 1L, 2L, 500L),  // only user 1 came back a week later
+      (w1, 3L, 1L, 2L, 500L),
+      (w2, 0L, 1L, 1L, 1000L)))
+  }
+
+  test("retentionCohorts is partition-invariant") {
+    val ev = spark.range(0, 300)
+      .selectExpr("id % 37 AS user_id",
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id * 40000) AS ts")
+    val a = Funnel.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect().toSeq
+    val b = Funnel.retentionCohorts(ev.repartition(7), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }

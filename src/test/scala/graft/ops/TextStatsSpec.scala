@@ -217,4 +217,33 @@ class TextStatsSpec extends SparkSpec {
     a.foreach(r => assert(r.getLong(2) >= 0L,
       "negative PMI floors at 0 via the clamp"))
   }
+
+  test("textRank: the hub word of a star graph ranks first") {
+    val docs = Seq(
+      (1L, "hub alpha"), (2L, "hub beta"), (3L, "hub gamma"),
+      (4L, "hub delta"), (5L, "alpha beta"))
+      .toDF("id", "text")
+    val out = TextStats.textRank(docs, "id", "text", iters = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head._1 === "hub", s"hub must out-rank leaves: ${out.toSeq}")
+    assert(out.map(_._1).toSet ===
+      Set("hub", "alpha", "beta", "gamma", "delta"))
+    // damped PageRank conserves (up to floor loss) the 1e12 total mass
+    val total = out.map(_._2).sum
+    assert(total <= 1000000000000L && total > 990000000000L,
+      s"rank mass $total should be ~1e12 minus floor loss")
+    // hub degree: 4 undirected adjacencies = wdeg 4; alpha/beta 2 each
+    assert(out.find(_._1 == "hub").get._3 === 4L)
+    assert(out.find(_._1 == "alpha").get._3 === 2L)
+  }
+
+  test("textRank is partition-invariant and deterministic") {
+    val docs = spark.range(0, 200).selectExpr("id",
+      "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
+        "' w', CAST(id % 11 AS STRING), ' w', CAST((id * 7) % 17 AS STRING)) AS text")
+    val a = TextStats.textRank(docs, "id", "text", iters = 3, k = 15).collect()
+    val b = TextStats.textRank(docs.repartition(9), "id", "text", iters = 3, k = 15)
+      .collect()
+    assert(a.toSeq === b.toSeq && a.nonEmpty)
+  }
 }

@@ -451,4 +451,42 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(x + y) <= 4, s"rp(-v) should approx -rp(v): $x vs $y")
     }
   }
+
+  test("labelNoise: a mislabeled point inside a tight cluster is suspect") {
+    // two well-separated clusters of 5; vector 2 sits in cluster A but
+    // carries cluster B's label
+    val rows = (0 until 5).map { i =>
+      (i.toLong, Seq(1.0, 0.01 * i, 0.0, 0.0), if (i == 2) 1 else 0)
+    } ++ (5 until 10).map { i =>
+      (i.toLong, Seq(0.0, 0.0, 1.0, 0.01 * i), 1)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoise(df, "vec_id", "embedding", "label",
+        k = 3, dim = 4, numBits = 4, multiProbeBits = 1)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getBoolean(5)))
+      .toMap
+    assert(out(2L)._1 === 1L)
+    assert(out(2L)._3, "all of vec 2's neighbors carry label 0")
+    // clean cluster-A points see at most the one mislabeled neighbor
+    Seq(0L, 1L, 3L, 4L).foreach { id =>
+      assert(!out(id)._3, s"vec $id must not be suspect: ${out(id)}")
+      assert(out(id)._2 <= 1L)
+    }
+    Seq(5L, 6L, 7L, 8L, 9L).foreach { id =>
+      assert(out(id) === ((1L, 0L, false)), s"cluster B is label-pure: $id")
+    }
+  }
+
+  test("labelNoise is partition-invariant") {
+    val df = spark.range(0, 60).selectExpr("id AS vec_id",
+      "array(CAST(id % 7 AS DOUBLE) + 1.0, CAST(id % 3 AS DOUBLE), " +
+        "CAST(id % 5 AS DOUBLE), 1.0) AS embedding",
+      "CAST(id % 4 AS INT) AS label")
+    val a = Similarity.labelNoise(df, "vec_id", "embedding", "label",
+      k = 3, dim = 4, numBits = 4).orderBy("vec_id").collect()
+    val b = Similarity.labelNoise(df.repartition(7), "vec_id", "embedding",
+      "label", k = 3, dim = 4, numBits = 4).orderBy("vec_id").collect()
+    assert(a.toSeq === b.toSeq && a.nonEmpty)
+  }
 }
