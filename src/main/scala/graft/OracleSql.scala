@@ -434,6 +434,9 @@ object OracleSql {
     "q152_textrank" -> Gen.textRankSql,
     "q153_label_noise" -> Gen.labelNoiseSql,
     "q154_novelty_curve" -> Gen.noveltyCurveSql,
+    "q155_psi_drift" -> Gen.psiDriftSql,
+    "q156_data_expectations" -> Gen.dataExpectationsSql,
+    "q157_ref_integrity" -> Gen.refIntegritySql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1431,6 +1434,114 @@ object OracleSql {
          |    // count(*) AS BIGINT) AS novelty_x1000
          |FROM shx JOIN f USING (h)
          |GROUP BY shx.id ORDER BY doc_id""".stripMargin
+
+    /** Twin of q155_psi_drift: same binning, same Laplace-smoothed
+      * ppm probabilities through HUGEINT, the IDENTICAL Mitchell
+      * eighth-bit log over the symmetric max/min ratio, same raw
+      * eighth-bit × ppm sum.
+      */
+    def psiDriftSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      s"""WITH b AS (SELECT source AS g, CAST(n_chars // 50 AS BIGINT) AS bin
+         |           FROM documents),
+         |gh AS (SELECT bin, CAST(count(*) AS BIGINT) AS gc FROM b GROUP BY 1),
+         |sh AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS sc FROM b
+         |       GROUP BY 1, 2),
+         |gt AS (SELECT CAST(sum(gc) AS BIGINT) AS gt,
+         |         CAST(count(*) AS BIGINT) AS nb FROM gh),
+         |st AS (SELECT g, CAST(sum(sc) AS BIGINT) AS st FROM sh GROUP BY 1),
+         |grid AS (SELECT gs.g, gh.bin, gh.gc
+         |         FROM (SELECT DISTINCT g FROM b) gs CROSS JOIN gh),
+         |pq AS (SELECT grid.g, st.st,
+         |         CAST((CAST(coalesce(sh.sc, 0) + 1 AS HUGEINT) * 1000000)
+         |           // (st.st + gt.nb) AS BIGINT) AS p_ppm,
+         |         CAST((CAST(grid.gc + 1 AS HUGEINT) * 1000000)
+         |           // (gt.gt + gt.nb) AS BIGINT) AS q_ppm
+         |       FROM grid
+         |       LEFT JOIN sh ON sh.g = grid.g AND sh.bin = grid.bin
+         |       JOIN st ON st.g = grid.g CROSS JOIN gt),
+         |tm AS (SELECT g, st,
+         |         abs(p_ppm - q_ppm) * ($m8 - ${8 * shift}) AS term
+         |       FROM (SELECT g, st, p_ppm, q_ppm,
+         |               CAST((greatest(p_ppm, q_ppm) * ${1L << shift})
+         |                 // least(p_ppm, q_ppm) AS BIGINT) AS q
+         |             FROM pq))
+         |SELECT g AS source, st AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(term) AS BIGINT) AS psi_e8_ppm
+         |FROM tm GROUP BY 1, 2 ORDER BY source""".stripMargin
+    }
+
+    /** Twin of q156_data_expectations: evaluates the LITERAL same
+      * predicate strings ([[Queries.LineitemChecks]]) in one
+      * conditional-sum scan, plus the distinct-key uniqueness branch.
+      */
+    def dataExpectationsSql: String = {
+      val checks = Queries.LineitemChecks
+      val sums = checks.zipWithIndex.map { case ((_, p), i) =>
+        s"CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS p$i"
+      }.mkString(",\n|    ")
+      val branches = checks.zipWithIndex.map { case ((name, _), i) =>
+        s"""SELECT '$name' AS "check", n AS n_rows, p$i AS n_pass,
+           |    CAST((1000 * p$i) // greatest(n, 1) AS BIGINT) AS pass_x1000,
+           |    ((1000 * p$i) // greatest(n, 1) >= 1000) AS passed FROM a"""
+          .stripMargin
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    $sums
+         |  FROM lineitem),
+         |u AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d
+         |      FROM (SELECT count(*) AS c FROM lineitem
+         |            GROUP BY l_orderkey, l_linenumber))
+         |SELECT * FROM (
+         |  $branches
+         |  UNION ALL SELECT 'pk_unique', n, d,
+         |    CAST((1000 * d) // greatest(n, 1) AS BIGINT),
+         |    ((1000 * d) // greatest(n, 1) >= 1000) FROM u)
+         |ORDER BY "check"""".stripMargin
+    }
+
+    /** Twin of q157_ref_integrity: per FK edge, the same
+      * child-key-count ⟗ distinct-parent full join and one-row
+      * classification aggregate.
+      */
+    def refIntegritySql: String = {
+      val edges = Seq(
+        ("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"))
+      val branches = edges.map { case (name, ct, ck, pt, pk) =>
+        s"""SELECT '$name' AS relation,
+           |    CAST(coalesce(sum(cn), 0) AS BIGINT) AS n_child,
+           |    CAST(coalesce(sum(CASE WHEN isp IS NULL THEN cn END), 0)
+           |      AS BIGINT) AS n_orphans,
+           |    CAST(count(isp) AS BIGINT) AS n_parents,
+           |    CAST(count(CASE WHEN isp IS NOT NULL AND cn IS NOT NULL
+           |      THEN 1 END) AS BIGINT) AS n_referenced
+           |  FROM (SELECT CAST($ck AS BIGINT) AS k,
+           |          CAST(count(*) AS BIGINT) AS cn
+           |        FROM $ct WHERE $ck IS NOT NULL GROUP BY 1) c
+           |  FULL JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS k, 1 AS isp
+           |             FROM $pt) p USING (k)""".stripMargin
+      }.mkString("\n|  UNION ALL ")
+      s"""SELECT relation, n_child, n_orphans,
+         |  CAST((1000 * n_orphans) // greatest(n_child, 1) AS BIGINT)
+         |    AS orphan_x1000,
+         |  n_parents, n_referenced,
+         |  CAST((1000 * n_referenced) // greatest(n_parents, 1) AS BIGINT)
+         |    AS coverage_x1000
+         |FROM (
+         |  $branches)
+         |ORDER BY relation""".stripMargin
+    }
 
     /** Twin of q150_exact_decontam: the plain exact bipartite Jaccard
       * join over the same hashed 3-shingle sets — the two-sided prefix

@@ -86,7 +86,11 @@ object PlanAudit {
     // ONE-row node count N cross-joined into the vocab-sized rank
     // table (once at init, once per PageRank iteration) — broadcast
     // scalar by design, the q124 convention
-    "q152_textrank")
+    "q152_textrank",
+    // the (groups × bins) PSI grid: a bounded global-bin histogram
+    // cross-joined under each group, plus the ONE-row corpus totals
+    // — broadcast by design
+    "q155_psi_drift")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -2434,6 +2434,69 @@ object Queries {
         col("n_seen_before"), col("novelty_x1000"))
       .orderBy("doc_id")
 
+  /** PSI distribution drift ([[graft.ops.Profile.psiDrift]]): per
+    * source, the integer population-stability index of its n_chars
+    * distribution against the corpus — Laplace-smoothed ppm
+    * probabilities × the Mitchell eighth-bit log2, summed over the
+    * global bin set. The corpus is scanned once into histograms;
+    * everything after is (sources × bins)-bounded.
+    */
+  val q155_psi_drift: Q = (s, d) =>
+    graft.ops.Profile.psiDrift(Tables.documents(s, d), "source", "n_chars",
+        binWidth = 50)
+      .orderBy("source")
+
+  /** Deequ-style expectation report ([[graft.ops.Profile.rowChecks]]
+    * + [[graft.ops.Profile.uniquenessCheck]]): one scan of lineitem
+    * evaluates every row-level predicate (the predicate STRINGS are
+    * shared verbatim with the DuckDB twin via
+    * [[LineitemChecks]], so the two engines parse identical text);
+    * the primary-key uniqueness check is its own key-hashed
+    * aggregation. One output row per check.
+    */
+  val q156_data_expectations: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    graft.ops.Profile.rowChecks(li, LineitemChecks)
+      .unionByName(graft.ops.Profile.uniquenessCheck(
+        li, Seq("l_orderkey", "l_linenumber"), "pk_unique"))
+      .orderBy("check")
+  }
+
+  /** Referential-integrity + join-coverage report
+    * ([[graft.ops.Profile.refIntegrity]]) over the five TPC-H FK
+    * edges: orphan counts per child and referenced-parent coverage —
+    * one full-outer key join per edge over already-reduced distinct
+    * keys.
+    */
+  val q157_ref_integrity: Q = (s, d) =>
+    graft.ops.Profile.refIntegrity(Seq(
+      ("customer.nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      ("lineitem.orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      ("lineitem.partkey->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      ("lineitem.suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      ("orders.custkey->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")))
+      .orderBy("relation")
+
+  /** q156's check list — SQL predicate strings parseable by BOTH
+    * Spark and DuckDB, so the oracle twin evaluates the literal same
+    * text and the surfaces cannot drift.
+    */
+  val LineitemChecks: Seq[(String, String)] = Seq(
+    "qty_in_range" -> "l_quantity >= 1 AND l_quantity <= 50",
+    "price_positive" -> "l_extendedprice > 0",
+    "discount_range" ->
+      "l_discount >= 0 AND l_discount <= CAST(0.1 AS DOUBLE)",
+    "returnflag_known" -> "l_returnflag IN ('A', 'N', 'R')",
+    "linestatus_known" -> "l_linestatus IN ('O', 'F')",
+    "shipdate_range" ->
+      ("l_shipdate >= TIMESTAMP '1992-01-01 00:00:00' " +
+        "AND l_shipdate <= TIMESTAMP '1998-12-31 23:59:59'"))
+
   /** All registered queries. */
   val all: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01_scan_filter_project,
@@ -2589,5 +2652,8 @@ object Queries {
     "q151_retention_cohorts" -> q151_retention_cohorts,
     "q152_textrank" -> q152_textrank,
     "q153_label_noise" -> q153_label_noise,
-    "q154_novelty_curve" -> q154_novelty_curve)
+    "q154_novelty_curve" -> q154_novelty_curve,
+    "q155_psi_drift" -> q155_psi_drift,
+    "q156_data_expectations" -> q156_data_expectations,
+    "q157_ref_integrity" -> q157_ref_integrity)
 }

@@ -112,4 +112,140 @@ object Profile {
       .withColumn("share_x1000", expr("(1000 * cnt) div total"))
       .select("key", "cnt", "share_x1000", "rank")
   }
+
+  /** Population-stability-index drift report — the model-monitoring
+    * staple, here as "which group's value distribution diverges from
+    * the corpus": bin `valueCol` by `binWidth`, build the global and
+    * per-group histograms, and per group sum the classic PSI terms
+    * (p−q)·log(p/q) over the GLOBAL bin set. All-integer so both
+    * engines agree exactly: probabilities are Laplace-smoothed ppm
+    * (⌊(cnt+1)·10⁶/(tot+B)⌋ over B global bins — smoothing keeps
+    * empty bins finite, the standard PSI practice), the log is the
+    * Mitchell eighth-bit log2 the LM/PMI operators use, and each
+    * term is |p−q|·(m8 − 160) ≥ 0 (sign(p−q) = sign(log p/q), so
+    * the absolute form IS the PSI term). `psi_e8_ppm` is the raw sum:
+    * eighth-bits × ppm; divide by 8·10⁶ for log2 units.
+    *
+    * Scale shape: one scan bins the corpus; every aggregation after
+    * runs on histogram tables bounded by (groups × bins) — the grid
+    * cross join, flagged-by-design, is broadcast-tiny on both sides.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth must be positive")
+    val binned = df.select(col(groupCol).as("g"),
+      expr(s"CAST($valueCol div $binWidth AS BIGINT)").as("bin"))
+    // ONE corpus scan builds the per-group histogram; the global
+    // histogram, totals, and group list all derive from it (it is
+    // (groups × bins)-bounded, so cut lineage once instead of
+    // re-scanning the corpus per derivation)
+    val sHist = binned.groupBy("g", "bin").agg(count(lit(1)).as("sc"))
+      .localCheckpoint()
+    val gHist = sHist.groupBy("bin").agg(sum("sc").as("gc"))
+    val gTot = gHist.agg(sum("gc").as("gt"), count(lit(1)).as("nb"))
+    val sTot = sHist.groupBy("g").agg(sum("sc").as("st"))
+    val grid = sTot.select("g").crossJoin(broadcast(gHist))
+    grid
+      .join(sHist, Seq("g", "bin"), "left")
+      .join(sTot, "g")
+      .crossJoin(broadcast(gTot))
+      .select(col("g"), col("st"),
+        expr("CAST((CAST(coalesce(sc, 0) + 1 AS DECIMAL(38,0)) * 1000000) " +
+          "div (st + nb) AS BIGINT)").as("p_ppm"),
+        expr("CAST((CAST(gc + 1 AS DECIMAL(38,0)) * 1000000) " +
+          "div (gt + nb) AS BIGINT)").as("q_ppm"))
+      .select(col("g"), col("st"), col("p_ppm"), col("q_ppm"),
+        expr(s"CAST((greatest(p_ppm, q_ppm) * ${1L << TextStats.LmShift}) " +
+          "div least(p_ppm, q_ppm) AS BIGINT)").as("q"))
+      .select(col("g"), col("st"),
+        expr(s"abs(p_ppm - q_ppm) * (${TextStats.mitchellE8Sql("q")} " +
+          s"- ${8 * TextStats.LmShift})").as("term"))
+      .groupBy("g", "st")
+      .agg(count(lit(1)).as("n_bins"), sum("term").as("__t"))
+      .select(col("g").as(groupCol), col("st").as("n_rows"),
+        col("n_bins"), col("__t").cast("bigint").as("psi_e8_ppm"))
+  }
+
+  /** Deequ-style expectation report over row-level predicates — ONE
+    * scan, one conditional-sum aggregation, then one output row per
+    * check: (check, n_rows, n_pass, pass_x1000, passed). Predicates
+    * arrive as SQL strings parseable by BOTH engines, so the DuckDB
+    * twin evaluates the LITERAL same text and the check list cannot
+    * drift.
+    */
+  def rowChecks(df: DataFrame, checks: Seq[(String, String)],
+                minPassX1000: Long = 1000L): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    // the ONE-row aggregate is re-selected once per check row — cut
+    // lineage so the corpus scan runs once, not |checks| times
+    val agg = df.agg(count(lit(1)).as("__n"),
+      checks.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(expr(p), 1L).otherwise(0L)).as(s"__p$i") }: _*)
+      .localCheckpoint()
+    val rows = checks.zipWithIndex.map { case ((name, _), i) =>
+      agg.select(lit(name).as("check"), col("__n").as("n_rows"),
+        col(s"__p$i").as("n_pass"),
+        expr(s"CAST((1000 * __p$i) div greatest(__n, 1) AS BIGINT)")
+          .as("pass_x1000"),
+        (expr(s"(1000 * __p$i) div greatest(__n, 1)") >= minPassX1000)
+          .as("passed"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** The uniqueness expectation (primary-key check): distinct
+    * key-tuples over total rows, same output row shape as
+    * [[rowChecks]] so the two union into one report. One key-hashed
+    * aggregation with map-side partials; the shuffle carries distinct
+    * keys, never rows.
+    */
+  def uniquenessCheck(df: DataFrame, keyCols: Seq[String], name: String,
+                      minPassX1000: Long = 1000L): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum("__c").as("__n"), count(lit(1)).as("__d"))
+      .select(lit(name).as("check"), col("__n").as("n_rows"),
+        col("__d").as("n_pass"),
+        expr("CAST((1000 * __d) div greatest(__n, 1) AS BIGINT)")
+          .as("pass_x1000"),
+        (expr("(1000 * __d) div greatest(__n, 1)") >= minPassX1000)
+          .as("passed"))
+
+  /** Referential-integrity + coverage report over foreign-key edges:
+    * per (child.key → parent.key) edge, the child rows, the orphans
+    * (child keys with no parent), and on the parent side the distinct
+    * parents and how many are actually referenced — the "is this join
+    * safe, and how selective is it" pre-flight a pipeline runs before
+    * trusting an equi-join at 100 TB.
+    *
+    * Scale shape per edge: child reduces to per-key counts (map-side
+    * partials — the shuffle carries distinct keys), parent to its
+    * distinct keys; ONE full-outer key join classifies every key as
+    * matched/orphan/unreferenced; the final aggregate is one row.
+    * Never an anti-join + semi-join + two extra scans.
+    */
+  def refIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "need at least one FK edge")
+    val rows = edges.map { case (name, child, ck, parent, pk) =>
+      val c = child.where(col(ck).isNotNull)
+        .groupBy(col(ck).cast("bigint").as("k")).agg(count(lit(1)).as("cn"))
+      val p = parent.select(col(pk).cast("bigint").as("k")).distinct()
+        .withColumn("isp", lit(1))
+      c.join(p, Seq("k"), "full_outer")
+        .agg(
+          coalesce(sum("cn"), lit(0L)).as("n_child"),
+          coalesce(sum(when(col("isp").isNull, col("cn"))), lit(0L))
+            .as("n_orphans"),
+          count(col("isp")).as("n_parents"),
+          count(when(col("isp").isNotNull && col("cn").isNotNull, lit(1)))
+            .as("n_referenced"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          expr("CAST((1000 * n_orphans) div greatest(n_child, 1) AS BIGINT)")
+            .as("orphan_x1000"),
+          col("n_parents"), col("n_referenced"),
+          expr("CAST((1000 * n_referenced) div greatest(n_parents, 1) AS BIGINT)")
+            .as("coverage_x1000"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
 }

@@ -83,4 +83,57 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(rep.toSeq === out.toSeq)
   }
+
+  test("psiDrift: a group matching the corpus shape scores far below a skewed one") {
+    // "flat" is 90% of the corpus, so the global shape IS (almost)
+    // flat's shape; the small "skew" group piles everything on bin 0
+    val rows =
+      (0 until 90).map(i => ("flat", (i % 3) * 10L)) ++
+        (0 until 10).map(_ => ("skew", 0L))
+    val df = rows.toDF("src", "v")
+    val out = Profile.psiDrift(df, "src", "v", binWidth = 10)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byG = out.map(t => t._1 -> t).toMap
+    assert(byG("flat")._2 === 90L && byG("flat")._3 === 3L)
+    assert(byG("skew")._4 > 10L * byG("flat")._4,
+      s"skewed group must dominate: $out")
+    // partition invariance
+    val b = Profile.psiDrift(df.repartition(7), "src", "v", 10)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === b.toSeq)
+  }
+
+  test("rowChecks + uniquenessCheck: hand-counted pass rates and flags") {
+    val df = Seq((1L, 10.0, "A"), (2L, -5.0, "A"), (2L, 7.0, "B"),
+      (4L, 3.0, "Z")).toDF("id", "amt", "tag")
+    val checks = Seq(
+      "amt_positive" -> "amt > 0",
+      "tag_known" -> "tag IN ('A', 'B')")
+    val out = Profile.rowChecks(df, checks)
+      .unionByName(Profile.uniquenessCheck(df, Seq("id"), "id_unique"))
+      .orderBy("check").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      ("amt_positive", 4L, 3L, 750L, false),
+      ("id_unique", 4L, 3L, 750L, false),
+      ("tag_known", 4L, 3L, 750L, false)))
+    val clean = Profile.rowChecks(df.where(col("amt") > 0),
+      Seq("amt_positive" -> "amt > 0")).collect()
+    assert(clean.head.getBoolean(4) === true)
+  }
+
+  test("refIntegrity: orphans and unreferenced parents are both counted") {
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "orphan"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk") // 3 is never referenced
+    val out = Profile.refIntegrity(Seq(
+        ("child->parent", child, "fk", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      ("child->parent", 4L, 1L, 250L, 3L, 2L, 666L)))
+  }
 }
