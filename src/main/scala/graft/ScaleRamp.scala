@@ -124,7 +124,9 @@ object ScaleRamp {
       "q141_sessionization", "q142_png_pixels", "q143_setsim_join",
       "q144_event_funnel", "q145_funnel_report", "q146_png_grid_features",
       "q147_rank_eval", "q148_random_projection", "q149_rp_recall",
-      "q150_exact_decontam")
+      "q150_exact_decontam", "q151_retention_cohorts", "q152_textrank",
+      "q153_label_noise", "q154_novelty_curve", "q155_psi_drift",
+      "q156_data_expectations", "q157_ref_integrity")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries
