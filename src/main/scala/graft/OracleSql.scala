@@ -437,6 +437,7 @@ object OracleSql {
     "q155_psi_drift" -> Gen.psiDriftSql,
     "q156_data_expectations" -> Gen.dataExpectationsSql,
     "q157_ref_integrity" -> Gen.refIntegritySql,
+    "q158_snapshot_diff" -> Gen.snapshotDiffSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1542,6 +1543,30 @@ object OracleSql {
          |  $branches)
          |ORDER BY relation""".stripMargin
     }
+
+    /** Twin of q158_snapshot_diff: the same derived snapshot B
+      * (drops % 13, '+ edited' % 7, re-keyed adds % 11), one full
+      * join, the same null-safe column comparison, class counts.
+      */
+    def snapshotDiffSql: String =
+      s"""WITH a AS (SELECT doc_id, text, lang, source FROM documents),
+         |b AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+         |             ELSE text END AS text, lang, source
+         |      FROM documents WHERE doc_id % 13 <> 0
+         |      UNION ALL
+         |      SELECT doc_id + 10000000, text, lang, source
+         |      FROM documents WHERE doc_id % 11 = 0),
+         |j AS (SELECT
+         |        CASE WHEN a.doc_id IS NULL THEN 'added'
+         |             WHEN b.doc_id IS NULL THEN 'removed'
+         |             WHEN a.text IS DISTINCT FROM b.text
+         |               OR a.lang IS DISTINCT FROM b.lang
+         |               OR a.source IS DISTINCT FROM b.source THEN 'changed'
+         |             ELSE 'unchanged' END AS diff_status
+         |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+         |SELECT diff_status, CAST(count(*) AS BIGINT) AS n_keys
+         |FROM j GROUP BY 1 ORDER BY diff_status""".stripMargin
 
     /** Twin of q150_exact_decontam: the plain exact bipartite Jaccard
       * join over the same hashed 3-shingle sets — the two-sided prefix

@@ -2482,6 +2482,27 @@ object Queries {
         Tables.customer(s, d), "c_custkey")))
       .orderBy("relation")
 
+  /** Keyed snapshot diff ([[graft.ops.Profile.snapshotDiff]]): the
+    * incremental-reprocessing pre-flight — today's drop vs
+    * yesterday's, every key classified added/removed/changed/
+    * unchanged by one key-partitioned full-outer join. Snapshot B is
+    * derived deterministically from A (drops % 13, edits % 7, re-keyed
+    * adds % 11) so both engines diff the identical pair; the catalog
+    * row aggregates class counts.
+    */
+  val q158_snapshot_diff: Q = (s, d) => {
+    val a = Tables.documents(s, d)
+    val b0 = a.where(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val adds = a.where(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+    graft.ops.Profile.snapshotDiff(a, b0.unionByName(adds),
+        Seq("doc_id"), Seq("text", "lang", "source"))
+      .groupBy("diff_status").agg(count(lit(1)).as("n_keys"))
+      .orderBy("diff_status")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2655,5 +2676,6 @@ object Queries {
     "q154_novelty_curve" -> q154_novelty_curve,
     "q155_psi_drift" -> q155_psi_drift,
     "q156_data_expectations" -> q156_data_expectations,
-    "q157_ref_integrity" -> q157_ref_integrity)
+    "q157_ref_integrity" -> q157_ref_integrity,
+    "q158_snapshot_diff" -> q158_snapshot_diff)
 }

@@ -126,7 +126,8 @@ object ScaleRamp {
       "q147_rank_eval", "q148_random_projection", "q149_rp_recall",
       "q150_exact_decontam", "q151_retention_cohorts", "q152_textrank",
       "q153_label_noise", "q154_novelty_curve", "q155_psi_drift",
-      "q156_data_expectations", "q157_ref_integrity")
+      "q156_data_expectations", "q157_ref_integrity",
+      "q158_snapshot_diff")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

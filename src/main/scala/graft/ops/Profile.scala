@@ -210,6 +210,39 @@ object Profile {
         (expr("(1000 * __d) div greatest(__n, 1)") >= minPassX1000)
           .as("passed"))
 
+  /** Keyed snapshot diff — "what changed between yesterday's drop and
+    * today's": every key classified as added / removed / changed /
+    * unchanged by ONE full-outer join on the key and a direct
+    * null-safe comparison of the compared columns (no hashing, so
+    * engine-portable bit-for-bit). Returns (keys…, diff_status); the
+    * caller aggregates or filters — the row-level form is the one a
+    * pipeline feeds into incremental reprocessing.
+    *
+    * Scale shape: both snapshots reduce to (key, compared columns)
+    * projections — column-pruned at the scan — and meet in one
+    * key-partitioned shuffle join; the classification is a codegen'd
+    * projection. Nothing is collected; no windows.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(compareCols.nonEmpty, "need at least one compared column")
+    val ak = a.select((keyCols ++ compareCols).map(col) :+
+      lit(1).as("__ina"): _*)
+    val bk = b.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__b_$c")) :+
+      lit(1).as("__inb"): _*)
+    val changed = compareCols
+      .map(c => !(col(c) <=> col(s"__b_$c")))
+      .reduce(_ || _)
+    ak.join(bk, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__ina").isNull, lit("added"))
+          .when(col("__inb").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")).as("diff_status"): _*)
+  }
+
   /** Referential-integrity + coverage report over foreign-key edges:
     * per (child.key → parent.key) edge, the child rows, the orphans
     * (child keys with no parent), and on the parent side the distinct

@@ -793,6 +793,69 @@ object Stateful {
           }
       }
   }
+
+  final case class CheckEvent(check: String, pass: Boolean,
+                              ts: java.sql.Timestamp)
+  final case class CheckCounts(n: Long, p: Long, lastTs: Long)
+  final case class CheckStatus(check: String, n_rows: Long, n_pass: Long,
+                               pass_x1000: Long, passed: Boolean)
+
+  /** Running data-contract monitor — the streaming form of
+    * [[graft.ops.Profile.rowChecks]]: every row is exploded into one
+    * (check, pass) event per predicate in a codegen'd projection (the
+    * same engine-portable predicate STRINGS the batch form takes),
+    * then per-check keyed state carries exactly TWO longs (rows seen,
+    * rows passed) and emits the cumulative pass rate each batch — the
+    * gate a pipeline watches to pause ingestion when a contract
+    * breaks mid-stream. Null predicate results count as failures,
+    * matching the batch form's `when(p, 1).otherwise(0)`.
+    *
+    * State is O(checks) TOTAL (not per key of the data!), dies
+    * `stateTtlMs` after the last arrival. At-least-once delivery
+    * inflates both counters equally, so the RATE stays honest under
+    * redelivery even though the counts do not.
+    */
+  def checksRunning(df: DataFrame, tsCol: String,
+                    checks: Seq[(String, String)],
+                    watermarkDelay: String, stateTtlMs: Long,
+                    minPassX1000: Long = 1000L)
+      : org.apache.spark.sql.Dataset[CheckStatus] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(checks.nonEmpty, "need at least one check")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val events = df.select(explode(array(checks.map { case (n, p) =>
+        struct(lit(n).as("check"),
+          coalesce(expr(p).cast("boolean"), lit(false)).as("pass"),
+          col(tsCol).as("ts"))
+      }: _*)).as("e"))
+      .select(col("e.check").as("check"), col("e.pass").as("pass"),
+        col("e.ts").as("ts"))
+      .as[CheckEvent]
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.check)
+      .flatMapGroupsWithState[CheckCounts, CheckStatus](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[CheckEvent], state: GroupState[CheckCounts]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption.getOrElse(CheckCounts(0L, 0L, 0L))
+            var n = s.n
+            var p = s.p
+            var last = s.lastTs
+            rows.foreach { e =>
+              n += 1
+              if (e.pass) p += 1
+              last = math.max(last, e.ts.getTime)
+            }
+            state.update(CheckCounts(n, p, last))
+            state.setTimeoutTimestamp(last + stateTtlMs)
+            val px = if (n == 0) 0L else 1000L * p / n
+            Iterator.single(CheckStatus(key, n, p, px, px >= minPassX1000))
+          }
+      }
+  }
 }
 
 /** Mutable Space-Saving summary (Metwally et al. 2005): at most `cap`

@@ -125,6 +125,22 @@ class ProfileSpec extends SparkSpec {
     assert(clean.head.getBoolean(4) === true)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classes, null-safe") {
+    val a = Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30)).toDF("k", "s", "v")
+    val b = Seq((2L, "y", 20), (3L, "zz", 30), (4L, "w", 40)).toDF("k", "s", "v")
+    val out = Profile.snapshotDiff(a, b, Seq("k"), Seq("s", "v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+    // null-safe compare: null vs null is unchanged, null vs value changed
+    val an = Seq((1L, Option.empty[String]), (2L, Option("p"))).toDF("k", "s")
+    val bn = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val nout = Profile.snapshotDiff(an, bn, Seq("k"), Seq("s"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(nout.toSeq === Seq((1L, "unchanged"), (2L, "changed")))
+  }
+
   test("refIntegrity: orphans and unreferenced parents are both counted") {
     val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "orphan"))
       .toDF("fk", "payload")

@@ -1037,4 +1037,51 @@ class StatefulSpec extends SparkSpec {
       ((ups(1).n_held, ups(1).tau, ups(1).w_hat_sum)))
     assert(ups(2).n_events === 23L)
   }
+
+  test("checksRunning ≡ batch rowChecks over everything delivered (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    val checks = Seq(
+      "amt_positive" -> "amt > 0",
+      "tag_known" -> "tag IN ('A', 'B')")
+    val stream = MemoryStream[(java.sql.Timestamp, Double, String)]
+    val out = mutable.Buffer.empty[(Long, Stateful.CheckStatus)]
+    val q = Stateful.checksRunning(
+        stream.toDF().toDF("ts", "amt", "tag"), "ts", checks,
+        watermarkDelay = "1 hour", stateTtlMs = 60 * 60 * 1000)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.CheckStatus],
+                       id: Long) =>
+        out.synchronized { out ++= df.collect().map(u => (id, u)) }
+        ()
+      }.start()
+    def row(minute: Int, amt: Double, tag: String) =
+      (java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), amt, tag)
+    val batch1 = Seq(row(1, 5.0, "A"), row(1, -2.0, "A"), row(2, 3.0, "Z"))
+    val batch2 = Seq(row(3, 1.0, "B"), row(3, -1.0, "C"))
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    // the final emission per check equals batch rowChecks on the union
+    val expected = graft.ops.Profile.rowChecks(
+        (batch1 ++ batch2).toDF("ts", "amt", "tag"), checks)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val lastBatch = out.map(_._1).max
+    val finals = out.filter(_._1 == lastBatch).map(_._2)
+    assert(finals.map(_.check).toSet === checks.map(_._1).toSet)
+    finals.foreach { st =>
+      assert((st.n_rows, st.n_pass, st.pass_x1000, st.passed) ===
+        expected(st.check), s"drift on ${st.check}")
+    }
+    // intermediate emission after batch 1 matches batch 1 alone
+    val mids = out.filter(_._1 == out.map(_._1).min).map(_._2)
+    val exp1 = graft.ops.Profile.rowChecks(batch1.toDF("ts", "amt", "tag"), checks)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    mids.foreach { st =>
+      assert((st.n_rows, st.n_pass) === exp1(st.check))
+    }
+  }
 }
