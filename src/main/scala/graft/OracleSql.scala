@@ -438,6 +438,8 @@ object OracleSql {
     "q156_data_expectations" -> Gen.dataExpectationsSql,
     "q157_ref_integrity" -> Gen.refIntegritySql,
     "q158_snapshot_diff" -> Gen.snapshotDiffSql,
+    "q159_bmp_pixels" -> Gen.bmpPixelsSql,
+    "q160_wav_pcm" -> Gen.wavPcmSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1613,6 +1615,37 @@ object OracleSql {
          |  CAST((100 * sum(255)) // (w * h) AS BIGINT) AS mean_a_x100
          |FROM px GROUP BY doc_id, w, h
          |ORDER BY doc_id""".stripMargin
+
+    /** Twin of q159_bmp_pixels: the BMP fixture carries the SAME
+      * closed-form pixel pattern and dims as q142's PNG, so the twin
+      * IS the q142 closed-form sum — the Spark side differs (BMP
+      * stride/BGR/bottom-up decode, not zlib), which is the point:
+      * two independent real decode paths, one pixel ground truth.
+      */
+    def bmpPixelsSql: String = pngPixelsSql
+
+    /** Twin of q160_wav_pcm: the same closed-form waveform
+      * s(i) = ((id·31 + 17·i) % 65536) − 32768 unrolled by range
+      * unnest; crossings substitute the formula at i−1, so no window
+      * is needed.
+      */
+    def wavPcmSql: String =
+      s"""WITH base AS (SELECT doc_id, doc_id % 200 + 50 AS n,
+         |                CAST(8000 + (doc_id % 8) * 1000 AS INT) AS rate
+         |              FROM documents),
+         |sm AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM base),
+         |sv AS (SELECT doc_id, n, rate, i,
+         |         (doc_id * 31 + 17 * i) % 65536 - 32768 AS s,
+         |         CASE WHEN i >= 1 THEN
+         |           (doc_id * 31 + 17 * (i - 1)) % 65536 - 32768 END AS prev
+         |       FROM sm)
+         |SELECT doc_id, rate AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+         |  CAST(max(abs(s)) AS BIGINT) AS peak,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(sum(s * s) // n AS BIGINT) AS energy_mean,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (s < 0))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         |FROM sv GROUP BY doc_id, rate, n ORDER BY doc_id""".stripMargin
 
     /** Twin of q146_png_grid_features: every grid-cell channel mean
       * recomputed from the closed-form test-pattern formula — cell id

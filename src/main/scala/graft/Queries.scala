@@ -2503,6 +2503,46 @@ object Queries {
       .orderBy("diff_status")
   }
 
+  /** Real BMP pixel decode
+    * ([[graft.multimodal.Multimodal.bmpPixelStats]]): the q142 test
+    * pattern BMP-ENCODED (real 24-bit BGR, bottom-up rows, 4-byte
+    * stride padding) then DECODED back through [[graft.multimodal.BmpCodec]],
+    * integer ×100 channel means out. The twin is the identical
+    * closed-form pixel sum as q142 — a hash match proves the BMP
+    * stride/BGR/row-order path reproduced every pixel.
+    */
+  val q159_bmp_pixels: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.BmpCodec.testImage(
+      id, (id % 13 + 4).toInt, (id % 11 + 4).toInt))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("bmp"))
+    graft.multimodal.Multimodal.bmpPixelStats(media, "doc_id", "bmp")
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("mean_r_x100"), col("mean_g_x100"), col("mean_b_x100"),
+        col("mean_a_x100"))
+      .orderBy("doc_id")
+  }
+
+  /** Real WAV PCM decode
+    * ([[graft.multimodal.Multimodal.wavPcmStats]]): a deterministic
+    * full-range 16-bit waveform is WAV-encoded, decoded back through
+    * the RIFF chunk walk into actual amplitudes, and integer-exact
+    * sample stats (peak, Σ|s|, ⌊Σs²/n⌋, sign crossings) reported —
+    * the audio analog of q142: real bytes → real samples, closed-form
+    * oracle.
+    */
+  val q160_wav_pcm: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.WavCodec.testWav(
+      id, (id % 200 + 50).toInt, (8000 + (id % 8) * 1000).toInt))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("wav"))
+    graft.multimodal.Multimodal.wavPcmStats(media, "doc_id", "wav")
+      .select(col("id").as("doc_id"), col("sample_rate"), col("n_samples"),
+        col("peak"), col("sum_abs"), col("energy_mean"),
+        col("zero_crossings"))
+      .orderBy("doc_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2677,5 +2717,7 @@ object Queries {
     "q155_psi_drift" -> q155_psi_drift,
     "q156_data_expectations" -> q156_data_expectations,
     "q157_ref_integrity" -> q157_ref_integrity,
-    "q158_snapshot_diff" -> q158_snapshot_diff)
+    "q158_snapshot_diff" -> q158_snapshot_diff,
+    "q159_bmp_pixels" -> q159_bmp_pixels,
+    "q160_wav_pcm" -> q160_wav_pcm)
 }

@@ -262,6 +262,75 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL pixel-statistics stage for BMP media — [[pngPixelStats]]'s
+    * contract over [[BmpCodec]]'s stride/BGR/bottom-up decode path:
+    * same output schema, same batched map-only shape, no shuffle.
+    */
+  def bmpPixelStats(df: DataFrame, idCol: String, mediaCol: String,
+                    batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r_x100", LongType),
+      StructField("mean_g_x100", LongType),
+      StructField("mean_b_x100", LongType),
+      StructField("mean_a_x100", LongType),
+      StructField("error", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img = BmpCodec.decode(r.getAs[Array[Byte]]("media"))
+            if (img == null)
+              Row(r.get(0), null, null, null, null, null, null,
+                "not a decodable uncompressed 24/32-bit BMP")
+            else {
+              val (mr, mg, mb, ma) = BmpCodec.channelMeansX100(img)
+              Row(r.get(0), img.width, img.height, mr, mg, mb, ma, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL PCM-sample-statistics stage for WAV media: per blob, the
+    * decoded amplitude stats ([[WavCodec.pcmStats]]) — actual audio
+    * samples through the RIFF chunk walk, not header metadata. Same
+    * batched map-only shape as [[probeMetadata]]; per-blob cost is
+    * O(samples); no shuffle.
+    */
+  def wavPcmStats(df: DataFrame, idCol: String, mediaCol: String,
+                  batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("peak", LongType),
+      StructField("sum_abs", LongType),
+      StructField("energy_mean", LongType),
+      StructField("zero_crossings", LongType),
+      StructField("error", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val wav = WavCodec.decode(r.getAs[Array[Byte]]("media"))
+            if (wav == null)
+              Row(r.get(0), null, null, null, null, null, null,
+                "not a decodable PCM WAV")
+            else {
+              val (n, peak, sumAbs, energy, crossings) = WavCodec.pcmStats(wav)
+              Row(r.get(0), wav.sampleRate, n, peak, sumAbs, energy,
+                crossings, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** REAL pixel-feature stage for PNG media: per blob, the g×g
     * grid of integer per-channel RGB means over the DECODED pixels
     * ([[PngCodec.gridFeatures]] — the color-layout descriptor), as an
