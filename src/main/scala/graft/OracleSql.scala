@@ -440,6 +440,8 @@ object OracleSql {
     "q158_snapshot_diff" -> Gen.snapshotDiffSql,
     "q159_bmp_pixels" -> Gen.bmpPixelsSql,
     "q160_wav_pcm" -> Gen.wavPcmSql,
+    "q161_word_triangles" -> Gen.wordTrianglesSql,
+    "q162_assoc_rules" -> Gen.assocRulesSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1569,6 +1571,62 @@ object OracleSql {
          |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
          |SELECT diff_status, CAST(count(*) AS BIGINT) AS n_keys
          |FROM j GROUP BY 1 ORDER BY diff_status""".stripMargin
+
+    /** Twin of q161_word_triangles: the NAIVE a<b<c triple join over
+      * the same canonical distinct edge set — the degree-ordered
+      * orientation on the Spark side is a physical strategy, not a
+      * semantic change, so both sides count identical triangles.
+      */
+    def wordTrianglesSql: String =
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT unnest(${shinglesE("w", 2)}) AS bg FROM wd
+         |        WHERE len(w) >= 2),
+         |bgp AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |          split_part(bg, ' ', 2) AS w2 FROM bgl),
+         |ed AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |       FROM bgp WHERE w1 <> w2),
+         |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |         SELECT a AS node FROM ed
+         |         UNION ALL SELECT b AS node FROM ed) GROUP BY 1),
+         |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |       FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+         |       JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |         SELECT x AS node FROM tr
+         |         UNION ALL SELECT y AS node FROM tr
+         |         UNION ALL SELECT z AS node FROM tr) GROUP BY 1)
+         |SELECT dg.node AS word, dg.degree,
+         |  CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN dg.degree >= 2
+         |    THEN CAST((2000 * coalesce(tn.triangles, 0))
+         |      // (dg.degree * (dg.degree - 1)) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS cc_x1000
+         |FROM dg LEFT JOIN tn ON tn.node = dg.node
+         |ORDER BY word""".stripMargin
+
+    /** Twin of q162_assoc_rules: same distinct (user, day, type)
+      * baskets, same pair self-join and count tables, same integer
+      * support/confidence/lift through HUGEINT.
+      */
+    def assocRulesSql: String =
+      s"""WITH it AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d,
+         |              event_type AS itm FROM events),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM (
+         |        SELECT DISTINCT u, d FROM it)),
+         |nx AS (SELECT itm AS x, CAST(count(*) AS BIGINT) AS n_x FROM it
+         |       GROUP BY 1),
+         |p AS (SELECT i1.itm AS x, i2.itm AS y,
+         |        CAST(count(*) AS BIGINT) AS n_xy
+         |      FROM it i1 JOIN it i2
+         |        ON i1.u = i2.u AND i1.d = i2.d AND i1.itm <> i2.itm
+         |      GROUP BY 1, 2)
+         |SELECT p.x, p.y, p.n_xy, nx.n_x, ny.n_x AS n_y,
+         |  CAST((1000 * p.n_xy) // b.nb AS BIGINT) AS support_x1000,
+         |  CAST((1000 * p.n_xy) // nx.n_x AS BIGINT) AS confidence_x1000,
+         |  CAST((CAST(p.n_xy AS HUGEINT) * 1000 * b.nb)
+         |    // (CAST(nx.n_x AS HUGEINT) * ny.n_x) AS BIGINT) AS lift_x1000
+         |FROM p JOIN nx ON nx.x = p.x JOIN nx ny ON ny.x = p.y CROSS JOIN b
+         |ORDER BY p.x, p.y""".stripMargin
 
     /** Twin of q150_exact_decontam: the plain exact bipartite Jaccard
       * join over the same hashed 3-shingle sets — the two-sided prefix

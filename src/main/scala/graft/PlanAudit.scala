@@ -90,7 +90,10 @@ object PlanAudit {
     // the (groups × bins) PSI grid: a bounded global-bin histogram
     // cross-joined under each group, plus the ONE-row corpus totals
     // — broadcast by design
-    "q155_psi_drift")
+    "q155_psi_drift",
+    // ONE-row basket total cross-joined into the vocab²-bounded rule
+    // table — broadcast scalar by design
+    "q162_assoc_rules")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

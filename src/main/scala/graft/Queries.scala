@@ -2543,6 +2543,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Triangle counting + clustering coefficients
+    * ([[graft.ops.TextStats.wordTriangles]], Suri & Vassilvitskii
+    * 2011 degree-ordered orientation): per word, its co-occurrence-
+    * graph degree, triangle count, and integer per-mille local
+    * clustering coefficient — the third graph primitive next to CC
+    * (q65/q139) and PageRank (q152). The oracle twin runs the naive
+    * a<b<c triple join: same triangles, different physical plan.
+    */
+  val q161_word_triangles: Q = (s, d) =>
+    TextStats.wordTriangles(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("word")
+
+  /** Pairwise association rules ([[graft.ops.Funnel.assocRules]],
+    * Apriori 2-itemset stage): per ordered event-type pair over
+    * (user, day) baskets, integer per-mille support / confidence /
+    * lift — the market-basket staple over behavioral events. Basket
+    * self-join fan-out is bounded by the event-type vocabulary, not
+    * the corpus.
+    */
+  val q162_assoc_rules: Q = (s, d) =>
+    graft.ops.Funnel.assocRules(Tables.events(s, d), "user_id",
+        "event_type", "ts")
+      .orderBy("x", "y")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2719,5 +2743,7 @@ object Queries {
     "q157_ref_integrity" -> q157_ref_integrity,
     "q158_snapshot_diff" -> q158_snapshot_diff,
     "q159_bmp_pixels" -> q159_bmp_pixels,
-    "q160_wav_pcm" -> q160_wav_pcm)
+    "q160_wav_pcm" -> q160_wav_pcm,
+    "q161_word_triangles" -> q161_word_triangles,
+    "q162_assoc_rules" -> q162_assoc_rules)
 }

@@ -127,7 +127,8 @@ object ScaleRamp {
       "q150_exact_decontam", "q151_retention_cohorts", "q152_textrank",
       "q153_label_noise", "q154_novelty_curve", "q155_psi_drift",
       "q156_data_expectations", "q157_ref_integrity",
-      "q158_snapshot_diff", "q159_bmp_pixels", "q160_wav_pcm")
+      "q158_snapshot_diff", "q159_bmp_pixels", "q160_wav_pcm",
+      "q161_word_triangles", "q162_assoc_rules")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -96,6 +96,47 @@ object Funnel {
     rows.reduce(_.unionByName(_))
   }
 
+  /** Pairwise association rules (the Apriori 2-itemset stage,
+    * Agrawal & Srikant 1994) over per-(user, day) baskets of distinct
+    * event types: for every ordered pair x→y, integer per-mille
+    * support (baskets with both / all baskets), confidence (both /
+    * baskets with x) and ×1000 lift (confidence / P(y)) — the
+    * market-basket staple, here over behavioral events.
+    *
+    * Scale shape: baskets reduce to distinct (basket, item) rows
+    * (map-side partial); the pair generation is a basket-keyed
+    * self-join whose fan-out is bounded by itemset size² (the item
+    * VOCABULARY, not the corpus — event types are a handful); the
+    * count tables after are vocab²-bounded, and the scalar basket
+    * total broadcasts. Lift is exact integer:
+    * (1000·n_xy·B) div (n_x·n_y) through DECIMAL(38).
+    */
+  def assocRules(df: DataFrame, userCol: String, typeCol: String,
+                 tsCol: String, minSupport: Long = 1L): DataFrame = {
+    val items = df.select(col(userCol).as("__u"),
+        to_date(col(tsCol)).as("__d"), col(typeCol).as("__it"))
+      .distinct()
+    val nB = items.select("__u", "__d").distinct()
+      .agg(count(lit(1)).as("__b"))
+    val nX = items.groupBy(col("__it").as("x")).agg(count(lit(1)).as("n_x"))
+    val pairs = items.as("i1")
+      .join(items.as("i2"),
+        col("i1.__u") === col("i2.__u") && col("i1.__d") === col("i2.__d") &&
+          col("i1.__it") =!= col("i2.__it"))
+      .groupBy(col("i1.__it").as("x"), col("i2.__it").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .where(col("n_xy") >= minSupport)
+    pairs
+      .join(nX, "x")
+      .join(nX.select(col("x").as("y"), col("n_x").as("n_y")), "y")
+      .crossJoin(broadcast(nB))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        expr("CAST((1000 * n_xy) div __b AS BIGINT)").as("support_x1000"),
+        expr("CAST((1000 * n_xy) div n_x AS BIGINT)").as("confidence_x1000"),
+        expr("CAST((CAST(n_xy AS DECIMAL(38,0)) * 1000 * __b) " +
+          "div (CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)").as("lift_x1000"))
+  }
+
   /** Weekly retention cohorts — the other product-analytics staple
     * next to the funnel: group users by the week of their FIRST
     * event (their cohort), then for each (cohort, week-offset) count

@@ -511,6 +511,66 @@ object TextStats {
       .limit(k)
   }
 
+  /** Triangle counting + local clustering coefficients over the word
+    * co-occurrence graph — the third graph primitive next to
+    * connected components (Dedup.nearDupClusters) and PageRank
+    * ([[textRank]]): how CLIQUISH is each word's neighborhood
+    * (cc = 2·triangles / deg·(deg−1), integer per-mille).
+    *
+    * The triangle join is the degree-ordered orientation of Suri &
+    * Vassilvitskii 2011 ("Counting triangles and the curse of the
+    * last reducer"): orient every edge toward the higher-(degree,
+    * node) endpoint, generate wedges only at each triangle's unique
+    * apex (the node with both out-edges), and close them against the
+    * canonical edge set. Wedge volume is Σ outdeg² = O(E^1.5) instead
+    * of the naive join's Σ deg² — the difference between a straggler
+    * on the hottest word and an even shuffle at 100 TB. The oracle
+    * twin runs the naive a<b<c triple join: same triangles, different
+    * physical plan, which is the point.
+    */
+  def wordTriangles(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = lmToks(df, idCol, textCol, Seq.empty)
+    val bg = lmBigramRows(toks)
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .where(col("w1") =!= col("w2"))
+    // canonical undirected simple edges (a < b) — vocab²-bounded and
+    // consumed by degree + orientation + closure: cut lineage once
+    val e = bg.select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient toward the higher (degree, node) endpoint
+    val oriented = e
+      .join(deg.select(col("node").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("__db")), "b")
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
+      .localCheckpoint()
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"), col("o1.u") === col("o2.u") &&
+        col("o1.v") < col("o2.v"))
+      .select(col("o1.u").as("apex"),
+        least(col("o1.v"), col("o2.v")).as("a"),
+        greatest(col("o1.v"), col("o2.v")).as("b"))
+    val tri = wedges.join(e, Seq("a", "b")) // closing edge exists
+    val perNode = tri
+      .select(explode(array(col("apex"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("word"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_x1000",
+        when(col("degree") >= 2,
+          expr("CAST((2000 * triangles) div (degree * (degree - 1)) AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
+
   /** Gopher-style composite quality rules (Rae et al. 2021 §A.1.1) —
     * the classic pre-training quality gate, emitted as per-rule
     * booleans plus the conjunction, so a pipeline can both filter and

@@ -110,6 +110,37 @@ class FunnelSpec extends SparkSpec {
       (w2, 0L, 1L, 1L, 1000L)))
   }
 
+  test("assocRules: hand-counted support, confidence, and lift") {
+    // baskets (user, day): u1/d1 {view, click}, u1/d2 {view},
+    // u2/d1 {view, click, purchase}, u3/d1 {purchase}  → B = 4
+    val ev = Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "click", "2024-01-01 12:00:00"), // same basket, still distinct
+      (1L, "view", "2024-01-02 10:00:00"),
+      (2L, "view", "2024-01-01 09:00:00"),
+      (2L, "click", "2024-01-01 09:30:00"),
+      (2L, "purchase", "2024-01-01 09:45:00"),
+      (3L, "purchase", "2024-01-01 20:00:00"))
+      .map { case (u, t, s) => (u, t, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.assocRules(ev, "user_id", "event_type", "ts")
+      .orderBy("x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    // n_view=3, n_click=2, n_purchase=2, B=4
+    // click→view: n_xy=2, support 500, conf 1000, lift (2·4·1000)/(2·3)=1333
+    assert(out(("click", "view")) === ((2L, 500L, 1000L, 1333L)))
+    // view→click: conf 2/3 = 666, same lift
+    assert(out(("view", "click")) === ((2L, 500L, 666L, 1333L)))
+    // purchase→click: n_xy=1, conf 500, lift (1·4·1000)/(2·2)=1000
+    assert(out(("purchase", "click")) === ((1L, 250L, 500L, 1000L)))
+    // view→purchase: n_xy=1, conf 333, lift (1000·4)/(3·2)=666
+    assert(out(("view", "purchase")) === ((1L, 250L, 333L, 666L)))
+    assert(out.size === 6, "three co-occurring types, both directions")
+  }
+
   test("retentionCohorts is partition-invariant") {
     val ev = spark.range(0, 300)
       .selectExpr("id % 37 AS user_id",

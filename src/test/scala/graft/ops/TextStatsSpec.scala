@@ -237,6 +237,35 @@ class TextStatsSpec extends SparkSpec {
     assert(out.find(_._1 == "alpha").get._3 === 2L)
   }
 
+  test("wordTriangles: hand-counted triangle and clustering coefficients") {
+    // graph: triangle a-b-c plus pendant edge a-d
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "c a"), (4L, "a d"))
+      .toDF("id", "text")
+    val out = TextStats.wordTriangles(docs, "id", "text")
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("a", 3L, 1L, 333L),  // 2·1/(3·2) = 1/3
+      ("b", 2L, 1L, 1000L), // 2·1/(2·1) = 1
+      ("c", 2L, 1L, 1000L),
+      ("d", 1L, 0L, 0L)))   // degree < 2 → cc 0
+  }
+
+  test("wordTriangles ≡ across partitionings; a clique of 4 has 4 triangles") {
+    // K4 over {p,q,r,s}: every doc contributes one edge
+    val docs = Seq("p q", "p r", "p s", "q r", "q s", "r s")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = TextStats.wordTriangles(docs, "id", "text")
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // each K4 node: degree 3, C(3,2)=3 triangles through it, cc = 1
+    assert(out.toSeq === Seq("p", "q", "r", "s").map(w => (w, 3L, 3L, 1000L)))
+    val b = TextStats.wordTriangles(docs.repartition(5), "id", "text")
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
