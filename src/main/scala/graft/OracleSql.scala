@@ -442,6 +442,7 @@ object OracleSql {
     "q160_wav_pcm" -> Gen.wavPcmSql,
     "q161_word_triangles" -> Gen.wordTrianglesSql,
     "q162_assoc_rules" -> Gen.assocRulesSql,
+    "q163_gif_pixels" -> Gen.gifPixelsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1704,6 +1705,28 @@ object OracleSql {
          |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (s < 0))
          |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
          |FROM sv GROUP BY doc_id, rate, n ORDER BY doc_id""".stripMargin
+
+    /** Twin of q163_gif_pixels: channel means from the index formula
+      * i = (id·7 + 3x + 5y) % 256 mapped through the closed-form
+      * palette (i, (i·11+3)%256, (i·31+7)%256) — the Spark side gets
+      * there through a real LZW bitstream.
+      */
+    def gifPixelsSql: String =
+      s"""WITH base AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+         |                     doc_id % 11 + 4 AS h FROM documents),
+         |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM base),
+         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+         |idx AS (SELECT doc_id, w, h,
+         |          (doc_id * 7 + 3 * x + 5 * y) % 256 AS i FROM px)
+         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST((100 * sum(i)) // (w * h) AS BIGINT) AS mean_r_x100,
+         |  CAST((100 * sum((i * 11 + 3) % 256)) // (w * h) AS BIGINT)
+         |    AS mean_g_x100,
+         |  CAST((100 * sum((i * 31 + 7) % 256)) // (w * h) AS BIGINT)
+         |    AS mean_b_x100,
+         |  CAST((100 * sum(255)) // (w * h) AS BIGINT) AS mean_a_x100
+         |FROM idx GROUP BY doc_id, w, h
+         |ORDER BY doc_id""".stripMargin
 
     /** Twin of q146_png_grid_features: every grid-cell channel mean
       * recomputed from the closed-form test-pattern formula — cell id

@@ -2567,6 +2567,28 @@ object Queries {
         "event_type", "ts")
       .orderBy("x", "y")
 
+  /** Real GIF LZW pixel decode
+    * ([[graft.multimodal.Multimodal.gifPixelStats]]): a closed-form
+    * indexed pattern is GIF-encoded (a REAL variable-width LZW
+    * stream with periodic CLEARs) and decoded back through the full
+    * LZW + palette path; the twin recomputes channel means from the
+    * index and palette formulas. Third independent decompression
+    * path (zlib, raw BGR, LZW) certified against closed-form pixels;
+    * mean_r equals q142's by construction (same index formula,
+    * identity-R palette).
+    */
+  val q163_gif_pixels: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.GifCodec.testImage(
+      id, (id % 13 + 4).toInt, (id % 11 + 4).toInt))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("gif"))
+    graft.multimodal.Multimodal.gifPixelStats(media, "doc_id", "gif")
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("mean_r_x100"), col("mean_g_x100"), col("mean_b_x100"),
+        col("mean_a_x100"))
+      .orderBy("doc_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2745,5 +2767,6 @@ object Queries {
     "q159_bmp_pixels" -> q159_bmp_pixels,
     "q160_wav_pcm" -> q160_wav_pcm,
     "q161_word_triangles" -> q161_word_triangles,
-    "q162_assoc_rules" -> q162_assoc_rules)
+    "q162_assoc_rules" -> q162_assoc_rules,
+    "q163_gif_pixels" -> q163_gif_pixels)
 }

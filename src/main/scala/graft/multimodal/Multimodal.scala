@@ -295,6 +295,39 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL pixel-statistics stage for GIF media — [[pngPixelStats]]'s
+    * contract over [[GifCodec]]'s LZW decode + palette mapping: same
+    * output schema, same batched map-only shape, no shuffle.
+    */
+  def gifPixelStats(df: DataFrame, idCol: String, mediaCol: String,
+                    batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r_x100", LongType),
+      StructField("mean_g_x100", LongType),
+      StructField("mean_b_x100", LongType),
+      StructField("mean_a_x100", LongType),
+      StructField("error", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img = GifCodec.decode(r.getAs[Array[Byte]]("media"))
+            if (img == null)
+              Row(r.get(0), null, null, null, null, null, null,
+                "not a decodable non-interlaced GIF")
+            else {
+              val (mr, mg, mb, ma) = GifCodec.channelMeansX100(img)
+              Row(r.get(0), img.width, img.height, mr, mg, mb, ma, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** REAL PCM-sample-statistics stage for WAV media: per blob, the
     * decoded amplitude stats ([[WavCodec.pcmStats]]) — actual audio
     * samples through the RIFF chunk walk, not header metadata. Same
