@@ -235,7 +235,8 @@ object Bench {
       "q153_label_noise", "q154_novelty_curve", "q155_psi_drift",
       "q156_data_expectations", "q157_ref_integrity",
       "q158_snapshot_diff", "q159_bmp_pixels", "q160_wav_pcm",
-      "q161_word_triangles", "q162_assoc_rules", "q163_gif_pixels")
+      "q161_word_triangles", "q162_assoc_rules", "q163_gif_pixels",
+      "q164_join_amplification")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -443,6 +443,7 @@ object OracleSql {
     "q161_word_triangles" -> Gen.wordTrianglesSql,
     "q162_assoc_rules" -> Gen.assocRulesSql,
     "q163_gif_pixels" -> Gen.gifPixelsSql,
+    "q164_join_amplification" -> Gen.joinAmplificationSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1628,6 +1629,28 @@ object OracleSql {
          |    // (CAST(nx.n_x AS HUGEINT) * ny.n_x) AS BIGINT) AS lift_x1000
          |FROM p JOIN nx ON nx.x = p.x JOIN nx ny ON ny.x = p.y CROSS JOIN b
          |ORDER BY p.x, p.y""".stripMargin
+
+    /** Twin of q164_join_amplification: same per-key count tables and
+      * products; ranking via a row_number window with the identical
+      * (out_rows DESC, key ASC) order the bounded-heap TopK uses.
+      */
+    def joinAmplificationSql: String =
+      s"""WITH cl AS (SELECT CAST(l_partkey AS BIGINT) AS key,
+         |              CAST(count(*) AS BIGINT) AS n_left
+         |            FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         |amp AS (SELECT a.key, a.n_left, b.n_left AS n_right,
+         |          a.n_left * b.n_left AS out_rows
+         |        FROM cl a JOIN cl b ON a.key = b.key),
+         |t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total FROM amp),
+         |r AS (SELECT key, n_left, n_right, out_rows,
+         |        row_number() OVER (ORDER BY out_rows DESC, key) AS "rank"
+         |      FROM amp)
+         |SELECT r.key, r.n_left, r.n_right,
+         |  CAST(r.out_rows AS BIGINT) AS out_rows,
+         |  CAST((1000 * r.out_rows) // greatest(t.total, 1) AS BIGINT)
+         |    AS share_x1000,
+         |  CAST(r."rank" AS BIGINT) AS "rank"
+         |FROM r CROSS JOIN t WHERE r."rank" <= 10 ORDER BY "rank"""".stripMargin
 
     /** Twin of q150_exact_decontam: the plain exact bipartite Jaccard
       * join over the same hashed 3-shingle sets — the two-sided prefix

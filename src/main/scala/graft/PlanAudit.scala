@@ -93,7 +93,10 @@ object PlanAudit {
     "q155_psi_drift",
     // ONE-row basket total cross-joined into the vocab²-bounded rule
     // table — broadcast scalar by design
-    "q162_assoc_rules")
+    "q162_assoc_rules",
+    // ONE-row output total cross-joined into the ≤k amplification
+    // rows — skewReport's broadcast-scalar shape
+    "q164_join_amplification")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -2589,6 +2589,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Join-amplification pre-flight
+    * ([[graft.ops.Profile.joinAmplification]]): the exact output-row
+    * contribution per join key for the lineitem⋉lineitem
+    * co-purchase self-join — top-10 keys by |l|×|r| with per-mille
+    * share of total output, the hot-key check run BEFORE a 100 TB
+    * join. Count tables + one key join + bounded-heap top-k; never a
+    * global sort.
+    */
+  val q164_join_amplification: Q = (s, d) =>
+    graft.ops.Profile.joinAmplification(Tables.lineitem(s, d), "l_partkey",
+        Tables.lineitem(s, d), "l_partkey", k = 10)
+      .orderBy("rank")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2768,5 +2781,6 @@ object Queries {
     "q160_wav_pcm" -> q160_wav_pcm,
     "q161_word_triangles" -> q161_word_triangles,
     "q162_assoc_rules" -> q162_assoc_rules,
-    "q163_gif_pixels" -> q163_gif_pixels)
+    "q163_gif_pixels" -> q163_gif_pixels,
+    "q164_join_amplification" -> q164_join_amplification)
 }

@@ -210,6 +210,49 @@ object Profile {
         (expr("(1000 * __d) div greatest(__n, 1)") >= minPassX1000)
           .as("passed"))
 
+  /** Join-amplification pre-flight — "how many rows will this
+    * equi-join EMIT, and which keys dominate": per join key,
+    * |left rows| × |right rows| is the key's output contribution;
+    * the report carries the top `k` keys with their exact
+    * amplification and per-mille share of the total output — the
+    * check a pipeline runs before a 100 TB join to find the hot key
+    * that needs salting BEFORE the straggler does (the join-pair
+    * complement of [[skewReport]]'s single-table view).
+    *
+    * Scale shape: both sides reduce to per-key counts (map-side
+    * partials — the shuffle carries distinct keys); ONE key join of
+    * the two count tables; the total is a single-row aggregate and
+    * the top-k is the bounded-heap aggregate, never a global sort.
+    */
+  def joinAmplification(left: DataFrame, leftKey: String,
+                        right: DataFrame, rightKey: String,
+                        k: Int = 10): DataFrame = {
+    import graft.plans.TopK
+    val cl = left.where(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).cast("bigint").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val cr = right.where(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).cast("bigint").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val amp = cl.join(cr, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+    val tot = amp.agg(sum("out_rows").as("total"))
+    amp
+      .agg(TopK.top_k(struct(col("out_rows"), col("key"), col("n_left"),
+        col("n_right")), k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__row")))
+      .select(col("__row.key").as("key"), col("__row.n_left").as("n_left"),
+        col("__row.n_right").as("n_right"),
+        col("__row.out_rows").as("out_rows"),
+        (col("__pos") + 1).cast("bigint").as("rank"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
+        expr("CAST((1000 * out_rows) div greatest(total, 1) AS BIGINT)")
+          .as("share_x1000"),
+        col("rank"))
+  }
+
   /** Keyed snapshot diff — "what changed between yesterday's drop and
     * today's": every key classified as added / removed / changed /
     * unchanged by ONE full-outer join on the key and a direct

@@ -125,6 +125,22 @@ class ProfileSpec extends SparkSpec {
     assert(clean.head.getBoolean(4) === true)
   }
 
+  test("joinAmplification: exact per-key products, shares, rank order") {
+    val left = Seq(1L, 1L, 1L, 2L, 2L, 3L, 9L).toDF("k") // 9 has no right
+    val right = Seq(1L, 1L, 2L, 3L, 3L, 3L, 8L).toDF("k")
+    val out = Profile.joinAmplification(left, "k", right, "k", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // products: key1 3*2=6, key2 2*1=2, key3 1*3=3; total 11
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, 6L, 545L, 1L),
+      (3L, 1L, 3L, 3L, 272L, 2L)))
+    val all = Profile.joinAmplification(left.repartition(5), "k", right, "k", 10)
+      .orderBy("rank").collect()
+    assert(all.length === 3, "keys absent from one side emit nothing")
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged classes, null-safe") {
     val a = Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30)).toDF("k", "s", "v")
     val b = Seq((2L, "y", 20), (3L, "zz", 30), (4L, "w", 40)).toDF("k", "s", "v")
