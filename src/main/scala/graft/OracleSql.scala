@@ -444,6 +444,7 @@ object OracleSql {
     "q162_assoc_rules" -> Gen.assocRulesSql,
     "q163_gif_pixels" -> Gen.gifPixelsSql,
     "q164_join_amplification" -> Gen.joinAmplificationSql,
+    "q165_heaps_curve" -> Gen.heapsCurveSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1651,6 +1652,33 @@ object OracleSql {
          |    AS share_x1000,
          |  CAST(r."rank" AS BIGINT) AS "rank"
          |FROM r CROSS JOIN t WHERE r."rank" <= 10 ORDER BY "rank"""".stripMargin
+
+    /** Twin of q165_heaps_curve: same fixed-bucket assignment off the
+      * broadcast max id, same (bucket, word) reduction, same
+      * first-bucket vocabulary attribution and bounded cumsum.
+      */
+    def heapsCurveSql: String =
+      s"""WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+         |tk AS (SELECT CAST(least(19, (doc_id * 20) // (m.mx + 1)) AS BIGINT)
+         |         AS bucket, unnest(${tokensE("text")}) AS t
+         |       FROM documents CROSS JOIN m),
+         |bw AS (SELECT bucket, t, CAST(count(*) AS BIGINT) AS c FROM tk
+         |       GROUP BY 1, 2),
+         |tc AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_tokens FROM bw
+         |       GROUP BY 1),
+         |nw AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new_words
+         |       FROM (SELECT t, min(bucket) AS fb FROM bw GROUP BY 1)
+         |       GROUP BY 1)
+         |SELECT tc.bucket, tc.n_tokens,
+         |  CAST(coalesce(nw.n_new_words, 0) AS BIGINT) AS n_new_words,
+         |  CAST(SUM(tc.n_tokens) OVER (ORDER BY tc.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS tokens_cum,
+         |  CAST(SUM(coalesce(nw.n_new_words, 0)) OVER (ORDER BY tc.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS vocab_cum
+         |FROM tc LEFT JOIN nw ON nw.bucket = tc.bucket
+         |ORDER BY tc.bucket""".stripMargin
 
     /** Twin of q150_exact_decontam: the plain exact bipartite Jaccard
       * join over the same hashed 3-shingle sets — the two-sided prefix

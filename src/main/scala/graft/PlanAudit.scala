@@ -96,7 +96,10 @@ object PlanAudit {
     "q162_assoc_rules",
     // ONE-row output total cross-joined into the ≤k amplification
     // rows — skewReport's broadcast-scalar shape
-    "q164_join_amplification")
+    "q164_join_amplification",
+    // ONE-row max id cross-joined into the bucket projection —
+    // broadcast scalar by design
+    "q165_heaps_curve")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -123,7 +126,11 @@ object PlanAudit {
     // SCORE-BUCKET table (≤ 1001 milli-quality values — constant in
     // corpus size), after the corpus has been reduced to per-bucket
     // token sums; the corpus itself is filtered by a broadcast join
-    "q122_budget_select")
+    "q122_budget_select",
+    // Heaps curve: the cumulative window runs over the nBuckets-row
+    // report (20 rows by parameter — constant in corpus size), after
+    // the corpus reduced to per-bucket counts
+    "q165_heaps_curve")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

@@ -2602,6 +2602,18 @@ object Queries {
         Tables.lineitem(s, d), "l_partkey", k = 10)
       .orderBy("rank")
 
+  /** Heaps'-law vocabulary growth
+    * ([[graft.ops.TextStats.heapsCurve]]): cumulative distinct words
+    * vs cumulative tokens over 20 ingest-order buckets — the "is
+    * this source exhausted" curve, aggregate complement to q154's
+    * per-doc novelty. One corpus scan; the cumsum window runs over
+    * the 20-row report only.
+    */
+  val q165_heaps_curve: Q = (s, d) =>
+    TextStats.heapsCurve(Tables.documents(s, d), "doc_id", "text",
+        nBuckets = 20)
+      .orderBy("bucket")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2782,5 +2794,6 @@ object Queries {
     "q161_word_triangles" -> q161_word_triangles,
     "q162_assoc_rules" -> q162_assoc_rules,
     "q163_gif_pixels" -> q163_gif_pixels,
-    "q164_join_amplification" -> q164_join_amplification)
+    "q164_join_amplification" -> q164_join_amplification,
+    "q165_heaps_curve" -> q165_heaps_curve)
 }

@@ -511,6 +511,46 @@ object TextStats {
       .limit(k)
   }
 
+  /** Heaps'-law vocabulary growth curve (Heaps 1978): cumulative
+    * distinct-word count vs cumulative token count over ingest order,
+    * in a FIXED number of id-range buckets — the corpus statistic
+    * behind "is this source still contributing new vocabulary", the
+    * aggregate complement to q154's per-document novelty.
+    *
+    * Scale shape: ONE corpus scan reduces to distinct (bucket, word)
+    * counts (map-side partial, checkpointed — both downstream
+    * aggregates read it); per-bucket token totals and per-word first
+    * buckets derive from that table; the cumulative window runs over
+    * the `nBuckets`-row report ONLY (bounded by the parameter, not
+    * the corpus — the q92 bounded-table-window discipline). The max
+    * id reaches the bucket expression as a broadcast one-row cross
+    * join.
+    */
+  def heapsCurve(df: DataFrame, idCol: String, textCol: String,
+                 nBuckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    val maxId = df.agg(max(col(idCol).cast("bigint")).as("__max"))
+    val bw = df.select(col(idCol).cast("bigint").as("__id"),
+        TextFns.tokens(col(textCol)).as("__w"))
+      .crossJoin(broadcast(maxId))
+      .select(expr(s"CAST(least($nBuckets - 1, " +
+        s"(__id * $nBuckets) div (__max + 1)) AS BIGINT)").as("bucket"),
+        explode(col("__w")).as("t"))
+      .groupBy("bucket", "t").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val tokCounts = bw.groupBy("bucket").agg(sum("__c").as("n_tokens"))
+    val newWords = bw.groupBy("t").agg(min("bucket").as("__fb"))
+      .groupBy(col("__fb").as("bucket")).agg(count(lit(1)).as("n_new_words"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tokCounts.join(newWords, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_words"), lit(0L)).as("n_new_words"))
+      .withColumn("tokens_cum", sum("n_tokens").over(w))
+      .withColumn("vocab_cum", sum("n_new_words").over(w))
+  }
+
   /** Triangle counting + local clustering coefficients over the word
     * co-occurrence graph — the third graph primitive next to
     * connected components (Dedup.nearDupClusters) and PageRank

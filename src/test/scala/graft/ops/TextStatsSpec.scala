@@ -237,6 +237,24 @@ class TextStatsSpec extends SparkSpec {
     assert(out.find(_._1 == "alpha").get._3 === 2L)
   }
 
+  test("heapsCurve: hand-computed buckets, new-word attribution, cumsums") {
+    // ids 0..9, 2 buckets: 0-4 -> bucket 0, 5-9 -> bucket 1
+    val docs = (0L until 10L).map(i =>
+      (i, if (i < 5) "a b" else "a c c")).toDF("doc_id", "text")
+    val out = TextStats.heapsCurve(docs, "doc_id", "text", nBuckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, 10L, 2L, 10L, 2L),  // {a, b} first appear here
+      (1L, 15L, 1L, 25L, 3L))) // only {c} is new
+    val b = TextStats.heapsCurve(docs.repartition(7), "doc_id", "text", 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("wordTriangles: hand-counted triangle and clustering coefficients") {
     // graph: triangle a-b-c plus pendant edge a-d
     val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "c a"), (4L, "a d"))
