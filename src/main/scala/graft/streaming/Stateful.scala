@@ -794,6 +794,63 @@ object Stateful {
       }
   }
 
+  final case class BasketEvent(user: Long, ts: java.sql.Timestamp,
+                               item: String)
+  final case class BasketItems(items: Array[String], lastTs: Long)
+  final case class PairInc(x: String, y: String)
+
+  /** Streaming basket co-occurrence increments — the streaming form
+    * of [[graft.ops.Funnel.assocRules]]' pair stage: baskets are
+    * (user, event-date); per basket the keyed state holds the
+    * DISTINCT items seen so far (bounded by the item vocabulary, not
+    * the event count), and each NEW item emits one increment per
+    * already-present item in BOTH orientations — so across the
+    * stream every unordered basket pair is emitted exactly once per
+    * direction, and a downstream count (foreachBatch accumulation,
+    * the LM/NB-scoring pattern) reproduces the batch n_xy table
+    * exactly. Re-delivered events are no-ops (set membership), so
+    * at-least-once sources cannot inflate pair counts; state dies
+    * `stateTtlMs` after the basket's last arrival.
+    */
+  def pairIncrements(ds: org.apache.spark.sql.Dataset[BasketEvent],
+                     watermarkDelay: String, stateTtlMs: Long)
+      : org.apache.spark.sql.Dataset[PairInc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      // UTC day bucket, matching the batch form's to_date under the
+      // session's UTC timezone (never the JVM default zone)
+      .groupByKey(e => (e.user, e.ts.toInstant
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay))
+      .flatMapGroupsWithState[BasketItems, PairInc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Long, Long), rows: Iterator[BasketEvent],
+         state: GroupState[BasketItems]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption.getOrElse(BasketItems(Array.empty, 0L))
+            val items = scala.collection.mutable.LinkedHashSet(s.items: _*)
+            var last = s.lastTs
+            val out = Seq.newBuilder[PairInc]
+            rows.foreach { e =>
+              last = math.max(last, e.ts.getTime)
+              if (!items.contains(e.item)) {
+                items.foreach { prev =>
+                  out += PairInc(prev, e.item)
+                  out += PairInc(e.item, prev)
+                }
+                items += e.item
+              }
+            }
+            if (items.size > s.items.length)
+              state.update(BasketItems(items.toArray, last))
+            state.setTimeoutTimestamp(last + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class CheckEvent(check: String, pass: Boolean,
                               ts: java.sql.Timestamp)
   final case class CheckCounts(n: Long, p: Long, lastTs: Long)

@@ -1038,6 +1038,45 @@ class StatefulSpec extends SparkSpec {
     assert(ups(2).n_events === 23L)
   }
 
+  test("pairIncrements ≡ batch assocRules pair counts (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.BasketEvent]
+    val incs = mutable.Buffer.empty[Stateful.PairInc]
+    val q = Stateful.pairIncrements(stream.toDS(),
+        watermarkDelay = "1 hour", stateTtlMs = 24 * 3600 * 1000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.PairInc],
+                       _: Long) =>
+        incs.synchronized { incs ++= df.collect() }
+        ()
+      }.start()
+    def be(u: Long, minute: Int, item: String) = Stateful.BasketEvent(u,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), item)
+    // u1 basket grows across batches; u2 in one batch; duplicates no-op
+    val batch1 = Seq(be(1, 1, "view"), be(1, 2, "click"), be(1, 3, "view"),
+      be(2, 1, "view"))
+    val batch2 = Seq(be(1, 4, "purchase"), be(2, 5, "click"),
+      be(2, 6, "click"))
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    val streamed = incs.groupBy(p => (p.x, p.y)).view.mapValues(_.size.toLong).toMap
+    val batchDf = (batch1 ++ batch2).map(e => (e.user, e.item, e.ts))
+      .toDF("user_id", "event_type", "ts")
+    val expected = graft.ops.Funnel.assocRules(batchDf, "user_id",
+        "event_type", "ts")
+      .select("x", "y", "n_xy").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === expected,
+      s"streaming pair counts drifted: $streamed vs $expected")
+    // cross-batch pair: u1 purchase (batch 2) paired with batch-1 items
+    assert(streamed(("view", "purchase")) === 1L)
+    assert(streamed(("click", "purchase")) === 1L)
+  }
+
   test("checksRunning ≡ batch rowChecks over everything delivered (differential)") {
     implicit val sqlCtx = spark.sqlContext
     val checks = Seq(
