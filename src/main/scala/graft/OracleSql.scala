@@ -445,6 +445,7 @@ object OracleSql {
     "q163_gif_pixels" -> Gen.gifPixelsSql,
     "q164_join_amplification" -> Gen.joinAmplificationSql,
     "q165_heaps_curve" -> Gen.heapsCurveSql,
+    "q166_image_dhash" -> Gen.imageDHashSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1778,6 +1779,44 @@ object OracleSql {
          |  CAST((100 * sum(255)) // (w * h) AS BIGINT) AS mean_a_x100
          |FROM idx GROUP BY doc_id, w, h
          |ORDER BY doc_id""".stripMargin
+
+    /** Twin of q166_image_dhash: the identical dHash from the
+      * closed-form pattern — same (c·w)//9, (r·h)//8 sample points,
+      * same ITU-601 integer gray, same gradient bits packed into the
+      * same 32-bit halves, same bit_count hamming to doc 0.
+      */
+    def imageDHashSql: String = {
+      val x = "((c * w) // 9)"
+      val y = "((r * h) // 8)"
+      s"""WITH base AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+         |                     doc_id % 11 + 4 AS h FROM documents),
+         |rc AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS r FROM base),
+         |rcc AS (SELECT doc_id, w, h, r, unnest(range(0, 9)) AS c FROM rc),
+         |gpx AS (SELECT doc_id, r, c,
+         |    (299 * ((doc_id * 7 + 3 * $x + 5 * $y) % 256)
+         |   + 587 * ((doc_id * 11 + $x + 2 * $y) % 256)
+         |   + 114 * ((doc_id * 13 + 2 * $x + $y) % 256)) // 1000 AS g
+         |  FROM rcc),
+         |bits AS (SELECT doc_id, r, c,
+         |    CASE WHEN g > lead(g) OVER (PARTITION BY doc_id, r ORDER BY c)
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM gpx),
+         |hsh AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN c < 8 AND r < 4 AND b = 1
+         |      THEN (CAST(1 AS BIGINT) << (r * 8 + c)) ELSE 0 END)
+         |      AS BIGINT) AS dhash_lo,
+         |    CAST(sum(CASE WHEN c < 8 AND r >= 4 AND b = 1
+         |      THEN (CAST(1 AS BIGINT) << ((r - 4) * 8 + c)) ELSE 0 END)
+         |      AS BIGINT) AS dhash_hi
+         |  FROM bits GROUP BY doc_id),
+         |rf AS (SELECT dhash_lo AS rl, dhash_hi AS rh FROM hsh
+         |       WHERE doc_id = 0)
+         |SELECT h.doc_id, h.dhash_lo, h.dhash_hi,
+         |  CAST(bit_count(xor(h.dhash_lo, rf.rl))
+         |     + bit_count(xor(h.dhash_hi, rf.rh)) AS BIGINT)
+         |    AS hamming_to_doc0
+         |FROM hsh h CROSS JOIN rf ORDER BY doc_id""".stripMargin
+    }
 
     /** Twin of q146_png_grid_features: every grid-cell channel mean
       * recomputed from the closed-form test-pattern formula — cell id

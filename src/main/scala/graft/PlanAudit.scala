@@ -99,7 +99,10 @@ object PlanAudit {
     "q164_join_amplification",
     // ONE-row max id cross-joined into the bucket projection —
     // broadcast scalar by design
-    "q165_heaps_curve")
+    "q165_heaps_curve",
+    // ONE-row reference hash (doc 0) cross-joined into the hamming
+    // projection — broadcast scalar by design
+    "q166_image_dhash")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -2614,6 +2614,32 @@ object Queries {
         nBuckets = 20)
       .orderBy("bucket")
 
+  /** Image perceptual hash over REAL decoded pixels
+    * ([[graft.multimodal.PixelHash.dHash]] via
+    * [[graft.multimodal.Multimodal.pngDHash]]): the classic dHash —
+    * 9×8 nearest-neighbor grayscale samples, one bit per horizontal
+    * gradient — computed from actually-decoded PNG bytes, reported
+    * as two 32-bit halves plus the bit_count hamming distance to doc
+    * 0's hash (the image near-dup primitive, SimHash's multimodal
+    * analog). The twin recomputes the hash from the closed-form
+    * pixel pattern.
+    */
+  val q166_image_dhash: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.PngCodec.testImage(
+      id, (id % 13 + 4).toInt, (id % 11 + 4).toInt))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("png"))
+    val hashed = graft.multimodal.Multimodal.pngDHash(media, "doc_id", "png")
+      .select(col("id").as("doc_id"), col("dhash_lo"), col("dhash_hi"))
+    val ref = hashed.where(col("doc_id") === 0)
+      .select(col("dhash_lo").as("__rl"), col("dhash_hi").as("__rh"))
+    hashed.crossJoin(broadcast(ref))
+      .select(col("doc_id"), col("dhash_lo"), col("dhash_hi"),
+        expr("CAST(bit_count(dhash_lo ^ __rl) + bit_count(dhash_hi ^ __rh) " +
+          "AS BIGINT)").as("hamming_to_doc0"))
+      .orderBy("doc_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2795,5 +2821,6 @@ object Queries {
     "q162_assoc_rules" -> q162_assoc_rules,
     "q163_gif_pixels" -> q163_gif_pixels,
     "q164_join_amplification" -> q164_join_amplification,
-    "q165_heaps_curve" -> q165_heaps_curve)
+    "q165_heaps_curve" -> q165_heaps_curve,
+    "q166_image_dhash" -> q166_image_dhash)
 }

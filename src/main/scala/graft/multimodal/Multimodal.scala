@@ -328,6 +328,36 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual-hash stage over decoded PNG pixels: per blob, the
+    * [[PixelHash.dHash]] 32-bit halves — the image analog of the
+    * SimHash text fingerprint, over REAL pixels. Same batched
+    * map-only shape; no shuffle.
+    */
+  def pngDHash(df: DataFrame, idCol: String, mediaCol: String,
+               batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("dhash_lo", LongType),
+      StructField("dhash_hi", LongType),
+      StructField("error", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img = PngCodec.decode(r.getAs[Array[Byte]]("media"))
+            if (img == null)
+              Row(r.get(0), null, null,
+                "not a decodable 8-bit non-interlaced PNG")
+            else {
+              val (lo, hi) = PixelHash.dHash(img.width, img.height, img.rgba)
+              Row(r.get(0), lo, hi, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** REAL PCM-sample-statistics stage for WAV media: per blob, the
     * decoded amplitude stats ([[WavCodec.pcmStats]]) — actual audio
     * samples through the RIFF chunk walk, not header metadata. Same
