@@ -236,7 +236,8 @@ object Bench {
       "q156_data_expectations", "q157_ref_integrity",
       "q158_snapshot_diff", "q159_bmp_pixels", "q160_wav_pcm",
       "q161_word_triangles", "q162_assoc_rules", "q163_gif_pixels",
-      "q164_join_amplification", "q165_heaps_curve", "q166_image_dhash")
+      "q164_join_amplification", "q165_heaps_curve", "q166_image_dhash",
+      "q167_trending", "q168_audio_fingerprint")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

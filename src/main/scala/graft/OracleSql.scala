@@ -446,6 +446,8 @@ object OracleSql {
     "q164_join_amplification" -> Gen.joinAmplificationSql,
     "q165_heaps_curve" -> Gen.heapsCurveSql,
     "q166_image_dhash" -> Gen.imageDHashSql,
+    "q167_trending" -> Gen.trendingSql,
+    "q168_audio_fingerprint" -> Gen.audioFingerprintSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1323,6 +1325,19 @@ object OracleSql {
         |    CAST((1000 * c2) // greatest(c0, 1) AS BIGINT) FROM c)
         |ORDER BY step""".stripMargin
 
+    /** Twin of q167_trending: same weekly counts and lag-ratio
+      * momentum, null on each type's first week.
+      */
+    def trendingSql: String =
+      s"""WITH c AS (SELECT event_type,
+         |             date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+         |             CAST(count(*) AS BIGINT) AS n_events
+         |           FROM events GROUP BY 1, 2)
+         |SELECT event_type, week, n_events,
+         |  CAST((1000 * n_events) // lag(n_events) OVER (
+         |    PARTITION BY event_type ORDER BY week) AS BIGINT) AS wow_x1000
+         |FROM c ORDER BY event_type, week""".stripMargin
+
     /** Twin of q151_retention_cohorts: same Monday-based week
       * truncation, first-event cohort per user, distinct (user,
       * active-week) pairs, day-diff // 7 offsets, integer per-mille
@@ -1817,6 +1832,35 @@ object OracleSql {
          |    AS hamming_to_doc0
          |FROM hsh h CROSS JOIN rf ORDER BY doc_id""".stripMargin
     }
+
+    /** Twin of q168_audio_fingerprint: frame Σ|s| energies from the
+      * closed-form waveform s(i) = ((id·31+17i) % 65536) − 32768,
+      * frame = i // 64 over 65·64 samples, same gradient bits,
+      * halves, and hamming to doc 0.
+      */
+    def audioFingerprintSql: String =
+      s"""WITH sm AS (SELECT doc_id, unnest(range(0, ${65 * 64})) AS i
+         |            FROM documents),
+         |fe AS (SELECT doc_id, i // 64 AS f,
+         |         CAST(sum(abs((doc_id * 31 + 17 * i) % 65536 - 32768))
+         |           AS BIGINT) AS e
+         |       FROM sm GROUP BY 1, 2),
+         |bits AS (SELECT doc_id, f,
+         |    CASE WHEN e > lead(e) OVER (PARTITION BY doc_id ORDER BY f)
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM fe),
+         |hsh AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN f < 32 AND b = 1
+         |      THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS fp_lo,
+         |    CAST(sum(CASE WHEN f >= 32 AND f < 64 AND b = 1
+         |      THEN (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END)
+         |      AS BIGINT) AS fp_hi
+         |  FROM bits GROUP BY doc_id),
+         |rf AS (SELECT fp_lo AS rl, fp_hi AS rh FROM hsh WHERE doc_id = 0)
+         |SELECT h.doc_id, h.fp_lo, h.fp_hi,
+         |  CAST(bit_count(xor(h.fp_lo, rf.rl))
+         |     + bit_count(xor(h.fp_hi, rf.rh)) AS BIGINT) AS hamming_to_doc0
+         |FROM hsh h CROSS JOIN rf ORDER BY doc_id""".stripMargin
 
     /** Twin of q146_png_grid_features: every grid-cell channel mean
       * recomputed from the closed-form test-pattern formula — cell id

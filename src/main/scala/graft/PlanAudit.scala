@@ -102,7 +102,9 @@ object PlanAudit {
     "q165_heaps_curve",
     // ONE-row reference hash (doc 0) cross-joined into the hamming
     // projection — broadcast scalar by design
-    "q166_image_dhash")
+    "q166_image_dhash",
+    // same ONE-row reference-hash shape, audio form
+    "q168_audio_fingerprint")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

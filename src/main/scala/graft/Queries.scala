@@ -2640,6 +2640,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Trending report ([[graft.ops.Funnel.trendingReport]]): per
+    * (event type, week) counts with integer per-mille week-over-week
+    * momentum — the dashboard staple; one partial aggregation, lag
+    * window over the types×weeks-bounded table.
+    */
+  val q167_trending: Q = (s, d) =>
+    graft.ops.Funnel.trendingReport(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type", "week")
+
+  /** Acoustic fingerprint over REAL decoded PCM
+    * ([[graft.multimodal.WavCodec.frameHash]] via
+    * [[graft.multimodal.Multimodal.wavFrameHash]]): 65 frame
+    * energies → 64 gradient bits as two 32-bit halves + bit_count
+    * hamming to doc 0 — q166's audio analog; the twin recomputes
+    * every frame energy from the closed-form waveform.
+    */
+  val q168_audio_fingerprint: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.WavCodec.testWav(
+      id, 65 * 64, (8000 + (id % 8) * 1000).toInt))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("wav"))
+    val hashed = graft.multimodal.Multimodal.wavFrameHash(media, "doc_id",
+        "wav", frameLen = 64)
+      .select(col("id").as("doc_id"), col("fp_lo"), col("fp_hi"))
+    val ref = hashed.where(col("doc_id") === 0)
+      .select(col("fp_lo").as("__rl"), col("fp_hi").as("__rh"))
+    hashed.crossJoin(broadcast(ref))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        expr("CAST(bit_count(fp_lo ^ __rl) + bit_count(fp_hi ^ __rh) " +
+          "AS BIGINT)").as("hamming_to_doc0"))
+      .orderBy("doc_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2822,5 +2855,7 @@ object Queries {
     "q163_gif_pixels" -> q163_gif_pixels,
     "q164_join_amplification" -> q164_join_amplification,
     "q165_heaps_curve" -> q165_heaps_curve,
-    "q166_image_dhash" -> q166_image_dhash)
+    "q166_image_dhash" -> q166_image_dhash,
+    "q167_trending" -> q167_trending,
+    "q168_audio_fingerprint" -> q168_audio_fingerprint)
 }

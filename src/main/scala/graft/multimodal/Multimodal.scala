@@ -394,6 +394,35 @@ object Multimodal {
       }(enc)
   }
 
+  /** Acoustic-fingerprint stage over decoded WAV PCM: per blob, the
+    * [[WavCodec.frameHash]] 32-bit halves — the audio analog of
+    * [[pngDHash]], over REAL amplitudes. Batched map-only; no
+    * shuffle.
+    */
+  def wavFrameHash(df: DataFrame, idCol: String, mediaCol: String,
+                   frameLen: Int = 64, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("fp_lo", LongType),
+      StructField("fp_hi", LongType),
+      StructField("error", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val wav = WavCodec.decode(r.getAs[Array[Byte]]("media"))
+            val fp = if (wav == null) None else WavCodec.frameHash(wav, frameLen)
+            fp match {
+              case Some((lo, hi)) => Row(r.get(0), lo, hi, null)
+              case None => Row(r.get(0), null, null,
+                "not a decodable PCM WAV with >= 65 frames")
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** REAL pixel-feature stage for PNG media: per blob, the g×g
     * grid of integer per-channel RGB means over the DECODED pixels
     * ([[PngCodec.gridFeatures]] — the color-layout descriptor), as an

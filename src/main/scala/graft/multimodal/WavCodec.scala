@@ -122,6 +122,41 @@ object WavCodec {
     encode(sampleRate, samples)
   }
 
+  /** 64-bit acoustic fingerprint over decoded PCM — the audio analog
+    * of [[PixelHash.dHash]] (energy-gradient hashing, the
+    * public-recipe core that fingerprinting systems build on before
+    * any spectral work): the first 65 frames of `frameLen` samples
+    * each reduce to their integer Σ|s| energy, and bit f says
+    * whether frame f is louder than frame f+1 — packed as two 32-bit
+    * halves so the BIGINT sign bit stays untouched on every engine.
+    * Returns None when fewer than 65 complete frames exist (no
+    * zero-padded fake).
+    */
+  def frameHash(w: Wav, frameLen: Int = 64): Option[(Long, Long)] = {
+    val need = 65 * frameLen
+    if (w.samples.length < need) return None
+    val e = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      var s = 0L
+      var i = f * frameLen
+      val end = i + frameLen
+      while (i < end) { s += math.abs(w.samples(i).toLong); i += 1 }
+      e(f) = s
+      f += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    f = 0
+    while (f < 64) {
+      if (e(f) > e(f + 1)) {
+        if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+      }
+      f += 1
+    }
+    Some((lo, hi))
+  }
+
   /** Integer-exact PCM statistics over decoded samples:
     * (n_samples, peak |s|, Σ|s|, ⌊Σs²/n⌋, sign crossings — a
     * (prev < 0) ≠ (s < 0) flip count). All BIGINT-safe: |s| ≤ 2¹⁵ so

@@ -137,6 +137,27 @@ object Funnel {
           "div (CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)").as("lift_x1000"))
   }
 
+  /** Trending report — week-over-week momentum per event type: count
+    * per (type, week) plus the integer per-mille ratio to the
+    * previous week (first week emits null — no denominator to fake).
+    * One map-side-partial aggregation; the lag window runs over the
+    * types×weeks-bounded count table, partitioned by type.
+    */
+  def trendingReport(df: DataFrame, typeCol: String,
+                     tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(typeCol).as("event_type"),
+        date_trunc("week", col(tsCol)).as("week"))
+      .groupBy("event_type", "week").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    counts
+      .withColumn("__prev", lag("n_events", 1).over(w))
+      .select(col("event_type"), col("week"), col("n_events"),
+        expr("CAST((1000 * n_events) div __prev AS BIGINT)")
+          .as("wow_x1000"))
+  }
+
   /** Weekly retention cohorts — the other product-analytics staple
     * next to the funnel: group users by the week of their FIRST
     * event (their cohort), then for each (cohort, week-offset) count

@@ -106,6 +106,27 @@ class BmpWavCodecSpec extends SparkSpec {
     }
   }
 
+  test("frameHash: gradient bits from hand-built energies; short input is None") {
+    // frameLen 1: energy per frame = |sample|; strictly descending
+    // amplitudes set every gradient bit
+    val desc = WavCodec.Wav(8000, 1, 16, (65 to 1 by -1).toArray)
+    assert(WavCodec.frameHash(desc, frameLen = 1) ===
+      Some((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    val asc = WavCodec.Wav(8000, 1, 16, (1 to 65).toArray)
+    assert(WavCodec.frameHash(asc, frameLen = 1) === Some((0L, 0L)))
+    // negative amplitudes count by magnitude
+    val descNeg = WavCodec.Wav(8000, 1, 16, (65 to 1 by -1).map(-_).toArray)
+    assert(WavCodec.frameHash(descNeg, frameLen = 1) ===
+      Some((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    assert(WavCodec.frameHash(WavCodec.Wav(8000, 1, 16, new Array[Int](64)),
+      frameLen = 1) === None, "64 frames is one short of 65")
+    // frameLen 2 sums pairs: [3,0, 1,1, ...] -> e0=3 > e1=2
+    val paired = WavCodec.Wav(8000, 1, 16,
+      Array.tabulate(130)(i => if (i < 2) 3 - i * 3 else 1))
+    val Some((lo, _)) = WavCodec.frameHash(paired, frameLen = 2)
+    assert((lo & 1L) === 1L, "frame 0 energy 3 beats frame 1 energy 2")
+  }
+
   test("WAV rejects garbage, non-PCM, and truncated data") {
     assert(WavCodec.decode(null) === null)
     assert(WavCodec.decode(Array.fill[Byte](50)(0)) === null)

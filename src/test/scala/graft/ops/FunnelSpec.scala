@@ -141,6 +141,23 @@ class FunnelSpec extends SparkSpec {
     assert(out.size === 6, "three co-occurring types, both directions")
   }
 
+  test("trendingReport: weekly counts and week-over-week per-mille") {
+    val ev = Seq(
+      ("view", "2024-01-01 10:00:00"), ("view", "2024-01-02 10:00:00"),
+      ("view", "2024-01-08 10:00:00"), ("view", "2024-01-09 10:00:00"),
+      ("view", "2024-01-10 10:00:00"),
+      ("click", "2024-01-08 12:00:00"))
+      .map { case (t, s) => (t, ts(s)) }.toDF("event_type", "ts")
+    val out = Funnel.trendingReport(ev, "event_type", "ts")
+      .orderBy("event_type", "week").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("click", ts("2024-01-08 00:00:00"), 1L, -1L),
+      ("view", ts("2024-01-01 00:00:00"), 2L, -1L),
+      ("view", ts("2024-01-08 00:00:00"), 3L, 1500L)))
+  }
+
   test("retentionCohorts is partition-invariant") {
     val ev = spark.range(0, 300)
       .selectExpr("id % 37 AS user_id",
