@@ -448,6 +448,7 @@ object OracleSql {
     "q166_image_dhash" -> Gen.imageDHashSql,
     "q167_trending" -> Gen.trendingSql,
     "q168_audio_fingerprint" -> Gen.audioFingerprintSql,
+    "q169_psi_baseline" -> Gen.psiBaselineSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1695,6 +1696,48 @@ object OracleSql {
          |    AS vocab_cum
          |FROM tc LEFT JOIN nw ON nw.bucket = tc.bucket
          |ORDER BY tc.bucket""".stripMargin
+
+    /** Twin of q169_psi_baseline: same even/odd split, same
+      * per-group union bin set, Laplace ppm through HUGEINT, and the
+      * identical Mitchell eighth-bit term chain as the q155 twin.
+      */
+    def psiBaselineSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      s"""WITH bl AS (SELECT CAST(n_chars // 50 AS BIGINT) AS bin,
+         |              CAST(count(*) AS BIGINT) AS bc
+         |            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         |btt AS (SELECT CAST(sum(bc) AS BIGINT) AS bt FROM bl),
+         |sh AS (SELECT source AS g, CAST(n_chars // 50 AS BIGINT) AS bin,
+         |         CAST(count(*) AS BIGINT) AS sc
+         |       FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |st AS (SELECT g, CAST(sum(sc) AS BIGINT) AS st FROM sh GROUP BY 1),
+         |grid AS (SELECT DISTINCT g, bin FROM (
+         |           SELECT g, bin FROM sh
+         |           UNION ALL SELECT st.g, bl.bin FROM st CROSS JOIN bl)),
+         |nbt AS (SELECT g, CAST(count(*) AS BIGINT) AS nb FROM grid
+         |        GROUP BY 1),
+         |pq AS (SELECT grid.g, st.st,
+         |         CAST((CAST(coalesce(sh.sc, 0) + 1 AS HUGEINT) * 1000000)
+         |           // (st.st + nbt.nb) AS BIGINT) AS p_ppm,
+         |         CAST((CAST(coalesce(bl.bc, 0) + 1 AS HUGEINT) * 1000000)
+         |           // (btt.bt + nbt.nb) AS BIGINT) AS q_ppm
+         |       FROM grid
+         |       LEFT JOIN sh ON sh.g = grid.g AND sh.bin = grid.bin
+         |       LEFT JOIN bl ON bl.bin = grid.bin
+         |       JOIN st ON st.g = grid.g JOIN nbt ON nbt.g = grid.g
+         |       CROSS JOIN btt),
+         |tm AS (SELECT g, st,
+         |         abs(p_ppm - q_ppm) * ($m8 - ${8 * shift}) AS term
+         |       FROM (SELECT g, st, p_ppm, q_ppm,
+         |               CAST((greatest(p_ppm, q_ppm) * ${1L << shift})
+         |                 // least(p_ppm, q_ppm) AS BIGINT) AS q
+         |             FROM pq))
+         |SELECT g AS source, st AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(term) AS BIGINT) AS psi_e8_ppm
+         |FROM tm GROUP BY 1, 2 ORDER BY source""".stripMargin
+    }
 
     /** Twin of q150_exact_decontam: the plain exact bipartite Jaccard
       * join over the same hashed 3-shingle sets — the two-sided prefix

@@ -104,7 +104,11 @@ object PlanAudit {
     // projection — broadcast scalar by design
     "q166_image_dhash",
     // same ONE-row reference-hash shape, audio form
-    "q168_audio_fingerprint")
+    "q168_audio_fingerprint",
+    // bounded baseline-bin table cross-joined under each group for
+    // the union grid, plus the ONE-row baseline total — broadcast by
+    // design (q155's shape with a fixed reference)
+    "q169_psi_baseline")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

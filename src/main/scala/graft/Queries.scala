@@ -2673,6 +2673,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** PSI against a fixed baseline
+    * ([[graft.ops.Profile.psiVsBaseline]]): the deployment form of
+    * q155 — even-id documents form the frozen "training" histogram,
+    * odd-id documents score against it per source, over the
+    * per-group union bin set (the exact contract the streaming
+    * [[graft.streaming.Stateful.psiRunning]] monitor is
+    * differentially pinned to).
+    */
+  val q169_psi_baseline: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val baseline = docs.where(col("doc_id") % 2 === 0)
+      .select(expr("CAST(n_chars div 50 AS BIGINT)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("bc"))
+    graft.ops.Profile.psiVsBaseline(docs.where(col("doc_id") % 2 === 1),
+        "source", "n_chars", 50, baseline)
+      .orderBy("source")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2857,5 +2875,6 @@ object Queries {
     "q165_heaps_curve" -> q165_heaps_curve,
     "q166_image_dhash" -> q166_image_dhash,
     "q167_trending" -> q167_trending,
-    "q168_audio_fingerprint" -> q168_audio_fingerprint)
+    "q168_audio_fingerprint" -> q168_audio_fingerprint,
+    "q169_psi_baseline" -> q169_psi_baseline)
 }

@@ -166,6 +166,54 @@ object Profile {
         col("n_bins"), col("__t").cast("bigint").as("psi_e8_ppm"))
   }
 
+  /** PSI against a FIXED baseline histogram — the deployment form of
+    * [[psiDrift]] (in production the reference distribution is the
+    * training snapshot, not the live corpus): per group, the same
+    * Laplace-smoothed integer PSI, over the UNION of baseline and
+    * observed bins so mass on either side's exclusive bins is
+    * penalized, never dropped. `baseline` is a (bin, bc) count table
+    * — value-domain-bounded, broadcast throughout.
+    */
+  def psiVsBaseline(df: DataFrame, groupCol: String, valueCol: String,
+                    binWidth: Long, baseline: DataFrame): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth must be positive")
+    val sHist = df.select(col(groupCol).as("g"),
+        expr(s"CAST($valueCol div $binWidth AS BIGINT)").as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("sc"))
+      .localCheckpoint()
+    val base = baseline.select(col("bin").cast("bigint").as("bin"),
+      col("bc").cast("bigint").as("bc"))
+    val bTot = base.agg(sum("bc").as("bt"))
+    val sTot = sHist.groupBy("g").agg(sum("sc").as("st"))
+    // PER-GROUP bin union (baseline ∪ the group's own bins) — the
+    // exact set the streaming state iterates, so the two forms agree
+    // bit-for-bit even when groups observe disjoint bins
+    val grid = sHist.select("g", "bin")
+      .unionByName(sTot.select("g").crossJoin(broadcast(base.select("bin"))))
+      .distinct()
+    val nB = grid.groupBy("g").agg(count(lit(1)).as("nb"))
+    grid
+      .join(sHist, Seq("g", "bin"), "left")
+      .join(broadcast(base), Seq("bin"), "left")
+      .join(sTot, "g").join(nB, "g")
+      .crossJoin(broadcast(bTot))
+      .select(col("g"), col("st"),
+        expr("CAST((CAST(coalesce(sc, 0) + 1 AS DECIMAL(38,0)) * 1000000) " +
+          "div (st + nb) AS BIGINT)").as("p_ppm"),
+        expr("CAST((CAST(coalesce(bc, 0) + 1 AS DECIMAL(38,0)) * 1000000) " +
+          "div (bt + nb) AS BIGINT)").as("q_ppm"))
+      .select(col("g"), col("st"), col("p_ppm"), col("q_ppm"),
+        expr(s"CAST((greatest(p_ppm, q_ppm) * ${1L << TextStats.LmShift}) " +
+          "div least(p_ppm, q_ppm) AS BIGINT)").as("q"))
+      .select(col("g"), col("st"),
+        expr(s"abs(p_ppm - q_ppm) * (${TextStats.mitchellE8Sql("q")} " +
+          s"- ${8 * TextStats.LmShift})").as("term"))
+      .groupBy("g", "st")
+      .agg(count(lit(1)).as("n_bins"), sum("term").as("__t"))
+      .select(col("g").as(groupCol), col("st").as("n_rows"),
+        col("n_bins"), col("__t").cast("bigint").as("psi_e8_ppm"))
+  }
+
   /** Deequ-style expectation report over row-level predicates — ONE
     * scan, one conditional-sum aggregation, then one output row per
     * check: (check, n_rows, n_pass, pass_x1000, passed). Predicates

@@ -147,6 +147,19 @@ object TextStats {
     s"(8 * $e + ($qE - $p) $divOp $p8)"
   }
 
+  /** Scala mirror of [[mitchellE8Sql]] for executor-side imperative
+    * code (streaming state) — same domain [2^20, 2^63), same
+    * division-only interpolation, differentially specced bit-equal
+    * to the SQL emitter. Inputs below 2^20 clamp to the domain floor
+    * (the SQL callers pre-clamp the same way).
+    */
+  def mitchellE8Long(q: Long): Long = {
+    val qc = math.max(q, 1L << LmShift)
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(qc)
+    val p = 1L << e
+    8L * e + (qc - p) / (p >> 3)
+  }
+
   /** Corpus-trained bigram language-model surprisal per document —
     * the LM-quality signal of a CCNet-style filtering stage (Wenzek et
     * al. 2020), with the float perplexity replaced by an integer-exact

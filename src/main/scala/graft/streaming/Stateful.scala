@@ -794,6 +794,71 @@ object Stateful {
       }
   }
 
+  final case class ValueEvent(group: String, ts: java.sql.Timestamp,
+                              value: Long)
+  final case class PsiHistState(bins: Array[Long], counts: Array[Long],
+                                lastTs: Long)
+  final case class PsiUpdate(group: String, n_rows: Long, n_bins: Long,
+                             psi_e8_ppm: Long)
+
+  /** Running PSI drift monitor — the streaming form of
+    * [[graft.ops.Profile.psiVsBaseline]]: per group, keyed state is
+    * the observed value histogram (value-domain-bounded bin→count
+    * pairs), and each batch emits the cumulative integer PSI against
+    * a FIXED broadcast baseline histogram (the training snapshot) —
+    * the alarm a serving pipeline watches for input drift. Identical
+    * integer math to the batch form (Laplace ppm over the union bin
+    * set, Mitchell eighth-bit log via
+    * [[graft.ops.TextStats.mitchellE8Long]], |p−q|·(m8−160) terms),
+    * differentially specced bit-equal to the batch operator over
+    * everything delivered.
+    */
+  def psiRunning(ds: org.apache.spark.sql.Dataset[ValueEvent],
+                 binWidth: Long, baseline: Map[Long, Long],
+                 watermarkDelay: String, stateTtlMs: Long)
+      : org.apache.spark.sql.Dataset[PsiUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(binWidth > 0, s"binWidth=$binWidth must be positive")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val bt = baseline.values.sum
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[PsiHistState, PsiUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[ValueEvent], state: GroupState[PsiHistState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s = state.getOption.getOrElse(
+              PsiHistState(Array.empty, Array.empty, 0L))
+            val hist = scala.collection.mutable.LinkedHashMap[Long, Long]()
+            s.bins.zip(s.counts).foreach { case (b, c) => hist(b) = c }
+            var last = s.lastTs
+            rows.foreach { e =>
+              val b = java.lang.Math.floorDiv(e.value, binWidth)
+              hist(b) = hist.getOrElse(b, 0L) + 1L
+              last = math.max(last, e.ts.getTime)
+            }
+            state.update(PsiHistState(hist.keys.toArray, hist.values.toArray, last))
+            state.setTimeoutTimestamp(last + stateTtlMs)
+            val union = (hist.keySet ++ baseline.keySet).toArray
+            val nb = union.length.toLong
+            val st = hist.values.sum
+            var psi = 0L
+            union.foreach { b =>
+              val pPpm = ((hist.getOrElse(b, 0L) + 1L) * 1000000L) / (st + nb)
+              val qPpm = ((baseline.getOrElse(b, 0L) + 1L) * 1000000L) / (bt + nb)
+              val ratio = (math.max(pPpm, qPpm) << graft.ops.TextStats.LmShift) /
+                math.min(pPpm, qPpm)
+              psi += math.abs(pPpm - qPpm) *
+                (graft.ops.TextStats.mitchellE8Long(ratio) -
+                  8L * graft.ops.TextStats.LmShift)
+            }
+            Iterator.single(PsiUpdate(key, st, nb, psi))
+          }
+      }
+  }
+
   final case class BasketEvent(user: Long, ts: java.sql.Timestamp,
                                item: String)
   final case class BasketItems(items: Array[String], lastTs: Long)

@@ -237,6 +237,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out.find(_._1 == "alpha").get._3 === 2L)
   }
 
+  test("mitchellE8Long ≡ mitchellE8Sql over the whole domain (property)") {
+    val rnd = new scala.util.Random(42)
+    val qs = (Seq(1L << 20, (1L << 20) + 1, (1L << 62) - 1, 1L << 62,
+      Long.MaxValue - 1) ++
+      (1 to 400).map { _ =>
+        val e = 20 + rnd.nextInt(43)
+        (1L << e) + (math.abs(rnd.nextLong()) % (1L << math.min(e, 61)))
+      }).distinct.filter(_ >= (1L << 20))
+    val df = qs.toDF("q")
+    val sql = df.selectExpr("q", TextStats.mitchellE8Sql("q") + " AS m")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    qs.foreach { q =>
+      assert(TextStats.mitchellE8Long(q) === sql(q),
+        s"Scala/SQL Mitchell drift at q=$q")
+    }
+  }
+
   test("heapsCurve: hand-computed buckets, new-word attribution, cumsums") {
     // ids 0..9, 2 buckets: 0-4 -> bucket 0, 5-9 -> bucket 1
     val docs = (0L until 10L).map(i =>

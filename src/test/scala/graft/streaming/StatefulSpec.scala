@@ -1038,6 +1038,51 @@ class StatefulSpec extends SparkSpec {
     assert(ups(2).n_events === 23L)
   }
 
+  test("psiRunning ≡ batch psiVsBaseline over everything delivered (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Map(0L -> 10L, 1L -> 20L, 2L -> 10L)
+    val stream = MemoryStream[Stateful.ValueEvent]
+    val out = mutable.Buffer.empty[(Long, Stateful.PsiUpdate)]
+    val q = Stateful.psiRunning(stream.toDS(), binWidth = 10L,
+        baseline, watermarkDelay = "1 hour", stateTtlMs = 3600 * 1000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.PsiUpdate],
+                       id: Long) =>
+        out.synchronized { out ++= df.collect().map(u => (id, u)) }
+        ()
+      }.start()
+    def ve(g: String, minute: Int, v: Long) = Stateful.ValueEvent(g,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    // "match" tracks the baseline shape; "drift" includes a bin (35)
+    // the baseline never saw
+    val batch1 = Seq(ve("match", 1, 5), ve("match", 1, 12),
+      ve("match", 1, 15), ve("match", 1, 22), ve("drift", 1, 35))
+    val batch2 = Seq(ve("match", 2, 14), ve("drift", 2, 35),
+      ve("drift", 2, 36))
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    val baseDf = baseline.toSeq.toDF("bin", "bc")
+    val expected = graft.ops.Profile.psiVsBaseline(
+        (batch1 ++ batch2).map(e => (e.group, e.value)).toDF("g", "v"),
+        "g", "v", 10L, baseDf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val lastBatch = out.map(_._1).max
+    val finals = out.filter(_._1 == lastBatch).map(_._2)
+    assert(finals.map(_.group).toSet === Set("match", "drift"))
+    finals.foreach { u =>
+      assert((u.n_rows, u.n_bins, u.psi_e8_ppm) === expected(u.group),
+        s"streaming/batch PSI drift on ${u.group}")
+    }
+    val byG = finals.map(u => u.group -> u.psi_e8_ppm).toMap
+    assert(byG("drift") > byG("match"),
+      s"out-of-baseline mass must score higher: $byG")
+  }
+
   test("pairIncrements ≡ batch assocRules pair counts (differential)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.BasketEvent]
