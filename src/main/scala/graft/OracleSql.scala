@@ -449,6 +449,7 @@ object OracleSql {
     "q167_trending" -> Gen.trendingSql,
     "q168_audio_fingerprint" -> Gen.audioFingerprintSql,
     "q169_psi_baseline" -> Gen.psiBaselineSql,
+    "q170_zipf_report" -> Gen.zipfReportSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1737,6 +1738,29 @@ object OracleSql {
          |  CAST(count(*) AS BIGINT) AS n_bins,
          |  CAST(sum(term) AS BIGINT) AS psi_e8_ppm
          |FROM tm GROUP BY 1, 2 ORDER BY source""".stripMargin
+    }
+
+    /** Twin of q170_zipf_report: same word counts, (cnt DESC, word)
+      * ranking, Mitchell e8 log over cnt·2²⁰, and lead-drop over the
+      * top-(k+1) rows.
+      */
+    def zipfReportSql: String = {
+      val m8 = graft.ops.TextStats.mitchellE8Sql(
+        s"(cnt * ${1L << graft.ops.TextStats.LmShift})", divOp = "//")
+      s"""WITH tk AS (SELECT unnest(${tokensE("text")}) AS t FROM documents),
+         |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tk
+         |      WHERE t <> '' GROUP BY 1),
+         |r AS (SELECT t AS word, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT)
+         |          AS "rank"
+         |      FROM c),
+         |top AS (SELECT word, cnt, "rank", ($m8) AS m FROM r
+         |        WHERE "rank" <= 21)
+         |SELECT "rank", word, cnt, drop_e8 FROM (
+         |  SELECT "rank", word, cnt,
+         |    CAST(m - lead(m) OVER (ORDER BY "rank") AS BIGINT) AS drop_e8
+         |  FROM top)
+         |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin
     }
 
     /** Twin of q150_exact_decontam: the plain exact bipartite Jaccard

@@ -139,7 +139,10 @@ object PlanAudit {
     // Heaps curve: the cumulative window runs over the nBuckets-row
     // report (20 rows by parameter — constant in corpus size), after
     // the corpus reduced to per-bucket counts
-    "q165_heaps_curve")
+    "q165_heaps_curve",
+    // Zipf report: the lead window runs over the bounded-heap
+    // top-(k+1) rows (21 by parameter — constant in corpus size)
+    "q170_zipf_report")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

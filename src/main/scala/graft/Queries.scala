@@ -2691,6 +2691,15 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Zipf rank-frequency report ([[graft.ops.TextStats.zipfReport]]):
+    * top-20 words with the per-rank Mitchell log-frequency drop —
+    * Heaps' (q165) companion corpus statistic. One partial count +
+    * bounded-heap top-k; the lead window covers ≤ 21 rows.
+    */
+  val q170_zipf_report: Q = (s, d) =>
+    TextStats.zipfReport(Tables.documents(s, d), "doc_id", "text", k = 20)
+      .orderBy("rank")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2876,5 +2885,6 @@ object Queries {
     "q166_image_dhash" -> q166_image_dhash,
     "q167_trending" -> q167_trending,
     "q168_audio_fingerprint" -> q168_audio_fingerprint,
-    "q169_psi_baseline" -> q169_psi_baseline)
+    "q169_psi_baseline" -> q169_psi_baseline,
+    "q170_zipf_report" -> q170_zipf_report)
 }

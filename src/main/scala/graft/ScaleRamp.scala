@@ -130,7 +130,8 @@ object ScaleRamp {
       "q158_snapshot_diff", "q159_bmp_pixels", "q160_wav_pcm",
       "q161_word_triangles", "q162_assoc_rules", "q163_gif_pixels",
       "q164_join_amplification", "q165_heaps_curve", "q166_image_dhash",
-      "q167_trending", "q168_audio_fingerprint", "q169_psi_baseline")
+      "q167_trending", "q168_audio_fingerprint", "q169_psi_baseline",
+      "q170_zipf_report")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -564,6 +564,40 @@ object TextStats {
       .withColumn("vocab_cum", sum("n_new_words").over(w))
   }
 
+  /** Zipf rank-frequency report (Zipf 1949) — the companion to
+    * [[heapsCurve]]: the top `k` words by corpus frequency with, per
+    * rank, the Mitchell eighth-bit log-frequency DROP to the next
+    * rank (a Zipfian corpus drops ≈ 8·log2((r+1)/r) e8 per rank; a
+    * flat drop profile means boilerplate, a cliff means a
+    * degenerate vocabulary). Integer end to end — the log is the
+    * shared Mitchell emitter over cnt·2²⁰.
+    *
+    * Scale shape: ONE map-side-partial word count; the top-(k+1) is
+    * the bounded-heap aggregate; the lead window runs over ≤ k+1
+    * rows (bounded by the parameter, never the vocabulary).
+    */
+  def zipfReport(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 20): DataFrame = {
+    import graft.plans.TopK
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k must be positive")
+    val counts = df.select(explode(TextFns.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val top = counts
+      .agg(TopK.top_k(struct(col("cnt"), col("t")), k + 1).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__row")))
+      .select(col("__row.t").as("word"), col("__row.cnt").as("cnt"),
+        (col("__pos") + 1).cast("bigint").as("rank"))
+    val w = Window.orderBy("rank") // ≤ k+1 rows by construction
+    top
+      .withColumn("__m",
+        expr(mitchellE8Sql(s"(cnt * ${1L << LmShift})")))
+      .withColumn("drop_e8",
+        (col("__m") - lead("__m", 1).over(w)).cast("bigint"))
+      .where(col("rank") <= k)
+      .select("rank", "word", "cnt", "drop_e8")
+  }
+
   /** Triangle counting + local clustering coefficients over the word
     * co-occurrence graph — the third graph primitive next to
     * connected components (Dedup.nearDupClusters) and PageRank

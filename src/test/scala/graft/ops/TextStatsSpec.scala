@@ -254,6 +254,27 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("zipfReport: hand-computed ranks and Mitchell log drops") {
+    val docs = Seq((1L, "a a a a b b c"), (2L, "a b c d")).toDF("id", "text")
+    // counts: a=5, b=3, c=2, d=1; k=3 uses d only for c's drop
+    val out = TextStats.zipfReport(docs, "id", "text", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def m8(c: Long) = TextStats.mitchellE8Long(c << 20)
+    assert(out.toSeq === Seq(
+      (1L, "a", 5L, m8(5) - m8(3)),
+      (2L, "b", 3L, m8(3) - m8(2)),
+      (3L, "c", 2L, m8(2) - m8(1))))
+    // beyond the vocabulary the drop is null
+    val all = TextStats.zipfReport(docs, "id", "text", k = 10)
+      .orderBy("rank").collect()
+    assert(all.length === 4 && all.last.isNullAt(3))
+    val b = TextStats.zipfReport(docs.repartition(5), "id", "text", 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("heapsCurve: hand-computed buckets, new-word attribution, cumsums") {
     // ids 0..9, 2 buckets: 0-4 -> bucket 0, 5-9 -> bucket 1
     val docs = (0L until 10L).map(i =>
