@@ -1480,10 +1480,12 @@ object OracleSql {
          |grid AS (SELECT gs.g, gh.bin, gh.gc
          |         FROM (SELECT DISTINCT g FROM b) gs CROSS JOIN gh),
          |pq AS (SELECT grid.g, st.st,
-         |         CAST((CAST(coalesce(sh.sc, 0) + 1 AS HUGEINT) * 1000000)
-         |           // (st.st + gt.nb) AS BIGINT) AS p_ppm,
-         |         CAST((CAST(grid.gc + 1 AS HUGEINT) * 1000000)
-         |           // (gt.gt + gt.nb) AS BIGINT) AS q_ppm
+         |         greatest(CAST((CAST(coalesce(sh.sc, 0) + 1 AS HUGEINT)
+         |           * 1000000) // (st.st + gt.nb) AS BIGINT),
+         |           CAST(1 AS BIGINT)) AS p_ppm,
+         |         greatest(CAST((CAST(grid.gc + 1 AS HUGEINT) * 1000000)
+         |           // (gt.gt + gt.nb) AS BIGINT),
+         |           CAST(1 AS BIGINT)) AS q_ppm
          |       FROM grid
          |       LEFT JOIN sh ON sh.g = grid.g AND sh.bin = grid.bin
          |       JOIN st ON st.g = grid.g CROSS JOIN gt),
@@ -1719,10 +1721,12 @@ object OracleSql {
          |nbt AS (SELECT g, CAST(count(*) AS BIGINT) AS nb FROM grid
          |        GROUP BY 1),
          |pq AS (SELECT grid.g, st.st,
-         |         CAST((CAST(coalesce(sh.sc, 0) + 1 AS HUGEINT) * 1000000)
-         |           // (st.st + nbt.nb) AS BIGINT) AS p_ppm,
-         |         CAST((CAST(coalesce(bl.bc, 0) + 1 AS HUGEINT) * 1000000)
-         |           // (btt.bt + nbt.nb) AS BIGINT) AS q_ppm
+         |         greatest(CAST((CAST(coalesce(sh.sc, 0) + 1 AS HUGEINT)
+         |           * 1000000) // (st.st + nbt.nb) AS BIGINT),
+         |           CAST(1 AS BIGINT)) AS p_ppm,
+         |         greatest(CAST((CAST(coalesce(bl.bc, 0) + 1 AS HUGEINT)
+         |           * 1000000) // (btt.bt + nbt.nb) AS BIGINT),
+         |           CAST(1 AS BIGINT)) AS q_ppm
          |       FROM grid
          |       LEFT JOIN sh ON sh.g = grid.g AND sh.bin = grid.bin
          |       LEFT JOIN bl ON bl.bin = grid.bin

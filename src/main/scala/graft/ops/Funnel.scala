@@ -79,10 +79,14 @@ object Funnel {
   def funnelReport(df: DataFrame, userCol: String, typeCol: String,
                    tsCol: String, steps: Seq[String]): DataFrame = {
     val times = funnelTimes(df, userCol, typeCol, tsCol, steps)
+    // the one-row aggregate is re-selected once per step row below —
+    // cut lineage so the funnelTimes pipeline (S filtered scans +
+    // joins) runs once, not |steps| times (the rowChecks discipline)
     val counts = times.agg(
       count(lit(1)).as("__total"),
       steps.indices.map(i =>
         count(col(s"t_${steps(i)}")).as(s"__c$i")): _*)
+      .localCheckpoint()
     val rows = steps.zipWithIndex.map { case (st, i) =>
       counts.select(
         lit((i + 1).toLong).as("step"),

@@ -150,10 +150,15 @@ object Profile {
       .join(sTot, "g")
       .crossJoin(broadcast(gTot))
       .select(col("g"), col("st"),
-        expr("CAST((CAST(coalesce(sc, 0) + 1 AS DECIMAL(38,0)) * 1000000) " +
-          "div (st + nb) AS BIGINT)").as("p_ppm"),
-        expr("CAST((CAST(gc + 1 AS DECIMAL(38,0)) * 1000000) " +
-          "div (gt + nb) AS BIGINT)").as("q_ppm"))
+        // clamp to >= 1 ppm: once a total exceeds ~1e6 rows the
+        // floored ppm hits 0 and the max/min ratio would divide by
+        // zero (NULL div under non-ANSI SQL), silently DROPPING the
+        // term from sum() — exactly the at-scale regime PSI guards
+        expr("greatest(CAST((CAST(coalesce(sc, 0) + 1 AS DECIMAL(38,0)) " +
+          "* 1000000) div (st + nb) AS BIGINT), CAST(1 AS BIGINT))")
+          .as("p_ppm"),
+        expr("greatest(CAST((CAST(gc + 1 AS DECIMAL(38,0)) * 1000000) " +
+          "div (gt + nb) AS BIGINT), CAST(1 AS BIGINT))").as("q_ppm"))
       .select(col("g"), col("st"), col("p_ppm"), col("q_ppm"),
         expr(s"CAST((greatest(p_ppm, q_ppm) * ${1L << TextStats.LmShift}) " +
           "div least(p_ppm, q_ppm) AS BIGINT)").as("q"))
@@ -198,10 +203,15 @@ object Profile {
       .join(sTot, "g").join(nB, "g")
       .crossJoin(broadcast(bTot))
       .select(col("g"), col("st"),
-        expr("CAST((CAST(coalesce(sc, 0) + 1 AS DECIMAL(38,0)) * 1000000) " +
-          "div (st + nb) AS BIGINT)").as("p_ppm"),
-        expr("CAST((CAST(coalesce(bc, 0) + 1 AS DECIMAL(38,0)) * 1000000) " +
-          "div (bt + nb) AS BIGINT)").as("q_ppm"))
+        // same >= 1 ppm clamp as [[psiDrift]] — keeps every union
+        // bin's term defined at any row count, and keeps this form
+        // bit-identical to the streaming monitor's clamped math
+        expr("greatest(CAST((CAST(coalesce(sc, 0) + 1 AS DECIMAL(38,0)) " +
+          "* 1000000) div (st + nb) AS BIGINT), CAST(1 AS BIGINT))")
+          .as("p_ppm"),
+        expr("greatest(CAST((CAST(coalesce(bc, 0) + 1 AS DECIMAL(38,0)) " +
+          "* 1000000) div (bt + nb) AS BIGINT), CAST(1 AS BIGINT))")
+          .as("q_ppm"))
       .select(col("g"), col("st"), col("p_ppm"), col("q_ppm"),
         expr(s"CAST((greatest(p_ppm, q_ppm) * ${1L << TextStats.LmShift}) " +
           "div least(p_ppm, q_ppm) AS BIGINT)").as("q"))

@@ -846,8 +846,14 @@ object Stateful {
             val st = hist.values.sum
             var psi = 0L
             union.foreach { b =>
-              val pPpm = ((hist.getOrElse(b, 0L) + 1L) * 1000000L) / (st + nb)
-              val qPpm = ((baseline.getOrElse(b, 0L) + 1L) * 1000000L) / (bt + nb)
+              // >= 1 ppm clamp (mirrors Profile.psiVsBaseline): once
+              // st+nb or bt+nb passes ~1e6 the floored ppm hits 0 and
+              // the Mitchell ratio below would divide by zero, killing
+              // the query in exactly the regime a drift monitor serves
+              val pPpm = math.max(1L,
+                ((hist.getOrElse(b, 0L) + 1L) * 1000000L) / (st + nb))
+              val qPpm = math.max(1L,
+                ((baseline.getOrElse(b, 0L) + 1L) * 1000000L) / (bt + nb))
               val ratio = (math.max(pPpm, qPpm) << graft.ops.TextStats.LmShift) /
                 math.min(pPpm, qPpm)
               psi += math.abs(pPpm - qPpm) *

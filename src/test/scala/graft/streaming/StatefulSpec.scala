@@ -1083,6 +1083,42 @@ class StatefulSpec extends SparkSpec {
       s"out-of-baseline mass must score higher: $byG")
   }
 
+  test("psiRunning survives >1e6 baseline mass (ppm clamp) ≡ batch") {
+    // regression: with bt+nb past 1e6 the un-clamped Laplace ppm
+    // floors to 0 for rare bins and the Mitchell ratio divided by
+    // zero, killing the query in exactly the production regime a
+    // drift monitor serves; batch dropped the NULL term silently
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Map(0L -> 2000000L, 1L -> 1500000L)
+    val stream = MemoryStream[Stateful.ValueEvent]
+    val out = mutable.Buffer.empty[Stateful.PsiUpdate]
+    val q = Stateful.psiRunning(stream.toDS(), binWidth = 10L,
+        baseline, watermarkDelay = "1 hour", stateTtlMs = 3600 * 1000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.PsiUpdate],
+                       _: Long) =>
+        out.synchronized { out ++= df.collect() }
+        ()
+      }.start()
+    // bin 3 is OUTSIDE the heavy baseline: its q_ppm floors to 0
+    // without the clamp (1 * 1e6 / 3500003 = 0)
+    val evs = Seq(
+      Stateful.ValueEvent("g", java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 5L),
+      Stateful.ValueEvent("g", java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 35L))
+    stream.addData(evs); q.processAllAvailable()
+    q.stop()
+    assert(out.size === 1 && out.head.n_bins === 3L)
+    assert(out.head.psi_e8_ppm > 0L, s"clamped PSI must be finite+positive: $out")
+    val expected = graft.ops.Profile.psiVsBaseline(
+        evs.map(e => (e.group, e.value)).toDF("g", "v"), "g", "v", 10L,
+        baseline.toSeq.toDF("bin", "bc"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert((out.head.n_rows, out.head.n_bins, out.head.psi_e8_ppm) === expected,
+      "streaming/batch PSI must stay bit-identical in the clamp regime")
+  }
+
   test("pairIncrements ≡ batch assocRules pair counts (differential)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.BasketEvent]
