@@ -450,6 +450,7 @@ object OracleSql {
     "q168_audio_fingerprint" -> Gen.audioFingerprintSql,
     "q169_psi_baseline" -> Gen.psiBaselineSql,
     "q170_zipf_report" -> Gen.zipfReportSql,
+    "q171_jpeg_pixels" -> Gen.jpegPixelsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1811,6 +1812,46 @@ object OracleSql {
          |    AS mean_b_x100,
          |  CAST((100 * sum(255)) // (w * h) AS BIGINT) AS mean_a_x100
          |FROM px GROUP BY doc_id, w, h
+         |ORDER BY doc_id""".stripMargin
+
+    /** Twin of q171_jpeg_pixels: the Spark side JPEG-encodes a
+      * blockwise-flat YCbCr fixture and DECODES it back through real
+      * Huffman + fixed-point IDCT + integer color conversion; flat
+      * blocks (all AC zero, q=16, even samples) make the lossy
+      * container exact, so the twin computes the identical ×100
+      * channel means from the closed-form per-block formula plus the
+      * SAME CCIR 601 16.16 fixed-point YCbCr→RGB arithmetic. The G
+      * term's numerator can be negative and the decoder's `>> 16` is
+      * a floor — DuckDB `//` truncates toward zero, so the twin adds
+      * a 64·65536 offset (always making the numerator positive) and
+      * subtracts 64 after: floor division via trunc division.
+      */
+    def jpegPixelsSql: String =
+      s"""WITH base AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+         |                     doc_id % 11 + 4 AS h FROM documents),
+         |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM base),
+         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+         |ycc AS (SELECT doc_id, w, h,
+         |          ((doc_id * 7 + 3 * (x // 8) + 5 * (y // 8)) % 120) * 2 + 4
+         |            AS lum,
+         |          ((doc_id * 11 + (x // 8) + 2 * (y // 8)) % 16) * 2 AS cb,
+         |          ((doc_id * 13 + 2 * (x // 8) + (y // 8)) % 16) * 2 AS cr
+         |        FROM px),
+         |rgb AS (SELECT doc_id, w, h,
+         |          least(greatest(
+         |            lum + (91881 * cr + 32768) // 65536, 0), 255) AS r,
+         |          least(greatest(
+         |            lum + (-22554 * cb - 46802 * cr + 32768 + 4194304)
+         |              // 65536 - 64, 0), 255) AS g,
+         |          least(greatest(
+         |            lum + (116130 * cb + 32768) // 65536, 0), 255) AS b
+         |        FROM ycc)
+         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST((100 * sum(r)) // (w * h) AS BIGINT) AS mean_r_x100,
+         |  CAST((100 * sum(g)) // (w * h) AS BIGINT) AS mean_g_x100,
+         |  CAST((100 * sum(b)) // (w * h) AS BIGINT) AS mean_b_x100,
+         |  CAST((100 * sum(255)) // (w * h) AS BIGINT) AS mean_a_x100
+         |FROM rgb GROUP BY doc_id, w, h
          |ORDER BY doc_id""".stripMargin
 
     /** Twin of q159_bmp_pixels: the BMP fixture carries the SAME

@@ -2700,6 +2700,30 @@ object Queries {
     TextStats.zipfReport(Tables.documents(s, d), "doc_id", "text", k = 20)
       .orderBy("rank")
 
+  /** REAL baseline-JPEG pixel decode
+    * ([[graft.multimodal.Multimodal.jpegPixelStats]] over
+    * [[graft.multimodal.JpegCodec]]) — the last decode family that
+    * was stubbed through round 12. Per doc a blockwise-flat YCbCr
+    * 4:4:4 fixture is JPEG-ENCODED (real Huffman entropy coding, DC
+    * prediction, quantization) then DECODED back through the marker
+    * parser, canonical Huffman decode, 13-bit fixed-point IDCT and
+    * CCIR 601 integer color conversion; flat blocks with q=16 and
+    * even samples make the lossy container exact, so the DuckDB twin
+    * certifies the WHOLE pipeline from a closed-form pixel formula.
+    * Map-only O(pixels) per blob; no shuffle.
+    */
+  val q171_jpeg_pixels: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.JpegCodec.testJpeg(
+      id, (id % 13 + 4).toInt, (id % 11 + 4).toInt))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("jpg"))
+    graft.multimodal.Multimodal.jpegPixelStats(media, "doc_id", "jpg")
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("mean_r_x100"), col("mean_g_x100"), col("mean_b_x100"),
+        col("mean_a_x100"))
+      .orderBy("doc_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2886,5 +2910,6 @@ object Queries {
     "q167_trending" -> q167_trending,
     "q168_audio_fingerprint" -> q168_audio_fingerprint,
     "q169_psi_baseline" -> q169_psi_baseline,
-    "q170_zipf_report" -> q170_zipf_report)
+    "q170_zipf_report" -> q170_zipf_report,
+    "q171_jpeg_pixels" -> q171_jpeg_pixels)
 }

@@ -140,32 +140,40 @@ object Multimodal {
   }
 
   /** Real-pixel codec: header probing from [[HeaderCodec]] plus REAL
-    * PNG pixel work from [[PngCodec]] (pure-JDK zlib — decode to RGBA,
-    * nearest-neighbor resize, re-encode). Non-PNG bytes fall back to
-    * the stub paths, keeping every function total.
+    * pixel work from [[PngCodec]] (pure-JDK zlib — decode to RGBA,
+    * nearest-neighbor resize, re-encode) and [[JpegCodec]] (baseline
+    * Huffman + fixed-point IDCT; resize re-encodes losslessly as
+    * PNG). Bytes outside both decodable subsets fall back to the stub
+    * paths, keeping every function total.
     *
-    * Features are REAL for decodable PNGs: the g×g grid color-layout
-    * descriptor ([[PngCodec.gridFeatures]]) with g sized so 3·g² ≥
-    * dim, each cell mean scaled to [0, 1) by /256 (dyadic rationals —
-    * exactly representable in float32, the same oracle-parity
-    * discipline as the stub's hash features), truncated to `dim`. A
-    * neural embedding model remains out of scope; a color-layout
-    * vector is what classical CBIR systems actually indexed, and it
-    * comes from actual pixels. Non-PNG bytes keep the stub features.
+    * Features are REAL for decodable PNGs and JPEGs: the g×g grid
+    * color-layout descriptor ([[PngCodec.gridFeatures]] /
+    * [[JpegCodec.gridFeatures]]) with g sized so 3·g² ≥ dim, each
+    * cell mean scaled to [0, 1) by /256 (dyadic rationals — exactly
+    * representable in float32, the same oracle-parity discipline as
+    * the stub's hash features), truncated to `dim`. A neural
+    * embedding model remains out of scope; a color-layout vector is
+    * what classical CBIR systems actually indexed, and it comes from
+    * actual pixels. Undecodable bytes keep the stub features.
     */
   object PixelCodec extends MediaCodec {
     override def probe(kind: String, bytes: Array[Byte]): Row =
       HeaderCodec.probe(kind, bytes)
     override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val real = PngCodec.resize(bytes, w, h)
-      if (real != null) real else StubCodec.resize(bytes, w, h)
+      val png = PngCodec.resize(bytes, w, h)
+      if (png != null) return png
+      val jpg = JpegCodec.resizeToPng(bytes, w, h)
+      if (jpg != null) jpg else StubCodec.resize(bytes, w, h)
     }
     override def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       StubCodec.sampleFrames(bytes, everyN)
     override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       require(dim >= 1, s"dim=$dim must be >= 1")
       val g = math.ceil(math.sqrt(dim / 3.0)).toInt.max(1)
-      val grid = PngCodec.gridFeatures(bytes, g)
+      val grid = {
+        val png = PngCodec.gridFeatures(bytes, g)
+        if (png != null) png else JpegCodec.gridFeatures(bytes, g)
+      }
       if (grid == null) StubCodec.features(bytes, dim)
       else Array.tabulate(dim)(i =>
         if (i < grid.length) grid(i).toFloat / 256.0f else 0.0f)
@@ -321,6 +329,41 @@ object Multimodal {
                 "not a decodable non-interlaced GIF")
             else {
               val (mr, mg, mb, ma) = GifCodec.channelMeansX100(img)
+              Row(r.get(0), img.width, img.height, mr, mg, mb, ma, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL pixel-statistics stage for baseline JPEG media —
+    * [[pngPixelStats]]'s contract over [[JpegCodec]]'s Huffman +
+    * fixed-point-IDCT + YCbCr decode path: same output schema, same
+    * batched map-only shape, no shuffle. Closes the last stubbed
+    * decode family (rounds ≤12 decoded JPEG headers only).
+    */
+  def jpegPixelStats(df: DataFrame, idCol: String, mediaCol: String,
+                     batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r_x100", LongType),
+      StructField("mean_g_x100", LongType),
+      StructField("mean_b_x100", LongType),
+      StructField("mean_a_x100", LongType),
+      StructField("error", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img = JpegCodec.decode(r.getAs[Array[Byte]]("media"))
+            if (img == null)
+              Row(r.get(0), null, null, null, null, null, null,
+                "not a decodable baseline JPEG")
+            else {
+              val (mr, mg, mb, ma) = JpegCodec.channelMeansX100(img)
               Row(r.get(0), img.width, img.height, mr, mg, mb, ma, null)
             }
           }
