@@ -451,6 +451,12 @@ object OracleSql {
     "q169_psi_baseline" -> Gen.psiBaselineSql,
     "q170_zipf_report" -> Gen.zipfReportSql,
     "q171_jpeg_pixels" -> Gen.jpegPixelsSql,
+    "q172_decontam_index" -> Gen.decontamIndexSql,
+    // the prefix theorem makes the persisted-index probe verify the
+    // IDENTICAL match set as the union-df bipartite join — the twin
+    // is q150's cross-join ground truth verbatim, pinning that
+    // equivalence to DuckDB per round
+    "q173_decontam_probe" -> Gen.exactDecontamSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1789,6 +1795,30 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
+
+    /** Twin of q172_decontam_index: replay the index build — per eval
+      * doc (doc_id % 50 = 0) the sorted distinct hashed 3-shingles,
+      * eval-side df per token, ranks under the global (dfc, t) order,
+      * prefix cut at n − ⌈0.6·n⌉ + 1. Integer-only surface; rk is
+      * unique per doc so ORDER BY (ref_id, rk) is total.
+      */
+    def decontamIndexSql: String =
+      s"""WITH wl AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents
+         |            WHERE doc_id % 50 = 0),
+         |shx AS (SELECT id, unnest(${shinglesE("w", 3)}) AS s FROM wl),
+         |sh AS (SELECT id, list_distinct(list(${duckHash61("s")})) AS ts
+         |       FROM shx GROUP BY id),
+         |s AS (SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM sh
+         |      WHERE len(ts) >= 1),
+         |tok AS (SELECT id, n, unnest(ts) AS t FROM s),
+         |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tok GROUP BY t),
+         |pr AS (SELECT id, n, t, dfc,
+         |         CAST(row_number() OVER (PARTITION BY id ORDER BY dfc, t)
+         |           AS BIGINT) AS rk
+         |       FROM tok JOIN dft USING (t))
+         |SELECT id AS ref_id, rk, t, n, dfc
+         |FROM pr WHERE rk <= n - ((n * 600 + 999) // 1000) + 1
+         |ORDER BY ref_id, rk""".stripMargin
 
     /** Twin of q142_png_pixels: the Spark side PNG-encodes a
       * deterministic test pattern and DECODES it back through real

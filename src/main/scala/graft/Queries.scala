@@ -2724,6 +2724,49 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Persisted exact-decontamination index build
+    * ([[graft.dedup.Dedup.setSimIndexBuild]]): the eval slice's
+    * prefix-posting table — per eval doc, its n − ⌈τ·n⌉ + 1 rarest
+    * hashed 3-shingles under the eval-df global order (dfc, t), with
+    * sizes, ranks and dfs. This is the table [[graft.dedup
+    * .Dedup.SetSimIndex.save]] persists and every future shard or
+    * micro-batch probes ([[graft.dedup.Dedup.setSimProbeIndex]]);
+    * pinning it pins the order, the prefix-length arithmetic and the
+    * df counts the probe's completeness proof rests on. Eval-corpus-
+    * bounded output; one agg + one df count + one per-doc ranking
+    * window.
+    */
+  val q172_decontam_index: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.setSimIndexBuild(docs.where(col("doc_id") % 50 === 0), "doc_id",
+        TextFns.shingles(col("text"), 3),
+        tauX1000 = 600, itemKey = HashFns.hash61)
+      .prefix
+      .select(col("ref_id"), col("rk"), col("t"), col("n"), col("dfc"))
+      .orderBy("ref_id", "rk")
+  }
+
+  /** Exact decontamination through the PERSISTED-index probe path
+    * ([[graft.dedup.Dedup.setSimProbeIndex]] against q172's index):
+    * the whole corpus probed as if it were arriving micro-batches.
+    * The oracle twin is q150's cross-join ground truth VERBATIM —
+    * the prefix theorem guarantees the index path (eval-df token
+    * order, unseen-token df 0) verifies the identical match set the
+    * union-df batch join does, and this query pins that equivalence
+    * to DuckDB per round. Candidates bounded by prefix postings;
+    * per-doc stateless ⇒ the same plan serves `foreachBatch`
+    * ([[graft.dedup.Dedup.decontamStream]]).
+    */
+  val q173_decontam_probe: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val index = Dedup.setSimIndexBuild(docs.where(col("doc_id") % 50 === 0),
+      "doc_id", TextFns.shingles(col("text"), 3),
+      tauX1000 = 600, itemKey = HashFns.hash61)
+    Dedup.setSimProbeIndex(docs, "doc_id", TextFns.shingles(col("text"), 3),
+        index, itemKey = HashFns.hash61)
+      .orderBy("id", "ref_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2911,5 +2954,7 @@ object Queries {
     "q168_audio_fingerprint" -> q168_audio_fingerprint,
     "q169_psi_baseline" -> q169_psi_baseline,
     "q170_zipf_report" -> q170_zipf_report,
-    "q171_jpeg_pixels" -> q171_jpeg_pixels)
+    "q171_jpeg_pixels" -> q171_jpeg_pixels,
+    "q172_decontam_index" -> q172_decontam_index,
+    "q173_decontam_probe" -> q173_decontam_probe)
 }

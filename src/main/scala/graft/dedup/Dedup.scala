@@ -509,19 +509,8 @@ object Dedup {
     require(tauX1000 >= 1 && tauX1000 <= 1000,
       s"tauX1000=$tauX1000 must be in [1, 1000]")
     import org.apache.spark.sql.expressions.Window
-    def side(d: DataFrame, id: String, its: Column): DataFrame = {
-      val a = d.select(col(id).as("id"), explode(its).as("t0"))
-        .select(col("id"), itemKey(col("t0")).as("t"))
-        .groupBy("id")
-        .agg(sort_array(collect_set(col("t"))).as("ts"))
-        .withColumn("n", size(col("ts")).cast("bigint"))
-        .where(col("n") >= 1)
-      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        a.checkpoint(eager = true)
-      else a.localCheckpoint(eager = true)
-    }
-    val left = side(df, idCol, items)
-    val right = side(ref, refIdCol, refItems)
+    val left = sortedSets(df, idCol, items, itemKey)
+    val right = sortedSets(ref, refIdCol, refItems, itemKey)
     val expL = left.select(col("id"), col("n"), explode(col("ts")).as("t"))
     val expR = right.select(col("id"), col("n"), explode(col("ts")).as("t"))
     val dft = expL.select(col("t")).union(expR.select(col("t")))
@@ -566,6 +555,193 @@ object Dedup {
         expr("CAST((1000 * n_inter) div (n_a + n_b - n_inter) AS BIGINT)")
           .as("jaccard_x1000"))
   }
+
+  /** ONE aggregation to the per-doc sorted distinct-item-key array
+    * (id, ts, n), materialized eagerly: this table always has several
+    * consumers downstream (df counts, prefix ranking, verify joins)
+    * and exchange reuse alone re-runs the post-shuffle collect_set
+    * merge once per consumer — the q121/q143 lesson. Reliable
+    * checkpoint when a dir is configured, localCheckpoint otherwise
+    * (the connected-components rounds policy).
+    */
+  private def sortedSets(d: DataFrame, id: String, its: Column,
+                         itemKey: Column => Column): DataFrame = {
+    val a = d.select(col(id).as("id"), explode(its).as("t0"))
+      .select(col("id"), itemKey(col("t0")).as("t"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("t"))).as("ts"))
+      .withColumn("n", size(col("ts")).cast("bigint"))
+      .where(col("n") >= 1)
+    if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      a.checkpoint(eager = true)
+    else a.localCheckpoint(eager = true)
+  }
+
+  /** Persisted exact-decontamination index of an eval/reference
+    * corpus — the [[minhashCandidatesAgainstIndex]] fold-the-
+    * increments contract applied to the EXACT prefix-filter join
+    * ([[setSimJoinAgainst]]), so daily shards or streaming
+    * micro-batches can be probed forever without re-reading or
+    * re-shingling the eval corpus. Three parquet-persistable tables:
+    *
+    *  - `docs`    (ref_id, ts, n): per-doc sorted distinct item keys
+    *    (the verify side);
+    *  - `tokenDf` (t, dfc): eval-corpus document frequencies — they
+    *    DEFINE the global token order (dfc, t) that makes prefixes
+    *    comparable across index build and probe time;
+    *  - `prefix`  (t, ref_id, n, rk, dfc): the eval docs' prefix
+    *    postings of length n − ⌈τ·n⌉ + 1 under that order.
+    *
+    * The batch bipartite join orders tokens by UNION-side df; the
+    * index can only know eval-side df (future probe corpora don't
+    * exist yet), and probe-time tokens absent from the eval corpus
+    * order first with df 0. The prefix theorem holds under ANY total
+    * order shared by both sides, so candidate COUNTS differ from the
+    * batch join while the verified match set provably cannot —
+    * `DedupSpec` pins probe == setSimJoinAgainst row-for-row, and the
+    * q173 oracle pins the probe path to the same DuckDB ground truth
+    * as q150. Probes must use the τ the index was built with (stored
+    * in `meta` by [[SetSimIndex.save]]): a LOWER probe τ would need
+    * longer eval prefixes than were persisted.
+    */
+  case class SetSimIndex(tauX1000: Int, docs: DataFrame,
+                         tokenDf: DataFrame, prefix: DataFrame) {
+    /** Persist all three tables + a 1-row meta (τ) under `dir`. */
+    def save(dir: String): Unit = {
+      docs.write.mode("overwrite").parquet(s"$dir/docs")
+      tokenDf.write.mode("overwrite").parquet(s"$dir/token_df")
+      prefix.write.mode("overwrite").parquet(s"$dir/prefix")
+      docs.sparkSession.range(1)
+        .select(lit(tauX1000).as("tau_x1000"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object SetSimIndex {
+    /** Reload a persisted index; τ comes from the meta table. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+             dir: String): SetSimIndex =
+      SetSimIndex(
+        spark.read.parquet(s"$dir/meta").head().getAs[Int]("tau_x1000"),
+        spark.read.parquet(s"$dir/docs"),
+        spark.read.parquet(s"$dir/token_df"),
+        spark.read.parquet(s"$dir/prefix"))
+  }
+
+  /** Build a [[SetSimIndex]] from the eval/reference corpus: one
+    * aggregation to sorted sets, one df count, one per-doc ranking
+    * window — each stage shuffles fingerprint-sized rows only, and
+    * eval corpora (benchmark suites, yesterday's snapshot keys) are
+    * tiny next to the 100 TB corpora probed against them.
+    */
+  def setSimIndexBuild(ref: DataFrame, refIdCol: String, items: Column,
+                       tauX1000: Int = 500,
+                       itemKey: Column => Column = identity): SetSimIndex = {
+    require(tauX1000 >= 1 && tauX1000 <= 1000,
+      s"tauX1000=$tauX1000 must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val docs = sortedSets(ref, refIdCol, items, itemKey)
+      .withColumnRenamed("id", "ref_id")
+    val exploded = docs.select(col("ref_id"), col("n"),
+      explode(col("ts")).as("t"))
+    val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("dfc"))
+    val prefix = exploded.join(tokenDf, Seq("t"))
+      .withColumn("rk", row_number().over(Window.partitionBy("ref_id")
+        .orderBy(col("dfc"), col("t"))))
+      .where(col("rk") <= expr(s"n - ((n * $tauX1000 + 999) div 1000) + 1"))
+      .select(col("t"), col("ref_id"), col("n"), col("rk").cast("bigint").as("rk"),
+        col("dfc"))
+    SetSimIndex(tauX1000, docs, tokenDf, prefix)
+  }
+
+  /** Probe a batch of documents against a persisted [[SetSimIndex]]:
+    * rank each incoming doc's tokens under the INDEX's global order
+    * (left-join tokenDf; unseen tokens get df 0 and sort first — they
+    * can never match a posting, but they legally occupy prefix slots
+    * under the shared order), keep the n − ⌈τ·n⌉ + 1 prefix, join the
+    * persisted postings on the token, then PPJoin's positional
+    * overlap ceiling + the exact length band before the sorted-
+    * intersect verify against the persisted `docs` arrays. Returns
+    * the [[setSimJoinAgainst]] schema: (id, ref_id, n_inter, n_a,
+    * n_b, jaccard_x1000), every pair ≥ τ, none below.
+    *
+    * `maxDf` is the SAME opt-in exactness valve as the batch join's:
+    * engaged, it drops prefix tokens more frequent than the cap on
+    * BOTH sides (probe ranks and persisted postings carry df for
+    * exactly this). Per-doc stateless ⇒ the operator applies
+    * unchanged to a whole shard or to each micro-batch inside
+    * `foreachBatch` ([[decontamStream]]).
+    */
+  def setSimProbeIndex(df: DataFrame, idCol: String, items: Column,
+                       index: SetSimIndex,
+                       maxDf: Int = Int.MaxValue,
+                       itemKey: Column => Column = identity): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tau = index.tauX1000
+    val q = sortedSets(df, idCol, items, itemKey)
+    val ranked = q.select(col("id"), col("n"), explode(col("ts")).as("t"))
+      .join(index.tokenDf, Seq("t"), "left")
+      .withColumn("dfc0", coalesce(col("dfc"), lit(0L)))
+      .withColumn("rk", row_number().over(Window.partitionBy("id")
+        .orderBy(col("dfc0"), col("t"))))
+      .where(col("rk") <= expr(s"n - ((n * $tau + 999) div 1000) + 1")
+        && col("dfc0") <= maxDf)
+      .select(col("id"), col("t"), col("n").as("pn_a"), col("rk").as("rk_a"))
+    val cands = ranked
+      .join(index.prefix.where(col("dfc") <= maxDf)
+        .select(col("t"), col("ref_id"), col("n").as("pn_b"),
+          col("rk").as("rk_b")),
+        Seq("t"))
+      .withColumn("ub", lit(1L) +
+        least(col("pn_a") - col("rk_a"), col("pn_b") - col("rk_b")))
+      .where(lit(1000) * col("ub") >=
+        lit(tau) * (col("pn_a") + col("pn_b") - col("ub")))
+      .where(col("pn_a") * tau <= col("pn_b") * 1000 &&
+        col("pn_b") * tau <= col("pn_a") * 1000)
+      .select(col("id"), col("ref_id"))
+      .distinct()
+    val interOf: (Column, Column) => Column =
+      q.schema("ts").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) =>
+          (a, b) => graft.functions.SortedIntersectCount(a, b)
+        case _ => (a, b) => size(array_intersect(a, b)).cast("bigint")
+      }
+    cands
+      .join(q.select(col("id"), col("ts").as("ts_a"), col("n").as("n_a")),
+        Seq("id"))
+      .join(index.docs.select(col("ref_id"), col("ts").as("ts_b"),
+        col("n").as("n_b")), Seq("ref_id"))
+      .withColumn("n_inter", interOf(col("ts_a"), col("ts_b")))
+      .where(lit(1000) * col("n_inter") >=
+        lit(tau) * (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("id"), col("ref_id"), col("n_inter"),
+        col("n_a"), col("n_b"),
+        expr("CAST((1000 * n_inter) div (n_a + n_b - n_inter) AS BIGINT)")
+          .as("jaccard_x1000"))
+  }
+
+  /** Streaming exact decontamination: a foreachBatch query probing
+    * every micro-batch of documents against a persisted
+    * [[SetSimIndex]], handing each batch's verified matches to
+    * `sink`. The probe is per-doc stateless, so the union of
+    * per-trigger outputs equals one batch probe over all delivered
+    * docs (differential-specced), and at-least-once delivery follows
+    * from the checkpoint exactly as in the sink family.
+    */
+  def decontamStream(docs: DataFrame, idCol: String, items: Column,
+                     index: SetSimIndex, checkpoint: String,
+                     maxDf: Int = Int.MaxValue,
+                     itemKey: Column => Column = identity)
+                    (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(setSimProbeIndex(batch, idCol, items, index, maxDf, itemKey))
+        ()
+      }
+      .start()
 
   /** Single-task exact connected components over a SMALL edge set
     * (the [[connectedComponents]] small-residue finisher): coalesce

@@ -315,6 +315,101 @@ class ContainmentSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------ //
+  // SetSimIndex: persisted exact-decontamination index               //
+  // ------------------------------------------------------------------ //
+
+  private def idxCorpus = (1L to 24L).map(i =>
+      (i, (0 to 9).map(j => s"w${(i * 3 + j * 5) % 13}").mkString(" ")))
+    .toDF("id", "text")
+  private def idxRef = (1L to 24L by 5).map(i =>
+      (i * 100, (0 to 9).map(j => s"w${(i * 3 + j * 5) % 13}").mkString(" ")))
+    .toDF("rid", "rtext")
+
+  private def probeRows(out: org.apache.spark.sql.DataFrame) =
+    out.orderBy("id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  test("setSimProbeIndex ≡ setSimJoinAgainst (eval-df order changes candidates, never matches)") {
+    // includes probe docs with tokens the eval corpus never saw
+    // (df 0, order first) and the valve disengaged: the verified
+    // match set must equal the union-df batch join row-for-row
+    val index = Dedup.setSimIndexBuild(idxRef, "rid",
+      graft.functions.TextFns.tokens(col("rtext")), tauX1000 = 500)
+    val probe = probeRows(Dedup.setSimProbeIndex(idxCorpus, "id",
+      graft.functions.TextFns.tokens(col("text")), index))
+    val batch = probeRows(Dedup.setSimJoinAgainst(idxCorpus, "id",
+      graft.functions.TextFns.tokens(col("text")),
+      idxRef, "rid", graft.functions.TextFns.tokens(col("rtext")),
+      tauX1000 = 500))
+    assert(probe === batch)
+    assert(probe.nonEmpty, "test needs matches to certify")
+    // threshold semantics survive the index path: J = τ included
+    val idx2 = Dedup.setSimIndexBuild(
+      Seq((9L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("rid", "rtext"),
+      "rid", graft.functions.TextFns.tokens(col("rtext")), tauX1000 = 500)
+    val edge = Dedup.setSimProbeIndex(
+        Seq((1L, (1 to 5).map(i => s"t$i").mkString(" ")),   // J = 5/10 = τ
+          (2L, (1 to 4).map(i => s"t$i").mkString(" "))).toDF("id", "text"),
+        "id", graft.functions.TextFns.tokens(col("text")), idx2)
+      .collect().map(r => (r.getLong(0), r.getLong(5))).toMap
+    assert(edge === Map(1L -> 500L))
+  }
+
+  test("SetSimIndex parquet save/load round-trips the probe (shingle keys ride SortedIntersectCount)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssidx").toString
+    val built = Dedup.setSimIndexBuild(idxRef, "rid",
+      graft.functions.TextFns.shingles(col("rtext"), 3), tauX1000 = 600,
+      itemKey = graft.functions.HashFns.hash61)
+    built.save(dir)
+    val loaded = Dedup.SetSimIndex.load(spark, dir)
+    assert(loaded.tauX1000 === 600)
+    def probe(ix: Dedup.SetSimIndex) =
+      probeRows(Dedup.setSimProbeIndex(idxCorpus, "id",
+        graft.functions.TextFns.shingles(col("text"), 3), ix,
+        itemKey = graft.functions.HashFns.hash61))
+    val a = probe(built)
+    assert(a === probe(loaded))
+    assert(a === probeRows(Dedup.setSimJoinAgainst(idxCorpus, "id",
+      graft.functions.TextFns.shingles(col("text"), 3),
+      idxRef, "rid", graft.functions.TextFns.shingles(col("rtext"), 3),
+      tauX1000 = 600, itemKey = graft.functions.HashFns.hash61)))
+    assert(a.nonEmpty)
+  }
+
+  test("decontamStream: per-trigger probes against the persisted index ≡ one batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssidx-s").toString
+    Dedup.setSimIndexBuild(idxRef, "rid",
+        graft.functions.TextFns.tokens(col("rtext")), tauX1000 = 500)
+      .save(dir)
+    val index = Dedup.SetSimIndex.load(spark, dir)
+    val stream = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    val q = Dedup.decontamStream(stream.toDF().toDF("id", "text"), "id",
+        graft.functions.TextFns.tokens(col("text")), index,
+        java.nio.file.Files.createTempDirectory("graft-ssidx-ck").toString) {
+      matches =>
+        val rows = matches.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+        out.synchronized { out ++= rows }
+    }
+    val delivered = idxCorpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    stream.addData(delivered.take(12).toIndexedSeq: _*)
+    q.processAllAvailable()
+    stream.addData(delivered.drop(12).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Dedup.setSimProbeIndex(delivered.toSeq.toDF("id", "text"),
+        "id", graft.functions.TextFns.tokens(col("text")), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(out.sortBy(x => (x._1, x._2)).toSeq ===
+      batch.sortBy(x => (x._1, x._2)).toSeq)
+    assert(out.nonEmpty)
+  }
+
+  // ------------------------------------------------------------------ //
   // fuzzyValueMatches                                                  //
   // ------------------------------------------------------------------ //
 
