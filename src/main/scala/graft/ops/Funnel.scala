@@ -87,6 +87,16 @@ object Funnel {
       steps.indices.map(i =>
         count(col(s"t_${steps(i)}")).as(s"__c$i")): _*)
       .localCheckpoint()
+    reportRows(counts, steps)
+  }
+
+  /** The report's per-step row emitter over a one-row counts table
+    * (__total, __c0..__cS) — shared VERBATIM by [[funnelReport]] and
+    * [[reportFromCounts]] so the batch and streaming readbacks cannot
+    * drift in the conversion arithmetic.
+    */
+  private[graft] def reportRows(counts: DataFrame,
+                                steps: Seq[String]): DataFrame = {
     val rows = steps.zipWithIndex.map { case (st, i) =>
       counts.select(
         lit((i + 1).toLong).as("step"),
@@ -98,6 +108,26 @@ object Funnel {
           .as("conv_from_top_x1000"))
     }
     rows.reduce(_.unionByName(_))
+  }
+
+  /** Build the [[funnelReport]]-shape report from externally
+    * accumulated reach counts — the readback half of the STREAMING
+    * funnel: fold [[graft.streaming.Stateful.funnelReaches]]'s
+    * per-step rows into cumulative counts per trigger (step 0 is the
+    * total-users denominator) and emit the same 5-column report
+    * through the same [[reportRows]] arithmetic the batch operator
+    * uses. Counts arrive as driver longs (S+1 values for an S-step
+    * funnel), so the report stays a broadcast-sized handful of rows.
+    */
+  def reportFromCounts(spark: org.apache.spark.sql.SparkSession,
+                       steps: Seq[String], totalUsers: Long,
+                       reached: Seq[Long]): DataFrame = {
+    require(reached.size == steps.size,
+      s"need one reach count per step: ${reached.size} vs ${steps.size}")
+    val counts = spark.range(1).select(
+      lit(totalUsers).as("__total") +:
+        reached.zipWithIndex.map { case (c, i) => lit(c).as(s"__c$i") }: _*)
+    reportRows(counts, steps)
   }
 
   /** Pairwise association rules (the Apriori 2-itemset stage,

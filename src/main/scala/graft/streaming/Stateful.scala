@@ -166,6 +166,72 @@ object Stateful {
       }
   }
 
+  final case class FunnelReach(user: Long, step: Int,
+                               ts: java.sql.Timestamp)
+
+  /** Per-step reach stream for the funnel REPORT readback: where
+    * [[funnelUpdates]] emits one row per depth advance (the new depth
+    * only — a user jumping 0→3 inside one micro-batch emits just
+    * depth 3), this emits one row per NEWLY COMPLETED STEP (that jump
+    * yields step rows 1, 2 AND 3), plus a step-0 row the first time a
+    * user is seen at all — the report's total-users denominator.
+    * Each (user, step) is emitted at most once while the user's state
+    * lives, so CUMULATIVE per-step counts over this stream equal the
+    * batch report's n_users column exactly; fold them per trigger
+    * (foreachBatch) and hand the totals to
+    * [[graft.ops.Funnel.reportFromCounts]], which builds the
+    * q145-shape report through the SAME row emitter the batch
+    * operator uses (differential-specced vs [[graft.ops.Funnel
+    * .funnelReport]] over delivered events).
+    *
+    * Same bounded chain state, greedy earliest-completion semantics
+    * and event-time-order contract as [[funnelUpdates]]; a user
+    * outliving `stateTtlMs` re-counts in step 0 by construction
+    * (state death forgets the sighting).
+    */
+  def funnelReaches(ds: org.apache.spark.sql.Dataset[FunnelEvent],
+                    steps: Seq[String], watermarkDelay: String = "10 seconds",
+                    stateTtlMs: Long = 3600L * 1000)
+      : org.apache.spark.sql.Dataset[FunnelReach] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"bad step list: $steps")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val firstSeen = state.getOption.isEmpty
+            var times = state.getOption.map(_.times).getOrElse(Array.empty[Long])
+            val before = times.length
+            val evs = events.toArray.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelReach]
+            if (firstSeen && evs.nonEmpty)
+              out += FunnelReach(user, 0, evs.head.ts)
+            var lastTs = 0L
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              lastTs = math.max(lastTs, t)
+              if (times.length < stepArr.length &&
+                  e.eventType == stepArr(times.length) &&
+                  (times.isEmpty || t > times.last)) {
+                times = times :+ t
+                out += FunnelReach(user, times.length, e.ts)
+              }
+            }
+            if (times.length > before || firstSeen)
+              state.update(FunnelState(times))
+            if (lastTs > 0L) state.setTimeoutTimestamp(lastTs + stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   // ------------------------------------------------------------------ //
   // Streaming near-dup detection (SimHash LSH over keyed state)        //
   // ------------------------------------------------------------------ //

@@ -309,6 +309,52 @@ class StatefulSpec extends SparkSpec {
       === Seq((7L, 2, true)))
   }
 
+  test("streaming funnel report: cumulative reaches ≡ batch funnelReport over delivered events") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    def fev(user: Long, tpe: String, hhmm: String) =
+      Stateful.FunnelEvent(user, tpe, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"))
+    // population exercising every report row: 1 converts across
+    // batches, 2 stalls at click (pre-view click must not count),
+    // 3 views only, 4 NEVER views (counts in total, not in step 1),
+    // 5 jumps 0→3 inside one batch (must emit step rows 1, 2 AND 3)
+    val batch1 = Seq(fev(1, "view", "10:00"), fev(2, "click", "09:00"),
+      fev(2, "view", "10:00"), fev(3, "view", "08:00"), fev(4, "click", "09:30"))
+    val batch2 = Seq(fev(1, "click", "10:05"), fev(2, "click", "10:06"),
+      fev(5, "view", "10:04"), fev(5, "click", "10:06"),
+      fev(5, "purchase", "10:07"))
+    val batch3 = Seq(fev(1, "purchase", "10:10"))
+    val stream = MemoryStream[Stateful.FunnelEvent]
+    val reaches = mutable.Buffer.empty[Stateful.FunnelReach]
+    val q = Stateful.funnelReaches(stream.toDS(), steps).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.FunnelReach], _: Long) =>
+        reaches.synchronized { reaches ++= df.collect() }
+        ()
+      }.start()
+    Seq(batch1, batch2, batch3).foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // each (user, step) reached at most once while state lives
+    assert(reaches.map(r => (r.user, r.step)).distinct.size === reaches.size)
+    // the 0→3 jump emitted every intermediate step
+    assert(reaches.filter(_.user == 5L).map(_.step).sorted === Seq(0, 1, 2, 3))
+    val total = reaches.count(_.step == 0).toLong
+    val cnt = steps.indices.map(i => reaches.count(_.step == i + 1).toLong)
+    assert((total, cnt) === ((5L, Seq(4L, 3L, 2L))))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("step").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val got = rows(graft.ops.Funnel.reportFromCounts(spark, steps, total, cnt))
+    val all = (batch1 ++ batch2 ++ batch3)
+      .map(e => (e.user, e.eventType, e.ts)).toDF("user_id", "event_type", "ts")
+    val want = rows(graft.ops.Funnel.funnelReport(all, "user_id",
+      "event_type", "ts", steps))
+    assert(got === want)
+  }
+
   test("streaming near-dup: duplicates flagged within TTL, state dies after it") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.DocEvent]
