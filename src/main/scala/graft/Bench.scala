@@ -278,7 +278,7 @@ object Bench {
       "q164_join_amplification", "q165_heaps_curve", "q166_image_dhash",
       "q167_trending", "q168_audio_fingerprint", "q169_psi_baseline",
       "q170_zipf_report", "q171_jpeg_pixels", "q172_decontam_index",
-      "q173_decontam_probe")
+      "q173_decontam_probe", "q174_png_adam7")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -457,6 +457,7 @@ object OracleSql {
     // is q150's cross-join ground truth verbatim, pinning that
     // equivalence to DuckDB per round
     "q173_decontam_probe" -> Gen.exactDecontamSql,
+    "q174_png_adam7" -> Gen.pngAdam7Sql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1795,6 +1796,33 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
+
+    /** Twin of q174_png_adam7: the Spark side bit-packs a 4-bit gray
+      * Adam7-INTERLACED PNG per doc and decodes it back through the
+      * seven-pass de-interleave; the twin computes the same ×100
+      * channel means straight from the closed-form pixel value
+      * ((id%16)·3 + 5x + 7y) % 16 scaled ×17 — a hash match certifies
+      * the de-interleave restored every pixel to its canvas position
+      * (a pass-order bug would scramble positions but often preserve
+      * sums; the ragged w/h mix makes pass dims differ per doc, so a
+      * scramble changes which pixels exist and the means shift).
+      * All-integer arithmetic, non-negative `%` operands.
+      */
+    def pngAdam7Sql: String =
+      s"""WITH base AS (SELECT doc_id, doc_id % 13 + 4 AS w,
+         |                     doc_id % 11 + 4 AS h FROM documents),
+         |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM base),
+         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+         |g AS (SELECT doc_id, w, h,
+         |        (((doc_id % 16) * 3 + 5 * x + 7 * y) % 16) * 17 AS v
+         |      FROM px)
+         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST((100 * sum(v)) // (w * h) AS BIGINT) AS mean_r_x100,
+         |  CAST((100 * sum(v)) // (w * h) AS BIGINT) AS mean_g_x100,
+         |  CAST((100 * sum(v)) // (w * h) AS BIGINT) AS mean_b_x100,
+         |  CAST((100 * sum(255)) // (w * h) AS BIGINT) AS mean_a_x100
+         |FROM g GROUP BY doc_id, w, h
+         |ORDER BY doc_id""".stripMargin
 
     /** Twin of q172_decontam_index: replay the index build — per eval
       * doc (doc_id % 50 = 0) the sorted distinct hashed 3-shingles,

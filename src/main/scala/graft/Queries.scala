@@ -2767,6 +2767,29 @@ object Queries {
       .orderBy("id", "ref_id")
   }
 
+  /** Adam7-interlaced sub-byte PNG decode
+    * ([[graft.multimodal.PngCodec.testImageInterlaced]] →
+    * [[graft.multimodal.Multimodal.pngPixelStats]]): per doc a 4-bit
+    * grayscale Adam7 PNG is bit-packed PER INTERLACE PASS by the
+    * fixture encoder, then decoded back through the seven-pass
+    * de-interleave + sub-byte sample extraction (the r13 full-matrix
+    * paths); the DuckDB twin computes the identical ×100 channel
+    * means from the closed-form pixel formula, certifying the
+    * de-interleave reproduced every pixel position. Map-only
+    * O(pixels) per blob; no shuffle.
+    */
+  val q174_png_adam7: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.PngCodec
+      .testImageInterlaced(id, (id % 13 + 4).toInt, (id % 11 + 4).toInt))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("png"))
+    graft.multimodal.Multimodal.pngPixelStats(media, "doc_id", "png")
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("mean_r_x100"), col("mean_g_x100"), col("mean_b_x100"),
+        col("mean_a_x100"))
+      .orderBy("doc_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2956,5 +2979,6 @@ object Queries {
     "q170_zipf_report" -> q170_zipf_report,
     "q171_jpeg_pixels" -> q171_jpeg_pixels,
     "q172_decontam_index" -> q172_decontam_index,
-    "q173_decontam_probe" -> q173_decontam_probe)
+    "q173_decontam_probe" -> q173_decontam_probe,
+    "q174_png_adam7" -> q174_png_adam7)
 }

@@ -132,7 +132,7 @@ object ScaleRamp {
       "q164_join_amplification", "q165_heaps_curve", "q166_image_dhash",
       "q167_trending", "q168_audio_fingerprint", "q169_psi_baseline",
       "q170_zipf_report", "q171_jpeg_pixels", "q172_decontam_index",
-      "q173_decontam_probe")
+      "q173_decontam_probe", "q174_png_adam7")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -10,11 +10,15 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * image library at all, just the chunk walk, the five scanline
   * filters, and the color-type expansion.
   *
-  * Scope: non-interlaced, 8-bit-per-sample images of every color type
-  * (0 gray, 2 RGB, 3 palette via PLTE, 4 gray+alpha, 6 RGBA), decoded
-  * to a width×height×RGBA byte buffer. Interlaced (Adam7), 1/2/4/16-bit
-  * and malformed inputs return null — decode is TOTAL (the Result
-  * convention: a poison blob must not kill a 100 TB decode stage).
+  * Scope (r13: the FULL legal PNG matrix): every color type (0 gray,
+  * 2 RGB, 3 palette via PLTE, 4 gray+alpha, 6 RGBA) at every legal
+  * bit depth (1/2/4/8/16 per spec §11.2.2 — sub-byte grays scale by
+  * 255/(2^d−1), 16-bit takes the high byte), both non-interlaced and
+  * Adam7-interlaced (§8.2: seven passes, each filtered as its own
+  * sub-image, scattered onto the canvas), decoded to a
+  * width×height×RGBA byte buffer. Malformed inputs return null —
+  * decode is TOTAL (the Result convention: a poison blob must not
+  * kill a 100 TB decode stage).
   *
   * The encoder writes the same subset back (RGBA, one IDAT, per-row
   * filter choice) — which makes the decoder testable far beyond a
@@ -72,82 +76,143 @@ object PngCodec {
         }
         pos += 12 + len
       }
-      if (!sawIhdr || w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0)
-        return null
+      if (!sawIhdr || w <= 0 || h <= 0) return null
       val channels = colorType match {
         case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
         case _ => return null
       }
+      // legal (colorType, bitDepth) matrix — PNG spec §11.2.2
+      val depthOk = colorType match {
+        case 0 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+          bitDepth == 8 || bitDepth == 16
+        case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+          bitDepth == 8
+        case _ => bitDepth == 8 || bitDepth == 16
+      }
+      if (!depthOk || (interlace != 0 && interlace != 1)) return null
       if (colorType == 3 && (palette == null || palette.length % 3 != 0))
         return null
       // guard absurd dimensions before allocating (w·h·4 must fit an
-      // array; a hostile header must not OOM the executor)
-      if (w.toLong * h * channels + h > Int.MaxValue / 8) return null
+      // array; a hostile header must not OOM the executor); ·2 covers
+      // the 16-bit raw buffer
+      if (w.toLong * h * channels * 2 + h > Int.MaxValue / 8) return null
 
-      val stride = w * channels
-      val raw = inflateExact(idat.toByteArray, (stride + 1) * h)
+      val bitsPerPixel = bitDepth * channels
+      // filter-byte distance: bytes per complete pixel, min 1 (§9)
+      val bpp = math.max(1, bitsPerPixel / 8)
+      def strideOf(pw: Int): Int = (pw * bitsPerPixel + 7) / 8
+      // Adam7 pass origins and steps (§8.2); non-interlaced = 1 pass
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 0, 1, 1))
+        else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      val passDims = passes.map { case (x0, y0, dx, dy) =>
+        ((w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
+      }
+      val totalRaw = passDims.map { case (pw, ph) =>
+        if (pw > 0 && ph > 0) (strideOf(pw) + 1) * ph else 0
+      }.sum
+      val raw = inflateExact(idat.toByteArray, totalRaw)
       if (raw == null) return null
 
-      // undo the per-scanline filter in place (PNG spec §6)
-      val recon = new Array[Byte](stride * h)
-      val bpp = channels
-      var y = 0
-      while (y < h) {
-        val filter = raw(y * (stride + 1)) & 0xFF
-        val rowIn = y * (stride + 1) + 1
-        val rowOut = y * stride
-        var x = 0
-        while (x < stride) {
-          val cur = raw(rowIn + x) & 0xFF
-          val a = if (x >= bpp) recon(rowOut + x - bpp) & 0xFF else 0
-          val b = if (y > 0) recon(rowOut - stride + x) & 0xFF else 0
-          val c = if (x >= bpp && y > 0) recon(rowOut - stride + x - bpp) & 0xFF else 0
-          val v = filter match {
-            case 0 => cur
-            case 1 => cur + a
-            case 2 => cur + b
-            case 3 => cur + ((a + b) >> 1)
-            case 4 => cur + paeth(a, b, c)
-            case _ => return null
-          }
-          recon(rowOut + x) = (v & 0xFF).toByte
-          x += 1
-        }
-        y += 1
-      }
-
-      // expand to RGBA
       val rgba = new Array[Byte](w * h * 4)
-      var p = 0
-      var q = 0
-      val n = w * h
-      var k = 0
-      while (k < n) {
-        colorType match {
-          case 0 =>
-            val g = recon(p); rgba(q) = g; rgba(q + 1) = g; rgba(q + 2) = g
-            rgba(q + 3) = 0xFF.toByte; p += 1
-          case 2 =>
-            rgba(q) = recon(p); rgba(q + 1) = recon(p + 1); rgba(q + 2) = recon(p + 2)
-            rgba(q + 3) = 0xFF.toByte; p += 3
-          case 3 =>
-            val idx = (recon(p) & 0xFF) * 3
-            if (idx + 2 >= palette.length) return null
-            rgba(q) = palette(idx); rgba(q + 1) = palette(idx + 1)
-            rgba(q + 2) = palette(idx + 2); rgba(q + 3) = 0xFF.toByte; p += 1
-          case 4 =>
-            val g = recon(p); rgba(q) = g; rgba(q + 1) = g; rgba(q + 2) = g
-            rgba(q + 3) = recon(p + 1); p += 2
-          case 6 =>
-            rgba(q) = recon(p); rgba(q + 1) = recon(p + 1); rgba(q + 2) = recon(p + 2)
-            rgba(q + 3) = recon(p + 3); p += 4
+      val gmax = (1 << math.min(bitDepth, 8)) - 1
+      var rawOff = 0
+      var pi = 0
+      while (pi < passes.length) {
+        val (x0, y0, dx, dy) = passes(pi)
+        val (pw, ph) = passDims(pi)
+        if (pw > 0 && ph > 0) {
+          val stride = strideOf(pw)
+          // undo this pass's per-scanline filter (each pass is its own
+          // sub-image: filtering never crosses pass boundaries, §8.2)
+          val recon = new Array[Byte](stride * ph)
+          var y = 0
+          while (y < ph) {
+            val filter = raw(rawOff + y * (stride + 1)) & 0xFF
+            val rowIn = rawOff + y * (stride + 1) + 1
+            val rowOut = y * stride
+            var x = 0
+            while (x < stride) {
+              val cur = raw(rowIn + x) & 0xFF
+              val a = if (x >= bpp) recon(rowOut + x - bpp) & 0xFF else 0
+              val b = if (y > 0) recon(rowOut - stride + x) & 0xFF else 0
+              val c = if (x >= bpp && y > 0) recon(rowOut - stride + x - bpp) & 0xFF else 0
+              val v = filter match {
+                case 0 => cur
+                case 1 => cur + a
+                case 2 => cur + b
+                case 3 => cur + ((a + b) >> 1)
+                case 4 => cur + paeth(a, b, c)
+                case _ => return null
+              }
+              recon(rowOut + x) = (v & 0xFF).toByte
+              x += 1
+            }
+            y += 1
+          }
+          // scatter this pass's pixels onto the full canvas
+          var j = 0
+          while (j < ph) {
+            var i2 = 0
+            while (i2 < pw) {
+              val q = ((y0 + j * dy) * w + (x0 + i2 * dx)) * 4
+              colorType match {
+                case 0 =>
+                  val g = (sampleAt(recon, stride, bitDepth, gmax,
+                    j, i2, 0, channels) * 255 / gmax).toByte
+                  rgba(q) = g; rgba(q + 1) = g; rgba(q + 2) = g
+                  rgba(q + 3) = 0xFF.toByte
+                case 2 =>
+                  rgba(q) = sampleAt(recon, stride, bitDepth, gmax, j, i2, 0, channels).toByte
+                  rgba(q + 1) = sampleAt(recon, stride, bitDepth, gmax, j, i2, 1, channels).toByte
+                  rgba(q + 2) = sampleAt(recon, stride, bitDepth, gmax, j, i2, 2, channels).toByte
+                  rgba(q + 3) = 0xFF.toByte
+                case 3 =>
+                  val idx = sampleAt(recon, stride, bitDepth, gmax,
+                    j, i2, 0, channels) * 3
+                  if (idx + 2 >= palette.length) return null
+                  rgba(q) = palette(idx); rgba(q + 1) = palette(idx + 1)
+                  rgba(q + 2) = palette(idx + 2); rgba(q + 3) = 0xFF.toByte
+                case 4 =>
+                  val g = sampleAt(recon, stride, bitDepth, gmax, j, i2, 0, channels).toByte
+                  rgba(q) = g; rgba(q + 1) = g; rgba(q + 2) = g
+                  rgba(q + 3) = sampleAt(recon, stride, bitDepth, gmax, j, i2, 1, channels).toByte
+                case 6 =>
+                  rgba(q) = sampleAt(recon, stride, bitDepth, gmax, j, i2, 0, channels).toByte
+                  rgba(q + 1) = sampleAt(recon, stride, bitDepth, gmax, j, i2, 1, channels).toByte
+                  rgba(q + 2) = sampleAt(recon, stride, bitDepth, gmax, j, i2, 2, channels).toByte
+                  rgba(q + 3) = sampleAt(recon, stride, bitDepth, gmax, j, i2, 3, channels).toByte
+              }
+              i2 += 1
+            }
+            j += 1
+          }
+          rawOff += (stride + 1) * ph
         }
-        q += 4
-        k += 1
+        pi += 1
       }
       Png(w, h, rgba)
     } catch { case _: Exception => null }
   }
+
+  /** Channel sample of pixel (row, px) as 0..255-range-compatible raw
+    * value: 8-bit direct; 16-bit takes the most-significant byte (the
+    * standard 16→8 reduction); sub-byte depths (grayscale/palette
+    * only, so channels == 1) extract big-endian-packed bits and
+    * return the RAW 0..2^d−1 value — grayscale callers scale by
+    * 255/gmax, palette callers index directly.
+    */
+  private def sampleAt(recon: Array[Byte], stride: Int, bitDepth: Int,
+                       gmax: Int, row: Int, px: Int, ch: Int,
+                       channels: Int): Int =
+    if (bitDepth == 8) recon(row * stride + px * channels + ch) & 0xFF
+    else if (bitDepth == 16) recon(row * stride + (px * channels + ch) * 2) & 0xFF
+    else {
+      val bitPos = px * bitDepth   // channels == 1 for sub-byte depths
+      val shift = 8 - bitDepth - (bitPos & 7)
+      (recon(row * stride + (bitPos >> 3)) >> shift) & gmax
+    }
 
   /** PNG spec §6.6 Paeth predictor — ties resolve a, then b. */
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -221,6 +286,61 @@ object PngCodec {
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
     ihdr(8) = 8; ihdr(9) = 6; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(png, "IHDR", ihdr)
+    writeChunk(png, "IDAT", deflated)
+    writeChunk(png, "IEND", Array.empty[Byte])
+    png.toByteArray
+  }
+
+  /** Deterministic Adam7-interlaced 4-bit grayscale fixture — the
+    * exotic-subset analog of `testImage`: pixel (x, y) has 4-bit gray
+    * level (id·3 + 5·x + 7·y) % 16, so the decoded 8-bit value is
+    * that ×17. Rows are filter 0, samples big-endian bit-packed PER
+    * ADAM7 PASS — the encoder interleaves, the decoder must
+    * de-interleave, and the q174 DuckDB twin computes the same means
+    * straight from the formula: two independent paths, one ground
+    * truth, exercising interlacing and sub-byte packing at once.
+    */
+  def testImageInterlaced(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    def pix(x: Int, y: Int): Int =
+      (((id % 16) * 3 + 5L * x + 7L * y) % 16).toInt
+    val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val scan = new ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = math.max(0, (w - x0 + dx - 1) / dx)
+      val ph = math.max(0, (h - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        var j = 0
+        while (j < ph) {
+          scan.write(0)   // filter None
+          var bx = 0
+          while (bx < (pw + 1) / 2) {
+            val hi = pix(x0 + 2 * bx * dx, y0 + j * dy) << 4
+            val lo = if (2 * bx + 1 < pw)
+              pix(x0 + (2 * bx + 1) * dx, y0 + j * dy) else 0
+            scan.write(hi | lo)
+            bx += 1
+          }
+          j += 1
+        }
+      }
+    }
+    val raw = scan.toByteArray
+    val def_ = new Deflater()
+    val deflated = try {
+      def_.setInput(raw); def_.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new ByteArrayOutputStream()
+      while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+      out.toByteArray
+    } finally def_.end()
+    val png = new ByteArrayOutputStream()
+    png.write(Signature, 0, Signature.length)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = 4; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 1
     writeChunk(png, "IHDR", ihdr)
     writeChunk(png, "IDAT", deflated)
     writeChunk(png, "IEND", Array.empty[Byte])

@@ -97,6 +97,192 @@ class PngCodecSpec extends SparkSpec {
     assert(PngCodec.decode(huge) === null)
   }
 
+  // ---------------------------------------------------------------- //
+  // r13 full-matrix subsets: Adam7, 16-bit, sub-byte depths.          //
+  // ImageIO's PNG plugin is the JDK's INDEPENDENT codec — where it    //
+  // can write a subset we compare decoders on its bytes; where it     //
+  // can't, a spec-local chunk writer (independent bit-packing) plus   //
+  // the closed form covers it, and ImageIO re-reads our input.        //
+  // ---------------------------------------------------------------- //
+
+  private def imageIoPng(img: java.awt.image.BufferedImage,
+                         progressive: Boolean): Array[Byte] = {
+    import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    if (progressive) param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("Adam7 RGB written by ImageIO decodes bit-exactly to ImageIO's own read") {
+    import javax.imageio.ImageIO
+    val w = 21; val h = 13   // non-multiples of 8: ragged pass dims
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      src.setRGB(x, y, ((x * 37 + y) % 256 << 16) | ((y * 53 + x) % 256 << 8)
+        | ((x * y + 7) % 256))
+    val bytes = imageIoPng(src, progressive = true)
+    assert((bytes(16 + 12) & 0xFF) === 1, "fixture must really be Adam7")
+    val ours = PngCodec.decode(bytes)
+    assert(ours != null && ours.width === w && ours.height === h)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = theirs.getRGB(x, y); val p = (y * w + x) * 4
+      assert(((ours.rgba(p) & 0xFF) << 16 | (ours.rgba(p + 1) & 0xFF) << 8 |
+        (ours.rgba(p + 2) & 0xFF)) === (t & 0xFFFFFF), s"pixel ($x,$y)")
+    }
+  }
+
+  test("16-bit gray written by ImageIO: ours == theirs >> 8") {
+    import javax.imageio.ImageIO
+    val w = 9; val h = 7
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, (x * 9173 + y * 257) % 65536)
+    val bytes = imageIoPng(src, progressive = false)
+    assert((bytes(16 + 8) & 0xFF) === 16, "fixture must really be 16-bit")
+    val ours = PngCodec.decode(bytes)
+    assert(ours != null && ours.width === w && ours.height === h)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((ours.rgba((y * w + x) * 4) & 0xFF)
+        === (theirs.getRaster.getSample(x, y, 0) >> 8), s"pixel ($x,$y)")
+  }
+
+  test("1/2/4-bit palette written by ImageIO decodes bit-exactly") {
+    import javax.imageio.ImageIO
+    for (nbits <- Seq(1, 2, 4)) {
+      val n = 1 << nbits
+      val cmap = Array.tabulate(n)(i =>
+        (i * 255 / (n - 1) << 16) | ((255 - i * 255 / (n - 1)) << 8) | (i * 40 % 256))
+      val icm = new java.awt.image.IndexColorModel(nbits, n,
+        cmap.map(c => ((c >> 16) & 0xFF).toByte),
+        cmap.map(c => ((c >> 8) & 0xFF).toByte),
+        cmap.map(c => (c & 0xFF).toByte))
+      val w = 11; val h = 5
+      val src = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        src.getRaster.setSample(x, y, 0, (x + y * 3) % n)
+      val bytes = imageIoPng(src, progressive = false)
+      assert((bytes(16 + 8) & 0xFF) === nbits, s"fixture must be $nbits-bit")
+      assert((bytes(16 + 9) & 0xFF) === 3, "fixture must be palette type")
+      val ours = PngCodec.decode(bytes)
+      assert(ours != null, s"$nbits-bit palette must decode")
+      val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val t = theirs.getRGB(x, y); val p = (y * w + x) * 4
+        assert(((ours.rgba(p) & 0xFF) << 16 | (ours.rgba(p + 1) & 0xFF) << 8 |
+          (ours.rgba(p + 2) & 0xFF)) === (t & 0xFFFFFF),
+          s"$nbits-bit pixel ($x,$y)")
+      }
+    }
+  }
+
+  // spec-local chunk writer: independent re-statement of the byte
+  // layout (CRC over type+data, big-endian lengths, zlib IDAT)
+  private def rawPng(w: Int, h: Int, bitDepth: Int, colorType: Int,
+                     interlace: Int, scanBytes: Array[Byte]): Array[Byte] = {
+    def be(v: Int) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(t: String, d: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes("US-ASCII")); crc.update(d)
+      be(d.length) ++ t.getBytes("US-ASCII") ++ d ++ be(crc.getValue.toInt)
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(scanBytes); defl.finish()
+    val buf = new Array[Byte](scanBytes.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = be(w) ++ be(h) ++ Array(bitDepth.toByte, colorType.toByte,
+      0.toByte, 0.toByte, interlace.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("sub-byte gray, 16-bit RGB and Adam7 4-bit gray: closed form + ImageIO re-read") {
+    import javax.imageio.ImageIO
+    // 4-bit gray 5x3, filter 0: samples (x + 2y) % 16, scale ×17
+    val w = 5; val h = 3
+    val pix = (x: Int, y: Int) => (x + 2 * y) % 16
+    val rows = (0 until h).flatMap { y =>
+      0.toByte +: (0 until (w + 1) / 2).map { bx =>
+        val hi = pix(2 * bx, y) << 4
+        val lo = if (2 * bx + 1 < w) pix(2 * bx + 1, y) else 0
+        ((hi | lo) & 0xFF).toByte
+      }
+    }.toArray
+    val g4 = rawPng(w, h, 4, 0, 0, rows)
+    val ours4 = PngCodec.decode(g4)
+    assert(ours4 != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((ours4.rgba((y * w + x) * 4) & 0xFF) === pix(x, y) * 17,
+        s"4-bit gray ($x,$y)")
+    assert(ImageIO.read(new java.io.ByteArrayInputStream(g4)) != null,
+      "independent reader accepts the fixture")
+
+    // 16-bit RGB 3x2, filter 0: channel c of (x,y) = (1000*c + 300*x
+    // + 77*y) — high byte expected
+    val v16 = (x: Int, y: Int, c: Int) => (5000 * (c + 1) + 3000 * x + 777 * y) % 65536
+    val rgb16 = (0 until 2).flatMap { y =>
+      0.toByte +: (0 until 3).flatMap { x =>
+        (0 until 3).flatMap { c =>
+          Seq(((v16(x, y, c) >> 8) & 0xFF).toByte, (v16(x, y, c) & 0xFF).toByte)
+        }
+      }
+    }.toArray
+    val p16 = rawPng(3, 2, 16, 2, 0, rgb16)
+    val ours16 = PngCodec.decode(p16)
+    assert(ours16 != null)
+    val theirs16 = ImageIO.read(new java.io.ByteArrayInputStream(p16))
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3) {
+      assert((ours16.rgba((y * 3 + x) * 4 + c) & 0xFF) === (v16(x, y, c) >> 8),
+        s"16-bit rgb ($x,$y,$c)")
+      assert((ours16.rgba((y * 3 + x) * 4 + c) & 0xFF)
+        === (theirs16.getRaster.getSample(x, y, c) >> 8),
+        s"16-bit rgb vs ImageIO ($x,$y,$c)")
+    }
+
+    // Adam7 4-bit gray 9x9: the nastiest combo — per-pass bit packing
+    val aw = 9; val ah = 9
+    val apix = (x: Int, y: Int) => (3 * x + y) % 16
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val scan = passes.flatMap { case (x0, y0, dx, dy) =>
+      val pw = math.max(0, (aw - x0 + dx - 1) / dx)
+      val ph = math.max(0, (ah - y0 + dy - 1) / dy)
+      if (pw == 0 || ph == 0) Seq.empty[Byte]
+      else (0 until ph).flatMap { j =>
+        0.toByte +: (0 until (pw + 1) / 2).map { bx =>
+          val hi = apix(x0 + 2 * bx * dx, y0 + j * dy) << 4
+          val lo = if (2 * bx + 1 < pw) apix(x0 + (2 * bx + 1) * dx, y0 + j * dy) else 0
+          ((hi | lo) & 0xFF).toByte
+        }
+      }
+    }.toArray
+    val a7 = rawPng(aw, ah, 4, 0, 1, scan)
+    val oursA = PngCodec.decode(a7)
+    assert(oursA != null, "Adam7 4-bit gray must decode")
+    for (y <- 0 until ah; x <- 0 until aw)
+      assert((oursA.rgba((y * aw + x) * 4) & 0xFF) === apix(x, y) * 17,
+        s"adam7 4-bit ($x,$y)")
+    val theirsA = ImageIO.read(new java.io.ByteArrayInputStream(a7))
+    for (y <- 0 until ah; x <- 0 until aw)
+      assert((oursA.rgba((y * aw + x) * 4) & 0xFF)
+        === theirsA.getRaster.getSample(x, y, 0) * 17,
+        s"adam7 vs ImageIO ($x,$y)")
+  }
+
   test("nearest-neighbor resize samples real pixels") {
     // 2x2 distinct-color image → 1x1 picks the top-left pixel
     val rgba = Array[Byte](
