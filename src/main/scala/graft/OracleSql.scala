@@ -458,6 +458,9 @@ object OracleSql {
     // equivalence to DuckDB per round
     "q173_decontam_probe" -> Gen.exactDecontamSql,
     "q174_png_adam7" -> Gen.pngAdam7Sql,
+    "q175_ngram_overlap" -> Gen.ngramOverlapSql,
+    "q176_cluster_reps" -> Gen.clusterRepsSql,
+    "q177_stratified_sample" -> Gen.stratifiedSampleSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1797,6 +1800,65 @@ object OracleSql {
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
 
+    /** Twin of q177_stratified_sample: same proportional allocation
+      * (k_s = max(1, ⌊60·n_s/N⌋)) and the same deterministic
+      * membership — per-stratum row_number over (hash61(id) DESC, id)
+      * where Spark uses the bounded-heap top-k; two independent
+      * statements of the same ranked cut.
+      */
+    def stratifiedSampleSql: String =
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s
+         |           FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM c),
+         |a AS (SELECT lang, n_s,
+         |        CAST(greatest(1, (60 * n_s) // n_total) AS BIGINT) AS k_s
+         |      FROM c CROSS JOIN t),
+         |h AS (SELECT lang, doc_id,
+         |        ${duckHash61("CAST(doc_id AS VARCHAR)")} AS hh
+         |      FROM documents),
+         |r AS (SELECT lang, doc_id, CAST(row_number() OVER (
+         |        PARTITION BY lang ORDER BY hh DESC, doc_id) AS BIGINT) AS rn
+         |      FROM h)
+         |SELECT r.lang, r.doc_id, r.rn AS sample_rank, a.n_s, a.k_s
+         |FROM r JOIN a USING (lang) WHERE r.rn <= a.k_s
+         |ORDER BY lang, sample_rank""".stripMargin
+
+    /** Twin of q175_ngram_overlap: same candidate pairs (every 5th
+      * doc vs its successor), same clipped-count BLEU arithmetic over
+      * the shared token/shingle emitters — per-gram min(cnt_a, cnt_b)
+      * summed, per-million precision by integer division. LEFT join
+      * keeps candidate grams absent from the reference (clip 0).
+      */
+    def ngramOverlapSql: String =
+      s"""WITH wl AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |c1 AS (SELECT id, g, CAST(count(*) AS BIGINT) AS c FROM
+         |         (SELECT id, unnest(w) AS g FROM wl) GROUP BY id, g),
+         |c2 AS (SELECT id, g, CAST(count(*) AS BIGINT) AS c FROM
+         |         (SELECT id, unnest(${shinglesE("w", 2)}) AS g FROM wl)
+         |       GROUP BY id, g),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM wl a
+         |          JOIN wl b ON b.id = a.id + 1 WHERE a.id % 5 = 0),
+         |p1 AS (SELECT p.id_a, p.id_b,
+         |         CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS clip_1,
+         |         CAST(sum(a.c) AS BIGINT) AS total_1
+         |       FROM pairs p
+         |       JOIN c1 a ON a.id = p.id_a
+         |       LEFT JOIN c1 b ON b.id = p.id_b AND b.g = a.g
+         |       GROUP BY 1, 2),
+         |p2 AS (SELECT p.id_a, p.id_b,
+         |         CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS clip_2,
+         |         CAST(sum(a.c) AS BIGINT) AS total_2
+         |       FROM pairs p
+         |       JOIN c2 a ON a.id = p.id_a
+         |       LEFT JOIN c2 b ON b.id = p.id_b AND b.g = a.g
+         |       GROUP BY 1, 2)
+         |SELECT id_a, id_b, clip_1, total_1,
+         |  CAST((1000000 * clip_1) // greatest(total_1, 1) AS BIGINT) AS p1_x1e6,
+         |  clip_2, total_2,
+         |  CAST((1000000 * clip_2) // greatest(total_2, 1) AS BIGINT) AS p2_x1e6
+         |FROM p1 JOIN p2 USING (id_a, id_b)
+         |ORDER BY id_a""".stripMargin
+
     /** Twin of q174_png_adam7: the Spark side bit-packs a 4-bit gray
       * Adam7-INTERLACED PNG per doc and decodes it back through the
       * seven-pass de-interleave; the twin computes the same ×100
@@ -2280,6 +2342,27 @@ object OracleSql {
 
     def dedupClustersSql: String =
       clusterCtes + "\nSELECT id, cluster_id FROM labels ORDER BY id"
+
+    /** Twin of q176_cluster_reps: the q65 cluster chain joined with
+      * the q122 milli-quality, argmax by (score DESC, id ASC) per
+      * cluster — the twin uses a window over the cluster-sized
+      * member table where Spark uses a struct-max aggregation, two
+      * independent statements of the same argmax.
+      */
+    def clusterRepsSql: String =
+      clusterCtes + qualityCtes("").replaceFirst("^WITH ", ",\n") + s""",
+        |sc AS (SELECT doc_id AS id,
+        |         CAST(floor(quality * 1000) AS BIGINT) AS score FROM q),
+        |mem AS (SELECT l.cluster_id, l.id, sc.score
+        |        FROM labels l JOIN sc USING (id)),
+        |rk AS (SELECT cluster_id, id, score,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |           ORDER BY score DESC, id) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+        |           AS n_members
+        |       FROM mem)
+        |SELECT cluster_id, id AS keep_id, score AS best_score, n_members
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
     /** Twin of q139_entity_clusters: the q125 exact fuzzy pairs as
       * edges, transitive closure via the q65 recursive-CTE pattern,

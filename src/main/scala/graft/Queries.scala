@@ -2790,6 +2790,55 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** BLEU-style modified n-gram precision
+    * ([[graft.ops.TextStats.ngramOverlapScores]], Papineni et al.
+    * 2002) over deterministic candidate pairs (every 5th doc vs its
+    * successor): per pair the clipped unigram/bigram matches,
+    * candidate-side totals and integer per-million precisions — the
+    * generation-eval overlap staple next to q143's Jaccard
+    * (order-sensitive via bigrams where Jaccard is bag-blind). Two
+    * count-table scans + per-pair probes; the pair list is bounded by
+    * construction.
+    */
+  val q175_ngram_overlap: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    TextStats.ngramOverlapScores(pairs, docs, "doc_id", "text")
+      .orderBy("id_a")
+  }
+
+  /** Quality-argmax cluster representatives
+    * ([[graft.dedup.Curation.clusterRepresentatives]]): per near-dup
+    * family (the STAGED q65/q66 label table — the clustering job runs
+    * once per corpus) the member with the highest q122 milli-quality,
+    * smallest-id tiebreak, plus the family size — keep-best dedup,
+    * the realistic upgrade over keep-min-id. One label join + one
+    * cluster-keyed struct-max aggregation; no per-cluster window.
+    */
+  val q176_cluster_reps: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val labels = Curation.clusterLabels(docs, "doc_id", "text", corpusKey = d)
+    val scored = docs.select(col("doc_id"),
+      floor(TextFns.qualityScore(col("text")) * 1000).cast("long").as("score"))
+    Curation.clusterRepresentatives(labels, scored, "doc_id", "score")
+      .orderBy("cluster_id")
+  }
+
+  /** Exact-count stratified sample with proportional allocation
+    * ([[graft.ops.Mixture.stratifiedSample]]): a 60-row target split
+    * across languages as k_s = max(1, ⌊60·n_s/N⌋), membership
+    * deterministic by per-stratum top-k_s hash61(id) — the mixture
+    * stage whose per-stratum sample size is EXACT (auditable),
+    * unlike the Bernoulli rate gates (q83) or the global hash limit.
+    * Strata counts broadcast; the ranking rides the bounded-heap
+    * WindowGroupLimit, never a corpus sort.
+    */
+  val q177_stratified_sample: Q = (s, d) =>
+    Mixture.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 60)
+      .orderBy("lang", "sample_rank")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -2980,5 +3029,8 @@ object Queries {
     "q171_jpeg_pixels" -> q171_jpeg_pixels,
     "q172_decontam_index" -> q172_decontam_index,
     "q173_decontam_probe" -> q173_decontam_probe,
-    "q174_png_adam7" -> q174_png_adam7)
+    "q174_png_adam7" -> q174_png_adam7,
+    "q175_ngram_overlap" -> q175_ngram_overlap,
+    "q176_cluster_reps" -> q176_cluster_reps,
+    "q177_stratified_sample" -> q177_stratified_sample)
 }

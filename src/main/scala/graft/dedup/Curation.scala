@@ -61,4 +61,31 @@ object Curation {
     docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .where(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")
+
+  /** Best-member representative per near-dup cluster —
+    * [[dedupCanonical]] keeps the MINIMUM id, which throws away
+    * quality information; a real curation pipeline keeps each
+    * family's best member (highest quality score, ties to the
+    * smallest numeric id) and reports the family size. One join of
+    * the label table against the scored docs, then ONE aggregation on
+    * the cluster id whose argmax rides a struct max (score major,
+    * negated id minor) — map-side partial, no per-cluster window, no
+    * sort; at 100 TB the shuffle carries one struct per cluster per
+    * map partition. Emits (cluster_id, keep_id, best_score,
+    * n_members) for every multi-member family; singletons are their
+    * own representative by [[dedupCanonical]]'s pass-through.
+    * Requires a numeric id (the negation tiebreak).
+    */
+  def clusterRepresentatives(labels: DataFrame, scored: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    labels
+      .join(scored.select(col(idCol).as("id"),
+        col(scoreCol).cast("long").as("__score")), Seq("id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("__score").as("s"), (-col("id")).as("nid"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("__best.nid")).as("keep_id"),
+        col("__best.s").as("best_score"), col("n_members"))
+  }
 }

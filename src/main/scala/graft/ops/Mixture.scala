@@ -254,4 +254,40 @@ object Mixture {
         col(scoreCol) :+ col(tokensCol) :+ col("cut_score") :+
         col("tokens_used"): _*)
   }
+
+  /** Exact-count stratified sample with PROPORTIONAL allocation: of a
+    * `totalK`-row target, each stratum gets k_s = max(1,
+    * ⌊totalK·n_s/N⌋) rows (every stratum represented; large strata
+    * proportional), and WHICH rows is deterministic — each stratum's
+    * k_s highest `hash61(id)` values, smallest-id tiebreak. Unlike
+    * the per-row Bernoulli gates above, the sample size is EXACT per
+    * stratum (a mixture audit can assert it), and unlike a global
+    * `orderBy(hash).limit(k)` no stratum can crowd out another.
+    *
+    * Scale shape: stratum counts are one map-side-partial aggregation
+    * into a strata-bounded broadcast table; the per-stratum ranking
+    * rides [[graft.plans.TopK.topKPerKey]] (WindowGroupLimit: the
+    * exchange carries ≤ totalK+1 rows per stratum per map partition,
+    * never the corpus), and the allocation join broadcasts. Emits
+    * (strataCol, idCol, sample_rank, n_s, k_s).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       totalK: Int): DataFrame = {
+    require(totalK >= 1, s"totalK=$totalK must be >= 1")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_s"))
+    val total = counts.agg(sum("n_s").as("__n_total"))
+    val alloc = counts.crossJoin(broadcast(total))
+      .select(col(strataCol), col("n_s"),
+        greatest(lit(1L), expr(s"(CAST($totalK AS BIGINT) * n_s) div __n_total"))
+          .as("k_s"))
+    val ranked = graft.plans.TopK.topKPerKey(
+      df.select(col(strataCol), col(idCol),
+        HashFns.hash61(col(idCol).cast("string")).as("__h")),
+      Seq(strataCol), col("__h"), Seq(col(idCol)), totalK)
+    ranked.join(broadcast(alloc), Seq(strataCol))
+      .where(col("rn") <= col("k_s"))
+      .select(col(strataCol), col(idCol), col("rn").as("sample_rank"),
+        col("n_s"), col("k_s"))
+  }
 }

@@ -658,6 +658,55 @@ object TextStats {
           .otherwise(lit(0L)))
   }
 
+  /** BLEU-style modified n-gram precision (Papineni et al. 2002)
+    * between candidate/reference document pairs — the generation-eval
+    * staple, also the standard "how much of A is lifted from B"
+    * overlap score next to Jaccard (order-sensitive via bigrams where
+    * Jaccard is bag-blind). For each (id_a, id_b) pair and n ∈ {1, 2}:
+    * clipped matches Σ_g min(cnt_a(g), cnt_b(g)), the candidate-side
+    * total, and the integer per-million modified precision
+    * (10⁶·clipped) div total — exact integers end to end, no floats
+    * to drift (`p1_x1e6 = p2_x1e6 = 10⁶` ⟺ a is a sub-bag of b at
+    * both orders).
+    *
+    * Scale shape: two corpus scans build the (id, gram, cnt) count
+    * tables (map-side partial aggs on the 8-byte id + gram); each
+    * pair then costs one probe of its two docs' gram rows — work
+    * proportional to pairs × doc length, with the pair list bounded
+    * by the caller's candidate generation (decontam matches, LSH
+    * candidates, eval pairs — never all-pairs). No windows, no
+    * driver state.
+    */
+  def ngramOverlapScores(pairs: DataFrame, docs: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    def counts(n: Int): DataFrame = {
+      val toks =
+        if (n == 1) TextFns.tokens(col(textCol))
+        else TextFns.shingles(col(textCol), n)
+      docs.select(col(idCol).as("__id"), explode(toks).as("g"))
+        .groupBy("__id", "g").agg(count(lit(1)).as("c"))
+    }
+    def pairPrecision(n: Int, clip: String, tot: String,
+                      prec: String): DataFrame = {
+      val c = counts(n)
+      pairs.select(col("id_a"), col("id_b"))
+        .join(c.select(col("__id").as("id_a"), col("g"), col("c").as("ca")),
+          Seq("id_a"))
+        .join(c.select(col("__id").as("id_b"), col("g"), col("c").as("cb")),
+          Seq("id_b", "g"), "left")
+        .groupBy("id_a", "id_b")
+        .agg(sum(least(col("ca"), coalesce(col("cb"), lit(0L)))).as(clip),
+          sum(col("ca")).as(tot))
+        .withColumn(prec,
+          expr(s"CAST((1000000 * $clip) div greatest($tot, 1) AS BIGINT)"))
+    }
+    pairPrecision(1, "clip_1", "total_1", "p1_x1e6")
+      .join(pairPrecision(2, "clip_2", "total_2", "p2_x1e6"),
+        Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("clip_1"), col("total_1"),
+        col("p1_x1e6"), col("clip_2"), col("total_2"), col("p2_x1e6"))
+  }
+
   /** Gopher-style composite quality rules (Rae et al. 2021 §A.1.1) —
     * the classic pre-training quality gate, emitted as per-rule
     * booleans plus the conjunction, so a pipeline can both filter and

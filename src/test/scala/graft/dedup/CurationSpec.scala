@@ -44,4 +44,21 @@ class CurationSpec extends SparkSpec {
     Curation.clusterLabels(docs, "doc_id", "text", corpusKey = "spec-corpus-b")
     assert(Curation.buildCount === before + 1)
   }
+
+  test("clusterRepresentatives: quality argmax with smallest-id tiebreak, partition-invariant") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val scored = Seq((1L, 500L), (2L, 700L), (3L, 700L), (10L, 100L),
+      (11L, 100L), (99L, 999L))   // 99 is unclustered — must not appear
+      .toDF("doc_id", "score")
+    def run(l: org.apache.spark.sql.DataFrame) =
+      Curation.clusterRepresentatives(l, scored, "doc_id", "score")
+        .orderBy("cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = run(labels)
+    // cluster 1: 2 and 3 tie at 700 → smallest id 2 wins over 3,
+    // and over 1's lower 500; cluster 10: tie at 100 → 10
+    assert(out.toSeq === Seq((1L, 2L, 700L, 3L), (10L, 10L, 100L, 2L)))
+    assert(out.toSeq === run(labels.repartition(5)).toSeq)
+  }
 }

@@ -322,6 +322,28 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("ngramOverlapScores: hand-computed clipped precisions, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),   // unigrams {a:2, b:1, c:1}, bigrams {a b, b a, a c}
+      (2L, "a b b d"),   // unigrams {a:1, b:2, d:1}, bigrams {a b, b b, b d}
+      (10L, "x y"),
+      (11L, "x y z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.ngramOverlapScores(pairs, d, "doc_id", "text")
+        .orderBy("id_a").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val out = run(docs)
+    // pair (1,2): clip1 = min(2,1)+min(1,2)+min(1,0) = 2 of 4 → 500000;
+    // clip2 = {"a b"} = 1 of 3 → 333333
+    assert(out(0) === ((1L, 2L, 2L, 4L, 500000L, 1L, 3L, 333333L)))
+    // pair (10,11): "x y" is a sub-bag of "x y z" at both orders → 10⁶
+    assert(out(1) === ((10L, 11L, 2L, 2L, 1000000L, 1L, 1L, 1000000L)))
+    assert(out.toSeq === run(docs.repartition(7)).toSeq)
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
