@@ -461,6 +461,7 @@ object OracleSql {
     "q175_ngram_overlap" -> Gen.ngramOverlapSql,
     "q176_cluster_reps" -> Gen.clusterRepsSql,
     "q177_stratified_sample" -> Gen.stratifiedSampleSql,
+    "q178_bbit_minhash" -> Gen.bbitMinhashSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1799,6 +1800,45 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
+
+    /** Twin of q178_bbit_minhash: the same 30 multiply-add minhashes
+      * (shared duckHashAt emitters), but slot matches counted by
+      * DIRECT per-slot `h_a % 4 = h_b % 4` equality where the Spark
+      * side packs to one long and counts via XOR + popcount — two
+      * formulations of the b-bit match count, one ground truth; the
+      * collision-corrected estimate and the exact list_intersect
+      * Jaccard ride the same integer arithmetic as the engine.
+      */
+    def bbitMinhashSql: String = {
+      val sigCols = (0 until 30).map(k =>
+        s"min(${duckHashAt("x", k)}) AS h$k").mkString(", ")
+      val eq = (0 until 30).map(i =>
+        s"(CASE WHEN a.h$i % 4 = b.h$i % 4 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH wl AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |shx AS (SELECT id, unnest(${shinglesE("w", 3)}) AS s FROM wl),
+         |xp AS (SELECT id, ${duckHash61("s")} AS x FROM shx),
+         |sig AS (SELECT id, $sigCols FROM xp GROUP BY id),
+         |sets AS (SELECT id, list_distinct(list(x)) AS ts FROM xp GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM wl a
+         |          JOIN wl b ON b.id = a.id + 1 WHERE a.id % 2 = 0),
+         |m AS (SELECT p.id_a, p.id_b, CAST($eq AS BIGINT) AS m_matches
+         |      FROM pairs p JOIN sig a ON a.id = p.id_a
+         |      JOIN sig b ON b.id = p.id_b),
+         |e AS (SELECT p.id_a, p.id_b,
+         |        CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS ni,
+         |        CAST(len(sa.ts) AS BIGINT) AS na,
+         |        CAST(len(sb.ts) AS BIGINT) AS nb
+         |      FROM pairs p JOIN sets sa ON sa.id = p.id_a
+         |      JOIN sets sb ON sb.id = p.id_b)
+         |SELECT m.id_a, m.id_b, m.m_matches,
+         |  CAST(greatest(0, (1000 * (4 * m.m_matches - 30)) // 90) AS BIGINT)
+         |    AS j_hat_x1000,
+         |  CAST((1000 * e.ni) // (e.na + e.nb - e.ni) AS BIGINT)
+         |    AS jaccard_x1000
+         |FROM m JOIN e USING (id_a, id_b)
+         |ORDER BY id_a""".stripMargin
+    }
 
     /** Twin of q177_stratified_sample: same proportional allocation
       * (k_s = max(1, ⌊60·n_s/N⌋)) and the same deterministic

@@ -108,7 +108,11 @@ object PlanAudit {
     // bounded baseline-bin table cross-joined under each group for
     // the union grid, plus the ONE-row baseline total — broadcast by
     // design (q155's shape with a fixed reference)
-    "q169_psi_baseline")
+    "q169_psi_baseline",
+    // ONE-row stratum-count total N cross-joined into the
+    // strata-bounded allocation table — broadcast scalar by design
+    // (q122's cut-table convention)
+    "q177_stratified_sample")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -2839,6 +2839,45 @@ object Queries {
     Mixture.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 60)
       .orderBy("lang", "sample_rank")
 
+  /** b-bit minwise hashing ([[graft.dedup.Dedup.bbitSignatures]] +
+    * [[graft.dedup.Dedup.bbitJaccardEstimates]], Li & König WWW
+    * 2010): 30 minhashes × 2 bits packed into ONE long per doc (16×
+    * signature compression — the 100 TB memory lever), pair
+    * similarity from one XOR + popcount with the published collision
+    * correction, side by side with the EXACT Jaccard so the estimate
+    * is auditable per pair. The twin recomputes matches by direct
+    * per-slot equality where Spark uses the packed-XOR kernel — two
+    * formulations, one ground truth.
+    */
+  val q178_bbit_minhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    val est = Dedup.bbitJaccardEstimates(pairs,
+      Dedup.bbitSignatures(docs, "doc_id", "text"))
+    val sets = docs
+      .select(col("doc_id").as("id"),
+        explode(TextFns.shingles(col("text"), 3)).as("s0"))
+      .select(col("id"), HashFns.hash61(col("s0")).as("t"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("t"))).as("ts"))
+      .withColumn("n", size(col("ts")).cast("bigint"))
+    val exact = pairs
+      .join(sets.select(col("id").as("id_a"), col("ts").as("tsa"),
+        col("n").as("na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("ts").as("tsb"),
+        col("n").as("nb")), Seq("id_b"))
+      .withColumn("ni", graft.functions.SortedIntersectCount(col("tsa"), col("tsb")))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST((1000 * ni) div (na + nb - ni) AS BIGINT)")
+          .as("jaccard_x1000"))
+    est.join(exact, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("m_matches"),
+        col("j_hat_x1000"), col("jaccard_x1000"))
+      .orderBy("id_a")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3032,5 +3071,6 @@ object Queries {
     "q174_png_adam7" -> q174_png_adam7,
     "q175_ngram_overlap" -> q175_ngram_overlap,
     "q176_cluster_reps" -> q176_cluster_reps,
-    "q177_stratified_sample" -> q177_stratified_sample)
+    "q177_stratified_sample" -> q177_stratified_sample,
+    "q178_bbit_minhash" -> q178_bbit_minhash)
 }

@@ -112,6 +112,36 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 4L)) && !pairs.contains((4L, 5L)))
   }
 
+  test("b-bit minhash: packing matches the signature low bits; estimator calibrated") {
+    val sigs = Dedup.bbitSignatures(docs, "doc_id", "text")
+    // packed long == manual low-2-bit fold of the full signature
+    val full = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 30)
+      .as[(Long, Seq[Long])].collect().toMap
+    val packed = sigs.as[(Long, Long)].collect().toMap
+    for ((id, sig) <- full) {
+      val expect = sig.zipWithIndex
+        .map { case (h, i) => (h & 3L) << (2 * i) }.reduce(_ | _)
+      assert(packed(id) === expect, s"doc $id packed bits")
+    }
+    // identical docs (0 and 6) → all 30 slots match → Ĵ = 1000
+    val pairs = Seq((0L, 6L), (0L, 4L)).toDF("id_a", "id_b")
+    val est = Dedup.bbitJaccardEstimates(pairs, sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(est((0L, 6L)) === ((30L, 1000L)))
+    // unrelated docs: matches near the 1/4 collision floor; the
+    // corrected estimate must sit at/near 0 (clamped), far from 1000
+    val (m04, j04) = est((0L, 4L))
+    assert(j04 === math.max(0L, (1000 * (4 * m04 - 30)) / 90))
+    assert(j04 < 300, s"unrelated pair estimated j=$j04")
+    // partition invariance
+    val b2 = Dedup.bbitJaccardEstimates(pairs,
+      Dedup.bbitSignatures(docs.repartition(5), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(b2 === est)
+  }
+
   test("incremental index: candidates(index(A), B) == allPairs(A∪B) ∖ allPairs(A)") {
     // a 60-doc corpus with planted families across the A/B boundary:
     // family f = ids {f, f+30} share text, so every family pair crosses
