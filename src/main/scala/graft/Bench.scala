@@ -279,7 +279,8 @@ object Bench {
       "q167_trending", "q168_audio_fingerprint", "q169_psi_baseline",
       "q170_zipf_report", "q171_jpeg_pixels", "q172_decontam_index",
       "q173_decontam_probe", "q174_png_adam7", "q175_ngram_overlap",
-      "q176_cluster_reps", "q177_stratified_sample", "q178_bbit_minhash")
+      "q176_cluster_reps", "q177_stratified_sample", "q178_bbit_minhash",
+      "q179_classification_report", "q180_cohens_kappa")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -462,6 +462,8 @@ object OracleSql {
     "q176_cluster_reps" -> Gen.clusterRepsSql,
     "q177_stratified_sample" -> Gen.stratifiedSampleSql,
     "q178_bbit_minhash" -> Gen.bbitMinhashSql,
+    "q179_classification_report" -> Gen.classificationReportSql,
+    "q180_cohens_kappa" -> Gen.cohensKappaSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1800,6 +1802,58 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
+
+    /** Twin of q179_classification_report: the q114 NB scoring chain
+      * as a CTE, then the three label-keyed counts and the same exact
+      * integer precision/recall/F1 arithmetic (full join keeps
+      * truth-only and prediction-only classes).
+      */
+    def classificationReportSql: String =
+      s"""WITH scored AS ($nbClassifierSql),
+         |t AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_true
+         |      FROM scored GROUP BY 1),
+         |p AS (SELECT pred AS label, CAST(count(*) AS BIGINT) AS n_pred
+         |      FROM scored GROUP BY 1),
+         |dg AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS tp
+         |       FROM scored WHERE lang = pred GROUP BY 1)
+         |SELECT label,
+         |  CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+         |  CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         |  CAST((1000 * coalesce(tp, 0)) // greatest(coalesce(n_pred, 0), 1)
+         |    AS BIGINT) AS precision_x1000,
+         |  CAST((1000 * coalesce(tp, 0)) // greatest(coalesce(n_true, 0), 1)
+         |    AS BIGINT) AS recall_x1000,
+         |  CAST((2000 * coalesce(tp, 0)) //
+         |    greatest(coalesce(n_pred, 0) + coalesce(n_true, 0), 1)
+         |    AS BIGINT) AS f1_x1000
+         |FROM t FULL JOIN p USING (label) LEFT JOIN dg USING (label)
+         |ORDER BY label""".stripMargin
+
+    /** Twin of q180_cohens_kappa: NB predictions (q114 chain) joined
+      * with the heuristic langid (q32 chain, filtered to the holdout
+      * slice), κ via the same (A·N − S)/(N² − S) integer reduction
+      * through HUGEINT.
+      */
+    def cohensKappaSql: String =
+      s"""WITH nbp AS ($nbClassifierSql),
+         |lp AS (SELECT * FROM ($langIdSql) WHERE doc_id % 5 = 0),
+         |j AS (SELECT nbp.pred AS a, lp.lang_pred AS b
+         |      FROM nbp JOIN lp USING (doc_id)),
+         |na AS (SELECT a AS label, CAST(count(*) AS BIGINT) AS ca
+         |       FROM j GROUP BY 1),
+         |nbt AS (SELECT b AS label, CAST(count(*) AS BIGINT) AS cb
+         |        FROM j GROUP BY 1),
+         |s AS (SELECT sum(CAST(ca AS HUGEINT) * cb) AS s_prod
+         |      FROM na JOIN nbt USING (label)),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |           CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS n_agree FROM j)
+         |SELECT n, n_agree,
+         |  CAST((1000 * (CAST(n_agree AS HUGEINT) * n - s_prod)) //
+         |    greatest(CAST(n AS HUGEINT) * n - s_prod, 1) AS BIGINT)
+         |    AS kappa_x1000
+         |FROM base CROSS JOIN s""".stripMargin
 
     /** Twin of q178_bbit_minhash: the same 30 multiply-add minhashes
       * (shared duckHashAt emitters), but slot matches counted by

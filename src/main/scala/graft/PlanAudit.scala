@@ -112,7 +112,14 @@ object PlanAudit {
     // ONE-row stratum-count total N cross-joined into the
     // strata-bounded allocation table — broadcast scalar by design
     // (q122's cut-table convention)
-    "q177_stratified_sample")
+    "q177_stratified_sample",
+    // q114's NB scoring shape (L-row class table cross-joined into
+    // the token stream) under the report composition
+    "q179_classification_report",
+    // ONE-row expected-agreement product sum S cross-joined into the
+    // ONE-row (n, n_agree) totals — broadcast scalar by design; plus
+    // the NB class-table shape upstream
+    "q180_cohens_kappa")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -2878,6 +2878,46 @@ object Queries {
       .orderBy("id_a")
   }
 
+  /** Per-class precision/recall/F1
+    * ([[graft.ops.Profile.classificationReport]]) of the q114 NB
+    * language classifier against the truth labels on the holdout
+    * slice — the evaluation report every labeling stage gets judged
+    * by, with F1's harmonic mean landing on the EXACT integer
+    * 2000·tp div (n_pred + n_true). Three label-keyed partial
+    * aggregations over the scored table; the report is
+    * classes-bounded.
+    */
+  val q179_classification_report: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = graft.ops.NaiveBayes.trainScore(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(5)) === 0),
+      "lang", "doc_id", "text", Seq("lang"))
+    graft.ops.Profile.classificationReport(scored, "lang", "pred")
+      .orderBy("label")
+  }
+
+  /** Cohen's κ ([[graft.ops.Profile.cohensKappa]], Cohen 1960)
+    * between the two INDEPENDENT language labelers the engine ships —
+    * the trained NB classifier (q114) and the stopword-heuristic
+    * langid (q32) — over the holdout slice: the chance-corrected
+    * agreement score a labeling pipeline uses to decide whether two
+    * cheap classifiers can cross-validate each other. Exact integer
+    * per-mille via the (A·N − S)/(N² − S) reduction through
+    * DECIMAL(38).
+    */
+  val q180_cohens_kappa: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val hold = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val nb = graft.ops.NaiveBayes.trainScore(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      hold, "lang", "doc_id", "text")
+    val heur = hold.select(col("doc_id"),
+      TextFns.langId(col("text")).as("lang_pred"))
+    graft.ops.Profile.cohensKappa(nb.join(heur, Seq("doc_id")),
+      "pred", "lang_pred")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3072,5 +3112,7 @@ object Queries {
     "q175_ngram_overlap" -> q175_ngram_overlap,
     "q176_cluster_reps" -> q176_cluster_reps,
     "q177_stratified_sample" -> q177_stratified_sample,
-    "q178_bbit_minhash" -> q178_bbit_minhash)
+    "q178_bbit_minhash" -> q178_bbit_minhash,
+    "q179_classification_report" -> q179_classification_report,
+    "q180_cohens_kappa" -> q180_cohens_kappa)
 }

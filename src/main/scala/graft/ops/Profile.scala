@@ -382,4 +382,64 @@ object Profile {
     }
     rows.reduce(_.unionByName(_))
   }
+
+  /** Per-class precision/recall/F1 over (truth, pred) rows — the
+    * basic classifier-evaluation report every labeling stage (langid,
+    * quality gates, NB) gets judged by. Exact integer per-mille:
+    * precision = 1000·tp div n_pred, recall = 1000·tp div n_true, and
+    * F1's harmonic mean happens to be EXACTLY 2000·tp div
+    * (n_pred + n_true) — no float mean-of-ratios. Classes appearing
+    * only as truth or only as prediction still get a row (full outer
+    * on the label), with zero-denominator metrics reported as 0.
+    *
+    * Scale shape: three label-keyed partial aggregations (truth
+    * counts, prediction counts, diagonal counts) over the scored
+    * table, joined on the classes-bounded label table — nothing wider
+    * than a label ever shuffles.
+    */
+  def classificationReport(df: DataFrame, truthCol: String,
+                           predCol: String): DataFrame = {
+    val t = df.groupBy(col(truthCol).as("label"))
+      .agg(count(lit(1)).as("n_true"))
+    val p = df.groupBy(col(predCol).as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = df.where(col(truthCol) === col(predCol))
+      .groupBy(col(truthCol).as("label"))
+      .agg(count(lit(1)).as("tp"))
+    t.join(p, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        expr("CAST((1000 * tp) div greatest(n_pred, 1) AS BIGINT)")
+          .as("precision_x1000"),
+        expr("CAST((1000 * tp) div greatest(n_true, 1) AS BIGINT)")
+          .as("recall_x1000"),
+        expr("CAST((2000 * tp) div greatest(n_pred + n_true, 1) AS BIGINT)")
+          .as("f1_x1000"))
+  }
+
+  /** Cohen's κ agreement between two labelers (Cohen 1960) — the
+    * standard chance-corrected agreement score for comparing two
+    * classifiers (or a classifier against human labels). With
+    * A = agreements, N = rows and S = Σ_c n_a(c)·n_b(c) the expected-
+    * agreement product sum, κ = (A/N − S/N²)/(1 − S/N²) reduces to
+    * the EXACT integer form (A·N − S)/(N² − S); emitted per-mille
+    * through DECIMAL(38) (N² at corpus scale exceeds int64). One row:
+    * (n, n_agree, kappa_x1000), negative when observed agreement
+    * falls below chance. Two label-keyed partial aggregations + one
+    * classes-bounded join; the scalar totals broadcast.
+    */
+  def cohensKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val na = df.groupBy(col(colA).as("label")).agg(count(lit(1)).as("ca"))
+    val nb = df.groupBy(col(colB).as("label")).agg(count(lit(1)).as("cb"))
+    val s = na.join(nb, Seq("label"))
+      .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("s_prod"))
+    val base = df.agg(count(lit(1)).as("n"),
+      sum(when(col(colA) === col(colB), 1L).otherwise(0L)).as("n_agree"))
+    base.crossJoin(broadcast(s))
+      .select(col("n"), col("n_agree"),
+        expr("CAST((1000 * (CAST(n_agree AS DECIMAL(38,0)) * n - s_prod)) div " +
+          "greatest(CAST(n AS DECIMAL(38,0)) * n - s_prod, 1) AS BIGINT)")
+          .as("kappa_x1000"))
+  }
 }

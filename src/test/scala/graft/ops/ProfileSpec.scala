@@ -168,4 +168,35 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       ("child->parent", 4L, 1L, 250L, 3L, 2L, 666L)))
   }
+
+  test("classificationReport: hand-computed per-class PRF, absent classes kept") {
+    import spark.implicits._
+    val rows = Seq(("A", "A"), ("A", "B"), ("B", "B"), ("B", "B"), ("C", "B"))
+      .toDF("truth", "pred")
+    val out = Profile.classificationReport(rows, "truth", "pred")
+      .orderBy("label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      ("A", 2L, 1L, 1L, 1000L, 500L, 666L),
+      ("B", 2L, 4L, 2L, 500L, 1000L, 666L),
+      ("C", 1L, 0L, 0L, 0L, 0L, 0L)))
+    // prediction-only class gets a row too
+    val out2 = Profile.classificationReport(
+        Seq(("A", "Z")).toDF("truth", "pred"), "truth", "pred")
+      .orderBy("label").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out2.toSeq === Seq(("A", 1L, 0L, 0L), ("Z", 0L, 1L, 0L)))
+  }
+
+  test("cohensKappa: chance-level 0, perfect 1000, inverse -1000") {
+    import spark.implicits._
+    def kappa(pairs: Seq[(String, String)]): Long =
+      Profile.cohensKappa(pairs.toDF("a", "b"), "a", "b")
+        .collect().head.getLong(2)
+    // observed = expected agreement -> exactly 0
+    assert(kappa(Seq(("A", "A"), ("A", "B"), ("B", "B"), ("B", "A"))) === 0L)
+    assert(kappa(Seq(("A", "A"), ("B", "B"), ("C", "C"))) === 1000L)
+    assert(kappa(Seq(("A", "B"), ("B", "A"))) === -1000L)
+  }
 }
