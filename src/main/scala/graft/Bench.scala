@@ -280,7 +280,8 @@ object Bench {
       "q170_zipf_report", "q171_jpeg_pixels", "q172_decontam_index",
       "q173_decontam_probe", "q174_png_adam7", "q175_ngram_overlap",
       "q176_cluster_reps", "q177_stratified_sample", "q178_bbit_minhash",
-      "q179_classification_report", "q180_cohens_kappa")
+      "q179_classification_report", "q180_cohens_kappa",
+      "q181_discriminative_words")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -464,6 +464,7 @@ object OracleSql {
     "q178_bbit_minhash" -> Gen.bbitMinhashSql,
     "q179_classification_report" -> Gen.classificationReportSql,
     "q180_cohens_kappa" -> Gen.cohensKappaSql,
+    "q181_discriminative_words" -> Gen.discriminativeWordsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1802,6 +1803,38 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
+
+    /** Twin of q181_discriminative_words: same per-doc-distinct
+      * document frequencies, the IDENTICAL emitted G² string
+      * (`//` divOp variant of [[graft.ops.TextStats.dunningG2Sql]] —
+      * shared text, zero drift), ranked by a per-class window where
+      * Spark uses the bounded heap.
+      */
+    def discriminativeWordsSql: String = {
+      val g2 = graft.ops.TextStats.dunningG2Sql(divOp = "//")
+      s"""WITH tk AS (SELECT lang, doc_id,
+         |        unnest(list_distinct(${tokensE("text")})) AS word
+         |      FROM documents),
+         |n11t AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n11
+         |         FROM tk GROUP BY lang, word),
+         |dft AS (SELECT word, CAST(sum(n11) AS BIGINT) AS df
+         |        FROM n11t GROUP BY word),
+         |nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_class
+         |       FROM documents GROUP BY lang),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |sc AS (SELECT t.lang, t.word, t.n11, d.df, c.n_class, n.n_total,
+         |         $g2 AS g2_e8
+         |       FROM n11t t JOIN dft d USING (word)
+         |       JOIN nc c USING (lang) CROSS JOIN nt n),
+         |rk AS (SELECT lang, word, n11, df, n_class, g2_e8,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY g2_e8 DESC, word, n11, df, n_class) AS BIGINT)
+         |           AS rn
+         |       FROM sc)
+         |SELECT lang, rn, word, n11, df, n_class, g2_e8
+         |FROM rk WHERE rn <= 10
+         |ORDER BY lang, rn""".stripMargin
+    }
 
     /** Twin of q179_classification_report: the q114 NB scoring chain
       * as a CTE, then the three label-keyed counts and the same exact

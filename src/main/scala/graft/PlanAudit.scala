@@ -119,7 +119,10 @@ object PlanAudit {
     // ONE-row expected-agreement product sum S cross-joined into the
     // ONE-row (n, n_agree) totals — broadcast scalar by design; plus
     // the NB class-table shape upstream
-    "q180_cohens_kappa")
+    "q180_cohens_kappa",
+    // ONE-row doc total N cross-joined into the (class, word) scoring
+    // stream — broadcast scalar by design (q124's convention)
+    "q181_discriminative_words")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

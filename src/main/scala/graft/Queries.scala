@@ -2918,6 +2918,21 @@ object Queries {
       "pred", "lang_pred")
   }
 
+  /** Discriminative vocabulary per language
+    * ([[graft.ops.TextStats.discriminativeWords]], Dunning 1993):
+    * top-10 words per lang by the G² log-likelihood keyness of the
+    * 2×2 document-frequency contingency — the supervised complement
+    * to q124's PMI, computed entirely in integer eighth-bit logs (χ²'s
+    * N·(ad−bc)² would overflow at corpus scale; G² decomposes into
+    * per-count logs that never leave int64). The twin evaluates the
+    * SAME emitted G² SQL string (`//` divOp variant) — the q156
+    * shared-text discipline.
+    */
+  val q181_discriminative_words: Q = (s, d) =>
+    TextStats.discriminativeWords(Tables.documents(s, d), "doc_id", "text",
+        "lang", k = 10)
+      .orderBy("lang", "rn")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3114,5 +3129,6 @@ object Queries {
     "q177_stratified_sample" -> q177_stratified_sample,
     "q178_bbit_minhash" -> q178_bbit_minhash,
     "q179_classification_report" -> q179_classification_report,
-    "q180_cohens_kappa" -> q180_cohens_kappa)
+    "q180_cohens_kappa" -> q180_cohens_kappa,
+    "q181_discriminative_words" -> q181_discriminative_words)
 }

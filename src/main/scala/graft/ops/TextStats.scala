@@ -658,6 +658,71 @@ object TextStats {
           .otherwise(lit(0L)))
   }
 
+  /** Eighth-bit integer log2 of a POSITIVE count expression:
+    * m8(n·2^20) − 160 ≈ 8·log2(n) for n ≥ 1 — lifts [[mitchellE8Sql]]
+    * (domain [2^20, 2^63)) onto plain counts so log-likelihood
+    * statistics can be decomposed into per-count logs with every
+    * argument ≥ 1 (no negative-log clamping). Shared VERBATIM between
+    * the Spark `expr` and the DuckDB twin via `divOp`.
+    */
+  def log2E8Sql(nE: String, divOp: String = "div"): String =
+    s"(${mitchellE8Sql(s"(($nE) * ${1L << LmShift})", divOp)} - ${8 * LmShift})"
+
+  /** The Dunning G² sum over the four (word, class) contingency
+    * cells, decomposed as Σ n·(L(n) + L(N) − L(r) − L(c)) with
+    * L = [[log2E8Sql]] — zero cells contribute nothing (guarded
+    * lazily), so every evaluated log argument is ≥ 1. Emitted in
+    * eighth-bits ×2 (the G² doubling folded in). Expects columns
+    * n11, df, n_class, n_total in scope.
+    */
+  def dunningG2Sql(divOp: String = "div"): String = {
+    def L(e: String) = log2E8Sql(e, divOp)
+    def term(n: String, r: String, c: String) =
+      s"(CASE WHEN ($n) > 0 THEN ($n) * (${L(n)} + ${L("n_total")} " +
+        s"- ${L(r)} - ${L(c)}) ELSE 0 END)"
+    val t11 = term("n11", "df", "n_class")
+    val t10 = term("df - n11", "df", "n_total - n_class")
+    val t01 = term("n_class - n11", "n_total - df", "n_class")
+    val t00 = term("n_total - df - n_class + n11", "n_total - df",
+      "n_total - n_class")
+    s"CAST(2 * ($t11 + $t10 + $t01 + $t00) AS BIGINT)"
+  }
+
+  /** Per-class discriminative vocabulary by Dunning's log-likelihood
+    * ratio (Dunning 1993, the collocation/keyness statistic corpus
+    * linguistics standardized on — more reliable than χ² at the small
+    * counts word statistics live in): for each (word, class), G² of
+    * the 2×2 document-frequency contingency (docs in/out of the class
+    * × containing/not containing the word), top-k per class. The χ²
+    * alternative needs N·(ad−bc)² products that overflow any fixed
+    * width at corpus scale; G² decomposes into per-count integer logs
+    * ([[log2E8Sql]]) that never leave int64.
+    *
+    * Scale shape: one per-doc-distinct explode → (class, word)
+    * counts with map-side partials; df folds off that table; class
+    * counts and the scalar total broadcast; the ranking rides the
+    * bounded-heap top-k. Nothing wider than (class, word) shuffles.
+    */
+  def discriminativeWords(df: DataFrame, idCol: String, textCol: String,
+                          classCol: String, k: Int = 10): DataFrame = {
+    val toks = df.select(col(classCol).as("lang"),
+        col(idCol).as("__id"),
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("word"))
+    val n11t = toks.groupBy("lang", "word").agg(count(lit(1)).as("n11"))
+    val dft = n11t.groupBy("word").agg(sum("n11").as("df"))
+    val nc = df.groupBy(col(classCol).as("lang"))
+      .agg(count(lit(1)).as("n_class"))
+    val nTot = df.agg(count(lit(1)).as("n_total"))
+    val scored = n11t.join(dft, Seq("word"))
+      .join(broadcast(nc), Seq("lang"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("g2_e8", expr(dunningG2Sql()))
+    graft.plans.TopK.topKPerKey(scored, Seq("lang"), col("g2_e8"),
+        Seq(col("word"), col("n11"), col("df"), col("n_class")), k)
+      .select(col("lang"), col("rn"), col("word"), col("n11"), col("df"),
+        col("n_class"), col("g2_e8"))
+  }
+
   /** BLEU-style modified n-gram precision (Papineni et al. 2002)
     * between candidate/reference document pairs — the generation-eval
     * staple, also the standard "how much of A is lifted from B"

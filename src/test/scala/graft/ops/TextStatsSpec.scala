@@ -344,6 +344,36 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === run(docs.repartition(7)).toSeq)
   }
 
+  test("discriminativeWords: G² ranks the class-exclusive words first; values match the Scala mirror") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "x y"), (2L, "A", "x z"), (3L, "A", "x w"),
+      (4L, "B", "y q"), (5L, "B", "z q"), (6L, "B", "w q"), (7L, "B", "q r"))
+      .toDF("doc_id", "lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.discriminativeWords(d, "doc_id", "text", "lang", k = 3)
+        .orderBy("lang", "rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+    val out = run(docs)
+    // the class-exclusive words dominate their class's ranking
+    assert(out.find(_._1 == "A").get._3 === "x")
+    assert(out.find(_._1 == "B").get._3 === "q")
+    // independent re-statement of the G² arithmetic via the Scala
+    // Mitchell mirror (property-pinned to the SQL emitter elsewhere)
+    def L(n: Long): Long = TextStats.mitchellE8Long(n << 20) - 160
+    def term(n: Long, r: Long, c: Long, nTot: Long): Long =
+      if (n > 0) n * (L(n) + L(nTot) - L(r) - L(c)) else 0L
+    def g2(n11: Long, df: Long, nc: Long, n: Long): Long =
+      2 * (term(n11, df, nc, n) + term(df - n11, df, n - nc, n) +
+        term(nc - n11, n - df, nc, n) +
+        term(n - df - nc + n11, n - df, n - nc, n))
+    // word "x": n11=3 in A (3 docs), df=3, N=7
+    assert(out.find(r => r._1 == "A" && r._3 == "x").get._7 === g2(3, 3, 3, 7))
+    assert(out.find(r => r._1 == "B" && r._3 == "q").get._7 === g2(4, 4, 4, 7))
+    assert(out.toSeq === run(docs.repartition(5)).toSeq)
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
