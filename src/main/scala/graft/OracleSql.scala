@@ -465,6 +465,9 @@ object OracleSql {
     "q179_classification_report" -> Gen.classificationReportSql,
     "q180_cohens_kappa" -> Gen.cohensKappaSql,
     "q181_discriminative_words" -> Gen.discriminativeWordsSql,
+    "q182_distinct_ngrams" -> Gen.distinctNgramsSql,
+    "q183_bayesian_rates" -> Gen.bayesianRatesSql,
+    "q184_uncertainty_sample" -> Gen.uncertaintySampleSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1803,6 +1806,64 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
+
+    /** Twin of q182_distinct_ngrams: same per-lang total/distinct
+      * gram counts off the shared token/shingle emitters, same
+      * per-mille ratios.
+      */
+    def distinctNgramsSql: String =
+      s"""WITH wl AS (SELECT lang, ${tokensE("text")} AS w FROM documents),
+         |u AS (SELECT lang, unnest(w) AS t FROM wl),
+         |bg AS (SELECT lang, unnest(${shinglesE("w", 2)}) AS t FROM wl),
+         |u1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_unigrams,
+         |         CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_1
+         |       FROM u GROUP BY lang),
+         |b1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_2
+         |       FROM bg GROUP BY lang)
+         |SELECT lang, n_unigrams, n_distinct_1,
+         |  CAST((1000 * n_distinct_1) // greatest(n_unigrams, 1) AS BIGINT)
+         |    AS distinct1_x1000,
+         |  n_bigrams, n_distinct_2,
+         |  CAST((1000 * n_distinct_2) // greatest(n_bigrams, 1) AS BIGINT)
+         |    AS distinct2_x1000
+         |FROM u1 JOIN b1 USING (lang)
+         |ORDER BY lang""".stripMargin
+
+    /** Twin of q183_bayesian_rates: same per-user click/view counts,
+      * same broadcast global prior and α=20 shrinkage arithmetic.
+      */
+    def bayesianRatesSql: String =
+      s"""WITH per AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_trials,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_success
+         |  FROM events GROUP BY user_id),
+         |p AS (SELECT CAST((1000 * sum(n_success)) //
+         |        greatest(sum(n_trials), 1) AS BIGINT) AS p0_x1000 FROM per)
+         |SELECT per.user_id, n_trials, n_success,
+         |  CAST((1000 * n_success) // greatest(n_trials, 1) AS BIGINT)
+         |    AS raw_x1000,
+         |  p0_x1000,
+         |  CAST((1000 * n_success + 20 * p0_x1000) // (n_trials + 20)
+         |    AS BIGINT) AS smoothed_x1000
+         |FROM per CROSS JOIN p
+         |ORDER BY user_id""".stripMargin
+
+    /** Twin of q184_uncertainty_sample: the q114 NB chain, then the
+      * lowest-margin 10 per predicted class via a window where Spark
+      * uses the bounded heap on the negated margin.
+      */
+    def uncertaintySampleSql: String =
+      s"""WITH sc AS ($nbClassifierSql),
+         |r AS (SELECT pred, doc_id, margin_e8, s_e8,
+         |        CAST(row_number() OVER (PARTITION BY pred
+         |          ORDER BY margin_e8 ASC, doc_id) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT pred, rn, doc_id, margin_e8, s_e8
+         |FROM r WHERE rn <= 10
+         |ORDER BY pred, rn""".stripMargin
 
     /** Twin of q181_discriminative_words: same per-doc-distinct
       * document frequencies, the IDENTICAL emitted G² string

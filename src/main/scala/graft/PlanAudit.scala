@@ -122,7 +122,12 @@ object PlanAudit {
     "q180_cohens_kappa",
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
-    "q181_discriminative_words")
+    "q181_discriminative_words",
+    // ONE-row global prior p0 cross-joined into the per-key rate
+    // table — broadcast scalar by design
+    "q183_bayesian_rates",
+    // q114's NB class-table scoring shape under the margin ranking
+    "q184_uncertainty_sample")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -2933,6 +2933,51 @@ object Queries {
         "lang", k = 10)
       .orderBy("lang", "rn")
 
+  /** Distinct-n diversity report per language
+    * ([[graft.ops.TextStats.distinctNgramReport]], Li et al. 2016's
+    * distinct-1/-2): corpus-level repetitiveness — low distinct-n
+    * means templated/looping text, the group-level complement to
+    * q68's per-doc repetition stats. Two (lang, gram) reductions,
+    * groups-bounded report.
+    */
+  val q182_distinct_ngrams: Q = (s, d) =>
+    TextStats.distinctNgramReport(Tables.documents(s, d), "lang", "text")
+      .orderBy("lang")
+
+  /** Bayesian-smoothed per-user conversion rates
+    * ([[graft.ops.Funnel.bayesianRates]]): click/view rates shrunk
+    * toward the global prior with pseudo-count α=20 — the ranking
+    * guard that stops 1-view users from outranking 1000-view users.
+    * Exact integer per-mille; one user-keyed aggregation + broadcast
+    * scalar prior.
+    */
+  val q183_bayesian_rates: Q = (s, d) =>
+    graft.ops.Funnel.bayesianRates(Tables.events(s, d), "user_id",
+        "event_type", successType = "click", trialType = "view")
+      .orderBy("user_id")
+
+  /** Uncertainty sampling for active learning: the 10 LOWEST-margin
+    * holdout docs per predicted class from the q114 NB scorer
+    * (margin_e8 = distance to the runner-up class in eighth-bits) —
+    * the standard "label these next" selection. Rides the bounded
+    * heap (rank by negated margin); the scorer's own margin column
+    * does the work.
+    */
+  val q184_uncertainty_sample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = graft.ops.NaiveBayes.trainScore(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(5)) === 0),
+      "lang", "doc_id", "text")
+    graft.plans.TopK.topKPerKey(
+        scored.withColumn("neg_margin", -col("margin_e8")),
+        Seq("pred"), col("neg_margin"), Seq(col("doc_id"), col("margin_e8"),
+          col("s_e8")), 10)
+      .select(col("pred"), col("rn"), col("doc_id"), col("margin_e8"),
+        col("s_e8"))
+      .orderBy("pred", "rn")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3130,5 +3175,8 @@ object Queries {
     "q178_bbit_minhash" -> q178_bbit_minhash,
     "q179_classification_report" -> q179_classification_report,
     "q180_cohens_kappa" -> q180_cohens_kappa,
-    "q181_discriminative_words" -> q181_discriminative_words)
+    "q181_discriminative_words" -> q181_discriminative_words,
+    "q182_distinct_ngrams" -> q182_distinct_ngrams,
+    "q183_bayesian_rates" -> q183_bayesian_rates,
+    "q184_uncertainty_sample" -> q184_uncertainty_sample)
 }

@@ -135,7 +135,8 @@ object ScaleRamp {
       "q173_decontam_probe", "q174_png_adam7", "q175_ngram_overlap",
       "q176_cluster_reps", "q177_stratified_sample", "q178_bbit_minhash",
       "q179_classification_report", "q180_cohens_kappa",
-      "q181_discriminative_words")
+      "q181_discriminative_words", "q182_distinct_ngrams",
+      "q183_bayesian_rates", "q184_uncertainty_sample")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

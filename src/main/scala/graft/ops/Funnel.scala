@@ -130,6 +130,36 @@ object Funnel {
     reportRows(counts, steps)
   }
 
+  /** Bayesian-smoothed success rates per key (the "Bayesian average"
+    * ranking guard): raw success/trial ratios are unrankable at low
+    * traffic (1/1 beats 980/1000), so each key's rate is shrunk
+    * toward the GLOBAL prior p0 with pseudo-count weight α —
+    * smoothed = (s + α·p0)/(t + α), emitted as the exact integer
+    * per-mille (1000·s + α·p0_x1000) div (t + α) beside the raw rate
+    * and the counts. One key-keyed partial aggregation + a broadcast
+    * scalar prior; the classic CTR/conversion-ranking primitive.
+    */
+  def bayesianRates(df: DataFrame, keyCol: String, typeCol: String,
+                    successType: String, trialType: String,
+                    alpha: Long = 20L): DataFrame = {
+    require(alpha >= 1, s"alpha=$alpha must be >= 1")
+    val per = df.groupBy(col(keyCol))
+      .agg(sum(when(col(typeCol) === trialType, 1L).otherwise(0L))
+        .as("n_trials"),
+        sum(when(col(typeCol) === successType, 1L).otherwise(0L))
+          .as("n_success"))
+    val prior = per.agg(
+      expr("CAST((1000 * sum(n_success)) div greatest(sum(n_trials), 1) " +
+        "AS BIGINT)").as("p0_x1000"))
+    per.crossJoin(broadcast(prior))
+      .select(col(keyCol), col("n_trials"), col("n_success"),
+        expr("CAST((1000 * n_success) div greatest(n_trials, 1) AS BIGINT)")
+          .as("raw_x1000"),
+        col("p0_x1000"),
+        expr(s"CAST((1000 * n_success + $alpha * p0_x1000) div " +
+          s"(n_trials + $alpha) AS BIGINT)").as("smoothed_x1000"))
+  }
+
   /** Pairwise association rules (the Apriori 2-itemset stage,
     * Agrawal & Srikant 1994) over per-(user, day) baskets of distinct
     * event types: for every ordered pair x→y, integer per-mille

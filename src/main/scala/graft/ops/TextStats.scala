@@ -658,6 +658,36 @@ object TextStats {
           .otherwise(lit(0L)))
   }
 
+  /** Distinct-n diversity report (Li et al. 2016's distinct-1/-2,
+    * the generation-diversity metric): per group, total and distinct
+    * unigram/bigram counts with integer per-mille ratios — low
+    * distinct-n = repetitive/templated text, the corpus-level
+    * complement to the per-doc [[repetitionStats]]. Each n costs one
+    * (group, gram) reduction (map-side partial) plus a group-keyed
+    * count — the distinct count is NEVER a multi-countDistinct Expand
+    * (the q110 lesson); the report is groups-bounded.
+    */
+  def distinctNgramReport(df: DataFrame, groupCol: String,
+                          textCol: String): DataFrame = {
+    def stats(n: Int, tot: String, dis: String, ratio: String): DataFrame = {
+      val grams =
+        if (n == 1) TextFns.tokens(col(textCol))
+        else TextFns.shingles(col(textCol), n)
+      val rows = df.select(col(groupCol).as("g"), explode(grams).as("t"))
+      val totals = rows.groupBy("g").agg(count(lit(1)).as(tot))
+      val distincts = rows.groupBy("g", "t").agg(count(lit(1)).as("__c"))
+        .groupBy("g").agg(count(lit(1)).as(dis))
+      totals.join(distincts, Seq("g"))
+        .withColumn(ratio,
+          expr(s"CAST((1000 * $dis) div greatest($tot, 1) AS BIGINT)"))
+    }
+    stats(1, "n_unigrams", "n_distinct_1", "distinct1_x1000")
+      .join(stats(2, "n_bigrams", "n_distinct_2", "distinct2_x1000"), Seq("g"))
+      .select(col("g").as(groupCol), col("n_unigrams"), col("n_distinct_1"),
+        col("distinct1_x1000"), col("n_bigrams"), col("n_distinct_2"),
+        col("distinct2_x1000"))
+  }
+
   /** Eighth-bit integer log2 of a POSITIVE count expression:
     * m8(n·2^20) − 160 ≈ 8·log2(n) for n ≥ 1 — lifts [[mitchellE8Sql]]
     * (domain [2^20, 2^63)) onto plain counts so log-likelihood

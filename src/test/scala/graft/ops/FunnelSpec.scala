@@ -168,4 +168,28 @@ class FunnelSpec extends SparkSpec {
       .orderBy("cohort_week", "week_offset").collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("bayesianRates: low-traffic keys shrink toward the global prior") {
+    import spark.implicits._
+    val ev = (Seq.fill(4)((1L, "view")) ++ Seq((1L, "click")) ++
+      Seq((2L, "view"), (2L, "click")) ++ Seq((1L, "purchase")))
+      .toDF("user_id", "event_type")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Funnel.bayesianRates(d, "user_id", "event_type",
+          successType = "click", trialType = "view")
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    val out = run(ev)
+    // global: 5 views, 2 clicks → p0 = 400‰; α = 20
+    // user 1 (4v, 1c): raw 250, smoothed (1000 + 8000)/24 = 375
+    // user 2 (1v, 1c): raw 1000, smoothed (1000 + 8000)/21 = 428
+    assert(out.toSeq === Seq(
+      (1L, 4L, 1L, 250L, 400L, 375L),
+      (2L, 1L, 1L, 1000L, 400L, 428L)))
+    // the shrinkage inverts the unrankable raw order: user 2's 1/1
+    // no longer beats user 1 by 4× — both sit near the prior
+    assert(math.abs(out(0)._6 - out(1)._6) < math.abs(out(0)._4 - out(1)._4))
+    assert(out.toSeq === run(ev.repartition(5)).toSeq)
+  }
 }

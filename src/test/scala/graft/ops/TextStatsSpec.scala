@@ -374,6 +374,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === run(docs.repartition(5)).toSeq)
   }
 
+  test("distinctNgramReport: hand-computed distinct-1/-2, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "a b a"), (2L, "A", "a c"),
+      (3L, "B", "x x x x")).toDF("doc_id", "lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.distinctNgramReport(d, "lang", "text")
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+    val out = run(docs)
+    // A: unigrams 5 total {a,b,c} distinct → 600‰; bigrams
+    // {"a b","b a","a c"} = 3 of 3 → 1000‰
+    assert(out(0) === (("A", 5L, 3L, 600L, 3L, 3L, 1000L)))
+    // B: "x x x x" → 4 unigrams 1 distinct (250‰); 3 bigrams all
+    // "x x" (333‰)
+    assert(out(1) === (("B", 4L, 1L, 250L, 3L, 1L, 333L)))
+    assert(out.toSeq === run(docs.repartition(5)).toSeq)
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
