@@ -282,7 +282,8 @@ object Bench {
       "q176_cluster_reps", "q177_stratified_sample", "q178_bbit_minhash",
       "q179_classification_report", "q180_cohens_kappa",
       "q181_discriminative_words", "q182_distinct_ngrams",
-      "q183_bayesian_rates", "q184_uncertainty_sample")
+      "q183_bayesian_rates", "q184_uncertainty_sample",
+      "q185_js_divergence")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

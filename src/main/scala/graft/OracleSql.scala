@@ -468,6 +468,7 @@ object OracleSql {
     "q182_distinct_ngrams" -> Gen.distinctNgramsSql,
     "q183_bayesian_rates" -> Gen.bayesianRatesSql,
     "q184_uncertainty_sample" -> Gen.uncertaintySampleSql,
+    "q185_js_divergence" -> Gen.jsDivergenceSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1806,6 +1807,49 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
+
+    /** Twin of q185_js_divergence: same (lang, word) counts, pair
+      * grid over the union vocabulary via FULL JOIN, same smoothed
+      * ppm clamps, and the IDENTICAL emitted JSD term string
+      * ([[graft.ops.Profile.jsdTermSql]], `//` variant).
+      */
+    def jsDivergenceSql: String = {
+      val term = graft.ops.Profile.jsdTermSql(divOp = "//")
+      s"""WITH tk AS (SELECT lang AS g, unnest(${tokensE("text")}) AS w
+         |      FROM documents),
+         |c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM tk GROUP BY g, w),
+         |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS t FROM c GROUP BY g),
+         |pr AS (SELECT a.g AS ga, b.g AS gb FROM tot a JOIN tot b
+         |       ON a.g < b.g),
+         |la AS (SELECT pr.ga, pr.gb, c.w, c.cnt AS ca FROM pr
+         |       JOIN c ON c.g = pr.ga),
+         |lb AS (SELECT pr.ga, pr.gb, c.w, c.cnt AS cb FROM pr
+         |       JOIN c ON c.g = pr.gb),
+         |grid AS (SELECT coalesce(la.ga, lb.ga) AS ga,
+         |           coalesce(la.gb, lb.gb) AS gb,
+         |           coalesce(la.w, lb.w) AS w,
+         |           coalesce(la.ca, 0) AS ca, coalesce(lb.cb, 0) AS cb
+         |         FROM la FULL JOIN lb
+         |           ON la.ga = lb.ga AND la.gb = lb.gb AND la.w = lb.w),
+         |nu AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS nu
+         |       FROM grid GROUP BY ga, gb),
+         |sm AS (SELECT g.ga, g.gb, n.nu,
+         |         greatest(CAST((CAST(g.ca + 1 AS HUGEINT) * 1000000) //
+         |           (ta.t + n.nu) AS BIGINT), 1) AS p_ppm,
+         |         greatest(CAST((CAST(g.cb + 1 AS HUGEINT) * 1000000) //
+         |           (tb.t + n.nu) AS BIGINT), 1) AS q_ppm
+         |       FROM grid g JOIN nu n USING (ga, gb)
+         |       JOIN tot ta ON ta.g = g.ga
+         |       JOIN tot tb ON tb.g = g.gb),
+         |agg AS (SELECT ga, gb, CAST(max(nu) AS BIGINT) AS n_words,
+         |          CAST(sum($term) AS BIGINT) AS s
+         |        FROM sm GROUP BY ga, gb)
+         |SELECT ga AS lang_a, gb AS lang_b, n_words,
+         |  CAST((s // 2) // 8 AS BIGINT) AS jsd_bits_x1e6
+         |FROM agg
+         |ORDER BY lang_a, lang_b""".stripMargin
+    }
 
     /** Twin of q182_distinct_ngrams: same per-lang total/distinct
       * gram counts off the shared token/shingle emitters, same

@@ -127,7 +127,10 @@ object PlanAudit {
     // table — broadcast scalar by design
     "q183_bayesian_rates",
     // q114's NB class-table scoring shape under the margin ranking
-    "q184_uncertainty_sample")
+    "q184_uncertainty_sample",
+    // L-row language list under an inequality self-join — the
+    // q93/q104 pairs-of-groups shape, broadcast by design
+    "q185_js_divergence")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

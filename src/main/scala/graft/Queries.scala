@@ -2978,6 +2978,18 @@ object Queries {
       .orderBy("pred", "rn")
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-language word
+    * distributions ([[graft.ops.Profile.jsDivergence]], Lin 1991):
+    * the bounded symmetric corpus-comparison matrix (micro-bits) over
+    * Laplace-smoothed union-vocabulary ppm — q155's PSI watches a
+    * numeric histogram; this compares the text itself. Integer
+    * eighth-bit logs throughout, the term SQL shared verbatim with
+    * the twin.
+    */
+  val q185_js_divergence: Q = (s, d) =>
+    graft.ops.Profile.jsDivergence(Tables.documents(s, d), "lang", "text")
+      .orderBy("lang_a", "lang_b")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3178,5 +3190,6 @@ object Queries {
     "q181_discriminative_words" -> q181_discriminative_words,
     "q182_distinct_ngrams" -> q182_distinct_ngrams,
     "q183_bayesian_rates" -> q183_bayesian_rates,
-    "q184_uncertainty_sample" -> q184_uncertainty_sample)
+    "q184_uncertainty_sample" -> q184_uncertainty_sample,
+    "q185_js_divergence" -> q185_js_divergence)
 }

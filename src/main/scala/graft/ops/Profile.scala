@@ -383,6 +383,74 @@ object Profile {
     rows.reduce(_.unionByName(_))
   }
 
+  /** The per-word JSD contribution in ppm-weighted eighth-bits —
+    * p·(L(2p) − L(p+q)) + q·(L(2q) − L(p+q)) with
+    * L = [[graft.ops.TextStats.log2E8Sql]] — over columns p_ppm /
+    * q_ppm (Laplace-smoothed ≥ 1, so every log argument is ≥ 2).
+    * Shared VERBATIM between the Spark `expr` and the DuckDB twin via
+    * `divOp`.
+    */
+  def jsdTermSql(divOp: String = "div"): String = {
+    def L(e: String) = graft.ops.TextStats.log2E8Sql(e, divOp)
+    s"(p_ppm * (${L("2 * p_ppm")} - ${L("p_ppm + q_ppm")}) " +
+      s"+ q_ppm * (${L("2 * q_ppm")} - ${L("p_ppm + q_ppm")}))"
+  }
+
+  /** Pairwise Jensen–Shannon divergence between per-group word
+    * distributions (Lin 1991) — the bounded (≤ 1 bit), symmetric
+    * corpus-comparison standard: where [[psiDrift]] watches a numeric
+    * column's histogram, this compares the LANGUAGE of the text
+    * itself between sources, the "did this supplier's crawl change
+    * register" check. Per group pair, token probabilities are
+    * Laplace-smoothed integer ppm over the pair's UNION vocabulary
+    * (mass on either side's exclusive words counts), and
+    * JSD = ½Σ[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] evaluates entirely in
+    * [[graft.ops.TextStats.log2E8Sql]] eighth-bit integer logs —
+    * emitted as micro-bits (10⁻⁶ bit), exact across engines by the
+    * shared [[jsdTermSql]] string.
+    *
+    * Scale shape: ONE (group, word) count reduction (map-side
+    * partial, checkpointed — every downstream leg reuses it), a
+    * groups²-bounded pair table, two vocab-scale joins + one full
+    * outer building the union grid, and a pair-keyed final sum.
+    * Vocabulary does not grow with corpus replication.
+    */
+  def jsDivergence(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    import graft.functions.TextFns
+    val counts = df.select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = counts.groupBy("g").agg(sum("c").as("t"))
+    val pairs = tot.select(col("g").as("ga"))
+      .join(tot.select(col("g").as("gb")), col("ga") < col("gb"))
+    val la = pairs.join(counts.select(col("g").as("ga"), col("w"),
+      col("c").as("ca")), Seq("ga"))
+    val lb = pairs.join(counts.select(col("g").as("gb"), col("w"),
+      col("c").as("cb")), Seq("gb"))
+    val grid = la.join(lb, Seq("ga", "gb", "w"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val nu = grid.groupBy("ga", "gb").agg(count(lit(1)).as("nu"))
+    grid
+      .join(broadcast(nu), Seq("ga", "gb"))
+      .join(broadcast(tot.select(col("g").as("ga"), col("t").as("ta"))),
+        Seq("ga"))
+      .join(broadcast(tot.select(col("g").as("gb"), col("t").as("tb"))),
+        Seq("gb"))
+      .select(col("ga"), col("gb"), col("nu"),
+        expr("greatest(CAST((CAST(ca + 1 AS DECIMAL(38,0)) * 1000000) " +
+          "div (ta + nu) AS BIGINT), CAST(1 AS BIGINT))").as("p_ppm"),
+        expr("greatest(CAST((CAST(cb + 1 AS DECIMAL(38,0)) * 1000000) " +
+          "div (tb + nu) AS BIGINT), CAST(1 AS BIGINT))").as("q_ppm"))
+      .withColumn("term", expr(jsdTermSql()))
+      .groupBy("ga", "gb")
+      .agg(max("nu").as("n_words"), sum("term").as("__s"))
+      .select(col("ga").as("lang_a"), col("gb").as("lang_b"),
+        col("n_words"),
+        expr("CAST((__s div 2) div 8 AS BIGINT)").as("jsd_bits_x1e6"))
+  }
+
   /** Per-class precision/recall/F1 over (truth, pred) rows — the
     * basic classifier-evaluation report every labeling stage (langid,
     * quality gates, NB) gets judged by. Exact integer per-mille:

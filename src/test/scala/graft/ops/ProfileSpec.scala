@@ -189,6 +189,35 @@ class ProfileSpec extends SparkSpec {
     assert(out2.toSeq === Seq(("A", 1L, 0L, 0L), ("Z", 0L, 1L, 0L)))
   }
 
+  test("jsDivergence: identical distributions 0, disjoint near 1 bit, symmetric grid") {
+    import spark.implicits._
+    // long texts: at tiny token totals the +1 Laplace smoothing
+    // dominates and even disjoint vocabularies measure small — 100
+    // repeats puts the smoothed mass below 1% so the disjoint pair
+    // reads near its true 1 bit
+    val docs = Seq(
+      (1L, "A", "x y z " * 100), (2L, "B", "x y z " * 100), // identical
+      (3L, "C", "p q r " * 100))                            // disjoint
+      .toDF("doc_id", "lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.jsDivergence(d, "lang", "text")
+        .orderBy("lang_a", "lang_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val out = run(docs)
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq(("A", "B"), ("A", "C"), ("B", "C")))
+    val ab = out.find(r => (r._1, r._2) == ("A", "B")).get
+    val ac = out.find(r => (r._1, r._2) == ("A", "C")).get
+    // identical word distributions: p = q at every word ⇒ every
+    // eighth-bit term is EXACTLY zero
+    assert(ab._4 === 0L)
+    // disjoint vocabularies: JSD → 1 bit, up to Laplace smoothing and
+    // the ±1.5% Mitchell band
+    assert(ac._4 > 900000L && ac._4 <= 1020000L, s"disjoint jsd=${ac._4}")
+    assert(ac._3 === 6L)   // union vocabulary {x,y,z,p,q,r}
+    assert(out.toSeq === run(docs.repartition(5)).toSeq)
+  }
+
   test("cohensKappa: chance-level 0, perfect 1000, inverse -1000") {
     import spark.implicits._
     def kappa(pairs: Seq[(String, String)]): Long =
