@@ -469,6 +469,7 @@ object OracleSql {
     "q183_bayesian_rates" -> Gen.bayesianRatesSql,
     "q184_uncertainty_sample" -> Gen.uncertaintySampleSql,
     "q185_js_divergence" -> Gen.jsDivergenceSql,
+    "q186_rank_rbo" -> Gen.rankRboSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -3987,7 +3988,10 @@ object OracleSql {
       * with `//`), and the same 10·avdl-rationalized TF normalization.
       * SUM/HUGEINT discipline: every emitted aggregate is CAST.
       */
-    def bm25Sql: String = {
+    /** Shared CTE prefix of the q109/q186 twins: term selection, tf,
+      * df, and the integer BM25 per-doc aggregate.
+      */
+    private def bm25Ctes: String = {
       val shift = graft.ops.TextStats.LmShift
       val two20 = s"CAST(${1L << shift} AS BIGINT)"
       val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
@@ -4016,10 +4020,56 @@ object OracleSql {
          |agg AS (SELECT doc_id, CAST(SUM(idf_e8 * tfn) AS BIGINT) AS bm25_x,
          |          CAST(count(*) AS BIGINT) AS n_terms_hit,
          |          CAST(min(dl) AS BIGINT) AS n_tokens
-         |        FROM rowsc GROUP BY doc_id)
-         |SELECT a.doc_id, d.lang, a.n_tokens, a.n_terms_hit, a.bm25_x
-         |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
-         |ORDER BY a.bm25_x DESC, a.doc_id LIMIT 100""".stripMargin
+         |        FROM rowsc GROUP BY doc_id)""".stripMargin
+    }
+
+    def bm25Sql: String =
+      bm25Ctes + s"""
+        |SELECT a.doc_id, d.lang, a.n_tokens, a.n_terms_hit, a.bm25_x
+        |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+        |ORDER BY a.bm25_x DESC, a.doc_id LIMIT 100""".stripMargin
+
+    /** Twin of q186_rank_rbo: the q109 BM25 chain feeds ranking A,
+      * the raw tf-sum over the same terms feeds ranking B; depth
+      * constants come from the SAME [[graft.ops.TextStats
+      * .rboDepthConstants]] values as literals, so the rational
+      * p-power arithmetic is numerically identical.
+      */
+    def rankRboSql: String = {
+      val consts = graft.ops.TextStats.rboDepthConstants(20)
+        .map { case (d, p9, p10) => s"($d, $p9, $p10)" }.mkString(", ")
+      bm25Ctes + s""",
+        |ar AS (SELECT doc_id, CAST(row_number() OVER (
+        |         ORDER BY bm25_x DESC, doc_id) AS BIGINT) AS ra
+        |       FROM agg ORDER BY bm25_x DESC, doc_id LIMIT 20),
+        |tsum AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS s
+        |         FROM tok JOIN qt ON tok.t = qt.t GROUP BY tok.doc_id),
+        |br AS (SELECT doc_id, CAST(row_number() OVER (
+        |         ORDER BY s DESC, doc_id) AS BIGINT) AS rb
+        |       FROM tsum ORDER BY s DESC, doc_id LIMIT 20),
+        |pairs AS (SELECT coalesce(ar.doc_id, br.doc_id) AS id, ar.ra, br.rb
+        |          FROM ar FULL JOIN br ON ar.doc_id = br.doc_id),
+        |dep(d, p9, p10) AS (VALUES $consts),
+        |ov AS (SELECT dep.d, CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM dep CROSS JOIN pairs
+        |       WHERE pairs.ra <= dep.d AND pairs.rb <= dep.d
+        |       GROUP BY dep.d),
+        |rows_ AS (SELECT dep.d, CAST(dep.p9 AS HUGEINT) AS p9,
+        |            CAST(dep.p10 AS HUGEINT) AS p10,
+        |            CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+        |          FROM dep LEFT JOIN ov ON ov.d = dep.d),
+        |terms_ AS (SELECT d, n_overlap,
+        |             CAST((1000000 * n_overlap) // d AS BIGINT)
+        |               AS agreement_x1e6,
+        |             CAST((CAST(1000000 * n_overlap AS HUGEINT) * p9) //
+        |               (p10 * d) AS BIGINT) AS term
+        |           FROM rows_)
+        |SELECT d, n_overlap, agreement_x1e6,
+        |  CAST(CAST(sum(term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) // 10 AS BIGINT)
+        |    AS rbo_x1e6
+        |FROM terms_
+        |ORDER BY d""".stripMargin
     }
 
     /** Twin of q110_table_profile: one UNION ALL branch per column

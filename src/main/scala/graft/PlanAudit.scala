@@ -130,7 +130,10 @@ object PlanAudit {
     "q184_uncertainty_sample",
     // L-row language list under an inequality self-join — the
     // q93/q104 pairs-of-groups shape, broadcast by design
-    "q185_js_divergence")
+    "q185_js_divergence",
+    // 20-row depth table cross-joined into the ≤40-row rank-pair
+    // table under the depth inequality — k²-bounded by design
+    "q186_rank_rbo")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -164,7 +167,11 @@ object PlanAudit {
     "q165_heaps_curve",
     // Zipf report: the lead window runs over the bounded-heap
     // top-(k+1) rows (21 by parameter — constant in corpus size)
-    "q170_zipf_report")
+    "q170_zipf_report",
+    // rank windows over the two LIMIT-20 ranking tables and the RBO
+    // cumulative sum over the 20-row depth table — all k-bounded by
+    // construction
+    "q186_rank_rbo")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

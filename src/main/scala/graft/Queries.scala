@@ -2990,6 +2990,39 @@ object Queries {
     graft.ops.Profile.jsDivergence(Tables.documents(s, d), "lang", "text")
       .orderBy("lang_a", "lang_b")
 
+  /** Rank-biased overlap ([[graft.ops.TextStats.rankBiasedOverlap]],
+    * Webber et al. 2010, p = 0.9) between the q109 BM25 top-20 and
+    * the naive raw-term-frequency top-20 over the same query terms —
+    * the top-weighted agreement curve a retrieval team reads before
+    * swapping rankers ("where in the list do BM25's idf and length
+    * normalization actually change the order"). Exact rational p
+    * powers through DECIMAL(38); everything after the two top-k
+    * extractions is O(k²).
+    */
+  val q186_rank_rbo: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("t"))
+    val terms = tok.select(col("t"))
+      .where(length(col("t")) >= 5)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("t")).limit(4)
+    val bmRank = TextStats.bm25(docs, "doc_id", "text", terms, "t",
+        Seq.empty, 20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("bm25_x"), col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val tfRank = tok.join(broadcast(terms.select("t")), Seq("t"))
+      .groupBy("doc_id").agg(count(lit(1)).as("tfsum"))
+      .orderBy(desc("tfsum"), col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("tfsum"), col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    TextStats.rankBiasedOverlap(bmRank, tfRank, 20)
+      .orderBy("d")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3191,5 +3224,6 @@ object Queries {
     "q182_distinct_ngrams" -> q182_distinct_ngrams,
     "q183_bayesian_rates" -> q183_bayesian_rates,
     "q184_uncertainty_sample" -> q184_uncertainty_sample,
-    "q185_js_divergence" -> q185_js_divergence)
+    "q185_js_divergence" -> q185_js_divergence,
+    "q186_rank_rbo" -> q186_rank_rbo)
 }

@@ -658,6 +658,69 @@ object TextStats {
           .otherwise(lit(0L)))
   }
 
+  /** The RBO depth constants (d, 9^{d−1}, 10^{d−1}) as exact decimal
+    * values — p = 9/10 kept as a RATIONAL so every p^{d−1} weight is
+    * an exact integer fraction; shared by the operator's broadcast
+    * depth table and the twin's VALUES literal list (same numbers,
+    * zero drift).
+    */
+  def rboDepthConstants(k: Int): Seq[(Long, BigInt, BigInt)] =
+    (1 to k).map(d =>
+      (d.toLong, BigInt(9).pow(d - 1), BigInt(10).pow(d - 1)))
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010, p = 0.9)
+    * between two top-k rankings — the standard top-weighted "how much
+    * do two retrieval systems agree" score (Kendall's τ treats rank 1
+    * and rank 100 swaps alike; RBO geometrically discounts depth).
+    * Inputs are two (id, rank) tables with ranks 1..k; output is one
+    * row per depth d: the overlap |A_d ∩ B_d|, the per-million
+    * agreement overlap/d, and the truncated RBO@d =
+    * (1−p)·Σ_{i≤d} p^{i−1}·(overlap_i/i), all exact integers — the
+    * p powers stay rational (9^{i−1}/10^{i−1} through DECIMAL(38))
+    * and each term floors identically in both engines.
+    *
+    * Scale shape: the rankings are k-row tables by construction
+    * (whatever corpus-scale scoring produced them already reduced to
+    * top-k), so everything here — the full-outer id join, the
+    * broadcast depth×pairs filter, the cumulative window — runs on
+    * O(k²) rows. The window is global BY DESIGN over the k-row depth
+    * table (PlanAudit-ledgered).
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k=$k must be in [1, 100]")
+    val spark = a.sparkSession
+    val depths = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val rows = rboDepthConstants(k).map { case (d, p9, p10) =>
+        Row(d, new java.math.BigDecimal(p9.bigInteger),
+          new java.math.BigDecimal(p10.bigInteger))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("d", LongType),
+          StructField("p9", DecimalType(38, 0)),
+          StructField("p10", DecimalType(38, 0)))))
+    }
+    val pairs = a.select(col("id"), col("rank").as("ra"))
+      .join(b.select(col("id"), col("rank").as("rb")), Seq("id"), "full_outer")
+    val ov = broadcast(depths.select("d")).crossJoin(pairs)
+      .where(col("ra") <= col("d") && col("rb") <= col("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_overlap"))
+    depths.join(ov, Seq("d"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("agreement_x1e6",
+        expr("CAST((1000000 * n_overlap) div d AS BIGINT)"))
+      .withColumn("__term",
+        expr("CAST((CAST(1000000 * n_overlap AS DECIMAL(38,0)) * p9) " +
+          "div (p10 * d) AS BIGINT)"))
+      .withColumn("rbo_x1e6",
+        expr("CAST(sum(__term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW) div 10 AS BIGINT)"))
+      .select(col("d"), col("n_overlap"), col("agreement_x1e6"),
+        col("rbo_x1e6"))
+  }
+
   /** Distinct-n diversity report (Li et al. 2016's distinct-1/-2,
     * the generation-diversity metric): per group, total and distinct
     * unigram/bigram counts with integer per-mille ratios — low

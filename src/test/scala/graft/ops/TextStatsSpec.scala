@@ -393,6 +393,30 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === run(docs.repartition(5)).toSeq)
   }
 
+  test("rankBiasedOverlap: hand-computed overlaps; identical lists hit the closed form") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (1L, 2), (4L, 3)).toDF("id", "rank")
+    val out = TextStats.rankBiasedOverlap(a, b, 3)
+      .orderBy("d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d=1: {1}∩{2}=0; d=2: {1,2}∩{2,1}=2; d=3: {1,2,3}∩{2,1,4}=2
+    // terms: 0; (1e6·2·9)div(10·2)=900000; (1e6·2·81)div(100·3)=540000
+    assert(out.toSeq === Seq((1L, 0L, 0L, 0L),
+      (2L, 2L, 1000000L, 90000L), (3L, 2L, 666666L, 144000L)))
+    // identical k=20 lists: truncated RBO = Σ(1−p)p^{i−1} = 1 − 0.9^20
+    // (up to the shared per-term floors)
+    val ident = (1L to 20L).map(i => (i, i.toInt)).toDF("id", "rank")
+    val rbo20 = TextStats.rankBiasedOverlap(ident, ident, 20)
+      .orderBy("d").collect().last.getLong(3)
+    val expect = (1 to 20).map { i =>
+      (BigInt(1000000) * BigInt(9).pow(i - 1) * i /
+        (BigInt(10).pow(i - 1) * i)).toLong
+    }.sum / 10
+    assert(rbo20 === expect)
+    assert(math.abs(rbo20 - 878423L) <= 5, s"rbo20=$rbo20 vs 1−0.9^20")
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
