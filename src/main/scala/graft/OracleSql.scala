@@ -470,6 +470,10 @@ object OracleSql {
     "q184_uncertainty_sample" -> Gen.uncertaintySampleSql,
     "q185_js_divergence" -> Gen.jsDivergenceSql,
     "q186_rank_rbo" -> Gen.rankRboSql,
+    "q187_heavy_changers" -> Gen.heavyChangersSql,
+    "q188_burstiness" -> Gen.burstinessSql,
+    "q189_length_gini" -> Gen.lengthGiniSql,
+    "q190_token_entropy" -> Gen.tokenEntropySql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1808,6 +1812,103 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
+
+    /** Twin of q187_heavy_changers: same per-half counts, ppm rates
+      * and |Δppm| ranking (window where Spark uses the bounded heap).
+      */
+    def heavyChangersSql: String =
+      s"""WITH wa AS (SELECT unnest(${tokensE("text")}) AS w FROM documents
+         |            WHERE doc_id % 2 = 0),
+         |ca AS (SELECT w, CAST(count(*) AS BIGINT) AS c_a FROM wa GROUP BY w),
+         |wb AS (SELECT unnest(${tokensE("text")}) AS w FROM documents
+         |       WHERE doc_id % 2 = 1),
+         |cb AS (SELECT w, CAST(count(*) AS BIGINT) AS c_b FROM wb GROUP BY w),
+         |tot AS (SELECT (SELECT CAST(sum(c_a) AS BIGINT) FROM ca) AS ta,
+         |               (SELECT CAST(sum(c_b) AS BIGINT) FROM cb) AS tb),
+         |m AS (SELECT coalesce(ca.w, cb.w) AS word,
+         |        coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+         |      FROM ca FULL JOIN cb ON ca.w = cb.w),
+         |r AS (SELECT word, c_a, c_b,
+         |        CAST((CAST(c_a AS HUGEINT) * 1000000) // greatest(ta, 1)
+         |          AS BIGINT) AS ppm_a,
+         |        CAST((CAST(c_b AS HUGEINT) * 1000000) // greatest(tb, 1)
+         |          AS BIGINT) AS ppm_b
+         |      FROM m CROSS JOIN tot),
+         |dd AS (SELECT word, c_a, c_b, ppm_a, ppm_b,
+         |         ppm_a - ppm_b AS delta_ppm FROM r),
+         |rk AS (SELECT *, CAST(row_number() OVER (
+         |         ORDER BY abs(delta_ppm) DESC, word, c_a, c_b, ppm_a,
+         |           ppm_b, delta_ppm) AS BIGINT) AS rn
+         |       FROM dd)
+         |SELECT rn, word, c_a, c_b, ppm_a, ppm_b, delta_ppm
+         |FROM rk WHERE rn <= 25 ORDER BY rn""".stripMargin
+
+    /** Twin of q188_burstiness: same hour bins over the full span
+      * grid with zero fills, same integer VMR.
+      */
+    def burstinessSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |        date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+         |c AS (SELECT et, h, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, h),
+         |hrs AS (SELECT DISTINCT h FROM c),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, hrs.h, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN hrs
+         |      LEFT JOIN c ON c.et = ets.et AND c.h = hrs.h),
+         |a AS (SELECT et, CAST(count(*) AS BIGINT) AS n_hours,
+         |        CAST(sum(x) AS BIGINT) AS n_events,
+         |        sum(CAST(x AS HUGEINT) * x) AS sq
+         |      FROM g GROUP BY et)
+         |SELECT et AS event_type, n_hours, n_events,
+         |  CAST((1000 * (n_hours * sq - CAST(n_events AS HUGEINT) * n_events))
+         |    // greatest(n_hours * CAST(n_events AS HUGEINT), 1) AS BIGINT)
+         |    AS vmr_x1000
+         |FROM a ORDER BY event_type""".stripMargin
+
+    /** Twin of q189_length_gini: same 32-token buckets, same exact
+      * grouped-data Gini (individuals share the bucket lower bound;
+      * rank mass folds per bucket).
+      */
+    def lengthGiniSql: String =
+      s"""WITH v AS (SELECT CAST((len(${tokensE("text")}) // 32) * 32
+         |             AS BIGINT) AS v FROM documents),
+         |bk AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY v),
+         |cp AS (SELECT v, n, CAST(coalesce(sum(n) OVER (ORDER BY v
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) AS cprev FROM bk),
+         |a AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         |        sum(CAST(v AS HUGEINT) * n) AS s_mass,
+         |        sum(CAST(v AS HUGEINT) * (n * cprev + (n * (n + 1)) // 2))
+         |          AS rank_mass
+         |      FROM cp)
+         |SELECT n_rows, CAST(s_mass AS BIGINT) AS total_mass,
+         |  CAST((1000 * (2 * rank_mass - (n_rows + 1) * s_mass)) //
+         |    greatest(n_rows * s_mass, 1) AS BIGINT) AS gini_x1000
+         |FROM a""".stripMargin
+
+    /** Twin of q190_token_entropy: same counts, same eighth-bit log
+      * decomposition H = Σ c·(L(t) − L(c)) scaled to micro-bits.
+      */
+    def tokenEntropySql: String = {
+      val lt = graft.ops.TextStats.log2E8Sql("t", divOp = "//")
+      val lc = graft.ops.TextStats.log2E8Sql("c", divOp = "//")
+      s"""WITH tk AS (SELECT lang AS g, unnest(${tokensE("text")}) AS w
+         |      FROM documents),
+         |c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+         |      FROM tk GROUP BY g, w),
+         |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS t,
+         |          CAST(count(*) AS BIGINT) AS n_distinct FROM c GROUP BY g),
+         |tm AS (SELECT c.g, c.c * ($lt - $lc) AS term, tot.t, tot.n_distinct
+         |       FROM c JOIN tot USING (g)),
+         |a AS (SELECT g, CAST(max(t) AS BIGINT) AS n_tokens,
+         |        CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+         |        CAST(sum(term) AS BIGINT) AS s FROM tm GROUP BY g)
+         |SELECT g AS lang, n_tokens, n_distinct,
+         |  CAST((CAST(1000000 AS HUGEINT) * s) // (8 * n_tokens) AS BIGINT)
+         |    AS entropy_bits_x1e6
+         |FROM a ORDER BY lang""".stripMargin
+    }
 
     /** Twin of q185_js_divergence: same (lang, word) counts, pair
       * grid over the union vocabulary via FULL JOIN, same smoothed

@@ -133,7 +133,13 @@ object PlanAudit {
     "q185_js_divergence",
     // 20-row depth table cross-joined into the ≤40-row rank-pair
     // table under the depth inequality — k²-bounded by design
-    "q186_rank_rbo")
+    "q186_rank_rbo",
+    // ONE-row (ta, tb) token totals cross-joined into the vocab-
+    // bounded delta table — broadcast scalar by design
+    "q187_heavy_changers",
+    // types × hour-span grid: the span-bounded hour list broadcast
+    // under each type — the q155 union-grid shape
+    "q188_burstiness")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -171,7 +177,10 @@ object PlanAudit {
     // rank windows over the two LIMIT-20 ranking tables and the RBO
     // cumulative sum over the 20-row depth table — all k-bounded by
     // construction
-    "q186_rank_rbo")
+    "q186_rank_rbo",
+    // Gini cumulative-count window over the BOUNDED length-bucket
+    // table (q92's audited cumsum shape)
+    "q189_length_gini")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

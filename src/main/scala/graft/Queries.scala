@@ -3023,6 +3023,55 @@ object Queries {
       .orderBy("d")
   }
 
+  /** Heavy changers between corpus snapshots
+    * ([[graft.ops.Profile.heavyChangers]], exact form of CMS heavy
+    * change detection): the 25 words whose token-mass RATE moved most
+    * between the even-id and odd-id halves — vocabulary drift
+    * surfaced as a ranked word list, rates not raw counts so growth
+    * alone doesn't flag. Bounded-heap ranking over the vocab-bounded
+    * delta table.
+    */
+  val q187_heavy_changers: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.Profile.heavyChangers(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text", k = 25)
+      .orderBy("rn")
+  }
+
+  /** Arrival burstiness per event type
+    * ([[graft.ops.Funnel.burstiness]]): the index of dispersion of
+    * per-hour counts over the full hour span (empty hours included) —
+    * ≈1000‰ Poisson, higher bursty, lower metronomic. The
+    * pipeline-health number that separates steady traffic from
+    * batchy/spiky producers.
+    */
+  val q188_burstiness: Q = (s, d) =>
+    graft.ops.Funnel.burstiness(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type")
+
+  /** Token-mass Gini concentration ([[graft.ops.Profile.giniIndex]])
+    * over per-doc token counts (32-token buckets): how unequal the
+    * corpus's length distribution is — 0 uniform, →1000 all mass in
+    * the longest docs. Exact grouped-data Gini over the bounded
+    * bucket table.
+    */
+  val q189_length_gini: Q = (s, d) =>
+    graft.ops.Profile.giniIndex(
+      Tables.documents(s, d)
+        .select(TextFns.tokenCount(col("text")).as("n_tok")),
+      "n_tok", binWidth = 32)
+
+  /** Shannon entropy of each language's word distribution
+    * ([[graft.ops.TextStats.tokenEntropy]]): exact integer micro-bits
+    * from counts and eighth-bit logs — the one-number register
+    * fingerprint (low entropy = templated source) whose pairwise
+    * comparison is q185's JSD.
+    */
+  val q190_token_entropy: Q = (s, d) =>
+    TextStats.tokenEntropy(Tables.documents(s, d), "lang", "text")
+      .orderBy("lang")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3225,5 +3274,9 @@ object Queries {
     "q183_bayesian_rates" -> q183_bayesian_rates,
     "q184_uncertainty_sample" -> q184_uncertainty_sample,
     "q185_js_divergence" -> q185_js_divergence,
-    "q186_rank_rbo" -> q186_rank_rbo)
+    "q186_rank_rbo" -> q186_rank_rbo,
+    "q187_heavy_changers" -> q187_heavy_changers,
+    "q188_burstiness" -> q188_burstiness,
+    "q189_length_gini" -> q189_length_gini,
+    "q190_token_entropy" -> q190_token_entropy)
 }

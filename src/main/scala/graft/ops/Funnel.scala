@@ -130,6 +130,37 @@ object Funnel {
     reportRows(counts, steps)
   }
 
+  /** Arrival burstiness per event type — the index of dispersion
+    * (variance-to-mean ratio of per-hour counts over the corpus's
+    * hour span, EMPTY hours included: a type that fires once an hour
+    * and one that fires 24× every midnight have the same daily total
+    * and utterly different VMR): Poisson arrivals ⇒ ≈ 1000‰, bursty
+    * ⇒ higher, metronomic ⇒ lower. Exact integers —
+    * VMR_x1000 = 1000·(n·Σx² − (Σx)²) div (n·Σx) through
+    * DECIMAL(38). One (type, hour) reduction; the hour grid is
+    * span-bounded and broadcast under each type (the q155 union-grid
+    * shape).
+    */
+  def burstiness(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val binned = df.select(col(typeCol).as("et"),
+      date_trunc("hour", col(tsCol)).as("h"))
+    val counts = binned.groupBy("et", "h").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val hours = counts.select("h").distinct()
+    val grid = counts.select("et").distinct()
+      .crossJoin(broadcast(hours))
+      .join(counts, Seq("et", "h"), "left")
+      .na.fill(0L, Seq("x"))
+    grid.groupBy("et")
+      .agg(count(lit(1)).as("n_hours"), sum("x").as("n_events"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("__sq"))
+      .select(col("et").as(typeCol), col("n_hours"), col("n_events"),
+        expr("CAST((1000 * (n_hours * __sq - " +
+          "CAST(n_events AS DECIMAL(38,0)) * n_events)) div " +
+          "greatest(n_hours * CAST(n_events AS DECIMAL(38,0)), 1) " +
+          "AS BIGINT)").as("vmr_x1000"))
+  }
+
   /** Bayesian-smoothed success rates per key (the "Bayesian average"
     * ranking guard): raw success/trial ratios are unrankable at low
     * traffic (1/1 beats 980/1000), so each key's rate is shrunk

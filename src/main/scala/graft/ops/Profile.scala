@@ -383,6 +383,75 @@ object Profile {
     rows.reduce(_.unionByName(_))
   }
 
+  /** Heavy changers between two corpus snapshots (the exact form of
+    * the CMS "heavy change detection" problem, Cormode &
+    * Muthukrishnan): the k words whose RATE (ppm of each side's token
+    * mass — rates, not raw counts, so a corpus that merely grew
+    * doesn't flag everything) moved the most between snapshot A and
+    * snapshot B. Emits (rn, word, c_a, c_b, ppm_a, ppm_b,
+    * delta_ppm); the ranking rides the bounded heap on |Δppm| —
+    * vocabulary-bounded work after two count reductions.
+    */
+  def heavyChangers(a: DataFrame, b: DataFrame, textCol: String,
+                    k: Int = 25): DataFrame = {
+    import graft.functions.TextFns
+    def counts(d: DataFrame, cName: String) =
+      d.select(explode(TextFns.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(cName))
+    val ca = counts(a, "c_a"); val cb = counts(b, "c_b")
+    val tot = ca.agg(sum("c_a").as("ta"))
+      .crossJoin(cb.agg(sum("c_b").as("tb")))
+    val merged = ca.join(cb, Seq("w"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("w").as("word"), col("c_a"), col("c_b"),
+        expr("CAST((CAST(c_a AS DECIMAL(38,0)) * 1000000) div " +
+          "greatest(ta, 1) AS BIGINT)").as("ppm_a"),
+        expr("CAST((CAST(c_b AS DECIMAL(38,0)) * 1000000) div " +
+          "greatest(tb, 1) AS BIGINT)").as("ppm_b"))
+      .withColumn("delta_ppm", col("ppm_a") - col("ppm_b"))
+    graft.plans.TopK.topKPerKey(
+        merged.withColumn("__mag", abs(col("delta_ppm"))),
+        Seq.empty, col("__mag"), Seq(col("word"), col("c_a"), col("c_b"),
+          col("ppm_a"), col("ppm_b"), col("delta_ppm")), k)
+      .select(col("rn"), col("word"), col("c_a"), col("c_b"),
+        col("ppm_a"), col("ppm_b"), col("delta_ppm"))
+  }
+
+  /** Gini concentration of a value column, computed EXACTLY for the
+    * `binWidth`-bucketed distribution (the standard grouped-data
+    * form): individuals within a bucket share the bucket's lower
+    * bound, the rank-weighted mass Σ_j j·x_(j) folds per bucket as
+    * v_i·(n_i·C_{i−1} + n_i·(n_i+1)/2), and
+    * G = (2·Σ j·x − (N+1)·S) / (N·S) emits per-mille through
+    * DECIMAL(38). The inequality dashboard number — "how much of the
+    * corpus's token mass sits in its longest documents" (0 = uniform,
+    * → 1000 = all mass in one row). One bucket reduction (map-side
+    * partial), then a cumulative window over the BOUNDED bucket table
+    * (q92's audited shape).
+    */
+  def giniIndex(df: DataFrame, valueCol: String,
+                binWidth: Long = 32): DataFrame = {
+    require(binWidth >= 1, s"binWidth=$binWidth must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val buckets = df
+      .select(expr(s"CAST(($valueCol div $binWidth) * $binWidth AS BIGINT)")
+        .as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    buckets
+      .withColumn("cprev", coalesce(sum("n").over(w), lit(0L)))
+      .select(col("v"), col("n"), col("cprev"))
+      .agg(sum("n").as("n_rows"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * n")).as("s_mass"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * (n * cprev + (n * (n + 1)) " +
+          "div 2)")).as("rank_mass"))
+      .select(col("n_rows").cast("bigint").as("n_rows"),
+        col("s_mass").cast("decimal(38,0)").cast("bigint").as("total_mass"),
+        expr("CAST((1000 * (2 * rank_mass - (n_rows + 1) * s_mass)) div " +
+          "greatest(n_rows * s_mass, 1) AS BIGINT)").as("gini_x1000"))
+  }
+
   /** The per-word JSD contribution in ppm-weighted eighth-bits —
     * p·(L(2p) − L(p+q)) + q·(L(2q) − L(p+q)) with
     * L = [[graft.ops.TextStats.log2E8Sql]] — over columns p_ppm /

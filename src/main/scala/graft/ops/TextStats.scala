@@ -658,6 +658,37 @@ object TextStats {
           .otherwise(lit(0L)))
   }
 
+  /** Shannon entropy of each group's word distribution, in exact
+    * integer micro-bits: H = Σ (c/t)·log₂(t/c) evaluates as
+    * (10⁶ · Σ c·(L(t) − L(c))) div (8·t) with L = [[log2E8Sql]] —
+    * no probabilities ever materialize, only counts and their
+    * eighth-bit logs, so the surface is exact across engines. The
+    * canonical corpus statistic next to [[distinctNgramReport]]:
+    * low entropy = templated/repetitive source, and entropy per
+    * source is the one-number register fingerprint [[graft.ops
+    * .Profile.jsDivergence]] compares pairwise. One (group, word)
+    * reduction with map-side partials; groups-bounded report.
+    */
+  def tokenEntropy(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("g")
+      .agg(sum("c").as("t"), count(lit(1)).as("n_distinct"))
+    counts.join(broadcast(tot), Seq("g"))
+      .withColumn("__term",
+        expr(s"c * (${log2E8Sql("t")} - ${log2E8Sql("c")})"))
+      .groupBy("g")
+      .agg(max("t").as("n_tokens"), max("n_distinct").as("n_distinct"),
+        sum("__term").as("__s"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_distinct"),
+        // through DECIMAL(38): 10⁶·Σterm exceeds int64 once a group
+        // holds ~10¹² tokens
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __s) " +
+          "div (8 * n_tokens) AS BIGINT)").as("entropy_bits_x1e6"))
+  }
+
   /** The RBO depth constants (d, 9^{d−1}, 10^{d−1}) as exact decimal
     * values — p = 9/10 kept as a RATIONAL so every p^{d−1} weight is
     * an exact integer fraction; shared by the operator's broadcast

@@ -169,6 +169,25 @@ class FunnelSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("burstiness: bursty type reads 3x Poisson, metronomic reads 0; empty hours count") {
+    import spark.implicits._
+    def ev(tpe: String, hh: Int, mm: Int) =
+      (tpe, java.sql.Timestamp.valueOf(f"2024-01-01 $hh%02d:$mm%02d:00"))
+    // X: 4 events all in hour 0; Y: one event in each of hours 0-3
+    // (Y's presence defines the 4-hour span X's empty hours fill)
+    val events = (Seq.fill(4)(0).zipWithIndex.map { case (_, i) => ev("X", 0, i) }
+      ++ (0 to 3).map(h => ev("Y", h, 30))).toDF("event_type", "ts")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Funnel.burstiness(d, "event_type", "ts")
+        .orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = run(events)
+    // X: counts [4,0,0,0] → VMR = (4·16 − 16)/(4·4) = 3.000
+    // Y: counts [1,1,1,1] → variance 0 → VMR = 0
+    assert(out.toSeq === Seq(("X", 4L, 4L, 3000L), ("Y", 4L, 4L, 0L)))
+    assert(out.toSeq === run(events.repartition(5)).toSeq)
+  }
+
   test("bayesianRates: low-traffic keys shrink toward the global prior") {
     import spark.implicits._
     val ev = (Seq.fill(4)((1L, "view")) ++ Seq((1L, "click")) ++

@@ -218,6 +218,35 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq === run(docs.repartition(5)).toSeq)
   }
 
+  test("heavyChangers: rate deltas ranked by magnitude, hand-computed") {
+    import spark.implicits._
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "a c c")).toDF("doc_id", "text")
+    val out = Profile.heavyChangers(a, b, "text", k = 3)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, "c", 0L, 2L, 0L, 666666L, -666666L),
+      (2L, "a", 2L, 1L, 666666L, 333333L, 333333L),
+      (3L, "b", 1L, 0L, 333333L, 0L, 333333L)))
+  }
+
+  test("giniIndex: 0 for uniform, (n-1)/n extreme for one-holder concentration") {
+    import spark.implicits._
+    val uniform = Seq(32L, 32L, 32L, 32L).toDF("v")
+    val g0 = Profile.giniIndex(uniform, "v", binWidth = 32).collect().head
+    assert(g0.getLong(0) === 4L && g0.getLong(2) === 0L)
+    val extreme = Seq(0L, 0L, 0L, 320L).toDF("v")
+    val g1 = Profile.giniIndex(extreme, "v", binWidth = 32).collect().head
+    assert(g1.getLong(2) === 750L)   // max for n=4: (n−1)/n
+    // partition invariance
+    val big = spark.range(0, 500).selectExpr("(id % 97) * 3 AS v")
+    val x = Profile.giniIndex(big, "v").collect().head.getLong(2)
+    val y = Profile.giniIndex(big.repartition(7), "v").collect().head.getLong(2)
+    assert(x === y)
+  }
+
   test("cohensKappa: chance-level 0, perfect 1000, inverse -1000") {
     import spark.implicits._
     def kappa(pairs: Seq[(String, String)]): Long =

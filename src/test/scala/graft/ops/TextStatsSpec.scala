@@ -417,6 +417,21 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(rbo20 - 878423L) <= 5, s"rbo20=$rbo20 vs 1−0.9^20")
   }
 
+  test("tokenEntropy: uniform 4-word distribution is exactly 2 bits; constant is 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "a b c d"), (2L, "B", "z z z z"))
+      .toDF("doc_id", "lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.tokenEntropy(d, "lang", "text")
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = run(docs)
+    // powers of two are EXACT in the Mitchell approximation: H(uniform
+    // over 4) = 2.000000 bits on the nose; a constant source is 0
+    assert(out.toSeq === Seq(("A", 4L, 4L, 2000000L), ("B", 4L, 1L, 0L)))
+    assert(out.toSeq === run(docs.repartition(3)).toSeq)
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
