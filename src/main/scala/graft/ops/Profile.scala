@@ -543,16 +543,46 @@ object Profile {
     val tp = df.where(col(truthCol) === col(predCol))
       .groupBy(col(truthCol).as("label"))
       .agg(count(lit(1)).as("tp"))
-    t.join(p, Seq("label"), "full_outer")
+    reportMetricRows(t.join(p, Seq("label"), "full_outer")
       .join(tp, Seq("label"), "left")
-      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
-      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
-        expr("CAST((1000 * tp) div greatest(n_pred, 1) AS BIGINT)")
-          .as("precision_x1000"),
-        expr("CAST((1000 * tp) div greatest(n_true, 1) AS BIGINT)")
-          .as("recall_x1000"),
-        expr("CAST((2000 * tp) div greatest(n_pred + n_true, 1) AS BIGINT)")
-          .as("f1_x1000"))
+      .na.fill(0L, Seq("n_true", "n_pred", "tp")))
+  }
+
+  /** The metric projection over a (label, n_true, n_pred, tp) counts
+    * table — shared VERBATIM by [[classificationReport]] and
+    * [[classificationReportFromCounts]] so the batch and streaming
+    * readbacks cannot drift in the PRF arithmetic.
+    */
+  private def reportMetricRows(counts: DataFrame): DataFrame =
+    counts.select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+      expr("CAST((1000 * tp) div greatest(n_pred, 1) AS BIGINT)")
+        .as("precision_x1000"),
+      expr("CAST((1000 * tp) div greatest(n_true, 1) AS BIGINT)")
+        .as("recall_x1000"),
+      expr("CAST((2000 * tp) div greatest(n_pred + n_true, 1) AS BIGINT)")
+        .as("f1_x1000"))
+
+  /** Build the [[classificationReport]]-shape report from externally
+    * accumulated per-class counts — the readback half of a STREAMING
+    * classification-quality monitor: the three count triples are
+    * additive across micro-batches (per-row stateless, like the
+    * funnel reaches), so a foreachBatch can fold (label → n_true,
+    * n_pred, tp) per trigger and emit the live report through the
+    * same [[reportMetricRows]] arithmetic the batch operator uses
+    * (differential-specced). Counts arrive as driver values —
+    * classes-bounded by construction.
+    */
+  def classificationReportFromCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      counts: Seq[(String, Long, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("label", StringType),
+      StructField("n_true", LongType), StructField("n_pred", LongType),
+      StructField("tp", LongType)))
+    reportMetricRows(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        counts.map { case (l, t, p, d) => Row(l, t, p, d) }, 1), schema))
   }
 
   /** Cohen's κ agreement between two labelers (Cohen 1960) — the

@@ -355,6 +355,42 @@ class StatefulSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming classification monitor: per-trigger count folds ≡ batch report") {
+    implicit val sqlCtx = spark.sqlContext
+    // live classifier quality against delayed truth labels: (truth,
+    // pred) pairs arrive as a stream; per-class counts fold additively
+    // across triggers, the report reads back through the SAME metric
+    // arithmetic as the batch operator
+    val stream = MemoryStream[(String, String)]
+    val acc = mutable.Map.empty[String, (Long, Long, Long)]
+    val q = stream.toDF().toDF("truth", "pred").writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+        acc.synchronized {
+          rows.foreach { case (t, p) =>
+            val (a, b, c) = acc.getOrElse(t, (0L, 0L, 0L))
+            acc(t) = (a + 1, b, if (t == p) c + 1 else c)
+            val (x, y, z) = acc.getOrElse(p, (0L, 0L, 0L))
+            acc(p) = (x, y + 1, z)
+          }
+        }
+        ()
+      }.start()
+    val batch1 = Seq(("A", "A"), ("A", "B"), ("B", "B"))
+    val batch2 = Seq(("B", "B"), ("C", "B"), ("A", "A"))
+    stream.addData(batch1: _*); q.processAllAvailable()
+    stream.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val live = graft.ops.Profile.classificationReportFromCounts(spark,
+        acc.toSeq.map { case (l, (t, p, d)) => (l, t, p, d) })
+      .orderBy("label").collect().map(_.toSeq)
+    val want = graft.ops.Profile.classificationReport(
+        (batch1 ++ batch2).toDF("truth", "pred"), "truth", "pred")
+      .orderBy("label").collect().map(_.toSeq)
+    assert(live.toSeq === want.toSeq)
+  }
+
   test("streaming near-dup: duplicates flagged within TTL, state dies after it") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.DocEvent]
