@@ -474,6 +474,7 @@ object OracleSql {
     "q188_burstiness" -> Gen.burstinessSql,
     "q189_length_gini" -> Gen.lengthGiniSql,
     "q190_token_entropy" -> Gen.tokenEntropySql,
+    "q191_dbscan" -> Gen.dbscanSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -2556,6 +2557,54 @@ object OracleSql {
          |ch AS (SELECT id, ${duckChunk("m", 1)} AS lo, ${duckChunk("m", 0)} AS hi FROM hx),
          |agg AS (SELECT id, $sums FROM ch GROUP BY id)
          |SELECT id, ($sigExpr) AS sig FROM agg ORDER BY id""".stripMargin
+    }
+
+    /** Twin of q191_dbscan: identical plane literals and 1-bit probe
+      * set, neighbor pairs by bucket join + cosine ≥ ε, the ≥ minPts
+      * degree rule, recursive-closure CC over core–core edges (q65's
+      * pattern), isolated cores self-labeling, smallest-core border
+      * assignment, noise as NULL.
+      */
+    def dbscanSql: String = {
+      val planes = VectorFns.randomHyperplanes(numBits = 8, dim = 64, seed = 42L)
+      val probes = (Seq("xor(sig, 0)") ++ (0 until 8).map(i => s"xor(sig, ${1L << i})"))
+        .mkString(", ")
+      s"""WITH RECURSIVE e AS (SELECT vec_id AS id,
+         |        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT id, v, (${sigE("v", planes)}) AS bucket FROM e),
+         |p AS (SELECT id AS qid, qv, unnest([$probes]) AS bucket
+         |      FROM (SELECT id, v AS qv, (${sigE("v", planes)}) AS sig FROM e)),
+         |nb AS (SELECT DISTINCT p.qid AS src, s.id AS dst
+         |       FROM s JOIN p ON s.bucket = p.bucket
+         |       WHERE s.id <> p.qid AND ${cosineE("s.v", "p.qv")} >= 0.55),
+         |core AS (SELECT src AS id FROM nb GROUP BY src
+         |         HAVING count(*) >= 3),
+         |ed AS (SELECT nb.src AS a, nb.dst AS b FROM nb
+         |       JOIN core c1 ON c1.id = nb.src
+         |       JOIN core c2 ON c2.id = nb.dst
+         |       WHERE nb.src < nb.dst),
+         |e2 AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e2
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e2 ON r.b = e2.a),
+         |lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |corelab AS (SELECT c.id, coalesce(l.cluster_id, c.id) AS cluster_id
+         |            FROM core c LEFT JOIN lab l ON l.id = c.id),
+         |bord AS (SELECT nb.src AS id, min(cl.cluster_id) AS cluster_id
+         |         FROM nb JOIN corelab cl ON cl.id = nb.dst
+         |         WHERE nb.src NOT IN (SELECT id FROM core)
+         |         GROUP BY nb.src)
+         |SELECT e.id AS vec_id,
+         |  CAST(coalesce(corelab.cluster_id, bord.cluster_id) AS BIGINT)
+         |    AS cluster_id,
+         |  CASE WHEN corelab.id IS NOT NULL THEN 'core'
+         |       WHEN bord.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role
+         |FROM e LEFT JOIN corelab ON corelab.id = e.id
+         |LEFT JOIN bord ON bord.id = e.id
+         |ORDER BY vec_id""".stripMargin
     }
 
     def annLshSql: String = {

@@ -3072,6 +3072,19 @@ object Queries {
     TextStats.tokenEntropy(Tables.documents(s, d), "lang", "text")
       .orderBy("lang")
 
+  /** Approximate DBSCAN ([[graft.sim.Similarity.dbscan]], Ester et
+    * al. 1996) over the embeddings — density clustering with LSH
+    * region queries: cosine-0.55 neighborhoods, minPts 3,
+    * core/border/noise roles and min-member-id cluster labels via the
+    * verified CC machinery. The twin replicates the identical plane
+    * literals, probes, degree rule, recursive closure and
+    * smallest-core border assignment.
+    */
+  val q191_dbscan: Q = (s, d) =>
+    Similarity.dbscan(Tables.embeddings(s, d), "vec_id", "embedding",
+        eps = 0.55, minPts = 3)
+      .orderBy("vec_id")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3278,5 +3291,6 @@ object Queries {
     "q187_heavy_changers" -> q187_heavy_changers,
     "q188_burstiness" -> q188_burstiness,
     "q189_length_gini" -> q189_length_gini,
-    "q190_token_entropy" -> q190_token_entropy)
+    "q190_token_entropy" -> q190_token_entropy,
+    "q191_dbscan" -> q191_dbscan)
 }

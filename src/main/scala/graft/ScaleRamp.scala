@@ -138,7 +138,8 @@ object ScaleRamp {
       "q181_discriminative_words", "q182_distinct_ngrams",
       "q183_bayesian_rates", "q184_uncertainty_sample",
       "q185_js_divergence", "q186_rank_rbo", "q187_heavy_changers",
-      "q188_burstiness", "q189_length_gini", "q190_token_entropy")
+      "q188_burstiness", "q189_length_gini", "q190_token_entropy",
+      "q191_dbscan")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

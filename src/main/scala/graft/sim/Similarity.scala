@@ -322,6 +322,79 @@ object Similarity {
       .select(col("id"), col("cell"), col("hit").isNull.as("kept"))
   }
 
+  /** Approximate DBSCAN over embeddings (Ester et al. 1996, with the
+    * ε-neighborhood generated through LSH buckets — the standard way
+    * density clustering survives corpus scale; the classical
+    * algorithm's region queries become the guarded bucket self-join).
+    * Similarity form: p and q are neighbors iff cosine(p, q) ≥ `eps`.
+    * A point with ≥ `minPts` neighbors (self excluded) is CORE; core
+    * points chain into clusters via connected components over
+    * core–core neighbor edges (min-member-id labels — the
+    * deterministic canonicalization of classical DBSCAN's
+    * order-dependent assignment); a non-core point with a core
+    * neighbor is a BORDER point of its smallest core neighbor's
+    * cluster; everything else is NOISE (null cluster). Neighbor
+    * recall is bounded by the LSH probing like every ANN operator
+    * here — the oracle twin replicates the identical buckets, so the
+    * surface stays exact.
+    *
+    * Scale shape: signature pass is map-only; the ε-join is the
+    * hot-bucket-guarded bucket join (never O(n²)); the neighbor
+    * table checkpoints once and feeds degree/edges/border; CC is the
+    * star-contraction + small-residue machinery. Emits (idCol,
+    * cluster_id, role).
+    */
+  def dbscan(df: DataFrame, idCol: String, vecCol: String,
+             eps: Double = 0.4, minPts: Int = 3, dim: Int = 64,
+             numBits: Int = 8, multiProbeBits: Int = 1, seed: Long = 42L,
+             bucketCap: Int = 10000,
+             maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(minPts >= 1, s"minPts=$minPts must be >= 1")
+    val planes = randomHyperplanes(numBits, dim, seed)
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), planes))
+    val probes: Seq[Column] = probeDeltas(numBits, multiProbeBits).map(lit)
+    val probing = base
+      .select(col("id").as("qid"), col("v").as("qv"),
+        explode(array(probes.map(p => col("bucket").bitwiseXOR(p)): _*))
+          .as("bucket"))
+    val nbr = Scale.cappedBucketJoin(base, probing, Seq("bucket"),
+        col("id"), col("qid"), bucketCap, maxBucket)
+      .where(col("id") =!= col("qid") &&
+        cosine(col("v"), col("qv")) >= eps)
+      .select(col("qid").as("src"), col("id").as("dst"))
+      .distinct()
+      .localCheckpoint()   // three consumers: degrees, edges, border
+    val core = nbr.groupBy("src").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minPts)
+      .select(col("src").as("id"))
+      .localCheckpoint()   // two consumers: edge filter, labels
+    val edges = nbr
+      .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .where(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val labels = graft.dedup.Dedup.nearDupClusters(edges)
+    val coreLab = core
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id"))
+        .as("cluster_id"))
+    val border = nbr
+      .join(core.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(coreLab.select(col("id").as("dst"), col("cluster_id")),
+        Seq("dst"))
+      .groupBy("src").agg(min("cluster_id").as("cluster_id"))
+      .select(col("src").as("id"), col("cluster_id"))
+    df.select(col(idCol).as("id"))
+      .join(coreLab.withColumnRenamed("cluster_id", "__cc"), Seq("id"), "left")
+      .join(border.withColumnRenamed("cluster_id", "__bc"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__cc"), col("__bc")).as("cluster_id"),
+        when(col("__cc").isNotNull, "core")
+          .when(col("__bc").isNotNull, "border")
+          .otherwise("noise").as("role"))
+  }
+
   // ---------------------------------------------------------------- //
   // Int8 scalar quantization (SQ) — embedding compression            //
   // ---------------------------------------------------------------- //

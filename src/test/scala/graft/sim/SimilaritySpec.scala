@@ -489,4 +489,38 @@ class SimilaritySpec extends SparkSpec {
       "label", k = 3, dim = 4, numBits = 4).orderBy("vec_id").collect()
     assert(a.toSeq === b.toSeq && a.nonEmpty)
   }
+
+  test("dbscan: core/border/noise roles on a hand-laid geometry (exact coverage)") {
+    // numBits=1 with a 1-bit probe covers BOTH buckets — neighbor
+    // search is exhaustive, so the ε-graph is pure geometry at
+    // ε=0.995 ≈ cos 5.7°: the chain −4° ← 0° ← 4° ← 9° has edges at
+    // 4°/4°/5°; the ±4° pair (8°) and 0°–9° (9°) fail; 90° is alone.
+    // Degrees: 1↔{2,3}, 2↔{1,4} ⇒ cores {1,2}; CC merges them into
+    // cluster 1; 3 and 4 are borders of their core neighbors; 5 noise
+    def vec(thetaDeg: Double): Array[Float] = {
+      val t = math.toRadians(thetaDeg)
+      Array(math.cos(t).toFloat, math.sin(t).toFloat, 0f, 0f)
+    }
+    val emb = Seq((1L, vec(0)), (2L, vec(4)), (3L, vec(-4)),
+      (4L, vec(9)), (5L, vec(90))).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.dbscan(d, "vec_id", "embedding", eps = 0.995, minPts = 2,
+          dim = 4, numBits = 1, multiProbeBits = 1)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    val out = run(emb)
+    assert(out.toSeq === Seq(
+      (1L, 1L, "core"),
+      (2L, 1L, "core"),
+      (3L, 1L, "border"),
+      (4L, 1L, "border"),
+      (5L, -1L, "noise")))
+    assert(out.toSeq === run(emb.repartition(4)).toSeq)
+    // raising minPts to 3 demotes everything: no point has 3 neighbors
+    val strict = Similarity.dbscan(emb, "vec_id", "embedding", eps = 0.995,
+        minPts = 3, dim = 4, numBits = 1, multiProbeBits = 1)
+      .collect()
+    assert(strict.forall(r => r.getString(2) == "noise" && r.isNullAt(1)))
+  }
 }
