@@ -475,6 +475,7 @@ object OracleSql {
     "q189_length_gini" -> Gen.lengthGiniSql,
     "q190_token_entropy" -> Gen.tokenEntropySql,
     "q191_dbscan" -> Gen.dbscanSql,
+    "q192_cbor_decode" -> Gen.cborDecodeSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1813,6 +1814,28 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id, ref_id""".stripMargin
+
+    /** Twin of q192_cbor_decode: the record is a pure function of
+      * doc_id, so the twin restates every decoded field — including
+      * the full JSON rendering, character for character — from the
+      * closed form the fixture encoder used.
+      */
+    def cborDecodeSql: String =
+      s"""WITH base AS (SELECT doc_id, doc_id % 13 + 1 AS n,
+         |        doc_id % 4 + 1 AS ntags FROM documents),
+         |r AS (SELECT doc_id, n, CAST(ntags AS BIGINT) AS n_tags,
+         |        'rec-' || CAST(doc_id AS VARCHAR) AS name,
+         |        doc_id % 2 = 0 AS ok,
+         |        array_to_string(['"t' || CAST((doc_id + i) % 7 AS VARCHAR)
+         |          || '"' for i in range(0, ntags)], ',') AS tagjson
+         |      FROM base)
+         |SELECT doc_id, doc_id AS id_field, CAST(n AS BIGINT) AS n_field,
+         |  n_tags, name, ok,
+         |  '{"id":' || CAST(doc_id AS VARCHAR) || ',"n":' ||
+         |    CAST(n AS VARCHAR) || ',"tags":[' || tagjson || '],"name":"' ||
+         |    name || '","ok":' || CASE WHEN ok THEN 'true' ELSE 'false' END
+         |    || '}' AS json
+         |FROM r ORDER BY doc_id""".stripMargin
 
     /** Twin of q187_heavy_changers: same per-half counts, ppm rates
       * and |Δppm| ranking (window where Spark uses the bounded heap).

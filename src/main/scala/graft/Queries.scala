@@ -3085,6 +3085,52 @@ object Queries {
         eps = 0.55, minPts = 3)
       .orderBy("vec_id")
 
+  /** CBOR decode ([[graft.formats.CborCodec]], RFC 8949): per doc a
+    * telemetry-record map is CBOR-ENCODED (shortest-form ints, the
+    * spec's preferred serialization) then DECODED back — typed field
+    * extraction plus the full deterministic JSON rendering, which the
+    * DuckDB twin reconstructs character-for-character from the
+    * closed-form record definition: a hash match certifies the whole
+    * decode tree (map order, nesting, string escapes, booleans).
+    * Map-only O(bytes) per record; the wire layer is certified
+    * independently against RFC 8949 Appendix A vectors in
+    * `CborCodecSpec`.
+    */
+  val q192_cbor_decode: Q = (s, d) => {
+    import graft.formats.CborCodec
+    import graft.formats.CborCodec._
+    val synth = udf((id: Long) => CborCodec.testRecord(id))
+    val dec = udf((b: Array[Byte]) => {
+      val v = CborCodec.decode(b)
+      if (v == null) null
+      else {
+        val idv = CborCodec.mapGet(v, "id") match {
+          case CInt(x) => x; case _ => -1L
+        }
+        val n = CborCodec.mapGet(v, "n") match {
+          case CInt(x) => x; case _ => -1L
+        }
+        val tags = CborCodec.mapGet(v, "tags") match {
+          case CArr(xs) => xs.length.toLong; case _ => -1L
+        }
+        val name = CborCodec.mapGet(v, "name") match {
+          case CText(x) => x; case _ => null
+        }
+        val ok = CborCodec.mapGet(v, "ok") match {
+          case CBool(x) => x; case _ => false
+        }
+        (idv, n, tags, name, ok, CborCodec.toJson(v))
+      }
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), dec(synth(col("doc_id"))).as("r"))
+      .select(col("doc_id"), col("r._1").as("id_field"),
+        col("r._2").as("n_field"), col("r._3").as("n_tags"),
+        col("r._4").as("name"), col("r._5").as("ok"),
+        col("r._6").as("json"))
+      .orderBy("doc_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3292,5 +3338,6 @@ object Queries {
     "q188_burstiness" -> q188_burstiness,
     "q189_length_gini" -> q189_length_gini,
     "q190_token_entropy" -> q190_token_entropy,
-    "q191_dbscan" -> q191_dbscan)
+    "q191_dbscan" -> q191_dbscan,
+    "q192_cbor_decode" -> q192_cbor_decode)
 }
