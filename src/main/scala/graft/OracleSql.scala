@@ -476,6 +476,10 @@ object OracleSql {
     "q190_token_entropy" -> Gen.tokenEntropySql,
     "q191_dbscan" -> Gen.dbscanSql,
     "q192_cbor_decode" -> Gen.cborDecodeSql,
+    "q193_bm25_index" -> Gen.bm25IndexSql,
+    // the probe path scores through the shared emitters, so q109's
+    // ground truth pins probe ≡ per-query per round
+    "q194_bm25_probe" -> Gen.bm25Sql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4195,6 +4199,23 @@ object OracleSql {
          |          CAST(min(dl) AS BIGINT) AS n_tokens
          |        FROM rowsc GROUP BY doc_id)""".stripMargin
     }
+
+    /** Twin of q193_bm25_index: full-vocabulary document frequencies
+      * + corpus stats from the same token emitters.
+      */
+    def bm25IndexSql: String =
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |dlt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM wd),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(greatest(SUM(dl) // count(*), 1) AS BIGINT) AS avdl
+         |       FROM dlt),
+         |tok AS (SELECT doc_id, unnest(w) AS t FROM wd),
+         |po AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY t, doc_id),
+         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM po GROUP BY t)
+         |SELECT dfq.t, dfq.df, st.n_docs, st.avdl
+         |FROM dfq CROSS JOIN st
+         |ORDER BY t""".stripMargin
 
     def bm25Sql: String =
       bm25Ctes + s"""

@@ -123,6 +123,9 @@ object PlanAudit {
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
     "q181_discriminative_words",
+    // ONE-row (n_docs, avdl) stats cross-joined into the vocab-
+    // bounded df table / the probe scoring rows — q109's shape
+    "q193_bm25_index", "q194_bm25_probe",
     // ONE-row global prior p0 cross-joined into the per-key rate
     // table — broadcast scalar by design
     "q183_bayesian_rates",

@@ -3131,6 +3131,45 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Persisted BM25 index build
+    * ([[graft.ops.TextStats.bm25IndexBuild]]): the document-frequency
+    * table + corpus stats of the full-vocabulary inverted index —
+    * pinning df and (n_docs, avdl) pins the idf and length
+    * normalization every future probe computes (the postings are
+    * pinned transitively through q194's probe ≡ q109 equivalence).
+    * Vocabulary-bounded output.
+    */
+  val q193_bm25_index: Q = (s, d) => {
+    val index = TextStats.bm25IndexBuild(Tables.documents(s, d),
+      "doc_id", "text")
+    index.dfreq.crossJoin(broadcast(index.stats))
+      .select(col("t"), col("df"), col("n_docs"), col("avdl"))
+      .orderBy("t")
+  }
+
+  /** BM25 through the PERSISTED-index probe path
+    * ([[graft.ops.TextStats.bm25Probe]] against q193's index) with
+    * q109's term selection: build once, probe any term set forever —
+    * the retrieval deployment shape. The scoring expressions are
+    * SHARED emitters with the per-query [[graft.ops.TextStats.bm25]],
+    * and the oracle twin is q109's chain VERBATIM, pinning
+    * probe ≡ per-query ≡ DuckDB per round.
+    */
+  val q194_bm25_probe: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(explode(TextFns.tokens(col("text"))).as("t"))
+      .where(length(col("t")) >= 5)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("t")).limit(4)
+    val index = TextStats.bm25IndexBuild(docs, "doc_id", "text")
+    TextStats.bm25Probe(index, terms, "t", 100)
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_terms_hit"), col("bm25_x"))
+      .orderBy(desc("bm25_x"), col("doc_id"))
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3339,5 +3378,7 @@ object Queries {
     "q189_length_gini" -> q189_length_gini,
     "q190_token_entropy" -> q190_token_entropy,
     "q191_dbscan" -> q191_dbscan,
-    "q192_cbor_decode" -> q192_cbor_decode)
+    "q192_cbor_decode" -> q192_cbor_decode,
+    "q193_bm25_index" -> q193_bm25_index,
+    "q194_bm25_probe" -> q194_bm25_probe)
 }

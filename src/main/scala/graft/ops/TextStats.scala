@@ -211,6 +211,28 @@ object TextStats {
     * broadcast tables onto the tf rows; top-k is a TakeOrdered (O(k)
     * per partition, no global sort materialization).
     */
+  /** The BM25 scoring expressions — shared VERBATIM by [[bm25]] and
+    * [[bm25Probe]] so the per-query path and the persisted-index path
+    * cannot drift in the arithmetic. Operate over columns (tf, df,
+    * dl, n_docs, avdl).
+    */
+  private def bm25QExpr: String = {
+    val two20 = s"CAST(${1L << LmShift} AS BIGINT)"
+    s"greatest((CAST((2 * n_docs) - (2 * df) + 1 AS DECIMAL(38,0)) " +
+      s"* ${1L << LmShift}) div ((2 * df) + 1), $two20)"
+  }
+  private val Bm25TfnExpr =
+    "(22000 * tf * avdl) div ((10 * tf * avdl) + (3 * avdl) + (9 * dl))"
+
+  private def bm25Score(tfRows: DataFrame): DataFrame =
+    tfRows
+      .withColumn("q", expr(bm25QExpr))
+      .withColumn("idf_e8", expr(s"${mitchellE8Sql("q")} - ${8 * LmShift}"))
+      .withColumn("tfn_x1000", expr(Bm25TfnExpr))
+      .groupBy("__id")
+      .agg(sum(expr("idf_e8 * tfn_x1000")).as("bm25_x"),
+        count(lit(1)).as("n_terms_hit"), min(col("dl")).as("n_tokens"))
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: DataFrame, termCol: String, carry: Seq[String] = Seq.empty,
            k: Int = 100): DataFrame = {
@@ -224,26 +246,89 @@ object TextStats {
     val tf = tok.join(broadcast(terms.select(col(termCol).as("t"))), "t")
       .groupBy("__id", "t").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    val two20 = s"CAST(${1L << LmShift} AS BIGINT)"
-    val scored = tf
+    val scored = bm25Score(tf
       .join(broadcast(dfreq), "t")
       .join(dl, "__id")
-      .crossJoin(broadcast(stats))
-      .withColumn("q", expr(
-        s"greatest((CAST((2 * n_docs) - (2 * df) + 1 AS DECIMAL(38,0)) " +
-          s"* ${1L << LmShift}) div ((2 * df) + 1), $two20)"))
-      .withColumn("idf_e8", expr(s"${mitchellE8Sql("q")} - ${8 * LmShift}"))
-      .withColumn("tfn_x1000", expr(
-        "(22000 * tf * avdl) div ((10 * tf * avdl) + (3 * avdl) + (9 * dl))"))
-      .groupBy("__id")
-      .agg(sum(expr("idf_e8 * tfn_x1000")).as("bm25_x"),
-        count(lit(1)).as("n_terms_hit"), min(col("dl")).as("n_tokens"))
+      .crossJoin(broadcast(stats)))
     scored
       .join(toks.select(col("__id") +: carry.map(col): _*), "__id")
       .orderBy(desc("bm25_x"), col("__id"))
       .limit(k)
       .select(col("__id").as(idCol) +: carry.map(col) :+
         col("n_tokens") :+ col("n_terms_hit") :+ col("bm25_x"): _*)
+  }
+
+  /** Persisted BM25 search index — build once over the corpus, probe
+    * with ANY term set forever (the retrieval deployment shape; the
+    * per-query [[bm25]] rescans the corpus per term list). Four
+    * parquet-persistable tables: full-vocabulary postings
+    * (t, id, tf), document frequencies (t, df), document lengths
+    * (id, dl), and the 1-row (n_docs, avdl) stats. Like
+    * [[graft.dedup.Dedup.SetSimIndex]], the index is the fold target
+    * of the build-once/probe-daily lifecycle.
+    */
+  final case class Bm25Index(postings: DataFrame, dfreq: DataFrame,
+                             dl: DataFrame, stats: DataFrame) {
+    def save(dir: String): Unit = {
+      postings.write.mode("overwrite").parquet(s"$dir/postings")
+      dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+      dl.write.mode("overwrite").parquet(s"$dir/dl")
+      stats.write.mode("overwrite").parquet(s"$dir/stats")
+    }
+  }
+
+  object Bm25Index {
+    def load(spark: org.apache.spark.sql.SparkSession,
+             dir: String): Bm25Index =
+      Bm25Index(spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/dfreq"),
+        spark.read.parquet(s"$dir/dl"),
+        spark.read.parquet(s"$dir/stats"))
+  }
+
+  /** Build the [[Bm25Index]]: one token explode → (id, t, tf)
+    * postings with map-side partials; df and dl fold off the same
+    * pass; the scalar stats broadcast at probe time. Index size is
+    * the distinct (doc, term) incidence — the classical inverted
+    * index without positions.
+    */
+  def bm25IndexBuild(docs: DataFrame, idCol: String,
+                     textCol: String): Bm25Index = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextFns.tokens(col(textCol)).as("w"))
+    val dl = toks.select(col("id"), size(col("w")).cast("bigint").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+      .select(col("n_docs"),
+        expr("greatest(tot div n_docs, CAST(1 AS BIGINT))").as("avdl"))
+    val postings = toks.select(col("id"), explode(col("w")).as("t"))
+      .groupBy("t", "id").agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("t").agg(count(lit(1)).as("df"))
+    Bm25Index(postings, dfreq, dl, stats)
+  }
+
+  /** Probe a persisted [[Bm25Index]] with a term set: postings for
+    * the probe terms join the broadcast term list (partition-pruned
+    * at 100 TB when the postings are written bucketed/sorted by
+    * term), then the IDENTICAL scoring expressions as [[bm25]]
+    * (shared emitters — specced row-for-row equal). Returns the
+    * [[bm25]] schema: (id, n_tokens, n_terms_hit, bm25_x), top-k.
+    */
+  def bm25Probe(index: Bm25Index, terms: DataFrame, termCol: String,
+                k: Int = 100): DataFrame = {
+    // df rows for the PROBE terms only — never broadcast the full
+    // vocabulary table
+    val qdf = index.dfreq
+      .join(broadcast(terms.select(col(termCol).as("t"))), "t")
+    val scored = bm25Score(index.postings
+      .join(broadcast(qdf), "t")
+      .withColumnRenamed("id", "__id")
+      .join(index.dl.withColumnRenamed("id", "__id"), "__id")
+      .crossJoin(broadcast(index.stats)))
+    scored
+      .orderBy(desc("bm25_x"), col("__id"))
+      .limit(k)
+      .select(col("__id").as("id"), col("n_tokens"), col("n_terms_hit"),
+        col("bm25_x"))
   }
 
   /** A trained bigram LM as two mergeable tables:

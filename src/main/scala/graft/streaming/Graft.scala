@@ -62,6 +62,20 @@ object Graft {
   def custom(records: DataFrame, decoder: Column => Column): Pipeline =
     withResult(records, decoder(col("value")), "custom decode failed")
 
+  /** CBOR value decode ([[graft.formats.CborCodec]], RFC 8949 core) to
+    * the deterministic JSON rendering, then the given schema through
+    * the JSON path — CBOR topics get the same Result-column error
+    * capture as JSON ones (a null rendering = out-of-subset/poison
+    * bytes = error row, never a crash).
+    */
+  def cbor(records: DataFrame, schemaDdl: String): Pipeline = {
+    val render = udf((b: Array[Byte]) =>
+      graft.formats.CborCodec.toJson(graft.formats.CborCodec.decode(b)))
+    json(records.withColumn("value",
+      encode(coalesce(render(col("value")), lit("not valid CBOR")), "UTF-8")),
+      schemaDdl)
+  }
+
   /** Fixed wire-prefix strip before decode (`Stream.skipBytes`);
     * compose as `Graft.avro(Graft.skipBytes(df, 5), schema)`.
     */

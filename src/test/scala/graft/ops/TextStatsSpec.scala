@@ -432,6 +432,35 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === run(docs.repartition(3)).toSeq)
   }
 
+  test("Bm25Index: parquet round trip; probe ≡ per-query bm25 row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, desc}
+    val docs = (1L to 40L).map(i =>
+      (i, (0 to 10).map(j => s"word${(i * 3 + j * 5) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val terms = Seq("word0", "word3", "word7").toDF("t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    TextStats.bm25IndexBuild(docs, "doc_id", "text").save(dir)
+    val loaded = TextStats.Bm25Index.load(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(desc("bm25_x"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val probe = rows(TextStats.bm25Probe(loaded, terms, "t", 100))
+    val direct = TextStats.bm25(docs, "doc_id", "text", terms, "t",
+        Seq.empty, 100)
+      .select(col("doc_id").as("id"), col("n_tokens"), col("n_terms_hit"),
+        col("bm25_x"))
+    assert(probe.toSeq === rows(direct).toSeq)
+    assert(probe.nonEmpty)
+    // the index is query-independent: a DIFFERENT term set probes the
+    // same persisted tables and still matches the per-query scorer
+    val terms2 = Seq("word1", "word8").toDF("t")
+    assert(rows(TextStats.bm25Probe(loaded, terms2, "t", 100)).toSeq ===
+      rows(TextStats.bm25(docs, "doc_id", "text", terms2, "t", Seq.empty, 100)
+        .select(col("doc_id").as("id"), col("n_tokens"),
+          col("n_terms_hit"), col("bm25_x"))).toSeq)
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +

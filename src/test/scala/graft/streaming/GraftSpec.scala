@@ -68,6 +68,23 @@ class GraftSpec extends SparkSpec {
     assert(out.select("res.value.n").as[Long].collect().head === 99L)
   }
 
+  test("cbor entry: RFC 8949 records decode through the JSON path; poison errors") {
+    import graft.formats.CborCodec
+    import graft.formats.CborCodec._
+    val good = CborCodec.encode(CMap(Vector(
+      CText("k") -> CInt(5), CText("who") -> CText("iot-7"))))
+    val small = CborCodec.encode(CMap(Vector(CText("k") -> CInt(1))))
+    val df = Seq(rec("t", good), rec("t", small),
+      rec("t", Array[Byte](0xFF.toByte, 0x00))).toDF()
+    val out = Graft.cbor(df, "k BIGINT, who STRING")
+      .filter(col("res.error").isNotNull || col("res.value.k") > 2)
+      .toDF
+    val (passed, failed) = Dlq.split(out, col("res.error"))
+    val p = passed.select("res.value.k", "res.value.who").collect()
+    assert(p.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((5L, "iot-7")))
+    assert(failed.count() === 1)
+  }
+
   test("bytes entry: passthrough, never fails") {
     val df = Seq(rec("t", Array[Byte](1, 2, 3))).toDF()
     val out = Graft.bytes(df).toDF
