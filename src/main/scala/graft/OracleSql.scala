@@ -480,6 +480,7 @@ object OracleSql {
     // the probe path scores through the shared emitters, so q109's
     // ground truth pins probe ≡ per-query per round
     "q194_bm25_probe" -> Gen.bm25Sql,
+    "q195_percolate" -> Gen.percolateSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4199,6 +4200,32 @@ object OracleSql {
          |          CAST(min(dl) AS BIGINT) AS n_tokens
          |        FROM rowsc GROUP BY doc_id)""".stripMargin
     }
+
+    /** Twin of q195_percolate: the same literal standing queries, the
+      * same per-doc-distinct token join and min-match filter.
+      */
+    def percolateSql: String =
+      s"""WITH q(query_id, terms, min_match) AS (VALUES
+         |  (1, ['table', 'row', 'scan'], 2),
+         |  (2, ['fast', 'slow'], 1),
+         |  (3, ['query', 'window', 'sort'], 2),
+         |  (4, ['zebra', 'xylophone'], 1)),
+         |po AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |         CAST(min_match AS BIGINT) AS min_match,
+         |         CAST(len(list_distinct(terms)) AS BIGINT) AS n_terms,
+         |         unnest(list_distinct(terms)) AS t
+         |       FROM q),
+         |tk AS (SELECT doc_id, unnest(list_distinct(${tokensE("text")})) AS t
+         |       FROM documents),
+         |m AS (SELECT tk.doc_id, po.query_id,
+         |        CAST(count(*) AS BIGINT) AS n_matched,
+         |        CAST(max(po.min_match) AS BIGINT) AS min_match,
+         |        CAST(max(po.n_terms) AS BIGINT) AS n_terms
+         |      FROM tk JOIN po USING (t)
+         |      GROUP BY tk.doc_id, po.query_id)
+         |SELECT doc_id, query_id, n_matched, min_match, n_terms
+         |FROM m WHERE n_matched >= min_match
+         |ORDER BY doc_id, query_id""".stripMargin
 
     /** Twin of q193_bm25_index: full-vocabulary document frequencies
       * + corpus stats from the same token emitters.

@@ -3170,6 +3170,27 @@ object Queries {
       .orderBy(desc("bm25_x"), col("doc_id"))
   }
 
+  /** Standing-query percolation ([[graft.ops.TextStats.percolate]],
+    * the Elasticsearch-percolator reverse search): four registered
+    * term-set queries with min-match thresholds, every doc streamed
+    * through them — the alerting shape ("notify when a doc mentioning
+    * ≥2 of {table, row, scan} arrives"). Broadcast query postings,
+    * one distinct-token explode, (doc, query)-keyed count; per-doc
+    * stateless ⇒ the identical operator serves foreachBatch.
+    */
+  val q195_percolate: Q = (s, d) => {
+    val standing = s.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array('table', 'row', 'scan'), 2L),
+        |  (2L, array('fast', 'slow'), 1L),
+        |  (3L, array('query', 'window', 'sort'), 2L),
+        |  (4L, array('zebra', 'xylophone'), 1L)
+        |  AS q(query_id, terms, min_match)""".stripMargin)
+    TextStats.percolate(Tables.documents(s, d), "doc_id", "text",
+        standing, "query_id", "terms", "min_match")
+      .orderBy("doc_id", "query_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3380,5 +3401,6 @@ object Queries {
     "q191_dbscan" -> q191_dbscan,
     "q192_cbor_decode" -> q192_cbor_decode,
     "q193_bm25_index" -> q193_bm25_index,
-    "q194_bm25_probe" -> q194_bm25_probe)
+    "q194_bm25_probe" -> q194_bm25_probe,
+    "q195_percolate" -> q195_percolate)
 }

@@ -743,6 +743,42 @@ object TextStats {
           .otherwise(lit(0L)))
   }
 
+  /** Percolation — standing-query reverse search (the Elasticsearch
+    * percolator shape): documents stream THROUGH a registered query
+    * table instead of queries hitting an index. Each standing query
+    * is (query_id, terms array, min_match); a document alerts on a
+    * query when ≥ min_match of the query's DISTINCT terms appear in
+    * its token set. Emits one alert row per (doc, query) match:
+    * (id, query_id, n_matched, min_match, n_terms).
+    *
+    * Scale shape: the query table explodes to (term → query) postings
+    * and BROADCASTS (standing queries are small by nature — an
+    * alerting config, not a corpus); each doc then costs one
+    * distinct-token explode + a broadcast join + one (doc, query)
+    * count — map-side partial, no corpus shuffle. Per-doc stateless ⇒
+    * the same operator percolates a batch corpus or each streaming
+    * micro-batch inside `foreachBatch` (differential-specced).
+    */
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, queryIdCol: String,
+                termsCol: String, minMatchCol: String): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        array_distinct(col(termsCol)).as("__ts"),
+        col(minMatchCol).cast("bigint").as("min_match"))
+      .withColumn("n_terms", size(col("__ts")).cast("bigint"))
+    val postings = q.select(col("query_id"), col("min_match"),
+      col("n_terms"), explode(col("__ts")).as("t"))
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("t"))
+      .join(broadcast(postings), Seq("t"))
+      .groupBy("id", "query_id")
+      .agg(count(lit(1)).as("n_matched"), max("min_match").as("min_match"),
+        max("n_terms").as("n_terms"))
+      .where(col("n_matched") >= col("min_match"))
+      .select(col("id").as(idCol), col("query_id"), col("n_matched"),
+        col("min_match"), col("n_terms"))
+  }
+
   /** Shannon entropy of each group's word distribution, in exact
     * integer micro-bits: H = Σ (c/t)·log₂(t/c) evaluates as
     * (10⁶ · Σ c·(L(t) − L(c))) div (8·t) with L = [[log2E8Sql]] —

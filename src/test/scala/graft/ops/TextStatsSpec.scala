@@ -461,6 +461,32 @@ class TextStatsSpec extends SparkSpec {
           col("n_terms_hit"), col("bm25_x"))).toSeq)
   }
 
+  test("percolate: min-match semantics hand-computed, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the table row was scanned"),   // matches q1? terms {table,row,scan}: has table,row — scan≠scanned → 2 ≥ 2 ✓
+      (2L, "a fast run"),                  // q2: fast → 1 ≥ 1 ✓
+      (3L, "nothing relevant here"),       // no alerts
+      (4L, "table table table"))           // q1: only 'table' distinct → 1 < 2 ✗
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      (1L, Seq("table", "row", "scan"), 2L),
+      (2L, Seq("fast", "slow"), 1L)).toDF("query_id", "terms", "min_match")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.percolate(d, "doc_id", "text", queries,
+          "query_id", "terms", "min_match")
+        .orderBy("doc_id", "query_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    val out = run(docs)
+    assert(out.toSeq === Seq((1L, 1L, 2L, 2L, 3L), (2L, 2L, 1L, 1L, 2L)))
+    assert(out.toSeq === run(docs.repartition(3)).toSeq)
+    // duplicate terms in a registered query don't double-count
+    val dup = Seq((9L, Seq("fast", "fast"), 2L)).toDF("query_id", "terms", "min_match")
+    assert(TextStats.percolate(docs, "doc_id", "text", dup,
+      "query_id", "terms", "min_match").count() === 0)
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +

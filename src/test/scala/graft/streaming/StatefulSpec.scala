@@ -391,6 +391,34 @@ class StatefulSpec extends SparkSpec {
     assert(live.toSeq === want.toSeq)
   }
 
+  test("streaming percolation: per-trigger standing-query alerts ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val queries = Seq((1L, Seq("alert", "fire"), 1L),
+      (2L, Seq("ok", "fine", "calm"), 2L)).toDF("query_id", "terms", "min_match")
+    val stream = MemoryStream[(Long, String)]
+    val alerts = mutable.Buffer.empty[(Long, Long, Long)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val rows = graft.ops.TextStats.percolate(df, "doc_id", "text",
+            queries, "query_id", "terms", "min_match")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        alerts.synchronized { alerts ++= rows }
+        ()
+      }.start()
+    val docs = Seq((1L, "fire in the logs"), (2L, "all ok and calm today"),
+      (3L, "nothing"), (4L, "ok alert fine"))
+    stream.addData(docs.take(2): _*); q.processAllAvailable()
+    stream.addData(docs.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val batch = graft.ops.TextStats.percolate(docs.toDF("doc_id", "text"),
+        "doc_id", "text", queries, "query_id", "terms", "min_match")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(alerts.sortBy(x => (x._1, x._2)).toSeq ===
+      batch.sortBy(x => (x._1, x._2)).toSeq)
+    assert(alerts.nonEmpty)
+  }
+
   test("streaming near-dup: duplicates flagged within TTL, state dies after it") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Stateful.DocEvent]
