@@ -481,6 +481,7 @@ object OracleSql {
     // ground truth pins probe ≡ per-query per round
     "q194_bm25_probe" -> Gen.bm25Sql,
     "q195_percolate" -> Gen.percolateSql,
+    "q196_seasonal_anomalies" -> Gen.seasonalAnomaliesSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4200,6 +4201,34 @@ object OracleSql {
          |          CAST(min(dl) AS BIGINT) AS n_tokens
          |        FROM rowsc GROUP BY doc_id)""".stripMargin
     }
+
+    /** Twin of q196_seasonal_anomalies: same (type, date, hour) grid
+      * with zero fills, same per-slot quantile_cont median/MAD and
+      * 3·MAD flag.
+      */
+    def seasonalAnomaliesSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |        date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         |        CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod
+         |      FROM events),
+         |c AS (SELECT et, d, hod, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, d, hod),
+         |types AS (SELECT DISTINCT et FROM c),
+         |dates AS (SELECT DISTINCT d FROM c),
+         |hods AS (SELECT CAST(unnest(range(0, 24)) AS INT) AS hod),
+         |g AS (SELECT t.et, dt.d, h.hod, coalesce(c.x, 0) AS x
+         |      FROM types t CROSS JOIN dates dt CROSS JOIN hods h
+         |      LEFT JOIN c ON c.et = t.et AND c.d = dt.d AND c.hod = h.hod),
+         |m AS (SELECT et, hod, quantile_cont(x, 0.5) AS med
+         |      FROM g GROUP BY et, hod),
+         |st AS (SELECT g.et, g.hod, min(m.med) AS med,
+         |         quantile_cont(abs(g.x - m.med), 0.5) AS mad
+         |       FROM g JOIN m USING (et, hod) GROUP BY g.et, g.hod)
+         |SELECT g.et AS event_type, g.d AS date, g.hod, g.x,
+         |  st.med, st.mad,
+         |  (abs(g.x - st.med) > 3 * st.mad) AS is_anomaly
+         |FROM g JOIN st USING (et, hod)
+         |ORDER BY event_type, date, hod""".stripMargin
 
     /** Twin of q195_percolate: the same literal standing queries, the
       * same per-doc-distinct token join and min-match filter.

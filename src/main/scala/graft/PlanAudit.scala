@@ -142,7 +142,10 @@ object PlanAudit {
     "q187_heavy_changers",
     // types × hour-span grid: the span-bounded hour list broadcast
     // under each type — the q155 union-grid shape
-    "q188_burstiness")
+    "q188_burstiness",
+    // types × dates × 24-hour grid from broadcast dimension lists —
+    // span-bounded, q188's shape with a day axis
+    "q196_seasonal_anomalies")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -3191,6 +3191,19 @@ object Queries {
       .orderBy("doc_id", "query_id")
   }
 
+  /** Seasonal-naive arrival anomalies
+    * ([[graft.ops.Funnel.seasonalAnomalies]]): every (type, date,
+    * hour-of-day) cell of the 30-day events grid against its slot's
+    * median across dates, 3·MAD robust band, empty cells zero-filled
+    * — the pipeline-ops monitor that catches both spikes AND silent
+    * hours. Exact-interpolation percentile ≡ quantile_cont (the
+    * q55/q140 parity).
+    */
+  val q196_seasonal_anomalies: Q = (s, d) =>
+    graft.ops.Funnel.seasonalAnomalies(Tables.events(s, d), "event_type",
+        "ts")
+      .orderBy("event_type", "date", "hod")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3402,5 +3415,6 @@ object Queries {
     "q192_cbor_decode" -> q192_cbor_decode,
     "q193_bm25_index" -> q193_bm25_index,
     "q194_bm25_probe" -> q194_bm25_probe,
-    "q195_percolate" -> q195_percolate)
+    "q195_percolate" -> q195_percolate,
+    "q196_seasonal_anomalies" -> q196_seasonal_anomalies)
 }

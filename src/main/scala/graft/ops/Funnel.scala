@@ -130,6 +130,48 @@ object Funnel {
     reportRows(counts, steps)
   }
 
+  /** Seasonal-naive anomaly report over event arrivals: per (type,
+    * date, hour-of-day) cell the observed count against that (type,
+    * hour-of-day) slot's MEDIAN across the observed dates, flagged
+    * when |x − med| > k·MAD — the robust "is 3 AM Tuesday unusually
+    * loud" monitor (seasonal-naive baseline + the q140 median/MAD
+    * robust band; means/σ would let one incident poison its own
+    * baseline). EMPTY cells count as zero observations over the full
+    * (type × date × hour) grid — a silent hour is an anomaly too if
+    * that slot is normally busy.
+    *
+    * Scale shape: one (type, date, hour) count reduction from the
+    * corpus (map-side partial); the grid is types × dates × 24 —
+    * span-bounded, built from broadcast dimension lists; the
+    * median/MAD aggregations run over that bounded grid.
+    */
+  def seasonalAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+                        k: Int = 3): DataFrame = {
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"),
+        hour(col(tsCol)).as("hod"))
+      .groupBy("et", "d", "hod").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val types = c.select("et").distinct()
+    val dates = c.select("d").distinct()
+    val hods = df.sparkSession.range(0, 24)
+      .select(col("id").cast("int").as("hod"))
+    val grid = types.crossJoin(broadcast(dates))
+      .crossJoin(broadcast(hods))
+      .join(c, Seq("et", "d", "hod"), "left")
+      .na.fill(0L, Seq("x"))
+    val med = grid.groupBy("et", "hod")
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val mad = grid.join(med, Seq("et", "hod"))
+      .groupBy("et", "hod")
+      .agg(min("med").as("med"),
+        expr("percentile(abs(x - med), 0.5)").as("mad"))
+    grid.join(broadcast(mad), Seq("et", "hod"))
+      .select(col("et").as(typeCol), col("d").as("date"), col("hod"),
+        col("x"), col("med"), col("mad"),
+        (abs(col("x") - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
+  }
+
   /** Arrival burstiness per event type — the index of dispersion
     * (variance-to-mean ratio of per-hour counts over the corpus's
     * hour span, EMPTY hours included: a type that fires once an hour

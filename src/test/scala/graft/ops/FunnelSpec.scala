@@ -188,6 +188,30 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(events.repartition(5)).toSeq)
   }
 
+  test("seasonalAnomalies: spike and SILENT-hour cells flag; quiet slots don't") {
+    import spark.implicits._
+    def ev(tpe: String, day: Int, hh: Int, i: Int) =
+      (tpe, java.sql.Timestamp.valueOf(f"2024-01-0$day $hh%02d:${i % 60}%02d:00"))
+    // X hour 0: 2 / 2 / 9 across three days → day-3 spike (med 2, mad 0)
+    // Y hour 1: 5 / 5 / silent → day-3 silence is the anomaly
+    val events = (
+      (1 to 2).flatMap(dy => (0 until 2).map(i => ev("X", dy, 0, i))) ++
+        (0 until 9).map(i => ev("X", 3, 0, i)) ++
+        (1 to 2).flatMap(dy => (0 until 5).map(i => ev("Y", dy, 1, i))) ++
+        Seq(ev("Y", 3, 5, 0))   // keeps day 3 in Y's date list
+      ).toDF("event_type", "ts")
+    val out = graft.ops.Funnel.seasonalAnomalies(events, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+        r.getInt(2), r.getLong(3), r.getBoolean(6)))
+    val anomalies = out.filter(_._5).toSet.map(
+      (t: (String, String, Int, Long, Boolean)) => (t._1, t._2, t._3, t._4))
+    assert(anomalies.contains(("X", "2024-01-03", 0, 9L)), "spike flags")
+    assert(anomalies.contains(("Y", "2024-01-03", 1, 0L)), "silence flags")
+    // steady cells and all-zero slots never flag
+    assert(!out.exists(r => r._5 && r._1 == "X" && r._2 != "2024-01-03"))
+    assert(out.count(_._5) <= 4, s"only genuine cells flag: ${out.filter(_._5).toSeq}")
+  }
+
   test("bayesianRates: low-traffic keys shrink toward the global prior") {
     import spark.implicits._
     val ev = (Seq.fill(4)((1L, "view")) ++ Seq((1L, "click")) ++
