@@ -286,7 +286,8 @@ object Bench {
       "q185_js_divergence", "q186_rank_rbo", "q187_heavy_changers",
       "q188_burstiness", "q189_length_gini", "q190_token_entropy",
       "q191_dbscan", "q192_cbor_decode", "q193_bm25_index",
-      "q194_bm25_probe", "q195_percolate", "q196_seasonal_anomalies")
+      "q194_bm25_probe", "q195_percolate", "q196_seasonal_anomalies",
+      "q197_cusum_shifts")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -482,6 +482,7 @@ object OracleSql {
     "q194_bm25_probe" -> Gen.bm25Sql,
     "q195_percolate" -> Gen.percolateSql,
     "q196_seasonal_anomalies" -> Gen.seasonalAnomaliesSql,
+    "q197_cusum_shifts" -> Gen.cusumShiftsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4201,6 +4202,54 @@ object OracleSql {
          |          CAST(min(dl) AS BIGINT) AS n_tokens
          |        FROM rowsc GROUP BY doc_id)""".stripMargin
     }
+
+    /** Twin of q197_cusum_shifts: the same zero-filled hourly grid,
+      * the same prefix-minus-running-extremum rewrite of Page's
+      * recurrence, per-mille integers throughout.
+      */
+    def cusumShiftsSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |        date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+         |c AS (SELECT et, h, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, h),
+         |hrs AS (SELECT DISTINCT h FROM c),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, hrs.h, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN hrs
+         |      LEFT JOIN c ON c.et = ets.et AND c.h = hrs.h),
+         |mu AS (SELECT et, CAST((1000 * sum(x)) // count(*) AS BIGINT)
+         |         AS mu_milli, CAST(count(*) AS BIGINT) AS n_hours
+         |       FROM g GROUP BY et),
+         |sr AS (SELECT g.et, g.h, mu.mu_milli, mu.n_hours,
+         |         CAST(1000 * g.x - mu.mu_milli - (mu.mu_milli // 2)
+         |           AS BIGINT) AS d,
+         |         CAST(mu.mu_milli - 1000 * g.x - (mu.mu_milli // 2)
+         |           AS BIGINT) AS d2
+         |       FROM g JOIN mu USING (et)),
+         |pw AS (SELECT et, h, mu_milli, n_hours,
+         |         sum(d) OVER (PARTITION BY et ORDER BY h
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         |         sum(d2) OVER (PARTITION BY et ORDER BY h
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p2
+         |       FROM sr),
+         |ss AS (SELECT et, h, mu_milli, n_hours,
+         |         CAST(p - least(min(p) OVER (PARTITION BY et ORDER BY h
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |           AS BIGINT) AS s_hi,
+         |         CAST(p2 - least(min(p2) OVER (PARTITION BY et ORDER BY h
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |           AS BIGINT) AS s_lo
+         |       FROM pw)
+         |SELECT et AS event_type, CAST(max(n_hours) AS BIGINT) AS n_hours,
+         |  CAST(max(mu_milli) AS BIGINT) AS mu_milli,
+         |  CAST(max(s_hi) AS BIGINT) AS max_s_hi,
+         |  CAST(max(s_lo) AS BIGINT) AS max_s_lo,
+         |  CAST(sum(CASE WHEN s_hi > 4 * mu_milli
+         |    OR s_lo > 4 * mu_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+         |  min(CASE WHEN s_hi > 4 * mu_milli OR s_lo > 4 * mu_milli
+         |    THEN h END) AS first_alarm_hour
+         |FROM ss GROUP BY et
+         |ORDER BY event_type""".stripMargin
 
     /** Twin of q196_seasonal_anomalies: same (type, date, hour) grid
       * with zero fills, same per-slot quantile_cont median/MAD and

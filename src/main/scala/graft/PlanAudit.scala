@@ -145,7 +145,10 @@ object PlanAudit {
     "q188_burstiness",
     // types × dates × 24-hour grid from broadcast dimension lists —
     // span-bounded, q188's shape with a day axis
-    "q196_seasonal_anomalies")
+    "q196_seasonal_anomalies",
+    // types × hour-span grid (q188's shape); the CUSUM windows run
+    // per type over the span-bounded series
+    "q197_cusum_shifts")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

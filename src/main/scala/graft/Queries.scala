@@ -3204,6 +3204,18 @@ object Queries {
         "ts")
       .orderBy("event_type", "date", "hod")
 
+  /** CUSUM rate-shift detection ([[graft.ops.Funnel.cusumShifts]],
+    * Page 1954) over each type's hourly arrival series — the
+    * classical sequential changepoint chart, with the max(0, ·)
+    * recurrence rewritten as prefix-minus-running-extremum so the
+    * whole detector is two cumulative windows over the span-bounded
+    * grid. Exact per-mille integers; q196's robust-band complement
+    * (MAD flags odd CELLS, CUSUM flags sustained SHIFTS).
+    */
+  val q197_cusum_shifts: Q = (s, d) =>
+    graft.ops.Funnel.cusumShifts(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3416,5 +3428,6 @@ object Queries {
     "q193_bm25_index" -> q193_bm25_index,
     "q194_bm25_probe" -> q194_bm25_probe,
     "q195_percolate" -> q195_percolate,
-    "q196_seasonal_anomalies" -> q196_seasonal_anomalies)
+    "q196_seasonal_anomalies" -> q196_seasonal_anomalies,
+    "q197_cusum_shifts" -> q197_cusum_shifts)
 }

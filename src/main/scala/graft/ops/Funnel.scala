@@ -172,6 +172,66 @@ object Funnel {
         (abs(col("x") - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
   }
 
+  /** CUSUM changepoint detection over hourly arrival counts (Page
+    * 1954) — the sequential "did the rate shift" chart: with
+    * P_t = Σ_{j≤t}(1000·x_j − μ‰ − k‰) the one-sided statistics are
+    * S⁺_t = P_t − min_{j≤t} P_j (upward shifts) and
+    * S⁻_t = max_{j≤t} P_j − P_t (downward) — the classical
+    * max(0, S+drift) recurrence rewritten as prefix-minus-running-
+    * extremum, so the whole detector is two cumulative WINDOWS over
+    * the span-bounded hourly series instead of a sequential loop.
+    * μ‰ is the series' own mean ×1000, slack k = μ/2, alarm
+    * threshold h = 4μ (the standard δ/2 and 4–5σ-ish defaults in
+    * per-mille integer space — exact integers end to end). Emits per
+    * type: hours, μ‰, max S⁺/S⁻, alarm count and the first alarm
+    * hour (null when the series never shifts).
+    *
+    * Scale shape: one (type, hour) count reduction from the corpus;
+    * the grid fill, both windows and the final aggregate run over
+    * the span-bounded series (the q188/q196 grid class).
+    */
+  def cusumShifts(df: DataFrame, typeCol: String,
+                  tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("hour", col(tsCol)).as("h"))
+      .groupBy("et", "h").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val hours = c.select("h").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(hours))
+      .join(c, Seq("et", "h"), "left")
+      .na.fill(0L, Seq("x"))
+    val mu = grid.groupBy("et")
+      .agg(expr("CAST((1000 * sum(x)) div count(*) AS BIGINT)").as("mu_milli"),
+        count(lit(1)).as("n_hours"))
+    val w = Window.partitionBy("et").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // the two one-sided charts carry the k-slack in OPPOSITE
+    // directions (S⁺ drifts by x−μ−k, S⁻ by μ−x−k) — one shared
+    // prefix would double-count the slack on the downward side
+    val series = grid.join(broadcast(mu), Seq("et"))
+      .withColumn("__d", expr("1000 * x - mu_milli - (mu_milli div 2)"))
+      .withColumn("__d2", expr("mu_milli - 1000 * x - (mu_milli div 2)"))
+      .withColumn("__p", sum("__d").over(w))
+      .withColumn("__p2", sum("__d2").over(w))
+      // the running minimum must include the EMPTY prefix P₀ = 0 —
+      // max(0, ·) can reset to zero before any row
+      .withColumn("s_hi", col("__p") - least(min("__p").over(w), lit(0L)))
+      .withColumn("s_lo", col("__p2") - least(min("__p2").over(w), lit(0L)))
+      .withColumn("__alarm",
+        col("s_hi") > lit(4) * col("mu_milli") ||
+          col("s_lo") > lit(4) * col("mu_milli"))
+    series.groupBy("et")
+      .agg(max("n_hours").as("n_hours"), max("mu_milli").as("mu_milli"),
+        max("s_hi").as("max_s_hi"), max("s_lo").as("max_s_lo"),
+        sum(when(col("__alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__alarm"), col("h"))).as("first_alarm_hour"))
+      .select(col("et").as(typeCol), col("n_hours"), col("mu_milli"),
+        col("max_s_hi"), col("max_s_lo"), col("n_alarms"),
+        col("first_alarm_hour"))
+  }
+
   /** Arrival burstiness per event type — the index of dispersion
     * (variance-to-mean ratio of per-hour counts over the corpus's
     * hour span, EMPTY hours included: a type that fires once an hour

@@ -212,6 +212,42 @@ class FunnelSpec extends SparkSpec {
     assert(out.count(_._5) <= 4, s"only genuine cells flag: ${out.filter(_._5).toSeq}")
   }
 
+  test("cusumShifts: window rewrite ≡ the classical Page recurrence; shift alarms") {
+    import spark.implicits._
+    def ev(tpe: String, hh: Int, i: Int) =
+      (tpe, java.sql.Timestamp.valueOf(f"2024-01-01 $hh%02d:${i % 60}%02d:00"))
+    // X: 10 quiet hours at 1/h then a sustained 5-hour burst at 10/h;
+    // Y: metronomic 2/h — must never alarm
+    val xs: Seq[Long] = Seq.fill(10)(1L) ++ Seq.fill(5)(10L)
+    val events = (xs.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n.toInt).map(i => ev("X", h, i))
+    } ++ (0 until 15).flatMap(h => (0 until 2).map(i => ev("Y", h, i))))
+      .toDF("event_type", "ts")
+    val out = graft.ops.Funnel.cusumShifts(events, "event_type", "ts")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // independent statement: the classical max(0, ·) recurrence
+    def classical(series: Seq[Long]): (Long, Long, Long) = {
+      val mu = 1000 * series.sum / series.length
+      val k = mu / 2
+      var shi = 0L; var slo = 0L; var mh = 0L; var ml = 0L; var al = 0L
+      series.foreach { x =>
+        shi = math.max(0L, shi + 1000 * x - mu - k)
+        slo = math.max(0L, slo + mu - 1000 * x - k)
+        mh = math.max(mh, shi); ml = math.max(ml, slo)
+        if (shi > 4 * mu || slo > 4 * mu) al += 1
+      }
+      (mh, ml, al)
+    }
+    val (xh, xl, xa) = classical(xs)
+    assert(out(0) === (("X", 15L, 1000 * xs.sum / 15, xh, xl, xa)))
+    assert(xa >= 1L, "the burst must alarm")
+    val (yh, yl, ya) = classical(Seq.fill(15)(2L))
+    assert(out(1) === (("Y", 15L, 2000L, yh, yl, ya)))
+    assert((yh, yl, ya) === ((0L, 0L, 0L)), "metronomic never alarms")
+  }
+
   test("bayesianRates: low-traffic keys shrink toward the global prior") {
     import spark.implicits._
     val ev = (Seq.fill(4)((1L, "view")) ++ Seq((1L, "click")) ++
