@@ -483,6 +483,9 @@ object OracleSql {
     "q195_percolate" -> Gen.percolateSql,
     "q196_seasonal_anomalies" -> Gen.seasonalAnomaliesSql,
     "q197_cusum_shifts" -> Gen.cusumShiftsSql,
+    "q198_chao1_richness" -> Gen.chao1RichnessSql,
+    "q199_mann_kendall" -> Gen.mannKendallSql,
+    "q200_lead_lag" -> Gen.leadLagSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4202,6 +4205,90 @@ object OracleSql {
          |          CAST(min(dl) AS BIGINT) AS n_tokens
          |        FROM rowsc GROUP BY doc_id)""".stripMargin
     }
+
+    /** Twin of q198_chao1_richness: same frequency-of-frequency fold
+      * and Chao1/Good–Turing arithmetic.
+      */
+    def chao1RichnessSql: String =
+      s"""WITH tk AS (SELECT lang AS g, unnest(${tokensE("text")}) AS w
+         |      FROM documents),
+         |c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+         |      FROM tk GROUP BY g, w),
+         |a AS (SELECT g, CAST(count(*) AS BIGINT) AS v_obs,
+         |        CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |      FROM c GROUP BY g)
+         |SELECT g AS lang, n_tokens, v_obs, f1, f2,
+         |  CAST(1000 * v_obs + CASE WHEN f2 > 0
+         |    THEN (CAST(1000 AS HUGEINT) * f1 * f1) // (2 * f2)
+         |    ELSE (CAST(1000 AS HUGEINT) * f1 * (f1 - 1)) // 2 END
+         |    AS BIGINT) AS chao1_x1000,
+         |  CAST((1000 * f1) // greatest(n_tokens, 1) AS BIGINT)
+         |    AS unseen_mass_x1000
+         |FROM a ORDER BY lang""".stripMargin
+
+    /** Twin of q199_mann_kendall: same zero-filled day grid, same
+      * sign-pair sums over ordered day pairs.
+      */
+    def mannKendallSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |        date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+         |c AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, d),
+         |days AS (SELECT DISTINCT d FROM c),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, days.d, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN days
+         |      LEFT JOIN c ON c.et = ets.et AND c.d = days.d),
+         |p AS (SELECT a.et, a.x AS xi, bb.x AS xj
+         |      FROM g a JOIN g bb ON a.et = bb.et AND a.d < bb.d)
+         |SELECT et AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(sign(xj - xi)) AS BIGINT) AS s_stat,
+         |  CAST(sum(CASE WHEN xj > xi THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN xj < xi THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |  CAST(sum(CASE WHEN xj = xi THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+         |FROM p GROUP BY et
+         |ORDER BY event_type""".stripMargin
+
+    /** Twin of q200_lead_lag: same zero-filled hourly grid, per-mille
+      * centered deviations, the same shifted-hour equi-join over the
+      * ±6 lag set, and the same (xcov DESC, lag ASC) argmax.
+      */
+    def leadLagSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |        date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+         |c AS (SELECT et, h, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, h),
+         |hrs AS (SELECT DISTINCT h FROM c),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, hrs.h, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN hrs
+         |      LEFT JOIN c ON c.et = ets.et AND c.h = hrs.h),
+         |mu AS (SELECT et, CAST((1000 * sum(x)) // count(*) AS BIGINT) AS mu
+         |       FROM g GROUP BY et),
+         |dv AS (SELECT g.et, g.h, CAST(1000 * g.x - mu.mu AS BIGINT) AS dv
+         |       FROM g JOIN mu USING (et)),
+         |lags AS (SELECT CAST(unnest(range(-6, 7)) AS INT) AS lag),
+         |bs AS (SELECT dv.et AS tb, lags.lag,
+         |         dv.h - to_hours(lags.lag) AS h, dv.dv AS db
+         |       FROM dv CROSS JOIN lags),
+         |xc AS (SELECT a.et AS ta, bs.tb, bs.lag,
+         |         CAST(sum(CAST(a.dv AS HUGEINT) * bs.db) AS BIGINT) AS xcov,
+         |         CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM dv a JOIN bs ON a.h = bs.h AND a.et < bs.tb
+         |       GROUP BY a.et, bs.tb, bs.lag),
+         |best AS (SELECT ta, tb, lag AS best_lag, xcov AS best_xcov,
+         |           row_number() OVER (PARTITION BY ta, tb
+         |             ORDER BY xcov DESC, lag) AS rn
+         |         FROM xc)
+         |SELECT b2.ta AS type_a, b2.tb AS type_b, CAST(b2.best_lag AS INT)
+         |    AS best_lag, b2.best_xcov,
+         |  z.xcov AS xcov_lag0
+         |FROM best b2 JOIN xc z ON z.ta = b2.ta AND z.tb = b2.tb
+         |  AND z.lag = 0
+         |WHERE b2.rn = 1
+         |ORDER BY type_a, type_b""".stripMargin
 
     /** Twin of q197_cusum_shifts: the same zero-filled hourly grid,
       * the same prefix-minus-running-extremum rewrite of Page's

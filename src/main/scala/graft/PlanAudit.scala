@@ -148,7 +148,13 @@ object PlanAudit {
     "q196_seasonal_anomalies",
     // types × hour-span grid (q188's shape); the CUSUM windows run
     // per type over the span-bounded series
-    "q197_cusum_shifts")
+    "q197_cusum_shifts",
+    // types × day-span grid (q196's shape); the O(days²) pair join
+    // runs over the bounded grid
+    "q199_mann_kendall",
+    // types × hour-span grid plus the 13-row lag list broadcast into
+    // the span-bounded deviation table — bounded by design
+    "q200_lead_lag")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

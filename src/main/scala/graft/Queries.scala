@@ -3216,6 +3216,40 @@ object Queries {
     graft.ops.Funnel.cusumShifts(Tables.events(s, d), "event_type", "ts")
       .orderBy("event_type")
 
+  /** Chao1 vocabulary-richness estimate per language
+    * ([[graft.ops.TextStats.chao1Richness]], Chao 1984): observed
+    * vocabulary, hapax/dis-legomena counts, the Ĉ = V + f1²/2f2
+    * richness estimate and the Good–Turing unseen-mass per-mille —
+    * "how much vocabulary haven't we crawled yet", the coverage
+    * planning number next to q165's Heaps curve.
+    */
+  val q198_chao1_richness: Q = (s, d) =>
+    TextStats.chao1Richness(Tables.documents(s, d), "lang", "text")
+      .orderBy("lang")
+
+  /** Mann–Kendall monotonic-trend test per event type
+    * ([[graft.ops.Funnel.mannKendallTrend]], Mann 1945): Kendall's S
+    * over the zero-filled daily count series — the non-parametric
+    * drift test outliers can't fake. O(days²) pair join over the
+    * span-bounded grid only.
+    */
+  val q199_mann_kendall: Q = (s, d) =>
+    graft.ops.Funnel.mannKendallTrend(Tables.events(s, d), "event_type",
+        "ts")
+      .orderBy("event_type")
+
+  /** Lead–lag cross-correlation between event types
+    * ([[graft.ops.Funnel.leadLag]]): per type pair the most-positive
+    * integer cross-covariance lag in ±6 hours of the per-mille
+    * centered hourly series — "does purchase traffic follow view
+    * traffic, and by how much". Lag fan-out rides an equi-join on
+    * the shifted hour; everything is span×lags-bounded after the
+    * hourly reduction.
+    */
+  val q200_lead_lag: Q = (s, d) =>
+    graft.ops.Funnel.leadLag(Tables.events(s, d), "event_type", "ts")
+      .orderBy("type_a", "type_b")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3429,5 +3463,8 @@ object Queries {
     "q194_bm25_probe" -> q194_bm25_probe,
     "q195_percolate" -> q195_percolate,
     "q196_seasonal_anomalies" -> q196_seasonal_anomalies,
-    "q197_cusum_shifts" -> q197_cusum_shifts)
+    "q197_cusum_shifts" -> q197_cusum_shifts,
+    "q198_chao1_richness" -> q198_chao1_richness,
+    "q199_mann_kendall" -> q199_mann_kendall,
+    "q200_lead_lag" -> q200_lead_lag)
 }

@@ -232,6 +232,100 @@ object Funnel {
         col("first_alarm_hour"))
   }
 
+  /** Mann–Kendall monotonic-trend test per event type (Mann 1945 /
+    * Kendall's S over the daily count series — the non-parametric
+    * "is traffic drifting up or down" test a level shift or outlier
+    * cannot fake the way a fitted slope can): S = Σ_{i<j}
+    * sign(x_j − x_i) over all ordered day pairs, with the
+    * positive/negative/tie pair counts alongside. Exact integers;
+    * the day grid is span-bounded (zero-filled), so the O(days²)
+    * pair join is bounded — at 100 TB the only corpus-proportional
+    * stage is the first (type, day) count reduction.
+    */
+  def mannKendallTrend(df: DataFrame, typeCol: String,
+                       tsCol: String): DataFrame = {
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"))
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val days = c.select("d").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(days))
+      .join(c, Seq("et", "d"), "left")
+      .na.fill(0L, Seq("x"))
+    val a = grid.select(col("et"), col("d").as("di"), col("x").as("xi"))
+    val b = grid.select(col("et"), col("d").as("dj"), col("x").as("xj"))
+    a.join(b, Seq("et"))
+      .where(col("di") < col("dj"))
+      .groupBy("et")
+      .agg(expr("CAST(count(*) AS BIGINT)").as("n_pairs"),
+        sum(expr("CAST(sign(xj - xi) AS BIGINT)")).as("s_stat"),
+        sum(when(col("xj") > col("xi"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("xj") < col("xi"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("xj") === col("xi"), 1L).otherwise(0L)).as("n_tie"))
+      .select(col("et").as(typeCol), col("n_pairs"), col("s_stat"),
+        col("n_pos"), col("n_neg"), col("n_tie"))
+  }
+
+  /** Lead–lag cross-correlation between event types' hourly series:
+    * for every ordered type pair and lag in [−maxLag, maxLag], the
+    * integer cross-covariance Σ_t dα_t·dβ_{t+lag} of the per-mille
+    * mean-centered counts, and the best (most positive) lag — "does
+    * β's traffic follow α by k hours", the ops question behind
+    * cascading-pipeline alerts. Positive best_lag = b follows a.
+    * Deviations and products stay exact integers through
+    * DECIMAL(38); the lag join and argmax run over the span-bounded
+    * grid × (2·maxLag+1) rows.
+    */
+  def leadLag(df: DataFrame, typeCol: String, tsCol: String,
+              maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag must be >= 1")
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("hour", col(tsCol)).as("h"))
+      .groupBy("et", "h").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val hours = c.select("h").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(hours))
+      .join(c, Seq("et", "h"), "left")
+      .na.fill(0L, Seq("x"))
+    val mu = grid.groupBy("et")
+      .agg(expr("CAST((1000 * sum(x)) div count(*) AS BIGINT)").as("mu"))
+    val dev = grid.join(broadcast(mu), Seq("et"))
+      .select(col("et"), col("h"),
+        expr("CAST(1000 * x - mu AS BIGINT)").as("dv"))
+      .localCheckpoint()
+    val lags = df.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    // β's row at hour hb contributes to lag ℓ at base hour hb − ℓ:
+    // shift BEFORE the join so the lag fan-out rides an EQUI-join on
+    // the hour (never an hours² product per pair)
+    val bShifted = dev.crossJoin(broadcast(lags))
+      .select(col("et").as("tb"), col("lag"),
+        expr("h - make_interval(0, 0, 0, 0, lag, 0, 0)").as("h"),
+        col("dv").as("db"))
+    val pairs = dev.select(col("et").as("ta"), col("h"), col("dv").as("da"))
+      .join(bShifted, Seq("h"))
+      .where(col("ta") < col("tb"))
+      .groupBy("ta", "tb", "lag")
+      .agg(sum(expr("CAST(da AS DECIMAL(38,0)) * db")).as("__xc"),
+        count(lit(1)).as("n_overlap"))
+      .select(col("ta"), col("tb"), col("lag"),
+        col("__xc").cast("decimal(38,0)").cast("bigint").as("xcov"),
+        col("n_overlap"))
+    // best (most positive) lag per pair, smallest-lag tiebreak, via
+    // the struct-max aggregation (no per-pair window)
+    val best = pairs.groupBy("ta", "tb")
+      .agg(max(struct(col("xcov").as("s"), (-col("lag")).as("nl"))).as("__b"))
+      .select(col("ta"), col("tb"), (-col("__b.nl")).as("best_lag"),
+        col("__b.s").as("best_xcov"))
+    best.join(pairs.where(col("lag") === 0)
+        .select(col("ta"), col("tb"), col("xcov").as("xcov_lag0")),
+      Seq("ta", "tb"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("best_lag"), col("best_xcov"), col("xcov_lag0"))
+  }
+
   /** Arrival burstiness per event type — the index of dispersion
     * (variance-to-mean ratio of per-hour counts over the corpus's
     * hour span, EMPTY hours included: a type that fires once an hour

@@ -743,6 +743,40 @@ object TextStats {
           .otherwise(lit(0L)))
   }
 
+  /** Chao1 vocabulary-richness estimate per group (Chao 1984, the
+    * species-richness estimator ecology standardized on; corpus work
+    * uses it to ask "how much vocabulary haven't we crawled yet"):
+    * Ĉ = V + f1²/(2·f2) from the observed distinct count V, the
+    * hapax count f1 (words seen once) and the dis legomena count f2
+    * (seen twice) — exact integers, (1000·f1²) div (2·f2) per-mille
+    * with the bias-corrected f1·(f1−1)/2 fallback when f2 = 0. Also
+    * emits the Good–Turing unseen-mass estimate f1/N as per-mille
+    * coverage gap. One (group, word) reduction → a frequency-of-
+    * frequency fold — everything past the first reduction is
+    * vocab-bounded.
+    */
+  def chao1Richness(df: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    counts.groupBy("g")
+      .agg(count(lit(1)).as("v_obs"), sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("v_obs"),
+        col("f1"), col("f2"),
+        // Chao1 ×1000; f2=0 → the bias-corrected form f1(f1−1)/2
+        // through DECIMAL(38): 1000·f1² overflows int64 once a group
+        // holds ~10⁸ hapaxes
+        expr("CAST(1000 * v_obs + CASE WHEN f2 > 0 " +
+          "THEN (CAST(1000 AS DECIMAL(38,0)) * f1 * f1) div (2 * f2) " +
+          "ELSE (CAST(1000 AS DECIMAL(38,0)) * f1 * (f1 - 1)) div 2 END " +
+          "AS BIGINT)").as("chao1_x1000"),
+        expr("CAST((1000 * f1) div greatest(n_tokens, 1) AS BIGINT)")
+          .as("unseen_mass_x1000"))
+  }
+
   /** Percolation — standing-query reverse search (the Elasticsearch
     * percolator shape): documents stream THROUGH a registered query
     * table instead of queries hitting an index. Each standing query

@@ -248,6 +248,37 @@ class FunnelSpec extends SparkSpec {
     assert((yh, yl, ya) === ((0L, 0L, 0L)), "metronomic never alarms")
   }
 
+  test("mannKendallTrend: rising series S=+all, flat all-ties") {
+    import spark.implicits._
+    def ev(tpe: String, day: Int, i: Int) =
+      (tpe, java.sql.Timestamp.valueOf(f"2024-01-0$day ${10 + i % 10}%02d:00:00"))
+    // RISE: 1/2/3 events on days 1..3; FLAT: 2/2/2
+    val events = ((1 to 3).flatMap(dy => (0 until dy).map(i => ev("RISE", dy, i)))
+      ++ (1 to 3).flatMap(dy => (0 until 2).map(i => ev("FLAT", dy, i))))
+      .toDF("event_type", "ts")
+    val out = graft.ops.Funnel.mannKendallTrend(events, "event_type", "ts")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(("FLAT", 3L, 0L, 0L, 0L, 3L),
+      ("RISE", 3L, 3L, 3L, 0L, 0L)))
+  }
+
+  test("leadLag: a spike followed 2 hours later is recovered as best_lag=2") {
+    import spark.implicits._
+    def ev(tpe: String, hh: Int, i: Int) =
+      (tpe, java.sql.Timestamp.valueOf(f"2024-01-01 $hh%02d:${i % 60}%02d:00"))
+    // a spikes at hour 2, b spikes at hour 4; baseline 1/h over 8 hours
+    val events = ((0 until 8).flatMap { h =>
+      val na = if (h == 2) 6 else 1
+      val nb = if (h == 4) 6 else 1
+      (0 until na).map(i => ev("a", h, i)) ++ (0 until nb).map(i => ev("b", h, i))
+    }).toDF("event_type", "ts")
+    val out = graft.ops.Funnel.leadLag(events, "event_type", "ts", maxLag = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq(("a", "b", 2)))
+  }
+
   test("bayesianRates: low-traffic keys shrink toward the global prior") {
     import spark.implicits._
     val ev = (Seq.fill(4)((1L, "view")) ++ Seq((1L, "click")) ++

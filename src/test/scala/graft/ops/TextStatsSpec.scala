@@ -487,6 +487,20 @@ class TextStatsSpec extends SparkSpec {
       "query_id", "terms", "min_match").count() === 0)
   }
 
+  test("chao1Richness: hand-computed estimator incl the f2=0 correction") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "a a b c"), (2L, "B", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.chao1Richness(docs, "lang", "text")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // A: V=3, N=4, f1=2, f2=1 → 3000 + 1000·4/2 = 5000; unseen 500‰
+    assert(out(0) === (("A", 4L, 3L, 2L, 1L, 5000L, 500L)))
+    // B: f2=0 → bias-corrected f1(f1−1)/2 = 1 → 2000 + 1000 = 3000
+    assert(out(1) === (("B", 2L, 2L, 2L, 0L, 3000L, 1000L)))
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
