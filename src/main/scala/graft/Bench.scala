@@ -288,7 +288,9 @@ object Bench {
       "q191_dbscan", "q192_cbor_decode", "q193_bm25_index",
       "q194_bm25_probe", "q195_percolate", "q196_seasonal_anomalies",
       "q197_cusum_shifts", "q198_chao1_richness", "q199_mann_kendall",
-      "q200_lead_lag")
+      "q200_lead_lag", "q201_wasserstein_drift",
+      "q202_markov_transitions", "q203_markov_stationary",
+      "q204_sequence_patterns")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

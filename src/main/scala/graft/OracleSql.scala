@@ -486,6 +486,10 @@ object OracleSql {
     "q198_chao1_richness" -> Gen.chao1RichnessSql,
     "q199_mann_kendall" -> Gen.mannKendallSql,
     "q200_lead_lag" -> Gen.leadLagSql,
+    "q201_wasserstein_drift" -> Gen.wasserstein1Sql,
+    "q202_markov_transitions" -> Gen.markovTransitionsSql,
+    "q203_markov_stationary" -> Gen.markovStationarySql,
+    "q204_sequence_patterns" -> Gen.sequencePatternsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1536,6 +1540,119 @@ object OracleSql {
          |  CAST(sum(term) AS BIGINT) AS psi_e8_ppm
          |FROM tm GROUP BY 1, 2 ORDER BY source""".stripMargin
     }
+
+    /** Twin of q201_wasserstein_drift: same 50-wide bins, cumulative
+      * COUNTS through the per-group window cumsum, one HUGEINT ppm
+      * division per bin on each side, Σ|ΔCDF| and its ·binWidth
+      * value-unit form.
+      */
+    def wasserstein1Sql: String =
+      s"""WITH b AS (SELECT source AS g, CAST(n_chars // 50 AS BIGINT) AS bin
+         |           FROM documents),
+         |sh AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS sc FROM b
+         |       GROUP BY 1, 2),
+         |gh AS (SELECT bin, CAST(sum(sc) AS BIGINT) AS gc FROM sh GROUP BY 1),
+         |gt AS (SELECT CAST(sum(gc) AS BIGINT) AS gt FROM gh),
+         |st AS (SELECT g, CAST(sum(sc) AS BIGINT) AS st FROM sh GROUP BY 1),
+         |grid AS (SELECT gs.g, gh.bin, gh.gc
+         |         FROM (SELECT DISTINCT g FROM b) gs CROSS JOIN gh),
+         |cum AS (SELECT grid.g, st.st, gt.gt,
+         |          sum(coalesce(sh.sc, 0)) OVER
+         |            (PARTITION BY grid.g ORDER BY grid.bin
+         |             ROWS UNBOUNDED PRECEDING) AS cs,
+         |          sum(grid.gc) OVER
+         |            (PARTITION BY grid.g ORDER BY grid.bin
+         |             ROWS UNBOUNDED PRECEDING) AS cg,
+         |          coalesce(lead(grid.bin, 1) OVER
+         |            (PARTITION BY grid.g ORDER BY grid.bin),
+         |            grid.bin + 1) - grid.bin AS gap
+         |        FROM grid
+         |        LEFT JOIN sh ON sh.g = grid.g AND sh.bin = grid.bin
+         |        JOIN st ON st.g = grid.g CROSS JOIN gt),
+         |tm AS (SELECT g, st,
+         |         abs(CAST((CAST(cs AS HUGEINT) * 1000000) // st AS BIGINT)
+         |           - CAST((CAST(cg AS HUGEINT) * 1000000) // gt AS BIGINT))
+         |           * gap AS term
+         |       FROM cum)
+         |SELECT g AS source, st AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(term) AS BIGINT) AS w1_ppm,
+         |  CAST(sum(term) * 50 AS BIGINT) AS w1_value_e6
+         |FROM tm GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+    /** Shared transition-matrix CTEs for q202/q203: consecutive
+      * per-user event pairs via the same (ts, event_id)-ordered lead
+      * window, counts, row totals, HUGEINT ppm probabilities.
+      */
+    private def markovCtes: String =
+      s"""s AS (SELECT user_id AS u, event_type AS a, ts, event_id AS id
+         |      FROM events),
+         |p AS (SELECT a, lead(a) OVER (PARTITION BY u ORDER BY ts, id) AS b
+         |      FROM s),
+         |t AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p
+         |      WHERE b IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT a, CAST(sum(n) AS BIGINT) AS nf FROM t GROUP BY 1),
+         |tm AS (SELECT t.a, t.b, t.n, rt.nf,
+         |         CAST((CAST(t.n AS HUGEINT) * 1000000) // rt.nf AS BIGINT)
+         |           AS p_ppm
+         |       FROM t JOIN rt USING (a))""".stripMargin
+
+    /** Twin of q202_markov_transitions. */
+    def markovTransitionsSql: String =
+      s"""WITH $markovCtes
+         |SELECT a AS from_type, b AS to_type, n AS n_pairs, nf AS n_from,
+         |  p_ppm
+         |FROM tm ORDER BY from_type, to_type""".stripMargin
+
+    /** Twin of q203_markov_stationary: the IDENTICAL transition ppm
+      * table, then 5 UNROLLED power-iteration CTEs (the TextRank
+      * q152 convention) — π_{k+1}(b) = Σ π_k(a)·p_ppm(a,b) // 10⁶
+      * through HUGEINT, types with no outgoing row shedding mass
+      * exactly as the Spark loop does.
+      */
+    def markovStationarySql: String = {
+      def iter(k: Int): String =
+        s"""i$k AS (SELECT ty.st,
+           |  coalesce(CAST(x.s // 1000000 AS BIGINT), 0) AS pi
+           |  FROM ty LEFT JOIN
+           |    (SELECT tm.b, sum(CAST(p.pi AS HUGEINT) * tm.p_ppm) AS s
+           |     FROM i${k - 1} p JOIN tm ON tm.a = p.st GROUP BY tm.b) x
+           |    ON x.b = ty.st)""".stripMargin
+      s"""WITH $markovCtes,
+         |ty AS (SELECT DISTINCT event_type AS st FROM events),
+         |p0 AS (SELECT CAST(1000000 // greatest(count(*), 1) AS BIGINT) AS pi
+         |       FROM ty),
+         |i0 AS (SELECT ty.st, p0.pi FROM ty CROSS JOIN p0),
+         |${(1 to 5).map(iter).mkString(",\n|")}
+         |SELECT ty.st AS event_type,
+         |  coalesce(rt.nf, 0) AS n_from,
+         |  (SELECT pi FROM p0) AS pi0_ppm,
+         |  i5.pi AS pi_ppm
+         |FROM ty LEFT JOIN rt ON rt.a = ty.st
+         |JOIN i5 ON i5.st = ty.st
+         |ORDER BY event_type""".stripMargin
+    }
+
+    /** Twin of q204_sequence_patterns: the same (ts, id)-ordered
+      * lead(1)/lead(2) trigrams, distinct-user reach, per-mille
+      * support against the total user count.
+      */
+    def sequencePatternsSql: String =
+      s"""WITH s AS (SELECT user_id AS u, event_type AS a, ts, event_id AS id
+         |           FROM events),
+         |tri AS (SELECT u, a,
+         |          lead(a, 1) OVER (PARTITION BY u ORDER BY ts, id) AS b,
+         |          lead(a, 2) OVER (PARTITION BY u ORDER BY ts, id) AS c
+         |        FROM s),
+         |ut AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users_total
+         |       FROM s)
+         |SELECT a AS step_1, b AS step_2, c AS step_3,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+         |  CAST((1000 * count(DISTINCT u)) //
+         |    (SELECT n_users_total FROM ut) AS BIGINT) AS support_x1000
+         |FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+         |GROUP BY 1, 2, 3 ORDER BY step_1, step_2, step_3""".stripMargin
 
     /** Twin of q156_data_expectations: evaluates the LITERAL same
       * predicate strings ([[Queries.LineitemChecks]]) in one

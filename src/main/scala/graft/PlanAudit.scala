@@ -94,6 +94,12 @@ object PlanAudit {
     // ONE-row basket total cross-joined into the vocab²-bounded rule
     // table — broadcast scalar by design
     "q162_assoc_rules",
+    // the q155 (groups × bins) grid shape plus the ONE-row corpus
+    // total — broadcast by design
+    "q201_wasserstein_drift",
+    // ONE-row total-user count cross-joined into the T³-bounded
+    // trigram table — broadcast scalar by design
+    "q204_sequence_patterns",
     // ONE-row output total cross-joined into the ≤k amplification
     // rows — skewReport's broadcast-scalar shape
     "q164_join_amplification",

@@ -3250,6 +3250,54 @@ object Queries {
     graft.ops.Funnel.leadLag(Tables.events(s, d), "event_type", "ts")
       .orderBy("type_a", "type_b")
 
+  /** Wasserstein-1 drift of per-source document-length distributions
+    * ([[graft.ops.Profile.wasserstein1]]): Σ|ΔCDF|·binWidth against
+    * the pooled corpus — the drift number PSI (q155) and JSD (q185)
+    * can't give, because it scores how FAR the mass moved, not just
+    * that it moved. Exact integer CDFs (cumulative counts first, one
+    * ppm division per bin); everything after the binning scan is
+    * (sources × bins)-bounded.
+    */
+  val q201_wasserstein_drift: Q = (s, d) =>
+    graft.ops.Profile.wasserstein1(Tables.documents(s, d), "source",
+        "n_chars", binWidth = 50)
+      .orderBy("source")
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences ([[graft.ops.Funnel.markovTransitions]]): exact-ppm
+    * P(next | current) from consecutive-event adjacency counts
+    * (event_id tiebreak on ts) — next-action prediction and
+    * anomalous-session scoring. One per-user window; the matrix is
+    * alphabet²-bounded.
+    */
+  val q202_markov_transitions: Q = (s, d) =>
+    graft.ops.Funnel.markovTransitions(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type")
+
+  /** Stationary distribution of the event-type Markov chain
+    * ([[graft.ops.Funnel.markovStationary]]): 5 exact-integer power
+    * iterations from the uniform ppm start — the long-run attention
+    * share per event type. All iterations on alphabet-bounded
+    * tables; one corpus scan total.
+    */
+  val q203_markov_stationary: Q = (s, d) =>
+    graft.ops.Funnel.markovStationary(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")
+      .orderBy("event_type")
+
+  /** Ordered sequential-pattern mining
+    * ([[graft.ops.Funnel.sequencePatterns]]): every consecutive
+    * event-type trigram with occurrence count, distinct-user reach,
+    * and per-mille support — surfaces WHICH sequences to ask the
+    * funnel (q144/q145) about; the ordered complement to q162's
+    * unordered baskets. One per-user window; T³-bounded output.
+    */
+  val q204_sequence_patterns: Q = (s, d) =>
+    graft.ops.Funnel.sequencePatterns(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")
+      .orderBy("step_1", "step_2", "step_3")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3466,5 +3514,9 @@ object Queries {
     "q197_cusum_shifts" -> q197_cusum_shifts,
     "q198_chao1_richness" -> q198_chao1_richness,
     "q199_mann_kendall" -> q199_mann_kendall,
-    "q200_lead_lag" -> q200_lead_lag)
+    "q200_lead_lag" -> q200_lead_lag,
+    "q201_wasserstein_drift" -> q201_wasserstein_drift,
+    "q202_markov_transitions" -> q202_markov_transitions,
+    "q203_markov_stationary" -> q203_markov_stationary,
+    "q204_sequence_patterns" -> q204_sequence_patterns)
 }

@@ -142,7 +142,9 @@ object ScaleRamp {
       "q191_dbscan", "q192_cbor_decode", "q193_bm25_index",
       "q194_bm25_probe", "q195_percolate", "q196_seasonal_anomalies",
       "q197_cusum_shifts", "q198_chao1_richness", "q199_mann_kendall",
-      "q200_lead_lag")
+      "q200_lead_lag", "q201_wasserstein_drift",
+      "q202_markov_transitions", "q203_markov_stationary",
+      "q204_sequence_patterns")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

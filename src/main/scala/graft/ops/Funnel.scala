@@ -486,4 +486,100 @@ object Funnel {
         expr("CAST((1000 * active_users) div greatest(cohort_size, 1) AS BIGINT)")
           .as("retention_x1000"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next = b | current = a) as exact ppm from the
+    * (a → b) adjacency counts of consecutive events (ordered by
+    * `tsCol` with `idCol` as the deterministic tiebreak). The
+    * "what do users do next" model behind next-action prediction and
+    * anomalous-session scoring. One per-user lead() window builds
+    * the pairs; every aggregation after runs on the T²-bounded
+    * transition table (T = event-type alphabet).
+    */
+  def markovTransitions(df: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__ts"), col("__id"))
+    val pairs = df.select(col(userCol).as("__u"), col(typeCol).as("a"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+      .select(col("a"), lead("a", 1).over(w).as("b"))
+      .where(col("b").isNotNull)
+    val t = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pairs"))
+    val rowTot = t.groupBy("a").agg(sum("n_pairs").as("n_from"))
+    t.join(broadcast(rowTot), "a")
+      .select(col("a").as("from_type"), col("b").as("to_type"),
+        col("n_pairs"), col("n_from"),
+        expr("CAST((CAST(n_pairs AS DECIMAL(38,0)) * 1000000) div n_from " +
+          "AS BIGINT)").as("p_ppm"))
+  }
+
+  /** Stationary distribution of the [[markovTransitions]] chain via
+    * `iters` exact-integer power iterations from the uniform start:
+    * π_{k+1}(b) = (Σ_a π_k(a)·p_ppm(a,b)) div 10⁶ — "where do user
+    * journeys settle", the long-run attention share per event type.
+    * Truncation drops ≤1 ppm per receiving type per iteration and
+    * types with no observed outgoing transition shed their mass
+    * (documented, deterministic — the TextRank q152 convention,
+    * minus damping). All iterations run on the T/T²-bounded tables;
+    * the corpus is touched exactly once to build the pair counts.
+    */
+  def markovStationary(df: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String,
+                       iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val trans = markovTransitions(df, userCol, typeCol, tsCol, idCol)
+      .select(col("from_type").as("a"), col("to_type").as("b"),
+        col("p_ppm"), col("n_from"))
+      .localCheckpoint()
+    val types = df.select(col(typeCol).as("st")).distinct()
+      .localCheckpoint()
+    val nT = types.count()
+    var pi = types.select(col("st"),
+      lit(1000000L / math.max(nT, 1L)).as("pi"))
+    (1 to iters).foreach { _ =>
+      val recv = pi.join(broadcast(trans), pi("st") === trans("a"))
+        .groupBy("b")
+        .agg(sum(expr("CAST(pi AS DECIMAL(38,0)) * p_ppm")).as("__s"))
+        .select(col("b").as("st"),
+          expr("CAST(__s div 1000000 AS BIGINT)").as("__pi1"))
+      pi = types.join(broadcast(recv), Seq("st"), "left")
+        .select(col("st"),
+          expr("coalesce(__pi1, CAST(0 AS BIGINT))").as("pi"))
+    }
+    pi.join(broadcast(trans.groupBy("a").agg(min("n_from").as("n_from"))),
+        pi("st") === col("a"), "left")
+      .select(col("st").as(typeCol),
+        expr("coalesce(n_from, CAST(0 AS BIGINT))").as("n_from"),
+        lit(1000000L / math.max(nT, 1L)).as("pi0_ppm"),
+        col("pi").as("pi_ppm"))
+  }
+
+  /** Ordered sequential-pattern mining over per-user event streams —
+    * every CONSECUTIVE type trigram (a, b, c) with its occurrence
+    * count, distinct-user reach, and per-mille user support. The
+    * ordered complement to [[assocRules]] (unordered baskets) and
+    * [[funnelReport]] (one fixed sequence): this surfaces which
+    * sequences to ask the funnel about. Same single per-user lead()
+    * window as [[markovTransitions]]; output is T³-bounded.
+    */
+  def sequencePatterns(df: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__ts"), col("__id"))
+    val tri = df.select(col(userCol).as("__u"), col(typeCol).as("a"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+      .select(col("__u"), col("a"), lead("a", 1).over(w).as("b"),
+        lead("a", 2).over(w).as("c"))
+      .where(col("b").isNotNull && col("c").isNotNull)
+    val users = df.select(col(userCol).as("__u")).distinct()
+      .agg(count(lit(1)).as("n_users_total"))
+    tri.groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__u")).as("n_users"))
+      .crossJoin(broadcast(users))
+      .select(col("a").as("step_1"), col("b").as("step_2"),
+        col("c").as("step_3"), col("n_occurrences"), col("n_users"),
+        expr("CAST((1000 * n_users) div n_users_total AS BIGINT)")
+          .as("support_x1000"))
+  }
 }

@@ -224,6 +224,63 @@ object Profile {
         col("n_bins"), col("__t").cast("bigint").as("psi_e8_ppm"))
   }
 
+  /** Wasserstein-1 (earth-mover's) distance between each group's
+    * value distribution and the pooled corpus distribution — the
+    * drift metric PSI/JSD can't replace: those score only that mass
+    * moved, W₁ scores how FAR it moved (one bin vs twenty bins of
+    * shift differ 20× here, identically there). Discrete form over
+    * `binWidth` bins: W₁ = Σ_bins |CDF_p − CDF_q| · binWidth, exact
+    * in integers — cumulative COUNTS first (one window cumsum per
+    * side), then a single ppm division per row, so rounding never
+    * accumulates across bins. Both CDFs are step functions constant
+    * across unoccupied bins, so each occupied bin's |ΔCDF| is
+    * weighted by the GAP to the next occupied bin — skipping empty
+    * bins would silently understate exactly the large shifts W₁
+    * exists to measure. Output per group: n_rows, n_bins,
+    * `w1_ppm` (Σ|ΔCDF|·gap in ppm·bins) and `w1_value_e6`
+    * (= ·binWidth, value units × 10⁻⁶).
+    *
+    * Scale shape: one corpus scan bins; the grid (groups × global
+    * bins, group bins ⊆ global bins) bounds every later stage; the
+    * cumsum window is partitioned by group over that bounded grid.
+    */
+  def wasserstein1(df: DataFrame, groupCol: String, valueCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth must be positive")
+    val binned = df.select(col(groupCol).as("g"),
+      expr(s"CAST($valueCol div $binWidth AS BIGINT)").as("bin"))
+    val sHist = binned.groupBy("g", "bin").agg(count(lit(1)).as("sc"))
+      .localCheckpoint()
+    val gHist = sHist.groupBy("bin").agg(sum("sc").as("gc"))
+    val gTot = gHist.agg(sum("gc").as("gt"))
+    val sTot = sHist.groupBy("g").agg(sum("sc").as("st"))
+    val grid = sTot.select("g").crossJoin(broadcast(gHist))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .join(sHist, Seq("g", "bin"), "left")
+      .join(sTot, "g")
+      .crossJoin(broadcast(gTot))
+      .select(col("g"), col("st"), col("gt"),
+        sum(expr("coalesce(sc, CAST(0 AS BIGINT))")).over(w).as("cs"),
+        sum(col("gc")).over(w).as("cg"),
+        // per-group windows carry the GLOBAL bin sequence (grid is
+        // g × all global bins), so lead(bin)−bin is the step width
+        // the CDFs hold this value for
+        expr("coalesce(lead(bin, 1) OVER " +
+          "(PARTITION BY g ORDER BY bin), bin + 1) - bin").as("gap"))
+      .select(col("g"), col("st"),
+        expr("abs(CAST((CAST(cs AS DECIMAL(38,0)) * 1000000) div st " +
+          "AS BIGINT) - CAST((CAST(cg AS DECIMAL(38,0)) * 1000000) div gt " +
+          "AS BIGINT)) * gap").as("term"))
+      .groupBy("g", "st")
+      .agg(count(lit(1)).as("n_bins"), sum("term").as("__t"))
+      .select(col("g").as(groupCol), col("st").as("n_rows"), col("n_bins"),
+        col("__t").cast("bigint").as("w1_ppm"),
+        expr(s"CAST(__t * $binWidth AS BIGINT)").as("w1_value_e6"))
+  }
+
   /** Deequ-style expectation report over row-level predicates — ONE
     * scan, one conditional-sum aggregation, then one output row per
     * check: (check, n_rows, n_pass, pass_x1000, passed). Predicates

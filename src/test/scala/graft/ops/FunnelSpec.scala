@@ -302,4 +302,83 @@ class FunnelSpec extends SparkSpec {
     assert(math.abs(out(0)._6 - out(1)._6) < math.abs(out(0)._4 - out(1)._4))
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
+
+  test("markovTransitions: hand-counted adjacency ppm; id tiebreak; invariant") {
+    // u1: A,B,A,B -> A->B, B->A, A->B ; u2 same-second A,A (id order)
+    val ev = Seq(
+      (1L, "A", "2024-01-01 10:00:00", 1L),
+      (1L, "B", "2024-01-01 10:01:00", 2L),
+      (1L, "A", "2024-01-01 10:02:00", 3L),
+      (1L, "B", "2024-01-01 10:03:00", 4L),
+      (2L, "A", "2024-01-01 10:00:00", 6L),
+      (2L, "A", "2024-01-01 10:00:00", 5L))
+      .toDF("u", "et", "tss", "id")
+      .select(col("u"), col("et"), col("tss").cast("timestamp").as("t"),
+        col("id"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.markovTransitions(d, "u", "et", "t", "id")
+        .orderBy("from_type", "to_type").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      ("A", "A", 1L, 3L, 333333L),
+      ("A", "B", 2L, 3L, 666666L),
+      ("B", "A", 1L, 1L, 1000000L)))
+    assert(out.toSeq === run(ev.repartition(7)).toSeq)
+  }
+
+  test("markovStationary: A<->B cycle holds uniform; absorbing state sheds mass") {
+    val cyc = Seq(
+      (1L, "A", "2024-01-01 10:00:00", 1L),
+      (1L, "B", "2024-01-01 10:01:00", 2L),
+      (1L, "A", "2024-01-01 10:02:00", 3L),
+      (1L, "B", "2024-01-01 10:03:00", 4L),
+      (1L, "A", "2024-01-01 10:04:00", 5L))
+      .toDF("u", "et", "tss", "id")
+      .select(col("u"), col("et"), col("tss").cast("timestamp").as("t"),
+        col("id"))
+    val out = Funnel.markovStationary(cyc, "u", "et", "t", "id")
+      .orderBy("et").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // deterministic alternation is its own stationary distribution
+    assert(out.toSeq === Seq(("A", 2L, 500000L, 500000L),
+      ("B", 2L, 500000L, 500000L)))
+    // one A->B pair: B has no outgoing row, so all mass drains by
+    // iteration 2 — the documented shed, exact
+    val oneHop = Seq(
+      (1L, "A", "2024-01-01 10:00:00", 1L),
+      (1L, "B", "2024-01-01 10:01:00", 2L))
+      .toDF("u", "et", "tss", "id")
+      .select(col("u"), col("et"), col("tss").cast("timestamp").as("t"),
+        col("id"))
+    val shed = Funnel.markovStationary(oneHop, "u", "et", "t", "id")
+      .orderBy("et").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(shed.toSeq === Seq(("A", 1L, 0L), ("B", 0L, 0L)))
+  }
+
+  test("sequencePatterns: consecutive trigrams, user reach, support") {
+    val ev = Seq(
+      (1L, "A", "2024-01-01 10:00:00", 1L),
+      (1L, "B", "2024-01-01 10:01:00", 2L),
+      (1L, "C", "2024-01-01 10:02:00", 3L),
+      (1L, "B", "2024-01-01 10:03:00", 4L),
+      (2L, "A", "2024-01-01 11:00:00", 5L),
+      (2L, "B", "2024-01-01 11:01:00", 6L),
+      (2L, "C", "2024-01-01 11:02:00", 7L))
+      .toDF("u", "et", "tss", "id")
+      .select(col("u"), col("et"), col("tss").cast("timestamp").as("t"),
+        col("id"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.sequencePatterns(d, "u", "et", "t", "id")
+        .orderBy("step_1", "step_2", "step_3").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      ("A", "B", "C", 2L, 2L, 1000L),
+      ("B", "C", "B", 1L, 1L, 500L)))
+    assert(out.toSeq === run(ev.repartition(5)).toSeq)
+  }
 }

@@ -105,6 +105,34 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("wasserstein1: hand-computed CDF gap; distance scales with shift width") {
+    // corpus = a (mass at bin 0) + b (mass at bin 2): global CDF is
+    // 500000 ppm at bins 0,1 and 1000000 at bin 2. a's CDF is 1e6
+    // everywhere -> terms |1e6-5e5|,|1e6-5e5|,0 = 1000000 ppm; b's
+    // CDF is 0,0,1e6 -> same by symmetry.
+    val df = ((0 until 10).map(_ => ("a", 5L)) ++
+      (0 until 10).map(_ => ("b", 25L))).toDF("src", "v")
+    val out = Profile.wasserstein1(df, "src", "v", binWidth = 10)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(("a", 10L, 2L, 1000000L, 10000000L),
+      ("b", 10L, 2L, 1000000L, 10000000L)))
+    // a ONE-bin shift ("c" at bin 1 vs "a" at bin 0) must score half
+    // of the TWO-bin shift above — the how-far property PSI lacks
+    val df2 = ((0 until 10).map(_ => ("a", 5L)) ++
+      (0 until 10).map(_ => ("c", 15L))).toDF("src", "v")
+    val near = Profile.wasserstein1(df2, "src", "v", 10)
+      .orderBy("src").collect().map(r => r.getLong(3))
+    assert(near.toSeq === Seq(500000L, 500000L))
+    // partition invariance
+    val b = Profile.wasserstein1(df.repartition(7), "src", "v", 10)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("rowChecks + uniquenessCheck: hand-counted pass rates and flags") {
     val df = Seq((1L, 10.0, "A"), (2L, -5.0, "A"), (2L, 7.0, "B"),
       (4L, 3.0, "Z")).toDF("id", "amt", "tag")
