@@ -290,7 +290,8 @@ object Bench {
       "q197_cusum_shifts", "q198_chao1_richness", "q199_mann_kendall",
       "q200_lead_lag", "q201_wasserstein_drift",
       "q202_markov_transitions", "q203_markov_stationary",
-      "q204_sequence_patterns")
+      "q204_sequence_patterns",
+      "q205_rrf_hybrid", "q206_benford_screen", "q207_survival_curve")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -490,6 +490,9 @@ object OracleSql {
     "q202_markov_transitions" -> Gen.markovTransitionsSql,
     "q203_markov_stationary" -> Gen.markovStationarySql,
     "q204_sequence_patterns" -> Gen.sequencePatternsSql,
+    "q205_rrf_hybrid" -> Gen.rrfHybridSql,
+    "q206_benford_screen" -> Gen.benfordScreenSql,
+    "q207_survival_curve" -> Gen.survivalCurveSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1653,6 +1656,109 @@ object OracleSql {
          |    (SELECT n_users_total FROM ut) AS BIGINT) AS support_x1000
          |FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
          |GROUP BY 1, 2, 3 ORDER BY step_1, step_2, step_3""".stripMargin
+
+    /** Twin of q205_rrf_hybrid: same two retrievers (distinct ≥5-char
+      * token overlap; cosine with the q134 DOUBLE[]-first rule), the
+      * same (score DESC, id) rank order and top-50 cuts, the same
+      * exact 10⁶ // (60 + rank) fusion.
+      */
+    def rrfHybridSql: String =
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |tok AS (SELECT DISTINCT id, t FROM
+         |          (SELECT doc_id AS id, unnest(w) AS t FROM wd)
+         |        WHERE len(t) >= 5),
+         |qt AS (SELECT id AS query_id, t FROM tok WHERE id < 3),
+         |lexs AS (SELECT qt.query_id, tok.id, CAST(count(*) AS BIGINT) AS ov
+         |         FROM tok JOIN qt USING (t) WHERE tok.id <> qt.query_id
+         |         GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, id, rnk FROM
+         |           (SELECT query_id, id, CAST(row_number() OVER
+         |              (PARTITION BY query_id ORDER BY ov DESC, id)
+         |              AS BIGINT) AS rnk FROM lexs)
+         |         WHERE rnk <= 50),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+         |den AS (SELECT qv.query_id, e.vec_id AS id,
+         |          ${cosineE("e.v", "qv.qv")} AS sim
+         |        FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+         |denr AS (SELECT query_id, id, rnk FROM
+         |           (SELECT query_id, id, CAST(row_number() OVER
+         |              (PARTITION BY query_id ORDER BY sim DESC, id)
+         |              AS BIGINT) AS rnk FROM den)
+         |         WHERE rnk <= 50),
+         |u AS (SELECT query_id, id,
+         |        CAST(1000000 // (60 + rnk) AS BIGINT) AS c FROM lexr
+         |      UNION ALL
+         |      SELECT query_id, id,
+         |        CAST(1000000 // (60 + rnk) AS BIGINT) AS c FROM denr),
+         |f AS (SELECT query_id, id, CAST(count(*) AS BIGINT) AS n_lists,
+         |        CAST(sum(c) AS BIGINT) AS rrf_x
+         |      FROM u GROUP BY 1, 2)
+         |SELECT query_id, id, n_lists, rrf_x, "rank" FROM
+         |  (SELECT query_id, id, n_lists, rrf_x, CAST(row_number() OVER
+         |     (PARTITION BY query_id ORDER BY rrf_x DESC, id) AS BIGINT)
+         |     AS "rank" FROM f)
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+
+    /** Twin of q206_benford_screen: the IDENTICAL emitted first-digit
+      * magnitude CASE ([[graft.ops.Profile.firstDigitSql]] with `//`)
+      * and the same hardcoded Benford ppm table.
+      */
+    def benfordScreenSql: String = {
+      val fd = graft.ops.Profile.firstDigitSql(
+        "CAST(floor(o_totalprice) AS BIGINT)", divOp = "//")
+      val vals = graft.ops.Profile.BenfordPpm
+        .map { case (dg, p) => s"($dg, $p)" }.mkString(", ")
+      s"""WITH dig(digit, exp_ppm) AS (VALUES $vals),
+         |fc AS (SELECT CAST($fd AS BIGINT) AS digit FROM orders),
+         |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM fc
+         |        WHERE digit >= 1 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cnt)
+         |SELECT CAST(dig.digit AS BIGINT) AS digit,
+         |  coalesce(cnt.n, 0) AS n,
+         |  CAST((CAST(coalesce(cnt.n, 0) AS HUGEINT) * 1000000)
+         |    // greatest(tot.nt, 1) AS BIGINT) AS obs_ppm,
+         |  CAST(dig.exp_ppm AS BIGINT) AS exp_ppm,
+         |  abs(CAST((CAST(coalesce(cnt.n, 0) AS HUGEINT) * 1000000)
+         |    // greatest(tot.nt, 1) AS BIGINT) - dig.exp_ppm) AS dev_ppm
+         |FROM dig LEFT JOIN cnt ON cnt.digit = dig.digit CROSS JOIN tot
+         |ORDER BY digit""".stripMargin
+    }
+
+    /** Twin of q207_survival_curve: same censoring rule, same
+      * lifetime-day reduction, the IDENTICAL emitted KM hazard term
+      * ([[graft.ops.Funnel.kmTermSql]] with `//`), same cumsums.
+      */
+    def survivalCurveSql: String = {
+      val term = graft.ops.Funnel.kmTermSql(divOp = "//")
+      s"""WITH sp AS (SELECT user_id AS u,
+         |              min(date_trunc('day', ts)) AS first_d,
+         |              max(date_trunc('day', ts)) AS last_d
+         |            FROM events GROUP BY 1),
+         |mx AS (SELECT max(last_d) AS max_d FROM sp),
+         |byt AS (SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT)
+         |          AS t,
+         |          CAST(sum(CASE WHEN date_diff('day', last_d, max_d) > 3
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |          CAST(sum(CASE WHEN date_diff('day', last_d, max_d) > 3
+         |            THEN 0 ELSE 1 END) AS BIGINT) AS cen,
+         |          CAST(count(*) AS BIGINT) AS a
+         |        FROM sp CROSS JOIN mx GROUP BY 1),
+         |n AS (SELECT CAST(sum(a) AS BIGINT) AS n_total FROM byt),
+         |risk AS (SELECT byt.*, n.n_total,
+         |           n.n_total - coalesce(sum(a) OVER (ORDER BY t
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS n_risk
+         |         FROM byt CROSS JOIN n),
+         |tm AS (SELECT t, n_risk, d, cen, $term AS term FROM risk)
+         |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+         |  d AS n_events, cen AS n_censored,
+         |  CAST(sum(term) OVER (ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS log_surv_e8
+         |FROM tm ORDER BY t_days""".stripMargin
+    }
 
     /** Twin of q156_data_expectations: evaluates the LITERAL same
       * predicate strings ([[Queries.LineitemChecks]]) in one

@@ -100,6 +100,15 @@ object PlanAudit {
     // ONE-row total-user count cross-joined into the T³-bounded
     // trigram table — broadcast scalar by design
     "q204_sequence_patterns",
+    // 3-row probe query set cross-joined under the corpus scan (the
+    // q28/q134 brute-force convention) — broadcast by design
+    "q205_rrf_hybrid",
+    // ONE-row total count cross-joined into the 9-row digit table —
+    // broadcast scalar by design
+    "q206_benford_screen",
+    // ONE-row corpus-max-day and total-user scalars cross-joined
+    // into the per-user span / day tables — broadcast by design
+    "q207_survival_curve",
     // ONE-row output total cross-joined into the ≤k amplification
     // rows — skewReport's broadcast-scalar shape
     "q164_join_amplification",
@@ -201,7 +210,11 @@ object PlanAudit {
     "q186_rank_rbo",
     // Gini cumulative-count window over the BOUNDED length-bucket
     // table (q92's audited cumsum shape)
-    "q189_length_gini")
+    "q189_length_gini",
+    // KM risk/log-survival cumsums over the lifetime-DAY table
+    // (≤ corpus span days — constant in corpus size), after the
+    // corpus reduced to one row per user then one per day
+    "q207_survival_curve")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

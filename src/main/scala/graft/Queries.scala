@@ -3298,6 +3298,69 @@ object Queries {
         "event_type", "ts", "event_id")
       .orderBy("step_1", "step_2", "step_3")
 
+  /** Reciprocal-rank-fusion hybrid retrieval
+    * ([[graft.sim.Similarity.rrfFuse]], Cormack 2009): three probe
+    * docs retrieve related docs through TWO retrievers — lexical
+    * (distinct ≥5-char token overlap) and dense (embedding cosine,
+    * vec_id ≡ doc_id) — each cut to its top-50, fused by
+    * Σ 10⁶ div (60 + rank) exact integers. The hybrid-search shape
+    * every RAG stack runs; no score calibration between BM25-like
+    * and cosine scales. Queries broadcast everywhere; fusion is
+    * Q×k-bounded; every top-k is the bounded-heap aggregate.
+    */
+  val q205_rrf_hybrid: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dTok = docs.select(col("doc_id").as("id"),
+        explode(TextFns.tokens(col("text"))).as("t"))
+      .where(length(col("t")) >= 5).distinct()
+    val qTok = dTok.where(col("id") < 3)
+      .select(col("id").as("query_id"), col("t"))
+    val lex = dTok.join(broadcast(qTok), "t")
+      .where(col("id") =!= col("query_id"))
+      .groupBy("query_id", "id").agg(count(lit(1)).as("ov"))
+    val lexRank = graft.plans.TopK.topKPerKey(lex, Seq("query_id"),
+        col("ov"), Seq(col("id")), 50)
+      .select(col("query_id"), col("id"), col("rn").as("rank"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorFns.toDouble(col("embedding")).as("v"))
+    val qv = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val dense = e.crossJoin(broadcast(qv))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        graft.functions.VectorFns.cosine(col("v"), col("qv")).as("sim"))
+    val denseRank = graft.plans.TopK.topKPerKey(dense, Seq("query_id"),
+        col("sim"), Seq(col("id")), 50)
+      .select(col("query_id"), col("id"), col("rn").as("rank"))
+    graft.sim.Similarity.rrfFuse(Seq(lexRank, denseRank))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Benford's-law first-digit screen over order totals
+    * ([[graft.ops.Profile.benfordReport]]): observed vs expected
+    * first-digit ppm with absolute deviations — the fabricated-data /
+    * broken-upstream detector auditors run first. Digits come from
+    * the integer magnitude CASE (shared verbatim with the twin),
+    * never float log10; floor() before the BIGINT cast because the
+    * engines round that cast differently.
+    */
+  val q206_benford_screen: Q = (s, d) =>
+    graft.ops.Profile.benfordReport(Tables.orders(s, d),
+        "floor(o_totalprice)")
+      .orderBy("digit")
+
+  /** Kaplan–Meier survival over user lifetimes
+    * ([[graft.ops.Funnel.survivalCurve]]): per lifetime-day the
+    * at-risk count, deaths, censored exits, and running eighth-bit
+    * log-survival — churn with censoring done right (users still
+    * active near the corpus end are censored, not dead). The
+    * product-limit estimator as a window SUM of exact Mitchell logs;
+    * one per-user reduction, then day-bounded tables only.
+    */
+  val q207_survival_curve: Q = (s, d) =>
+    graft.ops.Funnel.survivalCurve(Tables.events(s, d), "user_id", "ts")
+      .orderBy("t_days")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3518,5 +3581,8 @@ object Queries {
     "q201_wasserstein_drift" -> q201_wasserstein_drift,
     "q202_markov_transitions" -> q202_markov_transitions,
     "q203_markov_stationary" -> q203_markov_stationary,
-    "q204_sequence_patterns" -> q204_sequence_patterns)
+    "q204_sequence_patterns" -> q204_sequence_patterns,
+    "q205_rrf_hybrid" -> q205_rrf_hybrid,
+    "q206_benford_screen" -> q206_benford_screen,
+    "q207_survival_curve" -> q207_survival_curve)
 }

@@ -144,7 +144,8 @@ object ScaleRamp {
       "q197_cusum_shifts", "q198_chao1_richness", "q199_mann_kendall",
       "q200_lead_lag", "q201_wasserstein_drift",
       "q202_markov_transitions", "q203_markov_stationary",
-      "q204_sequence_patterns")
+      "q204_sequence_patterns",
+      "q205_rrf_hybrid", "q206_benford_screen", "q207_survival_curve")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -487,6 +487,66 @@ object Funnel {
           .as("retention_x1000"))
   }
 
+  /** The Kaplan–Meier hazard term in Mitchell eighth-bit log2 units,
+    * expecting columns (n_risk, d) in scope — shared verbatim with
+    * the oracle twin via the divOp parameter. Days with no event
+    * contribute 0; the greatest(…, 1) clamp keeps the final
+    * everyone-dies day defined (true S(t) = 0, log −∞) rather than
+    * NULL-dropping it from the cumsum.
+    */
+  def kmTermSql(divOp: String = "div"): String = {
+    def L(e: String) = graft.ops.TextStats.log2E8Sql(e, divOp)
+    s"(CASE WHEN d > 0 THEN ${L("greatest(n_risk - d, 1)")} " +
+      s"- ${L("n_risk")} ELSE CAST(0 AS BIGINT) END)"
+  }
+
+  /** Kaplan–Meier survival curve over user lifetimes — "how long do
+    * users stay active", the churn question with CENSORING done
+    * right: a user whose last event falls within `horizonDays` of
+    * the corpus end has not churned, merely not churned YET, and
+    * counting them as deaths biases every naive churn rate downward.
+    * Lifetime T = last−first activity day; death = last event more
+    * than `horizonDays` before the corpus max day. Per lifetime day:
+    * the at-risk count (N minus everyone whose lifetime ended
+    * earlier), deaths, censored exits, and the running log-survival
+    * Σ log2((n−d)/n) in exact eighth-bit integers ([[kmTermSql]] —
+    * the product-limit estimator as a SUM, so one window pass
+    * replaces the sequential product).
+    *
+    * Scale shape: one per-user min/max reduction scans the corpus;
+    * everything after runs on the lifetime-day-bounded table (the
+    * unpartitioned cumsum windows run there, by construction ≤ span
+    * days — the q92 bounded-table convention).
+    */
+  def survivalCurve(df: DataFrame, userCol: String, tsCol: String,
+                    horizonDays: Int = 3): DataFrame = {
+    require(horizonDays >= 0, s"horizonDays=$horizonDays must be >= 0")
+    val spans = df.groupBy(col(userCol).as("__u"))
+      .agg(min(date_trunc("day", col(tsCol))).as("first_d"),
+        max(date_trunc("day", col(tsCol))).as("last_d"))
+    val maxD = spans.agg(max("last_d").as("max_d"))
+    val byT = spans.crossJoin(broadcast(maxD))
+      .select(expr("CAST(datediff(last_d, first_d) AS BIGINT)").as("t"),
+        expr(s"CASE WHEN datediff(max_d, last_d) > $horizonDays " +
+          "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("e"))
+      .groupBy("t")
+      .agg(sum("e").as("d"), sum(expr("1 - e")).as("cen"),
+        count(lit(1)).as("a"))
+    val n = byT.agg(sum("a").as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(n))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum("a").over(wPrev), lit(0L)))
+      .withColumn("term", expr(kmTermSql()))
+      .withColumn("log_surv_e8", sum("term").over(wCum).cast("bigint"))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
+        col("cen").as("n_censored"), col("log_surv_e8"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: P(next = b | current = a) as exact ppm from the
     * (a → b) adjacency counts of consecutive events (ordered by

@@ -281,6 +281,57 @@ object Profile {
         expr(s"CAST(__t * $binWidth AS BIGINT)").as("w1_value_e6"))
   }
 
+  /** First-significant-digit extractor over a positive BIGINT
+    * expression — an unrolled magnitude CASE (no float log10, whose
+    * rounding at exact powers of ten diverges between engines),
+    * shared VERBATIM by [[benfordReport]] and its oracle twin.
+    * Covers values to 10¹⁸ (BIGINT's full positive range).
+    */
+  def firstDigitSql(vE: String, divOp: String = "div"): String = {
+    val cases = (18 to 1 by -1).map { p =>
+      val pow = BigInt(10).pow(p)
+      s"WHEN ($vE) >= $pow THEN ($vE) $divOp $pow"
+    }.mkString(" ")
+    s"(CASE $cases ELSE ($vE) END)"
+  }
+
+  /** Benford's-law per-mille expectations for digits 1–9 — rounded
+    * log10(1 + 1/d) in ppm; sums to exactly 10⁶.
+    */
+  val BenfordPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+
+  /** Benford's-law first-digit screen — the classic fabricated-data /
+    * broken-upstream detector: naturally-grown magnitudes (prices,
+    * populations, file sizes) put ~30.1 % of first digits at 1, and
+    * uniform-random or hand-typed data does not. Per digit 1–9:
+    * observed count, observed ppm, the expected Benford ppm, and the
+    * absolute deviation — all exact integers (digits come from the
+    * integer magnitude CASE in [[firstDigitSql]], never float log).
+    * One scan + one 9-row aggregation; the digit table is broadcast.
+    * `valueCol` must be a positive integral expression.
+    */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = BenfordPpm.toDF("digit", "exp_ppm")
+    val counts = df
+      .select(expr(firstDigitSql(s"CAST($valueCol AS BIGINT)"))
+        .cast("bigint").as("digit"))
+      .where(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("nt"))
+    broadcast(digits).join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div greatest(nt, 1) " +
+          "AS BIGINT)").as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", expr("abs(obs_ppm - exp_ppm)"))
+  }
+
   /** Deequ-style expectation report over row-level predicates — ONE
     * scan, one conditional-sum aggregation, then one output row per
     * check: (check, n_rows, n_pass, pass_x1000, passed). Predicates

@@ -840,4 +840,30 @@ object Similarity {
         s"CAST((1000 * __dcg) div greatest(${idcgCaseSql("__n_gt", k)}, 1) AS BIGINT)"))
       .select("query_id", "n_hits", "first_hit_rank", "mrr_x1000", "ndcg_x1000")
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR 2009) — THE hybrid-
+    * search combiner: each retriever contributes 10⁶ div (kRrf +
+    * rank) per (query, doc), exact integers, summed across lists;
+    * docs surfaced by several retrievers rise without any score
+    * calibration between incomparable scales (BM25 logs vs cosine).
+    * Inputs are (query_id, id, rank) tables already cut to each
+    * retriever's top-k, so fusion runs on Q×k-bounded rows; the
+    * fused top-`topK` per query rides the bounded-heap aggregate,
+    * never a per-query window.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 1, s"kRrf=$kRrf must be >= 1")
+    val tagged = rankings.map(_.select(col("query_id"), col("id"),
+      expr(s"CAST(1000000 div ($kRrf + rank) AS BIGINT)").as("__c")))
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy("query_id", "id")
+      .agg(count(lit(1)).as("n_lists"), sum("__c").as("rrf_x"))
+    TopK.topKPerKey(fused.select(col("query_id"), col("rrf_x"),
+        col("id"), col("n_lists")),
+        Seq("query_id"), col("rrf_x"), Seq(col("id"), col("n_lists")), topK)
+      .select(col("query_id"), col("id"), col("n_lists"), col("rrf_x"),
+        col("rn").as("rank"))
+  }
 }

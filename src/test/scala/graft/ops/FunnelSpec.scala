@@ -303,6 +303,31 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("survivalCurve: censoring rule, risk sets, exact Mitchell log-survival") {
+    // corpus max day = Jan 10. horizon 3: death iff last event more
+    // than 3 days before the end.
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"),                            // T=0 death
+      (2L, "2024-01-01 09:00:00"), (2L, "2024-01-03 09:00:00"), // T=2 death
+      (3L, "2024-01-01 08:00:00"), (3L, "2024-01-09 08:00:00"), // T=8 cens
+      (4L, "2024-01-10 07:00:00"))                            // T=0 cens
+      .toDF("u", "tss")
+      .select(col("u"), col("tss").cast("timestamp").as("t"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.survivalCurve(d, "u", "t").orderBy("t_days").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    val out = run(ev)
+    // t=0: risk 4, 1 death, 1 censored -> term L(3)-L(4) = 12-16 = -4
+    // t=2: risk 2, 1 death            -> term L(1)-L(2) = 0-8  = -8
+    // t=8: risk 1, 0 deaths           -> term 0
+    assert(out.toSeq === Seq(
+      (0L, 4L, 1L, 1L, -4L),
+      (2L, 2L, 1L, 0L, -12L),
+      (8L, 1L, 0L, 1L, -12L)))
+    assert(out.toSeq === run(ev.repartition(5)).toSeq)
+  }
+
   test("markovTransitions: hand-counted adjacency ppm; id tiebreak; invariant") {
     // u1: A,B,A,B -> A->B, B->A, A->B ; u2 same-second A,A (id order)
     val ev = Seq(

@@ -133,6 +133,24 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("benfordReport: hand-computed digit counts; zero-count digits kept") {
+    val df = Seq(10L, 11L, 199L, 2L, 25L, 9L).toDF("v")
+    val out = Profile.benfordReport(df, "v").orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length === 9)
+    val byD = out.map(t => t._1 -> t).toMap
+    assert(byD(1L)._2 === 3L && byD(1L)._3 === 500000L)
+    assert(byD(2L)._2 === 2L && byD(2L)._3 === 333333L)
+    assert(byD(9L)._2 === 1L && byD(9L)._3 === 166666L)
+    assert(byD(5L)._2 === 0L && byD(5L)._3 === 0L)
+    assert(byD(1L)._5 === math.abs(500000L - 301030L))
+    // an exactly-Benford 18-digit boundary: first digit of 10^18
+    val big = Seq(1000000000000000000L).toDF("v")
+    assert(Profile.benfordReport(big, "v")
+      .where(col("digit") === 1).head().getLong(1) === 1L)
+  }
+
   test("rowChecks + uniquenessCheck: hand-counted pass rates and flags") {
     val df = Seq((1L, 10.0, "A"), (2L, -5.0, "A"), (2L, 7.0, "B"),
       (4L, 3.0, "Z")).toDF("id", "amt", "tag")

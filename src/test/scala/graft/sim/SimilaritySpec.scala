@@ -523,4 +523,25 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(strict.forall(r => r.getString(2) == "noise" && r.isNullAt(1)))
   }
+
+  test("rrfFuse: hand-computed reciprocal contributions; doc in both lists rises") {
+    import spark.implicits._
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "id", "rank")
+    val den = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "id", "rank")
+    val out = Similarity.rrfFuse(Seq(lex, den))
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // 10^6//61 = 16393, 10^6//62 = 16129; doc 11 appears rank 2 + rank 1
+    assert(out.toSeq === Seq(
+      (0L, 11L, 2L, 16129L + 16393L, 1L),
+      (0L, 10L, 1L, 16393L, 2L),
+      (0L, 12L, 1L, 16129L, 3L)))
+    // partition invariance
+    val b = Similarity.rrfFuse(Seq(lex.repartition(5), den.repartition(3)))
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === b.toSeq)
+  }
 }
