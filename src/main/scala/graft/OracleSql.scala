@@ -493,6 +493,7 @@ object OracleSql {
     "q205_rrf_hybrid" -> Gen.rrfHybridSql,
     "q206_benford_screen" -> Gen.benfordScreenSql,
     "q207_survival_curve" -> Gen.survivalCurveSql,
+    "q208_mmr_rerank" -> Gen.mmrRerankSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1759,6 +1760,69 @@ object OracleSql {
          |    AS log_surv_e8
          |FROM tm ORDER BY t_days""".stripMargin
     }
+
+    /** Twin of q208_mmr_rerank: same top-10 candidate cut, the same
+      * greedy 7·rel − 3·maxsim chain UNROLLED into two selection
+      * CTEs (picks exclude priors via one-row inequality joins; the
+      * q134 DOUBLE[]-first and (score DESC, id) conventions).
+      */
+    def mmrRerankSql: String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+         |sc AS (SELECT qv.query_id, e.vec_id AS id,
+         |         ${cosineE("e.v", "qv.qv")} AS rel
+         |       FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+         |cand AS (SELECT query_id, id, rel FROM
+         |           (SELECT query_id, id, rel, row_number() OVER
+         |              (PARTITION BY query_id ORDER BY rel DESC, id) AS rnk
+         |            FROM sc)
+         |         WHERE rnk <= 10),
+         |cv AS (SELECT cand.query_id, cand.id, e.v
+         |       FROM cand JOIN e ON e.vec_id = cand.id),
+         |sims AS (SELECT a.query_id, a.id AS ia, b.id AS ib,
+         |           ${cosineE("a.v", "b.v")} AS sim
+         |         FROM cv a JOIN cv b
+         |           ON a.query_id = b.query_id AND a.id <> b.id),
+         |p1 AS (SELECT query_id, id, rel, mmr FROM
+         |         (SELECT query_id, id, rel, rel * 7 AS mmr,
+         |            row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rel * 7 DESC, id) AS rn FROM cand)
+         |       WHERE rn = 1),
+         |r2 AS (SELECT c.query_id, c.id, c.rel,
+         |         c.rel * 7 - max(s.sim) * 3 AS mmr
+         |       FROM cand c
+         |       JOIN p1 ON p1.query_id = c.query_id AND c.id <> p1.id
+         |       JOIN sims s ON s.query_id = c.query_id AND s.ia = c.id
+         |         AND s.ib = p1.id
+         |       GROUP BY c.query_id, c.id, c.rel),
+         |p2 AS (SELECT query_id, id, rel, mmr FROM
+         |         (SELECT query_id, id, rel, mmr, row_number() OVER
+         |            (PARTITION BY query_id ORDER BY mmr DESC, id) AS rn
+         |          FROM r2)
+         |       WHERE rn = 1),
+         |r3 AS (SELECT c.query_id, c.id, c.rel,
+         |         c.rel * 7 - max(s.sim) * 3 AS mmr
+         |       FROM cand c
+         |       JOIN p1 ON p1.query_id = c.query_id AND c.id <> p1.id
+         |       JOIN p2 ON p2.query_id = c.query_id AND c.id <> p2.id
+         |       JOIN sims s ON s.query_id = c.query_id AND s.ia = c.id
+         |         AND (s.ib = p1.id OR s.ib = p2.id)
+         |       GROUP BY c.query_id, c.id, c.rel),
+         |p3 AS (SELECT query_id, id, rel, mmr FROM
+         |         (SELECT query_id, id, rel, mmr, row_number() OVER
+         |            (PARTITION BY query_id ORDER BY mmr DESC, id) AS rn
+         |          FROM r3)
+         |       WHERE rn = 1),
+         |u AS (SELECT query_id, CAST(1 AS BIGINT) AS pick, id, rel, mmr
+         |        FROM p1
+         |      UNION ALL
+         |      SELECT query_id, CAST(2 AS BIGINT), id, rel, mmr FROM p2
+         |      UNION ALL
+         |      SELECT query_id, CAST(3 AS BIGINT), id, rel, mmr FROM p3)
+         |SELECT query_id, pick, id, round(rel, 4) AS rel,
+         |  round(mmr, 4) AS mmr
+         |FROM u ORDER BY query_id, pick""".stripMargin
 
     /** Twin of q156_data_expectations: evaluates the LITERAL same
       * predicate strings ([[Queries.LineitemChecks]]) in one

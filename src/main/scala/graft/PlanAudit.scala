@@ -103,6 +103,9 @@ object PlanAudit {
     // 3-row probe query set cross-joined under the corpus scan (the
     // q28/q134 brute-force convention) — broadcast by design
     "q205_rrf_hybrid",
+    // same 3-row probe-set brute-force candidate scan; the greedy
+    // rounds run on Q×kCand-bounded tables
+    "q208_mmr_rerank",
     // ONE-row total count cross-joined into the 9-row digit table —
     // broadcast scalar by design
     "q206_benford_screen",

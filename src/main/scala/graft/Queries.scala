@@ -3361,6 +3361,20 @@ object Queries {
     graft.ops.Funnel.survivalCurve(Tables.events(s, d), "user_id", "ts")
       .orderBy("t_days")
 
+  /** MMR diversified re-ranking ([[graft.sim.Similarity.mmrSelect]],
+    * Carbonell 1998): the context-selection step after retrieval —
+    * greedily pick 3 of each probe's top-10 cosine candidates,
+    * maximizing 7·rel − 3·(max sim to already-picked) so near-dup
+    * passages don't crowd the context window. The greedy chain runs
+    * only over query-bounded candidate tables; corpus scanned once.
+    */
+  val q208_mmr_rerank: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    graft.sim.Similarity.mmrSelect(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 3), "vec_id", "embedding")
+      .orderBy("query_id", "pick")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3584,5 +3598,6 @@ object Queries {
     "q204_sequence_patterns" -> q204_sequence_patterns,
     "q205_rrf_hybrid" -> q205_rrf_hybrid,
     "q206_benford_screen" -> q206_benford_screen,
-    "q207_survival_curve" -> q207_survival_curve)
+    "q207_survival_curve" -> q207_survival_curve,
+    "q208_mmr_rerank" -> q208_mmr_rerank)
 }

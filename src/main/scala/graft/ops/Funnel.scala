@@ -564,7 +564,19 @@ object Funnel {
         col(tsCol).as("__ts"), col(idCol).as("__id"))
       .select(col("a"), lead("a", 1).over(w).as("b"))
       .where(col("b").isNotNull)
-    val t = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pairs"))
+    transitionsFromCounts(
+      pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pairs")))
+  }
+
+  /** The [[markovTransitions]] ppm step over an already-reduced
+    * (a, b, n_pairs) table — the readback shared by the batch
+    * operator and the streaming transition monitor (additive
+    * per-trigger count folds feed the SAME arithmetic, so the two
+    * forms agree bit-for-bit).
+    */
+  def transitionsFromCounts(counts: DataFrame): DataFrame = {
+    val t = counts.select(col("a"), col("b"),
+      col("n_pairs").cast("bigint").as("n_pairs"))
     val rowTot = t.groupBy("a").agg(sum("n_pairs").as("n_from"))
     t.join(broadcast(rowTot), "a")
       .select(col("a").as("from_type"), col("b").as("to_type"),

@@ -841,6 +841,72 @@ object Similarity {
       .select("query_id", "n_hits", "first_hit_rank", "mrr_x1000", "ndcg_x1000")
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein SIGIR 1998) — the context-selection step after
+    * retrieval: greedily pick `kSel` of the top-`kCand` cosine
+    * candidates, each pick maximizing 7·relevance − 3·(max cosine to
+    * anything already picked), so near-duplicate passages don't crowd
+    * the result the way a plain top-k lets them. The greedy argmax
+    * chain is inherently sequential, but only over the CANDIDATE
+    * table: candidates, their pairwise similarities (Q × kCand²
+    * rows), and every selection round are all query-set-bounded —
+    * the corpus is touched once by the candidate scan. Ties broken
+    * by id ascending; Double scoring follows the q28/q134 identical-
+    * expression parity convention.
+    */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                kCand: Int = 10, kSel: Int = 3): DataFrame = {
+    require(kSel >= 1 && kCand >= kSel,
+      s"need kCand=$kCand >= kSel=$kSel >= 1")
+    val c = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      toDouble(col(qVecCol)).as("qv"))
+    val cand = TopK.topKPerKey(
+        c.crossJoin(broadcast(q))
+          .where(col("id") =!= col("query_id"))
+          .select(col("query_id"), cosine(col("v"), col("qv")).as("rel"),
+            col("id")),
+        Seq("query_id"), col("rel"), Seq(col("id")), kCand)
+      .select(col("query_id"), col("id"), col("rel"))
+      .localCheckpoint()
+    // pairwise candidate sims — Q × kCand² rows, computed once
+    val cv = cand.join(c, "id")
+    val sims = cv.select(col("query_id"), col("id").as("ia"), col("v").as("va"))
+      .join(cv.select(col("query_id"), col("id").as("ib"), col("v").as("vb")),
+        Seq("query_id"))
+      .where(col("ia") =!= col("ib"))
+      .select(col("query_id"), col("ia"), col("ib"),
+        cosine(col("va"), col("vb")).as("sim"))
+      .localCheckpoint()
+    def argmax(scored: DataFrame, pick: Int): DataFrame =
+      scored.groupBy("query_id")
+        .agg(max(struct(col("mmr").as("s"), (-col("id")).as("ni"),
+          col("rel").as("r"))).as("__b"))
+        .select(col("query_id"), lit(pick.toLong).as("pick"),
+          (-col("__b.ni")).as("id"), col("__b.r").as("rel"),
+          col("__b.s").as("mmr"))
+    var sel = argmax(cand.select(col("query_id"), col("id"), col("rel"),
+      (col("rel") * 7).as("mmr")), 1)
+    var all = sel
+    (2 to kSel).foreach { pick =>
+      val remaining = cand.join(all.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_anti")
+      val maxSim = remaining.select(col("query_id"), col("id").as("ia"),
+          col("rel"))
+        .join(sims, Seq("query_id", "ia"))
+        .join(all.select(col("query_id"), col("id").as("ib")),
+          Seq("query_id", "ib"))
+        .groupBy("query_id", "ia", "rel")
+        .agg(max("sim").as("ms"))
+      sel = argmax(maxSim.select(col("query_id"), col("ia").as("id"),
+        col("rel"), (col("rel") * 7 - col("ms") * 3).as("mmr")), pick)
+      all = all.unionByName(sel)
+    }
+    all.select(col("query_id"), col("pick"), col("id"),
+      round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. SIGIR 2009) — THE hybrid-
     * search combiner: each retriever contributes 10⁶ div (kRrf +
     * rank) per (query, doc), exact integers, summed across lists;

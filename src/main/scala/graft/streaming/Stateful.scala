@@ -988,6 +988,52 @@ object Stateful {
       }
   }
 
+  final case class TypedEvent(user: Long, ts: java.sql.Timestamp,
+                              id: Long, tpe: String)
+  final case class LastType(tpe: String, ts: Long, id: Long)
+  final case class TransInc(a: String, b: String)
+
+  /** Streaming Markov transition increments — the streaming form of
+    * [[graft.ops.Funnel.markovTransitions]]' pair stage: per user
+    * the keyed state holds only the LAST event's type (plus its
+    * (ts, id) order key), and each arriving event emits one (prev →
+    * current) increment, so a downstream additive count fold through
+    * [[graft.ops.Funnel.transitionsFromCounts]] reproduces the
+    * batch transition matrix exactly. Events inside a trigger are
+    * sorted by the same (ts, id) order the batch window uses;
+    * cross-trigger order rides the [[funnelUpdates]] watermark
+    * contract. O(1) state per user; dies `stateTtlMs` after the
+    * user's last arrival.
+    */
+  def transitionIncrements(ds: org.apache.spark.sql.Dataset[TypedEvent],
+                           watermarkDelay: String, stateTtlMs: Long)
+      : org.apache.spark.sql.Dataset[TransInc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[LastType, TransInc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[TypedEvent], state: GroupState[LastType]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.id))
+            val out = Seq.newBuilder[TransInc]
+            var prev = state.getOption.orNull
+            sorted.foreach { e =>
+              if (prev != null) out += TransInc(prev.tpe, e.tpe)
+              prev = LastType(e.tpe, e.ts.getTime, e.id)
+            }
+            if (prev != null) {
+              state.update(prev)
+              state.setTimeoutTimestamp(prev.ts + stateTtlMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class CheckEvent(check: String, pass: Boolean,
                               ts: java.sql.Timestamp)
   final case class CheckCounts(n: Long, p: Long, lastTs: Long)

@@ -524,6 +524,28 @@ class SimilaritySpec extends SparkSpec {
     assert(strict.forall(r => r.getString(2) == "noise" && r.isNullAt(1)))
   }
 
+  test("mmrSelect: greedy 7rel-3maxsim chain on hand-laid unit vectors") {
+    import spark.implicits._
+    // q = e_x. rels: c1=1.0, c2=0.8, c3=0.0, c4=0.28.
+    // pick1 = c1 (rel 1). pick2 scores: c2 7(.8)-3(.8)=3.2,
+    // c3 0-0=0, c4 7(.28)-3(.28)=1.12 -> c2.
+    // pick3: c3 0-3·max(0,.6)=-1.8, c4 1.96-3·max(.28,.8)=-0.44 -> c4.
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.8f, 0.6f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0.28f, 0.96f, 0f, 0f))).toDF("id", "vec")
+    val q = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("id", "vec")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrSelect(c, "id", "vec", q, "id", "vec",
+        kCand = 4, kSel = 3)
+        .orderBy("pick").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+    val out = run(corpus)
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 4L)))
+    assert(out.toSeq === run(corpus.repartition(5)).toSeq)
+  }
+
   test("rrfFuse: hand-computed reciprocal contributions; doc in both lists rises") {
     import spark.implicits._
     val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "id", "rank")

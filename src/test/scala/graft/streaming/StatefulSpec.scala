@@ -1268,6 +1268,53 @@ class StatefulSpec extends SparkSpec {
     assert(streamed(("click", "purchase")) === 1L)
   }
 
+  test("transitionIncrements ≡ batch markovTransitions (differential, cross-batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Stateful.TypedEvent]
+    val incs = mutable.Buffer.empty[Stateful.TransInc]
+    val q = Stateful.transitionIncrements(stream.toDS(),
+        watermarkDelay = "1 hour", stateTtlMs = 24 * 3600 * 1000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.TransInc],
+                       _: Long) =>
+        incs.synchronized { incs ++= df.collect() }
+        ()
+      }.start()
+    def te(u: Long, minute: Int, id: Long, tpe: String) = Stateful.TypedEvent(
+      u, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), id, tpe)
+    // u1 chain spans batches (the state bridge); u2 has a same-second
+    // pair where the id tiebreak decides the order
+    val batch1 = Seq(te(1, 1, 1, "view"), te(1, 2, 2, "click"),
+      te(2, 1, 4, "view"), te(2, 1, 3, "signup"))
+    val batch2 = Seq(te(1, 4, 5, "purchase"), te(1, 5, 6, "view"))
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    val counts = incs.groupBy(p => (p.a, p.b)).view
+      .mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+      .toDF("a", "b", "n_pairs")
+    val streamed = graft.ops.Funnel.transitionsFromCounts(counts)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batchDf = (batch1 ++ batch2)
+      .map(e => (e.user, e.tpe, e.ts, e.id))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val expected = graft.ops.Funnel.markovTransitions(batchDf, "user_id",
+        "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed === expected,
+      s"streaming transitions drifted: $streamed vs $expected")
+    // the cross-batch bridge (click -> purchase) and the id tiebreak
+    // (signup before view at the same second) both held
+    assert(expected.exists(t => t._1 == "click" && t._2 == "purchase"))
+    assert(expected.exists(t => t._1 == "signup" && t._2 == "view"))
+  }
+
   test("checksRunning ≡ batch rowChecks over everything delivered (differential)") {
     implicit val sqlCtx = spark.sqlContext
     val checks = Seq(
