@@ -494,6 +494,7 @@ object OracleSql {
     "q206_benford_screen" -> Gen.benfordScreenSql,
     "q207_survival_curve" -> Gen.survivalCurveSql,
     "q208_mmr_rerank" -> Gen.mmrRerankSql,
+    "q209_text_tiling" -> Gen.textTilingSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1823,6 +1824,47 @@ object OracleSql {
          |SELECT query_id, pick, id, round(rel, 4) AS rel,
          |  round(mmr, 4) AS mmr
          |FROM u ORDER BY query_id, pick""".stripMargin
+
+    /** Twin of q209_text_tiling: same 20-token blocks (positions via
+      * a struct-list comprehension), same ×1000 Jaccard cohesion,
+      * valley depths, and dip-below-integer-mean boundary rule.
+      */
+    def textTilingSql: String =
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |bt AS (SELECT DISTINCT id, s.blk AS blk, s.t AS t FROM
+         |         (SELECT doc_id AS id,
+         |            UNNEST([{'blk': CAST((i - 1) // 20 AS BIGINT),
+         |                     't': w[i]} for i in range(1, len(w) + 1)])
+         |            AS s
+         |          FROM wd)),
+         |sz AS (SELECT id, blk, CAST(count(*) AS BIGINT) AS n FROM bt
+         |       GROUP BY 1, 2),
+         |ix AS (SELECT a.id, a.blk AS gap, CAST(count(*) AS BIGINT) AS ix
+         |       FROM bt a JOIN bt b ON a.id = b.id AND b.blk = a.blk + 1
+         |         AND a.t = b.t
+         |       GROUP BY 1, 2),
+         |coh AS (SELECT sa.id, sa.blk AS gap,
+         |          CAST((1000 * coalesce(ix.ix, 0)) //
+         |            (sa.n + sb.n - coalesce(ix.ix, 0)) AS BIGINT)
+         |            AS coh_x1000
+         |        FROM sz sa JOIN sz sb ON sb.id = sa.id
+         |          AND sb.blk = sa.blk + 1
+         |        LEFT JOIN ix ON ix.id = sa.id AND ix.gap = sa.blk),
+         |fin AS (SELECT id, gap, coh_x1000,
+         |          coalesce(lag(coh_x1000) OVER
+         |            (PARTITION BY id ORDER BY gap), coh_x1000) AS cl,
+         |          coalesce(lead(coh_x1000) OVER
+         |            (PARTITION BY id ORDER BY gap), coh_x1000) AS cr,
+         |          CAST(sum(coh_x1000) OVER (PARTITION BY id) AS BIGINT)
+         |            AS cs,
+         |          CAST(count(*) OVER (PARTITION BY id) AS BIGINT) AS cn
+         |        FROM coh)
+         |SELECT id AS doc_id, gap, coh_x1000,
+         |  CAST(greatest(cl - coh_x1000, 0) + greatest(cr - coh_x1000, 0)
+         |    AS BIGINT) AS depth_x1000,
+         |  ((greatest(cl - coh_x1000, 0) + greatest(cr - coh_x1000, 0)) > 0
+         |    AND coh_x1000 < (cs // cn)) AS is_boundary
+         |FROM fin ORDER BY doc_id, gap""".stripMargin
 
     /** Twin of q156_data_expectations: evaluates the LITERAL same
       * predicate strings ([[Queries.LineitemChecks]]) in one

@@ -3375,6 +3375,18 @@ object Queries {
       .orderBy("query_id", "pick")
   }
 
+  /** TextTiling topic segmentation
+    * ([[graft.ops.TextStats.textTiling]], Hearst 1997): per document
+    * the adjacent-block lexical-cohesion curve (exact ×1000 Jaccard
+    * of 20-token blocks), Hearst valley depths, and the dip-below-
+    * mean boundary flags — finds the topic seams fixed-offset RAG
+    * chunking cuts through. One posexplode scan; all windows
+    * partition by document.
+    */
+  val q209_text_tiling: Q = (s, d) =>
+    TextStats.textTiling(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id", "gap")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3599,5 +3611,6 @@ object Queries {
     "q205_rrf_hybrid" -> q205_rrf_hybrid,
     "q206_benford_screen" -> q206_benford_screen,
     "q207_survival_curve" -> q207_survival_curve,
-    "q208_mmr_rerank" -> q208_mmr_rerank)
+    "q208_mmr_rerank" -> q208_mmr_rerank,
+    "q209_text_tiling" -> q209_text_tiling)
 }

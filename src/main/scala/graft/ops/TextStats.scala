@@ -1102,4 +1102,61 @@ object TextStats {
       .withColumn("keep", col("ok_words") && col("ok_mean_len") &&
         col("ok_symbols") && col("ok_stopwords") && col("ok_dup"))
   }
+
+  /** TextTiling topic segmentation (Hearst CL 1997, the fixed-block
+    * form): long documents rarely hold ONE topic, and chunking for
+    * retrieval at fixed offsets cuts topics in half — this finds the
+    * natural seams instead. Per document: tokens fall into
+    * `blockTokens`-sized blocks; each adjacent-block gap scores
+    * lexical cohesion as the exact ×1000 Jaccard of the blocks'
+    * distinct token sets; the gap's DEPTH is how far cohesion dips
+    * below both neighbors (Hearst's valley score, integers
+    * throughout); a gap is a boundary when it dips (depth > 0) AND
+    * sits below the document's mean cohesion (integer div). Output
+    * one row per interior gap: (id, gap, coh_x1000, depth_x1000,
+    * is_boundary).
+    *
+    * Scale shape: one posexplode scan; the distinct/count/adjacent
+    * joins all shuffle on (doc, block); the lag/lead/mean windows
+    * partition BY DOCUMENT over its block list — never a global
+    * window, never more than blocks-per-doc rows per partition key.
+    */
+  def textTiling(docs: DataFrame, idCol: String, textCol: String,
+                 blockTokens: Int = 20): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens=$blockTokens must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val bt = docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("id"), expr(s"CAST(pos div $blockTokens AS BIGINT)")
+        .as("blk"), col("t"))
+      .distinct()
+    val sz = bt.groupBy("id", "blk").agg(count(lit(1)).as("n"))
+    val inter = bt.select(col("id"), col("blk"), col("t"))
+      .join(bt.select(col("id"), (col("blk") - 1).as("blk"), col("t")),
+        Seq("id", "blk", "t"))
+      .groupBy("id", "blk").agg(count(lit(1)).as("ix"))
+    val coh = sz.select(col("id"), col("blk").as("gap"), col("n").as("na"))
+      .join(sz.select(col("id"), (col("blk") - 1).as("gap"),
+        col("n").as("nb")), Seq("id", "gap"))
+      .join(inter.select(col("id"), col("blk").as("gap"), col("ix")),
+        Seq("id", "gap"), "left")
+      .select(col("id"), col("gap"),
+        expr("CAST((1000 * coalesce(ix, CAST(0 AS BIGINT))) div " +
+          "(na + nb - coalesce(ix, CAST(0 AS BIGINT))) AS BIGINT)")
+          .as("coh_x1000"))
+    val w = Window.partitionBy("id").orderBy("gap")
+    coh
+      .select(col("id"), col("gap"), col("coh_x1000"),
+        coalesce(lag("coh_x1000", 1).over(w), col("coh_x1000")).as("cl"),
+        coalesce(lead("coh_x1000", 1).over(w), col("coh_x1000")).as("cr"),
+        sum("coh_x1000").over(Window.partitionBy("id")).as("cs"),
+        count(lit(1)).over(Window.partitionBy("id")).as("cn"))
+      .select(col("id").as(idCol), col("gap"), col("coh_x1000"),
+        expr("greatest(cl - coh_x1000, CAST(0 AS BIGINT)) + " +
+          "greatest(cr - coh_x1000, CAST(0 AS BIGINT))").as("depth_x1000"),
+        expr("(greatest(cl - coh_x1000, CAST(0 AS BIGINT)) + " +
+          "greatest(cr - coh_x1000, CAST(0 AS BIGINT))) > 0 " +
+          "AND coh_x1000 < (cs div cn)").as("is_boundary"))
+  }
 }

@@ -510,4 +510,22 @@ class TextStatsSpec extends SparkSpec {
       .collect()
     assert(a.toSeq === b.toSeq && a.nonEmpty)
   }
+
+  test("textTiling: the topic seam gets full depth and the boundary flag") {
+    import spark.implicits._
+    // two repeated topics of 2 blocks each: cohesion 1000 inside a
+    // topic, 0 at the seam; only the seam dips below the 666 mean
+    val docs = Seq((1L,
+      "aa bb cc aa bb cc dd ee ff dd ee ff")).toDF("id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.textTiling(d, "id", "text", blockTokens = 3)
+        .orderBy("gap").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val out = run(docs)
+    assert(out.toSeq === Seq(
+      (0L, 1000L, 0L, false),
+      (1L, 0L, 2000L, true),
+      (2L, 1000L, 0L, false)))
+    assert(out.toSeq === run(docs.repartition(3)).toSeq)
+  }
 }
