@@ -495,6 +495,8 @@ object OracleSql {
     "q207_survival_curve" -> Gen.survivalCurveSql,
     "q208_mmr_rerank" -> Gen.mmrRerankSql,
     "q209_text_tiling" -> Gen.textTilingSql,
+    "q210_zonemap_pruning" -> Gen.zoneMapPruningSql,
+    "q211_concurrency_curve" -> Gen.concurrencyCurveSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1865,6 +1867,57 @@ object OracleSql {
          |  ((greatest(cl - coh_x1000, 0) + greatest(cr - coh_x1000, 0)) > 0
          |    AND coh_x1000 < (cs // cn)) AS is_boundary
          |FROM fin ORDER BY doc_id, gap""".stripMargin
+
+    /** Twin of q210_zonemap_pruning: the IDENTICAL emitted z-value
+      * bit arithmetic ([[graft.ops.Layout.zValueSql]]), same bucket
+      * width, zone maps, overlap rule, and exact match counts.
+      */
+    def zoneMapPruningSql: String = {
+      val z = graft.ops.Layout.zValueSql(Seq("x", "y"), 5)
+      val width = (1L << 10) / 32
+      s"""WITH v AS (SELECT CAST(hour(ts) AS BIGINT) AS x,
+         |             CAST(user_id % 32 AS BIGINT) AS y FROM events),
+         |b AS (SELECT x, y, CAST($z // $width AS BIGINT) AS bucket FROM v)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max,
+         |  (max(x) >= 9 AND min(x) <= 17 AND max(y) >= 8 AND min(y) <= 15)
+         |    AS scanned,
+         |  CAST(sum(CASE WHEN x BETWEEN 9 AND 17 AND y BETWEEN 8 AND 15
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
+
+    /** Twin of q211_concurrency_curve: same gap-600 s sessionization
+      * (the q141 construction), sessions exploded into their
+      * overlapped hours via generate_series, same per-hour counts.
+      */
+    def concurrencyCurveSql: String =
+      s"""WITH e AS (SELECT user_id AS u, ts, event_id AS id FROM events),
+         |m AS (SELECT u, ts, id,
+         |        lag(ts) OVER (PARTITION BY u ORDER BY ts, id) AS prev
+         |      FROM e),
+         |n AS (SELECT u, ts, id,
+         |        CASE WHEN prev IS NULL OR
+         |          date_diff('second', prev, ts) > 600 THEN 1 ELSE 0 END
+         |          AS nw
+         |      FROM m),
+         |sid AS (SELECT u, ts,
+         |          sum(nw) OVER (PARTITION BY u ORDER BY ts, id
+         |            ROWS UNBOUNDED PRECEDING) AS s
+         |        FROM n),
+         |sp AS (SELECT date_trunc('hour', min(ts)) AS h_start,
+         |         date_trunc('hour', max(ts)) AS h_end
+         |       FROM sid GROUP BY u, s),
+         |hrs AS (SELECT unnest(generate_series(h_start, h_end,
+         |          INTERVAL 1 HOUR)) AS hour, h_start, h_end
+         |        FROM sp)
+         |SELECT hour, CAST(count(*) AS BIGINT) AS n_active,
+         |  CAST(sum(CASE WHEN hour = h_start THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_started,
+         |  CAST(sum(CASE WHEN hour = h_end THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ended
+         |FROM hrs GROUP BY hour ORDER BY hour""".stripMargin
 
     /** Twin of q156_data_expectations: evaluates the LITERAL same
       * predicate strings ([[Queries.LineitemChecks]]) in one

@@ -3387,6 +3387,31 @@ object Queries {
     TextStats.textTiling(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id", "gap")
 
+  /** Zone-map pruning report over a Z-ordered events layout
+    * ([[graft.ops.Layout.zoneMapPruning]]): 32 fixed z-range buckets
+    * on (hour-of-day, user-id mod 32) with per-bucket min/max zone
+    * maps, a business-hours × user-band rectangle probe, the
+    * planner's overlap decision per bucket, and the exact matching
+    * rows — shows both the skip rate z-ordering buys and the
+    * false-positive scans it still pays. One scan, 32-row output.
+    */
+  val q210_zonemap_pruning: Q = (s, d) =>
+    graft.ops.Layout.zoneMapPruning(Tables.events(s, d),
+        "hour(ts)", "user_id % 32", bits = 5, numBuckets = 32,
+        xLo = 9, xHi = 17, yLo = 8, yHi = 15)
+      .orderBy("bucket")
+
+  /** Hour-granular session concurrency curve
+    * ([[graft.ops.Funnel.concurrencyCurve]]): live / opened / closed
+    * sessions per hour from the q141 inactivity-gap sessions — the
+    * capacity-planning readout. Sessions explode only into their own
+    * overlapped hours; output is span-bounded.
+    */
+  val q211_concurrency_curve: Q = (s, d) =>
+    graft.ops.Funnel.concurrencyCurve(Tables.events(s, d), "user_id",
+        "ts", "event_id")
+      .orderBy("hour")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3612,5 +3637,7 @@ object Queries {
     "q206_benford_screen" -> q206_benford_screen,
     "q207_survival_curve" -> q207_survival_curve,
     "q208_mmr_rerank" -> q208_mmr_rerank,
-    "q209_text_tiling" -> q209_text_tiling)
+    "q209_text_tiling" -> q209_text_tiling,
+    "q210_zonemap_pruning" -> q210_zonemap_pruning,
+    "q211_concurrency_curve" -> q211_concurrency_curve)
 }

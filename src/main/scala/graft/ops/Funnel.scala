@@ -547,6 +547,44 @@ object Funnel {
         col("cen").as("n_censored"), col("log_surv_e8"))
   }
 
+  /** Hour-granular session concurrency curve — "how many sessions
+    * were live each hour, how many opened, how many closed": the
+    * capacity-planning readout behind peak provisioning. Sessions
+    * come from the same inactivity-gap construction as the q141
+    * batch sessionizer (per-user (ts, id)-ordered window, new
+    * session when the gap exceeds `gapSec`); each session then
+    * explodes into the hours it OVERLAPS (sequence over its own
+    * span — bounded per session by its duration, never a global
+    * interval join), and one aggregation per hour counts active /
+    * started / ended. Exact integers; output is span-hour-bounded.
+    */
+  def concurrencyCurve(df: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, gapSec: Long = 600L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__ts"), col("__id"))
+    val spans = df.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"))
+      .withColumn("__prev", lag("__ts", 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_timestamp(col("__ts")) - unix_timestamp(col("__prev")) > gapSec,
+        1L).otherwise(0L))
+      .withColumn("__sid", sum("__new").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("__u", "__sid")
+      .agg(min("__ts").as("t_start"), max("__ts").as("t_end"))
+      .select(date_trunc("hour", col("t_start")).as("h_start"),
+        date_trunc("hour", col("t_end")).as("h_end"))
+    spans
+      .select(explode(expr("sequence(h_start, h_end, interval 1 hour)"))
+        .as("hour"), col("h_start"), col("h_end"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("hour") === col("h_start"), 1L).otherwise(0L))
+          .as("n_started"),
+        sum(when(col("hour") === col("h_end"), 1L).otherwise(0L))
+          .as("n_ended"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: P(next = b | current = a) as exact ppm from the
     * (a → b) adjacency counts of consecutive events (ordered by

@@ -107,6 +107,40 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** Zone-map pruning report over a Z-ordered layout — the proof
+    * that [[zValue]] clustering pays: rows fall into `numBuckets`
+    * fixed-width z-ranges (the file-boundary surrogate of
+    * [[writeZOrdered]]'s range partitioning), each bucket keeps
+    * parquet-style min/max zone maps on BOTH interleaved dimensions,
+    * and a rectangle predicate (xLo..xHi, yLo..yHi) is evaluated the
+    * way a scan planner would: `scanned` = the bucket's min/max box
+    * overlaps the predicate box, `n_match` = the exact rows inside —
+    * so the report shows both the skip rate and the false-positive
+    * scans ("scanned but matched nothing"). One scan, bucket-bounded
+    * output; x and y must already be non-negative ints < 2^bits.
+    */
+  def zoneMapPruning(df: DataFrame, xE: String, yE: String, bits: Int,
+                     numBuckets: Int, xLo: Long, xHi: Long,
+                     yLo: Long, yHi: Long): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    val width = math.max((1L << (2 * bits)) / numBuckets, 1L)
+    df.select(expr(xE).cast("bigint").as("x"),
+        expr(yE).cast("bigint").as("y"))
+      .withColumn("__z", zValue(Seq(col("x"), col("y")), bits))
+      .withColumn("bucket", expr(s"__z div $width"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"),
+        sum(when(col("x").between(xLo, xHi) &&
+          col("y").between(yLo, yHi), 1L).otherwise(0L)).as("n_match"))
+      .select(col("bucket"), col("n_rows"), col("x_min"), col("x_max"),
+        col("y_min"), col("y_max"),
+        (col("x_max") >= xLo && col("x_min") <= xHi &&
+          col("y_max") >= yLo && col("y_min") <= yHi).as("scanned"),
+        col("n_match"))
+  }
+
   /** Write `df` as a BUCKETED (and optionally sort-bucketed) parquet
     * table at `path`, registered as `tableName` — Spark's co-located
     * join layout: two tables bucketed by the same key into the same

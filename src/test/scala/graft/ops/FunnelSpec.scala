@@ -303,6 +303,26 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("concurrencyCurve: cross-hour session counted live in both hours") {
+    // u1: 10:55 + 11:02 chain (420 s gap, ONE session spanning two
+    // hours); u2: a single 10:30 event
+    val ev = Seq(
+      (1L, "2024-01-01 10:55:00", 1L),
+      (1L, "2024-01-01 11:02:00", 2L),
+      (2L, "2024-01-01 10:30:00", 3L))
+      .toDF("u", "tss", "id")
+      .select(col("u"), col("tss").cast("timestamp").as("t"), col("id"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.concurrencyCurve(d, "u", "t", "id").orderBy("hour").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", 2L, 2L, 1L),
+      ("2024-01-01 11:00:00.0", 1L, 0L, 1L)))
+    assert(out.toSeq === run(ev.repartition(5)).toSeq)
+  }
+
   test("survivalCurve: censoring rule, risk sets, exact Mitchell log-survival") {
     // corpus max day = Jan 10. horizon 3: death iff last event more
     // than 3 days before the end.

@@ -150,4 +150,21 @@ class LayoutSpec extends SparkSpec {
     assert(back.select("meta").where(col("id") === 7).as[Map[String, String]].head()
       === Map("k" -> "v7"))
   }
+
+  test("zoneMapPruning: hand-computed buckets, overlap decisions, exact matches") {
+    // bits=2 -> z in [0,16), 4 buckets of width 4.
+    // (0,0)->z0 b0, (1,0)->z1 b0, (2,2)->z12 b3, (3,3)->z15 b3
+    val df = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L)).toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Layout.zoneMapPruning(d, "a", "b", bits = 2,
+        numBuckets = 4, xLo = 2, xHi = 3, yLo = 2, yHi = 3)
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7)))
+    val out = run(df)
+    assert(out.toSeq === Seq(
+      (0L, 2L, 0L, 1L, 0L, 0L, false, 0L),
+      (3L, 2L, 2L, 3L, 2L, 3L, true, 2L)))
+    assert(out.toSeq === run(df.repartition(3)).toSeq)
+  }
 }
