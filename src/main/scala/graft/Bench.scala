@@ -292,7 +292,8 @@ object Bench {
       "q202_markov_transitions", "q203_markov_stationary",
       "q204_sequence_patterns",
       "q205_rrf_hybrid", "q206_benford_screen", "q207_survival_curve", "q208_mmr_rerank", "q209_text_tiling",
-      "q210_zonemap_pruning", "q211_concurrency_curve")
+      "q210_zonemap_pruning", "q211_concurrency_curve",
+      "q212_calibration_report")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -497,6 +497,7 @@ object OracleSql {
     "q209_text_tiling" -> Gen.textTilingSql,
     "q210_zonemap_pruning" -> Gen.zoneMapPruningSql,
     "q211_concurrency_curve" -> Gen.concurrencyCurveSql,
+    "q212_calibration_report" -> Gen.calibrationReportSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1918,6 +1919,22 @@ object OracleSql {
          |  CAST(sum(CASE WHEN hour = h_end THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_ended
          |FROM hrs GROUP BY hour ORDER BY hour""".stripMargin
+
+    /** Twin of q212_calibration_report: wraps the full NB scoring
+      * twin (the q179 convention) and applies the same margin
+      * binning and per-mille accuracy.
+      */
+    def calibrationReportSql: String =
+      s"""WITH scored AS ($nbClassifierSql),
+         |b AS (SELECT least(margin_e8 // 2, 10) AS bin,
+         |        CASE WHEN lang = pred THEN 1 ELSE 0 END AS ok
+         |      FROM scored)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |  CAST(bin * 2 AS BIGINT) AS conf_lo,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  CAST((1000 * sum(ok)) // count(*) AS BIGINT) AS acc_x1000
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
     /** Twin of q156_data_expectations: evaluates the LITERAL same
       * predicate strings ([[Queries.LineitemChecks]]) in one

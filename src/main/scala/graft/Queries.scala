@@ -3412,6 +3412,25 @@ object Queries {
         "ts", "event_id")
       .orderBy("hour")
 
+  /** Classifier calibration report
+    * ([[graft.ops.Profile.calibrationReport]]): the NB language
+    * classifier's holdout predictions binned by their margin_e8
+    * confidence, exact per-mille accuracy per bin — the reliability
+    * diagram that says whether q114's margins can back a threshold
+    * gate. One (maxBin+1)-bounded aggregation over the q184 scored
+    * surface.
+    */
+  val q212_calibration_report: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = graft.ops.NaiveBayes.trainScore(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(5)) === 0),
+      "lang", "doc_id", "text", Seq("lang"))
+    graft.ops.Profile.calibrationReport(scored, "lang", "pred",
+        "margin_e8", binWidth = 2, maxBin = 10)
+      .orderBy("bin")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3639,5 +3658,6 @@ object Queries {
     "q208_mmr_rerank" -> q208_mmr_rerank,
     "q209_text_tiling" -> q209_text_tiling,
     "q210_zonemap_pruning" -> q210_zonemap_pruning,
-    "q211_concurrency_curve" -> q211_concurrency_curve)
+    "q211_concurrency_curve" -> q211_concurrency_curve,
+    "q212_calibration_report" -> q212_calibration_report)
 }

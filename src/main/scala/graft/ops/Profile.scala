@@ -332,6 +332,30 @@ object Profile {
       .withColumn("dev_ppm", expr("abs(obs_ppm - exp_ppm)"))
   }
 
+  /** Classifier calibration / reliability report — "when the model
+    * is confident, is it actually right?": rows bin by the
+    * confidence surrogate (`confCol` div binWidth, capped at
+    * `maxBin`), and each bin reports its size, correct count, and
+    * exact per-mille accuracy. A well-calibrated classifier shows
+    * accuracy rising monotonically with the bin; a flat curve means
+    * the confidence column is noise and any threshold gate built on
+    * it is theater. One scan, one (maxBin+1)-bounded aggregation.
+    */
+  def calibrationReport(scored: DataFrame, truthCol: String,
+                        predCol: String, confCol: String,
+                        binWidth: Long, maxBin: Long): DataFrame = {
+    require(binWidth > 0 && maxBin >= 0,
+      s"binWidth=$binWidth, maxBin=$maxBin out of range")
+    scored
+      .select(expr(s"least($confCol div $binWidth, $maxBin)").as("bin"),
+        when(col(truthCol) === col(predCol), 1L).otherwise(0L).as("ok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("ok").as("n_correct"))
+      .select(col("bin"), expr(s"bin * $binWidth").as("conf_lo"),
+        col("n"), col("n_correct"),
+        expr("CAST((1000 * n_correct) div n AS BIGINT)").as("acc_x1000"))
+  }
+
   /** Deequ-style expectation report over row-level predicates — ONE
     * scan, one conditional-sum aggregation, then one output row per
     * check: (check, n_rows, n_pass, pass_x1000, passed). Predicates

@@ -151,6 +151,25 @@ class ProfileSpec extends SparkSpec {
       .where(col("digit") === 1).head().getLong(1) === 1L)
   }
 
+  test("calibrationReport: hand-binned accuracy; cap bin collects the tail") {
+    val scored = Seq(
+      ("a", "a", 0L), ("a", "b", 1L),             // bin 0: 1/2
+      ("a", "a", 10L), ("a", "a", 11L),           // bin 5: 2/2
+      ("a", "b", 99L), ("a", "a", 1000L))         // cap bin 10: 1/2
+      .toDF("truth", "pred", "conf")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.calibrationReport(d, "truth", "pred", "conf", 2L, 10L)
+        .orderBy("bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    val out = run(scored)
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, 1L, 500L),
+      (5L, 10L, 2L, 2L, 1000L),
+      (10L, 20L, 2L, 1L, 500L)))
+    assert(out.toSeq === run(scored.repartition(4)).toSeq)
+  }
+
   test("rowChecks + uniquenessCheck: hand-counted pass rates and flags") {
     val df = Seq((1L, 10.0, "A"), (2L, -5.0, "A"), (2L, 7.0, "B"),
       (4L, 3.0, "Z")).toDF("id", "amt", "tag")
