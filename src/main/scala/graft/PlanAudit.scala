@@ -149,6 +149,8 @@ object PlanAudit {
     "q183_bayesian_rates",
     // q114's NB class-table scoring shape under the margin ranking
     "q184_uncertainty_sample",
+    // q114's NB class-table scoring shape under the calibration bins
+    "q212_calibration_report",
     // L-row language list under an inequality self-join — the
     // q93/q104 pairs-of-groups shape, broadcast by design
     "q185_js_divergence",
