@@ -293,7 +293,9 @@ object Bench {
       "q204_sequence_patterns",
       "q205_rrf_hybrid", "q206_benford_screen", "q207_survival_curve", "q208_mmr_rerank", "q209_text_tiling",
       "q210_zonemap_pruning", "q211_concurrency_curve",
-      "q212_calibration_report")
+      "q212_calibration_report",
+      "q213_item_similarity", "q214_rfm_segments", "q215_cohort_ltv",
+      "q216_transition_dwell")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -498,6 +498,10 @@ object OracleSql {
     "q210_zonemap_pruning" -> Gen.zoneMapPruningSql,
     "q211_concurrency_curve" -> Gen.concurrencyCurveSql,
     "q212_calibration_report" -> Gen.calibrationReportSql,
+    "q213_item_similarity" -> Gen.itemSimilaritySql,
+    "q214_rfm_segments" -> Gen.rfmSegmentsSql,
+    "q215_cohort_ltv" -> Gen.cohortLtvSql,
+    "q216_transition_dwell" -> Gen.transitionDwellSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1935,6 +1939,123 @@ object OracleSql {
          |  CAST(sum(ok) AS BIGINT) AS n_correct,
          |  CAST((1000 * sum(ok)) // count(*) AS BIGINT) AS acc_x1000
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+    /** Twin of q213_item_similarity: same distinct baskets, maxBasket
+      * guard, a<b pair counts, minCo prune, HUGEINT squared-Ochiai.
+      */
+    def itemSimilaritySql: String =
+      s"""WITH ui AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+         |            FROM lineitem l JOIN orders o
+         |              ON l.l_orderkey = o.o_orderkey),
+         |kept AS (SELECT ui.* FROM ui JOIN
+         |           (SELECT u FROM ui GROUP BY u HAVING count(*) <= 1000) s
+         |           USING (u)),
+         |ca AS (SELECT it AS a, CAST(count(*) AS BIGINT) AS n_a FROM kept
+         |       GROUP BY 1),
+         |p AS (SELECT i1.it AS a, i2.it AS b, CAST(count(*) AS BIGINT) AS n_co
+         |      FROM kept i1 JOIN kept i2
+         |        ON i1.u = i2.u AND i1.it < i2.it
+         |      GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT p.a AS item_a, p.b AS item_b, p.n_co, ca.n_a, cb.n_a AS n_b,
+         |  CAST((CAST(p.n_co AS HUGEINT) * p.n_co * 1000000)
+         |    // (CAST(ca.n_a AS HUGEINT) * cb.n_a) AS BIGINT) AS ochiai2_ppm
+         |FROM p JOIN ca ON ca.a = p.a JOIN ca cb ON cb.a = p.b
+         |ORDER BY item_a, item_b""".stripMargin
+
+    /** Twin of q214_rfm_segments: same DECIMAL cents, same
+      * bounded-table ⌈p·n/100⌉ quintile cuts, same 1–5 scoring.
+      */
+    def rfmSegmentsSql: String = {
+      def cutsCte(dim: String): String =
+        s"""c$dim AS (SELECT
+           |  min(CASE WHEN cum >= (20 * n + 99) // 100 THEN v END) AS ${dim}20,
+           |  min(CASE WHEN cum >= (40 * n + 99) // 100 THEN v END) AS ${dim}40,
+           |  min(CASE WHEN cum >= (60 * n + 99) // 100 THEN v END) AS ${dim}60,
+           |  min(CASE WHEN cum >= (80 * n + 99) // 100 THEN v END) AS ${dim}80
+           |  FROM (SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+           |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |          CAST(sum(c) OVER () AS BIGINT) AS n
+           |        FROM (SELECT $dim AS v, CAST(count(*) AS BIGINT) AS c
+           |              FROM base GROUP BY 1)))""".stripMargin
+      def scoreE(dim: String): String =
+        s"(1 + CASE WHEN $dim > ${dim}20 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN $dim > ${dim}40 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN $dim > ${dim}60 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN $dim > ${dim}80 THEN 1 ELSE 0 END)"
+      s"""WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+         |base AS (SELECT o_custkey,
+         |    CAST(date_diff('day', max(o_orderdate), mx.mxd) AS BIGINT) AS r,
+         |    CAST(count(*) AS BIGINT) AS f,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |      AS cents,
+         |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+         |      AS BIGINT) // 10000 AS BIGINT) AS m
+         |  FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.mxd),
+         |${cutsCte("r")},
+         |${cutsCte("f")},
+         |${cutsCte("m")},
+         |sc AS (SELECT CAST(${scoreE("r")} AS BIGINT) AS recency_q,
+         |         CAST(${scoreE("f")} AS BIGINT) AS frequency_q,
+         |         CAST(${scoreE("m")} AS BIGINT) AS monetary_q,
+         |         cents
+         |       FROM base CROSS JOIN cr CROSS JOIN cf CROSS JOIN cm)
+         |SELECT recency_q, frequency_q, monetary_q,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(cents) AS BIGINT) AS total_cents
+         |FROM sc GROUP BY 1, 2, 3
+         |ORDER BY recency_q, frequency_q, monetary_q""".stripMargin
+    }
+
+    /** Twin of q215_cohort_ltv: same first-week cohorts, DECIMAL
+      * cents per user-week, per-cohort running cumulative, per-member
+      * LTV.
+      */
+    def cohortLtvSql: String =
+      s"""WITH f AS (SELECT user_id AS u,
+         |             date_trunc('week', min(ts)) AS cohort_week
+         |           FROM events GROUP BY 1),
+         |wv AS (SELECT user_id AS u, date_trunc('week', ts) AS w,
+         |         CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |           AS cents
+         |       FROM events GROUP BY 1, 2),
+         |bo AS (SELECT f.cohort_week,
+         |         CAST(date_diff('day', f.cohort_week, wv.w) // 7 AS BIGINT)
+         |           AS week_offset,
+         |         CAST(sum(wv.cents) AS BIGINT) AS week_cents
+         |       FROM wv JOIN f USING (u) GROUP BY 1, 2),
+         |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+         |       FROM f GROUP BY 1)
+         |SELECT bo.cohort_week, bo.week_offset, bo.week_cents,
+         |  CAST(sum(bo.week_cents) OVER (PARTITION BY bo.cohort_week
+         |    ORDER BY bo.week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS cum_cents,
+         |  sz.cohort_size,
+         |  CAST(CAST(sum(bo.week_cents) OVER (PARTITION BY bo.cohort_week
+         |    ORDER BY bo.week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    // greatest(sz.cohort_size, 1) AS BIGINT) AS ltv_cents_per_user
+         |FROM bo JOIN sz USING (cohort_week)
+         |ORDER BY cohort_week, week_offset""".stripMargin
+
+    /** Twin of q216_transition_dwell: same (ts, id)-ordered lead
+      * pairs, gap seconds, quantile_cont ≡ percentile parity (q140).
+      */
+    def transitionDwellSql: String =
+      s"""WITH s AS (SELECT user_id AS u, event_type AS a, ts, event_id AS id
+         |           FROM events),
+         |p AS (SELECT a,
+         |        lead(a) OVER (PARTITION BY u ORDER BY ts, id) AS b,
+         |        CAST(date_diff('second', ts,
+         |          lead(ts) OVER (PARTITION BY u ORDER BY ts, id))
+         |          AS BIGINT) AS gap
+         |      FROM s)
+         |SELECT a AS from_type, b AS to_type,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(min(gap) AS BIGINT) AS min_sec,
+         |  quantile_cont(gap, 0.5) AS median_sec,
+         |  quantile_cont(gap, 0.9) AS p90_sec,
+         |  CAST(max(gap) AS BIGINT) AS max_sec
+         |FROM p WHERE b IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
     /** Twin of q156_data_expectations: evaluates the LITERAL same
       * predicate strings ([[Queries.LineitemChecks]]) in one

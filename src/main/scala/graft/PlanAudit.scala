@@ -151,6 +151,9 @@ object PlanAudit {
     "q184_uncertainty_sample",
     // q114's NB class-table scoring shape under the calibration bins
     "q212_calibration_report",
+    // ONE-row max-date scalar plus three ONE-row quintile-cut tables
+    // cross-joined into the per-customer base — broadcast by design
+    "q214_rfm_segments",
     // L-row language list under an inequality self-join — the
     // q93/q104 pairs-of-groups shape, broadcast by design
     "q185_js_divergence",
@@ -216,6 +219,10 @@ object PlanAudit {
     // Gini cumulative-count window over the BOUNDED length-bucket
     // table (q92's audited cumsum shape)
     "q189_length_gini",
+    // RFM quintile-cut cumsums over the VALUE-DOMAIN-bounded count
+    // tables (span days / orders-per-customer / $100 buckets — never
+    // customers)
+    "q214_rfm_segments",
     // KM risk/log-survival cumsums over the lifetime-DAY table
     // (≤ corpus span days — constant in corpus size), after the
     // corpus reduced to one row per user then one per day

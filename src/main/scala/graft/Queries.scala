@@ -3431,6 +3431,55 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** Item–item collaborative similarity over customer part baskets
+    * ([[graft.ops.Funnel.itemSimilarity]]): "customers who bought X
+    * also bought Y" scored by exact-ppm SQUARED Ochiai (binary-vector
+    * cosine with the square root folded away) — the rec-sys
+    * complement to q162's lift. Baskets = distinct (custkey,
+    * partkey) from lineitem ⋈ orders; maxBasket guards the
+    * quadratic pair stage.
+    */
+  val q213_item_similarity: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val ui = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    graft.ops.Funnel.itemSimilarity(ui, "cust", "part", minCo = 3L)
+      .orderBy("item_a", "item_b")
+  }
+
+  /** RFM customer segmentation ([[graft.ops.Funnel.rfmSegments]]):
+    * recency/frequency/monetary quintile scores per customer from
+    * EXACT bounded-table quantile cuts (no corpus sort, no ntile
+    * single-partition window), aggregated to the ≤125 populated
+    * (r, f, m) cells with customer counts and cents totals.
+    */
+  val q214_rfm_segments: Q = (s, d) =>
+    graft.ops.Funnel.rfmSegments(Tables.orders(s, d), "o_custkey",
+        "o_orderdate", "o_totalprice")
+      .orderBy("recency_q", "frequency_q", "monetary_q")
+
+  /** Weekly cohort LTV curve ([[graft.ops.Funnel.cohortLtv]]):
+    * retention with money — per (cohort week, offset) the week's
+    * cents, running cumulative, and per-member LTV, exact through
+    * DECIMAL. The payback-period readout.
+    */
+  val q215_cohort_ltv: Q = (s, d) =>
+    graft.ops.Funnel.cohortLtv(Tables.events(s, d), "user_id", "ts",
+        "value")
+      .orderBy("cohort_week", "week_offset")
+
+  /** Transition dwell-time profile
+    * ([[graft.ops.Funnel.transitionDwell]]): per (a → b) consecutive
+    * event pair the gap-seconds min / exact-interpolation median /
+    * p90 / max — the timing half of q202's transition matrix
+    * ("users who purchase after viewing do it within N minutes").
+    */
+  val q216_transition_dwell: Q = (s, d) =>
+    graft.ops.Funnel.transitionDwell(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3659,5 +3708,9 @@ object Queries {
     "q209_text_tiling" -> q209_text_tiling,
     "q210_zonemap_pruning" -> q210_zonemap_pruning,
     "q211_concurrency_curve" -> q211_concurrency_curve,
-    "q212_calibration_report" -> q212_calibration_report)
+    "q212_calibration_report" -> q212_calibration_report,
+    "q213_item_similarity" -> q213_item_similarity,
+    "q214_rfm_segments" -> q214_rfm_segments,
+    "q215_cohort_ltv" -> q215_cohort_ltv,
+    "q216_transition_dwell" -> q216_transition_dwell)
 }

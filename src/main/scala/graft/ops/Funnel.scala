@@ -547,6 +547,176 @@ object Funnel {
         col("cen").as("n_censored"), col("log_surv_e8"))
   }
 
+  /** Item–item collaborative similarity ("customers who bought X
+    * also bought Y"): co-purchase counts over distinct (user, item)
+    * baskets scored by the SQUARED Ochiai coefficient in exact ppm —
+    * c²ab·10⁶ div (ca·cb), the cosine of the binary user vectors
+    * with the square root folded away so integers stay exact. The
+    * rec-sys complement to [[assocRules]]' lift (Ochiai is symmetric
+    * and length-normalized; lift is not). Pairs generate per user
+    * basket (the assocRules join shape) with a `maxBasket` guard so
+    * one crawl-everything account cannot quadratically dominate;
+    * undirected pairs emitted once (a < b), `minCo` prunes noise.
+    */
+  def itemSimilarity(df: DataFrame, userCol: String, itemCol: String,
+                     minCo: Long = 2L, maxBasket: Long = 1000L): DataFrame = {
+    val ui = df.select(col(userCol).as("__u"), col(itemCol).as("__it"))
+      .distinct()
+    val sized = ui.groupBy("__u").agg(count(lit(1)).as("__b"))
+      .where(col("__b") <= maxBasket)
+    val kept = ui.join(sized.select("__u"), "__u")
+    val cA = kept.groupBy(col("__it").as("a")).agg(count(lit(1)).as("n_a"))
+    val pairs = kept.as("i1")
+      .join(kept.as("i2"), col("i1.__u") === col("i2.__u") &&
+        col("i1.__it") < col("i2.__it"))
+      .groupBy(col("i1.__it").as("a"), col("i2.__it").as("b"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= minCo)
+    pairs
+      .join(cA, "a")
+      .join(cA.select(col("a").as("b"), col("n_a").as("n_b")), "b")
+      .select(col("a").as("item_a"), col("b").as("item_b"), col("n_co"),
+        col("n_a"), col("n_b"),
+        expr("CAST((CAST(n_co AS DECIMAL(38,0)) * n_co * 1000000) " +
+          "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("ochiai2_ppm"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation —
+    * the classic CRM partition, exact-integer end to end: per
+    * customer the days since last order, order count, and cents
+    * total (through DECIMAL, never float×100); each dimension then
+    * scores 1–5 by quintile position, with the quintile cuts
+    * computed EXACTLY over value-domain-bounded count tables
+    * (recency: span days; frequency: max orders per customer;
+    * monetary: $100 buckets) — cut_p = min value whose cumulative
+    * count reaches ⌈p·n/100⌉, so no corpus sort and no ntile's
+    * corpus-wide single-partition window. Output: one row per
+    * populated (r, f, m) cell (≤125) with customer count and cents
+    * total. `recency_q` 1 = most recent, `frequency_q`/`monetary_q`
+    * 5 = highest.
+    */
+  def rfmSegments(df: DataFrame, custCol: String, dateCol: String,
+                  amountCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxD = df.agg(max(col(dateCol)).as("__mx"))
+    val base = df.groupBy(col(custCol).as("__c"))
+      .agg(max(col(dateCol)).as("__last"), count(lit(1)).as("f"),
+        expr(s"CAST(sum(CAST($amountCol AS DECIMAL(18,2))) * 100 " +
+          "AS BIGINT)").as("cents"))
+      .crossJoin(broadcast(maxD))
+      .select(col("__c"),
+        expr("CAST(datediff(__mx, __last) AS BIGINT)").as("r"),
+        col("f"), col("cents"),
+        expr("cents div 10000").as("m"))
+      .localCheckpoint()
+    // exact quintile cuts over the bounded value-count table of one
+    // dimension: the global cumsum window runs over distinct VALUES
+    // (span days / order counts / $100 buckets), never customers
+    def cuts(dim: String): DataFrame = {
+      val counts = base.groupBy(col(dim).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val n = counts.agg(sum("c").as("n"))
+      val cum = counts.crossJoin(broadcast(n))
+        .withColumn("cum", sum("c").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      cum.agg(
+        min(when(expr("cum >= (20 * n + 99) div 100"), col("v")))
+          .as(s"${dim}20"),
+        min(when(expr("cum >= (40 * n + 99) div 100"), col("v")))
+          .as(s"${dim}40"),
+        min(when(expr("cum >= (60 * n + 99) div 100"), col("v")))
+          .as(s"${dim}60"),
+        min(when(expr("cum >= (80 * n + 99) div 100"), col("v")))
+          .as(s"${dim}80"))
+    }
+    // STRICT > against each cut: a value sitting exactly on the p-th
+    // cut belongs to the lower bucket, so 5 distinct values over 5
+    // customers score exactly 1..5
+    def score(dim: String): Column =
+      (lit(1L) + when(col(dim) > col(s"${dim}20"), 1L).otherwise(0L)
+        + when(col(dim) > col(s"${dim}40"), 1L).otherwise(0L)
+        + when(col(dim) > col(s"${dim}60"), 1L).otherwise(0L)
+        + when(col(dim) > col(s"${dim}80"), 1L).otherwise(0L))
+        .cast("bigint")
+    base
+      .crossJoin(broadcast(cuts("r")))
+      .crossJoin(broadcast(cuts("f")))
+      .crossJoin(broadcast(cuts("m")))
+      .select(score("r").as("recency_q"), score("f").as("frequency_q"),
+        score("m").as("monetary_q"), col("cents"))
+      .groupBy("recency_q", "frequency_q", "monetary_q")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("total_cents"))
+  }
+
+  /** Weekly cohort LTV curve — [[retentionCohorts]] with money: per
+    * (first-activity cohort week, week offset) the week's event
+    * value, the RUNNING cumulative value, and the cumulative
+    * per-member LTV in exact cents (DECIMAL sums ×100, never
+    * float×100) — "how much is a January user worth by week 6", the
+    * payback-period readout. Two corpus reductions (first-week per
+    * user, value per user-week); the cumsum window partitions by
+    * cohort over the weeks²-bounded offset grid.
+    */
+  def cohortLtv(df: DataFrame, userCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = df.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col("__u"), date_trunc("week", col("__first")).as("cohort_week"))
+    val weekVal = df
+      .select(col(userCol).as("__u"), date_trunc("week", col(tsCol)).as("__w"),
+        col(valueCol).as("__v"))
+      .groupBy("__u", "__w")
+      .agg(expr("CAST(sum(CAST(__v AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("__cents"))
+    val sizes = firsts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val byOffset = weekVal.join(firsts, "__u")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(__w, cohort_week) div 7 AS BIGINT)")
+          .as("week_offset"), col("__cents"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(sum("__cents").as("week_cents"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byOffset
+      .withColumn("cum_cents", sum("week_cents").over(w).cast("bigint"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("week_cents"),
+        col("cum_cents"), col("cohort_size"),
+        expr("CAST(cum_cents div greatest(cohort_size, 1) AS BIGINT)")
+          .as("ltv_cents_per_user"))
+  }
+
+  /** Dwell-time profile per event transition — "HOW LONG between
+    * view and purchase", the timing half of [[markovTransitions]]:
+    * per consecutive (a → b) pair the gap-seconds count, min,
+    * exact-interpolation median and p90 (Spark `percentile` ≡
+    * DuckDB `quantile_cont`, the q140 parity), and max. Same single
+    * per-user (ts, id)-ordered window as the transition matrix;
+    * aggregation lands on the T²-bounded pair table.
+    */
+  def transitionDwell(df: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__ts"), col("__id"))
+    df.select(col(userCol).as("__u"), col(typeCol).as("a"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+      .select(col("a"), lead("a", 1).over(w).as("b"),
+        (unix_timestamp(lead("__ts", 1).over(w)) -
+          unix_timestamp(col("__ts"))).as("gap"))
+      .where(col("b").isNotNull)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("gap").as("min_sec"),
+        expr("percentile(gap, 0.5)").as("median_sec"),
+        expr("percentile(gap, 0.9)").as("p90_sec"),
+        max("gap").as("max_sec"))
+      .select(col("a").as("from_type"), col("b").as("to_type"),
+        col("n_pairs"), col("min_sec"), col("median_sec"), col("p90_sec"),
+        col("max_sec"))
+  }
+
   /** Hour-granular session concurrency curve — "how many sessions
     * were live each hour, how many opened, how many closed": the
     * capacity-planning readout behind peak provisioning. Sessions

@@ -303,6 +303,86 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("itemSimilarity: hand-computed squared Ochiai; maxBasket excludes the whale") {
+    val ui = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+      (4L, 40L), (4L, 50L), (4L, 60L))   // basket 3 > maxBasket 2
+      .toDF("u", "it")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.itemSimilarity(d, "u", "it", minCo = 2L, maxBasket = 2L)
+        .orderBy("item_a", "item_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    val out = run(ui)
+    // only (10,20) survives minCo: 2 co / (3 * 2) users -> 4e6/6
+    assert(out.toSeq === Seq((10L, 20L, 2L, 3L, 2L, 666666L)))
+    assert(out.toSeq === run(ui.repartition(4)).toSeq)
+  }
+
+  test("rfmSegments: 5 customers map to exact 1..5 quintile scores") {
+    val orders = (1 to 5).map(i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-01-0$i"), i * 100.0))
+      .toDF("cust", "d", "amt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.rfmSegments(d, "cust", "d", "amt")
+        .orderBy("recency_q").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    val out = run(orders)
+    // freq is constant (all score 1); recency inverts the dates;
+    // monetary follows the amounts
+    assert(out.toSeq === Seq(
+      (1L, 1L, 5L, 1L, 50000L),
+      (2L, 1L, 4L, 1L, 40000L),
+      (3L, 1L, 3L, 1L, 30000L),
+      (4L, 1L, 2L, 1L, 20000L),
+      (5L, 1L, 1L, 1L, 10000L)))
+    assert(out.toSeq === run(orders.repartition(3)).toSeq)
+  }
+
+  test("cohortLtv: running cumulative cents and per-member LTV") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-08 10:00:00", 5.0),
+      (2L, "2024-01-02 10:00:00", 2.0))
+      .toDF("u", "tss", "v")
+      .select(col("u"), col("tss").cast("timestamp").as("t"), col("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.cohortLtv(d, "u", "t", "v")
+        .orderBy("week_offset").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      (0L, 1200L, 1200L, 2L, 600L),
+      (1L, 500L, 1700L, 2L, 850L)))
+    assert(out.toSeq === run(ev.repartition(3)).toSeq)
+  }
+
+  test("transitionDwell: exact-interpolation median/p90 over hand gaps") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "A"),
+      (1L, "2024-01-01 10:01:00", 2L, "B"),
+      (1L, "2024-01-01 10:03:00", 3L, "B"),
+      (2L, "2024-01-01 11:00:00", 4L, "A"),
+      (2L, "2024-01-01 11:02:00", 5L, "B"))
+      .toDF("u", "tss", "id", "et")
+      .select(col("u"), col("tss").cast("timestamp").as("t"), col("id"),
+        col("et"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.transitionDwell(d, "u", "et", "t", "id")
+        .orderBy("from_type", "to_type").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      ("A", "B", 2L, 60L, 90.0, 114.0, 120L),
+      ("B", "B", 1L, 120L, 120.0, 120.0, 120L)))
+    assert(out.toSeq === run(ev.repartition(4)).toSeq)
+  }
+
   test("concurrencyCurve: cross-hour session counted live in both hours") {
     // u1: 10:55 + 11:02 chain (420 s gap, ONE session spanning two
     // hours); u2: a single 10:30 event
