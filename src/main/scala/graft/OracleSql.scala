@@ -502,6 +502,9 @@ object OracleSql {
     "q214_rfm_segments" -> Gen.rfmSegmentsSql,
     "q215_cohort_ltv" -> Gen.cohortLtvSql,
     "q216_transition_dwell" -> Gen.transitionDwellSql,
+    "q217_scd2_intervals" -> Gen.scd2IntervalsSql,
+    "q218_fleiss_kappa" -> Gen.fleissKappaSql,
+    "q219_hill_tail" -> Gen.hillTailSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -2056,6 +2059,75 @@ object OracleSql {
          |  CAST(max(gap) AS BIGINT) AS max_sec
          |FROM p WHERE b IS NOT NULL
          |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
+    /** Twin of q217_scd2_intervals: same (ts, id)-ordered change
+      * flags, run cumsum, per-run min, lead() validity chaining.
+      */
+    def scd2IntervalsSql: String =
+      s"""WITH s AS (SELECT user_id AS k, event_type AS v, ts,
+         |             event_id AS id FROM events),
+         |m AS (SELECT k, v, ts, id,
+         |        CASE WHEN lag(v) OVER (PARTITION BY k ORDER BY ts, id)
+         |          IS NULL OR lag(v) OVER (PARTITION BY k ORDER BY ts, id)
+         |          <> v THEN 1 ELSE 0 END AS chg
+         |      FROM s),
+         |r AS (SELECT k, v, ts,
+         |        sum(chg) OVER (PARTITION BY k ORDER BY ts, id
+         |          ROWS UNBOUNDED PRECEDING) AS run
+         |      FROM m),
+         |g AS (SELECT k, run, min(v) AS v, min(ts) AS valid_from
+         |      FROM r GROUP BY 1, 2)
+         |SELECT k AS user_id, v AS event_type, valid_from,
+         |  lead(valid_from) OVER (PARTITION BY k ORDER BY run) AS valid_to,
+         |  (lead(valid_from) OVER (PARTITION BY k ORDER BY run) IS NULL)
+         |    AS is_current
+         |FROM g ORDER BY user_id, valid_from, event_type""".stripMargin
+
+    /** Twin of q218_fleiss_kappa: same three raters (truth, the NB
+      * twin, the langid twin), same unpivot and exact rational.
+      */
+    def fleissKappaSql: String =
+      s"""WITH nbp AS ($nbClassifierSql),
+         |lp AS (SELECT * FROM ($langIdSql) WHERE doc_id % 5 = 0),
+         |j AS (SELECT nbp.doc_id, nbp.lang, nbp.pred, lp.lang_pred
+         |      FROM nbp JOIN lp USING (doc_id)),
+         |tg AS (SELECT doc_id AS i, lang AS cat FROM j
+         |       UNION ALL SELECT doc_id, pred FROM j
+         |       UNION ALL SELECT doc_id, lang_pred FROM j),
+         |nij AS (SELECT i, cat, CAST(count(*) AS BIGINT) AS nij FROM tg
+         |        GROUP BY 1, 2),
+         |a AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS a,
+         |        CAST(count(DISTINCT i) AS BIGINT) AS n FROM nij),
+         |cj AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj FROM nij
+         |       GROUP BY 1),
+         |sr AS (SELECT CAST(sum(CAST(cj AS HUGEINT) * cj) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS n_cats FROM cj)
+         |SELECT a.n AS n_items, sr.n_cats, a.a AS a_sum, sr.s AS s_sum,
+         |  CAST((1000 * (CAST(a.a AS HUGEINT) * a.n * 9
+         |    - CAST(sr.s AS HUGEINT) * 6)) //
+         |    (6 * (CAST(a.n AS HUGEINT) * a.n * 9 - sr.s)) AS BIGINT)
+         |    AS kappa_x1000
+         |FROM a CROSS JOIN sr""".stripMargin
+
+    /** Twin of q219_hill_tail: same top-51 TakeOrdered cut, the
+      * IDENTICAL Mitchell log sum, ln 2 as 693147/10⁶.
+      */
+    def hillTailSql: String = {
+      val lc = graft.ops.TextStats.log2E8Sql("c", divOp = "//")
+      val lx = graft.ops.TextStats.log2E8Sql("xk1", divOp = "//")
+      s"""WITH wd AS (SELECT ${tokensE("text")} AS w FROM documents),
+         |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM
+         |          (SELECT unnest(w) AS t FROM wd) GROUP BY 1),
+         |top AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 51),
+         |xr AS (SELECT CAST(min(c) AS BIGINT) AS xk1 FROM top),
+         |tt AS (SELECT CAST(sum($lc - $lx) AS BIGINT) AS t_e8,
+         |         min(xk1) AS x_kplus1
+         |       FROM top CROSS JOIN xr)
+         |SELECT CAST(50 AS BIGINT) AS k, x_kplus1, t_e8,
+         |  CAST(${8L * 50 * 1000000000L} // (693147 * greatest(t_e8, 1))
+         |    AS BIGINT) AS alpha_x1000
+         |FROM tt""".stripMargin
+    }
 
     /** Twin of q156_data_expectations: evaluates the LITERAL same
       * predicate strings ([[Queries.LineitemChecks]]) in one

@@ -154,6 +154,13 @@ object PlanAudit {
     // ONE-row max-date scalar plus three ONE-row quintile-cut tables
     // cross-joined into the per-customer base — broadcast by design
     "q214_rfm_segments",
+    // q114's NB class-table shape upstream, plus the ONE-row category
+    // S total cross-joined into the ONE-row A total — broadcast by
+    // design (q180's kappa shape with a third rater)
+    "q218_fleiss_kappa",
+    // ONE-row x_(k+1) scalar cross-joined into the 51-row top table —
+    // broadcast scalar by design
+    "q219_hill_tail",
     // L-row language list under an inequality self-join — the
     // q93/q104 pairs-of-groups shape, broadcast by design
     "q185_js_divergence",

@@ -3480,6 +3480,45 @@ object Queries {
         "event_type", "ts", "event_id")
       .orderBy("from_type", "to_type")
 
+  /** SCD type-2 interval build ([[graft.ops.Profile.scd2Intervals]]):
+    * each user's event-type change stream collapsed into half-open
+    * validity intervals with `is_current` on the last run — the
+    * dimension-history builder behind every point-in-time join. All
+    * windows partition by user.
+    */
+  val q217_scd2_intervals: Q = (s, d) =>
+    graft.ops.Profile.scd2Intervals(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")
+      .orderBy("user_id", "valid_from", "event_type")
+
+  /** Fleiss' κ ([[graft.ops.Profile.fleissKappa]], Fleiss 1971):
+    * three-rater agreement — truth label, NB prediction, heuristic
+    * langid — over the q114 holdout, the multi-labeler QA gate
+    * generalizing q180's two-rater Cohen. Exact rational per-mille
+    * through DECIMAL(38); one unpivot scan.
+    */
+  val q218_fleiss_kappa: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val hold = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val nb = graft.ops.NaiveBayes.trainScore(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      hold, "lang", "doc_id", "text", Seq("lang"))
+    val heur = hold.select(col("doc_id"),
+      TextFns.langId(col("text")).as("lang_pred"))
+    graft.ops.Profile.fleissKappa(nb.join(heur, Seq("doc_id")),
+      "doc_id", Seq("lang", "pred", "lang_pred"))
+  }
+
+  /** Hill tail-index of the word-frequency distribution
+    * ([[graft.ops.TextStats.hillTailIndex]], Hill 1975): the
+    * power-law exponent behind the q170 Zipf plot as one audited
+    * number — integer-exact through Mitchell eighth-bit logs, ln 2
+    * as the fixed rational 693147/10⁶. Everything after the count
+    * reduction is (k+1)-row-bounded.
+    */
+  val q219_hill_tail: Q = (s, d) =>
+    TextStats.hillTailIndex(Tables.documents(s, d), "text")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3712,5 +3751,8 @@ object Queries {
     "q213_item_similarity" -> q213_item_similarity,
     "q214_rfm_segments" -> q214_rfm_segments,
     "q215_cohort_ltv" -> q215_cohort_ltv,
-    "q216_transition_dwell" -> q216_transition_dwell)
+    "q216_transition_dwell" -> q216_transition_dwell,
+    "q217_scd2_intervals" -> q217_scd2_intervals,
+    "q218_fleiss_kappa" -> q218_fleiss_kappa,
+    "q219_hill_tail" -> q219_hill_tail)
 }

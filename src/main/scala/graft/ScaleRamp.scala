@@ -149,7 +149,8 @@ object ScaleRamp {
       "q210_zonemap_pruning", "q211_concurrency_curve",
       "q212_calibration_report",
       "q213_item_similarity", "q214_rfm_segments", "q215_cohort_ltv",
-      "q216_transition_dwell")
+      "q216_transition_dwell",
+      "q217_scd2_intervals", "q218_fleiss_kappa", "q219_hill_tail")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -356,6 +356,71 @@ object Profile {
         expr("CAST((1000 * n_correct) div n AS BIGINT)").as("acc_x1000"))
   }
 
+  /** SCD type-2 interval build — collapse a keyed change stream into
+    * validity intervals: per key, consecutive runs of the SAME value
+    * (ordered by `tsCol` with `idCol` tiebreak) become one row
+    * (key, value, valid_from, valid_to, is_current), `valid_to` =
+    * the next run's start (the half-open [from, to) warehouse
+    * convention), null + `is_current` on the last run. The
+    * dimension-history builder behind every point-in-time join.
+    * Scale shape: two windows and one aggregation, all partitioned
+    * by key — a key with 10⁹ events costs its own partition only.
+    */
+  def scd2Intervals(df: DataFrame, keyCol: String, valueCol: String,
+                    tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__id"))
+    val runs = df.select(col(keyCol).as("__k"), col(valueCol).as("__v"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+      .withColumn("__chg", when(lag("__v", 1).over(w).isNull ||
+        lag("__v", 1).over(w) =!= col("__v"), 1L).otherwise(0L))
+      .withColumn("__run", sum("__chg").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("__k", "__run")
+      .agg(min("__v").as("__val"), min("__ts").as("valid_from"))
+    val wr = Window.partitionBy("__k").orderBy("__run")
+    runs
+      .withColumn("valid_to", lead("valid_from", 1).over(wr))
+      .select(col("__k").as(keyCol), col("__val").as(valueCol),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Fleiss' κ (Fleiss 1971) — chance-corrected agreement among R ≥ 2
+    * raters per item, the multi-labeler generalization of
+    * [[cohensKappa]]: the triple-annotation QA gate. One row per
+    * item with one column per rater; κ computed as the exact
+    * rational (A·n·r² − S·R) / (R·(n²r² − S)) with A = Σ n_ij(n_ij−1),
+    * S = Σ c_j², R = r(r−1) — per-mille integers through
+    * DECIMAL(38), negative below chance. One unpivot scan; every
+    * aggregate lands on (items × categories)-bounded tables, then
+    * one row.
+    */
+  def fleissKappa(df: DataFrame, idCol: String,
+                  raterCols: Seq[String]): DataFrame = {
+    val r = raterCols.size
+    require(r >= 2, s"need >= 2 raters, got $r")
+    val tagged = df.select(col(idCol).as("__i"),
+        array(raterCols.map(col): _*).as("__rs"))
+      .select(col("__i"), explode(col("__rs")).as("cat"))
+    val nij = tagged.groupBy("__i", "cat").agg(count(lit(1)).as("nij"))
+      .localCheckpoint()
+    val aRow = nij.agg(sum(expr("nij * (nij - 1)")).as("a"),
+      countDistinct(col("__i")).as("n"))
+    val cj = nij.groupBy("cat").agg(sum("nij").as("cj"))
+    val sRow = cj.agg(sum(expr("CAST(cj AS DECIMAL(38,0)) * cj")).as("s"),
+      count(lit(1)).as("n_cats"))
+    val bigR = r * (r - 1)
+    aRow.crossJoin(broadcast(sRow))
+      .select(col("n").as("n_items"), col("n_cats"),
+        col("a").cast("bigint").as("a_sum"),
+        col("s").cast("bigint").as("s_sum"),
+        expr(s"CAST((1000 * (CAST(a AS DECIMAL(38,0)) * n * ${r * r} " +
+          s"- CAST(s AS DECIMAL(38,0)) * $bigR)) div " +
+          s"($bigR * (CAST(n AS DECIMAL(38,0)) * n * ${r * r} - s)) " +
+          "AS BIGINT)").as("kappa_x1000"))
+  }
+
   /** Deequ-style expectation report over row-level predicates — ONE
     * scan, one conditional-sum aggregation, then one output row per
     * check: (check, n_rows, n_pass, pass_x1000, passed). Predicates

@@ -1103,6 +1103,37 @@ object TextStats {
         col("ok_symbols") && col("ok_stopwords") && col("ok_dup"))
   }
 
+  /** Hill tail-index estimator (Hill 1975) over the word-frequency
+    * distribution — puts a NUMBER on the Zipf plot (q170): the
+    * power-law exponent α̂ = k / Σᵢ₌₁..ₖ ln(xᵢ/x₍ₖ₊₁₎) over the top
+    * k+1 frequencies. α near 1 = classic Zipf; larger = thinner
+    * tail (vocabulary concentrating — a dedup/contamination smell).
+    * Integer-exact: the log sum is Mitchell eighth-bits
+    * (Σ(L(xᵢ)−L(x₍ₖ₊₁₎)), the k+1-th term is 0 so it sums over all
+    * rows), ln2 enters once as the fixed rational 693147/10⁶.
+    * One count reduction + a TakeOrdered top-(k+1); everything
+    * after is (k+1)-row-bounded.
+    */
+  def hillTailIndex(docs: DataFrame, textCol: String,
+                    k: Int = 50): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val counts = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(desc("c"), col("t")).limit(k + 1)
+      .localCheckpoint()
+    val xk1 = top
+      .agg(max(struct((-col("c")).as("nc"), col("t").as("tt"))).as("__b"))
+      .select((-col("__b.nc")).as("xk1"))
+    top.crossJoin(broadcast(xk1))
+      .agg(count(lit(1)).as("__rows"), min("xk1").as("x_kplus1"),
+        sum(expr(s"${log2E8Sql("c")} - ${log2E8Sql("xk1")}")).as("__t"))
+      .select(lit(k.toLong).as("k"), col("x_kplus1"),
+        col("__t").cast("bigint").as("t_e8"),
+        expr(s"CAST((8 * ${k}L * 1000000000) div " +
+          "(693147 * greatest(__t, 1)) AS BIGINT)").as("alpha_x1000"))
+  }
+
   /** TextTiling topic segmentation (Hearst CL 1997, the fixed-block
     * form): long documents rarely hold ONE topic, and chunking for
     * retrieval at fixed offsets cuts topics in half — this finds the

@@ -170,6 +170,42 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq === run(scored.repartition(4)).toSeq)
   }
 
+  test("scd2Intervals: runs collapse, half-open chaining, is_current") {
+    val ev = Seq(
+      (1L, "A", "2024-01-01 10:00:00", 1L),
+      (1L, "A", "2024-01-01 10:01:00", 2L),
+      (1L, "B", "2024-01-01 10:02:00", 3L),
+      (1L, "A", "2024-01-01 10:03:00", 4L))
+      .toDF("k", "v", "tss", "id")
+      .select(col("k"), col("v"), col("tss").cast("timestamp").as("t"),
+        col("id"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.scd2Intervals(d, "k", "v", "t", "id")
+        .orderBy("valid_from").collect()
+        .map(r => (r.getString(1), r.getTimestamp(2).toString,
+          Option(r.getTimestamp(3)).map(_.toString).orNull, r.getBoolean(4)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      ("A", "2024-01-01 10:00:00.0", "2024-01-01 10:02:00.0", false),
+      ("B", "2024-01-01 10:02:00.0", "2024-01-01 10:03:00.0", false),
+      ("A", "2024-01-01 10:03:00.0", null, true)))
+    assert(out.toSeq === run(ev.repartition(3)).toSeq)
+  }
+
+  test("fleissKappa: perfect split scores 1000; hand case scores -200") {
+    val perfect = Seq((1L, "x", "x", "x"), (2L, "y", "y", "y"))
+      .toDF("id", "r1", "r2", "r3")
+    val p = Profile.fleissKappa(perfect, "id", Seq("r1", "r2", "r3"))
+      .head()
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3),
+      p.getLong(4)) === ((2L, 2L, 12L, 18L, 1000L)))
+    // item2 has a dissenter: A=8, S=26 -> 1000*(144-156)/60 = -200
+    val mixed = Seq((1L, "x", "x", "x"), (2L, "x", "x", "y"))
+      .toDF("id", "r1", "r2", "r3")
+    val m = Profile.fleissKappa(mixed, "id", Seq("r1", "r2", "r3")).head()
+    assert(m.getLong(4) === -200L)
+  }
+
   test("rowChecks + uniquenessCheck: hand-counted pass rates and flags") {
     val df = Seq((1L, 10.0, "A"), (2L, -5.0, "A"), (2L, 7.0, "B"),
       (4L, 3.0, "Z")).toDF("id", "amt", "tag")

@@ -511,6 +511,18 @@ class TextStatsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq && a.nonEmpty)
   }
 
+  test("hillTailIndex: exact Mitchell log sum on power-of-two counts") {
+    import spark.implicits._
+    // counts 8/4/2 with k=2: T = (L8-L2)+(L4-L2)+0 = 16+8 = 24 e8,
+    // alpha_x1000 = 16e9 // (693147*24) = 961
+    val docs = Seq(("a " * 8 + "b " * 4 + "c " * 2).trim).toDF("text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.hillTailIndex(d, "text", k = 2).head()
+    val r = run(docs)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((2L, 2L, 24L, 961L)))
+  }
+
   test("textTiling: the topic seam gets full depth and the boundary flag") {
     import spark.implicits._
     // two repeated topics of 2 blocks each: cohesion 1000 inside a
