@@ -296,7 +296,8 @@ object Bench {
       "q212_calibration_report",
       "q213_item_similarity", "q214_rfm_segments", "q215_cohort_ltv",
       "q216_transition_dwell",
-      "q217_scd2_intervals", "q218_fleiss_kappa", "q219_hill_tail")
+      "q217_scd2_intervals", "q218_fleiss_kappa", "q219_hill_tail",
+      "q220_ewma_bands")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -505,6 +505,7 @@ object OracleSql {
     "q217_scd2_intervals" -> Gen.scd2IntervalsSql,
     "q218_fleiss_kappa" -> Gen.fleissKappaSql,
     "q219_hill_tail" -> Gen.hillTailSql,
+    "q220_ewma_bands" -> Gen.ewmaBandsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4957,6 +4958,40 @@ object OracleSql {
          |  (abs(g.x - st.med) > 3 * st.mad) AS is_anomaly
          |FROM g JOIN st USING (et, hod)
          |ORDER BY event_type, date, hod""".stripMargin
+
+    /** Twin of q220_ewma_bands: the same zero-filled (type × day)
+      * grid, then the IDENTICAL integer recurrence (m_t = (7·m +
+      * 1000·x)//8, d_t = (7·d + |1000·x − m|)//8, flag vs the PRIOR
+      * state) stepped one day at a time by a recursive CTE — DuckDB
+      * `//` and Spark `div` both truncate toward zero and every
+      * operand is non-negative, so the walks are bit-identical.
+      */
+    def ewmaBandsSql: String =
+      s"""WITH RECURSIVE b AS (SELECT event_type AS et,
+         |        date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+         |c AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, d),
+         |days AS (SELECT d, CAST(row_number() OVER (ORDER BY d) - 1
+         |           AS BIGINT) AS t
+         |         FROM (SELECT DISTINCT d FROM c)),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, days.d, days.t, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN days
+         |      LEFT JOIN c ON c.et = ets.et AND c.d = days.d),
+         |ew AS (
+         |  SELECT et, t, d, x, CAST(1000 * x AS BIGINT) AS m,
+         |    CAST(0 AS BIGINT) AS dd, false AS a
+         |  FROM g WHERE t = 0
+         |  UNION ALL
+         |  SELECT g.et, g.t, g.d, g.x,
+         |    CAST((7 * ew.m + 1000 * g.x) // 8 AS BIGINT),
+         |    CAST((7 * ew.dd + abs(1000 * g.x - ew.m)) // 8 AS BIGINT),
+         |    (g.t >= 7 AND
+         |     abs(1000 * g.x - ew.m) > 3 * greatest(ew.dd, 1000))
+         |  FROM ew JOIN g ON g.et = ew.et AND g.t = ew.t + 1)
+         |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
+         |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
+         |FROM ew ORDER BY event_type, day""".stripMargin
 
     /** Twin of q195_percolate: the same literal standing queries, the
       * same per-doc-distinct token join and min-match filter.

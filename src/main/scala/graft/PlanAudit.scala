@@ -184,7 +184,10 @@ object PlanAudit {
     "q199_mann_kendall",
     // types × hour-span grid plus the 13-row lag list broadcast into
     // the span-bounded deviation table — bounded by design
-    "q200_lead_lag")
+    "q200_lead_lag",
+    // types × day-span grid (q196's shape); the EWMA recurrence then
+    // folds each type's span-bounded series inside one aggregate call
+    "q220_ewma_bands")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

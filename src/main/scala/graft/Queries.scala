@@ -3519,6 +3519,19 @@ object Queries {
   val q219_hill_tail: Q = (s, d) =>
     TextStats.hillTailIndex(Tables.documents(s, d), "text")
 
+  /** EWMA control chart over daily arrivals per event type
+    * ([[graft.ops.Funnel.ewmaBands]], Roberts 1959): integer α=1/8
+    * level + smoothed-deviation band, anomaly when a day deviates
+    * > 3·band from YESTERDAY's level after a 7-day warmup — the
+    * trend-following complement to q196's seasonal median/MAD chart.
+    * One (type, day) reduction; the sequential recurrence folds each
+    * type's span-bounded series in one `aggregate` fold (interpreted HOF — fine off the hot path: one tiny array per type);
+    * the twin steps the SAME recurrence via `WITH RECURSIVE`.
+    */
+  val q220_ewma_bands: Q = (s, d) =>
+    graft.ops.Funnel.ewmaBands(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type", "day")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3754,5 +3767,6 @@ object Queries {
     "q216_transition_dwell" -> q216_transition_dwell,
     "q217_scd2_intervals" -> q217_scd2_intervals,
     "q218_fleiss_kappa" -> q218_fleiss_kappa,
-    "q219_hill_tail" -> q219_hill_tail)
+    "q219_hill_tail" -> q219_hill_tail,
+    "q220_ewma_bands" -> q220_ewma_bands)
 }

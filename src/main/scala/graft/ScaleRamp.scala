@@ -150,7 +150,8 @@ object ScaleRamp {
       "q212_calibration_report",
       "q213_item_similarity", "q214_rfm_segments", "q215_cohort_ltv",
       "q216_transition_dwell",
-      "q217_scd2_intervals", "q218_fleiss_kappa", "q219_hill_tail")
+      "q217_scd2_intervals", "q218_fleiss_kappa", "q219_hill_tail",
+      "q220_ewma_bands")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

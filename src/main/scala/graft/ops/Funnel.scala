@@ -862,4 +862,63 @@ object Funnel {
         expr("CAST((1000 * n_users) div n_users_total AS BIGINT)")
           .as("support_x1000"))
   }
+
+  /** EWMA smoothing + deviation-band anomaly flags over the daily
+    * arrival series per event type — the classic exponentially-
+    * weighted monitoring chart (Roberts 1959; Hunter 1986, the
+    * EWMA control chart), float-free: with α = 1/8 the level and the
+    * smoothed absolute deviation follow the INTEGER recurrences
+    *
+    *   m_t = (7·m_{t−1} + 1000·x_t) div 8      (m_0 = 1000·x_0)
+    *   d_t = (7·d_{t−1} + |1000·x_t − m_{t−1}|) div 8   (d_0 = 0)
+    *
+    * in milli-count units, and day t is flagged when its deviation
+    * from YESTERDAY's level exceeds k·max(d_{t−1}, 1000) after a
+    * warmup of `warmup` days (the prior-state band is the point: the
+    * anomalous day must not soften its own alarm). Truncating `div`
+    * matches DuckDB `//` on these non-negative operands, so every
+    * row is oracle-hashable — no float smoothing constant anywhere.
+    * Complements [[seasonalAnomalies]] (seasonal-slot median/MAD)
+    * with the trend-following chart that adapts to level shifts.
+    *
+    * Scale shape: one (type, day) count reduction from the corpus
+    * (map-side partial); the zero-filled grid is types × span days —
+    * TIME-bounded, not corpus-bounded — and the sequential recurrence
+    * folds each type's span-bounded series inside one interpreted
+    * `aggregate` higher-order call (state values stay O(1000·max x):
+    * no 8^t blowup, safe at any corpus size). No window over corpus
+    * rows, no driver loop.
+    */
+  def ewmaBands(df: DataFrame, typeCol: String, tsCol: String,
+                warmup: Int = 7, k: Int = 3): DataFrame = {
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"))
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val days = c.select("d").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(days))
+      .join(c, Seq("et", "d"), "left")
+      .na.fill(0L, Seq("x"))
+    val st = "array<struct<d:timestamp,x:bigint,m:bigint,dd:bigint,a:boolean>>"
+    // prev-state shorthand: the last element of the accumulator
+    val p = "element_at(acc, size(acc))"
+    grid.groupBy("et")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("ser"))
+      .withColumn("ser2", expr(
+        s"""aggregate(ser, CAST(array() AS $st),
+           |  (acc, e) -> CASE WHEN size(acc) = 0 THEN
+           |      array(named_struct('d', e.d, 'x', e.x,
+           |        'm', 1000L * e.x, 'dd', 0L, 'a', false))
+           |    ELSE concat(acc, array(named_struct('d', e.d, 'x', e.x,
+           |      'm', (7L * $p.m + 1000L * e.x) div 8L,
+           |      'dd', ((7L * $p.dd) + abs(1000L * e.x - $p.m)) div 8L,
+           |      'a', size(acc) >= $warmup AND
+           |        abs(1000L * e.x - $p.m) > ${k}L * greatest($p.dd, 1000L))))
+           |    END)""".stripMargin))
+      .select(col("et"), explode(col("ser2")).as("e"))
+      .select(col("et").as(typeCol), col("e.d").as("day"),
+        col("e.x").as("x"), col("e.m").as("ewma_milli"),
+        col("e.dd").as("ewmad_milli"), col("e.a").as("is_anomaly"))
+  }
 }

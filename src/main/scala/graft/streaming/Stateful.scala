@@ -1034,6 +1034,91 @@ object Stateful {
       }
   }
 
+  final case class DayCount(et: String, day: java.sql.Timestamp, x: Long)
+  final case class EwmaState(t: Long, lastDayMs: Long, m: Long, dd: Long)
+  final case class EwmaUpdate(et: String, day: java.sql.Timestamp, x: Long,
+                              ewma_milli: Long, ewmad_milli: Long,
+                              is_anomaly: Boolean)
+
+  /** Streaming EWMA control chart — the streaming form of
+    * [[graft.ops.Funnel.ewmaBands]]: keyed by series (event type),
+    * the state is FOUR longs (day index, last day, level m, band d)
+    * and each arriving per-day count steps the identical integer
+    * recurrence (m ← (7m + 1000x) div 8, d ← (7d + |1000x − m|) div
+    * 8, flag vs the PRIOR state after `warmup` days). Days with no
+    * arrivals between the last state day and an incoming day are
+    * stepped as ZEROS and emitted too — a silent day droops the
+    * level exactly as the batch grid's zero fill does, so a replay
+    * of the same per-day counts is bit-identical to the batch chart
+    * from the same `startDay` grid origin. Within a trigger, rows
+    * sort by day; cross-trigger order rides the watermark contract
+    * ([[funnelUpdates]]). O(1) state per series; dies `stateTtlMs`
+    * after the series' last arrival.
+    */
+  def ewmaUpdates(ds: org.apache.spark.sql.Dataset[DayCount],
+                  startDayMs: Long, watermarkDelay: String,
+                  stateTtlMs: Long, warmup: Int = 7, k: Int = 3)
+      : org.apache.spark.sql.Dataset[EwmaUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val DayMs = 86400000L
+    ds.withWatermark("day", watermarkDelay)
+      .groupByKey(_.et)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (et: String, rows: Iterator[DayCount], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[EwmaUpdate]
+            var st = state.getOption.orNull
+            def step(dayMs: Long, x: Long): Unit = {
+              val x1000 = 1000L * x
+              if (st == null) {
+                // grid origin: zero-fill from startDay up to this day
+                if (dayMs > startDayMs) {
+                  st = EwmaState(0L, startDayMs, 0L, 0L)
+                  out += EwmaUpdate(et, new java.sql.Timestamp(startDayMs),
+                    0L, 0L, 0L, is_anomaly = false)
+                  step(dayMs, x)
+                  return
+                }
+                st = EwmaState(0L, dayMs, x1000, 0L)
+                out += EwmaUpdate(et, new java.sql.Timestamp(dayMs), x,
+                  x1000, 0L, is_anomaly = false)
+              } else if (dayMs > st.lastDayMs) {
+                var d = st.lastDayMs + DayMs
+                while (d < dayMs) { // silent days step as zeros (dev = m)
+                  val t = st.t + 1
+                  val flag = t >= warmup && st.m > k * math.max(st.dd, 1000L)
+                  val m2 = (7L * st.m) / 8L
+                  val dd2 = (7L * st.dd + st.m) / 8L
+                  out += EwmaUpdate(et, new java.sql.Timestamp(d), 0L, m2,
+                    dd2, flag)
+                  st = EwmaState(t, d, m2, dd2)
+                  d += DayMs
+                }
+                val t = st.t + 1
+                val dev = math.abs(x1000 - st.m)
+                val flag = t >= warmup && dev > k * math.max(st.dd, 1000L)
+                val m2 = (7L * st.m + x1000) / 8L
+                val dd2 = (7L * st.dd + dev) / 8L
+                out += EwmaUpdate(et, new java.sql.Timestamp(dayMs), x,
+                  m2, dd2, flag)
+                st = EwmaState(t, dayMs, m2, dd2)
+              } // late/duplicate day: drop (watermark contract)
+            }
+            rows.toArray.sortBy(_.day.getTime)
+              .foreach(r => step(r.day.getTime, r.x))
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastDayMs + stateTtlMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class CheckEvent(check: String, pass: Boolean,
                               ts: java.sql.Timestamp)
   final case class CheckCounts(n: Long, p: Long, lastTs: Long)

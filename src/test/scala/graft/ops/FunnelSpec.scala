@@ -506,4 +506,37 @@ class FunnelSpec extends SparkSpec {
       ("B", "C", "B", 1L, 1L, 500L)))
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
+
+  test("ewmaBands: hand-stepped integer recurrence, spike flags once") {
+    // type a: 8/day for 8 days, an 80-spike on day 9, back to 8 on
+    // day 10; type b: 5 events on day 1 only (exercises zero-fill)
+    val rows = Seq.newBuilder[(String, String)]
+    for (day <- 1 to 10; i <- 1 to (if (day == 9) 80 else 8))
+      rows += (("a", f"2024-01-$day%02d 0${i % 9}:0${i % 6}:00"))
+    for (i <- 1 to 5) rows += (("b", s"2024-01-01 08:00:0$i"))
+    val ev = rows.result().toDF("et", "tss")
+      .select(col("et"), col("tss").cast("timestamp").as("t"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.ewmaBands(d, "et", "t")
+        .orderBy("et", "day").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val out = run(ev)
+    val a = out.filter(_._1 == "a")
+    // hand-stepped: flat 8s hold m=8000, d=0; the day-9 spike (index
+    // 8 ≥ warmup 7) deviates 72000 > 3·max(0,1000) → flag, then
+    // m=(7·8000+80000)div 8=17000, d=72000 div 8=9000; day 10 deviates
+    // 9000 ≤ 27000 → no flag, m=(119000+8000)div 8=15875, d=9000
+    assert(a(0) === ("a", "2024-01-01", 8L, 8000L, 0L, false))
+    assert(a(7) === ("a", "2024-01-08", 8L, 8000L, 0L, false))
+    assert(a(8) === ("a", "2024-01-09", 80L, 17000L, 9000L, true))
+    assert(a(9) === ("a", "2024-01-10", 8L, 15875L, 9000L, false))
+    assert(out.count(_._6) === 1)
+    // type b zero-fills the shared grid: m walks 5000 → 4375 → 3828
+    val b = out.filter(_._1 == "b")
+    assert(b(0) === ("b", "2024-01-01", 5L, 5000L, 0L, false))
+    assert(b(1) === ("b", "2024-01-02", 0L, 4375L, 625L, false))
+    assert(b(2)._4 === 3828L)
+    assert(out.toSeq === run(ev.repartition(7)).toSeq)
+  }
 }

@@ -1361,4 +1361,46 @@ class StatefulSpec extends SparkSpec {
       assert((st.n_rows, st.n_pass) === exp1(st.check))
     }
   }
+
+  test("ewmaUpdates ≡ batch ewmaBands on replayed day counts (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // type a: observed every day (8s, an 80-spike on day 9); type b:
+    // only days 1 and 6 observed — the stream must zero-fill 2..5
+    // internally to match the batch grid walk
+    val aCounts = (1 to 10).map(d => ("a", d, if (d == 9) 80L else 8L))
+    val bCounts = Seq(("b", 1, 5L), ("b", 6, 2L), ("b", 10, 7L))
+    val all = aCounts ++ bCounts
+    val stream = MemoryStream[Stateful.DayCount]
+    val out = mutable.Buffer.empty[Stateful.EwmaUpdate]
+    val q = Stateful.ewmaUpdates(stream.toDS(), startDayMs = day(1).getTime,
+        watermarkDelay = "1 day", stateTtlMs = 30L * 86400000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.EwmaUpdate],
+                       _: Long) =>
+        out.synchronized { out ++= df.collect() }
+        ()
+      }.start()
+    val (b1, b2) = all.partition(_._2 <= 5)
+    stream.addData(b1.map { case (et, d, x) => Stateful.DayCount(et, day(d), x) })
+    q.processAllAvailable()
+    stream.addData(b2.map { case (et, d, x) => Stateful.DayCount(et, day(d), x) })
+    q.processAllAvailable()
+    q.stop()
+
+    // batch twin: one event row per count unit on that day
+    val ev = all.flatMap { case (et, d, x) =>
+      Seq.fill(x.toInt)((et, day(d))) }.toDF("et", "t")
+    val expected = graft.ops.Funnel.ewmaBands(ev, "et", "t")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    val streamed = out.map(u =>
+      (u.et, u.day, u.x, u.ewma_milli, u.ewmad_milli, u.is_anomaly)).toSet
+    assert(streamed === expected,
+      s"streaming EWMA drifted:\n missing=${expected -- streamed}\n extra=${streamed -- expected}")
+    // the spike flagged exactly once, in both forms
+    assert(out.count(_.is_anomaly) === 1)
+  }
 }
