@@ -506,6 +506,7 @@ object OracleSql {
     "q218_fleiss_kappa" -> Gen.fleissKappaSql,
     "q219_hill_tail" -> Gen.hillTailSql,
     "q220_ewma_bands" -> Gen.ewmaBandsSql,
+    "q221_bitext_margin" -> Gen.bitextMarginSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4992,6 +4993,52 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q221_bitext_margin: identical cosine formula (the q28
+      * DOUBLE[] cast + dot/(sqrt·sqrt) shape, same operand order),
+      * rounded to micros at the pair level; the k-NN averages and
+      * the 2c/(avgA+avgB) margin are pure BIGINT math so partition-
+      * order float reassociation cannot exist on either side.
+      */
+    def bitextMarginSql: String = {
+      def cosE(x: String, y: String) =
+        s"""CAST(round(1000000 * (list_dot_product($x, $y)
+           |  / (sqrt(list_dot_product($x, $x))
+           |     * sqrt(list_dot_product($y, $y))))) AS BIGINT)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |a AS (SELECT * FROM e WHERE id % 2 = 0),
+         |b AS (SELECT * FROM e WHERE id % 2 = 1),
+         |q AS (SELECT id AS qid, v AS qv FROM a WHERE id < 80),
+         |qb AS (SELECT q.qid, b.id AS bid, ${cosE("b.v", "q.qv")} AS c
+         |       FROM b CROSS JOIN q),
+         |qr AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY c DESC, bid) AS r FROM qb),
+         |qa AS (SELECT qid, CAST(sum(c) FILTER (WHERE r <= 4)
+         |         // count(*) FILTER (WHERE r <= 4) AS BIGINT) AS q_knn
+         |       FROM qr GROUP BY qid),
+         |best AS (SELECT qid, bid, c FROM qr WHERE r = 1),
+         |cv AS (SELECT b.id AS cid, b.v AS cvv FROM b
+         |       JOIN (SELECT DISTINCT bid FROM best) cand
+         |         ON cand.bid = b.id),
+         |ba AS (SELECT cv.cid, a.id AS aid, ${cosE("a.v", "cv.cvv")} AS c
+         |       FROM a CROSS JOIN cv),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY cid
+         |         ORDER BY c DESC, aid) AS r FROM ba),
+         |ca AS (SELECT cid, CAST(sum(c) FILTER (WHERE r <= 4)
+         |         // count(*) FILTER (WHERE r <= 4) AS BIGINT) AS m_knn
+         |       FROM br GROUP BY cid)
+         |SELECT best.qid AS query_id, best.bid AS match_id,
+         |  best.c AS cos_x1e6, qa.q_knn AS q_knn_x1e6,
+         |  ca.m_knn AS m_knn_x1e6,
+         |  CAST((2 * best.c * 1000000) // greatest(qa.q_knn + ca.m_knn, 1)
+         |    AS BIGINT) AS margin_x1e6,
+         |  (CAST((2 * best.c * 1000000)
+         |     // greatest(qa.q_knn + ca.m_knn, 1) AS BIGINT)
+         |   > 1060000) AS accepted
+         |FROM best JOIN qa USING (qid) JOIN ca ON ca.cid = best.bid
+         |ORDER BY query_id""".stripMargin
+    }
 
     /** Twin of q195_percolate: the same literal standing queries, the
       * same per-doc-distinct token join and min-match filter.

@@ -187,7 +187,10 @@ object PlanAudit {
     "q200_lead_lag",
     // types × day-span grid (q196's shape); the EWMA recurrence then
     // folds each type's span-bounded series inside one aggregate call
-    "q220_ewma_bands")
+    "q220_ewma_bands",
+    // bounded probe set (and then its ≤|Q| best-match candidates)
+    // broadcast under one corpus scan each — q28's brute-exact shape
+    "q221_bitext_margin")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -3532,6 +3532,20 @@ object Queries {
     graft.ops.Funnel.ewmaBands(Tables.events(s, d), "event_type", "ts")
       .orderBy("event_type", "day")
 
+  /** Margin-based pair mining between the two embedding halves
+    * ([[graft.sim.Similarity.marginMine]], Artetxe & Schwenk 2019 —
+    * the LASER/CCMatrix bitext-mining criterion): each probe's best
+    * cross-half match scored by 2·cos/(own k-NN mean + match's k-NN
+    * mean), hub-proof where raw cosine is not. Cosines round to
+    * integer micros at the pair level (q28 parity class); every
+    * aggregate after that is 64-bit integer math. Probe set bounded
+    * and broadcast; corpus streams (the brute-exact baseline — at
+    * scale the same margin rides the LSH candidates).
+    */
+  val q221_bitext_margin: Q = (s, d) =>
+    Similarity.marginMine(Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy("query_id")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3768,5 +3782,6 @@ object Queries {
     "q217_scd2_intervals" -> q217_scd2_intervals,
     "q218_fleiss_kappa" -> q218_fleiss_kappa,
     "q219_hill_tail" -> q219_hill_tail,
-    "q220_ewma_bands" -> q220_ewma_bands)
+    "q220_ewma_bands" -> q220_ewma_bands,
+    "q221_bitext_margin" -> q221_bitext_margin)
 }

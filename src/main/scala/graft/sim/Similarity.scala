@@ -932,4 +932,70 @@ object Similarity {
       .select(col("query_id"), col("id"), col("n_lists"), col("rrf_x"),
         col("rn").as("rank"))
   }
+
+  /** Margin-based pair mining between two corpus halves — the
+    * ratio-margin criterion of Artetxe & Schwenk 2019 ("Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * the LASER/CCMatrix bitext miner): a candidate pair (x, y) is
+    * accepted not on raw cosine but on cos(x,y) divided by the MEAN
+    * of both points' k-NN cosines in the OTHER half — hubs with
+    * uniformly high similarity to everything score margins near 1
+    * and are rejected; genuinely aligned pairs stand out from their
+    * own neighborhoods.
+    *
+    * Float-order-proof arithmetic: each pairwise cosine is rounded
+    * to INTEGER micros at the pair level (the q28 parity class —
+    * identical elementary float ops in both engines, then one
+    * round); every aggregate after that (k-NN sums, averages, the
+    * 2c/(avgA+avgB) margin ratio) is 64-bit integer math, immune to
+    * partition-order float reassociation.
+    *
+    * Scale shape: queries are a BOUNDED probe set broadcast under
+    * the corpus scan (q28's brute-exact baseline — at production
+    * scale the same margins ride [[lshTopK]]'s bucketed candidates
+    * instead); stage 2 re-scans side A only for the ≤|Q| distinct
+    * best-match candidates. Top-k rides the bounded-heap aggregate.
+    */
+  def marginMine(emb: DataFrame, idCol: String, vecCol: String,
+                 maxQueryId: Long = 80L, k: Int = 4,
+                 thresholdX1e6: Long = 1060000L): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val a = e.where(pmod(col("id"), lit(2L)) === 0L)
+    val b = e.where(pmod(col("id"), lit(2L)) === 1L)
+    val q = a.where(col("id") < maxQueryId)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    def cosX1e6(x: Column, y: Column): Column =
+      round(cosine(x, y) * lit(1000000.0)).cast("bigint")
+    // stage 1: every query's k nearest in B (corpus streams, Q
+    // broadcast), rank 1 = the candidate match
+    val qb = b.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"),
+        cosX1e6(col("v"), col("qv")).as("c"))
+    val qTop = TopK.topKPerKey(qb.select(col("query_id"), col("c"),
+        col("id")), Seq("query_id"), col("c"), Seq(col("id")), k)
+    val qAvg = qTop.groupBy("query_id")
+      .agg(expr("CAST(sum(c) div count(*) AS BIGINT)").as("q_knn_x1e6"))
+    val best = qTop.where(col("rn") === 1)
+      .select(col("query_id"), col("id").as("match_id"),
+        col("c").as("cos_x1e6"))
+    // stage 2: each DISTINCT candidate's k nearest back in A — the
+    // candidate list is ≤ |Q| rows, broadcast under one A scan
+    val cand = best.select(col("match_id")).distinct()
+      .join(b, col("match_id") === col("id"))
+      .select(col("match_id").as("cid"), col("v").as("cv"))
+    val ba = a.crossJoin(broadcast(cand))
+      .select(col("cid"), col("id"),
+        cosX1e6(col("v"), col("cv")).as("c"))
+    val cAvg = TopK.topKPerKey(ba.select(col("cid"), col("c"),
+        col("id")), Seq("cid"), col("c"), Seq(col("id")), k)
+      .groupBy("cid")
+      .agg(expr("CAST(sum(c) div count(*) AS BIGINT)").as("m_knn_x1e6"))
+    best.join(qAvg, Seq("query_id"))
+      .join(cAvg, col("match_id") === col("cid"))
+      .withColumn("margin_x1e6", expr(
+        "CAST((2 * cos_x1e6 * 1000000) div greatest(q_knn_x1e6 + m_knn_x1e6, 1) AS BIGINT)"))
+      .select(col("query_id"), col("match_id"), col("cos_x1e6"),
+        col("q_knn_x1e6"), col("m_knn_x1e6"), col("margin_x1e6"),
+        (col("margin_x1e6") > thresholdX1e6).as("accepted"))
+  }
 }

@@ -566,4 +566,50 @@ class SimilaritySpec extends SparkSpec {
         r.getLong(4)))
     assert(out.toSeq === b.toSeq)
   }
+
+  test("marginMine ≡ a plain-Scala reference miner (differential)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 3
+    val out = Similarity.marginMine(df, "vec_id", "embedding",
+        maxQueryId = 12L, k = k)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+
+    // reference: same split, same per-pair micro-rounded cosine, same
+    // integer k-NN averages and ratio margin
+    val dv = vecs.map { case (i, v) => (i, v.map(_.toDouble).toArray) }
+    def cosU(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.round(1e6 * (if (na == 0 || nb == 0) 0.0 else dot / (na * nb)))
+    }
+    val aS = dv.filter(_._1 % 2 == 0)
+    val bS = dv.filter(_._1 % 2 == 1)
+    def topk(q: Array[Double], side: Seq[(Long, Array[Double])]) =
+      side.map { case (i, v) => (i, cosU(v, q)) }
+        .sortBy { case (i, c) => (-c, i) }.take(k)
+    val expected = aS.filter(_._1 < 12L).map { case (qid, qv) =>
+      val top = topk(qv, bS)
+      val qAvg = top.map(_._2).sum / k
+      val (mid, c) = top.head
+      val mv = bS.find(_._1 == mid).get._2
+      val mAvg = topk(mv, aS).map(_._2).sum / k
+      val margin = 2L * c * 1000000L / math.max(qAvg + mAvg, 1L)
+      (qid, mid, c, qAvg, mAvg, margin, margin > 1060000L)
+    }
+    assert(out.toSeq === expected.toSeq)
+    // partition invariance
+    val out2 = Similarity.marginMine(df.repartition(7), "vec_id",
+        "embedding", maxQueryId = 12L, k = k)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq === out2.toSeq)
+  }
 }
