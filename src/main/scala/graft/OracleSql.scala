@@ -507,6 +507,7 @@ object OracleSql {
     "q219_hill_tail" -> Gen.hillTailSql,
     "q220_ewma_bands" -> Gen.ewmaBandsSql,
     "q221_bitext_margin" -> Gen.bitextMarginSql,
+    "q222_kcore_profile" -> Gen.kcorePeelSql(),
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4993,6 +4994,46 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q222_kcore_profile: the q161 bigram edge set, then
+      * exactly `rounds` peel stages unrolled as CTE triples (degrees
+      * → alive nodes → surviving edges) — the q152 fixed-stage
+      * discipline; each profile row reads one count per stage.
+      */
+    def kcorePeelSql(k: Int = 4, rounds: Int = 6): String = {
+      // every stage is MATERIALIZED: DuckDB inlines plain CTEs, and
+      // each stage references its predecessor 3-4 times — inlined,
+      // the expansion is exponential in `rounds` (the sf0.01 run
+      // exhausted file handles re-opening the parquet ~4^6 times)
+      val stages = (1 to rounds).map { r =>
+        s"""dg$r AS MATERIALIZED (
+           |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+           |         SELECT a AS node FROM e${r - 1}
+           |         UNION ALL SELECT b AS node FROM e${r - 1}) GROUP BY 1),
+           |al$r AS MATERIALIZED (SELECT node FROM dg$r WHERE degree >= $k),
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+           |        JOIN al$r x ON x.node = e.a
+           |        JOIN al$r y ON y.node = e.b)""".stripMargin
+      }.mkString(",\n")
+      val rows = (s"""SELECT CAST(0 AS BIGINT) AS round,
+         |  CAST((SELECT count(*) FROM dg1) AS BIGINT) AS n_nodes,
+         |  CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges""".stripMargin
+        +: (1 to rounds).map { r =>
+          s"""SELECT CAST($r AS BIGINT), CAST((SELECT count(*) FROM al$r)
+             |  AS BIGINT), CAST((SELECT count(*) FROM e$r) AS BIGINT)""".stripMargin
+        }).mkString("\n UNION ALL ")
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT unnest(${shinglesE("w", 2)}) AS bg FROM wd
+         |        WHERE len(w) >= 2),
+         |bgp AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |          split_part(bg, ' ', 2) AS w2 FROM bgl),
+         |e0 AS MATERIALIZED (
+         |       SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |       FROM bgp WHERE w1 <> w2),
+         |$stages
+         |$rows
+         |ORDER BY round""".stripMargin
+    }
 
     /** Twin of q221_bitext_margin: identical cosine formula (the q28
       * DOUBLE[] cast + dot/(sqrt·sqrt) shape, same operand order),

@@ -3546,6 +3546,18 @@ object Queries {
     Similarity.marginMine(Tables.embeddings(s, d), "vec_id", "embedding")
       .orderBy("query_id")
 
+  /** k-core peel profile of the word co-occurrence graph
+    * ([[graft.ops.TextStats.kcorePeel]], Seidman 1983): 6 peel
+    * rounds at k=4 over the q161 bigram edge set, reporting
+    * surviving nodes/edges per round — the dense-core-vs-fringe
+    * decomposition; a flat tail shows the fixpoint. Driver-round
+    * iterative pattern (q139's class) on the vocab²-bounded graph;
+    * the twin unrolls the identical stages as CTEs.
+    */
+  val q222_kcore_profile: Q = (s, d) =>
+    TextStats.kcorePeel(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("round")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3783,5 +3795,6 @@ object Queries {
     "q218_fleiss_kappa" -> q218_fleiss_kappa,
     "q219_hill_tail" -> q219_hill_tail,
     "q220_ewma_bands" -> q220_ewma_bands,
-    "q221_bitext_margin" -> q221_bitext_margin)
+    "q221_bitext_margin" -> q221_bitext_margin,
+    "q222_kcore_profile" -> q222_kcore_profile)
 }

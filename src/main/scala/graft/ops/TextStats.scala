@@ -743,6 +743,52 @@ object TextStats {
           .otherwise(lit(0L)))
   }
 
+  /** k-core peel profile of the word co-occurrence graph (Seidman
+    * 1983, "Network structure and minimum degree" — the degeneracy
+    * decomposition): starting from [[wordTriangles]]' canonical
+    * bigram edge set, each round drops every node whose degree fell
+    * below `k` and every edge touching one, reporting (round,
+    * surviving nodes, surviving edges) — the standard "dense
+    * vocabulary core vs loose fringe" readout (a flat profile by
+    * round R means the k-core converged; repeated rows SHOW the
+    * fixpoint instead of hiding it). Exactly `rounds` peels run on
+    * both engines, so the surface is well-defined and hash-equal
+    * even before convergence.
+    *
+    * Scale shape: one bigram reduction from the corpus builds the
+    * DISTINCT edge set — everything after is vocab²-bounded, never
+    * corpus-proportional. The peel is the q139/CC driver-round
+    * pattern: `rounds` is a small constant, each round one degree
+    * aggregation + one semi-join on the (localCheckpointed,
+    * shrinking) edge table; counts are 1-row aggregates.
+    */
+  def kcorePeel(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 4, rounds: Int = 6): DataFrame = {
+    val toks = lmToks(df, idCol, textCol, Seq.empty)
+    val bg = lmBigramRows(toks)
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .where(col("w1") =!= col("w2"))
+    var e = bg.select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct().localCheckpoint()
+    def degrees(ed: DataFrame) = ed.select(col("a").as("node"))
+      .unionAll(ed.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val profile = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    profile += ((0L, degrees(e).count(), e.count()))
+    for (r <- 1 to rounds) {
+      val alive = degrees(e).where(col("degree") >= k)
+        .select(col("node")).localCheckpoint()
+      e = e.join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint()
+      profile += ((r.toLong, alive.count(), e.count()))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    profile.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
   /** Chao1 vocabulary-richness estimate per group (Chao 1984, the
     * species-richness estimator ecology standardized on; corpus work
     * uses it to ask "how much vocabulary haven't we crawled yet"):

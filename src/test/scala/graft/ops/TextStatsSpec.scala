@@ -540,4 +540,24 @@ class TextStatsSpec extends SparkSpec {
       (2L, 1000L, 0L, false)))
     assert(out.toSeq === run(docs.repartition(3)).toSeq)
   }
+
+  test("kcorePeel: a 4-clique survives k=3, the pendant chain peels off") {
+    // doc 1 walks every edge of the clique {a,b,c,d}; doc 2 hangs the
+    // chain d-e-f-g off it. Degrees: a,b,c=3, d=4, e=2, f=2, g=1.
+    val docs = Seq(
+      (1L, "a b c d a c b d"),
+      (2L, "d e f g"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.kcorePeel(d, "doc_id", "text", k = 3, rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run(docs)
+    // round 1 drops e/f/g and the 3 chain edges in one sweep; the
+    // clique is its own 3-core — rounds 2..3 repeat it (the fixpoint
+    // is visible as the flat tail)
+    assert(out.toSeq === Seq(
+      (0L, 7L, 9L), (1L, 4L, 6L), (2L, 4L, 6L), (3L, 4L, 6L)))
+    assert(out.toSeq === run(docs.repartition(5)).toSeq)
+  }
 }
