@@ -297,7 +297,8 @@ object Bench {
       "q213_item_similarity", "q214_rfm_segments", "q215_cohort_ltv",
       "q216_transition_dwell",
       "q217_scd2_intervals", "q218_fleiss_kappa", "q219_hill_tail",
-      "q220_ewma_bands", "q221_bitext_margin", "q222_kcore_profile")
+      "q220_ewma_bands", "q221_bitext_margin", "q222_kcore_profile",
+      "q223_theilsen_slope")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -508,6 +508,7 @@ object OracleSql {
     "q220_ewma_bands" -> Gen.ewmaBandsSql,
     "q221_bitext_margin" -> Gen.bitextMarginSql,
     "q222_kcore_profile" -> Gen.kcorePeelSql(),
+    "q223_theilsen_slope" -> Gen.theilSenSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4994,6 +4995,35 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q223_theilsen_slope: the q199 zero-filled day grid,
+      * the same ordered pair join, the same (10⁶·dy)//dx micro-slope
+      * quantization and the same lower-median rank pick.
+      */
+    def theilSenSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |        date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+         |c AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, d),
+         |days AS (SELECT DISTINCT d FROM c),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, days.d, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN days
+         |      LEFT JOIN c ON c.et = ets.et AND c.d = days.d),
+         |p AS (SELECT a.et, a.d AS di, bb.d AS dj,
+         |        CAST((1000000 * (bb.x - a.x))
+         |          // date_diff('day', a.d, bb.d) AS BIGINT) AS slope_micro
+         |      FROM g a JOIN g bb ON bb.et = a.et AND a.d < bb.d),
+         |nd AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days
+         |       FROM g GROUP BY et),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY et
+         |        ORDER BY slope_micro, di, dj) AS rn FROM p)
+         |SELECT r.et AS event_type, nd.n_days,
+         |  CAST(nd.n_days * (nd.n_days - 1) // 2 AS BIGINT) AS n_pairs,
+         |  r.slope_micro AS sen_slope_micro
+         |FROM r JOIN nd USING (et)
+         |WHERE r.rn = (nd.n_days * (nd.n_days - 1) // 2 + 1) // 2
+         |ORDER BY event_type""".stripMargin
 
     /** Twin of q222_kcore_profile: the q161 bigram edge set, then
       * exactly `rounds` peel stages unrolled as CTE triples (degrees

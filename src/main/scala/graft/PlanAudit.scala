@@ -190,7 +190,10 @@ object PlanAudit {
     "q220_ewma_bands",
     // bounded probe set (and then its ≤|Q| best-match candidates)
     // broadcast under one corpus scan each — q28's brute-exact shape
-    "q221_bitext_margin")
+    "q221_bitext_margin",
+    // types × day-span grid (q199's shape); the O(days²) pair join
+    // and the rank window run over the bounded grid
+    "q223_theilsen_slope")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -3558,6 +3558,16 @@ object Queries {
     TextStats.kcorePeel(Tables.documents(s, d), "doc_id", "text")
       .orderBy("round")
 
+  /** Theil–Sen robust trend slope per event type
+    * ([[graft.ops.Funnel.theilSenSlope]], Theil 1950 / Sen 1968):
+    * the lower-median pairwise micro-slope over the daily count
+    * grid — the outlier-proof estimator paired with q199's
+    * Mann–Kendall test. Integer-exact; O(days²) bounded pair join.
+    */
+  val q223_theilsen_slope: Q = (s, d) =>
+    graft.ops.Funnel.theilSenSlope(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3796,5 +3806,6 @@ object Queries {
     "q219_hill_tail" -> q219_hill_tail,
     "q220_ewma_bands" -> q220_ewma_bands,
     "q221_bitext_margin" -> q221_bitext_margin,
-    "q222_kcore_profile" -> q222_kcore_profile)
+    "q222_kcore_profile" -> q222_kcore_profile,
+    "q223_theilsen_slope" -> q223_theilsen_slope)
 }

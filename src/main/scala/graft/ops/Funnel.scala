@@ -267,6 +267,51 @@ object Funnel {
         col("n_pos"), col("n_neg"), col("n_tie"))
   }
 
+  /** Theil–Sen slope per event type (Theil 1950 / Sen 1968) — the
+    * robust trend ESTIMATOR companion to [[mannKendallTrend]]'s
+    * test: the median over all ordered day pairs of the pairwise
+    * slope (x_j − x_i)/(t_j − t_i), immune to outlier days that
+    * wreck a least-squares fit. Slopes quantize to integer
+    * micro-counts/day ((10⁶·dy) div dx — dx ≥ 1 day, truncation
+    * toward zero identical in both engines) and the median is the
+    * classical LOWER median (rank ⌈n/2⌉ under the total
+    * (slope, di, dj) order) so the whole surface is integer-exact.
+    *
+    * Scale shape: q199's — one (type, day) count reduction, then the
+    * O(days²) pair join and the rank window run on the span-bounded
+    * grid.
+    */
+  def theilSenSlope(df: DataFrame, typeCol: String,
+                    tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"))
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val days = c.select("d").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(days))
+      .join(c, Seq("et", "d"), "left")
+      .na.fill(0L, Seq("x"))
+    val a = grid.select(col("et"), col("d").as("di"), col("x").as("xi"))
+    val b = grid.select(col("et"), col("d").as("dj"), col("x").as("xj"))
+    val pairs = a.join(b, Seq("et"))
+      .where(col("di") < col("dj"))
+      .select(col("et"), col("di"), col("dj"),
+        expr("CAST((1000000 * (xj - xi)) div datediff(dj, di) AS BIGINT)")
+          .as("slope_micro"))
+    val nd = grid.groupBy("et").agg(count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("et")
+      .orderBy(col("slope_micro"), col("di"), col("dj"))
+    pairs.withColumn("rn", row_number().over(w))
+      .join(broadcast(nd), Seq("et"))
+      .where(col("rn") ===
+        expr("(n_days * (n_days - 1) div 2 + 1) div 2"))
+      .select(col("et").as(typeCol), col("n_days"),
+        expr("CAST(n_days * (n_days - 1) div 2 AS BIGINT)").as("n_pairs"),
+        col("slope_micro").as("sen_slope_micro"))
+  }
+
   /** Lead–lag cross-correlation between event types' hourly series:
     * for every ordered type pair and lag in [−maxLag, maxLag], the
     * integer cross-covariance Σ_t dα_t·dβ_{t+lag} of the per-mille

@@ -507,6 +507,31 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("theilSenSlope: rising series reads its slope; one outlier day can't move the median") {
+    // type u: 1,3,5,7,9 per day — every pairwise slope is exactly 2/day;
+    // type v: 1,2,3,100,5 — the day-4 spike poisons 4 of 10 pairwise
+    // slopes but the lower median stays 1/day (that is the point of
+    // Theil-Sen); type w: flat 5s — slope 0
+    val rows = Seq.newBuilder[(String, String)]
+    def add(et: String, day: Int, n: Int): Unit =
+      for (i <- 1 to n) rows += ((et, f"2024-01-$day%02d 0${i % 9}:0${i % 6}:0${i % 10}"))
+    Seq(1, 3, 5, 7, 9).zipWithIndex.foreach { case (n, d) => add("u", d + 1, n) }
+    Seq(1, 2, 3, 100, 5).zipWithIndex.foreach { case (n, d) => add("v", d + 1, n) }
+    Seq(5, 5, 5, 5, 5).zipWithIndex.foreach { case (n, d) => add("w", d + 1, n) }
+    val ev = rows.result().toDF("et", "tss")
+      .select(col("et"), col("tss").cast("timestamp").as("t"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.theilSenSlope(d, "et", "t")
+        .orderBy("et").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      ("u", 5L, 10L, 2000000L),
+      ("v", 5L, 10L, 1000000L),
+      ("w", 5L, 10L, 0L)))
+    assert(out.toSeq === run(ev.repartition(7)).toSeq)
+  }
+
   test("ewmaBands: hand-stepped integer recurrence, spike flags once") {
     // type a: 8/day for 8 days, an 80-spike on day 9, back to 8 on
     // day 10; type b: 5 events on day 1 only (exercises zero-fill)
