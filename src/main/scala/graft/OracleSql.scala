@@ -502,13 +502,14 @@ object OracleSql {
     "q214_rfm_segments" -> Gen.rfmSegmentsSql,
     "q215_cohort_ltv" -> Gen.cohortLtvSql,
     "q216_transition_dwell" -> Gen.transitionDwellSql,
-    "q217_scd2_intervals" -> Gen.scd2IntervalsSql,
+    "q217_scd2_intervals" -> Gen.scd2IntervalsSql(),
     "q218_fleiss_kappa" -> Gen.fleissKappaSql,
     "q219_hill_tail" -> Gen.hillTailSql,
     "q220_ewma_bands" -> Gen.ewmaBandsSql,
     "q221_bitext_margin" -> Gen.bitextMarginSql,
     "q222_kcore_profile" -> Gen.kcorePeelSql(),
     "q223_theilsen_slope" -> Gen.theilSenSql,
+    "q224_pit_join" -> Gen.pitJoinSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -2066,10 +2067,12 @@ object OracleSql {
 
     /** Twin of q217_scd2_intervals: same (ts, id)-ordered change
       * flags, run cumsum, per-run min, lead() validity chaining.
+      * `where` narrows the change stream (q224 builds the dimension
+      * from the odd-id half only).
       */
-    def scd2IntervalsSql: String =
+    def scd2IntervalsSql(where: String = ""): String =
       s"""WITH s AS (SELECT user_id AS k, event_type AS v, ts,
-         |             event_id AS id FROM events),
+         |             event_id AS id FROM events $where),
          |m AS (SELECT k, v, ts, id,
          |        CASE WHEN lag(v) OVER (PARTITION BY k ORDER BY ts, id)
          |          IS NULL OR lag(v) OVER (PARTITION BY k ORDER BY ts, id)
@@ -4995,6 +4998,22 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q224_pit_join: the dimension is the LITERAL q217 twin
+      * narrowed to odd-id changes (the wrap-the-other-twin
+      * discipline), the probe the same half-open interval predicate.
+      */
+    def pitJoinSql: String =
+      s"""WITH dims AS (
+         |${scd2IntervalsSql("WHERE event_id % 2 = 1")}),
+         |f AS (SELECT event_id, user_id, ts FROM events
+         |      WHERE event_id % 2 = 0)
+         |SELECT f.event_id, f.user_id, f.ts,
+         |  d.event_type AS state_at_ts, d.valid_from
+         |FROM f LEFT JOIN dims d ON d.user_id = f.user_id
+         |  AND f.ts >= d.valid_from
+         |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+         |ORDER BY event_id""".stripMargin
 
     /** Twin of q223_theilsen_slope: the q199 zero-filled day grid,
       * the same ordered pair join, the same (10⁶·dy)//dx micro-slope

@@ -3568,6 +3568,26 @@ object Queries {
     graft.ops.Funnel.theilSenSlope(Tables.events(s, d), "event_type", "ts")
       .orderBy("event_type")
 
+  /** Point-in-time feature join ([[graft.ops.Profile.pitJoin]]):
+    * odd-id events build the per-user SCD2 state dimension (the
+    * q217 operator); even-id events are the facts, each enriched
+    * with the state valid AT ITS OWN timestamp — the feature-store
+    * leakage-safe join. Key-partitioned sort-merge join, never a
+    * cross join; twin wraps the q217 twin verbatim.
+    */
+  val q224_pit_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dims = graft.ops.Profile.scd2Intervals(
+      ev.where(pmod(col("event_id"), lit(2L)) === 1L),
+      "user_id", "event_type", "ts", "event_id")
+    val facts = ev.where(pmod(col("event_id"), lit(2L)) === 0L)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.Profile.pitJoin(facts, "user_id", "ts", dims, "user_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("dim_event_type").as("state_at_ts"), col("valid_from"))
+      .orderBy("event_id")
+  }
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3807,5 +3827,6 @@ object Queries {
     "q220_ewma_bands" -> q220_ewma_bands,
     "q221_bitext_margin" -> q221_bitext_margin,
     "q222_kcore_profile" -> q222_kcore_profile,
-    "q223_theilsen_slope" -> q223_theilsen_slope)
+    "q223_theilsen_slope" -> q223_theilsen_slope,
+    "q224_pit_join" -> q224_pit_join)
 }

@@ -386,6 +386,38 @@ object Profile {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Point-in-time enrichment against an SCD2 dimension — the
+    * feature-store correctness join: each fact row picks up the
+    * dimension version whose half-open validity interval
+    * [valid_from, valid_to) contains the fact's OWN timestamp, never
+    * a later version (the leakage a naive "join current" commits).
+    * Left join: facts before the key's first recorded version keep
+    * null dimension columns, which is the honest answer. Dimension
+    * payload columns come back prefixed `dim_`.
+    *
+    * Scale shape: an equi-join on the key with the interval
+    * predicate as a post-join filter — Spark plans a sort-merge /
+    * shuffled-hash join partitioned by key (NEVER a cross join); a
+    * key's interval count is its change count, so the per-key fan
+    * is version-bounded. Pairs with [[scd2Intervals]], which builds
+    * the intervals.
+    */
+  def pitJoin(facts: DataFrame, factKeyCol: String, factTsCol: String,
+              dim: DataFrame, dimKeyCol: String,
+              fromCol: String = "valid_from",
+              toCol: String = "valid_to"): DataFrame = {
+    val renamed = dim.columns.foldLeft(dim) { (acc, c) =>
+      if (c == dimKeyCol) acc.withColumnRenamed(c, "__dk")
+      else if (c == fromCol || c == toCol) acc
+      else acc.withColumnRenamed(c, s"dim_$c")
+    }
+    facts.join(renamed,
+      facts(factKeyCol) === renamed("__dk") &&
+        facts(factTsCol) >= renamed(fromCol) &&
+        (renamed(toCol).isNull || facts(factTsCol) < renamed(toCol)),
+      "left").drop("__dk")
+  }
+
   /** Fleiss' κ (Fleiss 1971) — chance-corrected agreement among R ≥ 2
     * raters per item, the multi-labeler generalization of
     * [[cohensKappa]]: the triple-annotation QA gate. One row per

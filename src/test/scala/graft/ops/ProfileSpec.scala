@@ -192,6 +192,35 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(3)).toSeq)
   }
 
+  test("pitJoin: each fact sees the version valid AT ITS ts, never a later one") {
+    val dims = Profile.scd2Intervals(Seq(
+        (1L, "A", "2024-01-01 10:00:00", 1L),
+        (1L, "B", "2024-01-01 10:20:00", 3L),
+        (2L, "C", "2024-01-01 10:05:00", 5L))
+      .toDF("k", "v", "tss", "id")
+      .select(col("k"), col("v"), col("tss").cast("timestamp").as("t"),
+        col("id")), "k", "v", "t", "id")
+    val facts = Seq(
+      (10L, 1L, "2024-01-01 09:50:00"), // before any version -> null
+      (12L, 1L, "2024-01-01 10:00:00"), // boundary: valid_from inclusive
+      (14L, 1L, "2024-01-01 10:19:00"),
+      (16L, 1L, "2024-01-01 10:20:00"), // boundary: valid_to exclusive
+      (18L, 2L, "2024-01-01 11:00:00"),
+      (20L, 3L, "2024-01-01 10:00:00")) // unknown key -> null
+      .toDF("fid", "k", "tss")
+      .select(col("fid"), col("k"), col("tss").cast("timestamp").as("t"))
+    def run(f: org.apache.spark.sql.DataFrame) =
+      Profile.pitJoin(f, "k", "t", dims, "k")
+        .orderBy("fid").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("dim_v")).orNull))
+    val out = run(facts)
+    assert(out.toSeq === Seq((10L, null), (12L, "A"), (14L, "A"),
+      (16L, "B"), (18L, "C"), (20L, null)))
+    // a fact matches at most ONE interval: row count preserved
+    assert(out.length === 6)
+    assert(out.toSeq === run(facts.repartition(5)).toSeq)
+  }
+
   test("fleissKappa: perfect split scores 1000; hand case scores -200") {
     val perfect = Seq((1L, "x", "x", "x"), (2L, "y", "y", "y"))
       .toDF("id", "r1", "r2", "r3")
