@@ -510,6 +510,7 @@ object OracleSql {
     "q222_kcore_profile" -> Gen.kcorePeelSql(),
     "q223_theilsen_slope" -> Gen.theilSenSql,
     "q224_pit_join" -> Gen.pitJoinSql,
+    "q225_dataset_card" -> Gen.datasetCardSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4998,6 +4999,43 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q225_dataset_card: same four reductions (doc-level,
+      * md5-distinct, (source, lang), (source, word)-distinct), same
+      * (count DESC, lang ASC) dominant-language pick, same integer
+      * per-mille rates.
+      */
+    def datasetCardSql: String =
+      s"""WITH base AS (SELECT source AS src,
+         |        CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |        CAST(sum(len(${tokensE("text")})) AS BIGINT) AS n_tokens
+         |      FROM documents GROUP BY 1),
+         |uq AS (SELECT src, CAST(count(*) AS BIGINT) AS n_unique_docs
+         |       FROM (SELECT DISTINCT source AS src, md5(text) AS fp
+         |             FROM documents) GROUP BY 1),
+         |lc AS (SELECT source AS src, lang, CAST(count(*) AS BIGINT) AS c
+         |       FROM documents GROUP BY 1, 2),
+         |nl AS (SELECT src, CAST(count(*) AS BIGINT) AS n_langs
+         |       FROM lc GROUP BY 1),
+         |tl AS (SELECT src, lang AS top_lang, c AS top_lang_docs FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY src
+         |           ORDER BY c DESC, lang) AS r FROM lc) WHERE r = 1),
+         |vb AS (SELECT src, CAST(count(*) AS BIGINT) AS vocab FROM (
+         |         SELECT DISTINCT source AS src,
+         |           unnest(list_distinct(${tokensE("text")})) AS w
+         |         FROM documents) GROUP BY 1)
+         |SELECT base.src AS source, base.n_docs, base.total_chars,
+         |  CAST(base.total_chars // base.n_docs AS BIGINT) AS mean_chars,
+         |  base.n_tokens, vb.vocab, uq.n_unique_docs,
+         |  CAST((1000 * (base.n_docs - uq.n_unique_docs)) // base.n_docs
+         |    AS BIGINT) AS dup_x1000,
+         |  nl.n_langs, tl.top_lang,
+         |  CAST((1000 * tl.top_lang_docs) // base.n_docs AS BIGINT)
+         |    AS top_lang_x1000
+         |FROM base JOIN uq USING (src) JOIN nl USING (src)
+         |JOIN tl USING (src) JOIN vb USING (src)
+         |ORDER BY source""".stripMargin
 
     /** Twin of q224_pit_join: the dimension is the LITERAL q217 twin
       * narrowed to odd-id changes (the wrap-the-other-twin

@@ -3588,6 +3588,17 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Per-source dataset card ([[graft.ops.Profile.datasetCard]],
+    * the Datasheets-for-Datasets release summary): volume, token
+    * and vocabulary counts, exact-dup rate, language spread — four
+    * map-side-partial reductions broadcast-joined on the bounded
+    * source key, no multi-countDistinct Expand.
+    */
+  val q225_dataset_card: Q = (s, d) =>
+    graft.ops.Profile.datasetCard(Tables.documents(s, d),
+        "source", "text", "lang", "n_chars")
+      .orderBy("source")
+
   /** q156's check list — SQL predicate strings parseable by BOTH
     * Spark and DuckDB, so the oracle twin evaluates the literal same
     * text and the surfaces cannot drift.
@@ -3828,5 +3839,6 @@ object Queries {
     "q221_bitext_margin" -> q221_bitext_margin,
     "q222_kcore_profile" -> q222_kcore_profile,
     "q223_theilsen_slope" -> q223_theilsen_slope,
-    "q224_pit_join" -> q224_pit_join)
+    "q224_pit_join" -> q224_pit_join,
+    "q225_dataset_card" -> q225_dataset_card)
 }

@@ -386,6 +386,60 @@ object Profile {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Per-source dataset card — the release-notes summary a data team
+    * ships with a corpus drop (the "Datasheets for Datasets"
+    * practice, Gebru et al. 2021, reduced to the numbers a consumer
+    * checks first): volume (docs, chars, whitespace tokens), lexical
+    * breadth (distinct vocabulary), exact-duplicate rate (md5
+    * fingerprint), language spread (languages seen, the dominant one
+    * and its per-mille share). All exact integers.
+    *
+    * Scale shape: one doc-level reduction, one distinct-fingerprint
+    * reduction, one (source, lang) reduction and one (source, word)
+    * distinct reduction — each map-side partial; NO multi-
+    * countDistinct single aggregate (that plans an Expand that
+    * multiplies every row k× before the shuffle); the four
+    * source-keyed tables join broadcast at the end.
+    */
+  def datasetCard(df: DataFrame, sourceCol: String, textCol: String,
+                  langCol: String, charsCol: String): DataFrame = {
+    import graft.functions.TextFns
+    val base = df.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("total_chars"),
+        sum(size(TextFns.tokens(col(textCol)))).as("n_tokens"))
+    val uniq = df.select(col(sourceCol).as("src"),
+        md5(col(textCol)).as("fp")).distinct()
+      .groupBy("src").agg(count(lit(1)).as("n_unique_docs"))
+    val langs = df.groupBy(col(sourceCol).as("src"),
+        col(langCol).as("lang")).agg(count(lit(1)).as("c"))
+    val nLangs = langs.groupBy("src").agg(count(lit(1)).as("n_langs"))
+    val topLang = graft.plans.TopK.topKPerKey(
+        langs.select(col("src"), col("c"),
+          // rank DESC on count; the tie column must invert for an
+          // ASC alphabetic tiebreak under the field0-DESC-rest-ASC
+          // contract — lang itself is the rest-ASC field, fine
+          col("lang")), Seq("src"), col("c"), Seq(col("lang")), 1)
+      .select(col("src"), col("lang").as("top_lang"),
+        col("c").as("top_lang_docs"))
+    val vocab = df.select(col(sourceCol).as("src"),
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("w"))
+      .distinct()
+      .groupBy("src").agg(count(lit(1)).as("vocab"))
+    base.join(broadcast(uniq), Seq("src"))
+      .join(broadcast(nLangs), Seq("src"))
+      .join(broadcast(topLang), Seq("src"))
+      .join(broadcast(vocab), Seq("src"))
+      .select(col("src").as(sourceCol), col("n_docs"), col("total_chars"),
+        expr("CAST(total_chars div n_docs AS BIGINT)").as("mean_chars"),
+        col("n_tokens"), col("vocab"), col("n_unique_docs"),
+        expr("CAST((1000 * (n_docs - n_unique_docs)) div n_docs AS BIGINT)")
+          .as("dup_x1000"),
+        col("n_langs"), col("top_lang"),
+        expr("CAST((1000 * top_lang_docs) div n_docs AS BIGINT)")
+          .as("top_lang_x1000"))
+  }
+
   /** Point-in-time enrichment against an SCD2 dimension — the
     * feature-store correctness join: each fact row picks up the
     * dimension version whose half-open validity interval

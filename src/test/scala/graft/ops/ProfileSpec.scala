@@ -192,6 +192,26 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(3)).toSeq)
   }
 
+  test("datasetCard: hand-counted volume, dup rate, vocab and language spread") {
+    val docs = Seq(
+      ("s1", "hello world", "en", 11L),
+      ("s1", "hello world", "en", 11L), // exact dup
+      ("s1", "foo bar baz", "fr", 11L),
+      ("s2", "a b a", "de", 5L))
+      .toDF("source", "text", "lang", "n_chars")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.datasetCard(d, "source", "text", "lang", "n_chars")
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getString(9), r.getLong(10)))
+    val out = run(docs)
+    assert(out.toSeq === Seq(
+      ("s1", 3L, 33L, 11L, 7L, 5L, 2L, 333L, 2L, "en", 666L),
+      ("s2", 1L, 5L, 5L, 3L, 2L, 1L, 0L, 1L, "de", 1000L)))
+    assert(out.toSeq === run(docs.repartition(3)).toSeq)
+  }
+
   test("pitJoin: each fact sees the version valid AT ITS ts, never a later one") {
     val dims = Profile.scd2Intervals(Seq(
         (1L, "A", "2024-01-01 10:00:00", 1L),
