@@ -511,6 +511,7 @@ object OracleSql {
     "q223_theilsen_slope" -> Gen.theilSenSql,
     "q224_pit_join" -> Gen.pitJoinSql,
     "q225_dataset_card" -> Gen.datasetCardSql,
+    "q226_acf" -> Gen.acfSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4999,6 +5000,42 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q226_acf: the q197 hourly grid, the same per-mille
+      * deviations, the same pre-shifted-hour equi-join and the same
+      * (10⁶·c_k)//c_0 exact-ppm normalization.
+      */
+    def acfSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |        date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+         |c AS (SELECT et, h, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, h),
+         |hrs AS (SELECT DISTINCT h FROM c),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, hrs.h, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN hrs
+         |      LEFT JOIN c ON c.et = ets.et AND c.h = hrs.h),
+         |mu AS (SELECT et, CAST((1000 * sum(x)) // count(*) AS BIGINT)
+         |         AS mu FROM g GROUP BY et),
+         |dev AS (SELECT g.et, g.h,
+         |          CAST(1000 * g.x - mu.mu AS BIGINT) AS dv
+         |        FROM g JOIN mu USING (et)),
+         |c0 AS (SELECT et, sum(CAST(dv AS HUGEINT) * dv) AS c0
+         |       FROM dev GROUP BY et),
+         |lg AS (SELECT CAST(unnest(range(1, 27)) AS INT) AS lag),
+         |sh AS (SELECT dev.et, dev.h - lg.lag * INTERVAL 1 HOUR AS h,
+         |         lg.lag, dev.dv AS db
+         |       FROM dev CROSS JOIN lg),
+         |ck AS (SELECT dev.et, sh.lag,
+         |         sum(CAST(dev.dv AS HUGEINT) * sh.db) AS ck,
+         |         CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM dev JOIN sh ON sh.et = dev.et AND sh.h = dev.h
+         |       GROUP BY dev.et, sh.lag)
+         |SELECT ck.et AS event_type, CAST(ck.lag AS BIGINT) AS lag,
+         |  ck.n_overlap,
+         |  CAST((1000000 * ck.ck) // greatest(c0.c0, 1) AS BIGINT) AS acf_ppm
+         |FROM ck JOIN c0 ON c0.et = ck.et
+         |ORDER BY event_type, lag""".stripMargin
 
     /** Twin of q225_dataset_card: same four reductions (doc-level,
       * md5-distinct, (source, lang), (source, word)-distinct), same

@@ -193,7 +193,10 @@ object PlanAudit {
     "q221_bitext_margin",
     // types × day-span grid (q199's shape); the O(days²) pair join
     // and the rank window run over the bounded grid
-    "q223_theilsen_slope")
+    "q223_theilsen_slope",
+    // types × hour-span grid plus the 26-row lag list broadcast into
+    // the span-bounded deviation table — q200's audited shape
+    "q226_acf")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

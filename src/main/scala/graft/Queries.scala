@@ -3588,6 +3588,16 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Hourly-arrival autocorrelation per event type at lags 1..26
+    * ([[graft.ops.Funnel.autocorrelation]]): r_k = c_k/c_0 in exact
+    * ppm — lag 1 reads persistence, the lag-24 row reads the diurnal
+    * cycle; q200's self-pair complement on the same shifted-hour
+    * equi-join shape.
+    */
+  val q226_acf: Q = (s, d) =>
+    graft.ops.Funnel.autocorrelation(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type", "lag")
+
   /** Per-source dataset card ([[graft.ops.Profile.datasetCard]],
     * the Datasheets-for-Datasets release summary): volume, token
     * and vocabulary counts, exact-dup rate, language spread — four
@@ -3840,5 +3850,6 @@ object Queries {
     "q222_kcore_profile" -> q222_kcore_profile,
     "q223_theilsen_slope" -> q223_theilsen_slope,
     "q224_pit_join" -> q224_pit_join,
-    "q225_dataset_card" -> q225_dataset_card)
+    "q225_dataset_card" -> q225_dataset_card,
+    "q226_acf" -> q226_acf)
 }

@@ -371,6 +371,59 @@ object Funnel {
         col("best_lag"), col("best_xcov"), col("xcov_lag0"))
   }
 
+  /** Sample autocorrelation of each type's hourly arrival series at
+    * lags 1..`maxLag` — [[leadLag]]'s SELF-pair complement (that
+    * operator deliberately excludes a type against itself): with the
+    * default maxLag ≥ 24 the lag-24 peak reads the diurnal cycle
+    * directly, lag-1 reads persistence. The estimator is the
+    * standard biased ACF r_k = c_k/c_0 (one shared normalization —
+    * no per-lag sqrt, so the surface stays exact): per-mille
+    * mean-centered deviations, DECIMAL(38) products,
+    * acf_ppm = (10⁶·c_k) div c_0; a flat series (c_0 = 0) reads 0
+    * at every lag via the greatest(c_0, 1) guard.
+    *
+    * Scale shape: q200's — one (type, hour) count reduction; the
+    * lag fan rides an EQUI-join on the pre-shifted hour (never an
+    * hours² product); every aggregate lands on the span-bounded
+    * grid × maxLag rows.
+    */
+  def autocorrelation(df: DataFrame, typeCol: String, tsCol: String,
+                      maxLag: Int = 26): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag must be >= 1")
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("hour", col(tsCol)).as("h"))
+      .groupBy("et", "h").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val hours = c.select("h").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(hours))
+      .join(c, Seq("et", "h"), "left")
+      .na.fill(0L, Seq("x"))
+    val mu = grid.groupBy("et")
+      .agg(expr("CAST((1000 * sum(x)) div count(*) AS BIGINT)").as("mu"))
+    val dev = grid.join(broadcast(mu), Seq("et"))
+      .select(col("et"), col("h"),
+        expr("CAST(1000 * x - mu AS BIGINT)").as("dv"))
+      .localCheckpoint()
+    val c0 = dev.groupBy("et")
+      .agg(sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("c0"))
+    val lags = df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val shifted = dev.crossJoin(broadcast(lags))
+      .select(col("et"),
+        expr("h - make_interval(0, 0, 0, 0, lag, 0, 0)").as("h"),
+        col("lag"), col("dv").as("db"))
+    dev.join(shifted, Seq("et", "h"))
+      .groupBy("et", "lag")
+      .agg(sum(expr("CAST(dv AS DECIMAL(38,0)) * db")).as("__ck"),
+        count(lit(1)).as("n_overlap"))
+      .join(broadcast(c0), Seq("et"))
+      .select(col("et").as(typeCol), col("lag").cast("bigint").as("lag"),
+        col("n_overlap"),
+        expr("CAST((1000000 * __ck) div greatest(c0, 1) AS BIGINT)")
+          .as("acf_ppm"))
+  }
+
   /** Arrival burstiness per event type — the index of dispersion
     * (variance-to-mean ratio of per-hour counts over the corpus's
     * hour span, EMPTY hours included: a type that fires once an hour

@@ -507,6 +507,30 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("autocorrelation: alternating series reads -875/750 permille-ish ppm; flat reads 0") {
+    // type p alternates 2,0,2,0.. hourly; type w is metronomic 1/hour
+    // (it also pins all 8 hours into the shared grid)
+    val rows = Seq.newBuilder[(String, String)]
+    for (h <- 0 to 7) {
+      rows += (("w", f"2024-01-01 0$h%01d:00:00"))
+      if (h % 2 == 0) { rows += (("p", f"2024-01-01 0$h:10:00"))
+        rows += (("p", f"2024-01-01 0$h:20:00")) }
+    }
+    val ev = rows.result().toDF("et", "tss")
+      .select(col("et"), col("tss").cast("timestamp").as("t"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.autocorrelation(d, "et", "t", maxLag = 2)
+        .orderBy("et", "lag").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = run(ev)
+    // p: mu=1000, dev=±1000, c0=8e6; c1=-7e6 -> -875000 ppm;
+    // c2=+6e6 -> 750000 ppm. w: dev=0 everywhere -> 0 via the guard.
+    assert(out.toSeq === Seq(
+      ("p", 1L, 7L, -875000L), ("p", 2L, 6L, 750000L),
+      ("w", 1L, 7L, 0L), ("w", 2L, 6L, 0L)))
+    assert(out.toSeq === run(ev.repartition(5)).toSeq)
+  }
+
   test("theilSenSlope: rising series reads its slope; one outlier day can't move the median") {
     // type u: 1,3,5,7,9 per day — every pairwise slope is exactly 2/day;
     // type v: 1,2,3,100,5 — the day-4 spike poisons 4 of 10 pairwise
