@@ -512,6 +512,7 @@ object OracleSql {
     "q224_pit_join" -> Gen.pitJoinSql,
     "q225_dataset_card" -> Gen.datasetCardSql,
     "q226_acf" -> Gen.acfSql,
+    "q227_ks_drift" -> Gen.ksDriftSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5000,6 +5001,33 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q227_ks_drift: same 50-char bins, same ppm-quantized
+      * CDFs over the shared global bin grid, same max-|gap| with the
+      * smallest-bin argmax tiebreak.
+      */
+    def ksDriftSql: String =
+      s"""WITH bn AS (SELECT source AS g,
+         |        CAST(n_chars // 50 AS BIGINT) AS bin FROM documents),
+         |sh AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS sc
+         |       FROM bn GROUP BY g, bin),
+         |bins AS (SELECT DISTINCT bin FROM sh),
+         |st AS (SELECT g, CAST(sum(sc) AS BIGINT) AS n FROM sh GROUP BY g),
+         |cdf AS (SELECT st.g, st.n, bins.bin,
+         |          CAST((CAST(sum(coalesce(sh.sc, 0)) OVER (PARTITION BY st.g
+         |            ORDER BY bins.bin ROWS UNBOUNDED PRECEDING)
+         |            AS HUGEINT) * 1000000) // st.n AS BIGINT) AS cdf_ppm
+         |        FROM st CROSS JOIN bins
+         |        LEFT JOIN sh ON sh.g = st.g AND sh.bin = bins.bin),
+         |p AS (SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b,
+         |        a.bin, abs(a.cdf_ppm - b.cdf_ppm) AS d
+         |      FROM cdf a JOIN cdf b ON b.bin = a.bin AND a.g < b.g),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY ga, gb
+         |        ORDER BY d DESC, bin) AS rn FROM p)
+         |SELECT ga AS group_a, gb AS group_b, n_a, n_b,
+         |  d AS d_ppm, bin AS d_at_bin
+         |FROM r WHERE rn = 1
+         |ORDER BY group_a, group_b""".stripMargin
 
     /** Twin of q226_acf: the q197 hourly grid, the same per-mille
       * deviations, the same pre-shifted-hour equi-join and the same

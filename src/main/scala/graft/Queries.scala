@@ -3588,6 +3588,17 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Pairwise two-sample KS statistic between sources' doc-length
+    * distributions ([[graft.ops.Profile.ksDrift]]) — the drift
+    * family's classical fourth lens after PSI (q155), W1 (q201) and
+    * JSD (q185): the worst single CDF gap per source pair, exact
+    * ppm, with the bin where it lands. (sources² × bins)-bounded.
+    */
+  val q227_ks_drift: Q = (s, d) =>
+    graft.ops.Profile.ksDrift(Tables.documents(s, d), "source",
+        "n_chars", binWidth = 50)
+      .orderBy("group_a", "group_b")
+
   /** Hourly-arrival autocorrelation per event type at lags 1..26
     * ([[graft.ops.Funnel.autocorrelation]]): r_k = c_k/c_0 in exact
     * ppm — lag 1 reads persistence, the lag-24 row reads the diurnal
@@ -3851,5 +3862,6 @@ object Queries {
     "q223_theilsen_slope" -> q223_theilsen_slope,
     "q224_pit_join" -> q224_pit_join,
     "q225_dataset_card" -> q225_dataset_card,
-    "q226_acf" -> q226_acf)
+    "q226_acf" -> q226_acf,
+    "q227_ks_drift" -> q227_ks_drift)
 }

@@ -386,6 +386,57 @@ object Profile {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Pairwise two-sample Kolmogorov–Smirnov statistic between every
+    * group pair's value distributions — the drift family's fourth
+    * lens (PSI reads binned mass shifts, W1 reads transport cost,
+    * JSD reads word-distribution divergence; KS reads the single
+    * worst CDF gap, the classical two-sample test): for each (a < b)
+    * pair, D = max over the shared bin grid of |CDF_a − CDF_b|, with
+    * the bin where the maximum lands (smallest such bin on ties).
+    * CDFs quantize to exact ppm BEFORE the diff ((10⁶·cum) div n —
+    * deterministic in both engines), so D_ppm is integer-exact.
+    *
+    * Scale shape: one corpus scan bins; per-group CDFs ride one
+    * cumsum window over the (groups × global bins) grid; the pair
+    * join runs on (groups² × bins) — both value-domain-bounded,
+    * never corpus-proportional.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth must be positive")
+    val binned = df.select(col(groupCol).as("g"),
+      expr(s"CAST($valueCol div $binWidth AS BIGINT)").as("bin"))
+    val sHist = binned.groupBy("g", "bin").agg(count(lit(1)).as("sc"))
+      .localCheckpoint()
+    val bins = sHist.select("bin").distinct()
+    val sTot = sHist.groupBy("g").agg(sum("sc").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cdf = sTot.select("g", "n").crossJoin(broadcast(bins))
+      .join(sHist, Seq("g", "bin"), "left")
+      .select(col("g"), col("n"), col("bin"),
+        sum(expr("coalesce(sc, CAST(0 AS BIGINT))")).over(w).as("cum"))
+      .select(col("g"), col("n"), col("bin"),
+        expr("CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
+          .as("cdf_ppm"))
+      .localCheckpoint()
+    val a = cdf.select(col("g").as("ga"), col("n").as("n_a"),
+      col("bin"), col("cdf_ppm").as("ca"))
+    val b = cdf.select(col("g").as("gb"), col("n").as("n_b"),
+      col("bin"), col("cdf_ppm").as("cb"))
+    a.join(b, Seq("bin"))
+      .where(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        // argmax with smallest-bin tiebreak via one struct-max
+        max(struct(abs(col("ca") - col("cb")).as("d"),
+          (-col("bin")).as("nb"))).as("__m"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_a"), col("n_b"), col("__m.d").as("d_ppm"),
+        (-col("__m.nb")).as("d_at_bin"))
+  }
+
   /** Per-source dataset card — the release-notes summary a data team
     * ships with a corpus drop (the "Datasheets for Datasets"
     * practice, Gebru et al. 2021, reduced to the numbers a consumer

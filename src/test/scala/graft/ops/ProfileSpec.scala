@@ -192,6 +192,24 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(3)).toSeq)
   }
 
+  test("ksDrift: hand-computed pairwise max CDF gap, smallest-bin tiebreak") {
+    val df = Seq(("A", 5L), ("A", 15L), ("B", 5L), ("B", 25L),
+      ("C", 25L), ("C", 26L)).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.ksDrift(d, "g", "v", binWidth = 10L)
+        .orderBy("group_a", "group_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    val out = run(df)
+    // CDFs over bins {0,1,2}: A=.5/1/1, B=.5/.5/1, C=0/0/1 (ppm) —
+    // (B,C) ties at bins 0 and 1, the smaller bin wins
+    assert(out.toSeq === Seq(
+      ("A", "B", 2L, 2L, 500000L, 1L),
+      ("A", "C", 2L, 2L, 1000000L, 1L),
+      ("B", "C", 2L, 2L, 500000L, 0L)))
+    assert(out.toSeq === run(df.repartition(4)).toSeq)
+  }
+
   test("datasetCard: hand-counted volume, dup rate, vocab and language spread") {
     val docs = Seq(
       ("s1", "hello world", "en", 11L),
