@@ -513,6 +513,7 @@ object OracleSql {
     "q225_dataset_card" -> Gen.datasetCardSql,
     "q226_acf" -> Gen.acfSql,
     "q227_ks_drift" -> Gen.ksDriftSql,
+    "q228_attribution" -> Gen.attributionSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5001,6 +5002,38 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q228_attribution: the same tagged union, the same
+      * running last-touch window (touches sort before conversions at
+      * equal ts via the boolean order key), the same 1-hour TTL cut
+      * into `organic`, the decSum money convention.
+      */
+    def attributionSql: String =
+      s"""WITH ev AS (SELECT user_id AS u, event_type AS t,
+         |        CAST(ts AS TIMESTAMP) AS ts, event_id AS id, value AS v,
+         |        (event_type = 'purchase') AS isconv
+         |      FROM events
+         |      WHERE event_type IN ('click', 'view', 'purchase')),
+         |m AS (SELECT *,
+         |        last_value(CASE WHEN NOT isconv THEN ts END IGNORE NULLS)
+         |          OVER (PARTITION BY u ORDER BY ts, isconv, id
+         |            ROWS UNBOUNDED PRECEDING) AS tts,
+         |        last_value(CASE WHEN NOT isconv THEN t END IGNORE NULLS)
+         |          OVER (PARTITION BY u ORDER BY ts, isconv, id
+         |            ROWS UNBOUNDED PRECEDING) AS ttp
+         |      FROM ev),
+         |a AS (SELECT CASE WHEN tts IS NOT NULL
+         |          AND date_diff('second', tts, ts) <= 3600 THEN ttp
+         |          ELSE 'organic' END AS channel, v
+         |      FROM m WHERE isconv),
+         |ct AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+         |         CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |       FROM a GROUP BY channel),
+         |tt AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS nt FROM ct)
+         |SELECT ct.channel, ct.n_conversions,
+         |  CAST((1000 * ct.n_conversions) // tt.nt AS BIGINT) AS share_x1000,
+         |  ct.revenue
+         |FROM ct, tt ORDER BY channel""".stripMargin
 
     /** Twin of q227_ks_drift: same 50-char bins, same ppm-quantized
       * CDFs over the shared global bin grid, same max-|gap| with the

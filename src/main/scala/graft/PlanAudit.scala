@@ -196,7 +196,10 @@ object PlanAudit {
     "q223_theilsen_slope",
     // types × hour-span grid plus the 26-row lag list broadcast into
     // the span-bounded deviation table — q200's audited shape
-    "q226_acf")
+    "q226_acf",
+    // ONE-row conversions total broadcast under the channel-bounded
+    // report table — broadcast scalar by design
+    "q228_attribution")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

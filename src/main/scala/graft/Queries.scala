@@ -3588,6 +3588,20 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Last-touch attribution report
+    * ([[graft.ops.Funnel.lastTouchAttribution]]): every purchase
+    * attributed to the user's most recent click/view within a 1-hour
+    * TTL, rolled up per channel with conversion share and exact
+    * DECIMAL revenue; stale or missing touches land in `organic`.
+    * q47's as-of composition (one tagged union + running
+    * last(ignoreNulls) window) applied to the marketing question.
+    */
+  val q228_attribution: Q = (s, d) =>
+    graft.ops.Funnel.lastTouchAttribution(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id", "value",
+        touches = Seq("click", "view"), conversion = "purchase")
+      .orderBy("channel")
+
   /** Pairwise two-sample KS statistic between sources' doc-length
     * distributions ([[graft.ops.Profile.ksDrift]]) — the drift
     * family's classical fourth lens after PSI (q155), W1 (q201) and
@@ -3863,5 +3877,6 @@ object Queries {
     "q224_pit_join" -> q224_pit_join,
     "q225_dataset_card" -> q225_dataset_card,
     "q226_acf" -> q226_acf,
-    "q227_ks_drift" -> q227_ks_drift)
+    "q227_ks_drift" -> q227_ks_drift,
+    "q228_attribution" -> q228_attribution)
 }

@@ -267,6 +267,60 @@ object Funnel {
         col("n_pos"), col("n_neg"), col("n_tie"))
   }
 
+  /** Last-touch marketing attribution — for every conversion event,
+    * the most recent PRIOR touch event (any of `touches`, same key,
+    * at-or-before the conversion, within `ttlSec`), rolled up per
+    * attributed channel: conversions, share per-mille, and the
+    * attributed revenue (exact DECIMAL money). Conversions whose
+    * last touch is older than the TTL (or who have none) land in
+    * the `organic` bucket — an honest answer, not a dropped row.
+    *
+    * The as-of mechanics are q47's scalable composition: one tagged
+    * union, one per-key running `last(ignoreNulls)` window carrying
+    * the (touch ts, touch type) struct — touches sort BEFORE
+    * conversions at equal timestamps so "at or before" holds — one
+    * shuffle on the user key, no range-join explosion.
+    */
+  def lastTouchAttribution(df: DataFrame, userCol: String,
+                           typeCol: String, tsCol: String, idCol: String,
+                           valueCol: String, touches: Seq[String],
+                           conversion: String,
+                           ttlSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(touches.nonEmpty && !touches.contains(conversion),
+      s"touches=$touches must be non-empty and exclude '$conversion'")
+    val ev = df.where(col(typeCol).isin(touches :+ conversion: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"),
+        col(valueCol).as("__v"),
+        when(col(typeCol) === conversion, 1).otherwise(0).as("__conv"))
+    val w = Window.partitionBy("__u")
+      .orderBy(col("__ts"), col("__conv"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val attributed = ev
+      .withColumn("__touch", last(
+        when(col("__conv") === 0,
+          struct(col("__ts").as("tts"), col("__t").as("ttp"))),
+        ignoreNulls = true).over(w))
+      .where(col("__conv") === 1)
+      .select(col("__v"),
+        when(col("__touch").isNotNull &&
+          unix_timestamp(col("__ts")) - unix_timestamp(col("__touch.tts"))
+            <= ttlSec, col("__touch.ttp"))
+          .otherwise(lit("organic")).as("channel"))
+    val counts = attributed.groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__v").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .localCheckpoint()
+    val total = counts.agg(sum("n_conversions").as("__nt"))
+    counts.crossJoin(broadcast(total))
+      .select(col("channel"), col("n_conversions"),
+        expr("CAST((1000 * n_conversions) div __nt AS BIGINT)")
+          .as("share_x1000"),
+        col("revenue"))
+  }
+
   /** Theil–Sen slope per event type (Theil 1950 / Sen 1968) — the
     * robust trend ESTIMATOR companion to [[mannKendallTrend]]'s
     * test: the median over all ordered day pairs of the pairwise

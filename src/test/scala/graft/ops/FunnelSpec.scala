@@ -507,6 +507,33 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("lastTouchAttribution: TTL cut, same-ts touch counts, organic bucket") {
+    val ev = Seq(
+      (1L, "click", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "purchase", "2024-01-01 10:30:00", 2L, 10.0), // click, in TTL
+      (2L, "view", "2024-01-01 08:00:00", 3L, 0.0),
+      (2L, "purchase", "2024-01-01 10:30:00", 4L, 20.0), // stale -> organic
+      (3L, "purchase", "2024-01-01 10:00:00", 5L, 5.0),  // no touch -> organic
+      (4L, "view", "2024-01-01 10:00:00", 6L, 0.0),
+      (4L, "click", "2024-01-01 10:10:00", 7L, 0.0),
+      (4L, "purchase", "2024-01-01 10:20:00", 8L, 7.0),  // LAST touch = click
+      (5L, "click", "2024-01-01 10:00:00", 9L, 0.0),
+      (5L, "purchase", "2024-01-01 10:00:00", 10L, 3.0)) // same-ts touch counts
+      .toDF("u", "et", "tss", "id", "v")
+      .select(col("u"), col("et"), col("tss").cast("timestamp").as("t"),
+        col("id"), col("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.lastTouchAttribution(d, "u", "et", "t", "id", "v",
+          touches = Seq("click", "view"), conversion = "purchase")
+        .orderBy("channel").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      ("click", 3L, 600L, 20.0),
+      ("organic", 2L, 400L, 25.0)))
+    assert(out.toSeq === run(ev.repartition(5)).toSeq)
+  }
+
   test("autocorrelation: alternating series reads -875/750 permille-ish ppm; flat reads 0") {
     // type p alternates 2,0,2,0.. hourly; type w is metronomic 1/hour
     // (it also pins all 8 hours into the shared grid)
