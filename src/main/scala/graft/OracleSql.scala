@@ -514,6 +514,7 @@ object OracleSql {
     "q226_acf" -> Gen.acfSql,
     "q227_ks_drift" -> Gen.ksDriftSql,
     "q228_attribution" -> Gen.attributionSql,
+    "q229_lorenz_curve" -> Gen.lorenzCurveSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5002,6 +5003,33 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q229_lorenz_curve: the same DECIMAL cents, the same
+      * $10k value buckets, the same ascending-bucket cumulative
+      * shares through HUGEINT.
+      */
+    def lorenzCurveSql: String =
+      s"""WITH per AS (SELECT o_custkey AS k,
+         |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+         |          AS BIGINT) AS cents
+         |      FROM orders GROUP BY 1),
+         |bk AS (SELECT cents // 1000000 AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n_customers,
+         |         CAST(sum(cents) AS BIGINT) AS bucket_cents
+         |       FROM per GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_customers) AS BIGINT) AS nt,
+         |          CAST(sum(bucket_cents) AS BIGINT) AS rt FROM bk),
+         |cm AS (SELECT bucket, n_customers, bucket_cents,
+         |         sum(n_customers) OVER (ORDER BY bucket
+         |           ROWS UNBOUNDED PRECEDING) AS ck,
+         |         sum(bucket_cents) OVER (ORDER BY bucket
+         |           ROWS UNBOUNDED PRECEDING) AS cr
+         |       FROM bk)
+         |SELECT cm.bucket, cm.n_customers, cm.bucket_cents,
+         |  CAST((1000 * cm.ck) // tot.nt AS BIGINT) AS cum_cust_x1000,
+         |  CAST((CAST(cm.cr AS HUGEINT) * 1000) // tot.rt AS BIGINT)
+         |    AS cum_rev_x1000
+         |FROM cm, tot ORDER BY bucket""".stripMargin
 
     /** Twin of q228_attribution: the same tagged union, the same
       * running last-touch window (touches sort before conversions at

@@ -199,7 +199,10 @@ object PlanAudit {
     "q226_acf",
     // ONE-row conversions total broadcast under the channel-bounded
     // report table — broadcast scalar by design
-    "q228_attribution")
+    "q228_attribution",
+    // ONE-row (customers, revenue) totals broadcast under the
+    // value-bucket table — broadcast scalar by design
+    "q229_lorenz_curve")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -248,7 +251,11 @@ object PlanAudit {
     // KM risk/log-survival cumsums over the lifetime-DAY table
     // (≤ corpus span days — constant in corpus size), after the
     // corpus reduced to one row per user then one per day
-    "q207_survival_curve")
+    "q207_survival_curve",
+    // Lorenz cumulative shares over the $10k VALUE-bucket table
+    // (value-domain-bounded — the q92/q189 audited cumsum class),
+    // after the corpus reduced to per-customer cents
+    "q229_lorenz_curve")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

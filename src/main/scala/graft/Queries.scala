@@ -3588,6 +3588,17 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Lorenz revenue-concentration curve over customers' order totals
+    * ([[graft.ops.Funnel.lorenzCurve]]): per-mille (customer share,
+    * revenue share) points per $10k value bucket — the Pareto
+    * readout; one key reduction, then the q92-class bounded-bucket
+    * cumsum.
+    */
+  val q229_lorenz_curve: Q = (s, d) =>
+    graft.ops.Funnel.lorenzCurve(Tables.orders(s, d),
+        "o_custkey", "o_totalprice")
+      .orderBy("bucket")
+
   /** Last-touch attribution report
     * ([[graft.ops.Funnel.lastTouchAttribution]]): every purchase
     * attributed to the user's most recent click/view within a 1-hour
@@ -3878,5 +3889,6 @@ object Queries {
     "q225_dataset_card" -> q225_dataset_card,
     "q226_acf" -> q226_acf,
     "q227_ks_drift" -> q227_ks_drift,
-    "q228_attribution" -> q228_attribution)
+    "q228_attribution" -> q228_attribution,
+    "q229_lorenz_curve" -> q229_lorenz_curve)
 }

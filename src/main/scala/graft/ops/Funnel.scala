@@ -267,6 +267,48 @@ object Funnel {
         col("n_pos"), col("n_neg"), col("n_tie"))
   }
 
+  /** Lorenz revenue-concentration curve — "the top x% of customers
+    * carry y% of revenue" (Lorenz 1905, the Pareto-principle
+    * readout behind account-tiering decisions): per-key exact
+    * DECIMAL cent totals bucketed by VALUE (never a corpus sort),
+    * then one cumulative pass over the ascending bucket table emits
+    * (cumulative customer share, cumulative revenue share) per-mille
+    * points of the curve. The money half of [[graft.ops.Profile]]'s
+    * q189 length-Gini: same bucket-cumsum discipline, money through
+    * DECIMAL cents.
+    *
+    * Scale shape: one key reduction from the corpus; buckets are
+    * value-domain-bounded (cents div `bucketCents`), and the global
+    * cumsum window runs over THAT table — the q92/q189 audited
+    * global-window class, constant in corpus size.
+    */
+  def lorenzCurve(df: DataFrame, keyCol: String, amountCol: String,
+                  bucketCents: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketCents > 0, s"bucketCents=$bucketCents must be positive")
+    val per = df.groupBy(col(keyCol).as("__k"))
+      .agg(expr(s"CAST(sum(CAST($amountCol AS DECIMAL(18,2))) * 100 " +
+        "AS BIGINT)").as("cents"))
+      .select(col("__k"), col("cents"),
+        expr(s"cents div $bucketCents").as("bucket"))
+    val bk = per.groupBy("bucket")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("bucket_cents"))
+      .localCheckpoint()
+    val tot = bk.agg(sum("n_customers").as("__nt"),
+      sum("bucket_cents").as("__rt"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bk.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_customers"), col("bucket_cents"),
+        sum("n_customers").over(w).as("__ck"),
+        sum("bucket_cents").over(w).as("__cr"),
+        col("__nt"), col("__rt"))
+      .select(col("bucket"), col("n_customers"), col("bucket_cents"),
+        expr("CAST((1000 * __ck) div __nt AS BIGINT)").as("cum_cust_x1000"),
+        expr("CAST((CAST(__cr AS DECIMAL(38,0)) * 1000) div __rt " +
+          "AS BIGINT)").as("cum_rev_x1000"))
+  }
+
   /** Last-touch marketing attribution — for every conversion event,
     * the most recent PRIOR touch event (any of `touches`, same key,
     * at-or-before the conversion, within `ttlSec`), rolled up per

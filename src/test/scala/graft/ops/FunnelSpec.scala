@@ -507,6 +507,22 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("lorenzCurve: hand-computed cumulative shares over $100 buckets") {
+    // A and B total $100 each (bucket 1), C totals $300 (bucket 3)
+    val orders = Seq(("A", 60.0), ("A", 40.0), ("B", 100.0), ("C", 300.0))
+      .toDF("cust", "amt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.lorenzCurve(d, "cust", "amt", bucketCents = 10000L)
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    val out = run(orders)
+    assert(out.toSeq === Seq(
+      (1L, 2L, 20000L, 666L, 400L),
+      (3L, 1L, 30000L, 1000L, 1000L)))
+    assert(out.toSeq === run(orders.repartition(3)).toSeq)
+  }
+
   test("lastTouchAttribution: TTL cut, same-ts touch counts, organic bucket") {
     val ev = Seq(
       (1L, "click", "2024-01-01 10:00:00", 1L, 0.0),
