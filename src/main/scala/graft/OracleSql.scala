@@ -515,6 +515,7 @@ object OracleSql {
     "q227_ks_drift" -> Gen.ksDriftSql,
     "q228_attribution" -> Gen.attributionSql,
     "q229_lorenz_curve" -> Gen.lorenzCurveSql,
+    "q230_session_paths" -> Gen.sessionPathsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5003,6 +5004,37 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q230_session_paths: the q141 gap/run sessionization,
+      * the same first-3 slot aggregates (concat_ws skipping null
+      * slots), the same (n DESC, path) top-20.
+      */
+    def sessionPathsSql: String =
+      s"""WITH e AS (SELECT user_id AS u, event_type AS t,
+         |        CAST(ts AS TIMESTAMP) AS ts, event_id AS id FROM events),
+         |m AS (SELECT *, CASE WHEN lag(ts) OVER
+         |          (PARTITION BY u ORDER BY ts, id) IS NULL
+         |          OR date_diff('second', lag(ts) OVER
+         |            (PARTITION BY u ORDER BY ts, id), ts) > 600
+         |          THEN 1 ELSE 0 END AS nw
+         |      FROM e),
+         |s AS (SELECT *, sum(nw) OVER (PARTITION BY u ORDER BY ts, id
+         |        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY u, sid
+         |        ORDER BY ts, id) AS rn FROM s),
+         |p AS (SELECT u, sid,
+         |        concat_ws('>',
+         |          max(CASE WHEN rn = 1 THEN t END),
+         |          max(CASE WHEN rn = 2 THEN t END),
+         |          max(CASE WHEN rn = 3 THEN t END)) AS path
+         |      FROM r WHERE rn <= 3 GROUP BY u, sid),
+         |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |      FROM p GROUP BY path),
+         |tt AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS nt FROM c)
+         |SELECT c.path, c.n_sessions,
+         |  CAST((1000 * c.n_sessions) // tt.nt AS BIGINT) AS share_x1000
+         |FROM c, tt
+         |ORDER BY c.n_sessions DESC, c.path LIMIT 20""".stripMargin
 
     /** Twin of q229_lorenz_curve: the same DECIMAL cents, the same
       * $10k value buckets, the same ascending-bucket cumulative

@@ -202,7 +202,10 @@ object PlanAudit {
     "q228_attribution",
     // ONE-row (customers, revenue) totals broadcast under the
     // value-bucket table — broadcast scalar by design
-    "q229_lorenz_curve")
+    "q229_lorenz_curve",
+    // ONE-row sessions total broadcast under the path-bounded
+    // count table — broadcast scalar by design
+    "q230_session_paths")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

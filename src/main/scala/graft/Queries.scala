@@ -3588,6 +3588,15 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Top-20 session entry paths ([[graft.ops.Funnel.sessionPaths]]):
+    * q141's inactivity-gap sessions labeled by their first three
+    * event types (`a>b>c`), counted with per-mille share — the
+    * Sankey-source "how do sessions start" report.
+    */
+  val q230_session_paths: Q = (s, d) =>
+    graft.ops.Funnel.sessionPaths(Tables.events(s, d),
+      "user_id", "event_type", "ts", "event_id")
+
   /** Lorenz revenue-concentration curve over customers' order totals
     * ([[graft.ops.Funnel.lorenzCurve]]): per-mille (customer share,
     * revenue share) points per $10k value bucket — the Pareto
@@ -3890,5 +3899,6 @@ object Queries {
     "q226_acf" -> q226_acf,
     "q227_ks_drift" -> q227_ks_drift,
     "q228_attribution" -> q228_attribution,
-    "q229_lorenz_curve" -> q229_lorenz_curve)
+    "q229_lorenz_curve" -> q229_lorenz_curve,
+    "q230_session_paths" -> q230_session_paths)
 }

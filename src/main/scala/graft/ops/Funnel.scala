@@ -267,6 +267,55 @@ object Funnel {
         col("n_pos"), col("n_neg"), col("n_tie"))
   }
 
+  /** Top session entry paths — the Sankey-diagram source table:
+    * sessions cut by the q141 inactivity gap, each labeled with its
+    * first `depth` event types joined by `>` (shorter sessions keep
+    * their shorter path), counted and ranked — "how do sessions
+    * start, and where do they go next". Fixed path slots come from
+    * per-slot conditional aggregates (`concat_ws` skips the null
+    * slots), so no per-session array ever materializes beyond
+    * `depth` rows.
+    *
+    * Scale shape: one user-keyed session window (q141's), one
+    * (user, session) row_number window bounded to `depth` rows kept
+    * per session, one path reduction; the report is top-k over
+    * path-cardinality-bounded counts.
+    */
+  def sessionPaths(df: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, idCol: String, gapSec: Long = 600L,
+                   depth: Int = 3, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && depth <= 5, s"depth=$depth out of range")
+    val w = Window.partitionBy("__u").orderBy(col("__ts"), col("__id"))
+    val sess = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+      .withColumn("__prev", lag("__ts", 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_timestamp(col("__ts")) - unix_timestamp(col("__prev")) > gapSec,
+        1L).otherwise(0L))
+      .withColumn("__s", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wS = Window.partitionBy("__u", "__s")
+      .orderBy(col("__ts"), col("__id"))
+    val slots = (1 to depth).map(i =>
+      max(when(col("__rn") === i, col("__t"))).as(s"__p$i"))
+    val paths = sess.withColumn("__rn", row_number().over(wS))
+      .where(col("__rn") <= depth)
+      .groupBy("__u", "__s")
+      .agg(slots.head, slots.tail: _*)
+      .select(concat_ws(">",
+        (1 to depth).map(i => col(s"__p$i")): _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .localCheckpoint()
+    val total = paths.agg(sum("n_sessions").as("__nt"))
+    paths.crossJoin(broadcast(total))
+      .select(col("path"), col("n_sessions"),
+        expr("CAST((1000 * n_sessions) div __nt AS BIGINT)")
+          .as("share_x1000"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(topK)
+  }
+
   /** Lorenz revenue-concentration curve — "the top x% of customers
     * carry y% of revenue" (Lorenz 1905, the Pareto-principle
     * readout behind account-tiering decisions): per-key exact

@@ -507,6 +507,28 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("sessionPaths: gap cut, depth-3 truncation, short paths kept") {
+    val ev = Seq(
+      (1L, "a", "2024-01-01 10:00:00", 1L),
+      (1L, "b", "2024-01-01 10:01:00", 2L),
+      (1L, "c", "2024-01-01 10:02:00", 3L),
+      (1L, "d", "2024-01-01 10:03:00", 4L), // 4th event truncated away
+      (1L, "e", "2024-01-01 11:00:00", 5L), // > 600s gap -> new session
+      (2L, "a", "2024-01-01 10:00:00", 6L),
+      (2L, "b", "2024-01-01 10:05:00", 7L), // 300s gap -> same session
+      (3L, "e", "2024-01-01 09:00:00", 8L))
+      .toDF("u", "et", "tss", "id")
+      .select(col("u"), col("et"), col("tss").cast("timestamp").as("t"),
+        col("id"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.sessionPaths(d, "u", "et", "t", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      ("e", 2L, 500L), ("a>b", 1L, 250L), ("a>b>c", 1L, 250L)))
+    assert(out.toSeq === run(ev.repartition(5)).toSeq)
+  }
+
   test("lorenzCurve: hand-computed cumulative shares over $100 buckets") {
     // A and B total $100 each (bucket 1), C totals $300 (bucket 3)
     val orders = Seq(("A", 60.0), ("A", 40.0), ("B", 100.0), ("C", 300.0))
