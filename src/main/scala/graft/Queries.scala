@@ -3588,6 +3588,16 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Deflate compression-ratio repetitiveness screen
+    * ([[graft.ops.TextStats.compressionRatio]]): boilerplate
+    * deflates far below natural text — one number per doc, map-only
+    * codegen'd kernel. Rows-only (no zlib in the oracle engine);
+    * certified by `TextStatsSpec`'s known-plaintext cases.
+    */
+  val q231_compression_ratio: Q = (s, d) =>
+    TextStats.compressionRatio(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id")
+
   /** Top-20 session entry paths ([[graft.ops.Funnel.sessionPaths]]):
     * q141's inactivity-gap sessions labeled by their first three
     * event types (`a>b>c`), counted with per-mille share — the
@@ -3900,5 +3910,6 @@ object Queries {
     "q227_ks_drift" -> q227_ks_drift,
     "q228_attribution" -> q228_attribution,
     "q229_lorenz_curve" -> q229_lorenz_curve,
-    "q230_session_paths" -> q230_session_paths)
+    "q230_session_paths" -> q230_session_paths,
+    "q231_compression_ratio" -> q231_compression_ratio)
 }

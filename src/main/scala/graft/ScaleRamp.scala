@@ -154,7 +154,8 @@ object ScaleRamp {
       "q220_ewma_bands", "q221_bitext_margin", "q222_kcore_profile",
       "q223_theilsen_slope", "q224_pit_join", "q225_dataset_card",
       "q226_acf", "q227_ks_drift", "q228_attribution",
-      "q229_lorenz_curve", "q230_session_paths")
+      "q229_lorenz_curve", "q230_session_paths",
+      "q231_compression_ratio")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -743,6 +743,28 @@ object TextStats {
           .otherwise(lit(0L)))
   }
 
+  /** Compression-ratio quality signal per document — the classic
+    * repetitiveness detector web-corpus cleaning pipelines run
+    * alongside the Gopher rules: boilerplate and template spam
+    * deflate to a fraction of natural text's size, so
+    * `1000·deflate(text)/bytes` separates them with one number
+    * (very LOW ratios = repetitive; near-1000+ = high-entropy).
+    * Flags `repetitive` below `minRatioX1000`. Map-only, one
+    * codegen'd [[graft.functions.DeflateSize]] kernel per doc —
+    * O(bytes) per row, embarrassingly parallel at any corpus size.
+    * No SQL twin (the oracle engine has no zlib) — certified by the
+    * known-plaintext spec instead, rows-only checked by the driver.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+                       minRatioX1000: Int = 300): DataFrame =
+    df.select(col(idCol).as("id"),
+        octet_length(col(textCol)).cast("bigint").as("n_bytes"),
+        graft.functions.DeflateSize(col(textCol)).as("n_deflate"))
+      .select(col("id"), col("n_bytes"), col("n_deflate"),
+        expr("CAST((1000 * n_deflate) div greatest(n_bytes, 1) AS BIGINT)")
+          .as("ratio_x1000"))
+      .withColumn("repetitive", col("ratio_x1000") < minRatioX1000)
+
   /** k-core peel profile of the word co-occurrence graph (Seidman
     * 1983, "Network structure and minimum degree" — the degeneracy
     * decomposition): starting from [[wordTriangles]]' canonical

@@ -541,6 +541,31 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === run(docs.repartition(3)).toSeq)
   }
 
+  test("compressionRatio: boilerplate deflates tiny, high-entropy text doesn't; empty is total") {
+    val rnd = new scala.util.Random(3)
+    val noisy = Seq.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, "ab " * 2000),  // 6000 bytes of pure repetition
+      (2L, noisy),         // ~2000 chars of uniform letters
+      (3L, ""))            // totality: empty doc must not divide by 0
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.compressionRatio(d, "doc_id", "text")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+    val out = run(docs)
+    assert(out(0)._2 === 6000L)
+    assert(out(0)._4 < 50L, s"repetition should deflate tiny: ${out(0)}")
+    assert(out(0)._5, "boilerplate must flag repetitive")
+    // uniform random letters carry ~4.7 bits/char — deflate cannot
+    // get near the repetitive regime
+    assert(out(1)._4 > 500L, s"high-entropy text flagged: ${out(1)}")
+    assert(!out(1)._5)
+    assert(out(2)._2 === 0L && !out(2)._5)
+    assert(out.toSeq === run(docs.repartition(3)).toSeq)
+  }
+
   test("kcorePeel: a 4-clique survives k=3, the pendant chain peels off") {
     // doc 1 walks every edge of the clique {a,b,c,d}; doc 2 hangs the
     // chain d-e-f-g off it. Degrees: a,b,c=3, d=4, e=2, f=2, g=1.
