@@ -516,6 +516,7 @@ object OracleSql {
     "q228_attribution" -> Gen.attributionSql,
     "q229_lorenz_curve" -> Gen.lorenzCurveSql,
     "q230_session_paths" -> Gen.sessionPathsSql,
+    "q232_user_profile" -> Gen.userProfileSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5004,6 +5005,33 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q232_user_profile: same three reductions, same
+      * (count DESC, value ASC) mode tiebreaks.
+      */
+    def userProfileSql: String =
+      s"""WITH ev AS (SELECT user_id AS u, event_type AS t,
+         |        CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |b AS (SELECT u, CAST(count(*) AS BIGINT) AS n_events,
+         |        min(ts) AS first_seen, max(ts) AS last_seen,
+         |        CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+         |          AS active_days
+         |      FROM ev GROUP BY u),
+         |tc AS (SELECT u, t, CAST(count(*) AS BIGINT) AS c
+         |       FROM ev GROUP BY u, t),
+         |tm AS (SELECT u, t AS mode_type, c AS mode_type_n FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY u
+         |           ORDER BY c DESC, t) AS r FROM tc) WHERE r = 1),
+         |hc AS (SELECT u, CAST(hour(ts) AS BIGINT) AS h,
+         |         CAST(count(*) AS BIGINT) AS c
+         |       FROM ev GROUP BY 1, 2),
+         |hm AS (SELECT u, h AS mode_hour FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY u
+         |           ORDER BY c DESC, h) AS r FROM hc) WHERE r = 1)
+         |SELECT b.u AS user_id, b.n_events, b.first_seen, b.last_seen,
+         |  b.active_days, tm.mode_type, tm.mode_type_n, hm.mode_hour
+         |FROM b JOIN tm USING (u) JOIN hm USING (u)
+         |ORDER BY user_id""".stripMargin
 
     /** Twin of q230_session_paths: the q141 gap/run sessionization,
       * the same first-3 slot aggregates (concat_ws skipping null

@@ -3588,6 +3588,16 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Per-user feature profile ([[graft.ops.Funnel.userProfile]]):
+    * volume, recency span, active days and the mode event-type /
+    * mode hour features — the feature-store base table; modes ride
+    * the bounded-heap top-1, never a per-user sort.
+    */
+  val q232_user_profile: Q = (s, d) =>
+    graft.ops.Funnel.userProfile(Tables.events(s, d),
+        "user_id", "event_type", "ts")
+      .orderBy("user_id")
+
   /** Deflate compression-ratio repetitiveness screen
     * ([[graft.ops.TextStats.compressionRatio]]): boilerplate
     * deflates far below natural text — one number per doc, map-only
@@ -3911,5 +3921,6 @@ object Queries {
     "q228_attribution" -> q228_attribution,
     "q229_lorenz_curve" -> q229_lorenz_curve,
     "q230_session_paths" -> q230_session_paths,
-    "q231_compression_ratio" -> q231_compression_ratio)
+    "q231_compression_ratio" -> q231_compression_ratio,
+    "q232_user_profile" -> q232_user_profile)
 }

@@ -267,6 +267,43 @@ object Funnel {
         col("n_pos"), col("n_neg"), col("n_tie"))
   }
 
+  /** Per-user feature profile — the feature-store base table a
+    * behavioral model trains on: volume (events, active days),
+    * recency span (first/last seen), and the two classic MODE
+    * features (most frequent event type and most frequent
+    * hour-of-day, deterministic count-DESC-then-value tiebreaks).
+    * Modes come from (user, value) count reductions topped by the
+    * bounded-heap aggregate — never a per-user sort or collected
+    * list, so a power user costs the same as anyone else.
+    */
+  def userProfile(df: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String): DataFrame = {
+    import graft.plans.TopK
+    val ev = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      col(tsCol).as("__ts"))
+    val base = ev.groupBy("__u")
+      .agg(count(lit(1)).as("n_events"),
+        min("__ts").as("first_seen"), max("__ts").as("last_seen"),
+        countDistinct(date_trunc("day", col("__ts"))).as("active_days"))
+    val modeType = TopK.topKPerKey(
+        ev.groupBy("__u", "__t").agg(count(lit(1)).as("c"))
+          .select(col("__u"), col("c"), col("__t")),
+        Seq("__u"), col("c"), Seq(col("__t")), 1)
+      .select(col("__u"), col("__t").as("mode_type"),
+        col("c").as("mode_type_n"))
+    val modeHour = TopK.topKPerKey(
+        ev.select(col("__u"), hour(col("__ts")).cast("bigint").as("__h"))
+          .groupBy("__u", "__h").agg(count(lit(1)).as("c"))
+          .select(col("__u"), col("c"), col("__h")),
+        Seq("__u"), col("c"), Seq(col("__h")), 1)
+      .select(col("__u"), col("__h").as("mode_hour"))
+    base.join(modeType, Seq("__u"))
+      .join(modeHour, Seq("__u"))
+      .select(col("__u").as(userCol), col("n_events"), col("first_seen"),
+        col("last_seen"), col("active_days"), col("mode_type"),
+        col("mode_type_n"), col("mode_hour"))
+  }
+
   /** Top session entry paths — the Sankey-diagram source table:
     * sessions cut by the q141 inactivity gap, each labeled with its
     * first `depth` event types joined by `>` (shorter sessions keep

@@ -507,6 +507,35 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("userProfile: modes break ties deterministically, active days distinct") {
+    val ev = Seq(
+      // user 1: 2 views, 2 clicks (tie -> 'click' alphabetically),
+      // hours 10,10,11,11 (tie -> 10), spread over 2 days
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 11:00:00"),
+      (1L, "click", "2024-01-02 10:30:00"),
+      (1L, "click", "2024-01-02 11:30:00"),
+      // user 2: clear majority
+      (2L, "buy", "2024-01-03 09:00:00"),
+      (2L, "buy", "2024-01-03 09:10:00"),
+      (2L, "view", "2024-01-03 23:00:00"))
+      .toDF("u", "et", "tss")
+      .select(col("u"), col("et"), col("tss").cast("timestamp").as("t"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.userProfile(d, "u", "et", "t")
+        .orderBy("u").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString,
+          r.getTimestamp(3).toString, r.getLong(4), r.getString(5),
+          r.getLong(6), r.getLong(7)))
+    val out = run(ev)
+    assert(out.toSeq === Seq(
+      (1L, 4L, "2024-01-01 10:00:00.0", "2024-01-02 11:30:00.0", 2L,
+        "click", 2L, 10L),
+      (2L, 3L, "2024-01-03 09:00:00.0", "2024-01-03 23:00:00.0", 1L,
+        "buy", 2L, 9L)))
+    assert(out.toSeq === run(ev.repartition(4)).toSeq)
+  }
+
   test("sessionPaths: gap cut, depth-3 truncation, short paths kept") {
     val ev = Seq(
       (1L, "a", "2024-01-01 10:00:00", 1L),
