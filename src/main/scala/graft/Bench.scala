@@ -301,7 +301,8 @@ object Bench {
       "q223_theilsen_slope", "q224_pit_join", "q225_dataset_card",
       "q226_acf", "q227_ks_drift", "q228_attribution",
       "q229_lorenz_curve", "q230_session_paths",
-      "q231_compression_ratio", "q232_user_profile")
+      "q231_compression_ratio", "q232_user_profile",
+      "q233_revenue_trend")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -517,6 +517,7 @@ object OracleSql {
     "q229_lorenz_curve" -> Gen.lorenzCurveSql,
     "q230_session_paths" -> Gen.sessionPathsSql,
     "q232_user_profile" -> Gen.userProfileSql,
+    "q233_revenue_trend" -> Gen.revenueTrendSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5005,6 +5006,36 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q233_revenue_trend: same DECIMAL cents, same
+      * zero-filled month grid, same lag-1 / lag-12 per-mille with
+      * the zero-base null.
+      */
+    def revenueTrendSql: String =
+      s"""WITH m AS (SELECT date_trunc('month', CAST(o_orderdate
+         |          AS TIMESTAMP)) AS month,
+         |        CAST(count(*) AS BIGINT) AS n_orders,
+         |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+         |          AS BIGINT) AS revenue_cents
+         |      FROM orders GROUP BY 1),
+         |b AS (SELECT min(month) AS lo, max(month) AS hi FROM m),
+         |gs AS (SELECT unnest(generate_series(b.lo, b.hi,
+         |         INTERVAL 1 MONTH)) AS month FROM b),
+         |g AS (SELECT gs.month,
+         |        CAST(coalesce(m.n_orders, 0) AS BIGINT) AS n_orders,
+         |        CAST(coalesce(m.revenue_cents, 0) AS BIGINT)
+         |          AS revenue_cents
+         |      FROM gs LEFT JOIN m USING (month)),
+         |l AS (SELECT *,
+         |        lag(revenue_cents, 1) OVER (ORDER BY month) AS p1,
+         |        lag(revenue_cents, 12) OVER (ORDER BY month) AS p12
+         |      FROM g)
+         |SELECT month, n_orders, revenue_cents,
+         |  CASE WHEN p1 > 0 THEN CAST((1000 * (revenue_cents - p1))
+         |    // p1 AS BIGINT) END AS mom_x1000,
+         |  CASE WHEN p12 > 0 THEN CAST((1000 * (revenue_cents - p12))
+         |    // p12 AS BIGINT) END AS yoy_x1000
+         |FROM l ORDER BY month""".stripMargin
 
     /** Twin of q232_user_profile: same three reductions, same
       * (count DESC, value ASC) mode tiebreaks.

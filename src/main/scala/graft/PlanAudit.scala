@@ -258,7 +258,10 @@ object PlanAudit {
     // Lorenz cumulative shares over the $10k VALUE-bucket table
     // (value-domain-bounded — the q92/q189 audited cumsum class),
     // after the corpus reduced to per-customer cents
-    "q229_lorenz_curve")
+    "q229_lorenz_curve",
+    // MoM/YoY lag windows over the span-bounded MONTH grid, after
+    // the corpus reduced to per-month totals
+    "q233_revenue_trend")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

@@ -3588,6 +3588,17 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Monthly revenue trend with MoM / YoY growth
+    * ([[graft.ops.Funnel.revenueTrend]]): exact DECIMAL cents per
+    * calendar month over the zero-filled month grid, lag-1 and
+    * lag-12 per-mille growth (null against a zero base). One month
+    * reduction; windows over the span-bounded grid.
+    */
+  val q233_revenue_trend: Q = (s, d) =>
+    graft.ops.Funnel.revenueTrend(Tables.orders(s, d),
+        "o_orderdate", "o_totalprice")
+      .orderBy("month")
+
   /** Per-user feature profile ([[graft.ops.Funnel.userProfile]]):
     * volume, recency span, active days and the mode event-type /
     * mode hour features — the feature-store base table; modes ride
@@ -3922,5 +3933,6 @@ object Queries {
     "q229_lorenz_curve" -> q229_lorenz_curve,
     "q230_session_paths" -> q230_session_paths,
     "q231_compression_ratio" -> q231_compression_ratio,
-    "q232_user_profile" -> q232_user_profile)
+    "q232_user_profile" -> q232_user_profile,
+    "q233_revenue_trend" -> q233_revenue_trend)
 }

@@ -155,7 +155,8 @@ object ScaleRamp {
       "q223_theilsen_slope", "q224_pit_join", "q225_dataset_card",
       "q226_acf", "q227_ks_drift", "q228_attribution",
       "q229_lorenz_curve", "q230_session_paths",
-      "q231_compression_ratio", "q232_user_profile")
+      "q231_compression_ratio", "q232_user_profile",
+      "q233_revenue_trend")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

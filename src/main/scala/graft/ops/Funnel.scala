@@ -267,6 +267,43 @@ object Funnel {
         col("n_pos"), col("n_neg"), col("n_tie"))
   }
 
+  /** Monthly revenue trend — the BI staple behind every exec
+    * dashboard: per calendar month the order count and exact DECIMAL
+    * cent revenue, with month-over-month and year-over-year growth
+    * in per-mille (lag 1 / lag 12 over the zero-filled month grid —
+    * a missing month reads as zero revenue, and growth against a
+    * zero base reads null rather than a fabricated number).
+    *
+    * Scale shape: one (month) reduction from the corpus; the grid
+    * fill and both lag windows run over the span-bounded month
+    * table (the q92-class audited global window).
+    */
+  def revenueTrend(df: DataFrame, tsCol: String,
+                   amountCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = df.select(date_trunc("month", col(tsCol)).as("month"),
+        col(amountCol).as("__v"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CAST(__v AS DECIMAL(18,2))) * 100 AS BIGINT)")
+          .as("revenue_cents"))
+      .localCheckpoint()
+    val bounds = m.agg(min("month").as("__lo"), max("month").as("__hi"))
+    val grid = bounds.select(explode(expr(
+        "sequence(__lo, __hi, interval 1 month)")).as("month"))
+      .join(m, Seq("month"), "left")
+      .na.fill(0L, Seq("n_orders", "revenue_cents"))
+    val w = Window.orderBy("month")
+    grid
+      .withColumn("__p1", lag("revenue_cents", 1).over(w))
+      .withColumn("__p12", lag("revenue_cents", 12).over(w))
+      .select(col("month"), col("n_orders"), col("revenue_cents"),
+        expr("CASE WHEN __p1 > 0 THEN CAST((1000 * (revenue_cents - __p1))" +
+          " div __p1 AS BIGINT) END").as("mom_x1000"),
+        expr("CASE WHEN __p12 > 0 THEN CAST((1000 * (revenue_cents - __p12))" +
+          " div __p12 AS BIGINT) END").as("yoy_x1000"))
+  }
+
   /** Per-user feature profile — the feature-store base table a
     * behavioral model trains on: volume (events, active days),
     * recency span (first/last seen), and the two classic MODE

@@ -507,6 +507,31 @@ class FunnelSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(5)).toSeq)
   }
 
+  test("revenueTrend: zero-filled gap month, MoM/YoY per-mille, zero-base null") {
+    // Jan 100.00, Feb missing (zero-filled), Mar 150.00, and a
+    // Jan-next-year 200.00 for the YoY row
+    val orders = Seq(
+      ("2023-01-05", 100.0), ("2023-03-10", 150.0), ("2024-01-20", 200.0))
+      .toDF("ds", "amt")
+      .select(col("ds").cast("timestamp").as("t"), col("amt"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.revenueTrend(d, "t", "amt")
+        .orderBy("month").collect()
+        .map(r => (r.getTimestamp(0).toString.take(7), r.getLong(1),
+          r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))
+    val out = run(orders)
+    assert(out.length === 13)
+    assert(out(0) === ("2023-01", 1L, 10000L, None, None))
+    // Feb: zero revenue, MoM = -1000 permille vs Jan
+    assert(out(1) === ("2023-02", 0L, 0L, Some(-1000L), None))
+    // Mar vs Feb: zero base -> null MoM
+    assert(out(2) === ("2023-03", 1L, 15000L, None, None))
+    // Jan'24 vs Jan'23: +100% YoY; MoM vs a zero Dec -> null
+    assert(out(12) === ("2024-01", 1L, 20000L, None, Some(1000L)))
+    assert(out.toSeq === run(orders.repartition(3)).toSeq)
+  }
+
   test("userProfile: modes break ties deterministically, active days distinct") {
     val ev = Seq(
       // user 1: 2 views, 2 clicks (tie -> 'click' alphabetically),
