@@ -302,7 +302,7 @@ object Bench {
       "q226_acf", "q227_ks_drift", "q228_attribution",
       "q229_lorenz_curve", "q230_session_paths",
       "q231_compression_ratio", "q232_user_profile",
-      "q233_revenue_trend")
+      "q233_revenue_trend", "q234_tone_detect")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -518,6 +518,7 @@ object OracleSql {
     "q230_session_paths" -> Gen.sessionPathsSql,
     "q232_user_profile" -> Gen.userProfileSql,
     "q233_revenue_trend" -> Gen.revenueTrendSql,
+    "q234_tone_detect" -> Gen.toneDetectSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5006,6 +5007,40 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q234_tone_detect: the closed-form square-wave samples
+      * (the bytes [[graft.multimodal.WavCodec.testTone]] encodes),
+      * the SAME ×10⁶ twiddle literals the Spark kernel uses
+      * ([[graft.multimodal.Dft.valuesSql]] — shared, so no libm cos
+      * disagreement can exist), the same integer bin energies and
+      * (energy DESC, bin ASC) argmax.
+      */
+    def toneDetectSql: String =
+      s"""WITH tw(k, i, ct, st) AS ${graft.multimodal.Dft.valuesSql},
+         |d AS (SELECT doc_id AS id FROM documents),
+         |idx AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i),
+         |x AS (SELECT d.id, idx.i,
+         |        CASE WHEN ((idx.i // (2 << CAST(d.id % 4 AS INTEGER)))
+         |            % 2) = 0
+         |          THEN CAST(20000 AS BIGINT)
+         |          ELSE CAST(-20000 AS BIGINT) END AS s
+         |      FROM d CROSS JOIN idx),
+         |c AS (SELECT x.id, tw.k,
+         |        CAST(sum(x.s * tw.ct) AS BIGINT) AS cc,
+         |        CAST(sum(x.s * tw.st) AS BIGINT) AS ss
+         |      FROM x JOIN tw ON tw.i = x.i GROUP BY x.id, tw.k),
+         |e AS (SELECT id, k,
+         |        CAST(cc AS HUGEINT) * cc + CAST(ss AS HUGEINT) * ss AS en
+         |      FROM c),
+         |t AS (SELECT id, sum(en) AS tot FROM e GROUP BY id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY id
+         |        ORDER BY en DESC, k) AS rn FROM e)
+         |SELECT r.id AS doc_id, CAST(r.k AS BIGINT) AS detected_bin,
+         |  CAST(r.en // 1000000000000 AS BIGINT) AS e_top_e12,
+         |  CAST((1000 * r.en) // greatest(t.tot, 1) AS BIGINT)
+         |    AS dominance_x1000
+         |FROM r JOIN t USING (id) WHERE r.rn = 1
+         |ORDER BY doc_id""".stripMargin
 
     /** Twin of q233_revenue_trend: same DECIMAL cents, same
       * zero-filled month grid, same lag-1 / lag-12 per-mille with

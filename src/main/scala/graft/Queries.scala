@@ -3588,6 +3588,26 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Spectral tone detection on really-decoded audio
+    * ([[graft.multimodal.Multimodal.wavToneDetect]]): per doc a
+    * square-wave WAV is synthesized (period 4·2^(id%4) samples),
+    * decoded through the real RIFF/PCM path, and the [[graft.multimodal.Dft]]
+    * integer-twiddle 64-point DFT reports the dominant bin — which
+    * the twin predicts from the closed-form samples and the SAME
+    * shared ×10⁶ twiddle literals. A hash match proves bytes →
+    * samples → the right spectral peak, with no float in the loop.
+    */
+  val q234_tone_detect: Q = (s, d) => {
+    val synth = udf((id: Long) => graft.multimodal.WavCodec.testTone(
+      id, 80, 8000))
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("wav"))
+    graft.multimodal.Multimodal.wavToneDetect(media, "doc_id", "wav")
+      .select(col("id").as("doc_id"), col("detected_bin"),
+        col("e_top_e12"), col("dominance_x1000"))
+      .orderBy("doc_id")
+  }
+
   /** Monthly revenue trend with MoM / YoY growth
     * ([[graft.ops.Funnel.revenueTrend]]): exact DECIMAL cents per
     * calendar month over the zero-filled month grid, lag-1 and
@@ -3934,5 +3954,6 @@ object Queries {
     "q230_session_paths" -> q230_session_paths,
     "q231_compression_ratio" -> q231_compression_ratio,
     "q232_user_profile" -> q232_user_profile,
-    "q233_revenue_trend" -> q233_revenue_trend)
+    "q233_revenue_trend" -> q233_revenue_trend,
+    "q234_tone_detect" -> q234_tone_detect)
 }

@@ -437,6 +437,53 @@ object Multimodal {
       }(enc)
   }
 
+  /** Spectral tone detection over decoded WAV PCM: per blob, the
+    * [[Dft]] integer-twiddle 64-point bin energies of the FIRST 64
+    * decoded samples, reporting the dominant bin (energy DESC, bin
+    * ASC tiebreak), its energy ÷10¹², and its per-mille share of
+    * all 16 bins — "which frequency is this" with no float in the
+    * loop ([[Dft]]'s shared ×10⁶ twiddle literals; exact BigInt
+    * squares). Same batched map-only shape as [[wavPcmStats]]; blobs
+    * shorter than 64 samples report the error column, never a padded
+    * fake.
+    */
+  def wavToneDetect(df: DataFrame, idCol: String, mediaCol: String,
+                    batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("detected_bin", LongType),
+      StructField("e_top_e12", LongType),
+      StructField("dominance_x1000", LongType),
+      StructField("error", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).as("id"), col(mediaCol).as("media"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val wav = WavCodec.decode(r.getAs[Array[Byte]]("media"))
+            if (wav == null)
+              Row(r.get(0), null, null, null, "not a decodable PCM WAV")
+            else if (wav.samples.length < Dft.N)
+              Row(r.get(0), null, null, null, s"fewer than ${Dft.N} samples")
+            else {
+              val e = Dft.energies(wav.samples)
+              var best = 1
+              var tot = BigInt(0)
+              var k = 1
+              while (k <= Dft.Bins) {
+                if (e(k) > e(best)) best = k
+                tot += e(k)
+                k += 1
+              }
+              Row(r.get(0), best.toLong,
+                (e(best) / BigInt(1000000000000L)).toLong,
+                (BigInt(1000) * e(best) / tot.max(BigInt(1))).toLong, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Acoustic-fingerprint stage over decoded WAV PCM: per blob, the
     * [[WavCodec.frameHash]] 32-bit halves — the audio analog of
     * [[pngDHash]], over REAL amplitudes. Batched map-only; no

@@ -122,6 +122,24 @@ object WavCodec {
     encode(sampleRate, samples)
   }
 
+  /** Deterministic square-wave test tone — the q234 fixture: period
+    * P = 4·2^(id mod 4) samples (4, 8, 16 or 32 → 64-point-DFT
+    * fundamental at bin 16, 8, 4 or 2), full swing ±20000. The twin
+    * recomputes sample(i) = ((i div (P/2)) mod 2 == 0 ? 20000 :
+    * −20000) in closed form, so a hash match proves real bytes →
+    * real samples → the right spectral peak.
+    */
+  def testTone(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val half = (2L << (id % 4)).toInt // P/2 for P = 4 << (id % 4)
+    val samples = new Array[Int](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = if ((i / half) % 2 == 0) 20000 else -20000
+      i += 1
+    }
+    encode(sampleRate, samples)
+  }
+
   /** 64-bit acoustic fingerprint over decoded PCM — the audio analog
     * of [[PixelHash.dHash]] (energy-gradient hashing, the
     * public-recipe core that fingerprinting systems build on before

@@ -127,6 +127,29 @@ class BmpWavCodecSpec extends SparkSpec {
     assert((lo & 1L) === 1L, "frame 0 energy 3 beats frame 1 energy 2")
   }
 
+  test("tone detection: square-wave fundamentals land on bins 16/8/4/2, dominant") {
+    import org.apache.spark.sql.functions._
+    val synth = udf((id: Long) => WavCodec.testTone(id, 80, 8000))
+    import spark.implicits._
+    val media = (0L to 7L).toDF("doc_id")
+      .select(col("doc_id"), synth(col("doc_id")).as("wav"))
+    val out = Multimodal.wavToneDetect(media, "doc_id", "wav")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // period 4*2^(id%4) samples -> 64-point fundamental 64/P
+    val expectedBin = Seq(16L, 8L, 4L, 2L)
+    out.foreach { case (id, bin, dom) =>
+      assert(bin === expectedBin((id % 4).toInt),
+        s"doc $id detected bin $bin")
+      assert(dom > 500L, s"doc $id fundamental not dominant: $dom")
+    }
+    // short blob: error row, no padded fake
+    val short = Seq((99L, WavCodec.testTone(99L, 32, 8000)))
+      .toDF("doc_id", "wav")
+    val err = Multimodal.wavToneDetect(short, "doc_id", "wav").collect().head
+    assert(err.isNullAt(1) && err.getString(4).contains("fewer than"))
+  }
+
   test("WAV rejects garbage, non-PCM, and truncated data") {
     assert(WavCodec.decode(null) === null)
     assert(WavCodec.decode(Array.fill[Byte](50)(0)) === null)
