@@ -302,7 +302,8 @@ object Bench {
       "q226_acf", "q227_ks_drift", "q228_attribution",
       "q229_lorenz_curve", "q230_session_paths",
       "q231_compression_ratio", "q232_user_profile",
-      "q233_revenue_trend", "q234_tone_detect")
+      "q233_revenue_trend", "q234_tone_detect",
+      "q235_winsorized_stats")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -519,6 +519,7 @@ object OracleSql {
     "q232_user_profile" -> Gen.userProfileSql,
     "q233_revenue_trend" -> Gen.revenueTrendSql,
     "q234_tone_detect" -> Gen.toneDetectSql,
+    "q235_winsorized_stats" -> Gen.winsorizedStatsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5007,6 +5008,43 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q235_winsorized_stats: same DECIMAL cents, same
+      * ceil-rank bound pick over the distinct-cents cumsum, same
+      * clipped HUGEINT sums and integer-div means.
+      */
+    def winsorizedStatsSql: String =
+      s"""WITH c AS (SELECT event_type AS g,
+         |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |        CAST(count(*) AS BIGINT) AS cnt
+         |      FROM events GROUP BY 1, 2),
+         |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+         |          sum(CAST(cnt AS HUGEINT) * cents) AS raw_sum
+         |        FROM c GROUP BY g),
+         |rk AS (SELECT c.g, c.cents, c.cnt, tot.n,
+         |         sum(c.cnt) OVER (PARTITION BY c.g ORDER BY c.cents
+         |           ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM c JOIN tot USING (g)),
+         |lo AS (SELECT g, min(cents) AS lo_cents FROM rk
+         |       WHERE cum >= (5 * n + 99) // 100 GROUP BY g),
+         |hi AS (SELECT g, min(cents) AS hi_cents FROM rk
+         |       WHERE cum >= (95 * n + 99) // 100 GROUP BY g),
+         |ws AS (SELECT c.g,
+         |         sum(CAST(c.cnt AS HUGEINT) *
+         |           least(greatest(c.cents, lo.lo_cents), hi.hi_cents))
+         |           AS wsum,
+         |         CAST(sum(CASE WHEN c.cents < lo.lo_cents
+         |             OR c.cents > hi.hi_cents THEN c.cnt ELSE 0 END)
+         |           AS BIGINT) AS n_clipped,
+         |         min(lo.lo_cents) AS lo_cents,
+         |         min(hi.hi_cents) AS hi_cents
+         |       FROM c JOIN lo USING (g) JOIN hi USING (g) GROUP BY c.g)
+         |SELECT ws.g AS event_type, tot.n AS n_rows,
+         |  ws.lo_cents, ws.hi_cents,
+         |  CAST(tot.raw_sum // tot.n AS BIGINT) AS mean_cents,
+         |  CAST(ws.wsum // tot.n AS BIGINT) AS winsorized_mean_cents,
+         |  ws.n_clipped
+         |FROM ws JOIN tot USING (g) ORDER BY event_type""".stripMargin
 
     /** Twin of q234_tone_detect: the closed-form square-wave samples
       * (the bytes [[graft.multimodal.WavCodec.testTone]] encodes),

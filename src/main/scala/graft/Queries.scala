@@ -3588,6 +3588,17 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Exact winsorized value statistics per event type
+    * ([[graft.ops.Profile.winsorizedStats]]): clip at the exact
+    * p05/p95 ceil-rank cents and recompute the mean — the robust
+    * mean one wild row cannot drag. Rank cumsum over DISTINCT cent
+    * values (value-domain-bounded), never a corpus sort.
+    */
+  val q235_winsorized_stats: Q = (s, d) =>
+    graft.ops.Profile.winsorizedStats(Tables.events(s, d),
+        "event_type", "value")
+      .orderBy("event_type")
+
   /** Spectral tone detection on really-decoded audio
     * ([[graft.multimodal.Multimodal.wavToneDetect]]): per doc a
     * square-wave WAV is synthesized (period 4·2^(id%4) samples),
@@ -3955,5 +3966,6 @@ object Queries {
     "q231_compression_ratio" -> q231_compression_ratio,
     "q232_user_profile" -> q232_user_profile,
     "q233_revenue_trend" -> q233_revenue_trend,
-    "q234_tone_detect" -> q234_tone_detect)
+    "q234_tone_detect" -> q234_tone_detect,
+    "q235_winsorized_stats" -> q235_winsorized_stats)
 }

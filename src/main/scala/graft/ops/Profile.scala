@@ -386,6 +386,58 @@ object Profile {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Exact winsorized statistics per group — the robust-mean staple
+    * (Winsor's clipping, cf. Tukey & McLaughlin 1963): values below
+    * the loPct-th / above the hiPct-th percentile are CLIPPED to
+    * those exact rank values (ceil-rank over the ordered multiset,
+    * the classical discrete definition) and the mean recomputed —
+    * one wild row can no longer drag the group mean. Money through
+    * DECIMAL cents; both means are exact integer div.
+    *
+    * Scale shape: one (group, cents) count reduction from the
+    * corpus; the rank cumsum runs over the group's DISTINCT cent
+    * values (value-domain-bounded, never a corpus sort), bounds
+    * broadcast back onto the same count table for the clipped sum.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"bad percentile bounds [$loPct, $hiPct]")
+    val c = df.select(col(groupCol).as("g"),
+        expr(s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy("g", "cents").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = c.groupBy("g")
+      .agg(sum("cnt").as("n"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cents")).as("raw_sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = c.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot.select(col("g"), col("n"))), Seq("g"))
+    val lo = ranked.where(expr(s"cum >= ($loPct * n + 99) div 100"))
+      .groupBy("g").agg(min("cents").as("lo_cents"))
+    val hi = ranked.where(expr(s"cum >= ($hiPct * n + 99) div 100"))
+      .groupBy("g").agg(min("cents").as("hi_cents"))
+    val bounds = lo.join(hi, Seq("g"))
+    c.join(broadcast(bounds), Seq("g"))
+      .groupBy("g")
+      .agg(
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * " +
+          "least(greatest(cents, lo_cents), hi_cents)")).as("__ws"),
+        sum(when(col("cents") < col("lo_cents") ||
+          col("cents") > col("hi_cents"), col("cnt")).otherwise(0L))
+          .as("n_clipped"),
+        min("lo_cents").as("lo_cents"), min("hi_cents").as("hi_cents"))
+      .join(broadcast(tot), Seq("g"))
+      .select(col("g").as(groupCol), col("n").as("n_rows"),
+        col("lo_cents"), col("hi_cents"),
+        expr("CAST(raw_sum div n AS BIGINT)").as("mean_cents"),
+        expr("CAST(__ws div n AS BIGINT)").as("winsorized_mean_cents"),
+        col("n_clipped"))
+  }
+
   /** Pairwise two-sample Kolmogorov–Smirnov statistic between every
     * group pair's value distributions — the drift family's fourth
     * lens (PSI reads binned mass shifts, W1 reads transport cost,

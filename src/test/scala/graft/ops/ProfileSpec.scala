@@ -192,6 +192,28 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq === run(ev.repartition(3)).toSeq)
   }
 
+  test("winsorizedStats: exact ceil-rank bounds, both tails clip, means exact") {
+    // group a: $1..$8 one each at p25/p75: ceil-ranks 2 and 6 ->
+    // bounds 200/600 cents; 100->200, 700/800->600
+    val a = (1 to 8).map(v => ("a", v.toDouble))
+    // group b: $1..$20 at p25/p75: ranks 5 and 15 -> bounds 500/1500
+    val b = (1 to 20).map(v => ("b", v.toDouble))
+    val df = (a ++ b).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.winsorizedStats(d, "g", "v", loPct = 25, hiPct = 75)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+    val out = run(df)
+    // a: raw mean 450; winsorized sum 3600+100-100-200=3400 -> 425
+    assert(out(0) === ("a", 8L, 200L, 600L, 450L, 425L, 3L))
+    // b: raw mean 1050; clip 1..4 up to 5 (+100+200+300+400... wait:
+    // +400+300+200+100=+1000), 16..20 down to 15 (-100-200-300-400-500
+    // =-1500): 21000+1000-1500=20500 -> 1025; 9 rows clipped
+    assert(out(1) === ("b", 20L, 500L, 1500L, 1050L, 1025L, 9L))
+    assert(out.toSeq === run(df.repartition(5)).toSeq)
+  }
+
   test("ksDrift: hand-computed pairwise max CDF gap, smallest-bin tiebreak") {
     val df = Seq(("A", 5L), ("A", 15L), ("B", 5L), ("B", 25L),
       ("C", 25L), ("C", 26L)).toDF("g", "v")
