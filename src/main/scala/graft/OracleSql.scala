@@ -520,6 +520,7 @@ object OracleSql {
     "q233_revenue_trend" -> Gen.revenueTrendSql,
     "q234_tone_detect" -> Gen.toneDetectSql,
     "q235_winsorized_stats" -> Gen.winsorizedStatsSql,
+    "q236_kn_surprisal" -> Gen.knSurprisalSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5008,6 +5009,49 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q236_kn_surprisal: the q106 bigram CTEs extended with
+      * follower / left-context / type counts, the same rational KN
+      * ratio through HUGEINT with the same [2^20, 2^62] clamp, and
+      * the IDENTICAL generated Mitchell-log CASE.
+      */
+    def knSurprisalSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      s"""WITH wd AS (SELECT doc_id, lang, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+         |          unnest(${shinglesE("w", 2)}) AS bg
+         |        FROM wd WHERE len(w) >= 2),
+         |c2 AS (SELECT w1, bg, CAST(count(*) AS BIGINT) AS c2
+         |       FROM bgl GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |         CAST(count(*) AS BIGINT) AS n1w1 FROM c2 GROUP BY w1),
+         |nc AS (SELECT split_part(bg, ' ', 2) AS w2,
+         |         CAST(count(*) AS BIGINT) AS ncw2 FROM c2 GROUP BY 1),
+         |ntt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c2),
+         |sc AS (SELECT b.doc_id,
+         |         CAST(least(greatest(
+         |           (CAST(4 AS HUGEINT) * c1.c1 * ntt.nt * ${1L << shift})
+         |             // (CAST(greatest(4 * c2.c2 - 3, 0) AS HUGEINT)
+         |                  * ntt.nt
+         |                + CAST(3 AS HUGEINT) * c1.n1w1 * nc.ncw2),
+         |           CAST(${1L << shift} AS BIGINT)),
+         |           CAST(${1L << 62} AS BIGINT)) AS BIGINT) AS q
+         |       FROM bgl b JOIN c2 ON c2.bg = b.bg
+         |       JOIN c1 ON c1.w1 = b.w1
+         |       JOIN nc ON nc.w2 = split_part(b.bg, ' ', 2)
+         |       CROSS JOIN ntt),
+         |m AS (SELECT doc_id, count(*) AS nb,
+         |        SUM($m8 - ${8 * shift}) AS s8
+         |      FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(COALESCE(m.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(m.s8, 0) AS BIGINT) AS kn_surprisal_e8,
+         |  CAST((COALESCE(m.s8, 0) * 10)
+         |    // greatest(8 * COALESCE(m.nb, 0), 1) AS BIGINT) AS avg_bits_x10
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }
 
     /** Twin of q235_winsorized_stats: same DECIMAL cents, same
       * ceil-rank bound pick over the distinct-cents cumsum, same

@@ -3588,6 +3588,17 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Interpolated Kneser–Ney bigram surprisal per doc
+    * ([[graft.ops.TextStats.knSurprisal]], Kneser & Ney 1995): the
+    * canonical smoothing with d = 3/4 rational, continuation counts
+    * and all — the upgrade over q106's add-one LM, same integer
+    * Mitchell-log surface and the same distributed shape.
+    */
+  val q236_kn_surprisal: Q = (s, d) =>
+    TextStats.knSurprisal(Tables.documents(s, d), "doc_id", "text",
+        Seq("lang"))
+      .orderBy("doc_id")
+
   /** Exact winsorized value statistics per event type
     * ([[graft.ops.Profile.winsorizedStats]]): clip at the exact
     * p05/p95 ceil-rank cents and recompute the mean — the robust
@@ -3967,5 +3978,6 @@ object Queries {
     "q232_user_profile" -> q232_user_profile,
     "q233_revenue_trend" -> q233_revenue_trend,
     "q234_tone_detect" -> q234_tone_detect,
-    "q235_winsorized_stats" -> q235_winsorized_stats)
+    "q235_winsorized_stats" -> q235_winsorized_stats,
+    "q236_kn_surprisal" -> q236_kn_surprisal)
 }

@@ -428,6 +428,65 @@ object TextStats {
                   textCol: String, carry: Seq[String] = Seq.empty): DataFrame =
     lmScore(df, idCol, textCol, lmTrain(df, idCol, textCol), carry)
 
+  /** Interpolated Kneser–Ney bigram surprisal per document (Kneser &
+    * Ney 1995; the Chen & Goodman 1999 benchmark winner — THE
+    * canonical n-gram smoothing, upgrading [[lmSurprisal]]'s
+    * add-one): with discount d = 3/4 every probability is the exact
+    * rational
+    *
+    *   P(w2|w1) = [max(4·c2−3, 0)·Nt + 3·N1+(w1·)·N1+(·w2)]
+    *              / (4·c1·Nt)
+    *
+    * (c2 = bigram count, c1 = left-context count, N1+(w1·) =
+    * distinct followers, N1+(·w2) = distinct LEFT CONTEXTS — the
+    * "how many kinds of places does this word appear" continuation
+    * count that makes KN famous, Nt = total bigram types). The
+    * per-bigram surprisal is the Mitchell eighth-bit log of the
+    * inverse ratio, integer end to end; q is clamped to
+    * [2^20, 2^62] so a vanishing continuation probability cannot
+    * leave Mitchell's domain (caps one bigram at ~42 bits —
+    * unreachable on any self-scored corpus, where c2 ≥ 1 bounds the
+    * ratio by 4·c1·Nt/Nt = 4·c1).
+    *
+    * Scale shape: the q106 class — bigram explode, three count
+    * aggregations (c2 / per-w1 / per-w2) and a 1-row Nt broadcast,
+    * re-joined by 8-byte-hashable keys; all map-side partial.
+    */
+  def knSurprisal(df: DataFrame, idCol: String, textCol: String,
+                  carry: Seq[String] = Seq.empty): DataFrame = {
+    val toks = lmToks(df, idCol, textCol, carry)
+    val bg = lmBigramRows(toks)
+    val c2t = bg.groupBy("w1", "bg").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val c1t = c2t.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1w1"))
+    val ncw2 = c2t.select(substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("ncw2"))
+    val nt = c2t.agg(count(lit(1)).as("nt"))
+    val scored = bg
+      .join(c2t.select(col("bg"), col("c2")), Seq("bg"))
+      .join(c1t, Seq("w1"))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ncw2, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .withColumn("q", expr(
+        s"CAST(least(greatest((CAST(4 AS DECIMAL(38,0)) * c1 * nt * ${1L << LmShift}) div " +
+          s"(CAST(greatest(4 * c2 - 3, 0) AS DECIMAL(38,0)) * nt " +
+          s"+ CAST(3 AS DECIMAL(38,0)) * n1w1 * ncw2), " +
+          s"CAST(${1L << LmShift} AS BIGINT)), CAST(${1L << 62} AS BIGINT)) AS BIGINT)"))
+      .withColumn("m8", expr(mitchellE8Sql("q")))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"m8 - ${8 * LmShift}")).as("kn_surprisal_e8"))
+    toks.select((col("__id") +: carry.map(col)): _*)
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol) +: carry.map(col) :+
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams") :+
+        coalesce(col("kn_surprisal_e8"), lit(0L)).as("kn_surprisal_e8"): _*)
+      .withColumn("avg_bits_x10",
+        expr("(kn_surprisal_e8 * 10) div greatest(8 * n_bigrams, CAST(1 AS BIGINT))"))
+  }
+
   /** Token-blocklist gate (the C4 "bad words" filter, Raffel et al.
     * 2020 §2.2 — reference list public as badwords_en): per doc, how
     * many token occurrences hit the blocklist, how many DISTINCT

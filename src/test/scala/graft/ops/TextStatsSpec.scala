@@ -541,6 +541,51 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === run(docs.repartition(3)).toSeq)
   }
 
+  test("knSurprisal ≡ a plain-Scala Kneser-Ney reference (differential)") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on a mat"),
+      (3L, "a dog ran quickly home the cat"),
+      (4L, "x")) // < 2 tokens: zero bigrams, totals must still emit
+    val docs = corpus.toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.knSurprisal(d, "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = run(docs)
+
+    // reference: same whitespace tokens, rational KN with d=3/4,
+    // the same Mitchell eighth-bit log and clamp
+    val docBgs = corpus.map { case (id, t) =>
+      val w = t.trim.split("\\s+").toSeq
+      (id, if (w.size < 2) Seq.empty else w.sliding(2).map(p => (p(0), p(1))).toSeq)
+    }
+    val allBgs = docBgs.flatMap(_._2)
+    val c2 = allBgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = allBgs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1w1 = c2.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ncw2 = c2.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nt = c2.size.toLong
+    val shift = TextStats.LmShift
+    def sE8(b: (String, String)): Long = {
+      val num = BigInt(math.max(4 * c2(b) - 3, 0L)) * nt +
+        BigInt(3) * n1w1(b._1) * ncw2(b._2)
+      val qRaw = (BigInt(4) * c1(b._1) * nt * (1L << shift)) / num
+      val q = qRaw.max(BigInt(1L << shift)).min(BigInt(1L << 62)).toLong
+      TextStats.mitchellE8Long(q) - 8L * shift
+    }
+    val expected = docBgs.map { case (id, bgs) =>
+      val s8 = bgs.map(sE8).sum
+      val bits = (s8 * 10) / math.max(8 * bgs.size, 1)
+      (id, bgs.size.toLong, s8, bits)
+    }
+    assert(out.toSeq === expected)
+    // "the cat" (seen twice, rich continuations) must cost fewer bits
+    // than the hapax bigrams around it — spot the KN shape
+    assert(sE8(("the", "cat")) < sE8(("dog", "ran")))
+    assert(out.toSeq === run(docs.repartition(3)).toSeq)
+  }
+
   test("compressionRatio: boilerplate deflates tiny, high-entropy text doesn't; empty is total") {
     val rnd = new scala.util.Random(3)
     val noisy = Seq.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString
