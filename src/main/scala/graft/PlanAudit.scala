@@ -205,7 +205,10 @@ object PlanAudit {
     "q229_lorenz_curve",
     // ONE-row sessions total broadcast under the path-bounded
     // count table — broadcast scalar by design
-    "q230_session_paths")
+    "q230_session_paths",
+    // ONE-row bigram-type total (Nt) broadcast under the scored
+    // bigram stream — q106's broadcast-scalar shape
+    "q236_kn_surprisal")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
