@@ -521,6 +521,7 @@ object OracleSql {
     "q234_tone_detect" -> Gen.toneDetectSql,
     "q235_winsorized_stats" -> Gen.winsorizedStatsSql,
     "q236_kn_surprisal" -> Gen.knSurprisalSql,
+    "q237_cluster_labels" -> Gen.clusterLabelsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -3713,6 +3714,37 @@ object OracleSql {
          |SELECT id AS vec_id, CAST(cell AS INT) AS cell
          |FROM rk WHERE rn <= 10 ORDER BY vec_id""".stripMargin
     }
+
+    /** Twin of q237_cluster_labels: the q79/q135 IVF cell chain, the
+      * same distinct-word explode, the same exact-ppm lift with the
+      * min-df floor and the (lift DESC, word, df_in) top-3.
+      */
+    def clusterLabelsSql: String =
+      s"""$ivfCellCtes,
+         |wd AS (SELECT doc_id AS id,
+         |         unnest(list_distinct(${tokensE("text")})) AS w
+         |       FROM documents),
+         |tg AS (SELECT wd.id, wd.w, casn.cell FROM wd
+         |       JOIN casn USING (id)),
+         |nc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM casn GROUP BY cell),
+         |ntt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM casn),
+         |din AS (SELECT cell, w, CAST(count(*) AS BIGINT) AS df_in
+         |        FROM tg GROUP BY 1, 2),
+         |dall AS (SELECT w, CAST(count(*) AS BIGINT) AS df_all
+         |         FROM tg GROUP BY 1),
+         |sc AS (SELECT din.cell, din.w, din.df_in, nc.n_docs,
+         |         CAST((CAST(din.df_in AS HUGEINT) * ntt.n_total * 1000000)
+         |           // (CAST(dall.df_all AS HUGEINT) * nc.n_docs)
+         |           AS BIGINT) AS lift_ppm
+         |       FROM din JOIN dall USING (w) JOIN nc USING (cell)
+         |       CROSS JOIN ntt
+         |       WHERE din.df_in >= 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cell
+         |        ORDER BY lift_ppm DESC, w, df_in) AS rn FROM sc)
+         |SELECT CAST(cell AS INT) AS cell, CAST(rn AS BIGINT) AS "rank",
+         |  w AS word, df_in, n_docs AS n_cluster_docs, lift_ppm
+         |FROM r WHERE rn <= 3 ORDER BY cell, "rank"""".stripMargin
 
     def ivfAutoSql: String = {
       s"""$ivfCellCtes,

@@ -3588,6 +3588,18 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Auto-labels for embedding clusters
+    * ([[graft.sim.Similarity.clusterLabels]]): per q79/q135 IVF cell
+    * the top-3 words whose in-cell document frequency most exceeds
+    * their corpus rate (exact lift ppm, min-df 3) — "what is this
+    * cluster about". Vocab-bounded scoring, bounded-heap top-k.
+    */
+  val q237_cluster_labels: Q = (s, d) =>
+    Similarity.clusterLabels(Scale.fanOut(Tables.embeddings(s, d)),
+        "vec_id", "embedding",
+        Tables.documents(s, d), "doc_id", "text")
+      .orderBy("cell", "rank")
+
   /** Interpolated Kneser–Ney bigram surprisal per doc
     * ([[graft.ops.TextStats.knSurprisal]], Kneser & Ney 1995): the
     * canonical smoothing with d = 3/4 rational, continuation counts
@@ -3979,5 +3991,6 @@ object Queries {
     "q233_revenue_trend" -> q233_revenue_trend,
     "q234_tone_detect" -> q234_tone_detect,
     "q235_winsorized_stats" -> q235_winsorized_stats,
-    "q236_kn_surprisal" -> q236_kn_surprisal)
+    "q236_kn_surprisal" -> q236_kn_surprisal,
+    "q237_cluster_labels" -> q237_cluster_labels)
 }

@@ -157,7 +157,8 @@ object ScaleRamp {
       "q229_lorenz_curve", "q230_session_paths",
       "q231_compression_ratio", "q232_user_profile",
       "q233_revenue_trend", "q234_tone_detect",
-      "q235_winsorized_stats", "q236_kn_surprisal")
+      "q235_winsorized_stats", "q236_kn_surprisal",
+      "q237_cluster_labels")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -933,6 +933,50 @@ object Similarity {
         col("rn").as("rank"))
   }
 
+  /** Discriminative word labels per embedding cluster — the
+    * auto-naming step after clustering (the practice behind
+    * "cluster 3 ≈ recipes": label each cell with the words whose
+    * document frequency INSIDE the cell most exceeds their corpus
+    * rate, lift = (df_in/n_cell)/(df_all/N) in exact ppm, min-df
+    * floored so a hapax cannot label a cluster). Rides the q79/q135
+    * deterministic IVF assignment, so the label table is joint with
+    * the cluster sampler's cells.
+    *
+    * Scale shape: one distinct-word explode joined to the 8-byte
+    * cell assignment; two (cell, word)/(word) count reductions;
+    * scoring lands on vocab-bounded tables and top-k per cell rides
+    * the bounded heap.
+    */
+  def clusterLabels(emb: DataFrame, idCol: String, vecCol: String,
+                    docs: DataFrame, docIdCol: String, textCol: String,
+                    numCells: Int = 4, iters: Int = 1, sampleN: Int = 64,
+                    minDf: Long = 3L, topK: Int = 3): DataFrame = {
+    val asn = assignCells(emb, idCol, vecCol, numCells, iters, sampleN)
+      .localCheckpoint()
+    val words = docs.select(col(docIdCol).as("id"),
+      explode(array_distinct(graft.functions.TextFns.tokens(col(textCol))))
+        .as("w"))
+    val tagged = words.join(asn, Seq("id"))
+    val nc = asn.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+    val nTot = asn.agg(count(lit(1)).as("n_total"))
+    val dfIn = tagged.groupBy("cell", "w").agg(count(lit(1)).as("df_in"))
+    val dfAll = tagged.groupBy("w").agg(count(lit(1)).as("df_all"))
+    val scored = dfIn.where(col("df_in") >= minDf)
+      .join(dfAll, Seq("w"))
+      .join(broadcast(nc), Seq("cell"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("lift_ppm", expr(
+        "CAST((CAST(df_in AS DECIMAL(38,0)) * n_total * 1000000) div " +
+          "(CAST(df_all AS DECIMAL(38,0)) * n_docs) AS BIGINT)"))
+    TopK.topKPerKey(scored.select(col("cell"), col("lift_ppm"),
+        col("w"), col("df_in"), col("n_docs")),
+        Seq("cell"), col("lift_ppm"),
+        Seq(col("w"), col("df_in"), col("n_docs")), topK)
+      .select(col("cell").cast("int").as("cell"), col("rn").as("rank"),
+        col("w").as("word"), col("df_in"),
+        col("n_docs").as("n_cluster_docs"), col("lift_ppm"))
+  }
+
   /** Margin-based pair mining between two corpus halves — the
     * ratio-margin criterion of Artetxe & Schwenk 2019 ("Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings",

@@ -567,6 +567,51 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("clusterLabels ≡ a plain-Scala labeler over the actual assignment") {
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.fill(4)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val docs = (0L until 40L).map(i =>
+      (i, s"common tok${i % 5} extra${i % 3}")).toDF("doc_id", "text")
+    val out = Similarity.clusterLabels(emb, "vec_id", "embedding",
+        docs, "doc_id", "text", numCells = 3, iters = 1, sampleN = 40,
+        minDf = 2L, topK = 3)
+      .orderBy("cell", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    // reference labeler over the SAME assignment (the assignment
+    // itself is q79/q135 machinery, specced there)
+    val asn = Similarity.assignCells(emb, "vec_id", "embedding",
+        numCells = 3, iters = 1, sampleN = 40)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docWords = (0L until 40L).map(i =>
+      i -> s"common tok${i % 5} extra${i % 3}".split("\\s+").distinct.toSeq)
+    val tagged = docWords.flatMap { case (id, ws) => ws.map(w => (asn(id), w)) }
+    val dfIn = tagged.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfAll = tagged.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nc = asn.values.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nT = 40L
+    val expected = dfIn.toSeq.collect {
+      case ((cell, w), din) if din >= 2 =>
+        val lift = BigInt(din) * nT * 1000000 / (BigInt(dfAll(w)) * nc(cell))
+        (cell, w, din, lift.toLong)
+    }.groupBy(_._1).toSeq.flatMap { case (cell, rows) =>
+      rows.sortBy { case (_, w, din, lift) => (-lift, w, din) }.take(3)
+        .zipWithIndex.map { case ((c, w, din, lift), i) =>
+          (c, (i + 1).toLong, w, din, nc(c), lift) }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq === expected)
+    // partition invariance
+    val out2 = Similarity.clusterLabels(emb.repartition(5), "vec_id",
+        "embedding", docs.repartition(3), "doc_id", "text",
+        numCells = 3, iters = 1, sampleN = 40, minDf = 2L, topK = 3)
+      .orderBy("cell", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === out2.toSeq)
+  }
+
   test("marginMine ≡ a plain-Scala reference miner (differential)") {
     val rnd = new scala.util.Random(7)
     val dim = 8
