@@ -208,7 +208,10 @@ object PlanAudit {
     "q230_session_paths",
     // ONE-row bigram-type total (Nt) broadcast under the scored
     // bigram stream — q106's broadcast-scalar shape
-    "q236_kn_surprisal")
+    "q236_kn_surprisal",
+    // ONE-row corpus total broadcast under the vocab-bounded
+    // (cell, word) score table — broadcast scalar by design
+    "q237_cluster_labels")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
