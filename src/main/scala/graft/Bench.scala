@@ -304,7 +304,7 @@ object Bench {
       "q231_compression_ratio", "q232_user_profile",
       "q233_revenue_trend", "q234_tone_detect",
       "q235_winsorized_stats", "q236_kn_surprisal",
-      "q237_cluster_labels")
+      "q237_cluster_labels", "q238_vocab_jaccard")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -522,6 +522,7 @@ object OracleSql {
     "q235_winsorized_stats" -> Gen.winsorizedStatsSql,
     "q236_kn_surprisal" -> Gen.knSurprisalSql,
     "q237_cluster_labels" -> Gen.clusterLabelsSql,
+    "q238_vocab_jaccard" -> Gen.vocabJaccardSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -3714,6 +3715,30 @@ object OracleSql {
          |SELECT id AS vec_id, CAST(cell AS INT) AS cell
          |FROM rk WHERE rn <= 10 ORDER BY vec_id""".stripMargin
     }
+
+    /** Twin of q238_vocab_jaccard: same distinct (group, word)
+      * vocabularies, same intersection pair join, same exact-ppm
+      * Jaccard and directional containments.
+      */
+    def vocabJaccardSql: String =
+      s"""WITH v AS (SELECT DISTINCT source AS g,
+         |        unnest(list_distinct(${tokensE("text")})) AS w
+         |      FROM documents),
+         |s AS (SELECT g, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY g),
+         |i AS (SELECT a.g AS ga, b.g AS gb,
+         |        CAST(count(*) AS BIGINT) AS n_common
+         |      FROM v a JOIN v b ON b.w = a.w AND a.g < b.g
+         |      GROUP BY 1, 2)
+         |SELECT i.ga AS group_a, i.gb AS group_b,
+         |  sa.nv AS n_a, sb.nv AS n_b, i.n_common,
+         |  CAST((1000000 * i.n_common) // (sa.nv + sb.nv - i.n_common)
+         |    AS BIGINT) AS jaccard_ppm,
+         |  CAST((1000000 * i.n_common) // sa.nv AS BIGINT)
+         |    AS containment_a_ppm,
+         |  CAST((1000000 * i.n_common) // sb.nv AS BIGINT)
+         |    AS containment_b_ppm
+         |FROM i JOIN s sa ON sa.g = i.ga JOIN s sb ON sb.g = i.gb
+         |ORDER BY group_a, group_b""".stripMargin
 
     /** Twin of q237_cluster_labels: the q79/q135 IVF cell chain, the
       * same distinct-word explode, the same exact-ppm lift with the

@@ -3588,6 +3588,15 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Pairwise vocabulary Jaccard + directional containment between
+    * sources ([[graft.ops.TextStats.vocabJaccard]]): the set-overlap
+    * complement to q185's distributional JSD — exact ppm, one
+    * distinct (source, word) reduction, (sources²)-bounded output.
+    */
+  val q238_vocab_jaccard: Q = (s, d) =>
+    TextStats.vocabJaccard(Tables.documents(s, d), "source", "text")
+      .orderBy("group_a", "group_b")
+
   /** Auto-labels for embedding clusters
     * ([[graft.sim.Similarity.clusterLabels]]): per q79/q135 IVF cell
     * the top-3 words whose in-cell document frequency most exceeds
@@ -3992,5 +4001,6 @@ object Queries {
     "q234_tone_detect" -> q234_tone_detect,
     "q235_winsorized_stats" -> q235_winsorized_stats,
     "q236_kn_surprisal" -> q236_kn_surprisal,
-    "q237_cluster_labels" -> q237_cluster_labels)
+    "q237_cluster_labels" -> q237_cluster_labels,
+    "q238_vocab_jaccard" -> q238_vocab_jaccard)
 }

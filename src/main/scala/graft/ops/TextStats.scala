@@ -428,6 +428,44 @@ object TextStats {
                   textCol: String, carry: Seq[String] = Seq.empty): DataFrame =
     lmScore(df, idCol, textCol, lmTrain(df, idCol, textCol), carry)
 
+  /** Pairwise vocabulary Jaccard between groups — the SET-overlap
+    * counterpart to the q185 distributional JSD: for every (a < b)
+    * group pair, |V_a ∩ V_b| / |V_a ∪ V_b| in exact ppm plus both
+    * directional containments (∩/|V_a|, ∩/|V_b| — a small source
+    * nested inside a big one reads high containment at low Jaccard,
+    * which is the interesting case). "Do these sources even speak
+    * the same words" before any frequency comparison.
+    *
+    * Scale shape: one DISTINCT (group, word) reduction; vocab sizes
+    * are one count each; the intersection pair join shuffles the
+    * distinct-word table on the word key and aggregates to
+    * (groups²)-bounded rows.
+    */
+  def vocabJaccard(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("g"),
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("w"))
+      .distinct().localCheckpoint()
+    val sizes = v.groupBy("g").agg(count(lit(1)).as("nv"))
+    val inter = v.select(col("g").as("ga"), col("w"))
+      .join(v.select(col("g").as("gb"), col("w")), Seq("w"))
+      .where(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("ga"), col("nv").as("n_a"))),
+        Seq("ga"))
+      .join(broadcast(sizes.select(col("g").as("gb"), col("nv").as("n_b"))),
+        Seq("gb"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        expr("CAST((1000000 * n_common) div (n_a + n_b - n_common) " +
+          "AS BIGINT)").as("jaccard_ppm"),
+        expr("CAST((1000000 * n_common) div n_a AS BIGINT)")
+          .as("containment_a_ppm"),
+        expr("CAST((1000000 * n_common) div n_b AS BIGINT)")
+          .as("containment_b_ppm"))
+  }
+
   /** Interpolated Kneser–Ney bigram surprisal per document (Kneser &
     * Ney 1995; the Chen & Goodman 1999 benchmark winner — THE
     * canonical n-gram smoothing, upgrading [[lmSurprisal]]'s

@@ -541,6 +541,27 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === run(docs.repartition(3)).toSeq)
   }
 
+  test("vocabJaccard: hand sets — overlap, nesting reads high containment") {
+    val docs = Seq(
+      ("A", "x y z w"),      // V_A = {x,y,z,w}
+      ("B", "x y"),          // V_B = {x,y} ⊂ V_A
+      ("C", "x q r s t u")) // V_C: shares only x with A
+      .toDF("source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.vocabJaccard(d, "source", "text")
+        .orderBy("group_a", "group_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))
+    val out = run(docs)
+    assert(out.toSeq === Seq(
+      // B nested in A: Jaccard 2/4 but containment_b = 100%
+      ("A", "B", 4L, 2L, 2L, 500000L, 500000L, 1000000L),
+      ("A", "C", 4L, 6L, 1L, 111111L, 250000L, 166666L),
+      ("B", "C", 2L, 6L, 1L, 142857L, 500000L, 166666L)))
+    assert(out.toSeq === run(docs.repartition(4)).toSeq)
+  }
+
   test("knSurprisal ≡ a plain-Scala Kneser-Ney reference (differential)") {
     val corpus = Seq(
       (1L, "the cat sat on the mat"),
