@@ -304,7 +304,8 @@ object Bench {
       "q231_compression_ratio", "q232_user_profile",
       "q233_revenue_trend", "q234_tone_detect",
       "q235_winsorized_stats", "q236_kn_surprisal",
-      "q237_cluster_labels", "q238_vocab_jaccard")
+      "q237_cluster_labels", "q238_vocab_jaccard",
+      "q239_source_outliers")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -523,6 +523,7 @@ object OracleSql {
     "q236_kn_surprisal" -> Gen.knSurprisalSql,
     "q237_cluster_labels" -> Gen.clusterLabelsSql,
     "q238_vocab_jaccard" -> Gen.vocabJaccardSql,
+    "q239_source_outliers" -> Gen.sourceOutliersSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -3715,6 +3716,52 @@ object OracleSql {
          |SELECT id AS vec_id, CAST(cell AS INT) AS cell
          |FROM rk WHERE rn <= 10 ORDER BY vec_id""".stripMargin
     }
+
+    /** Twin of q239_source_outliers: the q127 int8 quantization and
+      * integer centroid sums keyed by SOURCE, the same
+      * double-rounded micro-cosine and the same lowest-5 pick with
+      * the (cos, id) tiebreak.
+      */
+    def sourceOutliersSql: String =
+      s"""WITH ed AS (SELECT vec_id AS id,
+         |        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT id, unnest([{'pos': i, 'x': v[i]}
+         |                for i in range(1, len(v)+1)]) AS u FROM ed),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY 1),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT ed.id, d.source AS g,
+         |         [CASE WHEN s[i] = 0 THEN 0
+         |               ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(v)+1)] AS qe
+         |       FROM ed JOIN documents d ON d.doc_id = ed.id
+         |       CROSS JOIN sl),
+         |qx AS (SELECT g, unnest([{'pos': i, 'x': qe[i]}
+         |                         for i in range(1, len(qe)+1)]) AS u
+         |       FROM qz),
+         |sm AS (SELECT g, u.pos AS pos, CAST(sum(u.x) AS BIGINT) AS sx
+         |       FROM qx GROUP BY g, u.pos),
+         |cvv AS (SELECT g, list(sx ORDER BY pos) AS cv FROM sm GROUP BY g),
+         |cn AS (SELECT g, cv, CAST(list_sum([cv[i] * cv[i]
+         |          for i in range(1, len(cv)+1)]) AS BIGINT) AS n2c
+         |       FROM cvv),
+         |scd AS (SELECT qz.id, qz.g,
+         |          CAST(list_sum([qz.qe[i] * cn.cv[i]
+         |            for i in range(1, len(qz.qe)+1)]) AS BIGINT) AS d,
+         |          CAST(list_sum([qz.qe[i] * qz.qe[i]
+         |            for i in range(1, len(qz.qe)+1)]) AS BIGINT) AS n2q,
+         |          cn.n2c
+         |        FROM qz JOIN cn USING (g)),
+         |cs AS (SELECT id, g, CASE WHEN n2q = 0 OR n2c = 0
+         |          THEN CAST(0 AS BIGINT)
+         |          ELSE CAST(round(d * 1000000.0
+         |            / (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))))
+         |            AS BIGINT) END AS cos_x1e6
+         |       FROM scd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY g
+         |        ORDER BY cos_x1e6, id) AS rn FROM cs)
+         |SELECT g AS source, CAST(rn AS BIGINT) AS "rank", id AS doc_id,
+         |  cos_x1e6
+         |FROM r WHERE rn <= 5 ORDER BY source, "rank"""".stripMargin
 
     /** Twin of q238_vocab_jaccard: same distinct (group, word)
       * vocabularies, same intersection pair join, same exact-ppm

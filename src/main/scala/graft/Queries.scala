@@ -3588,6 +3588,18 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Most atypical docs per source
+    * ([[graft.sim.Similarity.sourceOutliers]]): lowest-5 cosines to
+    * the doc's OWN source centroid (int8-quantized integer
+    * dimension sums, q127's discipline) — the embedding outlier
+    * screen before trusting a source label.
+    */
+  val q239_source_outliers: Q = (s, d) =>
+    Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
+        "vec_id", "embedding",
+        Tables.documents(s, d), "doc_id", "source")
+      .orderBy("source", "rank")
+
   /** Pairwise vocabulary Jaccard + directional containment between
     * sources ([[graft.ops.TextStats.vocabJaccard]]): the set-overlap
     * complement to q185's distributional JSD — exact ppm, one
@@ -4002,5 +4014,6 @@ object Queries {
     "q235_winsorized_stats" -> q235_winsorized_stats,
     "q236_kn_surprisal" -> q236_kn_surprisal,
     "q237_cluster_labels" -> q237_cluster_labels,
-    "q238_vocab_jaccard" -> q238_vocab_jaccard)
+    "q238_vocab_jaccard" -> q238_vocab_jaccard,
+    "q239_source_outliers" -> q239_source_outliers)
 }

@@ -933,6 +933,50 @@ object Similarity {
         col("rn").as("rank"))
   }
 
+  /** Most atypical documents per source — the embedding outlier
+    * screen a curation pass runs before trusting a source's label
+    * ("these five docs don't look like the rest of src7"): each
+    * doc's cosine to ITS OWN source centroid, lowest-k reported.
+    * The centroid rides [[centroidDrift]]'s int8-quantization
+    * discipline (integer dimension sums — no float-accumulation
+    * order anywhere); the per-doc cosine divides integer dots and
+    * rounds to micros (the q108 parity class).
+    *
+    * Scale shape: one quantized explode → (source, dim) integer
+    * partial sums; centroids broadcast back (sources × dim —
+    * bounded); scoring is one map pass; lowest-k rides the bounded
+    * heap.
+    */
+  def sourceOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                     docs: DataFrame, docIdCol: String, groupCol: String,
+                     k: Int = 5): DataFrame = {
+    val scales = sqScales(emb, vecCol)
+    val q = emb.select(col(idCol).as("id"),
+        sqQuantize(col(vecCol), scales).as("qe"))
+      .join(docs.select(col(docIdCol).as("id"), col(groupCol).as("g")),
+        Seq("id"))
+      .localCheckpoint()
+    val cvecs = q.select(col("g"), posexplode(col("qe")).as(Seq("pos", "x")))
+      .groupBy("g", "pos").agg(sum("x").as("sx"))
+      .groupBy("g")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+        s => s.getField("sx")).as("cv"))
+      .withColumn("n2c", sqDot(col("cv"), col("cv")))
+    val scored = q.join(broadcast(cvecs), Seq("g"))
+      .withColumn("d", sqDot(col("qe"), col("cv")))
+      .withColumn("n2q", sqDot(col("qe"), col("qe")))
+      .withColumn("cos_x1e6",
+        when(col("n2q") === 0L || col("n2c") === 0L, lit(0L))
+          .otherwise(round(col("d") * lit(1000000.0) /
+            (sqrt(col("n2q").cast("double")) * sqrt(col("n2c").cast("double"))))
+            .cast("bigint")))
+    TopK.topKPerKey(scored.select(col("g"), (-col("cos_x1e6")).as("__nc"),
+        col("id"), col("cos_x1e6")),
+        Seq("g"), col("__nc"), Seq(col("id"), col("cos_x1e6")), k)
+      .select(col("g").as(groupCol), col("rn").as("rank"),
+        col("id").as("doc_id"), col("cos_x1e6"))
+  }
+
   /** Discriminative word labels per embedding cluster — the
     * auto-naming step after clustering (the practice behind
     * "cluster 3 ≈ recipes": label each cell with the words whose

@@ -567,6 +567,50 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("sourceOutliers ≡ a plain-Scala reference (differential)") {
+    val rnd = new scala.util.Random(21)
+    val emb = (0L until 30L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val docs = (0L until 30L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    def run(e: org.apache.spark.sql.DataFrame,
+            d: org.apache.spark.sql.DataFrame) =
+      Similarity.sourceOutliers(e, "vec_id", "embedding", d, "doc_id",
+          "source", k = 3)
+        .orderBy("source", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = run(emb, docs)
+
+    // reference: same per-dim max-abs scales, same int8 floor
+    // quantization, integer centroid sums, micro-rounded cosine,
+    // lowest-3 by (cos, id)
+    val raw = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val dim = 6
+    val scales = (0 until dim).map(p => raw.values.map(v => math.abs(v(p))).max)
+    def quant(v: Array[Double]): Array[Long] =
+      (0 until dim).map(p => if (scales(p) == 0) 0L
+        else math.floor(v(p) * 127.0 / scales(p)).toLong).toArray
+    val qs = raw.view.mapValues(quant).toMap
+    val groups = (0L until 30L).groupBy(i => s"src${i % 3}")
+    val expected = groups.toSeq.flatMap { case (g, ids) =>
+      val cv = (0 until dim).map(p => ids.map(i => qs(i)(p)).sum).toArray
+      val n2c = cv.map(x => x * x).sum
+      val scoredRef = ids.map { i =>
+        val q = qs(i)
+        val d = (0 until dim).map(p => q(p) * cv(p)).sum
+        val n2q = q.map(x => x * x).sum
+        val cos = if (n2q == 0 || n2c == 0) 0L
+          else math.round(d * 1000000.0 / (math.sqrt(n2q.toDouble) * math.sqrt(n2c.toDouble)))
+        (i, cos)
+      }
+      scoredRef.sortBy { case (i, c) => (c, i) }.take(3).zipWithIndex
+        .map { case ((i, c), r) => (g, (r + 1).toLong, i, c) }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq === expected)
+    assert(out.toSeq === run(emb.repartition(5), docs.repartition(3)).toSeq)
+  }
+
   test("clusterLabels ≡ a plain-Scala labeler over the actual assignment") {
     val rnd = new scala.util.Random(13)
     val emb = (0L until 40L).map(i =>
