@@ -305,7 +305,7 @@ object Bench {
       "q233_revenue_trend", "q234_tone_detect",
       "q235_winsorized_stats", "q236_kn_surprisal",
       "q237_cluster_labels", "q238_vocab_jaccard",
-      "q239_source_outliers")
+      "q239_source_outliers", "q240_brand_affinity")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

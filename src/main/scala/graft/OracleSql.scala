@@ -524,6 +524,7 @@ object OracleSql {
     "q237_cluster_labels" -> Gen.clusterLabelsSql,
     "q238_vocab_jaccard" -> Gen.vocabJaccardSql,
     "q239_source_outliers" -> Gen.sourceOutliersSql,
+    "q240_brand_affinity" -> Gen.brandAffinitySql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -3716,6 +3717,29 @@ object OracleSql {
          |SELECT id AS vec_id, CAST(cell AS INT) AS cell
          |FROM rk WHERE rn <= 10 ORDER BY vec_id""".stripMargin
     }
+
+    /** Twin of q240_brand_affinity: the q162 arithmetic over
+      * order-key baskets of distinct part brands.
+      */
+    def brandAffinitySql: String =
+      s"""WITH it AS (SELECT DISTINCT l.l_orderkey AS u, p.p_brand AS itm
+         |      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+         |b AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nb FROM it),
+         |nx AS (SELECT itm AS x, CAST(count(*) AS BIGINT) AS n_x FROM it
+         |       GROUP BY 1),
+         |p AS (SELECT i1.itm AS x, i2.itm AS y,
+         |        CAST(count(*) AS BIGINT) AS n_xy
+         |      FROM it i1 JOIN it i2
+         |        ON i1.u = i2.u AND i1.itm <> i2.itm
+         |      GROUP BY 1, 2)
+         |SELECT p.x, p.y, p.n_xy, nx.n_x, ny.n_x AS n_y,
+         |  CAST((1000 * p.n_xy) // b.nb AS BIGINT) AS support_x1000,
+         |  CAST((1000 * p.n_xy) // nx.n_x AS BIGINT) AS confidence_x1000,
+         |  CAST((CAST(p.n_xy AS HUGEINT) * 1000 * b.nb)
+         |    // (CAST(nx.n_x AS HUGEINT) * ny.n_x) AS BIGINT) AS lift_x1000
+         |FROM p JOIN nx ON nx.x = p.x
+         |JOIN nx ny ON ny.x = p.y CROSS JOIN b
+         |ORDER BY p.x, p.y""".stripMargin
 
     /** Twin of q239_source_outliers: the q127 int8 quantization and
       * integer centroid sums keyed by SOURCE, the same

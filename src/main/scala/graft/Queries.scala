@@ -3588,6 +3588,23 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Brand affinity rules over REAL order baskets
+    * ([[graft.ops.Funnel.assocRules]] generalized to a second
+    * domain): each order's distinct part brands form the basket
+    * (constant date collapses the (key, day) basket to the order
+    * key), support/confidence/HUGEINT lift per ordered brand pair —
+    * "customers who buy Brand#12 also buy Brand#34". The q162
+    * operator reused verbatim; only the basket construction differs.
+    */
+  val q240_brand_affinity: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"),
+        lit("2024-01-01").cast("timestamp").as("__ts"))
+    graft.ops.Funnel.assocRules(li, "l_orderkey", "p_brand", "__ts")
+      .orderBy("x", "y")
+  }
+
   /** Most atypical docs per source
     * ([[graft.sim.Similarity.sourceOutliers]]): lowest-5 cosines to
     * the doc's OWN source centroid (int8-quantized integer
@@ -4015,5 +4032,6 @@ object Queries {
     "q236_kn_surprisal" -> q236_kn_surprisal,
     "q237_cluster_labels" -> q237_cluster_labels,
     "q238_vocab_jaccard" -> q238_vocab_jaccard,
-    "q239_source_outliers" -> q239_source_outliers)
+    "q239_source_outliers" -> q239_source_outliers,
+    "q240_brand_affinity" -> q240_brand_affinity)
 }

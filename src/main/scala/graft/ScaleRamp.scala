@@ -159,7 +159,7 @@ object ScaleRamp {
       "q233_revenue_trend", "q234_tone_detect",
       "q235_winsorized_stats", "q236_kn_surprisal",
       "q237_cluster_labels", "q238_vocab_jaccard",
-      "q239_source_outliers")
+      "q239_source_outliers", "q240_brand_affinity")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries
