@@ -525,6 +525,13 @@ object OracleSql {
     "q238_vocab_jaccard" -> Gen.vocabJaccardSql,
     "q239_source_outliers" -> Gen.sourceOutliersSql,
     "q240_brand_affinity" -> Gen.brandAffinitySql,
+    "q241_roc_auc" -> Gen.rocAucSql,
+    "q242_ols_trend" -> Gen.olsTrendSql,
+    "q243_pareto_front" -> Gen.paretoFrontSql,
+    "q244_ab_test" -> Gen.abTestSql,
+    "q245_script_mix" -> Gen.scriptMixSql,
+    "q246_readability" -> Gen.readabilitySql,
+    "q247_phrase_search" -> Gen.phraseSearchSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5519,6 +5526,192 @@ object OracleSql {
       * the same ordered pair join, the same (10⁶·dy)//dx micro-slope
       * quantization and the same lower-median rank pick.
       */
+    /** Twin of q241_roc_auc: the same (group, score) count table,
+      * the same strictly-below cumulative and the same integer
+      * midrank identity 2·Σranks⁺ = Σ n⁺(s)·(2·below + at + 1).
+      */
+    def rocAucSql: String =
+      s"""WITH c AS (SELECT l_linestatus AS g, CAST(l_quantity AS BIGINT) AS s,
+         |        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_pos_s,
+         |        CAST(count(*) AS BIGINT) AS n_at
+         |      FROM lineitem GROUP BY 1, 2),
+         |w AS (SELECT *, coalesce(sum(n_at) OVER (PARTITION BY g ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0) AS below FROM c),
+         |a AS (SELECT g, CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+         |        CAST(sum(n_at - n_pos_s) AS BIGINT) AS n_neg,
+         |        sum(CAST(n_pos_s AS HUGEINT) * (2 * below + n_at + 1)) AS s2
+         |      FROM w GROUP BY g)
+         |SELECT g AS l_linestatus, n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
+         |  ELSE CAST((1000000 * (s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)))
+         |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS auc_x1e6
+         |FROM a ORDER BY l_linestatus""".stripMargin
+
+    /** Twin of q242_ols_trend: the q223 zero-filled day grid, the
+      * same per-type day-centering and the same exact-decimal 5-sum
+      * fold; r² repeats the one-float expression verbatim.
+      */
+    def olsTrendSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |        date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+         |c AS (SELECT et, d, CAST(count(*) AS BIGINT) AS y
+         |      FROM b GROUP BY et, d),
+         |days AS (SELECT DISTINCT d FROM c),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, days.d, coalesce(c.y, 0) AS y
+         |      FROM ets CROSS JOIN days
+         |      LEFT JOIN c ON c.et = ets.et AND c.d = days.d),
+         |x AS (SELECT et,
+         |        CAST(date_diff('day', min(d) OVER (PARTITION BY et), d)
+         |          AS BIGINT) AS x, y FROM g),
+         |a AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+         |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |        sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |        sum(CAST(y AS HUGEINT) * y) AS syy
+         |      FROM x GROUP BY et),
+         |sl AS (SELECT *, CAST((1000000 * (n * sxy - sx * sy))
+         |         // greatest(n * sxx - sx * sx, 1) AS BIGINT) AS slope_micro
+         |       FROM a)
+         |SELECT et AS event_type, n AS n_days, slope_micro,
+         |  CAST((1000000 * sy - CAST(slope_micro AS HUGEINT) * sx) // n
+         |    AS BIGINT) AS intercept_micro,
+         |  CASE WHEN n * syy - sy * sy = 0 OR n * sxx - sx * sx = 0
+         |    THEN CAST(-1 AS BIGINT)
+         |  ELSE CAST(round((CAST(n * sxy - sx * sy AS DOUBLE) *
+         |    CAST(n * sxy - sx * sy AS DOUBLE) * 1000000) /
+         |    (CAST(n * sxx - sx * sx AS DOUBLE) *
+         |    CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) END AS r2_x1e6
+         |FROM sl ORDER BY event_type""".stripMargin
+
+    /** Twin of q243_pareto_front: the textbook NOT-EXISTS dominance
+      * definition — deliberately independent of the Spark side's
+      * grid-prune + sort-based construction.
+      */
+    def paretoFrontSql: String =
+      s"""WITH p AS (SELECT p_partkey,
+         |        CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         |        CAST(p_size AS BIGINT) AS size_v FROM part)
+         |SELECT p_partkey, price_cents, size_v FROM p r
+         |WHERE NOT EXISTS (SELECT 1 FROM p q
+         |  WHERE q.price_cents <= r.price_cents AND q.size_v >= r.size_v
+         |    AND (q.price_cents < r.price_cents OR q.size_v > r.size_v))
+         |ORDER BY price_cents, p_partkey""".stripMargin
+
+    /** Twin of q244_ab_test: same per-user variant reduction, same
+      * per-type distinct conversion counts, and the z expression
+      * repeated verbatim (one float step over exact counts).
+      */
+    def abTestSql: String =
+      s"""WITH uv AS (SELECT DISTINCT user_id AS u, user_id % 2 AS v
+         |      FROM events),
+         |e AS (SELECT
+         |        CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |        CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |      FROM uv),
+         |c AS (SELECT t,
+         |        CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+         |        CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+         |      FROM (SELECT DISTINCT user_id AS u, event_type AS t,
+         |              user_id % 2 AS v FROM events)
+         |      GROUP BY t)
+         |SELECT t AS event_type, n_a, n_b, conv_a, conv_b,
+         |  CAST((1000000 * conv_a) // greatest(n_a, 1) AS BIGINT) AS rate_a_ppm,
+         |  CAST((1000000 * conv_b) // greatest(n_b, 1) AS BIGINT) AS rate_b_ppm,
+         |  CAST((1000000 * (CAST(conv_b AS HUGEINT) * n_a -
+         |    CAST(conv_a AS HUGEINT) * n_b))
+         |    // greatest(CAST(conv_a AS HUGEINT) * n_b, 1) AS BIGINT) AS lift_ppm,
+         |  CAST(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+         |    THEN 0
+         |    ELSE round(1000 * ((CAST(conv_b AS DOUBLE) / n_b) -
+         |      (CAST(conv_a AS DOUBLE) / n_a)) /
+         |      sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 / n_a + 1.0 / n_b))) END AS BIGINT) AS z_x1000
+         |FROM c CROSS JOIN e ORDER BY event_type""".stripMargin
+
+    /** Twin of q245_script_mix: same subtractive counting with the
+      * same pinned classes (RE2 needs the explicit 'g' flag).
+      */
+    def scriptMixSql: String =
+      s"""WITH d AS (SELECT source, CAST(len(text) AS BIGINT) AS nc,
+         |  CAST(len(text) - len(regexp_replace(text, '[A-Za-z]+', '', 'g'))
+         |    AS BIGINT) AS nl,
+         |  CAST(len(text) - len(regexp_replace(text, '[0-9]+', '', 'g'))
+         |    AS BIGINT) AS ndg,
+         |  CAST(len(text) - len(regexp_replace(text, '$WS+', '', 'g'))
+         |    AS BIGINT) AS nsp,
+         |  CAST(len(text) - len(regexp_replace(text, '$PUNCT+', '', 'g'))
+         |    AS BIGINT) AS npt
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nl) AS BIGINT) AS n_letter,
+         |  CAST(sum(ndg) AS BIGINT) AS n_digit,
+         |  CAST(sum(nsp) AS BIGINT) AS n_space,
+         |  CAST(sum(npt) AS BIGINT) AS n_punct,
+         |  CAST(sum(nc - nl - ndg - nsp - npt) AS BIGINT) AS n_other,
+         |  CAST((1000000 * CAST(sum(nl) AS HUGEINT))
+         |    // greatest(sum(nc), 1) AS BIGINT) AS letter_ppm,
+         |  CAST((1000000 * CAST(sum(nc - nl - ndg - nsp - npt) AS HUGEINT))
+         |    // greatest(sum(nc), 1) AS BIGINT) AS other_ppm,
+         |  CAST(sum(CASE WHEN nc - nl - ndg - nsp - npt > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_with_other
+         |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+    /** Twin of q246_readability: same token/sentence/vowel-group
+      * proxies, same integer milli-unit formulas, same integer mean.
+      */
+    def readabilitySql: String =
+      s"""WITH sc AS (SELECT lang AS g,
+         |        CAST(len(${tokensE("text")}) AS BIGINT) AS w,
+         |        greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |          AS BIGINT), 1) AS s,
+         |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |          AS BIGINT) AS y
+         |      FROM documents),
+         |a AS (SELECT g,
+         |        CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_docs,
+         |        CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_empty,
+         |        sum(CASE WHEN w > 0 THEN
+         |          206835 - (1015 * w) // s - (84600 * y) // w END) AS sf,
+         |        sum(CASE WHEN w > 0 THEN
+         |          (390 * w) // s + (11800 * y) // w - 15590 END) AS sk
+         |      FROM sc GROUP BY g)
+         |SELECT g AS lang, n_docs, n_empty,
+         |  CAST(CASE WHEN n_docs = 0 THEN 0 ELSE sf // n_docs END AS BIGINT)
+         |    AS avg_fre_x1000,
+         |  CAST(CASE WHEN n_docs = 0 THEN 0 ELSE sk // n_docs END AS BIGINT)
+         |    AS avg_fk_grade_x1000
+         |FROM a ORDER BY lang""".stripMargin
+
+    /** Twin of q247_phrase_search: same bigram postings (shingle
+      * twin with the ≥2-token gate), same df top-5 with the phrase
+      * tiebreak, same per-phrase doc cap by lowest id.
+      */
+    def phraseSearchSql: String =
+      s"""WITH t AS (SELECT doc_id AS id, ${tokensE("text")} AS w
+         |      FROM documents),
+         |bg AS (SELECT id, unnest(${shinglesE("w", 2)}) AS phrase
+         |       FROM t WHERE len(w) >= 2),
+         |posts AS (SELECT phrase, id, CAST(count(*) AS BIGINT) AS n_hits
+         |          FROM bg GROUP BY 1, 2),
+         |top AS (SELECT phrase, CAST(count(*) AS BIGINT) AS df,
+         |          CAST(row_number() OVER (ORDER BY count(*) DESC, phrase)
+         |            AS BIGINT) AS "rank"
+         |        FROM posts GROUP BY phrase
+         |        ORDER BY df DESC, phrase LIMIT 5),
+         |m AS (SELECT top."rank", top.phrase, top.df, posts.id, posts.n_hits,
+         |        row_number() OVER (PARTITION BY top.phrase
+         |          ORDER BY posts.id) AS rn
+         |      FROM posts JOIN top USING (phrase))
+         |SELECT "rank", phrase, df, id AS doc_id, n_hits FROM m
+         |WHERE rn <= 20 ORDER BY "rank", doc_id""".stripMargin
+
     def theilSenSql: String =
       s"""WITH b AS (SELECT event_type AS et,
          |        date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),

@@ -211,7 +211,16 @@ object PlanAudit {
     "q236_kn_surprisal",
     // ONE-row corpus total broadcast under the vocab-bounded
     // (cell, word) score table — broadcast scalar by design
-    "q237_cluster_labels")
+    "q237_cluster_labels",
+    // ONE-row (n_a, n_b) exposure totals broadcast under the
+    // types-bounded conversion table — broadcast scalar by design
+    "q244_ab_test",
+    // ONE-row basket total under the brand²-bounded rule table —
+    // q162's broadcast-scalar shape over the order-basket domain
+    "q240_brand_affinity",
+    // types × day-span grid (q223's audited zero-fill shape); the
+    // 5-sum fold runs over the bounded grid
+    "q242_ols_trend")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -267,7 +276,15 @@ object PlanAudit {
     "q229_lorenz_curve",
     // MoM/YoY lag windows over the span-bounded MONTH grid, after
     // the corpus reduced to per-month totals
-    "q233_revenue_trend")
+    "q233_revenue_trend",
+    // Pareto finish: the band cummax runs over the price-band table
+    // (value-domain div bandWidth — constant in corpus size) and the
+    // exact RANGE cummax over the band-pruned survivor set (bounded
+    // by bands × per-band frontier width by construction)
+    "q243_pareto_front",
+    // phrase rank window over the LIMIT-topN phrase table (5 rows by
+    // parameter — the q170/q186 bounded-heap class)
+    "q247_phrase_search")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

@@ -3611,6 +3611,82 @@ object Queries {
     * dimension sums, q127's discipline) — the embedding outlier
     * screen before trusting a source label.
     */
+  /** Exact ROC AUC per line status ([[graft.ops.Eval.rocAuc]],
+    * Mann–Whitney with midrank ties): does quantity rank returned
+    * line items above kept ones — the threshold-free score every
+    * quality-classifier gate gets judged by. Bounded score domain
+    * (quantity 1..50) keeps the cumulative window on a 50-row-per-
+    * group count table.
+    */
+  val q241_roc_auc: Q = (s, d) =>
+    graft.ops.Eval.rocAuc(
+      Scale.fanOut(Tables.lineitem(s, d)).select(
+        col("l_linestatus"),
+        col("l_quantity").cast("bigint").as("qty"),
+        (col("l_returnflag") === "R").as("is_ret")),
+      "l_linestatus", "qty", "is_ret")
+      .orderBy("l_linestatus")
+
+  /** Per-type OLS daily trend ([[graft.ops.Funnel.olsTrend]]):
+    * integer-exact slope/intercept micro-units plus the one-float
+    * r², the parametric companion to q223's Theil–Sen — corpus
+    * reduces to the (type, day) grid before any window or fold.
+    */
+  val q242_ols_trend: Q = (s, d) =>
+    graft.ops.Funnel.olsTrend(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type")
+
+  /** 2-D Pareto frontier of parts ([[graft.ops.Eval.paretoFront2d]]):
+    * cheapest-for-the-size skyline under (min retail cents, max
+    * size) via the grid-prune + exact sort-based finish; the twin is
+    * the independent NOT-EXISTS dominance definition.
+    */
+  val q243_pareto_front: Q = (s, d) =>
+    graft.ops.Eval.paretoFront2d(
+      Tables.part(s, d).select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+        col("p_size").cast("bigint").as("size_v")),
+      "price_cents", "size_v")
+      .orderBy("price_cents", "p_partkey")
+
+  /** Two-proportion A/B report per event type
+    * ([[graft.ops.Eval.abTest]]): users split by id parity, exact
+    * ppm rates + lift, pooled z ×1000 — one user-keyed distinct
+    * reduction, then everything lives on the types-bounded table.
+    */
+  val q244_ab_test: Q = (s, d) =>
+    graft.ops.Eval.abTest(Tables.events(s, d), "user_id", "event_type",
+      pmod(col("user_id"), lit(2L)).cast("long"))
+      .orderBy("event_type")
+
+  /** Character-class composition per source
+    * ([[graft.ops.TextStats.charClassProfile]]): the mixed-script /
+    * mojibake screen — subtractive regex counting with the
+    * engine-pinned classes, map-only + one source-keyed reduction.
+    */
+  val q245_script_mix: Q = (s, d) =>
+    TextStats.charClassProfile(Tables.documents(s, d), "source", "text")
+      .orderBy("source")
+
+  /** Readability report per language
+    * ([[graft.ops.TextStats.readability]]): Flesch Reading Ease +
+    * FK grade in exact milli-units with deterministic sentence /
+    * syllable proxies — map-only scoring, one lang-keyed fold.
+    */
+  val q246_readability: Q = (s, d) =>
+    TextStats.readability(Tables.documents(s, d), "lang", "text")
+      .orderBy("lang")
+
+  /** Indexed exact phrase search
+    * ([[graft.ops.TextStats.phraseSearch]]): the corpus's top-5
+    * bigrams by document frequency looked back up through the
+    * bigram postings join — candidates from the equality key, never
+    * instr over every (doc, phrase) pair; output N × docCap bounded.
+    */
+  val q247_phrase_search: Q = (s, d) =>
+    TextStats.phraseSearch(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("rank", "doc_id")
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4033,5 +4109,12 @@ object Queries {
     "q237_cluster_labels" -> q237_cluster_labels,
     "q238_vocab_jaccard" -> q238_vocab_jaccard,
     "q239_source_outliers" -> q239_source_outliers,
-    "q240_brand_affinity" -> q240_brand_affinity)
+    "q240_brand_affinity" -> q240_brand_affinity,
+    "q241_roc_auc" -> q241_roc_auc,
+    "q242_ols_trend" -> q242_ols_trend,
+    "q243_pareto_front" -> q243_pareto_front,
+    "q244_ab_test" -> q244_ab_test,
+    "q245_script_mix" -> q245_script_mix,
+    "q246_readability" -> q246_readability,
+    "q247_phrase_search" -> q247_phrase_search)
 }

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model/experiment evaluation operators: threshold-free ranking
+  * quality (ROC AUC), controlled-experiment significance (two-
+  * proportion z-test), and multi-objective frontier extraction
+  * (2-D Pareto skyline).
+  *
+  * Reference behavior target: kpipe's analytics surface stops at
+  * per-attempt counters (lib/kpipe-consumer metrics); these are the
+  * evaluation primitives a training-data pipeline layers on top —
+  * each one reduces the corpus to a bounded table before any window
+  * or join, so the shapes survive a 100 TB input.
+  */
+object Eval {
+
+  /** Exact ROC AUC per group via the Mann–Whitney rank-sum with the
+    * standard midrank tie correction (Hanley & McNeil 1982): AUC =
+    * (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with ties taking the average
+    * rank. Integer-exact throughout: with per-score counts
+    * (below = rows with strictly lower score, at = rows at the
+    * score), 2·Σ ranks⁺ = Σ_s n⁺(s)·(2·below(s) + at(s) + 1), so
+    *
+    *   auc_x1e6 = 10⁶·(S₂ − n⁺·(n⁺+1)) div (2·n⁺·n⁻)
+    *
+    * with S₂ the sum above — no floats anywhere (DECIMAL(38) guards
+    * the corpus-scale products). Groups with a single class report
+    * auc_x1e6 = -1 (undefined).
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to the
+    * (group, score) count table — bounded by the score domain (the
+    * caller picks a bounded/discretized score, e.g. a 1..50
+    * quantity or a bucketed probability). The cumulative-below
+    * window and the final fold run over that bounded table,
+    * partitioned by group.
+    */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+             posCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
+      .agg(sum(when(col(posCol), 1L).otherwise(0L)).as("n_pos_s"),
+        count(lit(1)).as("n_at"))
+    val w = Window.partitionBy("g").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("below", coalesce(sum("n_at").over(w), lit(0L)))
+      .groupBy("g")
+      .agg(sum("n_pos_s").as("n_pos"),
+        sum(expr("n_at - n_pos_s")).as("n_neg"),
+        sum(expr("CAST(n_pos_s AS DECIMAL(38,0)) * (2 * below + n_at + 1)"))
+          .as("s2"))
+      .select(col("g").as(groupCol),
+        col("n_pos"), col("n_neg"),
+        expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE CAST((1000000 * (s2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))) " +
+          "div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END")
+          .as("auc_x1e6"))
+  }
+
+  /** Two-proportion z-test A/B report: users are split into variants
+    * by a caller-supplied deterministic assignment (e.g. id parity —
+    * in production a salted hash), conversion is "user emitted ≥1
+    * event of the target type", and each event type gets a row:
+    * per-variant exposed/converted counts, exact ppm rates, the lift
+    * in ppm, and the pooled two-proportion z statistic
+    * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) ×1000 (the single float step,
+    * computed with one fixed expression over exact integer counts so
+    * both engines round identically).
+    *
+    * Scale shape: one (user, type) distinct reduction + one user
+    * distinct reduction; everything downstream lives on the
+    * types-bounded table, with the 2-row variant totals broadcast.
+    */
+  def abTest(df: DataFrame, userCol: String, typeCol: String,
+             variant: org.apache.spark.sql.Column): DataFrame = {
+    val users = df.select(col(userCol).as("u"), variant.as("v"))
+      .groupBy("u").agg(max("v").as("v"))
+    val exposed = users.groupBy("v").agg(count(lit(1)).as("n"))
+      .select(
+        sum(when(col("v") === 0L, col("n"))).as("n_a"),
+        sum(when(col("v") === 1L, col("n"))).as("n_b"))
+    val conv = df.select(col(userCol).as("u"), col(typeCol).as("t"), variant.as("v"))
+      .distinct()
+      .groupBy("t")
+      .agg(sum(when(col("v") === 0L, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("v") === 1L, 1L).otherwise(0L)).as("conv_b"))
+    conv.crossJoin(broadcast(exposed))
+      .select(col("t").as("event_type"),
+        col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        expr("CAST((1000000 * conv_a) div greatest(n_a, 1) AS BIGINT)")
+          .as("rate_a_ppm"),
+        expr("CAST((1000000 * conv_b) div greatest(n_b, 1) AS BIGINT)")
+          .as("rate_b_ppm"),
+        expr("CAST((1000000 * (CAST(conv_b AS DECIMAL(38,0)) * n_a - " +
+          "CAST(conv_a AS DECIMAL(38,0)) * n_b)) div " +
+          "greatest(CAST(conv_a AS DECIMAL(38,0)) * n_b, 1) AS BIGINT)")
+          .as("lift_ppm"),
+        zX1000Expr.as("z_x1000"))
+  }
+
+  /** The one float step of [[abTest]], shared verbatim with the SQL
+    * twin modulo dialect: pooled p̂ and both rates as doubles from
+    * exact counts, one sqrt, one round.
+    */
+  private def zX1000Expr: org.apache.spark.sql.Column = expr(
+    "CAST(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b " +
+      "THEN 0 ELSE round(1000 * ((CAST(conv_b AS DOUBLE) / n_b) - " +
+      "(CAST(conv_a AS DOUBLE) / n_a)) / " +
+      "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+      "(1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+      "(1.0 / n_a + 1.0 / n_b))) END AS BIGINT)")
+
+  /** 2-D Pareto frontier (skyline, Börzsönyi et al. ICDE 2001):
+    * rows not dominated under (minimize `minCol`, maximize `maxCol`)
+    * — r' dominates r iff min' ≤ min ∧ max' ≥ max with at least one
+    * strict. Duplicated (min,max) points are all on the frontier.
+    *
+    * Scale shape — the grid-prune + exact-finish pattern: bucket the
+    * minimize axis into fixed-width bands, take max(maxCol) per band
+    * (ONE partial aggregation to a bucket-bounded table), cummax over
+    * strictly-lower bands, and prune every row beaten by a strictly
+    * cheaper band's champion — rows in a lower band have strictly
+    * smaller minCol, so `bandBest ≥ max` proves domination. Survivors
+    * (≤ one frontier candidate set per band) get the exact O(n log n)
+    * sort-based finish: a RANGE cummax over strictly-lower minCol
+    * plus a same-value max — both windows run over the pruned
+    * survivor table, which is bounded by construction (≤ bands ×
+    * per-band frontier width), never the corpus.
+    */
+  def paretoFront2d(df: DataFrame, minCol: String, maxCol: String,
+                    bandWidth: Long = 10000L): DataFrame = {
+    val base = df.withColumn("__band", expr(s"$minCol div $bandWidth"))
+    val bands = base.groupBy("__band").agg(max(maxCol).as("__bb"))
+    val wb = Window.orderBy("__band").rowsBetween(Window.unboundedPreceding, -1)
+    // bucket-table window: bounded by the band count (value-domain / bandWidth)
+    val cutoff = bands.withColumn("__cut", max("__bb").over(wb))
+    val survivors = base.join(broadcast(cutoff), Seq("__band"))
+      .where(col("__cut").isNull || col(maxCol) > col("__cut"))
+    // survivor-table windows: bounded by construction (see Scaladoc)
+    val wStrict = Window.orderBy(minCol).rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(minCol)
+    survivors
+      .withColumn("__dom", max(maxCol).over(wStrict))
+      .withColumn("__peer", max(maxCol).over(wSame))
+      .where((col("__dom").isNull || col(maxCol) > col("__dom")) &&
+        col(maxCol) === col("__peer"))
+      .drop("__band", "__bb", "__cut", "__dom", "__peer")
+  }
+}

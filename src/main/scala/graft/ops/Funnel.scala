@@ -531,6 +531,62 @@ object Funnel {
         col("slope_micro").as("sen_slope_micro"))
   }
 
+  /** Per-type ordinary-least-squares trend over the daily count
+    * series — the parametric companion to [[theilSenSlope]]: with
+    * x = days since the type's first active day (centering keeps the
+    * DECIMAL(38) products in range at corpus scale) and y = daily
+    * count over the zero-filled day grid,
+    *
+    *   slope_micro      = 10⁶·(n·Sxy − Sx·Sy) div (n·Sxx − Sx²)
+    *   intercept_micro  = (10⁶·Sy − slope_micro·Sx) div n
+    *   r2_x1e6          = round(10⁶·cov² / (varx·vary))
+    *
+    * slope and intercept are integer-exact (matching Theil–Sen's
+    * `div` truncation convention); r² is the single float step, one
+    * fixed expression over exact decimal sums so both engines round
+    * identically. Constant series (vary = 0) report r2_x1e6 = -1.
+    *
+    * Scale shape: ONE (type, day) count reduction; the grid fill,
+    * the per-type min-day window and the 5-sum fold all run on the
+    * span-bounded grid (types × days), never the corpus.
+    */
+  def olsTrend(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"))
+      .groupBy("et", "d").agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val days = c.select("d").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(days))
+      .join(c, Seq("et", "d"), "left")
+      .na.fill(0L, Seq("y"))
+    val xed = grid
+      .withColumn("x", expr(
+        "datediff(d, min(d) OVER (PARTITION BY et)) "))
+    xed.groupBy("et")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("slope_micro",
+        expr("CAST((1000000 * (n * sxy - sx * sy)) div " +
+          "greatest(n * sxx - sx * sx, 1) AS BIGINT)"))
+      .select(col("et").as(typeCol), col("n").as("n_days"),
+        col("slope_micro"),
+        expr("CAST((1000000 * sy - slope_micro * sx) div n AS BIGINT)")
+          .as("intercept_micro"),
+        expr("CASE WHEN n * syy - sy * sy = 0 OR n * sxx - sx * sx = 0 " +
+          "THEN CAST(-1 AS BIGINT) " +
+          "ELSE CAST(round((CAST(n * sxy - sx * sy AS DOUBLE) * " +
+          "CAST(n * sxy - sx * sy AS DOUBLE) * 1000000) / " +
+          "(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+          "CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) END")
+          .as("r2_x1e6"))
+  }
+
   /** Lead–lag cross-correlation between event types' hourly series:
     * for every ordered type pair and lag in [−maxLag, maxLag], the
     * integer cross-covariance Σ_t dα_t·dβ_{t+lag} of the per-mille

@@ -1355,4 +1355,124 @@ object TextStats {
           "greatest(cr - coh_x1000, CAST(0 AS BIGINT))) > 0 " +
           "AND coh_x1000 < (cs div cn)").as("is_boundary"))
   }
+
+  /** Per-group character-class composition: letter / digit /
+    * whitespace / ASCII-punctuation / other counts and exact ppm
+    * shares, plus how many docs contain ANY out-of-class ("other")
+    * character — the mixed-script / mojibake screen a multilingual
+    * corpus runs before trusting `lang` labels (non-ASCII bytes in a
+    * claims-English doc are the classic encoding-corruption tell).
+    * Counting is subtractive (`length(x) − length(regexp_replace(x,
+    * class, ''))`) with the engine-pinned [[TextFns.PUNCT_CLASS]] /
+    * [[TextFns.WS_CLASS]] classes, so the Spark and RE2 regex
+    * dialects cannot drift.
+    *
+    * Scale shape: map-only per-doc counting inside codegen, ONE
+    * group-keyed partial aggregation — nothing wider than the five
+    * counters shuffles.
+    */
+  def charClassProfile(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    def cnt(cls: String): org.apache.spark.sql.Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), cls + "+", ""))).cast("bigint")
+    val letters = cnt("[A-Za-z]")
+    val digits = cnt("[0-9]")
+    val spaces = cnt(TextFns.WS_CLASS)
+    val puncts = cnt(TextFns.PUNCT_CLASS)
+    val other = length(col(textCol)).cast("bigint") - letters - digits -
+      spaces - puncts
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("bigint")).as("n_chars"),
+        sum(letters).as("n_letter"), sum(digits).as("n_digit"),
+        sum(spaces).as("n_space"), sum(puncts).as("n_punct"),
+        sum(other).as("n_other"),
+        sum(when(other > 0, 1L).otherwise(0L)).as("docs_with_other"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_chars"),
+        col("n_letter"), col("n_digit"), col("n_space"), col("n_punct"),
+        col("n_other"),
+        expr("CAST((1000000 * n_letter) div greatest(n_chars, 1) AS BIGINT)")
+          .as("letter_ppm"),
+        expr("CAST((1000000 * n_other) div greatest(n_chars, 1) AS BIGINT)")
+          .as("other_ppm"),
+        col("docs_with_other"))
+  }
+
+  /** Per-group readability report — Flesch Reading Ease and
+    * Flesch–Kincaid grade (Kincaid et al. 1975) with the standard
+    * deterministic proxies: sentences = maximal `[.!?]+` runs
+    * (min 1), syllables = maximal vowel-group runs `[aeiouy]+` on the
+    * lowercased text. Per-doc scores are integer-exact milli-units
+    * (FRE·1000 = 206835 − (1015·W) div S − (84600·Y) div W; grade
+    * ·1000 = (390·W) div S + (11800·Y) div W − 15590), group scores
+    * are the integer mean. Empty docs (0 words) are excluded and
+    * counted.
+    *
+    * Scale shape: map-only per-doc regex counting, ONE group-keyed
+    * partial aggregation.
+    */
+  def readability(df: DataFrame, groupCol: String,
+                  textCol: String): DataFrame = {
+    val scored = df.select(col(groupCol).as("grp"),
+        TextFns.tokenCount(col(textCol)).as("w"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+          .cast("bigint").as("s"),
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+          .cast("bigint").as("y"))
+    val perDoc = scored.where(col("w") > 0)
+      .select(col("grp"),
+        expr("206835 - (1015 * w) div s - (84600 * y) div w").as("fre"),
+        expr("(390 * w) div s + (11800 * y) div w - 15590").as("fk"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("fre").as("sf"), sum("fk").as("sk"))
+    val empties = scored.groupBy("grp")
+      .agg(sum(when(col("w") === 0, 1L).otherwise(0L)).as("n_empty"))
+    perDoc.join(empties, Seq("grp"), "right")
+      .na.fill(0L, Seq("n_docs"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_empty"),
+        expr("CAST(CASE WHEN n_docs = 0 THEN 0 ELSE sf div n_docs END " +
+          "AS BIGINT)").as("avg_fre_x1000"),
+        expr("CAST(CASE WHEN n_docs = 0 THEN 0 ELSE sk div n_docs END " +
+          "AS BIGINT)").as("avg_fk_grade_x1000"))
+  }
+
+  /** Corpus-driven exact phrase search: the `topN` bigrams by
+    * document frequency (ties broken by phrase string) become the
+    * query set, and every document containing a query phrase as an
+    * ADJACENT token pair is returned with its occurrence count —
+    * capped at `docCap` docs per phrase (lowest doc ids) so a stop-
+    * phrase cannot blow up the output. The n-gram-index form of
+    * "grep the corpus for a phrase list": candidates come from an
+    * equality join on the bigram key, never from running `instr`
+    * over every (doc, phrase) pair.
+    *
+    * Scale shape: ONE tokenize+shingle explode (docs with ≥2 tokens),
+    * a (bigram, doc) count aggregation, a vocabulary-bounded
+    * doc-frequency aggregation with a bounded-heap global top-N, and
+    * a broadcast join of the N-row phrase list back onto the bigram
+    * postings — output bounded by N × docCap.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   topN: Int = 5, docCap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = df.select(col(idCol).as("id"), col(textCol).as("tx"))
+      .where(TextFns.tokenCount(col("tx")) >= 2)
+      .select(col("id"), explode(TextFns.shingles(col("tx"), 2)).as("phrase"))
+      .groupBy("phrase", "id").agg(count(lit(1)).as("n_hits"))
+    val top = posts.groupBy("phrase")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("phrase"))
+      .limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("df"), col("phrase")))
+          .cast("bigint"))
+    val wDoc = Window.partitionBy("phrase").orderBy("id")
+    posts.join(broadcast(top), Seq("phrase"))
+      .withColumn("rn", row_number().over(wDoc))
+      .where(col("rn") <= docCap)
+      .select(col("rank"), col("phrase"), col("df"),
+        col("id").as(idCol), col("n_hits"))
+  }
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rocAuc matches brute-force pair probability with ties") {
+    // scores with ties across both classes
+    val rows = Seq(
+      ("g", 1L, false), ("g", 2L, false), ("g", 2L, true), ("g", 3L, false),
+      ("g", 3L, true), ("g", 3L, true), ("g", 5L, true), ("g", 5L, false),
+      ("g", 7L, true))
+    val df = rows.toDF("grp", "score", "pos")
+    val out = Eval.rocAuc(df, "grp", "score", "pos").collect().head
+    // brute force: P(s+ > s-) + 0.5 P(s+ = s-)
+    val ps = rows.filter(_._3).map(_._2)
+    val ns = rows.filterNot(_._3).map(_._2)
+    val pairs = for (p <- ps; n <- ns) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val auc = pairs.sum / (ps.size * ns.size)
+    assert(out.getAs[Long]("n_pos") === ps.size)
+    assert(out.getAs[Long]("n_neg") === ns.size)
+    assert(out.getAs[Long]("auc_x1e6") === math.floor(auc * 1e6).toLong)
+  }
+
+  test("rocAuc reports -1 for single-class groups and 1e6 for perfect ranking") {
+    val df = Seq(
+      ("one", 1L, true), ("one", 2L, true),
+      ("sep", 1L, false), ("sep", 2L, false), ("sep", 3L, true))
+      .toDF("grp", "score", "pos")
+    val m = Eval.rocAuc(df, "grp", "score", "pos").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("auc_x1e6")).toMap
+    assert(m("one") === -1L)
+    assert(m("sep") === 1000000L)
+  }
+
+  test("abTest counts, rates and z sign") {
+    // variant by id parity: users 0,2 (A) convert on "buy" only for 2;
+    // users 1,3 (B) both convert on "buy"
+    val df = Seq(
+      (0L, "buy"), (0L, "view"), (2L, "view"),
+      (1L, "buy"), (3L, "buy"), (3L, "view"), (2L, "buy"))
+      .toDF("user_id", "event_type")
+    val out = Eval.abTest(df, "user_id", "event_type",
+        pmod(col("user_id"), lit(2L)).cast("long"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val buy = out("buy")
+    assert(buy.getAs[Long]("n_a") === 2L && buy.getAs[Long]("n_b") === 2L)
+    assert(buy.getAs[Long]("conv_a") === 2L && buy.getAs[Long]("conv_b") === 2L)
+    // all convert in both arms -> pooled p = 1 -> z guarded to 0
+    assert(buy.getAs[Long]("z_x1000") === 0L)
+    val view = out("view")
+    assert(view.getAs[Long]("conv_a") === 2L && view.getAs[Long]("conv_b") === 1L)
+    assert(view.getAs[Long]("rate_a_ppm") === 1000000L)
+    assert(view.getAs[Long]("rate_b_ppm") === 500000L)
+    assert(view.getAs[Long]("z_x1000") < 0L) // B converts less
+  }
+
+  test("paretoFront2d equals brute-force dominance filter") {
+    val pts = (1 to 400).map { i =>
+      val price = ((i * 2654435761L) % 1000L) * 97L + 13L
+      val size = ((i * 40503L) % 53L) + 1L
+      (i.toLong, price, size)
+    }
+    val df = pts.toDF("id", "price", "sz")
+    val got = Eval.paretoFront2d(df, "price", "sz", bandWidth = 1000L)
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (_, p, s) =>
+      !pts.exists { case (_, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.map(_._1).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("paretoFront2d keeps duplicated frontier points") {
+    val df = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 20L, 5L), (4L, 5L, 1L))
+      .toDF("id", "price", "sz")
+    val got = Eval.paretoFront2d(df, "price", "sz", bandWidth = 7L)
+      .select("id").as[Long].collect().toSet
+    // (10,5) twice on the frontier; (20,5) dominated; (5,1) frontier
+    assert(got === Set(1L, 2L, 4L))
+  }
+}

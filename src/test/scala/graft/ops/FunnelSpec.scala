@@ -707,4 +707,41 @@ class FunnelSpec extends SparkSpec {
     assert(b(2)._4 === 3828L)
     assert(out.toSeq === run(ev.repartition(7)).toSeq)
   }
+
+  test("olsTrend recovers an exact line (r2 = 1e6) and a flat series") {
+    // type a: day d gets 3 + 2d events (y = 2x + 3, exact fit);
+    // type b: constant 5/day -> slope 0, vary = 0 -> r2 = -1
+    val ev = (0 until 4).flatMap { day =>
+      val d = f"2024-01-${day + 1}%02d 10:00:00"
+      Seq.fill(3 + 2 * day)(("a", d)) ++ Seq.fill(5)(("b", d))
+    }.toDF("event_type", "t")
+      .select(col("event_type"), col("t").cast("timestamp").as("ts"))
+    val out = graft.ops.Funnel.olsTrend(ev, "event_type", "ts")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out(0) === ("a", 4L, 2000000L, 3000000L, 1000000L))
+    assert(out(1) === ("b", 4L, 0L, 5000000L, -1L))
+  }
+
+  test("olsTrend zero-fills missing days into the slope") {
+    // type a on days 1 and 3 only; day 2 is zero-filled: y = (4,0,8)
+    // over x = (0,1,2): slope = 2, intercept = 2, weak fit
+    val ev = (Seq.fill(4)(("a", "2024-01-01 10:00:00")) ++
+      Seq.fill(8)(("a", "2024-01-03 10:00:00")) ++
+      Seq.fill(1)(("pad", "2024-01-02 10:00:00")))
+      .toDF("event_type", "t")
+      .select(col("event_type"), col("t").cast("timestamp").as("ts"))
+    val a = graft.ops.Funnel.olsTrend(ev, "event_type", "ts")
+      .where(col("event_type") === "a").collect().head
+    assert(a.getAs[Long]("n_days") === 3L)
+    assert(a.getAs[Long]("slope_micro") === 2000000L)
+    assert(a.getAs[Long]("intercept_micro") === 2000000L)
+    // r2 = round(1e6 * cov^2 / (varx * vary)) from the same sums
+    val n = 3.0; val sx = 3.0; val sy = 12.0; val sxy = 0 * 4 + 1 * 0 + 2 * 8
+    val sxx = 5.0; val syy = 16 + 0 + 64
+    val r2 = math.round(1e6 * math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    assert(a.getAs[Long]("r2_x1e6") === r2)
+  }
 }

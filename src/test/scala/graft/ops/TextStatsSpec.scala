@@ -651,4 +651,71 @@ class TextStatsSpec extends SparkSpec {
       (0L, 7L, 9L), (1L, 4L, 6L), (2L, 4L, 6L), (3L, 4L, 6L)))
     assert(out.toSeq === run(docs.repartition(5)).toSeq)
   }
+
+  test("charClassProfile counts every class and flags other-bearing docs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "Ab c9!"),            // 3 letter, 1 digit, 1 space, 1 punct
+      ("s1", "xéy"),          // é is "other": 2 letters + 1 other
+      ("s2", "...."))              // all punct
+      .toDF("source", "text")
+    val out = TextStats.charClassProfile(docs, "source", "text")
+      .orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_docs") === 2L)
+    assert(s1.getAs[Long]("n_chars") === 9L)
+    assert(s1.getAs[Long]("n_letter") === 5L)
+    assert(s1.getAs[Long]("n_digit") === 1L)
+    assert(s1.getAs[Long]("n_space") === 1L)
+    assert(s1.getAs[Long]("n_punct") === 1L)
+    assert(s1.getAs[Long]("n_other") === 1L)
+    assert(s1.getAs[Long]("docs_with_other") === 1L)
+    assert(s1.getAs[Long]("letter_ppm") === 1000000L * 5 / 9)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_punct") === 4L)
+    assert(s2.getAs[Long]("docs_with_other") === 0L)
+  }
+
+  test("readability scores a known sentence and excludes empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the cat sat."),  // w=3 s=1 y=3 (e,a,a)
+      ("en", "   "),           // empty -> excluded, counted
+      ("fr", "bon jour! oui?")) // w=3 s=2 y=3 (o; ou; oui one run)
+      .toDF("lang", "text")
+    val out = TextStats.readability(docs, "lang", "text")
+      .orderBy("lang").collect()
+    val en = out(0)
+    assert(en.getAs[Long]("n_docs") === 1L)
+    assert(en.getAs[Long]("n_empty") === 1L)
+    // fre = 206835 - 1015*3/1 - 84600*3/3 = 206835 - 3045 - 84600
+    assert(en.getAs[Long]("avg_fre_x1000") === 206835L - 3045L - 84600L)
+    // fk = 390*3/1 + 11800*3/3 - 15590 = 1170 + 11800 - 15590
+    assert(en.getAs[Long]("avg_fk_grade_x1000") === 1170L + 11800L - 15590L)
+    val fr = out(1)
+    // fre = 206835 - (1015*3) div 2 - (84600*3) div 3
+    assert(fr.getAs[Long]("avg_fre_x1000") ===
+      206835L - (1015L * 3) / 2 - (84600L * 3) / 3)
+  }
+
+  test("phraseSearch finds top bigrams and counts occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data big data big data"),   // "big data" x3, "data big" x2
+      (2L, "big data"),
+      (3L, "small data"),
+      (4L, "big"),                           // 1 token -> no bigrams
+      (5L, "data big"))
+      .toDF("doc_id", "text")
+    val out = TextStats.phraseSearch(docs, "doc_id", "text",
+        topN = 2, docCap = 10)
+      .orderBy("rank", "doc_id").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getString(1), r.getAs[Long]("df"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+    // df: "big data" in docs 1,2 (df 2); "data big" in docs 1,5 (df 2);
+    // "small data" df 1. tie at 2 -> lexicographic: "big data" rank 1
+    assert(out.toSeq === Seq(
+      (1L, "big data", 2L, 1L, 3L), (1L, "big data", 2L, 2L, 1L),
+      (2L, "data big", 2L, 1L, 2L), (2L, "data big", 2L, 5L, 1L)))
+  }
 }
