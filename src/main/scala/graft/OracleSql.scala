@@ -532,6 +532,9 @@ object OracleSql {
     "q245_script_mix" -> Gen.scriptMixSql,
     "q246_readability" -> Gen.readabilitySql,
     "q247_phrase_search" -> Gen.phraseSearchSql,
+    "q248_lsh_eval" -> Gen.lshEvalSql,
+    "q249_interval_coverage" -> Gen.intervalCoverageSql,
+    "q250_markov_attribution" -> Gen.markovAttributionSql(),
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5526,6 +5529,142 @@ object OracleSql {
       * the same ordered pair join, the same (10⁶·dy)//dx micro-slope
       * quantization and the same lower-median rank pick.
       */
+    /** Twin of q248_lsh_eval: the q34 bucket-candidate CTEs (2-word
+      * shingles) against the exact hashed-set Jaccard ≥ 0.2 pairs —
+      * the truth side is the plain definition (the Spark side's
+      * prefix filter is plan-level, complete by the All-Pairs
+      * theorem), PRF via the q179 integer conventions.
+      */
+    def lshEvalSql: String =
+      minhashBucketCtes(2) + s""",
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash
+        |   AND a.id < b.id),
+        |st AS (SELECT id, list_distinct(list(x)) AS ts FROM xp GROUP BY id),
+        |sz AS (SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM st
+        |       WHERE len(ts) >= 1),
+        |tr AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sz a JOIN sz b ON a.id < b.id
+        |  WHERE 1000 * len(list_intersect(a.ts, b.ts))
+        |    >= 200 * (a.n + b.n - len(list_intersect(a.ts, b.ts)))),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM cand),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tr),
+        |tpp AS (SELECT CAST(count(*) AS BIGINT) AS tp
+        |        FROM cand JOIN tr USING (id_a, id_b))
+        |SELECT n_pred, n_true, tp,
+        |  CAST((1000 * tp) // greatest(n_pred, 1) AS BIGINT)
+        |    AS precision_x1000,
+        |  CAST((1000 * tp) // greatest(n_true, 1) AS BIGINT)
+        |    AS recall_x1000,
+        |  CAST((2000 * tp) // greatest(n_pred + n_true, 1) AS BIGINT)
+        |    AS f1_x1000
+        |FROM np CROSS JOIN nt CROSS JOIN tpp""".stripMargin
+
+    /** Twin of q249_interval_coverage: the q141 lag/island discipline
+      * with equal-length [t, t+1800) intervals; covered seconds per
+      * island are max−min+ttl.
+      */
+    def intervalCoverageSql: String =
+      s"""WITH e AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t
+         |      FROM events),
+         |l AS (SELECT u, t, lag(t) OVER (PARTITION BY u ORDER BY t) AS prev
+         |      FROM e),
+         |f AS (SELECT u, t, CASE WHEN prev IS NULL OR
+         |        date_diff('second', prev, t) >= 1800 THEN 1 ELSE 0 END AS nw
+         |      FROM l),
+         |i AS (SELECT u, t, SUM(nw) OVER (PARTITION BY u ORDER BY t
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM f),
+         |g AS (SELECT u, isl, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(date_diff('second', min(t), max(t)) + 1800 AS BIGINT)
+         |          AS cov,
+         |        CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+         |          min(t)) AS BIGINT) AS st,
+         |        CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+         |          max(t)) AS BIGINT) AS en
+         |      FROM i GROUP BY 1, 2)
+         |SELECT u AS user_id, CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(count(*) AS BIGINT) AS n_islands,
+         |  CAST(sum(cov) AS BIGINT) AS covered_sec,
+         |  CAST(max(en) - min(st) + 1800 AS BIGINT) AS span_sec,
+         |  CAST((1000 * CAST(sum(cov) AS HUGEINT))
+         |    // (max(en) - min(st) + 1800) AS BIGINT) AS covered_x1000
+         |FROM g GROUP BY u ORDER BY user_id""".stripMargin
+
+    /** Twin of q250_markov_attribution: the same journey truncation
+      * (first conv in (ts, type) sequence order), the same transition
+      * ppm matrix, and the same `iters` value-iteration steps
+      * unrolled as MATERIALIZED CTEs (the q152/q222 fixed-stage
+      * discipline; each step truncates once after the product sum).
+      */
+    def markovAttributionSql(iters: Int = 8): String = {
+      val steps = (1 to iters).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT u.removed, u.state, u.r FROM r${k - 1} u
+           |  WHERE u.state = '__conv__'
+           |  UNION ALL
+           |  SELECT x.removed, p.src AS state,
+           |    CAST(sum(p.p_ppm * x.r) // 1000000 AS BIGINT) AS r
+           |  FROM r${k - 1} x JOIN p ON p.dst = x.state
+           |  WHERE p.src <> x.removed AND p.dst <> x.removed
+           |    AND p.src <> '__conv__'
+           |  GROUP BY x.removed, p.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id AS u, event_type AS t,
+         |        CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |pc AS (SELECT u, t, ts,
+         |        coalesce(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY u ORDER BY ts, t
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS pcv
+         |      FROM e),
+         |sq AS (SELECT u, ts, t,
+         |         CASE WHEN t = 'purchase' THEN '__conv__' ELSE t END AS state
+         |       FROM pc WHERE pcv = 0),
+         |pr AS (SELECT u, state,
+         |         lag(state) OVER (PARTITION BY u ORDER BY ts, t) AS prevs
+         |       FROM sq),
+         |pairs AS (SELECT coalesce(prevs, '__start__') AS src,
+         |            state AS dst FROM pr),
+         |term AS (SELECT state AS src, '__null__' AS dst FROM (
+         |           SELECT state, row_number() OVER (PARTITION BY u
+         |             ORDER BY ts DESC, t DESC) AS rn FROM sq) z
+         |         WHERE rn = 1 AND state <> '__conv__'),
+         |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM
+         |        (SELECT * FROM pairs UNION ALL SELECT * FROM term) y
+         |       GROUP BY 1, 2),
+         |ot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM tc
+         |       GROUP BY 1),
+         |p AS MATERIALIZED (SELECT tc.src, tc.dst,
+         |        CAST((1000000 * cnt) // tot AS BIGINT) AS p_ppm
+         |      FROM tc JOIN ot USING (src)),
+         |chn AS (SELECT DISTINCT ch FROM (SELECT src AS ch FROM tc
+         |          UNION SELECT dst FROM tc) v
+         |        WHERE ch NOT IN ('__start__', '__conv__', '__null__')),
+         |rm AS (SELECT ch AS removed FROM chn
+         |       UNION ALL SELECT '__none__'),
+         |r0 AS (SELECT removed, '__conv__' AS state,
+         |         CAST(1000000 AS BIGINT) AS r FROM rm),
+         |$steps,
+         |reach AS (SELECT removed, r AS reach_ppm FROM r$iters
+         |          WHERE state = '__start__'),
+         |fl AS (SELECT reach_ppm AS reach_full_ppm FROM reach
+         |       WHERE removed = '__none__'),
+         |eff AS (SELECT chn.ch AS channel, fl.reach_full_ppm,
+         |          coalesce(re.reach_ppm, 0) AS reach_removed_ppm,
+         |          greatest(fl.reach_full_ppm - coalesce(re.reach_ppm, 0),
+         |            0) AS effect_ppm
+         |        FROM chn CROSS JOIN fl
+         |        LEFT JOIN reach re ON re.removed = chn.ch),
+         |te AS (SELECT CAST(sum(effect_ppm) AS BIGINT) AS tot_effect
+         |       FROM eff)
+         |SELECT channel, reach_full_ppm, reach_removed_ppm, effect_ppm,
+         |  CAST((1000 * effect_ppm) // greatest(tot_effect, 1) AS BIGINT)
+         |    AS share_x1000
+         |FROM eff CROSS JOIN te ORDER BY channel""".stripMargin
+    }
+
     /** Twin of q241_roc_auc: the same (group, score) count table,
       * the same strictly-below cumulative and the same integer
       * midrank identity 2·Σranks⁺ = Σ n⁺(s)·(2·below + at + 1).

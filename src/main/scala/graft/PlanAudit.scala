@@ -220,7 +220,14 @@ object PlanAudit {
     "q240_brand_affinity",
     // types × day-span grid (q223's audited zero-fill shape); the
     // 5-sum fold runs over the bounded grid
-    "q242_ols_trend")
+    "q242_ols_trend",
+    // three ONE-row totals (n_pred / n_true / tp) composed into the
+    // single report row — broadcast scalars by design
+    "q248_lsh_eval",
+    // channels²-bounded chain tables: the (removed × state) value-
+    // iteration rows, the ONE-row full-reach and total-effect
+    // scalars — all broadcast by design
+    "q250_markov_attribution")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

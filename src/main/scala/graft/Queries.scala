@@ -3687,6 +3687,39 @@ object Queries {
     TextStats.phraseSearch(Tables.documents(s, d), "doc_id", "text")
       .orderBy("rank", "doc_id")
 
+  /** LSH retrieval evaluation ([[graft.dedup.Dedup.lshRetrievalEval]]):
+    * precision/recall/F1 of the q34 MinHash band-bucket candidate
+    * stage against the exact Jaccard-≥-0.2 ground truth from the
+    * q143 prefix-filtered join — the engine pricing its own
+    * approximation on a real corpus. One report row; the truth side
+    * never runs an all-pairs scan.
+    */
+  val q248_lsh_eval: Q = (s, d) =>
+    Dedup.lshRetrievalEval(Tables.documents(s, d), "doc_id", "text",
+      tauX1000 = 200, numHashes = 32, bands = 8, shingleWidth = 2)
+
+  /** Merged-interval activity coverage per user
+    * ([[graft.ops.Funnel.intervalCoverage]]): fixed-TTL event
+    * intervals, gaps-and-islands merge, covered vs span seconds —
+    * per-user windows only, q141's audited class.
+    */
+  val q249_interval_coverage: Q = (s, d) =>
+    graft.ops.Funnel.intervalCoverage(Tables.events(s, d), "user_id", "ts",
+        ttlSec = 1800L)
+      .orderBy("user_id")
+
+  /** Markov removal-effect attribution
+    * ([[graft.ops.Funnel.markovAttribution]], Anderl et al. 2016):
+    * journeys → first-order chain → each channel's credit is the
+    * start→conv reach drop when it is removed; 8 integer-ppm
+    * value-iteration steps, channels²-bounded chain tables, twin
+    * unrolls the same iterations as materialized CTEs.
+    */
+  val q250_markov_attribution: Q = (s, d) =>
+    graft.ops.Funnel.markovAttribution(Tables.events(s, d), "user_id",
+        "event_type", "ts", convType = "purchase", iters = 8)
+      .orderBy("channel")
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4116,5 +4149,8 @@ object Queries {
     "q244_ab_test" -> q244_ab_test,
     "q245_script_mix" -> q245_script_mix,
     "q246_readability" -> q246_readability,
-    "q247_phrase_search" -> q247_phrase_search)
+    "q247_phrase_search" -> q247_phrase_search,
+    "q248_lsh_eval" -> q248_lsh_eval,
+    "q249_interval_coverage" -> q249_interval_coverage,
+    "q250_markov_attribution" -> q250_markov_attribution)
 }

@@ -199,6 +199,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** LSH retrieval evaluation: precision/recall/F1 of the MinHash
+    * band-bucket CANDIDATE stage ([[minhashBuckets]] self-join, the
+    * retrieval half of [[minhashNearDupPairs]]) against the exact
+    * Jaccard-≥-τ ground truth from the prefix-filtered exact join
+    * ([[setSimJoin]] — complete by the All-Pairs theorem, so the
+    * "truth" side needs no all-pairs scan either). The harness an
+    * engine needs before trusting its own approximation: band/row
+    * settings trade recall against candidate volume, and this is the
+    * one-row report that prices that trade on a real corpus.
+    *
+    * Both sides run over the SAME 61-bit-hashed `shingleWidth`-word
+    * sets, so the comparison is exact set-for-set. One row:
+    * (n_pred, n_true, tp, precision_x1000, recall_x1000, f1_x1000) —
+    * the q179 integer PRF conventions (F1 = 2000·tp div (pred+true)).
+    *
+    * Scale shape: the bucket self-join shuffles on (band, band_hash);
+    * the exact join bounds candidates by prefix+length filters; the
+    * three one-row totals broadcast into the final projection.
+    */
+  def lshRetrievalEval(df: DataFrame, idCol: String, textCol: String,
+                       tauX1000: Int = 200, numHashes: Int = 32,
+                       bands: Int = 8, shingleWidth: Int = 2): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, numHashes, bands,
+      shingleWidth)
+    val pred = buckets.select(col("id").as("id_a"), col("band"), col("band_hash"))
+      .join(buckets.select(col("id").as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val truth = setSimJoin(df, idCol,
+        TextFns.shingles(col(textCol), shingleWidth), tauX1000,
+        itemKey = HashFns.hash61)
+      .select("id_a", "id_b")
+    val np = pred.agg(count(lit(1)).as("n_pred"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val tp = pred.join(truth, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("tp"))
+    np.crossJoin(broadcast(nt)).crossJoin(broadcast(tp))
+      .select(col("n_pred"), col("n_true"), col("tp"),
+        expr("CAST((1000 * tp) div greatest(n_pred, 1) AS BIGINT)")
+          .as("precision_x1000"),
+        expr("CAST((1000 * tp) div greatest(n_true, 1) AS BIGINT)")
+          .as("recall_x1000"),
+        expr("CAST((2000 * tp) div greatest(n_pred + n_true, 1) AS BIGINT)")
+          .as("f1_x1000"))
+  }
+
   /** Incremental near-dup candidates: every unordered id pair sharing
     * an LSH bucket that touches AT LEAST ONE new document — new-vs-
     * history pairs come from joining the new docs' bucket rows against

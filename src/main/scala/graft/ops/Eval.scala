@@ -38,10 +38,19 @@ object Eval {
     * partitioned by group.
     */
   def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
-             posCol: String): DataFrame = {
-    val counts = df.groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
-      .agg(sum(when(col(posCol), 1L).otherwise(0L)).as("n_pos_s"),
-        count(lit(1)).as("n_at"))
+             posCol: String): DataFrame =
+    aucFromCountsDf(
+      df.groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
+        .agg(sum(when(col(posCol), 1L).otherwise(0L)).as("n_pos_s"),
+          count(lit(1)).as("n_at")),
+      groupCol)
+
+  /** The midrank AUC arithmetic over a (g, s, n_pos_s, n_at) count
+    * table — shared VERBATIM by [[rocAuc]] and [[rocAucFromCounts]]
+    * so the batch and streaming readbacks cannot drift.
+    */
+  private def aucFromCountsDf(counts: DataFrame,
+                              groupCol: String): DataFrame = {
     val w = Window.partitionBy("g").orderBy("s")
       .rowsBetween(Window.unboundedPreceding, -1)
     counts
@@ -57,6 +66,29 @@ object Eval {
           "ELSE CAST((1000000 * (s2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))) " +
           "div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END")
           .as("auc_x1e6"))
+  }
+
+  /** Build the [[rocAuc]]-shape report from externally accumulated
+    * ((group, score) → n_pos, n_total) counts — the readback half of
+    * a STREAMING ranking-quality monitor: the count table is
+    * additive across micro-batches (per-row stateless), so a
+    * foreachBatch can fold it per trigger and emit the live AUC
+    * through the same [[aucFromCountsDf]] arithmetic the batch
+    * operator uses. Counts arrive as driver values — bounded by
+    * groups × the discretized score domain by construction.
+    */
+  def rocAucFromCounts(spark: org.apache.spark.sql.SparkSession,
+                       counts: Seq[(String, Long, Long, Long)],
+                       groupCol: String = "grp"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("s", LongType), StructField("n_pos_s", LongType),
+      StructField("n_at", LongType)))
+    aucFromCountsDf(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        counts.map { case (g, s, p, n) => Row(g, s, p, n) }, 1), schema),
+      groupCol)
   }
 
   /** Two-proportion z-test A/B report: users are split into variants

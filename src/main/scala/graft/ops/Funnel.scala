@@ -1101,6 +1101,146 @@ object Funnel {
     * interval join), and one aggregation per hour counts active /
     * started / ended. Exact integers; output is span-hour-bounded.
     */
+  /** Per-user merged-interval coverage: every event opens a
+    * fixed-TTL activity interval [ts, ts+ttl); overlapping intervals
+    * merge (gaps-and-islands — equal-length intervals make the
+    * previous ROW's end the running maximum, so one lag suffices),
+    * and the report is per user: events, merged islands, covered
+    * seconds, first-to-last span seconds, and the covered-share in
+    * per-mille — the "how much wall-clock was this user actually
+    * active" readout that raw event counts misstate under bursts.
+    *
+    * Scale shape: one per-user window (lag + running island sum),
+    * one (user, island) aggregation, one user aggregation — q141's
+    * audited per-key-window class, never a global sort.
+    */
+  def intervalCoverage(df: DataFrame, userCol: String, tsCol: String,
+                       ttlSec: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__u").orderBy("__ts")
+    val isl = df.select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+      .withColumn("__prev", lag("__ts", 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_timestamp(col("__ts")) - unix_timestamp(col("__prev")) >= ttlSec,
+        1L).otherwise(0L))
+      .withColumn("__isl", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy("__u", "__isl")
+      .agg(count(lit(1)).as("__n"),
+        (unix_timestamp(max("__ts")) - unix_timestamp(min("__ts")) +
+          lit(ttlSec)).as("__cov"),
+        unix_timestamp(min("__ts")).as("__start"),
+        unix_timestamp(max("__ts")).as("__end"))
+      .groupBy(col("__u").as(userCol))
+      .agg(sum("__n").as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum("__cov").as("covered_sec"),
+        (max("__end") - min("__start") + lit(ttlSec)).as("span_sec"))
+      .withColumn("covered_x1000",
+        expr("CAST((1000 * covered_sec) div span_sec AS BIGINT)"))
+  }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016 — the
+    * data-driven alternative to last-touch): user journeys become a
+    * first-order Markov chain over channel states with synthetic
+    * `__start__` / absorbing `__conv__` and `__null__`, and each
+    * channel's credit is how much the start→conversion reach
+    * probability DROPS when the channel is removed (transitions
+    * into a removed state are lost, not rerouted — the standard
+    * removal semantics). Reach is computed by `iters` fixed
+    * value-iteration steps in exact integer ppm (each step: one
+    * Σ p·r product-sum, truncated once after the sum), so both
+    * engines agree bit-for-bit; journeys truncate at the FIRST
+    * conversion in (ts, type) sequence order.
+    *
+    * Output per channel: full-chain reach, reach with the channel
+    * removed, the removal effect (ppm), and the normalized credit
+    * share ×1000.
+    *
+    * Scale shape: the corpus stages are one per-user sequence window
+    * and one (src, dst) count reduction; the chain itself — the
+    * transition matrix, the (removed × state) value-iteration
+    * tables — is channels²-bounded, so the 8 iteration joins touch
+    * bounded broadcast tables only.
+    */
+  def markovAttribution(df: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, convType: String = "purchase",
+                        iters: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val START = "__start__"; val CONV = "__conv__"; val NULLS = "__null__"
+    val NONE = "__none__"
+    val w = Window.partitionBy("__u").orderBy("__ts", "__t")
+    // keep rows with no conversion strictly earlier in sequence order:
+    // all channels before the first conv, plus the first conv row
+    val seq0 = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).as("__ts"))
+      .withColumn("__pc", coalesce(sum(
+        when(col("__t") === convType, 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("__pc") === 0L)
+      .withColumn("__state",
+        when(col("__t") === convType, CONV).otherwise(col("__t")))
+    val seq = seq0.localCheckpoint()
+    val pairs = seq
+      .withColumn("__prevs", lag("__state", 1).over(w))
+      .select(coalesce(col("__prevs"), lit(START)).as("src"),
+        col("__state").as("dst"))
+    val terminals = seq
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__u").orderBy(desc("__ts"), desc("__t"))))
+      .where(col("__rn") === 1 && col("__state") =!= CONV)
+      .select(col("__state").as("src"), lit(NULLS).as("dst"))
+    val trans = pairs.union(terminals)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val outTot = trans.groupBy("src").agg(sum("cnt").as("tot"))
+    val p = broadcast(trans.join(outTot, "src")
+      .select(col("src"), col("dst"),
+        expr("CAST((1000000 * cnt) div tot AS BIGINT)").as("p_ppm"))
+      .localCheckpoint())
+    val channels = trans.select(col("src").as("ch"))
+      .union(trans.select(col("dst").as("ch")))
+      .where(!col("ch").isin(START, CONV, NULLS))
+      .distinct().localCheckpoint()
+    val removedDim = channels.select(col("ch").as("removed"))
+      .union(channels.sparkSession.range(1).select(lit(NONE).as("removed")))
+    val convRows = broadcast(removedDim)
+      .crossJoin(channels.sparkSession.range(1)
+        .select(lit(CONV).as("state"), lit(1000000L).as("r")))
+      .select("removed", "state", "r")
+    var r = convRows
+    for (_ <- 1 to iters) {
+      val step = r.join(p, r("state") === p("dst"))
+        .where(p("src") =!= r("removed") && p("dst") =!= r("removed"))
+        .groupBy(col("removed"), col("src").as("state"))
+        .agg(expr("CAST(sum(p_ppm * r) div 1000000 AS BIGINT)").as("r"))
+        .where(col("state") =!= CONV)
+      r = step.union(convRows).localCheckpoint()
+    }
+    val reach = r.where(col("state") === START)
+      .select(col("removed"), col("r").as("reach_ppm"))
+    val full = broadcast(reach.where(col("removed") === NONE)
+      .select(col("reach_ppm").as("reach_full_ppm")))
+    // a removal can disconnect __start__ entirely (no surviving
+    // outgoing edge) — that channel then has NO reach row; it carried
+    // every path, reach_removed = 0
+    val effects = channels.select(col("ch").as("channel"))
+      .join(reach.withColumnRenamed("removed", "channel"), Seq("channel"),
+        "left")
+      .na.fill(0L, Seq("reach_ppm"))
+      .crossJoin(full)
+      .select(col("channel"), col("reach_full_ppm"),
+        col("reach_ppm").as("reach_removed_ppm"),
+        greatest(col("reach_full_ppm") - col("reach_ppm"), lit(0L))
+          .as("effect_ppm"))
+    val totEffect = broadcast(effects.agg(
+      sum("effect_ppm").as("tot_effect")))
+    effects.crossJoin(totEffect)
+      .select(col("channel"), col("reach_full_ppm"),
+        col("reach_removed_ppm"), col("effect_ppm"),
+        expr("CAST((1000 * effect_ppm) div greatest(tot_effect, 1) " +
+          "AS BIGINT)").as("share_x1000"))
+  }
+
   def concurrencyCurve(df: DataFrame, userCol: String, tsCol: String,
                        idCol: String, gapSec: Long = 600L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -371,4 +371,29 @@ class DedupSpec extends SparkSpec {
         itemKey = graft.functions.HashFns.hash61).orderBy("id").collect().toSeq
     assert(mk(corpus) === mk(corpus.repartition(11)) && mk(corpus).nonEmpty)
   }
+
+  test("lshRetrievalEval: identical docs are perfect P/R; counts bound tp") {
+    import spark.implicits._
+    // three identical docs (3 exact pairs, every band collides) plus
+    // two unrelated docs (no shared shingles, below tau)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven"),
+      (5L, "red green blue cyan magenta yellow"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRetrievalEval(docs, "doc_id", "text",
+      tauX1000 = 200, numHashes = 32, bands = 8, shingleWidth = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_true") === 3L)
+    assert(r.getAs[Long]("tp") === 3L)
+    assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_pred"))
+    assert(r.getAs[Long]("recall_x1000") === 1000L)
+    // identical docs collide in every band and nothing else shares a
+    // shingle — retrieval is exact here
+    assert(r.getAs[Long]("n_pred") === 3L)
+    assert(r.getAs[Long]("precision_x1000") === 1000L)
+    assert(r.getAs[Long]("f1_x1000") === 1000L)
+  }
 }

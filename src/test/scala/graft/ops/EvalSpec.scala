@@ -75,6 +75,28 @@ class EvalSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("rocAucFromCounts ≡ batch rocAuc over accumulated micro-batches") {
+    // the (g, s) count table is additive: fold three "micro-batches"
+    // driver-side exactly as a foreachBatch monitor would, then the
+    // readback must be bit-identical to the batch operator on the union
+    val batches = Seq(
+      Seq(("g", 1L, false), ("g", 3L, true), ("h", 2L, true)),
+      Seq(("g", 3L, false), ("g", 2L, true), ("h", 1L, false)),
+      Seq(("g", 1L, true), ("h", 2L, false), ("h", 5L, true)))
+    val acc = scala.collection.mutable.Map[(String, Long), (Long, Long)]()
+    batches.foreach(_.foreach { case (g, s, p) =>
+      val (np, na) = acc.getOrElse((g, s), (0L, 0L))
+      acc((g, s)) = (np + (if (p) 1L else 0L), na + 1L)
+    })
+    val streamed = Eval.rocAucFromCounts(spark,
+        acc.toSeq.map { case ((g, s), (np, na)) => (g, s, np, na) }, "grp")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val batch = Eval.rocAuc(batches.flatten.toDF("grp", "score", "pos"),
+        "grp", "score", "pos")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("paretoFront2d keeps duplicated frontier points") {
     val df = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 20L, 5L), (4L, 5L, 1L))
       .toDF("id", "price", "sz")

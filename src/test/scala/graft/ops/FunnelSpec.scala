@@ -744,4 +744,72 @@ class FunnelSpec extends SparkSpec {
       ((n * sxx - sx * sx) * (n * syy - sy * sy)))
     assert(a.getAs[Long]("r2_x1e6") === r2)
   }
+
+  test("intervalCoverage merges overlapping TTL intervals per user") {
+    // ttl 600: user 1 events at 0s, 300s (merge), 2000s (new island);
+    // user 2 one event
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:05:00"),
+      (1L, "2024-01-01 00:33:20"), (2L, "2024-01-01 05:00:00"))
+      .toDF("user_id", "t")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"))
+    val out = graft.ops.Funnel.intervalCoverage(ev, "user_id", "ts",
+        ttlSec = 600L)
+      .orderBy("user_id").collect()
+    val u1 = out(0)
+    assert(u1.getAs[Long]("n_events") === 3L)
+    assert(u1.getAs[Long]("n_islands") === 2L)
+    // island 1 covers [0, 300+600) = 900s; island 2 covers 600s
+    assert(u1.getAs[Long]("covered_sec") === 1500L)
+    assert(u1.getAs[Long]("span_sec") === 2600L)
+    assert(u1.getAs[Long]("covered_x1000") === 1000L * 1500 / 2600)
+    val u2 = out(1)
+    assert(u2.getAs[Long]("n_islands") === 1L &&
+      u2.getAs[Long]("covered_sec") === 600L &&
+      u2.getAs[Long]("covered_x1000") === 1000L)
+  }
+
+  test("markovAttribution: hand chain with exact removal effects") {
+    // u1: a -> purchase; u2: a (no conv); u3: b -> purchase
+    // start->a 2/3, start->b 1/3; a->conv 1/2, a->null 1/2; b->conv 1
+    val ev = Seq(
+      (1L, "a", "2024-01-01 10:00:00"),
+      (1L, "purchase", "2024-01-01 10:01:00"),
+      (2L, "a", "2024-01-01 10:00:00"),
+      (3L, "b", "2024-01-01 10:00:00"),
+      (3L, "purchase", "2024-01-01 10:01:00"))
+      .toDF("user_id", "event_type", "t")
+      .select(col("user_id"), col("event_type"),
+        col("t").cast("timestamp").as("ts"))
+    val out = graft.ops.Funnel.markovAttribution(ev, "user_id",
+        "event_type", "ts", convType = "purchase", iters = 8)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("reach_full_ppm"),
+        r.getAs[Long]("reach_removed_ppm"), r.getAs[Long]("effect_ppm"),
+        r.getAs[Long]("share_x1000")))
+    // full reach: (666666*500000 + 333333*1000000) div 1e6 = 666666
+    // remove a: start->b path only = 333333; remove b: a path = 333333
+    assert(out.toSeq === Seq(
+      ("a", 666666L, 333333L, 333333L, 500L),
+      ("b", 666666L, 333333L, 333333L, 500L)))
+  }
+
+  test("markovAttribution truncates journeys at the first conversion") {
+    // u1 touches a AFTER converting via b — the post-conv a must not
+    // appear in the chain at all
+    val ev = Seq(
+      (1L, "b", "2024-01-01 10:00:00"),
+      (1L, "purchase", "2024-01-01 10:01:00"),
+      (1L, "a", "2024-01-01 10:02:00"))
+      .toDF("user_id", "event_type", "t")
+      .select(col("user_id"), col("event_type"),
+        col("t").cast("timestamp").as("ts"))
+    val out = graft.ops.Funnel.markovAttribution(ev, "user_id",
+        "event_type", "ts", convType = "purchase", iters = 8)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("b"))
+    assert(out.head.getAs[Long]("reach_full_ppm") === 1000000L)
+    assert(out.head.getAs[Long]("reach_removed_ppm") === 0L)
+    assert(out.head.getAs[Long]("share_x1000") === 1000L)
+  }
 }
