@@ -535,6 +535,13 @@ object OracleSql {
     "q248_lsh_eval" -> Gen.lshEvalSql,
     "q249_interval_coverage" -> Gen.intervalCoverageSql,
     "q250_markov_attribution" -> Gen.markovAttributionSql(),
+    "q251_record_linkage" -> Gen.recordLinkageSql,
+    "q252_negative_sample" -> Gen.negativeSampleSql,
+    "q253_sequence_surprisal" -> Gen.sequenceSurprisalSql,
+    "q254_kn_next_word" -> Gen.knNextWordSql,
+    "q255_source_tfidf_cosine" -> Gen.sourceTfidfCosineSql,
+    "q256_nb_auc" -> Gen.nbAucSql,
+    "q257_growth_accounting" -> Gen.growthAccountingSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5529,14 +5536,14 @@ object OracleSql {
       * the same ordered pair join, the same (10⁶·dy)//dx micro-slope
       * quantization and the same lower-median rank pick.
       */
-    /** Twin of q248_lsh_eval: the q34 bucket-candidate CTEs (2-word
-      * shingles) against the exact hashed-set Jaccard ≥ 0.2 pairs —
+    /** Twin of q248_lsh_eval: the q34 bucket-candidate CTEs (3-word
+      * shingles) against the exact hashed-set Jaccard ≥ 0.6 pairs —
       * the truth side is the plain definition (the Spark side's
       * prefix filter is plan-level, complete by the All-Pairs
       * theorem), PRF via the q179 integer conventions.
       */
     def lshEvalSql: String =
-      minhashBucketCtes(2) + s""",
+      minhashBucketCtes(3) + s""",
         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |  FROM buckets a JOIN buckets b
         |    ON a.band = b.band AND a.band_hash = b.band_hash
@@ -5547,7 +5554,7 @@ object OracleSql {
         |tr AS (SELECT a.id AS id_a, b.id AS id_b
         |  FROM sz a JOIN sz b ON a.id < b.id
         |  WHERE 1000 * len(list_intersect(a.ts, b.ts))
-        |    >= 200 * (a.n + b.n - len(list_intersect(a.ts, b.ts)))),
+        |    >= 600 * (a.n + b.n - len(list_intersect(a.ts, b.ts)))),
         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM cand),
         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tr),
         |tpp AS (SELECT CAST(count(*) AS BIGINT) AS tp
@@ -5663,6 +5670,243 @@ object OracleSql {
          |  CAST((1000 * effect_ppm) // greatest(tot_effect, 1) AS BIGINT)
          |    AS share_x1000
          |FROM eff CROSS JOIN te ORDER BY channel""".stripMargin
+    }
+
+    /** Twin of q251_record_linkage: same nation blocks, same derived
+      * equality keys, same exact Σp² u-ppm, same eighth-bit log2
+      * weights (L shared verbatim via divOp) and the same top-50
+      * (score, id) order.
+      */
+    def recordLinkageSql: String = {
+      def L(e: String) = graft.ops.TextStats.log2E8Sql(e, "//")
+      def fieldTerm(ka: String, kb: String, mPpm: Long, uCol: String) =
+        s"CASE WHEN $ka = $kb " +
+          s"THEN ${L(s"CAST($mPpm AS BIGINT)")} - ${L(uCol)} " +
+          s"ELSE ${L(s"CAST(${1000000L - mPpm} AS BIGINT)")} - " +
+          s"${L(s"greatest(1000000 - $uCol, 1)")} END"
+      def uCte(key: String, alias: String) =
+        s"""$alias AS (SELECT greatest(CAST((1000000 * s2)
+           |    // (CAST(nn AS HUGEINT) * nn) AS BIGINT), 1) AS u_$alias
+           |  FROM (SELECT sum(CAST(cc AS HUGEINT) * cc) AS s2
+           |        FROM (SELECT count(*) AS cc FROM c GROUP BY $key) x) y
+           |  CROSS JOIN n)""".stripMargin
+      s"""WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+         |        right(c_name, 2) AS ph,
+         |        CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal
+         |      FROM customer),
+         |a AS (SELECT * FROM c WHERE c_custkey % 2 = 0),
+         |b AS (SELECT * FROM c WHERE c_custkey % 2 = 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c),
+         |${uCte("ph", "phx")},
+         |${uCte("bal", "balx")},
+         |${uCte("c_mktsegment", "segx")},
+         |u AS (SELECT u_phx, u_balx, u_segx
+         |      FROM phx CROSS JOIN balx CROSS JOIN segx),
+         |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |        a.ph = b.ph AS agree_name2,
+         |        a.bal = b.bal AS agree_bal,
+         |        a.c_mktsegment = b.c_mktsegment AS agree_seg,
+         |        CAST(${fieldTerm("a.ph", "b.ph", 950000L, "u_phx")}
+         |          + ${fieldTerm("a.bal", "b.bal", 900000L, "u_balx")}
+         |          + ${fieldTerm("a.c_mktsegment", "b.c_mktsegment",
+                850000L, "u_segx")} AS BIGINT) AS score_e8
+         |      FROM a JOIN b ON a.c_nationkey = b.c_nationkey
+         |      CROSS JOIN u),
+         |t AS (SELECT * FROM p ORDER BY score_e8 DESC, id_a, id_b
+         |      LIMIT 50)
+         |SELECT id_a, id_b, agree_name2, agree_bal, agree_seg, score_e8,
+         |  CAST(row_number() OVER (ORDER BY score_e8 DESC, id_a, id_b)
+         |    AS BIGINT) AS "rank"
+         |FROM t ORDER BY "rank"""".stripMargin
+    }
+
+    /** Twin of q252_negative_sample: same hash61 slot proposals over
+      * the same "user#slot" strings, same item-existence join, same
+      * NOT-EXISTS interaction screen, same lowest-slot dedup and
+      * first-k rank.
+      */
+    def negativeSampleSql: String =
+      s"""WITH inter AS (SELECT DISTINCT o_custkey AS u,
+         |        CAST(l_partkey AS BIGINT) AS itm
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |us AS (SELECT DISTINCT u FROM inter),
+         |mx AS (SELECT CAST(max(p_partkey) AS BIGINT) AS mxi FROM part),
+         |sl AS (SELECT u, unnest(range(0, 9)) AS slot FROM us),
+         |cand AS (SELECT u, slot,
+         |    (${duckHash61("concat_ws('#', CAST(u AS VARCHAR), " +
+                "CAST(slot AS VARCHAR))")} % mxi) + 1 AS cand
+         |  FROM sl CROSS JOIN mx),
+         |ex AS (SELECT cand.u, cand.slot, cand.cand FROM cand
+         |       JOIN part ON part.p_partkey = cand.cand),
+         |fresh AS (SELECT * FROM ex WHERE NOT EXISTS (
+         |            SELECT 1 FROM inter
+         |            WHERE inter.u = ex.u AND inter.itm = ex.cand)),
+         |d1 AS (SELECT *, row_number() OVER (PARTITION BY u, cand
+         |         ORDER BY slot) AS fi FROM fresh),
+         |d2 AS (SELECT *, row_number() OVER (PARTITION BY u
+         |         ORDER BY slot) AS rnk FROM d1 WHERE fi = 1)
+         |SELECT u AS o_custkey, CAST(rnk AS BIGINT) AS "rank",
+         |  cand AS neg_l_partkey
+         |FROM d2 WHERE rnk <= 3 ORDER BY o_custkey, "rank"""".stripMargin
+
+    /** Twin of q254_kn_next_word: the q236 twin's count CTEs and the
+      * SAME ×2^20 KN rational, restricted to the top-20 contexts and
+      * ranked per context by (q, w2).
+      */
+    def knNextWordSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+         |          unnest(${shinglesE("w", 2)}) AS bg
+         |        FROM wd WHERE len(w) >= 2),
+         |c2 AS (SELECT w1, bg, CAST(count(*) AS BIGINT) AS c2
+         |       FROM bgl GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |         CAST(count(*) AS BIGINT) AS n1w1 FROM c2 GROUP BY w1),
+         |nc AS (SELECT split_part(bg, ' ', 2) AS w2,
+         |         CAST(count(*) AS BIGINT) AS ncw2 FROM c2 GROUP BY 1),
+         |ntt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c2),
+         |top AS (SELECT w1, c1, n1w1 FROM c1
+         |        ORDER BY c1 DESC, w1 LIMIT 20),
+         |sc AS (SELECT c2.w1, split_part(c2.bg, ' ', 2) AS w2,
+         |         CAST(least(greatest(
+         |           (CAST(4 AS HUGEINT) * top.c1 * ntt.nt * ${1L << shift})
+         |             // (CAST(greatest(4 * c2.c2 - 3, 0) AS HUGEINT)
+         |                  * ntt.nt
+         |                + CAST(3 AS HUGEINT) * top.n1w1 * nc.ncw2),
+         |           CAST(${1L << shift} AS BIGINT)),
+         |           CAST(${1L << 62} AS BIGINT)) AS BIGINT) AS q
+         |       FROM c2 JOIN top ON top.w1 = c2.w1
+         |       JOIN nc ON nc.w2 = split_part(c2.bg, ' ', 2)
+         |       CROSS JOIN ntt),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY w1
+         |        ORDER BY q, w2) AS rnk FROM sc)
+         |SELECT w1 AS context, CAST(rnk AS BIGINT) AS "rank",
+         |  w2 AS next_word,
+         |  CAST((($m8 - ${8 * shift}) * 10) // 8 AS BIGINT) AS kn_bits_x10
+         |FROM r WHERE rnk <= 3 ORDER BY context, "rank"""".stripMargin
+    }
+
+    /** Twin of q255_source_tfidf_cosine: same (group, word) counts,
+      * same eighth-bit idf, same HUGEINT dot/norms, same one-float
+      * cosine rounding.
+      */
+    def sourceTfidfCosineSql: String = {
+      def L(e: String) = graft.ops.TextStats.log2E8Sql(e, "//")
+      s"""WITH tk AS (SELECT source AS g, unnest(${tokensE("text")}) AS w
+         |      FROM documents),
+         |tf AS (SELECT g, w, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |       GROUP BY 1, 2),
+         |dfw AS (SELECT w, CAST(count(*) AS BIGINT) AS dfw FROM tf
+         |        GROUP BY 1),
+         |ngt AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS ng FROM tf),
+         |wg AS (SELECT g, w,
+         |         CAST(tf * (${L("ng + 1")} - ${L("dfw")}) AS BIGINT) AS wt
+         |       FROM tf JOIN dfw USING (w) CROSS JOIN ngt),
+         |nrm AS (SELECT g, sum(CAST(wt AS HUGEINT) * wt) AS n2 FROM wg
+         |        GROUP BY 1),
+         |d AS (SELECT a.g AS ga, b.g AS gb,
+         |        CAST(count(*) AS BIGINT) AS n_common,
+         |        sum(CAST(a.wt AS HUGEINT) * b.wt) AS dot
+         |      FROM wg a JOIN wg b ON a.w = b.w AND a.g < b.g
+         |      GROUP BY 1, 2)
+         |SELECT ga AS group_a, gb AS group_b, n_common,
+         |  CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(round(CAST(dot AS DOUBLE) * 1000000 /
+         |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+         |    AS BIGINT) END AS cos_x1e6
+         |FROM d JOIN nrm na ON na.g = d.ga JOIN nrm nb ON nb.g = d.gb
+         |ORDER BY group_a, group_b""".stripMargin
+    }
+
+    /** Twin of q256_nb_auc: the full NB scoring twin (q212's wrap)
+      * under the q241 midrank-AUC arithmetic, grouped by true
+      * language with the same margin binning.
+      */
+    def nbAucSql: String =
+      s"""WITH scored AS ($nbClassifierSql),
+         |cb AS (SELECT lang AS g, least(margin_e8 // 2, 10) AS s,
+         |        CASE WHEN lang = pred THEN 1 ELSE 0 END AS ok
+         |      FROM scored),
+         |c AS (SELECT g, s, CAST(sum(ok) AS BIGINT) AS n_pos_s,
+         |        CAST(count(*) AS BIGINT) AS n_at
+         |      FROM cb GROUP BY 1, 2),
+         |w AS (SELECT *, coalesce(sum(n_at) OVER (PARTITION BY g ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0) AS below FROM c),
+         |a AS (SELECT g, CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+         |        CAST(sum(n_at - n_pos_s) AS BIGINT) AS n_neg,
+         |        sum(CAST(n_pos_s AS HUGEINT) * (2 * below + n_at + 1)) AS s2
+         |      FROM w GROUP BY g)
+         |SELECT g AS lang, n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
+         |  ELSE CAST((1000000 * (s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)))
+         |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS auc_x1e6
+         |FROM a ORDER BY lang""".stripMargin
+
+    /** Twin of q257_growth_accounting: same (user, week) distinct
+      * reduction, same first-week assignment, same adjacent-week
+      * full-outer flags and the same week ∪ week+7 grid.
+      */
+    def growthAccountingSql: String =
+      s"""WITH uw AS (SELECT DISTINCT user_id AS u,
+         |        date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+         |      FROM events),
+         |fw AS (SELECT u, min(w) AS fw FROM uw GROUP BY u),
+         |wk AS (SELECT DISTINCT w FROM uw),
+         |grid AS (SELECT w FROM wk
+         |         UNION SELECT w + INTERVAL 7 DAY FROM wk),
+         |cur AS (SELECT uw.u, uw.w, fw.fw FROM uw JOIN fw USING (u)),
+         |prv AS (SELECT u, w + INTERVAL 7 DAY AS w, 1 AS p FROM uw),
+         |fl AS (SELECT coalesce(cur.w, prv.w) AS w,
+         |         CASE WHEN cur.fw IS NOT NULL AND cur.fw = cur.w
+         |           THEN 1 ELSE 0 END AS is_new,
+         |         CASE WHEN cur.fw IS NOT NULL AND prv.p IS NOT NULL
+         |           AND cur.fw <> cur.w THEN 1 ELSE 0 END AS is_ret,
+         |         CASE WHEN cur.fw IS NOT NULL AND prv.p IS NULL
+         |           AND cur.fw <> cur.w THEN 1 ELSE 0 END AS is_res,
+         |         CASE WHEN cur.fw IS NULL AND prv.p IS NOT NULL
+         |           THEN 1 ELSE 0 END AS is_churn,
+         |         CASE WHEN cur.fw IS NOT NULL THEN 1 ELSE 0 END AS is_act
+         |       FROM cur FULL OUTER JOIN prv
+         |         ON prv.u = cur.u AND prv.w = cur.w),
+         |ag AS (SELECT w, CAST(sum(is_act) AS BIGINT) AS active,
+         |         CAST(sum(is_new) AS BIGINT) AS new_users,
+         |         CAST(sum(is_ret) AS BIGINT) AS retained,
+         |         CAST(sum(is_res) AS BIGINT) AS resurrected,
+         |         CAST(sum(is_churn) AS BIGINT) AS churned
+         |       FROM fl GROUP BY w)
+         |SELECT grid.w AS week, coalesce(active, 0) AS active,
+         |  coalesce(new_users, 0) AS new_users,
+         |  coalesce(retained, 0) AS retained,
+         |  coalesce(resurrected, 0) AS resurrected,
+         |  coalesce(churned, 0) AS churned
+         |FROM grid LEFT JOIN ag ON ag.w = grid.w
+         |ORDER BY week""".stripMargin
+
+    /** Twin of q253_sequence_surprisal: same lead pairs, same
+      * (a, b)/total counts, same eighth-bit L(tot) − L(cnt) surprisal
+      * and the same integer mean.
+      */
+    def sequenceSurprisalSql: String = {
+      def L(e: String) = graft.ops.TextStats.log2E8Sql(e, "//")
+      s"""WITH e AS (SELECT user_id AS u, event_type AS a,
+         |        CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+         |pr AS (SELECT u, a, lead(a) OVER (PARTITION BY u
+         |         ORDER BY ts, event_id) AS b FROM e),
+         |p2 AS (SELECT u, a, b FROM pr WHERE b IS NOT NULL),
+         |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM p2 GROUP BY 1, 2),
+         |t AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS tot FROM c
+         |      GROUP BY 1),
+         |sc AS (SELECT c.a, c.b,
+         |         CAST(${L("tot")} - ${L("cnt")} AS BIGINT) AS surp_e8
+         |       FROM c JOIN t USING (a))
+         |SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_trans,
+         |  CAST(sum(surp_e8) // count(*) AS BIGINT) AS surprisal_e8
+         |FROM p2 JOIN sc USING (a, b)
+         |GROUP BY u ORDER BY user_id""".stripMargin
     }
 
     /** Twin of q241_roc_auc: the same (group, score) count table,

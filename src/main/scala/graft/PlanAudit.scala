@@ -227,7 +227,22 @@ object PlanAudit {
     // channels²-bounded chain tables: the (removed × state) value-
     // iteration rows, the ONE-row full-reach and total-effect
     // scalars — all broadcast by design
-    "q250_markov_attribution")
+    "q250_markov_attribution",
+    // ONE-row u-weight vector (exact Σp² per field) broadcast under
+    // the blocked candidate pairs — broadcast scalars by design
+    "q251_record_linkage",
+    // ONE-row max-item id broadcast under the per-user slot explode —
+    // broadcast scalar by design
+    "q252_negative_sample",
+    // ONE-row bigram-type total (Nt) broadcast under the top-context
+    // scoring rows — q236's broadcast-scalar shape
+    "q254_kn_next_word",
+    // ONE-row group count broadcast into the idf projection —
+    // broadcast scalar by design
+    "q255_source_tfidf_cosine",
+    // q114's NB class-table scoring shape (q212's wrap) under the
+    // AUC count fold
+    "q256_nb_auc")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -291,7 +306,10 @@ object PlanAudit {
     "q243_pareto_front",
     // phrase rank window over the LIMIT-topN phrase table (5 rows by
     // parameter — the q170/q186 bounded-heap class)
-    "q247_phrase_search")
+    "q247_phrase_search",
+    // rank window over the LIMIT-topK scored-pair table (50 rows by
+    // parameter — the q170/q247 bounded-heap class)
+    "q251_record_linkage")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

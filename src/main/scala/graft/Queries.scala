@@ -3689,14 +3689,15 @@ object Queries {
 
   /** LSH retrieval evaluation ([[graft.dedup.Dedup.lshRetrievalEval]]):
     * precision/recall/F1 of the q34 MinHash band-bucket candidate
-    * stage against the exact Jaccard-≥-0.2 ground truth from the
-    * q143 prefix-filtered join — the engine pricing its own
-    * approximation on a real corpus. One report row; the truth side
-    * never runs an all-pairs scan.
+    * stage against the exact Jaccard-≥-0.6 ground truth from the
+    * q143 prefix-filtered join (q143's exact regime: 3-shingles,
+    * τ=0.6 — at low τ the prefix filter keeps most keys and the
+    * truth join goes quadratic, the documented non-goal). One report
+    * row; the truth side never runs an all-pairs scan.
     */
   val q248_lsh_eval: Q = (s, d) =>
     Dedup.lshRetrievalEval(Tables.documents(s, d), "doc_id", "text",
-      tauX1000 = 200, numHashes = 32, bands = 8, shingleWidth = 2)
+      tauX1000 = 600, numHashes = 32, bands = 8, shingleWidth = 3)
 
   /** Merged-interval activity coverage per user
     * ([[graft.ops.Funnel.intervalCoverage]]): fixed-TTL event
@@ -3719,6 +3720,111 @@ object Queries {
     graft.ops.Funnel.markovAttribution(Tables.events(s, d), "user_id",
         "event_type", "ts", convType = "purchase", iters = 8)
       .orderBy("channel")
+
+  /** Fellegi–Sunter probabilistic record linkage
+    * ([[graft.dedup.Linkage.fellegiSunter]], JASA 1969): even/odd
+    * customer halves as two CRM extracts, nation-blocked candidates,
+    * agreement on name-last-2 / $1000 balance band / market
+    * segment; u-probabilities EXACT from the value distributions
+    * (Σp² in ppm), m as the standard no-training literals, weights
+    * in eighth-bit integer log2 — top-50 scored pairs.
+    */
+  val q251_record_linkage: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val a = c.where(pmod(col("c_custkey"), lit(2L)) === 0L)
+    val b = c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
+    import graft.dedup.Linkage
+    Linkage.fellegiSunter(a, b, "c_custkey",
+        blockKey = col("c_nationkey"),
+        fields = Seq(
+          Linkage.LinkField("name2", expr("right(c_name, 2)"), 950000L),
+          Linkage.LinkField("bal",
+            expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"),
+            900000L),
+          Linkage.LinkField("seg", col("c_mktsegment"), 850000L)),
+        topK = 50)
+      .orderBy("rank")
+  }
+
+  /** Deterministic negative sampling
+    * ([[graft.ops.Mixture.negativeSample]]): 3 hash-drawn
+    * never-purchased parts per customer from the real order baskets
+    * — the contrastive-training counterpart of q134's
+    * hard-negatives; candidate slots by hash61, keyed joins only,
+    * one-row max-item broadcast.
+    */
+  val q252_negative_sample: Q = (s, d) => {
+    val inter = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    Mixture.negativeSample(inter, "o_custkey", "l_partkey",
+        Tables.part(s, d), "p_partkey", k = 3, oversample = 3)
+      .orderBy("o_custkey", "rank")
+  }
+
+  /** Per-user behavioral surprisal
+    * ([[graft.ops.Funnel.sequenceSurprisal]]): mean −log2 p of the
+    * user's event-type transitions under the corpus's own q202
+    * chain — bots walk common loops and score low, broken clients
+    * hit rare edges and score high; q106's LM-surprisal instinct on
+    * behavior, same eighth-bit integer log surface.
+    */
+  val q253_sequence_surprisal: Q = (s, d) =>
+    graft.ops.Funnel.sequenceSurprisal(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")
+      .orderBy("user_id")
+
+  /** Kneser–Ney next-word prediction
+    * ([[graft.ops.TextStats.knNextWord]]): top-3 next words for the
+    * 20 most frequent contexts, ranked by the q236 model's exact
+    * integer inverse-probability — the LM-serving readback of the
+    * trained counts; vocab²-bounded tables, N-bounded rank windows.
+    */
+  val q254_kn_next_word: Q = (s, d) =>
+    TextStats.knNextWord(Tables.documents(s, d), "doc_id", "text",
+        topContexts = 20, topK = 3)
+      .orderBy("context", "rank")
+
+  /** Pairwise source TF-IDF cosine
+    * ([[graft.ops.TextStats.sourceTfidfCosine]]): the weighted
+    * companion to q238's vocabulary Jaccard — eighth-bit integer
+    * idf, exact DECIMAL dot/norms, one final float rounding per
+    * pair; groups²-bounded output.
+    */
+  val q255_source_tfidf_cosine: Q = (s, d) =>
+    TextStats.sourceTfidfCosine(Tables.documents(s, d), "source", "text")
+      .orderBy("group_a", "group_b")
+
+  /** NB confidence AUC per language ([[graft.ops.Eval.rocAuc]] over
+    * the q212 holdout scores): does the classifier's margin RANK
+    * correct predictions above wrong ones — the threshold-free
+    * companion to q212's calibration bins (q212 asks "is 80%
+    * confidence 80% right", this asks "is higher confidence more
+    * right at all"); same margin binning, same holdout split.
+    */
+  val q256_nb_auc: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = graft.ops.NaiveBayes.trainScore(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(5)) === 0),
+      "lang", "doc_id", "text", Seq("lang"))
+    graft.ops.Eval.rocAuc(
+      scored.select(col("lang"),
+        expr("least(margin_e8 div 2, CAST(10 AS BIGINT))").as("conf_bin"),
+        (col("lang") === col("pred")).as("ok")),
+      "lang", "conf_bin", "ok")
+      .orderBy("lang")
+  }
+
+  /** Weekly growth accounting
+    * ([[graft.ops.Funnel.growthAccounting]]): the active-user bridge
+    * — new / retained / resurrected / churned per week with the
+    * active = new + retained + resurrected identity; one (user,
+    * week) distinct reduction, week-keyed joins only.
+    */
+  val q257_growth_accounting: Q = (s, d) =>
+    graft.ops.Funnel.growthAccounting(Tables.events(s, d), "user_id", "ts")
+      .orderBy("week")
 
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
@@ -4152,5 +4258,12 @@ object Queries {
     "q247_phrase_search" -> q247_phrase_search,
     "q248_lsh_eval" -> q248_lsh_eval,
     "q249_interval_coverage" -> q249_interval_coverage,
-    "q250_markov_attribution" -> q250_markov_attribution)
+    "q250_markov_attribution" -> q250_markov_attribution,
+    "q251_record_linkage" -> q251_record_linkage,
+    "q252_negative_sample" -> q252_negative_sample,
+    "q253_sequence_surprisal" -> q253_sequence_surprisal,
+    "q254_kn_next_word" -> q254_kn_next_word,
+    "q255_source_tfidf_cosine" -> q255_source_tfidf_cosine,
+    "q256_nb_auc" -> q256_nb_auc,
+    "q257_growth_accounting" -> q257_growth_accounting)
 }

@@ -159,7 +159,14 @@ object ScaleRamp {
       "q233_revenue_trend", "q234_tone_detect",
       "q235_winsorized_stats", "q236_kn_surprisal",
       "q237_cluster_labels", "q238_vocab_jaccard",
-      "q239_source_outliers", "q240_brand_affinity")
+      "q239_source_outliers", "q240_brand_affinity",
+      "q241_roc_auc", "q242_ols_trend", "q243_pareto_front",
+      "q244_ab_test", "q245_script_mix", "q246_readability",
+      "q247_phrase_search", "q248_lsh_eval", "q249_interval_coverage",
+      "q250_markov_attribution", "q251_record_linkage",
+      "q252_negative_sample", "q253_sequence_surprisal",
+      "q254_kn_next_word", "q255_source_tfidf_cosine",
+      "q256_nb_auc", "q257_growth_accounting")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -214,18 +214,27 @@ object Dedup {
     * (n_pred, n_true, tp, precision_x1000, recall_x1000, f1_x1000) —
     * the q179 integer PRF conventions (F1 = 2000·tp div (pred+true)).
     *
-    * Scale shape: the bucket self-join shuffles on (band, band_hash);
-    * the exact join bounds candidates by prefix+length filters; the
-    * three one-row totals broadcast into the final projection.
+    * Scale shape: the bucket self-join shuffles on (band, band_hash)
+    * with [[graft.ops.Scale.cappedBucketJoin]]'s opt-in hot-bucket
+    * valve (`bucketCap`/`maxBucket` — exact-dup families collide in
+    * every band, the [[minhashNearDupPairs]] caveat); the exact join
+    * bounds candidates by prefix+length filters (keep τ ≥ ~0.5: at
+    * low τ the prefix filter keeps most keys and the truth side goes
+    * quadratic); the three one-row totals broadcast into the final
+    * projection.
     */
   def lshRetrievalEval(df: DataFrame, idCol: String, textCol: String,
-                       tauX1000: Int = 200, numHashes: Int = 32,
-                       bands: Int = 8, shingleWidth: Int = 2): DataFrame = {
+                       tauX1000: Int = 600, numHashes: Int = 32,
+                       bands: Int = 8, shingleWidth: Int = 3,
+                       bucketCap: Int = Int.MaxValue,
+                       maxBucket: Long = Long.MaxValue): DataFrame = {
     val buckets = minhashBuckets(df, idCol, textCol, numHashes, bands,
       shingleWidth)
-    val pred = buckets.select(col("id").as("id_a"), col("band"), col("band_hash"))
-      .join(buckets.select(col("id").as("id_b"), col("band"), col("band_hash")),
-        Seq("band", "band_hash"))
+    val pred = Scale.cappedBucketJoin(
+        buckets.select(col("id").as("id_a"), col("band"), col("band_hash")),
+        buckets.select(col("id").as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"), col("id_a"), col("id_b"),
+        bucketCap, maxBucket)
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val truth = setSimJoin(df, idCol,

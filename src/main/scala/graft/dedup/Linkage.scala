@@ -1,0 +1,116 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage — Fellegi & Sunter (JASA 1969), the
+  * canonical framework behind every entity-resolution system: candidate
+  * pairs from blocking, a field-agreement vector γ per pair, and the
+  * match score Σᵢ log(mᵢ/uᵢ) over agreeing fields plus
+  * Σᵢ log((1−mᵢ)/(1−uᵢ)) over disagreeing ones, where mᵢ = P(agree |
+  * match) and uᵢ = P(agree | non-match).
+  *
+  * Determinism/exactness conventions of this engine:
+  *  - uᵢ is computed EXACTLY from the data as the chance-agreement
+  *    probability Σᵥ pᵥ² of the field's value distribution (the
+  *    standard u estimate when non-matches dominate random pairs),
+  *    in exact ppm through DECIMAL(38);
+  *  - mᵢ are caller-supplied ppm literals (the no-training-data
+  *    convention; EM fitting would be nondeterministic);
+  *  - logs are [[graft.ops.TextStats.log2E8Sql]] eighth-bit integer
+  *    log2 — score_e8 = Σ (L(m) − L(u)) or (L(1e6−m) − L(1e6−u)),
+  *    shared verbatim with the DuckDB twin.
+  *
+  * Reference scope note: kpipe has no entity-resolution surface; this
+  * is part of the training-data-pipeline extension family (cross-source
+  * identity dedup before corpus mixing).
+  */
+object Linkage {
+
+  /** One comparison field: a derived EQUALITY key (blocking-free
+    * fields like "phone area code" or "balance $10 band") plus its
+    * assumed m ppm.
+    */
+  case class LinkField(name: String, key: Column, mPpm: Long)
+
+  /** Score candidate pairs A×B (two sides of a split, e.g. two CRM
+    * extracts) under Fellegi–Sunter with exact-u weights.
+    *
+    * Candidates come from equality on `blockKey` — at corpus scale
+    * the caller picks a key whose blocks are bounded (the
+    * within-block pair stage is inherently quadratic; `maxBlock`
+    * drops oversized blocks like the fuzzy-match maxDf valve, opt-in
+    * so the default stays exact).
+    *
+    * Output: top `topK` pairs by score with the per-field agreement
+    * bits — (id_a, id_b, agree_<field>..., score_e8, rank).
+    *
+    * Scale shape: u-weights are per-field value-frequency
+    * aggregations (ONE pass each over the union, output bounded by
+    * the field domain, folded to a ONE-row weight vector that
+    * broadcasts); candidates shuffle on the block key only; the
+    * final top-K is a bounded-heap TakeOrdered + a K-row rank
+    * window.
+    */
+  def fellegiSunter(dfA: DataFrame, dfB: DataFrame, idCol: String,
+                    blockKey: Column, fields: Seq[LinkField],
+                    topK: Int = 50,
+                    maxBlock: Long = Long.MaxValue): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    def proj(df: DataFrame, prefix: String): DataFrame =
+      df.select(Seq(col(idCol), blockKey.as("__blk")) ++
+        fields.map(f => f.key.as(s"${prefix}${f.name}")): _*)
+    val both = proj(dfA, "__k_").unionByName(proj(dfB, "__k_"))
+    val n = both.agg(count(lit(1)).as("__n"))
+    // exact chance-agreement u_ppm per field: Σ cnt² · 1e6 div n²
+    // fold u AND both log-weights into the ONE-row vector here, so the
+    // per-pair score is a constant pick (the 43-branch eighth-bit log
+    // CASE codegens once per field on one row, never per pair)
+    import graft.ops.TextStats.log2E8Sql
+    def L(e: String) = log2E8Sql(e)
+    val uCols = fields.map { f =>
+      both.groupBy(s"__k_${f.name}").agg(count(lit(1)).as("__c"))
+        .agg(sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__s2"))
+        .crossJoin(broadcast(n))
+        .select(expr("greatest(CAST((1000000 * __s2) div " +
+          "(CAST(__n AS DECIMAL(38,0)) * __n) AS BIGINT), 1)")
+          .as(s"u_${f.name}"))
+        .select(col(s"u_${f.name}"),
+          expr(s"${L(s"CAST(${f.mPpm} AS BIGINT)")} - ${L(s"u_${f.name}")}")
+            .as(s"wa_${f.name}"),
+          expr(s"${L(s"CAST(${1000000L - f.mPpm} AS BIGINT)")} - " +
+            s"${L(s"greatest(1000000 - u_${f.name}, 1)")}")
+            .as(s"wd_${f.name}"))
+    }
+    val u = broadcast(uCols.reduce(_.crossJoin(_)).localCheckpoint())
+    val a = dfA.select(Seq(col(idCol).as("id_a"), blockKey.as("__blk")) ++
+      fields.map(f => f.key.as(s"__ka_${f.name}")): _*)
+    val b = dfB.select(Seq(col(idCol).as("id_b"), blockKey.as("__blk")) ++
+      fields.map(f => f.key.as(s"__kb_${f.name}")): _*)
+    val blocked =
+      if (maxBlock == Long.MaxValue) a.join(b, Seq("__blk"))
+      else {
+        val sizes = a.groupBy("__blk").agg(count(lit(1)).as("__na"))
+          .join(b.groupBy("__blk").agg(count(lit(1)).as("__nb")), Seq("__blk"))
+          .where(col("__na") <= maxBlock && col("__nb") <= maxBlock)
+          .select("__blk")
+        a.join(broadcast(sizes), Seq("__blk")).join(b, Seq("__blk"))
+      }
+    val scored = blocked.crossJoin(u)
+      .select(Seq(col("id_a"), col("id_b")) ++
+        fields.map(f => (col(s"__ka_${f.name}") === col(s"__kb_${f.name}"))
+          .as(s"agree_${f.name}")) :+
+        fields.map { f =>
+          expr(s"CASE WHEN __ka_${f.name} = __kb_${f.name} " +
+            s"THEN wa_${f.name} ELSE wd_${f.name} END")
+        }.reduce(_ + _).as("score_e8"): _*)
+    val top = scored
+      .orderBy(desc("score_e8"), col("id_a"), col("id_b"))
+      .limit(topK)
+    // K-row rank window (bounded-heap output, the q170/q247 class)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(desc("score_e8"), col("id_a"), col("id_b")))
+      .cast("bigint"))
+  }
+}

@@ -1289,6 +1289,95 @@ object Funnel {
       pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pairs")))
   }
 
+  /** Weekly growth accounting — the standard active-user bridge
+    * (new / retained / resurrected / churned): with A_w the set of
+    * users active in week w and F(u) each user's first active week,
+    *
+    *   new_u         = |{u ∈ A_w : F(u) = w}|
+    *   retained      = |A_w ∩ A_{w−1}|
+    *   resurrected   = |A_w \ A_{w−1}| minus the new users
+    *   churned       = |A_{w−1} \ A_w|  (reported against week w)
+    *
+    * and the identity active = new + retained + resurrected holds
+    * per row. Weeks are `date_trunc('week', ts)`; gap weeks (nobody
+    * active) still produce a churn row via the week grid.
+    *
+    * Scale shape: ONE (user, week) distinct reduction, a per-user
+    * min-week aggregation, and self/grid joins on the week key —
+    * everything after the reduction is (users-per-week)-bounded,
+    * and the final report is weeks-bounded.
+    */
+  def growthAccounting(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val uw = df.select(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).as("w"))
+      .distinct().localCheckpoint()
+    val first = uw.groupBy("u").agg(min("w").as("fw"))
+    val weeks = uw.select("w").distinct()
+    val grid = weeks.union(
+        weeks.select(date_add(col("w"), 7).cast("timestamp").as("w")))
+      .distinct()
+    val cur = uw.join(first, "u")
+    val prev = uw.select(col("u"), date_add(col("w"), 7)
+      .cast("timestamp").as("w"), lit(1L).as("__p"))
+    val flags = cur.join(prev, Seq("u", "w"), "full_outer")
+      .select(col("w"),
+        when(col("fw").isNotNull && col("fw") === col("w"), 1L)
+          .otherwise(0L).as("is_new"),
+        when(col("fw").isNotNull && col("__p").isNotNull &&
+          col("fw") =!= col("w"), 1L).otherwise(0L).as("is_ret"),
+        when(col("fw").isNotNull && col("__p").isNull &&
+          col("fw") =!= col("w"), 1L).otherwise(0L).as("is_res"),
+        when(col("fw").isNull && col("__p").isNotNull, 1L)
+          .otherwise(0L).as("is_churn"),
+        when(col("fw").isNotNull, 1L).otherwise(0L).as("is_active"))
+      .groupBy("w")
+      .agg(sum("is_active").as("active"), sum("is_new").as("new_users"),
+        sum("is_ret").as("retained"), sum("is_res").as("resurrected"),
+        sum("is_churn").as("churned"))
+    grid.join(flags, Seq("w"), "left")
+      .na.fill(0L, Seq("active", "new_users", "retained", "resurrected",
+        "churned"))
+      .select(col("w").as("week"), col("active"), col("new_users"),
+        col("retained"), col("resurrected"), col("churned"))
+  }
+
+  /** Per-user sequence surprisal under the corpus's own first-order
+    * transition model — the anomalous-journey detector: each user's
+    * consecutive event-type transitions are scored by
+    * −log2 p(a→b) = L(out_total(a)) − L(count(a→b)) in eighth-bit
+    * integer log2 ([[graft.ops.TextStats.log2E8Sql]]), and the user
+    * gets the mean (surprisal_e8 = Σ div n). Bot sessions walk
+    * high-probability loops and score LOW; scripted scanners and
+    * broken clients hit rare transitions and score HIGH — same
+    * instinct as q106's text LM surprisal, applied to behavior.
+    *
+    * Scale shape: ONE per-user lead window + one (a, b) count
+    * reduction; the scored transition matrix is types²-bounded and
+    * broadcasts back onto the pair stream; one user-keyed fold.
+    */
+  def sequenceSurprisal(df: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String): DataFrame = {
+    import graft.ops.TextStats.log2E8Sql
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__ts"), col("__id"))
+    val pairs = df.select(col(userCol).as("__u"), col(typeCol).as("a"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+      .select(col("__u"), col("a"), lead("a", 1).over(w).as("b"))
+      .where(col("b").isNotNull)
+      .localCheckpoint()
+    val counts = pairs.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy("a").agg(sum("cnt").as("tot"))
+    val scoredTrans = broadcast(counts.join(tot, "a")
+      .select(col("a"), col("b"),
+        expr(s"${log2E8Sql("tot")} - ${log2E8Sql("cnt")}").as("surp_e8")))
+    pairs.join(scoredTrans, Seq("a", "b"))
+      .groupBy(col("__u").as(userCol))
+      .agg(count(lit(1)).as("n_trans"),
+        expr("CAST(sum(surp_e8) div count(1) AS BIGINT)")
+          .as("surprisal_e8"))
+  }
+
   /** The [[markovTransitions]] ppm step over an already-reduced
     * (a, b, n_pairs) table — the readback shared by the batch
     * operator and the streaming transition monitor (additive

@@ -290,4 +290,53 @@ object Mixture {
       .select(col(strataCol), col(idCol), col("rn").as("sample_rank"),
         col("n_s"), col("k_s"))
   }
+
+  /** Deterministic negative sampling for contrastive/recommender
+    * training: for every user in the interaction set, `k` items the
+    * user has NOT interacted with, drawn by hash instead of RNG
+    * (Mikolov-style negative sampling made reproducible). Each user
+    * gets `oversample` candidate slots; slot j proposes item id
+    * `hash61(user # j) mod maxItem + 1`, proposals join the item
+    * table (nonexistent ids drop out), anti-join the user's own
+    * interactions, dedupe per (user, item) keeping the lowest slot,
+    * and the first `k` surviving slots win. A user interacting with
+    * nearly every item can underfill — by design (no resample loop;
+    * raise `oversample`).
+    *
+    * Scale shape: no per-user item scan — candidates are k·oversample
+    * ROWS per user (a sequence explode), each resolved by one keyed
+    * equality join against items and one left-anti join against the
+    * distinct interaction pairs; the ONE-row max-item id broadcasts.
+    * The final rank window sees ≤ oversample rows per user.
+    */
+  def negativeSample(interactions: DataFrame, userCol: String,
+                     itemCol: String, items: DataFrame,
+                     itemIdCol: String, k: Int = 5,
+                     oversample: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = interactions.select(col(userCol).as("__u")).distinct()
+    val maxItem = items.agg(max(col(itemIdCol)).as("__max"))
+    val slots = users.crossJoin(broadcast(maxItem))
+      .select(col("__u"), explode(sequence(lit(0),
+        lit(k * oversample - 1))).as("__slot"), col("__max"))
+      .withColumn("__cand",
+        pmod(HashFns.hash61(concat_ws("#", col("__u"), col("__slot"))),
+          col("__max")) + 1L)
+    val existing = slots
+      .join(items.select(col(itemIdCol).cast("long").as("__cand")),
+        Seq("__cand"))
+    val pairs = interactions
+      .select(col(userCol).as("__u"), col(itemCol).cast("long").as("__cand"))
+      .distinct()
+    val fresh = existing.join(pairs, Seq("__u", "__cand"), "left_anti")
+    val wDup = Window.partitionBy("__u", "__cand").orderBy("__slot")
+    val wRank = Window.partitionBy("__u").orderBy("__slot")
+    fresh
+      .withColumn("__first", row_number().over(wDup))
+      .where(col("__first") === 1)
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("__u").as(userCol), col("rank"),
+        col("__cand").as(s"neg_$itemCol"))
+  }
 }

@@ -525,6 +525,55 @@ object TextStats {
         expr("(kn_surprisal_e8 * 10) div greatest(8 * n_bigrams, CAST(1 AS BIGINT))"))
   }
 
+  /** Kneser–Ney next-word prediction — the SERVING readback of the
+    * q236 model ([[knSurprisal]]'s count tables reused verbatim): for
+    * each of the `topContexts` most frequent left-contexts w1 (ties
+    * by word), the `topK` next words ranked by KN probability —
+    * equivalently by ascending integer inverse-probability q, the
+    * SAME ×2^20 rational [[knSurprisal]] scores with (no float
+    * anywhere, ties by word). Candidates are the OBSERVED (w1, w2)
+    * bigrams — the standard serving shortcut; unseen w2 fall to the
+    * continuation floor and cannot enter a top-k that has ≥ k
+    * observed candidates.
+    *
+    * Output: (context, rank, next_word, kn_bits_x10) with bits the
+    * eighth-bit Mitchell surprisal of the predicted bigram.
+    *
+    * Scale shape: one bigram count reduction (vocab²-bounded
+    * output), the context top-N via bounded heap, ranking windows
+    * partitioned by the N-bounded context set.
+    */
+  def knNextWord(df: DataFrame, idCol: String, textCol: String,
+                 topContexts: Int = 20, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = lmToks(df, idCol, textCol, Seq.empty)
+    val bg = lmBigramRows(toks)
+    val c2t = bg.groupBy("w1", "bg").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val c1t = c2t.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1w1"))
+    val ncw2 = c2t.select(substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("ncw2"))
+    val nt = c2t.agg(count(lit(1)).as("nt"))
+    val top = c1t.orderBy(desc("c1"), col("w1")).limit(topContexts)
+    val scored = c2t.join(broadcast(top), Seq("w1"))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ncw2, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .withColumn("q", expr(
+        s"CAST(least(greatest((CAST(4 AS DECIMAL(38,0)) * c1 * nt * ${1L << LmShift}) div " +
+          s"(CAST(greatest(4 * c2 - 3, 0) AS DECIMAL(38,0)) * nt " +
+          s"+ CAST(3 AS DECIMAL(38,0)) * n1w1 * ncw2), " +
+          s"CAST(${1L << LmShift} AS BIGINT)), CAST(${1L << 62} AS BIGINT)) AS BIGINT)"))
+    val w = Window.partitionBy("w1").orderBy(col("q"), col("w2"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= topK)
+      .withColumn("m8", expr(mitchellE8Sql("q")))
+      .select(col("w1").as("context"), col("rank"),
+        col("w2").as("next_word"),
+        expr(s"((m8 - ${8 * LmShift}) * 10) div 8").as("kn_bits_x10"))
+  }
+
   /** Token-blocklist gate (the C4 "bad words" filter, Raffel et al.
     * 2020 §2.2 — reference list public as badwords_en): per doc, how
     * many token occurrences hit the blocklist, how many DISTINCT
@@ -1354,6 +1403,52 @@ object TextStats {
         expr("(greatest(cl - coh_x1000, CAST(0 AS BIGINT)) + " +
           "greatest(cr - coh_x1000, CAST(0 AS BIGINT))) > 0 " +
           "AND coh_x1000 < (cs div cn)").as("is_boundary"))
+  }
+
+  /** Pairwise TF-IDF cosine between group vocab vectors — the
+    * WEIGHTED companion to [[vocabJaccard]]'s set overlap: each
+    * group becomes a vocabulary vector with components
+    * tf(g, w) · idf_e8(w), idf in eighth-bit integer log2
+    * (L(n_groups + 1) − L(df(w)) — a word in every group still gets
+    * a small positive weight), and every ordered group pair gets the
+    * cosine ×10⁶ (the q239 convention: exact integer dot and squared
+    * norms through DECIMAL(38), ONE final float rounding). Zero-norm
+    * groups report 0; pairs sharing NO vocabulary have no row (their
+    * cosine is 0 by definition — the inner word join IS the
+    * sparse-dot-product optimization).
+    *
+    * Scale shape: one (group, word) count reduction (vocab ×
+    * groups-bounded), a word-keyed pair join, groups²-bounded
+    * output; the ONE-row group count broadcasts into the idf.
+    */
+  def sourceTfidfCosine(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val tf = df.select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfw = tf.groupBy("w").agg(count(lit(1)).as("dfw"))
+    val ng = tf.select("g").distinct().agg(count(lit(1)).as("ng"))
+    val wgt = tf.join(dfw, "w").crossJoin(broadcast(ng))
+      .withColumn("wt", expr(
+        s"tf * (${log2E8Sql("ng + 1")} - ${log2E8Sql("dfw")})"))
+    val norms = wgt.groupBy("g")
+      .agg(sum(expr("CAST(wt AS DECIMAL(38,0)) * wt")).as("n2"))
+    val dots = wgt.select(col("g").as("ga"), col("w"), col("wt").as("wa"))
+      .join(wgt.select(col("g").as("gb"), col("w"), col("wt").as("wb")), "w")
+      .where(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("CAST(wa AS DECIMAL(38,0)) * wb")).as("dot"))
+    dots
+      .join(norms.select(col("g").as("ga"), col("n2").as("na2")), Seq("ga"))
+      .join(norms.select(col("g").as("gb"), col("n2").as("nb2")), Seq("gb"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_common"),
+        expr("CASE WHEN na2 = 0 OR nb2 = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(round(CAST(dot AS DOUBLE) * 1000000 / " +
+          "(sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))) " +
+          "AS BIGINT) END").as("cos_x1e6"))
   }
 
   /** Per-group character-class composition: letter / digit /

@@ -233,6 +233,78 @@ object Stateful {
   }
 
   // ------------------------------------------------------------------ //
+  // Streaming merged-interval coverage (keyed last-interval state)     //
+  // ------------------------------------------------------------------ //
+
+  final case class CoverageEvent(user: Long, ts: java.sql.Timestamp)
+  /** Last island's latest start + the accumulated report — 5 longs per
+    * user, never the event history.
+    */
+  final case class CoverageState(lastStartSec: Long, firstStartSec: Long,
+                                 islands: Long, coveredSec: Long,
+                                 nEvents: Long)
+  final case class CoverageUpdate(user: Long, n_events: Long,
+                                  n_islands: Long, covered_sec: Long,
+                                  span_sec: Long)
+
+  /** STREAMING form of [[graft.ops.Funnel.intervalCoverage]]: per
+    * user, the merged fixed-TTL interval report advanced
+    * incrementally — a new event either extends the current island
+    * (gap < ttl: covered += gap) or opens a new one (covered += ttl).
+    * Emits the updated per-user report each trigger that saw the
+    * user. Same micro-batch ordering semantics as [[funnelUpdates]]
+    * (in-batch event-time sort; bit-identical to batch under
+    * in-order cross-batch arrival — the user-keyed Kafka guarantee;
+    * the differential spec pins that case).
+    */
+  def coverageUpdates(ds: org.apache.spark.sql.Dataset[CoverageEvent],
+                      ttlSec: Long = 1800L,
+                      watermarkDelay: String = "10 seconds",
+                      stateTtlMs: Long = 3600L * 1000)
+      : org.apache.spark.sql.Dataset[CoverageUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[CoverageState, CoverageUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[CoverageEvent],
+         state: GroupState[CoverageState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(
+              CoverageState(Long.MinValue, Long.MinValue, 0L, 0L, 0L))
+            val evs = events.toArray.sortBy(_.ts.getTime)
+            var lastTs = 0L
+            evs.foreach { e =>
+              val s = math.floorDiv(e.ts.getTime, 1000L)
+              lastTs = math.max(lastTs, e.ts.getTime)
+              st =
+                if (st.islands == 0L)
+                  CoverageState(s, s, 1L, ttlSec, 1L)
+                else if (s - st.lastStartSec >= ttlSec)
+                  st.copy(lastStartSec = s, islands = st.islands + 1,
+                    coveredSec = st.coveredSec + ttlSec,
+                    nEvents = st.nEvents + 1)
+                else
+                  st.copy(lastStartSec = math.max(st.lastStartSec, s),
+                    coveredSec = st.coveredSec +
+                      math.max(s - st.lastStartSec, 0L),
+                    nEvents = st.nEvents + 1)
+            }
+            if (evs.nonEmpty) {
+              state.update(st)
+              state.setTimeoutTimestamp(lastTs + stateTtlMs)
+              Iterator(CoverageUpdate(user, st.nEvents, st.islands,
+                st.coveredSec,
+                st.lastStartSec - st.firstStartSec + ttlSec))
+            } else Iterator.empty
+          }
+      }
+  }
+
+  // ------------------------------------------------------------------ //
   // Streaming near-dup detection (SimHash LSH over keyed state)        //
   // ------------------------------------------------------------------ //
 

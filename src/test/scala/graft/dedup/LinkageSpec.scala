@@ -1,0 +1,62 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.ops.TextStats
+import org.apache.spark.sql.functions._
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  // eighth-bit log2 of a ppm value, the Scala mirror of the operator's
+  // log2E8Sql weights
+  private def L(n: Long): Long =
+    TextStats.mitchellE8Long(n * (1L << 20)) - 160L
+
+  test("fellegiSunter: exact u weights, agreement bits, score order") {
+    // one block; records 1/2 agree everywhere, 3 agrees with nobody
+    val a = Seq((1L, 1L, "1111", 5L, "X"), (3L, 1L, "2222", 6L, "Y"))
+      .toDF("id", "blk", "ph", "bal", "seg")
+    val b = Seq((2L, 1L, "1111", 5L, "X"), (4L, 2L, "3333", 7L, "Z"))
+      .toDF("id", "blk", "ph", "bal", "seg")
+    val out = Linkage.fellegiSunter(a, b, "id", col("blk"),
+        Seq(Linkage.LinkField("ph", col("ph"), 950000L),
+          Linkage.LinkField("bal", col("bal"), 900000L),
+          Linkage.LinkField("seg", col("seg"), 850000L)),
+        topK = 10)
+      .orderBy("rank").collect()
+    // block 1 candidate pairs: (1,2) and (3,2)
+    assert(out.length === 2)
+    val best = out(0)
+    assert(best.getAs[Long]("id_a") === 1L && best.getAs[Long]("id_b") === 2L)
+    assert(best.getAs[Boolean]("agree_ph") &&
+      best.getAs[Boolean]("agree_bal") && best.getAs[Boolean]("agree_seg"))
+    // u over the 4-record union: ph counts (2,1,1) -> 6e6/16 = 375000;
+    // bal counts (2,1,1) -> 375000; seg counts (2,1,1) -> 375000
+    val u = 375000L
+    val want = (L(950000L) - L(u)) + (L(900000L) - L(u)) +
+      (L(850000L) - L(u))
+    assert(best.getAs[Long]("score_e8") === want)
+    val worst = out(1)
+    assert(worst.getAs[Long]("id_a") === 3L)
+    assert(!worst.getAs[Boolean]("agree_ph"))
+    val wantWorst = (L(50000L) - L(1000000L - u)) +
+      (L(100000L) - L(1000000L - u)) + (L(150000L) - L(1000000L - u))
+    assert(worst.getAs[Long]("score_e8") === wantWorst)
+    assert(best.getAs[Long]("score_e8") > worst.getAs[Long]("score_e8"))
+  }
+
+  test("fellegiSunter maxBlock valve drops oversized blocks") {
+    val a = (1 to 20).map(i => (i.toLong, 1L, s"p$i")).toDF("id", "blk", "ph")
+    val b = (21 to 40).map(i => (i.toLong, 1L, s"p$i")).toDF("id", "blk", "ph")
+      .union(Seq((41L, 2L, "p1")).toDF("id", "blk", "ph"))
+    val aa = a.union(Seq((42L, 2L, "p1")).toDF("id", "blk", "ph"))
+    val out = Linkage.fellegiSunter(aa, b, "id", col("blk"),
+      Seq(Linkage.LinkField("ph", col("ph"), 900000L)),
+      topK = 100, maxBlock = 10)
+    // block 1 (20×21 sides) is dropped; only block 2's single pair survives
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("id_a") === 42L &&
+      rows.head.getAs[Long]("id_b") === 41L)
+  }
+}

@@ -745,6 +745,54 @@ class FunnelSpec extends SparkSpec {
     assert(a.getAs[Long]("r2_x1e6") === r2)
   }
 
+  test("sequenceSurprisal: rare transitions score high, common ones low") {
+    def L(n: Long): Long =
+      graft.ops.TextStats.mitchellE8Long(n * (1L << 20)) - 160L
+    // u1: a->b, b->a, a->b ; u2: a->a
+    // counts: (a,b)=2 (b,a)=1 (a,a)=1 ; totals: a=3, b=1
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L),
+      (2L, "a", 5L), (2L, "a", 6L))
+      .map { case (u, t, i) =>
+        (u, t, java.sql.Timestamp.valueOf(f"2024-01-01 10:0$i%d:00"), i)
+      }.toDF("user_id", "event_type", "ts", "event_id")
+    val out = graft.ops.Funnel.sequenceSurprisal(ev, "user_id",
+        "event_type", "ts", "event_id")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sAB = L(3) - L(2); val sBA = L(1) - L(1); val sAA = L(3) - L(1)
+    assert(out.toSeq === Seq(
+      (1L, 3L, (2 * sAB + sBA) / 3), (2L, 1L, sAA)))
+    // the rare a->a transition is more surprising than the common a->b
+    assert(sAA > sAB)
+  }
+
+  test("growthAccounting: bridge identity, resurrection, gap-week churn") {
+    // wk1 (2024-01-01 is a Monday): u1,u2,u3 all new
+    // wk2: u1 retained, u4 new; u2,u3 churn
+    // wk3: u3 resurrected; u1,u4 churn
+    // wk4 (grid-only): u3 churns
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00"), (2L, "2024-01-03 10:00:00"),
+      (3L, "2024-01-04 10:00:00"), (1L, "2024-01-09 10:00:00"),
+      (4L, "2024-01-10 10:00:00"), (3L, "2024-01-17 10:00:00"))
+      .toDF("user_id", "t")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"))
+    val out = graft.ops.Funnel.growthAccounting(ev, "user_id", "ts")
+      .orderBy("week").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 3L, 3L, 0L, 0L, 0L),
+      ("2024-01-08", 2L, 1L, 1L, 0L, 2L),
+      ("2024-01-15", 1L, 0L, 0L, 1L, 2L),
+      ("2024-01-22", 0L, 0L, 0L, 0L, 1L)))
+    // bridge identity on every row
+    out.foreach { case (_, act, nw, ret, res, _) =>
+      assert(act === nw + ret + res)
+    }
+  }
+
   test("intervalCoverage merges overlapping TTL intervals per user") {
     // ttl 600: user 1 events at 0s, 300s (merge), 2000s (new island);
     // user 2 one event

@@ -248,4 +248,31 @@ class MixtureSpec extends SparkSpec {
     assert(out.filter(_._1 == "A").map(_._2).toSet === expectA)
     assert(out.toSeq === run(df.repartition(7)).toSeq)
   }
+
+  test("negativeSample: never a positive, always a real item, deterministic") {
+    import spark.implicits._
+    val items = (1L to 10L).toDF("item_id")
+    // user 1 owns everything but 7; user 2 owns only 1
+    val inter = ((1L to 10L).filter(_ != 7).map(i => (1L, i)) ++
+      Seq((2L, 1L))).toDF("u", "item")
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Mixture.negativeSample(df, "u", "item", items, "item_id",
+        k = 3, oversample = 3)
+        .orderBy("u", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val out = run(inter)
+    val pos = inter.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (u, _, item) =>
+      assert(!pos.contains((u, item)), s"sampled a positive: $u -> $item")
+      assert(item >= 1L && item <= 10L)
+    }
+    // user 1 can only ever draw item 7 (deduped to one row)
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.forall(_._3 == 7L) && u1.size <= 1)
+    // user 2 has 9 candidates; 9 slots should find 3 distinct negatives
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2.map(_._2) === u2.indices.map(i => (i + 1).toLong))
+    assert(u2.map(_._3).distinct.size === u2.size && u2.size === 3)
+    assert(out === run(inter.repartition(5)))
+  }
 }

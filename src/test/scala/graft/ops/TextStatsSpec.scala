@@ -652,6 +652,47 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === run(docs.repartition(5)).toSeq)
   }
 
+  test("knNextWord ranks observed continuations by the exact KN rational") {
+    import spark.implicits._
+    // corpus "a b a b a c": c2 (a,ab)=2 (a,ac)=1 (b,ba)=2;
+    // c1: a=3 (n1w1=2), b=2 (n1w1=1); ncw2: b=1, a=1, c=1; nt=3
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = TextStats.knNextWord(docs, "doc_id", "text",
+        topContexts = 2, topK = 3)
+      .orderBy("context", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    def q(c1: Long, c2: Long, n1w1: Long, ncw2: Long, nt: Long): Long = {
+      val shift = TextStats.LmShift
+      val num = BigInt(4) * c1 * nt * (BigInt(1) << shift)
+      val den = BigInt((4 * c2 - 3).max(0)) * nt + BigInt(3) * n1w1 * ncw2
+      (num / den).toLong.max(1L << shift).min(1L << 62)
+    }
+    def bits(qv: Long): Long =
+      ((TextStats.mitchellE8Long(qv) - 8L * TextStats.LmShift) * 10) / 8
+    assert(out.toSeq === Seq(
+      ("a", 1L, "b", bits(q(3, 2, 2, 1, 3))),
+      ("a", 2L, "c", bits(q(3, 1, 2, 1, 3))),
+      ("b", 1L, "a", bits(q(2, 2, 1, 1, 3)))))
+    // higher-count continuation is less surprising
+    assert(out(0)._4 <= out(1)._4)
+  }
+
+  test("sourceTfidfCosine: identical sources cosine 1e6, disjoint absent") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "apple banana cherry"), ("s2", "apple banana cherry"),
+      ("s3", "dog emu fox"), ("s4", "apple dog zebra"))
+      .toDF("source", "text")
+    val out = TextStats.sourceTfidfCosine(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("cos_x1e6"))).toMap
+    assert(out(("s1", "s2")) === ((3L, 1000000L)))
+    assert(!out.contains(("s1", "s3"))) // disjoint vocab: no pair row
+    val (nc, cos) = out(("s3", "s4")) // share "dog"
+    assert(nc === 1L && cos > 0L && cos < 1000000L)
+  }
+
   test("charClassProfile counts every class and flags other-bearing docs") {
     import spark.implicits._
     val docs = Seq(

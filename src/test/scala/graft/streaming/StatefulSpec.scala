@@ -1403,4 +1403,47 @@ class StatefulSpec extends SparkSpec {
     // the spike flagged exactly once, in both forms
     assert(out.count(_.is_anomaly) === 1)
   }
+
+  test("streaming coverage ≡ batch intervalCoverage over in-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def cev(user: Long, hhmmss: String) = Stateful.CoverageEvent(user,
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hhmmss"))
+    // user 1: merge (0s, 300s), new island at 2000s; user 2 single.
+    // cross-batch event times must stay ahead of the watermark (the
+    // funnelUpdates spec's delivery discipline) — so batches advance
+    // in event time
+    val batch1 = Seq(cev(1, "00:00:00"))
+    val batch2 = Seq(cev(1, "00:05:00"))
+    val batch3 = Seq(cev(1, "00:33:20"), cev(2, "05:00:00"))
+    val stream = MemoryStream[Stateful.CoverageEvent]
+    val updates = mutable.Buffer.empty[Stateful.CoverageUpdate]
+    val q = Stateful.coverageUpdates(stream.toDS(), ttlSec = 600L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.CoverageUpdate], _: Long) =>
+        updates.synchronized { updates ++= df.collect() }
+        ()
+      }.start()
+    Seq(batch1, batch2, batch3).foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // final report per user from the stream (last update wins)
+    val streamed = updates.groupBy(_.user).map { case (u, us) =>
+      val last = us.maxBy(_.n_events)
+      u -> (last.n_events, last.n_islands, last.covered_sec, last.span_sec)
+    }
+    val all = (batch1 ++ batch2 ++ batch3).map(e => (e.user, e.ts))
+      .toDF("user_id", "ts")
+    val batch = graft.ops.Funnel
+      .intervalCoverage(all, "user_id", "ts", ttlSec = 600L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_islands"),
+          r.getAs[Long]("covered_sec"), r.getAs[Long]("span_sec"))).toMap
+    assert(streamed === batch)
+    assert(streamed(1L) === ((3L, 2L, 1500L, 2600L)))
+    // every trigger that saw a user emitted a row
+    assert(updates.count(_.user == 1L) === 3)
+  }
 }
