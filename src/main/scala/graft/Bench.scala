@@ -312,7 +312,9 @@ object Bench {
       "q250_markov_attribution", "q251_record_linkage",
       "q252_negative_sample", "q253_sequence_surprisal",
       "q254_kn_next_word", "q255_source_tfidf_cosine",
-      "q256_nb_auc", "q257_growth_accounting")
+      "q256_nb_auc", "q257_growth_accounting",
+      "q258_partition_agreement", "q259_woe_iv",
+      "q260_target_encode", "q261_bootstrap_ci")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -542,6 +542,10 @@ object OracleSql {
     "q255_source_tfidf_cosine" -> Gen.sourceTfidfCosineSql,
     "q256_nb_auc" -> Gen.nbAucSql,
     "q257_growth_accounting" -> Gen.growthAccountingSql,
+    "q258_partition_agreement" -> Gen.partitionAgreementSql,
+    "q259_woe_iv" -> Gen.woeIvSql,
+    "q260_target_encode" -> Gen.targetEncodeLooSql,
+    "q261_bootstrap_ci" -> Gen.bootstrapCiSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5884,6 +5888,138 @@ object OracleSql {
          |  coalesce(churned, 0) AS churned
          |FROM grid LEFT JOIN ag ON ag.w = grid.w
          |ORDER BY week""".stripMargin
+
+    /** Twin of q258_partition_agreement: same contingency reduction,
+      * same exact HUGEINT C(·,2) sums, the ARI float step shared
+      * VERBATIM (modulo `//` and HUGEINT for DECIMAL(38,0)).
+      */
+    def partitionAgreementSql: String =
+      s"""WITH cont AS (SELECT source AS a, lang AS b,
+         |        CAST(count(*) AS BIGINT) AS nij
+         |      FROM documents GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+         |        sum(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS sij
+         |      FROM cont),
+         |ma AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ai,
+         |        CAST(max(nij) AS BIGINT) AS tij FROM cont GROUP BY a),
+         |fa AS (SELECT CAST(count(*) AS BIGINT) AS k_a,
+         |        sum(CAST(ai AS HUGEINT) * (ai - 1) // 2) AS sa,
+         |        CAST(sum(tij) AS BIGINT) AS pure_a FROM ma),
+         |mb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS bj,
+         |        CAST(max(nij) AS BIGINT) AS tjb FROM cont GROUP BY b),
+         |fb AS (SELECT CAST(count(*) AS BIGINT) AS k_b,
+         |        sum(CAST(bj AS HUGEINT) * (bj - 1) // 2) AS sb,
+         |        CAST(sum(tjb) AS BIGINT) AS pure_b FROM mb),
+         |j AS (SELECT *, CAST(n AS HUGEINT) * (n - 1) // 2 AS cn
+         |      FROM tot CROSS JOIN fa CROSS JOIN fb)
+         |SELECT n AS n_rows, k_a, k_b,
+         |  CAST((1000000 * CAST(pure_a AS HUGEINT)) // n AS BIGINT)
+         |    AS purity_a_ppm,
+         |  CAST((1000000 * CAST(pure_b AS HUGEINT)) // n AS BIGINT)
+         |    AS purity_b_ppm,
+         |  CAST(CASE WHEN n < 2 THEN 1000000
+         |    WHEN (sa + sb) * cn = 2 * sa * sb THEN 1000000
+         |    ELSE round(1000000 * (CAST(sij AS DOUBLE) -
+         |    CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(cn AS DOUBLE)) /
+         |    (((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2) -
+         |    CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(cn AS DOUBLE)))
+         |    END AS BIGINT) AS ari_x1e6
+         |FROM j""".stripMargin
+
+    /** Twin of q259_woe_iv: UNION ALL unpivot standing in for
+      * `stack`, then the IDENTICAL smoothed larger-over-smaller
+      * Mitchell ratio, sign CASE, ppm deltas, and sign-symmetric IV
+      * division (modulo `//` and HUGEINT for DECIMAL(38,0)).
+      */
+    def woeIvSql: String = {
+      def m8(q: String) = graft.ops.TextStats.mitchellE8Sql(q, "//")
+      val sh = 1L << graft.ops.TextStats.LmShift
+      s"""WITH long AS (
+         |  SELECT 'l_linestatus' AS feature,
+         |    CAST(l_linestatus AS VARCHAR) AS value,
+         |    (l_returnflag = 'R') AS y FROM lineitem
+         |  UNION ALL SELECT 'qty_band',
+         |    CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR),
+         |    (l_returnflag = 'R') FROM lineitem
+         |  UNION ALL SELECT 'ship_month',
+         |    CAST(month(l_shipdate) AS VARCHAR),
+         |    (l_returnflag = 'R') FROM lineitem),
+         |c AS (SELECT feature, value,
+         |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |        CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+         |      FROM long GROUP BY 1, 2),
+         |t AS (SELECT feature, CAST(sum(n_pos) AS BIGINT) AS p_tot,
+         |        CAST(sum(n_neg) AS BIGINT) AS n_tot FROM c GROUP BY 1),
+         |s AS (SELECT c.feature, c.value, n_pos, n_neg, p_tot, n_tot,
+         |        CAST(n_pos + 1 AS HUGEINT) * (n_tot + 1) AS qpos,
+         |        CAST(n_neg + 1 AS HUGEINT) * (p_tot + 1) AS qneg
+         |      FROM c JOIN t USING (feature)),
+         |w AS (SELECT feature, value, n_pos, n_neg,
+         |        CAST(CASE WHEN qpos >= qneg
+         |          THEN ${m8(s"((qpos * $sh) // qneg)")} - 160
+         |          ELSE -(${m8(s"((qneg * $sh) // qpos)")} - 160)
+         |          END AS BIGINT) AS woe_e8,
+         |        CAST((1000000 * n_pos) // greatest(p_tot, 1) -
+         |          (1000000 * n_neg) // greatest(n_tot, 1) AS BIGINT)
+         |          AS dp_ppm
+         |      FROM s),
+         |iv AS (SELECT feature, sum(dp_ppm * woe_e8) AS s_iv
+         |       FROM w GROUP BY 1),
+         |iv2 AS (SELECT feature, CAST(CASE WHEN s_iv >= 0
+         |          THEN s_iv // 8000 ELSE -((-s_iv) // 8000)
+         |          END AS BIGINT) AS iv_x1000 FROM iv)
+         |SELECT w.feature, w.value, n_pos, n_neg, woe_e8, dp_ppm,
+         |  iv_x1000
+         |FROM w JOIN iv2 USING (feature)
+         |ORDER BY feature, value""".stripMargin
+    }
+
+    /** Twin of q260_target_encode: same shifted cents, same truncated
+      * global mean, same leave-one-out smoothed division (all
+      * operands non-negative by the shift).
+      */
+    def targetEncodeLooSql: String =
+      s"""WITH base AS (SELECT c_custkey AS id, c_mktsegment AS cat,
+         |        CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS y
+         |      FROM customer),
+         |pc AS (SELECT cat, CAST(sum(y) AS BIGINT) AS s_c,
+         |        CAST(count(*) AS BIGINT) AS n_c FROM base GROUP BY cat),
+         |g AS (SELECT CAST(CAST(sum(y) AS HUGEINT) // count(*) AS BIGINT)
+         |        AS mu FROM base)
+         |SELECT id AS c_custkey, cat AS c_mktsegment, y AS bal_cents,
+         |  CAST((CAST(s_c AS HUGEINT) - y + 20 * mu) // (n_c - 1 + 20)
+         |    AS BIGINT) AS enc
+         |FROM base JOIN pc USING (cat) CROSS JOIN g
+         |ORDER BY c_custkey""".stripMargin
+
+    /** Twin of q261_bootstrap_ci: same hash61 replica draws through
+      * the md5 mirror, the Poisson CDF CASE shared VERBATIM, same
+      * exact replica means and order-statistic ranks.
+      */
+    def bootstrapCiSql: String = {
+      val u = duckHash61("'boot:' || CAST(r AS VARCHAR) || ':' || id")
+      val wCase = graft.ops.Eval.poissonCdfCaseSql("u")
+      s"""WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         |        CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |      FROM orders),
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |        CAST((1000 * CAST(sum(v) AS HUGEINT)) // count(*)
+         |          AS BIGINT) AS mean_x1000 FROM base),
+         |reps AS (SELECT r, $u % 1000000 AS u, v
+         |      FROM base CROSS JOIN
+         |        (SELECT unnest(generate_series(0, 39)) AS r)),
+         |w8 AS (SELECT r, $wCase AS w, v FROM reps),
+         |ag AS (SELECT r, CAST(sum(w * v) AS BIGINT) AS swx,
+         |        CAST(sum(w) AS BIGINT) AS sw FROM w8 GROUP BY r),
+         |ms AS (SELECT r, CAST((1000 * CAST(swx AS HUGEINT))
+         |        // greatest(sw, 1) AS BIGINT) AS m FROM ag),
+         |rk AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk
+         |       FROM ms)
+         |SELECT n_rows, CAST(40 AS BIGINT) AS n_replicas, mean_x1000,
+         |  (SELECT m FROM rk WHERE rk = 3) AS lo_x1000,
+         |  (SELECT m FROM rk WHERE rk = 38) AS hi_x1000
+         |FROM pt""".stripMargin
+    }
 
     /** Twin of q253_sequence_surprisal: same lead pairs, same
       * (a, b)/total counts, same eighth-bit L(tot) − L(cnt) surprisal

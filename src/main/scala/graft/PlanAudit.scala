@@ -242,7 +242,18 @@ object PlanAudit {
     "q255_source_tfidf_cosine",
     // q114's NB class-table scoring shape (q212's wrap) under the
     // AUC count fold
-    "q256_nb_auc")
+    "q256_nb_auc",
+    // three ONE-row agreement scalars (totals / a-marginals /
+    // b-marginals) composed into the single report row — broadcast
+    // scalars by design
+    "q258_partition_agreement",
+    // ONE-row global-mean scalar broadcast under the map-only
+    // encode — broadcast scalar by design
+    "q260_target_encode",
+    // ONE-row point estimate + the two one-row order-statistic
+    // bounds composed into the single report row — broadcast
+    // scalars by design
+    "q261_bootstrap_ci")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -309,7 +320,10 @@ object PlanAudit {
     "q247_phrase_search",
     // rank window over the LIMIT-topK scored-pair table (50 rows by
     // parameter — the q170/q247 bounded-heap class)
-    "q251_record_linkage")
+    "q251_record_linkage",
+    // rank window over the B-row replica-mean table (40 rows by
+    // parameter — bounded by construction)
+    "q261_bootstrap_ci")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

@@ -3,7 +3,7 @@ package graft
 import graft.dedup.{Curation, Dedup}
 import graft.formats.{AvroCodec, ConfluentEnvelope, ProtoCodec}
 import graft.functions.{HashFns, TextFns, VectorFns}
-import graft.ops.{Dsir, Mixture, Ops, Pipeline, Scale, Sharding, Sketch, TextStats}
+import graft.ops.{Dsir, Mixture, Ops, Pipeline, Profile, Scale, Sharding, Sketch, TextStats}
 import graft.sim.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -3826,6 +3826,69 @@ object Queries {
     graft.ops.Funnel.growthAccounting(Tables.events(s, d), "user_id", "ts")
       .orderBy("week")
 
+  /** Partition agreement between the corpus's two natural labelings
+    * ([[graft.ops.Eval.partitionAgreement]], Hubert–Arabie 1985):
+    * does `source` recover `lang`? Exact DECIMAL pair-count sums,
+    * one shared-verbatim float step for the ARI, directional
+    * majority purities in exact ppm; the corpus reduces to the
+    * sources × langs contingency table in one partial aggregation.
+    */
+  val q258_partition_agreement: Q = (s, d) =>
+    graft.ops.Eval.partitionAgreement(Tables.documents(s, d),
+      "source", "lang")
+
+  /** WOE/IV feature screen ([[graft.ops.Profile.woeIv]], Siddiqi
+    * 2006): which lineitem features (line status, quantity band,
+    * ship month) separate returned items — per-value Weight of
+    * Evidence in eighth-bit integer log2 (Mitchell emitter,
+    * sign-by-CASE so no negative division exists), per-feature
+    * Information Value from exact ppm share deltas. One stacked
+    * corpus pass to the Σ|domain| count table.
+    */
+  val q259_woe_iv: Q = (s, d) =>
+    Profile.woeIv(
+      Tables.lineitem(s, d)
+        .select(col("l_linestatus"),
+          expr("CAST(CAST(l_quantity AS BIGINT) div 10 AS STRING)")
+            .as("qty_band"),
+          expr("CAST(month(l_shipdate) AS STRING)").as("ship_month"),
+          (col("l_returnflag") === "R").as("is_ret")),
+      "is_ret", Seq("l_linestatus", "qty_band", "ship_month"))
+      .orderBy("feature", "value")
+
+  /** Leave-one-out target encoding
+    * ([[graft.ops.Mixture.targetEncodeLoo]], Micci-Barreca 2001):
+    * market segment encoded by each customer's PEERS' mean balance
+    * (own row excluded — the leakage-safe categorical feature),
+    * shrunk toward the global mean with pseudo-count 20. Balances
+    * shifted to non-negative cents so no negative division exists;
+    * one segment-keyed reduction broadcast back, map-only encode.
+    */
+  val q260_target_encode: Q = (s, d) =>
+    Mixture.targetEncodeLoo(
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) + 100000")
+            .as("bal_cents")),
+      "c_custkey", "c_mktsegment", "bal_cents")
+      .orderBy("c_custkey")
+
+  /** Poisson-bootstrap CI for the mean order value
+    * ([[graft.ops.Eval.bootstrapCiMean]], Chamandy et al. 2012): 40
+    * hash-deterministic Poisson(1) replicas, exact integer replica
+    * means, CI as exact order statistics (3rd / 38th) — the
+    * scalable bootstrap's one-pass shape: a 40× map-side explode
+    * into a replica-keyed partial aggregation; windows only over
+    * the 40-row replica table.
+    */
+  val q261_bootstrap_ci: Q = (s, d) =>
+    graft.ops.Eval.bootstrapCiMean(
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .as("price_cents")),
+      "o_orderkey", "price_cents", b = 40)
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4265,5 +4328,9 @@ object Queries {
     "q254_kn_next_word" -> q254_kn_next_word,
     "q255_source_tfidf_cosine" -> q255_source_tfidf_cosine,
     "q256_nb_auc" -> q256_nb_auc,
-    "q257_growth_accounting" -> q257_growth_accounting)
+    "q257_growth_accounting" -> q257_growth_accounting,
+    "q258_partition_agreement" -> q258_partition_agreement,
+    "q259_woe_iv" -> q259_woe_iv,
+    "q260_target_encode" -> q260_target_encode,
+    "q261_bootstrap_ci" -> q261_bootstrap_ci)
 }

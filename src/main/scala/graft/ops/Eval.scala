@@ -144,6 +144,135 @@ object Eval {
       "(1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
       "(1.0 / n_a + 1.0 / n_b))) END AS BIGINT)")
 
+  /** Partition-agreement report between two labelings of the same
+    * rows — the clustering-evaluation staple (does the unsupervised
+    * partition recover the known labels?): Adjusted Rand Index
+    * (Hubert & Arabie 1985) plus both directional majority purities.
+    *
+    * Exact integer pair counts throughout: from the contingency
+    * table n_ij, sij = Σ C(n_ij,2), sa = Σ C(a_i,2), sb = Σ C(b_j,2),
+    * cn = C(n,2) — all DECIMAL(38,0) (exact for n up to ~10⁹ rows,
+    * past which the C(·,2) products leave 38 digits; documented
+    * bound). ARI = (sij − sa·sb/cn) / ((sa+sb)/2 − sa·sb/cn) is the
+    * ONE float step, computed with a single fixed expression over
+    * the exact sums so both engines round identically; the
+    * degenerate den = 0 case (both partitions trivial in the same
+    * way) reports 10⁶ per the standard convention. Purity is exact:
+    * purity_a_ppm = 10⁶·Σ_a max_b n_ij div n.
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to the
+    * (a, b) contingency table — bounded by |A|·|B| label
+    * combinations; the row/column marginal folds and the three
+    * one-row agreement scalars (broadcast by design) never touch
+    * the corpus again.
+    */
+  def partitionAgreement(df: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val cont = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("nij"))
+    val comb = (c: String) =>
+      s"sum(CAST($c AS DECIMAL(38,0)) * ($c - 1) div 2)"
+    val tot = cont.agg(sum("nij").as("n"),
+      expr(comb("nij")).as("sij"))
+    val sa = cont.groupBy("a")
+      .agg(sum("nij").as("ai"), max("nij").as("tij"))
+      .agg(count(lit(1)).as("k_a"), expr(comb("ai")).as("sa"),
+        sum("tij").as("pure_a"))
+    val sb = cont.groupBy("b")
+      .agg(sum("nij").as("bj"), max("nij").as("tjb"))
+      .agg(count(lit(1)).as("k_b"), expr(comb("bj")).as("sb"),
+        sum("tjb").as("pure_b"))
+    tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("cn",
+        expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2"))
+      .select(col("n").as("n_rows"), col("k_a"), col("k_b"),
+        expr("CAST((1000000 * pure_a) div n AS BIGINT)")
+          .as("purity_a_ppm"),
+        expr("CAST((1000000 * pure_b) div n AS BIGINT)")
+          .as("purity_b_ppm"),
+        ariX1e6Expr.as("ari_x1e6"))
+  }
+
+  /** The one float step of [[partitionAgreement]], shared verbatim
+    * with the SQL twin modulo dialect.
+    */
+  private def ariX1e6Expr: org.apache.spark.sql.Column = expr(
+    "CAST(CASE WHEN n < 2 THEN 1000000 " +
+      "WHEN (sa + sb) * cn = 2 * sa * sb THEN 1000000 " +
+      "ELSE round(1000000 * (CAST(sij AS DOUBLE) - " +
+      "CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(cn AS DOUBLE)) / " +
+      "(((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2) - " +
+      "CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(cn AS DOUBLE))) " +
+      "END AS BIGINT)")
+
+  /** Poisson(1) CDF thresholds in ppm as a CASE over a uniform
+    * [0, 10⁶) draw — the deterministic resampling weight of
+    * [[bootstrapCiMean]]. Literal thresholds (floor of the exact
+    * CDF), capped at 6; shared VERBATIM with the SQL twin so both
+    * engines draw identical weights from identical hashes.
+    */
+  def poissonCdfCaseSql(uE: String): String =
+    s"(CASE WHEN $uE < 367879 THEN 0 WHEN $uE < 735758 THEN 1 " +
+      s"WHEN $uE < 919698 THEN 2 WHEN $uE < 981011 THEN 3 " +
+      s"WHEN $uE < 996340 THEN 4 WHEN $uE < 999405 THEN 5 " +
+      s"ELSE 6 END)"
+
+  /** Deterministic Poisson-bootstrap confidence interval for a mean
+    * (the scalable bootstrap of Chamandy et al., Google 2012 /
+    * Kleiner et al.'s b-of-n family): replica r reweights each row
+    * by an independent Poisson(1) draw — here derived from
+    * hash61(salt:r:id), so the "randomness" is reproducible and
+    * oracle-checkable — and the tail order statistics of the B
+    * replica means bound the sampling error of the corpus mean.
+    *
+    * Integer-exact end to end: `valueCol` must be a NON-NEGATIVE
+    * integer (shift upstream if needed — no negative division
+    * anywhere), replica means are (1000·Σwx) div Σw in exact
+    * DECIMAL(38,0), and the CI bounds are exact order statistics
+    * (rank (B·pct) div 100 + 1 from each end, ties broken by replica
+    * id) — no percentile interpolation, no floats.
+    *
+    * Scale shape: the B× `sequence` explode is map-side and feeds
+    * straight into a partial aggregation keyed by replica — the
+    * shuffle carries B rows per map partition, never the corpus;
+    * the rank window and the CI join run on the B-row replica table
+    * (bounded by parameter), and the three one-row scalars
+    * broadcast. B ≤ 64 keeps the expansion a small constant of the
+    * scan.
+    */
+  def bootstrapCiMean(df: DataFrame, idCol: String, valueCol: String,
+                      b: Int = 40, tailPct: Int = 5,
+                      salt: String = "boot"): DataFrame = {
+    require(b >= 3 && b <= 64, "replica count must be in [3, 64]")
+    val base = df.select(col(idCol).cast("string").as("id"),
+      col(valueCol).cast("long").as("v"))
+    val pt = base.agg(count(lit(1)).as("n_rows"),
+      expr("CAST((1000 * CAST(sum(v) AS DECIMAL(38,0))) div count(1) " +
+        "AS BIGINT)").as("mean_x1000"))
+    val reps = base
+      .withColumn("r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u", pmod(graft.functions.HashFns.hash61(
+        concat(lit(salt + ":"), col("r").cast("string"), lit(":"),
+          col("id"))), lit(1000000L)))
+      .withColumn("w", expr(poissonCdfCaseSql("u")))
+      .groupBy("r")
+      .agg(sum(expr("w * v")).as("swx"), sum("w").as("sw"))
+      .withColumn("m", expr("CAST((1000 * CAST(swx AS DECIMAL(38,0))) " +
+        "div greatest(sw, 1) AS BIGINT)"))
+    val loIdx = (b * tailPct) / 100 + 1
+    val hiIdx = b - (b * tailPct) / 100
+    // B-row replica table window — bounded by parameter
+    val ranked = reps.withColumn("rk",
+      row_number().over(Window.orderBy("m", "r")))
+    val lo = ranked.where(col("rk") === loIdx)
+      .select(col("m").as("lo_x1000"))
+    val hi = ranked.where(col("rk") === hiIdx)
+      .select(col("m").as("hi_x1000"))
+    pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_rows"), lit(b.toLong).as("n_replicas"),
+        col("mean_x1000"), col("lo_x1000"), col("hi_x1000"))
+  }
+
   /** 2-D Pareto frontier (skyline, Börzsönyi et al. ICDE 2001):
     * rows not dominated under (minimize `minCol`, maximize `maxCol`)
     * — r' dominates r iff min' ≤ min ∧ max' ≥ max with at least one

@@ -339,4 +339,46 @@ object Mixture {
       .select(col("__u").as(userCol), col("rank"),
         col("__cand").as(s"neg_$itemCol"))
   }
+
+  /** Leave-one-out target encoding with additive smoothing (the
+    * Kaggle/CatBoost-family categorical encoder, Micci-Barreca
+    * SIGKDD Expl. 2001): each row's category is replaced by the mean
+    * target of the OTHER rows in that category, shrunk toward the
+    * global mean by pseudo-count `m` —
+    *
+    *   enc_i = (S_c − y_i + m·μ) div (n_c − 1 + m)
+    *
+    * The leave-one-out subtraction is what makes the feature safe to
+    * train on (a naive per-category mean leaks each row's own label
+    * — the q224 point-in-time / q92 leakage-safe-split discipline
+    * applied to feature engineering).
+    *
+    * Integer-exact: `targetCol` must be a NON-NEGATIVE integer (the
+    * caller shifts, e.g. cents + offset) so no negative integer
+    * division exists anywhere (truncate-vs-floor engine divergence);
+    * μ is the truncated global mean computed once. Output keeps the
+    * id, category, raw target, and `enc` in target units.
+    *
+    * Scale shape: ONE category-keyed partial aggregation to the
+    * |domain(cat)| table, broadcast back with the one-row global
+    * mean — the encode itself is map-only; no window, no corpus
+    * shuffle.
+    */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+                      targetCol: String, m: Long = 20L): DataFrame = {
+    require(m >= 1L, "smoothing pseudo-count m must be >= 1")
+    val base = df.select(col(idCol).as("id"), col(catCol).as("cat"),
+      col(targetCol).cast("long").as("y"))
+    val perCat = base.groupBy("cat")
+      .agg(sum("y").as("s_c"), count(lit(1)).as("n_c"))
+    val glob = base.agg(
+      expr("CAST(CAST(sum(y) AS DECIMAL(38,0)) div count(1) AS BIGINT)")
+        .as("mu"))
+    base.join(broadcast(perCat), Seq("cat"))
+      .crossJoin(broadcast(glob))
+      .select(col("id").as(idCol), col("cat").as(catCol),
+        col("y").as(targetCol),
+        expr(s"CAST((CAST(s_c AS DECIMAL(38,0)) - y + $m * mu) div " +
+          s"(n_c - 1 + $m) AS BIGINT)").as("enc"))
+  }
 }

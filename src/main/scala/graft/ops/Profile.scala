@@ -995,4 +995,64 @@ object Profile {
           "greatest(CAST(n AS DECIMAL(38,0)) * n - s_prod, 1) AS BIGINT)")
           .as("kappa_x1000"))
   }
+
+  /** Weight-of-Evidence / Information-Value feature screen (the
+    * credit-scoring staple, Siddiqi 2006): for each categorical
+    * feature and each of its values, WOE = log2 of the smoothed
+    * positive-share : negative-share ratio, and per feature
+    * IV = Σ (pos_i/P − neg_i/N)·WOE_i — the standard "does this
+    * feature separate the classes at all" ranking run before any
+    * model training.
+    *
+    * Integer-exact throughout: WOE in eighth-bit log2 via the
+    * Mitchell emitter with +1 Laplace smoothing,
+    * q = ((pos+1)·(N+1)·2^20) div ((neg+1)·(P+1)) — the ratio is
+    * taken larger-over-smaller and signed by a CASE, so the Mitchell
+    * domain floor is never hit and NO negative integer division
+    * exists anywhere (Spark `div` truncates toward zero while other
+    * engines floor — the CASE keeps both engines on the same
+    * non-negative operand). Share deltas in exact ppm; the final
+    * IV division is sign-symmetric by the same discipline. One float
+    * step: none.
+    *
+    * Scale shape: ONE corpus pass — `stack` unpivots the k feature
+    * columns map-side (k× width-bounded expansion, immediately
+    * partial-aggregated), reducing to the Σ|domain(f)| count table;
+    * the per-feature totals and IV folds live on that bounded table
+    * and broadcast back onto it.
+    */
+  def woeIv(df: DataFrame, labelCol: String,
+            featureCols: Seq[String]): DataFrame = {
+    val m8 = (q: String) => graft.ops.TextStats.mitchellE8Sql(q, "div")
+    val sh = 1L << graft.ops.TextStats.LmShift
+    val stackArgs = featureCols
+      .map(f => s"'$f', CAST($f AS STRING)").mkString(", ")
+    val long = df.selectExpr(
+      s"stack(${featureCols.size}, $stackArgs) AS (feature, value)",
+      s"$labelCol AS y")
+    val counts = long.groupBy("feature", "value")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"))
+    val tot = counts.groupBy("feature")
+      .agg(sum("n_pos").as("p_tot"), sum("n_neg").as("n_tot"))
+    val scored = counts.join(broadcast(tot), Seq("feature"))
+      .withColumn("qpos",
+        expr("CAST(n_pos + 1 AS DECIMAL(38,0)) * (n_tot + 1)"))
+      .withColumn("qneg",
+        expr("CAST(n_neg + 1 AS DECIMAL(38,0)) * (p_tot + 1)"))
+      .withColumn("woe_e8", expr(
+        s"CAST(CASE WHEN qpos >= qneg THEN ${m8(s"((qpos * $sh) div qneg)")} - 160 " +
+          s"ELSE -(${m8(s"((qneg * $sh) div qpos)")} - 160) END AS BIGINT)"))
+      .withColumn("dp_ppm", expr(
+        "(1000000 * n_pos) div greatest(p_tot, 1) - " +
+          "(1000000 * n_neg) div greatest(n_tot, 1)"))
+    val iv = scored.groupBy("feature")
+      .agg(sum(expr("dp_ppm * woe_e8")).as("s_iv"))
+      .withColumn("iv_x1000", expr(
+        "CAST(CASE WHEN s_iv >= 0 THEN s_iv div 8000 " +
+          "ELSE -((-s_iv) div 8000) END AS BIGINT)"))
+    scored.join(broadcast(iv), Seq("feature"))
+      .select(col("feature"), col("value"), col("n_pos"), col("n_neg"),
+        col("woe_e8"), col("dp_ppm"), col("iv_x1000"))
+  }
 }

@@ -105,4 +105,69 @@ class EvalSpec extends SparkSpec {
     // (10,5) twice on the frontier; (20,5) dominated; (5,1) frontier
     assert(got === Set(1L, 2L, 4L))
   }
+
+  test("partitionAgreement: hand ARI, purity, and degenerate conventions") {
+    // a=[x,x,y,y] vs b=[1,1,1,2]: sij=1, sa=2, sb=3, cn=6
+    // expected = sa*sb/cn = 1 → num = 0 → ARI = 0;
+    // purity_a = (2+1)/4, purity_b = (2+1)/4
+    val df = Seq(("x", "1"), ("x", "1"), ("y", "1"), ("y", "2"))
+      .toDF("a", "b")
+    val r = Eval.partitionAgreement(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("k_a") === 2L && r.getAs[Long]("k_b") === 2L)
+    assert(r.getAs[Long]("purity_a_ppm") === 750000L)
+    assert(r.getAs[Long]("purity_b_ppm") === 750000L)
+    assert(r.getAs[Long]("ari_x1e6") === 0L)
+
+    // identical partitions (modulo renaming) → ARI 1e6, purity 1e6
+    val same = Seq(("x", "1"), ("x", "1"), ("y", "2"))
+      .toDF("a", "b")
+    val rs = Eval.partitionAgreement(same, "a", "b").collect().head
+    assert(rs.getAs[Long]("ari_x1e6") === 1000000L)
+    assert(rs.getAs[Long]("purity_a_ppm") === 1000000L)
+
+    // both all-singletons → den = 0 → convention 1e6
+    val singles = Seq(("x", "1"), ("y", "2"), ("z", "3"))
+      .toDF("a", "b")
+    val rg = Eval.partitionAgreement(singles, "a", "b").collect().head
+    assert(rg.getAs[Long]("ari_x1e6") === 1000000L)
+
+    // anti-correlated: ARI below zero is representable
+    val anti = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2"))
+      .toDF("a", "b")
+    val ra = Eval.partitionAgreement(anti, "a", "b").collect().head
+    // sij=0, sa=2, sb=2, cn=6: num=0-4/6, den=2-4/6 → -0.5
+    assert(ra.getAs[Long]("ari_x1e6") === -500000L)
+  }
+
+  test("bootstrapCiMean ≡ a Scala replay of the same hash draws") {
+    val rows = (1L to 50L).map(i => (i, i * 10L))
+    val df = rows.toDF("id", "v")
+    val b = 20
+    val out = Eval.bootstrapCiMean(df, "id", "v", b = b).collect().head
+
+    // independent replay: same salt:r:id hash, same CDF thresholds
+    def w(u: Long): Long =
+      if (u < 367879) 0 else if (u < 735758) 1 else if (u < 919698) 2
+      else if (u < 981011) 3 else if (u < 996340) 4
+      else if (u < 999405) 5 else 6
+    val means = (0 until b).map { r =>
+      val ws = rows.map { case (id, v) =>
+        val u = graft.functions.HashFns.hash61Bytes(
+          s"boot:$r:$id".getBytes("UTF-8")) % 1000000L
+        (w(u) * v, w(u))
+      }
+      val (swx, sw) = (ws.map(_._1).sum, ws.map(_._2).sum)
+      (1000L * swx / math.max(sw, 1L), r)
+    }.sorted
+    val loIdx = b * 5 / 100 + 1
+    val hiIdx = b - b * 5 / 100
+    assert(out.getAs[Long]("n_rows") === 50L)
+    assert(out.getAs[Long]("n_replicas") === b.toLong)
+    assert(out.getAs[Long]("mean_x1000") ===
+      1000L * rows.map(_._2).sum / 50L)
+    assert(out.getAs[Long]("lo_x1000") === means(loIdx - 1)._1)
+    assert(out.getAs[Long]("hi_x1000") === means(hiIdx - 1)._1)
+    assert(out.getAs[Long]("lo_x1000") <= out.getAs[Long]("hi_x1000"))
+  }
 }

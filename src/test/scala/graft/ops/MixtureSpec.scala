@@ -275,4 +275,19 @@ class MixtureSpec extends SparkSpec {
     assert(u2.map(_._3).distinct.size === u2.size && u2.size === 3)
     assert(out === run(inter.repartition(5)))
   }
+
+  test("targetEncodeLoo: hand case, own-label exclusion") {
+    import spark.implicits._
+    // A: {100, 200}, B: {300}; mu = 600/3 = 200, m = 20
+    val df = Seq((1L, "A", 100L), (2L, "A", 200L), (3L, "B", 300L))
+      .toDF("id", "cat", "y")
+    val enc = Mixture.targetEncodeLoo(df, "id", "cat", "y")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("enc")).toMap
+    assert(enc(1L) === (300L - 100L + 20L * 200L) / 21L) // 200
+    assert(enc(2L) === (300L - 200L + 20L * 200L) / 21L) // 195
+    assert(enc(3L) === (20L * 200L) / 20L)               // pure prior
+    // leakage check: two rows in one cat with different targets get
+    // DIFFERENT encodings (each sees only the other's label)
+    assert(enc(1L) !== enc(2L))
+  }
 }

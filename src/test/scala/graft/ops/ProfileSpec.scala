@@ -447,4 +447,24 @@ class ProfileSpec extends SparkSpec {
     assert(kappa(Seq(("A", "A"), ("B", "B"), ("C", "C"))) === 1000L)
     assert(kappa(Seq(("A", "B"), ("B", "A"))) === -1000L)
   }
+
+  test("woeIv: exact power-of-two WOE, antisymmetry, null-feature zero") {
+    import spark.implicits._
+    // f: a -> 3 pos / 1 neg, b -> 1 pos / 3 neg (P=N=4):
+    // q(a) = (4*5)<<20 / (2*5) = 2 << 20 -> woe exactly +8 e8 (1 bit);
+    // b is the mirror -> -8. g constant -> ratio 1 -> woe 0, iv 0.
+    val rows = Seq(
+      ("a", "c", true), ("a", "c", true), ("a", "c", true),
+      ("a", "c", false),
+      ("b", "c", true),
+      ("b", "c", false), ("b", "c", false), ("b", "c", false))
+    val df = rows.toDF("f", "g", "y")
+    val out = Profile.woeIv(df, "y", Seq("f", "g")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("woe_e8"), r.getAs[Long]("dp_ppm"),
+          r.getAs[Long]("iv_x1000"))).toMap
+    assert(out(("f", "a")) === ((8L, 500000L, 1000L)))
+    assert(out(("f", "b")) === ((-8L, -500000L, 1000L)))
+    assert(out(("g", "c")) === ((0L, 0L, 0L)))
+  }
 }
