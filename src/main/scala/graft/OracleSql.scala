@@ -546,6 +546,7 @@ object OracleSql {
     "q259_woe_iv" -> Gen.woeIvSql,
     "q260_target_encode" -> Gen.targetEncodeLooSql,
     "q261_bootstrap_ci" -> Gen.bootstrapCiSql,
+    "q262_label_prop" -> Gen.labelPropSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1502,6 +1503,61 @@ object OracleSql {
          |SELECT r.node AS word, r.r AS rank_p12, dg.wdeg
          |FROM r$iters r JOIN dg ON dg.src = r.node
          |ORDER BY rank_p12 DESC, word LIMIT 10""".stripMargin
+    }
+
+    /** Twin of q262_label_prop: the textRankSql edge CTEs, then the
+      * 4 label-propagation rounds UNROLLED as materialized CTE
+      * stages (same weight-majority argmax with the same (s DESC,
+      * lab) tie-break), the same exact HUGEINT modularity sums and
+      * the same sign-symmetric ×10⁶ division.
+      */
+    def labelPropSql: String = {
+      val iters = 4
+      val iterCtes = (1 to iters).map { i =>
+        s"""s$i AS (SELECT node, lab, CAST(sum(w) AS BIGINT) AS s
+           |  FROM (SELECT e.dst AS node, l.lab, e.w
+           |        FROM e JOIN l${i - 1} l ON l.node = e.src
+           |        UNION ALL SELECT node, lab, CAST(1 AS BIGINT) AS w
+           |        FROM l${i - 1}) GROUP BY 1, 2),
+           |l$i AS (SELECT node, lab FROM (SELECT node, lab,
+           |  row_number() OVER (PARTITION BY node ORDER BY s DESC, lab)
+           |    AS rn FROM s$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT unnest(${shinglesE("w", 2)}) AS bg FROM wd WHERE len(w) >= 2),
+         |bgp AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |          split_part(bg, ' ', 2) AS w2 FROM bgl),
+         |ed AS (SELECT w1, w2 FROM bgp WHERE w1 <> w2),
+         |dir AS (SELECT w1 AS src, w2 AS dst FROM ed
+         |        UNION ALL SELECT w2 AS src, w1 AS dst FROM ed),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM dir
+         |      GROUP BY 1, 2),
+         |dg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+         |$iterCtes,
+         |com AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_words
+         |        FROM l$iters GROUP BY 1),
+         |ia AS (SELECT ls.lab, CAST(sum(e.w) AS BIGINT) AS intra_w
+         |       FROM e JOIN l$iters ls ON ls.node = e.src
+         |       JOIN l$iters ld ON ld.node = e.dst
+         |       WHERE ls.lab = ld.lab GROUP BY 1),
+         |dgc AS (SELECT l.lab, CAST(sum(dg.wdeg) AS BIGINT) AS deg_w
+         |        FROM dg JOIN l$iters l ON l.node = dg.src GROUP BY 1),
+         |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM e),
+         |perc AS (SELECT com.lab, n_words,
+         |          CAST(coalesce(intra_w, 0) AS BIGINT) AS intra_w, deg_w
+         |         FROM com LEFT JOIN ia USING (lab) JOIN dgc USING (lab)),
+         |q AS (SELECT sum(CAST(intra_w AS HUGEINT) * m2 -
+         |        CAST(deg_w AS HUGEINT) * deg_w) AS qn,
+         |        max(m2) AS m2x FROM perc CROSS JOIN m2),
+         |qq AS (SELECT CAST(CASE WHEN qn >= 0
+         |        THEN (1000000 * qn) // (CAST(m2x AS HUGEINT) * m2x)
+         |        ELSE -((1000000 * (-qn)) // (CAST(m2x AS HUGEINT) * m2x))
+         |        END AS BIGINT) AS modularity_x1e6 FROM q)
+         |SELECT lab AS community, n_words, intra_w, deg_w,
+         |  modularity_x1e6
+         |FROM perc CROSS JOIN qq
+         |ORDER BY n_words DESC, community LIMIT 20""".stripMargin
     }
 
     /** Twin of q153_label_noise: q76's exact LSH-mirrored kNN chain

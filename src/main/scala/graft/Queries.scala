@@ -3889,6 +3889,23 @@ object Queries {
             .as("price_cents")),
       "o_orderkey", "price_cents", b = 40)
 
+  /** Word-graph communities by deterministic label propagation
+    * ([[graft.ops.TextStats.labelPropCommunities]], Raghavan et al.
+    * 2007): 4 synchronous rounds with weight-majority relabeling
+    * (ties to the smallest label) over the q152 co-occurrence graph,
+    * reported as the top-20 communities with exact integer Newman
+    * modularity of the final partition. Corpus touched once; every
+    * round is one join+argmax over the checkpointed vocab²-bounded
+    * edge table. (The synthetic fixture's 31-word uniform vocabulary
+    * has no community structure, so the honest report is one giant
+    * community at Q = 0 — the oracle pins engine parity; the
+    * TWO-TRIANGLE hand graph in `TextStatsSpec` pins the non-trivial
+    * behavior.)
+    */
+  val q262_label_prop: Q = (s, d) =>
+    TextStats.labelPropCommunities(Tables.documents(s, d), "doc_id",
+      "text", iters = 4, topK = 20)
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4332,5 +4349,6 @@ object Queries {
     "q258_partition_agreement" -> q258_partition_agreement,
     "q259_woe_iv" -> q259_woe_iv,
     "q260_target_encode" -> q260_target_encode,
-    "q261_bootstrap_ci" -> q261_bootstrap_ci)
+    "q261_bootstrap_ci" -> q261_bootstrap_ci,
+    "q262_label_prop" -> q262_label_prop)
 }

@@ -1570,4 +1570,94 @@ object TextStats {
       .select(col("rank"), col("phrase"), col("df"),
         col("id").as(idCol), col("n_hits"))
   }
+
+  /** Community detection on the word co-occurrence graph by
+    * SYNCHRONOUS label propagation (Raghavan et al. 2007, made
+    * deterministic): every word starts labeled with itself; each of
+    * the `iters` rounds relabels every node with the label carrying
+    * the largest total edge weight among its neighbors, ties broken
+    * by the lexicographically smallest label — no randomness, so
+    * both engines converge identically. Each node also casts a UNIT
+    * vote for its own current label: the deterministic retention
+    * vote that keeps the 2-cycle oscillation synchronous LPA is
+    * known for (the documented caveat of Spark GraphX's
+    * `LabelPropagation`) from spreading through tie-heavy
+    * neighborhoods; isolated dyads can still alternate, so an even
+    * `iters` reports a fixed point of the 2-step map. The report is
+    * the topK
+    * communities by size with exact NEWMAN MODULARITY of the final
+    * partition: Q·m2² = Σ_c (intra_c·m2 − d_c²) over the directed
+    * double-counted edge weights — integer-exact in DECIMAL(38),
+    * emitted ×10⁶ with a sign-symmetric division (Q can be
+    * negative; no negative integer division exists anywhere).
+    *
+    * Scale shape: the corpus is touched ONCE (the [[textRank]]
+    * bigram explode + count); every round is one node-keyed join +
+    * aggregation over the vocab²-bounded edge table
+    * (localCheckpointed — `iters`+2 consumers re-read it), with the
+    * per-node argmax window over the per-node candidate-label table
+    * (bounded by degree). The modularity scalars are one-row
+    * broadcasts; output is a bounded heap (topK by parameter).
+    */
+  def labelPropCommunities(df: DataFrame, idCol: String,
+                           textCol: String, iters: Int = 4,
+                           topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = lmToks(df, idCol, textCol, Seq.empty)
+    val bg = lmBigramRows(toks)
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .where(col("w1") =!= col("w2"))
+    val dir = bg.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(bg.select(col("w2").as("src"), col("w1").as("dst")))
+    // vocab²-bounded, re-read every round — cut lineage once
+    val edges = dir.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    var lab = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val wSel = Window.partitionBy("dst").orderBy(desc("s"), col("lab"))
+    for (_ <- 1 to iters) {
+      val nbr = edges
+        .join(lab.select(col("node").as("src"), col("lab")), "src")
+        .select(col("dst"), col("lab"), col("w"))
+      val self = lab.select(col("node").as("dst"), col("lab"),
+        lit(1L).as("w"))
+      lab = nbr.unionAll(self)
+        .groupBy("dst", "lab").agg(sum("w").as("s"))
+        .withColumn("rn", row_number().over(wSel))
+        .where(col("rn") === 1)
+        .select(col("dst").as("node"), col("lab"))
+    }
+    val labF = lab.localCheckpoint() // three downstream consumers
+    val com = labF.groupBy("lab").agg(count(lit(1)).as("n_words"))
+    val intra = edges
+      .join(labF.select(col("node").as("src"), col("lab").as("lab_s")),
+        "src")
+      .join(labF.select(col("node").as("dst"), col("lab").as("lab_d")),
+        "dst")
+      .where(col("lab_s") === col("lab_d"))
+      .select(col("lab_s").as("lab"), col("w"))
+      .groupBy("lab").agg(sum("w").as("intra_w"))
+    val degc = edges.groupBy("src").agg(sum("w").as("wdeg"))
+      .join(labF.select(col("node").as("src"), col("lab")), "src")
+      .groupBy("lab").agg(sum("wdeg").as("deg_w"))
+    val m2 = edges.agg(sum("w").as("m2"))
+    val perC = com
+      .join(intra, Seq("lab"), "left")
+      .join(degc, Seq("lab"))
+      .select(col("lab"), col("n_words"),
+        coalesce(col("intra_w"), lit(0L)).as("intra_w"), col("deg_w"))
+    val qrow = perC.crossJoin(broadcast(m2))
+      .agg(sum(expr("CAST(intra_w AS DECIMAL(38,0)) * m2 - " +
+        "CAST(deg_w AS DECIMAL(38,0)) * deg_w")).as("qn"),
+        max("m2").as("m2x"))
+      .select(expr("CAST(CASE WHEN qn >= 0 " +
+        "THEN (1000000 * qn) div (CAST(m2x AS DECIMAL(38,0)) * m2x) " +
+        "ELSE -((1000000 * (-qn)) div (CAST(m2x AS DECIMAL(38,0)) * m2x)) " +
+        "END AS BIGINT)").as("modularity_x1e6"))
+    perC.crossJoin(broadcast(qrow))
+      .orderBy(desc("n_words"), col("lab"))
+      .limit(topK)
+      .select(col("lab").as("community"), col("n_words"),
+        col("intra_w"), col("deg_w"), col("modularity_x1e6"))
+  }
 }

@@ -759,4 +759,54 @@ class TextStatsSpec extends SparkSpec {
       (1L, "big data", 2L, 1L, 3L), (1L, "big data", 2L, 2L, 1L),
       (2L, "data big", 2L, 1L, 2L), (2L, "data big", 2L, 5L, 1L)))
   }
+
+  test("labelPropCommunities ≡ a Scala replay of the same rounds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a c"), // triangle a-b-c
+      (2L, "x y z x y z x z"), // triangle x-y-z
+      (3L, "c x"))             // weak bridge
+    val out = TextStats.labelPropCommunities(docs.toDF("doc_id", "text"),
+      "doc_id", "text", iters = 4, topK = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+    // independent replay: same bigram multigraph, same synchronous
+    // weight-majority rounds with (s DESC, lab) ties, same modularity
+    val bigrams = docs.flatMap { case (_, t) =>
+      t.trim.split("\\s+").toSeq.sliding(2).collect {
+        case Seq(u, v) if u != v => (u, v)
+      }.toSeq
+    }
+    val edges = bigrams.flatMap(p => Seq(p, p.swap))
+      .groupBy(identity).map { case ((s, d), xs) => (s, d, xs.size.toLong) }
+      .toSeq
+    var lab = edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 4) lab = edges.groupBy(_._2).map { case (dst, es) =>
+      val votes = es.map(e => (lab(e._1), e._3)) :+ ((lab(dst), 1L))
+      dst -> votes.groupBy(_._1)
+        .map { case (l, g) => (l, g.map(_._2).sum) }
+        .toSeq.minBy { case (l, s) => (-s, l) }._1
+    }
+    val com = lab.values.groupBy(identity)
+      .map { case (l, g) => l -> g.size.toLong }
+    val intra = edges.filter(e => lab(e._1) == lab(e._2))
+      .groupBy(e => lab(e._1)).map { case (l, g) => l -> g.map(_._3).sum }
+    val degc = edges.groupBy(_._1).toSeq
+      .groupBy { case (n, _) => lab(n) }
+      .map { case (l, g) => l -> g.flatMap(_._2.map(_._3)).sum }
+    val m2 = edges.map(_._3).sum
+    val qn = com.keys.toSeq.map(l => BigInt(intra.getOrElse(l, 0L)) * m2 -
+      BigInt(degc(l)) * degc(l)).sum
+    val modExp =
+      if (qn >= 0) (BigInt(1000000) * qn / (BigInt(m2) * m2)).toLong
+      else -((BigInt(1000000) * -qn / (BigInt(m2) * m2)).toLong)
+    val exp = com.toSeq
+      .map { case (l, n) => (l, n, intra.getOrElse(l, 0L), degc(l), modExp) }
+      .sortBy { case (l, n, _, _, _) => (-n, l) }.take(20)
+    assert(out === exp)
+    // the partition should be non-trivial: fewer communities than nodes
+    assert(com.size < edges.map(_._1).distinct.size)
+    assert(out.head._5 > 0L) // positive modularity on two triangles
+  }
 }
