@@ -314,7 +314,8 @@ object Bench {
       "q254_kn_next_word", "q255_source_tfidf_cosine",
       "q256_nb_auc", "q257_growth_accounting",
       "q258_partition_agreement", "q259_woe_iv",
-      "q260_target_encode", "q261_bootstrap_ci", "q262_label_prop")
+      "q260_target_encode", "q261_bootstrap_ci", "q262_label_prop",
+      "q263_golden_records")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -547,6 +547,7 @@ object OracleSql {
     "q260_target_encode" -> Gen.targetEncodeLooSql,
     "q261_bootstrap_ci" -> Gen.bootstrapCiSql,
     "q262_label_prop" -> Gen.labelPropSql,
+    "q263_golden_records" -> Gen.goldenRecordsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5778,6 +5779,69 @@ object OracleSql {
          |  CAST(row_number() OVER (ORDER BY score_e8 DESC, id_a, id_b)
          |    AS BIGINT) AS "rank"
          |FROM t ORDER BY "rank"""".stripMargin
+    }
+
+    /** Twin of q263_golden_records: the recordLinkageSql scoring CTEs
+      * threshold-mode (score_e8 >= 0), RECURSIVE transitive closure
+      * with min-of-component labels standing in for the Spark
+      * star-contraction CC (both compute the same partition with the
+      * same min-id label), then the same survivorship collapse
+      * (arg_min-by-unique-id ≡ the struct-min, max balance).
+      */
+    def goldenRecordsSql: String = {
+      def L(e: String) = graft.ops.TextStats.log2E8Sql(e, "//")
+      def fieldTerm(ka: String, kb: String, mPpm: Long, uCol: String) =
+        s"CASE WHEN $ka = $kb " +
+          s"THEN ${L(s"CAST($mPpm AS BIGINT)")} - ${L(uCol)} " +
+          s"ELSE ${L(s"CAST(${1000000L - mPpm} AS BIGINT)")} - " +
+          s"${L(s"greatest(1000000 - $uCol, 1)")} END"
+      def uCte(key: String, alias: String) =
+        s"""$alias AS (SELECT greatest(CAST((1000000 * s2)
+           |    // (CAST(nn AS HUGEINT) * nn) AS BIGINT), 1) AS u_$alias
+           |  FROM (SELECT sum(CAST(cc AS HUGEINT) * cc) AS s2
+           |        FROM (SELECT count(*) AS cc FROM c GROUP BY $key) x) y
+           |  CROSS JOIN n)""".stripMargin
+      s"""WITH RECURSIVE c AS (SELECT c_custkey, c_nationkey,
+         |        c_mktsegment, c_name, right(c_name, 2) AS ph,
+         |        CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal,
+         |        CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+         |          AS bal_shift_cents
+         |      FROM customer),
+         |a AS (SELECT * FROM c WHERE c_custkey % 2 = 0),
+         |b AS (SELECT * FROM c WHERE c_custkey % 2 = 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c),
+         |${uCte("ph", "phx")},
+         |${uCte("bal", "balx")},
+         |${uCte("c_mktsegment", "segx")},
+         |u AS (SELECT u_phx, u_balx, u_segx
+         |      FROM phx CROSS JOIN balx CROSS JOIN segx),
+         |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |        CAST(${fieldTerm("a.ph", "b.ph", 950000L, "u_phx")}
+         |          + ${fieldTerm("a.bal", "b.bal", 900000L, "u_balx")}
+         |          + ${fieldTerm("a.c_mktsegment", "b.c_mktsegment",
+                850000L, "u_segx")} AS BIGINT) AS score_e8
+         |      FROM a JOIN b ON a.c_nationkey = b.c_nationkey
+         |      CROSS JOIN u),
+         |g AS (SELECT id_a, id_b FROM p WHERE score_e8 >= 0),
+         |e AS (SELECT id_a AS ea, id_b AS eb FROM g
+         |      UNION SELECT id_b, id_a FROM g),
+         |reach(ea, eb) AS (
+         |  SELECT ea, eb FROM e
+         |  UNION
+         |  SELECT r.ea, e.eb FROM reach r JOIN e ON r.eb = e.ea),
+         |labels AS (SELECT ea AS id, least(ea, min(eb)) AS cluster_id
+         |           FROM reach GROUP BY ea),
+         |ent AS (SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+         |          c.bal_shift_cents,
+         |          CAST(coalesce(l.cluster_id, c.c_custkey) AS BIGINT)
+         |            AS entity_id
+         |        FROM c LEFT JOIN labels l ON l.id = c.c_custkey)
+         |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  arg_min(c_name, c_custkey) AS canon_c_name,
+         |  arg_min(c_mktsegment, c_custkey) AS canon_c_mktsegment,
+         |  CAST(max(bal_shift_cents) AS BIGINT) AS max_bal_shift_cents
+         |FROM ent GROUP BY entity_id
+         |ORDER BY entity_id""".stripMargin
     }
 
     /** Twin of q252_negative_sample: same hash61 slot proposals over

@@ -253,7 +253,10 @@ object PlanAudit {
     // ONE-row point estimate + the two one-row order-statistic
     // bounds composed into the single report row — broadcast
     // scalars by design
-    "q261_bootstrap_ci")
+    "q261_bootstrap_ci",
+    // q251's ONE-row u-weight vector broadcast under the blocked
+    // pairs (threshold mode) — broadcast scalars by design
+    "q263_golden_records")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

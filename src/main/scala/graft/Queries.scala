@@ -3906,6 +3906,42 @@ object Queries {
     TextStats.labelPropCommunities(Tables.documents(s, d), "doc_id",
       "text", iters = 4, topK = 20)
 
+  /** Golden-record consolidation
+    * ([[graft.dedup.Linkage.goldenRecords]]): q251's Fellegi–Sunter
+    * scorer rerun threshold-mode (accept score_e8 ≥ 0 — on this
+    * fixture the balance-band + segment agreement level), entities
+    * as connected components of the match graph (the q139 star-
+    * contraction machinery on 8-byte ids), then one survivorship
+    * collapse per entity: canonical name/segment from the
+    * smallest-id member, max shifted balance, member count. CC runs
+    * on the accepted pairs only; the collapse is one entity-keyed
+    * partial aggregation.
+    */
+  val q263_golden_records: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) + 100000")
+          .as("bal_shift_cents"))
+    import graft.dedup.Linkage
+    val fields = Seq(
+      Linkage.LinkField("name2", expr("right(c_name, 2)"), 950000L),
+      Linkage.LinkField("bal",
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"),
+        900000L),
+      Linkage.LinkField("seg", col("c_mktsegment"), 850000L))
+    val pairs = Linkage.scorePairs(
+        c.where(pmod(col("c_custkey"), lit(2L)) === 0L),
+        c.where(pmod(col("c_custkey"), lit(2L)) === 1L),
+        "c_custkey", blockKey = col("c_nationkey"), fields = fields)
+      .where(col("score_e8") >= 0L)
+      .select("id_a", "id_b")
+    Linkage.goldenRecords(c, "c_custkey", pairs,
+        canonCols = Seq("c_name", "c_mktsegment"),
+        maxCols = Seq("bal_shift_cents"))
+      .orderBy("entity_id")
+  }
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4350,5 +4386,6 @@ object Queries {
     "q259_woe_iv" -> q259_woe_iv,
     "q260_target_encode" -> q260_target_encode,
     "q261_bootstrap_ci" -> q261_bootstrap_ci,
-    "q262_label_prop" -> q262_label_prop)
+    "q262_label_prop" -> q262_label_prop,
+    "q263_golden_records" -> q263_golden_records)
 }

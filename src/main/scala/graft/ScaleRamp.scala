@@ -168,7 +168,8 @@ object ScaleRamp {
       "q254_kn_next_word", "q255_source_tfidf_cosine",
       "q256_nb_auc", "q257_growth_accounting",
       "q258_partition_agreement", "q259_woe_iv",
-      "q260_target_encode", "q261_bootstrap_ci", "q262_label_prop")
+      "q260_target_encode", "q261_bootstrap_ci", "q262_label_prop",
+      "q263_golden_records")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

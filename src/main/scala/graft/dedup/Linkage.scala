@@ -57,6 +57,24 @@ object Linkage {
                     blockKey: Column, fields: Seq[LinkField],
                     topK: Int = 50,
                     maxBlock: Long = Long.MaxValue): DataFrame = {
+    val scored = scorePairs(dfA, dfB, idCol, blockKey, fields, maxBlock)
+    val top = scored
+      .orderBy(desc("score_e8"), col("id_a"), col("id_b"))
+      .limit(topK)
+    // K-row rank window (bounded-heap output, the q170/q247 class)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(desc("score_e8"), col("id_a"), col("id_b")))
+      .cast("bigint"))
+  }
+
+  /** ALL blocked candidate pairs with their Fellegi–Sunter scores —
+    * the threshold-consumers' form of [[fellegiSunter]] (same
+    * weights, same score arithmetic, no top-K): feed
+    * `where(score_e8 >= τ)` into [[goldenRecords]].
+    */
+  def scorePairs(dfA: DataFrame, dfB: DataFrame, idCol: String,
+                 blockKey: Column, fields: Seq[LinkField],
+                 maxBlock: Long = Long.MaxValue): DataFrame = {
     require(fields.nonEmpty, "need at least one comparison field")
     def proj(df: DataFrame, prefix: String): DataFrame =
       df.select(Seq(col(idCol), blockKey.as("__blk")) ++
@@ -97,7 +115,7 @@ object Linkage {
           .select("__blk")
         a.join(broadcast(sizes), Seq("__blk")).join(b, Seq("__blk"))
       }
-    val scored = blocked.crossJoin(u)
+    blocked.crossJoin(u)
       .select(Seq(col("id_a"), col("id_b")) ++
         fields.map(f => (col(s"__ka_${f.name}") === col(s"__kb_${f.name}"))
           .as(s"agree_${f.name}")) :+
@@ -105,12 +123,44 @@ object Linkage {
           expr(s"CASE WHEN __ka_${f.name} = __kb_${f.name} " +
             s"THEN wa_${f.name} ELSE wd_${f.name} END")
         }.reduce(_ + _).as("score_e8"): _*)
-    val top = scored
-      .orderBy(desc("score_e8"), col("id_a"), col("id_b"))
-      .limit(topK)
-    // K-row rank window (bounded-heap output, the q170/q247 class)
-    top.withColumn("rank", row_number().over(
-        Window.orderBy(desc("score_e8"), col("id_a"), col("id_b")))
-      .cast("bigint"))
+  }
+
+  /** Golden-record consolidation (the MDM "survivorship" step): from
+    * accepted match pairs, entities are the CONNECTED COMPONENTS of
+    * the match graph ([[graft.dedup.Dedup.connectedComponents]] —
+    * the same star-contraction machinery as the near-dup clusters),
+    * every unmatched record is its own entity, and each entity
+    * collapses to one golden row by deterministic survivorship
+    * rules:
+    *
+    *  - `entity_id` — the smallest member id (the CC label);
+    *  - `canonCols` — taken from the SMALLEST-id member (argmin via
+    *    a struct-min keyed by the unique id: order-independent);
+    *  - `maxCols` — the per-entity maximum (e.g. "keep the largest
+    *    balance");
+    *  - `n_members` — entity size.
+    *
+    * Scale shape: CC runs on the match PAIRS only (pairs ≪ records
+    * after blocking+thresholding); the label join is one keyed
+    * shuffle against the records table, and the survivorship
+    * collapse is ONE partial aggregation keyed by entity.
+    */
+  def goldenRecords(records: DataFrame, idCol: String,
+                    pairs: DataFrame, canonCols: Seq[String],
+                    maxCols: Seq[String]): DataFrame = {
+    val (labels, _) = Dedup.connectedComponents(pairs)
+    val ent = records
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("entity_id",
+        coalesce(col("cluster_id"), col(idCol)).cast("long"))
+    val canonStruct = min(struct(
+      (col(idCol) +: canonCols.map(col)): _*)).as("__canon")
+    val aggs = Seq(count(lit(1)).as("n_members"), canonStruct) ++
+      maxCols.map(c => max(col(c)).as(s"max_$c"))
+    ent.groupBy("entity_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("entity_id"), col("n_members")) ++
+        canonCols.map(c => col(s"__canon.$c").as(s"canon_$c")) ++
+        maxCols.map(c => col(s"max_$c")): _*)
   }
 }

@@ -59,4 +59,23 @@ class LinkageSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("id_a") === 42L &&
       rows.head.getAs[Long]("id_b") === 41L)
   }
+
+  test("goldenRecords: chain entity, survivorship rules, singletons") {
+    // records 1..5; matches 1-2 and 2-3 chain into one entity; 4, 5
+    // stay singletons
+    val recs = Seq(
+      (1L, "alice", "A", 100L), (2L, "alicia", "B", 300L),
+      (3L, "alyce", "C", 200L), (4L, "bob", "D", 50L),
+      (5L, "carol", "E", 70L)).toDF("id", "name", "seg", "bal")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Linkage.goldenRecords(recs, "id", pairs,
+        canonCols = Seq("name", "seg"), maxCols = Seq("bal"))
+      .orderBy("entity_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, "alice", "A", 300L), // min-id canon, max balance
+      (4L, 1L, "bob", "D", 50L),
+      (5L, 1L, "carol", "E", 70L)))
+  }
 }
