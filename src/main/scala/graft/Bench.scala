@@ -315,7 +315,8 @@ object Bench {
       "q256_nb_auc", "q257_growth_accounting",
       "q258_partition_agreement", "q259_woe_iv",
       "q260_target_encode", "q261_bootstrap_ci", "q262_label_prop",
-      "q263_golden_records")
+      "q263_golden_records", "q264_cuped", "q265_max_coverage",
+      "q266_loo_source_impact")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

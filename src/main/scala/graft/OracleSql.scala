@@ -548,6 +548,9 @@ object OracleSql {
     "q261_bootstrap_ci" -> Gen.bootstrapCiSql,
     "q262_label_prop" -> Gen.labelPropSql,
     "q263_golden_records" -> Gen.goldenRecordsSql,
+    "q264_cuped" -> Gen.cupedSql,
+    "q265_max_coverage" -> Gen.maxCoverageSql,
+    "q266_loo_source_impact" -> Gen.looSourceImpactSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5843,6 +5846,124 @@ object OracleSql {
          |FROM ent GROUP BY entity_id
          |ORDER BY entity_id""".stripMargin
     }
+
+    /** Twin of q264_cuped: same integer midpoint split in epoch
+      * micros, same exact six-moment sums, θ / adjusted-mean / 1−ρ²
+      * expressions shared VERBATIM (modulo `//` and HUGEINT).
+      */
+    def cupedSql: String = {
+      def adj(s: String) =
+        s"CAST(round(1000 * ((CAST(sy_$s AS DOUBLE) / n_$s) - " +
+          "(CAST(cov_n AS DOUBLE) / CASE WHEN var_n = 0 THEN 1 ELSE CAST(var_n AS DOUBLE) END) * " +
+          s"((CAST(sx_$s AS DOUBLE) / n_$s) - (CAST(sx AS DOUBLE) / n)))) " +
+          s"AS BIGINT) AS adj_mean_${s}_x1000"
+      s"""WITH ev AS (SELECT user_id AS u,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS tm,
+         |        user_id % 2 AS v FROM events),
+         |mid AS (SELECT CAST((min(tm) + max(tm)) // 2 AS BIGINT) AS t0
+         |        FROM ev),
+         |ux AS (SELECT u, max(v) AS v,
+         |        CAST(sum(CASE WHEN tm < t0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS x,
+         |        CAST(sum(CASE WHEN tm >= t0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS y
+         |       FROM ev CROSS JOIN mid GROUP BY u),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx,
+         |        CAST(sum(y) AS BIGINT) AS sy,
+         |        sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |        sum(CAST(y AS HUGEINT) * y) AS syy FROM ux),
+         |wide AS (SELECT
+         |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |  CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         |  CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+         |  FROM ux),
+         |j AS (SELECT *,
+         |        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+         |          AS cov_n,
+         |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+         |          AS var_n,
+         |        CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+         |          AS vary_n
+         |      FROM wide CROSS JOIN mom)
+         |SELECT n_a, n_b,
+         |  CAST((1000 * sy_a) // greatest(n_a, 1) AS BIGINT)
+         |    AS mean_a_x1000,
+         |  CAST((1000 * sy_b) // greatest(n_b, 1) AS BIGINT)
+         |    AS mean_b_x1000,
+         |  CAST(CASE WHEN var_n = 0 THEN 0 WHEN cov_n >= 0
+         |    THEN (1000000 * cov_n) // var_n
+         |    ELSE -((1000000 * (-cov_n)) // var_n) END AS BIGINT)
+         |    AS theta_ppm,
+         |  ${adj("a")},
+         |  ${adj("b")},
+         |  CAST(CASE WHEN var_n = 0 OR vary_n = 0 THEN 0 ELSE
+         |    round(1000000 * (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)) /
+         |    (CAST(var_n AS DOUBLE) * CAST(vary_n AS DOUBLE))) END AS BIGINT)
+         |    AS rho2_ppm
+         |FROM j""".stripMargin
+    }
+
+    /** Twin of q265_max_coverage: same 61-bit hashed distinct
+      * (doc, shingle) table, the 4 greedy rounds UNROLLED — each an
+      * uncovered-count argmax (c DESC, id) LIMIT 1 plus a covered
+      * union — with the same disjoint marginal gains.
+      */
+    def maxCoverageSql: String = {
+      val k = 4
+      val roundCtes = (1 to k).map { i =>
+        val gSrc = if (i == 1) "sh"
+          else s"(SELECT * FROM sh WHERE h NOT IN (SELECT h FROM c${i - 1}))"
+        val cPrev = if (i == 1) "" else s"SELECT h FROM c${i - 1} UNION "
+        s"""g$i AS (SELECT id, CAST(count(*) AS BIGINT) AS c
+           |  FROM $gSrc GROUP BY id),
+           |p$i AS (SELECT id, c FROM g$i ORDER BY c DESC, id LIMIT 1),
+           |c$i AS (${cPrev}SELECT h FROM sh
+           |  WHERE id = (SELECT id FROM p$i))""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to k).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS "round",
+           |  (SELECT id FROM p$i) AS sel_doc_id,
+           |  (SELECT c FROM p$i) AS gain,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c$i) AS covered_total"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |sgl AS (SELECT doc_id AS id, unnest(${shinglesE("w", 3)}) AS s
+         |        FROM wd WHERE len(w) >= 3),
+         |sh AS (SELECT DISTINCT id, ${duckHash61("s")} AS h FROM sgl),
+         |$roundCtes
+         |SELECT * FROM (
+         |$rows
+         |) WHERE sel_doc_id IS NOT NULL
+         |ORDER BY "round"""".stripMargin
+    }
+
+    /** Twin of q266_loo_source_impact: same exact sums, truncated
+      * ×1000 means, and the subtraction-only removal shift.
+      */
+    def looSourceImpactSql: String =
+      s"""WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_g,
+         |        CAST(sum(length(text)) AS BIGINT) AS s_g
+         |      FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         |        CAST(sum(s_g) AS BIGINT) AS s FROM per),
+         |j AS (SELECT g AS source, n_g,
+         |        CAST((1000 * CAST(s_g AS HUGEINT))
+         |          // greatest(n_g, 1) AS BIGINT) AS mean_x1000,
+         |        CAST((1000 * CAST(s AS HUGEINT))
+         |          // greatest(n, 1) AS BIGINT) AS corpus_mean_x1000,
+         |        CAST((1000 * (CAST(s AS HUGEINT) - s_g))
+         |          // greatest(n - n_g, 1) AS BIGINT) AS loo_mean_x1000
+         |      FROM per CROSS JOIN tot)
+         |SELECT source, n_g, mean_x1000, corpus_mean_x1000,
+         |  loo_mean_x1000,
+         |  loo_mean_x1000 - corpus_mean_x1000 AS delta_x1000
+         |FROM j ORDER BY source""".stripMargin
 
     /** Twin of q252_negative_sample: same hash61 slot proposals over
       * the same "user#slot" strings, same item-existence join, same

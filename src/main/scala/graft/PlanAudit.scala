@@ -256,7 +256,14 @@ object PlanAudit {
     "q261_bootstrap_ci",
     // q251's ONE-row u-weight vector broadcast under the blocked
     // pairs (threshold mode) — broadcast scalars by design
-    "q263_golden_records")
+    "q263_golden_records",
+    // ONE-row midpoint scalar under the user reduction, then the
+    // one-row moment/variant folds composed into the single report
+    // row — broadcast scalars by design
+    "q264_cuped",
+    // ONE-row corpus totals broadcast onto the groups-bounded
+    // impact table — broadcast scalar by design
+    "q266_loo_source_impact")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

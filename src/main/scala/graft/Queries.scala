@@ -3942,6 +3942,44 @@ object Queries {
       .orderBy("entity_id")
   }
 
+  /** CUPED variance-reduced A/B ([[graft.ops.Eval.cupedAbTest]],
+    * Deng-Xu-Kohavi-Walker 2013): id-parity variants, pre/post-period
+    * per-user event counts split at the exact integer midpoint of
+    * the event-time range, exact six-moment sums, sign-symmetric
+    * exact θ ppm, adjusted means and 1−ρ² as single shared float
+    * steps. One user reduction; the report composes one-row
+    * broadcast scalars.
+    */
+  val q264_cuped: Q = (s, d) =>
+    graft.ops.Eval.cupedAbTest(Tables.events(s, d), "user_id", "ts",
+      pmod(col("user_id"), lit(2L)))
+
+  /** Greedy max-coverage selection
+    * ([[graft.ops.Mixture.maxCoverageSelect]], Nemhauser et al.
+    * 1978): the 4 documents that together cover the most distinct
+    * 3-shingles, one argmax round each with exact disjoint marginal
+    * gains — the submodular "corpus summary" selection. One shingle
+    * pass; k bounded driver rounds over the checkpointed (doc,
+    * hash) table.
+    */
+  val q265_max_coverage: Q = (s, d) =>
+    Mixture.maxCoverageSelect(Tables.documents(s, d), "doc_id",
+      "text", k = 4, shingleWidth = 3)
+      .orderBy("round")
+
+  /** Leave-one-source-out impact ([[graft.ops.Profile.looGroupImpact]]):
+    * per source, the corpus mean document length with and without
+    * that source and the signed shift its removal causes — the
+    * group-ablation data-valuation screen. One source-keyed
+    * reduction; one-row totals broadcast.
+    */
+  val q266_loo_source_impact: Q = (s, d) =>
+    Profile.looGroupImpact(
+      Tables.documents(s, d)
+        .select(col("source"), length(col("text")).cast("long").as("len")),
+      "source", "len")
+      .orderBy("source")
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4387,5 +4425,8 @@ object Queries {
     "q260_target_encode" -> q260_target_encode,
     "q261_bootstrap_ci" -> q261_bootstrap_ci,
     "q262_label_prop" -> q262_label_prop,
-    "q263_golden_records" -> q263_golden_records)
+    "q263_golden_records" -> q263_golden_records,
+    "q264_cuped" -> q264_cuped,
+    "q265_max_coverage" -> q265_max_coverage,
+    "q266_loo_source_impact" -> q266_loo_source_impact)
 }

@@ -273,6 +273,99 @@ object Eval {
         col("mean_x1000"), col("lo_x1000"), col("hi_x1000"))
   }
 
+  /** CUPED variance-reduced A/B readback (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013 — the controlled-experiment staple at every large
+    * experimentation platform): per user, the post-period metric y
+    * (event count after the corpus midpoint) is adjusted by the
+    * pre-period covariate x (count before it), ŷ = y − θ(x − x̄)
+    * with θ = cov(x,y)/var(x), which removes the variance x
+    * explains (factor 1 − ρ²) without biasing the treatment
+    * contrast.
+    *
+    * Determinism: the split point is the exact integer midpoint of
+    * the event-time range in microseconds; per-user (x, y) and the
+    * six moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact integers
+    * (DECIMAL(38) products); θ is emitted in exact sign-symmetric
+    * ppm. The adjusted per-variant means and 1 − ρ² are the float
+    * steps — each ONE fixed expression over the named exact sums,
+    * shared verbatim with the twin.
+    *
+    * Scale shape: one (user) reduction to per-user pre/post counts,
+    * one six-sum moment fold, one 2-row per-variant fold — the
+    * report composes one-row broadcast scalars; nothing after the
+    * first aggregation touches the corpus.
+    */
+  def cupedAbTest(df: DataFrame, userCol: String, tsCol: String,
+                  variant: org.apache.spark.sql.Column): DataFrame = {
+    // NTZ-safe: the session runs UTC, so the cast is a relabel
+    val ev = df.select(col(userCol).as("u"),
+      expr(s"unix_micros(CAST($tsCol AS TIMESTAMP))").as("tm"),
+      variant.as("v"))
+    val mid = ev.agg(expr("CAST((min(tm) + max(tm)) div 2 AS BIGINT)")
+      .as("t0"))
+    val ux = ev.crossJoin(broadcast(mid))
+      .groupBy("u")
+      .agg(max("v").as("v"),
+        sum(when(col("tm") < col("t0"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("tm") >= col("t0"), 1L).otherwise(0L)).as("y"))
+    val mom = ux.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    val perV = ux.groupBy("v")
+      .agg(count(lit(1)).as("nv"), sum("x").as("svx"),
+        sum("y").as("svy"))
+    val wide = perV.select(
+      sum(when(col("v") === 0L, col("nv"))).as("n_a"),
+      sum(when(col("v") === 0L, col("svx"))).as("sx_a"),
+      sum(when(col("v") === 0L, col("svy"))).as("sy_a"),
+      sum(when(col("v") === 1L, col("nv"))).as("n_b"),
+      sum(when(col("v") === 1L, col("svx"))).as("sx_b"),
+      sum(when(col("v") === 1L, col("svy"))).as("sy_b"))
+    wide.crossJoin(broadcast(mom))
+      .withColumn("cov_n", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("var_n", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vary_n", expr(
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST((1000 * sy_a) div greatest(n_a, 1) AS BIGINT)")
+          .as("mean_a_x1000"),
+        expr("CAST((1000 * sy_b) div greatest(n_b, 1) AS BIGINT)")
+          .as("mean_b_x1000"),
+        thetaPpmExpr.as("theta_ppm"),
+        adjMeanExpr("a").as("adj_mean_a_x1000"),
+        adjMeanExpr("b").as("adj_mean_b_x1000"),
+        rho2PpmExpr.as("rho2_ppm"))
+  }
+
+  /** Exact sign-symmetric θ ppm of [[cupedAbTest]] — shared verbatim
+    * with the twin (no negative integer division on either engine).
+    */
+  private def thetaPpmExpr: org.apache.spark.sql.Column = expr(
+    "CAST(CASE WHEN var_n = 0 THEN 0 WHEN cov_n >= 0 " +
+      "THEN (1000000 * cov_n) div var_n " +
+      "ELSE -((1000000 * (-cov_n)) div var_n) END AS BIGINT)")
+
+  /** The adjusted-mean float step of [[cupedAbTest]]: ȳ_v − θ(x̄_v −
+    * x̄), ONE fixed double expression over the named exact sums.
+    */
+  private def adjMeanExpr(s: String): org.apache.spark.sql.Column = expr(
+    s"CAST(round(1000 * ((CAST(sy_$s AS DOUBLE) / n_$s) - " +
+      "(CAST(cov_n AS DOUBLE) / CASE WHEN var_n = 0 THEN 1 ELSE CAST(var_n AS DOUBLE) END) * " +
+      s"((CAST(sx_$s AS DOUBLE) / n_$s) - (CAST(sx AS DOUBLE) / n)))) " +
+      "AS BIGINT)")
+
+  /** The 1−ρ² variance-explained float step of [[cupedAbTest]] in
+    * ppm (ρ² = cov²/(varx·vary)), ONE fixed double expression.
+    */
+  private def rho2PpmExpr: org.apache.spark.sql.Column = expr(
+    "CAST(CASE WHEN var_n = 0 OR vary_n = 0 THEN 0 ELSE " +
+      "round(1000000 * (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)) / " +
+      "(CAST(var_n AS DOUBLE) * CAST(vary_n AS DOUBLE))) END AS BIGINT)")
+
   /** 2-D Pareto frontier (skyline, Börzsönyi et al. ICDE 2001):
     * rows not dominated under (minimize `minCol`, maximize `maxCol`)
     * — r' dominates r iff min' ≤ min ∧ max' ≥ max with at least one

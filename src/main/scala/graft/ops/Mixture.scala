@@ -340,6 +340,57 @@ object Mixture {
         col("__cand").as(s"neg_$itemCol"))
   }
 
+  /** Greedy maximum-coverage document selection (Nemhauser, Wolsey &
+    * Fisher 1978 — the (1−1/e)-approximate submodular greedy): pick
+    * `k` documents that together cover the most DISTINCT shingles,
+    * one argmax round at a time, each round scoring every document
+    * by its count of still-uncovered shingles. The coverage
+    * complement to [[mmrSelect]]'s relevance-diversity trade:
+    * "which k docs summarize the corpus' n-gram surface".
+    *
+    * Determinism: 61-bit hashed shingles, argmax ties to the
+    * smallest doc id. Output: one row per round
+    * (round, doc id, marginal gain, cumulative covered) — gains are
+    * DISJOINT by the anti-join, so cumulative covered ≡ Σ gains.
+    *
+    * Scale shape: ONE shingle pass to the distinct (doc, hash)
+    * table (localCheckpointed — every round re-reads it); each of
+    * the k rounds is one anti-join + one doc-keyed count + a 1-row
+    * TakeOrdered argmax (the k driver-side single-row collects are
+    * the bounded, documented kind — the q65/kMeans iterative
+    * discipline); the covered set grows by ≤ the chosen doc's
+    * shingles per round and lives as a checkpointed hash column,
+    * never corpus-wide state.
+    */
+  def maxCoverageSelect(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 4, shingleWidth: Int = 3): DataFrame = {
+    import graft.functions.TextFns
+    val spark = df.sparkSession
+    val sh = df.select(col(idCol).cast("long").as("id"),
+        explode(TextFns.shingles(col(textCol), shingleWidth)).as("s"))
+      .select(col("id"), HashFns.hash61(col("s")).as("h"))
+      .distinct().localCheckpoint()
+    var covered = sh.select("h").where(lit(false)).localCheckpoint()
+    val rows = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cum = 0L
+    for (r <- 1 to k) {
+      val best = sh.join(covered, Seq("h"), "left_anti")
+        .groupBy("id").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("id")).limit(1)
+        .collect() // ONE row by construction (bounded driver pull)
+      if (best.nonEmpty) {
+        val (bid, gain) = (best.head.getLong(0), best.head.getLong(1))
+        cum += gain
+        rows += ((r.toLong, bid, gain, cum))
+        covered = covered
+          .union(sh.where(col("id") === bid).select("h"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("round", s"sel_$idCol", "gain", "covered_total")
+  }
+
   /** Leave-one-out target encoding with additive smoothing (the
     * Kaggle/CatBoost-family categorical encoder, Micci-Barreca
     * SIGKDD Expl. 2001): each row's category is replaced by the mean

@@ -996,6 +996,39 @@ object Profile {
           .as("kappa_x1000"))
   }
 
+  /** Leave-one-group-out impact screen — the cheapest useful form of
+    * data valuation (the group-ablation half of Shapley-style
+    * source attribution): for every group, the corpus mean of a
+    * metric WITH and WITHOUT that group, and the signed shift its
+    * removal causes. "Which source is dragging corpus quality" as
+    * one aggregation.
+    *
+    * Integer-exact: `valueCol` must be a non-negative integer
+    * metric; means are truncated ×1000 divisions of exact sums and
+    * the delta is a SUBTRACTION of the two (never a negative
+    * division). Scale shape: ONE group-keyed partial aggregation;
+    * the one-row corpus totals broadcast onto the groups-bounded
+    * table.
+    */
+  def looGroupImpact(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col(valueCol)).as("s_g"))
+    val tot = per.agg(sum("n_g").as("n"), sum("s_g").as("s"))
+    per.crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n_g"),
+        expr("CAST((1000 * CAST(s_g AS DECIMAL(38,0))) div " +
+          "greatest(n_g, 1) AS BIGINT)").as("mean_x1000"),
+        expr("CAST((1000 * CAST(s AS DECIMAL(38,0))) div " +
+          "greatest(n, 1) AS BIGINT)").as("corpus_mean_x1000"),
+        expr("CAST((1000 * (CAST(s AS DECIMAL(38,0)) - s_g)) div " +
+          "greatest(n - n_g, 1) AS BIGINT)").as("loo_mean_x1000"))
+      // the removal shift: what the corpus mean becomes without the
+      // group, minus what it is — a subtraction, never a negative div
+      .withColumn("delta_x1000",
+        expr("loo_mean_x1000 - corpus_mean_x1000"))
+  }
+
   /** Weight-of-Evidence / Information-Value feature screen (the
     * credit-scoring staple, Siddiqi 2006): for each categorical
     * feature and each of its values, WOE = log2 of the smoothed

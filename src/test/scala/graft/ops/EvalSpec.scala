@@ -140,6 +140,32 @@ class EvalSpec extends SparkSpec {
     assert(ra.getAs[Long]("ari_x1e6") === -500000L)
   }
 
+  test("cupedAbTest: hand moments, exact theta, adjusted means, rho2") {
+    // t0 = (0+1000)/2 = 500 µs; per-user (x, y):
+    // u2:(2,1) u4:(1,2) [variant 0], u1:(1,1) u3:(1,1) [variant 1]
+    // cov_n = 4·6−25 = −1, var_n = vary_n = 4·7−25 = 3
+    val ev = Seq(
+      (2L, 100L), (2L, 200L), (2L, 600L),
+      (4L, 0L), (4L, 700L), (4L, 800L),
+      (1L, 300L), (1L, 900L),
+      (3L, 400L), (3L, 1000L))
+      .toDF("user_id", "t")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val r = Eval.cupedAbTest(ev, "user_id", "ts",
+      pmod(col("user_id"), lit(2L))).collect().head
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("mean_a_x1000") === 1500L)
+    assert(r.getAs[Long]("mean_b_x1000") === 1000L)
+    assert(r.getAs[Long]("theta_ppm") === -333333L) // sign-symmetric
+    assert(r.getAs[Long]("adj_mean_a_x1000") === 1583L) // 1.5+(1/3)·0.25
+    assert(r.getAs[Long]("adj_mean_b_x1000") === 917L)  // 1−(1/3)·0.25
+    assert(r.getAs[Long]("rho2_ppm") === 111111L)       // 1/9
+    // invariant: adjustment shifts both arms but preserves the total
+    // weighted mean direction (a stays above b)
+    assert(r.getAs[Long]("adj_mean_a_x1000") >
+      r.getAs[Long]("adj_mean_b_x1000"))
+  }
+
   test("bootstrapCiMean ≡ a Scala replay of the same hash draws") {
     val rows = (1L to 50L).map(i => (i, i * 10L))
     val df = rows.toDF("id", "v")

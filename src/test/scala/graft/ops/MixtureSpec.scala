@@ -276,6 +276,23 @@ class MixtureSpec extends SparkSpec {
     assert(out === run(inter.repartition(5)))
   }
 
+  test("maxCoverageSelect: greedy argmax, disjoint gains, early stop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // 4 tokens
+      (2L, "a b e"),   // 1 new after d1+d3
+      (3L, "e f g"),   // ties d4 at 3 → min id wins round 2
+      (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Mixture.maxCoverageSelect(docs, "doc_id", "text",
+        k = 4, shingleWidth = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 4: only doc 2's "e" remains but it is covered by doc 3 →
+    // no candidates, the round is skipped (3 rows, not 4)
+    assert(out.toSeq === Seq(
+      (1L, 1L, 4L, 4L), (2L, 3L, 3L, 7L), (3L, 4L, 3L, 10L)))
+  }
+
   test("targetEncodeLoo: hand case, own-label exclusion") {
     import spark.implicits._
     // A: {100, 200}, B: {300}; mu = 600/3 = 200, m = 20

@@ -448,6 +448,17 @@ class ProfileSpec extends SparkSpec {
     assert(kappa(Seq(("A", "B"), ("B", "A"))) === -1000L)
   }
 
+  test("looGroupImpact: hand means and signed removal shifts") {
+    import spark.implicits._
+    val df = Seq(("A", 10L), ("A", 20L), ("B", 30L)).toDF("g", "v")
+    val out = Profile.looGroupImpact(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // corpus mean 20; drop A -> 30 (delta +10); drop B -> 15 (delta -5)
+    assert(out("A") === ((2L, 15000L, 20000L, 30000L, 10000L)))
+    assert(out("B") === ((1L, 30000L, 20000L, 15000L, -5000L)))
+  }
+
   test("woeIv: exact power-of-two WOE, antisymmetry, null-feature zero") {
     import spark.implicits._
     // f: a -> 3 pos / 1 neg, b -> 1 pos / 3 neg (P=N=4):
