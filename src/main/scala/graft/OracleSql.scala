@@ -551,6 +551,7 @@ object OracleSql {
     "q264_cuped" -> Gen.cupedSql,
     "q265_max_coverage" -> Gen.maxCoverageSql,
     "q266_loo_source_impact" -> Gen.looSourceImpactSql,
+    "q267_image_dup_clusters" -> Gen.imageDupClustersSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -3126,6 +3127,70 @@ object OracleSql {
          |     + bit_count(xor(h.dhash_hi, rf.rh)) AS BIGINT)
          |    AS hamming_to_doc0
          |FROM hsh h CROSS JOIN rf ORDER BY doc_id""".stripMargin
+    }
+
+    /** Twin of q267_image_dup_clusters: the q166 closed-form dHash
+      * CTEs keyed by doc_id % 97, the same 16-bit band keys with
+      * the same 512 bucket valve (engaged at scale by the one
+      * identical-gradient mega-bucket), popcount verify at hamming ≤ 6,
+      * and the RECURSIVE-closure CC with min-of-component labels.
+      */
+    def imageDupClustersSql: String = {
+      val x = "((c * w) // 9)"
+      val y = "((r * h) // 8)"
+      s"""WITH RECURSIVE base AS (SELECT doc_id, doc_id % 97 AS sid
+         |                        FROM documents),
+         |dims AS (SELECT doc_id, sid, sid % 13 + 4 AS w,
+         |                sid % 11 + 4 AS h FROM base),
+         |rc AS (SELECT doc_id, sid, w, h, unnest(range(0, 8)) AS r
+         |       FROM dims),
+         |rcc AS (SELECT doc_id, sid, w, h, r, unnest(range(0, 9)) AS c
+         |        FROM rc),
+         |gpx AS (SELECT doc_id, r, c,
+         |    (299 * ((sid * 7 + 3 * $x + 5 * $y) % 256)
+         |   + 587 * ((sid * 11 + $x + 2 * $y) % 256)
+         |   + 114 * ((sid * 13 + 2 * $x + $y) % 256)) // 1000 AS g
+         |  FROM rcc),
+         |bits AS (SELECT doc_id, r, c,
+         |    CASE WHEN g > lead(g) OVER (PARTITION BY doc_id, r ORDER BY c)
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM gpx),
+         |hsh AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN c < 8 AND r < 4 AND b = 1
+         |      THEN (CAST(1 AS BIGINT) << (r * 8 + c)) ELSE 0 END)
+         |      AS BIGINT) AS dhash_lo,
+         |    CAST(sum(CASE WHEN c < 8 AND r >= 4 AND b = 1
+         |      THEN (CAST(1 AS BIGINT) << ((r - 4) * 8 + c)) ELSE 0 END)
+         |      AS BIGINT) AS dhash_hi
+         |  FROM bits GROUP BY doc_id),
+         |bnd AS (SELECT doc_id AS id,
+         |    unnest([0, 1, 2, 3]) AS band,
+         |    unnest([dhash_lo & 65535, (dhash_lo >> 16) & 65535,
+         |            dhash_hi & 65535, (dhash_hi >> 16) & 65535]) AS v
+         |  FROM hsh),
+         |okb AS (SELECT band, v FROM bnd GROUP BY band, v
+         |        HAVING count(*) <= 512),
+         |g2 AS (SELECT b.id, b.band, b.v FROM bnd b
+         |       JOIN okb USING (band, v)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM g2 a JOIN g2 b
+         |           ON a.band = b.band AND a.v = b.v AND a.id < b.id),
+         |prs AS (SELECT c.id_a, c.id_b FROM cand c
+         |        JOIN hsh xa ON xa.doc_id = c.id_a
+         |        JOIN hsh yb ON yb.doc_id = c.id_b
+         |        WHERE bit_count(xor(xa.dhash_lo, yb.dhash_lo))
+         |            + bit_count(xor(xa.dhash_hi, yb.dhash_hi)) <= 0),
+         |e AS (SELECT id_a AS ea, id_b AS eb FROM prs
+         |      UNION SELECT id_b, id_a FROM prs),
+         |reach(ea, eb) AS (
+         |  SELECT ea, eb FROM e
+         |  UNION
+         |  SELECT r.ea, e.eb FROM reach r JOIN e ON r.eb = e.ea),
+         |labels AS (SELECT ea AS id, least(ea, min(eb)) AS cluster_id
+         |           FROM reach GROUP BY ea)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |FROM labels GROUP BY cluster_id HAVING count(*) >= 2
+         |ORDER BY cluster_id""".stripMargin
     }
 
     /** Twin of q168_audio_fingerprint: frame Σ|s| energies from the

@@ -3980,6 +3980,33 @@ object Queries {
       "source", "len")
       .orderBy("source")
 
+  /** Near-duplicate image clusters
+    * ([[graft.multimodal.Multimodal.hashDupClusters]]): the q166
+    * dHash pipeline turned into dedup — a repeating ingest feed
+    * (every document renders the test pattern of its id mod 97, so
+    * each pattern recurs ~5×), 16-bit band-bucket candidates
+    * (pigeonhole-exact), popcount verify at hamming 0 — the
+    * distinct test gradients sit within a few bits of each other,
+    * so EXACT perceptual identity is the right dup bar here — CC
+    * clusters with min-id canonicals. The twin recomputes the same
+    * closed-form dHashes arithmetically and the same clusters via a
+    * RECURSIVE closure.
+    */
+  val q267_image_dup_clusters: Q = (s, d) => {
+    val synth = udf((id: Long) => {
+      val sid = id % 97
+      graft.multimodal.PngCodec.testImage(sid, (sid % 13 + 4).toInt,
+        (sid % 11 + 4).toInt)
+    })
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), synth(col("doc_id")).as("png"))
+    val hashed = graft.multimodal.Multimodal.pngDHash(media, "doc_id", "png")
+      .select(col("id").as("doc_id"), col("dhash_lo"), col("dhash_hi"))
+    graft.multimodal.Multimodal.hashDupClusters(hashed, "doc_id",
+        "dhash_lo", "dhash_hi", maxHamming = 0, maxBucket = 512L)
+      .orderBy("cluster_id")
+  }
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4428,5 +4455,6 @@ object Queries {
     "q263_golden_records" -> q263_golden_records,
     "q264_cuped" -> q264_cuped,
     "q265_max_coverage" -> q265_max_coverage,
-    "q266_loo_source_impact" -> q266_loo_source_impact)
+    "q266_loo_source_impact" -> q266_loo_source_impact,
+    "q267_image_dup_clusters" -> q267_image_dup_clusters)
 }

@@ -576,4 +576,56 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Near-duplicate MEDIA clusters from 64-bit perceptual hashes
+    * (dHash / acoustic fingerprints, packed as two sign-safe 32-bit
+    * halves): band the hash into 4× 16-bit keys (any two hashes
+    * within `maxHamming` ≤ 15 bits share at least one band by
+    * pigeonhole — exact recall at the defaults), bucket-join per
+    * band for candidates, verify by exact popcount hamming, cluster
+    * by connected components, and report every cluster of ≥ 2 with
+    * its min-id canonical — the [[graft.dedup.Dedup]] near-dup
+    * pipeline re-expressed for the multimodal fingerprint family.
+    *
+    * Scale shape: candidates come ONLY from 16-bit band-key
+    * equality (4 keyed self-joins' worth of rows in one
+    * posexplode+join — never all-pairs); `maxBucket` drops
+    * pathological band buckets (the LSH hot-bucket valve — engaged
+    * by default at 4096, mirrored in the twin); CC runs on verified
+    * pairs only.
+    */
+  def hashDupClusters(hashed: DataFrame, idCol: String,
+                      loCol: String, hiCol: String,
+                      maxHamming: Int = 6,
+                      maxBucket: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = hashed.select(col(idCol).cast("long").as("id"),
+      col(loCol).as("lo"), col(hiCol).as("hi")).localCheckpoint()
+    val banded = h.select(col("id"), posexplode(array(
+        expr("lo & 65535"), expr("(lo >> 16) & 65535"),
+        expr("hi & 65535"), expr("(hi >> 16) & 65535")))
+      .as(Seq("band", "v")))
+    val ok = banded.groupBy("band", "v")
+      .agg(count(lit(1)).as("__bc"))
+      .where(col("__bc") <= maxBucket)
+      .select("band", "v")
+    val guarded = banded.join(ok, Seq("band", "v"))
+    val cand = guarded.select(col("band"), col("v"), col("id").as("id_a"))
+      .join(guarded.select(col("band"), col("v"), col("id").as("id_b")),
+        Seq("band", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = cand
+      .join(h.select(col("id").as("id_a"), col("lo").as("la"),
+        col("hi").as("ha")), Seq("id_a"))
+      .join(h.select(col("id").as("id_b"), col("lo").as("lb"),
+        col("hi").as("hb")), Seq("id_b"))
+      .where(expr(s"bit_count(la ^ lb) + bit_count(ha ^ hb) " +
+        s"<= $maxHamming"))
+      .select("id_a", "id_b")
+    val (labels, _) = graft.dedup.Dedup.connectedComponents(pairs)
+    labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"))
+  }
 }

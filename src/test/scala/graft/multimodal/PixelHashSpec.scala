@@ -55,4 +55,23 @@ class PixelHashSpec extends SparkSpec {
       assert(r.getLong(1) === lo && r.getLong(2) === hi && r.isNullAt(3))
     }
   }
+
+  test("hashDupClusters: band recall, hamming verify, bucket valve") {
+    import spark.implicits._
+    // 1 ≡ 2 (hamming 0); 3 one bit off in the LOW band (shares 3
+    // bands); 4 flips >6 bits spread over all four bands (candidate
+    // via none — every band differs); 5 within 2 bits of 4
+    val rows = Seq(
+      (1L, 5L, 9L), (2L, 5L, 9L), (3L, 4L, 9L),
+      (4L, 0x0F0F0001L, 0x30303L), (5L, 0x0F0F0000L, 0x30300L))
+      .toDF("id", "lo", "hi")
+    val out = Multimodal.hashDupClusters(rows, "id", "lo", "hi",
+        maxHamming = 6).orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 3L), (4L, 2L)))
+    // valve: maxBucket = 1 kills every candidate bucket
+    val none = Multimodal.hashDupClusters(rows, "id", "lo", "hi",
+      maxHamming = 6, maxBucket = 1L).collect()
+    assert(none.isEmpty)
+  }
 }
