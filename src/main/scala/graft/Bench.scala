@@ -316,7 +316,8 @@ object Bench {
       "q258_partition_agreement", "q259_woe_iv",
       "q260_target_encode", "q261_bootstrap_ci", "q262_label_prop",
       "q263_golden_records", "q264_cuped", "q265_max_coverage",
-      "q266_loo_source_impact", "q267_image_dup_clusters")
+      "q266_loo_source_impact", "q267_image_dup_clusters",
+      "q268_intrinsic_dim")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

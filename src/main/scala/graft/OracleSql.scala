@@ -552,6 +552,7 @@ object OracleSql {
     "q265_max_coverage" -> Gen.maxCoverageSql,
     "q266_loo_source_impact" -> Gen.looSourceImpactSql,
     "q267_image_dup_clusters" -> Gen.imageDupClustersSql,
+    "q268_intrinsic_dim" -> Gen.intrinsicDimSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1597,6 +1598,64 @@ object OracleSql {
          |  CAST((1000 * n_disagree) // n_neighbors AS BIGINT) AS disagree_x1000,
          |  (n_disagree * 2 > n_neighbors) AS suspect
          |FROM g ORDER BY vec_id""".stripMargin
+    }
+
+    /** Twin of q268_intrinsic_dim: q108's SQ-quantization CTEs, the
+      * q153 plane-signature buckets with 1-bit multi-probe, exact
+      * integer squared-L2 candidates via norms + list dot, the same
+      * (d2, id) two-NN rank, the Mitchell e8 log of the squared
+      * ratio and the single shared MLE float step.
+      */
+    def intrinsicDimSql: String = {
+      val planes = VectorFns.randomHyperplanes(numBits = 8, dim = 64,
+        seed = 42L)
+      val probes = (Seq("xor(sig, 0)") ++
+        (0 until 8).map(i => s"xor(sig, ${1L << i})")).mkString(", ")
+      val sh = 1L << graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats
+        .mitchellE8Sql(s"((d2b * $sh) // d1)", "//")
+      s"""WITH ed AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |ex AS (SELECT id,
+         |        unnest([{'pos': i, 'x': v[i]}
+         |                for i in range(1, len(v)+1)]) AS u
+         |      FROM ed),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY u.pos),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT id,
+         |         [CASE WHEN s[i] = 0 THEN 0
+         |               ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(v)+1)] AS qv
+         |       FROM ed CROSS JOIN sl),
+         |sg AS (SELECT id, (${sigE("v", planes)}) AS bucket FROM ed),
+         |b AS (SELECT qz.id, sg.bucket, qz.qv,
+         |        CAST(list_sum([qz.qv[i] * qz.qv[i]
+         |             for i in range(1, len(qz.qv)+1)]) AS BIGINT) AS nn
+         |      FROM qz JOIN sg USING (id)),
+         |p AS (SELECT id AS query_id, qv AS qq, nn AS nq,
+         |        unnest([$probes]) AS bucket
+         |      FROM (SELECT id, qv, nn, bucket AS sig FROM b)),
+         |cand AS (SELECT DISTINCT p.query_id, b.id,
+         |          b.nn + p.nq - 2 * CAST(list_sum([b.qv[i] * p.qq[i]
+         |            for i in range(1, len(b.qv)+1)]) AS BIGINT) AS d2
+         |        FROM b JOIN p ON b.bucket = p.bucket
+         |          AND b.id <> p.query_id),
+         |pos AS (SELECT query_id, id, d2 FROM cand WHERE d2 > 0),
+         |rk AS (SELECT query_id, d2,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY d2, id) AS rn FROM pos),
+         |dd AS (SELECT query_id,
+         |        min(CASE WHEN rn = 1 THEN d2 END) AS d1,
+         |        min(CASE WHEN rn = 2 THEN d2 END) AS d2b
+         |       FROM rk GROUP BY query_id),
+         |e8s AS (SELECT $m8 - 160 AS e8 FROM dd WHERE d2b IS NOT NULL),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |        CAST(sum(e8) AS BIGINT) AS sum_e8 FROM e8s)
+         |SELECT n_points, sum_e8,
+         |  CAST(CASE WHEN coalesce(sum_e8, 0) <= 0 THEN -1 ELSE
+         |    round(16000.0 * n_points /
+         |    (0.6931471805599453 * sum_e8)) END AS BIGINT) AS id_x1000
+         |FROM f""".stripMargin
     }
 
     /** Twin of q154_novelty_curve: same distinct (doc, 3-shingle

@@ -4007,6 +4007,22 @@ object Queries {
       .orderBy("cluster_id")
   }
 
+  /** TwoNN intrinsic dimension of the embedding space
+    * ([[graft.sim.Similarity.intrinsicDimension]], Facco et al.
+    * 2017): per-vector 2nd/1st-NN distance ratios over EXACT integer
+    * squared L2 in the int8 SQ space, neighbors from the q76/q153
+    * bucketed LSH chain, Mitchell eighth-bit logs, one final float
+    * step for the MLE — "how many dimensions do these embeddings
+    * actually use". (The synthetic fixture's embeddings are
+    * near-uniform 64-dim noise — TwoNN's documented worst case,
+    * where ratios crowd 1 and the reading saturates high; the
+    * oracle pins engine parity, and `SimilaritySpec` pins the
+    * calibrated ≈4 reading on a true 4-dim cloud.)
+    */
+  val q268_intrinsic_dim: Q = (s, d) =>
+    Similarity.intrinsicDimension(Tables.embeddings(s, d), "vec_id",
+      "embedding", dim = 64, numBits = 8)
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4456,5 +4472,6 @@ object Queries {
     "q264_cuped" -> q264_cuped,
     "q265_max_coverage" -> q265_max_coverage,
     "q266_loo_source_impact" -> q266_loo_source_impact,
-    "q267_image_dup_clusters" -> q267_image_dup_clusters)
+    "q267_image_dup_clusters" -> q267_image_dup_clusters,
+    "q268_intrinsic_dim" -> q268_intrinsic_dim)
 }

@@ -1086,4 +1086,75 @@ object Similarity {
         col("q_knn_x1e6"), col("m_knn_x1e6"), col("margin_x1e6"),
         (col("margin_x1e6") > thresholdX1e6).as("accepted"))
   }
+
+  /** TwoNN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez
+    * & Laio, Scientific Reports 2017) — "how many dimensions does
+    * this embedding space ACTUALLY use": for each point, μ = r₂/r₁
+    * (its 2nd/1st nearest-neighbor distance ratio), and the MLE
+    * d = N / Σ ln μᵢ. A 768-wide embedding column with d ≈ 11 is
+    * normal; d collapsing toward 1 flags degenerate embeddings.
+    *
+    * Determinism/exactness: distances are EXACT integer squared L2
+    * over the int8 SQ codes ([[sqQuantize]] — corpus max-abs scales,
+    * [[graft.functions.VecDotLong]] norms/dots), so the per-point
+    * ratio is an integer rational; ln μ comes from the Mitchell
+    * eighth-bit log2 of the SQUARED ratio (log2 μ² = 2·log2 μ), and
+    * the single float step is the final
+    * 16000·N / (ln 2 · Σe8) expression over the two exact totals.
+    * Zero-distance duplicates are excluded (μ undefined), ties rank
+    * by id.
+    *
+    * Scale shape: neighbors come from the [[knnSelfJoin]] machinery
+    * — hyperplane-signature buckets + 1-bit multi-probe through the
+    * hot-bucket-guarded [[Scale.cappedBucketJoin]] (never all-pairs);
+    * the per-query rank window sees ≤ bucketCap·probes candidates;
+    * the report is one two-column fold.
+    */
+  def intrinsicDimension(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, numBits: Int = 8,
+                         multiProbeBits: Int = 1, seed: Long = 42L,
+                         bucketCap: Int = 10000,
+                         maxBucket: Long = Long.MaxValue): DataFrame = {
+    import graft.functions.VecDotLong
+    import org.apache.spark.sql.expressions.Window
+    val scales = sqScales(df, vecCol)
+    val planes = randomHyperplanes(numBits, dim, seed)
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), planes))
+      .withColumn("qv", sqQuantize(col("v"), scales))
+      .withColumn("nn", VecDotLong(col("qv"), col("qv")))
+      .select("id", "bucket", "qv", "nn")
+      .localCheckpoint() // probe + corpus sides both read it
+    val probes: Seq[Column] =
+      probeDeltas(numBits, multiProbeBits).map(lit)
+    val probing = base.select(col("id").as("query_id"),
+      col("qv").as("qq"), col("nn").as("nq"),
+      explode(array(probes.map(p =>
+        col("bucket").bitwiseXOR(p)): _*)).as("bucket"))
+    val cand = Scale.cappedBucketJoin(base, probing, Seq("bucket"),
+        col("id"), col("query_id"), bucketCap, maxBucket)
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (col("nn") + col("nq") -
+          lit(2L) * VecDotLong(col("qv"), col("qq"))).as("d2"))
+      .dropDuplicates("query_id", "id")
+      .where(col("d2") > 0)
+    // per-query candidate window — bucketCap-bounded (q76's class)
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("id"))
+    val sh = 1L << graft.ops.TextStats.LmShift
+    val mu = cand.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy("query_id")
+      .agg(min(when(col("rn") === 1, col("d2"))).as("d1"),
+        min(when(col("rn") === 2, col("d2"))).as("d2b"))
+      .where(col("d2b").isNotNull)
+      .select(expr(graft.ops.TextStats
+        .mitchellE8Sql(s"((d2b * $sh) div d1)") + " - 160").as("e8"))
+    mu.agg(count(lit(1)).as("n_points"), sum("e8").as("sum_e8"))
+      .select(col("n_points"), col("sum_e8"),
+        expr("CAST(CASE WHEN coalesce(sum_e8, 0) <= 0 THEN -1 ELSE " +
+          "round(16000.0 * n_points / " +
+          "(0.6931471805599453 * sum_e8)) END AS BIGINT)")
+          .as("id_x1000"))
+  }
 }

@@ -701,4 +701,36 @@ class SimilaritySpec extends SparkSpec {
         r.getLong(4), r.getLong(5), r.getBoolean(6)))
     assert(out.toSeq === out2.toSeq)
   }
+
+  test("intrinsicDimension: ~d on a d-dim cloud, partition-invariant") {
+    import spark.implicits._
+    // 400 pseudorandom points in a 4-D integer cube (components < 120
+    // so int8 quantization barely distorts) — TwoNN should read ≈ 4.
+    // Coordinates need REAL independent mixing (murmur-style
+    // finalizer): a linear-congruential draw is quasi-regular, its
+    // too-even NN spacing pushes every ratio toward 1 and the
+    // estimate toward infinity
+    def h(i: Long, j: Long): Float = {
+      var x = i * 4 + j
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33
+      java.lang.Math.floorMod(x, 120L).toFloat
+    }
+    val pts = (1L to 400L).map(i =>
+      (i, Array(h(i, 1), h(i, 2), h(i, 3), h(i, 4))))
+    val df = pts.toDF("vec_id", "embedding")
+    // numBits = 2: 4 buckets + 1-bit probes ≈ exhaustive neighbors —
+    // the estimator needs TRUE 1st/2nd NNs; starving candidates
+    // biases ratios toward 1 and inflates the reading
+    val r = Similarity.intrinsicDimension(df, "vec_id", "embedding",
+      dim = 4, numBits = 2).collect().head
+    val id = r.getAs[Long]("id_x1000")
+    assert(r.getAs[Long]("n_points") > 300L)
+    assert(r.getAs[Long]("sum_e8") > 0L)
+    assert(id > 2200L && id < 6800L, s"id_x1000=$id not ~4000")
+    val r2 = Similarity.intrinsicDimension(df.repartition(7), "vec_id",
+      "embedding", dim = 4, numBits = 2).collect().head
+    assert(r2.getAs[Long]("id_x1000") === id)
+  }
 }
