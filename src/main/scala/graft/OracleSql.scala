@@ -553,6 +553,7 @@ object OracleSql {
     "q266_loo_source_impact" -> Gen.looSourceImpactSql,
     "q267_image_dup_clusters" -> Gen.imageDupClustersSql,
     "q268_intrinsic_dim" -> Gen.intrinsicDimSql,
+    "q269_neyman_sample" -> Gen.neymanSampleSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -2945,6 +2946,36 @@ object OracleSql {
          |SELECT r.lang, r.doc_id, r.rn AS sample_rank, a.n_s, a.k_s
          |FROM r JOIN a USING (lang) WHERE r.rn <= a.k_s
          |ORDER BY lang, sample_rank""".stripMargin
+
+    /** Twin of q269_neyman_sample: same exact HUGEINT variance
+      * numerator, the floor(sqrt(DOUBLE)) weight shared VERBATIM,
+      * same allocation division, and the q177 hash-rank membership.
+      */
+    def neymanSampleSql: String =
+      s"""WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+         |        CAST(sum(length(text)) AS BIGINT) AS sv,
+         |        sum(CAST(length(text) AS HUGEINT) * length(text)) AS svv
+         |      FROM documents GROUP BY source),
+         |w AS (SELECT source, n_s,
+         |        CAST(floor(sqrt(CAST(CAST(n_s AS HUGEINT) * svv -
+         |          CAST(sv AS HUGEINT) * sv AS DOUBLE))) AS BIGINT) AS w_s
+         |      FROM m),
+         |t AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_total FROM w),
+         |a AS (SELECT source, n_s, w_s,
+         |        CAST(greatest(1, (100 * w_s) // greatest(w_total, 1))
+         |          AS BIGINT) AS k_s
+         |      FROM w CROSS JOIN t),
+         |h AS (SELECT source, doc_id,
+         |        ${duckHash61("CAST(doc_id AS VARCHAR)")} AS hh
+         |      FROM documents),
+         |r AS (SELECT source, doc_id, CAST(row_number() OVER (
+         |        PARTITION BY source ORDER BY hh DESC, doc_id) AS BIGINT)
+         |          AS rn
+         |      FROM h)
+         |SELECT r.source, r.doc_id, r.rn AS sample_rank, a.n_s, a.w_s,
+         |  a.k_s
+         |FROM r JOIN a USING (source) WHERE r.rn <= a.k_s
+         |ORDER BY source, sample_rank""".stripMargin
 
     /** Twin of q175_ngram_overlap: same candidate pairs (every 5th
       * doc vs its successor), same clipped-count BLEU arithmetic over

@@ -4023,6 +4023,22 @@ object Queries {
     Similarity.intrinsicDimension(Tables.embeddings(s, d), "vec_id",
       "embedding", dim = 64, numBits = 8)
 
+  /** Neyman-allocation stratified sample
+    * ([[graft.ops.Mixture.neymanSample]], Neyman 1934): a 100-doc
+    * budget split across sources ∝ N_h·σ_h of document length —
+    * variance-optimal at fixed budget, the upgrade over q177's
+    * proportional split; exact DECIMAL variance numerators, one
+    * shared floor(sqrt) step, hash-rank membership via the
+    * bounded-heap top-k.
+    */
+  val q269_neyman_sample: Q = (s, d) =>
+    Mixture.neymanSample(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          length(col("text")).cast("long").as("len")),
+      "source", "doc_id", "len", totalK = 100)
+      .orderBy("source", "sample_rank")
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4473,5 +4489,6 @@ object Queries {
     "q265_max_coverage" -> q265_max_coverage,
     "q266_loo_source_impact" -> q266_loo_source_impact,
     "q267_image_dup_clusters" -> q267_image_dup_clusters,
-    "q268_intrinsic_dim" -> q268_intrinsic_dim)
+    "q268_intrinsic_dim" -> q268_intrinsic_dim,
+    "q269_neyman_sample" -> q269_neyman_sample)
 }

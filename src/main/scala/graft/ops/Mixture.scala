@@ -291,6 +291,53 @@ object Mixture {
         col("n_s"), col("k_s"))
   }
 
+  /** Exact-count stratified sample with NEYMAN (optimal) allocation
+    * (Neyman 1934, the survey-sampling standard): stratum h's share
+    * of the `totalK` budget is proportional to N_h·σ_h — big AND
+    * internally-varied strata earn more rows, homogeneous strata
+    * fewer, which minimizes the variance of the estimated mean at a
+    * fixed budget. The upgrade over [[stratifiedSample]]'s
+    * proportional allocation when the metric's spread differs across
+    * strata.
+    *
+    * Exactness: N_h·σ_h = √(n_h·Σv² − (Σv)²) exactly, so the weight
+    * is ONE floor(sqrt(DOUBLE)) step over the exact DECIMAL(38)
+    * variance numerator (shared verbatim with the twin — sqrt is
+    * IEEE-correctly-rounded on both engines, so the floor cannot
+    * disagree); the allocation k_h = max(1, (totalK·w_h) div Σw) and
+    * the membership draw (each stratum's k_h highest hash61(id),
+    * smallest-id ties) are exact integers.
+    *
+    * Scale shape: one stratum-keyed moment reduction, a one-row
+    * weight-total broadcast, and the bounded-heap
+    * [[graft.plans.TopK.topKPerKey]] per-stratum selection — no
+    * corpus sort, no per-stratum single-reducer window.
+    */
+  def neymanSample(df: DataFrame, strataCol: String, idCol: String,
+                   valueCol: String, totalK: Int): DataFrame = {
+    require(totalK >= 1, s"totalK=$totalK must be >= 1")
+    val mom = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_s"), sum(valueCol).as("__sv"),
+        sum(expr(s"CAST($valueCol AS DECIMAL(38,0)) * $valueCol"))
+          .as("__svv"))
+      .withColumn("w_s", expr("CAST(floor(sqrt(CAST(" +
+        "CAST(n_s AS DECIMAL(38,0)) * __svv - " +
+        "CAST(__sv AS DECIMAL(38,0)) * __sv AS DOUBLE))) AS BIGINT)"))
+    val wTot = mom.agg(sum("w_s").as("__w_total"))
+    val alloc = mom.crossJoin(broadcast(wTot))
+      .select(col(strataCol), col("n_s"), col("w_s"),
+        greatest(lit(1L), expr(s"(CAST($totalK AS BIGINT) * w_s) div " +
+          "greatest(__w_total, 1)")).as("k_s"))
+    val ranked = graft.plans.TopK.topKPerKey(
+      df.select(col(strataCol), col(idCol),
+        HashFns.hash61(col(idCol).cast("string")).as("__h")),
+      Seq(strataCol), col("__h"), Seq(col(idCol)), totalK)
+    ranked.join(broadcast(alloc), Seq(strataCol))
+      .where(col("rn") <= col("k_s"))
+      .select(col(strataCol), col(idCol), col("rn").as("sample_rank"),
+        col("n_s"), col("w_s"), col("k_s"))
+  }
+
   /** Deterministic negative sampling for contrastive/recommender
     * training: for every user in the interaction set, `k` items the
     * user has NOT interacted with, drawn by hash instead of RNG

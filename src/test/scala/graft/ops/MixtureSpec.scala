@@ -293,6 +293,25 @@ class MixtureSpec extends SparkSpec {
       (1L, 1L, 4L, 4L), (2L, 3L, 3L, 7L), (3L, 4L, 3L, 10L)))
   }
 
+  test("neymanSample: variance-weighted allocation, floor k, exact w") {
+    import spark.implicits._
+    // A: {0, 10} -> var_n = 2*100 - 100 = 100 -> w = 10
+    // B: {5, 5, 5} -> var_n = 0 -> w = 0 -> still gets the min 1 row
+    val df = Seq(
+      ("A", 1L, 0L), ("A", 2L, 10L),
+      ("B", 3L, 5L), ("B", 4L, 5L), ("B", 5L, 5L))
+      .toDF("s", "id", "v")
+    val out = Mixture.neymanSample(df, "s", "id", "v", totalK = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("w_s"),
+        r.getAs[Long]("k_s")))
+    val byS = out.groupBy(_._1)
+    assert(byS("A").forall(t => t._3 === 10L && t._4 === 4L))
+    assert(byS("A").size === 2) // allocation 4 capped by stratum size
+    assert(byS("B").forall(t => t._3 === 0L && t._4 === 1L))
+    assert(byS("B").size === 1) // zero-variance stratum: exactly 1
+  }
+
   test("targetEncodeLoo: hand case, own-label exclusion") {
     import spark.implicits._
     // A: {100, 200}, B: {300}; mu = 600/3 = 200, m = 20
