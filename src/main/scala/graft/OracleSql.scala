@@ -554,6 +554,7 @@ object OracleSql {
     "q267_image_dup_clusters" -> Gen.imageDupClustersSql,
     "q268_intrinsic_dim" -> Gen.intrinsicDimSql,
     "q269_neyman_sample" -> Gen.neymanSampleSql,
+    "q270_hopkins" -> Gen.hopkinsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1657,6 +1658,68 @@ object OracleSql {
          |    round(16000.0 * n_points /
          |    (0.6931471805599453 * sum_e8)) END AS BIGINT) AS id_x1000
          |FROM f""".stripMargin
+    }
+
+    /** Twin of q270_hopkins: the q108 SQ chain, probe vectors
+      * assembled row-wise from the SAME hash61("hop:j:d") draws,
+      * exact integer squared-L2 min distances on both legs, the
+      * same top-m hash-rank sample, one exact ppm division.
+      */
+    def hopkinsSql: String = {
+      val dot = "CAST(list_sum([q.qv[i] * %s[i] " +
+        "for i in range(1, len(q.qv)+1)]) AS BIGINT)"
+      val h = duckHash61(
+        "'hop:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+      s"""WITH ed AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |ex AS (SELECT id,
+         |        unnest([{'pos': i, 'x': v[i]}
+         |                for i in range(1, len(v)+1)]) AS u
+         |      FROM ed),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY u.pos),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT id,
+         |         [CASE WHEN s[i] = 0 THEN 0
+         |               ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(v)+1)] AS qv
+         |       FROM ed CROSS JOIN sl),
+         |qn AS (SELECT id, qv,
+         |        CAST(list_sum([qv[i] * qv[i]
+         |          for i in range(1, len(qv)+1)]) AS BIGINT) AS nn
+         |       FROM qz),
+         |bb AS (SELECT u2.pos - 1 AS d, CAST(min(u2.x) AS BIGINT) AS lo,
+         |        CAST(max(u2.x) AS BIGINT) AS hi
+         |       FROM (SELECT unnest([{'pos': i, 'x': qv[i]}
+         |               for i in range(1, len(qv)+1)]) AS u2 FROM qz)
+         |       GROUP BY u2.pos),
+         |pd AS (SELECT j, d,
+         |        CAST(lo + ($h % (hi - lo + 1)) AS BIGINT) AS x
+         |       FROM (SELECT unnest(generate_series(0, 49)) AS j)
+         |       CROSS JOIN bb),
+         |pv AS (SELECT j AS pid, list(x ORDER BY d) AS pv FROM pd
+         |       GROUP BY j),
+         |pn AS (SELECT pid, pv,
+         |        CAST(list_sum([pv[i] * pv[i]
+         |          for i in range(1, len(pv)+1)]) AS BIGINT) AS np
+         |       FROM pv),
+         |uu AS (SELECT CAST(sum(du) AS BIGINT) AS sum_u FROM (
+         |        SELECT p.pid,
+         |          min(q.nn + p.np - 2 * ${dot.format("p.pv")}) AS du
+         |        FROM qn q CROSS JOIN pn p GROUP BY p.pid)),
+         |smp AS (SELECT id FROM (SELECT id, row_number() OVER (
+         |          ORDER BY ${duckHash61("CAST(id AS VARCHAR)")} DESC, id)
+         |          AS rn FROM qn) WHERE rn <= 50),
+         |sv AS (SELECT q.id AS sid, q.qv AS svv, q.nn AS ns
+         |       FROM qn q JOIN smp ON smp.id = q.id),
+         |ww AS (SELECT CAST(sum(dw) AS BIGINT) AS sum_w FROM (
+         |        SELECT s.sid,
+         |          min(q.nn + s.ns - 2 * CAST(list_sum([q.qv[i] * s.svv[i]
+         |            for i in range(1, len(q.qv)+1)]) AS BIGINT)) AS dw
+         |        FROM qn q JOIN sv s ON q.id <> s.sid GROUP BY s.sid))
+         |SELECT CAST(50 AS BIGINT) AS m, sum_u, sum_w,
+         |  CAST((1000000 * CAST(sum_u AS HUGEINT))
+         |    // greatest(sum_u + sum_w, 1) AS BIGINT) AS h_ppm
+         |FROM uu CROSS JOIN ww""".stripMargin
     }
 
     /** Twin of q154_novelty_curve: same distinct (doc, 3-shingle

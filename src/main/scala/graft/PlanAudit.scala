@@ -263,7 +263,11 @@ object PlanAudit {
     "q264_cuped",
     // ONE-row corpus totals broadcast onto the groups-bounded
     // impact table — broadcast scalar by design
-    "q266_loo_source_impact")
+    "q266_loo_source_impact",
+    // m-row (≤64 by parameter) probe and sample vectors broadcast
+    // under the two map-only NN scans, plus the one-row u/w scalars
+    // — bounded broadcasts by design
+    "q270_hopkins")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -4039,6 +4039,18 @@ object Queries {
       "source", "doc_id", "len", totalK = 100)
       .orderBy("source", "sample_rank")
 
+  /** Hopkins clusterability of the embedding space
+    * ([[graft.sim.Similarity.hopkins]], Hopkins–Skellam 1954):
+    * hash-drawn uniform probes vs hash-sampled real points on the
+    * int8 SQ grid, exact integer squared-L2 nearest distances, H as
+    * one exact ppm division — "is there any cluster structure worth
+    * paying for". The near-uniform synthetic embeddings should read
+    * H ≈ ½; the spec pins the clustered ≈1 and regular ≈0 regimes.
+    */
+  val q270_hopkins: Q = (s, d) =>
+    Similarity.hopkins(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, m = 50)
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4490,5 +4502,6 @@ object Queries {
     "q266_loo_source_impact" -> q266_loo_source_impact,
     "q267_image_dup_clusters" -> q267_image_dup_clusters,
     "q268_intrinsic_dim" -> q268_intrinsic_dim,
-    "q269_neyman_sample" -> q269_neyman_sample)
+    "q269_neyman_sample" -> q269_neyman_sample,
+    "q270_hopkins" -> q270_hopkins)
 }

@@ -1087,6 +1087,84 @@ object Similarity {
         (col("margin_x1e6") > thresholdX1e6).as("accepted"))
   }
 
+  /** Hopkins clusterability statistic (Hopkins & Skellam 1954, the
+    * standard pre-clustering diagnostic): H = Σu / (Σu + Σw), where
+    * u_j is the nearest-data distance of m synthetic UNIFORM probe
+    * points and w_j the nearest-OTHER-data distance of m sampled
+    * real points. H ≈ ½ for unstructured (uniform) data; H → 1 when
+    * the data clusters (uniform probes land far from the clusters);
+    * H → 0 for lattice-regular data. Run it before paying for a
+    * clustering pass.
+    *
+    * Integer-exact end to end (the squared-distance variant,
+    * documented): the corpus is int8-SQ-quantized ([[sqQuantize]]),
+    * probes are hash61-drawn uniform points over the quantized
+    * data's PER-DIM BOUNDING BOX (lo_d + hash61("salt:j:d") mod
+    * (hi_d−lo_d+1) — deterministic and oracle-parity; the box, not
+    * the full grid, or empty quadrants masquerade as cluster
+    * structure), distances are exact integer squared L2, and
+    * H is one exact ppm division of two integer sums. No floats, no
+    * RNG.
+    *
+    * Scale shape: both NN passes are broadcast-m × corpus map-only
+    * scans with a min-per-probe partial aggregation — the m× scan
+    * cost is the documented price of the EXACT diagnostic (m ≤ 64
+    * enforced); the m-point sample comes from the bounded-heap
+    * top-m hash rank, and the report is a one-row fold.
+    */
+  def hopkins(df: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int = 50,
+              salt: String = "hop"): DataFrame = {
+    require(m >= 1 && m <= 64, s"m=$m must be in [1, 64]")
+    import graft.functions.{HashFns, VecDotLong}
+    val scales = sqScales(df, vecCol)
+    val q = df.select(col(idCol).cast("long").as("id"),
+        sqQuantize(col(vecCol), scales).as("qv"))
+      .withColumn("nn", VecDotLong(col("qv"), col("qv")))
+      .localCheckpoint() // three consumers: probes-NN, sample, sample-NN
+    val spark = df.sparkSession
+    // probes must be uniform over the DATA's bounding box — drawing
+    // on the full int8 grid inflates u wherever the data does not
+    // reach (H read 0.96 on a uniform cloud before this fix). The
+    // per-dim bounds are a dim-sized driver pull, the sqScales class.
+    val bounds = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val probes = spark.range(m.toLong).select(col("id").as("pid"),
+        array((0 until dim).map { d =>
+          val (lo, hi) = bounds(d)
+          lit(lo) + pmod(HashFns.hash61(
+            concat(lit(s"$salt:"), col("id").cast("string"),
+              lit(s":$d"))), lit(hi - lo + 1L))
+        }: _*).as("pv"))
+      .withColumn("np", VecDotLong(col("pv"), col("pv")))
+    val u = q.crossJoin(broadcast(probes))
+      .select(col("pid"),
+        (col("nn") + col("np") -
+          lit(2L) * VecDotLong(col("qv"), col("pv"))).as("d2"))
+      .groupBy("pid").agg(min("d2").as("du"))
+      .agg(sum("du").as("sum_u"))
+    val sample = graft.plans.TopK.topKPerKey(
+        q.select(lit(1).as("__all"), col("id"),
+          HashFns.hash61(col("id").cast("string")).as("__h")),
+        Seq("__all"), col("__h"), Seq(col("id")), m)
+      .join(q, Seq("id"))
+      .select(col("id").as("sid"), col("qv").as("sv"),
+        col("nn").as("ns"))
+    val w = q.crossJoin(broadcast(sample))
+      .where(col("id") =!= col("sid"))
+      .select(col("sid"),
+        (col("nn") + col("ns") -
+          lit(2L) * VecDotLong(col("qv"), col("sv"))).as("d2"))
+      .groupBy("sid").agg(min("d2").as("dw"))
+      .agg(sum("dw").as("sum_w"))
+    u.crossJoin(broadcast(w))
+      .select(lit(m.toLong).as("m"), col("sum_u"), col("sum_w"),
+        expr("CAST((1000000 * CAST(sum_u AS DECIMAL(38,0))) div " +
+          "greatest(sum_u + sum_w, 1) AS BIGINT)").as("h_ppm"))
+  }
+
   /** TwoNN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez
     * & Laio, Scientific Reports 2017) — "how many dimensions does
     * this embedding space ACTUALLY use": for each point, μ = r₂/r₁

@@ -702,6 +702,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === out2.toSeq)
   }
 
+  test("hopkins: clustered ≫ uniform, partition-invariant") {
+    import spark.implicits._
+    def mix(i: Long, j: Long): Long = {
+      var x = i * 8 + j
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    // uniform 4-D cloud → H ≈ 1/2
+    val uni = (1L to 300L).map(i => (i, Array.tabulate(4)(d =>
+      java.lang.Math.floorMod(mix(i, d.toLong), 120L).toFloat)))
+      .toDF("vec_id", "embedding")
+    val hu = Similarity.hopkins(uni, "vec_id", "embedding", dim = 4,
+      m = 20).collect().head.getAs[Long]("h_ppm")
+    assert(hu > 300000L && hu < 700000L, s"uniform H=$hu not ~500000")
+    // two tight far-apart clusters → probes land far from data → H → 1
+    val clus = (1L to 300L).map { i =>
+      val base = if (i % 2 == 0) 0L else 100L
+      (i, Array.tabulate(4)(d =>
+        (base + java.lang.Math.floorMod(mix(i, d.toLong), 3L)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val hc = Similarity.hopkins(clus, "vec_id", "embedding", dim = 4,
+      m = 20).collect().head.getAs[Long]("h_ppm")
+    assert(hc > 800000L, s"clustered H=$hc not near 1e6")
+    assert(hc > hu)
+    val hu2 = Similarity.hopkins(uni.repartition(9), "vec_id",
+      "embedding", dim = 4, m = 20).collect().head.getAs[Long]("h_ppm")
+    assert(hu2 === hu)
+  }
+
   test("intrinsicDimension: ~d on a d-dim cloud, partition-invariant") {
     import spark.implicits._
     // 400 pseudorandom points in a 4-D integer cube (components < 120
