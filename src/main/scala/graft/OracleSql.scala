@@ -555,6 +555,7 @@ object OracleSql {
     "q268_intrinsic_dim" -> Gen.intrinsicDimSql,
     "q269_neyman_sample" -> Gen.neymanSampleSql,
     "q270_hopkins" -> Gen.hopkinsSql,
+    "q271_ch_index" -> Gen.chIndexSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4016,6 +4017,52 @@ object OracleSql {
          |SELECT id AS vec_id, CAST(cell AS INT) AS cell
          |FROM rk WHERE rn <= 10 ORDER BY vec_id""".stripMargin
     }
+
+    /** Twin of q271_ch_index: the q79/q135 cell chain + the q108
+      * SQ quantization, reduced to the same (cell × dim) integer
+      * moment table, the same exact ×10⁶ per-cell truncations and
+      * the same integer CH division.
+      */
+    def chIndexSql: String =
+      s"""$ivfCellCtes,
+         |ex AS (SELECT id,
+         |        unnest([{'pos': i, 'x': v[i]}
+         |                for i in range(1, len(v)+1)]) AS u
+         |      FROM e),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY u.pos),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT id,
+         |         [CASE WHEN s[i] = 0 THEN 0
+         |               ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(v)+1)] AS qv
+         |       FROM e CROSS JOIN sl),
+         |j AS (SELECT casn.cell, qz.qv FROM casn JOIN qz USING (id)),
+         |cp AS (SELECT cell, u2.pos AS pos,
+         |        CAST(sum(u2.x) AS BIGINT) AS s,
+         |        CAST(sum(u2.x * u2.x) AS BIGINT) AS ss,
+         |        CAST(count(*) AS BIGINT) AS cnt
+         |      FROM (SELECT cell, unnest([{'pos': i, 'x': qv[i]}
+         |              for i in range(1, len(qv)+1)]) AS u2 FROM j)
+         |      GROUP BY cell, u2.pos),
+         |pc AS (SELECT cell, sum(CAST(s AS HUGEINT) * s) AS g,
+         |        CAST(max(cnt) AS BIGINT) AS n_c FROM cp GROUP BY cell),
+         |ar AS (SELECT CAST(sum(ss) AS HUGEINT) AS a2 FROM cp),
+         |tr AS (SELECT sum(CAST(ts AS HUGEINT) * ts) AS t2 FROM
+         |        (SELECT pos, CAST(sum(s) AS BIGINT) AS ts FROM cp
+         |         GROUP BY pos)),
+         |cm AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |        CAST(sum(n_c) AS BIGINT) AS n,
+         |        sum((1000000 * g) // n_c) AS p6 FROM pc),
+         |f AS (SELECT *, 1000000 * a2 AS a6, (1000000 * t2) // n AS t6
+         |      FROM cm CROSS JOIN ar CROSS JOIN tr),
+         |g2 AS (SELECT *, greatest(a6 - p6, 0) AS w6,
+         |        greatest(p6 - t6, 0) AS b6 FROM f)
+         |SELECT n AS n_rows, k AS n_cells,
+         |  CAST((1000000 * w6) // greatest(a6 - t6, 1) AS BIGINT)
+         |    AS within_ppm,
+         |  CAST((1000 * b6 * (n - k)) // greatest(w6 * (k - 1), 1)
+         |    AS BIGINT) AS ch_x1000
+         |FROM g2""".stripMargin
 
     /** Twin of q240_brand_affinity: the q162 arithmetic over
       * order-key baskets of distinct part brands.

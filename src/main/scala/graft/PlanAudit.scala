@@ -267,7 +267,10 @@ object PlanAudit {
     // m-row (≤64 by parameter) probe and sample vectors broadcast
     // under the two map-only NN scans, plus the one-row u/w scalars
     // — bounded broadcasts by design
-    "q270_hopkins")
+    "q270_hopkins",
+    // q79/q135's cell chain upstream; the one-row A/T moment scalars
+    // composed into the single report row — broadcast by design
+    "q271_ch_index")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -4051,6 +4051,17 @@ object Queries {
     Similarity.hopkins(Tables.embeddings(s, d), "vec_id", "embedding",
       dim = 64, m = 50)
 
+  /** Calinski–Harabasz validity of the q135 cell partition
+    * ([[graft.sim.Similarity.chIndex]], 1974): between/within
+    * variance ratio over exact int8-quantized sums — did the IVF
+    * cells separate anything? One posexplode pass to the k×dim
+    * moment table; exact ×10⁶ per-cell mean truncations, one exact
+    * integer division for CH.
+    */
+  val q271_ch_index: Q = (s, d) =>
+    Similarity.chIndex(Scale.fanOut(Tables.embeddings(s, d)),
+      "vec_id", "embedding", numCells = 4, iters = 1, sampleN = 64)
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4503,5 +4514,6 @@ object Queries {
     "q267_image_dup_clusters" -> q267_image_dup_clusters,
     "q268_intrinsic_dim" -> q268_intrinsic_dim,
     "q269_neyman_sample" -> q269_neyman_sample,
-    "q270_hopkins" -> q270_hopkins)
+    "q270_hopkins" -> q270_hopkins,
+    "q271_ch_index" -> q271_ch_index)
 }

@@ -257,7 +257,17 @@ object Eval {
       .withColumn("w", expr(poissonCdfCaseSql("u")))
       .groupBy("r")
       .agg(sum(expr("w * v")).as("swx"), sum("w").as("sw"))
-      .withColumn("m", expr("CAST((1000 * CAST(swx AS DECIMAL(38,0))) " +
+    ciFromReplicas(reps, pt, b, tailPct)
+  }
+
+  /** The order-statistic CI tail of [[bootstrapCiMean]] — shared
+    * VERBATIM with [[bootstrapFromMoments]] so the batch operator
+    * and the streaming readback cannot drift.
+    */
+  private def ciFromReplicas(reps0: DataFrame, pt: DataFrame, b: Int,
+                             tailPct: Int): DataFrame = {
+    val reps = reps0.withColumn("m",
+      expr("CAST((1000 * CAST(swx AS DECIMAL(38,0))) " +
         "div greatest(sw, 1) AS BIGINT)"))
     val loIdx = (b * tailPct) / 100 + 1
     val hiIdx = b - (b * tailPct) / 100
@@ -271,6 +281,28 @@ object Eval {
     pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
       .select(col("n_rows"), lit(b.toLong).as("n_replicas"),
         col("mean_x1000"), col("lo_x1000"), col("hi_x1000"))
+  }
+
+  /** Build the [[bootstrapCiMean]] report from externally accumulated
+    * per-replica moments — the readback half of a STREAMING mean-CI
+    * monitor: each row's (replica, w·v, w) contributions are
+    * per-row deterministic (hash-drawn) and arrive exactly once, so
+    * the (swx, sw) pairs and the (n, Σv) point totals are ADDITIVE
+    * across micro-batches; a foreachBatch folds them per trigger
+    * and emits the live CI through the same [[ciFromReplicas]]
+    * arithmetic the batch operator uses. State is 2·B + 2 longs.
+    */
+  def bootstrapFromMoments(spark: org.apache.spark.sql.SparkSession,
+                           replicas: Seq[(Long, Long, Long)],
+                           nRows: Long, sumV: Long, b: Int,
+                           tailPct: Int = 5): DataFrame = {
+    import spark.implicits._
+    val reps = replicas.toDF("r", "swx", "sw")
+    val pt = Seq((nRows, sumV)).toDF("n_rows", "sv")
+      .select(col("n_rows"),
+        expr("CAST((1000 * CAST(sv AS DECIMAL(38,0))) div " +
+          "greatest(n_rows, 1) AS BIGINT)").as("mean_x1000"))
+    ciFromReplicas(reps, pt, b, tailPct)
   }
 
   /** CUPED variance-reduced A/B readback (Deng, Xu, Kohavi & Walker,

@@ -1056,8 +1056,6 @@ object Profile {
     */
   def woeIv(df: DataFrame, labelCol: String,
             featureCols: Seq[String]): DataFrame = {
-    val m8 = (q: String) => graft.ops.TextStats.mitchellE8Sql(q, "div")
-    val sh = 1L << graft.ops.TextStats.LmShift
     val stackArgs = featureCols
       .map(f => s"'$f', CAST($f AS STRING)").mkString(", ")
     val long = df.selectExpr(
@@ -1066,6 +1064,30 @@ object Profile {
     val counts = long.groupBy("feature", "value")
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"))
+    woeIvFromCountsDf(counts)
+  }
+
+  /** Build the [[woeIv]] report from externally accumulated
+    * ((feature, value) → n_pos, n_neg) counts — the readback half
+    * of a STREAMING feature-drift monitor: the count table is
+    * additive across micro-batches (per-row stateless), so a
+    * foreachBatch folds it per trigger and emits the live WOE/IV
+    * through the same arithmetic the batch operator uses. State is
+    * bounded by Σ|domain(f)|.
+    */
+  def woeIvFromCounts(spark: org.apache.spark.sql.SparkSession,
+                      counts: Seq[(String, String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    woeIvFromCountsDf(counts.toDF("feature", "value", "n_pos", "n_neg"))
+  }
+
+  /** The WOE/IV arithmetic over a (feature, value, n_pos, n_neg)
+    * count table — shared VERBATIM by [[woeIv]] and
+    * [[woeIvFromCounts]] so batch and streaming cannot drift.
+    */
+  private def woeIvFromCountsDf(counts: DataFrame): DataFrame = {
+    val m8 = (q: String) => graft.ops.TextStats.mitchellE8Sql(q, "div")
+    val sh = 1L << graft.ops.TextStats.LmShift
     val tot = counts.groupBy("feature")
       .agg(sum("n_pos").as("p_tot"), sum("n_neg").as("n_tot"))
     val scored = counts.join(broadcast(tot), Seq("feature"))

@@ -1165,6 +1165,69 @@ object Similarity {
           "greatest(sum_u + sum_w, 1) AS BIGINT)").as("h_ppm"))
   }
 
+  /** Calinski–Harabasz cluster-validity index (Caliński & Harabasz
+    * 1974 — the variance-ratio criterion sklearn exposes as
+    * `calinski_harabasz_score`): CH = (B/(k−1)) / (W/(N−k)) over the
+    * between/within sum-of-squares decomposition of the corpus
+    * around its [[assignCells]] partition. The "did the clustering
+    * actually separate anything" readback to run after q135's
+    * assignment — higher is better, ~0 means the cells explain no
+    * variance.
+    *
+    * Integer-exact: vectors are int8-SQ-quantized; with per-(cell,
+    * dim) sums s and squared sums, ||s_c||², Σ||x||² and ||S||² are
+    * exact DECIMAL(38) integers, the per-cell mean divisions are
+    * exact ×10⁶ truncations (deterministic on both engines — no
+    * float sum over cells whose order could differ), and CH itself
+    * is one exact integer division ×1000. `within_ppm` reports
+    * W/(total SS) — the fraction of variance the partition fails to
+    * explain.
+    *
+    * Scale shape: ONE posexplode pass reduces the corpus to the
+    * (cell × dim) moment table (bounded by k·dim); everything after
+    * runs on that table and one-row broadcasts. Requires
+    * numCells ≥ 2.
+    */
+  def chIndex(df: DataFrame, idCol: String, vecCol: String,
+              numCells: Int = 4, iters: Int = 1, sampleN: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    require(numCells >= 2, "CH needs at least 2 cells")
+    val scales = sqScales(df, vecCol)
+    val cells = assignCells(df, idCol, vecCol, numCells, iters,
+      sampleN, seed)
+    val q = df.select(col(idCol).as("id"),
+        sqQuantize(col(vecCol), scales).as("qv"))
+      .join(cells, Seq("id"))
+    val cp = q.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum("x").as("s"), sum(expr("x * x")).as("ss"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint() // three consumers of the k×dim moment table
+    val perCell = cp.groupBy("cell")
+      .agg(expr("sum(CAST(s AS DECIMAL(38,0)) * s)").as("g"),
+        max("cnt").as("n_c"))
+    val aRow = cp.agg(sum("ss").as("a2"))
+    val tRow = cp.groupBy("pos").agg(sum("s").as("ts"))
+      .agg(expr("sum(CAST(ts AS DECIMAL(38,0)) * ts)").as("t2"))
+    perCell
+      .agg(count(lit(1)).as("k"), sum("n_c").as("n"),
+        expr("sum((1000000 * g) div n_c)").as("p6"))
+      .crossJoin(broadcast(aRow)).crossJoin(broadcast(tRow))
+      .withColumn("a6", expr("1000000 * CAST(a2 AS DECIMAL(38,0))"))
+      .withColumn("t6", expr("(1000000 * t2) div n"))
+      .withColumn("w6", expr("greatest(a6 - p6, 0)"))
+      .withColumn("b6", expr("greatest(p6 - t6, 0)"))
+      .select(col("n").as("n_rows"), col("k").as("n_cells"),
+        // b6/w6 can resolve to BIGINT (div yields BIGINT) — lift to
+        // DECIMAL before the products, or ANSI throws long-overflow
+        // at 10× data (caught by the scale ramp)
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * w6) div " +
+          "greatest(a6 - t6, 1) AS BIGINT)").as("within_ppm"),
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * b6 * (n - k)) div " +
+          "greatest(CAST(w6 AS DECIMAL(38,0)) * (k - 1), 1) AS BIGINT)")
+          .as("ch_x1000"))
+  }
+
   /** TwoNN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez
     * & Laio, Scientific Reports 2017) — "how many dimensions does
     * this embedding space ACTUALLY use": for each point, μ = r₂/r₁

@@ -97,6 +97,35 @@ class EvalSpec extends SparkSpec {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("bootstrapFromMoments ≡ batch bootstrap over accumulated batches") {
+    val b = 16
+    val batches = Seq((1L to 20L), (21L to 35L), (36L to 50L))
+      .map(_.map(i => (i, i * 7L)).toSeq)
+    def w(u: Long): Long =
+      if (u < 367879) 0 else if (u < 735758) 1 else if (u < 919698) 2
+      else if (u < 981011) 3 else if (u < 996340) 4
+      else if (u < 999405) 5 else 6
+    // fold replica moments exactly as a foreachBatch monitor would
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var n = 0L; var sv = 0L
+    batches.foreach(_.foreach { case (id, v) =>
+      n += 1; sv += v
+      (0 until b).foreach { r =>
+        val u = graft.functions.HashFns.hash61Bytes(
+          s"boot:$r:$id".getBytes("UTF-8")) % 1000000L
+        val (x, s0) = acc.getOrElse(r.toLong, (0L, 0L))
+        acc(r.toLong) = (x + w(u) * v, s0 + w(u))
+      }
+    })
+    val streamed = Eval.bootstrapFromMoments(spark,
+      acc.toSeq.map { case (r, (x, s)) => (r, x, s) }, n, sv, b)
+      .collect().head.toSeq
+    val batch = Eval.bootstrapCiMean(
+      batches.flatten.toDF("id", "v"), "id", "v", b = b)
+      .collect().head.toSeq
+    assert(streamed === batch)
+  }
+
   test("paretoFront2d keeps duplicated frontier points") {
     val df = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 20L, 5L), (4L, 5L, 1L))
       .toDF("id", "price", "sz")

@@ -459,6 +459,30 @@ class ProfileSpec extends SparkSpec {
     assert(out("B") === ((1L, 30000L, 20000L, 15000L, -5000L)))
   }
 
+  test("woeIvFromCounts ≡ batch woeIv over accumulated counts") {
+    import spark.implicits._
+    val batches = Seq(
+      Seq(("a", "x", true), ("a", "y", false), ("b", "x", true)),
+      Seq(("a", "x", false), ("b", "y", true), ("b", "y", false)),
+      Seq(("a", "y", true), ("b", "x", false)))
+    // fold (feature, value) counts as a foreachBatch monitor would
+    val acc = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)]
+    batches.foreach(_.foreach { case (f, g, y) =>
+      Seq(("f", f), ("g", g)).foreach { k =>
+        val (p, ng) = acc.getOrElse(k, (0L, 0L))
+        acc(k) = if (y) (p + 1, ng) else (p, ng + 1)
+      }
+    })
+    val streamed = Profile.woeIvFromCounts(spark,
+        acc.toSeq.map { case ((f, v), (p, ng)) => (f, v, p, ng) })
+      .orderBy("feature", "value").collect().map(_.toSeq).toSeq
+    val batch = Profile.woeIv(
+        batches.flatten.toDF("f", "g", "y"), "y", Seq("f", "g"))
+      .orderBy("feature", "value").collect().map(_.toSeq).toSeq
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("woeIv: exact power-of-two WOE, antisymmetry, null-feature zero") {
     import spark.implicits._
     // f: a -> 3 pos / 1 neg, b -> 1 pos / 3 neg (P=N=4):

@@ -702,6 +702,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === out2.toSeq)
   }
 
+  test("chIndex: separated clusters score high, uniform noise low") {
+    import spark.implicits._
+    val hiC = Similarity.chIndex(clustered, "vec_id", "embedding",
+      numCells = 3, iters = 2, sampleN = 60).collect().head
+    // 3 tight, far-apart clusters: the partition explains almost all
+    // variance — tiny within share, large CH
+    assert(hiC.getAs[Long]("n_rows") === 120L)
+    assert(hiC.getAs[Long]("n_cells") === 3L)
+    assert(hiC.getAs[Long]("within_ppm") < 300000L)
+    def mix(i: Long, j: Long): Long = {
+      var x = i * 16 + j
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    val uni = (1L to 300L).map(i => (i, Array.tabulate(16)(d =>
+      java.lang.Math.floorMod(mix(i, d.toLong), 120L).toFloat)))
+      .toDF("vec_id", "embedding")
+    val lo = Similarity.chIndex(uni, "vec_id", "embedding",
+      numCells = 3, iters = 2, sampleN = 60).collect().head
+    assert(lo.getAs[Long]("within_ppm") > 600000L)
+    assert(hiC.getAs[Long]("ch_x1000") > lo.getAs[Long]("ch_x1000"))
+    val lo2 = Similarity.chIndex(uni.repartition(7), "vec_id",
+      "embedding", numCells = 3, iters = 2, sampleN = 60).collect().head
+    assert(lo2.toSeq === lo.toSeq)
+  }
+
   test("hopkins: clustered ≫ uniform, partition-invariant") {
     import spark.implicits._
     def mix(i: Long, j: Long): Long = {
