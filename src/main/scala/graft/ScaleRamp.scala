@@ -193,6 +193,7 @@ object ScaleRamp {
     import graft.sim.Similarity
     def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
     def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+    def cust(dir: String) = spark.read.parquet(s"$dir/customer.parquet")
     def timeDf(mk: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       mk().write.format("noop").mode("overwrite").save()
@@ -254,6 +255,40 @@ object ScaleRamp {
       // clone families) and the df valve at 200·F (replication
       // multiplies df by F). Grade this row on runtime-per-OUTPUT-
       // pair, not wall-clock factor.
+      // Record linkage at scale, the REALISTIC shape: blocking keys
+      // must REFINE as the corpus grows (the candidate stage is
+      // quadratic per block, so fixed nation-blocking grows F² per
+      // block). The scaled run blocks on (nation, name suffix) —
+      // ~100× more blocks of ~constant size — exactly how production
+      // linkage holds its candidate budget.
+      ("linkage_scaled", {
+        () =>
+          val c = cust(srcDir)
+          graft.dedup.Linkage.scorePairs(
+            c.where(pmod(col("c_custkey"), lit(2L)) === 0L),
+            c.where(pmod(col("c_custkey"), lit(2L)) === 1L),
+            "c_custkey", blockKey = col("c_nationkey"),
+            fields = Seq(
+              graft.dedup.Linkage.LinkField("bal",
+                expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"),
+                900000L),
+              graft.dedup.Linkage.LinkField("seg", col("c_mktsegment"),
+                850000L)))
+        }, { () =>
+          val c = cust(outDir)
+          graft.dedup.Linkage.scorePairs(
+            c.where(pmod(col("c_custkey"), lit(2L)) === 0L),
+            c.where(pmod(col("c_custkey"), lit(2L)) === 1L),
+            "c_custkey",
+            blockKey = concat_ws("#", col("c_nationkey"),
+              expr("right(c_name, 2)")),
+            fields = Seq(
+              graft.dedup.Linkage.LinkField("bal",
+                expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"),
+                900000L),
+              graft.dedup.Linkage.LinkField("seg", col("c_mktsegment"),
+                850000L)))
+        }),
       ("setsim_selfjoin_scaled",
         () => Dedup.setSimJoin(docs(srcDir), "doc_id",
           graft.functions.TextFns.shingles(col("text"), 3),

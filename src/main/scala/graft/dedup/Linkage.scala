@@ -74,21 +74,37 @@ object Linkage {
     */
   def scorePairs(dfA: DataFrame, dfB: DataFrame, idCol: String,
                  blockKey: Column, fields: Seq[LinkField],
-                 maxBlock: Long = Long.MaxValue): DataFrame = {
+                 maxBlock: Long = Long.MaxValue,
+                 uFromBothSides: Boolean = true): DataFrame = {
     require(fields.nonEmpty, "need at least one comparison field")
-    def proj(df: DataFrame, prefix: String): DataFrame =
+    def proj(df: DataFrame): DataFrame =
       df.select(Seq(col(idCol), blockKey.as("__blk")) ++
-        fields.map(f => f.key.as(s"${prefix}${f.name}")): _*)
-    val both = proj(dfA, "__k_").unionByName(proj(dfB, "__k_"))
-    val n = both.agg(count(lit(1)).as("__n"))
-    // exact chance-agreement u_ppm per field: Σ cnt² · 1e6 div n²
-    // fold u AND both log-weights into the ONE-row vector here, so the
-    // per-pair score is a constant pick (the 43-branch eighth-bit log
-    // CASE codegens once per field on one row, never per pair)
+        fields.map(f => f.key.as(s"__k_${f.name}")): _*)
+    val pop =
+      if (uFromBothSides) proj(dfA).unionByName(proj(dfB))
+      else proj(dfB) // reference-corpus u — the persisted-index mode
+    val u = weightsFrom(pop, fields)
+    val a = dfA.select(Seq(col(idCol).as("id_a"), blockKey.as("__blk")) ++
+      fields.map(f => f.key.as(s"__ka_${f.name}")): _*)
+    val b = dfB.select(Seq(col(idCol).as("id_b"), blockKey.as("__blk")) ++
+      fields.map(f => f.key.as(s"__kb_${f.name}")): _*)
+    scoreBlocked(a, b, u, fields, maxBlock)
+  }
+
+  /** The ONE-row (u, wa, wd) weight vector from a `__k_<field>`
+    * projected population — exact chance-agreement u_ppm per field
+    * (Σ cnt² · 10⁶ div n²), with BOTH log-weights folded in here so
+    * the per-pair score is a constant pick (the 43-branch eighth-bit
+    * log CASE codegens once per field on one row, never per pair).
+    * Shared by [[scorePairs]] and [[buildIndex]].
+    */
+  private def weightsFrom(pop: DataFrame,
+                          fields: Seq[LinkField]): DataFrame = {
     import graft.ops.TextStats.log2E8Sql
     def L(e: String) = log2E8Sql(e)
+    val n = pop.agg(count(lit(1)).as("__n"))
     val uCols = fields.map { f =>
-      both.groupBy(s"__k_${f.name}").agg(count(lit(1)).as("__c"))
+      pop.groupBy(s"__k_${f.name}").agg(count(lit(1)).as("__c"))
         .agg(sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__s2"))
         .crossJoin(broadcast(n))
         .select(expr("greatest(CAST((1000000 * __s2) div " +
@@ -101,11 +117,17 @@ object Linkage {
             s"${L(s"greatest(1000000 - u_${f.name}, 1)")}")
             .as(s"wd_${f.name}"))
     }
-    val u = broadcast(uCols.reduce(_.crossJoin(_)).localCheckpoint())
-    val a = dfA.select(Seq(col(idCol).as("id_a"), blockKey.as("__blk")) ++
-      fields.map(f => f.key.as(s"__ka_${f.name}")): _*)
-    val b = dfB.select(Seq(col(idCol).as("id_b"), blockKey.as("__blk")) ++
-      fields.map(f => f.key.as(s"__kb_${f.name}")): _*)
+    uCols.reduce(_.crossJoin(_)).localCheckpoint()
+  }
+
+  /** The blocked-join scoring stage over pre-projected sides and a
+    * one-row weight vector — shared by [[scorePairs]] and
+    * [[probeIndex]] so batch and index-probe scoring cannot drift.
+    */
+  private def scoreBlocked(a: DataFrame, b: DataFrame, u0: DataFrame,
+                           fields: Seq[LinkField],
+                           maxBlock: Long): DataFrame = {
+    val u = broadcast(u0)
     val blocked =
       if (maxBlock == Long.MaxValue) a.join(b, Seq("__blk"))
       else {
@@ -123,6 +145,70 @@ object Linkage {
           expr(s"CASE WHEN __ka_${f.name} = __kb_${f.name} " +
             s"THEN wa_${f.name} ELSE wd_${f.name} END")
         }.reduce(_ + _).as("score_e8"): _*)
+  }
+
+  /** A persisted linkage index over a REFERENCE corpus (the "master
+    * file"): its blocked, key-projected records plus the one-row
+    * Fellegi–Sunter weight vector with u estimated from the
+    * reference alone — the standard deployment where incoming
+    * batches are matched against a stable customer master without
+    * re-scanning it. Save/load round-trips through parquet.
+    */
+  case class LinkIndex(fieldMeta: Seq[(String, Long)], refs: DataFrame,
+                       weights: DataFrame) {
+    def save(dir: String): Unit = {
+      refs.write.mode("overwrite").parquet(s"$dir/refs")
+      weights.write.mode("overwrite").parquet(s"$dir/weights")
+      val spark = refs.sparkSession
+      import spark.implicits._
+      fieldMeta.toDF("field", "m_ppm")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object LinkIndex {
+    def load(spark: org.apache.spark.sql.SparkSession,
+             dir: String): LinkIndex =
+      LinkIndex(
+        spark.read.parquet(s"$dir/meta").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq,
+        spark.read.parquet(s"$dir/refs"),
+        spark.read.parquet(s"$dir/weights"))
+  }
+
+  /** Build a [[LinkIndex]] from the reference corpus: one projection
+    * plus the per-field weight folds — the whole reference is
+    * scanned ONCE at build time, never again at probe time.
+    */
+  def buildIndex(dfB: DataFrame, idCol: String, blockKey: Column,
+                 fields: Seq[LinkField]): LinkIndex = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val pop = dfB.select(Seq(col(idCol), blockKey.as("__blk")) ++
+      fields.map(f => f.key.as(s"__k_${f.name}")): _*)
+    val refs = dfB.select(
+      Seq(col(idCol).as("id_b"), blockKey.as("__blk")) ++
+        fields.map(f => f.key.as(s"__kb_${f.name}")): _*)
+    LinkIndex(fields.map(f => (f.name, f.mPpm)), refs,
+      weightsFrom(pop, fields))
+  }
+
+  /** Probe a batch against a persisted [[LinkIndex]]: block-join the
+    * incoming records against the index's reference rows and score
+    * through the index's FROZEN weight vector — bit-identical to
+    * `scorePairs(batch, reference, uFromBothSides = false)` (the
+    * differential spec pins it), so a foreachBatch can link every
+    * micro-batch incrementally. The caller's `fields` must carry the
+    * SAME names/m as the build (validated against the meta).
+    */
+  def probeIndex(dfA: DataFrame, idCol: String, blockKey: Column,
+                 fields: Seq[LinkField], index: LinkIndex,
+                 maxBlock: Long = Long.MaxValue): DataFrame = {
+    require(fields.map(f => (f.name, f.mPpm)) == index.fieldMeta,
+      s"field definitions ${fields.map(f => (f.name, f.mPpm))} do not " +
+        s"match the index meta ${index.fieldMeta}")
+    val a = dfA.select(Seq(col(idCol).as("id_a"), blockKey.as("__blk")) ++
+      fields.map(f => f.key.as(s"__ka_${f.name}")): _*)
+    scoreBlocked(a, index.refs, index.weights, fields, maxBlock)
   }
 
   /** Golden-record consolidation (the MDM "survivorship" step): from

@@ -60,6 +60,41 @@ class LinkageSpec extends SparkSpec {
       rows.head.getAs[Long]("id_b") === 41L)
   }
 
+  test("probeIndex ≡ reference-u scorePairs; parquet round trip; meta gate") {
+    val mkB = (1 to 40).map(i =>
+      (100L + i, i.toLong % 5, s"k${i % 7}", s"s${i % 3}"))
+      .toDF("id", "blk", "f1", "f2")
+    val mkA = (1 to 15).map(i =>
+      (i.toLong, i.toLong % 5, s"k${i % 7}", s"s${(i + 1) % 3}"))
+      .toDF("id", "blk", "f1", "f2")
+    val fields = Seq(Linkage.LinkField("f1", col("f1"), 900000L),
+      Linkage.LinkField("f2", col("f2"), 800000L))
+    val direct = Linkage.scorePairs(mkA, mkB, "id", col("blk"), fields,
+        uFromBothSides = false)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val idx = Linkage.buildIndex(mkB, "id", col("blk"), fields)
+    val probed = Linkage.probeIndex(mkA, "id", col("blk"), fields, idx)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(probed === direct && direct.nonEmpty)
+    // persist + reload: identical probe, batch-splittable (stateless
+    // per incoming row, so micro-batch probes union to the full probe)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-linkidx").toString
+    idx.save(dir)
+    val re = Linkage.LinkIndex.load(spark, dir)
+    val b1 = Linkage.probeIndex(mkA.where(col("id") <= 7), "id",
+      col("blk"), fields, re).collect().map(_.toSeq).toSet
+    val b2 = Linkage.probeIndex(mkA.where(col("id") > 7), "id",
+      col("blk"), fields, re).collect().map(_.toSeq).toSet
+    assert((b1 ++ b2) === direct.toSet)
+    // meta validation: wrong m is rejected
+    val bad = Seq(Linkage.LinkField("f1", col("f1"), 900000L),
+      Linkage.LinkField("f2", col("f2"), 700000L))
+    assertThrows[IllegalArgumentException] {
+      Linkage.probeIndex(mkA, "id", col("blk"), bad, re)
+    }
+  }
+
   test("goldenRecords: chain entity, survivorship rules, singletons") {
     // records 1..5; matches 1-2 and 2-3 chain into one entity; 4, 5
     // stay singletons
