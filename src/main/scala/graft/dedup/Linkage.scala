@@ -211,6 +211,28 @@ object Linkage {
     scoreBlocked(a, index.refs, index.weights, fields, maxBlock)
   }
 
+  /** STREAMING incremental linkage: every micro-batch of incoming
+    * records is scored against the persisted [[LinkIndex]] through
+    * [[probeIndex]] (stateless per incoming row, so the union of
+    * per-trigger outputs ≡ one batch probe of the delivered records
+    * — the differential spec pins it). The q173 decontamStream
+    * pattern applied to entity resolution: master file frozen,
+    * stream linked as it arrives.
+    */
+  def linkStream(records: DataFrame, idCol: String, blockKey: Column,
+                 fields: Seq[LinkField], index: LinkIndex,
+                 checkpoint: String,
+                 maxBlock: Long = Long.MaxValue)
+                (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(probeIndex(batch, idCol, blockKey, fields, index, maxBlock))
+        ()
+      }
+      .start()
+
   /** Golden-record consolidation (the MDM "survivorship" step): from
     * accepted match pairs, entities are the CONNECTED COMPONENTS of
     * the match graph ([[graft.dedup.Dedup.connectedComponents]] —

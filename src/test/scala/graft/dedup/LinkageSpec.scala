@@ -95,6 +95,42 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("linkStream: per-trigger probes ≡ one batch probe of delivered") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val refs = (1 to 40).map(i =>
+      (100L + i, i.toLong % 5, s"k${i % 7}", s"s${i % 3}"))
+      .toDF("id", "blk", "f1", "f2")
+    val fields = Seq(Linkage.LinkField("f1", col("f1"), 900000L),
+      Linkage.LinkField("f2", col("f2"), 800000L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-linkidx-s").toString
+    Linkage.buildIndex(refs, "id", col("blk"), fields).save(dir)
+    val index = Linkage.LinkIndex.load(spark, dir)
+    val stream = MemoryStream[(Long, Long, String, String)]
+    val out = scala.collection.mutable.Buffer.empty[Seq[Any]]
+    val q = Linkage.linkStream(
+        stream.toDF().toDF("id", "blk", "f1", "f2"), "id", col("blk"),
+        fields, index,
+        java.nio.file.Files.createTempDirectory("graft-link-ck").toString) {
+      scored => out.synchronized {
+        out ++= scored.collect().map(_.toSeq)
+      }
+    }
+    val incoming = (1 to 15).map(i =>
+      (i.toLong, i.toLong % 5, s"k${i % 7}", s"s${(i + 1) % 3}"))
+    stream.addData(incoming.take(6): _*)
+    q.processAllAvailable()
+    stream.addData(incoming.drop(6): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Linkage.probeIndex(
+        incoming.toDF("id", "blk", "f1", "f2"), "id", col("blk"),
+        fields, index)
+      .collect().map(_.toSeq)
+    assert(out.toSet === batch.toSet && batch.nonEmpty)
+  }
+
   test("goldenRecords: chain entity, survivorship rules, singletons") {
     // records 1..5; matches 1-2 and 2-3 chain into one entity; 4, 5
     // stay singletons
