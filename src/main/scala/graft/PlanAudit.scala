@@ -270,7 +270,14 @@ object PlanAudit {
     "q270_hopkins",
     // q79/q135's cell chain upstream; the one-row A/T moment scalars
     // composed into the single report row — broadcast by design
-    "q271_ch_index")
+    "q271_ch_index",
+    // ONE-row edge-weight total m2 and the one-row modularity scalar
+    // broadcast under the communities-bounded report — broadcast
+    // scalars by design (q152's N convention)
+    "q262_label_prop",
+    // ONE-row Neyman weight total broadcast into the strata-bounded
+    // allocation table — q177's cut-table convention
+    "q269_neyman_sample")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
