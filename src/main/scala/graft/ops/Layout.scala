@@ -163,4 +163,66 @@ object Layout {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(tableName)
   }
+
+  /** Physical-layout report straight from the parquet FOOTERS — the
+    * operational companion to [[writeSized]]/[[writeZOrdered]]: per
+    * column, how many chunks exist, how many bytes they occupy
+    * compressed vs raw, the compression ratio, and which encodings
+    * the writer actually chose. This is how a 100 TB deployment
+    * audits "did the dictionary kick in", "which column dominates
+    * the scan", and "did the Z-order rewrite change the physical
+    * profile" — without reading a single data page (footers only).
+    *
+    * Scale shape: footer reads are distributed (`parallelize` over
+    * the file list — the ONE legitimate RDD use-case class: per-file
+    * imperative I/O), each task reads O(KB) of footer; the report
+    * aggregates to the column-schema-bounded table.
+    */
+  def parquetFooterReport(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(root).isFile) Seq(root.toString)
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    require(files.nonEmpty, s"no parquet files under $path")
+    import spark.implicits._
+    val rows = spark.sparkContext
+      .parallelize(files, math.min(files.size, 64))
+      .flatMap { f =>
+        // fresh local Configuration per task: Hadoop's is not
+        // serializable, and footer reads need only FS defaults
+        val c = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), c)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala.flatMap(b =>
+            b.getColumns.asScala.map { cc =>
+              (cc.getPath.toDotString, cc.getTotalSize,
+                cc.getTotalUncompressedSize, cc.getValueCount,
+                cc.getCodec.toString,
+                cc.getEncodings.asScala.map(_.toString).toSeq
+                  .sorted.mkString("+"))
+            }).toSeq
+        } finally r.close()
+      }
+      .toDF("column", "chunk_bytes", "raw_bytes", "n_values",
+        "codec", "encodings")
+    rows.groupBy("column")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("chunk_bytes").as("compressed_bytes"),
+        sum("raw_bytes").as("raw_bytes"),
+        sum("n_values").as("n_values"),
+        sort_array(collect_set("codec")).as("codecs"),
+        sort_array(collect_set("encodings")).as("encodings"))
+      .withColumn("ratio_x1000",
+        expr("(1000 * raw_bytes) div greatest(compressed_bytes, 1)"))
+      .orderBy("column")
+  }
 }

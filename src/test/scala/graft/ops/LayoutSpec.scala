@@ -167,4 +167,32 @@ class LayoutSpec extends SparkSpec {
       (3L, 2L, 2L, 3L, 2L, 3L, true, 2L)))
     assert(out.toSeq === run(df.repartition(3)).toSeq)
   }
+
+  test("parquetFooterReport: per-column counts, bytes, dictionary use") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-footer").toString
+    // id is all-distinct; tag repeats from a 3-value domain — the
+    // writer should dictionary-encode tag
+    val n = 5000L
+    (0L until n).map(i => (i, s"tag${i % 3}", i.toDouble / 7))
+      .toDF("id", "tag", "x")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    val rep = graft.ops.Layout.parquetFooterReport(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet === Set("id", "tag", "x"))
+    rep.values.foreach { r =>
+      assert(r.getAs[Long]("n_values") === n)   // every column, every row
+      assert(r.getAs[Long]("n_chunks") >= 2L)   // 2 files
+      assert(r.getAs[Long]("raw_bytes") > 0L)
+      assert(r.getAs[Long]("ratio_x1000") > 0L)
+    }
+    // the 3-value tag column must compress far better than unique ids
+    assert(rep("tag").getAs[Long]("compressed_bytes") <
+      rep("id").getAs[Long]("compressed_bytes"))
+    val tagEnc = rep("tag").getAs[Seq[String]]("encodings").mkString
+    assert(tagEnc.contains("DICT") || tagEnc.contains("RLE_DICTIONARY"),
+      s"expected dictionary encoding on tag, got $tagEnc")
+  }
 }
