@@ -556,6 +556,7 @@ object OracleSql {
     "q269_neyman_sample" -> Gen.neymanSampleSql,
     "q270_hopkins" -> Gen.hopkinsSql,
     "q271_ch_index" -> Gen.chIndexSql,
+    "q272_did_report" -> Gen.didReportSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6229,6 +6230,39 @@ object OracleSql {
          |  loo_mean_x1000,
          |  loo_mean_x1000 - corpus_mean_x1000 AS delta_x1000
          |FROM j ORDER BY source""".stripMargin
+
+    /** Twin of q272_did_report: the cupedSql ev/mid/ux CTEs, exact
+      * ×1000 per-variant means, and the subtraction-only DiD.
+      */
+    def didReportSql: String =
+      s"""WITH ev AS (SELECT user_id AS u,
+         |        epoch_us(CAST(ts AS TIMESTAMP)) AS tm,
+         |        user_id % 2 AS v FROM events),
+         |mid AS (SELECT CAST((min(tm) + max(tm)) // 2 AS BIGINT) AS t0
+         |        FROM ev),
+         |ux AS (SELECT u, max(v) AS v,
+         |        CAST(sum(CASE WHEN tm < t0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS x,
+         |        CAST(sum(CASE WHEN tm >= t0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS y
+         |       FROM ev CROSS JOIN mid GROUP BY u),
+         |wide AS (SELECT
+         |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |  CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         |  CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+         |  FROM ux),
+         |m2 AS (SELECT n_a, n_b,
+         |  CAST((1000 * sx_a) // greatest(n_a, 1) AS BIGINT) AS pre_a_x1000,
+         |  CAST((1000 * sy_a) // greatest(n_a, 1) AS BIGINT) AS post_a_x1000,
+         |  CAST((1000 * sx_b) // greatest(n_b, 1) AS BIGINT) AS pre_b_x1000,
+         |  CAST((1000 * sy_b) // greatest(n_b, 1) AS BIGINT) AS post_b_x1000
+         |  FROM wide)
+         |SELECT *, (post_b_x1000 - pre_b_x1000) -
+         |  (post_a_x1000 - pre_a_x1000) AS did_x1000
+         |FROM m2""".stripMargin
 
     /** Twin of q252_negative_sample: same hash61 slot proposals over
       * the same "user#slot" strings, same item-existence join, same

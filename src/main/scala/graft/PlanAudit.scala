@@ -277,7 +277,10 @@ object PlanAudit {
     "q262_label_prop",
     // ONE-row Neyman weight total broadcast into the strata-bounded
     // allocation table — q177's cut-table convention
-    "q269_neyman_sample")
+    "q269_neyman_sample",
+    // q264's ONE-row midpoint scalar under the user reduction, 2-row
+    // variant fold — broadcast scalars by design
+    "q272_did_report")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by

@@ -4062,6 +4062,16 @@ object Queries {
     Similarity.chIndex(Scale.fanOut(Tables.embeddings(s, d)),
       "vec_id", "embedding", numCells = 4, iters = 1, sampleN = 64)
 
+  /** Difference-in-differences report
+    * ([[graft.ops.Eval.didReport]], Card–Krueger form): the q264
+    * pre/post per-user split read as a quasi-experiment — per-variant
+    * exact pre/post mean activity and the parallel-trends-adjusted
+    * effect, all integer (subtractions of exact truncated means).
+    */
+  val q272_did_report: Q = (s, d) =>
+    graft.ops.Eval.didReport(Tables.events(s, d), "user_id", "ts",
+      pmod(col("user_id"), lit(2L)))
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4515,5 +4525,6 @@ object Queries {
     "q268_intrinsic_dim" -> q268_intrinsic_dim,
     "q269_neyman_sample" -> q269_neyman_sample,
     "q270_hopkins" -> q270_hopkins,
-    "q271_ch_index" -> q271_ch_index)
+    "q271_ch_index" -> q271_ch_index,
+    "q272_did_report" -> q272_did_report)
 }

@@ -329,17 +329,7 @@ object Eval {
     */
   def cupedAbTest(df: DataFrame, userCol: String, tsCol: String,
                   variant: org.apache.spark.sql.Column): DataFrame = {
-    // NTZ-safe: the session runs UTC, so the cast is a relabel
-    val ev = df.select(col(userCol).as("u"),
-      expr(s"unix_micros(CAST($tsCol AS TIMESTAMP))").as("tm"),
-      variant.as("v"))
-    val mid = ev.agg(expr("CAST((min(tm) + max(tm)) div 2 AS BIGINT)")
-      .as("t0"))
-    val ux = ev.crossJoin(broadcast(mid))
-      .groupBy("u")
-      .agg(max("v").as("v"),
-        sum(when(col("tm") < col("t0"), 1L).otherwise(0L)).as("x"),
-        sum(when(col("tm") >= col("t0"), 1L).otherwise(0L)).as("y"))
+    val ux = prePostCounts(df, userCol, tsCol, variant)
     val mom = ux.agg(count(lit(1)).as("n"),
       sum("x").as("sx"), sum("y").as("sy"),
       sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
@@ -371,6 +361,62 @@ object Eval {
         adjMeanExpr("a").as("adj_mean_a_x1000"),
         adjMeanExpr("b").as("adj_mean_b_x1000"),
         rho2PpmExpr.as("rho2_ppm"))
+  }
+
+  /** Per-user (pre, post) event counts split at the exact integer
+    * midpoint of the event-time range — shared by [[cupedAbTest]]
+    * and [[didReport]]. NTZ-safe (the session runs UTC, so the cast
+    * is a relabel); one user-keyed reduction + a one-row midpoint
+    * broadcast.
+    */
+  private def prePostCounts(df: DataFrame, userCol: String,
+                            tsCol: String,
+                            variant: org.apache.spark.sql.Column): DataFrame = {
+    val ev = df.select(col(userCol).as("u"),
+      expr(s"unix_micros(CAST($tsCol AS TIMESTAMP))").as("tm"),
+      variant.as("v"))
+    val mid = ev.agg(expr("CAST((min(tm) + max(tm)) div 2 AS BIGINT)")
+      .as("t0"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy("u")
+      .agg(max("v").as("v"),
+        sum(when(col("tm") < col("t0"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("tm") >= col("t0"), 1L).otherwise(0L)).as("y"))
+  }
+
+  /** Difference-in-differences report (the quasi-experimental
+    * workhorse, Card & Krueger 1994 form): with the SAME per-user
+    * pre/post split as [[cupedAbTest]], the DiD effect is
+    * (post_b − pre_b) − (post_a − pre_a) over the per-variant mean
+    * activity — the parallel-trends-adjusted treatment estimate when
+    * assignment wasn't randomized. Exact ×1000 integer means
+    * (truncated divisions of exact sums), the effect a SUBTRACTION
+    * of those — no floats anywhere. One user reduction + a 2-row
+    * variant fold.
+    */
+  def didReport(df: DataFrame, userCol: String, tsCol: String,
+                variant: org.apache.spark.sql.Column): DataFrame = {
+    val ux = prePostCounts(df, userCol, tsCol, variant)
+    ux.groupBy("v").agg(count(lit(1)).as("nv"), sum("x").as("sx"),
+        sum("y").as("sy"))
+      .select(
+        sum(when(col("v") === 0L, col("nv"))).as("n_a"),
+        sum(when(col("v") === 0L, col("sx"))).as("sx_a"),
+        sum(when(col("v") === 0L, col("sy"))).as("sy_a"),
+        sum(when(col("v") === 1L, col("nv"))).as("n_b"),
+        sum(when(col("v") === 1L, col("sx"))).as("sx_b"),
+        sum(when(col("v") === 1L, col("sy"))).as("sy_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST((1000 * sx_a) div greatest(n_a, 1) AS BIGINT)")
+          .as("pre_a_x1000"),
+        expr("CAST((1000 * sy_a) div greatest(n_a, 1) AS BIGINT)")
+          .as("post_a_x1000"),
+        expr("CAST((1000 * sx_b) div greatest(n_b, 1) AS BIGINT)")
+          .as("pre_b_x1000"),
+        expr("CAST((1000 * sy_b) div greatest(n_b, 1) AS BIGINT)")
+          .as("post_b_x1000"))
+      .withColumn("did_x1000", expr(
+        "(post_b_x1000 - pre_b_x1000) - (post_a_x1000 - pre_a_x1000)"))
   }
 
   /** Exact sign-symmetric θ ppm of [[cupedAbTest]] — shared verbatim

@@ -97,6 +97,25 @@ class EvalSpec extends SparkSpec {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("didReport: exact per-variant means and the DiD subtraction") {
+    // v0: u2 (2,1), u4 (1,2) → pre 1500, post 1500
+    // v1: u1 (1,1), u3 (1,2) → pre 1000, post 1500 → DiD = +500
+    val ev = Seq(
+      (2L, 100L), (2L, 200L), (2L, 600L),
+      (4L, 0L), (4L, 700L), (4L, 800L),
+      (1L, 300L), (1L, 900L),
+      (3L, 400L), (3L, 950L), (3L, 1000L))
+      .toDF("user_id", "t")
+      .withColumn("ts", expr("timestamp_micros(t)"))
+    val r = Eval.didReport(ev, "user_id", "ts",
+      pmod(col("user_id"), lit(2L))).collect().head
+    assert(r.getAs[Long]("pre_a_x1000") === 1500L)
+    assert(r.getAs[Long]("post_a_x1000") === 1500L)
+    assert(r.getAs[Long]("pre_b_x1000") === 1000L)
+    assert(r.getAs[Long]("post_b_x1000") === 1500L)
+    assert(r.getAs[Long]("did_x1000") === 500L)
+  }
+
   test("bootstrapFromMoments ≡ batch bootstrap over accumulated batches") {
     val b = 16
     val batches = Seq((1L to 20L), (21L to 35L), (36L to 50L))
