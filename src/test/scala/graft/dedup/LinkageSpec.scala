@@ -131,6 +131,45 @@ class LinkageSpec extends SparkSpec {
     assert(out.toSet === batch.toSet && batch.nonEmpty)
   }
 
+  test("goldenStream: final snapshot ≡ batch golden over delivered") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val master = (1 to 40).map(i =>
+      (100L + i, i.toLong % 5, s"k${i % 7}", s"s${i % 3}"))
+      .toDF("id", "blk", "f1", "f2")
+    val fields = Seq(Linkage.LinkField("f1", col("f1"), 900000L),
+      Linkage.LinkField("f2", col("f2"), 800000L))
+    val index = Linkage.buildIndex(master, "id", col("blk"), fields)
+    val stream = MemoryStream[(Long, Long, String, String)]
+    @volatile var last: Seq[Seq[Any]] = Seq.empty
+    val q = Linkage.goldenStream(
+        stream.toDF().toDF("id", "blk", "f1", "f2"), "id", col("blk"),
+        fields, index, master, scoreMin = 0L,
+        canonCols = Seq("f1"), maxCols = Seq("blk"),
+        java.nio.file.Files.createTempDirectory("graft-gs-ck").toString) {
+      snap => last = snap.orderBy("entity_id").collect().map(_.toSeq).toSeq
+    }
+    val incoming = (1 to 15).map(i =>
+      (i.toLong, i.toLong % 5, s"k${i % 7}", s"s${(i + 1) % 3}"))
+    stream.addData(incoming.take(6): _*)
+    q.processAllAvailable()
+    stream.addData(incoming.drop(6): _*)
+    q.processAllAvailable()
+    q.stop()
+    val allRecs = master.unionByName(
+      incoming.toDF("id", "blk", "f1", "f2"))
+    val pairs = Linkage.probeIndex(
+        incoming.toDF("id", "blk", "f1", "f2"), "id", col("blk"),
+        fields, index)
+      .where(col("score_e8") >= 0L).select("id_a", "id_b")
+    val batch = Linkage.goldenRecords(allRecs, "id", pairs,
+        canonCols = Seq("f1"), maxCols = Seq("blk"))
+      .orderBy("entity_id").collect().map(_.toSeq).toSeq
+    assert(last === batch && batch.nonEmpty)
+    // real consolidation happened: fewer entities than records
+    assert(last.size < 55)
+  }
+
   test("goldenRecords: chain entity, survivorship rules, singletons") {
     // records 1..5; matches 1-2 and 2-3 chain into one entity; 4, 5
     // stay singletons
