@@ -557,6 +557,7 @@ object OracleSql {
     "q270_hopkins" -> Gen.hopkinsSql,
     "q271_ch_index" -> Gen.chIndexSql,
     "q272_did_report" -> Gen.didReportSql,
+    "q273_gini_split" -> Gen.giniSplitSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6263,6 +6264,45 @@ object OracleSql {
          |SELECT *, (post_b_x1000 - pre_b_x1000) -
          |  (post_a_x1000 - pre_a_x1000) AS did_x1000
          |FROM m2""".stripMargin
+
+    /** Twin of q273_gini_split: same (value → pos, neg) reduction,
+      * cumulative window, exact HUGEINT impurity division and
+      * (g, v) argmin.
+      */
+    def giniSplitSql: String =
+      s"""WITH vals AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+         |        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS p,
+         |        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+         |          AS BIGINT) AS q
+         |      FROM lineitem GROUP BY 1),
+         |tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
+         |        CAST(sum(q) AS BIGINT) AS tq FROM vals),
+         |cum AS (SELECT v,
+         |        CAST(sum(p) OVER (ORDER BY v
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+         |        CAST(sum(q) OVER (ORDER BY v
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ql
+         |      FROM vals),
+         |sc AS (SELECT v, pl, ql, pl + ql AS nl,
+         |        (tp - pl) + (tq - ql) AS nr, tp, tq
+         |      FROM cum CROSS JOIN tot),
+         |g AS (SELECT v, nl, nr, tp, tq,
+         |        CAST((2000000 * (CAST(pl AS HUGEINT) * ql * nr +
+         |          CAST(tp - pl AS HUGEINT) * (tq - ql) * nl)) //
+         |          (CAST(nl AS HUGEINT) * nr * (tp + tq)) AS BIGINT)
+         |          AS g_x1e6
+         |      FROM sc WHERE nr > 0),
+         |best AS (SELECT * FROM g ORDER BY g_x1e6, v LIMIT 1)
+         |SELECT v AS threshold, nl AS n_le, nr AS n_gt,
+         |  g_x1e6 AS split_gini_x1e6,
+         |  CAST((2000000 * CAST(tp AS HUGEINT) * tq) //
+         |    (CAST(tp + tq AS HUGEINT) * (tp + tq)) AS BIGINT)
+         |    AS root_gini_x1e6,
+         |  CAST((2000000 * CAST(tp AS HUGEINT) * tq) //
+         |    (CAST(tp + tq AS HUGEINT) * (tp + tq)) AS BIGINT) - g_x1e6
+         |    AS gain_x1e6
+         |FROM best""".stripMargin
 
     /** Twin of q252_negative_sample: same hash61 slot proposals over
       * the same "user#slot" strings, same item-existence join, same

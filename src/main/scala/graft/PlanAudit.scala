@@ -280,7 +280,10 @@ object PlanAudit {
     "q269_neyman_sample",
     // q264's ONE-row midpoint scalar under the user reduction, 2-row
     // variant fold — broadcast scalars by design
-    "q272_did_report")
+    "q272_did_report",
+    // ONE-row class totals broadcast onto the value-domain-bounded
+    // threshold table — broadcast scalar by design
+    "q273_gini_split")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -350,7 +353,10 @@ object PlanAudit {
     "q251_record_linkage",
     // rank window over the B-row replica-mean table (40 rows by
     // parameter — bounded by construction)
-    "q261_bootstrap_ci")
+    "q261_bootstrap_ci",
+    // cumulative window over the value-domain-bounded (value → pos,
+    // neg) threshold table — bounded by the feature domain
+    "q273_gini_split")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

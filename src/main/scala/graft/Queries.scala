@@ -4072,6 +4072,19 @@ object Queries {
     graft.ops.Eval.didReport(Tables.events(s, d), "user_id", "ts",
       pmod(col("user_id"), lit(2L)))
 
+  /** Best Gini stump split ([[graft.ops.Profile.bestGiniSplit]],
+    * CART): the single quantity threshold best separating returned
+    * lineitems — exact DECIMAL impurity per candidate threshold,
+    * argmin ties to the smallest value; one reduction to the 50-value
+    * quantity table.
+    */
+  val q273_gini_split: Q = (s, d) =>
+    Profile.bestGiniSplit(
+      Tables.lineitem(s, d)
+        .select(expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          (col("l_returnflag") === "R").as("is_ret")),
+      "qty", "is_ret")
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4526,5 +4539,6 @@ object Queries {
     "q269_neyman_sample" -> q269_neyman_sample,
     "q270_hopkins" -> q270_hopkins,
     "q271_ch_index" -> q271_ch_index,
-    "q272_did_report" -> q272_did_report)
+    "q272_did_report" -> q272_did_report,
+    "q273_gini_split" -> q273_gini_split)
 }

@@ -996,6 +996,63 @@ object Profile {
           .as("kappa_x1000"))
   }
 
+  /** Best Gini split of a numeric feature against a binary label —
+    * the CART decision-stump screen (Breiman et al. 1984): for every
+    * candidate threshold t (each observed feature value), the
+    * weighted Gini impurity of the {x ≤ t} / {x > t} partition, and
+    * the best split. The one-feature answer to "can a single rule
+    * separate the classes", sharper than [[woeIv]]'s per-value view
+    * for ORDERED features.
+    *
+    * Integer-exact: with binary labels, side impurity is
+    * 2·pos·neg/n_side, so the weighted score is
+    *
+    *   g_x1e6(t) = (2·10⁶·(posL·negL·nR + posR·negR·nL))
+    *                 div (nL·nR·n)
+    *
+    * — one exact DECIMAL(38) division per threshold, no floats;
+    * argmin ties to the smallest threshold. The root impurity
+    * 2·10⁶·pos·neg div n² gives the gain.
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to the
+    * (value → pos, neg) table (bounded by the feature's value
+    * domain — bucket upstream if continuous); the cumulative window
+    * and the argmin run over that bounded table, and the one-row
+    * totals broadcast.
+    */
+  def bestGiniSplit(df: DataFrame, featureCol: String,
+                    labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.groupBy(col(featureCol).cast("long").as("v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("q"))
+    val tot = vals.agg(sum("p").as("tp"), sum("q").as("tq"))
+    // value-domain-bounded cumulative window
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val scored = vals
+      .withColumn("pl", sum("p").over(w))
+      .withColumn("ql", sum("q").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("nl", expr("pl + ql"))
+      .withColumn("nr", expr("(tp - pl) + (tq - ql)"))
+      .where(col("nr") > 0) // the last value is not a split
+      .withColumn("g_x1e6", expr(
+        "CAST((2000000 * (CAST(pl AS DECIMAL(38,0)) * ql * nr + " +
+          "CAST(tp - pl AS DECIMAL(38,0)) * (tq - ql) * nl)) div " +
+          "(CAST(nl AS DECIMAL(38,0)) * nr * (tp + tq)) AS BIGINT)"))
+    scored
+      .orderBy(col("g_x1e6"), col("v"))
+      .limit(1)
+      .select(col("v").as("threshold"),
+        col("nl").as("n_le"), col("nr").as("n_gt"),
+        col("g_x1e6").as("split_gini_x1e6"),
+        expr("CAST((2000000 * CAST(tp AS DECIMAL(38,0)) * tq) div " +
+          "(CAST(tp + tq AS DECIMAL(38,0)) * (tp + tq)) AS BIGINT)")
+          .as("root_gini_x1e6"))
+      .withColumn("gain_x1e6",
+        expr("root_gini_x1e6 - split_gini_x1e6"))
+  }
+
   /** Leave-one-group-out impact screen — the cheapest useful form of
     * data valuation (the group-ablation half of Shapley-style
     * source attribution): for every group, the corpus mean of a

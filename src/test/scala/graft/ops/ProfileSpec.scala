@@ -459,6 +459,31 @@ class ProfileSpec extends SparkSpec {
     assert(out("B") === ((1L, 30000L, 20000L, 15000L, -5000L)))
   }
 
+  test("bestGiniSplit: perfect split, noisy split, tie to smallest v") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Boolean)]) =
+      Profile.bestGiniSplit(rows.toDF("x", "y"), "x", "y")
+        .collect().head
+    // perfect separation at x <= 1
+    val perfect = run(Seq.fill(4)((1L, true)) ++ Seq.fill(4)((2L, false)))
+    assert(perfect.getAs[Long]("threshold") === 1L)
+    assert(perfect.getAs[Long]("split_gini_x1e6") === 0L)
+    assert(perfect.getAs[Long]("root_gini_x1e6") === 500000L)
+    assert(perfect.getAs[Long]("gain_x1e6") === 500000L)
+    // noisy: g = 2e6*(3*1*4 + 1*3*4)/(4*4*8) = 375000
+    val noisy = run(
+      Seq.fill(3)((1L, true)) ++ Seq((1L, false)) ++
+        Seq((2L, true)) ++ Seq.fill(3)((2L, false)))
+    assert(noisy.getAs[Long]("threshold") === 1L)
+    assert(noisy.getAs[Long]("split_gini_x1e6") === 375000L)
+    assert(noisy.getAs[Long]("gain_x1e6") === 125000L)
+    // label independent of x: every split equal -> smallest v wins
+    val tie = run(Seq((1L, true), (1L, false), (2L, true), (2L, false),
+      (3L, true), (3L, false)))
+    assert(tie.getAs[Long]("threshold") === 1L)
+    assert(tie.getAs[Long]("gain_x1e6") === 0L)
+  }
+
   test("woeIvFromCounts ≡ batch woeIv over accumulated counts") {
     import spark.implicits._
     val batches = Seq(
