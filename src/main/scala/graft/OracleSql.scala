@@ -558,6 +558,7 @@ object OracleSql {
     "q271_ch_index" -> Gen.chIndexSql,
     "q272_did_report" -> Gen.didReportSql,
     "q273_gini_split" -> Gen.giniSplitSql,
+    "q274_kendall_tau" -> Gen.kendallTauSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6303,6 +6304,51 @@ object OracleSql {
          |    (CAST(tp + tq AS HUGEINT) * (tp + tq)) AS BIGINT) - g_x1e6
          |    AS gain_x1e6
          |FROM best""".stripMargin
+
+    /** Twin of q274_kendall_tau: same per-customer reduction, same
+      * contingency-grid concordance sums, marginal tie terms, and
+      * the identical tie-adjusted float step.
+      */
+    def kendallTauSql: String =
+      s"""WITH pc AS (SELECT o_custkey,
+         |        CAST(count(*) AS BIGINT) AS n_orders,
+         |        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |          AS BIGINT) AS spend_cents
+         |      FROM orders GROUP BY 1),
+         |pb AS (SELECT c_nationkey AS g, n_orders AS xb,
+         |        spend_cents // 5000000 AS yb
+         |      FROM pc JOIN customer ON c_custkey = o_custkey),
+         |cells AS (SELECT g, xb, yb, CAST(count(*) AS BIGINT) AS n
+         |      FROM pb GROUP BY 1, 2, 3),
+         |tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_g FROM cells
+         |        GROUP BY g),
+         |txx AS (SELECT g, sum(CAST(nx AS HUGEINT) * (nx - 1)) AS tx2
+         |       FROM (SELECT g, xb, CAST(sum(n) AS BIGINT) AS nx
+         |             FROM cells GROUP BY 1, 2) GROUP BY g),
+         |tyy AS (SELECT g, sum(CAST(ny AS HUGEINT) * (ny - 1)) AS ty2
+         |       FROM (SELECT g, yb, CAST(sum(n) AS BIGINT) AS ny
+         |             FROM cells GROUP BY 1, 2) GROUP BY g),
+         |cd AS (SELECT a.g,
+         |        sum(CASE WHEN a.yb < b.yb
+         |          THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS cc,
+         |        sum(CASE WHEN a.yb > b.yb
+         |          THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS dd
+         |      FROM cells a JOIN cells b
+         |        ON a.g = b.g AND a.xb < b.xb GROUP BY a.g),
+         |f AS (SELECT tot.g, n_g, coalesce(cc, 0) AS cc,
+         |        coalesce(dd, 0) AS dd,
+         |        CAST(n_g AS HUGEINT) * (n_g - 1) AS p2, tx2, ty2
+         |      FROM tot JOIN txx USING (g) JOIN tyy USING (g)
+         |      LEFT JOIN cd ON cd.g = tot.g)
+         |SELECT g AS c_nationkey, n_g,
+         |  CAST(cc AS BIGINT) AS concordant,
+         |  CAST(dd AS BIGINT) AS discordant,
+         |  CAST(CASE WHEN p2 = tx2 OR p2 = ty2 THEN 0 ELSE
+         |    round(1000000 * 2 * (CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+         |    sqrt((CAST(p2 AS DOUBLE) - CAST(tx2 AS DOUBLE)) *
+         |    (CAST(p2 AS DOUBLE) - CAST(ty2 AS DOUBLE)))) END AS BIGINT)
+         |    AS tau_b_x1e6
+         |FROM f ORDER BY c_nationkey""".stripMargin
 
     /** Twin of q252_negative_sample: same hash61 slot proposals over
       * the same "user#slot" strings, same item-existence join, same

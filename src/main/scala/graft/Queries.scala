@@ -4085,6 +4085,27 @@ object Queries {
           (col("l_returnflag") === "R").as("is_ret")),
       "qty", "is_ret")
 
+  /** Kendall τ-b rank agreement ([[graft.ops.Eval.kendallTauB]],
+    * 1945): per nation, do customers' order-count ranks track their
+    * spend-band ranks — counted exactly on the bounded (count, band)
+    * contingency grid (O(cells²), never O(rows²)), tie-adjusted, one
+    * shared float step.
+    */
+  val q274_kendall_tau: Q = (s, d) => {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("spend_cents"))
+      .withColumn("spend_band", expr("spend_cents div 5000000"))
+    graft.ops.Eval.kendallTauB(
+      perCust.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("n_orders"), col("spend_band")),
+      "c_nationkey", "n_orders", "spend_band")
+      .orderBy("c_nationkey")
+  }
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4540,5 +4561,6 @@ object Queries {
     "q270_hopkins" -> q270_hopkins,
     "q271_ch_index" -> q271_ch_index,
     "q272_did_report" -> q272_did_report,
-    "q273_gini_split" -> q273_gini_split)
+    "q273_gini_split" -> q273_gini_split,
+    "q274_kendall_tau" -> q274_kendall_tau)
 }

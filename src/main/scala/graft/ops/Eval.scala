@@ -444,6 +444,76 @@ object Eval {
       "round(1000000 * (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)) / " +
       "(CAST(var_n AS DOUBLE) * CAST(vary_n AS DOUBLE))) END AS BIGINT)")
 
+  /** Kendall τ-b rank correlation between two BUCKETED metrics, per
+    * group (Kendall 1945, the tie-adjusted form): do the two
+    * rankings agree — +1 perfect concordance, −1 perfect reversal,
+    * 0 independence. The pairwise-agreement companion to the
+    * top-k-focused RBO: "does spend-rank track frequency-rank".
+    *
+    * Exactness: counted on the (x, y) CONTINGENCY GRID, not row
+    * pairs — concordant/discordant sums are Σ n₁·n₂ over grid-cell
+    * pairs with x₁<x₂ (exact DECIMAL), tie terms come from the
+    * marginals, and the ONE float step is the final
+    * (C−D)/√((P−Tx)(P−Ty)) expression over the named exact sums
+    * (shared verbatim with the twin).
+    *
+    * Scale shape: ONE reduction to the per-group (x, y) cell table —
+    * bounded by |X|·|Y| bucket combinations (bucket continuous
+    * metrics upstream); the grid self-join, marginal folds and the
+    * report all run on that bounded table. This is what makes τ-b
+    * O(cells²) instead of the classical O(rows²).
+    */
+  def kendallTauB(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("g"), col(xCol).as("xb"),
+        col(yCol).as("yb"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid join + two marginals + totals read it
+    val tot = cells.groupBy("g")
+      .agg(sum("n").as("n_g"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")).as("txy2"))
+    val tx = cells.groupBy("g", "xb").agg(sum("n").as("nx"))
+      .groupBy("g")
+      .agg(sum(expr("CAST(nx AS DECIMAL(38,0)) * (nx - 1)")).as("tx2"))
+    val ty = cells.groupBy("g", "yb").agg(sum("n").as("ny"))
+      .groupBy("g")
+      .agg(sum(expr("CAST(ny AS DECIMAL(38,0)) * (ny - 1)")).as("ty2"))
+    val a = cells.select(col("g"), col("xb").as("x1"),
+      col("yb").as("y1"), col("n").as("n1"))
+    val b = cells.select(col("g").as("g2"), col("xb").as("x2"),
+      col("yb").as("y2"), col("n").as("n2"))
+    val cd = a.join(b, col("g") === col("g2") && col("x1") < col("x2"))
+      .groupBy("g")
+      .agg(sum(when(col("y1") < col("y2"),
+          expr("CAST(n1 AS DECIMAL(38,0)) * n2")).otherwise(lit(0)))
+          .as("conc"),
+        sum(when(col("y1") > col("y2"),
+          expr("CAST(n1 AS DECIMAL(38,0)) * n2")).otherwise(lit(0)))
+          .as("disc"))
+    tot.join(tx, Seq("g")).join(ty, Seq("g"))
+      .join(cd, Seq("g"), "left")
+      .withColumn("conc", coalesce(col("conc"), lit(0L)))
+      .withColumn("disc", coalesce(col("disc"), lit(0L)))
+      .withColumn("p2", expr("CAST(n_g AS DECIMAL(38,0)) * (n_g - 1)"))
+      .select(col("g").as(groupCol), col("n_g"),
+        col("conc").cast("decimal(38,0)").as("__c"),
+        col("disc").cast("decimal(38,0)").as("__d"),
+        col("p2"), col("tx2"), col("ty2"))
+      .select(col(groupCol), col("n_g"),
+        expr("CAST(__c AS BIGINT)").as("concordant"),
+        expr("CAST(__d AS BIGINT)").as("discordant"),
+        tauBx1e6Expr.as("tau_b_x1e6"))
+  }
+
+  /** The one float step of [[kendallTauB]] — 2(C−D)/√((P2−Tx2)(P2−Ty2))
+    * over exact sums in ×2 pair units, shared verbatim with the twin.
+    */
+  private def tauBx1e6Expr: org.apache.spark.sql.Column = expr(
+    "CAST(CASE WHEN p2 = tx2 OR p2 = ty2 THEN 0 ELSE " +
+      "round(1000000 * 2 * (CAST(__c AS DOUBLE) - CAST(__d AS DOUBLE)) / " +
+      "sqrt((CAST(p2 AS DOUBLE) - CAST(tx2 AS DOUBLE)) * " +
+      "(CAST(p2 AS DOUBLE) - CAST(ty2 AS DOUBLE)))) END AS BIGINT)")
+
   /** 2-D Pareto frontier (skyline, Börzsönyi et al. ICDE 2001):
     * rows not dominated under (minimize `minCol`, maximize `maxCol`)
     * — r' dominates r iff min' ≤ min ∧ max' ≥ max with at least one

@@ -97,6 +97,21 @@ class EvalSpec extends SparkSpec {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("kendallTauB: perfect, reversed, independent, tie-adjusted") {
+    def run(pts: Seq[(Long, Long)]): Long =
+      Eval.kendallTauB(pts.map(p => ("g", p._1, p._2)).toDF("g", "x", "y"),
+        "g", "x", "y").collect().head.getAs[Long]("tau_b_x1e6")
+    assert(run(Seq((1L, 1L), (2L, 2L), (3L, 3L))) === 1000000L)
+    assert(run(Seq((1L, 3L), (2L, 2L), (3L, 1L))) === -1000000L)
+    assert(run(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))) === 0L)
+    // ties: C=1, P−Tx = P−Ty = 2 → τ = 2·1/√(4·4)·... = 0.5
+    assert(run(Seq((1L, 1L), (1L, 2L), (2L, 2L))) === 500000L)
+    // duplicated points route through cell counts, not row pairs:
+    // C=8, Tx=Ty=2 → τ = 2·8/√(16·16) = 1 exactly
+    assert(run(Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 2L),
+      (3L, 3L))) === 1000000L)
+  }
+
   test("didReport: exact per-variant means and the DiD subtraction") {
     // v0: u2 (2,1), u4 (1,2) → pre 1500, post 1500
     // v1: u1 (1,1), u3 (1,2) → pre 1000, post 1500 → DiD = +500
