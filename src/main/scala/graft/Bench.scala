@@ -318,7 +318,8 @@ object Bench {
       "q263_golden_records", "q264_cuped", "q265_max_coverage",
       "q266_loo_source_impact", "q267_image_dup_clusters",
       "q268_intrinsic_dim", "q269_neyman_sample", "q270_hopkins", "q271_ch_index",
-      "q272_did_report", "q273_gini_split", "q274_kendall_tau")
+      "q272_did_report", "q273_gini_split", "q274_kendall_tau",
+      "q275_bootstrap_ratio")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -559,6 +559,7 @@ object OracleSql {
     "q272_did_report" -> Gen.didReportSql,
     "q273_gini_split" -> Gen.giniSplitSql,
     "q274_kendall_tau" -> Gen.kendallTauSql,
+    "q275_bootstrap_ratio" -> Gen.bootstrapRatioSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6349,6 +6350,38 @@ object OracleSql {
          |    (CAST(p2 AS DOUBLE) - CAST(ty2 AS DOUBLE)))) END AS BIGINT)
          |    AS tau_b_x1e6
          |FROM f ORDER BY c_nationkey""".stripMargin
+
+    /** Twin of q275_bootstrap_ratio: the bootstrapCiSql machinery
+      * with the reweighted-ratio replica statistic and the global
+      * ratio point estimate.
+      */
+    def bootstrapRatioSql: String = {
+      val u = duckHash61("'boot:' || CAST(r AS VARCHAR) || ':' || id")
+      val wCase = graft.ops.Eval.poissonCdfCaseSql("u")
+      s"""WITH base AS (SELECT
+         |        CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS id,
+         |        CAST(round(l_extendedprice * 100) AS BIGINT) AS nu,
+         |        CAST(l_quantity AS BIGINT) AS de
+         |      FROM lineitem),
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |        CAST((1000 * CAST(sum(nu) AS HUGEINT))
+         |          // greatest(sum(de), 1) AS BIGINT) AS mean_x1000
+         |      FROM base),
+         |reps AS (SELECT r, $u % 1000000 AS u, nu, de
+         |      FROM base CROSS JOIN
+         |        (SELECT unnest(generate_series(0, 39)) AS r)),
+         |w8 AS (SELECT r, $wCase AS w, nu, de FROM reps),
+         |ag AS (SELECT r, CAST(sum(w * nu) AS BIGINT) AS swx,
+         |        CAST(sum(w * de) AS BIGINT) AS sw FROM w8 GROUP BY r),
+         |ms AS (SELECT r, CAST((1000 * CAST(swx AS HUGEINT))
+         |        // greatest(sw, 1) AS BIGINT) AS m FROM ag),
+         |rk AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk
+         |       FROM ms)
+         |SELECT n_rows, CAST(40 AS BIGINT) AS n_replicas, mean_x1000,
+         |  (SELECT m FROM rk WHERE rk = 3) AS lo_x1000,
+         |  (SELECT m FROM rk WHERE rk = 38) AS hi_x1000
+         |FROM pt""".stripMargin
+    }
 
     /** Twin of q252_negative_sample: same hash61 slot proposals over
       * the same "user#slot" strings, same item-existence join, same

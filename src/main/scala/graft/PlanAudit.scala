@@ -283,7 +283,10 @@ object PlanAudit {
     "q272_did_report",
     // ONE-row class totals broadcast onto the value-domain-bounded
     // threshold table — broadcast scalar by design
-    "q273_gini_split")
+    "q273_gini_split",
+    // q261's one-row point estimate + order-statistic bounds, ratio
+    // form — broadcast scalars by design
+    "q275_bootstrap_ratio")
 
   /** Queries whose LSH self-join must carry the hot-bucket guard
     * (Scale.cappedBucketJoin — its grid-salt columns, named by
@@ -356,7 +359,9 @@ object PlanAudit {
     "q261_bootstrap_ci",
     // cumulative window over the value-domain-bounded (value → pos,
     // neg) threshold table — bounded by the feature domain
-    "q273_gini_split")
+    "q273_gini_split",
+    // rank window over the B-row replica table (q261's class)
+    "q275_bootstrap_ratio")
 
   private def flagsFor(name: String, df: org.apache.spark.sql.DataFrame,
                        plan: String, executed: String): Seq[String] = {

@@ -4106,6 +4106,21 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
+  /** Poisson-bootstrap CI for a RATIO metric
+    * ([[graft.ops.Eval.bootstrapCiRatio]]): price-per-unit across
+    * lineitems — replica statistic = ratio of the two reweighted
+    * sums, exact integers, order-statistic bounds; the same
+    * hash-deterministic replica machinery as q261.
+    */
+  val q275_bootstrap_ratio: Q = (s, d) =>
+    graft.ops.Eval.bootstrapCiRatio(
+      Tables.lineitem(s, d)
+        .select(expr("l_orderkey * 8 + l_linenumber").as("li_id"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("price_cents"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty")),
+      "li_id", "price_cents", "qty", b = 40)
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4562,5 +4577,6 @@ object Queries {
     "q271_ch_index" -> q271_ch_index,
     "q272_did_report" -> q272_did_report,
     "q273_gini_split" -> q273_gini_split,
-    "q274_kendall_tau" -> q274_kendall_tau)
+    "q274_kendall_tau" -> q274_kendall_tau,
+    "q275_bootstrap_ratio" -> q275_bootstrap_ratio)
 }

@@ -260,6 +260,35 @@ object Eval {
     ciFromReplicas(reps, pt, b, tailPct)
   }
 
+  /** Poisson-bootstrap CI for a RATIO metric (revenue per order,
+    * tokens per doc — the common experimentation case where the
+    * denominator varies per unit): same hash-deterministic Poisson
+    * replica machinery as [[bootstrapCiMean]], but each replica's
+    * statistic is (1000·Σw·num) div Σw·den — the ratio of the two
+    * reweighted sums, exact integers throughout, CI again exact
+    * order statistics. Both columns must be non-negative integers.
+    */
+  def bootstrapCiRatio(df: DataFrame, idCol: String, numCol: String,
+                       denCol: String, b: Int = 40, tailPct: Int = 5,
+                       salt: String = "boot"): DataFrame = {
+    require(b >= 3 && b <= 64, "replica count must be in [3, 64]")
+    val base = df.select(col(idCol).cast("string").as("id"),
+      col(numCol).cast("long").as("nu"),
+      col(denCol).cast("long").as("de"))
+    val pt = base.agg(count(lit(1)).as("n_rows"),
+      expr("CAST((1000 * CAST(sum(nu) AS DECIMAL(38,0))) div " +
+        "greatest(sum(de), 1) AS BIGINT)").as("mean_x1000"))
+    val reps = base
+      .withColumn("r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u", pmod(graft.functions.HashFns.hash61(
+        concat(lit(salt + ":"), col("r").cast("string"), lit(":"),
+          col("id"))), lit(1000000L)))
+      .withColumn("w", expr(poissonCdfCaseSql("u")))
+      .groupBy("r")
+      .agg(sum(expr("w * nu")).as("swx"), sum(expr("w * de")).as("sw"))
+    ciFromReplicas(reps, pt, b, tailPct)
+  }
+
   /** The order-statistic CI tail of [[bootstrapCiMean]] — shared
     * VERBATIM with [[bootstrapFromMoments]] so the batch operator
     * and the streaming readback cannot drift.

@@ -160,6 +160,29 @@ class EvalSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("bootstrapCiRatio ≡ a Scala replay of the same draws") {
+    val rows = (1L to 40L).map(i => (i, i * 17L, 2L + i % 5))
+    val b = 20
+    val out = Eval.bootstrapCiRatio(rows.toDF("id", "nu", "de"),
+      "id", "nu", "de", b = b).collect().head
+    def w(u: Long): Long =
+      if (u < 367879) 0 else if (u < 735758) 1 else if (u < 919698) 2
+      else if (u < 981011) 3 else if (u < 996340) 4
+      else if (u < 999405) 5 else 6
+    val means = (0 until b).map { r =>
+      val ws = rows.map { case (id, nu, de) =>
+        val u = graft.functions.HashFns.hash61Bytes(
+          s"boot:$r:$id".getBytes("UTF-8")) % 1000000L
+        (w(u) * nu, w(u) * de)
+      }
+      (1000L * ws.map(_._1).sum / math.max(ws.map(_._2).sum, 1L), r)
+    }.sorted
+    assert(out.getAs[Long]("mean_x1000") ===
+      1000L * rows.map(_._2).sum / rows.map(_._3).sum)
+    assert(out.getAs[Long]("lo_x1000") === means(b * 5 / 100)._1)
+    assert(out.getAs[Long]("hi_x1000") === means(b - b * 5 / 100 - 1)._1)
+  }
+
   test("paretoFront2d keeps duplicated frontier points") {
     val df = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 20L, 5L), (4L, 5L, 1L))
       .toDF("id", "price", "sz")
