@@ -560,6 +560,7 @@ object OracleSql {
     "q273_gini_split" -> Gen.giniSplitSql,
     "q274_kendall_tau" -> Gen.kendallTauSql,
     "q275_bootstrap_ratio" -> Gen.bootstrapRatioSql,
+    "q276_spearman_rho" -> Gen.spearmanRhoSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6350,6 +6351,53 @@ object OracleSql {
          |    (CAST(p2 AS DOUBLE) - CAST(ty2 AS DOUBLE)))) END AS BIGINT)
          |    AS tau_b_x1e6
          |FROM f ORDER BY c_nationkey""".stripMargin
+
+    /** Twin of q276_spearman_rho: same grid, same ×2 midranks from
+      * marginal cumulatives, same exact moment sums and the
+      * identical Pearson float step.
+      */
+    def spearmanRhoSql: String =
+      s"""WITH pc AS (SELECT o_custkey,
+         |        CAST(count(*) AS BIGINT) AS n_orders,
+         |        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |          AS BIGINT) AS spend_cents
+         |      FROM orders GROUP BY 1),
+         |pb AS (SELECT c_nationkey AS g, n_orders AS xb,
+         |        spend_cents // 5000000 AS yb
+         |      FROM pc JOIN customer ON c_custkey = o_custkey),
+         |cells AS (SELECT g, xb, yb, CAST(count(*) AS BIGINT) AS n
+         |      FROM pb GROUP BY 1, 2, 3),
+         |rx AS (SELECT g, xb, CAST(2 * coalesce(sum(nv) OVER (
+         |          PARTITION BY g ORDER BY xb
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          + nv + 1 AS BIGINT) AS rx2
+         |      FROM (SELECT g, xb, CAST(sum(n) AS BIGINT) AS nv
+         |            FROM cells GROUP BY 1, 2)),
+         |ry AS (SELECT g, yb, CAST(2 * coalesce(sum(nv) OVER (
+         |          PARTITION BY g ORDER BY yb
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          + nv + 1 AS BIGINT) AS ry2
+         |      FROM (SELECT g, yb, CAST(sum(n) AS BIGINT) AS nv
+         |            FROM cells GROUP BY 1, 2)),
+         |m AS (SELECT cells.g, CAST(sum(n) AS BIGINT) AS n_g,
+         |        sum(CAST(n AS HUGEINT) * rx2) AS sx,
+         |        sum(CAST(n AS HUGEINT) * ry2) AS sy,
+         |        sum(CAST(n AS HUGEINT) * rx2 * ry2) AS sxy,
+         |        sum(CAST(n AS HUGEINT) * rx2 * rx2) AS sxx,
+         |        sum(CAST(n AS HUGEINT) * ry2 * ry2) AS syy
+         |      FROM cells JOIN rx USING (g, xb) JOIN ry USING (g, yb)
+         |      GROUP BY cells.g)
+         |SELECT g AS c_nationkey, n_g,
+         |  CAST(CASE WHEN n_g * sxx = sx * sx OR n_g * syy = sy * sy
+         |    THEN 0 ELSE
+         |    round(1000000 * (CAST(n_g AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    sqrt((CAST(n_g AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |    (CAST(n_g AS DOUBLE) * CAST(syy AS DOUBLE) -
+         |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END AS BIGINT)
+         |    AS rho_x1e6
+         |FROM m ORDER BY c_nationkey""".stripMargin
 
     /** Twin of q275_bootstrap_ratio: the bootstrapCiSql machinery
       * with the reweighted-ratio replica statistic and the global

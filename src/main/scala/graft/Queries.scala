@@ -4121,6 +4121,27 @@ object Queries {
           expr("CAST(l_quantity AS BIGINT)").as("qty")),
       "li_id", "price_cents", "qty", b = 40)
 
+  /** Spearman ρ companion to q274
+    * ([[graft.ops.Eval.spearmanRho]]): per-nation monotone
+    * association between order-count and spend-band ranks — tied
+    * midranks in exact ×2 integers from the grid marginals, one
+    * shared Pearson float step.
+    */
+  val q276_spearman_rho: Q = (s, d) => {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("spend_cents"))
+      .withColumn("spend_band", expr("spend_cents div 5000000"))
+    graft.ops.Eval.spearmanRho(
+      perCust.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("n_orders"), col("spend_band")),
+      "c_nationkey", "n_orders", "spend_band")
+      .orderBy("c_nationkey")
+  }
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4578,5 +4599,6 @@ object Queries {
     "q272_did_report" -> q272_did_report,
     "q273_gini_split" -> q273_gini_split,
     "q274_kendall_tau" -> q274_kendall_tau,
-    "q275_bootstrap_ratio" -> q275_bootstrap_ratio)
+    "q275_bootstrap_ratio" -> q275_bootstrap_ratio,
+    "q276_spearman_rho" -> q276_spearman_rho)
 }

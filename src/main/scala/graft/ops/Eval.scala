@@ -534,6 +534,58 @@ object Eval {
         tauBx1e6Expr.as("tau_b_x1e6"))
   }
 
+  /** Spearman ρ with tied midranks, per group — Pearson correlation
+    * of the rank transforms, the "is the relationship monotone"
+    * companion to [[kendallTauB]] (ρ reacts to rank distance, τ only
+    * to order). Computed on the same bounded contingency grid:
+    * midranks come from the per-axis marginal cumulatives (in exact
+    * ×2 integer units — 2·below + n + 1), the six weighted moment
+    * sums are exact DECIMAL(38), and the ONE float step is the
+    * final correlation expression over the named sums (shared
+    * verbatim with the twin). Scale shape: one reduction to the
+    * grid, two marginal cumulative windows over it, one moment
+    * fold — all bounded by |X|·|Y|.
+    */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("g"), col(xCol).as("xb"),
+        col(yCol).as("yb"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid + two marginal consumers
+    def ranks(axis: String, out: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy(axis)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy("g", axis).agg(sum("n").as("nv"))
+        .withColumn("cb", coalesce(sum("nv").over(w), lit(0L)))
+        .select(col("g"), col(axis),
+          expr("2 * cb + nv + 1").as(out))
+    }
+    val j = cells
+      .join(ranks("xb", "rx2"), Seq("g", "xb"))
+      .join(ranks("yb", "ry2"), Seq("g", "yb"))
+    j.groupBy("g")
+      .agg(sum("n").as("n_g"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * rx2")).as("sx"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * ry2")).as("sy"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * rx2 * ry2")).as("sxy"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * rx2 * rx2")).as("sxx"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * ry2 * ry2")).as("syy"))
+      .select(col("g").as(groupCol), col("n_g"),
+        rhoX1e6Expr.as("rho_x1e6"))
+  }
+
+  /** The one float step of [[spearmanRho]] — the Pearson expression
+    * over the named exact moment sums, shared verbatim with the twin.
+    */
+  private def rhoX1e6Expr: org.apache.spark.sql.Column = expr(
+    "CAST(CASE WHEN n_g * sxx = sx * sx OR n_g * syy = sy * sy THEN 0 " +
+      "ELSE round(1000000 * (CAST(n_g AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "sqrt((CAST(n_g AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(n_g AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END AS BIGINT)")
+
   /** The one float step of [[kendallTauB]] — 2(C−D)/√((P2−Tx2)(P2−Ty2))
     * over exact sums in ×2 pair units, shared verbatim with the twin.
     */

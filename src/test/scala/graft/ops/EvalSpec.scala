@@ -112,6 +112,17 @@ class EvalSpec extends SparkSpec {
       (3L, 3L))) === 1000000L)
   }
 
+  test("spearmanRho: monotone ±1, tied midranks = hand Pearson") {
+    def run(pts: Seq[(Long, Long)]): Long =
+      Eval.spearmanRho(pts.map(p => ("g", p._1, p._2)).toDF("g", "x", "y"),
+        "g", "x", "y").collect().head.getAs[Long]("rho_x1e6")
+    assert(run(Seq((1L, 10L), (2L, 20L), (3L, 40L))) === 1000000L)
+    assert(run(Seq((1L, 40L), (2L, 20L), (3L, 10L))) === -1000000L)
+    // ties: midranks x=(1.5,1.5,3), y=(1,2.5,2.5) → Pearson = 0.5
+    assert(run(Seq((1L, 1L), (1L, 2L), (2L, 2L))) === 500000L)
+    assert(run(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))) === 0L)
+  }
+
   test("didReport: exact per-variant means and the DiD subtraction") {
     // v0: u2 (2,1), u4 (1,2) → pre 1500, post 1500
     // v1: u1 (1,1), u3 (1,2) → pre 1000, post 1500 → DiD = +500
