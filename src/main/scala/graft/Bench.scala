@@ -319,7 +319,8 @@ object Bench {
       "q266_loo_source_impact", "q267_image_dup_clusters",
       "q268_intrinsic_dim", "q269_neyman_sample", "q270_hopkins", "q271_ch_index",
       "q272_did_report", "q273_gini_split", "q274_kendall_tau",
-      "q275_bootstrap_ratio", "q276_spearman_rho")
+      "q275_bootstrap_ratio", "q276_spearman_rho",
+      "q277_chi_squared")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

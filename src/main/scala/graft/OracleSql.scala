@@ -561,6 +561,7 @@ object OracleSql {
     "q274_kendall_tau" -> Gen.kendallTauSql,
     "q275_bootstrap_ratio" -> Gen.bootstrapRatioSql,
     "q276_spearman_rho" -> Gen.spearmanRhoSql,
+    "q277_chi_squared" -> Gen.chiSquaredSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6398,6 +6399,52 @@ object OracleSql {
          |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END AS BIGINT)
          |    AS rho_x1e6
          |FROM m ORDER BY c_nationkey""".stripMargin
+
+    /** Twin of q277_chi_squared: same full marginal grid with zero
+      * cells, same exact per-cell HUGEINT terms, same floor and
+      * Cramér's V float step.
+      */
+    def chiSquaredSql: String =
+      s"""WITH pc AS (SELECT o_custkey,
+         |        CAST(count(*) AS BIGINT) AS n_orders,
+         |        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |          AS BIGINT) AS spend_cents
+         |      FROM orders GROUP BY 1),
+         |pb AS (SELECT c_nationkey AS g, n_orders AS xb,
+         |        spend_cents // 5000000 AS yb
+         |      FROM pc JOIN customer ON c_custkey = o_custkey),
+         |cells AS (SELECT g, xb, yb, CAST(count(*) AS BIGINT) AS n
+         |      FROM pb GROUP BY 1, 2, 3),
+         |xm AS (SELECT g, xb, CAST(sum(n) AS BIGINT) AS rx FROM cells
+         |       GROUP BY 1, 2),
+         |ym AS (SELECT g, yb, CAST(sum(n) AS BIGINT) AS cy FROM cells
+         |       GROUP BY 1, 2),
+         |tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_g,
+         |        CAST(count(DISTINCT xb) AS BIGINT) AS kx,
+         |        CAST(count(DISTINCT yb) AS BIGINT) AS ky
+         |      FROM cells GROUP BY g),
+         |grid AS (SELECT xm.g, xm.xb, ym.yb, xm.rx, ym.cy,
+         |        coalesce(cells.n, 0) AS o
+         |      FROM xm JOIN ym USING (g)
+         |      LEFT JOIN cells ON cells.g = xm.g AND cells.xb = xm.xb
+         |        AND cells.yb = ym.yb),
+         |chi AS (SELECT grid.g,
+         |        sum((1000000 * (CAST(n_g AS HUGEINT) * o -
+         |          CAST(rx AS HUGEINT) * cy) *
+         |          (CAST(n_g AS HUGEINT) * o -
+         |          CAST(rx AS HUGEINT) * cy)) //
+         |          (CAST(n_g AS HUGEINT) * rx * cy)) AS chi6
+         |      FROM grid JOIN tot ON tot.g = grid.g GROUP BY grid.g)
+         |SELECT tot.g AS c_nationkey, n_g,
+         |  CAST((kx - 1) * (ky - 1) AS BIGINT) AS dof,
+         |  CAST(chi6 // 1000000 AS BIGINT) AS chi2_floor,
+         |  CAST(CASE WHEN kx < 2 OR ky < 2 THEN 0 ELSE
+         |    round(1000 * sqrt((CAST(chi6 AS DOUBLE) / 1e6) /
+         |    (CAST(n_g AS DOUBLE) *
+         |    CASE WHEN kx < ky THEN kx - 1 ELSE ky - 1 END)))
+         |    END AS BIGINT) AS cramers_v_x1000
+         |FROM tot JOIN chi ON chi.g = tot.g
+         |ORDER BY c_nationkey""".stripMargin
 
     /** Twin of q275_bootstrap_ratio: the bootstrapCiSql machinery
       * with the reweighted-ratio replica statistic and the global

@@ -4142,6 +4142,27 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
+  /** χ² independence + Cramér's V per nation
+    * ([[graft.ops.Eval.chiSquared]]): completes the q274/q276 grid
+    * trio — any-dependence test between order-count and spend-band
+    * with exact per-cell DECIMAL terms over the FULL marginal grid
+    * (zero cells included) and one float step for the effect size.
+    */
+  val q277_chi_squared: Q = (s, d) => {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("spend_cents"))
+      .withColumn("spend_band", expr("spend_cents div 5000000"))
+    graft.ops.Eval.chiSquared(
+      perCust.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("n_orders"), col("spend_band")),
+      "c_nationkey", "n_orders", "spend_band")
+      .orderBy("c_nationkey")
+  }
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4600,5 +4621,6 @@ object Queries {
     "q273_gini_split" -> q273_gini_split,
     "q274_kendall_tau" -> q274_kendall_tau,
     "q275_bootstrap_ratio" -> q275_bootstrap_ratio,
-    "q276_spearman_rho" -> q276_spearman_rho)
+    "q276_spearman_rho" -> q276_spearman_rho,
+    "q277_chi_squared" -> q277_chi_squared)
 }

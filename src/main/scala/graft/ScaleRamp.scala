@@ -173,7 +173,8 @@ object ScaleRamp {
       "q266_loo_source_impact", "q267_image_dup_clusters",
       "q268_intrinsic_dim", "q269_neyman_sample", "q270_hopkins", "q271_ch_index",
       "q272_did_report", "q273_gini_split", "q274_kendall_tau",
-      "q275_bootstrap_ratio", "q276_spearman_rho")
+      "q275_bootstrap_ratio", "q276_spearman_rho",
+      "q277_chi_squared")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

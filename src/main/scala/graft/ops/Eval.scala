@@ -574,6 +574,51 @@ object Eval {
         rhoX1e6Expr.as("rho_x1e6"))
   }
 
+  /** Pearson χ² test of independence on the same contingency grid,
+    * per group — completes the grid-association trio ([[kendallTauB]]
+    * for order, [[spearmanRho]] for monotone strength, χ² for ANY
+    * dependence between unordered categoricals). Per cell the exact
+    * term is (n·o − rx·cy)² / (n·rx·cy); summed ×10⁶ with
+    * per-term exact DECIMAL division (truncated — deterministic on
+    * both engines, no float sum across cells). Also reports Cramér's
+    * V ×1000 (the normalized effect size) as the ONE float step
+    * over the exact χ² total. Scale shape: one grid reduction, two
+    * marginal folds, grid-bounded arithmetic.
+    */
+  def chiSquared(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("g"), col(xCol).as("xb"),
+        col(yCol).as("yb"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid + two marginal consumers
+    val xm = cells.groupBy("g", "xb").agg(sum("n").as("rx"))
+    val ym = cells.groupBy("g", "yb").agg(sum("n").as("cy"))
+    val tot = cells.groupBy("g").agg(sum("n").as("n_g"),
+      countDistinct("xb").as("kx"), countDistinct("yb").as("ky"))
+    // the FULL grid (including zero cells) — expected counts exist
+    // for every (x, y) marginal pair, observed defaults to 0
+    val grid = xm.join(ym, Seq("g"))
+      .join(cells, Seq("g", "xb", "yb"), "left")
+      .withColumn("o", coalesce(col("n"), lit(0L)))
+    val chi = grid.join(broadcast(tot.select(col("g"), col("n_g"))), Seq("g"))
+      .select(col("g"), expr(
+        "CAST((1000000 * (CAST(n_g AS DECIMAL(38,0)) * o - " +
+          "CAST(rx AS DECIMAL(38,0)) * cy) * " +
+          "(CAST(n_g AS DECIMAL(38,0)) * o - " +
+          "CAST(rx AS DECIMAL(38,0)) * cy)) div " +
+          "(CAST(n_g AS DECIMAL(38,0)) * rx * cy) AS BIGINT)").as("t"))
+      .groupBy("g").agg(sum("t").as("chi6"))
+    tot.join(chi, Seq("g"))
+      .select(col("g").as(groupCol), col("n_g"),
+        expr("CAST((kx - 1) * (ky - 1) AS BIGINT)").as("dof"),
+        expr("CAST(chi6 div 1000000 AS BIGINT)").as("chi2_floor"),
+        expr("CAST(CASE WHEN kx < 2 OR ky < 2 THEN 0 ELSE " +
+          "round(1000 * sqrt((CAST(chi6 AS DOUBLE) / 1e6) / " +
+          "(CAST(n_g AS DOUBLE) * " +
+          "CASE WHEN kx < ky THEN kx - 1 ELSE ky - 1 END))) " +
+          "END AS BIGINT)").as("cramers_v_x1000"))
+  }
+
   /** The one float step of [[spearmanRho]] — the Pearson expression
     * over the named exact moment sums, shared verbatim with the twin.
     */

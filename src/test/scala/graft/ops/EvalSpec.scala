@@ -123,6 +123,23 @@ class EvalSpec extends SparkSpec {
     assert(run(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))) === 0L)
   }
 
+  test("chiSquared: independence 0, perfect association, zero cells") {
+    def run(pts: Seq[(Long, Long)]) =
+      Eval.chiSquared(pts.map(p => ("g", p._1, p._2)).toDF("g", "x", "y"),
+        "g", "x", "y").collect().head
+    val ind = run(Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 2L),
+      (2L, 1L), (2L, 1L), (2L, 2L), (2L, 2L)))
+    assert(ind.getAs[Long]("chi2_floor") === 0L)
+    assert(ind.getAs[Long]("cramers_v_x1000") === 0L)
+    assert(ind.getAs[Long]("dof") === 1L)
+    // perfect 2x2 association (zero cells enter via the full grid):
+    // χ² = n = 6, V = 1
+    val per = run(Seq((1L, 1L), (1L, 1L), (1L, 1L),
+      (2L, 2L), (2L, 2L), (2L, 2L)))
+    assert(per.getAs[Long]("chi2_floor") === 6L)
+    assert(per.getAs[Long]("cramers_v_x1000") === 1000L)
+  }
+
   test("didReport: exact per-variant means and the DiD subtraction") {
     // v0: u2 (2,1), u4 (1,2) → pre 1500, post 1500
     // v1: u1 (1,1), u3 (1,2) → pre 1000, post 1500 → DiD = +500
