@@ -586,10 +586,34 @@ object Eval {
     * marginal folds, grid-bounded arithmetic.
     */
   def chiSquared(df: DataFrame, groupCol: String, xCol: String,
-                 yCol: String): DataFrame = {
-    val cells = df.groupBy(col(groupCol).as("g"), col(xCol).as("xb"),
-        col(yCol).as("yb"))
-      .agg(count(lit(1)).as("n"))
+                 yCol: String): DataFrame =
+    chiFromCellsDf(
+      df.groupBy(col(groupCol).as("g"), col(xCol).as("xb"),
+          col(yCol).as("yb"))
+        .agg(count(lit(1)).as("n")),
+      groupCol)
+
+  /** Build the [[chiSquared]] report from externally accumulated
+    * ((group, x, y) → n) grid counts — the readback half of a
+    * STREAMING dependence monitor (the grid is additive across
+    * micro-batches, per-row stateless), same discipline as
+    * [[rocAucFromCounts]]: a foreachBatch folds the counts and
+    * emits the live χ²/V through the identical arithmetic. State is
+    * bounded by groups × |X|·|Y|.
+    */
+  def chiSquaredFromCounts(spark: org.apache.spark.sql.SparkSession,
+                           counts: Seq[(String, Long, Long, Long)],
+                           groupCol: String = "grp"): DataFrame = {
+    import spark.implicits._
+    chiFromCellsDf(counts.toDF("g", "xb", "yb", "n"), groupCol)
+  }
+
+  /** The χ²/Cramér-V arithmetic over a (g, xb, yb, n) grid — shared
+    * VERBATIM by [[chiSquared]] and [[chiSquaredFromCounts]].
+    */
+  private def chiFromCellsDf(cells0: DataFrame,
+                             groupCol: String): DataFrame = {
+    val cells = cells0
       .localCheckpoint() // grid + two marginal consumers
     val xm = cells.groupBy("g", "xb").agg(sum("n").as("rx"))
     val ym = cells.groupBy("g", "yb").agg(sum("n").as("cy"))

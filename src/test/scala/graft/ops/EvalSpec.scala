@@ -140,6 +140,25 @@ class EvalSpec extends SparkSpec {
     assert(per.getAs[Long]("cramers_v_x1000") === 1000L)
   }
 
+  test("chiSquaredFromCounts ≡ batch chiSquared over accumulated grids") {
+    val batches = Seq(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L), ("h", 2L, 2L)),
+      Seq(("g", 2L, 2L), ("g", 1L, 1L), ("h", 1L, 1L)),
+      Seq(("g", 2L, 1L), ("h", 1L, 2L), ("h", 2L, 1L)))
+    val acc = scala.collection.mutable
+      .Map.empty[(String, Long, Long), Long]
+    batches.foreach(_.foreach { k =>
+      acc(k) = acc.getOrElse(k, 0L) + 1L
+    })
+    val streamed = Eval.chiSquaredFromCounts(spark,
+        acc.toSeq.map { case ((g, x, y), n) => (g, x, y, n) })
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val batch = Eval.chiSquared(batches.flatten.toDF("grp", "x", "y"),
+        "grp", "x", "y")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("didReport: exact per-variant means and the DiD subtraction") {
     // v0: u2 (2,1), u4 (1,2) → pre 1500, post 1500
     // v1: u1 (1,1), u3 (1,2) → pre 1000, post 1500 → DiD = +500
