@@ -493,10 +493,31 @@ object Eval {
     * O(cells²) instead of the classical O(rows²).
     */
   def kendallTauB(df: DataFrame, groupCol: String, xCol: String,
-                  yCol: String): DataFrame = {
-    val cells = df.groupBy(col(groupCol).as("g"), col(xCol).as("xb"),
-        col(yCol).as("yb"))
-      .agg(count(lit(1)).as("n"))
+                  yCol: String): DataFrame =
+    tauFromCellsDf(
+      df.groupBy(col(groupCol).as("g"), col(xCol).as("xb"),
+          col(yCol).as("yb"))
+        .agg(count(lit(1)).as("n")),
+      groupCol)
+
+  /** Build the [[kendallTauB]] report from externally accumulated
+    * ((group, x, y) → n) grid counts — the streaming-monitor
+    * readback, same additive-grid discipline as
+    * [[chiSquaredFromCounts]].
+    */
+  def kendallTauBFromCounts(spark: org.apache.spark.sql.SparkSession,
+                            counts: Seq[(String, Long, Long, Long)],
+                            groupCol: String = "grp"): DataFrame = {
+    import spark.implicits._
+    tauFromCellsDf(counts.toDF("g", "xb", "yb", "n"), groupCol)
+  }
+
+  /** The τ-b arithmetic over a (g, xb, yb, n) grid — shared VERBATIM
+    * by [[kendallTauB]] and [[kendallTauBFromCounts]].
+    */
+  private def tauFromCellsDf(cells0: DataFrame,
+                             groupCol: String): DataFrame = {
+    val cells = cells0
       .localCheckpoint() // grid join + two marginals + totals read it
     val tot = cells.groupBy("g")
       .agg(sum("n").as("n_g"),
@@ -547,10 +568,31 @@ object Eval {
     * fold — all bounded by |X|·|Y|.
     */
   def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
-                  yCol: String): DataFrame = {
-    val cells = df.groupBy(col(groupCol).as("g"), col(xCol).as("xb"),
-        col(yCol).as("yb"))
-      .agg(count(lit(1)).as("n"))
+                  yCol: String): DataFrame =
+    rhoFromCellsDf(
+      df.groupBy(col(groupCol).as("g"), col(xCol).as("xb"),
+          col(yCol).as("yb"))
+        .agg(count(lit(1)).as("n")),
+      groupCol)
+
+  /** Build the [[spearmanRho]] report from externally accumulated
+    * ((group, x, y) → n) grid counts — the streaming-monitor
+    * readback, same additive-grid discipline as
+    * [[chiSquaredFromCounts]].
+    */
+  def spearmanRhoFromCounts(spark: org.apache.spark.sql.SparkSession,
+                            counts: Seq[(String, Long, Long, Long)],
+                            groupCol: String = "grp"): DataFrame = {
+    import spark.implicits._
+    rhoFromCellsDf(counts.toDF("g", "xb", "yb", "n"), groupCol)
+  }
+
+  /** The ρ arithmetic over a (g, xb, yb, n) grid — shared VERBATIM
+    * by [[spearmanRho]] and [[spearmanRhoFromCounts]].
+    */
+  private def rhoFromCellsDf(cells0: DataFrame,
+                             groupCol: String): DataFrame = {
+    val cells = cells0
       .localCheckpoint() // grid + two marginal consumers
     def ranks(axis: String, out: String): DataFrame = {
       val w = Window.partitionBy("g").orderBy(axis)

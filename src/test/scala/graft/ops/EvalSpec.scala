@@ -140,6 +140,28 @@ class EvalSpec extends SparkSpec {
     assert(per.getAs[Long]("cramers_v_x1000") === 1000L)
   }
 
+  test("tau/rho FromCounts ≡ batch over accumulated grids") {
+    val batches = Seq(
+      Seq(("g", 1L, 1L), ("g", 1L, 2L), ("h", 2L, 2L)),
+      Seq(("g", 2L, 2L), ("g", 1L, 1L), ("h", 1L, 1L)),
+      Seq(("g", 2L, 1L), ("h", 1L, 2L), ("h", 2L, 1L)))
+    val acc = scala.collection.mutable
+      .Map.empty[(String, Long, Long), Long]
+    batches.foreach(_.foreach { k =>
+      acc(k) = acc.getOrElse(k, 0L) + 1L
+    })
+    val grid = acc.toSeq.map { case ((g, x, y), n) => (g, x, y, n) }
+    val flat = batches.flatten.toDF("grp", "x", "y")
+    assert(Eval.kendallTauBFromCounts(spark, grid)
+      .orderBy("grp").collect().map(_.toSeq).toSeq ===
+      Eval.kendallTauB(flat, "grp", "x", "y")
+        .orderBy("grp").collect().map(_.toSeq).toSeq)
+    assert(Eval.spearmanRhoFromCounts(spark, grid)
+      .orderBy("grp").collect().map(_.toSeq).toSeq ===
+      Eval.spearmanRho(flat, "grp", "x", "y")
+        .orderBy("grp").collect().map(_.toSeq).toSeq)
+  }
+
   test("chiSquaredFromCounts ≡ batch chiSquared over accumulated grids") {
     val batches = Seq(
       Seq(("g", 1L, 1L), ("g", 1L, 2L), ("h", 2L, 2L)),
