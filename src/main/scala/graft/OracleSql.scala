@@ -562,6 +562,9 @@ object OracleSql {
     "q275_bootstrap_ratio" -> Gen.bootstrapRatioSql,
     "q276_spearman_rho" -> Gen.spearmanRhoSql,
     "q277_chi_squared" -> Gen.chiSquaredSql,
+    "q278_mwu_drift" -> Gen.mwuDriftSql,
+    "q279_k_anonymity" -> Gen.kAnonymitySql,
+    "q280_shapley_attribution" -> Gen.shapleyAttributionSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6445,6 +6448,126 @@ object OracleSql {
          |    END AS BIGINT) AS cramers_v_x1000
          |FROM tot JOIN chi ON chi.g = tot.g
          |ORDER BY c_nationkey""".stripMargin
+
+    /** Twin of q278_mwu_drift: same pooled ×2 midranks over the
+      * (source, n_chars) count table, same exact HUGEINT rank/tie
+      * sums, same tie-corrected z float step.
+      */
+    def mwuDriftSql: String =
+      s"""WITH cnts AS (SELECT source AS g, n_chars AS v,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM documents GROUP BY 1, 2),
+         |base AS (SELECT v, n AS nb FROM cnts WHERE g = 'src0'),
+         |grp AS (SELECT DISTINCT g FROM cnts WHERE g <> 'src0'),
+         |brep AS (SELECT g, v, nb FROM grp CROSS JOIN base),
+         |oth AS (SELECT g, v, n AS no FROM cnts WHERE g <> 'src0'),
+         |pooled AS (SELECT coalesce(brep.g, oth.g) AS g,
+         |    coalesce(brep.v, oth.v) AS v,
+         |    coalesce(nb, 0) AS nb, coalesce(no, 0) AS no,
+         |    coalesce(nb, 0) + coalesce(no, 0) AS t
+         |  FROM brep FULL JOIN oth ON brep.g = oth.g AND brep.v = oth.v),
+         |ranked AS (SELECT g, nb, no, t,
+         |    2 * coalesce(SUM(t) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + t + 1 AS mr2
+         |  FROM pooled),
+         |agg AS (SELECT g, CAST(sum(nb) AS BIGINT) AS n1,
+         |    CAST(sum(no) AS BIGINT) AS n2,
+         |    sum(CAST(nb AS HUGEINT) * mr2) AS r1x2,
+         |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie
+         |  FROM ranked GROUP BY g)
+         |SELECT g AS source, n1 AS n_base, n2 AS n_other,
+         |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u_x2,
+         |  CAST((500000 * (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1))) //
+         |    (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS cles_x1e6,
+         |  CAST(CASE WHEN (CAST(n1 AS HUGEINT) + n2 + 1) * (n1 + n2) *
+         |      (n1 + n2 - 1) = tie OR n1 = 0 OR n2 = 0 THEN 0 ELSE
+         |    round(1000 * (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) -
+         |      CAST(n1 AS DOUBLE) * n2) / (2 * sqrt(
+         |      CAST(n1 AS DOUBLE) * n2 * ((CAST(n1 AS DOUBLE) + n2 + 1) *
+         |      (CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2 - 1) -
+         |      CAST(tie AS DOUBLE)) / (12 * (CAST(n1 AS DOUBLE) + n2) *
+         |      (CAST(n1 AS DOUBLE) + n2 - 1)))))
+         |    END AS BIGINT) AS z_x1000
+         |FROM agg ORDER BY source""".stripMargin
+
+    /** Twin of q279_k_anonymity: same equivalence-class reduction,
+      * per-k folds and exact ppm integer divisions.
+      */
+    def kAnonymitySql: String =
+      s"""WITH sens AS (SELECT o_custkey, min(o_orderpriority) AS sv
+         |      FROM orders GROUP BY 1),
+         |base AS (SELECT c_nationkey, c_mktsegment,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+         |      AS bal_band,
+         |    coalesce(sv, 'NONE') AS sv
+         |  FROM customer LEFT JOIN sens ON o_custkey = c_custkey),
+         |cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+         |    CAST(count(*) AS BIGINT) AS sz,
+         |    CAST(count(DISTINCT sv) AS BIGINT) AS ldiv
+         |  FROM base GROUP BY 1, 2, 3),
+         |tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+         |    CAST(count(*) AS BIGINT) AS n_classes,
+         |    CAST(min(sz) AS BIGINT) AS k_anonymity,
+         |    CAST(min(ldiv) AS BIGINT) AS l_diversity,
+         |    CAST(coalesce(sum(CASE WHEN ldiv = 1 THEN sz END), 0)
+         |      AS BIGINT) AS l1_rows
+         |  FROM cls),
+         |ks AS (SELECT CAST(k AS BIGINT) AS k
+         |  FROM (VALUES (2), (5), (10), (25)) AS t(k)),
+         |perk AS (SELECT k,
+         |    CAST(coalesce(sum(CASE WHEN sz < k THEN 1 END), 0)
+         |      AS BIGINT) AS classes_below,
+         |    CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0)
+         |      AS BIGINT) AS rows_below
+         |  FROM ks LEFT JOIN cls ON sz < k GROUP BY k)
+         |SELECT k, classes_below, rows_below,
+         |  CAST((1000000 * CAST(rows_below AS HUGEINT)) // n_rows
+         |    AS BIGINT) AS rows_below_ppm,
+         |  n_classes, n_rows, k_anonymity, l_diversity,
+         |  CAST((1000000 * CAST(l1_rows AS HUGEINT)) // n_rows
+         |    AS BIGINT) AS l1_rows_ppm
+         |FROM perk CROSS JOIN tot ORDER BY k""".stripMargin
+
+    /** Twin of q280_shapley_attribution: same per-user bit_or
+      * coalition fold, same exact ppm v-table over the 2³ power set,
+      * same integer factorial weights and guarded c! divide.
+      */
+    def shapleyAttributionSql: String =
+      s"""WITH ev AS (SELECT user_id,
+         |    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+         |      WHEN 'signup' THEN 4 ELSE 0 END AS bitv,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cv
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view', 'signup', 'purchase')),
+         |usr AS (SELECT user_id, CAST(bit_or(bitv) AS BIGINT) AS m,
+         |    CAST(max(cv) AS BIGINT) AS cv
+         |  FROM ev GROUP BY 1),
+         |coal AS (SELECT m, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cv) AS BIGINT) AS cvs
+         |  FROM usr WHERE m > 0 GROUP BY 1),
+         |vt AS (SELECT CAST(t.s AS BIGINT) AS s,
+         |    CAST(coalesce((1000000 * cvs) // n, 0) AS BIGINT) AS vppm
+         |  FROM range(8) AS t(s) LEFT JOIN coal ON coal.m = t.s),
+         |ch AS (SELECT channel, CAST(bit AS BIGINT) AS bit
+         |  FROM (VALUES ('click', 1), ('view', 2), ('signup', 4))
+         |    AS t(channel, bit)),
+         |phi AS (SELECT channel,
+         |    CAST(sum((CASE bit_count(sub.s) WHEN 0 THEN 2 WHEN 1 THEN 1
+         |      WHEN 2 THEN 2 END) * (up.vppm - sub.vppm)) AS BIGINT)
+         |      AS phi_x
+         |  FROM ch JOIN vt sub ON (sub.s & bit) = 0
+         |  JOIN vt up ON up.s = (sub.s | bit)
+         |  GROUP BY channel),
+         |expo AS (SELECT channel, CAST(sum(n) AS BIGINT) AS n_users,
+         |    CAST(sum(cvs) AS BIGINT) AS n_conv
+         |  FROM ch JOIN coal ON (m & bit) <> 0 GROUP BY channel)
+         |SELECT phi.channel, coalesce(n_users, 0) AS n_users,
+         |  coalesce(n_conv, 0) AS n_conv, phi_x,
+         |  CAST(CASE WHEN phi_x >= 0 THEN phi_x // 6
+         |    ELSE -((-phi_x) // 6) END AS BIGINT) AS phi_ppm
+         |FROM phi LEFT JOIN expo USING (channel)
+         |ORDER BY channel""".stripMargin
 
     /** Twin of q275_bootstrap_ratio: the bootstrapCiSql machinery
       * with the reweighted-ratio replica statistic and the global

@@ -25,6 +25,16 @@ object PlanAudit {
     // 20-row per-source signature table under an inequality self-join —
     // pairs of SOURCES (corpus-level profile), broadcast by design
     "q93_minhash_sources",
+    // 19-row comparison-group list × value-bounded baseline count
+    // table (the pooled-rank replication) — q93's pairs-of-groups
+    // shape, broadcast by design
+    "q278_mwu_drift",
+    // ONE-row privacy totals cross-joined into the 4-row per-k
+    // report — broadcast scalar by design
+    "q279_k_anonymity",
+    // 3-row channel dim × 2³-row coalition/v tables (the Shapley
+    // power-set walk) — bounded broadcast by design
+    "q280_shapley_attribution",
     // 5-row per-lang KMV sketch table, same pairs-of-groups shape
     "q94_kmv_jaccard",
     // 3-row per-suite dense bloom table cross-joined into the probe —

@@ -4163,6 +4163,55 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
+  /** Mann–Whitney U location drift of every source against src0
+    * ([[graft.ops.Eval.mannWhitneyU]]): the rank-based fifth drift
+    * lens after PSI (q155), W1 (q201), JSD (q185) and KS (q227) —
+    * "has the length distribution SHIFTED?" with a tie-corrected
+    * calibrated z. Exact ×2 midrank sums over the (source, n_chars)
+    * count table; the z is the one float step.
+    */
+  val q278_mwu_drift: Q = (s, d) =>
+    graft.ops.Eval.mannWhitneyU(Tables.documents(s, d),
+        "source", "n_chars", baseline = "src0")
+      .orderBy("source")
+
+  /** k-anonymity / l-diversity privacy audit of the customer table
+    * ([[graft.ops.Profile.kAnonymity]]): quasi-identifiers
+    * (nation, segment, $1000 balance band) vs the behavioral
+    * sensitive attribute (best order priority) — per-k
+    * re-identifiable population, global k-anonymity/l-diversity,
+    * and the single-sensitive-value disclosure share, all exact.
+    */
+  val q279_k_anonymity: Q = (s, d) => {
+    val sens = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(min("o_orderpriority").as("sv"))
+    val base = Tables.customer(s, d)
+      .join(sens, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) " +
+          "div 100000").as("bal_band"),
+        coalesce(col("sv"), lit("NONE")).as("sv"))
+    graft.ops.Profile.kAnonymity(base,
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), "sv")
+      .orderBy("k")
+  }
+
+  /** Exact Shapley-value channel attribution
+    * ([[graft.ops.Funnel.shapleyAttribution]]): completes the
+    * attribution trio — last-touch (q228) credits the final click,
+    * Markov removal effects (q250) credit path criticality, Shapley
+    * credits average marginal conversion lift over the 2³ exposure
+    * coalitions of (click, view, signup) → purchase. Exact integer
+    * Shapley numerators; the c! division is the one guarded
+    * integral divide.
+    */
+  val q280_shapley_attribution: Q = (s, d) =>
+    graft.ops.Funnel.shapleyAttribution(Tables.events(s, d),
+        "user_id", "event_type",
+        touches = Seq("click", "view", "signup"),
+        conversion = "purchase")
+      .orderBy("channel")
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4622,5 +4671,8 @@ object Queries {
     "q274_kendall_tau" -> q274_kendall_tau,
     "q275_bootstrap_ratio" -> q275_bootstrap_ratio,
     "q276_spearman_rho" -> q276_spearman_rho,
-    "q277_chi_squared" -> q277_chi_squared)
+    "q277_chi_squared" -> q277_chi_squared,
+    "q278_mwu_drift" -> q278_mwu_drift,
+    "q279_k_anonymity" -> q279_k_anonymity,
+    "q280_shapley_attribution" -> q280_shapley_attribution)
 }

@@ -723,6 +723,109 @@ object Eval {
     * survivor table, which is bounded by construction (≤ bands ×
     * per-band frontier width), never the corpus.
     */
+  /** Two-sample Mann–Whitney U location test of every group against
+    * a designated baseline group (Mann & Whitney 1947), the
+    * rank-based fifth lens of the drift family — PSI (bin mass),
+    * W1 (transport cost), JSD (distribution divergence) and KS
+    * (worst CDF gap) all compare SHAPES; MWU answers the narrower
+    * "has the distribution SHIFTED in location?" with a calibrated
+    * z under ties. Same midrank machinery as [[rocAuc]] (AUC is
+    * U/(n⁺n⁻) in disguise) but pooled per (baseline, group) pair
+    * with the tie-corrected normal approximation:
+    *
+    *   U₁ = R₁ − n₁(n₁+1)/2,   μ = n₁n₂/2,
+    *   σ² = n₁n₂ · [(n+1)·n·(n−1) − Σ(t³−t)] / (12·n·(n−1))
+    *
+    * Midranks ×2 keep every rank sum an exact integer (DECIMAL(38)
+    * for the corpus-scale products); `u_x2` = 2·U₁ and the CLES
+    * effect size U₁/(n₁n₂) ×10⁶ are exact integer outputs, the z
+    * is the ONE float step. Groups where every pooled value ties
+    * (σ = 0) report z = 0.
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to
+    * (group, value) counts — bounded by groups × value domain (the
+    * caller passes a bounded/discretized integer value, the rocAuc
+    * contract). The baseline's count table is then replicated per
+    * comparison group via a bounded×bounded broadcast cross join
+    * (the q93 pairs-of-groups shape), and all ranking windows run
+    * over that bounded pooled table.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   baseline: String): DataFrame =
+    mwuFromCells(
+      df.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("n")),
+      baseline, groupCol)
+
+  /** Build the [[mannWhitneyU]] report from externally accumulated
+    * ((group, value) → n) counts — the readback half of a STREAMING
+    * location-drift monitor: per-value counts are additive across
+    * micro-batches and row-stateless, so a foreachBatch folds them
+    * and emits the live z through the identical arithmetic (the
+    * [[chiSquaredFromCounts]] discipline). State is bounded by
+    * groups × value domain.
+    */
+  def mannWhitneyFromCounts(spark: org.apache.spark.sql.SparkSession,
+                            counts: Seq[(String, Long, Long)],
+                            baseline: String,
+                            groupCol: String = "grp"): DataFrame = {
+    import spark.implicits._
+    mwuFromCells(counts.toDF("g", "v", "n"), baseline, groupCol)
+  }
+
+  /** The pooled-midrank MWU arithmetic over a (g, v, n) count table —
+    * shared VERBATIM by [[mannWhitneyU]] and [[mannWhitneyFromCounts]].
+    */
+  private def mwuFromCells(cells0: DataFrame,
+                           baseline: String, groupCol: String): DataFrame = {
+    val cells = cells0.localCheckpoint() // baseline + others + group list
+    val base = cells.where(col("g") === lit(baseline))
+      .select(col("v"), col("n").as("nb"))
+    val groups = cells.where(col("g") =!= lit(baseline))
+      .select("g").distinct()
+    // bounded group list × value-bounded baseline counts: the q93
+    // pairs-of-groups broadcast shape (see PlanAudit ledger)
+    val baseRep = broadcast(groups).crossJoin(base)
+    val others = cells.where(col("g") =!= lit(baseline))
+      .select(col("g"), col("v"), col("n").as("no"))
+    val pooled = baseRep.join(others, Seq("g", "v"), "full")
+      .select(col("g"), col("v"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("no"), lit(0L)).as("no"))
+      .withColumn("t", expr("nb + no"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // pooled-count-table window: bounded by groups × value domain
+    val ranked = pooled
+      .withColumn("mr2", lit(2L) * coalesce(sum("t").over(w), lit(0L))
+        + col("t") + lit(1L))
+    ranked.groupBy("g")
+      .agg(sum("nb").as("n1"), sum("no").as("n2"),
+        sum(expr("CAST(nb AS DECIMAL(38,0)) * mr2")).as("r1x2"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie"))
+      .select(col("g").as(groupCol),
+        col("n1").cast("bigint").as("n_base"),
+        col("n2").cast("bigint").as("n_other"),
+        expr("CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)")
+          .as("u_x2"),
+        expr("CAST((500000 * (r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1))) " +
+          "div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("cles_x1e6"),
+        mwuZx1000Expr.as("z_x1000"))
+  }
+
+  /** The one float step of [[mannWhitneyU]] — the tie-corrected
+    * normal z over the named exact sums, shared verbatim with the twin.
+    */
+  private def mwuZx1000Expr: org.apache.spark.sql.Column = expr(
+    "CAST(CASE WHEN (CAST(n1 AS DECIMAL(38,0)) + n2 + 1) * (n1 + n2) * " +
+      "(n1 + n2 - 1) = tie OR n1 = 0 OR n2 = 0 THEN 0 ELSE " +
+      "round(1000 * (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) - " +
+      "CAST(n1 AS DOUBLE) * n2) / (2 * sqrt(" +
+      "CAST(n1 AS DOUBLE) * n2 * ((CAST(n1 AS DOUBLE) + n2 + 1) * " +
+      "(CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2 - 1) - " +
+      "CAST(tie AS DOUBLE)) / (12 * (CAST(n1 AS DOUBLE) + n2) * " +
+      "(CAST(n1 AS DOUBLE) + n2 - 1))))) END AS BIGINT)")
+
   def paretoFront2d(df: DataFrame, minCol: String, maxCol: String,
                     bandWidth: Long = 10000L): DataFrame = {
     val base = df.withColumn("__band", expr(s"$minCol div $bandWidth"))

@@ -1523,4 +1523,79 @@ object Funnel {
         col("e.x").as("x"), col("e.m").as("ewma_milli"),
         col("e.dd").as("ewmad_milli"), col("e.a").as("is_anomaly"))
   }
+
+  /** EXACT Shapley-value channel attribution (Shapley 1953 applied to
+    * the observed-coalition conversion game, Dalessandro et al. 2012)
+    * — the principled third lens of the attribution trio: last-touch
+    * credits the final click, Markov removal-effects credit path
+    * criticality, Shapley credits each channel its average marginal
+    * lift over every ordering of the exposure set. The game: a user's
+    * COALITION is the set of touch channels they were exposed to;
+    * v(S) = conversion rate (ppm, exact integer div) of users exposed
+    * to exactly S, v = 0 for unobserved sets and ∅. Then
+    *
+    *   φ_i = Σ_{S ⊆ C\{i}} |S|!·(c−1−|S|)!/c! · [v(S∪{i}) − v(S)]
+    *
+    * computed exactly: per-term integer weights |S|!(c−1−|S|)!, the
+    * c! division deferred to the final guarded integral divide (the
+    * woeIv sign convention). Output per channel: exposed users,
+    * their conversions, the exact Shapley numerator `phi_x` and
+    * `phi_ppm` = φ in conversion-rate ppm.
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to the
+    * per-user (bitmask, converted) table and a second to the ≤2^c
+    * coalition table; every later join is over that bounded table
+    * (the q126 broadcast-scalar convention; c = |touches| is a query
+    * constant, keep it small — the power set is materialized).
+    */
+  def shapleyAttribution(df: DataFrame, userCol: String, typeCol: String,
+                         touches: Seq[String],
+                         conversion: String = "purchase"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = touches.size
+    require(c >= 1 && c <= 16, "touches must hold 1..16 channels")
+    val maskCase = touches.zipWithIndex
+      .map { case (t, i) => s"WHEN '$t' THEN ${1L << i}" }
+      .mkString(s"CASE `$typeCol` ", " ", " ELSE 0 END")
+    val coal = df
+      .where(col(typeCol).isInCollection(touches :+ conversion))
+      .groupBy(col(userCol))
+      .agg(expr(s"bit_or($maskCase)").as("m"),
+        max(when(col(typeCol) === conversion, 1L).otherwise(0L)).as("cv"))
+      .where(col("m") > 0)
+      .groupBy("m")
+      .agg(count(lit(1)).as("n"), sum("cv").as("cvs"))
+      .localCheckpoint() // ≤2^c rows; feeds v-table + exposure diag
+    val vt = spark.range(1L << c).toDF("s")
+      .join(coal.withColumnRenamed("m", "s"), Seq("s"), "left")
+      .select(col("s"),
+        coalesce(expr("(1000000 * cvs) div n"), lit(0L)).as("vppm"))
+      .localCheckpoint() // 2^c rows; subset + superset consumers
+    val chans = touches.zipWithIndex
+      .map { case (t, i) => (t, 1L << i) }.toDF("channel", "bit")
+    val fact = (1 to 16).scanLeft(1L)(_ * _)
+    val weightCase = (0 until c)
+      .map(s => s"WHEN $s THEN ${fact(s) * fact(c - 1 - s)}")
+      .mkString("CASE bit_count(s) ", " ", " END")
+    // channel dim × 2^c v-table: bounded×bounded broadcast by design
+    val phi = broadcast(chans).crossJoin(vt)
+      .where(expr("(s & bit) = 0"))
+      .withColumn("su", expr("s | bit"))
+      .join(vt.select(col("s").as("su"), col("vppm").as("vu")), Seq("su"))
+      .withColumn("w", expr(weightCase))
+      .groupBy("channel")
+      .agg(sum(expr("w * (vu - vppm)")).as("phi_x"))
+    val expo = broadcast(chans).crossJoin(coal)
+      .where(expr("(m & bit) <> 0"))
+      .groupBy("channel")
+      .agg(sum("n").as("n_users"), sum("cvs").as("n_conv"))
+    phi.join(expo, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("n_conv"), lit(0L)).as("n_conv"),
+        col("phi_x"),
+        expr(s"CAST(CASE WHEN phi_x >= 0 THEN phi_x div ${fact(c)} " +
+          s"ELSE -((-phi_x) div ${fact(c)}) END AS BIGINT)").as("phi_ppm"))
+  }
 }

@@ -1167,4 +1167,53 @@ object Profile {
       .select(col("feature"), col("value"), col("n_pos"), col("n_neg"),
         col("woe_e8"), col("dp_ppm"), col("iv_x1000"))
   }
+
+  /** k-anonymity / l-diversity privacy audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007) — the re-identification-risk report a pipeline runs
+    * before releasing a table: rows are grouped into EQUIVALENCE
+    * CLASSES by the quasi-identifier columns; a class of size < k
+    * makes its members k-re-identifiable, and a class whose sensitive
+    * column takes a single value discloses that value outright even
+    * at large k. One row per requested k threshold:
+    * (k, classes_below, rows_below, rows_below_ppm) plus the global
+    * figures (n_classes, n_rows, k_anonymity = min class size,
+    * l_diversity = min distinct sensitive values, l1_rows_ppm = ppm
+    * of rows in single-sensitive-value classes). All integer-exact.
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to the
+    * equivalence-class table (bounded by the quasi-identifier
+    * domain); the per-k folds and the one-row totals cross join (the
+    * q126 broadcast-scalar convention) run over that bounded table.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String,
+                 ks: Seq[Long] = Seq(2L, 5L, 10L, 25L)): DataFrame = {
+    val cls = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col(sensitiveCol)).as("ldiv"))
+      .localCheckpoint() // totals + one fold per k threshold
+    val tot = cls.agg(
+      sum("sz").cast("bigint").as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min("sz").as("k_anonymity"),
+      min("ldiv").as("l_diversity"),
+      coalesce(sum(when(col("ldiv") === 1L, col("sz"))), lit(0L))
+        .cast("bigint").as("l1_rows"))
+    val perK = ks.map { k =>
+      cls.agg(lit(k).as("k"),
+        coalesce(sum(when(col("sz") < k, lit(1L))), lit(0L))
+          .cast("bigint").as("classes_below"),
+        coalesce(sum(when(col("sz") < k, col("sz"))), lit(0L))
+          .cast("bigint").as("rows_below"))
+    }.reduce(_ unionByName _)
+    // ONE-row totals cross-joined into the |ks|-row report
+    perK.crossJoin(broadcast(tot))
+      .select(col("k"), col("classes_below"), col("rows_below"),
+        expr("CAST((1000000 * CAST(rows_below AS DECIMAL(38,0))) " +
+          "div n_rows AS BIGINT)").as("rows_below_ppm"),
+        col("n_classes"), col("n_rows"), col("k_anonymity"),
+        col("l_diversity"),
+        expr("CAST((1000000 * CAST(l1_rows AS DECIMAL(38,0))) " +
+          "div n_rows AS BIGINT)").as("l1_rows_ppm"))
+  }
 }

@@ -25,6 +25,61 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Long]("auc_x1e6") === math.floor(auc * 1e6).toLong)
   }
 
+  test("mannWhitneyU matches brute-force midrank U and tie-corrected z") {
+    val baseVals = Seq(1L, 2L, 2L, 3L, 5L, 5L, 7L)
+    val gVals = Seq(2L, 3L, 3L, 4L, 5L, 8L, 8L, 9L)
+    val df = (baseVals.map(("b", _)) ++ gVals.map(("g", _)))
+      .toDF("src", "v")
+    val out = Eval.mannWhitneyU(df, "src", "v", baseline = "b")
+      .collect()
+    assert(out.length === 1)
+    val row = out.head
+    // brute force: pooled midranks with ties
+    val pooled = (baseVals.map((_, true)) ++ gVals.map((_, false)))
+      .sortBy(_._1)
+    val ranks: Seq[(Boolean, Double)] =
+      pooled.zipWithIndex.groupBy(_._1._1).toSeq.flatMap {
+        case (_, grp) =>
+          val mid = grp.map(_._2 + 1.0).sum / grp.size
+          grp.map { case ((_, isBase), _) => (isBase, mid) }
+      }
+    val r1 = ranks.filter(_._1).map(_._2).sum
+    val n1 = baseVals.size.toDouble
+    val n2 = gVals.size.toDouble
+    val n = n1 + n2
+    val u1 = r1 - n1 * (n1 + 1) / 2
+    val tie = pooled.groupBy(_._1).values.map(_.size.toDouble)
+      .map(t => t * t * t - t).sum
+    val sigma = math.sqrt(n1 * n2 * ((n + 1) * n * (n - 1) - tie) /
+      (12 * n * (n - 1)))
+    val z = (u1 - n1 * n2 / 2) / sigma
+    assert(row.getAs[Long]("n_base") === baseVals.size)
+    assert(row.getAs[Long]("n_other") === gVals.size)
+    assert(row.getAs[Long]("u_x2") === math.round(2 * u1))
+    assert(row.getAs[Long]("cles_x1e6") ===
+      math.floor(1e6 * u1 / (n1 * n2)).toLong)
+    assert(row.getAs[Long]("z_x1000") === math.round(1000 * z))
+  }
+
+  test("mannWhitneyU: all-tied pair reports z = 0; FromCounts readback is identical") {
+    val df = (Seq.fill(4)(("b", 5L)) ++ Seq.fill(3)(("g", 5L)) ++
+      Seq(("h", 1L), ("h", 9L))).toDF("src", "v")
+    val batch = Eval.mannWhitneyU(df, "src", "v", baseline = "b")
+      .orderBy("src").collect()
+    val tied = batch.find(_.getString(0) == "g").get
+    assert(tied.getAs[Long]("z_x1000") === 0L)
+    // midranks of 7 pooled tied values: each (7+1)/2 = 4 → R1 = 16,
+    // U1 = 16 - 10 = 6 = n1 n2 / 2 exactly
+    assert(tied.getAs[Long]("u_x2") === 12L)
+    // readback half: same counts → bit-identical report
+    val counts = df.groupBy("src", "v").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val re = Eval.mannWhitneyFromCounts(spark, counts, baseline = "b",
+        groupCol = "src")
+      .orderBy("src").collect()
+    assert(re.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("rocAuc reports -1 for single-class groups and 1e6 for perfect ranking") {
     val df = Seq(
       ("one", 1L, true), ("one", 2L, true),

@@ -860,4 +860,35 @@ class FunnelSpec extends SparkSpec {
     assert(out.head.getAs[Long]("reach_removed_ppm") === 0L)
     assert(out.head.getAs[Long]("share_x1000") === 1000L)
   }
+
+  test("shapleyAttribution matches brute-force Shapley over the coalition game") {
+    // users → (exposure set, converted): {a}→1/2, {a,b}→1/1, {b}→0/1
+    val rows = Seq(
+      (1L, "a", 1L), (1L, "buy", 2L),
+      (2L, "a", 1L),
+      (3L, "a", 1L), (3L, "b", 2L), (3L, "buy", 3L),
+      (4L, "b", 1L))
+      .map { case (u, t, k) => (u, t, ts(s"2024-01-01 00:00:0$k")) }
+      .toDF("u", "t", "tstamp")
+    val out = Funnel.shapleyAttribution(rows, "u", "t",
+        touches = Seq("a", "b"), conversion = "buy")
+      .orderBy("channel").collect()
+    // v ppm: v{a}=500000, v{b}=0, v{a,b}=1000000, else 0; c=2, c!=2
+    // φ_a·2 = 1!0!(v{a}−0) + 0!1!(v{ab}−v{b}) = 500000 + 1000000
+    // φ_b·2 = 1!0!(v{b}−0) + 0!1!(v{ab}−v{a}) = 0 + 500000
+    assert(out.length === 2)
+    val a = out.head
+    assert(a.getString(0) === "a")
+    assert(a.getAs[Long]("n_users") === 3L) // users 1, 2, 3
+    assert(a.getAs[Long]("n_conv") === 2L)
+    assert(a.getAs[Long]("phi_x") === 1500000L)
+    assert(a.getAs[Long]("phi_ppm") === 750000L)
+    val b = out(1)
+    assert(b.getAs[Long]("n_users") === 2L) // users 3, 4
+    assert(b.getAs[Long]("n_conv") === 1L)
+    assert(b.getAs[Long]("phi_x") === 500000L)
+    assert(b.getAs[Long]("phi_ppm") === 250000L)
+    // efficiency: Σφ = v(full coalition) = v{a,b}
+    assert(out.map(_.getAs[Long]("phi_ppm")).sum === 1000000L)
+  }
 }

@@ -527,4 +527,32 @@ class ProfileSpec extends SparkSpec {
     assert(out(("f", "b")) === ((-8L, -500000L, 1000L)))
     assert(out(("g", "c")) === ((0L, 0L, 0L)))
   }
+
+  test("kAnonymity: class sizes, per-k thresholds, l-diversity, disclosure ppm") {
+    // classes: (a,1)→sz 3 ldiv 2, (a,2)→sz 1 ldiv 1, (b,1)→sz 2 ldiv 1
+    val df = Seq(
+      ("a", 1L, "x"), ("a", 1L, "x"), ("a", 1L, "y"),
+      ("a", 2L, "x"),
+      ("b", 1L, "z"), ("b", 1L, "z"))
+      .toDF("qa", "qb", "sv")
+    val out = Profile.kAnonymity(df, Seq("qa", "qb"), "sv",
+        ks = Seq(2L, 3L))
+      .orderBy("k").collect()
+    assert(out.length === 2)
+    val k2 = out.head
+    assert(k2.getAs[Long]("k") === 2L)
+    assert(k2.getAs[Long]("classes_below") === 1L) // only (a,2)
+    assert(k2.getAs[Long]("rows_below") === 1L)
+    assert(k2.getAs[Long]("rows_below_ppm") === 166666L) // 1/6
+    assert(k2.getAs[Long]("n_classes") === 3L)
+    assert(k2.getAs[Long]("n_rows") === 6L)
+    assert(k2.getAs[Long]("k_anonymity") === 1L)
+    assert(k2.getAs[Long]("l_diversity") === 1L)
+    // l=1 classes: (a,2) sz 1 + (b,1) sz 2 → 3/6 rows
+    assert(k2.getAs[Long]("l1_rows_ppm") === 500000L)
+    val k3 = out(1)
+    assert(k3.getAs[Long]("classes_below") === 2L) // (a,2) + (b,1)
+    assert(k3.getAs[Long]("rows_below") === 3L)
+    assert(k3.getAs[Long]("rows_below_ppm") === 500000L)
+  }
 }
