@@ -565,6 +565,8 @@ object OracleSql {
     "q278_mwu_drift" -> Gen.mwuDriftSql,
     "q279_k_anonymity" -> Gen.kAnonymitySql,
     "q280_shapley_attribution" -> Gen.shapleyAttributionSql,
+    "q281_logrank" -> Gen.logRankSql,
+    "q282_matryoshka_recall" -> Gen.matryoshkaRecallSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6528,6 +6530,107 @@ object OracleSql {
          |  CAST((1000000 * CAST(l1_rows AS HUGEINT)) // n_rows
          |    AS BIGINT) AS l1_rows_ppm
          |FROM perk CROSS JOIN tot ORDER BY k""".stripMargin
+
+    /** Twin of q281_logrank: same span/censoring construction as the
+      * q207 twin, same zero-filled cohort grid, same exact ×10⁶
+      * hypergeometric E/V terms and χ² float step.
+      */
+    def logRankSql: String =
+      s"""WITH sp AS (SELECT user_id AS u,
+         |      min(date_trunc('day', ts)) AS first_d,
+         |      max(date_trunc('day', ts)) AS last_d,
+         |      CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS g
+         |    FROM events GROUP BY 1),
+         |mx AS (SELECT max(last_d) AS max_d FROM sp),
+         |byt AS (SELECT g, CAST(date_diff('day', first_d, last_d) AS BIGINT)
+         |      AS t,
+         |    CAST(sum(CASE WHEN date_diff('day', last_d, max_d) > 3
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |    CAST(count(*) AS BIGINT) AS a
+         |  FROM sp CROSS JOIN mx GROUP BY 1, 2),
+         |g0 AS (SELECT t, d AS d0, a AS a0 FROM byt WHERE g = 0),
+         |g1 AS (SELECT t, d AS d1, a AS a1 FROM byt WHERE g = 1),
+         |grid AS (SELECT coalesce(g0.t, g1.t) AS t,
+         |    coalesce(d0, 0) AS d0, coalesce(a0, 0) AS a0,
+         |    coalesce(d1, 0) AS d1, coalesce(a1, 0) AS a1
+         |  FROM g0 FULL JOIN g1 ON g0.t = g1.t),
+         |tot AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN g = 0 THEN a END), 0) AS BIGINT)
+         |      AS n0_tot,
+         |    CAST(coalesce(sum(CASE WHEN g = 1 THEN a END), 0) AS BIGINT)
+         |      AS n1_tot
+         |  FROM byt),
+         |risk AS (SELECT grid.*, n0_tot, n1_tot,
+         |    n0_tot - coalesce(sum(a0) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0,
+         |    n1_tot - coalesce(sum(a1) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r1
+         |  FROM grid CROSS JOIN tot),
+         |tm AS (SELECT n0_tot, n1_tot, d1, d0 + d1 AS d, r0, r1,
+         |    r0 + r1 AS n
+         |  FROM risk WHERE d0 + d1 > 0),
+         |terms AS (SELECT n0_tot, n1_tot, d1,
+         |    CAST((1000000 * CAST(d AS HUGEINT) * r1) // n AS BIGINT)
+         |      AS e1_6,
+         |    CAST(CASE WHEN n < 2 THEN 0 ELSE
+         |      (1000000 * CAST(d AS HUGEINT) * r0 * r1 * (n - d)) //
+         |      (CAST(n AS HUGEINT) * n * (n - 1)) END AS BIGINT) AS v6
+         |  FROM tm)
+         |SELECT CAST(max(n0_tot) AS BIGINT) AS n0,
+         |  CAST(max(n1_tot) AS BIGINT) AS n1,
+         |  CAST(sum(d1) AS BIGINT) AS o1,
+         |  CAST(sum(e1_6) AS BIGINT) AS e1_x1e6,
+         |  CAST(sum(v6) AS BIGINT) AS v_x1e6,
+         |  CAST(CASE WHEN sum(v6) = 0 THEN 0 ELSE
+         |    round(1000 * (CAST(sum(d1) AS DOUBLE) * 1000000 - sum(e1_6)) *
+         |    (CAST(sum(d1) AS DOUBLE) * 1000000 - sum(e1_6)) /
+         |    (1000000 * CAST(sum(v6) AS DOUBLE))) END AS BIGINT)
+         |    AS chi2_x1000
+         |FROM terms
+         |ORDER BY n0""".stripMargin
+
+    /** Twin of q282_matryoshka_recall: DOUBLE[]-cast FIRST then
+      * prefix slice (engine-identical to Spark's slice-then-cast),
+      * the q123 brute-force rank convention on both rankings.
+      */
+    def matryoshkaRecallSql: String = {
+      def dimCtes(dm: Int) =
+        s"""s$dm AS (SELECT q.query_id, ev.id,
+           |    ${cosineE(s"ev.v[1:$dm]", s"q.qv[1:$dm]")} AS sim
+           |  FROM e ev CROSS JOIN q),
+           |a$dm AS (SELECT query_id, id FROM (SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, id) AS rnk FROM s$dm) t
+           |  WHERE rnk <= 5),
+           |h$dm AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+           |  FROM a$dm a JOIN bex b
+           |    ON a.query_id = b.query_id AND a.id = b.id
+           |  GROUP BY a.query_id)""".stripMargin
+      def dimSelect(dm: Int) =
+        s"""SELECT CAST($dm AS BIGINT) AS trunc_dim, qq.query_id,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  CAST((1000 * COALESCE(n_hits, 0)) // 5 AS BIGINT)
+           |    AS recall_x1000
+           |FROM (SELECT DISTINCT query_id FROM bex) qq
+           |LEFT JOIN h$dm USING (query_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 3),
+         |bscored AS (SELECT q.query_id, ev.id,
+         |    ${cosineE("ev.v", "q.qv")} AS sim
+         |  FROM e ev CROSS JOIN q),
+         |bex AS (SELECT query_id, id FROM (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, id) AS rnk FROM bscored) t
+         |  WHERE rnk <= 5),
+         |${dimCtes(16)},
+         |${dimCtes(32)}
+         |${dimSelect(16)}
+         |UNION ALL
+         |${dimSelect(32)}
+         |ORDER BY trunc_dim, query_id""".stripMargin
+    }
 
     /** Twin of q280_shapley_attribution: same per-user bit_or
       * coalition fold, same exact ppm v-table over the 2³ power set,

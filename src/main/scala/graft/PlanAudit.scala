@@ -78,6 +78,9 @@ object PlanAudit {
     // the rank/recall metrics are judged against — broadcast by design
     "q147_rank_eval",
     "q149_rp_recall",
+    // q123's brute-force shape per truncation width — the 3-row query
+    // set cross-joined into the corpus scan, broadcast by design
+    "q282_matryoshka_recall",
     // ONE-row total-bigram count N cross-joined into the PMI
     // projection — broadcast scalar by design
     "q124_pmi_collocations",
@@ -122,6 +125,9 @@ object PlanAudit {
     // ONE-row corpus-max-day and total-user scalars cross-joined
     // into the per-user span / day tables — broadcast by design
     "q207_survival_curve",
+    // q207's shape: ONE-row max-day and cohort-total scalars
+    // cross-joined into the span / lifetime-day tables
+    "q281_logrank",
     // ONE-row output total cross-joined into the ≤k amplification
     // rows — skewReport's broadcast-scalar shape
     "q164_join_amplification",
@@ -346,6 +352,8 @@ object PlanAudit {
     // (≤ corpus span days — constant in corpus size), after the
     // corpus reduced to one row per user then one per day
     "q207_survival_curve",
+    // log-rank at-risk cumsums over the same lifetime-day table
+    "q281_logrank",
     // Lorenz cumulative shares over the $10k VALUE-bucket table
     // (value-domain-bounded — the q92/q189 audited cumsum class),
     // after the corpus reduced to per-customer cents

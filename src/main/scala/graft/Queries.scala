@@ -4212,6 +4212,32 @@ object Queries {
         conversion = "purchase")
       .orderBy("channel")
 
+  /** Two-cohort log-rank churn test
+    * ([[graft.ops.Funnel.logRankTest]]): the significance companion
+    * to q207's KM curve — do users who ever signed up churn at a
+    * different rate? Exact ×10⁶ hypergeometric E/V terms over the
+    * lifetime-day grid; the χ² is the one float step.
+    */
+  val q281_logrank: Q = (s, d) =>
+    graft.ops.Funnel.logRankTest(Tables.events(s, d), "user_id", "ts",
+        expr("CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END"))
+      .orderBy("n0")
+
+  /** Matryoshka truncation recall
+    * ([[graft.sim.Similarity.matryoshkaRecall]]): retrieval quality
+    * of prefix-truncated embeddings (16 and 32 of 64 dims) against
+    * the full-dim exact top-5 — the cheap-first-stage knob of
+    * nested-representation models, measured with the q123/q149
+    * recall harness.
+    */
+  val q282_matryoshka_recall: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.matryoshkaRecall(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, dims = Seq(16, 32))
+      .orderBy("trunc_dim", "query_id")
+  }
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4674,5 +4700,7 @@ object Queries {
     "q277_chi_squared" -> q277_chi_squared,
     "q278_mwu_drift" -> q278_mwu_drift,
     "q279_k_anonymity" -> q279_k_anonymity,
-    "q280_shapley_attribution" -> q280_shapley_attribution)
+    "q280_shapley_attribution" -> q280_shapley_attribution,
+    "q281_logrank" -> q281_logrank,
+    "q282_matryoshka_recall" -> q282_matryoshka_recall)
 }

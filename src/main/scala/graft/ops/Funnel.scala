@@ -1548,6 +1548,79 @@ object Funnel {
     * (the q126 broadcast-scalar convention; c = |touches| is a query
     * constant, keep it small — the power set is materialized).
     */
+  /** Two-cohort log-rank test (Mantel 1966) — the significance
+    * companion to [[survivalCurve]]: "do cohort-1 users churn at a
+    * different rate than cohort-0 users?" Same lifetime/censoring
+    * construction as the KM curve (per-user span, churn = no
+    * activity within `horizonDays` of the corpus max day); at each
+    * event day t the observed cohort-1 deaths d₁ₜ are compared to
+    * the hypergeometric expectation d·r₁/n over the at-risk counts:
+    *
+    *   O = Σ d₁ₜ,  E = Σ dₜ·r₁ₜ/nₜ,
+    *   V = Σ dₜ·r₀ₜ·r₁ₜ·(nₜ−dₜ) / (nₜ²·(nₜ−1)),  χ² = (O−E)²/V
+    *
+    * E and V accumulate as exact ×10⁶ per-term integral divisions
+    * (deterministic on both engines; DECIMAL(38) bounds hold to
+    * ~10⁸ at-risk per day); the χ² is the ONE float step. Cohort
+    * membership is `max(cohortExpr)` per user (0/1).
+    *
+    * Scale shape: one per-user reduction, then everything runs on
+    * the (cohort, lifetime-day) table — bounded by 2× the corpus
+    * day span; its cumulative at-risk windows are bounded-table
+    * global windows by construction.
+    */
+  def logRankTest(df: DataFrame, userCol: String, tsCol: String,
+                  cohortExpr: Column, horizonDays: Int = 3): DataFrame = {
+    require(horizonDays >= 0, s"horizonDays=$horizonDays must be >= 0")
+    val spans = df.groupBy(col(userCol).as("__u"))
+      .agg(min(date_trunc("day", col(tsCol))).as("first_d"),
+        max(date_trunc("day", col(tsCol))).as("last_d"),
+        max(cohortExpr.cast("bigint")).as("g"))
+    val maxD = spans.agg(max("last_d").as("max_d"))
+    val byT = spans.crossJoin(broadcast(maxD))
+      .select(col("g"),
+        expr("CAST(datediff(last_d, first_d) AS BIGINT)").as("t"),
+        expr(s"CASE WHEN datediff(max_d, last_d) > $horizonDays " +
+          "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("e"))
+      .groupBy("g", "t")
+      .agg(sum("e").as("d"), count(lit(1)).as("a"))
+      .localCheckpoint() // two cohort slices + totals off one reduction
+    val g0 = byT.where(col("g") === 0L)
+      .select(col("t"), col("d").as("d0"), col("a").as("a0"))
+    val g1 = byT.where(col("g") === 1L)
+      .select(col("t"), col("d").as("d1"), col("a").as("a1"))
+    val grid = g0.join(g1, Seq("t"), "full")
+      .na.fill(0L, Seq("d0", "a0", "d1", "a1"))
+    val tot = byT.groupBy().pivot("g", Seq(0L, 1L)).sum("a")
+      .select(coalesce(col("0"), lit(0L)).as("n0_tot"),
+        coalesce(col("1"), lit(0L)).as("n1_tot"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // lifetime-day-table windows: bounded by the corpus day span
+    val risk = grid.crossJoin(broadcast(tot))
+      .withColumn("r0", col("n0_tot") - coalesce(sum("a0").over(w), lit(0L)))
+      .withColumn("r1", col("n1_tot") - coalesce(sum("a1").over(w), lit(0L)))
+      .withColumn("d", col("d0") + col("d1"))
+      .withColumn("n", col("r0") + col("r1"))
+      .where(col("d") > 0L)
+      .withColumn("e1_6", expr(
+        "CAST((1000000 * CAST(d AS DECIMAL(38,0)) * r1) div n AS BIGINT)"))
+      .withColumn("v6", expr(
+        "CAST(CASE WHEN n < 2 THEN 0 ELSE " +
+          "(1000000 * CAST(d AS DECIMAL(38,0)) * r0 * r1 * (n - d)) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n * (n - 1)) END AS BIGINT)"))
+    risk.groupBy()
+      .agg(max("n0_tot").as("n0"), max("n1_tot").as("n1"),
+        sum("d1").as("o1"), sum("e1_6").as("e1_x1e6"),
+        sum("v6").as("v_x1e6"))
+      .select(col("n0"), col("n1"), col("o1"), col("e1_x1e6"), col("v_x1e6"),
+        expr("CAST(CASE WHEN v_x1e6 = 0 THEN 0 ELSE " +
+          "round(1000 * (CAST(o1 AS DOUBLE) * 1000000 - e1_x1e6) * " +
+          "(CAST(o1 AS DOUBLE) * 1000000 - e1_x1e6) / " +
+          "(1000000 * CAST(v_x1e6 AS DOUBLE))) END AS BIGINT)")
+          .as("chi2_x1000"))
+  }
+
   def shapleyAttribution(df: DataFrame, userCol: String, typeCol: String,
                          touches: Seq[String],
                          conversion: String = "purchase"): DataFrame = {

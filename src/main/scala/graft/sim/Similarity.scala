@@ -778,6 +778,39 @@ object Similarity {
       .withColumn("recall_x1000", expr(s"(1000 * n_hits) div $k"))
   }
 
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022, MRL):
+    * how much retrieval quality survives when the embedding is cut to
+    * its first `dims(i)` coordinates — the knob modern
+    * nested-representation models expose for cheap first-stage
+    * retrieval. For each truncation width, brute-force cosine top-k
+    * with the PREFIX-sliced vectors is scored against the full-dim
+    * exact top-k via [[recallAtK]]; output one row per
+    * (trunc_dim, query): (trunc_dim, query_id, n_hits, recall_x1000).
+    *
+    * Scale shape: |dims|+1 map-only corpus scans, each with the
+    * broadcast query set (the q28/q123 brute-force convention);
+    * everything after the bounded-heap top-k is query-bounded. The
+    * slice happens BEFORE the dot product, so a fused first-stage
+    * scan reads only the prefix arithmetic — at 100 TB the win is
+    * proportional to dim/trunc_dim.
+    */
+  def matryoshkaRecall(corpus: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       k: Int, dims: Seq[Int]): DataFrame = {
+    val exact = bruteForceTopK(corpus, idCol, vecCol,
+      queries, qIdCol, qVecCol, k).localCheckpoint() // Q×k rows, |dims| consumers
+    dims.map { dm =>
+      val ct = corpus.select(col(idCol),
+        slice(col(vecCol), 1, dm).as(vecCol))
+      val qt = queries.select(col(qIdCol),
+        slice(col(qVecCol), 1, dm).as(qVecCol))
+      val ann = bruteForceTopK(ct, idCol, vecCol, qt, qIdCol, qVecCol, k)
+      recallAtK(ann, exact, k)
+        .select(lit(dm.toLong).as("trunc_dim"), col("query_id"),
+          col("n_hits"), col("recall_x1000"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Integer DCG gain ×10⁶ at 1-indexed rank r: round(10⁶/log2(r+1)).
     * A FIXED table of constants per k, so "nDCG needs floats" never
     * enters the plan — both engines consume the SAME literals via the

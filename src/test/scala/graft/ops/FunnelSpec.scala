@@ -861,6 +861,35 @@ class FunnelSpec extends SparkSpec {
     assert(out.head.getAs[Long]("share_x1000") === 1000L)
   }
 
+  test("logRankTest: hand-computed hypergeometric E/V terms and chi2") {
+    def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")
+    // g=1: u1 t=0 event, u2 t=2 event; g=0: u3 t=1 event,
+    // u4 t=9 censored (defines max day), u5 t=0 event
+    val rows = Seq(
+      (1L, "signup", day(0)),
+      (2L, "signup", day(0)), (2L, "view", day(2)),
+      (3L, "view", day(0)), (3L, "click", day(1)),
+      (4L, "view", day(0)), (4L, "view", day(9)),
+      (5L, "click", day(0)))
+      .toDF("u", "t", "tstamp")
+    val out = Funnel.logRankTest(rows, "u", "tstamp",
+      expr("CASE WHEN t = 'signup' THEN 1 ELSE 0 END")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n0") === 3L)
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("o1") === 2L)
+    // t=0: d=2 r0=3 r1=2 n=5 → e=800000, v=(1e6·2·3·2·3)//100=360000
+    // t=1: d=1 r0=2 r1=1 n=3 → e=333333, v=(1e6·4)//18=222222
+    // t=2: d=1 r0=1 r1=1 n=2 → e=500000, v=(1e6·1)//4=250000
+    val e6 = 800000L + 333333L + 500000L
+    val v6 = 360000L + 222222L + 250000L
+    assert(r.getAs[Long]("e1_x1e6") === e6)
+    assert(r.getAs[Long]("v_x1e6") === v6)
+    val chi = (2e6 - e6) * (2e6 - e6) / (1e6 * v6)
+    assert(r.getAs[Long]("chi2_x1000") === math.round(1000 * chi))
+  }
+
   test("shapleyAttribution matches brute-force Shapley over the coalition game") {
     // users → (exposure set, converted): {a}→1/2, {a,b}→1/1, {b}→0/1
     val rows = Seq(

@@ -86,6 +86,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.filter(_.getAs[Long]("query_id") == 0L).forall(_.getAs[Long]("id") < 40))
   }
 
+  test("matryoshkaRecall: full-dim slice is recall 1000; prefix-orthogonal case degrades exactly") {
+    val corpus = clustered
+    val queries = corpus.where(col("vec_id").isin(0L, 40L))
+    val full = Similarity.matryoshkaRecall(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, dims = Seq(16))
+      .collect()
+    assert(full.length === 2)
+    assert(full.forall(_.getAs[Long]("recall_x1000") === 1000L))
+    // hand case where the 2-dim prefix loses information: full-dim
+    // top-2 of q is {0 (self), 2}, but both prefixes collapse to the
+    // same direction as q (cos = 1.0 ties) and the id tiebreak keeps
+    // {0, 1} → exactly one hit of two → recall 500. The 4-dim slice
+    // is the identity → recall 1000.
+    val tiny = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), // the query itself
+      (1L, Seq(0.6f, 0f, 0.8f, 0f)), // full cos 0.6, prefix cos 1.0
+      (2L, Seq(0.8f, 0f, 0.6f, 0f))) // full cos 0.8, prefix cos 1.0
+      .toDF("vec_id", "embedding")
+    val q = tiny.where(col("vec_id") === 0L)
+    val out2 = Similarity.matryoshkaRecall(tiny, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 2, dims = Seq(2, 4))
+      .orderBy("trunc_dim").collect()
+    assert(out2.length === 2)
+    assert(out2.head.getAs[Long]("trunc_dim") === 2L)
+    assert(out2.head.getAs[Long]("n_hits") === 1L)
+    assert(out2.head.getAs[Long]("recall_x1000") === 500L)
+    assert(out2(1).getAs[Long]("recall_x1000") === 1000L)
+  }
+
   test("LSH top-k recall vs brute force on clustered data") {
     val corpus = clustered
     val queries = corpus.where(col("vec_id").isin(0L, 40L, 80L))
