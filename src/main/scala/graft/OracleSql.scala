@@ -567,6 +567,8 @@ object OracleSql {
     "q280_shapley_attribution" -> Gen.shapleyAttributionSql,
     "q281_logrank" -> Gen.logRankSql,
     "q282_matryoshka_recall" -> Gen.matryoshkaRecallSql,
+    "q283_brown_forecast" -> Gen.brownForecastSql,
+    "q284_bh_fdr" -> Gen.bhFdrSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5494,6 +5496,95 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q284_bh_fdr: same exact counts, same one z float step,
+      * and the IDENTICAL generated Φ⁻¹ critical-value CASE
+      * ([[graft.ops.Eval.bhZcritCaseSql]]) — the dcgGain one-emitter
+      * discipline keeps the BH surface engine-exact despite the
+      * normal quantile in its definition.
+      */
+    def bhFdrSql: String = {
+      val crit = graft.ops.Eval.bhZcritCaseSql("rnk", 25, 50000L)
+      s"""WITH base AS (SELECT c_nationkey AS g,
+         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS sx
+         |  FROM orders JOIN customer ON c_custkey = o_custkey),
+         |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(sx) AS BIGINT) AS s
+         |  FROM base GROUP BY g),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    CAST(sum(s) AS BIGINT) AS st FROM cnt),
+         |scored AS (SELECT g, n, s,
+         |    CAST(CASE WHEN n = 0 OR nt = n OR st = 0 OR st = nt THEN 0
+         |      ELSE round(1000 * (CAST(s AS DOUBLE) / n -
+         |      CAST(st - s AS DOUBLE) / (nt - n)) /
+         |      sqrt((CAST(st AS DOUBLE) / nt) *
+         |      (1 - CAST(st AS DOUBLE) / nt) *
+         |      (1.0 / n + 1.0 / (nt - n)))) END AS BIGINT) AS z_x1000
+         |  FROM cnt CROSS JOIN tot),
+         |ranked AS (SELECT g, n, s, z_x1000,
+         |    CAST(row_number() OVER (ORDER BY abs(z_x1000) DESC, g)
+         |      AS BIGINT) AS rnk
+         |  FROM scored),
+         |crit AS (SELECT ranked.*, $crit AS zcrit_x1000 FROM ranked),
+         |km AS (SELECT coalesce(max(CASE WHEN abs(z_x1000) >= zcrit_x1000
+         |    THEN rnk END), 0) AS kmax FROM crit)
+         |SELECT g AS c_nationkey, n, s AS successes, z_x1000, rnk,
+         |  zcrit_x1000, rnk <= kmax AS significant
+         |FROM crit CROSS JOIN km ORDER BY rnk""".stripMargin
+    }
+
+    /** Twin of q283_brown_forecast: the q220 recursive-CTE recurrence
+      * carrying (s1, s2, error-sum, error-count), the same
+      * sign-guarded trend divide, final row per type.
+      */
+    def brownForecastSql: String = {
+      val fPrev = "(2 * ew.s1 - ew.s2 + (CASE WHEN ew.s1 >= ew.s2 " +
+        "THEN (ew.s1 - ew.s2) // 7 " +
+        "ELSE -((ew.s2 - ew.s1) // 7) END))"
+      val s1New = "(7 * ew.s1 + 1000 * g.x) // 8"
+      s"""WITH RECURSIVE b AS (SELECT event_type AS et,
+         |        date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+         |c AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, d),
+         |days AS (SELECT d, CAST(row_number() OVER (ORDER BY d) - 1
+         |           AS BIGINT) AS t
+         |         FROM (SELECT DISTINCT d FROM c)),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, days.d, days.t, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN days
+         |      LEFT JOIN c ON c.et = ets.et AND c.d = days.d),
+         |ew AS (
+         |  SELECT et, t, CAST(1000 * x AS BIGINT) AS s1,
+         |    CAST(1000 * x AS BIGINT) AS s2,
+         |    CAST(0 AS BIGINT) AS es, CAST(0 AS BIGINT) AS ne
+         |  FROM g WHERE t = 0
+         |  UNION ALL
+         |  SELECT g.et, g.t,
+         |    CAST($s1New AS BIGINT),
+         |    CAST((7 * ew.s2 + ($s1New)) // 8 AS BIGINT),
+         |    CAST(ew.es + (CASE WHEN g.t >= 7
+         |      THEN abs(1000 * g.x - $fPrev) ELSE 0 END) AS BIGINT),
+         |    CAST(ew.ne + (CASE WHEN g.t >= 7 THEN 1 ELSE 0 END)
+         |      AS BIGINT)
+         |  FROM ew JOIN g ON g.et = ew.et AND g.t = ew.t + 1),
+         |fin AS (SELECT ew.* FROM ew
+         |  JOIN (SELECT et, max(t) AS mt FROM ew GROUP BY et) m
+         |    ON m.et = ew.et AND ew.t = m.mt),
+         |lv AS (SELECT et, t, s1, s2, es, ne,
+         |    2 * s1 - s2 AS level_milli,
+         |    CASE WHEN s1 >= s2 THEN (s1 - s2) // 7
+         |      ELSE -((s2 - s1) // 7) END AS trend_milli
+         |  FROM fin)
+         |SELECT et AS event_type, CAST(t + 1 AS BIGINT) AS n_days,
+         |  s1 AS s1_milli, s2 AS s2_milli,
+         |  CAST(level_milli AS BIGINT) AS level_milli,
+         |  CAST(trend_milli AS BIGINT) AS trend_milli,
+         |  CAST(level_milli + trend_milli AS BIGINT) AS f1_milli,
+         |  CAST(level_milli + 7 * trend_milli AS BIGINT) AS f7_milli,
+         |  CAST(CASE WHEN ne = 0 THEN 0 ELSE es // ne END AS BIGINT)
+         |    AS mae_milli
+         |FROM lv ORDER BY event_type""".stripMargin
+    }
 
     /** Twin of q236_kn_surprisal: the q106 bigram CTEs extended with
       * follower / left-context / type counts, the same rational KN

@@ -32,6 +32,9 @@ object PlanAudit {
     // ONE-row privacy totals cross-joined into the 4-row per-k
     // report — broadcast scalar by design
     "q279_k_anonymity",
+    // ONE-row pooled totals and ONE-row BH cutoff rank kmax
+    // cross-joined into the 25-row test table — broadcast by design
+    "q284_bh_fdr",
     // 3-row channel dim × 2³-row coalition/v tables (the Shapley
     // power-set walk) — bounded broadcast by design
     "q280_shapley_attribution",
@@ -204,6 +207,8 @@ object PlanAudit {
     // types × day-span grid (q196's shape); the EWMA recurrence then
     // folds each type's span-bounded series inside one aggregate call
     "q220_ewma_bands",
+    // q220's grid + recurrence shape with the double-smoothed state
+    "q283_brown_forecast",
     // bounded probe set (and then its ≤|Q| best-match candidates)
     // broadcast under one corpus scan each — q28's brute-exact shape
     "q221_bitext_margin",
@@ -354,6 +359,8 @@ object PlanAudit {
     "q207_survival_curve",
     // log-rank at-risk cumsums over the same lifetime-day table
     "q281_logrank",
+    // BH |z| rank window over the 25-row (group-domain) test table
+    "q284_bh_fdr",
     // Lorenz cumulative shares over the $10k VALUE-bucket table
     // (value-domain-bounded — the q92/q189 audited cumsum class),
     // after the corpus reduced to per-customer cents

@@ -4238,6 +4238,31 @@ object Queries {
       .orderBy("trunc_dim", "query_id")
   }
 
+  /** Brown double-exponential-smoothing forecast per event type
+    * ([[graft.ops.Funnel.brownForecast]]): the trend-aware sibling of
+    * q220's EWMA chart — float-free integer (level, trend) state in
+    * milli units, 1- and 7-step forecasts, and the one-step backtest
+    * MAE that keeps the report honest.
+    */
+  val q283_brown_forecast: Q = (s, d) =>
+    graft.ops.Funnel.brownForecast(Tables.events(s, d),
+        "event_type", "ts")
+      .orderBy("event_type")
+
+  /** Benjamini–Hochberg FDR screen over 25 per-nation urgent-order
+    * rate tests ([[graft.ops.Eval.bhFdrScreen]]): the multiple-
+    * testing guard for simultaneous segment deltas — exact counts,
+    * one z float step, BH critical values as emitted Φ⁻¹ constants
+    * (the dcgGain one-emitter discipline).
+    */
+  val q284_bh_fdr: Q = (s, d) =>
+    graft.ops.Eval.bhFdrScreen(
+      Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("o_orderpriority")),
+      "c_nationkey", expr("o_orderpriority = '1-URGENT'"), m = 25)
+      .orderBy("rnk")
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4702,5 +4727,7 @@ object Queries {
     "q279_k_anonymity" -> q279_k_anonymity,
     "q280_shapley_attribution" -> q280_shapley_attribution,
     "q281_logrank" -> q281_logrank,
-    "q282_matryoshka_recall" -> q282_matryoshka_recall)
+    "q282_matryoshka_recall" -> q282_matryoshka_recall,
+    "q283_brown_forecast" -> q283_brown_forecast,
+    "q284_bh_fdr" -> q284_bh_fdr)
 }

@@ -826,6 +826,100 @@ object Eval {
       "CAST(tie AS DOUBLE)) / (12 * (CAST(n1 AS DOUBLE) + n2) * " +
       "(CAST(n1 AS DOUBLE) + n2 - 1))))) END AS BIGINT)")
 
+  /** Inverse standard-normal CDF (Acklam 2003 rational approximation,
+    * |relative error| < 1.15e−9) — used ONLY to emit the BH critical
+    * constants below; never evaluated inside a plan.
+    */
+  private[graft] def invNorm(p: Double): Double = {
+    require(p > 0 && p < 1, s"p=$p out of (0,1)")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else -invNorm(1 - p)
+  }
+
+  /** Two-sided BH critical z ×1000 at rank k of m tests, FDR level
+    * `qPpm` ppm: Φ⁻¹(1 − (k·q/m)/2). A FIXED constant per (k, m, q) —
+    * both engines consume the SAME emitted literal (the dcgGain
+    * one-emitter discipline), so "BH needs p-values" never puts a
+    * normal CDF in the plan.
+    */
+  def bhZcritX1000(k: Int, m: Int, qPpm: Long): Long =
+    math.round(1000 * invNorm(1 - (k.toDouble * qPpm / 1e6 / m) / 2))
+
+  /** The BH critical-value CASE over a 1-indexed rank expression. */
+  def bhZcritCaseSql(rankE: String, m: Int, qPpm: Long): String =
+    "(CASE " + (1 to m).map(k =>
+      s"WHEN ($rankE) = $k THEN CAST(${bhZcritX1000(k, m, qPpm)} AS BIGINT)")
+      .mkString(" ") + " ELSE CAST(0 AS BIGINT) END)"
+
+  /** Benjamini–Hochberg FDR screen (Benjamini & Hochberg 1995) over a
+    * FAMILY of per-group two-proportion tests — the multiple-testing
+    * guard a metrics pipeline needs before reading m simultaneous
+    * segment deltas: each group's success rate is z-tested against
+    * the REST (pooled variance), the |z| ranks map to BH critical
+    * values zcrit(k) = Φ⁻¹(1 − (k·q/m)/2) via the emitted-constant
+    * CASE, and ranks up to the LARGEST k with |z|₍ₖ₎ ≥ zcrit(k) are
+    * declared discoveries. `m` is the family size (the caller's
+    * group-domain cardinality; missing groups leave the test
+    * conservative, which is the safe direction).
+    *
+    * All counts exact; the z is the ONE float step (rounded ×1000,
+    * all BH comparisons integer-vs-literal). Output per group:
+    * (group, n, successes, z_x1000, rnk, zcrit_x1000, significant).
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to the
+    * m-row group-count table; the rest is m-bounded (one-row totals
+    * broadcast, rank window and BH max over the m-row table).
+    */
+  def bhFdrScreen(df: DataFrame, groupCol: String, successExpr:
+      org.apache.spark.sql.Column, m: Int,
+      qPpm: Long = 50000L): DataFrame = {
+    val cnt = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(successExpr.cast("bigint")).as("s"))
+      .localCheckpoint() // totals + per-group rows
+    val tot = cnt.agg(sum("n").as("nt"), sum("s").as("st"))
+    val scored = cnt.crossJoin(broadcast(tot))
+      .withColumn("z_x1000", expr(
+        "CAST(CASE WHEN n = 0 OR nt = n OR st = 0 OR st = nt THEN 0 ELSE " +
+          "round(1000 * (CAST(s AS DOUBLE) / n - " +
+          "CAST(st - s AS DOUBLE) / (nt - n)) / " +
+          "sqrt((CAST(st AS DOUBLE) / nt) * (1 - CAST(st AS DOUBLE) / nt) * " +
+          "(1.0 / n + 1.0 / (nt - n)))) END AS BIGINT)"))
+    val w = Window.orderBy(abs(col("z_x1000")).desc, col("g"))
+    // m-row report-table window by construction
+    val ranked = scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("zcrit_x1000",
+        expr(bhZcritCaseSql("rnk", m, qPpm)))
+      .localCheckpoint() // kmax + final report
+    val kmax = ranked
+      .agg(coalesce(max(when(abs(col("z_x1000")) >= col("zcrit_x1000"),
+        col("rnk"))), lit(0)).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("g").as(groupCol), col("n"), col("s").as("successes"),
+        col("z_x1000"), col("rnk").cast("bigint").as("rnk"),
+        col("zcrit_x1000"), (col("rnk") <= col("kmax")).as("significant"))
+  }
+
   def paretoFront2d(df: DataFrame, minCol: String, maxCol: String,
                     bandWidth: Long = 10000L): DataFrame = {
     val base = df.withColumn("__band", expr(s"$minCol div $bandWidth"))

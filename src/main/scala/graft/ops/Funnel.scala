@@ -1524,6 +1524,75 @@ object Funnel {
         col("e.dd").as("ewmad_milli"), col("e.a").as("is_anomaly"))
   }
 
+  /** Brown's double exponential smoothing forecast (Brown 1959) over
+    * the daily arrival series per type — [[ewmaBands]]' trend-aware
+    * sibling: a second smoothing pass turns the EWMA level into a
+    * (level, trend) state, giving an h-step-ahead linear forecast
+    *
+    *   s1ₜ = (7·s1ₜ₋₁ + 1000·xₜ) div 8,  s2ₜ = (7·s2ₜ₋₁ + s1ₜ) div 8
+    *   level = 2·s1 − s2,  trend = (s1 − s2) div 7,  f(h) = level + h·trend
+    *
+    * float-free in milli-count units (α = 1/8 makes α/(1−α) = 1/7
+    * exact; the trend divide is sign-guarded so truncating `div`
+    * matches DuckDB `//`). A one-step-ahead backtest accumulates
+    * |1000·xₜ − f(1)ₜ₋₁| after `warmup` days → `mae_milli`, the
+    * honesty metric a forecast report must carry. One row per type:
+    * the final state, f(1), f(`horizon`), and the backtest MAE.
+    *
+    * Scale shape: one (type, day) count reduction from the corpus;
+    * the recurrence folds each type's TIME-bounded zero-filled series
+    * inside one interpreted `aggregate` call (state is O(1) wide;
+    * values stay O(1000·max x)). No window over corpus rows.
+    */
+  def brownForecast(df: DataFrame, typeCol: String, tsCol: String,
+                    horizon: Int = 7, warmup: Int = 7): DataFrame = {
+    require(horizon >= 1, s"horizon=$horizon must be >= 1")
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"))
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val days = c.select("d").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(days))
+      .join(c, Seq("et", "d"), "left")
+      .na.fill(0L, Seq("x"))
+    val st = "array<struct<s1:bigint,s2:bigint,es:bigint,ne:bigint>>"
+    val p = "element_at(acc, size(acc))"
+    // prev one-step forecast: level + trend from the PRIOR state
+    val fPrev = s"(2L * $p.s1 - $p.s2 + (CASE WHEN $p.s1 >= $p.s2 " +
+      s"THEN ($p.s1 - $p.s2) div 7L " +
+      s"ELSE -(($p.s2 - $p.s1) div 7L) END))"
+    val s1New = s"(7L * $p.s1 + 1000L * e.x) div 8L"
+    grid.groupBy("et")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("ser"))
+      .withColumn("fin", expr(
+        s"""element_at(aggregate(ser, CAST(array() AS $st),
+           |  (acc, e) -> CASE WHEN size(acc) = 0 THEN
+           |      array(named_struct('s1', 1000L * e.x, 's2', 1000L * e.x,
+           |        'es', 0L, 'ne', 0L))
+           |    ELSE concat(acc, array(named_struct(
+           |      's1', $s1New,
+           |      's2', (7L * $p.s2 + ($s1New)) div 8L,
+           |      'es', $p.es + (CASE WHEN size(acc) >= $warmup
+           |        THEN abs(1000L * e.x - $fPrev) ELSE 0L END),
+           |      'ne', $p.ne + (CASE WHEN size(acc) >= $warmup
+           |        THEN 1L ELSE 0L END))))
+           |    END), -1)""".stripMargin))
+      .withColumn("n_days", expr("CAST(size(ser) AS BIGINT)"))
+      .withColumn("level_milli", expr("2L * fin.s1 - fin.s2"))
+      .withColumn("trend_milli", expr(
+        "CASE WHEN fin.s1 >= fin.s2 THEN (fin.s1 - fin.s2) div 7L " +
+          "ELSE -((fin.s2 - fin.s1) div 7L) END"))
+      .select(col("et").as(typeCol), col("n_days"),
+        col("fin.s1").as("s1_milli"), col("fin.s2").as("s2_milli"),
+        col("level_milli"), col("trend_milli"),
+        expr("level_milli + trend_milli").as("f1_milli"),
+        expr(s"level_milli + ${horizon}L * trend_milli")
+          .as(s"f${horizon}_milli"),
+        expr("CASE WHEN fin.ne = 0 THEN 0L ELSE fin.es div fin.ne END")
+          .as("mae_milli"))
+  }
+
   /** EXACT Shapley-value channel attribution (Shapley 1953 applied to
     * the observed-coalition conversion game, Dalessandro et al. 2012)
     * — the principled third lens of the attribution trio: last-touch

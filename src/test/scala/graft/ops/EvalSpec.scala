@@ -80,6 +80,32 @@ class EvalSpec extends SparkSpec {
     assert(re.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("bhFdrScreen: inverse-normal constants, step-up cutoff, discovery flags") {
+    // Φ⁻¹ sanity: two-sided q=0.05 with m=1 → zcrit = Φ⁻¹(0.975) ≈ 1.960
+    assert(Eval.bhZcritX1000(1, 1, 50000L) === 1960L)
+    // monotone: critical values shrink as rank grows
+    val crits = (1 to 10).map(Eval.bhZcritX1000(_, 10, 50000L))
+    assert(crits === crits.sorted(Ordering[Long].reverse))
+    // hand family: group "a" wildly above the rest, b/c/d at the base
+    // rate → exactly one BH discovery
+    val rows =
+      (1 to 50).map(i => ("a", i <= 45)) ++
+        (1 to 200).flatMap(_ => Seq(("b", true), ("b", false))) ++
+        (1 to 200).flatMap(_ => Seq(("c", true), ("c", false))) ++
+        (1 to 200).flatMap(_ => Seq(("d", true), ("d", false)))
+    val out = Eval.bhFdrScreen(rows.toDF("g", "ok"), "g", col("ok"),
+        m = 4).orderBy("rnk").collect()
+    assert(out.length === 4)
+    val top = out.head
+    assert(top.getAs[String]("g") === "a")
+    assert(top.getAs[Long]("rnk") === 1L)
+    assert(top.getAs[Boolean]("significant"))
+    // the base-rate groups have |z| below every critical value
+    assert(out.tail.forall(!_.getAs[Boolean]("significant")))
+    // zcrit at rank 1 of 4 = Φ⁻¹(1 − 0.05/4/2)
+    assert(top.getAs[Long]("zcrit_x1000") === Eval.bhZcritX1000(1, 4, 50000L))
+  }
+
   test("rocAuc reports -1 for single-class groups and 1e6 for perfect ranking") {
     val df = Seq(
       ("one", 1L, true), ("one", 2L, true),

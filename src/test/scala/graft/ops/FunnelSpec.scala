@@ -861,6 +861,34 @@ class FunnelSpec extends SparkSpec {
     assert(out.head.getAs[Long]("share_x1000") === 1000L)
   }
 
+  test("brownForecast: hand-stepped s1/s2 recurrence, trend, forecasts, backtest MAE") {
+    def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")
+    // daily counts for type "a": x = [1, 8, 16] (day 0 has 1 event)
+    val rows = (Seq.fill(1)(day(0)) ++ Seq.fill(8)(day(1)) ++
+      Seq.fill(16)(day(2)))
+      .zipWithIndex.map { case (d, i) => (i.toLong, "a", d) }
+      .toDF("id", "t", "tstamp")
+    val out = Funnel.brownForecast(rows, "t", "tstamp",
+      horizon = 7, warmup = 1).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // x = [1, 8, 16] in milli: s1_0 = s2_0 = 1000
+    // t1: s1 = (7000 + 8000)//8 = 1875; s2 = (7000 + 1875)//8 = 1109
+    // t2: s1 = (7·1875 + 16000)//8 = 3640
+    //     s2 = (7·1109 + 3640)//8 = 1425
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Long]("s1_milli") === 3640L)
+    assert(r.getAs[Long]("s2_milli") === 1425L)
+    // level = 2·3640 − 1425 = 5855; trend = (3640 − 1425)//7 = 316
+    assert(r.getAs[Long]("level_milli") === 5855L)
+    assert(r.getAs[Long]("trend_milli") === 316L)
+    assert(r.getAs[Long]("f1_milli") === 6171L)
+    assert(r.getAs[Long]("f7_milli") === 5855L + 7 * 316L)
+    // backtest (warmup 1): t1 fprev = 2000−1000+0 = 1000, err 7000
+    // t2 fprev = 2·1875−1109+(766//7=109) = 2750, err |16000−2750|=13250
+    assert(r.getAs[Long]("mae_milli") === (7000L + 13250L) / 2)
+  }
+
   test("logRankTest: hand-computed hypergeometric E/V terms and chi2") {
     def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")
     // g=1: u1 t=0 event, u2 t=2 event; g=0: u3 t=1 event,
