@@ -569,6 +569,7 @@ object OracleSql {
     "q282_matryoshka_recall" -> Gen.matryoshkaRecallSql,
     "q283_brown_forecast" -> Gen.brownForecastSql,
     "q284_bh_fdr" -> Gen.bhFdrSql,
+    "q285_pca_top" -> Gen.pcaTopSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5496,6 +5497,67 @@ object OracleSql {
          |SELECT et AS event_type, d AS day, CAST(x AS BIGINT) AS x,
          |  m AS ewma_milli, dd AS ewmad_milli, a AS is_anomaly
          |FROM ew ORDER BY event_type, day""".stripMargin
+
+    /** Twin of q285_pca_top: same quantized co-moment grid, the same
+      * 8 fixed-point matvec steps UNROLLED into CTEs (the q152
+      * unrolled-PageRank convention), same sign-guarded integral
+      * renormalization and exact Rayleigh ppm.
+      */
+    def pcaTopSql: String = {
+      val iters = 8
+      val S = 1L << 20
+      val steps = (1 to iters).map { k =>
+        s"""w$k AS MATERIALIZED (SELECT a.i, sum(a.aij * v${k - 1}.vj) AS w
+           |  FROM a JOIN v${k - 1} ON v${k - 1}.j = a.j GROUP BY a.i),
+           |m$k AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) AS m
+           |  FROM w$k),
+           |v$k AS MATERIALIZED (SELECT i AS j,
+           |    CASE WHEN w >= 0 THEN (w * $S) // m
+           |    ELSE -(((0 - w) * $S) // m) END AS vj
+           |  FROM w$k CROSS JOIN m$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS id, CAST(u['i'] AS BIGINT) AS i,
+         |    CAST(round(u['x'] * 1000) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, unnest(list_transform(
+         |      CAST(embedding AS DOUBLE[]), (x, i) -> {'i': i - 1, 'x': x}))
+         |      AS u
+         |    FROM embeddings)),
+         |n1 AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n FROM q),
+         |sx AS (SELECT i, sum(CAST(xq AS HUGEINT)) AS sx
+         |  FROM q GROUP BY i),
+         |sp AS (SELECT l.i AS i, r.i AS j,
+         |    sum(CAST(l.xq AS HUGEINT) * r.xq) AS sp
+         |  FROM q l JOIN q r ON l.id = r.id GROUP BY 1, 2),
+         |a AS MATERIALIZED (SELECT sp.i, sp.j,
+         |    CASE WHEN n * sp >= sx.sx * sy.sx
+         |      THEN (n * sp - sx.sx * sy.sx) // n
+         |      ELSE -((sx.sx * sy.sx - n * sp) // n) END AS aij
+         |  FROM sp JOIN sx ON sx.i = sp.i JOIN sx sy ON sy.i = sp.j
+         |  CROSS JOIN n1),
+         |v0 AS MATERIALIZED (SELECT DISTINCT i AS j,
+         |    CAST($S AS HUGEINT) AS vj FROM a),
+         |$steps,
+         |wf AS MATERIALIZED (SELECT a.i, sum(a.aij * v$iters.vj) AS w
+         |  FROM a JOIN v$iters ON v$iters.j = a.j GROUP BY a.i),
+         |ray AS (SELECT sum(v$iters.vj * wf.w) AS num,
+         |    sum(v$iters.vj * v$iters.vj) AS den
+         |  FROM wf JOIN v$iters ON v$iters.j = wf.i),
+         |tr AS (SELECT sum(aij) AS trace FROM a WHERE i = j),
+         |dm AS (SELECT CAST(count(*) AS BIGINT) AS dim FROM v0),
+         |ld AS MATERIALIZED (SELECT j,
+         |    row_number() OVER (ORDER BY abs(vj) DESC, j) AS r
+         |  FROM v$iters)
+         |SELECT n AS n_vecs, dim,
+         |  CAST(trace AS BIGINT) AS trace,
+         |  CAST(CASE WHEN num <= 0 OR den * trace = 0 THEN 0 ELSE
+         |    (1000000 * num) // (den * trace) END AS BIGINT)
+         |    AS explained_ppm,
+         |  (SELECT CAST(j AS BIGINT) FROM ld WHERE r = 1) AS i1,
+         |  (SELECT CAST(j AS BIGINT) FROM ld WHERE r = 2) AS i2,
+         |  (SELECT CAST(j AS BIGINT) FROM ld WHERE r = 3) AS i3
+         |FROM ray CROSS JOIN tr CROSS JOIN n1 CROSS JOIN dm
+         |ORDER BY n_vecs""".stripMargin
+    }
 
     /** Twin of q284_bh_fdr: same exact counts, same one z float step,
       * and the IDENTICAL generated Φ⁻¹ critical-value CASE

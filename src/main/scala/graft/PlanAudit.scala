@@ -35,6 +35,10 @@ object PlanAudit {
     // ONE-row pooled totals and ONE-row BH cutoff rank kmax
     // cross-joined into the 25-row test table — broadcast by design
     "q284_bh_fdr",
+    // ONE-row n / renorm-max / Rayleigh / trace / dim / loading
+    // scalars cross-joined through the d²-bounded power iteration —
+    // broadcast by design (q152's iterated-scalar convention)
+    "q285_pca_top",
     // 3-row channel dim × 2³-row coalition/v tables (the Shapley
     // power-set walk) — bounded broadcast by design
     "q280_shapley_attribution",
@@ -361,6 +365,8 @@ object PlanAudit {
     "q281_logrank",
     // BH |z| rank window over the 25-row (group-domain) test table
     "q284_bh_fdr",
+    // loading rank window over the d-row (64) eigenvector table
+    "q285_pca_top",
     // Lorenz cumulative shares over the $10k VALUE-bucket table
     // (value-domain-bounded — the q92/q189 audited cumsum class),
     // after the corpus reduced to per-customer cents

@@ -4263,6 +4263,18 @@ object Queries {
       "c_nationkey", expr("o_orderpriority = '1-URGENT'"), m = 25)
       .orderBy("rnk")
 
+  /** Top principal component by integer power iteration
+    * ([[graft.sim.Similarity.pcaTopComponent]]): the anisotropy lens
+    * on the embedding corpus — explained-variance share of the
+    * dominant axis and its top loading coordinates, float-free
+    * (quantized co-moment grid, ×2²⁰ fixed-point matvecs, exact
+    * Rayleigh ppm).
+    */
+  val q285_pca_top: Q = (s, d) =>
+    Similarity.pcaTopComponent(Scale.fanOut(Tables.embeddings(s, d)),
+        "vec_id", "embedding")
+      .orderBy("n_vecs")
+
   val q239_source_outliers: Q = (s, d) =>
     Similarity.sourceOutliers(Scale.fanOut(Tables.embeddings(s, d)),
         "vec_id", "embedding",
@@ -4729,5 +4741,6 @@ object Queries {
     "q281_logrank" -> q281_logrank,
     "q282_matryoshka_recall" -> q282_matryoshka_recall,
     "q283_brown_forecast" -> q283_brown_forecast,
-    "q284_bh_fdr" -> q284_bh_fdr)
+    "q284_bh_fdr" -> q284_bh_fdr,
+    "q285_pca_top" -> q285_pca_top)
 }

@@ -778,6 +778,106 @@ object Similarity {
       .withColumn("recall_x1000", expr(s"(1000 * n_hits) div $k"))
   }
 
+  /** Top principal component of an embedding corpus by INTEGER power
+    * iteration (von Mises & Pollaczek-Geiringer 1929) — the variance
+    * lens on an embedding table: how much of the cloud's energy lies
+    * on one axis (anisotropy / collapsed-embedding detection, the
+    * corpus-level complement to q268's intrinsic dimension). The
+    * plan quantizes coordinates to exact integers (×`scale`), builds
+    * the d×d centered co-moment grid
+    * a(i,j) = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) div n once, and runs `iters`
+    * matrix-vector steps in ×2²⁰ fixed point with a sign-guarded
+    * integral renormalization — no float enters until never: the
+    * explained-variance share is the exact integer Rayleigh ratio
+    * (10⁶·vᵀAv) div (vᵀv·trace A). Output one row: (n_vecs, dim,
+    * trace, explained_ppm, i1..i3 = top-|loading| coordinates).
+    *
+    * Scale shape: ONE corpus pass explodes coordinates and reduces to
+    * the d²-bounded grid (map-side partials absorb the d² blowup);
+    * the id-keyed self-join shuffles n·d coordinate rows ONCE; the
+    * iteration itself is a single-task DRIVER finisher over the
+    * collected d² grid (a documented bounded collect — a
+    * driver-synchronized matvec loop would cost ~3 Spark jobs per
+    * iteration for dim²-bounded work). BigInt arithmetic mirrors the
+    * twin's HUGEINT exactly; the distributed grid stays within
+    * DECIMAL(38)/LONG to ~10⁹ vectors at scale 1000 (the div-n
+    * normalization buys the margin).
+    */
+  def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                      iters: Int = 8, scale: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = df.select(col(idCol).as("id"),
+        posexplode(expr(s"CAST($vecCol AS array<double>)"))
+          .as(Seq("i", "x")))
+      .select(col("id"), col("i").cast("bigint").as("i"),
+        expr(s"CAST(round(x * $scale) AS BIGINT)").as("xq"))
+      .localCheckpoint() // grid self-join both sides + marginals
+    val n1 = q.agg(countDistinct("id").as("n"))
+    val sx = q.groupBy("i")
+      .agg(sum(expr("CAST(xq AS DECIMAL(38,0))")).as("sx"))
+      .localCheckpoint() // row + column marginal consumers
+    val sp = q.as("l").join(q.as("r"), "id")
+      .groupBy(col("l.i").as("i"), col("r.i").as("j"))
+      .agg(sum(expr("CAST(l.xq AS DECIMAL(38,0)) * r.xq")).as("sp"))
+    val a = sp.join(broadcast(sx), Seq("i"))
+      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sy"))),
+        Seq("j"))
+      .crossJoin(broadcast(n1))
+      .select(col("i"), col("j"), col("n"), expr(
+        "CASE WHEN n * sp >= sx * sy THEN (n * sp - sx * sy) div n " +
+          "ELSE -((sx * sy - n * sp) div n) END").as("aij"))
+    // SINGLE-TASK finisher over the d²-bounded grid (the q139
+    // union-find lesson: a driver-synchronized matvec loop costs
+    // ~3 jobs per iteration; the grid is dim²-bounded — a documented
+    // bounded collect, like the k×dim centroid collects): the power
+    // iteration runs in exact BigInt with the SAME truncating-div,
+    // sign-guarded arithmetic the DuckDB twin unrolls in HUGEINT.
+    val S = 1L << 20
+    val rows = a.collect()
+    if (rows.isEmpty) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("n_vecs", "dim", "trace", "explained_ppm", "i1", "i2", "i3")
+    }
+    val n = rows.head.getAs[Long]("n")
+    val dims = rows.map(_.getAs[Long]("i")).distinct.sorted
+    val d = dims.length
+    val ix = dims.zipWithIndex.toMap
+    val A = Array.fill(d, d)(BigInt(0))
+    rows.foreach { r =>
+      A(ix(r.getAs[Long]("i")))(ix(r.getAs[Long]("j"))) =
+        BigInt(r.getAs[Long]("aij"))
+    }
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(d)(i => (0 until d).map(j => A(i)(j) * v(j))
+        .foldLeft(BigInt(0))(_ + _))
+    var v = Array.fill(d)(BigInt(S))
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      val m = w.map(_.abs).max.max(BigInt(1))
+      // BigInt '/' truncates toward zero — the guarded form keeps the
+      // operands non-negative so `div`, `//` and '/' agree exactly
+      v = w.map(x =>
+        if (x >= 0) (x * S) / m else -(((-x) * S) / m))
+    }
+    val wf = matvec(v)
+    val num = (0 until d).map(i => v(i) * wf(i)).foldLeft(BigInt(0))(_ + _)
+    val den = (0 until d).map(i => v(i) * v(i)).foldLeft(BigInt(0))(_ + _)
+    val trace = (0 until d).map(i => A(i)(i)).foldLeft(BigInt(0))(_ + _)
+    val explained =
+      if (num <= 0 || den * trace == 0) 0L
+      else ((BigInt(1000000) * num) / (den * trace)).toLong
+    val top = dims.indices.sortBy(j => (-v(j).abs, dims(j))).take(3)
+      .map(j => dims(j))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, d.toLong, trace.toLong, explained, top(0),
+      if (top.length > 1) top(1) else -1L,
+      if (top.length > 2) top(2) else -1L))
+      .toDF("n_vecs", "dim", "trace", "explained_ppm", "i1", "i2", "i3")
+  }
+
   /** Matryoshka truncation evaluation (Kusupati et al. 2022, MRL):
     * how much retrieval quality survives when the embedding is cut to
     * its first `dims(i)` coordinates — the knob modern

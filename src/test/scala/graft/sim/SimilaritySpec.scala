@@ -86,6 +86,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.filter(_.getAs[Long]("query_id") == 0L).forall(_.getAs[Long]("id") < 40))
   }
 
+  test("pcaTopComponent: rank-1 cloud explains ~all variance on the right axis; isotropic splits") {
+    // points t·(1, 2, 0, 0) — all variance on one axis, loading
+    // dominated by coordinate 1 (the ×2 component), then 0
+    val rank1 = (1 to 8).map(t =>
+      (t.toLong, Seq(t.toFloat, 2f * t, 0f, 0f))).toDF("vec_id", "embedding")
+    val r1 = Similarity.pcaTopComponent(rank1, "vec_id", "embedding")
+      .collect().head
+    assert(r1.getAs[Long]("n_vecs") === 8L)
+    assert(r1.getAs[Long]("dim") === 4L)
+    assert(r1.getAs[Long]("explained_ppm") >= 999000L)
+    assert(r1.getAs[Long]("i1") === 1L)
+    assert(r1.getAs[Long]("i2") === 0L)
+    // isotropic 2-D cross: equal eigenvalues → Rayleigh = λ for ANY
+    // direction, explained share exactly ~1/2
+    val iso = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.pcaTopComponent(iso, "vec_id", "embedding")
+      .collect().head
+    val ppm = r2.getAs[Long]("explained_ppm")
+    assert(ppm >= 490000L && ppm <= 500000L, s"ppm=$ppm")
+  }
+
   test("matryoshkaRecall: full-dim slice is recall 1000; prefix-orthogonal case degrades exactly") {
     val corpus = clustered
     val queries = corpus.where(col("vec_id").isin(0L, 40L))
