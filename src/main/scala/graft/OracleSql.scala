@@ -570,6 +570,8 @@ object OracleSql {
     "q283_brown_forecast" -> Gen.brownForecastSql,
     "q284_bh_fdr" -> Gen.bhFdrSql,
     "q285_pca_top" -> Gen.pcaTopSql,
+    "q286_isotonic_calibration" -> Gen.isotonicCalibrationSql,
+    "q287_fairness_report" -> Gen.fairnessReportSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -2182,6 +2184,59 @@ object OracleSql {
          |  CAST(sum(ok) AS BIGINT) AS n_correct,
          |  CAST((1000 * sum(ok)) // count(*) AS BIGINT) AS acc_x1000
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+    /** Twin of q286_isotonic_calibration: the q212 NB scoring CTEs,
+      * the same B³ minimax grid with per-interval floored ppm rates
+      * (floor commutes with min/max, so this IS floor of the exact
+      * isotonic fit).
+      */
+    def isotonicCalibrationSql: String =
+      s"""WITH scored AS ($nbClassifierSql),
+         |bb AS (SELECT least(margin_e8 // 2, 10) AS bin,
+         |        CASE WHEN lang = pred THEN 1 ELSE 0 END AS ok
+         |      FROM scored),
+         |cells AS (SELECT CAST(bin AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(ok) AS BIGINT) AS pos
+         |  FROM bb GROUP BY bin),
+         |iv AS (SELECT bi.bin AS i, bj.bin AS j,
+         |    CAST((1000000 * sum(CAST(c.pos AS HUGEINT))) //
+         |      sum(CAST(c.n AS HUGEINT)) AS BIGINT) AS m_ppm
+         |  FROM cells bi JOIN cells bj ON bi.bin <= bj.bin
+         |  JOIN cells c ON c.bin >= bi.bin AND c.bin <= bj.bin
+         |  GROUP BY 1, 2),
+         |lo AS (SELECT k.bin AS k, iv.i, min(m_ppm) AS lo
+         |  FROM iv JOIN cells k ON iv.i <= k.bin AND iv.j >= k.bin
+         |  GROUP BY 1, 2),
+         |fit AS (SELECT k, max(lo) AS iso_ppm FROM lo GROUP BY k)
+         |SELECT bin, n, pos,
+         |  CAST((1000000 * pos) // n AS BIGINT) AS raw_ppm,
+         |  iso_ppm
+         |FROM cells JOIN fit ON fit.k = cells.bin
+         |ORDER BY bin""".stripMargin
+
+    /** Twin of q287_fairness_report: same group counts, one-row
+      * reference cross join, count-exact DI ratio and parity diff.
+      */
+    def fairnessReportSql: String =
+      s"""WITH cnt AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS sel
+         |  FROM documents GROUP BY 1),
+         |ref AS (SELECT n AS n_ref, sel AS sel_ref FROM cnt
+         |  WHERE g = 'en')
+         |SELECT g AS lang, n, sel,
+         |  CAST((1000000 * sel) // n AS BIGINT) AS rate_ppm,
+         |  CAST((1000000 * sel_ref) // n_ref AS BIGINT) AS ref_rate_ppm,
+         |  CAST((1000000 * sel) // n - (1000000 * sel_ref) // n_ref
+         |    AS BIGINT) AS parity_diff_ppm,
+         |  CAST(CASE WHEN sel_ref = 0 THEN 0 ELSE
+         |    (1000 * CAST(sel AS HUGEINT) * n_ref) //
+         |    (CAST(n AS HUGEINT) * sel_ref) END AS BIGINT) AS di_x1000,
+         |  CAST(CASE WHEN sel_ref = 0 THEN 0 ELSE
+         |    (1000 * CAST(sel AS HUGEINT) * n_ref) //
+         |    (CAST(n AS HUGEINT) * sel_ref) END AS BIGINT) < 800
+         |    AND g <> 'en' AS below_four_fifths
+         |FROM cnt CROSS JOIN ref ORDER BY lang""".stripMargin
 
     /** Twin of q213_item_similarity: same distinct baskets, maxBasket
       * guard, a<b pair counts, minCo prune, HUGEINT squared-Ochiai.

@@ -174,6 +174,12 @@ object PlanAudit {
     "q184_uncertainty_sample",
     // q114's NB class-table scoring shape under the calibration bins
     "q212_calibration_report",
+    // q212's NB shape plus the B³ isotonic minimax grid — inequality
+    // joins over the ≤11-row bin table, broadcast by design
+    "q286_isotonic_calibration",
+    // ONE-row reference-group counts cross-joined into the 5-row
+    // per-lang report — broadcast scalar by design
+    "q287_fairness_report",
     // ONE-row max-date scalar plus three ONE-row quintile-cut tables
     // cross-joined into the per-customer base — broadcast by design
     "q214_rfm_segments",

@@ -3431,6 +3431,35 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** Isotonic recalibration of the q212 NB confidence bins
+    * ([[graft.ops.Profile.isotonicCalibration]]): the exact
+    * PAVA-equal minimax fit turns the binned margin→accuracy curve
+    * into the monotone calibrated mapping, floor-ppm exact.
+    */
+  val q286_isotonic_calibration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = graft.ops.NaiveBayes.trainScore(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(5)) === 0),
+      "lang", "doc_id", "text", Seq("lang"))
+    graft.ops.Profile.isotonicCalibration(
+        scored.select(expr("least(margin_e8 div 2, 10)").as("bin"),
+          (col("lang") === col("pred")).as("ok")),
+        "bin", "ok")
+      .orderBy("bin")
+  }
+
+  /** Four-fifths-rule fairness audit of a length gate across
+    * languages ([[graft.ops.Profile.fairnessReport]]): does the
+    * n_chars ≥ 200 quality filter select non-English documents at a
+    * materially lower rate than English? Exact selection rates,
+    * parity difference, count-exact disparate-impact ratio.
+    */
+  val q287_fairness_report: Q = (s, d) =>
+    graft.ops.Profile.fairnessReport(Tables.documents(s, d),
+        "lang", expr("n_chars >= 200"), refGroup = "en")
+      .orderBy("lang")
+
   /** Item–item collaborative similarity over customer part baskets
     * ([[graft.ops.Funnel.itemSimilarity]]): "customers who bought X
     * also bought Y" scored by exact-ppm SQUARED Ochiai (binary-vector
@@ -4742,5 +4771,7 @@ object Queries {
     "q282_matryoshka_recall" -> q282_matryoshka_recall,
     "q283_brown_forecast" -> q283_brown_forecast,
     "q284_bh_fdr" -> q284_bh_fdr,
-    "q285_pca_top" -> q285_pca_top)
+    "q285_pca_top" -> q285_pca_top,
+    "q286_isotonic_calibration" -> q286_isotonic_calibration,
+    "q287_fairness_report" -> q287_fairness_report)
 }

@@ -1168,6 +1168,86 @@ object Profile {
         col("woe_e8"), col("dp_ppm"), col("iv_x1000"))
   }
 
+  /** Isotonic (monotone) calibration of a binned score against a
+    * binary label — the RECALIBRATION half of [[calibrationReport]]:
+    * the exact isotonic-regression fit via the classical minimax
+    * identity (Ayer et al. 1955; Robertson-Wright-Dykstra 1988)
+    *
+    *   iso(k) = max_{i≤k} min_{j≥k} pooledRate(i..j)
+    *
+    * equal to the PAVA solution, computed relationally on the
+    * bin-bounded table. Floor-to-ppm COMMUTES with min and max, so
+    * evaluating the identity over per-interval floored rates yields
+    * exactly floor(true isotonic fit) — engine-exact with no float
+    * anywhere. Output per bin: (bin, n, pos, raw_ppm, iso_ppm) with
+    * iso_ppm nondecreasing in bin.
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to the
+    * B-row bin table; the interval grid and the minimax folds are
+    * O(B³) over that bounded table (B is a query constant — the
+    * calibration-bin count).
+    */
+  def isotonicCalibration(df: DataFrame, binCol: String,
+                          labelCol: String): DataFrame = {
+    val cells = df.groupBy(col(binCol).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint() // interval grid + membership + report
+    val iv = cells.select(col("bin").as("i"))
+      .join(cells.select(col("bin").as("j")), col("i") <= col("j"))
+      .join(cells, col("bin") >= col("i") && col("bin") <= col("j"))
+      .groupBy("i", "j")
+      .agg(expr("CAST((1000000 * sum(CAST(pos AS DECIMAL(38,0)))) div " +
+        "sum(CAST(n AS DECIMAL(38,0))) AS BIGINT)").as("m_ppm"))
+    val fit = iv
+      .join(cells.select(col("bin").as("k")),
+        col("i") <= col("k") && col("j") >= col("k"))
+      .groupBy("k", "i").agg(min("m_ppm").as("lo"))
+      .groupBy("k").agg(max("lo").as("iso_ppm"))
+    cells.join(fit, col("bin") === col("k"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("CAST((1000000 * pos) div n AS BIGINT)").as("raw_ppm"),
+        col("iso_ppm"))
+  }
+
+  /** Selection-rate fairness report (Feldman et al. 2015; the EEOC
+    * four-fifths rule) — does a gate (quality filter, sampling
+    * policy, classifier) select one group at a materially lower rate
+    * than the reference group? Per group: exact selection rate,
+    * statistical parity difference vs the reference, the disparate-
+    * impact ratio ×1000 computed from raw counts
+    * (1000·sel_g·n_ref) div (n_g·sel_ref) — exact integers, no rate
+    * rounding compounding — and the four-fifths flag (ratio < 800).
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to the
+    * group-count table; the reference row is a ONE-row broadcast
+    * cross join (the q126 convention).
+    */
+  def fairnessReport(df: DataFrame, groupCol: String,
+                     selectedExpr: org.apache.spark.sql.Column,
+                     refGroup: String): DataFrame = {
+    val cnt = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(selectedExpr.cast("bigint")).as("sel"))
+      .localCheckpoint() // reference row + report rows
+    val ref = cnt.where(col("g") === lit(refGroup))
+      .select(col("n").as("n_ref"), col("sel").as("sel_ref"))
+    cnt.crossJoin(broadcast(ref))
+      .select(col("g").as(groupCol), col("n"), col("sel"),
+        expr("CAST((1000000 * sel) div n AS BIGINT)").as("rate_ppm"),
+        expr("CAST((1000000 * sel_ref) div n_ref AS BIGINT)")
+          .as("ref_rate_ppm"),
+        expr("CAST((1000000 * sel) div n - " +
+          "(1000000 * sel_ref) div n_ref AS BIGINT)")
+          .as("parity_diff_ppm"),
+        expr("CAST(CASE WHEN sel_ref = 0 THEN 0 ELSE " +
+          "(1000 * CAST(sel AS DECIMAL(38,0)) * n_ref) div " +
+          "(CAST(n AS DECIMAL(38,0)) * sel_ref) END AS BIGINT)")
+          .as("di_x1000"))
+      .withColumn("below_four_fifths",
+        col("di_x1000") < 800L && col(groupCol) =!= lit(refGroup))
+  }
+
   /** k-anonymity / l-diversity privacy audit (Sweeney 2002; Machanavajjhala
     * et al. 2007) — the re-identification-risk report a pipeline runs
     * before releasing a table: rows are grouped into EQUIVALENCE

@@ -528,6 +528,48 @@ class ProfileSpec extends SparkSpec {
     assert(out(("g", "c")) === ((0L, 0L, 0L)))
   }
 
+  test("isotonicCalibration: PAVA pooling of violators, monotone output, exact pools") {
+    // bins → (n, pos): 0→(4,1)=0.25, 1→(4,3)=0.75, 2→(4,2)=0.50,
+    // 3→(4,4)=1.0. Bins 1,2 violate; PAVA pools them to 5/8 = 0.625
+    def mk(bin: Long, n: Int, pos: Int) =
+      (1 to n).map(i => (bin, i <= pos))
+    val df = (mk(0L, 4, 1) ++ mk(1L, 4, 3) ++ mk(2L, 4, 2) ++
+      mk(3L, 4, 4)).toDF("bin", "ok")
+    val out = Profile.isotonicCalibration(df, "bin", "ok")
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("raw_ppm")).toSeq ===
+      Seq(250000L, 750000L, 500000L, 1000000L))
+    assert(out.map(_.getAs[Long]("iso_ppm")).toSeq ===
+      Seq(250000L, 625000L, 625000L, 1000000L))
+    // already-monotone input is returned unchanged
+    val mono = (mk(0L, 4, 1) ++ mk(1L, 4, 2) ++ mk(2L, 4, 4))
+      .toDF("bin", "ok")
+    val out2 = Profile.isotonicCalibration(mono, "bin", "ok")
+      .orderBy("bin").collect()
+    assert(out2.forall(r =>
+      r.getAs[Long]("iso_ppm") === r.getAs[Long]("raw_ppm")))
+  }
+
+  test("fairnessReport: exact DI ratio, parity diff, four-fifths flag") {
+    // ref "en": 10 rows 8 selected (0.8); "de": 10 rows 6 selected
+    // (0.6 → DI 750, flagged); "fr": 10 rows 8 selected (DI 1000)
+    def mk(g: String, n: Int, sel: Int) =
+      (1 to n).map(i => (g, i <= sel))
+    val df = (mk("en", 10, 8) ++ mk("de", 10, 6) ++ mk("fr", 10, 8))
+      .toDF("lang", "ok")
+    val out = Profile.fairnessReport(df, "lang", col("ok"), "en")
+      .orderBy("lang").collect()
+    val de = out.head
+    assert(de.getAs[Long]("rate_ppm") === 600000L)
+    assert(de.getAs[Long]("parity_diff_ppm") === -200000L)
+    assert(de.getAs[Long]("di_x1000") === 750L)
+    assert(de.getAs[Boolean]("below_four_fifths"))
+    val en = out(1)
+    assert(en.getAs[Long]("di_x1000") === 1000L)
+    assert(!en.getAs[Boolean]("below_four_fifths"))
+    assert(!out(2).getAs[Boolean]("below_four_fifths"))
+  }
+
   test("kAnonymity: class sizes, per-k thresholds, l-diversity, disclosure ppm") {
     // classes: (a,1)→sz 3 ldiv 2, (a,2)→sz 1 ldiv 1, (b,1)→sz 2 ldiv 1
     val df = Seq(
