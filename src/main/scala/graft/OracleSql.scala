@@ -572,6 +572,7 @@ object OracleSql {
     "q285_pca_top" -> Gen.pcaTopSql,
     "q286_isotonic_calibration" -> Gen.isotonicCalibrationSql,
     "q287_fairness_report" -> Gen.fairnessReportSql,
+    "q288_cum_sqrt_strata" -> Gen.cumSqrtStrataSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -2237,6 +2238,34 @@ object OracleSql {
          |    (CAST(n AS HUGEINT) * sel_ref) END AS BIGINT) < 800
          |    AND g <> 'en' AS below_four_fifths
          |FROM cnt CROSS JOIN ref ORDER BY lang""".stripMargin
+
+    /** Twin of q288_cum_sqrt_strata: same $100 bins, same per-bin
+      * floor(1000·√f) float step, same exact cumulative cut.
+      */
+    def cumSqrtStrataSql: String =
+      s"""WITH bins AS (SELECT
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 10000
+         |      AS b,
+         |    CAST(count(*) AS BIGINT) AS f
+         |  FROM customer GROUP BY 1),
+         |isq AS (SELECT b, f,
+         |    CAST(floor(1000 * sqrt(CAST(f AS DOUBLE))) AS BIGINT) AS isq
+         |  FROM bins),
+         |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS t FROM isq),
+         |cum AS (SELECT b, f, isq,
+         |    coalesce(SUM(isq) OVER (ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cumprev
+         |  FROM isq),
+         |st AS (SELECT b, f,
+         |    least(3, (cumprev * 4) // greatest(t, 1)) AS stratum
+         |  FROM cum CROSS JOIN tot)
+         |SELECT CAST(stratum AS BIGINT) AS stratum,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(min(b * 10000) AS BIGINT) AS lo_value,
+         |  CAST(max(b * 10000 + 9999) AS BIGINT) AS hi_value,
+         |  CAST(sum(f) AS BIGINT) AS n_rows
+         |FROM st GROUP BY 1 ORDER BY stratum""".stripMargin
 
     /** Twin of q213_item_similarity: same distinct baskets, maxBasket
       * guard, a<b pair counts, minCo prune, HUGEINT squared-Ochiai.

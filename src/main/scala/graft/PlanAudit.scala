@@ -180,6 +180,9 @@ object PlanAudit {
     // ONE-row reference-group counts cross-joined into the 5-row
     // per-lang report — broadcast scalar by design
     "q287_fairness_report",
+    // ONE-row cum-sqrt-f total cross-joined into the value-bounded
+    // bin table — broadcast scalar by design
+    "q288_cum_sqrt_strata",
     // ONE-row max-date scalar plus three ONE-row quintile-cut tables
     // cross-joined into the per-customer base — broadcast by design
     "q214_rfm_segments",
@@ -373,6 +376,9 @@ object PlanAudit {
     "q284_bh_fdr",
     // loading rank window over the d-row (64) eigenvector table
     "q285_pca_top",
+    // cum-sqrt-f window over the value-domain-bounded bin table
+    // (the q92 audited cumsum class)
+    "q288_cum_sqrt_strata",
     // Lorenz cumulative shares over the $10k VALUE-bucket table
     // (value-domain-bounded — the q92/q189 audited cumsum class),
     // after the corpus reduced to per-customer cents

@@ -3460,6 +3460,20 @@ object Queries {
         "lang", expr("n_chars >= 200"), refGroup = "en")
       .orderBy("lang")
 
+  /** Dalenius–Hodges cum-√f stratum boundaries on customer balances
+    * ([[graft.ops.Profile.cumSqrtFStrata]]): the survey-design
+    * complement to q269's Neyman allocation — $100 balance bins,
+    * √frequency accumulated and cut into 4 equal shares; per-bin
+    * floor(1000·√f) is the one shared float step.
+    */
+  val q288_cum_sqrt_strata: Q = (s, d) =>
+    graft.ops.Profile.cumSqrtFStrata(
+        Tables.customer(s, d).select(
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) + 10000000")
+            .as("bal_c")),
+        "bal_c", binWidth = 10000L, strata = 4)
+      .orderBy("stratum")
+
   /** Item–item collaborative similarity over customer part baskets
     * ([[graft.ops.Funnel.itemSimilarity]]): "customers who bought X
     * also bought Y" scored by exact-ppm SQUARED Ochiai (binary-vector
@@ -4773,5 +4787,6 @@ object Queries {
     "q284_bh_fdr" -> q284_bh_fdr,
     "q285_pca_top" -> q285_pca_top,
     "q286_isotonic_calibration" -> q286_isotonic_calibration,
-    "q287_fairness_report" -> q287_fairness_report)
+    "q287_fairness_report" -> q287_fairness_report,
+    "q288_cum_sqrt_strata" -> q288_cum_sqrt_strata)
 }

@@ -1248,6 +1248,47 @@ object Profile {
         col("di_x1000") < 800L && col(groupCol) =!= lit(refGroup))
   }
 
+  /** Dalenius–Hodges cum-√f stratification (Dalenius & Hodges 1959)
+    * — the survey-sampling rule for choosing stratum BOUNDARIES on a
+    * skewed value: bin the value, accumulate √frequency, and cut the
+    * cumulative at equal shares; the companion to Neyman ALLOCATION
+    * (q269), which assumes the strata already exist. Per-bin
+    * √f enters as floor(1000·√f) — the one shared float step per
+    * bin (identical IEEE expression both engines); everything after
+    * is exact integer cumsum/divide. Output one row per stratum:
+    * (stratum, n_bins, lo_value, hi_value, n_rows).
+    *
+    * Scale shape: ONE partial aggregation reduces the corpus to the
+    * value-domain-bounded bin table; the cumulative window and the
+    * stratum fold run over that bounded table (the q92 audited
+    * cumsum class); the total is a ONE-row broadcast.
+    */
+  def cumSqrtFStrata(df: DataFrame, valueCol: String, binWidth: Long,
+                     strata: Int): DataFrame = {
+    require(binWidth > 0 && strata >= 1,
+      s"binWidth=$binWidth, strata=$strata out of range")
+    val bins = df
+      .groupBy(expr(s"$valueCol div $binWidth").as("b"))
+      .agg(count(lit(1)).as("f"))
+      .withColumn("isq", expr(
+        "CAST(floor(1000 * sqrt(CAST(f AS DOUBLE))) AS BIGINT)"))
+      .localCheckpoint() // total + windowed consumers
+    val tot = bins.agg(sum("isq").as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    // value-domain-bounded bin-table window by construction
+    bins.crossJoin(broadcast(tot))
+      .withColumn("cumprev", coalesce(sum("isq").over(w), lit(0L)))
+      .withColumn("stratum", expr(
+        s"least(${strata - 1}L, (cumprev * $strata) div greatest(t, 1))"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_bins"),
+        min(expr(s"b * $binWidth")).as("lo_value"),
+        max(expr(s"b * $binWidth + ${binWidth - 1}")).as("hi_value"),
+        sum("f").cast("bigint").as("n_rows"))
+  }
+
   /** k-anonymity / l-diversity privacy audit (Sweeney 2002; Machanavajjhala
     * et al. 2007) — the re-identification-risk report a pipeline runs
     * before releasing a table: rows are grouped into EQUIVALENCE

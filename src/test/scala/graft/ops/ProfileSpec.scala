@@ -550,6 +550,28 @@ class ProfileSpec extends SparkSpec {
       r.getAs[Long]("iso_ppm") === r.getAs[Long]("raw_ppm")))
   }
 
+  test("cumSqrtFStrata: hand-computed sqrt-frequency cuts") {
+    // bins (width 10): 0→100 rows (isq 10000), 1→1 (1000), 2→1 (1000),
+    // 3→4 (2000). T = 14000; strata=2 cut at cumprev·2 div 14000:
+    // bin0 cumprev 0 → s0; bin1 cumprev 10000 → (20000 div 14000)=1;
+    // bins 2,3 also s1 → stratum 0 = the single heavy bin.
+    val df = ((1 to 100).map(_ => 5L) ++ Seq(15L, 25L) ++
+      (1 to 4).map(_ => 35L)).toDF("v")
+    val out = Profile.cumSqrtFStrata(df, "v", binWidth = 10L, strata = 2)
+      .orderBy("stratum").collect()
+    assert(out.length === 2)
+    val s0 = out.head
+    assert(s0.getAs[Long]("n_bins") === 1L)
+    assert(s0.getAs[Long]("lo_value") === 0L)
+    assert(s0.getAs[Long]("hi_value") === 9L)
+    assert(s0.getAs[Long]("n_rows") === 100L)
+    val s1 = out(1)
+    assert(s1.getAs[Long]("n_bins") === 3L)
+    assert(s1.getAs[Long]("n_rows") === 6L)
+    assert(s1.getAs[Long]("lo_value") === 10L)
+    assert(s1.getAs[Long]("hi_value") === 39L)
+  }
+
   test("fairnessReport: exact DI ratio, parity diff, four-fifths flag") {
     // ref "en": 10 rows 8 selected (0.8); "de": 10 rows 6 selected
     // (0.6 → DI 750, flagged); "fr": 10 rows 8 selected (DI 1000)
