@@ -573,6 +573,8 @@ object OracleSql {
     "q286_isotonic_calibration" -> Gen.isotonicCalibrationSql,
     "q287_fairness_report" -> Gen.fairnessReportSql,
     "q288_cum_sqrt_strata" -> Gen.cumSqrtStrataSql,
+    "q289_conformal" -> Gen.conformalSql,
+    "q290_mcnemar" -> Gen.mcnemarSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -2266,6 +2268,72 @@ object OracleSql {
          |  CAST(max(b * 10000 + 9999) AS BIGINT) AS hi_value,
          |  CAST(sum(f) AS BIGINT) AS n_rows
          |FROM st GROUP BY 1 ORDER BY stratum""".stripMargin
+
+    /** Twin of q289_conformal: same per-quantity floor-mean
+      * predictor, same ceiling-k order statistic off the
+      * residual-value histogram, same exact coverage ppm.
+      */
+    def conformalSql: String =
+      s"""WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         |    (l_orderkey * 8 + l_linenumber) % 5 AS sp
+         |  FROM lineitem),
+         |pred AS (SELECT x,
+         |    CAST(sum(CAST(y AS HUGEINT)) // count(*) AS BIGINT) AS yhat
+         |  FROM base WHERE sp >= 2 GROUP BY x),
+         |resid AS (SELECT abs(y - yhat) AS r, CAST(count(*) AS BIGINT)
+         |      AS cnt
+         |  FROM base JOIN pred USING (x) WHERE sp = 1 GROUP BY 1),
+         |nc AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_cal FROM resid),
+         |cum AS (SELECT r, cnt, n_cal,
+         |    CAST(SUM(cnt) OVER (ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM resid CROSS JOIN nc),
+         |al AS (SELECT CAST(a AS BIGINT) AS alpha_ppm
+         |  FROM (VALUES (100000), (50000)) t(a)),
+         |qh AS (SELECT alpha_ppm, max(n_cal) AS n_cal,
+         |    max(least(n_cal, ((n_cal + 1) * (1000000 - alpha_ppm)
+         |      + 999999) // 1000000)) AS k,
+         |    min(r) AS qhat
+         |  FROM al JOIN cum ON cum >= least(n_cal,
+         |    ((n_cal + 1) * (1000000 - alpha_ppm) + 999999) // 1000000)
+         |  GROUP BY alpha_ppm),
+         |te AS (SELECT abs(y - yhat) AS r
+         |  FROM base JOIN pred USING (x) WHERE sp = 0),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_test FROM te),
+         |cov AS (SELECT alpha_ppm, n_cal, k, qhat,
+         |    CAST(coalesce(sum(CASE WHEN te.r IS NOT NULL THEN 1 END), 0)
+         |      AS BIGINT) AS n_cov
+         |  FROM qh LEFT JOIN te ON te.r <= qh.qhat
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT alpha_ppm, n_cal, CAST(k AS BIGINT) AS k, qhat, n_test,
+         |  CAST(CASE WHEN n_test = 0 THEN 0 ELSE
+         |    (1000000 * n_cov) // n_test END AS BIGINT) AS coverage_ppm
+         |FROM cov CROSS JOIN nt ORDER BY alpha_ppm""".stripMargin
+
+    /** Twin of q290_mcnemar: the q114 NB CTEs paired with the q32
+      * langId CTEs on the shared eval split; exact discordant counts
+      * and the float-free χ² integral divide.
+      */
+    def mcnemarSql: String =
+      s"""WITH scored AS ($nbClassifierSql),
+         |lp AS (SELECT doc_id, lang_pred FROM ($langIdSql) t
+         |  WHERE doc_id % 5 = 0),
+         |pr AS (SELECT CASE WHEN s.pred = s.lang THEN 1 ELSE 0 END AS ra,
+         |    CASE WHEN lp.lang_pred = s.lang THEN 1 ELSE 0 END AS rb
+         |  FROM scored s JOIN lp ON lp.doc_id = s.doc_id),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ra * rb) AS BIGINT) AS both_right,
+         |    CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS both_wrong,
+         |    CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+         |    CAST(sum((1 - ra) * rb) AS BIGINT) AS c
+         |  FROM pr)
+         |SELECT n, both_right, both_wrong, b, c,
+         |  CAST(CASE WHEN b + c = 0 THEN 0 ELSE
+         |    (1000 * (b - c) * (b - c)) // (b + c) END AS BIGINT)
+         |    AS chi2_x1000
+         |FROM agg ORDER BY n""".stripMargin
 
     /** Twin of q213_item_similarity: same distinct baskets, maxBasket
       * guard, a<b pair counts, minCo prune, HUGEINT squared-Ochiai.

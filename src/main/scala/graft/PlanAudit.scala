@@ -183,6 +183,12 @@ object PlanAudit {
     // ONE-row cum-sqrt-f total cross-joined into the value-bounded
     // bin table — broadcast scalar by design
     "q288_cum_sqrt_strata",
+    // 2-row alpha table against the residual-value histogram, the
+    // 2-row q-hat table against the test stream (q122's cut-filter
+    // shape), and ONE-row n_cal/n_test scalars — broadcast by design
+    "q289_conformal",
+    // q114's NB class-table scoring shape under the paired test
+    "q290_mcnemar",
     // ONE-row max-date scalar plus three ONE-row quintile-cut tables
     // cross-joined into the per-customer base — broadcast by design
     "q214_rfm_segments",
@@ -379,6 +385,8 @@ object PlanAudit {
     // cum-sqrt-f window over the value-domain-bounded bin table
     // (the q92 audited cumsum class)
     "q288_cum_sqrt_strata",
+    // conformal residual-value histogram cumsum (the q92 class)
+    "q289_conformal",
     // Lorenz cumulative shares over the $10k VALUE-bucket table
     // (value-domain-bounded — the q92/q189 audited cumsum class),
     // after the corpus reduced to per-customer cents

@@ -3474,6 +3474,42 @@ object Queries {
         "bal_c", binWidth = 10000L, strata = 4)
       .orderBy("stratum")
 
+  /** Split-conformal price intervals
+    * ([[graft.ops.Eval.conformalIntervals]]): distribution-free
+    * coverage for the per-quantity mean-price predictor — exact
+    * order-statistic q̂ from the residual-value histogram on the
+    * calibration split, empirical coverage on the held-out test
+    * split, at α = 10% and 5%.
+    */
+  val q289_conformal: Q = (s, d) =>
+    graft.ops.Eval.conformalIntervals(
+        Tables.lineitem(s, d).select(
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("price_c"),
+          expr("(l_orderkey * 8 + l_linenumber) % 5").as("sp")),
+        "qty", "price_c", "sp")
+      .orderBy("alpha_ppm")
+
+  /** McNemar paired comparison of the NB classifier (q114) against
+    * the marker-heuristic langId (q32) on the shared eval split
+    * ([[graft.ops.Eval.mcnemar]]): only the discordant pairs are
+    * evidence; the χ² is one exact integral divide — no float at
+    * all.
+    */
+  val q290_mcnemar: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ev = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val nb = graft.ops.NaiveBayes.trainScore(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0), ev,
+      "lang", "doc_id", "text", Seq("lang"))
+    graft.ops.Eval.mcnemar(
+        nb.join(ev.select(col("doc_id"),
+          TextFns.langId(col("text")).as("pred_b")), Seq("doc_id")),
+        "lang", "pred", "pred_b")
+      .orderBy("n")
+  }
+
   /** Item–item collaborative similarity over customer part baskets
     * ([[graft.ops.Funnel.itemSimilarity]]): "customers who bought X
     * also bought Y" scored by exact-ppm SQUARED Ochiai (binary-vector
@@ -4788,5 +4824,7 @@ object Queries {
     "q285_pca_top" -> q285_pca_top,
     "q286_isotonic_calibration" -> q286_isotonic_calibration,
     "q287_fairness_report" -> q287_fairness_report,
-    "q288_cum_sqrt_strata" -> q288_cum_sqrt_strata)
+    "q288_cum_sqrt_strata" -> q288_cum_sqrt_strata,
+    "q289_conformal" -> q289_conformal,
+    "q290_mcnemar" -> q290_mcnemar)
 }

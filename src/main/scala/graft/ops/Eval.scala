@@ -920,6 +920,97 @@ object Eval {
         col("zcrit_x1000"), (col("rnk") <= col("kmax")).as("significant"))
   }
 
+  /** McNemar's test (McNemar 1947) for PAIRED classifier comparison —
+    * the right test when two models score the SAME rows (accuracy
+    * deltas double-count the shared easy cases; only the DISCORDANT
+    * pairs are evidence): b = rows A gets right and B wrong, c = the
+    * reverse, χ² = (b−c)²/(b+c). Everything is exact integers — even
+    * the statistic needs no float (one integral divide ×1000).
+    * Output one row: (n, both_right, both_wrong, b, c, chi2_x1000).
+    *
+    * Scale shape: ONE stateless projection + ONE global fold.
+    */
+  def mcnemar(df: DataFrame, truthCol: String, predACol: String,
+              predBCol: String): DataFrame =
+    df.select(
+        (col(predACol) === col(truthCol)).cast("bigint").as("ra"),
+        (col(predBCol) === col(truthCol)).cast("bigint").as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("ra * rb")).as("both_right"),
+        sum(expr("(1 - ra) * (1 - rb)")).as("both_wrong"),
+        sum(expr("ra * (1 - rb)")).as("b"),
+        sum(expr("(1 - ra) * rb")).as("c"))
+      .select(col("n"), col("both_right"), col("both_wrong"),
+        col("b"), col("c"),
+        expr("CAST(CASE WHEN b + c = 0 THEN 0 ELSE " +
+          "(1000 * (b - c) * (b - c)) div (b + c) END AS BIGINT)")
+          .as("chi2_x1000"))
+
+  /** Split-conformal prediction intervals (Papadopoulos et al. 2002;
+    * Vovk et al. 2005) — the distribution-free coverage guarantee a
+    * model report should carry: fit any point predictor on the train
+    * split, take the ⌈(n+1)(1−α)⌉-th smallest absolute residual on
+    * the CALIBRATION split as the interval half-width q̂, and verify
+    * the ≥(1−α) coverage empirically on the TEST split. The
+    * predictor here is the per-`xCol` train mean (floor-exact), so
+    * the whole chain is integer-exact: residuals are integers, q̂ is
+    * an exact order statistic selected from the residual-VALUE
+    * histogram (never a corpus sort), coverage an exact ppm.
+    * One row per α: (alpha_ppm, n_cal, k, qhat, n_test,
+    * coverage_ppm). Test/cal rows whose x never appears in train are
+    * dropped on both engines (inner join).
+    *
+    * Scale shape: one train reduction to the x-domain-bounded
+    * predictor table (broadcast), one calibration reduction to the
+    * residual-value histogram (value-domain-bounded; its cumsum is
+    * the audited bounded-window class), one test fold. The α-table
+    * inequality join runs against the bounded histogram.
+    */
+  def conformalIntervals(df: DataFrame, xCol: String, yCol: String,
+                         splitCol: String,
+                         alphaPpms: Seq[Long] = Seq(100000L, 50000L))
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(xCol).as("x"), col(yCol).as("y"),
+      col(splitCol).as("sp")).localCheckpoint()
+    val pred = broadcast(base.where(col("sp") >= 2L)
+      .groupBy("x")
+      .agg(expr("CAST(sum(CAST(y AS DECIMAL(38,0))) div count(1) " +
+        "AS BIGINT)").as("yhat")))
+    val resid = base.where(col("sp") === 1L).join(pred, Seq("x"))
+      .select(abs(col("y") - col("yhat")).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // n_cal + cumulative consumers
+    val nCal = resid.agg(sum("cnt").as("n_cal"))
+    val w = Window.orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // residual-VALUE histogram window: value-domain-bounded
+    val cum = resid.crossJoin(broadcast(nCal))
+      .withColumn("cum", sum("cnt").over(w))
+    val alphas = alphaPpms.toDF("alpha_ppm")
+    val qhat = broadcast(alphas).join(cum,
+        col("cum") >= expr("least(n_cal, " +
+          "((n_cal + 1) * (1000000 - alpha_ppm) + 999999) div 1000000)"))
+      .groupBy("alpha_ppm")
+      .agg(max("n_cal").as("n_cal"),
+        max(expr("least(n_cal, ((n_cal + 1) * (1000000 - alpha_ppm) " +
+          "+ 999999) div 1000000)")).as("k"),
+        min("r").as("qhat"))
+    val test = base.where(col("sp") === 0L).join(pred, Seq("x"))
+      .select(abs(col("y") - col("yhat")).as("r"))
+      .localCheckpoint() // one pass per alpha
+    broadcast(qhat).join(test, col("r") <= col("qhat"), "left")
+      .groupBy("alpha_ppm", "n_cal", "k", "qhat")
+      .agg(sum(when(col("r").isNotNull, 1L).otherwise(0L)).as("n_cov"))
+      .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test"))))
+      .select(col("alpha_ppm"), col("n_cal"), col("k"), col("qhat"),
+        col("n_test"),
+        expr("CAST(CASE WHEN n_test = 0 THEN 0 ELSE " +
+          "(1000000 * n_cov) div n_test END AS BIGINT)")
+          .as("coverage_ppm"))
+  }
+
   def paretoFront2d(df: DataFrame, minCol: String, maxCol: String,
                     bandWidth: Long = 10000L): DataFrame = {
     val base = df.withColumn("__band", expr(s"$minCol div $bandWidth"))

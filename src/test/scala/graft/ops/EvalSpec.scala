@@ -106,6 +106,54 @@ class EvalSpec extends SparkSpec {
     assert(top.getAs[Long]("zcrit_x1000") === Eval.bhZcritX1000(1, 4, 50000L))
   }
 
+  test("mcnemar: hand-counted discordant pairs and float-free chi2") {
+    // truth all "t"; A right on 6 (ra), B right on 4 (rb):
+    // both_right 3, b = 3 (A only), c = 1 (B only), both_wrong 1
+    val rows = Seq(
+      ("t", "t", "t"), ("t", "t", "t"), ("t", "t", "t"), // both right
+      ("t", "t", "x"), ("t", "t", "x"), ("t", "t", "x"), // A only
+      ("t", "x", "t"),                                   // B only
+      ("t", "x", "x"))                                   // both wrong
+      .toDF("truth", "pa", "pb")
+    val r = Eval.mcnemar(rows, "truth", "pa", "pb").collect().head
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Long]("both_right") === 3L)
+    assert(r.getAs[Long]("both_wrong") === 1L)
+    assert(r.getAs[Long]("b") === 3L)
+    assert(r.getAs[Long]("c") === 1L)
+    // chi2 = (3-1)^2/(3+1) = 1.0 → 1000
+    assert(r.getAs[Long]("chi2_x1000") === 1000L)
+  }
+
+  test("conformalIntervals: exact order-statistic qhat and test coverage") {
+    // train (sp=2): x=1 → yhat = (10+20) div 2 = 15
+    // cal (sp=1): residuals |y-15| = {1, 3, 5, 7} sorted
+    // test (sp=0): residuals {2, 6, 9}
+    val rows = Seq(
+      (1L, 10L, 2L), (1L, 20L, 2L),
+      (1L, 16L, 1L), (1L, 12L, 1L), (1L, 20L, 1L), (1L, 8L, 1L),
+      (1L, 17L, 0L), (1L, 21L, 0L), (1L, 24L, 0L))
+      .toDF("x", "y", "sp")
+    // alpha 0.5: k = ceil(5*0.5) = 3 → qhat = 3rd smallest = 5 →
+    // test covered {2} → 1/3; alpha 0.25: k = ceil(5*0.75) = 4 →
+    // qhat = 7 → covered {2, 6} → 2/3
+    val out = Eval.conformalIntervals(rows, "x", "y", "sp",
+        alphaPpms = Seq(500000L, 250000L))
+      .orderBy("alpha_ppm").collect()
+    assert(out.length === 2)
+    val a25 = out.head
+    assert(a25.getAs[Long]("alpha_ppm") === 250000L)
+    assert(a25.getAs[Long]("n_cal") === 4L)
+    assert(a25.getAs[Long]("k") === 4L)
+    assert(a25.getAs[Long]("qhat") === 7L)
+    assert(a25.getAs[Long]("n_test") === 3L)
+    assert(a25.getAs[Long]("coverage_ppm") === 666666L)
+    val a50 = out(1)
+    assert(a50.getAs[Long]("k") === 3L)
+    assert(a50.getAs[Long]("qhat") === 5L)
+    assert(a50.getAs[Long]("coverage_ppm") === 333333L)
+  }
+
   test("rocAuc reports -1 for single-class groups and 1e6 for perfect ranking") {
     val df = Seq(
       ("one", 1L, true), ("one", 2L, true),
