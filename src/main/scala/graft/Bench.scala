@@ -325,7 +325,8 @@ object Bench {
       "q282_matryoshka_recall", "q283_brown_forecast", "q284_bh_fdr",
       "q285_pca_top", "q286_isotonic_calibration",
       "q287_fairness_report", "q288_cum_sqrt_strata",
-      "q289_conformal", "q290_mcnemar")
+      "q289_conformal", "q290_mcnemar", "q291_map_eval",
+      "q292_phonetic_blocking")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

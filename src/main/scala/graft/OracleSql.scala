@@ -575,6 +575,8 @@ object OracleSql {
     "q288_cum_sqrt_strata" -> Gen.cumSqrtStrataSql,
     "q289_conformal" -> Gen.conformalSql,
     "q290_mcnemar" -> Gen.mcnemarSql,
+    "q291_map_eval" -> Gen.mapEvalSql,
+    "q292_phonetic_blocking" -> Gen.phoneticBlockingSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4467,6 +4469,63 @@ object OracleSql {
          |  CAST((1000 * COALESCE(dcg, 0)) // greatest($idcg, 1) AS BIGINT)
          |    AS ndcg_x1000
          |FROM g LEFT JOIN h USING (query_id) ORDER BY g.query_id""".stripMargin
+    }
+
+    /** Twin of q291_map_eval: the q147 CTEs with an ordered
+      * cumulative-hit window inside each query's k-bounded hit table;
+      * precision@r and AP truncate identically in both engines.
+      */
+    def mapEvalSql: String =
+      s"""$ivfCellCtes,
+         |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 3),
+         |qp AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, f.cell, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosineE("q.qv", "f.v")} DESC, f.cell DESC) AS rnk
+         |  FROM q CROSS JOIN cfin f) t WHERE rnk <= 2),
+         |scored AS (
+         |  SELECT qp.query_id, ca.id, ${cosineE("ev.v", "qq.qv")} AS sim
+         |  FROM qp JOIN casn ca ON ca.cell = qp.cell
+         |       JOIN e ev ON ev.id = ca.id
+         |       JOIN q qq ON qq.query_id = qp.query_id),
+         |ann AS (SELECT query_id, id, CAST(rnk AS BIGINT) AS rank
+         |  FROM (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rnk
+         |  FROM scored) t WHERE rnk <= 5),
+         |bscored AS (SELECT q.query_id, ev.id, ${cosineE("ev.v", "q.qv")} AS sim
+         |  FROM e ev CROSS JOIN q),
+         |bex AS (SELECT query_id, id FROM (SELECT query_id, id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rnk
+         |  FROM bscored) t WHERE rnk <= 5),
+         |pr AS (SELECT a.query_id, a.rank,
+         |    CAST(count(*) OVER (PARTITION BY a.query_id ORDER BY a.rank)
+         |      AS BIGINT) AS cum
+         |  FROM ann a JOIN bex b ON a.query_id = b.query_id AND a.id = b.id),
+         |h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(sum((1000000 * cum) // rank) AS BIGINT) AS sp
+         |  FROM pr GROUP BY 1),
+         |g AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gt
+         |      FROM bex GROUP BY 1)
+         |SELECT g.query_id, COALESCE(n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(sp, 0) // greatest(n_gt, 1) AS BIGINT) AS ap_x1e6
+         |FROM g LEFT JOIN h USING (query_id) ORDER BY g.query_id""".stripMargin
+
+    /** Twin of q292_phonetic_blocking: the SAME generated
+      * simplified-Soundex expression chain
+      * (graft.dedup.Linkage.phoneticKeySql, gFlag for RE2), pairs
+      * within each key over the distinct word vocabulary.
+      */
+    def phoneticBlockingSql: String = {
+      val pk = graft.dedup.Linkage.phoneticKeySql("w", gFlag = true)
+      s"""WITH w0 AS (SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+         |w AS (SELECT DISTINCT w FROM w0 WHERE length(w) > 0),
+         |k AS (SELECT w, $pk AS pkey FROM w),
+         |kb AS (SELECT w, pkey,
+         |  CAST(count(*) OVER (PARTITION BY pkey) AS BIGINT) AS n_block
+         |  FROM k)
+         |SELECT a.pkey AS pkey, a.w AS word_a, b.w AS word_b,
+         |  a.n_block AS n_block
+         |FROM kb a JOIN kb b ON a.pkey = b.pkey AND a.w < b.w
+         |ORDER BY pkey, word_a, word_b""".stripMargin
     }
 
     /** Twin of q81_semdedup: the q79 IVF cells, then within each cell

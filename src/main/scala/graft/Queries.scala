@@ -3510,6 +3510,36 @@ object Queries {
       .orderBy("n")
   }
 
+  /** Mean-average-precision of the q147 IVF index against its exact
+    * brute-force truth ([[graft.sim.Similarity.mapEval]]): AP
+    * integrates precision over every hit position, separating an
+    * index that front-loads the true neighbors from one that
+    * scatters them — MRR (first hit) and nDCG (fixed gain curve)
+    * can't tell those apart. Same k-bounded join as q147; fully
+    * integer (precision@r = 10⁶·cum div r).
+    */
+  val q291_map_eval: Q = (s, d) => {
+    val e = Scale.fanOut(Tables.embeddings(s, d))
+    val qs = e.where(col("vec_id") < 3)
+    val ann = Similarity.ivfTopKAuto(e, "vec_id", "embedding",
+      qs, "vec_id", "embedding",
+      k = 5, numCells = 4, nProbe = 2, iters = 1, sampleN = 64)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5)
+    Similarity.mapEval(ann, exact).orderBy("query_id")
+  }
+
+  /** Phonetic (simplified-Soundex) blocking audit over the part-name
+    * vocabulary ([[graft.dedup.Linkage.phoneticBlocks]]): sound-alike
+    * candidate word pairs with block sizes — the third blocking
+    * primitive after q125's q-gram keys and q251's equality blocks.
+    * The quadratic stage runs inside vocabulary blocks only (Heaps'
+    * law keeps the word table broadcast-size at any corpus scale).
+    */
+  val q292_phonetic_blocking: Q = (s, d) =>
+    graft.dedup.Linkage.phoneticBlocks(Tables.part(s, d), "p_name")
+      .orderBy("pkey", "word_a", "word_b")
+
   /** Item–item collaborative similarity over customer part baskets
     * ([[graft.ops.Funnel.itemSimilarity]]): "customers who bought X
     * also bought Y" scored by exact-ppm SQUARED Ochiai (binary-vector
@@ -4826,5 +4856,7 @@ object Queries {
     "q287_fairness_report" -> q287_fairness_report,
     "q288_cum_sqrt_strata" -> q288_cum_sqrt_strata,
     "q289_conformal" -> q289_conformal,
-    "q290_mcnemar" -> q290_mcnemar)
+    "q290_mcnemar" -> q290_mcnemar,
+    "q291_map_eval" -> q291_map_eval,
+    "q292_phonetic_blocking" -> q292_phonetic_blocking)
 }

@@ -120,6 +120,61 @@ object Linkage {
     uCols.reduce(_.crossJoin(_)).localCheckpoint()
   }
 
+  /** Simplified-Soundex phonetic key, as a SQL emitter shared
+    * VERBATIM by the Spark plan and the DuckDB twin (the mitchellE8
+    * one-emitter discipline): uppercase, strip non-letters, map each
+    * letter to its Soundex digit class (vowels/H/W/Y → 0, BFPV → 1,
+    * CGJKQSXZ → 2, DT → 3, L → 4, MN → 5, R → 6), collapse adjacent
+    * equal digits, drop the first letter's own digit, drop zeros,
+    * and emit `<first letter><first 3 digits, zero-padded>`.
+    *
+    * This is the classic American Soundex (Knuth TAOCP vol. 3 §5,
+    * public since the 1918 Russell patent) WITHOUT the H/W-bridging
+    * refinement — a documented variant choice: RE2-based engines
+    * (DuckDB) have no regex backreferences, so run-collapsing is a
+    * nested `replace` ladder (⌈log₂⌉ passes per digit, exact for
+    * runs ≤ 16 — longer than any real word) that behaves identically
+    * in both engines. `gFlag` parameterizes the one engine split:
+    * Spark's `regexp_replace` always replaces every match, DuckDB
+    * needs the `'g'` flag (the `divOp` convention).
+    */
+  def phoneticKeySql(e: String, gFlag: Boolean = false): String = {
+    val g = if (gFlag) ", 'g'" else ""
+    val letters = s"regexp_replace(upper($e), '[^A-Z]', ''$g)"
+    val codes = s"translate($letters, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
+      "'01230120022455012623010202')"
+    val collapsed = (0 to 6).foldLeft(codes) { (acc, dch) =>
+      (1 to 4).foldLeft(acc)((a, _) => s"replace($a, '$dch$dch', '$dch')")
+    }
+    s"CASE WHEN length($letters) = 0 THEN '' ELSE " +
+      s"substr($letters, 1, 1) || " +
+      s"substr(rpad(replace(substr($collapsed, 2, 64), '0', ''), 3, '0'), " +
+      "1, 3) END"
+  }
+
+  /** Phonetic blocking-key audit over a name vocabulary — the
+    * sound-alike companion to the q125 q-gram blocking: distinct
+    * words of `valueCol`, their [[phoneticKeySql]] keys, and every
+    * same-key candidate pair with the block size. The pair stage is
+    * quadratic ONLY within a block of the distinct-word VOCABULARY
+    * (which grows sublinearly in the corpus — Heaps' law), never the
+    * corpus; at 100 TB the word table is still a broadcast-size
+    * object for natural-language names.
+    */
+  def phoneticBlocks(df: DataFrame, valueCol: String): DataFrame = {
+    val words = df
+      .select(explode(split(col(valueCol), " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+    val keyed = words
+      .select(col("w"), expr(phoneticKeySql("w")).as("pkey"))
+      .withColumn("n_block", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pkey")))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.pkey") === col("b.pkey") && col("a.w") < col("b.w"))
+      .select(col("a.pkey").as("pkey"), col("a.w").as("word_a"),
+        col("b.w").as("word_b"), col("a.n_block").as("n_block"))
+  }
+
   /** The blocked-join scoring stage over pre-projected sides and a
     * one-row weight vector — shared by [[scorePairs]] and
     * [[probeIndex]] so batch and index-probe scoring cannot drift.

@@ -974,6 +974,41 @@ object Similarity {
       .select("query_id", "n_hits", "first_hit_rank", "mrr_x1000", "ndcg_x1000")
   }
 
+  /** Mean-average-precision evaluation — the third lens on a ranked
+    * ANN result after recall@k ([[rankEval]]'s companion): per query,
+    * AP = (Σ over hits of precision@rank_of_hit) / n_ground_truth.
+    * MRR only sees the FIRST hit and nDCG weights by a fixed gain
+    * curve; AP integrates precision over every hit position, so an
+    * index that front-loads half the truth and drops the rest
+    * separates from one that spreads hits thinly.
+    *
+    * Integer end to end: precision@r = (10⁶ · cum_hits) div r, and
+    * ap_x1e6 = Σ prec div n_gt — both engines truncate identically.
+    *
+    * Scale shape: the same k-bounded (query_id, id) equi-join as
+    * [[rankEval]]; the cumulative-hit window partitions by query_id
+    * over ≤ k rows, so no global sort and no skew beyond the ANN
+    * result's own fan-in.
+    */
+  def mapEval(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rank")
+    val perHit = ann.select(col("query_id"), col("id"),
+        col("rank").cast("bigint").as("rank"))
+      .join(exact.select(col("query_id"), col("id")), Seq("query_id", "id"))
+      .withColumn("__cum", count(lit(1)).over(w))
+      .withColumn("__prec", expr(
+        "CAST((1000000 * __cum) div rank AS BIGINT)"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), sum("__prec").as("__sp"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("__n_gt"))
+      .join(perHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("CAST(coalesce(__sp, CAST(0 AS BIGINT)) " +
+          "div greatest(__n_gt, 1) AS BIGINT)").as("ap_x1e6"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell &
     * Goldstein SIGIR 1998) — the context-selection step after
     * retrieval: greedily pick `kSel` of the top-`kCand` cosine

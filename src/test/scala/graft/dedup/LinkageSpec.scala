@@ -188,4 +188,32 @@ class LinkageSpec extends SparkSpec {
       (4L, 1L, "bob", "D", 50L),
       (5L, 1L, "carol", "E", 70L)))
   }
+
+  test("phoneticKeySql: classic Soundex vectors (no-H/W-bridging variant)") {
+    val df = Seq("Robert", "Rupert", "Tymczak", "Pfister", "Honeyman",
+      "Ashcraft", "a", "", "42").toDF("w")
+    val out = df.select(col("w"),
+        expr(Linkage.phoneticKeySql("w")).as("k"))
+      .as[(String, String)].collect().toMap
+    assert(out("Robert") === "R163")
+    assert(out("Rupert") === "R163") // sound-alikes collide
+    assert(out("Tymczak") === "T522")
+    assert(out("Pfister") === "P236") // adjacent equal codes collapse
+    assert(out("Honeyman") === "H555")
+    // variant: no H/W bridging (standard with bridging gives A261)
+    assert(out("Ashcraft") === "A226")
+    assert(out("a") === "A000") // single letter zero-pads
+    assert(out("") === "")      // empty stays empty
+    assert(out("42") === "")    // digits strip to empty
+  }
+
+  test("phoneticBlocks: same-key words pair within the block, others don't") {
+    val df = Seq("Robert Smith", "Rupert Smyth").toDF("name")
+    val out = Linkage.phoneticBlocks(df, "name")
+      .orderBy("pkey", "word_a", "word_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("R163", "Robert", "Rupert", 2L),
+      ("S530", "Smith", "Smyth", 2L)))
+  }
 }

@@ -453,6 +453,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) === ((2L, 500L, 1000L * g(2) / (g(1) + g(2)))))
   }
 
+  test("mapEval: AP from hand-computed precision@hit; no-hit query zero") {
+    // query 1: hits at ranks 1 and 3, n_gt = 3
+    //   AP = (P@1 + P@3) / 3 = (1e6 + 666666) / 3 = 555555
+    // query 2: no hits -> 0
+    val ann = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 97L, 2)).toDF("query_id", "id", "rank")
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 50L))
+      .toDF("query_id", "id")
+    val out = Similarity.mapEval(ann, exact)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, (1000000L + (2L * 1000000L) / 3L) / 3L),
+      (2L, 0L, 0L)))
+  }
+
+  test("mapEval: perfect front-loaded ranking scores 1e6") {
+    val ann = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "id", "rank")
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "id")
+    val out = Similarity.mapEval(ann, exact).collect().head
+    assert(out.getLong(2) === 1000000L)
+  }
+
   test("randomProjection: integer-exact against an off-plan recomputation") {
     val vecs = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.8f)),
