@@ -577,6 +577,7 @@ object OracleSql {
     "q290_mcnemar" -> Gen.mcnemarSql,
     "q291_map_eval" -> Gen.mapEvalSql,
     "q292_phonetic_blocking" -> Gen.phoneticBlockingSql,
+    "q293_ql_retrieval" -> Gen.qlRetrievalSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -7734,6 +7735,47 @@ object OracleSql {
         |SELECT a.doc_id, d.lang, a.n_tokens, a.n_terms_hit, a.bm25_x
         |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
         |ORDER BY a.bm25_x DESC, a.doc_id LIMIT 100""".stripMargin
+
+    /** Twin of q293_ql_retrieval: the q109 token/term CTEs with the
+      * Dirichlet gain+prior decomposition through the IDENTICAL
+      * generated Mitchell-log CASEs; the μ·2²⁰ prior term is the same
+      * Scala-side mitchellE8Long literal the Spark plan embeds.
+      */
+    def qlRetrievalSql: String = {
+      val mu = 2048L
+      val m8a = graft.ops.TextStats.mitchellE8Sql("qa", divOp = "//")
+      val m8b = graft.ops.TextStats.mitchellE8Sql("qb", divOp = "//")
+      val m8d = graft.ops.TextStats.mitchellE8Sql("qd", divOp = "//")
+      val e8mu = graft.ops.TextStats.mitchellE8Long(mu << 20)
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |dlt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM wd),
+         |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot FROM dlt),
+         |tok AS (SELECT doc_id, unnest(w) AS t FROM wd),
+         |qt AS (SELECT t FROM (
+         |         SELECT t, count(*) AS c FROM tok WHERE len(t) >= 5
+         |         GROUP BY t ORDER BY c DESC, t LIMIT 4)),
+         |nqt AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM qt),
+         |cfq AS (SELECT tok.t AS t, CAST(count(*) AS BIGINT) AS cf
+         |        FROM tok JOIN qt ON tok.t = qt.t GROUP BY tok.t),
+         |tf AS (SELECT doc_id, tok.t AS t, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok JOIN qt ON tok.t = qt.t GROUP BY doc_id, tok.t),
+         |sc AS (SELECT tf.doc_id,
+         |         CAST((tf.tf * st.tot + $mu * cfq.cf) * 1024 AS BIGINT) AS qa,
+         |         CAST(($mu * cfq.cf) * 1024 AS BIGINT) AS qb
+         |       FROM tf JOIN cfq ON tf.t = cfq.t CROSS JOIN st),
+         |hit AS (SELECT doc_id, CAST(SUM(($m8a) - ($m8b)) AS BIGINT) AS hx,
+         |          CAST(count(*) AS BIGINT) AS n_terms_hit
+         |        FROM sc GROUP BY doc_id),
+         |pr AS (SELECT dlt.doc_id, dlt.dl,
+         |         CAST((dlt.dl + $mu) * ${1L << 20} AS BIGINT) AS qd
+         |       FROM dlt)
+         |SELECT p.doc_id, p.dl AS n_tokens,
+         |  COALESCE(h.n_terms_hit, 0) AS n_terms_hit,
+         |  CAST(COALESCE(h.hx, 0) +
+         |    nqt.nq * (CAST($e8mu AS BIGINT) - ($m8d)) AS BIGINT) AS ql_e8
+         |FROM pr p LEFT JOIN hit h ON p.doc_id = h.doc_id CROSS JOIN nqt
+         |ORDER BY ql_e8 DESC, p.doc_id LIMIT 100""".stripMargin
+    }
 
     /** Twin of q186_rank_rbo: the q109 BM25 chain feeds ranking A,
       * the raw tf-sum over the same terms feeds ranking B; depth

@@ -167,6 +167,10 @@ object PlanAudit {
     // ONE-row (n_docs, avdl) stats cross-joined into the vocab-
     // bounded df table / the probe scoring rows — q109's shape
     "q193_bm25_index", "q194_bm25_probe",
+    // ONE-row corpus-total and |q| scalars cross-joined into the
+    // probe-term scoring rows / the doc-length table — q109's shape
+    // under the Dirichlet decomposition
+    "q293_ql_retrieval",
     // ONE-row global prior p0 cross-joined into the per-key rate
     // table — broadcast scalar by design
     "q183_bayesian_rates",

@@ -3540,6 +3540,22 @@ object Queries {
     graft.dedup.Linkage.phoneticBlocks(Tables.part(s, d), "p_name")
       .orderBy("pkey", "word_a", "word_b")
 
+  /** Dirichlet-smoothed query-likelihood retrieval
+    * ([[graft.ops.TextStats.qlRetrieve]], Zhai & Lafferty 2001) over
+    * the q109 probe terms: the LM ranker next to BM25 — matched-term
+    * gains in integer eighth-bit logs plus the length-only Dirichlet
+    * prior, every doc ranked (the prior alone orders unmatched docs),
+    * bounded-heap top-100.
+    */
+  val q293_ql_retrieval: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(explode(TextFns.tokens(col("text"))).as("t"))
+      .where(length(col("t")) >= 5)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("t")).limit(4)
+    TextStats.qlRetrieve(docs, "doc_id", "text", terms, "t", mu = 2048, k = 100)
+  }
+
   /** Item–item collaborative similarity over customer part baskets
     * ([[graft.ops.Funnel.itemSimilarity]]): "customers who bought X
     * also bought Y" scored by exact-ppm SQUARED Ochiai (binary-vector
@@ -4858,5 +4874,6 @@ object Queries {
     "q289_conformal" -> q289_conformal,
     "q290_mcnemar" -> q290_mcnemar,
     "q291_map_eval" -> q291_map_eval,
-    "q292_phonetic_blocking" -> q292_phonetic_blocking)
+    "q292_phonetic_blocking" -> q292_phonetic_blocking,
+    "q293_ql_retrieval" -> q293_ql_retrieval)
 }

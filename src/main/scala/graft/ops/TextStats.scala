@@ -331,6 +331,63 @@ object TextStats {
         col("bm25_x"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * SIGIR 2001) — the language-model alternative to [[bm25]]'s
+    * probabilistic scoring, and the second ranker the q186 RBO
+    * comparison exists for. Per document,
+    *
+    *   score(q, d) = Σ_{w∈q} log p(w|d),
+    *   p(w|d) = (tf_{w,d} + μ·cf_w/T) / (dl + μ)
+    *
+    * decomposed rank-exactly into matched-term gains plus a
+    * length-only prior: Σ_{hits} log(1 + tf·T/(μ·cf)) +
+    * |q|·log(μ/(dl+μ)). Everything is integer eighth-bit logs
+    * ([[mitchellE8Sql]], the one-emitter discipline): the gain is
+    * E8((tf·T + μ·cf)·2¹⁰) − E8(μ·cf·2¹⁰) and the prior is
+    * |q|·(E8(μ·2²⁰) − E8((dl+μ)·2²⁰)), with the μ·2²⁰ term a Scala
+    * [[mitchellE8Long]] literal (μ is a power of two so it's exact).
+    *
+    * Scale shape: identical to [[bm25]] — postings join a broadcast
+    * term list, cf/tf are one reduction each, corpus totals and |q|
+    * are ONE-row broadcasts, and the final top-k is a bounded-heap
+    * TakeOrdered over the doc table (every doc scores: the prior
+    * alone ranks unmatched docs, as the model requires).
+    */
+  def qlRetrieve(docs: DataFrame, idCol: String, textCol: String,
+                 terms: DataFrame, termCol: String,
+                 mu: Long = 2048, k: Int = 100): DataFrame = {
+    require(mu > 0 && (mu & (mu - 1)) == 0, s"mu must be a power of two, got $mu")
+    val toks = docs.select(col(idCol).as("__id"),
+      TextFns.tokens(col(textCol)).as("w"))
+    val dl = toks.select(col("__id"), size(col("w")).cast("bigint").as("dl"))
+    val tok = toks.select(col("__id"), explode(col("w")).as("t"))
+    val stats = dl.agg(sum("dl").as("tot"))
+    val nq = terms.select(col(termCol).as("t")).agg(count(lit(1)).as("nq"))
+    val hitTok = tok.join(broadcast(terms.select(col(termCol).as("t"))), "t")
+    val cf = hitTok.groupBy("t").agg(count(lit(1)).as("cf"))
+    val tf = hitTok.groupBy("__id", "t").agg(count(lit(1)).as("tf"))
+    val hits = tf.join(broadcast(cf), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("qa", expr(s"(tf * tot + $mu * cf) * 1024"))
+      .withColumn("qb", expr(s"($mu * cf) * 1024"))
+      .withColumn("__gain", expr(
+        s"${mitchellE8Sql("qa")} - ${mitchellE8Sql("qb")}"))
+      .groupBy("__id")
+      .agg(sum("__gain").as("__hit"), count(lit(1)).as("n_terms_hit"))
+    val e8mu = mitchellE8Long(mu << 20)
+    dl.join(hits, Seq("__id"), "left")
+      .crossJoin(broadcast(nq))
+      .withColumn("qd", expr(s"(dl + $mu) * ${1L << 20}"))
+      .withColumn("ql_e8", expr(
+        s"coalesce(__hit, CAST(0 AS BIGINT)) + " +
+          s"nq * (CAST($e8mu AS BIGINT) - (${mitchellE8Sql("qd")}))"))
+      .orderBy(desc("ql_e8"), col("__id"))
+      .limit(k)
+      .select(col("__id").as(idCol), col("dl").as("n_tokens"),
+        coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"),
+        col("ql_e8"))
+  }
+
   /** A trained bigram LM as two mergeable tables:
     * `bigrams(w1, bg, c2)` — bigram occurrence counts (c1, the
     * left-context count, is Σ c2 per w1 by definition and is derived

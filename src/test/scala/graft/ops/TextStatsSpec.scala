@@ -809,4 +809,48 @@ class TextStatsSpec extends SparkSpec {
     assert(com.size < edges.map(_._1).distinct.size)
     assert(out.head._5 > 0L) // positive modularity on two triangles
   }
+
+  test("qlRetrieve: hand Dirichlet gain + prior via the mitchell mirror") {
+    val mu = 2048L
+    def e8(q: Long) = TextStats.mitchellE8Long(q)
+    // equal dl so the prior cancels and ranking is gain-only
+    val docs = Seq(
+      (1L, "apple apple x"), // tf 2
+      (2L, "u v w"),         // no hit
+      (3L, "apple y z"))     // tf 1
+      .toDF("doc_id", "text")
+    val terms = Seq("apple").toDF("t")
+    val out = TextStats.qlRetrieve(docs, "doc_id", "text", terms, "t",
+        mu = mu, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val tot = 9L; val cf = 3L
+    def gain(tf: Long) =
+      e8((tf * tot + mu * cf) * 1024) - e8(mu * cf * 1024)
+    def prior(dl: Long) = e8(mu << 20) - e8((dl + mu) << 20)
+    val want = Seq(
+      (1L, 3L, 1L, gain(2) + prior(3)),
+      (2L, 3L, 0L, prior(3)),
+      (3L, 3L, 1L, gain(1) + prior(3)))
+      .sortBy { case (id, _, _, s) => (-s, id) }
+    assert(out === want)
+    // gains are monotone in tf even when the e8 resolution floors
+    // tiny ratios (μ·cf ≫ tf·tot here)
+    assert(gain(2) >= gain(1) && gain(1) >= 0)
+  }
+
+  test("qlRetrieve: the gain separates a matched doc once tf·T ≳ μ·cf") {
+    // one rare term in a big corpus: cf = 1, T ≈ 10000 ≫ μ, so the
+    // matched doc must STRICTLY outrank an unmatched doc of equal dl
+    val filler = Seq.fill(4999)("x").mkString(" ")
+    val docs = Seq(
+      (1L, s"apple $filler"),
+      (2L, s"zzz $filler")).toDF("doc_id", "text")
+    val terms = Seq("apple").toDF("t")
+    val out = TextStats.qlRetrieve(docs, "doc_id", "text", terms, "t",
+        k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(out.head._1 === 1L)
+    assert(out(0)._2 > out(1)._2)
+  }
 }
