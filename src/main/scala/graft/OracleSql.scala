@@ -578,6 +578,7 @@ object OracleSql {
     "q291_map_eval" -> Gen.mapEvalSql,
     "q292_phonetic_blocking" -> Gen.phoneticBlockingSql,
     "q293_ql_retrieval" -> Gen.qlRetrievalSql,
+    "q294_silhouette" -> Gen.silhouetteSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -4232,6 +4233,54 @@ object OracleSql {
          |  CAST((1000 * b6 * (n - k)) // greatest(w6 * (k - 1), 1)
          |    AS BIGINT) AS ch_x1000
          |FROM g2""".stripMargin
+
+    /** Twin of q294_silhouette: the q271 cell/SQ CTEs, sign-symmetric
+      * truncated centroids, per-(point, centroid) exact squared L2,
+      * the same (b²−a²)/max(a²,b²) ppm CASE, per-cell mean.
+      */
+    def silhouetteSql: String =
+      s"""$ivfCellCtes,
+         |ex AS (SELECT id,
+         |        unnest([{'pos': i, 'x': v[i]}
+         |                for i in range(1, len(v)+1)]) AS u
+         |      FROM e),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex GROUP BY u.pos),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT id,
+         |         [CASE WHEN s[i] = 0 THEN 0
+         |               ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END
+         |          for i in range(1, len(v)+1)] AS qv
+         |       FROM e CROSS JOIN sl),
+         |px AS (SELECT id, cell, u2.pos AS pos, u2.x AS x
+         |       FROM (SELECT qz.id, casn.cell,
+         |               unnest([{'pos': i, 'x': qv[i]}
+         |                       for i in range(1, len(qv)+1)]) AS u2
+         |             FROM casn JOIN qz USING (id))),
+         |cp AS (SELECT cell AS ccell, pos, CAST(sum(x) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |       FROM px GROUP BY cell, pos),
+         |ct AS (SELECT ccell, pos,
+         |         CAST(CASE WHEN s >= 0 THEN s // cnt
+         |              ELSE -((-s) // cnt) END AS BIGINT) AS c
+         |       FROM cp),
+         |d2 AS (SELECT px.id, px.cell, ct.ccell,
+         |         CAST(sum((px.x - ct.c) * (px.x - ct.c)) AS BIGINT) AS d2
+         |       FROM px JOIN ct ON px.pos = ct.pos
+         |       GROUP BY px.id, px.cell, ct.ccell),
+         |ab AS (SELECT id, cell,
+         |         CAST(sum(CASE WHEN ccell = cell THEN d2 END) AS BIGINT) AS a2,
+         |         CAST(min(CASE WHEN ccell <> cell THEN d2 END) AS BIGINT) AS b2
+         |       FROM d2 GROUP BY id, cell),
+         |sp AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+         |         CAST(sum(CASE WHEN b2 >= a2 THEN
+         |             (1000000 * (b2 - a2)) // greatest(greatest(a2, b2), 1)
+         |           ELSE -((1000000 * (a2 - b2)) //
+         |             greatest(greatest(a2, b2), 1)) END) AS BIGINT) AS sps
+         |       FROM ab GROUP BY cell)
+         |SELECT cell, n_points,
+         |  CAST(CASE WHEN sps >= 0 THEN sps // n_points
+         |       ELSE -((-sps) // n_points) END AS BIGINT) AS mean_sil_ppm
+         |FROM sp ORDER BY cell""".stripMargin
 
     /** Twin of q240_brand_affinity: the q162 arithmetic over
       * order-key baskets of distinct part brands.

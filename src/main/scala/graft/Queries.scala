@@ -4187,6 +4187,18 @@ object Queries {
     Similarity.chIndex(Scale.fanOut(Tables.embeddings(s, d)),
       "vec_id", "embedding", numCells = 4, iters = 1, sampleN = 64)
 
+  /** Simplified silhouette ([[graft.sim.Similarity.silhouette]],
+    * Hruschka et al. 2004) over the same q271 partition: the
+    * per-cell companion to CH's one-row verdict — which cells are
+    * tight, which bleed into a neighbor. Exact integers end to end
+    * (squared-distance variant over int8 SQ codes, sign-symmetric
+    * divides).
+    */
+  val q294_silhouette: Q = (s, d) =>
+    Similarity.silhouette(Scale.fanOut(Tables.embeddings(s, d)),
+        "vec_id", "embedding", numCells = 4, iters = 1, sampleN = 64)
+      .orderBy("cell")
+
   /** Difference-in-differences report
     * ([[graft.ops.Eval.didReport]], Card–Krueger form): the q264
     * pre/post per-user split read as a quasi-experiment — per-variant
@@ -4875,5 +4887,6 @@ object Queries {
     "q290_mcnemar" -> q290_mcnemar,
     "q291_map_eval" -> q291_map_eval,
     "q292_phonetic_blocking" -> q292_phonetic_blocking,
-    "q293_ql_retrieval" -> q293_ql_retrieval)
+    "q293_ql_retrieval" -> q293_ql_retrieval,
+    "q294_silhouette" -> q294_silhouette)
 }

@@ -1396,6 +1396,67 @@ object Similarity {
           .as("ch_x1000"))
   }
 
+  /** Simplified silhouette (Hruschka, de Castro & Campello, HIS 2004
+    * — the centroid-based O(n·k) form of Rousseeuw's 1987 index)
+    * over the [[assignCells]] partition: per point, a = d²(point,
+    * own centroid), b = min over OTHER centroids, s = (b−a)/max(a,b);
+    * reported as the per-cell mean. The full silhouette's per-point
+    * all-pairs a/b is O(n²) and dead at corpus scale; the simplified
+    * form is the standard substitute and ranks partitions the same
+    * way. Squared-distance variant, documented: like
+    * [[intrinsicDimension]]'s squared ratios, d² keeps every distance
+    * an EXACT integer over the int8 SQ codes, and (b²−a²)/max is a
+    * monotone transform of the unsquared score's sign and ordering.
+    *
+    * Integer discipline: centroids are sign-symmetric truncated means
+    * of the quantized coordinates (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — every divide here CASEs the sign so both
+    * engines agree), s is exact ppm, per-cell mean is one more
+    * sign-symmetric divide.
+    *
+    * Scale shape: one k×dim moment pass for centroids (broadcast
+    * back), one n·dim·k broadcast-join pass for the distances — the
+    * same work assignCells itself does — two keyed aggregations, and
+    * a k-row report. The (id, cell) assignment is localCheckpointed
+    * so the k-means rounds run once, not once per consumer.
+    */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+                 numCells: Int = 4, iters: Int = 1, sampleN: Int = 64,
+                 seed: Long = 42L): DataFrame = {
+    require(numCells >= 2, "silhouette needs at least 2 cells")
+    val scales = sqScales(df, vecCol)
+    val cells = assignCells(df, idCol, vecCol, numCells, iters,
+      sampleN, seed).localCheckpoint()
+    val q = df.select(col(idCol).as("id"),
+        sqQuantize(col(vecCol), scales).as("qv"))
+      .join(cells, Seq("id"))
+    val cent = q.select(col("cell").as("ccell"),
+        posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("ccell", "pos")
+      .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+      .select(col("ccell"), col("pos"), expr(
+        "CASE WHEN s >= 0 THEN s div cnt " +
+          "ELSE -((-s) div cnt) END").as("c"))
+    val pts = q.select(col("id"), col("cell"),
+      posexplode(col("qv")).as(Seq("pos", "x")))
+    val ab = pts.join(broadcast(cent), Seq("pos"))
+      .groupBy("id", "cell", "ccell")
+      .agg(sum(expr("(x - c) * (x - c)")).as("d2"))
+      .groupBy("id", "cell")
+      .agg(sum(when(col("ccell") === col("cell"), col("d2"))).as("a2"),
+        min(when(col("ccell") =!= col("cell"), col("d2"))).as("b2"))
+    ab.withColumn("__s", expr(
+        "CASE WHEN b2 >= a2 THEN " +
+          "(1000000 * (b2 - a2)) div greatest(greatest(a2, b2), 1) " +
+          "ELSE -((1000000 * (a2 - b2)) div greatest(greatest(a2, b2), 1)) " +
+          "END"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_points"), sum("__s").as("__sp"))
+      .select(col("cell"), col("n_points"), expr(
+        "CASE WHEN __sp >= 0 THEN __sp div n_points " +
+          "ELSE -((-__sp) div n_points) END").as("mean_sil_ppm"))
+  }
+
   /** TwoNN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez
     * & Laio, Scientific Reports 2017) — "how many dimensions does
     * this embedding space ACTUALLY use": for each point, μ = r₂/r₁

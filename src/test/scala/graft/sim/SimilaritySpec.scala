@@ -477,6 +477,55 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getLong(2) === 1000000L)
   }
 
+  test("silhouette: bit-equal Scala replay; separated clusters score high") {
+    val pts = (0 until 20).map(i =>
+      (i.toLong, Seq(100.0f + (i % 5), 3.0f + (i % 3)))) ++
+      (20 until 40).map(i =>
+        (i.toLong, Seq(-100.0f - (i % 5), -3.0f - (i % 3))))
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.silhouette(df, "vec_id", "embedding",
+        numCells = 2, iters = 2, sampleN = 32)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // replay from the same assignment + quantization math
+    val scales = Similarity.sqScales(df, "embedding")
+    val cells = Similarity.assignCells(df, "vec_id", "embedding",
+        numCells = 2, iters = 2, sampleN = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    def qv(v: Seq[Float]): Seq[Long] = v.zipWithIndex.map { case (x, i) =>
+      if (scales(i) == 0.0) 0L
+      else math.floor(x.toDouble * 127.0 / scales(i)).toLong
+    }
+    val byCell = pts.groupBy { case (id, _) => cells(id) }
+    val cent = byCell.map { case (c, ps) =>
+      val qs = ps.map(p => qv(p._2))
+      val dim = qs.head.size
+      c -> (0 until dim).map { i =>
+        val s = qs.map(_(i)).sum; val n = qs.size
+        if (s >= 0) s / n else -((-s) / n)
+      }
+    }
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, c) => (x - c) * (x - c) }.sum
+    def sPpm(id: Long, v: Seq[Float]): Long = {
+      val own = cells(id)
+      val a2 = d2(qv(v), cent(own))
+      val b2 = cent.filter(_._1 != own).map(c => d2(qv(v), c._2)).min
+      val m = math.max(math.max(a2, b2), 1L)
+      if (b2 >= a2) (1000000L * (b2 - a2)) / m
+      else -((1000000L * (a2 - b2)) / m)
+    }
+    val want = byCell.map { case (c, ps) =>
+      val ss = ps.map(p => sPpm(p._1, p._2))
+      val sp = ss.sum
+      (c, ps.size.toLong,
+        if (sp >= 0) sp / ss.size else -((-sp) / ss.size))
+    }.toSeq.sortBy(_._1)
+    assert(out === want)
+    // two far-apart clusters: every cell's mean silhouette is high
+    assert(out.forall(_._3 > 900000L))
+  }
+
   test("randomProjection: integer-exact against an off-plan recomputation") {
     val vecs = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.8f)),
