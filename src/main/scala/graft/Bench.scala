@@ -326,7 +326,8 @@ object Bench {
       "q285_pca_top", "q286_isotonic_calibration",
       "q287_fairness_report", "q288_cum_sqrt_strata",
       "q289_conformal", "q290_mcnemar", "q291_map_eval",
-      "q292_phonetic_blocking", "q293_ql_retrieval", "q294_silhouette")
+      "q292_phonetic_blocking", "q293_ql_retrieval", "q294_silhouette",
+      "q295_krippendorff")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

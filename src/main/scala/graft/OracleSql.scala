@@ -579,6 +579,7 @@ object OracleSql {
     "q292_phonetic_blocking" -> Gen.phoneticBlockingSql,
     "q293_ql_retrieval" -> Gen.qlRetrievalSql,
     "q294_silhouette" -> Gen.silhouetteSql,
+    "q295_krippendorff" -> Gen.krippendorffSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -3117,6 +3118,30 @@ object OracleSql {
          |  CAST((1000 * (CAST(n_agree AS HUGEINT) * n - s_prod)) //
          |    greatest(CAST(n AS HUGEINT) * n - s_prod, 1) AS BIGINT)
          |    AS kappa_x1000
+         |FROM base CROSS JOIN s""".stripMargin
+
+    /** Twin of q295_krippendorff: the q180 labeler CTEs, α via the
+      * pooled-marginal coincidence reduction (Do_num = 2·disagree,
+      * De_num = n² − Σn_c²) through HUGEINT.
+      */
+    def krippendorffSql: String =
+      s"""WITH nbp AS ($nbClassifierSql),
+         |lp AS (SELECT * FROM ($langIdSql) WHERE doc_id % 5 = 0),
+         |j AS (SELECT nbp.pred AS a, lp.lang_pred AS b
+         |      FROM nbp JOIN lp USING (doc_id)),
+         |r AS (SELECT a AS label FROM j UNION ALL SELECT b FROM j),
+         |m AS (SELECT label, CAST(count(*) AS BIGINT) AS c
+         |      FROM r GROUP BY 1),
+         |s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |        sum(CAST(c AS HUGEINT) * c) AS s2 FROM m),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+         |           CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS n_disagree FROM j)
+         |SELECT n_units, n_disagree, n AS n_ratings,
+         |  CAST(1000000 - (1000000 * (n - 1) *
+         |    CAST(2 * n_disagree AS HUGEINT)) //
+         |    greatest(CAST(n AS HUGEINT) * n - s2, 1) AS BIGINT)
+         |    AS alpha_ppm
          |FROM base CROSS JOIN s""".stripMargin
 
     /** Twin of q178_bbit_minhash: the same 30 multiply-add minhashes

@@ -161,6 +161,10 @@ object PlanAudit {
     // ONE-row (n, n_agree) totals — broadcast scalar by design; plus
     // the NB class-table shape upstream
     "q180_cohens_kappa",
+    // q180's shape: ONE-row pooled-marginal (n, Σc²) totals
+    // cross-joined into the ONE-row (n_units, n_disagree) fold, plus
+    // the NB class-table shape upstream
+    "q295_krippendorff",
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
     "q181_discriminative_words",

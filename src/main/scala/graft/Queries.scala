@@ -2918,6 +2918,24 @@ object Queries {
       "pred", "lang_pred")
   }
 
+  /** Krippendorff's α ([[graft.ops.Profile.krippendorffAlpha]]) over
+    * the SAME two labelers and holdout as q180 — κ corrects by each
+    * rater's own marginals, α by the pooled distribution; reporting
+    * both is the standard annotation-QA practice. Exact ppm through
+    * the two-rater coincidence reduction.
+    */
+  val q295_krippendorff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val hold = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val nb = graft.ops.NaiveBayes.trainScore(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      hold, "lang", "doc_id", "text")
+    val heur = hold.select(col("doc_id"),
+      TextFns.langId(col("text")).as("lang_pred"))
+    graft.ops.Profile.krippendorffAlpha(nb.join(heur, Seq("doc_id")),
+      "pred", "lang_pred")
+  }
+
   /** Discriminative vocabulary per language
     * ([[graft.ops.TextStats.discriminativeWords]], Dunning 1993):
     * top-10 words per lang by the G² log-likelihood keyness of the
@@ -4888,5 +4906,6 @@ object Queries {
     "q291_map_eval" -> q291_map_eval,
     "q292_phonetic_blocking" -> q292_phonetic_blocking,
     "q293_ql_retrieval" -> q293_ql_retrieval,
-    "q294_silhouette" -> q294_silhouette)
+    "q294_silhouette" -> q294_silhouette,
+    "q295_krippendorff" -> q295_krippendorff)
 }

@@ -996,6 +996,45 @@ object Profile {
           .as("kappa_x1000"))
   }
 
+  /** Krippendorff's α (nominal data, two raters per unit) — the
+    * third chance-corrected agreement measure after [[cohensKappa]]
+    * (which corrects by each rater's OWN marginal) and
+    * [[fleissKappa]]: α corrects by the POOLED rating distribution,
+    * so it is the one that generalizes across rater counts and
+    * missing data (Krippendorff, Content Analysis 1980/2004).
+    *
+    * For two raters over every unit the coincidence-matrix reduction
+    * is closed-form integer: Do_num = 2·n_disagree, De_num =
+    * n² − Σ_c n_c² over the pooled marginals n_c (n = 2·units), and
+    *
+    *   α = 1 − (n−1)·Do_num / De_num
+    *
+    * → alpha_ppm = 10⁶ − (10⁶·(n−1)·Do_num) div De_num, exact
+    * through DECIMAL(38); negative (worse than chance) is a valid
+    * result and survives the subtraction.
+    *
+    * Scale shape: one label-domain-bounded marginal reduction over
+    * the pooled ratings, one two-counter fold over the pairs, one
+    * one-row broadcast — O(1) state beyond the label domain.
+    */
+  def krippendorffAlpha(df: DataFrame, colA: String,
+                        colB: String): DataFrame = {
+    val ratings = df.select(col(colA).as("label"))
+      .unionAll(df.select(col(colB).as("label")))
+    val s2 = ratings.groupBy("label").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+    df.agg(count(lit(1)).as("n_units"),
+        sum(when(col(colA) =!= col(colB), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .crossJoin(broadcast(s2))
+      .select(col("n_units"), col("n_disagree"), col("n").as("n_ratings"),
+        expr("CAST(1000000 - (1000000 * (n - 1) * " +
+          "CAST(2 * n_disagree AS DECIMAL(38,0))) div " +
+          "greatest(CAST(n AS DECIMAL(38,0)) * n - s2, 1) AS BIGINT)")
+          .as("alpha_ppm"))
+  }
+
   /** Best Gini split of a numeric feature against a binary label —
     * the CART decision-stump screen (Breiman et al. 1984): for every
     * candidate threshold t (each observed feature value), the

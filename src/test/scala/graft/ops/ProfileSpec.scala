@@ -448,6 +448,24 @@ class ProfileSpec extends SparkSpec {
     assert(kappa(Seq(("A", "B"), ("B", "A"))) === -1000L)
   }
 
+  test("krippendorffAlpha: hand coincidence case, perfect, systematic") {
+    import spark.implicits._
+    def alpha(pairs: Seq[(String, String)]) =
+      Profile.krippendorffAlpha(pairs.toDF("a", "b"), "a", "b")
+        .collect().head
+    // n_units 5, disagree 2, pooled A 6 / B 4: De = 100 - 52 = 48,
+    // alpha = 1 - 9*4/48 = 0.25
+    val h = alpha(Seq(("A", "A"), ("B", "B"), ("A", "B"),
+      ("B", "A"), ("A", "A")))
+    assert((h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3)) ===
+      ((5L, 2L, 10L, 250000L)))
+    assert(alpha(Seq(("A", "A"), ("B", "B"), ("C", "C")))
+      .getLong(3) === 1000000L)
+    // systematic disagreement: 1 - 5*6/18 = -2/3
+    assert(alpha(Seq(("X", "Y"), ("X", "Y"), ("X", "Y")))
+      .getLong(3) === -666666L)
+  }
+
   test("looGroupImpact: hand means and signed removal shifts") {
     import spark.implicits._
     val df = Seq(("A", 10L), ("A", 20L), ("B", 30L)).toDF("g", "v")
