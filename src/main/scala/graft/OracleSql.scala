@@ -580,6 +580,7 @@ object OracleSql {
     "q293_ql_retrieval" -> Gen.qlRetrievalSql,
     "q294_silhouette" -> Gen.silhouetteSql,
     "q295_krippendorff" -> Gen.krippendorffSql,
+    "q296_t_closeness" -> Gen.tClosenessSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6935,6 +6936,45 @@ object OracleSql {
     /** Twin of q279_k_anonymity: same equivalence-class reduction,
       * per-k folds and exact ppm integer divisions.
       */
+    /** Twin of q296_t_closeness: the q279 base, the classes × values
+      * union grid, the same common-denominator variational distance
+      * through HUGEINT.
+      */
+    def tClosenessSql: String =
+      s"""WITH sens AS (SELECT o_custkey, min(o_orderpriority) AS sv
+         |      FROM orders GROUP BY 1),
+         |base AS (SELECT c_nationkey, c_mktsegment,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+         |      AS bal_band,
+         |    coalesce(sv, 'NONE') AS sv
+         |  FROM customer LEFT JOIN sens ON o_custkey = c_custkey),
+         |cv AS (SELECT c_nationkey, c_mktsegment, bal_band, sv,
+         |    CAST(count(*) AS BIGINT) AS cvn
+         |  FROM base GROUP BY 1, 2, 3, 4),
+         |vc AS (SELECT sv, CAST(sum(cvn) AS BIGINT) AS cd
+         |  FROM cv GROUP BY 1),
+         |cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+         |    CAST(sum(cvn) AS BIGINT) AS n_c
+         |  FROM cv GROUP BY 1, 2, 3),
+         |nt AS (SELECT CAST(sum(cd) AS BIGINT) AS n FROM vc),
+         |grid AS (SELECT cls.*, vc.sv, vc.cd, coalesce(cv.cvn, 0) AS cvn
+         |  FROM cls CROSS JOIN vc
+         |  LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+         |    AND cv.c_mktsegment = cls.c_mktsegment
+         |    AND cv.bal_band = cls.bal_band AND cv.sv = vc.sv),
+         |agg AS (SELECT c_nationkey, c_mktsegment, bal_band, n_c,
+         |    sum(abs(CAST(cvn AS HUGEINT) * nt.n
+         |      - CAST(cd AS HUGEINT) * n_c)) AS num,
+         |    max(nt.n) AS n
+         |  FROM grid CROSS JOIN nt GROUP BY 1, 2, 3, 4)
+         |SELECT c_nationkey, c_mktsegment, bal_band, n_c,
+         |  CAST((1000000 * num) // (2 * CAST(n_c AS HUGEINT) * n)
+         |    AS BIGINT) AS t_ppm,
+         |  (CAST((1000000 * num) // (2 * CAST(n_c AS HUGEINT) * n)
+         |    AS BIGINT) > 300000) AS breach
+         |FROM agg
+         |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
+
     def kAnonymitySql: String =
       s"""WITH sens AS (SELECT o_custkey, min(o_orderpriority) AS sv
          |      FROM orders GROUP BY 1),

@@ -165,6 +165,10 @@ object PlanAudit {
     // cross-joined into the ONE-row (n_units, n_disagree) fold, plus
     // the NB class-table shape upstream
     "q295_krippendorff",
+    // classes × sensitive-value union grid from a value-domain-
+    // bounded broadcast marginal (q155's shape — zero cells must
+    // contribute), plus the ONE-row corpus total N
+    "q296_t_closeness",
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
     "q181_discriminative_words",

@@ -4351,6 +4351,27 @@ object Queries {
       .orderBy("k")
   }
 
+  /** t-closeness audit ([[graft.ops.Profile.tCloseness]], Li et al.
+    * ICDE 2007) over the SAME quasi-identifier classes and sensitive
+    * attribute as q279: per class, the exact variational distance
+    * between its sensitive-value distribution and the corpus's —
+    * the skew attack l-diversity misses. Common-denominator integer
+    * arithmetic, one divide per class.
+    */
+  val q296_t_closeness: Q = (s, d) => {
+    val sens = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(min("o_orderpriority").as("sv"))
+    val base = Tables.customer(s, d)
+      .join(sens, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) " +
+          "div 100000").as("bal_band"),
+        coalesce(col("sv"), lit("NONE")).as("sv"))
+    graft.ops.Profile.tCloseness(base,
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), "sv")
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+  }
+
   /** Exact Shapley-value channel attribution
     * ([[graft.ops.Funnel.shapleyAttribution]]): completes the
     * attribution trio — last-touch (q228) credits the final click,
@@ -4907,5 +4928,6 @@ object Queries {
     "q292_phonetic_blocking" -> q292_phonetic_blocking,
     "q293_ql_retrieval" -> q293_ql_retrieval,
     "q294_silhouette" -> q294_silhouette,
-    "q295_krippendorff" -> q295_krippendorff)
+    "q295_krippendorff" -> q295_krippendorff,
+    "q296_t_closeness" -> q296_t_closeness)
 }

@@ -996,6 +996,53 @@ object Profile {
           .as("kappa_x1000"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    * the distributional strengthening of [[kAnonymity]]'s l-diversity
+    * column: an equivalence class leaks even with l distinct
+    * sensitive values if its distribution SKEWS from the corpus
+    * (the classic "all k patients in this class have SOME cancer"
+    * attack). For a nominal sensitive attribute the prescribed
+    * distance is variational: t(class) = ½ Σ_v |p_c(v) − p(v)|.
+    *
+    * Exact integers via the common-denominator form: with class size
+    * n_c, corpus size N, class counts cnt_cv and corpus counts
+    * cnt_v,
+    *
+    *   t_ppm = (10⁶ · Σ_v |cnt_cv·N − cnt_v·n_c|) div (2·n_c·N)
+    *
+    * through DECIMAL(38) — no per-term ppm truncation, one divide
+    * per class.
+    *
+    * Scale shape: one (class, v) reduction, one value-domain-bounded
+    * corpus marginal broadcast UNDER every class row (the q155
+    * union-grid shape — zero cells must contribute |0 − cnt_v·n_c|),
+    * one one-row N broadcast, one class-keyed fold.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String,
+                 tPpm: Long = 300000L): DataFrame = {
+    val qc = quasiCols.map(col)
+    val cv = df.groupBy(qc :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__cv"))
+      .localCheckpoint() // feeds the class sizes AND the grid join
+    val vc = cv.groupBy("__v").agg(sum("__cv").cast("bigint").as("__cd"))
+    val cls = cv.groupBy(qc: _*).agg(sum("__cv").cast("bigint").as("n_c"))
+    val n = vc.agg(sum("__cd").cast("bigint").as("__n"))
+    cls.crossJoin(broadcast(vc))
+      .join(cv, quasiCols :+ "__v", "left")
+      .crossJoin(broadcast(n))
+      .withColumn("__term", expr(
+        "abs(CAST(coalesce(__cv, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) " +
+          "* __n - CAST(__cd AS DECIMAL(38,0)) * n_c)"))
+      .groupBy(qc :+ col("n_c"): _*)
+      .agg(sum("__term").as("__num"), max("__n").as("__n"))
+      .select(qc :+ col("n_c") :+
+        expr("CAST((1000000 * __num) div " +
+          "(2 * CAST(n_c AS DECIMAL(38,0)) * __n) AS BIGINT)")
+          .as("t_ppm"): _*)
+      .withColumn("breach", col("t_ppm") > lit(tPpm))
+  }
+
   /** Krippendorff's α (nominal data, two raters per unit) — the
     * third chance-corrected agreement measure after [[cohensKappa]]
     * (which corrects by each rater's OWN marginal) and

@@ -466,6 +466,25 @@ class ProfileSpec extends SparkSpec {
       .getLong(3) === -666666L)
   }
 
+  test("tCloseness: hand variational distance incl. zero cells") {
+    import spark.implicits._
+    val df = Seq(("X", "a"), ("X", "a"), ("Y", "a"), ("Y", "b"))
+      .toDF("q", "sv")
+    // corpus p = (3/4, 1/4); both classes sit at distance 1/4; the
+    // X/b zero cell MUST contribute its |0 - 1/4| term
+    val out = Profile.tCloseness(df, Seq("q"), "sv")
+      .orderBy("q").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      ("X", 2L, 250000L, false), ("Y", 2L, 250000L, false)))
+    // identical class distribution -> t = 0; skewed threshold flips
+    val flagged = Profile.tCloseness(df, Seq("q"), "sv",
+        tPpm = 200000L)
+      .collect().map(_.getBoolean(3))
+    assert(flagged.forall(identity))
+  }
+
   test("looGroupImpact: hand means and signed removal shifts") {
     import spark.implicits._
     val df = Seq(("A", 10L), ("A", 20L), ("B", 30L)).toDF("g", "v")
