@@ -581,6 +581,7 @@ object OracleSql {
     "q294_silhouette" -> Gen.silhouetteSql,
     "q295_krippendorff" -> Gen.krippendorffSql,
     "q296_t_closeness" -> Gen.tClosenessSql,
+    "q297_cem_att" -> Gen.cemAttSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6936,6 +6937,55 @@ object OracleSql {
     /** Twin of q279_k_anonymity: same equivalence-class reduction,
       * per-k folds and exact ppm integer divisions.
       */
+    /** Twin of q297_cem_att: the q279 coarsening grid with the
+      * even/odd treatment split, the same sign-symmetric common-
+      * denominator stratum differences and treated-weighted fold
+      * through HUGEINT.
+      */
+    def cemAttSql: String =
+      s"""WITH spend AS (SELECT o_custkey,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |      AS BIGINT) AS spend_c
+         |  FROM orders GROUP BY 1),
+         |base AS (SELECT c_nationkey, c_mktsegment,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+         |      AS bal_band,
+         |    (c_custkey % 2 = 0) AS treated,
+         |    coalesce(spend_c, 0) AS spend_c
+         |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+         |st AS (SELECT c_nationkey, c_mktsegment, bal_band,
+         |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+         |    CAST(sum(CASE WHEN treated THEN spend_c ELSE 0 END)
+         |      AS BIGINT) AS s_t,
+         |    CAST(sum(CASE WHEN treated THEN 0 ELSE spend_c END)
+         |      AS BIGINT) AS s_c
+         |  FROM base GROUP BY 1, 2, 3),
+         |m AS (SELECT *,
+         |    CAST(s_t AS HUGEINT) * n_c - CAST(s_c AS HUGEINT) * n_t AS num,
+         |    CAST(n_t AS HUGEINT) * n_c AS den
+         |  FROM st WHERE n_t > 0 AND n_c > 0),
+         |md AS (SELECT *, CASE WHEN num >= 0
+         |      THEN CAST((1000 * num) // den AS BIGINT)
+         |      ELSE -CAST((1000 * -num) // den AS BIGINT) END AS diff_milli
+         |  FROM m),
+         |rep AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_matched,
+         |    CAST(sum(n_t) AS BIGINT) AS n_treated_matched,
+         |    CAST(sum(n_c) AS BIGINT) AS n_control_matched,
+         |    sum(CAST(n_t AS HUGEINT) * diff_milli) AS w
+         |  FROM md),
+         |dr AS (SELECT CAST(coalesce(sum(n_t), 0) AS BIGINT)
+         |      AS n_treated_dropped,
+         |    CAST(coalesce(sum(n_c), 0) AS BIGINT) AS n_control_dropped
+         |  FROM st WHERE n_t = 0 OR n_c = 0)
+         |SELECT n_strata_matched, n_treated_matched, n_control_matched,
+         |  n_treated_dropped, n_control_dropped,
+         |  CASE WHEN w >= 0
+         |    THEN CAST(w // greatest(n_treated_matched, 1) AS BIGINT)
+         |    ELSE -CAST((-w) // greatest(n_treated_matched, 1) AS BIGINT)
+         |  END AS att_milli
+         |FROM rep CROSS JOIN dr""".stripMargin
+
     /** Twin of q296_t_closeness: the q279 base, the classes × values
       * union grid, the same common-denominator variational distance
       * through HUGEINT.

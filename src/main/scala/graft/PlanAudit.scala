@@ -169,6 +169,9 @@ object PlanAudit {
     // bounded broadcast marginal (q155's shape — zero cells must
     // contribute), plus the ONE-row corpus total N
     "q296_t_closeness",
+    // ONE-row dropped-counts fold cross-joined into the ONE-row
+    // matched report — broadcast scalar by design
+    "q297_cem_att",
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
     "q181_discriminative_words",

@@ -4097,6 +4097,29 @@ object Queries {
     graft.ops.Eval.cupedAbTest(Tables.events(s, d), "user_id", "ts",
       pmod(col("user_id"), lit(2L)))
 
+  /** Coarsened-exact-matching ATT ([[graft.ops.Eval.cemAtt]], Iacus
+    * et al. 2012) — the third causal lens after DiD (q272) and CUPED
+    * (q264), for when treatment was never randomized: even-custkey
+    * "treated" customers matched to odd-custkey controls inside the
+    * q279 coarsening grid (nation × segment × balance band), outcome
+    * = lifetime order spend in cents; unmatched strata dropped and
+    * counted.
+    */
+  val q297_cem_att: Q = (s, d) => {
+    val spend = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("spend_c"))
+    val base = Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) " +
+          "div 100000").as("bal_band"),
+        (pmod(col("c_custkey"), lit(2L)) === 0L).as("treated"),
+        coalesce(col("spend_c"), lit(0L)).as("spend_c"))
+    graft.ops.Eval.cemAtt(base, "treated", "spend_c",
+      Seq("c_nationkey", "c_mktsegment", "bal_band"))
+  }
+
   /** Greedy max-coverage selection
     * ([[graft.ops.Mixture.maxCoverageSelect]], Nemhauser et al.
     * 1978): the 4 documents that together cover the most distinct
@@ -4929,5 +4952,6 @@ object Queries {
     "q293_ql_retrieval" -> q293_ql_retrieval,
     "q294_silhouette" -> q294_silhouette,
     "q295_krippendorff" -> q295_krippendorff,
-    "q296_t_closeness" -> q296_t_closeness)
+    "q296_t_closeness" -> q296_t_closeness,
+    "q297_cem_att" -> q297_cem_att)
 }

@@ -356,6 +356,62 @@ object Eval {
     * report composes one-row broadcast scalars; nothing after the
     * first aggregation touches the corpus.
     */
+  /** Coarsened exact matching ATT (Iacus, King & Porro, Political
+    * Analysis 2012) — the observational-causal companion to
+    * [[didReport]] and [[cupedAbTest]]: when treatment was NOT
+    * randomized, exact-match treated and control units inside
+    * coarsened covariate strata, DROP strata lacking either arm
+    * (that's the whole method — no model, no distance metric), and
+    * weight per-stratum treated/control mean differences by the
+    * matched-treated share.
+    *
+    * Integer discipline: per matched stratum the mean difference is
+    * the common-denominator rational (s_t·n_c − s_c·n_t)/(n_t·n_c)
+    * in sign-symmetric truncated milli-units, and the ATT is the
+    * treated-count-weighted sign-symmetric fold Σ n_t·diff div M_T
+    * — DECIMAL(38) throughout, every divide CASEd on sign so Spark
+    * `div` (trunc) and DuckDB `//` (floor) agree.
+    *
+    * Scale shape: ONE stratum reduction over the units (strata
+    * bounded by the coarsening grid), a filtered fold on each side
+    * of the match condition, one one-row cross-join — the report is
+    * O(strata), never O(units), after the first aggregation.
+    */
+  def cemAtt(df: DataFrame, treatCol: String, outcomeCol: String,
+             covCols: Seq[String]): DataFrame = {
+    val qc = covCols.map(col)
+    val st = df.groupBy(qc: _*)
+      .agg(sum(when(col(treatCol), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col(treatCol), 0L).otherwise(1L)).as("n_c"),
+        sum(when(col(treatCol), col(outcomeCol)).otherwise(0L)).as("s_t"),
+        sum(when(col(treatCol), 0L).otherwise(col(outcomeCol))).as("s_c"))
+      .localCheckpoint() // matched + dropped consumers of one pass
+    val matched = st.where(col("n_t") > 0 && col("n_c") > 0)
+      .withColumn("__num", expr(
+        "CAST(s_t AS DECIMAL(38,0)) * n_c - CAST(s_c AS DECIMAL(38,0)) * n_t"))
+      .withColumn("__den", expr("CAST(n_t AS DECIMAL(38,0)) * n_c"))
+      .withColumn("diff_milli", expr(
+        "CASE WHEN __num >= 0 THEN CAST((1000 * __num) div __den AS BIGINT) " +
+          "ELSE -CAST((1000 * -__num) div __den AS BIGINT) END"))
+    val rep = matched.agg(count(lit(1)).as("n_strata_matched"),
+      sum("n_t").cast("bigint").as("n_treated_matched"),
+      sum("n_c").cast("bigint").as("n_control_matched"),
+      sum(expr("CAST(n_t AS DECIMAL(38,0)) * diff_milli")).as("__w"))
+    val dropped = st.where(col("n_t") === 0 || col("n_c") === 0)
+      .agg(coalesce(sum("n_t"), lit(0L)).cast("bigint")
+          .as("n_treated_dropped"),
+        coalesce(sum("n_c"), lit(0L)).cast("bigint")
+          .as("n_control_dropped"))
+    rep.crossJoin(broadcast(dropped))
+      .select(col("n_strata_matched"), col("n_treated_matched"),
+        col("n_control_matched"), col("n_treated_dropped"),
+        col("n_control_dropped"),
+        expr("CASE WHEN __w >= 0 THEN " +
+          "CAST(__w div greatest(n_treated_matched, 1) AS BIGINT) " +
+          "ELSE -CAST((-__w) div greatest(n_treated_matched, 1) " +
+          "AS BIGINT) END").as("att_milli"))
+  }
+
   def cupedAbTest(df: DataFrame, userCol: String, tsCol: String,
                   variant: org.apache.spark.sql.Column): DataFrame = {
     val ux = prePostCounts(df, userCol, tsCol, variant)

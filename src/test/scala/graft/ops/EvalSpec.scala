@@ -424,6 +424,32 @@ class EvalSpec extends SparkSpec {
     assert(ra.getAs[Long]("ari_x1e6") === -500000L)
   }
 
+  test("cemAtt: hand strata, drop rule, treated-weighted ATT") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", true, 100L), ("A", false, 40L),            // diff +60000
+      ("B", true, 200L), ("B", true, 100L),            // mean 150
+      ("B", false, 100L),                              // diff +50000
+      ("C", true, 999L),                               // no control: drop
+      ("D", false, 5L))                                // no treated: drop
+      .toDF("g", "treated", "y")
+    val out = Eval.cemAtt(rows, "treated", "y", Seq("g")).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4), out.getLong(5)) ===
+      ((2L, 3L, 2L, 1L, 1L, 160000L / 3L))) // (60000 + 2*50000)/3
+  }
+
+  test("cemAtt: negative ATT truncates toward zero in both engines") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", true, 40L), ("A", false, 100L),   // diff -60000
+      ("B", true, 100L), ("B", true, 100L),
+      ("B", false, 150L))                     // diff -50000
+      .toDF("g", "treated", "y")
+    val out = Eval.cemAtt(rows, "treated", "y", Seq("g")).collect().head
+    assert(out.getLong(5) === -53333L) // -160000/3 toward zero
+  }
+
   test("cupedAbTest: hand moments, exact theta, adjusted means, rho2") {
     // t0 = (0+1000)/2 = 500 µs; per-user (x, y):
     // u2:(2,1) u4:(1,2) [variant 0], u1:(1,1) u3:(1,1) [variant 1]
