@@ -582,6 +582,7 @@ object OracleSql {
     "q295_krippendorff" -> Gen.krippendorffSql,
     "q296_t_closeness" -> Gen.tClosenessSql,
     "q297_cem_att" -> Gen.cemAttSql,
+    "q298_holt_winters" -> Gen.holtWintersSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5934,6 +5935,69 @@ object OracleSql {
          |  CAST(CASE WHEN ne = 0 THEN 0 ELSE es // ne END AS BIGINT)
          |    AS mae_milli
          |FROM lv ORDER BY event_type""".stripMargin
+    }
+
+    /** Twin of q298_holt_winters: the q283 grid + recursion carrying
+      * (lv, tr, s0..s6, es, ne); every step expression comes from the
+      * SAME graft.ops.Funnel.hwStepSql/hwSdiv8Sql emitters as the
+      * Spark fold, with the seasonal slot resolved by a t%7 CASE.
+      */
+    def holtWintersSql: String = {
+      import graft.ops.Funnel.{hwSdiv8Sql, hwStepSql}
+      val sidx = "(CASE g.t % 7 " +
+        (0 to 6).map(k => s"WHEN $k THEN ew.s$k").mkString(" ") + " END)"
+      val (lvNew, trNew, fPrev) =
+        hwStepSql("g.x", "ew.lv", "ew.tr", sidx, "//")
+      val seCols = (0 to 6).map { k =>
+        s"CAST(CASE WHEN g.t % 7 = $k THEN " +
+          hwSdiv8Sql(s"(1000 * g.x - ($lvNew)) + 7 * ew.s$k", "//") +
+          s" ELSE ew.s$k END AS BIGINT)"
+      }.mkString(",\n    ")
+      val f1Idx = "(CASE (t + 1) % 7 " +
+        (0 to 6).map(k => s"WHEN $k THEN s$k").mkString(" ") + " END)"
+      val f7Idx = "(CASE t % 7 " +
+        (0 to 6).map(k => s"WHEN $k THEN s$k").mkString(" ") + " END)"
+      s"""WITH RECURSIVE b AS (SELECT event_type AS et,
+         |        date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+         |c AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, d),
+         |days AS (SELECT d, CAST(row_number() OVER (ORDER BY d) - 1
+         |           AS BIGINT) AS t
+         |         FROM (SELECT DISTINCT d FROM c)),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, days.d, days.t, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN days
+         |      LEFT JOIN c ON c.et = ets.et AND c.d = days.d),
+         |ew AS (
+         |  SELECT et, t, CAST(1000 * x AS BIGINT) AS lv,
+         |    CAST(0 AS BIGINT) AS tr,
+         |    ${(0 to 6).map(k => s"CAST(0 AS BIGINT) AS s$k")
+                .mkString(", ")},
+         |    CAST(0 AS BIGINT) AS es, CAST(0 AS BIGINT) AS ne
+         |  FROM g WHERE t = 0
+         |  UNION ALL
+         |  SELECT g.et, g.t,
+         |    CAST($lvNew AS BIGINT),
+         |    CAST($trNew AS BIGINT),
+         |    $seCols,
+         |    CAST(ew.es + (CASE WHEN g.t >= 14
+         |      THEN abs(1000 * g.x - $fPrev) ELSE 0 END) AS BIGINT),
+         |    CAST(ew.ne + (CASE WHEN g.t >= 14 THEN 1 ELSE 0 END)
+         |      AS BIGINT)
+         |  FROM ew JOIN g ON g.et = ew.et AND g.t = ew.t + 1),
+         |fin AS (SELECT ew.* FROM ew
+         |  JOIN (SELECT et, max(t) AS mt FROM ew GROUP BY et) m
+         |    ON m.et = ew.et AND ew.t = m.mt)
+         |SELECT et AS event_type, CAST(t + 1 AS BIGINT) AS n_days,
+         |  lv AS level_milli, tr AS trend_milli,
+         |  CAST(lv + tr + $f1Idx AS BIGINT) AS f1_milli,
+         |  CAST(lv + 7 * tr + $f7Idx AS BIGINT) AS f7_milli,
+         |  CAST(greatest(s0, s1, s2, s3, s4, s5, s6) -
+         |    least(s0, s1, s2, s3, s4, s5, s6) AS BIGINT)
+         |    AS season_amp_milli,
+         |  CAST(CASE WHEN ne = 0 THEN 0 ELSE es // ne END AS BIGINT)
+         |    AS mae_milli
+         |FROM fin ORDER BY event_type""".stripMargin
     }
 
     /** Twin of q236_kn_surprisal: the q106 bigram CTEs extended with

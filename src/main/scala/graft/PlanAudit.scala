@@ -243,6 +243,8 @@ object PlanAudit {
     "q220_ewma_bands",
     // q220's grid + recurrence shape with the double-smoothed state
     "q283_brown_forecast",
+    // q283's grid + fold shape with the 7-slot seasonal state
+    "q298_holt_winters",
     // bounded probe set (and then its ≤|Q| best-match candidates)
     // broadcast under one corpus scan each — q28's brute-exact shape
     "q221_bitext_margin",

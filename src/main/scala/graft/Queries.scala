@@ -4448,6 +4448,18 @@ object Queries {
         "event_type", "ts")
       .orderBy("event_type")
 
+  /** Holt–Winters additive forecast
+    * ([[graft.ops.Funnel.holtWinters]], Winters 1960): q283's double
+    * smoothing plus the weekly seasonal component — level, trend and
+    * a 7-slot additive season per event type, float-free milli
+    * integers, 1/7-day forecasts, seasonal amplitude, and the
+    * two-season-warmup backtest MAE.
+    */
+  val q298_holt_winters: Q = (s, d) =>
+    graft.ops.Funnel.holtWinters(Tables.events(s, d),
+        "event_type", "ts")
+      .orderBy("event_type")
+
   /** Benjamini–Hochberg FDR screen over 25 per-nation urgent-order
     * rate tests ([[graft.ops.Eval.bhFdrScreen]]): the multiple-
     * testing guard for simultaneous segment deltas — exact counts,
@@ -4953,5 +4965,6 @@ object Queries {
     "q294_silhouette" -> q294_silhouette,
     "q295_krippendorff" -> q295_krippendorff,
     "q296_t_closeness" -> q296_t_closeness,
-    "q297_cem_att" -> q297_cem_att)
+    "q297_cem_att" -> q297_cem_att,
+    "q298_holt_winters" -> q298_holt_winters)
 }

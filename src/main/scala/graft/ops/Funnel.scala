@@ -1544,6 +1544,101 @@ object Funnel {
     * inside one interpreted `aggregate` call (state is O(1) wide;
     * values stay O(1000·max x)). No window over corpus rows.
     */
+  /** Sign-symmetric ÷8 — the α=β=γ=1/8 smoothing divide shared
+    * VERBATIM by the Spark fold and the DuckDB recursion (Spark `div`
+    * truncates, DuckDB `//` floors; the CASE makes both truncate).
+    */
+  def hwSdiv8Sql(e: String, divOp: String): String =
+    s"(CASE WHEN ($e) >= 0 THEN ($e) $divOp 8 " +
+      s"ELSE -((-($e)) $divOp 8) END)"
+
+  /** The Holt–Winters additive step expressions (level', trend',
+    * one-step-ahead forecast) over caller-supplied accessor strings —
+    * ONE emitter feeds both engines so the integer recurrences cannot
+    * drift. `x` is the day's raw count, `lv`/`tr` the prior state,
+    * `sidx` the prior seasonal at this day's slot.
+    */
+  def hwStepSql(x: String, lv: String, tr: String, sidx: String,
+                divOp: String): (String, String, String) = {
+    val lvNew = hwSdiv8Sql(
+      s"(1000 * $x - ($sidx)) + 7 * (($lv) + ($tr))", divOp)
+    val trNew = hwSdiv8Sql(s"(($lvNew) - ($lv)) + 7 * ($tr)", divOp)
+    val fPrev = s"(($lv) + ($tr) + ($sidx))"
+    (lvNew, trNew, fPrev)
+  }
+
+  /** Holt–Winters additive (triple exponential) smoothing over daily
+    * arrival counts per type — [[brownForecast]] plus the weekly
+    * seasonal component (Winters, Management Science 1960): level,
+    * trend and a 7-slot additive season folded per type with
+    * α=β=γ=1/8 in float-free milli integers,
+    *
+    *   l_t = ((x_t·10³ − s_{t%7}) + 7·(l+b)) ÷ 8
+    *   b_t = ((l_t − l) + 7·b) ÷ 8
+    *   s'_{t%7} = ((x_t·10³ − l_t) + 7·s_{t%7}) ÷ 8
+    *
+    * (each ÷ the sign-symmetric [[hwSdiv8Sql]]; other slots carry).
+    * Zero-init level=x₀, trend=0, season=0 — the bias decays within
+    * the warmup, which is why the backtest MAE starts at day 14 (two
+    * full seasons). Forecast h days out: l + h·b + s_{(T−1+h)%7}.
+    *
+    * Scale shape: q220/q283's — the types × day-span grid is the
+    * only corpus-proportional stage; the recurrence folds each
+    * type's span-bounded series inside ONE aggregate call (no
+    * per-day shuffle, no driver loop).
+    */
+  def holtWinters(df: DataFrame, typeCol: String, tsCol: String,
+                  horizon: Int = 7, warmup: Int = 14): DataFrame = {
+    require(horizon >= 1, s"horizon=$horizon must be >= 1")
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"))
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val days = c.select("d").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(days))
+      .join(c, Seq("et", "d"), "left")
+      .na.fill(0L, Seq("x"))
+    val st = "array<struct<lv:bigint,tr:bigint,se:array<bigint>," +
+      "es:bigint,ne:bigint>>"
+    val p = "element_at(acc, size(acc))"
+    val sidx = s"element_at($p.se, (size(acc) % 7) + 1)"
+    val (lvNew, trNew, fPrev) =
+      hwStepSql("e.x", s"$p.lv", s"$p.tr", sidx, "div")
+    val seNew = s"transform($p.se, (v, j) -> " +
+      s"CASE WHEN j = (size(acc) % 7) THEN " +
+      hwSdiv8Sql(s"(1000 * e.x - ($lvNew)) + 7 * v", "div") +
+      " ELSE v END)"
+    grid.groupBy("et")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("ser"))
+      .withColumn("fin", expr(
+        s"""element_at(aggregate(ser, CAST(array() AS $st),
+           |  (acc, e) -> CASE WHEN size(acc) = 0 THEN
+           |      array(named_struct('lv', 1000L * e.x, 'tr', 0L,
+           |        'se', array_repeat(0L, 7), 'es', 0L, 'ne', 0L))
+           |    ELSE concat(acc, array(named_struct(
+           |      'lv', $lvNew,
+           |      'tr', $trNew,
+           |      'se', $seNew,
+           |      'es', $p.es + (CASE WHEN size(acc) >= $warmup
+           |        THEN abs(1000 * e.x - $fPrev) ELSE 0L END),
+           |      'ne', $p.ne + (CASE WHEN size(acc) >= $warmup
+           |        THEN 1L ELSE 0L END))))
+           |    END), -1)""".stripMargin))
+      .withColumn("n_days", expr("CAST(size(ser) AS BIGINT)"))
+      .select(col("et").as(typeCol), col("n_days"),
+        col("fin.lv").as("level_milli"), col("fin.tr").as("trend_milli"),
+        expr("fin.lv + fin.tr + element_at(fin.se, " +
+          "CAST((n_days % 7) + 1 AS INT))").as("f1_milli"),
+        expr(s"fin.lv + ${horizon} * fin.tr + element_at(fin.se, " +
+          s"CAST(((n_days + ${horizon} - 1) % 7) + 1 AS INT))")
+          .as(s"f${horizon}_milli"),
+        expr("array_max(fin.se) - array_min(fin.se)")
+          .as("season_amp_milli"),
+        expr("CASE WHEN fin.ne = 0 THEN 0L ELSE fin.es div fin.ne END")
+          .as("mae_milli"))
+  }
+
   def brownForecast(df: DataFrame, typeCol: String, tsCol: String,
                     horizon: Int = 7, warmup: Int = 7): DataFrame = {
     require(horizon >= 1, s"horizon=$horizon must be >= 1")

@@ -889,6 +889,40 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Long]("mae_milli") === (7000L + 13250L) / 2)
   }
 
+  test("holtWinters: bit-equal Scala fold replay with weekly season") {
+    def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")
+    // period-7 spike so the seasonal slots move; 17 days crosses the
+    // 14-day warmup so the backtest MAE is exercised
+    val xs = (0 until 17).map(d => if (d % 7 == 3) 20L else 4L + (d % 3))
+    val rows = xs.zipWithIndex.flatMap { case (x, d) =>
+      Seq.fill(x.toInt)((d.toLong, "a", day(d)))
+    }.toDF("id", "t", "tstamp")
+    val out = Funnel.holtWinters(rows, "t", "tstamp").collect().head
+    def sdiv8(e: Long) = if (e >= 0) e / 8 else -((-e) / 8)
+    var lv = 1000L * xs(0); var tr = 0L; val se = Array.fill(7)(0L)
+    var es = 0L; var ne = 0L
+    for (t <- 1 until xs.length) {
+      val idx = t % 7
+      val s = se(idx)
+      val f = lv + tr + s
+      val lvN = sdiv8((1000 * xs(t) - s) + 7 * (lv + tr))
+      val trN = sdiv8((lvN - lv) + 7 * tr)
+      se(idx) = sdiv8((1000 * xs(t) - lvN) + 7 * s)
+      if (t >= 14) { es += math.abs(1000 * xs(t) - f); ne += 1 }
+      lv = lvN; tr = trN
+    }
+    val n = xs.length
+    assert(out.getAs[Long]("n_days") === n.toLong)
+    assert(out.getAs[Long]("level_milli") === lv)
+    assert(out.getAs[Long]("trend_milli") === tr)
+    assert(out.getAs[Long]("f1_milli") === lv + tr + se(n % 7))
+    assert(out.getAs[Long]("f7_milli") === lv + 7 * tr + se((n + 6) % 7))
+    assert(out.getAs[Long]("season_amp_milli") === se.max - se.min)
+    assert(out.getAs[Long]("mae_milli") === (if (ne == 0) 0L else es / ne))
+    // the weekly spike must have carved a real seasonal amplitude
+    assert(se.max - se.min > 0)
+  }
+
   test("logRankTest: hand-computed hypergeometric E/V terms and chi2") {
     def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")
     // g=1: u1 t=0 event, u2 t=2 event; g=0: u3 t=1 event,
