@@ -1191,6 +1191,86 @@ object Stateful {
       }
   }
 
+  final case class HwState(t: Long, lastDayMs: Long, lv: Long, tr: Long,
+                           se: Seq[Long])
+  final case class HwUpdate(et: String, day: java.sql.Timestamp, x: Long,
+                            n_days: Long, level_milli: Long,
+                            trend_milli: Long, f1_milli: Long)
+
+  /** Streaming Holt–Winters additive smoother — the streaming form of
+    * [[graft.ops.Funnel.holtWinters]]: keyed by series, the state is
+    * (day index, last day, level, trend, 7-slot season) and each
+    * per-day count steps the IDENTICAL integer recurrence as the
+    * batch fold (the [[graft.ops.Funnel.hwStepSql]] arithmetic,
+    * mirrored imperatively like [[ewmaUpdates]] mirrors ewmaBands):
+    * sign-symmetric ÷8 level/trend/season updates, zero-init at the
+    * grid origin, silent days stepped as zeros. Emits the post-step
+    * level/trend and the one-step-ahead forecast each day — the live
+    * "tomorrow's expected arrivals" feed. O(1) state per series
+    * (9 longs); dies `stateTtlMs` after the series' last arrival.
+    */
+  def hwUpdates(ds: org.apache.spark.sql.Dataset[DayCount],
+                startDayMs: Long, watermarkDelay: String,
+                stateTtlMs: Long)
+      : org.apache.spark.sql.Dataset[HwUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val DayMs = 86400000L
+    def sdiv8(e: Long) = if (e >= 0) e / 8 else -((-e) / 8)
+    ds.withWatermark("day", watermarkDelay)
+      .groupByKey(_.et)
+      .flatMapGroupsWithState[HwState, HwUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (et: String, rows: Iterator[DayCount], state: GroupState[HwState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[HwUpdate]
+            var st = state.getOption.orNull
+            def emit(dayMs: Long, x: Long): Unit = {
+              val nxt = ((st.t + 1) % 7).toInt
+              out += HwUpdate(et, new java.sql.Timestamp(dayMs), x,
+                st.t + 1, st.lv, st.tr, st.lv + st.tr + st.se(nxt))
+            }
+            def step(dayMs: Long, x: Long): Unit = {
+              val x1000 = 1000L * x
+              if (st == null) {
+                if (dayMs > startDayMs) {
+                  st = HwState(0L, startDayMs, 0L, 0L, Seq.fill(7)(0L))
+                  emit(startDayMs, 0L)
+                  step(dayMs, x)
+                  return
+                }
+                st = HwState(0L, dayMs, x1000, 0L, Seq.fill(7)(0L))
+                emit(dayMs, x)
+              } else if (dayMs > st.lastDayMs) {
+                var d = st.lastDayMs + DayMs
+                while (d <= dayMs) {
+                  val xd = if (d == dayMs) x else 0L
+                  val xm = 1000L * xd
+                  val t = st.t + 1
+                  val idx = (t % 7).toInt
+                  val s = st.se(idx)
+                  val lvN = sdiv8((xm - s) + 7L * (st.lv + st.tr))
+                  val trN = sdiv8((lvN - st.lv) + 7L * st.tr)
+                  val seN = st.se.updated(idx, sdiv8((xm - lvN) + 7L * s))
+                  st = HwState(t, d, lvN, trN, seN)
+                  emit(d, xd)
+                  d += DayMs
+                }
+              } // late/duplicate day: drop (watermark contract)
+            }
+            rows.toArray.sortBy(_.day.getTime)
+              .foreach(r => step(r.day.getTime, r.x))
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastDayMs + stateTtlMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class CheckEvent(check: String, pass: Boolean,
                               ts: java.sql.Timestamp)
   final case class CheckCounts(n: Long, p: Long, lastTs: Long)

@@ -1404,6 +1404,51 @@ class StatefulSpec extends SparkSpec {
     assert(out.count(_.is_anomaly) === 1)
   }
 
+  test("hwUpdates: final streamed state ≡ batch holtWinters (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // type a observed daily over 17 days with a weekly spike; type b
+    // sparse (the stream zero-fills 2..9 and 11..16 internally);
+    // BOTH end on day 17 so the batch grid and per-key streams align
+    val aCounts = (1 to 17).map(d =>
+      ("a", d, if (d % 7 == 3) 20L else 4L + (d % 3)))
+    val bCounts = Seq(("b", 1, 5L), ("b", 10, 2L), ("b", 17, 7L))
+    val all = aCounts ++ bCounts
+    val stream = MemoryStream[Stateful.DayCount]
+    val out = mutable.Buffer.empty[Stateful.HwUpdate]
+    val q = Stateful.hwUpdates(stream.toDS(), startDayMs = day(1).getTime,
+        watermarkDelay = "1 day", stateTtlMs = 60L * 86400000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Stateful.HwUpdate],
+                       _: Long) =>
+        out.synchronized { out ++= df.collect() }
+        ()
+      }.start()
+    val (b1, b2) = all.partition(_._2 <= 9)
+    stream.addData(b1.map { case (et, d, x) => Stateful.DayCount(et, day(d), x) })
+    q.processAllAvailable()
+    stream.addData(b2.map { case (et, d, x) => Stateful.DayCount(et, day(d), x) })
+    q.processAllAvailable()
+    q.stop()
+
+    val ev = all.flatMap { case (et, d, x) =>
+      Seq.fill(x.toInt)((et, day(d))) }.toDF("et", "t")
+    val expected = graft.ops.Funnel.holtWinters(ev, "et", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // last streamed update per type carries the final state
+    val finals = out.groupBy(_.et).map { case (et, us) =>
+      val last = us.maxBy(_.day.getTime)
+      et -> (last.n_days, last.level_milli, last.trend_milli, last.f1_milli)
+    }
+    assert(finals === expected)
+    // every grid day emitted exactly once per type (zero fill happened)
+    assert(out.count(_.et == "b") === 17)
+    assert(out.filter(u => u.et == "b" && u.x == 0L).size === 14)
+  }
+
   test("streaming coverage ≡ batch intervalCoverage over in-order batches") {
     implicit val sqlCtx = spark.sqlContext
     def cev(user: Long, hhmmss: String) = Stateful.CoverageEvent(user,
