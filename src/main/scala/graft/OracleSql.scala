@@ -583,6 +583,7 @@ object OracleSql {
     "q296_t_closeness" -> Gen.tClosenessSql,
     "q297_cem_att" -> Gen.cemAttSql,
     "q298_holt_winters" -> Gen.holtWintersSql,
+    "q299_token_f1" -> Gen.tokenF1Sql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1404,6 +1405,44 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id_a, id_b""".stripMargin
+
+    /** Twin of q299_token_f1: the q143 brute pair chain feeding
+      * per-pair multiset overlaps Σ least(tf_a, tf_b) and the same
+      * shared-numerator ppm arithmetic.
+      */
+    def tokenF1Sql: String =
+      s"""WITH wl AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |shx AS (SELECT id, unnest(${shinglesE("w", 3)}) AS s FROM wl),
+         |sh AS (SELECT id, list_distinct(list(${duckHash61("s")})) AS ts
+         |       FROM shx GROUP BY id),
+         |s AS (SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM sh
+         |      WHERE len(ts) >= 1),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
+         |         a.n AS n_a, b.n AS n_b
+         |       FROM s a JOIN s b ON a.id < b.id),
+         |p AS (SELECT id_a, id_b FROM pr
+         |      WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)),
+         |tok AS (SELECT id, unnest(w) AS t FROM wl),
+         |tf AS (SELECT id, t, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY id, t),
+         |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+         |ov AS (SELECT p.id_a, p.id_b,
+         |         CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS ov
+         |       FROM p JOIN tf ta ON ta.id = p.id_a
+         |         JOIN tf tb ON tb.id = p.id_b AND tb.t = ta.t
+         |       GROUP BY p.id_a, p.id_b)
+         |SELECT p.id_a, p.id_b, coalesce(ov.ov, 0) AS overlap,
+         |  da.dl AS len_a, db.dl AS len_b,
+         |  CAST((1000000 * coalesce(ov.ov, 0)) // greatest(da.dl, 1)
+         |    AS BIGINT) AS prec_ppm,
+         |  CAST((1000000 * coalesce(ov.ov, 0)) // greatest(db.dl, 1)
+         |    AS BIGINT) AS rec_ppm,
+         |  CAST((2000000 * coalesce(ov.ov, 0)) //
+         |    greatest(da.dl + db.dl, 1) AS BIGINT) AS f1_ppm
+         |FROM p LEFT JOIN ov ON ov.id_a = p.id_a AND ov.id_b = p.id_b
+         |JOIN dl da ON da.id = p.id_a JOIN dl db ON db.id = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin
 
     /** Shared CTE chain of the q144/q145 twins: earliest-completion
       * funnel times per user — each step's min(ts) strictly after the

@@ -2271,6 +2271,21 @@ object Queries {
         itemKey = HashFns.hash61)
       .orderBy("id_a", "id_b")
 
+  /** Multiset token F1 over the q143 matched near-dup pairs
+    * ([[graft.ops.TextStats.tokenF1]], the SQuAD overlap metric):
+    * set-similarity said WHICH pairs match; this reports HOW —
+    * exact-ppm precision/recall/F1 with multiplicity, the column a
+    * decontam audit publishes next to each matched pair.
+    */
+  val q299_token_f1: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.setSimJoin(docs, "doc_id",
+      TextFns.shingles(col("text"), 3), tauX1000 = 600,
+      itemKey = HashFns.hash61)
+    TextStats.tokenF1(pairs, docs, "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Ordered event funnel ([[graft.ops.Funnel.funnelTimes]]): per
     * user, the earliest view → click → purchase completion chain
     * (step i counts only strictly after step i−1 — order is the
@@ -4966,5 +4981,6 @@ object Queries {
     "q295_krippendorff" -> q295_krippendorff,
     "q296_t_closeness" -> q296_t_closeness,
     "q297_cem_att" -> q297_cem_att,
-    "q298_holt_winters" -> q298_holt_winters)
+    "q298_holt_winters" -> q298_holt_winters,
+    "q299_token_f1" -> q299_token_f1)
 }

@@ -388,6 +388,51 @@ object TextStats {
         col("ql_e8"))
   }
 
+  /** Multiset token precision / recall / F1 per candidate–reference
+    * pair — the SQuAD-style answer-overlap metric (Rajpurkar et al.
+    * 2016) and the standard report column for near-dup / decontam
+    * MATCHED pairs: overlap = Σ_w min(tf_a(w), tf_b(w)), precision =
+    * overlap/|a|, recall = overlap/|b|, F1 = 2·overlap/(|a|+|b|) —
+    * every figure an exact integer ppm (the harmonic mean collapses
+    * to one divide because P and R share the overlap numerator).
+    *
+    * `pairs` carries (id_a, id_b); texts come from `docs`. Pairs
+    * whose sides share no token report zeros (left join).
+    *
+    * Scale shape: one (id, w) term-frequency reduction over the
+    * docs, two pair-keyed joins that expand each pair to its matched
+    * token rows (bounded by pair count × doc length — the q143
+    * verify shape), one pair-keyed fold.
+    */
+  def tokenF1(pairs: DataFrame, docs: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // two pair-side consumers + the length fold
+    val dl = tf.groupBy("id").agg(sum("tf").cast("bigint").as("dl"))
+    val ov = pairs.select("id_a", "id_b")
+      .join(tf.select(col("id").as("id_a"), col("w"),
+        col("tf").as("__ta")), Seq("id_a"))
+      .join(tf.select(col("id").as("id_b"), col("w"),
+        col("tf").as("__tb")), Seq("id_b", "w"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("__ta"), col("__tb"))).cast("bigint").as("ov"))
+    pairs.select("id_a", "id_b")
+      .join(ov, Seq("id_a", "id_b"), "left")
+      .join(dl.select(col("id").as("id_a"), col("dl").as("len_a")), Seq("id_a"))
+      .join(dl.select(col("id").as("id_b"), col("dl").as("len_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("ov"), lit(0L)).as("overlap"),
+        col("len_a"), col("len_b"))
+      .withColumn("prec_ppm", expr(
+        "CAST((1000000 * overlap) div greatest(len_a, 1) AS BIGINT)"))
+      .withColumn("rec_ppm", expr(
+        "CAST((1000000 * overlap) div greatest(len_b, 1) AS BIGINT)"))
+      .withColumn("f1_ppm", expr(
+        "CAST((2000000 * overlap) div greatest(len_a + len_b, 1) AS BIGINT)"))
+  }
+
   /** A trained bigram LM as two mergeable tables:
     * `bigrams(w1, bg, c2)` — bigram occurrence counts (c1, the
     * left-context count, is Σ c2 per w1 by definition and is derived

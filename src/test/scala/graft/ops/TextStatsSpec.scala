@@ -839,6 +839,26 @@ class TextStatsSpec extends SparkSpec {
     assert(gain(2) >= gain(1) && gain(1) >= 0)
   }
 
+  test("tokenF1: multiset overlap, shared-numerator P/R/F1, zero pair") {
+    val docs = Seq(
+      (1L, "a a b c"),   // tf: a2 b1 c1, len 4
+      (2L, "a b b d"),   // tf: a1 b2 d1, len 4
+      (3L, "x y"),       // disjoint from 1
+      (4L, "a a b c"))   // identical to 1
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = TextStats.tokenF1(pairs, docs, "doc_id", "text")
+      .orderBy("id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // 1 vs 2: overlap = min(2,1) + min(1,2) = 2 -> P = R = 1/2, F1 = 1/2
+    assert(out(0) === ((1L, 2L, 2L, 4L, 4L, 500000L, 500000L, 500000L)))
+    // 1 vs 3: disjoint -> zeros
+    assert(out(1) === ((1L, 3L, 0L, 4L, 2L, 0L, 0L, 0L)))
+    // 1 vs 4: identical -> everything 1e6
+    assert(out(2) === ((1L, 4L, 4L, 4L, 4L, 1000000L, 1000000L, 1000000L)))
+  }
+
   test("qlRetrieve: the gain separates a matched doc once tf·T ≳ μ·cf") {
     // one rare term in a big corpus: cf = 1, T ≈ 10000 ≫ μ, so the
     // matched doc must STRICTLY outrank an unmatched doc of equal dl
