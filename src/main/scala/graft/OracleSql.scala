@@ -584,6 +584,7 @@ object OracleSql {
     "q297_cem_att" -> Gen.cemAttSql,
     "q298_holt_winters" -> Gen.holtWintersSql,
     "q299_token_f1" -> Gen.tokenF1Sql,
+    "q300_hits" -> Gen.hitsSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -1405,6 +1406,47 @@ object OracleSql {
          |    AS jaccard_x1000
          |FROM pr WHERE 1000 * n_inter >= 600 * (n_a + n_b - n_inter)
          |ORDER BY id_a, id_b""".stripMargin
+
+    /** Twin of q300_hits: the 4 power iterations unrolled as CTE
+      * stages (the q152 discipline), identical L1 fixed-point
+      * normalization through HUGEINT.
+      */
+    def hitsSql: String = {
+      val S = 1000000000000L
+      val norm = s"CAST((CAST(r AS HUGEINT) * $S) // t AS BIGINT)"
+      val iters = (1 to 4).map { i =>
+        val prevHub = if (i == 1) "h0" else s"hu${i - 1}"
+        s"""ar$i AS (SELECT e.a, CAST(sum(p.s) AS BIGINT) AS r
+           |  FROM e JOIN $prevHub p ON p.h = e.h GROUP BY e.a),
+           |at$i AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM ar$i),
+           |au$i AS (SELECT a, $norm AS s
+           |  FROM ar$i CROSS JOIN at$i),
+           |hr$i AS (SELECT e.h, CAST(sum(q.s) AS BIGINT) AS r
+           |  FROM e JOIN au$i q ON q.a = e.a GROUP BY e.h),
+           |ht$i AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM hr$i),
+           |hu$i AS (SELECT h, $norm AS s
+           |  FROM hr$i CROSS JOIN ht$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS h, l_partkey AS a
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+         |nh AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n FROM e),
+         |h0 AS (SELECT DISTINCT h, CAST($S // n AS BIGINT) AS s
+         |  FROM e CROSS JOIN nh),
+         |$iters,
+         |hdeg AS (SELECT h, CAST(count(*) AS BIGINT) AS degree
+         |  FROM e GROUP BY h),
+         |adeg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree
+         |  FROM e GROUP BY a),
+         |ta AS (SELECT 'authority' AS role, a AS node, s AS score_p12,
+         |    degree
+         |  FROM au4 JOIN adeg USING (a)
+         |  ORDER BY s DESC, a LIMIT 10),
+         |th AS (SELECT 'hub' AS role, h AS node, s AS score_p12, degree
+         |  FROM hu4 JOIN hdeg USING (h)
+         |  ORDER BY s DESC, h LIMIT 10)
+         |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+         |ORDER BY role, score_p12 DESC, node""".stripMargin
+    }
 
     /** Twin of q299_token_f1: the q143 brute pair chain feeding
       * per-pair multiset overlaps Σ least(tf_a, tf_b) and the same

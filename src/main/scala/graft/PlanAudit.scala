@@ -172,6 +172,10 @@ object PlanAudit {
     // ONE-row dropped-counts fold cross-joined into the ONE-row
     // matched report — broadcast scalar by design
     "q297_cem_att",
+    // per-iteration ONE-row L1 totals (and the n_hubs init scalar)
+    // cross-joined into the node tables — broadcast scalars by
+    // design, q152's unrolled-iteration shape
+    "q300_hits",
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
     "q181_discriminative_words",

@@ -3589,6 +3589,21 @@ object Queries {
     TextStats.qlRetrieve(docs, "doc_id", "text", terms, "t", mu = 2048, k = 100)
   }
 
+  /** HITS hubs & authorities ([[graft.ops.Funnel.hitsBipartite]],
+    * Kleinberg 1999) on the customer→part purchase graph: top
+    * "curator" customers and "anchor" parts by mutual reinforcement
+    * — 4 exact fixed-point iterations with L1 normalization, the
+    * rec-sys importance lens beside q213's item-item similarity.
+    */
+  val q300_hits: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    graft.ops.Funnel.hitsBipartite(edges, "cust", "part")
+      .orderBy(col("role"), desc("score_p12"), col("node"))
+  }
+
   /** Item–item collaborative similarity over customer part baskets
     * ([[graft.ops.Funnel.itemSimilarity]]): "customers who bought X
     * also bought Y" scored by exact-ppm SQUARED Ochiai (binary-vector
@@ -4982,5 +4997,6 @@ object Queries {
     "q296_t_closeness" -> q296_t_closeness,
     "q297_cem_att" -> q297_cem_att,
     "q298_holt_winters" -> q298_holt_winters,
-    "q299_token_f1" -> q299_token_f1)
+    "q299_token_f1" -> q299_token_f1,
+    "q300_hits" -> q300_hits)
 }

@@ -1544,6 +1544,66 @@ object Funnel {
     * inside one interpreted `aggregate` call (state is O(1) wide;
     * values stay O(1000·max x)). No window over corpus rows.
     */
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) on a bipartite
+    * interaction graph — the mutual-reinforcement importance score
+    * PageRank (q152) can't express: a hub matters because it touches
+    * important authorities, an authority because important hubs
+    * touch it ("curator customers" vs "anchor products" on a
+    * purchase graph). Fixed `iters` power iterations with L1
+    * normalization in 10¹² fixed point: raw scores are exact BIGINT
+    * sums, each normalization is one (raw·10¹²) div Σraw through
+    * DECIMAL(38) — deterministic, oracle-hashable, and the DuckDB
+    * twin unrolls the identical stages (the q152 discipline).
+    *
+    * Scale shape: ONE distinct reduction to the edge table (the only
+    * corpus-proportional stage, checkpointed — every iteration
+    * re-reads it); per iteration two edge-keyed joins + node-keyed
+    * folds, raw node tables checkpointed because each feeds BOTH its
+    * L1 total and the normalized scores; the totals are one-row
+    * broadcasts. Output: top-k per role, bounded-heap TakeOrdered.
+    */
+  def hitsBipartite(edges0: DataFrame, hubCol: String, authCol: String,
+                    iters: Int = 4, k: Int = 10): DataFrame = {
+    require(iters >= 1 && k >= 1, s"iters=$iters, k=$k must be >= 1")
+    val Scale = 1000000000000L
+    val edges = edges0
+      .select(col(hubCol).cast("bigint").as("h"),
+        col(authCol).cast("bigint").as("a"))
+      .distinct().localCheckpoint()
+    val nh = edges.select("h").distinct().agg(count(lit(1)).as("n"))
+    var hub = edges.select("h").distinct()
+      .crossJoin(broadcast(nh))
+      .select(col("h"), expr(s"CAST($Scale div n AS BIGINT)").as("s"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = edges.join(hub, "h").groupBy("a")
+        .agg(sum("s").as("r")).localCheckpoint()
+      val at = araw.agg(sum("r").as("t"))
+      auth = araw.crossJoin(broadcast(at))
+        .select(col("a"), expr(
+          s"CAST((CAST(r AS DECIMAL(38,0)) * $Scale) div t AS BIGINT)")
+          .as("s"))
+      val hraw = edges.join(auth, "a").groupBy("h")
+        .agg(sum("s").as("r")).localCheckpoint()
+      val ht = hraw.agg(sum("r").as("t"))
+      hub = hraw.crossJoin(broadcast(ht))
+        .select(col("h"), expr(
+          s"CAST((CAST(r AS DECIMAL(38,0)) * $Scale) div t AS BIGINT)")
+          .as("s"))
+    }
+    val hdeg = edges.groupBy("h").agg(count(lit(1)).as("degree"))
+    val adeg = edges.groupBy("a").agg(count(lit(1)).as("degree"))
+    val topH = hub.join(hdeg, "h")
+      .select(lit("hub").as("role"), col("h").as("node"),
+        col("s").as("score_p12"), col("degree"))
+      .orderBy(desc("score_p12"), col("node")).limit(k)
+    val topA = auth.join(adeg, "a")
+      .select(lit("authority").as("role"), col("a").as("node"),
+        col("s").as("score_p12"), col("degree"))
+      .orderBy(desc("score_p12"), col("node")).limit(k)
+    topA.unionAll(topH)
+  }
+
   /** Sign-symmetric ÷8 — the α=β=γ=1/8 smoothing divide shared
     * VERBATIM by the Spark fold and the DuckDB recursion (Spark `div`
     * truncates, DuckDB `//` floors; the CASE makes both truncate).

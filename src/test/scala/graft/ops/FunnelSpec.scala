@@ -889,6 +889,41 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Long]("mae_milli") === (7000L + 13250L) / 2)
   }
 
+  test("hitsBipartite: bit-equal Scala power-iteration replay") {
+    val S = 1000000000000L
+    // hubs 1, 2; auths 10, 11, 12: hub 1 touches everything, auth 10
+    // touched by both hubs -> both should dominate their roles
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+    val df = edges.toDF("c", "p")
+    val out = Funnel.hitsBipartite(df, "c", "p", iters = 4, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // mirror
+    var hub = edges.map(_._1).distinct.map(_ -> S / edges.map(_._1).distinct.size).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 4) {
+      val araw = edges.groupBy(_._2).map { case (a, es) =>
+        a -> es.map(e => hub(e._1)).sum }
+      val at = araw.values.sum
+      auth = araw.map { case (a, r) =>
+        a -> (BigInt(r) * S / at).toLong }
+      val hraw = edges.groupBy(_._1).map { case (h, es) =>
+        h -> es.map(e => auth(e._2)).sum }
+      val ht = hraw.values.sum
+      hub = hraw.map { case (h, r) => h -> (BigInt(r) * S / ht).toLong }
+    }
+    val hdeg = edges.groupBy(_._1).map { case (h, es) => h -> es.size.toLong }
+    val adeg = edges.groupBy(_._2).map { case (a, es) => a -> es.size.toLong }
+    val want =
+      auth.toSeq.map { case (a, s) => ("authority", a, s, adeg(a)) }
+        .sortBy { case (_, n, s, _) => (-s, n) } ++
+      hub.toSeq.map { case (h, s) => ("hub", h, s, hdeg(h)) }
+        .sortBy { case (_, n, s, _) => (-s, n) }
+    assert(out.toSeq === want)
+    // mutual reinforcement: hub 1 and authority 10 lead their roles
+    assert(out.head._2 === 10L && out(3)._2 === 1L)
+  }
+
   test("holtWinters: bit-equal Scala fold replay with weekly season") {
     def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")
     // period-7 spike so the seasonal slots move; 17 days crosses the
