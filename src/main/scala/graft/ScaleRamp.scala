@@ -174,7 +174,15 @@ object ScaleRamp {
       "q268_intrinsic_dim", "q269_neyman_sample", "q270_hopkins", "q271_ch_index",
       "q272_did_report", "q273_gini_split", "q274_kendall_tau",
       "q275_bootstrap_ratio", "q276_spearman_rho",
-      "q277_chi_squared")
+      "q277_chi_squared", "q278_mwu_drift", "q279_k_anonymity",
+      "q280_shapley_attribution", "q281_logrank",
+      "q282_matryoshka_recall", "q283_brown_forecast", "q284_bh_fdr",
+      "q285_pca_top", "q286_isotonic_calibration",
+      "q287_fairness_report", "q288_cum_sqrt_strata",
+      "q289_conformal", "q290_mcnemar", "q291_map_eval",
+      "q292_phonetic_blocking", "q293_ql_retrieval", "q294_silhouette",
+      "q295_krippendorff", "q296_t_closeness", "q297_cem_att",
+      "q298_holt_winters", "q299_token_f1", "q300_hits")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries
