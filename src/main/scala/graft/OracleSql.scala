@@ -585,6 +585,8 @@ object OracleSql {
     "q298_holt_winters" -> Gen.holtWintersSql,
     "q299_token_f1" -> Gen.tokenF1Sql,
     "q300_hits" -> Gen.hitsSql,
+    "q301_cmh_test" -> Gen.cmhTestSql,
+    "q302_qini_curve" -> Gen.qiniCurveSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -7082,6 +7084,106 @@ object OracleSql {
     /** Twin of q279_k_anonymity: same equivalence-class reduction,
       * per-k folds and exact ppm integer divisions.
       */
+    /** Shared base of the q301/q302 twins: per-customer treatment
+      * (even custkey) and URGENT-order conversion.
+      */
+    private def upliftBaseCtes: String =
+      s"""WITH urg AS (SELECT o_custkey,
+         |    CAST(max(CASE WHEN o_orderpriority = '1-URGENT'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS u
+         |  FROM orders GROUP BY 1),
+         |base AS (SELECT c_nationkey,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+         |      AS bal_band,
+         |    (c_custkey % 2 = 0) AS treated,
+         |    (coalesce(u, 0) = 1) AS converted
+         |  FROM customer LEFT JOIN urg ON o_custkey = c_custkey)""".stripMargin
+
+    /** Twin of q301_cmh_test: the q281 ×10⁶ E/V discipline over
+      * per-nation 2×2 tables, the same one-float-step χ² and the
+      * guarded MH odds ratio.
+      */
+    def cmhTestSql: String =
+      upliftBaseCtes + s""",
+        |st AS (SELECT c_nationkey,
+        |    CAST(sum(CASE WHEN treated AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN treated AND NOT converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT treated AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT treated AND NOT converted THEN 1 ELSE 0
+        |      END) AS BIGINT) AS d
+        |  FROM base GROUP BY 1),
+        |t2 AS (SELECT *, a + b + c + d AS n,
+        |    CAST((1000000 * CAST(a + b AS HUGEINT) * (a + c)) //
+        |      greatest(a + b + c + d, 1) AS BIGINT) AS e6,
+        |    CAST(CASE WHEN a + b + c + d < 2 THEN 0 ELSE
+        |      (1000000 * CAST(a + b AS HUGEINT) * (c + d) * (a + c)
+        |      * (b + d)) // (CAST(a + b + c + d AS HUGEINT)
+        |      * (a + b + c + d) * (a + b + c + d - 1)) END AS BIGINT) AS v6,
+        |    CAST((1000000 * CAST(a AS HUGEINT) * d) //
+        |      greatest(a + b + c + d, 1) AS BIGINT) AS ad6,
+        |    CAST((1000000 * CAST(b AS HUGEINT) * c) //
+        |      greatest(a + b + c + d, 1) AS BIGINT) AS bc6
+        |  FROM st),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(a) AS BIGINT) AS a_tot,
+        |    CAST(sum(e6) AS BIGINT) AS e_x1e6,
+        |    CAST(sum(v6) AS BIGINT) AS v_x1e6,
+        |    CAST(sum(ad6) AS BIGINT) AS ad, CAST(sum(bc6) AS BIGINT) AS bc
+        |  FROM t2)
+        |SELECT n_strata, a_tot, e_x1e6, v_x1e6,
+        |  CAST(CASE WHEN v_x1e6 = 0 THEN 0 ELSE
+        |    round(1000 * (CAST(a_tot AS DOUBLE) * 1000000 - e_x1e6) *
+        |    (CAST(a_tot AS DOUBLE) * 1000000 - e_x1e6) /
+        |    (1000000 * CAST(v_x1e6 AS DOUBLE))) END AS BIGINT)
+        |    AS chi2_x1000,
+        |  CAST((1000 * ad) // greatest(bc, 1) AS BIGINT) AS mh_or_x1000
+        |FROM agg""".stripMargin
+
+    /** Twin of q302_qini_curve: the same arm counts on the bounded
+      * balance-band table, cumulative windows highest-score-first,
+      * identical sign-symmetric milli/ppm arithmetic.
+      */
+    def qiniCurveSql: String =
+      upliftBaseCtes + s""",
+        |v AS (SELECT bal_band AS score,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS pnt,
+        |    CAST(sum(CASE WHEN treated AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pct,
+        |    CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pnc,
+        |    CAST(sum(CASE WHEN NOT treated AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pcc
+        |  FROM base GROUP BY 1),
+        |tt AS (SELECT CAST(sum(pnt + pnc) AS BIGINT) AS n FROM v),
+        |cw AS (SELECT score,
+        |    CAST(sum(pnt) OVER w AS BIGINT) AS nt,
+        |    CAST(sum(pct) OVER w AS BIGINT) AS ct,
+        |    CAST(sum(pnc) OVER w AS BIGINT) AS nc,
+        |    CAST(sum(pcc) OVER w AS BIGINT) AS cc
+        |  FROM v WINDOW w AS (ORDER BY score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT score, nt, ct, nc, cc,
+        |  CAST((1000000 * (nt + nc)) // tt.n AS BIGINT) AS depth_ppm,
+        |  CASE WHEN CAST(ct AS HUGEINT) * nc >= CAST(cc AS HUGEINT) * nt
+        |    THEN CAST((1000 * (CAST(ct AS HUGEINT) * nc
+        |      - CAST(cc AS HUGEINT) * nt)) // greatest(nc, 1) AS BIGINT)
+        |    ELSE -CAST((1000 * (CAST(cc AS HUGEINT) * nt
+        |      - CAST(ct AS HUGEINT) * nc)) // greatest(nc, 1) AS BIGINT)
+        |  END AS qini_milli,
+        |  CASE WHEN CAST(ct AS HUGEINT) * nc >= CAST(cc AS HUGEINT) * nt
+        |    THEN CAST((1000000 * (CAST(ct AS HUGEINT) * nc
+        |      - CAST(cc AS HUGEINT) * nt)) //
+        |      greatest(CAST(nt AS HUGEINT) * nc, 1) AS BIGINT)
+        |    ELSE -CAST((1000000 * (CAST(cc AS HUGEINT) * nt
+        |      - CAST(ct AS HUGEINT) * nc)) //
+        |      greatest(CAST(nt AS HUGEINT) * nc, 1) AS BIGINT)
+        |  END AS uplift_ppm
+        |FROM cw CROSS JOIN tt
+        |ORDER BY score DESC""".stripMargin
+
     /** Twin of q297_cem_att: the q279 coarsening grid with the
       * even/odd treatment split, the same sign-symmetric common-
       * denominator stratum differences and treated-weighted fold

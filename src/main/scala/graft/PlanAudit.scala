@@ -176,6 +176,10 @@ object PlanAudit {
     // cross-joined into the node tables — broadcast scalars by
     // design, q152's unrolled-iteration shape
     "q300_hits",
+    // ONE-row population total cross-joined into the score-value-
+    // bounded cumulative table (q122's cut-table shape); the window
+    // runs over the bounded band table only
+    "q302_qini_curve",
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
     "q181_discriminative_words",

@@ -4150,6 +4150,47 @@ object Queries {
       Seq("c_nationkey", "c_mktsegment", "bal_band"))
   }
 
+  /** Cochran–Mantel–Haenszel test ([[graft.ops.Eval.cmhTest]]) on
+    * the q297 design: even/odd-custkey "treatment" vs has-an-URGENT-
+    * order outcome, stratified by nation — does the association
+    * survive controlling for geography. Exact ×10⁶ E/V strata terms,
+    * χ² the one float step, MH common odds ratio.
+    */
+  val q301_cmh_test: Q = (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L)
+        .otherwise(0L)).as("u"))
+    val base = Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"),
+        (pmod(col("c_custkey"), lit(2L)) === 0L).as("treated"),
+        (coalesce(col("u"), lit(0L)) === 1L).as("converted"))
+    graft.ops.Eval.cmhTest(base, "c_nationkey", "treated", "converted")
+  }
+
+  /** Qini uplift curve ([[graft.ops.Eval.qiniCurve]], Radcliffe
+    * 2007) over the same arms/outcome as q301, scored by the q279
+    * balance band: does targeting rich-balance customers first buy
+    * extra conversions — cumulative exact-milli Qini and exact-ppm
+    * uplift at every score cut, computed on the bounded band table.
+    */
+  val q302_qini_curve: Q = (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L)
+        .otherwise(0L)).as("u"))
+    val base = Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) " +
+          "div 100000").as("bal_band"),
+        (pmod(col("c_custkey"), lit(2L)) === 0L).as("treated"),
+        (coalesce(col("u"), lit(0L)) === 1L).as("converted"))
+    graft.ops.Eval.qiniCurve(base, "bal_band", "treated", "converted")
+      .orderBy(desc("score"))
+  }
+
   /** Greedy max-coverage selection
     * ([[graft.ops.Mixture.maxCoverageSelect]], Nemhauser et al.
     * 1978): the 4 documents that together cover the most distinct
@@ -4998,5 +5039,7 @@ object Queries {
     "q297_cem_att" -> q297_cem_att,
     "q298_holt_winters" -> q298_holt_winters,
     "q299_token_f1" -> q299_token_f1,
-    "q300_hits" -> q300_hits)
+    "q300_hits" -> q300_hits,
+    "q301_cmh_test" -> q301_cmh_test,
+    "q302_qini_curve" -> q302_qini_curve)
 }

@@ -356,6 +356,119 @@ object Eval {
     * report composes one-row broadcast scalars; nothing after the
     * first aggregation touches the corpus.
     */
+  /** Cochran–Mantel–Haenszel stratified 2×2 test (Mantel & Haenszel
+    * 1959; Cochran 1954) — "is treatment associated with outcome
+    * AFTER controlling for the stratifying confounder": the
+    * stratified companion to [[chiSquared]] and the inference half
+    * of [[cemAtt]]'s design. Per stratum k with treated row
+    * (a_k, b_k), control row (c_k, d_k) and n = a+b+c+d:
+    *
+    *   E_k = (a+b)(a+c)/n,  V_k = (a+b)(c+d)(a+c)(b+d) / (n²(n−1)),
+    *   χ²  = (Σa − ΣE)² / ΣV
+    *
+    * E/V accumulate as exact ×10⁶ truncations per stratum (the q281
+    * log-rank discipline) and χ² is the ONE float step. The
+    * Mantel–Haenszel common odds ratio Σ(a·d/n) / Σ(b·c/n) rides
+    * the same ×10⁶ per-stratum terms through one guarded integral
+    * divide.
+    *
+    * Scale shape: ONE stratum reduction over the units (bounded by
+    * the stratum domain), then scalar folds — O(strata) after the
+    * first aggregation.
+    */
+  def cmhTest(df: DataFrame, strataCol: String, treatCol: String,
+              outcomeCol: String): DataFrame = {
+    val st = df.groupBy(col(strataCol).as("__s"))
+      .agg(
+        sum(when(col(treatCol) && col(outcomeCol), 1L).otherwise(0L)).as("a"),
+        sum(when(col(treatCol) && !col(outcomeCol), 1L).otherwise(0L)).as("b"),
+        sum(when(!col(treatCol) && col(outcomeCol), 1L).otherwise(0L)).as("c"),
+        sum(when(!col(treatCol) && !col(outcomeCol), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", expr("a + b + c + d"))
+      .withColumn("e6", expr(
+        "CAST((1000000 * CAST(a + b AS DECIMAL(38,0)) * (a + c)) " +
+          "div greatest(n, 1) AS BIGINT)"))
+      .withColumn("v6", expr(
+        "CAST(CASE WHEN n < 2 THEN 0 ELSE " +
+          "(1000000 * CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) " +
+          "* (b + d)) div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) " +
+          "END AS BIGINT)"))
+      .withColumn("ad6", expr(
+        "CAST((1000000 * CAST(a AS DECIMAL(38,0)) * d) " +
+          "div greatest(n, 1) AS BIGINT)"))
+      .withColumn("bc6", expr(
+        "CAST((1000000 * CAST(b AS DECIMAL(38,0)) * c) " +
+          "div greatest(n, 1) AS BIGINT)"))
+    st.groupBy()
+      .agg(count(lit(1)).as("n_strata"), sum("a").as("a_tot"),
+        sum("e6").as("e_x1e6"), sum("v6").as("v_x1e6"),
+        sum("ad6").as("__ad"), sum("bc6").as("__bc"))
+      .select(col("n_strata"), col("a_tot"), col("e_x1e6"), col("v_x1e6"),
+        expr("CAST(CASE WHEN v_x1e6 = 0 THEN 0 ELSE " +
+          "round(1000 * (CAST(a_tot AS DOUBLE) * 1000000 - e_x1e6) * " +
+          "(CAST(a_tot AS DOUBLE) * 1000000 - e_x1e6) / " +
+          "(1000000 * CAST(v_x1e6 AS DOUBLE))) END AS BIGINT)")
+          .as("chi2_x1000"),
+        expr("CAST((1000 * __ad) div greatest(__bc, 1) AS BIGINT)")
+          .as("mh_or_x1000"))
+  }
+
+  /** Qini uplift curve (Radcliffe 2007) — the experiment readback
+    * that grades a TARGETING score: walking the population from the
+    * highest score down, how many extra conversions did treatment
+    * buy vs the control baseline at the same depth,
+    *
+    *   qini(k) = ct_k − cc_k · nt_k / nc_k
+    *
+    * (cumulative treated conversions minus depth-scaled control
+    * conversions). The curve is computed on the score's VALUE table
+    * — one reduction to per-score-value arm counts, cumulative
+    * windows over that bounded table, never a corpus sort (the q122
+    * cut-table discipline) — so `scoreCol` must be bounded-domain
+    * (a band/bucket/decile, as production uplift scores are). Qini
+    * in sign-symmetric exact milli-conversions; the per-depth
+    * uplift-rate difference in sign-symmetric exact ppm.
+    */
+  def qiniCurve(df: DataFrame, scoreCol: String, treatCol: String,
+                outcomeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.groupBy(col(scoreCol).cast("bigint").as("score"))
+      .agg(
+        sum(when(col(treatCol), 1L).otherwise(0L)).as("__nt"),
+        sum(when(col(treatCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("__ct"),
+        sum(when(!col(treatCol), 1L).otherwise(0L)).as("__nc"),
+        sum(when(!col(treatCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("__cc"))
+    val tot = vals.agg(sum(expr("__nt + __nc")).cast("bigint").as("__n"))
+    // score-domain-bounded cumulative windows, highest score first
+    val w = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pos = "CAST(ct AS DECIMAL(38,0)) * nc - CAST(cc AS DECIMAL(38,0)) * nt"
+    val neg = "CAST(cc AS DECIMAL(38,0)) * nt - CAST(ct AS DECIMAL(38,0)) * nc"
+    vals
+      .withColumn("nt", sum("__nt").over(w))
+      .withColumn("ct", sum("__ct").over(w))
+      .withColumn("nc", sum("__nc").over(w))
+      .withColumn("cc", sum("__cc").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("score"), col("nt"), col("ct"), col("nc"), col("cc"),
+        expr("CAST((1000000 * (nt + nc)) div __n AS BIGINT)")
+          .as("depth_ppm"),
+        expr("CASE WHEN CAST(ct AS DECIMAL(38,0)) * nc >= " +
+          "CAST(cc AS DECIMAL(38,0)) * nt THEN " +
+          s"CAST((1000 * ($pos)) div greatest(nc, 1) AS BIGINT) " +
+          s"ELSE -CAST((1000 * ($neg)) div greatest(nc, 1) AS BIGINT) " +
+          "END").as("qini_milli"),
+        expr("CASE WHEN CAST(ct AS DECIMAL(38,0)) * nc >= " +
+          "CAST(cc AS DECIMAL(38,0)) * nt THEN " +
+          s"CAST((1000000 * ($pos)) div " +
+          "greatest(CAST(nt AS DECIMAL(38,0)) * nc, 1) AS BIGINT) " +
+          s"ELSE -CAST((1000000 * ($neg)) div " +
+          "greatest(CAST(nt AS DECIMAL(38,0)) * nc, 1) AS BIGINT) " +
+          "END").as("uplift_ppm"))
+  }
+
   /** Coarsened exact matching ATT (Iacus, King & Porro, Political
     * Analysis 2012) — the observational-causal companion to
     * [[didReport]] and [[cupedAbTest]]: when treatment was NOT

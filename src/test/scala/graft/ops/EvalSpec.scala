@@ -424,6 +424,42 @@ class EvalSpec extends SparkSpec {
     assert(ra.getAs[Long]("ari_x1e6") === -500000L)
   }
 
+  test("cmhTest: hand E/V strata terms, chi2, MH odds ratio") {
+    import spark.implicits._
+    // S1: treated (2 conv, 1 not), control (1 conv, 2 not)
+    // S2: perfectly balanced 1/1/1/1
+    val rows =
+      Seq.fill(2)(("S1", true, true)) ++ Seq(("S1", true, false)) ++
+      Seq(("S1", false, true)) ++ Seq.fill(2)(("S1", false, false)) ++
+      Seq(("S2", true, true), ("S2", true, false),
+        ("S2", false, true), ("S2", false, false))
+    val out = Eval.cmhTest(rows.toDF("g", "t", "y"), "g", "t", "y")
+      .collect().head
+    // E: 1.5e6 + 1e6; V: 450000 + 333333; ad6: 666666 + 250000;
+    // bc6: 166666 + 250000
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) === ((2L, 3L, 2500000L, 783333L)))
+    // chi2 = round(1000 * (0.5e6)^2 / (1e6 * 783333)) = 319
+    assert(out.getLong(4) === 319L)
+    // OR = 1000 * 916666 / 416666 = 2200
+    assert(out.getLong(5) === 2200L)
+  }
+
+  test("qiniCurve: cumulative uplift incl. the negative tail") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(2)((2L, true, true)) ++ Seq.fill(2)((2L, false, false)) ++
+      Seq.fill(2)((1L, true, false)) ++ Seq.fill(2)((1L, false, true)) ++
+      Seq((0L, true, false), (0L, false, true))
+    val out = Eval.qiniCurve(rows.toDF("s", "t", "y"), "s", "t", "y")
+      .orderBy(desc("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq === Seq(
+      (2L, 400000L, 2000L, 1000000L), // top band: pure treated lift
+      (1L, 800000L, 0L, 0L),          // lift cancels at depth 8/10
+      (0L, 1000000L, -1000L, -200000L))) // control-heavy tail
+  }
+
   test("cemAtt: hand strata, drop rule, treated-weighted ATT") {
     import spark.implicits._
     val rows = Seq(
