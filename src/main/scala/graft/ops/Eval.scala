@@ -377,13 +377,33 @@ object Eval {
     * first aggregation.
     */
   def cmhTest(df: DataFrame, strataCol: String, treatCol: String,
-              outcomeCol: String): DataFrame = {
-    val st = df.groupBy(col(strataCol).as("__s"))
+              outcomeCol: String): DataFrame =
+    cmhFromStrataDf(df.groupBy(col(strataCol).as("__s"))
       .agg(
         sum(when(col(treatCol) && col(outcomeCol), 1L).otherwise(0L)).as("a"),
         sum(when(col(treatCol) && !col(outcomeCol), 1L).otherwise(0L)).as("b"),
         sum(when(!col(treatCol) && col(outcomeCol), 1L).otherwise(0L)).as("c"),
-        sum(when(!col(treatCol) && !col(outcomeCol), 1L).otherwise(0L)).as("d"))
+        sum(when(!col(treatCol) && !col(outcomeCol), 1L).otherwise(0L))
+          .as("d")))
+
+  /** Build the [[cmhTest]] report from externally accumulated
+    * per-stratum (stratum, a, b, c, d) cell counts — the counts are
+    * ADDITIVE across micro-batches, so a foreachBatch folds them and
+    * emits the live stratified test through the SAME arithmetic
+    * (the [[chiSquaredFromCounts]] streaming-readback convention).
+    */
+  def cmhFromCounts(spark: org.apache.spark.sql.SparkSession,
+                    counts: Seq[(String, Long, Long, Long, Long)])
+      : DataFrame = {
+    import spark.implicits._
+    cmhFromStrataDf(counts.toDF("__s", "a", "b", "c", "d"))
+  }
+
+  /** The CMH E/V/χ²/OR arithmetic over a (stratum, a, b, c, d)
+    * table — shared VERBATIM by [[cmhTest]] and [[cmhFromCounts]].
+    */
+  private def cmhFromStrataDf(st0: DataFrame): DataFrame = {
+    val st = st0
       .withColumn("n", expr("a + b + c + d"))
       .withColumn("e6", expr(
         "CAST((1000000 * CAST(a + b AS DECIMAL(38,0)) * (a + c)) " +
@@ -430,16 +450,34 @@ object Eval {
     * uplift-rate difference in sign-symmetric exact ppm.
     */
   def qiniCurve(df: DataFrame, scoreCol: String, treatCol: String,
-                outcomeCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vals = df.groupBy(col(scoreCol).cast("bigint").as("score"))
+                outcomeCol: String): DataFrame =
+    qiniFromValsDf(df.groupBy(col(scoreCol).cast("bigint").as("score"))
       .agg(
         sum(when(col(treatCol), 1L).otherwise(0L)).as("__nt"),
         sum(when(col(treatCol) && col(outcomeCol), 1L).otherwise(0L))
           .as("__ct"),
         sum(when(!col(treatCol), 1L).otherwise(0L)).as("__nc"),
         sum(when(!col(treatCol) && col(outcomeCol), 1L).otherwise(0L))
-          .as("__cc"))
+          .as("__cc")))
+
+  /** Build the [[qiniCurve]] from externally accumulated per-score
+    * (score, n_treated, conv_treated, n_control, conv_control) arm
+    * counts — additive across micro-batches, so a foreachBatch folds
+    * them and emits the live uplift curve through the SAME
+    * arithmetic (the [[chiSquaredFromCounts]] convention).
+    */
+  def qiniFromCounts(spark: org.apache.spark.sql.SparkSession,
+                     counts: Seq[(Long, Long, Long, Long, Long)])
+      : DataFrame = {
+    import spark.implicits._
+    qiniFromValsDf(counts.toDF("score", "__nt", "__ct", "__nc", "__cc"))
+  }
+
+  /** The Qini cumulative arithmetic over a per-score arm-count
+    * table — shared VERBATIM by [[qiniCurve]] and [[qiniFromCounts]].
+    */
+  private def qiniFromValsDf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = vals.agg(sum(expr("__nt + __nc")).cast("bigint").as("__n"))
     // score-domain-bounded cumulative windows, highest score first
     val w = Window.orderBy(desc("score"))

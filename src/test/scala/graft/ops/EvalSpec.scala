@@ -445,6 +445,56 @@ class EvalSpec extends SparkSpec {
     assert(out.getLong(5) === 2200L)
   }
 
+  test("cmhFromCounts / qiniFromCounts: folded micro-batch counts ≡ batch") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(2)(("S1", true, true)) ++ Seq(("S1", true, false)) ++
+      Seq(("S1", false, true)) ++ Seq.fill(2)(("S1", false, false)) ++
+      Seq(("S2", true, true), ("S2", true, false),
+        ("S2", false, true), ("S2", false, false))
+    // fold per-stratum cells across two "micro-batches" by addition
+    val (h1, h2) = rows.splitAt(5)
+    def cells(b: Seq[(String, Boolean, Boolean)]) =
+      b.groupBy(_._1).map { case (g, rs) =>
+        g -> (rs.count(r => r._2 && r._3).toLong,
+          rs.count(r => r._2 && !r._3).toLong,
+          rs.count(r => !r._2 && r._3).toLong,
+          rs.count(r => !r._2 && !r._3).toLong)
+      }
+    val folded = (cells(h1).toSeq ++ cells(h2).toSeq)
+      .groupBy(_._1).map { case (g, cs) =>
+        (g, cs.map(_._2._1).sum, cs.map(_._2._2).sum,
+          cs.map(_._2._3).sum, cs.map(_._2._4).sum)
+      }.toSeq
+    val streamed = Eval.cmhFromCounts(spark, folded).collect().head
+    val batch = Eval.cmhTest(rows.toDF("g", "t", "y"), "g", "t", "y")
+      .collect().head
+    assert(streamed.toSeq === batch.toSeq)
+
+    val urows =
+      Seq.fill(2)((2L, true, true)) ++ Seq.fill(2)((2L, false, false)) ++
+      Seq.fill(2)((1L, true, false)) ++ Seq.fill(2)((1L, false, true)) ++
+      Seq((0L, true, false), (0L, false, true))
+    val (u1, u2) = urows.splitAt(4)
+    def arms(b: Seq[(Long, Boolean, Boolean)]) =
+      b.groupBy(_._1).map { case (s, rs) =>
+        s -> (rs.count(_._2).toLong,
+          rs.count(r => r._2 && r._3).toLong,
+          rs.count(!_._2).toLong,
+          rs.count(r => !r._2 && r._3).toLong)
+      }
+    val ufolded = (arms(u1).toSeq ++ arms(u2).toSeq)
+      .groupBy(_._1).map { case (s, cs) =>
+        (s, cs.map(_._2._1).sum, cs.map(_._2._2).sum,
+          cs.map(_._2._3).sum, cs.map(_._2._4).sum)
+      }.toSeq
+    val ustreamed = Eval.qiniFromCounts(spark, ufolded)
+      .orderBy(desc("score")).collect().map(_.toSeq)
+    val ubatch = Eval.qiniCurve(urows.toDF("s", "t", "y"), "s", "t", "y")
+      .orderBy(desc("score")).collect().map(_.toSeq)
+    assert(ustreamed.toSeq === ubatch.toSeq)
+  }
+
   test("qiniCurve: cumulative uplift incl. the negative tail") {
     import spark.implicits._
     val rows =
