@@ -1279,14 +1279,19 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"))
       .localCheckpoint() // interval grid + membership + report
+    // bin-table-bounded inequality joins: broadcast the right sides
+    // explicitly so the plan is a BroadcastNestedLoopJoin over the
+    // ≤ B-row table, never a CartesianProduct (checkpointed tables
+    // lose size estimates and would otherwise plan cartesian)
     val iv = cells.select(col("bin").as("i"))
-      .join(cells.select(col("bin").as("j")), col("i") <= col("j"))
-      .join(cells, col("bin") >= col("i") && col("bin") <= col("j"))
+      .join(broadcast(cells.select(col("bin").as("j"))),
+        col("i") <= col("j"))
+      .join(broadcast(cells), col("bin") >= col("i") && col("bin") <= col("j"))
       .groupBy("i", "j")
       .agg(expr("CAST((1000000 * sum(CAST(pos AS DECIMAL(38,0)))) div " +
         "sum(CAST(n AS DECIMAL(38,0))) AS BIGINT)").as("m_ppm"))
     val fit = iv
-      .join(cells.select(col("bin").as("k")),
+      .join(broadcast(cells.select(col("bin").as("k"))),
         col("i") <= col("k") && col("j") >= col("k"))
       .groupBy("k", "i").agg(min("m_ppm").as("lo"))
       .groupBy("k").agg(max("lo").as("iso_ppm"))
