@@ -356,16 +356,48 @@ object TextStats {
   def qlRetrieve(docs: DataFrame, idCol: String, textCol: String,
                  terms: DataFrame, termCol: String,
                  mu: Long = 2048, k: Int = 100): DataFrame = {
-    require(mu > 0 && (mu & (mu - 1)) == 0, s"mu must be a power of two, got $mu")
     val toks = docs.select(col(idCol).as("__id"),
       TextFns.tokens(col(textCol)).as("w"))
     val dl = toks.select(col("__id"), size(col("w")).cast("bigint").as("dl"))
     val tok = toks.select(col("__id"), explode(col("w")).as("t"))
-    val stats = dl.agg(sum("dl").as("tot"))
-    val nq = terms.select(col(termCol).as("t")).agg(count(lit(1)).as("nq"))
     val hitTok = tok.join(broadcast(terms.select(col(termCol).as("t"))), "t")
     val cf = hitTok.groupBy("t").agg(count(lit(1)).as("cf"))
     val tf = hitTok.groupBy("__id", "t").agg(count(lit(1)).as("tf"))
+    qlScore(tf, cf, dl,
+        terms.select(col(termCol).as("t")).agg(count(lit(1)).as("nq")),
+        mu, k)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Probe a persisted [[Bm25Index]] with the Dirichlet QL ranker —
+    * the same build-once/probe-forever lifecycle as [[bm25Probe]],
+    * same index, different scoring model: cf comes from the probe
+    * terms' postings (Σ tf per term), T from the dl table, and the
+    * IDENTICAL scoring stage as [[qlRetrieve]] (shared [[qlScore]] —
+    * specced row-for-row equal).
+    */
+  def qlProbe(index: Bm25Index, terms: DataFrame, termCol: String,
+              mu: Long = 2048, k: Int = 100): DataFrame = {
+    val qt = broadcast(terms.select(col(termCol).as("t")))
+    val cf = index.postings.join(qt, "t")
+      .groupBy("t").agg(sum("tf").cast("bigint").as("cf"))
+    val tf = index.postings.join(qt, "t")
+      .select(col("id").as("__id"), col("t"), col("tf"))
+    qlScore(tf, cf, index.dl.withColumnRenamed("id", "__id"),
+      terms.select(col(termCol).as("t")).agg(count(lit(1)).as("nq")),
+      mu, k)
+  }
+
+  /** The Dirichlet gain+prior scoring stage over (doc, term, tf)
+    * hits, term cf, doc lengths and the one-row |q| — shared
+    * VERBATIM by [[qlRetrieve]] and [[qlProbe]] so batch and
+    * index-probe scoring cannot drift. Output keyed `id`.
+    */
+  private def qlScore(tf: DataFrame, cf: DataFrame, dl: DataFrame,
+                      nq: DataFrame, mu: Long, k: Int): DataFrame = {
+    require(mu > 0 && (mu & (mu - 1)) == 0,
+      s"mu must be a power of two, got $mu")
+    val stats = dl.agg(sum("dl").as("tot"))
     val hits = tf.join(broadcast(cf), "t")
       .crossJoin(broadcast(stats))
       .withColumn("qa", expr(s"(tf * tot + $mu * cf) * 1024"))
@@ -383,7 +415,7 @@ object TextStats {
           s"nq * (CAST($e8mu AS BIGINT) - (${mitchellE8Sql("qd")}))"))
       .orderBy(desc("ql_e8"), col("__id"))
       .limit(k)
-      .select(col("__id").as(idCol), col("dl").as("n_tokens"),
+      .select(col("__id").as("id"), col("dl").as("n_tokens"),
         coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"),
         col("ql_e8"))
   }

@@ -859,6 +859,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2) === ((1L, 4L, 4L, 4L, 4L, 1000000L, 1000000L, 1000000L)))
   }
 
+  test("qlProbe on the persisted-index tables ≡ qlRetrieve (differential)") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana date"),
+      (3L, "cherry apple apple apple"),
+      (4L, "elder fig grape"))
+      .toDF("doc_id", "text")
+    val terms = Seq("apple", "banana").toDF("t")
+    val batch = TextStats.qlRetrieve(docs, "doc_id", "text", terms, "t",
+        k = 10)
+      .collect().map(_.toSeq)
+    val idx = TextStats.bm25IndexBuild(docs, "doc_id", "text")
+    val probed = TextStats.qlProbe(idx, terms, "t", k = 10)
+      .collect().map(_.toSeq)
+    assert(probed.toSeq === batch.toSeq)
+  }
+
   test("qlRetrieve: the gain separates a matched doc once tf·T ≳ μ·cf") {
     // one rare term in a big corpus: cf = 1, T ≈ 10000 ≫ μ, so the
     // matched doc must STRICTLY outrank an unmatched doc of equal dl
