@@ -329,7 +329,7 @@ object Bench {
       "q292_phonetic_blocking", "q293_ql_retrieval", "q294_silhouette",
       "q295_krippendorff", "q296_t_closeness", "q297_cem_att",
       "q298_holt_winters", "q299_token_f1", "q300_hits",
-      "q301_cmh_test", "q302_qini_curve")
+      "q301_cmh_test", "q302_qini_curve", "q303_jw_verify")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

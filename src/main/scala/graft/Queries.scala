@@ -3604,6 +3604,23 @@ object Queries {
       .orderBy(col("role"), desc("score_p12"), col("node"))
   }
 
+  /** Jaro–Winkler verification of the q292 phonetic candidate pairs
+    * ([[graft.functions.JaroWinkler]] — native codegen'd exact
+    * integer rationals): blocking proposes sound-alikes, the
+    * comparator scores them — the classic two-stage linkage verify.
+    * NO SQL twin by design: the matching-window walk is a sequential
+    * per-pair algorithm with no set-based SQL form, and library
+    * floats differ in the last ulp anyway — the expression is pinned
+    * by the published Winkler vectors as exact rationals
+    * (`GraftFunctionsSpec`) and the q292 pair source is itself
+    * oracle-gated, so this entry takes the rows-only check.
+    */
+  val q303_jw_verify: Q = (s, d) =>
+    graft.dedup.Linkage.phoneticBlocks(Tables.part(s, d), "p_name")
+      .withColumn("jw_x1e6",
+        graft.functions.JaroWinkler(col("word_a"), col("word_b")))
+      .orderBy("pkey", "word_a", "word_b")
+
   /** Item–item collaborative similarity over customer part baskets
     * ([[graft.ops.Funnel.itemSimilarity]]): "customers who bought X
     * also bought Y" scored by exact-ppm SQUARED Ochiai (binary-vector
@@ -5041,5 +5058,6 @@ object Queries {
     "q299_token_f1" -> q299_token_f1,
     "q300_hits" -> q300_hits,
     "q301_cmh_test" -> q301_cmh_test,
-    "q302_qini_curve" -> q302_qini_curve)
+    "q302_qini_curve" -> q302_qini_curve,
+    "q303_jw_verify" -> q303_jw_verify)
 }

@@ -39,6 +39,7 @@ object GraftFunctions {
     "graft_fingerprint64" -> viaColumns { case Seq(t) => TextFns.fingerprint64(t) },
     "graft_simhash" -> viaColumns { case Seq(t) => Dedup.simhash(t) },
     "graft_word_jaccard" -> viaColumns { case Seq(a, b) => Dedup.wordJaccard(a, b) },
+    "graft_jaro_winkler" -> viaColumns { case Seq(a, b) => JaroWinkler(a, b) },
     "graft_envelope_ok" -> viaColumns { case Seq(v) => ConfluentEnvelope.hasEnvelope(v) },
     "graft_schema_id" -> viaColumns { case Seq(v) => ConfluentEnvelope.schemaId(v) },
     "graft_avro_body" -> viaColumns { case Seq(v) => ConfluentEnvelope.avroBody(v) },

@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class GraftFunctionsSpec extends SparkSpec {
   import spark.implicits._
@@ -103,6 +104,36 @@ class GraftFunctionsSpec extends SparkSpec {
     // integral literals still work (LONG literal within Int range)
     assert(spark.sql("SELECT graft_kmv_agg(graft_hash61(v), CAST(4 AS BIGINT)) AS s FROM lk")
       .collect().head.getAs[Seq[Long]]("s").size === 4)
+  }
+
+  test("JaroWinkler: classic published vectors as exact rationals") {
+    val pairs = Seq(
+      ("MARTHA", "MARHTA"),   // jaro 17/18, l=3 -> 173/180
+      ("DIXON", "DICKSONX"),  // jaro 23/30, l=2 -> 0.813333
+      ("DWAYNE", "DUANE"),    // jaro 37/45, l=1 -> 0.84
+      ("abcd", "badc"),       // all transposed, l=0: stays jaro 5/6
+      ("abq", "axy"),         // jaro 5/9 <= 0.7: prefix boost gated
+      ("same", "same"), ("", ""), ("x", ""), ("abc", "xyz"))
+      .toDF("a", "b")
+    val m = pairs.select(col("a"),
+        graft.functions.JaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("MARTHA") === 1000000L * 173 / 180) // 961111
+    assert(m("DIXON") === 813333L)
+    assert(m("DWAYNE") === 840000L)
+    assert(m("abcd") === 1000000L * 5 / 6) // 833333, unboosted (l=0)
+    assert(m("abq") === 555555L)           // below the 0.7 gate
+    assert(m("abc") === 0L)                // disjoint
+    assert(m("same") === 1000000L)
+    assert(m("") === 1000000L)             // two empties are equal
+    assert(m("x") === 0L)
+    // symmetric and registered through SQL
+    graft.functions.GraftFunctions.register(spark)
+    val sym = spark.sql(
+      "SELECT graft_jaro_winkler('DIXON', 'DICKSONX') AS x, " +
+        "graft_jaro_winkler('DICKSONX', 'DIXON') AS y")
+      .collect().head
+    assert(sym.getLong(0) === 813333L && sym.getLong(1) === 813333L)
   }
 
   test("extensions class registers the same surface") {
