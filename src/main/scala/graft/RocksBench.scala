@@ -37,10 +37,21 @@ object RocksBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // best-of-2 per cell (the StatefulBench discipline): pass 1 warms
+    // the JVM/JNI and absorbs the parent phases' load spike; the
+    // second pass is SKIPPED when pass 1 ran into its deadline (a
+    // wedged host won't improve, and two full 300 s deadlines per
+    // cell would blow the parent's 12-minute watchdog).
     val cells = Seq(1000000L, 2000000L).map { n =>
-      val (rows, sec, nBatches) =
-        Bench.measureStateful(spark, n, cpus.toInt, deadlineSec = 300L)
-      n -> Bench.sweepValue(rows, sec, nBatches, 4)
+      def pass() = {
+        val (rows, sec, nBatches) =
+          Bench.measureStateful(spark, n, cpus.toInt, deadlineSec = 300L)
+        (Bench.sweepValue(rows, sec, nBatches, 4), sec)
+      }
+      val (v1, sec1) = pass()
+      val best = if (v1 < 0 || sec1 >= 240) v1
+        else math.max(v1, pass()._1)
+      n -> best
     }
     val json = cells.map { case (n, rps) =>
       "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)

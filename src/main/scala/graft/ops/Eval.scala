@@ -1077,6 +1077,55 @@ object Eval {
       s"WHEN ($rankE) = $k THEN CAST(${bhZcritX1000(k, m, qPpm)} AS BIGINT)")
       .mkString(" ") + " ELSE CAST(0 AS BIGINT) END)"
 
+  /** Two-proportion sample-size table (the classic normal-
+    * approximation design formula, Fleiss 1981) — the question every
+    * q244/q301-style readback begs: how many units PER ARM before the
+    * observed lift is even testable. Per group, baseline rate p₁
+    * comes from the data, the target p₂ = p₁ + relative MDE, and
+    *
+    *   n = (z_{1−α/2}·√(2·p̄·q̄) + z_{1−β}·√(p₁q₁ + p₂q₂))² / (p₂−p₁)²
+    *
+    * Everything is exact ppm except the TWO floor(√) steps (IEEE
+    * sqrt of an exact integer is correctly rounded — the
+    * cumSqrtFStrata convention) and the z's, which are emitted
+    * [[invNorm]] literals ×10⁶ (the q284 one-emitter discipline) —
+    * no normal CDF ever runs inside a plan. The final n is one
+    * ceiling DECIMAL division (sample sizes round UP).
+    *
+    * Scale shape: ONE partial aggregation to the group-count table;
+    * everything after is group-domain-bounded arithmetic.
+    */
+  def sampleSizeTwoProportions(df: DataFrame, groupCol: String,
+                               successExpr: org.apache.spark.sql.Column,
+                               mdeRelPct: Int = 10,
+                               alphaPpm: Long = 50000L,
+                               powerPpm: Long = 800000L): DataFrame = {
+    require(mdeRelPct >= 1, s"mdeRelPct=$mdeRelPct must be >= 1")
+    val zA = math.round(1e6 * invNorm(1 - alphaPpm / 1e6 / 2))
+    val zB = math.round(1e6 * invNorm(powerPpm / 1e6))
+    df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(successExpr.cast("bigint")).as("k"))
+      .withColumn("p1_ppm", expr("CAST((1000000 * k) div n AS BIGINT)"))
+      .withColumn("p2_ppm", expr(
+        s"least(p1_ppm + ($mdeRelPct * p1_ppm) div 100, " +
+          "CAST(999999 AS BIGINT))"))
+      .withColumn("__pb", expr("(p1_ppm + p2_ppm) div 2"))
+      .withColumn("__sa", expr(
+        "CAST(floor(sqrt(2 * __pb * (1000000 - __pb))) AS BIGINT)"))
+      .withColumn("__sb", expr(
+        "CAST(floor(sqrt(p1_ppm * (1000000 - p1_ppm) + " +
+          "p2_ppm * (1000000 - p2_ppm))) AS BIGINT)"))
+      .withColumn("__num", expr(
+        s"CAST($zA AS DECIMAL(38,0)) * __sa + CAST($zB AS DECIMAL(38,0)) * __sb"))
+      .withColumn("__den", expr(
+        "CAST(greatest(p2_ppm - p1_ppm, 1) AS DECIMAL(38,0)) * " +
+          "greatest(p2_ppm - p1_ppm, 1) * 1000000000000"))
+      .select(col("g").as(groupCol), col("n"), col("k"),
+        col("p1_ppm"), col("p2_ppm"),
+        expr("CAST((__num * __num + __den - 1) div __den AS BIGINT)")
+          .as("n_per_arm"))
+  }
+
   /** Benjamini–Hochberg FDR screen (Benjamini & Hochberg 1995) over a
     * FAMILY of per-group two-proportion tests — the multiple-testing
     * guard a metrics pipeline needs before reading m simultaneous

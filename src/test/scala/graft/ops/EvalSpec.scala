@@ -445,6 +445,41 @@ class EvalSpec extends SparkSpec {
     assert(out.getLong(5) === 2200L)
   }
 
+  test("sampleSizeTwoProportions: formula replay and the textbook figure") {
+    import spark.implicits._
+    // group A: 20% baseline (the Fleiss running example: +10% rel
+    // lift at alpha 5% / power 80% needs ~6.5k per arm); B: rare 1%
+    val rows = Seq.fill(20)(("A", true)) ++ Seq.fill(80)(("A", false)) ++
+      Seq.fill(1)(("B", true)) ++ Seq.fill(99)(("B", false))
+    val out = Eval.sampleSizeTwoProportions(rows.toDF("g", "s"), "g",
+        org.apache.spark.sql.functions.col("s"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val zA = math.round(1e6 * Eval.invNorm(1 - 0.05 / 2))
+    val zB = math.round(1e6 * Eval.invNorm(0.8))
+    def nArm(n: Long, k: Long): (Long, Long, Long) = {
+      val p1 = 1000000L * k / n
+      val p2 = math.min(p1 + 10 * p1 / 100, 999999L)
+      val pb = (p1 + p2) / 2
+      val sa = math.floor(math.sqrt((2 * pb * (1000000 - pb)).toDouble)).toLong
+      val sb = math.floor(math.sqrt(
+        (p1 * (1000000 - p1) + p2 * (1000000 - p2)).toDouble)).toLong
+      val num = BigInt(zA) * sa + BigInt(zB) * sb
+      val d = math.max(p2 - p1, 1)
+      val den = BigInt(d) * d * BigInt("1000000000000")
+      (p1, p2, ((num * num + den - 1) / den).toLong)
+    }
+    val (p1a, p2a, na) = nArm(100, 20)
+    val (p1b, p2b, nb) = nArm(100, 1)
+    assert(out.toSeq === Seq(
+      ("A", 100L, 20L, p1a, p2a, na), ("B", 100L, 1L, p1b, p2b, nb)))
+    // the 20%-baseline +10%-relative case lands at the textbook ~6.5k
+    assert(na > 6300 && na < 6700, s"na=$na")
+    // rarer baselines need far larger samples
+    assert(nb > 10 * na)
+  }
+
   test("cmhFromCounts / qiniFromCounts: folded micro-batch counts ≡ batch") {
     import spark.implicits._
     val rows =
