@@ -396,7 +396,7 @@ object Bench {
       "q295_krippendorff", "q296_t_closeness", "q297_cem_att",
       "q298_holt_winters", "q299_token_f1", "q300_hits",
       "q301_cmh_test", "q302_qini_curve", "q303_jw_verify",
-      "q304_sample_size")
+      "q304_sample_size", "q305_cronbach", "q306_sprt")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

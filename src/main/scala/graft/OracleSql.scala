@@ -588,6 +588,8 @@ object OracleSql {
     "q301_cmh_test" -> Gen.cmhTestSql,
     "q302_qini_curve" -> Gen.qiniCurveSql,
     "q304_sample_size" -> Gen.sampleSizeSql,
+    "q305_cronbach" -> Gen.cronbachSql,
+    "q306_sprt" -> Gen.sprtSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -5938,6 +5940,81 @@ object OracleSql {
       * discipline keeps the BH surface engine-exact despite the
       * normal quantile in its definition.
       */
+    /** Twin of q305_cronbach: the per-year CASE-sum pivot, the same
+      * common-denominator variance sums through HUGEINT, the same
+      * sign-symmetric alpha CASE.
+      */
+    def cronbachSql: String =
+      s"""WITH o AS (SELECT o_custkey, year(o_orderdate) AS y,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders),
+         |per AS (SELECT o_custkey,
+         |    CAST(sum(CASE WHEN y = 1994 THEN c END) AS BIGINT) AS y94,
+         |    CAST(sum(CASE WHEN y = 1995 THEN c END) AS BIGINT) AS y95,
+         |    CAST(sum(CASE WHEN y = 1996 THEN c END) AS BIGINT) AS y96
+         |  FROM o WHERE y BETWEEN 1994 AND 1996 GROUP BY 1),
+         |base AS (SELECT coalesce(y94, 0) AS i0, coalesce(y95, 0) AS i1,
+         |    coalesce(y96, 0) AS i2
+         |  FROM customer LEFT JOIN per ON o_custkey = c_custkey),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(i0) AS BIGINT) AS s0, sum(CAST(i0 AS HUGEINT) * i0) AS q0,
+         |    CAST(sum(i1) AS BIGINT) AS s1, sum(CAST(i1 AS HUGEINT) * i1) AS q1,
+         |    CAST(sum(i2) AS BIGINT) AS s2, sum(CAST(i2 AS HUGEINT) * i2) AS q2,
+         |    CAST(sum(i0 + i1 + i2) AS BIGINT) AS st,
+         |    sum(CAST(i0 + i1 + i2 AS HUGEINT) * (i0 + i1 + i2)) AS qt
+         |  FROM base),
+         |v AS (SELECT n,
+         |    (n * q0 - CAST(s0 AS HUGEINT) * s0)
+         |      + (n * q1 - CAST(s1 AS HUGEINT) * s1)
+         |      + (n * q2 - CAST(s2 AS HUGEINT) * s2) AS S,
+         |    n * qt - CAST(st AS HUGEINT) * st AS T
+         |  FROM agg)
+         |SELECT n, CAST(3 AS BIGINT) AS k,
+         |  CASE WHEN T <= 0 THEN CAST(0 AS BIGINT)
+         |    WHEN T >= S THEN CAST((1000000 * 3 * (T - S)) // (2 * T)
+         |      AS BIGINT)
+         |    ELSE -CAST((1000000 * 3 * (S - T)) // (2 * T) AS BIGINT)
+         |  END AS alpha_ppm
+         |FROM v""".stripMargin
+
+    /** Twin of q306_sprt: the q304 base counts, the IDENTICAL
+      * generated Mitchell-log CASEs over p·2²⁰ and the same emitted
+      * Wald boundary literals.
+      */
+    def sprtSql: String = {
+      def e256(c: String) = graft.ops.TextStats.mitchellE256Sql(
+        c, divOp = "//")
+      val (upE256, loE256) = graft.ops.Eval.sprtBoundsE256(50000L, 200000L)
+      s"""WITH base AS (SELECT c_nationkey AS g,
+         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS sx
+         |  FROM orders JOIN customer ON c_custkey = o_custkey),
+         |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(sx) AS BIGINT) AS k
+         |  FROM base GROUP BY g),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    CAST(sum(k) AS BIGINT) AS kt FROM cnt),
+         |p AS (SELECT cnt.*,
+         |    greatest(CAST((1000000 * kt) // greatest(nt, 1) AS BIGINT), 1)
+         |      AS p0_ppm
+         |  FROM cnt CROSS JOIN tot),
+         |p2 AS (SELECT *, CAST(least(p0_ppm + (10 * p0_ppm) // 100,
+         |    999999) AS BIGINT) AS p1_ppm
+         |  FROM p),
+         |r AS (SELECT *,
+         |    CAST((p1_ppm * ${1L << 20}) // p0_ppm AS BIGINT) AS r1,
+         |    CAST(((1000000 - p0_ppm) * ${1L << 20}) //
+         |      (1000000 - p1_ppm) AS BIGINT) AS r0
+         |  FROM p2),
+         |l AS (SELECT *, CAST(k * ((${e256("r1")}) - 5120)
+         |    - (n - k) * ((${e256("r0")}) - 5120) AS BIGINT) AS llr_e256
+         |  FROM r)
+         |SELECT g, n, k, p0_ppm, p1_ppm, llr_e256,
+         |  CASE WHEN llr_e256 >= $upE256 THEN 'accept_h1'
+         |    WHEN llr_e256 <= $loE256 THEN 'accept_h0'
+         |    ELSE 'continue' END AS decision
+         |FROM l ORDER BY g""".stripMargin
+    }
+
     /** Twin of q304_sample_size: the q284 base, the SAME emitted
       * invNorm ×10⁶ literals, the same two floor(sqrt) steps and
       * ceiling HUGEINT division.

@@ -183,6 +183,9 @@ object PlanAudit {
     // bounded cumulative table (q122's cut-table shape); the window
     // runs over the bounded band table only
     "q302_qini_curve",
+    // ONE-row pooled-rate totals cross-joined into the group-domain-
+    // bounded count table — broadcast scalar by design
+    "q306_sprt",
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
     "q181_discriminative_words",

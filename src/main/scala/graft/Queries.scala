@@ -4577,6 +4577,41 @@ object Queries {
       "c_nationkey", expr("o_orderpriority = '1-URGENT'"))
       .orderBy("c_nationkey")
 
+  /** Cronbach's α ([[graft.ops.Profile.cronbachAlpha]]) of the
+    * three-year customer-spend "scale" (items = 1994/1995/1996 spend
+    * cents per customer): is multi-year spend one reliable construct
+    * — the reliability lens beside the q295/q180 agreement family.
+    * Fully integer (common-denominator variances, sign-symmetric).
+    */
+  val q305_cronbach: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .where(col("y").between(1994, 1996))
+      .groupBy("o_custkey").pivot("y", Seq(1994, 1995, 1996)).sum("c")
+    val base = Tables.customer(s, d)
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("1994"), lit(0L)).as("y94"),
+        coalesce(col("1995"), lit(0L)).as("y95"),
+        coalesce(col("1996"), lit(0L)).as("y96"))
+    graft.ops.Profile.cronbachAlpha(base, Seq("y94", "y95", "y96"))
+  }
+
+  /** Wald SPRT decision table ([[graft.ops.Eval.sprtScreen]]) over
+    * the q304 per-nation URGENT rates: which nations have ALREADY
+    * crossed the always-valid sequential boundaries for a +10%
+    * relative lift over the pooled rate — the interim-peeking-safe
+    * companion to the fixed-n design. Integer eighth-bit-log LLR
+    * fold, emitted Wald boundaries.
+    */
+  val q306_sprt: Q = (s, d) =>
+    graft.ops.Eval.sprtScreen(
+      Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("o_orderpriority")),
+      "c_nationkey", expr("o_orderpriority = '1-URGENT'"))
+      .orderBy("g")
+
   /** Top principal component by integer power iteration
     * ([[graft.sim.Similarity.pcaTopComponent]]): the anisotropy lens
     * on the embedding corpus — explained-variance share of the
@@ -5075,5 +5110,7 @@ object Queries {
     "q301_cmh_test" -> q301_cmh_test,
     "q302_qini_curve" -> q302_qini_curve,
     "q303_jw_verify" -> q303_jw_verify,
-    "q304_sample_size" -> q304_sample_size)
+    "q304_sample_size" -> q304_sample_size,
+    "q305_cronbach" -> q305_cronbach,
+    "q306_sprt" -> q306_sprt)
 }

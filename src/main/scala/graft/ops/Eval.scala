@@ -1077,6 +1077,99 @@ object Eval {
       s"WHEN ($rankE) = $k THEN CAST(${bhZcritX1000(k, m, qPpm)} AS BIGINT)")
       .mkString(" ") + " ELSE CAST(0 AS BIGINT) END)"
 
+  /** Wald SPRT decision table (Wald 1945) over per-group Bernoulli
+    * counts — the ALWAYS-VALID sequential companion to the fixed-n
+    * [[sampleSizeTwoProportions]] design: at any interim (n, k) the
+    * log-likelihood ratio of H₁: p = p₀·(1+MDE) against H₀: p = p₀ is
+    *
+    *   LLR = k·log(p₁/p₀) + (n−k)·log(q₁/q₀)
+    *
+    * in integer 1/256-bit logs of the RATIOS — formulation matters
+    * here: a 10% MDE's per-trial weight is ~0.14 bits, and computing
+    * it as E(p₁·2²⁰) − E(p₀·2²⁰) puts the piecewise-linear
+    * interpolation error (≤ 0.086 bit) INSIDE a near-cancellation,
+    * which can flip the sign. Taking the Mitchell log of the ratio
+    * itself — w₁ = E256((p₁·2²⁰) div p₀) − 256·20, and the mirrored
+    * w₀ from q₀/q₁ ≥ 1 — keeps the error RELATIVE to the small
+    * weight (≤ ~5% at these ratios, sign-safe). Both ratios go
+    * through the SAME [[graft.ops.TextStats.mitchellE256Sql]]
+    * emitter in both engines, so the fold is integer-identical; the
+    * Wald boundaries 256·log₂((1−β)/α) and 256·log₂(β/(1−α)) are
+    * emitted literals.
+    * Decision: `accept_h1` / `accept_h0` / `continue`. p₀ is the
+    * POOLED rate (the q284 family convention).
+    *
+    * The (group, n, k) counts are additive across micro-batches —
+    * [[sprtFromCounts]] is the streaming readback
+    * ([[chiSquaredFromCounts]]'s convention): a foreachBatch folds
+    * the counts and re-reads the live decisions each trigger, which
+    * is exactly the monitoring mode SPRT exists for.
+    *
+    * Scale shape: ONE group reduction over the units; everything
+    * after is group-domain-bounded with a one-row pooled broadcast.
+    */
+  def sprtScreen(df: DataFrame, groupCol: String,
+                 successExpr: org.apache.spark.sql.Column,
+                 mdeRelPct: Int = 10, alphaPpm: Long = 50000L,
+                 betaPpm: Long = 200000L): DataFrame =
+    sprtFromCountsDf(
+      df.groupBy(col(groupCol).as("g"))
+        .agg(count(lit(1)).as("n"), sum(successExpr.cast("bigint")).as("k")),
+      mdeRelPct, alphaPpm, betaPpm)
+
+  /** Build the [[sprtScreen]] table from externally accumulated
+    * per-group (group, n, k) counts — the additive streaming form.
+    */
+  def sprtFromCounts(spark: org.apache.spark.sql.SparkSession,
+                     counts: Seq[(String, Long, Long)],
+                     mdeRelPct: Int = 10, alphaPpm: Long = 50000L,
+                     betaPpm: Long = 200000L): DataFrame = {
+    import spark.implicits._
+    sprtFromCountsDf(counts.toDF("g", "n", "k"), mdeRelPct, alphaPpm,
+      betaPpm)
+  }
+
+  /** The SPRT arithmetic over a (g, n, k) table — shared VERBATIM by
+    * [[sprtScreen]] and [[sprtFromCounts]].
+    */
+  private def sprtFromCountsDf(counts: DataFrame, mdeRelPct: Int,
+                               alphaPpm: Long, betaPpm: Long): DataFrame = {
+    import graft.ops.TextStats.mitchellE256Sql
+    val tot = counts.agg(sum("n").cast("bigint").as("__nt"),
+      sum("k").cast("bigint").as("__kt"))
+    val (upE256, loE256) = sprtBoundsE256(alphaPpm, betaPpm)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p0_ppm", expr(
+        "greatest(CAST((1000000 * __kt) div greatest(__nt, 1) AS BIGINT), 1)"))
+      .withColumn("p1_ppm", expr(
+        s"least(p0_ppm + ($mdeRelPct * p0_ppm) div 100, " +
+          "CAST(999999 AS BIGINT))"))
+      // both ratios >= 1 by construction, so both scaled ratios sit
+      // in the Mitchell domain
+      .withColumn("__r1", expr(
+        s"(p1_ppm * ${1L << 20}) div p0_ppm"))
+      .withColumn("__r0", expr(
+        s"((1000000 - p0_ppm) * ${1L << 20}) div (1000000 - p1_ppm)"))
+      .withColumn("llr_e256", expr(
+        s"k * ((${mitchellE256Sql("__r1")}) - 5120) - " +
+          s"(n - k) * ((${mitchellE256Sql("__r0")}) - 5120)"))
+      .select(col("g"), col("n"), col("k"), col("p0_ppm"), col("p1_ppm"),
+        col("llr_e256"),
+        expr(s"CASE WHEN llr_e256 >= $upE256 THEN 'accept_h1' " +
+          s"WHEN llr_e256 <= $loE256 THEN 'accept_h0' " +
+          "ELSE 'continue' END").as("decision"))
+  }
+
+  /** The emitted Wald boundary literals ×256 — shared by the Spark
+    * plan and the DuckDB twin.
+    */
+  def sprtBoundsE256(alphaPpm: Long, betaPpm: Long): (Long, Long) = {
+    val a = (1 - betaPpm / 1e6) / (alphaPpm / 1e6)
+    val b = (betaPpm / 1e6) / (1 - alphaPpm / 1e6)
+    (math.round(256 * math.log(a) / math.log(2)),
+      math.round(256 * math.log(b) / math.log(2)))
+  }
+
   /** Two-proportion sample-size table (the classic normal-
     * approximation design formula, Fleiss 1981) — the question every
     * q244/q301-style readback begs: how many units PER ARM before the

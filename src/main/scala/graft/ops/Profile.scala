@@ -996,6 +996,51 @@ object Profile {
           .as("kappa_x1000"))
   }
 
+  /** Cronbach's α (Cronbach, Psychometrika 1951) — internal-
+    * consistency reliability of a k-item scale: do the k per-unit
+    * measurements move together enough to be read as ONE construct
+    * (the q295/q180 agreement lens turned inward, on items instead
+    * of raters):
+    *
+    *   α = k/(k−1) · (1 − Σᵢ Var(itemᵢ) / Var(Σᵢ itemᵢ))
+    *
+    * Fully integer via the common-denominator variance form
+    * n·Σx² − (Σx)² (the n² divisor cancels in the ratio):
+    * alpha_ppm = sign-symmetric (10⁶·k·(T − S)) div ((k−1)·T) with
+    * S = Σᵢ (n·Σxᵢ² − (Σxᵢ)²) and T the same for the row totals —
+    * exact DECIMAL(38); a negative α (items moving against each
+    * other) survives the subtraction.
+    *
+    * `items` are integer expression strings evaluated per unit row.
+    * Scale shape: ONE (2k+3)-sum fold over the units; one-row report.
+    */
+  def cronbachAlpha(df: DataFrame, items: Seq[String]): DataFrame = {
+    require(items.size >= 2, s"need k >= 2 items, got ${items.size}")
+    val k = items.size
+    val tot = items.map(i => s"($i)").mkString(" + ")
+    val aggs =
+      items.zipWithIndex.flatMap { case (i, ix) =>
+        Seq(sum(expr(i)).as(s"__s$ix"),
+          sum(expr(s"CAST(($i) AS DECIMAL(38,0)) * ($i)")).as(s"__q$ix"))
+      } ++ Seq(count(lit(1)).as("n"),
+        sum(expr(tot)).as("__st"),
+        sum(expr(s"CAST(($tot) AS DECIMAL(38,0)) * ($tot)")).as("__qt"))
+    val sTerms = (0 until k).map(ix =>
+      s"(n * __q$ix - CAST(__s$ix AS DECIMAL(38,0)) * __s$ix)")
+      .mkString(" + ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__S", expr(sTerms))
+      .withColumn("__T", expr(
+        "n * __qt - CAST(__st AS DECIMAL(38,0)) * __st"))
+      .select(col("n"), lit(k.toLong).as("k"),
+        expr(s"CASE WHEN __T <= 0 THEN CAST(0 AS BIGINT) " +
+          s"WHEN __T >= __S THEN " +
+          s"CAST((1000000 * $k * (__T - __S)) div (${k - 1} * __T) " +
+          "AS BIGINT) ELSE " +
+          s"-CAST((1000000 * $k * (__S - __T)) div (${k - 1} * __T) " +
+          "AS BIGINT) END").as("alpha_ppm"))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
     * the distributional strengthening of [[kAnonymity]]'s l-diversity
     * column: an equivalence class leaks even with l distinct

@@ -136,6 +136,39 @@ object TextStats {
     s"(CASE $cases ELSE CAST(1 AS BIGINT) END)"
   }
 
+  /** 2^(floor(log2(q)) − 8) by the same threshold CASE — the exact
+    * 1/256 of [[pow2FloorCaseSql]] (valid because SHIFT ≥ 8).
+    */
+  def pow2FloorDiv256CaseSql(qE: String): String =
+    "(CASE " + (62 to LmShift by -1)
+      .map(i => s"WHEN $qE >= ${1L << i} THEN CAST(${1L << (i - 8)} AS BIGINT)")
+      .mkString(" ") + s" ELSE CAST(${1L << (LmShift - 8)} AS BIGINT) END)"
+
+  /** Mitchell log2 in 1/256-bit units — [[mitchellE8Sql]] with 32×
+    * finer interpolation, for surfaces where the ratio of interest is
+    * SMALL (an SPRT per-trial weight at a 10% MDE is 0.14 bits ≈ 1
+    * eighth-bit — below e8 resolution — but 35 e256 units). Same
+    * division-only no-overflow form, same [2^20, 2^63) domain, same
+    * one-emitter discipline; the piecewise-linear interpolation error
+    * (≤ ~0.086 bit) is unchanged — only the QUANTIZATION is finer.
+    */
+  def mitchellE256Sql(qE: String, divOp: String = "div"): String = {
+    val e = floorLog2CaseSql(qE)
+    val p = pow2FloorCaseSql(qE)
+    val p256 = pow2FloorDiv256CaseSql(qE)
+    s"(256 * $e + ($qE - $p) $divOp $p256)"
+  }
+
+  /** Scala mirror of [[mitchellE256Sql]] — same domain and clamp
+    * convention as [[mitchellE8Long]].
+    */
+  def mitchellE256Long(q: Long): Long = {
+    val qc = math.max(q, 1L << LmShift)
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(qc)
+    val p = 1L << e
+    256L * e + (qc - p) / (p >> 8)
+  }
+
   def mitchellE8Sql(qE: String, divOp: String = "div"): String = {
     val e = floorLog2CaseSql(qE)
     val p = pow2FloorCaseSql(qE)

@@ -445,6 +445,40 @@ class EvalSpec extends SparkSpec {
     assert(out.getLong(5) === 2200L)
   }
 
+  test("sprtScreen: mitchell-mirror LLR replay, decisions, counts ≡ rows") {
+    import spark.implicits._
+    def e256(x: Long) = graft.ops.TextStats.mitchellE256Long(x)
+    // pooled p0 = 3000/20000 = 150000 ppm, p1 = 165000
+    val counts = Seq(("hot", 10000L, 2000L), ("cold", 10000L, 1000L))
+    val out = Eval.sprtFromCounts(spark, counts)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(5), r.getString(6)))
+    def llr(n: Long, k: Long): Long = {
+      val p0 = 150000L; val p1 = 165000L
+      val r1 = (p1 << 20) / p0
+      val r0 = ((1000000L - p0) << 20) / (1000000L - p1)
+      k * (e256(r1) - 5120) - (n - k) * (e256(r0) - 5120)
+    }
+    assert(out.toSeq === Seq(
+      ("cold", llr(10000, 1000), "accept_h0"),
+      ("hot", llr(10000, 2000), "accept_h1")))
+    // the screen over exploded unit rows folds to the same table
+    val rows = counts.flatMap { case (g, n, k) =>
+      Seq.fill(k.toInt)((g, true)) ++ Seq.fill((n - k).toInt)((g, false))
+    }
+    val screened = Eval.sprtScreen(rows.toDF("g", "s"), "g",
+        org.apache.spark.sql.functions.col("s"))
+      .orderBy("g").collect().map(_.toSeq)
+    val fromCounts = Eval.sprtFromCounts(spark, counts)
+      .orderBy("g").collect().map(_.toSeq)
+    assert(screened.toSeq === fromCounts.toSeq)
+    // a group sitting exactly at p0 keeps sampling
+    val mid = Eval.sprtFromCounts(spark,
+      Seq(("a", 1000L, 150L), ("b", 1000L, 150L)))
+      .collect().map(_.getString(6))
+    assert(mid.forall(_ === "continue"))
+  }
+
   test("sampleSizeTwoProportions: formula replay and the textbook figure") {
     import spark.implicits._
     // group A: 20% baseline (the Fleiss running example: +10% rel

@@ -466,6 +466,23 @@ class ProfileSpec extends SparkSpec {
       .getLong(3) === -666666L)
   }
 
+  test("cronbachAlpha: perfect scale 1e6, anti-correlated negative, T=0") {
+    import spark.implicits._
+    // identical items: alpha exactly 1
+    val perfect = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L),
+      (4L, 4L, 4L)).toDF("a", "b", "c")
+    assert(Profile.cronbachAlpha(perfect, Seq("a", "b", "c"))
+      .collect().head.getLong(2) === 1000000L)
+    // anti-correlated two-item scale: S=20, T=4 -> 2*(1 - 5) = -8
+    val anti = Seq((2L, 0L), (0L, 1L), (2L, 0L), (0L, 1L)).toDF("a", "b")
+    assert(Profile.cronbachAlpha(anti, Seq("a", "b"))
+      .collect().head.getLong(2) === -8000000L)
+    // constant totals: T = 0 guards to 0
+    val const = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    assert(Profile.cronbachAlpha(const, Seq("a", "b"))
+      .collect().head.getLong(2) === 0L)
+  }
+
   test("tCloseness: hand variational distance incl. zero cells") {
     import spark.implicits._
     val df = Seq(("X", "a"), ("X", "a"), ("Y", "a"), ("Y", "b"))
