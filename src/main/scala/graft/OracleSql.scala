@@ -590,6 +590,13 @@ object OracleSql {
     "q304_sample_size" -> Gen.sampleSizeSql,
     "q305_cronbach" -> Gen.cronbachSql,
     "q306_sprt" -> Gen.sprtSql,
+    "q307_good_turing" -> Gen.goodTuringSql,
+    "q308_yule_k" -> Gen.yuleKSql,
+    "q309_ece_report" -> Gen.eceReportSql,
+    "q310_doremi_step" -> Gen.doremiStepSql,
+    "q311_concentration" -> Gen.concentrationSql,
+    "q312_lm_cross_ppl" -> Gen.lmCrossPplSql,
+    "q313_burrows_delta" -> Gen.burrowsDeltaSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6047,6 +6054,239 @@ object OracleSql {
          |SELECT g AS c_nationkey, n, k, p1_ppm, p2_ppm,
          |  CAST((num * num + den - 1) // den AS BIGINT) AS n_per_arm
          |FROM f ORDER BY g""".stripMargin
+    }
+
+    /** Twin of q307_good_turing: the shared whitespace tokenizer,
+      * the (lang, word) count → frequency-of-frequencies fold, and
+      * the same integer ppm divisions.
+      */
+    def goodTuringSql: String =
+      s"""WITH tk AS (SELECT lang AS g, unnest(${tokensE("text")}) AS t
+         |  FROM documents),
+         |wc AS (SELECT g, t, CAST(count(*) AS BIGINT) AS r FROM tk
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |fof AS (SELECT g, r, CAST(count(*) AS BIGINT) AS nr FROM wc
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT g, CAST(sum(r * nr) AS BIGINT) AS n,
+         |    CAST(sum(nr) AS BIGINT) AS vocab,
+         |    CAST(coalesce(sum(CASE WHEN r = 1 THEN nr END), 0) AS BIGINT)
+         |      AS n1,
+         |    CAST(coalesce(sum(CASE WHEN r = 2 THEN nr END), 0) AS BIGINT)
+         |      AS n2
+         |  FROM fof GROUP BY 1)
+         |SELECT g AS lang, n AS n_tokens, vocab, n1, n2,
+         |  CAST((1000000 * CAST(n1 AS HUGEINT)) // greatest(n, 1)
+         |    AS BIGINT) AS p0_ppm,
+         |  CAST((2000 * CAST(n2 AS HUGEINT)) // greatest(n1, 1)
+         |    AS BIGINT) AS r1_star_x1000
+         |FROM agg ORDER BY lang""".stripMargin
+
+    /** Twin of q308_yule_k: same tokenizer, one word-count pass,
+      * K×100 = 10⁶·(Σcnt² − N)/N² through HUGEINT.
+      */
+    def yuleKSql: String =
+      s"""WITH tk AS (SELECT source AS g, unnest(${tokensE("text")}) AS t
+         |  FROM documents),
+         |wc AS (SELECT g, t, CAST(count(*) AS BIGINT) AS cnt FROM tk
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS vocab,
+         |    CAST(sum(cnt) AS BIGINT) AS n,
+         |    sum(CAST(cnt AS HUGEINT) * cnt) AS m2
+         |  FROM wc GROUP BY 1)
+         |SELECT g AS source, n AS n_tokens, vocab,
+         |  CAST((1000000 * (m2 - n)) //
+         |    greatest(CAST(n AS HUGEINT) * n, 1) AS BIGINT) AS yule_k_x100
+         |FROM agg ORDER BY source""".stripMargin
+
+    /** Twin of q309_ece_report: identical train/test date split,
+      * per-brand ppm rate, the same least(p div width, 9) binning
+      * and the same two-stage integer ECE fold.
+      */
+    def eceReportSql: String =
+      s"""WITH li AS (SELECT p_brand, l_shipdate,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |train AS (SELECT p_brand,
+         |    CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS p
+         |  FROM li WHERE l_shipdate < DATE '1995-06-01' GROUP BY 1),
+         |test AS (SELECT p, y FROM li JOIN train USING (p_brand)
+         |  WHERE l_shipdate >= DATE '1995-06-01'),
+         |b AS (SELECT least(CAST(p // 100000 AS BIGINT), 9) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS sp,
+         |    CAST(sum(y) AS BIGINT) AS sy
+         |  FROM test GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM b),
+         |r AS (SELECT bin, n, CAST(sp // n AS BIGINT) AS conf_ppm,
+         |    CAST((1000000 * CAST(sy AS HUGEINT)) // n AS BIGINT)
+         |      AS acc_ppm, nt
+         |  FROM b CROSS JOIN tot),
+         |g AS (SELECT *, abs(conf_ppm - acc_ppm) AS gap_ppm FROM r),
+         |e AS (SELECT CAST(sum(CAST(n AS HUGEINT) * gap_ppm) // max(nt)
+         |    AS BIGINT) AS ece_ppm FROM g)
+         |SELECT bin, n, conf_ppm, acc_ppm, gap_ppm, ece_ppm
+         |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
+
+    /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,
+      * shared Mitchell-log emitter), folded per source, then the
+      * IDENTICAL generated exp2 CASE over the centered, clamped,
+      * sign-symmetric eta-scaled excess.
+      */
+    def doremiStepSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      val exp2 = graft.ops.TextStats.exp2E8Sql("arg", divOp = "//")
+      s"""WITH wd AS (SELECT doc_id, source, ${tokensE("text")} AS w
+         |  FROM documents),
+         |bgl AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+         |    unnest(${shinglesE("w", 2)}) AS bg
+         |  FROM wd WHERE len(w) >= 2),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM bgl GROUP BY bg),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bgl GROUP BY w1),
+         |v AS (SELECT count(DISTINCT t) AS v
+         |  FROM (SELECT unnest(w) AS t FROM wd)),
+         |sc AS (SELECT b.doc_id,
+         |    (CAST(c1.c1 + v.v AS HUGEINT) * ${1L << shift})
+         |      // (c2.c2 + 1) AS q
+         |  FROM bgl b JOIN c2 ON b.bg = c2.bg
+         |  JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+         |m AS (SELECT doc_id, count(*) AS nb,
+         |    SUM($m8 - ${8 * shift}) AS s8
+         |  FROM sc GROUP BY doc_id),
+         |bysrc AS (SELECT d.source AS src,
+         |    CAST(sum(coalesce(m.nb, 0)) AS BIGINT) AS nb,
+         |    CAST(sum(coalesce(m.s8, 0)) AS BIGINT) AS se8
+         |  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS nbt,
+         |    CAST(sum(se8) AS BIGINT) AS st8 FROM bysrc),
+         |base AS (SELECT src, nb,
+         |    CAST(se8 // greatest(nb, 1) AS BIGINT) AS avg_e8,
+         |    CAST(st8 // greatest(nbt, 1) AS BIGINT) AS corpus_e8,
+         |    CAST((1000000 * CAST(nb AS HUGEINT)) // greatest(nbt, 1)
+         |      AS BIGINT) AS base_ppm
+         |  FROM bysrc CROSS JOIN tot),
+         |ex AS (SELECT *, avg_e8 - corpus_e8 AS excess_e8 FROM base),
+         |ag AS (SELECT *, least(greatest((CASE WHEN excess_e8 >= 0
+         |    THEN (1 * excess_e8) // 1
+         |    ELSE -((1 * -excess_e8) // 1) END) + 240, 24), 479) AS arg
+         |  FROM ex),
+         |f AS (SELECT *, CAST(base_ppm AS HUGEINT) * ($exp2) AS raw
+         |  FROM ag),
+         |z AS (SELECT sum(raw) AS z FROM f)
+         |SELECT src, nb AS n_bigrams, avg_e8, excess_e8, base_ppm,
+         |  CAST((1000000 * raw) // greatest(z, 1) AS BIGINT) AS new_ppm
+         |FROM f CROSS JOIN z ORDER BY src""".stripMargin
+    }
+
+    /** Twin of q312_lm_cross_ppl: the q106 LM CTEs per source
+      * (shared tokenizer + shingler + Mitchell-log emitter), the
+      * source-list cross join, per-source vocab smoothing.
+      */
+    def lmCrossPplSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      s"""WITH wd AS (SELECT doc_id, source, ${tokensE("text")} AS w
+         |  FROM documents),
+         |bgl AS (SELECT source AS ga, unnest(w[1:len(w)-1]) AS w1,
+         |    unnest(${shinglesE("w", 2)}) AS bg
+         |  FROM wd WHERE len(w) >= 2),
+         |ac AS (SELECT ga, w1, bg, CAST(count(*) AS BIGINT) AS ca
+         |  FROM bgl GROUP BY 1, 2, 3),
+         |c2 AS (SELECT ga AS gb, bg, ca AS c2 FROM ac),
+         |c1 AS (SELECT ga AS gb, w1, CAST(sum(ca) AS BIGINT) AS c1
+         |  FROM ac GROUP BY 1, 2),
+         |vb AS (SELECT gb, CAST(count(*) AS BIGINT) AS v FROM
+         |  (SELECT DISTINCT source AS gb, unnest(w) AS t FROM wd)
+         |  GROUP BY 1),
+         |gl AS (SELECT DISTINCT ga AS gb FROM ac),
+         |grid AS (SELECT a.ga, g.gb, a.ca,
+         |    coalesce(c2.c2, 0) AS c2, coalesce(c1.c1, 0) AS c1, vb.v
+         |  FROM ac a CROSS JOIN gl g
+         |  LEFT JOIN c2 ON c2.gb = g.gb AND c2.bg = a.bg
+         |  LEFT JOIN c1 ON c1.gb = g.gb AND c1.w1 = a.w1
+         |  JOIN vb ON vb.gb = g.gb),
+         |sc AS (SELECT ga, gb, ca,
+         |    CAST(greatest((CAST(c1 + v AS HUGEINT) * ${1L << shift})
+         |      // (c2 + 1), ${1L << shift}) AS BIGINT) AS q
+         |  FROM grid),
+         |m AS (SELECT ga AS group_a, gb AS group_b,
+         |    CAST(sum(ca) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(ca * (($m8) - ${8 * shift})) AS BIGINT) AS cross_e8
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT group_a, group_b, n_bigrams, cross_e8,
+         |  CAST(cross_e8 // greatest(n_bigrams, 1) AS BIGINT) AS avg_e8
+         |FROM m ORDER BY group_a, group_b""".stripMargin
+    }
+
+    /** Twin of q313_burrows_delta: same tokenizer, the heap's
+      * (count DESC, word ASC) top-50 as ORDER BY ... LIMIT, ppm
+      * rates on the (source × word) grid, common-denominator
+      * variance through HUGEINT, floor(√), sign-symmetric z.
+      */
+    def burrowsDeltaSql: String =
+      s"""WITH tk AS (SELECT source AS g, unnest(${tokensE("text")}) AS t
+         |  FROM documents),
+         |wc AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c FROM tk
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |tot AS (SELECT t, CAST(sum(c) AS BIGINT) AS tc FROM wc
+         |  GROUP BY 1),
+         |top AS (SELECT t FROM tot ORDER BY tc DESC, t LIMIT 50),
+         |ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM wc
+         |  GROUP BY 1),
+         |grid AS (SELECT ng.g, top.t,
+         |    CAST((1000000 * CAST(coalesce(wc.c, 0) AS HUGEINT))
+         |      // greatest(ng.n, 1) AS BIGINT) AS r
+         |  FROM ng CROSS JOIN top
+         |  LEFT JOIN wc ON wc.g = ng.g AND wc.t = top.t),
+         |st AS (SELECT t, CAST(count(*) AS BIGINT) AS s,
+         |    CAST(sum(r) AS BIGINT) AS sr, sum(r * r) AS srr
+         |  FROM grid GROUP BY 1),
+         |mz AS (SELECT t, CAST(sr // s AS BIGINT) AS mu,
+         |    CAST(floor(sqrt(CAST((CAST(s AS HUGEINT) * srr
+         |      - CAST(sr AS HUGEINT) * sr) // (CAST(s AS HUGEINT) * s)
+         |      AS DOUBLE))) AS BIGINT) AS sd
+         |  FROM st),
+         |z AS (SELECT g, grid.t,
+         |    CASE WHEN r >= mu THEN (1000 * (r - mu)) // greatest(sd, 1)
+         |      ELSE -((1000 * (mu - r)) // greatest(sd, 1)) END AS z
+         |  FROM grid JOIN mz ON grid.t = mz.t),
+         |p AS (SELECT a.g AS group_a, b.g AS group_b,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(abs(a.z - b.z)) AS BIGINT) AS sd2
+         |  FROM z a JOIN z b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2)
+         |SELECT group_a, group_b, n_words,
+         |  CAST(sd2 // n_words AS BIGINT) AS delta_x1000
+         |FROM p ORDER BY group_a, group_b""".stripMargin
+
+    /** Twin of q311_concentration: three per-dimension count folds
+      * through HUGEINT cross-products, unioned.
+      */
+    def concentrationSql: String = {
+      def arm(table: String, groupE: String, dim: String) =
+        s"""(SELECT '$dim' AS dim, n, k, m2, m11, mx FROM (
+           |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS k,
+           |    sum(CAST(cnt AS HUGEINT) * cnt) AS m2,
+           |    sum(CAST(cnt AS HUGEINT) * (cnt - 1)) AS m11,
+           |    CAST(max(cnt) AS BIGINT) AS mx
+           |  FROM (SELECT CAST($groupE AS VARCHAR) AS grp,
+           |      CAST(count(*) AS BIGINT) AS cnt
+           |    FROM $table GROUP BY 1)))""".stripMargin
+      s"""WITH u AS (${arm("documents", "source", "docs_by_source")}
+         |  UNION ALL ${arm("documents", "lang", "docs_by_lang")}
+         |  UNION ALL ${arm("orders", "o_orderpriority",
+        "orders_by_priority")})
+         |SELECT dim, n AS n_rows, k AS n_groups,
+         |  CAST((1000000 * m2) // greatest(CAST(n AS HUGEINT) * n, 1)
+         |    AS BIGINT) AS hhi_ppm,
+         |  CAST((1000000 * m11) //
+         |    greatest(CAST(n AS HUGEINT) * (n - 1), 1) AS BIGINT)
+         |    AS simpson_ppm,
+         |  CAST((1000 * CAST(n AS HUGEINT) * n) // greatest(m2, 1)
+         |    AS BIGINT) AS eff_n_x1000,
+         |  CAST((1000000 * mx) // greatest(n, 1) AS BIGINT)
+         |    AS top_share_ppm
+         |FROM u ORDER BY dim""".stripMargin
     }
 
     def bhFdrSql: String = {

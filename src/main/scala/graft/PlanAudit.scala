@@ -186,6 +186,20 @@ object PlanAudit {
     // ONE-row pooled-rate totals cross-joined into the group-domain-
     // bounded count table — broadcast scalar by design
     "q306_sprt",
+    // ONE-row eval-total and ONE-row ECE fold cross-joined into the
+    // ≤ nBins-row reliability table — broadcast scalars by design
+    "q309_ece_report",
+    // ONE-row corpus totals and ONE-row normalizer Z cross-joined
+    // into the sources-bounded weight table — broadcast scalars by
+    // design (q138's mixture-table convention)
+    "q310_doremi_step",
+    // S-row source list cross-joined into the bigram-TYPE count
+    // table (the scoring grid is types × sources by design), vocab
+    // scalars broadcast — q106's LM shape scored pairwise
+    "q312_lm_cross_ppl",
+    // k-row top-word list cross-joined into the S-row source-total
+    // table — the (S × k) stylometry grid, broadcast by design
+    "q313_burrows_delta",
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
     "q181_discriminative_words",

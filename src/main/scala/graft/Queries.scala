@@ -4612,6 +4612,101 @@ object Queries {
       "c_nationkey", expr("o_orderpriority = '1-URGENT'"))
       .orderBy("g")
 
+  /** Simple Good–Turing unseen-mass estimate per language
+    * ([[graft.ops.TextStats.goodTuring]], Good 1953 / Gale & Sampson
+    * 1995): P₀ = N₁/N — the vocabulary mass a crawl has NOT seen
+    * yet, the predictive rendering of q165's Heaps curve (does
+    * another pass over this source still buy words?) — plus the
+    * Turing-smoothed singleton frequency r*₁ = 2·N₂/N₁. Exact ppm.
+    */
+  val q307_good_turing: Q = (s, d) =>
+    TextStats.goodTuring(Tables.documents(s, d), "lang", "text")
+      .orderBy("lang")
+
+  /** Yule's characteristic K per source
+    * ([[graft.ops.TextStats.yuleK]], Yule 1944): the length-
+    * invariant lexical-repetitiveness constant — the honest
+    * cross-source repetition comparison TTR can't give (TTR falls
+    * with volume by Heaps' law; K doesn't). ×100 exact integer.
+    */
+  val q308_yule_k: Q = (s, d) =>
+    TextStats.yuleK(Tables.documents(s, d), "source", "text")
+      .orderBy("source")
+
+  /** Reliability diagram + expected calibration error
+    * ([[graft.ops.Eval.calibrationBins]], Naeini et al. 2015): a
+    * per-brand return-rate model trained on shipments before
+    * 1995-06-01 forecasts P(return) for later shipments; ECE scores
+    * the forecast against the observed rate in 10 confidence bins.
+    * The measurement companion to q286's isotonic repair and q212's
+    * accuracy-vs-confidence curve. Exact integer ppm.
+    */
+  val q309_ece_report: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_shipdate"),
+        expr("CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END").as("y"))
+    val train = li.where(col("l_shipdate") < lit("1995-06-01"))
+      .groupBy("p_brand")
+      .agg(expr("CAST((1000000 * sum(y)) div count(*) AS BIGINT)").as("p"))
+    val test = li.where(col("l_shipdate") >= lit("1995-06-01"))
+      .join(broadcast(train), Seq("p_brand")) // brand dim is bounded
+    graft.ops.Eval.calibrationBins(test, "p", col("y")).orderBy("bin")
+  }
+
+  /** One DoReMi-style domain-reweighting step over sources
+    * ([[graft.ops.Mixture.doremiStep]], Xie et al. 2023): sources
+    * whose mean per-token bigram surprisal exceeds the corpus mean
+    * are upweighted by the Hedge rule w ∝ share·2^(η·excess/8) —
+    * the loss-aware counterpart to q138's purely size-based
+    * temperature mixture. Integer end to end (shared Mitchell-log +
+    * exp2 emitters), ppm out.
+    */
+  val q310_doremi_step: Q = (s, d) =>
+    graft.ops.Mixture.doremiStep(Tables.documents(s, d), "doc_id",
+        "source", "text")
+      .orderBy("src")
+
+  /** Concentration / diversity report across three dimensions
+    * ([[graft.ops.Profile.concentration]]): HHI, Simpson's D,
+    * effective group count and top-group share for corpus-by-source,
+    * corpus-by-language and orders-by-priority — "is one domain
+    * quietly eating the mixture" as one unioned dashboard row per
+    * dimension, the scalar companions to q229's Lorenz curve and
+    * q189's length Gini. Exact integer ppm.
+    */
+  val q311_concentration: Q = (s, d) =>
+    graft.ops.Profile.concentration(Tables.documents(s, d), "source",
+        "docs_by_source")
+      .unionByName(graft.ops.Profile.concentration(
+        Tables.documents(s, d), "lang", "docs_by_lang"))
+      .unionByName(graft.ops.Profile.concentration(
+        Tables.orders(s, d), "o_orderpriority", "orders_by_priority"))
+      .orderBy("dim")
+
+  /** Pairwise LM cross-perplexity matrix between sources
+    * ([[graft.ops.TextStats.lmCrossPerplexity]], cf. Moore & Lewis
+    * 2010): source a's bigrams scored under source b's add-one
+    * bigram LM — the DIRECTIONAL domain-transfer distance the
+    * symmetric q185 JSD can't give; diagonal = self-surprisal.
+    * Shared Mitchell-log emitter, exact integer eighth-bits.
+    */
+  val q312_lm_cross_ppl: Q = (s, d) =>
+    TextStats.lmCrossPerplexity(Tables.documents(s, d), "doc_id",
+        "source", "text")
+      .orderBy("group_a", "group_b")
+
+  /** Burrows' Delta stylometric distance between sources
+    * ([[graft.ops.TextStats.burrowsDelta]], Burrows 2002): mean
+    * |z_a − z_b| over the corpus's 50 most frequent (function)
+    * words — the style lens beside q255's topic cosine. Integer
+    * ppm rates, common-denominator variance, floor(√), ×1000 out.
+    */
+  val q313_burrows_delta: Q = (s, d) =>
+    TextStats.burrowsDelta(Tables.documents(s, d), "source", "text")
+      .orderBy("group_a", "group_b")
+
   /** Top principal component by integer power iteration
     * ([[graft.sim.Similarity.pcaTopComponent]]): the anisotropy lens
     * on the embedding corpus — explained-variance share of the
@@ -5112,5 +5207,12 @@ object Queries {
     "q303_jw_verify" -> q303_jw_verify,
     "q304_sample_size" -> q304_sample_size,
     "q305_cronbach" -> q305_cronbach,
-    "q306_sprt" -> q306_sprt)
+    "q306_sprt" -> q306_sprt,
+    "q307_good_turing" -> q307_good_turing,
+    "q308_yule_k" -> q308_yule_k,
+    "q309_ece_report" -> q309_ece_report,
+    "q310_doremi_step" -> q310_doremi_step,
+    "q311_concentration" -> q311_concentration,
+    "q312_lm_cross_ppl" -> q312_lm_cross_ppl,
+    "q313_burrows_delta" -> q313_burrows_delta)
 }

@@ -1379,4 +1379,73 @@ object Eval {
         col(maxCol) === col("__peer"))
       .drop("__band", "__bb", "__cut", "__dom", "__peer")
   }
+
+  /** Reliability diagram + expected calibration error (Naeini et al.
+    * 2015's ECE over equal-width bins): predictions in ppm are cut
+    * into `nBins` confidence bins; per bin the mean predicted
+    * probability (`conf_ppm`), the observed positive rate
+    * (`acc_ppm`), their absolute gap, and the corpus-weighted ECE
+    * Σ (n_b/N)·|acc_b − conf_b| repeated on every row (the report is
+    * ≤ nBins rows, so the repeat is free and keeps the output
+    * self-contained). Distinct from both neighbors in the family:
+    * q286's isotonic regression FITS a repair, and
+    * [[Profile.calibrationReport]] (q212) curves accuracy against a
+    * multiclass confidence SURROGATE — ECE scores a probability
+    * forecast against the observed rate on the same scale, the
+    * proper-calibration gap itself. Exact integer — the only
+    * divisions are BIGINT/DECIMAL `div`.
+    *
+    * Scale shape: one scan folds to the ≤ nBins-row table; the
+    * ECE fold and the total row are one-row broadcasts.
+    */
+  def calibrationBins(df: DataFrame, probPpmCol: String,
+                      labelExpr: org.apache.spark.sql.Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 1000000 % nBins == 0,
+      s"nBins=$nBins must be >= 2 and divide 1e6")
+    val width = 1000000 / nBins
+    val b = df.select(
+        expr(s"least(CAST($probPpmCol div $width AS BIGINT), ${nBins - 1})")
+          .as("bin"),
+        col(probPpmCol).cast("bigint").as("p"),
+        labelExpr.cast("bigint").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("p").as("sp"), sum("y").as("sy"))
+      .localCheckpoint() // ≤ nBins rows feed three consumers
+    calibrationFromBinsDf(b)
+  }
+
+  /** The reliability/ECE readback over an additive per-bin
+    * (bin, n, Σp, Σy) count table — the streaming form of
+    * [[calibrationBins]]: per-bin counts fold across micro-batches
+    * (all three sums are additive), so a foreachBatch monitor
+    * accumulates them and emits the live reliability diagram through
+    * the SAME arithmetic as the batch operator.
+    */
+  def calibrationFromCounts(spark: org.apache.spark.sql.SparkSession,
+                            counts: Seq[(Long, Long, Long, Long)])
+      : DataFrame = {
+    import spark.implicits._
+    calibrationFromBinsDf(counts.toDF("bin", "n", "sp", "sy"))
+  }
+
+  /** The conf/acc/gap/ECE arithmetic over a (bin, n, sp, sy) table —
+    * shared VERBATIM by [[calibrationBins]] and
+    * [[calibrationFromCounts]].
+    */
+  private def calibrationFromBinsDf(b: DataFrame): DataFrame = {
+    val tot = b.agg(sum("n").as("nt"))
+    val rows = b.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n").cast("bigint").as("n"),
+        expr("CAST(sp div n AS BIGINT)").as("conf_ppm"),
+        expr("CAST((1000000 * CAST(sy AS DECIMAL(38,0))) div n AS BIGINT)")
+          .as("acc_ppm"),
+        col("nt").cast("bigint").as("nt"))
+      .withColumn("gap_ppm", expr("abs(conf_ppm - acc_ppm)"))
+    val ece = rows.agg(expr(
+      "CAST(sum(CAST(n AS DECIMAL(38,0)) * gap_ppm) div max(nt) AS BIGINT)")
+      .as("ece_ppm"))
+    rows.crossJoin(broadcast(ece))
+      .select("bin", "n", "conf_ppm", "acc_ppm", "gap_ppm", "ece_ppm")
+  }
 }

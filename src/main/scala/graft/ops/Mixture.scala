@@ -479,4 +479,60 @@ object Mixture {
         expr(s"CAST((CAST(s_c AS DECIMAL(38,0)) - y + $m * mu) div " +
           s"(n_c - 1 + $m) AS BIGINT)").as("enc"))
   }
+
+  /** One DoReMi-style domain-reweighting step (Xie et al. 2023's
+    * multiplicative-weights update, the Hedge/EG rule): each source's
+    * mixture weight moves from its token share by 2^(η·excess/8)
+    * where `excess` is the source's mean per-token bigram surprisal
+    * (from [[TextStats.lmSurprisal]]'s corpus-trained LM) minus the
+    * corpus mean, in eighth-bit log units — sources the reference
+    * model finds HARD (high excess loss) are upweighted, easy ones
+    * downweighted, exactly the DoReMi step with the uniform-vs-
+    * proxy loss gap stood in by the excess surprisal this engine can
+    * compute without a neural proxy. η = etaNum/etaDen in the
+    * exponent; the exp2 argument is centered at 240 (mid-domain of
+    * the shared [[TextStats.exp2E8Sql]] emitter) — a constant offset
+    * in every exponent cancels in the normalization, so centering
+    * costs nothing; the [24,479] domain clamp binds only ≥ ~27
+    * eighth-bits (≈ 2^3.4 probability ratio) from center, documented
+    * saturation. All integer, ppm out.
+    *
+    * Scale shape: the LM train + score is the only corpus-
+    * proportional stage (shared with q106); everything after folds
+    * the sources-bounded table with one-row broadcasts.
+    */
+  def doremiStep(df: DataFrame, idCol: String, srcCol: String,
+                 textCol: String, etaNum: Int = 1,
+                 etaDen: Int = 1): DataFrame = {
+    require(etaDen > 0 && etaNum >= 0, s"need eta = $etaNum/$etaDen >= 0")
+    val scored = TextStats.lmSurprisal(df, idCol, textCol,
+      carry = Seq(srcCol))
+    val bySrc = scored.groupBy(col(srcCol).as("src"))
+      .agg(sum("n_bigrams").as("nb"), sum("surprisal_e8").as("se8"))
+      .localCheckpoint() // sources-bounded; totals + weights off one fold
+    val tot = bySrc.agg(sum("nb").as("nbt"), sum("se8").as("set"))
+    val base = bySrc.crossJoin(broadcast(tot))
+      .select(col("src"), col("nb"),
+        expr("CAST(se8 div greatest(nb, 1) AS BIGINT)").as("avg_e8"),
+        expr("CAST(set div greatest(nbt, 1) AS BIGINT)").as("corpus_e8"),
+        expr("CAST((1000000 * CAST(nb AS DECIMAL(38,0))) div " +
+          "greatest(nbt, 1) AS BIGINT)").as("base_ppm"))
+      .withColumn("excess_e8", col("avg_e8") - col("corpus_e8"))
+      // sign-symmetric eta scaling: Spark `div` truncates toward zero
+      // while some engines' `//` floors — negative numerators never
+      // reach the divide, so the twin is engine-exact for any eta
+      .withColumn("__arg", expr(
+        s"least(greatest((CASE WHEN excess_e8 >= 0 " +
+          s"THEN ($etaNum * excess_e8) div $etaDen " +
+          s"ELSE -(($etaNum * -excess_e8) div $etaDen) END) + 240, " +
+          "24), 479)"))
+      .withColumn("__f", expr(TextStats.exp2E8Sql("__arg")))
+      .withColumn("__raw", expr("CAST(base_ppm AS DECIMAL(38,0)) * __f"))
+    val z = base.agg(sum("__raw").as("__z"))
+    base.crossJoin(broadcast(z))
+      .select(col("src"), col("nb").as("n_bigrams"), col("avg_e8"),
+        col("excess_e8"), col("base_ppm"),
+        expr("CAST((1000000 * __raw) div greatest(__z, 1) AS BIGINT)")
+          .as("new_ppm"))
+  }
 }

@@ -1473,4 +1473,39 @@ object Profile {
         expr("CAST((1000000 * CAST(l1_rows AS DECIMAL(38,0))) " +
           "div n_rows AS BIGINT)").as("l1_rows_ppm"))
   }
+
+  /** Concentration / diversity report of one categorical dimension:
+    * Herfindahl–Hirschman index (Σ share² — the antitrust
+    * concentration screen, here "is one source eating the corpus"),
+    * Simpson's diversity D = Σ nᵢ(nᵢ−1)/(N(N−1)) (Simpson 1949 —
+    * the probability two random rows share the group, sampled
+    * WITHOUT replacement, so tiny groups don't read as diversity
+    * they don't have), the effective number of groups 1/HHI (the
+    * "how many equal-size sources would look like this" rendering),
+    * and the top group's share. All exact integer ppm via DECIMAL
+    * cross-products. `dim` labels the row so several dimensions
+    * union into one report.
+    *
+    * Scale shape: one hash aggregation to the group-count table,
+    * then a one-row fold — shuffle carries groups, never rows.
+    */
+  def concentration(df: DataFrame, groupCol: String,
+                    dim: String): DataFrame = {
+    val c = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("cnt"))
+    c.agg(sum("cnt").as("n"), count(lit(1)).as("k"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("m2"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)")).as("m11"),
+        max("cnt").as("mx"))
+      .select(lit(dim).as("dim"), col("n").cast("bigint").as("n_rows"),
+        col("k").as("n_groups"),
+        expr("CAST((1000000 * m2) div greatest(CAST(n AS DECIMAL(38,0)) " +
+          "* n, 1) AS BIGINT)").as("hhi_ppm"),
+        expr("CAST((1000000 * m11) div greatest(CAST(n AS DECIMAL(38,0)) " +
+          "* (n - 1), 1) AS BIGINT)").as("simpson_ppm"),
+        expr("CAST((1000 * CAST(n AS DECIMAL(38,0)) * n) div " +
+          "greatest(m2, 1) AS BIGINT)").as("eff_n_x1000"),
+        expr("CAST((1000000 * mx) div greatest(n, 1) AS BIGINT)")
+          .as("top_share_ppm"))
+  }
 }

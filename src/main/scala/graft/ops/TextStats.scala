@@ -1827,4 +1827,183 @@ object TextStats {
       .select(col("lab").as("community"), col("n_words"),
         col("intra_w"), col("deg_w"), col("modularity_x1e6"))
   }
+
+  /** Pairwise LM cross-perplexity matrix: for every ordered source
+    * pair (a, b), source a's bigram stream scored under source b's
+    * add-one-smoothed bigram LM — "how surprised is b's model by a's
+    * text", the DIRECTIONAL domain-transfer distance (cf. the
+    * cross-entropy data-selection lens of Moore & Lewis 2010) that
+    * the symmetric q185 JSD and q238 vocabulary Jaccard can't give:
+    * legal text is predictable under a web model's smoothing mass,
+    * web text under a legal model is not, and the asymmetry IS the
+    * signal. The diagonal reproduces each source's self-surprisal.
+    * Same integer discipline as [[lmScore]]: q = ((c1_b + V_b) <<
+    * SHIFT) div (c2_b + 1) through the shared Mitchell-log emitter,
+    * per-source vocab as the smoothing denominator (a per-source
+    * [[lmTrain]], exactly).
+    *
+    * Scale shape: ONE (source, w1, bigram) count reduction is the
+    * only corpus stage (every model table and the scoring grid
+    * derive from its checkpoint); the scoring grid is bigram-TYPES ×
+    * S (the per-occurrence stream folds to type counts first — the
+    * score is linear in the count), with the S-row source list and
+    * per-source vocab broadcast.
+    */
+  def lmCrossPerplexity(df: DataFrame, idCol: String, groupCol: String,
+                        textCol: String): DataFrame = {
+    val toks = lmToks(df, idCol, textCol, Seq(groupCol))
+    val aCounts = toks.where(size(col("w")) >= 2)
+      .select(col(groupCol).as("ga"),
+        explode(TextFns.shingles(col("__text"), 2)).as("bg"))
+      .select(col("ga"), substring_index(col("bg"), " ", 1).as("w1"),
+        col("bg"))
+      .groupBy("ga", "w1", "bg").agg(count(lit(1)).as("ca"))
+      .localCheckpoint() // feeds the grid + both model tables
+    val c2 = aCounts.select(col("ga").as("gb"), col("bg"),
+      col("ca").as("c2"))
+    val c1 = aCounts.groupBy(col("ga").as("gb"), col("w1"))
+      .agg(sum("ca").as("c1"))
+    val vb = toks.select(col(groupCol).as("gb"), explode(col("w")).as("t"))
+      .distinct().groupBy("gb").agg(count(lit(1)).as("v"))
+    val groups = aCounts.select(col("ga").as("gb")).distinct()
+    aCounts
+      .crossJoin(broadcast(groups))
+      .join(c2, Seq("gb", "bg"), "left").na.fill(0L, Seq("c2"))
+      .join(c1, Seq("gb", "w1"), "left").na.fill(0L, Seq("c1"))
+      .join(broadcast(vb), Seq("gb"))
+      .withColumn("q",
+        expr(s"greatest((CAST(c1 + v AS DECIMAL(38,0)) * ${1L << LmShift}) " +
+          s"div (c2 + 1), CAST(${1L << LmShift} AS BIGINT))"))
+      .withColumn("m8", expr(mitchellE8Sql("q")))
+      .groupBy(col("ga").as("group_a"), col("gb").as("group_b"))
+      .agg(sum("ca").as("n_bigrams"),
+        sum(expr(s"ca * (m8 - ${8 * LmShift})")).as("cross_e8"))
+      .select(col("group_a"), col("group_b"),
+        col("n_bigrams").cast("bigint").as("n_bigrams"),
+        col("cross_e8").cast("bigint").as("cross_e8"),
+        expr("CAST(cross_e8 div greatest(n_bigrams, 1) AS BIGINT)")
+          .as("avg_e8"))
+  }
+
+  /** Burrows' Delta stylometric distance between sources (Burrows
+    * 2002): over the corpus's k most frequent words, each source's
+    * usage rate standardizes to a z-score against the across-source
+    * mean and deviation of that word, and Delta(a,b) is the mean
+    * |z_a − z_b| — the classical authorship-attribution distance,
+    * deliberately built on FUNCTION words (the top-k by corpus
+    * frequency) so it reads style, not topic: the third between-
+    * source lens after q255's TF-IDF topic cosine and q185's JSD.
+    * Integer end to end: ppm rates, population variance via the
+    * common-denominator form (S·Σr² − (Σr)²)/S², floor(√) on exact
+    * integers (the q304 idiom), sign-symmetric z ×1000.
+    *
+    * Scale shape: one (source, word) count reduction; the top-k
+    * vocabulary comes off a bounded heap, and every stage after runs
+    * on the (S × k) grid.
+    */
+  def burrowsDelta(df: DataFrame, groupCol: String, textCol: String,
+                   k: Int = 50): DataFrame = {
+    import graft.plans.TopK
+    require(k >= 1, s"k=$k must be positive")
+    val wc = df.select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("g", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals, top-k and the rate grid
+    val top = wc.groupBy("t").agg(sum("c").as("tc"))
+      .agg(TopK.top_k(struct(col("tc"), col("t")), k).as("__top"))
+      .select(explode(col("__top")).as("__row"))
+      .select(col("__row.t").as("t"))
+    val nG = wc.groupBy("g").agg(sum("c").as("n"))
+    val grid = nG.crossJoin(broadcast(top))
+      .join(wc, Seq("g", "t"), "left")
+      .select(col("g"), col("t"),
+        expr("CAST((1000000 * CAST(coalesce(c, 0) AS DECIMAL(38,0))) " +
+          "div greatest(n, 1) AS BIGINT)").as("r"))
+      .localCheckpoint() // (S × k) rates feed the stats and both z sides
+    // per-word across-source moments: r ≤ 10⁶ so S·Σr² stays BIGINT
+    val z = grid.join(
+        grid.groupBy("t").agg(count(lit(1)).as("s"), sum("r").as("sr"),
+            sum(expr("r * r")).as("srr"))
+          .select(col("t"), expr("CAST(sr div s AS BIGINT)").as("mu"),
+            // DECIMAL cross-products: S·Σr² and (Σr)² pass 2⁶³ once
+            // the source count does ~10⁴; the variance itself is
+            // ≤ 10¹² so the sqrt runs on an exact double
+            expr("CAST(floor(sqrt(CAST((CAST(s AS DECIMAL(38,0)) * srr " +
+              "- CAST(sr AS DECIMAL(38,0)) * sr) div " +
+              "(CAST(s AS DECIMAL(38,0)) * s) AS DOUBLE))) AS BIGINT)")
+              .as("sd")),
+        Seq("t"))
+      .select(col("g"), col("t"),
+        expr("CASE WHEN r >= mu THEN (1000 * (r - mu)) div greatest(sd, 1) " +
+          "ELSE -((1000 * (mu - r)) div greatest(sd, 1)) END").as("z"))
+    val a = z.select(col("g").as("group_a"), col("t"), col("z").as("za"))
+    val b = z.select(col("g").as("group_b"), col("t"), col("z").as("zb"))
+    a.join(b, Seq("t"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("abs(za - zb)")).as("__sd"))
+      .select(col("group_a"), col("group_b"), col("n_words"),
+        expr("CAST(__sd div n_words AS BIGINT)").as("delta_x1000"))
+  }
+
+  /** Simple Good–Turing unseen-mass estimate per group (Good 1953;
+    * Gale & Sampson 1995): from the frequency-of-frequencies table,
+    * P₀ = N₁/N is the probability mass the corpus has NEVER seen —
+    * the "how much of this language is still missing" number that
+    * tells a data-curation loop whether another crawl of the same
+    * source can still buy vocabulary (the predictive rendering of
+    * q165's Heaps curve). Also emits the smoothed singleton count
+    * r*₁ = 2·N₂/N₁ (the Turing estimate of a once-seen word's true
+    * frequency — r*₁ ≪ 1 means singletons are mostly noise/typos,
+    * r*₁ near 1 means genuine thin coverage). Exact integer ppm.
+    *
+    * Scale shape: one (group, word) reduction with map-side partials,
+    * collapsed to the (groups × distinct-frequencies) table, then a
+    * one-row-per-group fold — the shuffle carries words, never rows.
+    */
+  def goodTuring(df: DataFrame, groupCol: String,
+                 textCol: String): DataFrame = {
+    val wc = df.select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("g", "t").agg(count(lit(1)).as("r"))
+    val fof = wc.groupBy("g", "r").agg(count(lit(1)).as("nr"))
+    fof.groupBy("g").agg(
+        sum(expr("r * nr")).as("n"), sum("nr").as("vocab"),
+        coalesce(sum(when(col("r") === 1L, col("nr"))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("r") === 2L, col("nr"))), lit(0L)).as("n2"))
+      .select(col("g").as(groupCol), col("n").cast("bigint").as("n_tokens"),
+        col("vocab"), col("n1").cast("bigint").as("n1"),
+        col("n2").cast("bigint").as("n2"),
+        expr("CAST((1000000 * CAST(n1 AS DECIMAL(38,0))) div " +
+          "greatest(n, 1) AS BIGINT)").as("p0_ppm"),
+        expr("CAST((2000 * CAST(n2 AS DECIMAL(38,0))) div " +
+          "greatest(n1, 1) AS BIGINT)").as("r1_star_x1000"))
+  }
+
+  /** Yule's characteristic K per group (Yule 1944): the classic
+    * lexical-repetitiveness constant K = 10⁴·(Σᵣ r²·Nᵣ − N)/N² —
+    * the word-level analog of Simpson concentration, INDEPENDENT of
+    * text length in a way type-token ratios are not (TTR falls with
+    * corpus size by Heaps' law; K does not), so two sources of very
+    * different volumes compare honestly. Σ r²·Nᵣ is just Σ cnt² over
+    * the word-count table, so the whole statistic is one reduction.
+    * Emitted ×100 (i.e. 10⁶·(m₂−N)/N²) exact integer.
+    */
+  def yuleK(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val wc = df.select(col(groupCol).as("g"),
+        explode(TextFns.tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("g", "t").agg(count(lit(1)).as("cnt"))
+    wc.groupBy("g").agg(count(lit(1)).as("vocab"),
+        sum("cnt").as("n"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("m2"))
+      .select(col("g").as(groupCol), col("n").cast("bigint").as("n_tokens"),
+        col("vocab"),
+        expr("CAST((1000000 * (m2 - n)) div " +
+          "greatest(CAST(n AS DECIMAL(38,0)) * n, 1) AS BIGINT)")
+          .as("yule_k_x100"))
+  }
 }

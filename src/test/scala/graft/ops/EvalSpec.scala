@@ -661,4 +661,45 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Long]("hi_x1000") === means(hiIdx - 1)._1)
     assert(out.getAs[Long]("lo_x1000") <= out.getAs[Long]("hi_x1000"))
   }
+
+  test("calibrationBins: hand-computed bins, top-bin clamp, weighted ECE") {
+    val rows = Seq(
+      (250000L, 1L), (250000L, 0L), (250000L, 0L), (250000L, 0L),
+      (950000L, 1L), (950000L, 1L),
+      (1000000L, 1L) // p = 1e6 lands in bin 9 via the least() clamp
+    ).toDF("p", "y")
+    val out = Eval.calibrationBins(rows, "p", col("y")).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet === Set(2L, 9L))
+    // bin 2: conf = acc = 250000 -> gap 0
+    assert(out(2L).getAs[Long]("n") === 4L)
+    assert(out(2L).getAs[Long]("conf_ppm") === 250000L)
+    assert(out(2L).getAs[Long]("acc_ppm") === 250000L)
+    assert(out(2L).getAs[Long]("gap_ppm") === 0L)
+    // bin 9: conf = 2900000/3 = 966666, acc = 1e6 -> gap 33334
+    assert(out(9L).getAs[Long]("n") === 3L)
+    assert(out(9L).getAs[Long]("conf_ppm") === 966666L)
+    assert(out(9L).getAs[Long]("acc_ppm") === 1000000L)
+    assert(out(9L).getAs[Long]("gap_ppm") === 33334L)
+    // ECE = (4*0 + 3*33334) div 7 = 14286 on every row
+    assert(out.values.map(_.getAs[Long]("ece_ppm")).toSet === Set(14286L))
+  }
+
+  test("calibrationFromCounts: two folded micro-batches == batch, bit-identical") {
+    val batch1 = Seq((250000L, 1L), (250000L, 0L), (950000L, 1L))
+    val batch2 = Seq((250000L, 0L), (250000L, 0L), (950000L, 1L),
+      (1000000L, 1L))
+    val all = (batch1 ++ batch2).toDF("p", "y")
+    val expected = Eval.calibrationBins(all, "p", col("y"))
+      .orderBy("bin").collect().toSeq
+    // a foreachBatch monitor folds additive (bin, n, Σp, Σy) cells
+    val folded = (batch1 ++ batch2)
+      .groupBy { case (p, _) => math.min(p / 100000L, 9L) }
+      .map { case (bin, rows) =>
+        (bin, rows.size.toLong, rows.map(_._1).sum, rows.map(_._2).sum) }
+      .toSeq
+    val streamed = Eval.calibrationFromCounts(spark, folded)
+      .orderBy("bin").collect().toSeq
+    assert(streamed === expected)
+  }
 }

@@ -326,4 +326,38 @@ class MixtureSpec extends SparkSpec {
     // DIFFERENT encodings (each sees only the other's label)
     assert(enc(1L) !== enc(2L))
   }
+
+  test("doremiStep: symmetric corpus keeps weights; hard source gains at eta=1") {
+    import spark.implicits._
+    // identical text per source -> every excess is 0, exp2 factors
+    // equal, so the normalized weights reproduce the token shares
+    val sym = Seq(
+      ("a", 1L, "the cat sat on the mat"),
+      ("b", 2L, "the cat sat on the mat"))
+      .toDF("src", "doc_id", "text")
+    val symOut = Mixture.doremiStep(sym, "doc_id", "src", "text").collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    assert(symOut("a").getAs[Long]("excess_e8") === 0L)
+    assert(symOut("b").getAs[Long]("excess_e8") === 0L)
+    assert(symOut("a").getAs[Long]("new_ppm") ===
+      symOut("a").getAs[Long]("base_ppm"))
+    // easy source = one repeated bigram; hard source = all-distinct
+    // bigrams -> positive excess -> upweighted relative to its share
+    val mix = Seq(
+      ("easy", 1L, "a b a b a b a b a b a b a b a b"),
+      ("easy", 2L, "a b a b a b a b a b a b a b a b"),
+      ("hard", 3L, "q w e r t y u i o p z x c v n m"))
+      .toDF("src", "doc_id", "text")
+    val out = Mixture.doremiStep(mix, "doc_id", "src", "text").collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    assert(out("hard").getAs[Long]("excess_e8") > 0L)
+    assert(out("easy").getAs[Long]("excess_e8") < 0L)
+    assert(out("hard").getAs[Long]("new_ppm") >
+      out("hard").getAs[Long]("base_ppm"))
+    assert(out("easy").getAs[Long]("new_ppm") <
+      out("easy").getAs[Long]("base_ppm"))
+    // weights stay a distribution (integer floors may shave ppms)
+    val tot = out.values.map(_.getAs[Long]("new_ppm")).sum
+    assert(tot > 999990L && tot <= 1000000L)
+  }
 }

@@ -673,4 +673,24 @@ class ProfileSpec extends SparkSpec {
     assert(k3.getAs[Long]("rows_below") === 3L)
     assert(k3.getAs[Long]("rows_below_ppm") === 500000L)
   }
+
+  test("concentration: hand-computed HHI/Simpson/effective-N; 1-group edge") {
+    val df = Seq("a", "a", "a", "b").toDF("g")
+    val r = Profile.concentration(df, "g", "dim1").collect()(0)
+    // counts 3,1: n=4 m2=10 m11=6 mx=3
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("hhi_ppm") === 625000L)    // 1e6*10/16
+    assert(r.getAs[Long]("simpson_ppm") === 500000L) // 1e6*6/12
+    assert(r.getAs[Long]("eff_n_x1000") === 1600L)   // 1000*16/10
+    assert(r.getAs[Long]("top_share_ppm") === 750000L)
+    // single row: Simpson's n(n-1) denominator guards to 1, HHI = 1
+    val one = Profile.concentration(Seq("x").toDF("g"), "g", "d").collect()(0)
+    assert(one.getAs[Long]("hhi_ppm") === 1000000L)
+    assert(one.getAs[Long]("simpson_ppm") === 0L)
+    // uniform k groups: effective N = k exactly
+    val u = Profile.concentration(
+      Seq("a", "b", "c", "a", "b", "c").toDF("g"), "g", "d").collect()(0)
+    assert(u.getAs[Long]("eff_n_x1000") === 3000L)
+  }
 }

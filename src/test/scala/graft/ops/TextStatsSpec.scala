@@ -890,4 +890,80 @@ class TextStatsSpec extends SparkSpec {
     assert(out.head._1 === 1L)
     assert(out(0)._2 > out(1)._2)
   }
+
+  test("goodTuring: hand-counted fof; all-singleton and repeat-heavy edges") {
+    val df = Seq(("g1", "a a a b b c"), ("g2", "x y z")).toDF("g", "text")
+    val m = TextStats.goodTuring(df, "g", "text").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    // g1: counts a=3 b=2 c=1 -> N=6 V=3 N1=1 N2=1
+    assert(m("g1").getAs[Long]("n_tokens") === 6L)
+    assert(m("g1").getAs[Long]("vocab") === 3L)
+    assert(m("g1").getAs[Long]("n1") === 1L)
+    assert(m("g1").getAs[Long]("n2") === 1L)
+    assert(m("g1").getAs[Long]("p0_ppm") === 166666L)   // 1e6*1/6
+    assert(m("g1").getAs[Long]("r1_star_x1000") === 2000L) // 2000*1/1
+    // g2 all singletons: P0 = 1 (everything once-seen), r1* = 0
+    assert(m("g2").getAs[Long]("p0_ppm") === 1000000L)
+    assert(m("g2").getAs[Long]("r1_star_x1000") === 0L)
+  }
+
+  test("yuleK: hand-computed K; zero for all-singleton text") {
+    val df = Seq(("s1", "a a a b b c"), ("s2", "p q r s")).toDF("g", "text")
+    val m = TextStats.yuleK(df, "g", "text").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    // s1: m2 = 9+4+1 = 14, N=6 -> 1e6*(14-6)/36 = 222222
+    assert(m("s1").getAs[Long]("n_tokens") === 6L)
+    assert(m("s1").getAs[Long]("vocab") === 3L)
+    assert(m("s1").getAs[Long]("yule_k_x100") === 222222L)
+    // every word once: m2 = N -> K = 0 (the length-invariance anchor)
+    assert(m("s2").getAs[Long]("yule_k_x100") === 0L)
+  }
+
+  test("lmCrossPerplexity: diagonal == per-source lmScore; asymmetry reads") {
+    val df = Seq(
+      (1L, "a", "x y x y x y x y"),
+      (2L, "a", "x y x y"),
+      (3L, "b", "p q r s t u v w x y"),
+      (4L, "b", "m n o p q r")).toDF("doc_id", "src", "text")
+    val out = TextStats.lmCrossPerplexity(df, "doc_id", "src", "text")
+      .collect()
+      .map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) -> r)
+      .toMap
+    assert(out.size === 4)
+    // diagonal == lmScore of the source under its OWN lmTrain model
+    for (s <- Seq("a", "b")) {
+      val own = df.where(org.apache.spark.sql.functions.col("src") === s)
+      val self = TextStats.lmScore(own, "doc_id", "text",
+          TextStats.lmTrain(own, "doc_id", "text"))
+        .agg(org.apache.spark.sql.functions.sum("n_bigrams"),
+          org.apache.spark.sql.functions.sum("surprisal_e8")).collect()(0)
+      assert(out((s, s)).getAs[Long]("n_bigrams") === self.getLong(0))
+      assert(out((s, s)).getAs[Long]("cross_e8") === self.getLong(1))
+    }
+    // the Moore-Lewis direction: for FIXED text a, the in-domain
+    // model beats the foreign model (1 vs 24 e8/bigram here)
+    assert(out(("a", "a")).getAs[Long]("avg_e8") <
+      out(("a", "b")).getAs[Long]("avg_e8"))
+    // and the matrix is genuinely directional: a|b != b|a (the
+    // add-one smoothing mass scales with the MODEL's vocab, so the
+    // narrow model is lenient on unseen bigrams — 24 vs 7)
+    assert(out(("a", "b")).getAs[Long]("avg_e8") !==
+      out(("b", "a")).getAs[Long]("avg_e8"))
+  }
+
+  test("burrowsDelta: identical styles at zero, outlier style reads") {
+    val df = Seq(
+      ("a", "x x y"), ("b", "x x y"), ("c", "y y x"))
+      .toDF("src", "text")
+    val out = TextStats.burrowsDelta(df, "src", "text", k = 2).collect()
+      .map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) -> r)
+      .toMap
+    assert(out.size === 3)
+    assert(out(("a", "b")).getAs[Long]("delta_x1000") === 0L)
+    assert(out(("a", "c")).getAs[Long]("delta_x1000") > 0L)
+    // symmetry through the shared grid: delta(a,c) == delta(b,c)
+    assert(out(("a", "c")).getAs[Long]("delta_x1000") ===
+      out(("b", "c")).getAs[Long]("delta_x1000"))
+    assert(out.values.forall(_.getAs[Long]("n_words") === 2L))
+  }
 }
