@@ -184,7 +184,10 @@ object ScaleRamp {
       "q295_krippendorff", "q296_t_closeness", "q297_cem_att",
       "q298_holt_winters", "q299_token_f1", "q300_hits",
       "q301_cmh_test", "q302_qini_curve", "q303_jw_verify",
-      "q304_sample_size", "q305_cronbach", "q306_sprt")
+      "q304_sample_size", "q305_cronbach", "q306_sprt",
+      "q307_good_turing", "q308_yule_k", "q309_ece_report",
+      "q310_doremi_step", "q311_concentration", "q312_lm_cross_ppl",
+      "q313_burrows_delta")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries
