@@ -597,6 +597,7 @@ object OracleSql {
     "q311_concentration" -> Gen.concentrationSql,
     "q312_lm_cross_ppl" -> Gen.lmCrossPplSql,
     "q313_burrows_delta" -> Gen.burrowsDeltaSql,
+    "q314_brier_decomp" -> Gen.brierDecompSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6257,6 +6258,44 @@ object OracleSql {
          |SELECT group_a, group_b, n_words,
          |  CAST(sd2 // n_words AS BIGINT) AS delta_x1000
          |FROM p ORDER BY group_a, group_b""".stripMargin
+
+    /** Twin of q314_brier_decomp: the q309 forecast CTEs, the same
+      * binning, Σ(p−10⁶y)² through HUGEINT, Murphy terms over the
+      * bin table.
+      */
+    def brierDecompSql: String =
+      s"""WITH li AS (SELECT p_brand, l_shipdate,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |train AS (SELECT p_brand,
+         |    CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS p
+         |  FROM li WHERE l_shipdate < DATE '1995-06-01' GROUP BY 1),
+         |test AS (SELECT p, y FROM li JOIN train USING (p_brand)
+         |  WHERE l_shipdate >= DATE '1995-06-01'),
+         |b AS (SELECT least(CAST(p // 100000 AS BIGINT), 9) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS sp,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(p - 1000000 * y AS HUGEINT) * (p - 1000000 * y))
+         |      AS sq
+         |  FROM test GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sq) AS sqt,
+         |    CAST((1000000 * CAST(sum(sy) AS HUGEINT)) // sum(n)
+         |      AS BIGINT) AS ybar FROM b),
+         |terms AS (SELECT n, nt, sqt, ybar,
+         |    CAST(sp // n AS BIGINT) AS conf,
+         |    CAST((1000000 * CAST(sy AS HUGEINT)) // n AS BIGINT) AS acc
+         |  FROM b CROSS JOIN tot),
+         |f AS (SELECT nt, sqt, ybar,
+         |    sum(CAST(n AS HUGEINT) * (conf - acc) * (conf - acc)) AS rel,
+         |    sum(CAST(n AS HUGEINT) * (acc - ybar) * (acc - ybar)) AS res
+         |  FROM terms GROUP BY 1, 2, 3)
+         |SELECT nt AS n, ybar AS ybar_ppm,
+         |  CAST(sqt // nt AS BIGINT) AS brier_x1e12,
+         |  CAST(rel // nt AS BIGINT) AS rel_x1e12,
+         |  CAST(res // nt AS BIGINT) AS res_x1e12,
+         |  CAST(CAST(ybar AS HUGEINT) * (1000000 - ybar) AS BIGINT)
+         |    AS unc_x1e12
+         |FROM f ORDER BY n""".stripMargin
 
     /** Twin of q311_concentration: three per-dimension count folds
       * through HUGEINT cross-products, unioned.

@@ -200,6 +200,9 @@ object PlanAudit {
     // k-row top-word list cross-joined into the S-row source-total
     // table — the (S × k) stylometry grid, broadcast by design
     "q313_burrows_delta",
+    // ONE-row moment totals cross-joined into the ≤ nBins bin
+    // table — broadcast scalars by design (q309's shape)
+    "q314_brier_decomp",
     // ONE-row doc total N cross-joined into the (class, word) scoring
     // stream — broadcast scalar by design (q124's convention)
     "q181_discriminative_words",

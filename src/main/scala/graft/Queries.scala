@@ -4697,6 +4697,27 @@ object Queries {
         "source", "text")
       .orderBy("group_a", "group_b")
 
+  /** Brier score + Murphy decomposition of the q309 forecast
+    * ([[graft.ops.Eval.brierDecomposition]], Murphy 1973): the
+    * proper-scoring-rule mean split into reliability − resolution +
+    * uncertainty over the same confidence bins — whether fixing the
+    * q309 miscalibration would even matter relative to the
+    * forecast's discrimination. ×10¹² exact integer.
+    */
+  val q314_brier_decomp: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_shipdate"),
+        expr("CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END").as("y"))
+    val train = li.where(col("l_shipdate") < lit("1995-06-01"))
+      .groupBy("p_brand")
+      .agg(expr("CAST((1000000 * sum(y)) div count(*) AS BIGINT)").as("p"))
+    val test = li.where(col("l_shipdate") >= lit("1995-06-01"))
+      .join(broadcast(train), Seq("p_brand"))
+    graft.ops.Eval.brierDecomposition(test, "p", col("y")).orderBy("n")
+  }
+
   /** Burrows' Delta stylometric distance between sources
     * ([[graft.ops.TextStats.burrowsDelta]], Burrows 2002): mean
     * |z_a − z_b| over the corpus's 50 most frequent (function)
@@ -5214,5 +5235,6 @@ object Queries {
     "q310_doremi_step" -> q310_doremi_step,
     "q311_concentration" -> q311_concentration,
     "q312_lm_cross_ppl" -> q312_lm_cross_ppl,
-    "q313_burrows_delta" -> q313_burrows_delta)
+    "q313_burrows_delta" -> q313_burrows_delta,
+    "q314_brier_decomp" -> q314_brier_decomp)
 }

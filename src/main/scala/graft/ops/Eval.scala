@@ -1429,6 +1429,65 @@ object Eval {
     calibrationFromBinsDf(counts.toDF("bin", "n", "sp", "sy"))
   }
 
+  /** Brier score with the Murphy (1973) decomposition: the proper
+    * scoring rule mean (p − y)² split into REL − RES + UNC over the
+    * same equal-width confidence bins as [[calibrationBins]] —
+    * reliability (how far bin confidence sits from bin outcome, the
+    * part a recalibration can remove), resolution (how far the bins'
+    * outcomes spread from the base rate, the part that is genuine
+    * discrimination), and the outcome uncertainty floor ȳ(1−ȳ).
+    * ECE says "miscalibrated by 3%"; the decomposition says whether
+    * fixing it would even matter relative to the forecast's
+    * resolution. All ×10¹² exact integer (ppm²) via DECIMAL sums;
+    * the decomposition identity holds up to the bin-mean flooring,
+    * which is the documented quantization.
+    *
+    * Scale shape: one scan folds to the ≤ nBins bin table and the
+    * one-row moment fold; everything after is bin arithmetic.
+    */
+  def brierDecomposition(df: DataFrame, probPpmCol: String,
+                         labelExpr: org.apache.spark.sql.Column,
+                         nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 1000000 % nBins == 0,
+      s"nBins=$nBins must be >= 2 and divide 1e6")
+    val width = 1000000 / nBins
+    val base = df.select(
+      expr(s"least(CAST($probPpmCol div $width AS BIGINT), ${nBins - 1})")
+        .as("bin"),
+      col(probPpmCol).cast("bigint").as("p"),
+      labelExpr.cast("bigint").as("y"))
+    val b = base.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("p").as("sp"), sum("y").as("sy"),
+        // Σ(p − 10⁶·y)²: per-term ≤ 10¹², DECIMAL against 10¹²-row sums
+        sum(expr("CAST(p - 1000000 * y AS DECIMAL(38,0)) " +
+          "* (p - 1000000 * y)")).as("sq"))
+      .localCheckpoint() // ≤ nBins rows feed totals + three folds
+    val tot = b.agg(sum("n").as("nt"), sum("sy").as("syt"),
+        sum("sq").as("sqt"))
+      .select(col("nt"), col("sqt"),
+        expr("CAST((1000000 * CAST(syt AS DECIMAL(38,0))) div nt " +
+          "AS BIGINT)").as("ybar"))
+    val terms = b.crossJoin(broadcast(tot))
+      .select(col("n"), col("nt"), col("sqt"), col("ybar"),
+        expr("CAST(sp div n AS BIGINT)").as("conf"),
+        expr("CAST((1000000 * CAST(sy AS DECIMAL(38,0))) div n AS BIGINT)")
+          .as("acc"))
+    terms
+      .groupBy("nt", "sqt", "ybar")
+      .agg(
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (conf - acc) * (conf - acc)"))
+          .as("__rel"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (acc - ybar) * (acc - ybar)"))
+          .as("__res"))
+      .select(col("nt").cast("bigint").as("n"),
+        col("ybar").as("ybar_ppm"),
+        expr("CAST(sqt div nt AS BIGINT)").as("brier_x1e12"),
+        expr("CAST(__rel div nt AS BIGINT)").as("rel_x1e12"),
+        expr("CAST(__res div nt AS BIGINT)").as("res_x1e12"),
+        expr("CAST(CAST(ybar AS DECIMAL(38,0)) * (1000000 - ybar) " +
+          "AS BIGINT)").as("unc_x1e12"))
+  }
+
   /** The conf/acc/gap/ECE arithmetic over a (bin, n, sp, sy) table —
     * shared VERBATIM by [[calibrationBins]] and
     * [[calibrationFromCounts]].

@@ -504,12 +504,36 @@ object Mixture {
   def doremiStep(df: DataFrame, idCol: String, srcCol: String,
                  textCol: String, etaNum: Int = 1,
                  etaDen: Int = 1): DataFrame = {
-    require(etaDen > 0 && etaNum >= 0, s"need eta = $etaNum/$etaDen >= 0")
     val scored = TextStats.lmSurprisal(df, idCol, textCol,
       carry = Seq(srcCol))
     val bySrc = scored.groupBy(col(srcCol).as("src"))
       .agg(sum("n_bigrams").as("nb"), sum("surprisal_e8").as("se8"))
       .localCheckpoint() // sources-bounded; totals + weights off one fold
+    doremiFromSumsDf(bySrc, etaNum, etaDen)
+  }
+
+  /** The DoReMi reweighting readback over additive per-source
+    * (n_bigrams, Σ surprisal_e8) sums — the streaming form of
+    * [[doremiStep]]: under a FIXED reference model (the persisted-
+    * model [[TextStats.lmScore]] pattern) both sums fold across
+    * micro-batches, so a foreachBatch monitor accumulates them and
+    * emits the live mixture weights through the SAME arithmetic as
+    * the batch operator.
+    */
+  def doremiFromSums(spark: org.apache.spark.sql.SparkSession,
+                     sums: Seq[(String, Long, Long)], etaNum: Int = 1,
+                     etaDen: Int = 1): DataFrame = {
+    import spark.implicits._
+    doremiFromSumsDf(sums.toDF("src", "nb", "se8"), etaNum, etaDen)
+  }
+
+  /** The excess/exp2/normalize arithmetic over a (src, nb, se8)
+    * table — shared VERBATIM by [[doremiStep]] and
+    * [[doremiFromSums]].
+    */
+  private def doremiFromSumsDf(bySrc: DataFrame, etaNum: Int,
+                               etaDen: Int): DataFrame = {
+    require(etaDen > 0 && etaNum >= 0, s"need eta = $etaNum/$etaDen >= 0")
     val tot = bySrc.agg(sum("nb").as("nbt"), sum("se8").as("set"))
     val base = bySrc.crossJoin(broadcast(tot))
       .select(col("src"), col("nb"),

@@ -1490,9 +1490,30 @@ object Profile {
     * then a one-row fold — shuffle carries groups, never rows.
     */
   def concentration(df: DataFrame, groupCol: String,
-                    dim: String): DataFrame = {
-    val c = df.groupBy(col(groupCol).cast("string").as("grp"))
-      .agg(count(lit(1)).as("cnt"))
+                    dim: String): DataFrame =
+    concentrationFromCountsDf(
+      df.groupBy(col(groupCol).cast("string").as("grp"))
+        .agg(count(lit(1)).as("cnt")), dim)
+
+  /** The concentration readback over an additive (group, count)
+    * table — the streaming form of [[concentration]]: per-group
+    * counts fold across micro-batches, so a foreachBatch monitor
+    * accumulates them and emits the live HHI/Simpson report through
+    * the SAME arithmetic as the batch operator.
+    */
+  def concentrationFromCounts(spark: org.apache.spark.sql.SparkSession,
+                              counts: Seq[(String, Long)],
+                              dim: String): DataFrame = {
+    import spark.implicits._
+    concentrationFromCountsDf(counts.toDF("grp", "cnt"), dim)
+  }
+
+  /** The HHI/Simpson/effective-N arithmetic over a (grp, cnt) table —
+    * shared VERBATIM by [[concentration]] and
+    * [[concentrationFromCounts]].
+    */
+  private def concentrationFromCountsDf(c: DataFrame,
+                                        dim: String): DataFrame = {
     c.agg(sum("cnt").as("n"), count(lit(1)).as("k"),
         sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("m2"),
         sum(expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)")).as("m11"),

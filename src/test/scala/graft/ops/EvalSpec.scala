@@ -702,4 +702,24 @@ class EvalSpec extends SparkSpec {
       .orderBy("bin").collect().toSeq
     assert(streamed === expected)
   }
+
+  test("brierDecomposition: hand-computed Murphy terms; identity holds") {
+    val rows = Seq(
+      (250000L, 1L), (250000L, 0L), (750000L, 1L), (750000L, 1L))
+      .toDF("p", "y")
+    val r = Eval.brierDecomposition(rows, "p", col("y")).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("ybar_ppm") === 750000L)
+    // sq: bin2 = 750000² + 250000², bin7 = 2·250000²
+    assert(r.getAs[Long]("brier_x1e12") === 187500000000L)
+    // rel: bins at |conf-acc| = 250000 each, n=2+2
+    assert(r.getAs[Long]("rel_x1e12") === 62500000000L)
+    // res: bin outcomes 500000/1000000 vs ybar 750000
+    assert(r.getAs[Long]("res_x1e12") === 62500000000L)
+    assert(r.getAs[Long]("unc_x1e12") === 187500000000L)
+    // Murphy identity, exact on this fixture: B = REL - RES + UNC
+    assert(r.getAs[Long]("brier_x1e12") ===
+      r.getAs[Long]("rel_x1e12") - r.getAs[Long]("res_x1e12") +
+        r.getAs[Long]("unc_x1e12"))
+  }
 }

@@ -360,4 +360,30 @@ class MixtureSpec extends SparkSpec {
     val tot = out.values.map(_.getAs[Long]("new_ppm")).sum
     assert(tot > 999990L && tot <= 1000000L)
   }
+
+  test("doremiFromSums: folded per-batch sums == batch, bit-identical") {
+    import spark.implicits._
+    val df = Seq(
+      ("easy", 1L, "a b a b a b a b a b a b a b a b"),
+      ("easy", 2L, "a b a b a b a b a b a b a b a b"),
+      ("hard", 3L, "q w e r t y u i o p z x c v n m"))
+      .toDF("src", "doc_id", "text")
+    val expected = Mixture.doremiStep(df, "doc_id", "src", "text")
+      .orderBy("src").collect().toSeq
+    // a foreachBatch monitor scores micro-batches under the FIXED
+    // corpus model and folds the additive (nb, se8) sums per source
+    val model = TextStats.lmTrain(df, "doc_id", "text")
+    val sums = Seq(Seq(1L), Seq(2L, 3L)).flatMap { ids =>
+      TextStats.lmScore(df.where(col("doc_id").isin(ids: _*)),
+          "doc_id", "text", model, carry = Seq("src"))
+        .groupBy("src")
+        .agg(org.apache.spark.sql.functions.sum("n_bigrams").as("nb"),
+          org.apache.spark.sql.functions.sum("surprisal_e8").as("se8"))
+        .as[(String, Long, Long)].collect().toSeq
+    }.groupBy(_._1).map { case (s, xs) =>
+      (s, xs.map(_._2).sum, xs.map(_._3).sum) }.toSeq
+    val streamed = Mixture.doremiFromSums(spark, sums)
+      .orderBy("src").collect().toSeq
+    assert(streamed === expected)
+  }
 }

@@ -693,4 +693,16 @@ class ProfileSpec extends SparkSpec {
       Seq("a", "b", "c", "a", "b", "c").toDF("g"), "g", "d").collect()(0)
     assert(u.getAs[Long]("eff_n_x1000") === 3000L)
   }
+
+  test("concentrationFromCounts: folded micro-batch counts == batch") {
+    val batch1 = Seq("a", "a", "b")
+    val batch2 = Seq("a", "b", "c", "c")
+    val expected = Profile.concentration(
+      (batch1 ++ batch2).toDF("g"), "g", "live").collect().toSeq
+    val folded = (batch1 ++ batch2).groupBy(identity)
+      .map { case (g, xs) => (g, xs.size.toLong) }.toSeq
+    val streamed = Profile.concentrationFromCounts(spark, folded, "live")
+      .collect().toSeq
+    assert(streamed === expected)
+  }
 }
