@@ -598,6 +598,8 @@ object OracleSql {
     "q312_lm_cross_ppl" -> Gen.lmCrossPplSql,
     "q313_burrows_delta" -> Gen.burrowsDeltaSql,
     "q314_brier_decomp" -> Gen.brierDecompSql,
+    "q315_anova" -> Gen.anovaSql,
+    "q316_durbin_watson" -> Gen.durbinWatsonSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6296,6 +6298,77 @@ object OracleSql {
          |  CAST(CAST(ybar AS HUGEINT) * (1000000 - ybar) AS BIGINT)
          |    AS unc_x1e12
          |FROM f ORDER BY n""".stripMargin
+
+    /** Twin of q315_anova: the same floored integer sums-of-squares
+      * forms through HUGEINT, the same clamp and two-step F.
+      */
+    def anovaSql: String =
+      s"""WITH b AS (SELECT o_orderpriority AS g,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         |gg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(v) AS BIGINT) AS sg,
+         |    sum(CAST(v AS HUGEINT) * v) AS qg
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS k, CAST(sum(sg) AS BIGINT) AS s,
+         |    sum(qg) AS q,
+         |    sum((CAST(sg AS HUGEINT) * sg) // ng) AS ssb_raw
+         |  FROM gg),
+         |u AS (SELECT n AS n_rows, k AS n_groups,
+         |    greatest(ssb_raw - (CAST(s AS HUGEINT) * s) // n, 0) AS ssb,
+         |    q - ssb_raw AS ssw, n, k FROM t)
+         |SELECT n_rows, n_groups,
+         |  CAST(CASE WHEN ssw <= 0 OR k < 2 OR n <= k THEN -1
+         |    ELSE (1000 * (ssb // (k - 1))) //
+         |      greatest(ssw // (n - k), 1) END AS BIGINT) AS f_x1000,
+         |  CAST(CASE WHEN ssb + ssw <= 0 THEN 0
+         |    ELSE (1000000 * ssb) // (ssb + ssw) END AS BIGINT)
+         |    AS eta2_ppm
+         |FROM u""".stripMargin
+
+    /** Twin of q316_durbin_watson: the q242 grid + fit CTEs, exact
+      * ×10⁶ residuals, lag diff per type, the same −1 sentinel.
+      */
+    def durbinWatsonSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+         |c AS (SELECT et, d, CAST(count(*) AS BIGINT) AS y
+         |  FROM b GROUP BY et, d),
+         |days AS (SELECT DISTINCT d FROM c),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, days.d, coalesce(c.y, 0) AS y
+         |  FROM ets CROSS JOIN days
+         |  LEFT JOIN c ON c.et = ets.et AND c.d = days.d),
+         |x AS (SELECT et,
+         |    CAST(date_diff('day', min(d) OVER (PARTITION BY et), d)
+         |      AS BIGINT) AS x, y FROM g),
+         |a AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM x GROUP BY et),
+         |fit AS (SELECT et,
+         |    CAST((1000000 * (n * sxy - sx * sy))
+         |      // greatest(n * sxx - sx * sx, 1) AS BIGINT) AS slope_micro,
+         |    n, sx, sy FROM a),
+         |fit2 AS (SELECT et, slope_micro,
+         |    CAST((1000000 * sy - CAST(slope_micro AS HUGEINT) * sx) // n
+         |      AS BIGINT) AS intercept_micro FROM fit),
+         |e AS (SELECT x.et, x.x,
+         |    1000000 * x.y - fit2.slope_micro * x.x - fit2.intercept_micro
+         |      AS e6
+         |  FROM x JOIN fit2 ON x.et = fit2.et),
+         |de AS (SELECT et, e6,
+         |    e6 - lag(e6, 1) OVER (PARTITION BY et ORDER BY x) AS de6
+         |  FROM e),
+         |f AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+         |    sum(CAST(e6 AS HUGEINT) * e6) AS see,
+         |    sum(CAST(de6 AS HUGEINT) * de6) AS sdd
+         |  FROM de GROUP BY et)
+         |SELECT et AS event_type, n_days,
+         |  CAST(CASE WHEN see <= 0 THEN -1
+         |    ELSE (1000 * sdd) // see END AS BIGINT) AS dw_x1000
+         |FROM f ORDER BY event_type""".stripMargin
 
     /** Twin of q311_concentration: three per-dimension count folds
       * through HUGEINT cross-products, unioned.

@@ -309,6 +309,9 @@ object PlanAudit {
     // types × day-span grid (q223's audited zero-fill shape); the
     // 5-sum fold runs over the bounded grid
     "q242_ols_trend",
+    // q242's types × day-span zero-fill grid plus its one-row-per-
+    // type fit broadcast back for the residual pass
+    "q316_durbin_watson",
     // three ONE-row totals (n_pred / n_true / tp) composed into the
     // single report row — broadcast scalars by design
     "q248_lsh_eval",

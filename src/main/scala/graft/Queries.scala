@@ -4728,6 +4728,26 @@ object Queries {
     TextStats.burrowsDelta(Tables.documents(s, d), "source", "text")
       .orderBy("group_a", "group_b")
 
+  /** One-way ANOVA of order value by priority
+    * ([[graft.ops.Eval.anovaOneWay]]): F + η² — does priority
+    * explain spend at all, and how much (the k-group lens beside
+    * q244's two-arm test). Floored ×10⁶ sums of squares with the
+    * exact SSB+SSW=SST identity, two-step integer F.
+    */
+  val q315_anova: Q = (s, d) =>
+    graft.ops.Eval.anovaOneWay(Tables.orders(s, d), "o_orderpriority",
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+
+  /** Durbin–Watson residual autocorrelation of the q242 daily OLS
+    * trend per event type ([[graft.ops.Funnel.durbinWatson]], Durbin
+    * & Watson 1950): DW ≪ 2 flags structure the linear fit missed
+    * (weekly seasonality, regime shifts) that r² can't see. Exact
+    * ×10⁶ integer residuals, ×1000 out.
+    */
+  val q316_durbin_watson: Q = (s, d) =>
+    graft.ops.Funnel.durbinWatson(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type")
+
   /** Top principal component by integer power iteration
     * ([[graft.sim.Similarity.pcaTopComponent]]): the anisotropy lens
     * on the embedding corpus — explained-variance share of the
@@ -5236,5 +5256,7 @@ object Queries {
     "q311_concentration" -> q311_concentration,
     "q312_lm_cross_ppl" -> q312_lm_cross_ppl,
     "q313_burrows_delta" -> q313_burrows_delta,
-    "q314_brier_decomp" -> q314_brier_decomp)
+    "q314_brier_decomp" -> q314_brier_decomp,
+    "q315_anova" -> q315_anova,
+    "q316_durbin_watson" -> q316_durbin_watson)
 }

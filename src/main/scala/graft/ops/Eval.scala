@@ -1429,6 +1429,58 @@ object Eval {
     calibrationFromBinsDf(counts.toDF("bin", "n", "sp", "sy"))
   }
 
+  /** One-way ANOVA (Fisher): does a categorical factor explain a
+    * numeric outcome — the k-group generalization of the two-arm
+    * t/z lens (q244), reported as the F statistic plus η² (the
+    * between-group share of total variance, the effect size the
+    * p-value hides). Sums of squares in the floored integer form:
+    * SSB = Σ_g s_g² div n_g − S² div N and SSW = Q − Σ_g s_g² div
+    * n_g, which by construction sum EXACTLY to SST = Q − S² div N,
+    * so η²_ppm = (10⁶·SSB) div SST carries no drift; F divides the
+    * mean squares as two floored integer steps (`div` lands in
+    * BIGINT, so the flooring costs ≤ 1 unit² against sums that are
+    * ≫ 10⁶ for any real value column). Domain bound, documented
+    * like Cronbach's: the mean squares must fit BIGINT — pre-scale
+    * the value (cents → dollars) once Σv²/(k−1) nears 2⁶³.
+    *
+    * Scale shape: one hash aggregation to the k-row group-moment
+    * table, then a one-row fold.
+    */
+  def anovaOneWay(df: DataFrame, groupCol: String,
+                  valueExpr: org.apache.spark.sql.Column): DataFrame = {
+    val g = df.select(col(groupCol).as("g"),
+        valueExpr.cast("bigint").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum("v").as("sg"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("qg"))
+    g.agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        sum("sg").as("s"), sum("qg").as("q"),
+        // s² div n decomposed as s·q + (s·r) div n with q = s div n,
+        // r = s % n: `div` materializes its quotient in BIGINT, and
+        // s²/n itself passes 2⁶³ long before any input does (it did
+        // at sf0.01: 9.4e18) — the decomposition keeps every div
+        // quotient ≤ s while the exact value accumulates in DECIMAL
+        sum(expr("CAST(sg AS DECIMAL(38,0)) * (sg div ng) " +
+          "+ (CAST(sg AS DECIMAL(38,0)) * (sg % ng)) div ng"))
+          .as("ssb_raw"))
+      .select(col("n").cast("bigint").as("n_rows"),
+        col("k").as("n_groups"),
+        // SSB ≥ 0 mathematically; the per-group flooring can dip it
+        // by ≤ k units — clamp so the rare negative stays 0. Same
+        // quotient decomposition as ssb_raw for S²/N.
+        expr("greatest(ssb_raw - (CAST(s AS DECIMAL(38,0)) * (s div n) " +
+          "+ (CAST(s AS DECIMAL(38,0)) * (s % n)) div n), 0)").as("ssb"),
+        expr("q - ssb_raw").as("ssw"),
+        col("n"), col("k"))
+      .select(col("n_rows"), col("n_groups"),
+        expr("CAST(CASE WHEN ssw <= 0 OR k < 2 OR n <= k THEN -1 " +
+          "ELSE (1000 * (ssb div (k - 1))) div " +
+          "greatest(ssw div (n - k), 1) END AS BIGINT)").as("f_x1000"),
+        expr("CAST(CASE WHEN ssb + ssw <= 0 THEN 0 " +
+          "ELSE (1000000 * ssb) div (ssb + ssw) END AS BIGINT)")
+          .as("eta2_ppm"))
+  }
+
   /** Brier score with the Murphy (1973) decomposition: the proper
     * scoring rule mean (p − y)² split into REL − RES + UNC over the
     * same equal-width confidence bins as [[calibrationBins]] —

@@ -587,6 +587,61 @@ object Funnel {
           .as("r2_x1e6"))
   }
 
+  /** Durbin–Watson autocorrelation statistic of the [[olsTrend]]
+    * residuals per event type (Durbin & Watson 1950): DW =
+    * Σ(e_t − e_{t−1})² / Σe_t² over the zero-filled day grid — the
+    * "is the linear trend missing structure" diagnostic that q242's
+    * r² can't give (a seasonal weekly wave fits a flat slope with
+    * high residual autocorrelation; DW ≪ 2 flags it, DW ≈ 2 clears
+    * it). Residuals stay EXACT ×10⁶ integers (e₆ = 10⁶·y −
+    * slope_micro·x − intercept_micro, both fit terms already ×10⁶
+    * floored), so the ratio is engine-deterministic; ×1000 out, −1
+    * sentinel on a degenerate zero-residual fit.
+    *
+    * Scale shape: the q242 day-grid reduction is the only corpus
+    * stage; the lag window and both folds run per type over the
+    * day-span-bounded grid.
+    */
+  def durbinWatson(df: DataFrame, typeCol: String,
+                   tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"))
+      .groupBy("et", "d").agg(count(lit(1)).as("y"))
+      .localCheckpoint() // grid + the one-row-per-type fit share it
+    val days = c.select("d").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(days))
+      .join(c, Seq("et", "d"), "left")
+      .na.fill(0L, Seq("y"))
+      .withColumn("x", expr(
+        "datediff(d, min(d) OVER (PARTITION BY et))"))
+    val fit = grid.groupBy("et")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("slope_micro",
+        expr("CAST((1000000 * (n * sxy - sx * sy)) div " +
+          "greatest(n * sxx - sx * sx, 1) AS BIGINT)"))
+      .select(col("et"), col("slope_micro"),
+        expr("CAST((1000000 * sy - slope_micro * sx) div n AS BIGINT)")
+          .as("intercept_micro"))
+    val w = Window.partitionBy("et").orderBy("x")
+    grid.join(broadcast(fit), Seq("et"))
+      .withColumn("e6", expr(
+        "1000000 * y - slope_micro * x - intercept_micro"))
+      .withColumn("de6", col("e6") - lag("e6", 1).over(w))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("CAST(e6 AS DECIMAL(38,0)) * e6")).as("see"),
+        sum(expr("CAST(de6 AS DECIMAL(38,0)) * de6")).as("sdd"))
+      .select(col("et").as(typeCol), col("n_days"),
+        expr("CAST(CASE WHEN see <= 0 THEN -1 " +
+          "ELSE (1000 * sdd) div see END AS BIGINT)").as("dw_x1000"))
+  }
+
   /** Lead–lag cross-correlation between event types' hourly series:
     * for every ordered type pair and lag in [−maxLag, maxLag], the
     * integer cross-covariance Σ_t dα_t·dβ_{t+lag} of the per-mille

@@ -722,4 +722,21 @@ class EvalSpec extends SparkSpec {
       r.getAs[Long]("rel_x1e12") - r.getAs[Long]("res_x1e12") +
         r.getAs[Long]("unc_x1e12"))
   }
+
+  test("anovaOneWay: textbook F=24 on separated groups; null case flat") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "v")
+    val r = Eval.anovaOneWay(df, "g", col("v")).collect()(0)
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    // SSB=24, SSW=4, df=(1,4): F = 24/(4/4) = 24.000
+    assert(r.getAs[Long]("f_x1000") === 24000L)
+    // eta2 = 24/28
+    assert(r.getAs[Long]("eta2_ppm") === 857142L)
+    // identical groups: SSB clamps at 0, F = 0, eta2 = 0
+    val flat = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L)).toDF("g", "v")
+    val fr = Eval.anovaOneWay(flat, "g", col("v")).collect()(0)
+    assert(fr.getAs[Long]("f_x1000") === 0L)
+    assert(fr.getAs[Long]("eta2_ppm") === 0L)
+  }
 }

@@ -1017,4 +1017,23 @@ class FunnelSpec extends SparkSpec {
     // efficiency: Σφ = v(full coalition) = v{a,b}
     assert(out.map(_.getAs[Long]("phi_ppm")).sum === 1000000L)
   }
+
+  test("durbinWatson: alternating residuals near 4, exact fit hits sentinel") {
+    import spark.implicits._
+    // type A: 5 events on days 1/3/5 only -> y alternates 5,0 around
+    // its fitted trend (strong negative autocorrelation, DW -> 4);
+    // type B: 3 events every day -> exact linear (flat) fit, zero
+    // residuals -> -1 sentinel
+    val rows =
+      (for (d <- Seq(1, 3, 5); i <- 1 to 5)
+        yield ("A", ts(f"2024-01-0$d%d 0$i%d:00:00"))) ++
+      (for (d <- 1 to 6; i <- 1 to 3)
+        yield ("B", ts(f"2024-01-0$d%d 0$i%d:00:00")))
+    val df = rows.toDF("event_type", "ts")
+    val out = Funnel.durbinWatson(df, "event_type", "ts").collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("A").getAs[Long]("n_days") === 6L)
+    assert(out("A").getAs[Long]("dw_x1000") > 3000L)
+    assert(out("B").getAs[Long]("dw_x1000") === -1L)
+  }
 }
