@@ -600,6 +600,8 @@ object OracleSql {
     "q314_brier_decomp" -> Gen.brierDecompSql,
     "q315_anova" -> Gen.anovaSql,
     "q316_durbin_watson" -> Gen.durbinWatsonSql,
+    "q317_surprisal_spans" -> Gen.surprisalSpansSql,
+    "q318_dim_anova" -> Gen.dimAnovaSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6369,6 +6371,83 @@ object OracleSql {
          |  CAST(CASE WHEN see <= 0 THEN -1
          |    ELSE (1000 * sdd) // see END AS BIGINT) AS dw_x1000
          |FROM f ORDER BY event_type""".stripMargin
+
+    /** Twin of q317_surprisal_spans: the q106 LM CTEs with a
+      * parallel-unnest position column, the same 8-row window sums
+      * and the same earliest-position rank tie-break.
+      */
+    def surprisalSpansSql: String = {
+      val shift = graft.ops.TextStats.LmShift
+      val m8 = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT doc_id,
+         |    unnest(range(0, len(w) - 1)) AS pos,
+         |    unnest(w[1:len(w)-1]) AS w1,
+         |    unnest(${shinglesE("w", 2)}) AS bg
+         |  FROM wd WHERE len(w) >= 2),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM bgl GROUP BY bg),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bgl GROUP BY w1),
+         |v AS (SELECT count(DISTINCT t) AS v
+         |  FROM (SELECT unnest(w) AS t FROM wd)),
+         |sc AS (SELECT b.doc_id, b.pos,
+         |    greatest((CAST(c1.c1 + v.v AS HUGEINT) * ${1L << shift})
+         |      // (c2.c2 + 1), ${1L << shift}) AS q
+         |  FROM bgl b JOIN c2 ON b.bg = c2.bg
+         |  JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+         |m AS (SELECT doc_id, pos, ($m8) - ${8 * shift} AS e8 FROM sc),
+         |ww AS (SELECT doc_id, pos,
+         |    sum(e8) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win_e8,
+         |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win_n,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_bigrams
+         |  FROM m),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY win_e8 DESC, pos) AS rk
+         |  FROM ww WHERE win_n = 8)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  CAST(pos AS BIGINT) AS span_end_pos,
+         |  CAST(win_e8 AS BIGINT) AS span_e8
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    }
+
+    /** Twin of q318_dim_anova: the q108 max-abs/int8 quantization
+      * CTEs (label carried through), then the q315 floored-SS ANOVA
+      * arithmetic per dimension.
+      */
+    def dimAnovaSql: String =
+      s"""WITH ed AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |ex AS (SELECT unnest([{'pos': i, 'x': v[i]}
+         |    for i in range(1, len(v)+1)]) AS u FROM ed),
+         |sc AS (SELECT u.pos AS pos, max(abs(u.x)) AS m FROM ex
+         |  GROUP BY u.pos),
+         |sl AS (SELECT list(m ORDER BY pos) AS s FROM sc),
+         |qz AS (SELECT label AS lab,
+         |    unnest([{'dim': i - 1, 'v': CASE WHEN s[i] = 0 THEN 0
+         |      ELSE CAST(floor(v[i] * 127.0 / s[i]) AS BIGINT) END}
+         |      for i in range(1, len(v)+1)]) AS u
+         |  FROM ed CROSS JOIN sl),
+         |g AS (SELECT u.dim AS dim, lab, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(u.v) AS BIGINT) AS sg,
+         |    CAST(sum(u.v * u.v) AS BIGINT) AS qg
+         |  FROM qz GROUP BY 1, 2),
+         |t AS (SELECT dim, CAST(sum(ng) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS k, CAST(sum(sg) AS BIGINT) AS s,
+         |    CAST(sum(qg) AS BIGINT) AS q,
+         |    sum((CAST(sg AS HUGEINT) * sg) // ng) AS ssb_raw
+         |  FROM g GROUP BY 1),
+         |u AS (SELECT dim, n AS n_rows, k AS n_labels,
+         |    greatest(ssb_raw - (CAST(s AS HUGEINT) * s) // n, 0) AS ssb,
+         |    q - ssb_raw AS ssw, n, k FROM t)
+         |SELECT CAST(dim AS BIGINT) AS dim, n_rows, n_labels,
+         |  CAST(CASE WHEN ssw <= 0 OR k < 2 OR n <= k THEN -1
+         |    ELSE (1000 * (ssb // (k - 1))) //
+         |      greatest(ssw // (n - k), 1) END AS BIGINT) AS f_x1000,
+         |  CAST(CASE WHEN ssb + ssw <= 0 THEN 0
+         |    ELSE (1000000 * ssb) // (ssb + ssw) END AS BIGINT)
+         |    AS eta2_ppm
+         |FROM u ORDER BY dim""".stripMargin
 
     /** Twin of q311_concentration: three per-dimension count folds
       * through HUGEINT cross-products, unioned.

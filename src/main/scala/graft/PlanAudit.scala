@@ -59,6 +59,8 @@ object PlanAudit {
     // ONE-row vocabulary size V cross-joined into the bigram scoring
     // stream — broadcast scalar by design
     "q106_lm_surprisal",
+    // q106's ONE-row V broadcast under the positioned span windows
+    "q317_surprisal_spans",
     // ONE-row quantized query vector cross-joined into the scoring
     // scan — q28's single-query-vector shape
     "q108_sq_ann",

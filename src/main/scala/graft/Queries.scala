@@ -4728,6 +4728,28 @@ object Queries {
     TextStats.burrowsDelta(Tables.documents(s, d), "source", "text")
       .orderBy("group_a", "group_b")
 
+  /** Worst-surprisal span per document
+    * ([[graft.ops.TextStats.surprisalSpans]]): WHERE each document
+    * goes wrong under the corpus LM — the quality analog of q80's
+    * duplicated-span localization (cut the mojibake paragraph, not
+    * the document). 8-bigram windows, integer eighth-bits,
+    * earliest-position tie-break.
+    */
+  val q317_surprisal_spans: Q = (s, d) =>
+    TextStats.surprisalSpans(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Per-dimension label ANOVA of the embeddings
+    * ([[graft.sim.Similarity.dimAnova]]): which coordinates carry
+    * the label signal (Fisher F + η² per dim over the q108 int8
+    * grid) — the evidence-based truncation screen beside q282's
+    * positional Matryoshka cut.
+    */
+  val q318_dim_anova: Q = (s, d) =>
+    Similarity.dimAnova(Scale.fanOut(Tables.embeddings(s, d)),
+        "embedding", "label")
+      .orderBy("dim")
+
   /** One-way ANOVA of order value by priority
     * ([[graft.ops.Eval.anovaOneWay]]): F + η² — does priority
     * explain spend at all, and how much (the k-group lens beside
@@ -5258,5 +5280,7 @@ object Queries {
     "q313_burrows_delta" -> q313_burrows_delta,
     "q314_brier_decomp" -> q314_brier_decomp,
     "q315_anova" -> q315_anova,
-    "q316_durbin_watson" -> q316_durbin_watson)
+    "q316_durbin_watson" -> q316_durbin_watson,
+    "q317_surprisal_spans" -> q317_surprisal_spans,
+    "q318_dim_anova" -> q318_dim_anova)
 }

@@ -1828,6 +1828,61 @@ object TextStats {
         col("intra_w"), col("deg_w"), col("modularity_x1e6"))
   }
 
+  /** Worst-surprisal span per document: the position window whose
+    * summed bigram surprisal (under the corpus LM, [[lmSurprisal]]'s
+    * model) is highest — q106 scores the DOCUMENT, this finds WHERE
+    * it goes wrong, the quality analog of q80's duplicated-span
+    * localization (Lee et al.'s span discipline applied to the
+    * garbled-section problem: a good document with one mojibake
+    * paragraph should lose the paragraph, not the document). Emits
+    * per doc the span's end position, its summed surprisal and the
+    * doc's bigram count; docs shorter than the window carry no full
+    * span and are omitted. Integer end to end; ties break to the
+    * earliest position via a rank window.
+    *
+    * Scale shape: the LM join is q106's (the only corpus stage);
+    * the span sum and the argmax rank are windows PARTITIONED BY
+    * document — a 10⁹-bigram doc costs its own partition only.
+    */
+  def surprisalSpans(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, s"window=$window must be >= 2")
+    val model = lmTrain(df, idCol, textCol)
+    val toks = lmToks(df, idCol, textCol, Seq.empty)
+    val bg = toks.where(size(col("w")) >= 2)
+      .select(col("__id"),
+        posexplode(TextFns.shingles(col("__text"), 2)).as(Seq("pos", "bg")))
+      .select(col("__id"), col("pos"),
+        substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
+    val c2 = model.bigrams.select(col("bg"), col("c2"))
+    val c1 = model.bigrams.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = model.vocab.agg(count(lit(1)).as("v"))
+    val scored = bg
+      .join(c2, Seq("bg"), "left").na.fill(0L, Seq("c2"))
+      .join(c1, Seq("w1"), "left").na.fill(0L, Seq("c1"))
+      .crossJoin(broadcast(v))
+      .withColumn("q",
+        expr(s"greatest((CAST(c1 + v AS DECIMAL(38,0)) * ${1L << LmShift}) " +
+          s"div (c2 + 1), CAST(${1L << LmShift} AS BIGINT))"))
+      .withColumn("e8", expr(s"${mitchellE8Sql("q")} - ${8 * LmShift}"))
+    val ws = Window.partitionBy("__id").orderBy("pos")
+      .rowsBetween(-(window - 1), 0)
+    val wr = Window.partitionBy("__id")
+      .orderBy(desc("win_e8"), col("pos"))
+    scored
+      .withColumn("win_e8", sum("e8").over(ws))
+      .withColumn("win_n", count(lit(1)).over(ws))
+      .withColumn("n_bigrams",
+        count(lit(1)).over(Window.partitionBy("__id")))
+      .where(col("win_n") === window)
+      .withColumn("rk", row_number().over(wr))
+      .where(col("rk") === 1)
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        col("pos").cast("bigint").as("span_end_pos"),
+        col("win_e8").cast("bigint").as("span_e8"))
+  }
+
   /** Pairwise LM cross-perplexity matrix: for every ordered source
     * pair (a, b), source a's bigram stream scored under source b's
     * add-one-smoothed bigram LM — "how surprised is b's model by a's

@@ -1527,4 +1527,48 @@ object Similarity {
           "(0.6931471805599453 * sum_e8)) END AS BIGINT)")
           .as("id_x1000"))
   }
+
+  /** Per-dimension one-way ANOVA of the embedding coordinates
+    * against the label — the Fisher-discriminant feature screen:
+    * which dimensions carry the label signal at all (F ≫ 1) and
+    * how much of each coordinate's variance the label explains
+    * (η²), the pruning decision before a supervised head trains on
+    * a truncated embedding (q282's Matryoshka cut chosen by
+    * evidence instead of position). Coordinates snap to the q108
+    * int8 grid first ([[sqQuantize]] — the established engine-exact
+    * float handoff), then every moment is integer; same floored
+    * SS/identity discipline as [[graft.ops.Eval.anovaOneWay]],
+    * with quotients bounded by 127²·n so no decomposition needed.
+    *
+    * Scale shape: one posexplode scan → (dim × label) moment
+    * reduction with map-side partials (shuffle = dims × labels
+    * rows); the per-dim folds run on that bounded table. The scale
+    * collect is dim-sized (the [[sqScales]] contract).
+    */
+  def dimAnova(df: DataFrame, vecCol: String,
+               labelCol: String): DataFrame = {
+    val scales = sqScales(df, vecCol)
+    val base = df.select(col(labelCol).as("lab"),
+      posexplode(sqQuantize(col(vecCol), scales)).as(Seq("dim", "v")))
+    val g = base.groupBy("dim", "lab")
+      .agg(count(lit(1)).as("ng"), sum("v").as("sg"),
+        sum(expr("v * v")).as("qg"))
+    g.groupBy("dim")
+      .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        sum("sg").as("s"), sum("qg").as("q"),
+        sum(expr("CAST((CAST(sg AS DECIMAL(38,0)) * sg) div ng " +
+          "AS DECIMAL(38,0))")).as("ssb_raw"))
+      .select(col("dim").cast("bigint").as("dim"),
+        col("n").cast("bigint").as("n_rows"), col("k").as("n_labels"),
+        expr("greatest(ssb_raw - (CAST(s AS DECIMAL(38,0)) * s) div n, " +
+          "0)").as("ssb"),
+        expr("q - ssb_raw").as("ssw"), col("n"), col("k"))
+      .select(col("dim"), col("n_rows"), col("n_labels"),
+        expr("CAST(CASE WHEN ssw <= 0 OR k < 2 OR n <= k THEN -1 " +
+          "ELSE (1000 * (ssb div (k - 1))) div " +
+          "greatest(ssw div (n - k), 1) END AS BIGINT)").as("f_x1000"),
+        expr("CAST(CASE WHEN ssb + ssw <= 0 THEN 0 " +
+          "ELSE (1000000 * ssb) div (ssb + ssw) END AS BIGINT)")
+          .as("eta2_ppm"))
+  }
 }

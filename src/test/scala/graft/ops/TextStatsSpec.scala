@@ -966,4 +966,23 @@ class TextStatsSpec extends SparkSpec {
       out(("b", "c")).getAs[Long]("delta_x1000"))
     assert(out.values.forall(_.getAs[Long]("n_words") === 2L))
   }
+
+  test("surprisalSpans: worst window lands on the garbled run; short docs omitted") {
+    val common = "the cat sat on the mat"
+    val df = Seq(
+      (1L, s"$common $common $common zq xv qj wk vv bb"),
+      (2L, common), // 6 tokens < window+1 -> no full 8-bigram window
+      (3L, s"$common $common $common $common"))
+      .toDF("doc_id", "text")
+    val out = TextStats.surprisalSpans(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L).getAs[Long]("n_bigrams") === 23L)
+    // the six rare tokens sit at bigram positions 17..22 — the
+    // worst 8-window must end inside that run
+    assert(out(1L).getAs[Long]("span_end_pos") >= 17L)
+    // the all-common doc's worst span is far cheaper than doc 1's
+    assert(out(3L).getAs[Long]("span_e8") <
+      out(1L).getAs[Long]("span_e8"))
+  }
 }

@@ -916,4 +916,25 @@ class SimilaritySpec extends SparkSpec {
       "embedding", dim = 4, numBits = 2).collect().head
     assert(r2.getAs[Long]("id_x1000") === id)
   }
+
+  test("dimAnova: separating dim reads high F/eta2, noise dim reads zero") {
+    import spark.implicits._
+    // dim 0 separates the labels perfectly; dim 1 is identical
+    // within AND across labels (zero between-group variance)
+    val df = Seq(
+      (1L, Array(1.0f, 0.5f), "a"), (2L, Array(0.9f, -0.5f), "a"),
+      (3L, Array(-1.0f, 0.5f), "b"), (4L, Array(-0.9f, -0.5f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.dimAnova(df, "embedding", "label").collect()
+      .map(r => r.getAs[Long]("dim") -> r).toMap
+    assert(out.keySet === Set(0L, 1L))
+    assert(out(0L).getAs[Long]("n_rows") === 4L)
+    assert(out(0L).getAs[Long]("n_labels") === 2L)
+    assert(out(0L).getAs[Long]("f_x1000") >
+      out(1L).getAs[Long]("f_x1000"))
+    // dim 0: within-group spread is tiny vs the ±1 separation
+    assert(out(0L).getAs[Long]("eta2_ppm") > 900000L)
+    // dim 1: the group means coincide -> SSB clamps to 0
+    assert(out(1L).getAs[Long]("eta2_ppm") === 0L)
+  }
 }
