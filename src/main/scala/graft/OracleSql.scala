@@ -602,6 +602,7 @@ object OracleSql {
     "q316_durbin_watson" -> Gen.durbinWatsonSql,
     "q317_surprisal_spans" -> Gen.surprisalSpansSql,
     "q318_dim_anova" -> Gen.dimAnovaSql,
+    "q319_seasonal_strength" -> Gen.seasonalStrengthSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6448,6 +6449,71 @@ object OracleSql {
          |    ELSE (1000000 * ssb) // (ssb + ssw) END AS BIGINT)
          |    AS eta2_ppm
          |FROM u ORDER BY dim""".stripMargin
+
+    /** Per-key one-way ANOVA CTE chain over a (et, g, v) cell CTE —
+      * the q315 floored-SS forms keyed by `et`, emitted once per
+      * factor so the q319 twin can't drift between its two ANOVAs.
+      * (HUGEINT carries the s²/n quotients directly; the Spark side's
+      * s·q + s·r decomposition computes the identical value.)
+      */
+    private def anovaKeyedSql(src: String, pfx: String): String =
+      s"""${pfx}g AS (SELECT et, g, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(v) AS BIGINT) AS sg, sum(CAST(v AS HUGEINT) * v)
+         |      AS qg
+         |  FROM $src GROUP BY 1, 2),
+         |${pfx}t AS (SELECT et, CAST(sum(ng) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS k, CAST(sum(sg) AS BIGINT) AS s,
+         |    sum(qg) AS q,
+         |    sum((CAST(sg AS HUGEINT) * sg) // ng) AS ssb_raw
+         |  FROM ${pfx}g GROUP BY 1),
+         |${pfx}u AS (SELECT et, n AS n_rows, k,
+         |    greatest(ssb_raw - (CAST(s AS HUGEINT) * s) // n, 0) AS ssb,
+         |    q - ssb_raw AS ssw, n FROM ${pfx}t),
+         |${pfx}r AS (SELECT et, n_rows,
+         |    CAST(CASE WHEN ssw <= 0 OR k < 2 OR n <= k THEN -1
+         |      ELSE (1000 * (ssb // (k - 1))) //
+         |        greatest(ssw // (n - k), 1) END AS BIGINT) AS f_x1000,
+         |    CAST(CASE WHEN ssb + ssw <= 0 THEN 0
+         |      ELSE (1000000 * ssb) // (ssb + ssw) END AS BIGINT)
+         |      AS eta2_ppm
+         |  FROM ${pfx}u)""".stripMargin
+
+    /** Twin of q319_seasonal_strength: the q242 zero-filled grids
+      * (daily + hourly cells), the shared keyed-ANOVA chain per
+      * factor, joined per type. Weekday/hour numbering differs
+      * across engines but never surfaces — only the cell partition
+      * matters, and it is identical.
+      */
+    def seasonalStrengthSql: String =
+      s"""WITH base AS (SELECT event_type AS et,
+         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod
+         |  FROM events),
+         |daily AS (SELECT et, d, CAST(count(*) AS BIGINT) AS y
+         |  FROM base GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM daily),
+         |ets AS (SELECT DISTINCT et FROM daily),
+         |dcells AS (SELECT ets.et,
+         |    CAST(dayofweek(days.d) AS BIGINT) AS g,
+         |    coalesce(daily.y, 0) AS v
+         |  FROM ets CROSS JOIN days
+         |  LEFT JOIN daily ON daily.et = ets.et AND daily.d = days.d),
+         |${anovaKeyedSql("dcells", "d")},
+         |hourly AS (SELECT et, d, hod, CAST(count(*) AS BIGINT) AS y
+         |  FROM base GROUP BY 1, 2, 3),
+         |hods AS (SELECT unnest(range(0, 24)) AS hod),
+         |hcells AS (SELECT ets.et, CAST(h.hod AS BIGINT) AS g,
+         |    coalesce(hourly.y, 0) AS v
+         |  FROM ets CROSS JOIN days CROSS JOIN hods h
+         |  LEFT JOIN hourly ON hourly.et = ets.et AND hourly.d = days.d
+         |    AND hourly.hod = h.hod),
+         |${anovaKeyedSql("hcells", "h")}
+         |SELECT dr.et AS event_type, dr.n_rows AS n_days,
+         |  dr.f_x1000 AS dow_f_x1000, dr.eta2_ppm AS dow_eta2_ppm,
+         |  hr.n_rows AS n_hours, hr.f_x1000 AS hod_f_x1000,
+         |  hr.eta2_ppm AS hod_eta2_ppm
+         |FROM dr JOIN hr ON dr.et = hr.et
+         |ORDER BY event_type""".stripMargin
 
     /** Twin of q311_concentration: three per-dimension count folds
       * through HUGEINT cross-products, unioned.

@@ -314,6 +314,9 @@ object PlanAudit {
     // q242's types × day-span zero-fill grid plus its one-row-per-
     // type fit broadcast back for the residual pass
     "q316_durbin_watson",
+    // q242's zero-fill grids twice over (types × days and types ×
+    // days × the 24-row hour list) — span-bounded broadcasts
+    "q319_seasonal_strength",
     // three ONE-row totals (n_pred / n_true / tp) composed into the
     // single report row — broadcast scalars by design
     "q248_lsh_eval",

@@ -4750,6 +4750,17 @@ object Queries {
         "embedding", "label")
       .orderBy("dim")
 
+  /** Seasonal-strength report per event type
+    * ([[graft.ops.Funnel.seasonalStrength]]): day-of-week and
+    * hour-of-day η² over the zero-filled count grids — names and
+    * sizes the cyclic structure q316's Durbin–Watson only flags.
+    * Shared q315 floored-SS arithmetic, span-bounded grids.
+    */
+  val q319_seasonal_strength: Q = (s, d) =>
+    graft.ops.Funnel.seasonalStrength(Tables.events(s, d), "event_type",
+        "ts")
+      .orderBy("event_type")
+
   /** One-way ANOVA of order value by priority
     * ([[graft.ops.Eval.anovaOneWay]]): F + η² — does priority
     * explain spend at all, and how much (the k-group lens beside
@@ -5282,5 +5293,6 @@ object Queries {
     "q315_anova" -> q315_anova,
     "q316_durbin_watson" -> q316_durbin_watson,
     "q317_surprisal_spans" -> q317_surprisal_spans,
-    "q318_dim_anova" -> q318_dim_anova)
+    "q318_dim_anova" -> q318_dim_anova,
+    "q319_seasonal_strength" -> q319_seasonal_strength)
 }

@@ -1447,13 +1447,24 @@ object Eval {
     * table, then a one-row fold.
     */
   def anovaOneWay(df: DataFrame, groupCol: String,
-                  valueExpr: org.apache.spark.sql.Column): DataFrame = {
-    val g = df.select(col(groupCol).as("g"),
-        valueExpr.cast("bigint").as("v"))
-      .groupBy("g")
+                  valueExpr: org.apache.spark.sql.Column): DataFrame =
+    anovaByKey(df.select(lit(0L).as("__key"), col(groupCol).as("g"),
+        valueExpr.cast("bigint").as("v")), "__key")
+      .drop("__key")
+
+  /** The floored-SS one-way ANOVA arithmetic per KEY over a
+    * pre-shaped (key, g, v) frame — shared VERBATIM by
+    * [[anovaOneWay]] (one constant key) and the per-series callers
+    * ([[graft.ops.Funnel.seasonalStrength]] runs it per event
+    * type). Returns (key, n_rows, n_groups, f_x1000, eta2_ppm).
+    */
+  private[graft] def anovaByKey(shaped: DataFrame,
+                                keyCol: String): DataFrame = {
+    val g = shaped.groupBy(col(keyCol), col("g"))
       .agg(count(lit(1)).as("ng"), sum("v").as("sg"),
         sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("qg"))
-    g.agg(sum("ng").as("n"), count(lit(1)).as("k"),
+    g.groupBy(keyCol)
+      .agg(sum("ng").as("n"), count(lit(1)).as("k"),
         sum("sg").as("s"), sum("qg").as("q"),
         // s² div n decomposed as s·q + (s·r) div n with q = s div n,
         // r = s % n: `div` materializes its quotient in BIGINT, and
@@ -1463,7 +1474,7 @@ object Eval {
         sum(expr("CAST(sg AS DECIMAL(38,0)) * (sg div ng) " +
           "+ (CAST(sg AS DECIMAL(38,0)) * (sg % ng)) div ng"))
           .as("ssb_raw"))
-      .select(col("n").cast("bigint").as("n_rows"),
+      .select(col(keyCol), col("n").cast("bigint").as("n_rows"),
         col("k").as("n_groups"),
         // SSB ≥ 0 mathematically; the per-group flooring can dip it
         // by ≤ k units — clamp so the rare negative stays 0. Same
@@ -1472,7 +1483,7 @@ object Eval {
           "+ (CAST(s AS DECIMAL(38,0)) * (s % n)) div n), 0)").as("ssb"),
         expr("q - ssb_raw").as("ssw"),
         col("n"), col("k"))
-      .select(col("n_rows"), col("n_groups"),
+      .select(col(keyCol), col("n_rows"), col("n_groups"),
         expr("CAST(CASE WHEN ssw <= 0 OR k < 2 OR n <= k THEN -1 " +
           "ELSE (1000 * (ssb div (k - 1))) div " +
           "greatest(ssw div (n - k), 1) END AS BIGINT)").as("f_x1000"),

@@ -587,6 +587,56 @@ object Funnel {
           .as("r2_x1e6"))
   }
 
+  /** Seasonal-strength report per event type: one-way ANOVA η² of
+    * day-of-week on the zero-filled daily counts and of hour-of-day
+    * on the zero-filled hourly cells — "how much of this series'
+    * variance IS the weekly/diurnal cycle", the quantified companion
+    * to q316's Durbin–Watson flag (DW says the trend missed
+    * structure; this names the structure and sizes it) and q196's
+    * cell-level anomaly screen. Factor values never surface in the
+    * output, so Spark's 1-based vs the oracle's 0-based weekday
+    * numbering is immaterial — only the PARTITION of cells matters,
+    * and that is identical. Same floored-SS integer discipline as
+    * q315 (shared [[graft.ops.Eval.anovaByKey]] arithmetic).
+    *
+    * Scale shape: one daily and one hourly count reduction; both
+    * grids are span-bounded (types × days, types × days × 24), and
+    * the ANOVA folds run on them.
+    */
+  def seasonalStrength(df: DataFrame, typeCol: String,
+                       tsCol: String): DataFrame = {
+    val base = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"),
+        hour(col(tsCol)).cast("bigint").as("hod"))
+      .localCheckpoint() // one scan feeds both cell reductions
+    val daily = base.groupBy("et", "d").agg(count(lit(1)).as("y"))
+    val days = daily.select("d").distinct()
+    val ets = daily.select("et").distinct()
+    val dGrid = ets.crossJoin(broadcast(days))
+      .join(daily, Seq("et", "d"), "left").na.fill(0L, Seq("y"))
+      .select(col("et"), dayofweek(col("d")).cast("bigint").as("g"),
+        col("y").as("v"))
+    val dow = Eval.anovaByKey(dGrid, "et")
+      .select(col("et"), col("n_rows").as("n_days"),
+        col("f_x1000").as("dow_f_x1000"),
+        col("eta2_ppm").as("dow_eta2_ppm"))
+    val hourly = base.groupBy("et", "d", "hod").agg(count(lit(1)).as("y"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hods = (0L until 24L).toDF("hod")
+    val hGrid = ets.crossJoin(broadcast(days)).crossJoin(broadcast(hods))
+      .join(hourly, Seq("et", "d", "hod"), "left").na.fill(0L, Seq("y"))
+      .select(col("et"), col("hod").as("g"), col("y").as("v"))
+    val hod = Eval.anovaByKey(hGrid, "et")
+      .select(col("et"), col("n_rows").as("n_hours"),
+        col("f_x1000").as("hod_f_x1000"),
+        col("eta2_ppm").as("hod_eta2_ppm"))
+    dow.join(hod, Seq("et"))
+      .select(col("et").as(typeCol), col("n_days"), col("dow_f_x1000"),
+        col("dow_eta2_ppm"), col("n_hours"), col("hod_f_x1000"),
+        col("hod_eta2_ppm"))
+  }
+
   /** Durbin–Watson autocorrelation statistic of the [[olsTrend]]
     * residuals per event type (Durbin & Watson 1950): DW =
     * Σ(e_t − e_{t−1})² / Σe_t² over the zero-filled day grid — the

@@ -1036,4 +1036,26 @@ class FunnelSpec extends SparkSpec {
     assert(out("A").getAs[Long]("dw_x1000") > 3000L)
     assert(out("B").getAs[Long]("dw_x1000") === -1L)
   }
+
+  test("seasonalStrength: diurnal type reads hour eta2, weekly type reads dow eta2") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; 14-day span
+    // diurnal: one event per day, always at 09:00 -> flat daily
+    // series (dow eta2 = 0 exactly), all hourly mass at hour 9
+    val diurnal = (1 to 14).map(d => ("diurnal", ts(f"2024-01-$d%02d 09:00:00")))
+    // weekly: 24 events on each of the two Mondays, one per hour ->
+    // Monday-only daily mass (dow eta2 -> 1), flat hourly means
+    // across hours (hod eta2 = 0 exactly)
+    val weekly = for (d <- Seq(1, 8); h <- 0 to 23)
+      yield ("weekly", ts(f"2024-01-$d%02d $h%02d:00:00"))
+    val out = Funnel.seasonalStrength((diurnal ++ weekly).toDF("event_type", "ts"),
+        "event_type", "ts").collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("diurnal").getAs[Long]("n_days") === 14L)
+    assert(out("diurnal").getAs[Long]("n_hours") === 14L * 24)
+    assert(out("diurnal").getAs[Long]("dow_eta2_ppm") === 0L)
+    assert(out("diurnal").getAs[Long]("hod_eta2_ppm") > 990000L)
+    assert(out("weekly").getAs[Long]("dow_eta2_ppm") > 990000L)
+    assert(out("weekly").getAs[Long]("hod_eta2_ppm") === 0L)
+  }
 }
