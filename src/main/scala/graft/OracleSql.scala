@@ -603,6 +603,7 @@ object OracleSql {
     "q317_surprisal_spans" -> Gen.surprisalSpansSql,
     "q318_dim_anova" -> Gen.dimAnovaSql,
     "q319_seasonal_strength" -> Gen.seasonalStrengthSql,
+    "q320_cv_auc" -> Gen.cvAucSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -844,15 +845,22 @@ object OracleSql {
       * surprisals, the same argmin tie-break (s_e8, label) and
       * runner-up margin.
       */
-    def nbClassifierSql: String = {
+    def nbClassifierSql: String = nbClassifierFoldSql(0)
+
+    /** The q114 NB train/score CTEs with the holdout fold
+      * parameterized — fold 0 IS q114's split; the q320 CV twin
+      * instantiates all five, so every fold scores through the one
+      * emitter.
+      */
+    private def nbClassifierFoldSql(f: Int): String = {
       val shift = graft.ops.TextStats.LmShift
       val m8q = graft.ops.TextStats.mitchellE8Sql("q", divOp = "//")
       val m8qp = graft.ops.TextStats.mitchellE8Sql("qp", divOp = "//")
       val two20 = 1L << shift
       s"""WITH tr AS (SELECT lang, ${tokensE("text")} AS w FROM documents
-         |            WHERE doc_id % 5 <> 0),
+         |            WHERE doc_id % 5 <> $f),
          |te AS (SELECT doc_id, lang, ${tokensE("text")} AS w FROM documents
-         |       WHERE doc_id % 5 = 0),
+         |       WHERE doc_id % 5 = $f),
          |cls AS (SELECT lang AS label, count(*) AS n_docs,
          |          CAST(SUM(len(w)) AS BIGINT) AS n_tokens
          |        FROM tr GROUP BY lang),
@@ -886,6 +894,52 @@ object OracleSql {
          |SELECT doc_id, lang, label AS pred, CAST(s_e8 AS BIGINT) AS s_e8,
          |  CAST(COALESCE(nxt - s_e8, 0) AS BIGINT) AS margin_e8
          |FROM rk WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+    }
+
+    /** One CV fold of the q320 twin: the parameterized q114 NB CTEs
+      * wrapped in the q256 margin-bin AUC arithmetic, group collapsed
+      * to the fold constant.
+      */
+    private def cvFoldAucSql(f: Int): String =
+      s"""WITH scored AS (${nbClassifierFoldSql(f)}),
+         |cb AS (SELECT least(margin_e8 // 2, 10) AS s,
+         |    CASE WHEN lang = pred THEN 1 ELSE 0 END AS ok FROM scored),
+         |c AS (SELECT s, CAST(sum(ok) AS BIGINT) AS n_pos_s,
+         |    CAST(count(*) AS BIGINT) AS n_at FROM cb GROUP BY 1),
+         |w AS (SELECT *, coalesce(sum(n_at) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS below FROM c),
+         |a AS (SELECT CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+         |    CAST(sum(n_at - n_pos_s) AS BIGINT) AS n_neg,
+         |    sum(CAST(n_pos_s AS HUGEINT) * (2 * below + n_at + 1)) AS s2
+         |  FROM w)
+         |SELECT CAST($f AS BIGINT) AS fold, n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
+         |  ELSE CAST((1000000 * (s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)))
+         |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+         |  END AS auc_x1e6
+         |FROM a""".stripMargin
+
+    /** Twin of q320_cv_auc: five instantiations of the one NB + AUC
+      * emitter unioned, then the q313 common-denominator mean/σ fold.
+      */
+    def cvAucSql: String = {
+      val folds = (0 until 5).map(f => s"(${cvFoldAucSql(f)})")
+        .mkString("\n  UNION ALL ")
+      s"""WITH pf AS ($folds),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+         |    CAST(sum(auc_x1e6) AS BIGINT) AS sa,
+         |    sum(CAST(auc_x1e6 AS HUGEINT) * auc_x1e6) AS qa
+         |  FROM pf WHERE auc_x1e6 >= 0),
+         |mm AS (SELECT CAST(sa // greatest(nf, 1) AS BIGINT)
+         |      AS cv_mean_x1e6,
+         |    CAST(floor(sqrt(CAST((nf * qa - CAST(sa AS HUGEINT) * sa) //
+         |      greatest(CAST(nf AS HUGEINT) * nf, 1) AS DOUBLE)))
+         |      AS BIGINT) AS cv_std_x1e6
+         |  FROM mom)
+         |SELECT pf.fold, pf.n_pos, pf.n_neg, pf.auc_x1e6,
+         |  mm.cv_mean_x1e6, mm.cv_std_x1e6
+         |FROM pf CROSS JOIN mm ORDER BY fold""".stripMargin
     }
 
     /** Twin of q115_image_header_probe: the Spark side lays out real

@@ -220,6 +220,9 @@ object PlanAudit {
     "q183_bayesian_rates",
     // q114's NB class-table scoring shape under the margin ranking
     "q184_uncertainty_sample",
+    // q114's NB class-table scoring shape × 5 CV folds + the ONE-row
+    // mean/σ moment broadcast into the 5-row fold table
+    "q320_cv_auc",
     // q114's NB class-table scoring shape under the calibration bins
     "q212_calibration_report",
     // q212's NB shape plus the B³ isotonic minimax grid — inequality

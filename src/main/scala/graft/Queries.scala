@@ -4761,6 +4761,17 @@ object Queries {
         "ts")
       .orderBy("event_type")
 
+  /** 5-fold cross-validated NB confidence AUC
+    * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
+    * with an error bar — per-fold AUC over deterministic id-hash
+    * folds plus the CV mean/σ a methodologist would demand before
+    * trusting the gate on a different shard.
+    */
+  val q320_cv_auc: Q = (s, d) =>
+    graft.ops.Eval.cvAuc(Tables.documents(s, d), "lang", "doc_id",
+        "text")
+      .orderBy("fold")
+
   /** One-way ANOVA of order value by priority
     * ([[graft.ops.Eval.anovaOneWay]]): F + η² — does priority
     * explain spend at all, and how much (the k-group lens beside
@@ -5294,5 +5305,6 @@ object Queries {
     "q316_durbin_watson" -> q316_durbin_watson,
     "q317_surprisal_spans" -> q317_surprisal_spans,
     "q318_dim_anova" -> q318_dim_anova,
-    "q319_seasonal_strength" -> q319_seasonal_strength)
+    "q319_seasonal_strength" -> q319_seasonal_strength,
+    "q320_cv_auc" -> q320_cv_auc)
 }

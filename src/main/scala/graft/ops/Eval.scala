@@ -1429,6 +1429,50 @@ object Eval {
     calibrationFromBinsDf(counts.toDF("bin", "n", "sp", "sy"))
   }
 
+  /** k-fold cross-validated classifier AUC: the [[rocAuc]] ranking
+    * gate run the way an eval methodologist would — k disjoint
+    * hash-folds of the corpus, a NaiveBayes model trained on each
+    * complement and scored on its fold, per-fold AUC plus the CV
+    * mean and spread (the single-split q256 number with an error
+    * bar: a quality gate tuned on one split and deployed on a
+    * different shard drifts by about cv_std). Folds are
+    * deterministic (`id % k` — the q74 leakage-safe-split
+    * discipline), so the report is reproducible and oracle-exact;
+    * the mean/σ fold uses the same common-denominator variance +
+    * floor(√) idiom as q313.
+    *
+    * Scale shape: k model trains + scores (each the q114 shape — the
+    * documented k× multiplier IS the method); everything after runs
+    * on the k-row fold table.
+    */
+  def cvAuc(docs: DataFrame, labelCol: String, idCol: String,
+            textCol: String, folds: Int = 5): DataFrame = {
+    require(folds >= 2, s"folds=$folds must be >= 2")
+    val perFold = (0 until folds).map { f =>
+      val scored = NaiveBayes.trainScore(
+        docs.where(pmod(col(idCol), lit(folds)) =!= f),
+        docs.where(pmod(col(idCol), lit(folds)) === f),
+        labelCol, idCol, textCol, Seq(labelCol))
+      rocAuc(
+        scored.select(lit(f.toLong).as("fold"),
+          expr("least(margin_e8 div 2, CAST(10 AS BIGINT))").as("conf_bin"),
+          (col(labelCol) === col("pred")).as("ok")),
+        "fold", "conf_bin", "ok")
+    }.reduce(_ unionByName _)
+      .localCheckpoint() // k rows feed the report twice
+    val mom = perFold.where(col("auc_x1e6") >= 0)
+      .agg(count(lit(1)).as("nf"), sum("auc_x1e6").as("sa"),
+        sum(expr("CAST(auc_x1e6 AS DECIMAL(38,0)) * auc_x1e6")).as("qa"))
+      .select(
+        expr("CAST(sa div greatest(nf, 1) AS BIGINT)").as("cv_mean_x1e6"),
+        expr("CAST(floor(sqrt(CAST((nf * qa - CAST(sa AS DECIMAL(38,0)) " +
+          "* sa) div greatest(CAST(nf AS DECIMAL(38,0)) * nf, 1) " +
+          "AS DOUBLE))) AS BIGINT)").as("cv_std_x1e6"))
+    perFold.crossJoin(broadcast(mom))
+      .select(col("fold"), col("n_pos"), col("n_neg"), col("auc_x1e6"),
+        col("cv_mean_x1e6"), col("cv_std_x1e6"))
+  }
+
   /** One-way ANOVA (Fisher): does a categorical factor explain a
     * numeric outcome — the k-group generalization of the two-arm
     * t/z lens (q244), reported as the F statistic plus η² (the

@@ -723,6 +723,40 @@ class EvalSpec extends SparkSpec {
         r.getAs[Long]("unc_x1e12"))
   }
 
+  test("cvAuc: per-fold rows with self-consistent CV mean/std") {
+    // two separable labels plus confusable docs so folds hold both
+    // correct and wrong predictions (AUC defined, not degenerate)
+    val docs = (0L until 12L).map { i =>
+      val lab = if (i % 2 == 0) "a" else "b"
+      val text =
+        if (i < 8) (if (lab == "a") "alpha alef apple " * 3
+                    else "beta bet banana " * 3)
+        else "alpha beta alef bet shared tokens" // confusable tail
+      (i, lab, text)
+    }.toDF("doc_id", "lang", "text")
+    val out = Eval.cvAuc(docs, "lang", "doc_id", "text", folds = 2)
+      .orderBy("fold").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("fold")).toSeq === Seq(0L, 1L))
+    out.foreach { r =>
+      val a = r.getAs[Long]("auc_x1e6")
+      assert(a === -1L || (a >= 0L && a <= 1000000L))
+    }
+    // the CV columns are one broadcast row: constant, and equal to
+    // the integer mean/std of the defined per-fold AUCs
+    val defined = out.map(_.getAs[Long]("auc_x1e6")).filter(_ >= 0)
+    if (defined.nonEmpty) {
+      val mean = defined.sum / defined.length
+      assert(out.map(_.getAs[Long]("cv_mean_x1e6")).distinct.toSeq ===
+        Seq(mean))
+      val nf = defined.length.toLong
+      val varExp = (nf * defined.map(x => x * x).sum -
+        defined.sum * defined.sum) / (nf * nf)
+      assert(out.head.getAs[Long]("cv_std_x1e6") ===
+        math.floor(math.sqrt(varExp.toDouble)).toLong)
+    }
+  }
+
   test("anovaOneWay: textbook F=24 on separated groups; null case flat") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
       ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "v")
