@@ -396,7 +396,12 @@ object Bench {
       "q295_krippendorff", "q296_t_closeness", "q297_cem_att",
       "q298_holt_winters", "q299_token_f1", "q300_hits",
       "q301_cmh_test", "q302_qini_curve", "q303_jw_verify",
-      "q304_sample_size", "q305_cronbach", "q306_sprt")
+      "q304_sample_size", "q305_cronbach", "q306_sprt",
+      "q307_good_turing", "q308_yule_k", "q309_ece_report",
+      "q310_doremi_step", "q311_concentration", "q312_lm_cross_ppl",
+      "q313_burrows_delta", "q314_brier_decomp", "q315_anova",
+      "q316_durbin_watson", "q317_surprisal_spans", "q318_dim_anova",
+      "q319_seasonal_strength", "q320_cv_auc", "q321_brown_forsythe")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,
@@ -609,7 +614,7 @@ object Bench {
     // decaying spike reads 2-4× low (judge-style isolated re-times of
     // the same cells land at the r12 figures). Wait — bounded — for
     // the box to drain before the timed fork; the wait is recorded.
-    val settledSec = settle(maxWaitSec = 90)
+    val settledSec = settle(maxWaitSec = 240)
     artifact("stateful_settle_sec") = settledSec.toString
     val statefulSweepSizes = Seq(500000L, 2000000L)
     val statefulLines = forkChild("graft.StatefulBench",
@@ -653,7 +658,7 @@ object Bench {
     // the parent session is already stopped (before the stateful
     // fork), so child + parent never hold two full heaps at once.
     // Settle again: the stateful child just ran 32 threads hot.
-    artifact("rocksdb_settle_sec") = settle(maxWaitSec = 90).toString
+    artifact("rocksdb_settle_sec") = settle(maxWaitSec = 240).toString
     val rocksSweepJson = {
       val fallback = "{\"1000000\":-1,\"2000000\":-1}"
       val out = forkChild("graft.RocksBench", Seq.empty,

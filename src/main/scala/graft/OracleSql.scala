@@ -604,6 +604,7 @@ object OracleSql {
     "q318_dim_anova" -> Gen.dimAnovaSql,
     "q319_seasonal_strength" -> Gen.seasonalStrengthSql,
     "q320_cv_auc" -> Gen.cvAucSql,
+    "q321_brown_forsythe" -> Gen.brownForsytheSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6515,15 +6516,22 @@ object OracleSql {
          |    CAST(sum(v) AS BIGINT) AS sg, sum(CAST(v AS HUGEINT) * v)
          |      AS qg
          |  FROM $src GROUP BY 1, 2),
-         |${pfx}t AS (SELECT et, CAST(sum(ng) AS BIGINT) AS n,
-         |    CAST(count(*) AS BIGINT) AS k, CAST(sum(sg) AS BIGINT) AS s,
+         |""".stripMargin + anovaMomentsSql(s"${pfx}g", pfx)
+
+    /** The SS/F/η² fold over a pre-computed (et, ng, sg, qg) moment
+      * CTE — the bottom half of [[anovaKeyedSql]], reused by the
+      * counted-moment q321 twin exactly like the Spark split.
+      */
+    private def anovaMomentsSql(src: String, pfx: String): String =
+      s"""${pfx}t AS (SELECT et, CAST(sum(ng) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS k, CAST(sum(sg) AS HUGEINT) AS s,
          |    sum(qg) AS q,
          |    sum((CAST(sg AS HUGEINT) * sg) // ng) AS ssb_raw
-         |  FROM ${pfx}g GROUP BY 1),
+         |  FROM $src GROUP BY 1),
          |${pfx}u AS (SELECT et, n AS n_rows, k,
          |    greatest(ssb_raw - (CAST(s AS HUGEINT) * s) // n, 0) AS ssb,
          |    q - ssb_raw AS ssw, n FROM ${pfx}t),
-         |${pfx}r AS (SELECT et, n_rows,
+         |${pfx}r AS (SELECT et, n_rows, k AS n_groups,
          |    CAST(CASE WHEN ssw <= 0 OR k < 2 OR n <= k THEN -1
          |      ELSE (1000 * (ssb // (k - 1))) //
          |        greatest(ssw // (n - k), 1) END AS BIGINT) AS f_x1000,
@@ -6531,6 +6539,33 @@ object OracleSql {
          |      ELSE (1000000 * ssb) // (ssb + ssw) END AS BIGINT)
          |      AS eta2_ppm
          |  FROM ${pfx}u)""".stripMargin
+
+    /** Twin of q321_brown_forsythe: the q235 ceil-rank median off
+      * the value-count table, |v − med| deviations folded to counted
+      * moments, the shared ANOVA-moments chain keyed by a constant.
+      */
+    def brownForsytheSql: String =
+      s"""WITH b AS (SELECT o_orderpriority AS g,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM b
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM c
+         |  GROUP BY 1),
+         |rk AS (SELECT c.g, c.v,
+         |    sum(cnt) OVER (PARTITION BY c.g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    tot.n
+         |  FROM c JOIN tot ON c.g = tot.g),
+         |med AS (SELECT g, CAST(min(v) AS BIGINT) AS med FROM rk
+         |  WHERE cum >= (50 * n + 99) // 100 GROUP BY 1),
+         |bfm AS (SELECT CAST(0 AS BIGINT) AS et, c.g,
+         |    CAST(sum(cnt) AS BIGINT) AS ng,
+         |    sum(CAST(cnt AS HUGEINT) * abs(v - med)) AS sg,
+         |    sum(CAST(cnt AS HUGEINT) * abs(v - med) * abs(v - med))
+         |      AS qg
+         |  FROM c JOIN med ON c.g = med.g GROUP BY 1, 2),
+         |${anovaMomentsSql("bfm", "b")}
+         |SELECT n_rows, n_groups, f_x1000, eta2_ppm FROM br""".stripMargin
 
     /** Twin of q319_seasonal_strength: the q242 zero-filled grids
       * (daily + hourly cells), the shared keyed-ANOVA chain per

@@ -4761,6 +4761,16 @@ object Queries {
         "ts")
       .orderBy("event_type")
 
+  /** Brown–Forsythe spread-homogeneity test of order value by
+    * priority ([[graft.ops.Eval.brownForsythe]], Brown & Forsythe
+    * 1974): the assumption check behind q315's mean comparison —
+    * ANOVA on |v − group median| with the exact ceil-rank median,
+    * all integer.
+    */
+  val q321_brown_forsythe: Q = (s, d) =>
+    graft.ops.Eval.brownForsythe(Tables.orders(s, d), "o_orderpriority",
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5306,5 +5316,6 @@ object Queries {
     "q317_surprisal_spans" -> q317_surprisal_spans,
     "q318_dim_anova" -> q318_dim_anova,
     "q319_seasonal_strength" -> q319_seasonal_strength,
-    "q320_cv_auc" -> q320_cv_auc)
+    "q320_cv_auc" -> q320_cv_auc,
+    "q321_brown_forsythe" -> q321_brown_forsythe)
 }

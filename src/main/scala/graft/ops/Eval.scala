@@ -1429,6 +1429,42 @@ object Eval {
     calibrationFromBinsDf(counts.toDF("bin", "n", "sp", "sy"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe
+    * 1974): one-way ANOVA on the absolute deviations from each
+    * group's MEDIAN — "do the groups even have comparable spread",
+    * the assumption check behind q315's mean comparison (the
+    * median-based Levene variant, robust to heavy tails). The group
+    * median is the exact ceil-rank order statistic off the
+    * value-count table (q235's convention — never a corpus sort),
+    * and the deviations fold through the counted-moment form of the
+    * shared [[anovaFromGroupMoments]] arithmetic.
+    *
+    * Scale shape: one (group, value) count reduction; the median
+    * rank window runs over each group's DISTINCT values and the
+    * ANOVA folds over the group table.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueExpr: org.apache.spark.sql.Column): DataFrame = {
+    val c = df.select(col(groupCol).as("g"),
+        valueExpr.cast("bigint").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds totals, the median rank and the fold
+    val tot = c.groupBy("g").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val med = c.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), Seq("g"))
+      .where(expr("cum >= (50 * n + 99) div 100"))
+      .groupBy("g").agg(min("v").as("med"))
+    val gm = c.join(broadcast(med), Seq("g"))
+      .withColumn("d", expr("abs(v - med)"))
+      .groupBy(lit(0L).as("__key"), col("g"))
+      .agg(sum("cnt").as("ng"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * d")).as("sg"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * d * d")).as("qg"))
+    anovaFromGroupMoments(gm, "__key").drop("__key")
+  }
+
   /** k-fold cross-validated classifier AUC: the [[rocAuc]] ranking
     * gate run the way an eval methodologist would — k disjoint
     * hash-folds of the corpus, a NaiveBayes model trained on each
@@ -1503,10 +1539,20 @@ object Eval {
     * type). Returns (key, n_rows, n_groups, f_x1000, eta2_ppm).
     */
   private[graft] def anovaByKey(shaped: DataFrame,
-                                keyCol: String): DataFrame = {
-    val g = shaped.groupBy(col(keyCol), col("g"))
-      .agg(count(lit(1)).as("ng"), sum("v").as("sg"),
-        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("qg"))
+                                keyCol: String): DataFrame =
+    anovaFromGroupMoments(
+      shaped.groupBy(col(keyCol), col("g"))
+        .agg(count(lit(1)).as("ng"), sum("v").as("sg"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("qg")),
+      keyCol)
+
+  /** The SS/F/η² fold over pre-computed per-(key, group) moments
+    * (ng, sg, qg) — the bottom half of [[anovaByKey]], split out so
+    * counted-value callers ([[brownForsythe]] folds (value, count)
+    * tables) reuse the identical arithmetic without exploding rows.
+    */
+  private[graft] def anovaFromGroupMoments(g: DataFrame,
+                                           keyCol: String): DataFrame = {
     g.groupBy(keyCol)
       .agg(sum("ng").as("n"), count(lit(1)).as("k"),
         sum("sg").as("s"), sum("qg").as("q"),

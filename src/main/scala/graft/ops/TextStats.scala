@@ -1845,10 +1845,22 @@ object TextStats {
     * document — a 10⁹-bigram doc costs its own partition only.
     */
   def surprisalSpans(df: DataFrame, idCol: String, textCol: String,
-                     window: Int = 8): DataFrame = {
+                     window: Int = 8): DataFrame =
+    surprisalSpansUnderModel(df, idCol, textCol,
+      lmTrain(df, idCol, textCol), window)
+
+  /** [[surprisalSpans]] against a FIXED (possibly persisted) model —
+    * the streaming form: the span extraction is doc-local (the
+    * windows partition by document), so a foreachBatch scoring each
+    * micro-batch against yesterday's corpus model emits spans
+    * bit-identical to the batch operator over the same docs (the
+    * q111/q172 persisted-index pattern; differential-specced).
+    */
+  def surprisalSpansUnderModel(df: DataFrame, idCol: String,
+                               textCol: String, model: LmModel,
+                               window: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(window >= 2, s"window=$window must be >= 2")
-    val model = lmTrain(df, idCol, textCol)
     val toks = lmToks(df, idCol, textCol, Seq.empty)
     val bg = toks.where(size(col("w")) >= 2)
       .select(col("__id"),

@@ -757,6 +757,23 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("brownForsythe: hand-computed deviations ANOVA; equal-spread zero") {
+    val df = Seq(("a", 0L), ("a", 10L),
+      ("b", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val r = Eval.brownForsythe(df, "g", col("v")).collect()(0)
+    // medians: a -> 0 (ceil-rank 1), b -> 5; deviations a {0,10}, b {0,0,0}
+    // ssb_raw = 100 div 2 = 50; s=10, s^2 div 5 = 20 -> ssb=30; ssw=50
+    // F = (1000*30) div (50 div 3) = 30000 div 16 = 1875
+    assert(r.getAs[Long]("n_rows") === 5L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("f_x1000") === 1875L)
+    assert(r.getAs[Long]("eta2_ppm") === 375000L) // 1e6*30/80
+    // identical spreads: between-group deviation means coincide
+    val eq = Seq(("a", 0L), ("a", 10L), ("b", 0L), ("b", 10L)).toDF("g", "v")
+    assert(Eval.brownForsythe(eq, "g", col("v")).collect()(0)
+      .getAs[Long]("f_x1000") === 0L)
+  }
+
   test("anovaOneWay: textbook F=24 on separated groups; null case flat") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
       ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "v")

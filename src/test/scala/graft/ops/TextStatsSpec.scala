@@ -985,4 +985,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("span_e8") <
       out(1L).getAs[Long]("span_e8"))
   }
+
+  test("surprisalSpansUnderModel: streamed micro-batches == batch, bit-identical") {
+    val common = "the cat sat on the mat"
+    val df = Seq(
+      (1L, s"$common $common $common zq xv qj wk vv bb"),
+      (3L, s"$common $common $common $common"),
+      (5L, s"$common zz yy $common $common"))
+      .toDF("doc_id", "text")
+    val expected = TextStats.surprisalSpans(df, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    // foreachBatch form: each micro-batch scores against the FIXED
+    // corpus model; spans are doc-local so the union reproduces the
+    // batch result exactly
+    val model = TextStats.lmTrain(df, "doc_id", "text")
+    val streamed = Seq(Seq(1L), Seq(3L, 5L)).map { ids =>
+      TextStats.surprisalSpansUnderModel(
+        df.where(org.apache.spark.sql.functions.col("doc_id")
+          .isin(ids: _*)), "doc_id", "text", model)
+    }.reduce(_ unionByName _).orderBy("doc_id").collect().toSeq
+    assert(streamed === expected)
+  }
 }
