@@ -401,7 +401,8 @@ object Bench {
       "q310_doremi_step", "q311_concentration", "q312_lm_cross_ppl",
       "q313_burrows_delta", "q314_brier_decomp", "q315_anova",
       "q316_durbin_watson", "q317_surprisal_spans", "q318_dim_anova",
-      "q319_seasonal_strength", "q320_cv_auc", "q321_brown_forsythe")
+      "q319_seasonal_strength", "q320_cv_auc", "q321_brown_forsythe",
+      "q322_kruskal_wallis")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

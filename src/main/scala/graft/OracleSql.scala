@@ -605,6 +605,7 @@ object OracleSql {
     "q319_seasonal_strength" -> Gen.seasonalStrengthSql,
     "q320_cv_auc" -> Gen.cvAucSql,
     "q321_brown_forsythe" -> Gen.brownForsytheSql,
+    "q322_kruskal_wallis" -> Gen.kruskalWallisSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6603,6 +6604,47 @@ object OracleSql {
          |  hr.eta2_ppm AS hod_eta2_ppm
          |FROM dr JOIN hr ON dr.et = hr.et
          |ORDER BY event_type""".stripMargin
+
+    /** Twin of q322_kruskal_wallis: the q278 pooled-midrank-×2
+      * discipline over the banded value domain, HUGEINT rank sums
+      * (exact-equal to the Spark side's quotient decomposition), the
+      * same one-float-step tie-corrected H and ε².
+      */
+    def kruskalWallisSql: String =
+      s"""WITH b AS (SELECT o_orderpriority AS g,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS v
+         |  FROM orders),
+         |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n FROM b
+         |  GROUP BY 1, 2),
+         |tv AS (SELECT v, CAST(sum(n) AS BIGINT) AS t FROM cells
+         |  GROUP BY 1),
+         |rk AS (SELECT v, t,
+         |    2 * coalesce(sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + t + 1 AS mr2
+         |  FROM tv),
+         |tie AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie
+         |  FROM tv),
+         |pg AS (SELECT g, CAST(sum(n) AS BIGINT) AS ng,
+         |    sum(CAST(n AS HUGEINT) * mr2) AS rg2
+         |  FROM cells JOIN rk USING (v) GROUP BY 1),
+         |f AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS k,
+         |    sum((CAST(rg2 AS HUGEINT) * rg2) // (4 * ng)) AS ssum
+         |  FROM pg),
+         |o AS (SELECT n AS n_rows, k AS n_groups,
+         |    CAST(CASE WHEN n < 2 OR k < 2 OR
+         |      CAST(n AS HUGEINT) * n * n - n <= tie THEN -1 ELSE
+         |      round(1000 * (12.0 * CAST(ssum AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)) /
+         |      (1.0 - CAST(tie AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * n * n - n))) END AS BIGINT) AS h_x1000
+         |  FROM f CROSS JOIN tie)
+         |SELECT n_rows, n_groups, h_x1000,
+         |  CAST(CASE WHEN h_x1000 < 0 OR n_rows <= n_groups THEN -1 ELSE
+         |    greatest(round(1000 * (h_x1000 - 1000 * (n_groups - 1)) /
+         |    (n_rows - n_groups)), 0) END AS BIGINT) AS eps2_ppm
+         |FROM o""".stripMargin
 
     /** Twin of q311_concentration: three per-dimension count folds
       * through HUGEINT cross-products, unioned.

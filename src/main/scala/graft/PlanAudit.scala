@@ -29,6 +29,10 @@ object PlanAudit {
     // table (the pooled-rank replication) — q93's pairs-of-groups
     // shape, broadcast by design
     "q278_mwu_drift",
+    // ONE-row tie total cross-joined into the ONE-row H fold, plus
+    // the value-domain-bounded midrank table broadcast onto the
+    // cells — broadcast by design
+    "q322_kruskal_wallis",
     // ONE-row privacy totals cross-joined into the 4-row per-k
     // report — broadcast scalar by design
     "q279_k_anonymity",
@@ -408,6 +412,10 @@ object PlanAudit {
     // size), after the corpus has been reduced to per-bin counts;
     // the keyed form (q95) partitions by lang instead
     "q92_hist_quantiles",
+    // pooled midrank cumsum over the banded VALUE table (value-
+    // domain-bounded — the q278 pooled-rank shape unkeyed because
+    // KW pools all k groups into one ranking)
+    "q322_kruskal_wallis",
     // budget selection: the cumulative-token window runs over the
     // SCORE-BUCKET table (≤ 1001 milli-quality values — constant in
     // corpus size), after the corpus has been reduced to per-bucket

@@ -4771,6 +4771,16 @@ object Queries {
     graft.ops.Eval.brownForsythe(Tables.orders(s, d), "o_orderpriority",
       expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
 
+  /** Kruskal–Wallis rank test of order value ($100 bands) by
+    * priority ([[graft.ops.Eval.kruskalWallis]], 1952): the
+    * nonparametric closer of the compare-k-groups family —
+    * parametric F (q315), spread check (q321), rank H (this). Exact
+    * ×2 midrank sums, one-float-step tie-corrected H + ε².
+    */
+  val q322_kruskal_wallis: Q = (s, d) =>
+    graft.ops.Eval.kruskalWallis(Tables.orders(s, d), "o_orderpriority",
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000"))
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5317,5 +5327,6 @@ object Queries {
     "q318_dim_anova" -> q318_dim_anova,
     "q319_seasonal_strength" -> q319_seasonal_strength,
     "q320_cv_auc" -> q320_cv_auc,
-    "q321_brown_forsythe" -> q321_brown_forsythe)
+    "q321_brown_forsythe" -> q321_brown_forsythe,
+    "q322_kruskal_wallis" -> q322_kruskal_wallis)
 }

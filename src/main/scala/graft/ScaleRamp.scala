@@ -189,7 +189,8 @@ object ScaleRamp {
       "q310_doremi_step", "q311_concentration", "q312_lm_cross_ppl",
       "q313_burrows_delta", "q314_brier_decomp", "q315_anova",
       "q316_durbin_watson", "q317_surprisal_spans", "q318_dim_anova",
-      "q319_seasonal_strength", "q320_cv_auc", "q321_brown_forsythe")
+      "q319_seasonal_strength", "q320_cv_auc", "q321_brown_forsythe",
+      "q322_kruskal_wallis")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -1465,6 +1465,61 @@ object Eval {
     anovaFromGroupMoments(gm, "__key").drop("__key")
   }
 
+  /** Kruskal–Wallis rank test (Kruskal & Wallis 1952): the
+    * nonparametric member of the compare-k-groups family — q315's F
+    * assumes comparable spread (q321 checks it); when either fails,
+    * the rank statistic H still answers "do the groups differ".
+    * Pooled midranks ×2 off the (group, value) count table keep
+    * every rank sum an exact integer (the q278 MWU discipline
+    * generalized to k groups); Σ R_g²/n_g runs through the s·q +
+    * (s·r) div d quotient decomposition so the exact sum survives
+    * DECIMAL38 to N ≈ 10¹²; the tie-corrected H and the ε² effect
+    * size are the one float step from the named exact sums. The
+    * caller passes a bounded/discretized value (the rocAuc
+    * contract) so the rank window runs over the value domain.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueExpr: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df.select(col(groupCol).as("g"),
+        valueExpr.cast("bigint").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // pooled ranks + per-group sums share it
+    val tv = cells.groupBy("v").agg(sum("n").as("t"))
+    // value-domain-bounded global rank window (the q278 pooled shape)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = tv
+      .withColumn("mr2", lit(2L) * coalesce(sum("t").over(w), lit(0L))
+        + col("t") + lit(1L))
+    val tie = tv.agg(
+      sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie"))
+    val pg = cells.join(broadcast(ranked.select("v", "mr2")), Seq("v"))
+      .groupBy("g")
+      .agg(sum("n").as("ng"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * mr2")).as("rg2"))
+    pg.agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        // Σ R_g²/n_g as Σ (rg2)²/(4·n_g), quotient-decomposed
+        sum(expr("CAST(rg2 AS DECIMAL(38,0)) * (rg2 div (4 * ng)) " +
+          "+ (CAST(rg2 AS DECIMAL(38,0)) * (rg2 % (4 * ng))) " +
+          "div (4 * ng)")).as("ssum"))
+      .crossJoin(broadcast(tie))
+      .select(col("n").cast("bigint").as("n_rows"),
+        col("k").as("n_groups"),
+        // the one float step: tie-corrected H ×1000 and ε² ppm from
+        // the exact (n, k, ssum, tie) sums — a single fixed
+        // expression over one row, so no float summation order exists
+        expr("CAST(CASE WHEN n < 2 OR k < 2 OR " +
+          "CAST(n AS DECIMAL(38,0)) * n * n - n <= tie THEN -1 ELSE " +
+          "round(1000 * (12.0 * CAST(ssum AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)) / " +
+          "(1.0 - CAST(tie AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * n * n - n))) END AS BIGINT)")
+          .as("h_x1000"))
+      .withColumn("eps2_ppm", expr(
+        "CAST(CASE WHEN h_x1000 < 0 OR n_rows <= n_groups THEN -1 ELSE " +
+          "greatest(round(1000 * (h_x1000 - 1000 * (n_groups - 1)) / " +
+          "(n_rows - n_groups)), 0) END AS BIGINT)"))
+  }
+
   /** k-fold cross-validated classifier AUC: the [[rocAuc]] ranking
     * gate run the way an eval methodologist would — k disjoint
     * hash-folds of the corpus, a NaiveBayes model trained on each

@@ -757,6 +757,23 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("kruskalWallis: hand-computed floored H; all-tied sentinel") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = Eval.kruskalWallis(df, "g", col("v")).collect()(0)
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    // mr2 = 2,4,6,8 -> rg2 a=6, b=14; ssum = 36 div 8 + 196 div 8 = 28
+    // (per-group flooring costs ~1/29 here; ppm-level at corpus sums)
+    // H = 12*28/(4*5) - 3*5 = 1.8, tie = 0
+    assert(r.getAs[Long]("h_x1000") === 1800L)
+    assert(r.getAs[Long]("eps2_ppm") === 400000L) // (1.8-1)/2 * 1e6
+    // every value tied: the correction denominator vanishes -> sentinel
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v")
+    val tr = Eval.kruskalWallis(tied, "g", col("v")).collect()(0)
+    assert(tr.getAs[Long]("h_x1000") === -1L)
+    assert(tr.getAs[Long]("eps2_ppm") === -1L)
+  }
+
   test("brownForsythe: hand-computed deviations ANOVA; equal-spread zero") {
     val df = Seq(("a", 0L), ("a", 10L),
       ("b", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
