@@ -606,6 +606,8 @@ object OracleSql {
     "q320_cv_auc" -> Gen.cvAucSql,
     "q321_brown_forsythe" -> Gen.brownForsytheSql,
     "q322_kruskal_wallis" -> Gen.kruskalWallisSql,
+    "q323_chi_residuals" -> Gen.chiResidualsSql,
+    "q324_jonckheere" -> Gen.jonckheereSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6645,6 +6647,67 @@ object OracleSql {
          |    greatest(round(1000 * (h_x1000 - 1000 * (n_groups - 1)) /
          |    (n_rows - n_groups)), 0) END AS BIGINT) AS eps2_ppm
          |FROM o""".stripMargin
+
+    /** Twin of q323_chi_residuals: same full marginal grid, exact
+      * ×10⁶ expecteds through HUGEINT, same floor(√) +
+      * sign-symmetric ×1000 residual.
+      */
+    def chiResidualsSql: String =
+      s"""WITH cells AS (SELECT CAST(lang AS VARCHAR) AS r,
+         |    CAST(source AS VARCHAR) AS c, CAST(count(*) AS BIGINT) AS o
+         |  FROM documents GROUP BY 1, 2),
+         |rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS nr FROM cells
+         |  GROUP BY 1),
+         |cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM cells
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         |g AS (SELECT rm.r, cm.c, coalesce(cells.o, 0) AS o,
+         |    CAST((1000000 * CAST(nr AS HUGEINT) * nc) // greatest(n, 1)
+         |      AS BIGINT) AS e_x1e6
+         |  FROM rm CROSS JOIN cm CROSS JOIN tot
+         |  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+         |s AS (SELECT *, greatest(CAST(floor(sqrt(CAST(e_x1e6 AS DOUBLE)))
+         |    AS BIGINT), 1) AS sq FROM g)
+         |SELECT r AS lang, c AS source, o, e_x1e6,
+         |  CASE WHEN 1000000 * o >= e_x1e6
+         |    THEN (1000000 * o - e_x1e6) // sq
+         |    ELSE -((e_x1e6 - 1000000 * o) // sq) END AS resid_x1000
+         |FROM s ORDER BY lang, source""".stripMargin
+
+    /** Twin of q324_jonckheere: the same zero-filled per-rank value
+      * cumulatives, the exact ×2 concordance fold, HUGEINT share.
+      */
+    def jonckheereSql: String =
+      s"""WITH cells AS (SELECT
+         |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS v,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1, 2),
+         |vals AS (SELECT DISTINCT v FROM cells),
+         |grps AS (SELECT DISTINCT g FROM cells),
+         |grid AS (SELECT grps.g, vals.v, coalesce(cells.n, 0) AS n
+         |  FROM grps CROSS JOIN vals
+         |  LEFT JOIN cells ON cells.g = grps.g AND cells.v = vals.v),
+         |cum AS (SELECT g, v, n,
+         |    coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cb
+         |  FROM grid),
+         |j AS (SELECT sum(CAST(b.n AS HUGEINT) * (2 * a.cb + a.n)) AS j2
+         |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g),
+         |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+         |    CAST(count(*) AS BIGINT) AS k,
+         |    sum(CAST(ng AS HUGEINT) * ng) AS sq
+         |  FROM (SELECT g, CAST(sum(n) AS BIGINT) AS ng FROM cells
+         |    GROUP BY 1)),
+         |f AS (SELECT nn AS n_rows, k AS n_groups, j2,
+         |    CAST(nn AS HUGEINT) * nn - sq AS pairs_x2
+         |  FROM j CROSS JOIN tot)
+         |SELECT n_rows, n_groups, CAST(j2 AS BIGINT) AS j_x2,
+         |  CAST(pairs_x2 AS BIGINT) AS pairs_x2,
+         |  CAST(CASE WHEN pairs_x2 <= 0 THEN -1
+         |    ELSE (1000000 * j2) // pairs_x2 END AS BIGINT) AS jt_ppm
+         |FROM f""".stripMargin
 
     /** Twin of q311_concentration: three per-dimension count folds
       * through HUGEINT cross-products, unioned.

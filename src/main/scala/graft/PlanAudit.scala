@@ -33,6 +33,14 @@ object PlanAudit {
     // the value-domain-bounded midrank table broadcast onto the
     // cells — broadcast by design
     "q322_kruskal_wallis",
+    // row-margin × column-margin full grid (both domain-bounded)
+    // plus the ONE-row total N — q155's zero-cells-must-contribute
+    // shape, broadcast by design
+    "q323_chi_residuals",
+    // k-row rank list × value-domain list zero-fill grid plus the
+    // ONE-row totals into the ONE-row concordance fold — broadcast
+    // by design
+    "q324_jonckheere",
     // ONE-row privacy totals cross-joined into the 4-row per-k
     // report — broadcast scalar by design
     "q279_k_anonymity",

@@ -4781,6 +4781,27 @@ object Queries {
     graft.ops.Eval.kruskalWallis(Tables.orders(s, d), "o_orderpriority",
       expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000"))
 
+  /** Standardized Pearson residuals of the lang × source table
+    * ([[graft.ops.Eval.chiResiduals]]): the per-cell drill-down
+    * behind a significant independence test — WHICH source
+    * over-indexes WHICH language and by how many σ. Exact ×10⁶
+    * expected counts on the full marginal grid, ×1000 residuals.
+    */
+  val q323_chi_residuals: Q = (s, d) =>
+    graft.ops.Eval.chiResiduals(Tables.documents(s, d), "lang", "source")
+      .orderBy("lang", "source")
+
+  /** Jonckheere–Terpstra ordered trend of order value along the
+    * priority scale ([[graft.ops.Eval.jonckheereTrend]], 1954):
+    * "does spend fall as priority loosens" — the ordered-alternative
+    * question q322's unordered H can't pose. Exact integer
+    * concordance share, ties half-counted, no normal approximation.
+    */
+  val q324_jonckheere: Q = (s, d) =>
+    graft.ops.Eval.jonckheereTrend(Tables.orders(s, d),
+      expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000"))
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5328,5 +5349,7 @@ object Queries {
     "q319_seasonal_strength" -> q319_seasonal_strength,
     "q320_cv_auc" -> q320_cv_auc,
     "q321_brown_forsythe" -> q321_brown_forsythe,
-    "q322_kruskal_wallis" -> q322_kruskal_wallis)
+    "q322_kruskal_wallis" -> q322_kruskal_wallis,
+    "q323_chi_residuals" -> q323_chi_residuals,
+    "q324_jonckheere" -> q324_jonckheere)
 }

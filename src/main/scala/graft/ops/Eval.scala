@@ -1465,6 +1465,96 @@ object Eval {
     anovaFromGroupMoments(gm, "__key").drop("__key")
   }
 
+  /** Standardized Pearson residuals of a two-way contingency table:
+    * the per-cell drill-down behind a significant χ² (q277 says the
+    * table ISN'T independent; this names WHICH cells over/under-
+    * index and by how many standard deviations — |resid| ≥ 2 is the
+    * conventional callout). Expected counts are exact ×10⁶ DECIMAL
+    * (zero cells of the full marginal grid included, the q277
+    * discipline); the residual (o − e)/√e is integer ×1000 via
+    * floor(√) on the exact e_x1e6 with sign-symmetric division.
+    * floor(√(e·10⁶)) is double-exact to e ≈ 4.5·10⁹ expected per
+    * cell — pre-bucket the dimensions past that.
+    *
+    * Scale shape: one cell-count reduction; margins and the grid
+    * derive from it (rows × cols bounded).
+    */
+  def chiResiduals(df: DataFrame, rowCol: String,
+                   colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // margins + grid off one reduction
+    val rm = cells.groupBy("r").agg(sum("o").as("nr"))
+    val cm = cells.groupBy("c").agg(sum("o").as("nc"))
+    val tot = cells.agg(sum("o").as("n"))
+    rm.crossJoin(broadcast(cm)) // rows × cols grid, bounded
+      .join(cells, Seq("r", "c"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("o").cast("bigint").as("o"),
+        expr("CAST((1000000 * CAST(nr AS DECIMAL(38,0)) * nc) div " +
+          "greatest(n, 1) AS BIGINT)").as("e_x1e6"))
+      .withColumn("__s", expr(
+        "greatest(CAST(floor(sqrt(CAST(e_x1e6 AS DOUBLE))) AS BIGINT), 1)"))
+      .withColumn("resid_x1000", expr(
+        "CASE WHEN 1000000 * o >= e_x1e6 " +
+          "THEN (1000000 * o - e_x1e6) div __s " +
+          "ELSE -((e_x1e6 - 1000000 * o) div __s) END"))
+      .select(col("r").as(rowCol), col("c").as(colCol), col("o"),
+        col("e_x1e6"), col("resid_x1000"))
+  }
+
+  /** Jonckheere–Terpstra ordered trend (Jonckheere 1954): when the
+    * factor has a natural ORDER (priority 1..5, quality deciles),
+    * "does the value rise along it" beats KW's unordered
+    * any-difference. Reported as the exact concordance share
+    * jt_ppm = J / max-J (ties counted half) — 500000 reads "no
+    * trend", 10⁶ "perfectly increasing", 0 "perfectly decreasing" —
+    * plus the raw ×2 statistic and pair count; everything integer
+    * (J×2 = Σ_{i<j} Σ_v n_j(v)·(2·C_i(v⁻) + n_i(v)) off the
+    * zero-filled per-group value cumulative), so no normal
+    * approximation and nothing to drift between engines.
+    *
+    * Scale shape: one (rank, value) count reduction; the cumulative
+    * runs per group over the bounded value grid and the pair join
+    * is (k² × values)-bounded.
+    */
+  def jonckheereTrend(df: DataFrame, rankExpr: org.apache.spark.sql.Column,
+                      valueExpr: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df.select(rankExpr.cast("bigint").as("g"),
+        valueExpr.cast("bigint").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid, cums and totals off one reduction
+    val vals = cells.select("v").distinct()
+    val grps = cells.select("g").distinct()
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = grps.crossJoin(broadcast(vals)) // k × values, bounded
+      .join(cells, Seq("g", "v"), "left").na.fill(0L, Seq("n"))
+      .withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+    val a = grid.select(col("g").as("gi"), col("v"),
+      col("cb").as("ci"), col("n").as("ni"))
+    val b = grid.select(col("g").as("gj"), col("v"), col("n").as("nj"))
+    val j2 = a.join(b, Seq("v"))
+      .where(col("gi") < col("gj"))
+      .agg(sum(expr("CAST(nj AS DECIMAL(38,0)) * (2 * ci + ni)"))
+        .as("j2"))
+    val tot = cells.groupBy("g").agg(sum("n").as("ng"))
+      .agg(sum("ng").as("nn"), count(lit(1)).as("k"),
+        sum(expr("CAST(ng AS DECIMAL(38,0)) * ng")).as("sq"))
+    j2.crossJoin(broadcast(tot))
+      .select(col("nn").cast("bigint").as("n_rows"),
+        col("k").as("n_groups"),
+        col("j2").cast("decimal(38,0)").as("j_x2"),
+        expr("CAST(nn AS DECIMAL(38,0)) * nn - sq").as("pairs_x2"))
+      .select(col("n_rows"), col("n_groups"),
+        col("j_x2").cast("bigint").as("j_x2"),
+        col("pairs_x2").cast("bigint").as("pairs_x2"),
+        expr("CAST(CASE WHEN pairs_x2 <= 0 THEN -1 " +
+          "ELSE (1000000 * j_x2) div pairs_x2 END AS BIGINT)")
+          .as("jt_ppm"))
+  }
+
   /** Kruskal–Wallis rank test (Kruskal & Wallis 1952): the
     * nonparametric member of the compare-k-groups family — q315's F
     * assumes comparable spread (q321 checks it); when either fails,

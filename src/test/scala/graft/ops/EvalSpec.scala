@@ -757,6 +757,35 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("chiResiduals: hand 2x2 residuals including the full-grid negatives") {
+    val df = (Seq.fill(30)(("r1", "a")) ++ Seq.fill(10)(("r1", "b")) ++
+      Seq.fill(10)(("r2", "a")) ++ Seq.fill(10)(("r2", "b")))
+      .toDF("lang", "source")
+    val out = Eval.chiResiduals(df, "lang", "source").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r)
+      .toMap
+    assert(out.size === 4)
+    // e(r1,a) = 40*40/60 -> 26666666 x1e6; (30e6-e)/floor(sqrt(e))
+    assert(out(("r1", "a")).getAs[Long]("e_x1e6") === 26666666L)
+    assert(out(("r1", "a")).getAs[Long]("resid_x1000") === 645L)
+    assert(out(("r1", "b")).getAs[Long]("resid_x1000") === -912L)
+    assert(out(("r2", "a")).getAs[Long]("resid_x1000") === -912L)
+    assert(out(("r2", "b")).getAs[Long]("resid_x1000") === 1291L)
+  }
+
+  test("jonckheereTrend: perfect rise 1e6, perfect fall 0, pure tie 500000") {
+    def jt(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      Eval.jonckheereTrend(rows.toDF("g", "v"), col("g"), col("v"))
+        .collect()(0)
+    val up = jt(Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 2L)))
+    assert(up.getAs[Long]("j_x2") === 8L)
+    assert(up.getAs[Long]("pairs_x2") === 8L)
+    assert(up.getAs[Long]("jt_ppm") === 1000000L)
+    assert(jt(Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 1L)))
+      .getAs[Long]("jt_ppm") === 0L)
+    assert(jt(Seq((1L, 7L), (2L, 7L))).getAs[Long]("jt_ppm") === 500000L)
+  }
+
   test("kruskalWallis: hand-computed floored H; all-tied sentinel") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
     val r = Eval.kruskalWallis(df, "g", col("v")).collect()(0)
