@@ -1520,10 +1520,29 @@ object Eval {
     * is (k² × values)-bounded.
     */
   def jonckheereTrend(df: DataFrame, rankExpr: org.apache.spark.sql.Column,
-                      valueExpr: org.apache.spark.sql.Column): DataFrame = {
-    val cells = df.select(rankExpr.cast("bigint").as("g"),
-        valueExpr.cast("bigint").as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("n"))
+                      valueExpr: org.apache.spark.sql.Column): DataFrame =
+    jonckheereFromCellsDf(
+      df.select(rankExpr.cast("bigint").as("g"),
+          valueExpr.cast("bigint").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("n")))
+
+  /** The JT readback over additive (rank, value, count) cells — the
+    * streaming form, same additive-cell contract as
+    * [[kruskalWallisFromCounts]].
+    */
+  def jonckheereFromCounts(spark: org.apache.spark.sql.SparkSession,
+                           counts: Seq[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    jonckheereFromCellsDf(counts.toDF("g", "v", "n")
+      .groupBy("g", "v").agg(sum("n").as("n")))
+  }
+
+  /** The concordance-share arithmetic over a (g, v, n) cell table —
+    * shared VERBATIM by [[jonckheereTrend]] and
+    * [[jonckheereFromCounts]].
+    */
+  private def jonckheereFromCellsDf(cells0: DataFrame): DataFrame = {
+    val cells = cells0
       .localCheckpoint() // grid, cums and totals off one reduction
     val vals = cells.select("v").distinct()
     val grps = cells.select("g").distinct()
@@ -1569,10 +1588,30 @@ object Eval {
     * contract) so the rank window runs over the value domain.
     */
   def kruskalWallis(df: DataFrame, groupCol: String,
-                    valueExpr: org.apache.spark.sql.Column): DataFrame = {
-    val cells = df.select(col(groupCol).as("g"),
-        valueExpr.cast("bigint").as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("n"))
+                    valueExpr: org.apache.spark.sql.Column): DataFrame =
+    kruskalWallisFromCellsDf(
+      df.select(col(groupCol).as("g"), valueExpr.cast("bigint").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("n")))
+
+  /** The KW readback over additive (group, value, count) cells — the
+    * streaming form: per-cell counts fold across micro-batches (the
+    * [[mannWhitneyFromCounts]] discipline), so a foreachBatch
+    * monitor emits the live H through the SAME arithmetic.
+    */
+  def kruskalWallisFromCounts(spark: org.apache.spark.sql.SparkSession,
+                              counts: Seq[(String, Long, Long)])
+      : DataFrame = {
+    import spark.implicits._
+    kruskalWallisFromCellsDf(counts.toDF("g", "v", "n")
+      .groupBy("g", "v").agg(sum("n").as("n")))
+  }
+
+  /** The pooled-midrank H arithmetic over a (g, v, n) cell table —
+    * shared VERBATIM by [[kruskalWallis]] and
+    * [[kruskalWallisFromCounts]].
+    */
+  private def kruskalWallisFromCellsDf(cells0: DataFrame): DataFrame = {
+    val cells = cells0
       .localCheckpoint() // pooled ranks + per-group sums share it
     val tv = cells.groupBy("v").agg(sum("n").as("t"))
     // value-domain-bounded global rank window (the q278 pooled shape)

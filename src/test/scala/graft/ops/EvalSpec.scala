@@ -786,6 +786,26 @@ class EvalSpec extends SparkSpec {
     assert(jt(Seq((1L, 7L), (2L, 7L))).getAs[Long]("jt_ppm") === 500000L)
   }
 
+  test("kruskalWallis/jonckheere fromCounts: folded micro-batch cells == batch") {
+    val rows = Seq(("1", 1L), ("1", 2L), ("1", 2L), ("2", 2L),
+      ("2", 3L), ("3", 3L), ("3", 4L), ("3", 4L))
+    val df = rows.toDF("g", "v")
+    val kwExp = Eval.kruskalWallis(df, "g", col("v")).collect().toSeq
+    val jtExp = Eval.jonckheereTrend(df, col("g"), col("v"))
+      .collect().toSeq
+    // two "micro-batches" fold additive per-cell counts
+    val (b1, b2) = rows.splitAt(3)
+    val folded = (b1.groupBy(identity).map { case (k, xs) =>
+      (k._1, k._2, xs.size.toLong) } ++
+      b2.groupBy(identity).map { case (k, xs) =>
+        (k._1, k._2, xs.size.toLong) }).toSeq
+    assert(Eval.kruskalWallisFromCounts(spark, folded)
+      .collect().toSeq === kwExp)
+    assert(Eval.jonckheereFromCounts(spark,
+      folded.map { case (g, v, n) => (g.toLong, v, n) })
+      .collect().toSeq === jtExp)
+  }
+
   test("kruskalWallis: hand-computed floored H; all-tied sentinel") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
     val r = Eval.kruskalWallis(df, "g", col("v")).collect()(0)
