@@ -402,7 +402,8 @@ object Bench {
       "q313_burrows_delta", "q314_brier_decomp", "q315_anova",
       "q316_durbin_watson", "q317_surprisal_spans", "q318_dim_anova",
       "q319_seasonal_strength", "q320_cv_auc", "q321_brown_forsythe",
-      "q322_kruskal_wallis", "q323_chi_residuals", "q324_jonckheere")
+      "q322_kruskal_wallis", "q323_chi_residuals", "q324_jonckheere",
+      "q325_cochran_q")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

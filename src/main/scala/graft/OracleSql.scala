@@ -608,6 +608,7 @@ object OracleSql {
     "q322_kruskal_wallis" -> Gen.kruskalWallisSql,
     "q323_chi_residuals" -> Gen.chiResidualsSql,
     "q324_jonckheere" -> Gen.jonckheereSql,
+    "q325_cochran_q" -> Gen.cochranQSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6708,6 +6709,35 @@ object OracleSql {
          |  CAST(CASE WHEN pairs_x2 <= 0 THEN -1
          |    ELSE (1000000 * j2) // pairs_x2 END AS BIGINT) AS jt_ppm
          |FROM f""".stripMargin
+
+    /** Twin of q325_cochran_q: the q290 NB + langId CTEs plus the
+      * train-majority baseline (cnt DESC, lang DESC — the struct-max
+      * tie-break), folded to the k+3 exact sums and the one
+      * integral divide.
+      */
+    def cochranQSql: String =
+      s"""WITH scored AS ($nbClassifierSql),
+         |lp AS (SELECT doc_id, lang_pred FROM ($langIdSql) t
+         |  WHERE doc_id % 5 = 0),
+         |mj AS (SELECT lang AS major FROM documents WHERE doc_id % 5 <> 0
+         |  GROUP BY lang ORDER BY count(*) DESC, lang DESC LIMIT 1),
+         |fl AS (SELECT CASE WHEN s.pred = s.lang THEN 1 ELSE 0 END AS x1,
+         |    CASE WHEN lp.lang_pred = s.lang THEN 1 ELSE 0 END AS x2,
+         |    CASE WHEN mj.major = s.lang THEN 1 ELSE 0 END AS x3
+         |  FROM scored s JOIN lp ON lp.doc_id = s.doc_id CROSS JOIN mj),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+         |    CAST(sum(x1 + x2 + x3) AS BIGINT) AS t,
+         |    CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sr2,
+         |    CAST(sum(x1) AS BIGINT) AS c1, CAST(sum(x2) AS BIGINT) AS c2,
+         |    CAST(sum(x3) AS BIGINT) AS c3
+         |  FROM fl)
+         |SELECT nu AS n_units, CAST(3 AS BIGINT) AS k, t AS n_correct,
+         |  CAST(CASE WHEN 3 * t - sr2 <= 0 THEN -1 ELSE
+         |    (1000 * 2 * (3 * (CAST(c1 AS HUGEINT) * c1
+         |      + CAST(c2 AS HUGEINT) * c2 + CAST(c3 AS HUGEINT) * c3)
+         |      - CAST(t AS HUGEINT) * t)) //
+         |    (3 * CAST(t AS HUGEINT) - sr2) END AS BIGINT) AS q_x1000
+         |FROM agg""".stripMargin
 
     /** Twin of q311_concentration: three per-dimension count folds
       * through HUGEINT cross-products, unioned.

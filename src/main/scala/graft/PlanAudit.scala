@@ -41,6 +41,9 @@ object PlanAudit {
     // ONE-row totals into the ONE-row concordance fold — broadcast
     // by design
     "q324_jonckheere",
+    // ONE-row train-majority baseline cross-joined into the eval
+    // flags, plus the q114 NB class-table scoring shape upstream
+    "q325_cochran_q",
     // ONE-row privacy totals cross-joined into the 4-row per-k
     // report — broadcast scalar by design
     "q279_k_anonymity",

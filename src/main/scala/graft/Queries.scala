@@ -4802,6 +4802,33 @@ object Queries {
       expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000"))
 
+  /** Cochran's Q over three matched language classifiers
+    * ([[graft.ops.Eval.cochranQ]], 1950): NB (q114), the marker
+    * langId (q32) and the train-majority baseline on the shared
+    * eval split — "do the three differ at all" before any pairwise
+    * McNemar drill-down (q290). One exact integral divide, no float.
+    */
+  val q325_cochran_q: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tr = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val ev = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val nb = graft.ops.NaiveBayes.trainScore(tr, ev,
+      "lang", "doc_id", "text", Seq("lang"))
+    // train-majority baseline: argmax count, ties to the greater lang
+    // (the struct-max convention)
+    val major = tr.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(max(struct(col("c"), col("lang"))).as("__m"))
+      .select(col("__m.lang").as("major"))
+    val flags = nb
+      .join(ev.select(col("doc_id"),
+        TextFns.langId(col("text")).as("pred_b")), Seq("doc_id"))
+      .crossJoin(broadcast(major))
+      .select((col("lang") === col("pred")).as("x_nb"),
+        (col("lang") === col("pred_b")).as("x_li"),
+        (col("lang") === col("major")).as("x_mj"))
+    graft.ops.Eval.cochranQ(flags, Seq("x_nb", "x_li", "x_mj"))
+  }
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5351,5 +5378,6 @@ object Queries {
     "q321_brown_forsythe" -> q321_brown_forsythe,
     "q322_kruskal_wallis" -> q322_kruskal_wallis,
     "q323_chi_residuals" -> q323_chi_residuals,
-    "q324_jonckheere" -> q324_jonckheere)
+    "q324_jonckheere" -> q324_jonckheere,
+    "q325_cochran_q" -> q325_cochran_q)
 }

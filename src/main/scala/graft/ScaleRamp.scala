@@ -190,7 +190,8 @@ object ScaleRamp {
       "q313_burrows_delta", "q314_brier_decomp", "q315_anova",
       "q316_durbin_watson", "q317_surprisal_spans", "q318_dim_anova",
       "q319_seasonal_strength", "q320_cv_auc", "q321_brown_forsythe",
-      "q322_kruskal_wallis", "q323_chi_residuals", "q324_jonckheere")
+      "q322_kruskal_wallis", "q323_chi_residuals", "q324_jonckheere",
+      "q325_cochran_q")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

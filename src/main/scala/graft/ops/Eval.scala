@@ -1465,6 +1465,37 @@ object Eval {
     anovaFromGroupMoments(gm, "__key").drop("__key")
   }
 
+  /** Cochran's Q (Cochran 1950): k matched binary classifiers on the
+    * SAME units — "do they differ at all", the k-way extension of
+    * q290's McNemar (k = 2 reduces to it). Q = (k−1)·[k·ΣC_j² − T²]
+    * / [k·T − ΣR_i²] from per-unit row sums and per-classifier
+    * column totals — like McNemar, ONE exact integral divide, no
+    * float anywhere (the numerator is ≥ 0 by Cauchy–Schwarz; a
+    * degenerate denominator — every unit all-right or all-wrong —
+    * reports −1).
+    *
+    * Scale shape: one scan folds to a single row of k+3 sums.
+    */
+  def cochranQ(df: DataFrame, flagCols: Seq[String]): DataFrame = {
+    val k = flagCols.size
+    require(k >= 2 && k <= 16, s"flagCols must hold 2..16 columns, got $k")
+    val r = df.select(flagCols.map(c => col(c).cast("bigint").as(c)): _*)
+      .withColumn("__r", flagCols.map(col).reduce(_ + _))
+    val sums = Seq(count(lit(1)).as("nu"), sum("__r").as("t"),
+      sum(expr("__r * __r")).as("sr2")) ++
+      flagCols.zipWithIndex.map { case (c, i) => sum(col(c)).as(s"__c$i") }
+    val sc2 = flagCols.indices
+      .map(i => s"CAST(__c$i AS DECIMAL(38,0)) * __c$i").mkString(" + ")
+    r.agg(sums.head, sums.tail: _*)
+      .select(col("nu").cast("bigint").as("n_units"),
+        lit(k.toLong).as("k"), col("t").cast("bigint").as("n_correct"),
+        expr(s"CAST(CASE WHEN $k * t - sr2 <= 0 THEN -1 ELSE " +
+          s"(1000 * ${k - 1} * ($k * ($sc2) - " +
+          "CAST(t AS DECIMAL(38,0)) * t)) div " +
+          s"($k * CAST(t AS DECIMAL(38,0)) - sr2) END AS BIGINT)")
+          .as("q_x1000"))
+  }
+
   /** Standardized Pearson residuals of a two-way contingency table:
     * the per-cell drill-down behind a significant χ² (q277 says the
     * table ISN'T independent; this names WHICH cells over/under-

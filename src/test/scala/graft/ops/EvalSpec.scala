@@ -806,6 +806,26 @@ class EvalSpec extends SparkSpec {
       .collect().toSeq === jtExp)
   }
 
+  test("cochranQ: textbook Q=6; degenerate all-right sentinel; k=2 McNemar zero") {
+    val df = Seq(
+      (true, true, false), (true, false, false),
+      (true, true, false), (true, false, false))
+      .toDF("x1", "x2", "x3")
+    val r = Eval.cochranQ(df, Seq("x1", "x2", "x3")).collect()(0)
+    // C = (4,2,0), T = 6, Ri = (2,1,2,1): Q = 2*(3*20-36)/(18-10) = 6
+    assert(r.getAs[Long]("n_units") === 4L)
+    assert(r.getAs[Long]("n_correct") === 6L)
+    assert(r.getAs[Long]("q_x1000") === 6000L)
+    // every unit all-right: denominator k*T - sr2 vanishes
+    val deg = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(Eval.cochranQ(deg, Seq("a", "b")).collect()(0)
+      .getAs[Long]("q_x1000") === -1L)
+    // k = 2 with b = c = 1 discordant: McNemar chi2 = 0, Q agrees
+    val two = Seq((true, false), (false, true)).toDF("a", "b")
+    assert(Eval.cochranQ(two, Seq("a", "b")).collect()(0)
+      .getAs[Long]("q_x1000") === 0L)
+  }
+
   test("kruskalWallis: hand-computed floored H; all-tied sentinel") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
     val r = Eval.kruskalWallis(df, "g", col("v")).collect()(0)
