@@ -609,6 +609,13 @@ object OracleSql {
     "q323_chi_residuals" -> Gen.chiResidualsSql,
     "q324_jonckheere" -> Gen.jonckheereSql,
     "q325_cochran_q" -> Gen.cochranQSql,
+    "q326_friedman" -> Gen.friedmanSql,
+    "q327_page_trend" -> Gen.pageTrendSql,
+    "q328_wilcoxon" -> Gen.wilcoxonSql,
+    "q329_cliffs_delta" -> Gen.cliffsDeltaSql,
+    "q330_template_boilerplate" -> Gen.templateBoilerplateSql,
+    "q331_ljung_box" -> Gen.ljungBoxSql,
+    "q332_runs_test" -> Gen.runsTestSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6176,7 +6183,7 @@ object OracleSql {
          |  FROM li WHERE l_shipdate < DATE '1995-06-01' GROUP BY 1),
          |test AS (SELECT p, y FROM li JOIN train USING (p_brand)
          |  WHERE l_shipdate >= DATE '1995-06-01'),
-         |b AS (SELECT least(CAST(p // 100000 AS BIGINT), 9) AS bin,
+         |b AS (SELECT least(greatest(CAST(p // 100000 AS BIGINT), 0), 9) AS bin,
          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS sp,
          |    CAST(sum(y) AS BIGINT) AS sy
          |  FROM test GROUP BY 1),
@@ -6336,7 +6343,7 @@ object OracleSql {
          |  FROM li WHERE l_shipdate < DATE '1995-06-01' GROUP BY 1),
          |test AS (SELECT p, y FROM li JOIN train USING (p_brand)
          |  WHERE l_shipdate >= DATE '1995-06-01'),
-         |b AS (SELECT least(CAST(p // 100000 AS BIGINT), 9) AS bin,
+         |b AS (SELECT least(greatest(CAST(p // 100000 AS BIGINT), 0), 9) AS bin,
          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS sp,
          |    CAST(sum(y) AS BIGINT) AS sy,
          |    sum(CAST(p - 1000000 * y AS HUGEINT) * (p - 1000000 * y))
@@ -6650,7 +6657,8 @@ object OracleSql {
          |FROM o""".stripMargin
 
     /** Twin of q323_chi_residuals: same full marginal grid, exact
-      * ×10⁶ expecteds through HUGEINT, same floor(√) +
+      * ×10⁶ expecteds through HUGEINT, same two-step margin-factor
+      * variance fold (standardized residuals), same floor(√) +
       * sign-symmetric ×1000 residual.
       */
     def chiResidualsSql: String =
@@ -6664,10 +6672,14 @@ object OracleSql {
          |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
          |g AS (SELECT rm.r, cm.c, coalesce(cells.o, 0) AS o,
          |    CAST((1000000 * CAST(nr AS HUGEINT) * nc) // greatest(n, 1)
-         |      AS BIGINT) AS e_x1e6
+         |      AS BIGINT) AS e_x1e6,
+         |    CAST((CAST((CAST((1000000 * CAST(nr AS HUGEINT) * nc)
+         |      // greatest(n, 1) AS HUGEINT) * (n - nr))
+         |      // greatest(n, 1) AS HUGEINT) * (n - nc))
+         |      // greatest(n, 1) AS BIGINT) AS v_x1e6
          |  FROM rm CROSS JOIN cm CROSS JOIN tot
          |  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
-         |s AS (SELECT *, greatest(CAST(floor(sqrt(CAST(e_x1e6 AS DOUBLE)))
+         |s AS (SELECT *, greatest(CAST(floor(sqrt(CAST(v_x1e6 AS DOUBLE)))
          |    AS BIGINT), 1) AS sq FROM g)
          |SELECT r AS lang, c AS source, o, e_x1e6,
          |  CASE WHEN 1000000 * o >= e_x1e6
@@ -6769,6 +6781,224 @@ object OracleSql {
          |    AS top_share_ppm
          |FROM u ORDER BY dim""".stripMargin
     }
+
+    /** Twin of q326_friedman: same complete-block filter, the same
+      * rank()/partition-count ×2 midranks, exact HUGEINT folds and
+      * the two integral divides.
+      */
+    def friedmanSql: String =
+      s"""WITH cell AS (SELECT o_custkey AS b,
+         |    CAST(year(o_orderdate) AS BIGINT) AS t,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |      AS BIGINT) AS v
+         |  FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+         |  GROUP BY 1, 2),
+         |kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cell),
+         |cb AS (SELECT b, t, v, count(*) OVER (PARTITION BY b) AS kb
+         |  FROM cell),
+         |r AS (SELECT b, t,
+         |    2 * rank() OVER (PARTITION BY b ORDER BY v) - 1
+         |      + count(*) OVER (PARTITION BY b, v) AS mr2
+         |  FROM cb CROSS JOIN kk WHERE kb = k),
+         |pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(mr2 AS HUGEINT)) AS r2j,
+         |    sum(CAST(mr2 AS HUGEINT) * mr2) AS a2j
+         |  FROM r GROUP BY 1),
+         |f AS (SELECT CAST(max(n) AS HUGEINT) AS n,
+         |    CAST(max(k) AS HUGEINT) AS k,
+         |    sum((r2j - CAST(n AS HUGEINT) * (k + 1)) *
+         |        (r2j - CAST(n AS HUGEINT) * (k + 1))) AS num,
+         |    sum(a2j) AS a2
+         |  FROM pt CROSS JOIN kk)
+         |SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+         |  CAST(CASE WHEN a2 - n * k * (k+1) * (k+1) <= 0 THEN -1
+         |    ELSE (1000 * (k - 1) * num) //
+         |      (a2 - n * k * (k+1) * (k+1)) END AS BIGINT) AS q_x1000,
+         |  CAST(CASE WHEN n = 0 OR a2 - n * k * (k+1) * (k+1) <= 0
+         |    THEN -1 ELSE (1000000 * num) //
+         |      ((a2 - n * k * (k+1) * (k+1)) * n) END AS BIGINT) AS w_ppm
+         |FROM f""".stripMargin
+
+    /** Twin of q327_page_trend: the q326 rank stage with the year's
+      * 1..k order index, the exact L2 fold and the closed-form
+      * floor/ceiling position.
+      */
+    def pageTrendSql: String =
+      s"""WITH cell AS (SELECT o_custkey AS b,
+         |    CAST(year(o_orderdate) AS BIGINT) AS t,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |      AS BIGINT) AS v
+         |  FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+         |  GROUP BY 1, 2),
+         |kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cell),
+         |cb AS (SELECT b, t, v, count(*) OVER (PARTITION BY b) AS kb
+         |  FROM cell),
+         |r AS (SELECT b, t - 1994 AS j,
+         |    2 * rank() OVER (PARTITION BY b ORDER BY v) - 1
+         |      + count(*) OVER (PARTITION BY b, v) AS mr2
+         |  FROM cb CROSS JOIN kk WHERE kb = k),
+         |f AS (SELECT CAST(max(k) AS HUGEINT) AS k,
+         |    CAST(count(*) AS HUGEINT) // CAST(max(k) AS HUGEINT) AS n,
+         |    sum(CAST(j AS HUGEINT) * mr2) AS l2
+         |  FROM r CROSS JOIN kk)
+         |SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+         |  CAST(l2 AS BIGINT) AS l_x2,
+         |  CAST(CASE WHEN n = 0 OR k < 2 THEN -1 ELSE
+         |    (1000000 * (l2 - n * (k * (k+1) * (k+1)
+         |      - k * (k+1) * (2*k+1) // 3))) //
+         |    (n * (2 * (k * (k+1) * (2*k+1) // 3)
+         |      - k * (k+1) * (k+1))) END AS BIGINT) AS page_ppm
+         |FROM f""".stripMargin
+
+    /** Twin of q328_wilcoxon: same paired-year pivot, zero-diff drop,
+      * pooled ×2 midranks off the (|d|, count) table, exact rank
+      * sums and the floor(√) + sign-symmetric z.
+      */
+    def wilcoxonSql: String =
+      s"""WITH per0 AS (SELECT o_custkey,
+         |    sum(CASE WHEN year(o_orderdate) = 1995 THEN
+         |      CAST(round(o_totalprice * 100) AS BIGINT) END) AS c95,
+         |    sum(CASE WHEN year(o_orderdate) = 1996 THEN
+         |      CAST(round(o_totalprice * 100) AS BIGINT) END) AS c96
+         |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+         |  GROUP BY 1),
+         |per AS (SELECT * FROM per0
+         |  WHERE c95 IS NOT NULL AND c96 IS NOT NULL),
+         |d AS (SELECT (c95 // 10000) - (c96 // 10000) AS d FROM per
+         |  WHERE (c95 // 10000) - (c96 // 10000) <> 0),
+         |cells AS (SELECT abs(d) AS a, CAST(count(*) AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS np
+         |  FROM d GROUP BY 1),
+         |rk AS (SELECT a, t, np,
+         |    2 * coalesce(sum(t) OVER (ORDER BY a ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS mr2
+         |  FROM cells),
+         |f AS (SELECT CAST(sum(t) AS BIGINT) AS n_pairs,
+         |    sum(CAST(np AS HUGEINT) * mr2) AS w2p,
+         |    sum(CAST(t - np AS HUGEINT) * mr2) AS w2m,
+         |    sum(CAST(t AS HUGEINT) * mr2 * mr2) AS v4
+         |  FROM rk)
+         |SELECT n_pairs, CAST(w2p AS BIGINT) AS w2_plus,
+         |  CAST(w2m AS BIGINT) AS w2_minus,
+         |  CAST(CASE WHEN v4 <= 0 THEN 0 WHEN w2p >= w2m THEN
+         |    (1000 * (w2p - w2m)) //
+         |    greatest(CAST(floor(sqrt(CAST(v4 AS DOUBLE))) AS HUGEINT), 1)
+         |    ELSE -((1000 * (w2m - w2p)) //
+         |    greatest(CAST(floor(sqrt(CAST(v4 AS DOUBLE))) AS HUGEINT), 1))
+         |    END AS BIGINT) AS z_x1000
+         |FROM f""".stripMargin
+
+    /** Twin of q330_template_boilerplate: the same edge-gram slices
+      * (DuckDB list slicing clamps like the operator's guarded
+      * slice), count reduction and exact ppm share.
+      */
+    def templateBoilerplateSql: String =
+      s"""WITH tk AS (SELECT CAST(source AS VARCHAR) AS g,
+         |    ${tokensE("text")} AS t FROM documents),
+         |e AS (SELECT g, 'prefix' AS kind,
+         |    array_to_string(t[1:3], ' ') AS gram FROM tk
+         |  UNION ALL SELECT g, 'suffix' AS kind,
+         |    array_to_string(t[-3:], ' ') AS gram FROM tk),
+         |c AS (SELECT g, kind, gram, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM e WHERE gram <> '' GROUP BY 1, 2, 3),
+         |tot AS (SELECT CAST(source AS VARCHAR) AS g,
+         |    CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1)
+         |SELECT c.g AS source, kind, gram, n_docs,
+         |  CAST((1000000 * CAST(n_docs AS HUGEINT)) // greatest(nd, 1)
+         |    AS BIGINT) AS share_ppm
+         |FROM c JOIN tot ON tot.g = c.g WHERE n_docs >= 2
+         |ORDER BY source, kind, gram""".stripMargin
+
+    /** Twin of q331_ljung_box: the q226 ACF CTE verbatim, then the
+      * same per-lag integral divide and one-row fold per type.
+      */
+    def ljungBoxSql: String =
+      s"""WITH acf AS ($acfSql),
+         |f AS (SELECT event_type, max(n_overlap + lag) AS n,
+         |    CAST(count(*) AS BIGINT) AS m_lags,
+         |    sum((CAST(acf_ppm AS HUGEINT) * acf_ppm) //
+         |      greatest(n_overlap, 1)) AS s
+         |  FROM acf GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_hours, m_lags,
+         |  CAST((CAST(n AS HUGEINT) * (n + 2) * s) // 1000000000
+         |    AS BIGINT) AS q_x1000
+         |FROM f ORDER BY event_type""".stripMargin
+
+    /** Twin of q332_runs_test: same exact ceil-rank median, same
+      * tie-drop, sign-change lag walk and the floor(√) +
+      * sign-symmetric z.
+      */
+    def runsTestSql: String =
+      s"""WITH daily AS (SELECT
+         |    date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS d,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |      AS BIGINT) AS v
+         |  FROM orders GROUP BY 1),
+         |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM daily
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM daily),
+         |med AS (SELECT min(v) AS med FROM
+         |    (SELECT v, sum(cnt) OVER (ORDER BY v ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc)
+         |    CROSS JOIN tot WHERE cum >= (50 * nt + 99) // 100),
+         |sg AS (SELECT d, CASE WHEN v > med THEN 1 ELSE 0 END AS s
+         |  FROM daily CROSS JOIN med WHERE v <> med),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(s) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1
+         |      ELSE 0 END) AS BIGINT) AS r
+         |  FROM (SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM sg)),
+         |z AS (SELECT *, greatest(CAST(floor(sqrt(CAST(
+         |    (2 * CAST(n1 AS HUGEINT) * (n - n1) *
+         |     (2 * n1 * (n - n1) - n)) // greatest(n - 1, 1)
+         |    AS DOUBLE))) AS HUGEINT), 1) AS den FROM f)
+         |SELECT n AS n_days, n1 AS n_above,
+         |  CAST(n - n1 AS BIGINT) AS n_below, r AS runs,
+         |  CAST(CASE WHEN n < 2 OR n1 <= 0 OR n1 >= n OR
+         |      2 * n1 * (n - n1) <= n THEN 0
+         |    WHEN r * n >= 2 * n1 * (n - n1) + n THEN
+         |      (1000 * (r * n - 2 * n1 * (n - n1) - n)) // den
+         |    ELSE -((1000 * (2 * n1 * (n - n1) + n - r * n)) // den)
+         |    END AS BIGINT) AS z_x1000
+         |FROM z""".stripMargin
+
+    /** Twin of q329_cliffs_delta: the q324-style zero-filled grid +
+      * per-group below-cumulatives, exact HUGEINT pair folds and the
+      * sign-symmetric ppm divide.
+      */
+    def cliffsDeltaSql: String =
+      s"""WITH cells AS (SELECT CAST(source AS VARCHAR) AS g,
+         |    CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |vals AS (SELECT DISTINCT v FROM cells),
+         |grps AS (SELECT DISTINCT g FROM cells),
+         |grid AS (SELECT grps.g, vals.v, coalesce(cells.n, 0) AS n
+         |  FROM grps CROSS JOIN vals
+         |  LEFT JOIN cells ON cells.g = grps.g AND cells.v = vals.v),
+         |cum AS (SELECT g, v, n,
+         |    coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cb
+         |  FROM grid),
+         |tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS ng FROM cells
+         |  GROUP BY 1),
+         |p AS (SELECT a.g AS g_a, b.g AS g_b, tb.ng AS n_b,
+         |    sum(CAST(a.n AS HUGEINT) * b.cb) AS gt,
+         |    sum(CAST(a.n AS HUGEINT) * (tb.ng - b.cb - b.n)) AS lt
+         |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+         |  JOIN tot tb ON tb.g = b.g
+         |  GROUP BY 1, 2, 3)
+         |SELECT g_a, g_b, ta.ng AS n_a, n_b,
+         |  CAST(gt AS BIGINT) AS gt_pairs, CAST(lt AS BIGINT) AS lt_pairs,
+         |  CAST(CASE WHEN ta.ng = 0 OR n_b = 0 THEN 0
+         |    WHEN gt >= lt THEN (1000000 * (gt - lt)) //
+         |      (CAST(ta.ng AS HUGEINT) * n_b)
+         |    ELSE -((1000000 * (lt - gt)) //
+         |      (CAST(ta.ng AS HUGEINT) * n_b)) END AS BIGINT)
+         |    AS delta_ppm
+         |FROM p JOIN tot ta ON ta.g = p.g_a
+         |ORDER BY g_a, g_b""".stripMargin
 
     def bhFdrSql: String = {
       val crit = graft.ops.Eval.bhZcritCaseSql("rnk", 25, 50000L)

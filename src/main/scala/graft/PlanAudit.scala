@@ -494,7 +494,19 @@ object PlanAudit {
     // Qini cumulative arm counts over the score-VALUE-bounded band
     // table (the q92/q122 audited cumsum class), after the corpus
     // reduced to per-band counts
-    "q302_qini_curve")
+    "q302_qini_curve",
+    // treatment-order index window over the k-row DISTINCT-treatment
+    // table (k = 3 years — constant in corpus size); the rank stage
+    // itself partitions by block
+    "q327_page_trend",
+    // |d| midrank cumsum over the ($100-discretized) DIFF-value count
+    // table — the q322 pooled value-domain-bounded rank class
+    "q328_wilcoxon",
+    // median-rank cumsum over the daily-value count table and the
+    // sign-change lag walk over the day grid — both span-bounded
+    // (the q207/q233 audited classes), after the corpus reduced to
+    // one row per day
+    "q332_runs_test")
 
   /** Queries whose FINAL plan legitimately has no WholeStageCodegen
     * span: the distributed work happens upstream of a BOUNDED driver

@@ -4829,6 +4829,99 @@ object Queries {
     graft.ops.Eval.cochranQ(flags, Seq("x_nb", "x_li", "x_mj"))
   }
 
+  /** Friedman matched-block rank test ([[graft.ops.Eval.friedmanTest]],
+    * 1937) of 1995/1996/1997 spend on the SAME customers (blocks =
+    * customers ordering in all three years): "did spend shift across
+    * years, within customer" — the within-subjects counterpart of
+    * q322's independent-groups KW, with Kendall's W effect size.
+    * Exact integer throughout (×2 midranks, two integral divides).
+    */
+  val q326_friedman: Q = (s, d) =>
+    graft.ops.Eval.friedmanTest(
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")).cast("bigint"))
+        .where(col("yr").between(1995L, 1997L)),
+      "o_custkey", "yr",
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+
+  /** Page's L ordered trend ([[graft.ops.Eval.pageTrend]], 1963) over
+    * the same matched customer-year blocks as q326: "does spend RISE
+    * year over year, within customer" — q324's JT question asked of
+    * matched blocks. page_ppm positions the exact L2 between the
+    * perfect-fall floor and perfect-rise ceiling (500000 = no trend).
+    */
+  val q327_page_trend: Q = (s, d) =>
+    graft.ops.Eval.pageTrend(
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")).cast("bigint"))
+        .where(col("yr").between(1995L, 1997L)),
+      "o_custkey", "yr",
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+
+  /** Wilcoxon signed-rank ([[graft.ops.Eval.wilcoxonSignedRank]],
+    * 1945) of 1995-vs-1996 spend per customer (pairs = customers
+    * ordering in both years, $100 units — the rocAuc discretization
+    * contract): the magnitude-weighted paired shift test beside
+    * q290's direction-only McNemar. Exact ×2 rank sums; the z is
+    * one floor(√) + sign-symmetric divide.
+    */
+  val q328_wilcoxon: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .where(col("y").between(1995, 1996))
+      .groupBy("o_custkey").pivot("y", Seq(1995, 1996)).sum("c")
+      .where(col("1995").isNotNull && col("1996").isNotNull)
+    graft.ops.Eval.wilcoxonSignedRank(per,
+      expr("`1995` div 10000"), expr("`1996` div 10000"))
+  }
+
+  /** Pairwise Cliff's delta ([[graft.ops.Eval.cliffsDelta]], 1993)
+    * between sources' doc-length distributions — the ordinal effect
+    * size beside q278's MWU z (z says "shifted, confidently"; δ says
+    * "by how much", scale-free): exact ppm off the per-source length
+    * count grid via the q324 cumulative machinery.
+    */
+  val q329_cliffs_delta: Q = (s, d) =>
+    graft.ops.Eval.cliffsDelta(Tables.documents(s, d), "source",
+        col("n_chars"))
+      .orderBy("g_a", "g_b")
+
+  /** Template-boilerplate screen
+    * ([[graft.ops.TextStats.templateBoilerplate]]): first/last-3-token
+    * grams shared by ≥ 2 docs of one source — the CCNet/RefinedWeb
+    * header-footer discovery report (WHAT page furniture to strip and
+    * how much of each source it covers), the document-edge complement
+    * to q119's intra-doc repetition and q80's span dedup. One map-only
+    * edge-gram scan + one count reduction, exact ppm shares.
+    */
+  val q330_template_boilerplate: Q = (s, d) =>
+    graft.ops.TextStats.templateBoilerplate(Tables.documents(s, d),
+        "source", "text", k = 3, minDocs = 2L)
+      .orderBy("source", "kind", "gram")
+
+  /** Ljung–Box portmanteau whiteness test
+    * ([[graft.ops.Funnel.ljungBox]], 1978) per event type over the
+    * hourly arrival series: q226's 26 ACF lags folded into the one
+    * "any serial structure at all" χ²_m statistic — the residual
+    * diagnostic beside q316's DW. Exact integers on q226's exact
+    * acf_ppm surface.
+    */
+  val q331_ljung_box: Q = (s, d) =>
+    graft.ops.Funnel.ljungBox(Tables.events(s, d), "event_type", "ts")
+      .orderBy("event_type")
+
+  /** Wald–Wolfowitz runs test ([[graft.ops.Funnel.runsTest]], 1940)
+    * of daily revenue around its exact median: sign-regime clumping
+    * (trend / level shifts) vs oscillation — the randomness check DW
+    * (q316) and Mann–Kendall (q199) bracket. Exact median off the
+    * value-count table, exact integer z via floor(√) +
+    * sign-symmetric divide.
+    */
+  val q332_runs_test: Q = (s, d) =>
+    graft.ops.Funnel.runsTest(Tables.orders(s, d), "o_orderdate",
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5379,5 +5472,12 @@ object Queries {
     "q322_kruskal_wallis" -> q322_kruskal_wallis,
     "q323_chi_residuals" -> q323_chi_residuals,
     "q324_jonckheere" -> q324_jonckheere,
-    "q325_cochran_q" -> q325_cochran_q)
+    "q325_cochran_q" -> q325_cochran_q,
+    "q326_friedman" -> q326_friedman,
+    "q327_page_trend" -> q327_page_trend,
+    "q328_wilcoxon" -> q328_wilcoxon,
+    "q329_cliffs_delta" -> q329_cliffs_delta,
+    "q330_template_boilerplate" -> q330_template_boilerplate,
+    "q331_ljung_box" -> q331_ljung_box,
+    "q332_runs_test" -> q332_runs_test)
 }

@@ -24,7 +24,7 @@ object RocksBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.streaming.stopTimeout", "30s")
+      .config("spark.sql.streaming.stopTimeout", "15s")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -35,13 +35,18 @@ object RocksBench {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
-    // best-of-2 per cell (the StatefulBench discipline): pass 1 warms
-    // the JVM/JNI and absorbs the parent phases' load spike; the
-    // second pass is SKIPPED when pass 1 ran into its deadline (a
-    // wedged host won't improve, and two full 300 s deadlines per
-    // cell would blow the parent's 12-minute watchdog).
+    // ONE short warm pass (batches 0-1 at the smaller size), then one
+    // measured pass per cell (the StatefulBench discipline: every
+    // measured pass already excludes its own batch 0, so per-cell
+    // warm passes double-pay). A measured pass that misses its batch
+    // count earns ONE retry (a loaded host should yield a number, not
+    // a -1) unless it already burned most of its deadline — a wedged
+    // host won't improve, and two full 300 s deadlines per cell would
+    // blow the parent's watchdog.
+    Bench.measureStateful(spark, 1000000L, cpus.toInt, deadlineSec = 90L,
+      untilBatch = 2)
     val cells = Seq(1000000L, 2000000L).map { n =>
       def pass() = {
         val (rows, sec, nBatches) =
@@ -49,8 +54,7 @@ object RocksBench {
         (Bench.sweepValue(rows, sec, nBatches, 4), sec)
       }
       val (v1, sec1) = pass()
-      val best = if (v1 < 0 || sec1 >= 240) v1
-        else math.max(v1, pass()._1)
+      val best = if (v1 >= 0 || sec1 >= 240) v1 else pass()._1
       n -> best
     }
     val json = cells.map { case (n, rps) =>

@@ -191,7 +191,9 @@ object ScaleRamp {
       "q316_durbin_watson", "q317_surprisal_spans", "q318_dim_anova",
       "q319_seasonal_strength", "q320_cv_auc", "q321_brown_forsythe",
       "q322_kruskal_wallis", "q323_chi_residuals", "q324_jonckheere",
-      "q325_cochran_q")
+      "q325_cochran_q", "q326_friedman", "q327_page_trend",
+      "q328_wilcoxon", "q329_cliffs_delta", "q330_template_boilerplate",
+      "q331_ljung_box", "q332_runs_test")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -21,7 +21,7 @@ object StatefulBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.streaming.stopTimeout", "30s")
+      .config("spark.sql.streaming.stopTimeout", "15s")
       .config("spark.ui.enabled", "false")
     val spark = (if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
       builder.config("spark.sql.streaming.stateStore.providerClass",
@@ -35,21 +35,29 @@ object StatefulBench {
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
           "true")
     else builder).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // best-of-2 per size (the headline-query discipline): the first
-    // pass doubles as JVM/state-store warmup and absorbs whatever
-    // load spike the caller's box carries into the fork — pass-2
-    // figures land within a few % of a fully idle box
+    spark.sparkContext.setLogLevel("ERROR")
+    // ONE short warm pass per child (batches 0-1 at the smallest
+    // size), then one measured pass per size. Rationale: every
+    // measured pass already EXCLUDES its own batch 0, so a per-size
+    // warm pass double-pays (the r13 best-of-2 at full length was
+    // ~40% of the fork's wall-clock and fed the BENCH_r13 rc=124
+    // budget overrun; a dev run on an idle box shows warm batches at
+    // 16s/12s collapsing to 2.4s steady — one warm pass absorbs the
+    // whole JIT/codegen tail). A measured pass that misses its batch
+    // count (deadline under transient load) earns ONE retry, so a
+    // loaded host still yields a number, not a -1.
+    Bench.measureStateful(spark, sizes.min, cpus.toInt, deadlineSec = 90L,
+      untilBatch = 2)
     sizes.foreach { n =>
-      val trials = (1 to 2).map { _ =>
-        // same deadlines as the graft.Bench sweep protocol: the 2M
-        // cell runs 10M docs through growing per-bucket state —
-        // headroom so a loaded host yields a number, not a -1
+      def pass() = {
+        // 2M cell headroom: it runs 10M docs through growing
+        // per-bucket state
         val (rows, sec, batches) = Bench.measureStateful(spark, n,
           cpus.toInt, deadlineSec = if (n >= 2000000L) 300L else 180L)
         (rows, sec, batches, Bench.sweepValue(rows, sec, batches, 4))
       }
-      val (rows, sec, batches, rps) = trials.maxBy(_._4)
+      val first = pass()
+      val (rows, sec, batches, rps) = if (first._4 < 0) pass() else first
       println(f"rowsPerBatch=$n%-8d batches=$batches rows=$rows sec=$sec%.2f rec/s=${rps.round}")
     }
     spark.stop()

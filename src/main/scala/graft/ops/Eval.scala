@@ -1404,9 +1404,14 @@ object Eval {
     require(nBins >= 2 && 1000000 % nBins == 0,
       s"nBins=$nBins must be >= 2 and divide 1e6")
     val width = 1000000 / nBins
+    // input contract: probPpmCol is a probability in ppm, [0, 1e6].
+    // The bin id is clamped on BOTH ends (a caller feeding raw scores
+    // would otherwise land negative bin ids the oracle twin mirrors
+    // blindly); the per-bin conf_ppm still reflects the raw values,
+    // so out-of-domain inputs show up as conf outside [0, 1e6]
     val b = df.select(
-        expr(s"least(CAST($probPpmCol div $width AS BIGINT), ${nBins - 1})")
-          .as("bin"),
+        expr(s"least(greatest(CAST($probPpmCol div $width AS BIGINT), 0), " +
+          s"${nBins - 1})").as("bin"),
         col(probPpmCol).cast("bigint").as("p"),
         labelExpr.cast("bigint").as("y"))
       .groupBy("bin")
@@ -1496,16 +1501,23 @@ object Eval {
           .as("q_x1000"))
   }
 
-  /** Standardized Pearson residuals of a two-way contingency table:
-    * the per-cell drill-down behind a significant χ² (q277 says the
-    * table ISN'T independent; this names WHICH cells over/under-
-    * index and by how many standard deviations — |resid| ≥ 2 is the
-    * conventional callout). Expected counts are exact ×10⁶ DECIMAL
-    * (zero cells of the full marginal grid included, the q277
-    * discipline); the residual (o − e)/√e is integer ×1000 via
-    * floor(√) on the exact e_x1e6 with sign-symmetric division.
-    * floor(√(e·10⁶)) is double-exact to e ≈ 4.5·10⁹ expected per
-    * cell — pre-bucket the dimensions past that.
+  /** Standardized (adjusted) Pearson residuals of a two-way
+    * contingency table: the per-cell drill-down behind a significant
+    * χ² (q277 says the table ISN'T independent; this names WHICH
+    * cells over/under-index and by how many standard deviations —
+    * |resid| ≥ 2 is the conventional callout, and it belongs to THIS
+    * form: the cell variance under independence is
+    * e·(1 − nr/n)·(1 − nc/n) (Agresti, Categorical Data Analysis
+    * §3.3.1), not e — the plain (o − e)/√e understates, e.g. every
+    * 2×2 standardized residual has magnitude √χ². Expected counts
+    * are exact ×10⁶ DECIMAL (zero cells of the full marginal grid
+    * included, the q277 discipline); the variance folds the two
+    * margin factors through exact integral divides and the residual
+    * is integer ×1000 via floor(√) with sign-symmetric division.
+    * floor(√(v·10⁶)) is double-exact to v ≈ 4.5·10⁹ per cell —
+    * pre-bucket the dimensions past that. A degenerate margin
+    * (nr = n or nc = n) zeroes the variance, but then o = e exactly,
+    * so the clamped divisor reports resid 0 rather than a blow-up.
     *
     * Scale shape: one cell-count reduction; margins and the grid
     * derive from it (rows × cols bounded).
@@ -1524,15 +1536,264 @@ object Eval {
       .crossJoin(broadcast(tot))
       .select(col("r"), col("c"), col("o").cast("bigint").as("o"),
         expr("CAST((1000000 * CAST(nr AS DECIMAL(38,0)) * nc) div " +
-          "greatest(n, 1) AS BIGINT)").as("e_x1e6"))
+          "greatest(n, 1) AS BIGINT)").as("e_x1e6"),
+        // v = e·(n−nr)/n·(n−nc)/n, the margin factors folded one
+        // exact integral divide at a time (a single n³ denominator
+        // would need n⁴ in the numerator — DECIMAL(38) dies at
+        // n ≈ 10⁸; this form holds to n ≈ 10¹⁶)
+        expr("CAST((CAST((CAST((1000000 * CAST(nr AS DECIMAL(38,0)) * nc) " +
+          "div greatest(n, 1) AS DECIMAL(38,0)) * (n - nr)) " +
+          "div greatest(n, 1) AS DECIMAL(38,0)) * (n - nc)) " +
+          "div greatest(n, 1) AS BIGINT)").as("v_x1e6"))
       .withColumn("__s", expr(
-        "greatest(CAST(floor(sqrt(CAST(e_x1e6 AS DOUBLE))) AS BIGINT), 1)"))
+        "greatest(CAST(floor(sqrt(CAST(v_x1e6 AS DOUBLE))) AS BIGINT), 1)"))
       .withColumn("resid_x1000", expr(
         "CASE WHEN 1000000 * o >= e_x1e6 " +
           "THEN (1000000 * o - e_x1e6) div __s " +
           "ELSE -((e_x1e6 - 1000000 * o) div __s) END"))
       .select(col("r").as(rowCol), col("c").as(colCol), col("o"),
         col("e_x1e6"), col("resid_x1000"))
+  }
+
+  /** Within-block ×2 midranks over complete matched blocks — the
+    * shared rank stage of [[friedmanTest]] and [[pageTrend]]. One
+    * (block, treatment) SUM reduction collapses the corpus; a block
+    * missing any treatment is dropped (the matched design needs all
+    * k measurements); mr2 = 2·rank − 1 + |ties| keeps midranks
+    * integral (untied ranks land on 2,4,…,2k). Both windows
+    * partition BY BLOCK — k-row partitions, millions of them, so the
+    * rank stage scales with blocks, never serializes.
+    */
+  private def matchedBlockRanks(df: DataFrame, blockCol: String,
+                                treatCol: String,
+                                valueExpr: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val cell = df.select(col(blockCol).as("b"), col(treatCol).as("t"),
+        valueExpr.cast("bigint").as("v"))
+      .groupBy("b", "t").agg(sum("v").as("v"))
+    val kTot = cell.agg(countDistinct("t").as("k"))
+    cell
+      .withColumn("kb", count(lit(1)).over(Window.partitionBy("b")))
+      .crossJoin(broadcast(kTot))
+      .where(col("kb") === col("k"))
+      .withColumn("mr2",
+        lit(2L) * rank().over(Window.partitionBy("b").orderBy("v"))
+          - lit(1L) + count(lit(1)).over(Window.partitionBy("b", "v")))
+      .select(col("b"), col("t"), col("v"), col("mr2"), col("k"))
+  }
+
+  /** Friedman matched-block rank test (Friedman 1937): k treatments
+    * measured on the SAME blocks — the within-subjects member of the
+    * compare-k family (q315 ANOVA and q322 KW compare independent
+    * groups; q325 Cochran's Q is this test's binary special case).
+    * Each complete block ranks its k values (×2 midranks), and
+    *
+    *   Q = (k−1) · Σⱼ (R2ⱼ − n(k+1))² / (A2 − C2)
+    *
+    * with A2 = Σ mr2² and C2 = n·k(k+1)² — the Conover form whose
+    * denominator carries the tie correction automatically (untied it
+    * reduces to the textbook 12/(nk(k+1))·ΣRⱼ² − 3n(k+1)). Every sum
+    * is exact DECIMAL and the two divides are integral, so
+    * `q_x1000` and the Kendall's-W effect size `w_ppm` = Q/(n(k−1))
+    * are engine-exact; an all-tied corpus (A2 = C2) reports −1.
+    *
+    * Scale shape: one (block, treatment) reduction; per-block k-row
+    * rank windows; one global fold to k treatment rows then one row.
+    */
+  def friedmanTest(df: DataFrame, blockCol: String, treatCol: String,
+                   valueExpr: org.apache.spark.sql.Column): DataFrame = {
+    val ranked = matchedBlockRanks(df, blockCol, treatCol, valueExpr)
+    val perT = ranked.groupBy("t")
+      .agg(max("k").as("k"), count(lit(1)).as("n"),
+        sum(expr("CAST(mr2 AS DECIMAL(38,0))")).as("r2j"),
+        sum(expr("CAST(mr2 AS DECIMAL(38,0)) * mr2")).as("a2j"))
+    perT.agg(max("k").as("k"), max("n").as("n"),
+        sum(expr("(r2j - CAST(n AS DECIMAL(38,0)) * (k + 1)) * " +
+          "(r2j - CAST(n AS DECIMAL(38,0)) * (k + 1))")).as("num"),
+        sum("a2j").as("a2"))
+      .select(col("n").cast("bigint").as("n_blocks"),
+        col("k").cast("bigint").as("k"),
+        expr("CAST(CASE WHEN a2 - CAST(n AS DECIMAL(38,0)) * k * (k + 1) " +
+          "* (k + 1) <= 0 THEN -1 ELSE (1000 * (k - 1) * num) div " +
+          "(a2 - CAST(n AS DECIMAL(38,0)) * k * (k + 1) * (k + 1)) " +
+          "END AS BIGINT)").as("q_x1000"),
+        expr("CAST(CASE WHEN n = 0 OR a2 - CAST(n AS DECIMAL(38,0)) * k " +
+          "* (k + 1) * (k + 1) <= 0 THEN -1 ELSE (1000000 * num) div " +
+          "((a2 - CAST(n AS DECIMAL(38,0)) * k * (k + 1) * (k + 1)) * n) " +
+          "END AS BIGINT)").as("w_ppm"))
+  }
+
+  /** Page's L ordered-trend test (Page 1963): [[friedmanTest]]'s
+    * any-difference question sharpened to "do the values RISE along
+    * the treatment order" (what q324's JT asks of independent
+    * groups, asked of matched blocks). The treatment must be
+    * numeric; j = its 1..k order index. Reported as the exact ×2
+    * statistic L2 = Σⱼ j·R2ⱼ plus `page_ppm` — L2's position between
+    * the perfect-fall floor 2n·Σj(k+1−j) and the perfect-rise
+    * ceiling 2n·Σj² (ties land between; all-tied reads exactly
+    * 500000, the q324 ppm convention) — so no variance
+    * approximation and nothing float anywhere.
+    *
+    * Scale shape: the [[matchedBlockRanks]] stage, then a k-row fold.
+    */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+                valueExpr: org.apache.spark.sql.Column): DataFrame = {
+    val ranked = matchedBlockRanks(df, blockCol, treatCol, valueExpr)
+    // j = dense order index of the treatment — derived on the k-row
+    // distinct-treatment table (bounded window by construction)
+    val tIdx = ranked.select(col("t").cast("bigint").as("t")).distinct()
+      .withColumn("j", row_number().over(Window.orderBy("t")))
+    ranked.join(broadcast(tIdx), ranked("t").cast("bigint") === tIdx("t"))
+      .groupBy()
+      .agg(max("k").as("k"),
+        (count(lit(1)) / max("k")).cast("bigint").as("n"),
+        sum(expr("CAST(j AS DECIMAL(38,0)) * mr2")).as("l2"))
+      .select(col("n").as("n_blocks"), col("k").cast("bigint").as("k"),
+        col("l2").cast("bigint").as("l_x2"),
+        // floor/ceiling from the closed forms Σj² = k(k+1)(2k+1)/6,
+        // Σj(k+1−j) = k(k+1)²/2 − k(k+1)(2k+1)/6 (both ×2n)
+        expr("CAST(CASE WHEN n = 0 OR k < 2 THEN -1 ELSE " +
+          "(1000000 * (l2 - CAST(n AS DECIMAL(38,0)) * (k * (k+1) * (k+1) " +
+          "- k * (k+1) * (2*k+1) div 3))) div " +
+          "(CAST(n AS DECIMAL(38,0)) * (2 * (k * (k+1) * (2*k+1) div 3) " +
+          "- k * (k+1) * (k+1))) END AS BIGINT)").as("page_ppm"))
+  }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945): matched PAIRS with a
+    * magnitude — q290's McNemar sees only flip directions; this
+    * weighs each pair's difference by its rank, the standard "did
+    * the same population's value shift" test. Zero differences drop
+    * (the standard convention); |d| midranks ×2 come off the
+    * (|d|, count) table (the caller discretizes d — the rocAuc
+    * contract — so the rank window runs over the bounded value
+    * domain); with S2 = Σ sign(d)·mr2, Var(S2) = Σ count·mr2² EXACTLY
+    * (each sign is ±1 independent under H₀, and the midrank form
+    * absorbs ties), so z = S2/√Var — `z_x1000` via the floor(√) +
+    * sign-symmetric divide — needs no separate tie correction.
+    * `w2_plus`/`w2_minus` are the exact ×2 rank sums.
+    *
+    * Scale shape: one (|d|, sign) count reduction; the rank window
+    * runs over distinct |d| values; one-row fold.
+    */
+  def wilcoxonSignedRank(df: DataFrame,
+                         xExpr: org.apache.spark.sql.Column,
+                         yExpr: org.apache.spark.sql.Column): DataFrame =
+    wilcoxonFromCellsDf(
+      df.select((xExpr.cast("bigint") - yExpr.cast("bigint")).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n")))
+
+  /** The signed-rank readback over additive (signed difference →
+    * count) cells — the streaming form: per-d counts fold across
+    * micro-batches (the [[kruskalWallisFromCounts]] discipline), so
+    * a foreachBatch monitor accumulates them and emits the live z
+    * through the SAME arithmetic as the batch operator.
+    */
+  def wilcoxonFromCounts(spark: org.apache.spark.sql.SparkSession,
+                         counts: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    wilcoxonFromCellsDf(counts.toDF("d", "n")
+      .groupBy("d").agg(sum("n").as("n")))
+  }
+
+  /** The signed-rank arithmetic over a (d, n) count table — shared
+    * VERBATIM by [[wilcoxonSignedRank]] and [[wilcoxonFromCounts]].
+    */
+  private def wilcoxonFromCellsDf(cells: DataFrame): DataFrame = {
+    val d = cells.where(col("d") =!= 0L)
+      .select(abs(col("d")).as("a"),
+        when(col("d") > 0, col("n")).otherwise(lit(0L)).as("p"),
+        col("n"))
+      .groupBy("a").agg(sum("n").as("t"), sum("p").as("np"))
+    val w = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, -1)
+    // (|d|, count) table window: bounded by the discretized d domain
+    d.withColumn("mr2", lit(2L) * coalesce(sum("t").over(w), lit(0L))
+        + col("t") + lit(1L))
+      .agg(sum("t").cast("bigint").as("n_pairs"),
+        sum(expr("CAST(np AS DECIMAL(38,0)) * mr2")).as("w2p"),
+        sum(expr("CAST(t - np AS DECIMAL(38,0)) * mr2")).as("w2m"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * mr2 * mr2")).as("v4"))
+      .select(col("n_pairs"),
+        col("w2p").cast("bigint").as("w2_plus"),
+        col("w2m").cast("bigint").as("w2_minus"),
+        expr("CAST(CASE WHEN v4 <= 0 THEN 0 WHEN w2p >= w2m THEN " +
+          "(1000 * (w2p - w2m)) div " +
+          "greatest(CAST(floor(sqrt(CAST(v4 AS DOUBLE))) AS DECIMAL(38,0)), 1) " +
+          "ELSE -((1000 * (w2m - w2p)) div " +
+          "greatest(CAST(floor(sqrt(CAST(v4 AS DOUBLE))) AS DECIMAL(38,0)), 1)) " +
+          "END AS BIGINT)").as("z_x1000"))
+  }
+
+  /** Cliff's delta ordinal effect size (Cliff 1993) between every
+    * ordered pair of groups: δ = [#(xₐ>x_b) − #(xₐ<x_b)] / (nₐ·n_b)
+    * — the magnitude companion to q278's MWU z (z says "shifted,
+    * confidently"; δ says "by how much", scale-free and robust).
+    * Exact over the (group, value) count grid via per-group
+    * below-cumulatives (the q324 JT machinery pointed at effect
+    * size): greater = Σᵥ nₐ(v)·C_b(v⁻), less = Σᵥ nₐ(v)·(n_b −
+    * C_b(v⁻) − n_b(v)), delta_ppm = 10⁶(gt−lt) div (nₐn_b)
+    * sign-symmetric. |δ| ≥ 0.474 is Romano et al.'s "large" callout.
+    *
+    * Scale shape: one (group, value) reduction; the zero-filled
+    * k × values grid, per-group cumulatives over it, and a
+    * (k² × values)-bounded pair join — groups and the discretized
+    * value domain bound everything after the first reduction.
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String,
+                  valueExpr: org.apache.spark.sql.Column): DataFrame =
+    cliffsFromCellsDf(
+      df.select(col(groupCol).cast("string").as("g"),
+          valueExpr.cast("bigint").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("n")))
+
+  /** The Cliff's-delta readback over additive (group, value, count)
+    * cells — the streaming form (the [[kruskalWallisFromCounts]]
+    * discipline): a foreachBatch monitor folds per-cell counts and
+    * emits the live pairwise δ through the SAME arithmetic.
+    */
+  def cliffsFromCounts(spark: org.apache.spark.sql.SparkSession,
+                       counts: Seq[(String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    cliffsFromCellsDf(counts.toDF("g", "v", "n")
+      .groupBy("g", "v").agg(sum("n").as("n")))
+  }
+
+  /** The pairwise-δ arithmetic over a (g, v, n) cell table — shared
+    * VERBATIM by [[cliffsDelta]] and [[cliffsFromCounts]].
+    */
+  private def cliffsFromCellsDf(cells0: DataFrame): DataFrame = {
+    val cells = cells0
+      .localCheckpoint() // grid + cums + totals off one reduction
+    val vals = cells.select("v").distinct()
+    val grps = cells.select("g").distinct()
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = grps.crossJoin(broadcast(vals)) // k × values, bounded
+      .join(cells, Seq("g", "v"), "left").na.fill(0L, Seq("n"))
+      .withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+    val tot = cells.groupBy("g").agg(sum("n").as("ng"))
+    val a = grid.select(col("g").as("g_a"), col("v"), col("n").as("na"))
+    val b = grid.select(col("g").as("g_b"), col("v"),
+      col("cb").as("cbb"), col("n").as("nbv"))
+    a.join(b, Seq("v")).where(col("g_a") < col("g_b"))
+      .join(broadcast(tot.select(col("g").as("g_b"), col("ng").as("n_b"))),
+        Seq("g_b"))
+      .groupBy("g_a", "g_b")
+      .agg(max("n_b").as("n_b"),
+        sum(expr("CAST(na AS DECIMAL(38,0)) * cbb")).as("gt"),
+        sum(expr("CAST(na AS DECIMAL(38,0)) * (n_b - cbb - nbv)")).as("lt"))
+      .join(broadcast(tot.select(col("g").as("g_a"), col("ng").as("n_a"))),
+        Seq("g_a"))
+      .select(col("g_a"), col("g_b"),
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        col("gt").cast("bigint").as("gt_pairs"),
+        col("lt").cast("bigint").as("lt_pairs"),
+        expr("CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0 " +
+          "WHEN gt >= lt THEN (1000000 * (gt - lt)) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) " +
+          "ELSE -((1000000 * (lt - gt)) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b)) END AS BIGINT)")
+          .as("delta_ppm"))
   }
 
   /** Jonckheere–Terpstra ordered trend (Jonckheere 1954): when the
@@ -1819,9 +2080,11 @@ object Eval {
     require(nBins >= 2 && 1000000 % nBins == 0,
       s"nBins=$nBins must be >= 2 and divide 1e6")
     val width = 1000000 / nBins
+    // same [0, 1e6] ppm input contract and two-sided bin clamp as
+    // calibrationBins
     val base = df.select(
-      expr(s"least(CAST($probPpmCol div $width AS BIGINT), ${nBins - 1})")
-        .as("bin"),
+      expr(s"least(greatest(CAST($probPpmCol div $width AS BIGINT), 0), " +
+        s"${nBins - 1})").as("bin"),
       col(probPpmCol).cast("bigint").as("p"),
       labelExpr.cast("bigint").as("y"))
     val b = base.groupBy("bin")

@@ -804,6 +804,89 @@ object Funnel {
           .as("acf_ppm"))
   }
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) per type over the
+    * hourly arrival series: q226's ACF says WHICH lags correlate;
+    * this folds all of them into the one "is there ANY serial
+    * structure" statistic Q = n(n+2)·Σₖ ρₖ²/(n−k) a residual
+    * whiteness check compares to χ²_m. Built ON [[autocorrelation]]'s
+    * exact acf_ppm surface: per-lag ρ²/(n−k) is one integral divide
+    * of the ppm square (n−k IS the lag's n_overlap), the fold is one
+    * DECIMAL product — so the statistic inherits the ACF's engine-
+    * exactness (the per-term floor is the documented quantization,
+    * ~10⁻⁶ relative).
+    *
+    * Scale shape: the q226 reduction, then a maxLag-row fold per type.
+    */
+  def ljungBox(df: DataFrame, typeCol: String, tsCol: String,
+               maxLag: Int = 26): DataFrame =
+    autocorrelation(df, typeCol, tsCol, maxLag)
+      .groupBy(col(typeCol))
+      .agg(max(expr("n_overlap + lag")).as("n"),
+        count(lit(1)).as("m_lags"),
+        sum(expr("(CAST(acf_ppm AS DECIMAL(38,0)) * acf_ppm) div " +
+          "greatest(n_overlap, 1)")).as("s"))
+      .select(col(typeCol), col("n").cast("bigint").as("n_hours"),
+        col("m_lags"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * (n + 2) * s) div " +
+          "1000000000 AS BIGINT)").as("q_x1000"))
+
+  /** Wald–Wolfowitz runs test (1940) of the daily series' sign
+    * sequence around its exact median: too FEW runs = persistent
+    * regimes (trend, level shifts), too many = oscillation — the
+    * randomness diagnostic beside q316's lag-1 Durbin–Watson (DW sees
+    * linear autocorrelation; runs see any sign clumping). The median
+    * is the exact ceil-rank order statistic off the value-count table
+    * (q235's convention, never a corpus sort); median-tied days drop
+    * (the standard convention); R counts sign changes + 1 via one lag
+    * window over the span-bounded day grid. z is exact-integer:
+    * z = (Rn − 2n₁n₂ − n)/√(2n₁n₂(2n₁n₂−n)/(n−1)) via the floor(√) +
+    * sign-symmetric divide; a degenerate split (n₁n₂ too small for
+    * positive variance) reports 0.
+    *
+    * Scale shape: one day reduction; every window runs over the
+    * span-bounded day/value grid.
+    */
+  def runsTest(df: DataFrame, tsCol: String,
+               valueExpr: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.select(date_trunc("day", col(tsCol)).as("d"),
+        valueExpr.cast("bigint").as("v"))
+      .groupBy("d").agg(sum("v").as("v"))
+      .localCheckpoint() // median rank + sign walk share it
+    val vc = daily.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val totN = daily.agg(count(lit(1)).as("nt"))
+    // value-count cumsum: bounded by distinct daily values (≤ days)
+    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val med = vc.withColumn("cum", sum("cnt").over(wv))
+      .crossJoin(broadcast(totN))
+      .where(expr("cum >= (50 * nt + 99) div 100"))
+      .agg(min("v").as("med"))
+    val sg = daily.crossJoin(broadcast(med))
+      .where(col("v") =!= col("med"))
+      .select(col("d"),
+        when(col("v") > col("med"), 1L).otherwise(0L).as("s"))
+    // sign-change walk: one lag window over the span-bounded day grid
+    val wl = Window.orderBy("d")
+    sg.withColumn("prev", lag("s", 1).over(wl))
+      .agg(count(lit(1)).as("n"), sum("s").as("n1"),
+        sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("r"))
+      .withColumn("__den", expr(
+        "greatest(CAST(floor(sqrt(CAST((2 * CAST(n1 AS DECIMAL(38,0)) * " +
+          "(n - n1) * (2 * n1 * (n - n1) - n)) div greatest(n - 1, 1) " +
+          "AS DOUBLE))) AS BIGINT), 1)"))
+      .select(col("n").cast("bigint").as("n_days"),
+        col("n1").cast("bigint").as("n_above"),
+        expr("CAST(n - n1 AS BIGINT)").as("n_below"),
+        col("r").cast("bigint").as("runs"),
+        expr("CAST(CASE WHEN n < 2 OR n1 <= 0 OR n1 >= n OR " +
+          "2 * n1 * (n - n1) <= n THEN 0 " +
+          "WHEN r * n >= 2 * n1 * (n - n1) + n THEN " +
+          "(1000 * (r * n - 2 * n1 * (n - n1) - n)) div __den " +
+          "ELSE -((1000 * (2 * n1 * (n - n1) + n - r * n)) div __den) " +
+          "END AS BIGINT)").as("z_x1000"))
+  }
+
   /** Arrival burstiness per event type — the index of dispersion
     * (variance-to-mean ratio of per-hour counts over the corpus's
     * hour span, EMPTY hours included: a type that fires once an hour
@@ -1710,8 +1793,10 @@ object Funnel {
   }
 
   /** Sign-symmetric ÷8 — the α=β=γ=1/8 smoothing divide shared
-    * VERBATIM by the Spark fold and the DuckDB recursion (Spark `div`
-    * truncates, DuckDB `//` floors; the CASE makes both truncate).
+    * VERBATIM by the Spark fold and the DuckDB recursion. Both
+    * engines already truncate toward zero (-7 div 2 = -7//2 = -3);
+    * the CASE is a defensive convention pinning truncation even
+    * against an engine whose `//` floors.
     */
   def hwSdiv8Sql(e: String, divOp: String): String =
     s"(CASE WHEN ($e) >= 0 THEN ($e) $divOp 8 " +

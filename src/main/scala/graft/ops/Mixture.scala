@@ -542,9 +542,11 @@ object Mixture {
         expr("CAST((1000000 * CAST(nb AS DECIMAL(38,0))) div " +
           "greatest(nbt, 1) AS BIGINT)").as("base_ppm"))
       .withColumn("excess_e8", col("avg_e8") - col("corpus_e8"))
-      // sign-symmetric eta scaling: Spark `div` truncates toward zero
-      // while some engines' `//` floors — negative numerators never
-      // reach the divide, so the twin is engine-exact for any eta
+      // sign-symmetric eta scaling, defensive convention: DuckDB's
+      // `//` truncates toward zero exactly like Spark `div`
+      // (-7//2 = -3 on both), but the CASE keeps the twin pinned to
+      // truncation even against an engine whose `//` floors —
+      // negative numerators never reach the divide bare
       .withColumn("__arg", expr(
         s"least(greatest((CASE WHEN excess_e8 >= 0 " +
           s"THEN ($etaNum * excess_e8) div $etaDen " +

@@ -2073,4 +2073,53 @@ object TextStats {
           "greatest(CAST(n AS DECIMAL(38,0)) * n, 1) AS BIGINT)")
           .as("yule_k_x100"))
   }
+
+  /** Template-boilerplate screen: per group, the first-k-token and
+    * last-k-token grams shared by ≥ `minDocs` documents — the
+    * header/footer detector a web-corpus pipeline runs before
+    * training (CCNet/RefinedWeb strip such repeated page furniture;
+    * this is the discovery report that tells you WHAT to strip and
+    * how much of each source it covers). A gram repeated verbatim
+    * across many docs of one source is template, not content — the
+    * document-level complement to q119's intra-doc repetition and
+    * q80's cross-doc span dedup. `share_ppm` = docs carrying the
+    * gram over the group's doc count, exact integer.
+    *
+    * Scale shape: ONE scan computes both edge grams per doc
+    * (map-only slice of the token array — no explode), then one
+    * (group, kind, gram) count reduction and a broadcast of the
+    * group-total table; the ≥ minDocs filter prunes the long tail
+    * before anything else consumes it.
+    */
+  def templateBoilerplate(docs: DataFrame, groupCol: String,
+                          textCol: String, k: Int = 6,
+                          minDocs: Long = 3L): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k out of [1,64]")
+    val edges = docs.select(col(groupCol).cast("string").as("g"),
+        TextFns.tokens(col(textCol)).as("__t"))
+      .select(col("g"),
+        array(
+          struct(lit("prefix").as("kind"),
+            concat_ws(" ", slice(col("__t"), 1, k)).as("gram")),
+          struct(lit("suffix").as("kind"),
+            concat_ws(" ",
+              // short docs take the whole array (DuckDB's [-k:]
+              // clamps; Spark's negative-start slice does not)
+              when(size(col("__t")) <= k, col("__t"))
+                .otherwise(slice(col("__t"), -k, k))).as("gram")))
+          .as("__e"))
+      .select(col("g"), explode(col("__e")).as("e"))
+      .select(col("g"), col("e.kind").as("kind"), col("e.gram").as("gram"))
+      .where(col("gram") =!= "")
+    val counts = edges.groupBy("g", "kind", "gram")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = docs.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("nd"))
+    counts.where(col("n_docs") >= minDocs)
+      .join(broadcast(tot), Seq("g"))
+      .select(col("g").as(groupCol), col("kind"), col("gram"),
+        col("n_docs"),
+        expr("CAST((1000000 * CAST(n_docs AS DECIMAL(38,0))) div " +
+          "greatest(nd, 1) AS BIGINT)").as("share_ppm"))
+  }
 }

@@ -757,7 +757,7 @@ class EvalSpec extends SparkSpec {
     }
   }
 
-  test("chiResiduals: hand 2x2 residuals including the full-grid negatives") {
+  test("chiResiduals: hand 2x2 standardized residuals share magnitude sqrt(chi2)") {
     val df = (Seq.fill(30)(("r1", "a")) ++ Seq.fill(10)(("r1", "b")) ++
       Seq.fill(10)(("r2", "a")) ++ Seq.fill(10)(("r2", "b")))
       .toDF("lang", "source")
@@ -765,12 +765,16 @@ class EvalSpec extends SparkSpec {
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r)
       .toMap
     assert(out.size === 4)
-    // e(r1,a) = 40*40/60 -> 26666666 x1e6; (30e6-e)/floor(sqrt(e))
+    // e(r1,a) = 40*40/60 -> 26666666 x1e6; v = e*(20/60)*(20/60) ->
+    // 2962962; (30e6-e)/floor(sqrt(v)) = 3333334 div 1721
     assert(out(("r1", "a")).getAs[Long]("e_x1e6") === 26666666L)
-    assert(out(("r1", "a")).getAs[Long]("resid_x1000") === 645L)
-    assert(out(("r1", "b")).getAs[Long]("resid_x1000") === -912L)
-    assert(out(("r2", "a")).getAs[Long]("resid_x1000") === -912L)
-    assert(out(("r2", "b")).getAs[Long]("resid_x1000") === 1291L)
+    assert(out(("r1", "a")).getAs[Long]("resid_x1000") === 1936L)
+    // in a 2x2 every standardized residual has magnitude sqrt(chi2)
+    // = 1.9365 (chi2 = 3.75) — the defining property of the adjusted
+    // form; the plain (o-e)/sqrt(e) would read 645/-912/-912/1291
+    assert(out(("r1", "b")).getAs[Long]("resid_x1000") === -1936L)
+    assert(out(("r2", "a")).getAs[Long]("resid_x1000") === -1936L)
+    assert(out(("r2", "b")).getAs[Long]("resid_x1000") === 1936L)
   }
 
   test("jonckheereTrend: perfect rise 1e6, perfect fall 0, pure tie 500000") {
@@ -875,5 +879,112 @@ class EvalSpec extends SparkSpec {
     val fr = Eval.anovaOneWay(flat, "g", col("v")).collect()(0)
     assert(fr.getAs[Long]("f_x1000") === 0L)
     assert(fr.getAs[Long]("eta2_ppm") === 0L)
+  }
+
+  test("friedmanTest: perfect agreement hits the textbook Q and W=1") {
+    // two complete blocks, both ranking t1<t2<t3; block 3 is
+    // incomplete (missing t3) and must drop; (b1,t1) arrives as two
+    // rows summing to its value
+    val df = Seq(
+      ("b1", 1L, 4L), ("b1", 1L, 6L), ("b1", 2L, 20L), ("b1", 3L, 30L),
+      ("b2", 1L, 5L), ("b2", 2L, 25L), ("b2", 3L, 35L),
+      ("b3", 1L, 1L), ("b3", 2L, 2L)).toDF("b", "t", "v")
+    val out = Eval.friedmanTest(df, "b", "t", col("v")).collect()(0)
+    assert(out.getAs[Long]("n_blocks") === 2L)
+    assert(out.getAs[Long]("k") === 3L)
+    // Q = 12*(2^2+4^2+6^2)/(2*3*4) - 3*2*4 = 28 - 24 = 4
+    assert(out.getAs[Long]("q_x1000") === 4000L)
+    assert(out.getAs[Long]("w_ppm") === 1000000L)
+  }
+
+  test("friedmanTest: all-tied blocks report the -1 sentinel") {
+    val df = Seq(("b1", 1L, 7L), ("b1", 2L, 7L),
+      ("b2", 1L, 9L), ("b2", 2L, 9L)).toDF("b", "t", "v")
+    val out = Eval.friedmanTest(df, "b", "t", col("v")).collect()(0)
+    assert(out.getAs[Long]("q_x1000") === -1L)
+  }
+
+  test("pageTrend: perfect rise 1e6, perfect fall 0, all-tied 500000") {
+    def pt(rows: Seq[(String, Long, Long)]): org.apache.spark.sql.Row =
+      Eval.pageTrend(rows.toDF("b", "t", "v"), "b", "t", col("v"))
+        .collect()(0)
+    val up = pt(Seq(("b1", 1L, 10L), ("b1", 2L, 20L), ("b1", 3L, 30L),
+      ("b2", 1L, 1L), ("b2", 2L, 2L), ("b2", 3L, 3L)))
+    assert(up.getAs[Long]("n_blocks") === 2L)
+    // L2 = 1*4 + 2*8 + 3*12 = 56 = ceiling 2n*sum(j^2) = 56
+    assert(up.getAs[Long]("l_x2") === 56L)
+    assert(up.getAs[Long]("page_ppm") === 1000000L)
+    assert(pt(Seq(("b1", 1L, 30L), ("b1", 2L, 20L), ("b1", 3L, 10L)))
+      .getAs[Long]("page_ppm") === 0L)
+    assert(pt(Seq(("b1", 1L, 5L), ("b1", 2L, 5L), ("b1", 3L, 5L)))
+      .getAs[Long]("page_ppm") === 500000L)
+  }
+
+  test("wilcoxonSignedRank: hand ranks, zero-diff drop, tie cancel") {
+    // pairs with d = +1, +2, +3 (one zero pair drops): mr2 = 2,4,6,
+    // S2 = 12, Var(S2) = 4+16+36 = 56, z = 12000 div floor(sqrt(56))
+    val df = Seq((11L, 10L), (12L, 10L), (13L, 10L), (9L, 9L))
+      .toDF("x", "y")
+    val out = Eval.wilcoxonSignedRank(df, col("x"), col("y")).collect()(0)
+    assert(out.getAs[Long]("n_pairs") === 3L)
+    assert(out.getAs[Long]("w2_plus") === 12L)
+    assert(out.getAs[Long]("w2_minus") === 0L)
+    assert(out.getAs[Long]("z_x1000") === 12000L / 7L)
+    // +1 and -1 share one midrank and cancel exactly
+    val bal = Eval.wilcoxonSignedRank(
+      Seq((11L, 10L), (10L, 11L)).toDF("x", "y"), col("x"), col("y"))
+      .collect()(0)
+    assert(bal.getAs[Long]("w2_plus") === bal.getAs[Long]("w2_minus"))
+    assert(bal.getAs[Long]("z_x1000") === 0L)
+  }
+
+  test("cliffsDelta: brute-force pair counts with ties across groups") {
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L),
+      ("C", 0L), ("C", 4L))
+    val df = rows.toDF("g", "v")
+    val out = Eval.cliffsDelta(df, "g", col("v")).collect()
+      .map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) -> r)
+      .toMap
+    assert(out.size === 3) // (A,B) (A,C) (B,C)
+    def brute(a: Seq[Long], b: Seq[Long]): (Long, Long, Long) = {
+      val gt = (for (x <- a; y <- b) yield if (x > y) 1L else 0L).sum
+      val lt = (for (x <- a; y <- b) yield if (x < y) 1L else 0L).sum
+      val num = 1000000L * (gt - lt)
+      val den = a.size.toLong * b.size
+      (gt, lt, if (num >= 0) num / den else -((-num) / den))
+    }
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (((ga, gb), r) <- out) {
+      val (gt, lt, d) = brute(byG(ga), byG(gb))
+      assert(r.getAs[Long]("gt_pairs") === gt, s"$ga/$gb gt")
+      assert(r.getAs[Long]("lt_pairs") === lt, s"$ga/$gb lt")
+      assert(r.getAs[Long]("delta_ppm") === d, s"$ga/$gb delta")
+    }
+  }
+
+  test("wilcoxon/cliffs fromCounts: folded micro-batch cells == batch") {
+    val pairs = Seq((11L, 10L), (12L, 10L), (13L, 10L), (9L, 9L),
+      (8L, 10L), (14L, 10L))
+    val df = pairs.toDF("x", "y")
+    val exp = Eval.wilcoxonSignedRank(df, col("x"), col("y"))
+      .collect().toSeq
+    // two "micro-batches" each contribute their OWN per-d counts;
+    // fromCounts folds the overlapping cells additively
+    val (p1, p2) = pairs.splitAt(2)
+    val folded = Seq(p1, p2).flatMap(_.map { case (x, y) => x - y }
+      .groupBy(identity).map { case (d, xs) => (d, xs.size.toLong) })
+    assert(Eval.wilcoxonFromCounts(spark, folded).collect().toSeq === exp)
+
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L),
+      ("C", 0L), ("C", 4L))
+    val cExp = Eval.cliffsDelta(rows.toDF("g", "v"), "g", col("v"))
+      .orderBy("g_a", "g_b").collect().toSeq
+    val (r1, r2) = rows.splitAt(3)
+    val cFolded = (r1.groupBy(identity).map { case (k, xs) =>
+      (k._1, k._2, xs.size.toLong) } ++
+      r2.groupBy(identity).map { case (k, xs) =>
+        (k._1, k._2, xs.size.toLong) }).toSeq
+    assert(Eval.cliffsFromCounts(spark, cFolded)
+      .orderBy("g_a", "g_b").collect().toSeq === cExp)
   }
 }

@@ -1058,4 +1058,48 @@ class FunnelSpec extends SparkSpec {
     assert(out("weekly").getAs[Long]("dow_eta2_ppm") > 990000L)
     assert(out("weekly").getAs[Long]("hod_eta2_ppm") === 0L)
   }
+
+  test("ljungBox: folds the exact ACF surface through the published formula") {
+    import spark.implicits._
+    // alternating-burst hourly series -> strong lag structure
+    val rows = for (h <- 0 until 72; i <- 0 until (if (h % 2 == 0) 5 else 1))
+      yield ("t1", ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:00:00"))
+    val df = rows.toDF("event_type", "ts")
+    val acf = Funnel.autocorrelation(df, "event_type", "ts", maxLag = 8)
+      .collect()
+    val n = acf.map(r => r.getAs[Long]("n_overlap") +
+      r.getAs[Long]("lag")).max
+    val s = acf.map(r => (BigInt(r.getAs[Long]("acf_ppm")) *
+      r.getAs[Long]("acf_ppm") / r.getAs[Long]("n_overlap").max(1L))).sum
+    val expQ = (BigInt(n) * (n + 2) * s / BigInt(1000000000L)).toLong
+    val out = Funnel.ljungBox(df, "event_type", "ts", maxLag = 8)
+      .collect()(0)
+    assert(out.getAs[Long]("n_hours") === n)
+    assert(out.getAs[Long]("m_lags") === 8L)
+    assert(out.getAs[Long]("q_x1000") === expQ)
+    // the alternating series must read as decisively non-white
+    assert(out.getAs[Long]("q_x1000") > 20000L)
+  }
+
+  test("runsTest: hand median, tie drop, run count and signed z") {
+    import spark.implicits._
+    def day(d: Int, v: Long) = (ts(f"2024-01-$d%02d 10:00:00"), v)
+    // daily values 1,5,9,5,9,1,9 -> median 5 (ceil-rank), v=5 drops,
+    // remaining signs 0,1,1,0,1 -> 4 runs, n1=3, n2=2:
+    // z = (4*5 - 12 - 5)*1000 div floor(sqrt((2*3*2*7) div 4)) = 750
+    val df = Seq(day(1, 1L), day(2, 5L), day(3, 9L), day(4, 5L),
+      day(5, 9L), day(6, 1L), day(7, 9L)).toDF("ts", "v")
+    val out = Funnel.runsTest(df, "ts", col("v")).collect()(0)
+    assert(out.getAs[Long]("n_days") === 5L)
+    assert(out.getAs[Long]("n_above") === 3L)
+    assert(out.getAs[Long]("n_below") === 2L)
+    assert(out.getAs[Long]("runs") === 4L)
+    assert(out.getAs[Long]("z_x1000") === 750L)
+    // monotone series -> minimum runs (2) -> negative z
+    val mono = Seq(day(1, 1L), day(2, 2L), day(3, 3L), day(4, 4L),
+      day(5, 5L), day(6, 6L)).toDF("ts", "v")
+    val m = Funnel.runsTest(mono, "ts", col("v")).collect()(0)
+    assert(m.getAs[Long]("runs") === 2L)
+    assert(m.getAs[Long]("z_x1000") === -1750L)
+  }
 }

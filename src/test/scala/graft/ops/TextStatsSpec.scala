@@ -1006,4 +1006,28 @@ class TextStatsSpec extends SparkSpec {
     }.reduce(_ unionByName _).orderBy("doc_id").collect().toSeq
     assert(streamed === expected)
   }
+
+  test("templateBoilerplate: shared edge grams, short-doc clamp, minDocs gate") {
+    val df = Seq(
+      ("s1", "welcome to acme corp unique words one here today now"),
+      ("s1", "welcome to acme corp other body text goes right here"),
+      ("s1", "welcome to acme corp third variant of the page body"),
+      ("s1", "totally different document body with no shared header x"),
+      ("s2", "tiny doc"), ("s2", "tiny doc"), ("s2", "tiny doc"))
+      .toDF("source", "text")
+    val out = TextStats.templateBoilerplate(df, "source", "text",
+        k = 4, minDocs = 3L)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[String]("kind"), r.getAs[String]("gram")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("share_ppm"))).toMap
+    // s1 header shared by 3 of 4 docs -> 750000 ppm; suffixes all
+    // differ so no s1 suffix row survives minDocs
+    assert(out(("s1", "prefix", "welcome to acme corp")) ===
+      (3L, 750000L))
+    assert(!out.keys.exists(k => k._1 == "s1" && k._2 == "suffix"))
+    // 2-token docs clamp: prefix == suffix == the whole text
+    assert(out(("s2", "prefix", "tiny doc")) === (3L, 1000000L))
+    assert(out(("s2", "suffix", "tiny doc")) === (3L, 1000000L))
+    assert(out.size === 3)
+  }
 }
