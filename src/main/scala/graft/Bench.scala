@@ -267,30 +267,43 @@ object Bench {
     // (skip tail queries / shrink fork watchdogs / drop optional
     // cells, each skip logged and sentinel-recorded) rather than be
     // killed: every phase boundary checks remainingSec.
-    // default 840 s: the external timeout is believed ~900 s (BENCH_r12
+    // default 780 s: the external timeout is believed ~900 s (BENCH_r12
     // at ~11 min passed, r13 died just after reaching the stateful
-    // fork at ~14-15 min) and THIS clock starts ~30-60 s after the
-    // driver's (sbt launch + compile check run first)
-    val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "840").toLong
+    // fork at ~14-15 min), THIS clock starts ~30-60 s after the
+    // driver's (sbt launch + compile check run first), and the sweep's
+    // in-flight query plus the final emits can run ~60 s past the last
+    // guard check (the r14 dev run on an 840 budget landed at 885 s
+    // in-main — too close to a 900 s kill)
+    val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "780").toLong
     val benchStartNanos = System.nanoTime()
     def remainingSec(): Long =
       budgetSec - (System.nanoTime() - benchStartNanos) / 1000000000L
-    val spark: SparkSession = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // stop() joins the stream thread FOREVER by default — a wedged
-      // micro-batch would hang the bench after the deadline fired;
-      // progress is harvested BEFORE stop, so a short join suffices
-      .config("spark.sql.streaming.stopTimeout", "15s")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    // ERROR, not WARN: parent WARN lines (stream-stop stack traces,
-    // AQE notices) printing after the last emit are tail-window
-    // pollution — BENCH_r13's 2000-char tail was 100% WARN output
-    spark.sparkContext.setLogLevel("ERROR")
+    // LAZY: the two forked state-store phases run FIRST, before this
+    // JVM holds any Spark session — a state-store child measured into
+    // the catalog sweep's decaying load spike reads 2-4× low (r12
+    // verdict; re-confirmed in the r14 dev runs: stateful 164 k vs
+    // ~400 k, pipeline 2.6 M vs 4.4 M on the same box), and running
+    // the forks on the pristine box removes both the spike AND the
+    // settle-gate wall-clock that fed the r13 rc=124.
+    lazy val spark: SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // stop() joins the stream thread FOREVER by default — a wedged
+        // micro-batch would hang the bench after the deadline fired;
+        // progress is harvested BEFORE stop, so a short join suffices
+        .config("spark.sql.streaming.stopTimeout", "15s")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      // ERROR, not WARN: parent WARN lines (stream-stop stack traces,
+      // AQE notices) printing after the last emit are tail-window
+      // pollution — BENCH_r13's 2000-char tail was 100% WARN output
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
 
     def run(name: String): (Double, Double) = {
       val load1 = loadavg().head
@@ -476,7 +489,9 @@ object Bench {
       "q322_kruskal_wallis", "q323_chi_residuals", "q324_jonckheere",
       "q325_cochran_q", "q326_friedman", "q327_page_trend",
       "q328_wilcoxon", "q329_cliffs_delta", "q330_template_boilerplate",
-      "q331_ljung_box", "q332_runs_test")
+      "q331_ljung_box", "q332_runs_test", "q333_theil", "q334_cohens_d",
+      "q335_adjusted_rand", "q336_bcubed", "q337_vmeasure",
+      "q338_lsh_plan")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,
@@ -510,6 +525,88 @@ object Bench {
     artifact("sf") = "\"" + sfDir + "\""
     artifact("phases_done") = "\"none\""
 
+    // ---- forked state-store phases FIRST (pristine box, no parent
+    // session yet — see the lazy `spark` note) ----
+
+    phaseStart("stateful")
+    // STATEFUL streaming throughput — the operator a real deployment
+    // sizes is the keyed-state path (flatMapGroupsWithState), not the
+    // stateless decode pipeline; the reference's KEY_ORDERED figure
+    // (BASELINE.md: 285,750 rec/s @0 µs) is its natural comparable.
+    // SimHash + band explode + per-bucket state scan all inside the
+    // measured trigger, swept over batch sizes (per-trigger commit
+    // cost amortizes with batch size; 500k prices it, 2M is the peak).
+    // Runs in a FORKED fresh JVM ([[StatefulBench]]): fresh-JVM
+    // isolation for a GC-sensitive workload, and a child crash
+    // degrades to -1 sentinels instead of a dead bench.
+    artifact("stateful_settle_sec") = settle(maxWaitSec = 45).toString
+    val statefulSweepSizes = Seq(500000L, 2000000L)
+    val statefulLines =
+      if (remainingSec() < 400) {
+        System.err.println(
+          s"[bench] budget: skipped stateful fork (remaining=${remainingSec()}s)")
+        List.empty[String]
+      } else forkChild("graft.StatefulBench",
+        statefulSweepSizes.map(_.toString), timeoutMin = 6, cpus = cpus)
+    val statefulParsed = statefulLines.flatMap { l =>
+      val re = """rowsPerBatch=(\d+)\s+batches=(\d+) rows=(\d+) sec=([\d.]+) rec/s=(-?\d+)""".r
+      re.findFirstMatchIn(l).map(m => (m.group(1).toLong, m.group(3).toLong,
+        m.group(4).toDouble, m.group(5).toDouble))
+    }
+    val statefulSweep = statefulSweepSizes.map { n =>
+      statefulParsed.find(_._1 == n)
+        .getOrElse((n, 0L, 0.0, -1.0))
+    }
+    val statefulComplete = statefulSweep.filter(_._4 >= 0)
+    val (_, statefulRows, statefulSec, statefulRecPerSec) =
+      if (statefulComplete.nonEmpty) statefulComplete.maxBy(_._4)
+      else (0L, 0L, 0.0, -1.0)
+    val statefulSweepJson = statefulSweep.map { case (n, _, _, rps) =>
+      "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
+    }.mkString("{", ",", "}")
+    artifact("stateful_rec_per_sec") =
+      if (statefulRecPerSec < 0) "-1" else statefulRecPerSec.round.toString
+    artifact("stateful_rows") = statefulRows.toString
+    artifact("stateful_sec") = statefulSec.toString
+    artifact("stateful_by_batch_size") = statefulSweepJson
+    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
+    emit("stateful")
+
+    phaseStart("rocksdb")
+    // The same keyed-state path on the RocksDB provider: the
+    // HDFS-backed heap store snapshots the WHOLE store per commit, so
+    // its commit cost scales with total state; RocksDB (changelog
+    // mode) commits only the delta — the crossover is exactly the
+    // state-volume regime the big batches reach. Forked for the same
+    // isolation reasons plus rocksdbjni's teardown-SEGV class of
+    // crashes. The stateful child just ran 32 threads hot — one
+    // bounded settle keeps this child's figures honest.
+    artifact("rocksdb_settle_sec") = settle(maxWaitSec = 45).toString
+    val rocksSweepJson = {
+      val fallback = "{\"1000000\":-1,\"2000000\":-1}"
+      if (remainingSec() < 350) {
+        System.err.println(
+          s"[bench] budget: skipped rocksdb fork (remaining=${remainingSec()}s)")
+        fallback
+      } else {
+        val out = forkChild("graft.RocksBench", Seq.empty,
+          timeoutMin = 6, cpus = cpus)
+        out.reverseIterator.find(_.startsWith("ROCKS_SWEEP "))
+          .map(_.stripPrefix("ROCKS_SWEEP ").trim)
+          .getOrElse { System.err.println(
+            "[bench] rocksdb child produced no sweep line")
+            fallback }
+      }
+    }
+    artifact("stateful_rocksdb_by_batch_size") = rocksSweepJson
+    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
+    emit("rocksdb")
+
+    // ---- parent-session phases: headline → pipeline → streaming →
+    // extended sweep (the sweep runs LAST as the budget shock
+    // absorber — every high-value figure is already in the artifact
+    // when budget pressure starts shedding queries) ----
+
     phaseStart("headline")
     // warm-up: a FULL untimed pass of the headline set, not just q01
     // (r13 judge finding: the binary grew ~2.5× across rounds and the
@@ -534,33 +631,6 @@ object Bench {
     artifact("trial_loadavg") = loadJsonOf(results)
     artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
     emit("headline")
-
-    phaseStart("extended")
-    // budget guard: the throughput phases after this sweep (pipeline,
-    // streaming, two forked state-store cells) need ~the reserve; once
-    // the sweep eats into it, remaining queries record the -1 sentinel
-    // and the skip count is logged — a truncated sweep must be visible
-    // in the artifact, never silent (and never an rc=124). Execution
-    // runs NEWEST FIRST: under budget pressure the skipped tail is
-    // then the oldest queries — the ones with figures in prior-round
-    // artifacts — never the current round's new operators.
-    val extTailReserveSec = 480L
-    var extSkipped = 0
-    val extMeasured = extendedNames.reverse.map { n =>
-      if (remainingSec() > extTailReserveSec) n -> extTrialsOf(n)
-      else { extSkipped += 1; n -> Seq((-1.0, -1.0)) }
-    }.toMap
-    val extended = extendedNames.map(n => n -> extMeasured(n))
-    if (extSkipped > 0) System.err.println(
-      s"[bench] budget: skipped oldest $extSkipped extended queries " +
-        s"(remaining=${remainingSec()}s)")
-    artifact("extended_skipped") = extSkipped.toString
-    artifact("extended") = extended
-      .map { case (k, ts) => "\"" + k + "\":" + bestOf(ts) }
-      .mkString("{", ",", "}")
-    artifact("trial_loadavg") = loadJsonOf(results ++ extended)
-    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
-    emit("extended")
 
     phaseStart("pipeline")
     // kpipe-comparable figure: records/s through the decode→operators→
@@ -700,121 +770,49 @@ object Bench {
     artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
     emit("streaming")
 
-    phaseStart("stateful")
-
-    // STATEFUL streaming throughput — the operator a real deployment
-    // sizes is the keyed-state path (flatMapGroupsWithState), not the
-    // stateless decode pipeline; the reference's KEY_ORDERED figure
-    // (BASELINE.md: 285,750 rec/s @0 µs) is its natural comparable.
-    // SimHash + band explode + per-bucket state scan all inside the
-    // measured trigger. Swept over batch sizes like the stateless
-    // path: per-trigger state-store commit cost amortizes with batch
-    // size. Two cells: 500k prices the small-batch commit overhead,
-    // 2M is the throughput peak.
-    //
-    // Runs in a FORKED fresh JVM ([[StatefulBench]], the RocksBench
-    // discipline): the 300-query extended sweep leaves THIS JVM's
-    // heap hostile to a GC-sensitive state-store workload — measured
-    // in-JVM after the sweep the 2M cell reads ~210 k rec/s vs ~560 k
-    // in a fresh JVM on the same box (the r12 verdict's same-JVM
-    // heap-pressure drift, at its worst). The parent is done with
-    // Spark here, so the session stops BEFORE the fork — the child
-    // and parent never hold two full heaps at once.
-    staged.unpersist(blocking = true)
-    spark.stop()
-    // settle gate: the streaming phase leaves the 1-minute loadavg
-    // near the core count, and a state-store child measured into that
-    // decaying spike reads 2-4× low (judge-style isolated re-times of
-    // the same cells land at the r12 figures). Wait — bounded, 60 s
-    // max (the r13 240 s gates were a third of the budget overrun; the
-    // child's own warm-up pass absorbs residual decay) — and record it.
-    val settledSec = settle(maxWaitSec = math.min(60L,
-      math.max(0L, remainingSec() - 240)).toInt)
-    artifact("stateful_settle_sec") = settledSec.toString
-    val statefulSweepSizes = Seq(500000L, 2000000L)
-    // fork watchdog sized to the remaining budget, leaving ~2 min for
-    // the RocksDB phase; a starved budget skips the fork outright
-    // (sentinels already in the artifact) instead of risking the kill.
-    // Floor 5 min: a cold+contended child needs ~4 min for its warm
-    // pass + two measured cells (run-c evidence: a 4-min watchdog
-    // destroyed the child mid-measurement and every cell read -1)
-    val statefulTimeoutMin =
-      math.max(5L, math.min(10L, (remainingSec() - 120) / 60)).toInt
-    val statefulLines =
-      if (remainingSec() < 150) {
-        System.err.println(
-          s"[bench] budget: skipped stateful fork (remaining=${remainingSec()}s)")
-        List.empty[String]
-      } else forkChild("graft.StatefulBench",
-        statefulSweepSizes.map(_.toString),
-        timeoutMin = statefulTimeoutMin, cpus = cpus)
-    val statefulParsed = statefulLines.flatMap { l =>
-      val re = """rowsPerBatch=(\d+)\s+batches=(\d+) rows=(\d+) sec=([\d.]+) rec/s=(-?\d+)""".r
-      re.findFirstMatchIn(l).map(m => (m.group(1).toLong, m.group(3).toLong,
-        m.group(4).toDouble, m.group(5).toDouble))
-    }
-    val statefulSweep = statefulSweepSizes.map { n =>
-      statefulParsed.find(_._1 == n)
-        .getOrElse((n, 0L, 0.0, -1.0))
-    }
-    val statefulComplete = statefulSweep.filter(_._4 >= 0)
-    val (_, statefulRows, statefulSec, statefulRecPerSec) =
-      if (statefulComplete.nonEmpty) statefulComplete.maxBy(_._4)
-      else (0L, 0L, 0.0, -1.0)
-    val statefulSweepJson = statefulSweep.map { case (n, _, _, rps) =>
-      "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
+    phaseStart("extended")
+    // The sweep runs LAST — the budget shock absorber. Guard: keep a
+    // small stop margin for the final emits; once the margin is hit,
+    // remaining queries record the -1 sentinel and the skip count is
+    // logged — a truncated sweep must be visible in the artifact,
+    // never silent (and never an rc=124). Execution runs NEWEST
+    // FIRST: under budget pressure the skipped tail is then the
+    // oldest queries — the ones with figures in prior-round
+    // artifacts — never the current round's new operators. A
+    // cumulative artifact line re-emits every ~75 s DURING the sweep,
+    // so even an external kill mid-sweep preserves every completed
+    // query (the per-phase emit alone would lose the whole phase).
+    val extStopMarginSec = 50L
+    var extSkipped = 0
+    val extBuf = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
+    def extendedJsonOf(): String = extendedNames.map { n =>
+      "\"" + n + "\":" + extBuf.get(n).map(bestOf).getOrElse(-1.0)
     }.mkString("{", ",", "}")
-    artifact("stateful_rec_per_sec") =
-      if (statefulRecPerSec < 0) "-1" else statefulRecPerSec.round.toString
-    artifact("stateful_rows") = statefulRows.toString
-    artifact("stateful_sec") = statefulSec.toString
-    artifact("stateful_by_batch_size") = statefulSweepJson
-    artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
-    emit("stateful")
-
-    phaseStart("rocksdb")
-
-    // The same keyed-state path on the RocksDB provider at the large
-    // batch sizes: the HDFS-backed heap store snapshots the WHOLE store
-    // per commit, so its commit cost scales with total state; RocksDB
-    // commits incrementally — the crossover is exactly the
-    // state-volume regime the sweep's big batches reach. Runs in a
-    // FORKED child JVM ([[RocksBench]]): rocksdbjni's logger callback
-    // can SEGV from an unattached background thread during store
-    // teardown (observed once in dev — SetBGError during flush after a
-    // deadline stop), and in-process that would kill the bench before
-    // this JSON line prints. A child crash degrades to -1 sentinels.
-    // the parent session is already stopped (before the stateful
-    // fork), so child + parent never hold two full heaps at once.
-    // Settle again (30 s max — the stateful child's spike decays fast
-    // and the rocks child opens with its own warm pass). Budget-
-    // starved runs skip the fork and keep the sentinels.
-    artifact("rocksdb_settle_sec") = settle(maxWaitSec = math.min(30L,
-      math.max(0L, remainingSec() - 150)).toInt).toString
-    val rocksSweepJson = {
-      val fallback = "{\"1000000\":-1,\"2000000\":-1}"
-      if (remainingSec() < 120) {
-        System.err.println(
-          s"[bench] budget: skipped rocksdb fork (remaining=${remainingSec()}s)")
-        fallback
-      } else {
-        val rocksTimeoutMin =
-          math.max(4L, math.min(10L, (remainingSec() - 30) / 60)).toInt
-        val out = forkChild("graft.RocksBench", Seq.empty,
-          timeoutMin = rocksTimeoutMin, cpus = cpus)
-        out.reverseIterator.find(_.startsWith("ROCKS_SWEEP "))
-          .map(_.stripPrefix("ROCKS_SWEEP ").trim)
-          .getOrElse { System.err.println(
-            "[bench] rocksdb child produced no sweep line")
-            fallback }
+    var lastPartialEmit = System.nanoTime()
+    extendedNames.reverse.foreach { n =>
+      if (remainingSec() > extStopMarginSec) extBuf(n) = extTrialsOf(n)
+      else { extSkipped += 1; extBuf(n) = Seq((-1.0, -1.0)) }
+      if (System.nanoTime() - lastPartialEmit > 75L * 1000 * 1000 * 1000) {
+        lastPartialEmit = System.nanoTime()
+        artifact("extended") = extendedJsonOf()
+        artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
+        emit("extended_partial")
       }
     }
-
-    artifact("stateful_rocksdb_by_batch_size") = rocksSweepJson
+    if (extSkipped > 0) System.err.println(
+      s"[bench] budget: skipped oldest $extSkipped extended queries " +
+        s"(remaining=${remainingSec()}s)")
+    artifact("extended_skipped") = extSkipped.toString
+    artifact("extended") = extendedJsonOf()
+    artifact("trial_loadavg") = loadJsonOf(results ++
+      extendedNames.map(n => n -> extBuf(n)))
     artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
-    // emit prints the full cumulative line then the compact summary as
-    // the literal last stdout line; the session was already stopped
-    // before the forks, so no Spark shutdown logging can follow it
+    emit("extended")
+
+    // stop the session BEFORE the final emit so no Spark shutdown
+    // logging can interleave after the last compact line
+    staged.unpersist(blocking = true)
+    spark.stop()
     emit("all")
   }
 }

@@ -616,6 +616,12 @@ object OracleSql {
     "q330_template_boilerplate" -> Gen.templateBoilerplateSql,
     "q331_ljung_box" -> Gen.ljungBoxSql,
     "q332_runs_test" -> Gen.runsTestSql,
+    "q333_theil" -> Gen.theilSql,
+    "q334_cohens_d" -> Gen.cohensDSql,
+    "q335_adjusted_rand" -> Gen.adjustedRandSql,
+    "q336_bcubed" -> Gen.bcubedSql,
+    "q337_vmeasure" -> Gen.vMeasureSql,
+    "q338_lsh_plan" -> Gen.lshPlanSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6909,6 +6915,248 @@ object OracleSql {
          |    AS BIGINT) AS share_ppm
          |FROM c JOIN tot ON tot.g = c.g WHERE n_docs >= 2
          |ORDER BY source, kind, gram""".stripMargin
+
+    /** Twin of q333_theil: the same unit/group/total reductions, the
+      * ratio column first, then the SHARED Mitchell e256 emitter
+      * (divOp `//`) and the same sign-symmetric milli-e256 folds.
+      */
+    def theilSql: String = {
+      val sh = 256 * graft.ops.TextStats.LmShift
+      val shift = 1L << graft.ops.TextStats.LmShift
+      val m256q = graft.ops.TextStats.mitchellE256Sql("__q", divOp = "//")
+      val m256qb = graft.ops.TextStats.mitchellE256Sql("__qb", divOp = "//")
+      s"""WITH per AS (SELECT o_custkey,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |      AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |unit AS (SELECT n_name AS g, x FROM per
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation ON n_nationkey = c_nationkey
+         |  WHERE x > 0),
+         |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(x) AS BIGINT) AS xg FROM unit GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+         |    CAST(sum(xg) AS BIGINT) AS x FROM pg),
+         |mg AS (SELECT g, ng, xg, xg // ng AS m FROM pg),
+         |uq AS (SELECT unit.g, unit.x,
+         |    (greatest(unit.x, mg.m) * $shift) // least(unit.x, mg.m)
+         |      AS __q,
+         |    CASE WHEN unit.x >= mg.m THEN 1 ELSE -1 END AS sgn
+         |  FROM unit JOIN mg ON mg.g = unit.g),
+         |w AS (SELECT g, sum(CAST(x AS HUGEINT) *
+         |    (sgn * ($m256q - $sh))) AS tw
+         |  FROM uq GROUP BY 1),
+         |b AS (SELECT mg.g, mg.ng, mg.xg, tot.n, tot.x,
+         |    (greatest(mg.m, tot.x // tot.n) * $shift) //
+         |      least(mg.m, tot.x // tot.n) AS __qb,
+         |    CASE WHEN mg.m >= tot.x // tot.n THEN 1 ELSE -1 END AS sgnb
+         |  FROM mg CROSS JOIN tot),
+         |r AS (SELECT g, ng, xg, n, x,
+         |    sgnb * ($m256qb - $sh) AS lrb FROM b)
+         |SELECT r.g AS n_name, ng AS n_units, xg AS total_value,
+         |  CAST((1000000 * CAST(ng AS HUGEINT)) // n AS BIGINT)
+         |    AS pop_share_ppm,
+         |  CAST((1000000 * CAST(xg AS HUGEINT)) // x AS BIGINT)
+         |    AS val_share_ppm,
+         |  CAST(lrb AS BIGINT) AS mean_lr_e256,
+         |  CAST(CASE WHEN CAST(xg AS HUGEINT) * lrb >= 0
+         |    THEN (1000 * CAST(xg AS HUGEINT) * lrb) // x
+         |    ELSE -((-(1000 * CAST(xg AS HUGEINT) * lrb)) // x)
+         |    END AS BIGINT) AS between_me256,
+         |  CAST(CASE WHEN tw >= 0 THEN (1000 * tw) // xg
+         |    ELSE -((-(1000 * tw)) // xg) END AS BIGINT) AS within_me256
+         |FROM r JOIN w ON w.g = r.g
+         |ORDER BY n_name""".stripMargin
+    }
+
+    /** Twin of q334_cohens_d: identical exact moments, the same
+      * common-denominator pooled variance, floor(√) + sign-symmetric
+      * d.
+      */
+    def cohensDSql: String =
+      s"""WITH m AS (SELECT CAST(source AS VARCHAR) AS g,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(n_chars AS HUGEINT)) AS s,
+         |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+         |  FROM documents GROUP BY 1),
+         |b AS (SELECT n AS nb, s AS sb, q AS qb FROM m
+         |  WHERE g = 'src0'),
+         |j AS (SELECT m.*, b.* FROM m CROSS JOIN b
+         |  WHERE m.g <> 'src0'),
+         |v AS (SELECT *, CASE WHEN nb + n <= 2 THEN CAST(0 AS HUGEINT)
+         |    ELSE ((nb * qb - sb * sb) * n + (n * q - s * s) * nb) //
+         |      (nb * n * (nb + n - 2)) END AS vv FROM j),
+         |z AS (SELECT *, greatest(CAST(floor(sqrt(CAST(vv AS DOUBLE)))
+         |    AS HUGEINT), 1) AS den FROM v)
+         |SELECT g AS source, CAST(nb AS BIGINT) AS n_base,
+         |  CAST(n AS BIGINT) AS n_other,
+         |  CAST((1000 * sb) // nb AS BIGINT) AS mean_base_x1000,
+         |  CAST((1000 * s) // n AS BIGINT) AS mean_other_x1000,
+         |  CAST(CASE WHEN vv <= 0 THEN 0
+         |    WHEN s * nb >= sb * n THEN
+         |      (1000 * (s * nb - sb * n)) // (nb * n * den)
+         |    ELSE -((1000 * (sb * n - s * nb)) // (nb * n * den))
+         |    END AS BIGINT) AS d_x1000
+         |FROM z ORDER BY source""".stripMargin
+
+    /** Shared pairing of the three cluster-agreement twins
+      * (q335/q336/q337): the langid partition (q32's CTE verbatim)
+      * against the true `lang`, reduced to the (a, b, cnt)
+      * contingency cells both operators and twins fold from.
+      */
+    private def agreementCellsCte: String =
+      s"""pair AS (SELECT lp.lang_pred AS a, d.lang AS b
+         |  FROM ($langIdSql) lp JOIN documents d ON d.doc_id = lp.doc_id),
+         |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pair GROUP BY 1, 2)""".stripMargin
+
+    /** Twin of q335_adjusted_rand: exact C(x,2) pair sums (HUGEINT —
+      * the halving is exact, x(x−1) even), the same 10¹⁵ downscale
+      * guard, the same sign-symmetric ppm divide.
+      */
+    def adjustedRandSql: String = {
+      def pairs(x: String) = s"(CAST($x AS HUGEINT) * ($x - 1)) // 2"
+      s"""WITH $agreementCellsCte,
+         |rs AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS na FROM cells
+         |  GROUP BY 1),
+         |cs AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS nb FROM cells
+         |  GROUP BY 1),
+         |ra AS (SELECT sum(${pairs("na")}) AS pa,
+         |  CAST(count(*) AS BIGINT) AS ka FROM rs),
+         |rb AS (SELECT sum(${pairs("nb")}) AS pb,
+         |  CAST(count(*) AS BIGINT) AS kb FROM cs),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |  sum(${pairs("cnt")}) AS pi FROM cells),
+         |g AS (SELECT n, ka, kb, pi, pa, pb, ${pairs("n")} AS pc
+         |  FROM tt CROSS JOIN ra CROSS JOIN rb),
+         |h AS (SELECT *, greatest(pc // 1000000000000000, 1) AS gg
+         |  FROM g),
+         |i AS (SELECT n, ka, kb, pi // gg AS i2, pa // gg AS a2,
+         |  pb // gg AS b2, pc // gg AS c2 FROM h),
+         |j AS (SELECT *, 2 * (i2 * c2 - a2 * b2) AS num,
+         |  (a2 + b2) * c2 - 2 * a2 * b2 AS den FROM i)
+         |SELECT CAST(n AS BIGINT) AS n_items, ka AS clusters_a,
+         |  kb AS clusters_b,
+         |  CAST((1000000 * (c2 + 2 * i2 - a2 - b2)) //
+         |    greatest(c2, 1) AS BIGINT) AS ri_ppm,
+         |  CAST(CASE WHEN den <= 0 THEN 1000000
+         |    WHEN num >= 0 THEN (1000000 * num) // den
+         |    ELSE -((-(1000000 * num)) // den) END AS BIGINT) AS ari_ppm
+         |FROM j""".stripMargin
+    }
+
+    /** Twin of q336_bcubed: the identical two-floor per-cluster ppm
+      * then corpus mean, recall symmetric, harmonic F1.
+      */
+    def bcubedSql: String =
+      s"""WITH $agreementCellsCte,
+         |p AS (SELECT sum(pi) AS sp FROM (SELECT
+         |    (1000000 * sum(CAST(cnt AS HUGEINT) * cnt)) // sum(cnt)
+         |      AS pi
+         |  FROM cells GROUP BY a) t),
+         |r AS (SELECT sum(ri) AS sr FROM (SELECT
+         |    (1000000 * sum(CAST(cnt AS HUGEINT) * cnt)) // sum(cnt)
+         |      AS ri
+         |  FROM cells GROUP BY b) t),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+         |f AS (SELECT n, sp // n AS bp, sr // n AS br
+         |  FROM tt CROSS JOIN p CROSS JOIN r)
+         |SELECT CAST(n AS BIGINT) AS n_items,
+         |  CAST(bp AS BIGINT) AS bcubed_p_ppm,
+         |  CAST(br AS BIGINT) AS bcubed_r_ppm,
+         |  CAST(CASE WHEN bp + br <= 0 THEN 0
+         |    ELSE (2 * bp * br) // (bp + br) END AS BIGINT)
+         |    AS bcubed_f1_ppm
+         |FROM f""".stripMargin
+
+    /** Twin of q337_vmeasure: every entropy term the SAME Mitchell
+      * e256 ratio log (`//` spelling), identical fold and ppm
+      * quotients.
+      */
+    def vMeasureSql: String = {
+      val shift = 1L << graft.ops.TextStats.LmShift
+      val sh = 256 * graft.ops.TextStats.LmShift
+      // per-term −sh: the domain pre-shift bias does not cancel in
+      // the entropy quotients (see the operator note)
+      def rlog(num: String, den: String) =
+        s"(${graft.ops.TextStats.mitchellE256Sql(
+          s"((CAST($num AS HUGEINT) * $shift) // ($den))",
+          divOp = "//")} - $sh)"
+      s"""WITH $agreementCellsCte,
+         |rs AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS na FROM cells
+         |  GROUP BY 1),
+         |cs AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS nb FROM cells
+         |  GROUP BY 1),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+         |hba AS (SELECT sum(CAST(cnt AS HUGEINT) *
+         |    (${rlog("na", "cnt")})) AS hba
+         |  FROM cells JOIN rs USING (a)),
+         |hab AS (SELECT sum(CAST(cnt AS HUGEINT) *
+         |    (${rlog("nb", "cnt")})) AS hab
+         |  FROM cells JOIN cs USING (b)),
+         |hb AS (SELECT sum(CAST(nb AS HUGEINT) *
+         |    (${rlog("n", "nb")})) AS hb FROM cs CROSS JOIN tt),
+         |ha AS (SELECT sum(CAST(na AS HUGEINT) *
+         |    (${rlog("n", "na")})) AS ha FROM rs CROSS JOIN tt),
+         |f AS (SELECT n, hba, hab, hb, ha FROM tt CROSS JOIN hba
+         |  CROSS JOIN hab CROSS JOIN hb CROSS JOIN ha),
+         |hc AS (SELECT n,
+         |  CASE WHEN hb <= 0 THEN 1000000
+         |    ELSE 1000000 - (1000000 * hba) // hb END AS h,
+         |  CASE WHEN ha <= 0 THEN 1000000
+         |    ELSE 1000000 - (1000000 * hab) // ha END AS c
+         |  FROM f)
+         |SELECT CAST(n AS BIGINT) AS n_items,
+         |  CAST(h AS BIGINT) AS homogeneity_ppm,
+         |  CAST(c AS BIGINT) AS completeness_ppm,
+         |  CAST(CASE WHEN h + c <= 0 THEN 0
+         |    ELSE (2 * h * c) // (h + c) END AS BIGINT) AS v_ppm
+         |FROM hc""".stripMargin
+    }
+
+    /** Twin of q338_lsh_plan: the q143 exact pair surface at τ=500,
+      * the same 50‰ binning, and per-config folds whose per-bin
+      * collision probabilities are the SAME Scala-computed literals
+      * ([[graft.dedup.Dedup.lshCollisionPm]]) the operator inlines —
+      * one source for the whole S-curve.
+      */
+    def lshPlanSql: String = {
+      val mids = (0 until 20).map(bin => 50L * bin + 25)
+      val cfgs = graft.dedup.Dedup.DefaultLshPlanGrid.map { case (b, r) =>
+        val ps = mids.map(graft.dedup.Dedup.lshCollisionPm(_, r, b))
+        val s50 = mids.zip(ps).collectFirst { case (m, p) if p >= 500 => m }
+          .getOrElse(-1L)
+        val pCase = "CASE bin " + ps.zipWithIndex.map { case (p, i) =>
+          s"WHEN $i THEN $p" }.mkString(" ") + " ELSE 0 END"
+        s"""SELECT $b AS bands, $r AS rows_per_band, $s50 AS s50,
+           |    sum(cnt) AS n_pairs,
+           |    sum(CAST(cnt AS HUGEINT) * ($pCase)) AS cm
+           |  FROM bins""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH wl AS (SELECT doc_id AS id, ${tokensE("text")} AS w FROM documents),
+         |shx AS (SELECT id, unnest(${shinglesE("w", 3)}) AS s FROM wl),
+         |sh AS (SELECT id, list_distinct(list(${duckHash61("s")})) AS ts
+         |       FROM shx GROUP BY id),
+         |s AS (SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM sh
+         |      WHERE len(ts) >= 1),
+         |pr AS (SELECT CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+         |         AS n_inter, a.n AS n_a, b.n AS n_b
+         |       FROM s a JOIN s b ON a.id < b.id),
+         |tp AS (SELECT CAST((1000 * n_inter) // (n_a + n_b - n_inter)
+         |         AS BIGINT) AS j
+         |       FROM pr WHERE 1000 * n_inter >= 500 * (n_a + n_b - n_inter)),
+         |bins AS (SELECT least(j // 50, 19) AS bin,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM tp GROUP BY 1),
+         |f AS (
+         |$cfgs)
+         |SELECT CAST(bands AS BIGINT) AS bands,
+         |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         |  CAST(bands * rows_per_band AS BIGINT) AS n_hashes,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(cm // greatest(n_pairs, 1) AS BIGINT) AS recall_x1000,
+         |  CAST(s50 AS BIGINT) AS s50_x1000
+         |FROM f ORDER BY bands, rows_per_band""".stripMargin
+    }
 
     /** Twin of q331_ljung_box: the q226 ACF CTE verbatim, then the
       * same per-lag integral divide and one-row fold per type.

@@ -4922,6 +4922,96 @@ object Queries {
     graft.ops.Funnel.runsTest(Tables.orders(s, d), "o_orderdate",
       expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
 
+  /** Theil-T inequality decomposition
+    * ([[graft.ops.Profile.theilDecomposition]], 1967) of per-customer
+    * revenue by nation: splits q229's whole-corpus concentration into
+    * between-nation vs within-nation shares — the additive-decomposing
+    * inequality index. Integer-exact through the shared Mitchell e256
+    * ratio-log emitter (the q155 PSI discipline, 32× finer).
+    */
+  val q333_theil: Q = (s, d) => {
+    val per = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long").as("cents"))
+    val base = per
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("cents"))
+    graft.ops.Profile.theilDecomposition(base, "n_name", col("cents"))
+      .orderBy("n_name")
+  }
+
+  /** Cohen's d vs the src0 baseline ([[graft.ops.Eval.cohensD]],
+    * 1988) over sources' doc-length distributions — the parametric
+    * effect size completing the location-shift trio: q278's MWU z
+    * (confidence), q329's Cliff's δ (ordinal magnitude), d
+    * (standardized-scale magnitude, the number q304's power analysis
+    * consumes). Exact moments, one floor(√) divide.
+    */
+  val q334_cohens_d: Q = (s, d) =>
+    graft.ops.Eval.cohensD(Tables.documents(s, d), "source",
+        col("n_chars"), baseline = "src0")
+      .orderBy("source")
+
+  /** Rand + Adjusted Rand between the heuristic langid partition
+    * (q32) and the true `lang` labels
+    * ([[graft.ops.Eval.adjustedRand]], Hubert & Arabie 1985): the
+    * chance-corrected pair-counting agreement — the
+    * clustering-audit complement to q114's kappa (which needs
+    * ALIGNED label names; ARI scores the partition structure alone).
+    * vs q258 (`partitionAgreement`, source-vs-lang, float-step ARI):
+    * this is the integer-EXACT rational form over a different
+    * pairing, with the plain Rand index and a streaming readback.
+    * Exact rational C(x,2) sums, one sign-symmetric ppm divide.
+    */
+  val q335_adjusted_rand: Q = (s, d) =>
+    graft.ops.Eval.adjustedRand(
+      Tables.documents(s, d).select(
+        TextFns.langId(col("text")).as("pred"), col("lang")),
+      "pred", "lang")
+
+  /** B-cubed precision/recall/F1 of the same langid-vs-truth pairing
+    * ([[graft.ops.Eval.bcubed]], Bagga & Baldwin 1998): per-ITEM
+    * agreement averaging — the cluster-evaluation view that punishes
+    * shattering a big cluster in proportion to its size (Amigó et
+    * al. 2009's recommended primary). Two-floor exact ppm.
+    */
+  val q336_bcubed: Q = (s, d) =>
+    graft.ops.Eval.bcubed(
+      Tables.documents(s, d).select(
+        TextFns.langId(col("text")).as("pred"), col("lang")),
+      "pred", "lang")
+
+  /** Homogeneity/completeness/V-measure of the langid partition
+    * ([[graft.ops.Eval.vMeasure]], Rosenberg & Hirschberg 2007):
+    * the entropy lens completing the agreement trio (q335 pairs,
+    * q336 items, q337 information) — every entropy a ratio log
+    * through the ONE shared Mitchell e256 emitter.
+    */
+  val q337_vmeasure: Q = (s, d) =>
+    graft.ops.Eval.vMeasure(
+      Tables.documents(s, d).select(
+        TextFns.langId(col("text")).as("pred"), col("lang")),
+      "pred", "lang")
+
+  /** MinHash-LSH parameter planner ([[graft.dedup.Dedup.lshPlan]],
+    * MMDS §3.4): the analytic (bands, rows) S-curve grid integrated
+    * against THIS corpus's exact ≥0.5-Jaccard pair distribution
+    * (q143's complete prefix-filtered surface at τ=500) — expected
+    * recall and the p=½ threshold location per config, priced
+    * without building a single bucket. The design-time complement
+    * of q248's empirical one-config eval; per-bin collision
+    * constants are single-source Scala literals inlined into both
+    * engines.
+    */
+  val q338_lsh_plan: Q = (s, d) =>
+    Dedup.lshPlan(
+      Dedup.setSimJoin(Tables.documents(s, d), "doc_id",
+        TextFns.shingles(col("text"), 3), tauX1000 = 500,
+        itemKey = HashFns.hash61),
+      "jaccard_x1000")
+      .orderBy("bands", "rows_per_band")
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5479,5 +5569,11 @@ object Queries {
     "q329_cliffs_delta" -> q329_cliffs_delta,
     "q330_template_boilerplate" -> q330_template_boilerplate,
     "q331_ljung_box" -> q331_ljung_box,
-    "q332_runs_test" -> q332_runs_test)
+    "q332_runs_test" -> q332_runs_test,
+    "q333_theil" -> q333_theil,
+    "q334_cohens_d" -> q334_cohens_d,
+    "q335_adjusted_rand" -> q335_adjusted_rand,
+    "q336_bcubed" -> q336_bcubed,
+    "q337_vmeasure" -> q337_vmeasure,
+    "q338_lsh_plan" -> q338_lsh_plan)
 }

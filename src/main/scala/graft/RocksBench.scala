@@ -45,9 +45,11 @@ object RocksBench {
     // a -1) unless it already burned most of its deadline — a wedged
     // host won't improve, and two full 300 s deadlines per cell would
     // blow the parent's watchdog.
-    Bench.measureStateful(spark, 1000000L, cpus.toInt, deadlineSec = 90L,
+    // warm at the largest cell, measure descending (the StatefulBench
+    // rationale: the 2M figure is the headline)
+    Bench.measureStateful(spark, 2000000L, cpus.toInt, deadlineSec = 120L,
       untilBatch = 2)
-    val cells = Seq(1000000L, 2000000L).map { n =>
+    val cells = Seq(2000000L, 1000000L).map { n =>
       def pass() = {
         val (rows, sec, nBatches) =
           Bench.measureStateful(spark, n, cpus.toInt, deadlineSec = 300L)

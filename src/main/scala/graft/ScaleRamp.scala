@@ -193,7 +193,9 @@ object ScaleRamp {
       "q322_kruskal_wallis", "q323_chi_residuals", "q324_jonckheere",
       "q325_cochran_q", "q326_friedman", "q327_page_trend",
       "q328_wilcoxon", "q329_cliffs_delta", "q330_template_boilerplate",
-      "q331_ljung_box", "q332_runs_test")
+      "q331_ljung_box", "q332_runs_test", "q333_theil", "q334_cohens_d",
+      "q335_adjusted_rand", "q336_bcubed", "q337_vmeasure",
+      "q338_lsh_plan")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -46,9 +46,13 @@ object StatefulBench {
     // whole JIT/codegen tail). A measured pass that misses its batch
     // count (deadline under transient load) earns ONE retry, so a
     // loaded host still yields a number, not a -1.
-    Bench.measureStateful(spark, sizes.min, cpus.toInt, deadlineSec = 90L,
+    // warm at the LARGEST size and measure in descending order: the
+    // biggest cell is the headline figure, and warming at a smaller
+    // size leaves its state/shuffle paths half-compiled (the r14 dev
+    // runs read the 2M cell 290k warm-at-500k vs ~420k fully warm)
+    Bench.measureStateful(spark, sizes.max, cpus.toInt, deadlineSec = 120L,
       untilBatch = 2)
-    sizes.foreach { n =>
+    sizes.sortBy(-_).foreach { n =>
       def pass() = {
         // 2M cell headroom: it runs 10M docs through growing
         // per-bucket state

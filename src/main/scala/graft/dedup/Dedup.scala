@@ -1765,4 +1765,73 @@ object Dedup {
         expr("CAST((1000 * (n_shingles - n_seen_before)) div n_shingles AS BIGINT)")
           .as("novelty_x1000"))
   }
+
+  /** The analytic MinHash-LSH collision probability
+    * 1 − (1 − s^r)^b at per-mille similarity `sPm`, evaluated in the
+    * SAME floored per-mille fixed point on both engines: powers by
+    * repeated (x·s) div 1000. Shared single-source constants — the
+    * planner's per-bin probabilities are literals computed HERE and
+    * inlined into both the Spark operator and the DuckDB twin (the
+    * q156 shared-verbatim discipline), so the gate pins the binning
+    * and the integral, and the curve itself cannot diverge.
+    */
+  def lshCollisionPm(sPm: Long, rowsPerBand: Int, bands: Int): Long = {
+    def powPm(x: Long, k: Int): Long =
+      (1 to k).foldLeft(1000L)((acc, _) => acc * x / 1000L)
+    1000L - powPm(1000L - powPm(sPm, rowsPerBand), bands)
+  }
+
+  /** MinHash-LSH parameter planner (the S-curve of Leskovec et al.,
+    * MMDS §3.4, integrated against THIS corpus): for each candidate
+    * (bands, rowsPerBand) config, the expected recall of the
+    * OBSERVED ≥τ true-pair mass — `pairs` is an exact-similarity
+    * pair surface (e.g. [[setSimJoin]], complete above its τ by the
+    * All-Pairs theorem) binned to 50‰ cells, and each config's
+    * analytic collision curve [[lshCollisionPm]] is summed over the
+    * bins. The design-time complement of q248's EMPIRICAL one-config
+    * eval: this prices the whole grid without building one bucket.
+    * `s50_x1000` is the first bin midpoint the config catches with
+    * p ≥ ½ — the classical threshold-location readback.
+    *
+    * Scale shape: one 20-bin reduction of the pair surface; the
+    * grid × bins product is literal-bounded; everything after the
+    * binning is a broadcast fold.
+    */
+  /** The q338 default planner grid — named so the oracle twin
+    * generator and the operator share ONE literal.
+    */
+  val DefaultLshPlanGrid: Seq[(Int, Int)] =
+    Seq((32, 1), (16, 2), (8, 4), (16, 4), (4, 8), (8, 8))
+
+  def lshPlan(pairs: DataFrame, simX1000Col: String,
+              grid: Seq[(Int, Int)] = DefaultLshPlanGrid): DataFrame = {
+    require(grid.nonEmpty && grid.forall { case (b, r) =>
+      b >= 1 && b <= 64 && r >= 1 && r <= 64 },
+      "grid entries must be (bands, rowsPerBand) in [1, 64]")
+    val bins = pairs
+      .select(expr(s"least($simX1000Col div 50, 19)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤ 20 rows feed every config fold
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val configs = grid.map { case (b, r) =>
+      val mids = (0 until 20).map(bin => 50L * bin + 25)
+      val ps = mids.map(lshCollisionPm(_, r, b))
+      val s50 = mids.zip(ps).collectFirst { case (m, p) if p >= 500 => m }
+        .getOrElse(-1L)
+      (b, r, s50, ps)
+    }.toDF("bands", "rows_per_band", "s50_x1000", "p_by_bin")
+    bins.crossJoin(broadcast(configs)) // 20 × |grid| literal-bounded
+      .withColumn("p_pm", expr("p_by_bin[bin]"))
+      .groupBy("bands", "rows_per_band", "s50_x1000")
+      .agg(sum("cnt").cast("bigint").as("n_pairs"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * p_pm")).as("cm"))
+      .select(col("bands").cast("bigint").as("bands"),
+        col("rows_per_band").cast("bigint").as("rows_per_band"),
+        expr("CAST(bands * rows_per_band AS BIGINT)").as("n_hashes"),
+        col("n_pairs"),
+        expr("CAST(cm div greatest(n_pairs, 1) AS BIGINT)")
+          .as("recall_x1000"),
+        col("s50_x1000"))
+  }
 }

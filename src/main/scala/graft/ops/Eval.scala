@@ -1555,6 +1555,54 @@ object Eval {
         col("e_x1e6"), col("resid_x1000"))
   }
 
+  /** Cohen's d standardized mean difference of every group against a
+    * designated baseline (Cohen 1988, with the pooled-SD convention)
+    * — the PARAMETRIC effect size beside q329's ordinal Cliff's δ and
+    * q278's MWU z: when the scale is meaningful, "how many pooled
+    * standard deviations apart are the means" is the number a power
+    * analysis (q304) consumes. Exact integer throughout: group
+    * moments (n, Σx, Σx²) through DECIMAL(38); the pooled variance is
+    * one integral divide of the common-denominator form
+    * ((n_b·Q_b−S_b²)·n_o + (n_o·Q_o−S_o²)·n_b) div (n_b·n_o·(n_b+n_o−2)),
+    * and d_x1000 = ±(1000·|S_o·n_b − S_b·n_o|) div (n_b·n_o·⌊√v⌋)
+    * (positive = group mean ABOVE baseline). Degenerate pools
+    * (n_b+n_o ≤ 2 or zero variance) report 0.
+    *
+    * Scale shape: ONE (group) moment reduction; everything after is
+    * a bounded-group-table broadcast of the baseline row.
+    */
+  def cohensD(df: DataFrame, groupCol: String,
+              valueExpr: org.apache.spark.sql.Column,
+              baseline: String): DataFrame = {
+    val m = df.select(col(groupCol).cast("string").as("g"),
+        valueExpr.cast("bigint").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(v AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("q"))
+      .localCheckpoint() // baseline row + comparison rows share it
+    val base = m.where(col("g") === lit(baseline))
+      .select(col("n").as("nb"), col("s").as("sb"), col("q").as("qb"))
+    m.where(col("g") =!= lit(baseline))
+      .crossJoin(broadcast(base))
+      .withColumn("__v", expr(
+        "CASE WHEN nb + n <= 2 THEN CAST(0 AS DECIMAL(38,0)) ELSE " +
+          "((nb * qb - sb * sb) * n + (n * q - s * s) * nb) div " +
+          "(nb * n * (nb + n - 2)) END"))
+      .withColumn("__den", expr(
+        "greatest(CAST(floor(sqrt(CAST(__v AS DOUBLE))) AS DECIMAL(38,0)), 1)"))
+      .select(col("g").as(groupCol),
+        col("nb").cast("bigint").as("n_base"),
+        col("n").cast("bigint").as("n_other"),
+        expr("CAST((1000 * sb) div nb AS BIGINT)").as("mean_base_x1000"),
+        expr("CAST((1000 * s) div n AS BIGINT)").as("mean_other_x1000"),
+        expr("CAST(CASE WHEN __v <= 0 THEN 0 " +
+          "WHEN s * nb >= sb * n THEN " +
+          "(1000 * (s * nb - sb * n)) div (nb * n * __den) " +
+          "ELSE -((1000 * (sb * n - s * nb)) div (nb * n * __den)) " +
+          "END AS BIGINT)").as("d_x1000"))
+  }
+
   /** Within-block ×2 midranks over complete matched blocks — the
     * shared rank stage of [[friedmanTest]] and [[pageTrend]]. One
     * (block, treatment) SUM reduction collapses the corpus; a block
@@ -2137,5 +2185,226 @@ object Eval {
       .as("ece_ppm"))
     rows.crossJoin(broadcast(ece))
       .select("bin", "n", "conf_ppm", "acc_ppm", "gap_ppm", "ece_ppm")
+  }
+
+  // ---- cluster-agreement family: two labelings of the same items
+  // (a predicted clustering vs a reference partition — label NAMES
+  // never need to align, only the partition structure). All three
+  // metrics derive from the one (a, b, count) contingency reduction,
+  // which is additive across micro-batches — each has a FromCounts
+  // streaming readback through the identical arithmetic. ----
+
+  /** The shared (a, b, cnt) label contingency — ONE count reduction;
+    * everything downstream is bounded by |labels_a| × |labels_b|.
+    */
+  private def agreementCellsOf(df: DataFrame, aCol: String,
+                               bCol: String): DataFrame =
+    df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Rand index + Adjusted Rand Index (Hubert & Arabie 1985) between
+    * two labelings: pair-counting agreement, chance-corrected — THE
+    * standard clustering-vs-reference score (0 at chance, 10⁶ at
+    * identical partitions, negative below chance). Relationship to
+    * [[partitionAgreement]] (q258): that operator emits the
+    * classical FLOAT ARI plus directional purities; this one is the
+    * fully integer-exact rational form (the ½ cleared, one
+    * sign-symmetric divide) with the plain Rand index beside it and
+    * an additive-cells streaming readback q258 has no analog of —
+    * the hash-stable surface a correctness gate can pin. Exact
+    * rational:
+    * with I = Σᵢⱼ C(nᵢⱼ,2), A = Σᵢ C(nᵢ.,2), B = Σⱼ C(n.ⱼ,2),
+    * C = C(n,2) (every C(x,2) = x(x−1)/2 is an exact integer),
+    * RI  = (C + 2I − A − B)/C and
+    * ARI = 2(I·C − A·B)/((A+B)·C − 2AB) — the ½ cleared so every
+    * term stays integral; ppm via one sign-symmetric divide.
+    *
+    * Scale shape: one cell reduction; the pair sums are three
+    * bounded-grid folds. DECIMAL(38) bound: 10⁶·I·C ≤ 10⁶·n⁴/4
+    * overflows past n ≈ 4.5·10⁷ items — the `__g` downscale divides
+    * all four pair sums by greatest(C div 10¹⁵, 1) (identity at any
+    * testable n, < ppm error when engaged), so the operator stays
+    * defined at corpus scale; for an EXACT figure at 100 TB evaluate
+    * per shard and combine cells, which are additive.
+    */
+  def adjustedRand(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    adjustedRandFromCellsDf(agreementCellsOf(df, aCol, bCol))
+
+  /** The ARI readback over additive (a, b, count) cells — the
+    * streaming form of [[adjustedRand]]: cells fold across
+    * micro-batches, so a foreachBatch monitor accumulates them and
+    * emits the live score through the SAME arithmetic.
+    */
+  def adjustedRandFromCounts(spark: org.apache.spark.sql.SparkSession,
+                             counts: Seq[(String, String, Long)])
+      : DataFrame = {
+    import spark.implicits._
+    adjustedRandFromCellsDf(counts.toDF("a", "b", "cnt")
+      .groupBy("a", "b").agg(sum("cnt").as("cnt")))
+  }
+
+  // C(x,2) with the exact halving taken on the even 64-bit FACTOR
+  // before the DECIMAL product — `div` on the product would narrow
+  // the result to BIGINT and overflow past x ≈ 4·10⁹
+  private def pairsSql(x: String): String =
+    s"(CASE WHEN ($x) % 2 = 0 " +
+      s"THEN CAST(($x) div 2 AS DECIMAL(38,0)) * (($x) - 1) " +
+      s"ELSE CAST($x AS DECIMAL(38,0)) * ((($x) - 1) div 2) END)"
+
+  private def adjustedRandFromCellsDf(cells: DataFrame): DataFrame = {
+    val c = cells.localCheckpoint() // 4 bounded-grid consumers
+    val rows = c.groupBy("a").agg(sum("cnt").as("na"))
+      .agg(sum(expr(pairsSql("na"))).as("pa"),
+        count(lit(1)).as("ka"))
+    val cols = c.groupBy("b").agg(sum("cnt").as("nb"))
+      .agg(sum(expr(pairsSql("nb"))).as("pb"),
+        count(lit(1)).as("kb"))
+    val tot = c.agg(sum("cnt").as("n"),
+      sum(expr(pairsSql("cnt"))).as("pi"))
+    tot.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+      .withColumn("pc", expr(pairsSql("n")))
+      // downscale guard: identity until C(n,2) exceeds 10¹⁵ (n ≈
+      // 4.5·10⁷ items); past that all four pair sums shed the same
+      // factor, capping them at ~10¹⁵ so 10⁶·__i·__c ≤ 10³⁶ stays
+      // inside DECIMAL(38)
+      .withColumn("__g", expr(
+        "greatest(pc div CAST(1000000000000000 AS DECIMAL(38,0)), 1)"))
+      // `div` on DECIMAL yields BIGINT — re-cast before the pairwise
+      // products (≤ 10³⁰ after the guard) so nothing re-enters 64-bit
+      .withColumn("__i", expr("CAST(pi div __g AS DECIMAL(38,0))"))
+      .withColumn("__a", expr("CAST(pa div __g AS DECIMAL(38,0))"))
+      .withColumn("__b", expr("CAST(pb div __g AS DECIMAL(38,0))"))
+      .withColumn("__c", expr("CAST(pc div __g AS DECIMAL(38,0))"))
+      .withColumn("__num", expr("2 * (__i * __c - __a * __b)"))
+      .withColumn("__den", expr("(__a + __b) * __c - 2 * __a * __b"))
+      .select(col("n").cast("bigint").as("n_items"),
+        col("ka").cast("bigint").as("clusters_a"),
+        col("kb").cast("bigint").as("clusters_b"),
+        expr("CAST((1000000 * (__c + 2 * __i - __a - __b)) div " +
+          "greatest(__c, 1) AS BIGINT)").as("ri_ppm"),
+        expr("CAST(CASE WHEN __den <= 0 THEN 1000000 " +
+          "WHEN __num >= 0 THEN (1000000 * __num) div __den " +
+          "ELSE -((-(1000000 * __num)) div __den) END AS BIGINT)")
+          .as("ari_ppm"))
+  }
+
+  /** B-cubed precision/recall/F1 (Bagga & Baldwin 1998, the Amigó
+    * et al. 2009 recommendation for cluster evaluation): per-ITEM
+    * precision nᵢⱼ/nᵢ. and recall nᵢⱼ/n.ⱼ averaged over the corpus —
+    * unlike pair counting it weights every item equally, so a
+    * shattered big cluster is punished in proportion to its size.
+    * Exact-ppm via the two-floor form: per a-cluster
+    * pᵢ = (10⁶·Σⱼnᵢⱼ²) div nᵢ. then P = (Σpᵢ) div n (mirrored in the
+    * twin token for token); recall symmetric on b; F1 the harmonic
+    * divide. All products ≤ 10⁶·n — no n⁴ anywhere, corpus-scale safe.
+    *
+    * Scale shape: one cell reduction, two bounded-grid folds.
+    */
+  def bcubed(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    bcubedFromCellsDf(agreementCellsOf(df, aCol, bCol))
+
+  /** The B-cubed readback over additive (a, b, count) cells — the
+    * streaming form of [[bcubed]], same arithmetic.
+    */
+  def bcubedFromCounts(spark: org.apache.spark.sql.SparkSession,
+                       counts: Seq[(String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    bcubedFromCellsDf(counts.toDF("a", "b", "cnt")
+      .groupBy("a", "b").agg(sum("cnt").as("cnt")))
+  }
+
+  private def bcubedFromCellsDf(cells: DataFrame): DataFrame = {
+    val c = cells.localCheckpoint() // 3 bounded-grid consumers
+    val p = c.groupBy("a")
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("s2"),
+        sum("cnt").as("na"))
+      .agg(sum(expr("(1000000 * s2) div na")).as("sp"))
+    val r = c.groupBy("b")
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("s2"),
+        sum("cnt").as("nb"))
+      .agg(sum(expr("(1000000 * s2) div nb")).as("sr"))
+    c.agg(sum("cnt").as("n"))
+      .crossJoin(broadcast(p)).crossJoin(broadcast(r))
+      .withColumn("bp", expr("sp div n"))
+      .withColumn("br", expr("sr div n"))
+      .select(col("n").cast("bigint").as("n_items"),
+        col("bp").cast("bigint").as("bcubed_p_ppm"),
+        col("br").cast("bigint").as("bcubed_r_ppm"),
+        expr("CAST(CASE WHEN bp + br <= 0 THEN 0 ELSE " +
+          "(2 * bp * br) div (bp + br) END AS BIGINT)")
+          .as("bcubed_f1_ppm"))
+  }
+
+  /** Homogeneity / completeness / V-measure (Rosenberg & Hirschberg
+    * 2007): h = 1 − H(b|a)/H(b) (each predicted cluster holds one
+    * reference class), c = 1 − H(a|b)/H(a) (each class lands in one
+    * cluster), V their harmonic mean — the entropy-based view
+    * complementing ARI's pair counting. Every entropy term is a
+    * RATIO log through the shared Mitchell e256 emitter (the
+    * q155/q333 discipline): n·H(b|a) = Σᵢⱼ nᵢⱼ·log2(nᵢ./nᵢⱼ) with
+    * q = (nᵢ. ≪ 20) div nᵢⱼ ≥ 2²⁰ always in domain, so BOTH engines
+    * evaluate one piecewise-linear surface and the ppm quotients are
+    * bit-identical. Degenerate marginals (H(b) = 0) report h = 10⁶
+    * by convention.
+    *
+    * Scale shape: one cell reduction; every log is over the bounded
+    * grid; the four entropy folds are one-row broadcasts.
+    */
+  def vMeasure(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    vMeasureFromCellsDf(agreementCellsOf(df, aCol, bCol))
+
+  /** The V-measure readback over additive (a, b, count) cells — the
+    * streaming form of [[vMeasure]], same arithmetic.
+    */
+  def vMeasureFromCounts(spark: org.apache.spark.sql.SparkSession,
+                         counts: Seq[(String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    vMeasureFromCellsDf(counts.toDF("a", "b", "cnt")
+      .groupBy("a", "b").agg(sum("cnt").as("cnt")))
+  }
+
+  private def vMeasureFromCellsDf(cells: DataFrame): DataFrame = {
+    val shift = 1L << graft.ops.TextStats.LmShift
+    // ratio log2 in e256 units: the 2²⁰ domain pre-shift is a +256·20
+    // additive bias on EVERY term and would NOT cancel in the
+    // H(b|a)/H(b) quotient — subtract it per term (the q333
+    // discipline); num ≥ den throughout so the difference is ≥ 0
+    val sh = 256 * graft.ops.TextStats.LmShift
+    def ratioLogE256(num: String, den: String): String =
+      s"(${graft.ops.TextStats.mitchellE256Sql(
+        s"(($num * ${shift}L) div ($den))")} - $sh)"
+    val c = cells.localCheckpoint() // marginals + joint off one pass
+    val ra = c.groupBy("a").agg(sum("cnt").as("na"))
+    val rb = c.groupBy("b").agg(sum("cnt").as("nb"))
+    val tot = c.agg(sum("cnt").as("n"))
+    // n·H(b|a) and n·H(a|b) in e256 units: Σ cnt·log2(marginal/cnt)
+    val hba = c.join(broadcast(ra), Seq("a"))
+      .select(expr(s"CAST(cnt AS DECIMAL(38,0)) * " +
+        s"(${ratioLogE256("na", "cnt")})").as("t"))
+      .agg(sum("t").as("hba"))
+    val hab = c.join(broadcast(rb), Seq("b"))
+      .select(expr(s"CAST(cnt AS DECIMAL(38,0)) * " +
+        s"(${ratioLogE256("nb", "cnt")})").as("t"))
+      .agg(sum("t").as("hab"))
+    val hb = rb.crossJoin(broadcast(tot))
+      .select(expr(s"CAST(nb AS DECIMAL(38,0)) * " +
+        s"(${ratioLogE256("n", "nb")})").as("t"))
+      .agg(sum("t").as("hb"))
+    val ha = ra.crossJoin(broadcast(tot))
+      .select(expr(s"CAST(na AS DECIMAL(38,0)) * " +
+        s"(${ratioLogE256("n", "na")})").as("t"))
+      .agg(sum("t").as("ha"))
+    tot.crossJoin(broadcast(hba)).crossJoin(broadcast(hab))
+      .crossJoin(broadcast(hb)).crossJoin(broadcast(ha))
+      .withColumn("h", expr("CASE WHEN hb <= 0 THEN 1000000 ELSE " +
+        "1000000 - (1000000 * hba) div hb END"))
+      .withColumn("c", expr("CASE WHEN ha <= 0 THEN 1000000 ELSE " +
+        "1000000 - (1000000 * hab) div ha END"))
+      .select(col("n").cast("bigint").as("n_items"),
+        col("h").cast("bigint").as("homogeneity_ppm"),
+        col("c").cast("bigint").as("completeness_ppm"),
+        expr("CAST(CASE WHEN h + c <= 0 THEN 0 ELSE " +
+          "(2 * h * c) div (h + c) END AS BIGINT)").as("v_ppm"))
   }
 }

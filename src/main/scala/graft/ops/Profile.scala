@@ -1489,6 +1489,82 @@ object Profile {
     * Scale shape: one hash aggregation to the group-count table,
     * then a one-row fold — shuffle carries groups, never rows.
     */
+  /** Theil-T inequality decomposition (Theil 1967) of a positive
+    * value over units, split by group: q229's Lorenz curve draws the
+    * whole-corpus inequality; this SPLITS it — how much is
+    * between-group (sources/nations differing in mean) vs
+    * within-group (spread inside each) — the only standard inequality
+    * index that decomposes additively, which is exactly what a
+    * mixture owner needs ("is revenue concentration a nation story or
+    * a per-customer story"). Integer-exact via the shared Mitchell
+    * e256 log emitter (the q155 PSI discipline at 32× finer
+    * quantization): every log is a RATIO log — q = (greatest·2²⁰) div
+    * least, lr = ±(m256(q) − 256·20) — so both engines evaluate the
+    * identical piecewise-linear surface. Per group:
+    * within_me256 = (1000·Σᵢ xᵢ·lr(xᵢ, x̄_g)) div X_g and
+    * between_me256 = (1000·X_g·lr(x̄_g, x̄)) div X, in milli-(1/256
+    * log2) units — value-weighted BEFORE the divide, so no per-unit
+    * ppm floor; Σ_g between + Σ_g (X_g/X)·within ≈ total Theil up to
+    * the documented e256 quantization. Zero/negative values drop
+    * (Theil's domain).
+    *
+    * Scale shape: one unit scan with the codegen'd log CASE, one
+    * (group) reduction, a broadcast group-means table (group domain
+    * bounded — the per-group-report contract) and a one-row totals
+    * broadcast.
+    */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         valueExpr: org.apache.spark.sql.Column): DataFrame = {
+    val sh = 256 * graft.ops.TextStats.LmShift
+    val unit = df.select(col(groupCol).cast("string").as("g"),
+        valueExpr.cast("bigint").as("x"))
+      .where(col("x") > 0)
+    val pg = unit.groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum("x").as("xg"))
+      .localCheckpoint() // means + totals + the per-unit join share it
+    val tot = pg.agg(sum("ng").as("n"), sum("xg").as("x"))
+    val mg = pg.select(col("g"), col("ng"), col("xg"),
+      expr("xg div ng").as("mg"))
+    // ratio column FIRST, then one Mitchell CASE over it (the q155
+    // discipline — splicing the emitter around a compound expression
+    // would replicate it per CASE branch)
+    val shift = 1L << graft.ops.TextStats.LmShift
+    val within = unit.join(broadcast(mg.select("g", "mg")), Seq("g"))
+      .withColumn("__q",
+        expr(s"(greatest(x, mg) * ${shift}L) div least(x, mg)"))
+      .withColumn("__lr", expr(
+        s"CASE WHEN x >= mg THEN " +
+          s"(${graft.ops.TextStats.mitchellE256Sql("__q")} - $sh) " +
+          s"ELSE -(${graft.ops.TextStats.mitchellE256Sql("__q")} - $sh) END"))
+      .select(col("g"),
+        expr("CAST(x AS DECIMAL(38,0)) * __lr").as("t"))
+      .groupBy("g").agg(sum("t").as("tw"))
+    mg.join(within, Seq("g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__m", expr("x div n"))
+      .withColumn("__qb",
+        expr(s"(greatest(mg, __m) * ${shift}L) div least(mg, __m)"))
+      .withColumn("__lrb", expr(
+        s"CASE WHEN mg >= __m THEN " +
+          s"(${graft.ops.TextStats.mitchellE256Sql("__qb")} - $sh) " +
+          s"ELSE -(${graft.ops.TextStats.mitchellE256Sql("__qb")} - $sh) END"))
+      .select(col("g").as(groupCol),
+        col("ng").cast("bigint").as("n_units"),
+        col("xg").cast("bigint").as("total_value"),
+        expr("CAST((1000000 * CAST(ng AS DECIMAL(38,0))) div n AS BIGINT)")
+          .as("pop_share_ppm"),
+        expr("CAST((1000000 * CAST(xg AS DECIMAL(38,0))) div x AS BIGINT)")
+          .as("val_share_ppm"),
+        col("__lrb").cast("bigint").as("mean_lr_e256"),
+        expr("CAST(CASE WHEN CAST(xg AS DECIMAL(38,0)) * __lrb >= 0 " +
+          "THEN (1000 * CAST(xg AS DECIMAL(38,0)) * __lrb) div x " +
+          "ELSE -((-(1000 * CAST(xg AS DECIMAL(38,0)) * __lrb)) div x) " +
+          "END AS BIGINT)").as("between_me256"),
+        expr("CAST(CASE WHEN tw >= 0 THEN (1000 * tw) div xg " +
+          "ELSE -((-(1000 * tw)) div xg) END AS BIGINT)")
+          .as("within_me256"))
+  }
+
   def concentration(df: DataFrame, groupCol: String,
                     dim: String): DataFrame =
     concentrationFromCountsDf(

@@ -396,4 +396,32 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("precision_x1000") === 1000L)
     assert(r.getAs[Long]("f1_x1000") === 1000L)
   }
+
+  test("lshPlan: independent fixed-point S-curve, binning, s50") {
+    import spark.implicits._
+    // independent BigInt reimplementation of the per-mille power fold
+    def pow(x: Long, k: Int): Long =
+      (1 to k).foldLeft(BigInt(1000))((a, _) => a * x / 1000).toLong
+    def p(s: Long, r: Int, b: Int): Long = 1000 - pow(1000 - pow(s, r), b)
+    val pairs = (Seq.fill(3)(525L) ++ Seq(975L, 675L)).toDF("j")
+    val grid = Seq((8, 4), (16, 4))
+    val out = Dedup.lshPlan(pairs, "j", grid).orderBy("bands")
+      .collect()
+    assert(out.length === 2)
+    for ((row, (b, r)) <- out.zip(grid.sortBy(_._1))) {
+      // bin mids: 525 (bin 10), 975 (bin 19), 675 (bin 13)
+      val exp = (3 * p(525, r, b) + p(975, r, b) + p(675, r, b)) / 5
+      assert(row.getAs[Long]("n_pairs") === 5L, s"($b,$r)")
+      assert(row.getAs[Long]("recall_x1000") === exp, s"($b,$r)")
+      assert(row.getAs[Long]("n_hashes") === b.toLong * r)
+      val s50 = (0 until 20).map(i => 50L * i + 25)
+        .find(m => p(m, r, b) >= 500).getOrElse(-1L)
+      assert(row.getAs[Long]("s50_x1000") === s50, s"($b,$r) s50")
+    }
+    // doubling bands at fixed rows can only raise recall and can
+    // only move the p=1/2 threshold left
+    val r8 = out(0); val r16 = out(1)
+    assert(r16.getAs[Long]("recall_x1000") >= r8.getAs[Long]("recall_x1000"))
+    assert(r16.getAs[Long]("s50_x1000") <= r8.getAs[Long]("s50_x1000"))
+  }
 }

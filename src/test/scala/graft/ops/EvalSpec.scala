@@ -962,6 +962,22 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("cohensD: hand moments, pooled variance, signed d") {
+    val df = (Seq.fill(1)(("src0", 2000L)) ++ Seq(("src0", 4000L),
+      ("s1", 5000L), ("s1", 7000L), ("s2", 1000L), ("s2", 1000L)))
+      .toDF("source", "n_chars")
+    val out = Eval.cohensD(df, "source", col("n_chars"), "src0")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // s1 vs base: means 3000/6000, pooled v = 2e6, den = 1414,
+    // d = 12e6 div (4*1414) = 2121 (true d = 3/sqrt(2e6) = 2.1213)
+    assert(out("s1").getAs[Long]("mean_base_x1000") === 3000000L)
+    assert(out("s1").getAs[Long]("mean_other_x1000") === 6000000L)
+    assert(out("s1").getAs[Long]("d_x1000") === 2121L)
+    // s2: zero variance on one side still pools (v = 1e6, den 1000);
+    // means 3000 vs 1000 -> d exactly -2
+    assert(out("s2").getAs[Long]("d_x1000") === -2000L)
+  }
+
   test("wilcoxon/cliffs fromCounts: folded micro-batch cells == batch") {
     val pairs = Seq((11L, 10L), (12L, 10L), (13L, 10L), (9L, 9L),
       (8L, 10L), (14L, 10L))
@@ -986,5 +1002,109 @@ class EvalSpec extends SparkSpec {
         (k._1, k._2, xs.size.toLong) }).toSeq
     assert(Eval.cliffsFromCounts(spark, cFolded)
       .orderBy("g_a", "g_b").collect().toSeq === cExp)
+  }
+
+  test("adjustedRand: hand cases + brute-force pair counting") {
+    // independent 2x2: every cell 1 -> RI = 2/6, ARI = -1/2 exactly
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r1 = Eval.adjustedRand(ind, "a", "b").collect().head
+    assert(r1.getAs[Long]("n_items") === 4L)
+    assert(r1.getAs[Long]("clusters_a") === 2L)
+    assert(r1.getAs[Long]("clusters_b") === 2L)
+    assert(r1.getAs[Long]("ri_ppm") === 333333L)
+    assert(r1.getAs[Long]("ari_ppm") === -500000L)
+    // identical partitions under renamed labels -> both exactly 1e6
+    val perf = Seq(("1", "u"), ("1", "u"), ("2", "w"), ("2", "w"),
+      ("2", "w")).toDF("a", "b")
+    val r2 = Eval.adjustedRand(perf, "a", "b").collect().head
+    assert(r2.getAs[Long]("ri_ppm") === 1000000L)
+    assert(r2.getAs[Long]("ari_ppm") === 1000000L)
+    // brute force on an asymmetric labeling: count agreeing pairs
+    // directly, then the same cleared-fraction rational
+    val rows = Seq("x" -> "p", "x" -> "p", "x" -> "q", "y" -> "q",
+      "y" -> "q", "z" -> "q", "z" -> "r")
+    val out = Eval.adjustedRand(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    val idx = rows.indices
+    val pairs = for (i <- idx; j <- idx if i < j) yield (rows(i), rows(j))
+    val n11 = pairs.count { case (u, v) => u._1 == v._1 && u._2 == v._2 }
+    val n00 = pairs.count { case (u, v) => u._1 != v._1 && u._2 != v._2 }
+    val cTot = pairs.size.toLong
+    assert(out.getAs[Long]("ri_ppm") ===
+      1000000L * (n00 + n11) / cTot)
+    val aSum = rows.groupBy(_._1).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val bSum = rows.groupBy(_._2).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val iSum = rows.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val num = 2L * (iSum * cTot - aSum * bSum)
+    val den = (aSum + bSum) * cTot - 2L * aSum * bSum
+    val expAri = if (num >= 0) 1000000L * num / den
+      else -(1000000L * -num / den)
+    assert(out.getAs[Long]("ari_ppm") === expAri)
+  }
+
+  test("bcubed: hand per-item averages, perfect = 1e6") {
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r1 = Eval.bcubed(ind, "a", "b").collect().head
+    assert(r1.getAs[Long]("bcubed_p_ppm") === 500000L)
+    assert(r1.getAs[Long]("bcubed_r_ppm") === 500000L)
+    assert(r1.getAs[Long]("bcubed_f1_ppm") === 500000L)
+    val perf = Seq(("1", "u"), ("1", "u"), ("2", "w"), ("2", "w"),
+      ("2", "w")).toDF("a", "b")
+    val r2 = Eval.bcubed(perf, "a", "b").collect().head
+    assert(r2.getAs[Long]("bcubed_p_ppm") === 1000000L)
+    assert(r2.getAs[Long]("bcubed_f1_ppm") === 1000000L)
+    // shattering a 4-item class into 4 singleton clusters: precision
+    // stays 1 (pure clusters), recall drops to 1/4 per item
+    val shat = Seq(("c1", "g"), ("c2", "g"), ("c3", "g"), ("c4", "g"))
+      .toDF("a", "b")
+    val r3 = Eval.bcubed(shat, "a", "b").collect().head
+    assert(r3.getAs[Long]("bcubed_p_ppm") === 1000000L)
+    assert(r3.getAs[Long]("bcubed_r_ppm") === 250000L)
+  }
+
+  test("vMeasure: independence = 0, perfect = 1e6 (exact power-of-2" +
+    " logs)") {
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r1 = Eval.vMeasure(ind, "a", "b").collect().head
+    assert(r1.getAs[Long]("homogeneity_ppm") === 0L)
+    assert(r1.getAs[Long]("completeness_ppm") === 0L)
+    assert(r1.getAs[Long]("v_ppm") === 0L)
+    val perf = Seq(("1", "u"), ("1", "u"), ("2", "w"), ("2", "w"),
+      ("2", "w")).toDF("a", "b")
+    val r2 = Eval.vMeasure(perf, "a", "b").collect().head
+    assert(r2.getAs[Long]("homogeneity_ppm") === 1000000L)
+    assert(r2.getAs[Long]("completeness_ppm") === 1000000L)
+    assert(r2.getAs[Long]("v_ppm") === 1000000L)
+    // single reference class: h = 1e6 by the degenerate-marginal
+    // convention, completeness 1e6 (one class lands in clusters but
+    // H(a|b) = H(a) > 0 -> c = 0)
+    val mono = Seq(("x", "g"), ("x", "g"), ("y", "g")).toDF("a", "b")
+    val r3 = Eval.vMeasure(mono, "a", "b").collect().head
+    assert(r3.getAs[Long]("homogeneity_ppm") === 1000000L)
+    assert(r3.getAs[Long]("completeness_ppm") === 0L)
+  }
+
+  test("cluster-agreement fromCounts: folded micro-batch cells ==" +
+    " batch for all three") {
+    val rows = Seq("x" -> "p", "x" -> "p", "x" -> "q", "y" -> "q",
+      "y" -> "q", "z" -> "q", "z" -> "r", "y" -> "p")
+    val df = rows.toDF("a", "b")
+    val (b1, b2) = rows.splitAt(3)
+    // each batch contributes its OWN cells; the same (a,b) key
+    // appears in both so the fold must be additive
+    val folded = Seq(b1, b2).flatMap(_.groupBy(identity).map {
+      case ((a, b), xs) => (a, b, xs.size.toLong) })
+    assert(Eval.adjustedRandFromCounts(spark, folded).collect().toSeq ===
+      Eval.adjustedRand(df, "a", "b").collect().toSeq)
+    assert(Eval.bcubedFromCounts(spark, folded).collect().toSeq ===
+      Eval.bcubed(df, "a", "b").collect().toSeq)
+    assert(Eval.vMeasureFromCounts(spark, folded).collect().toSeq ===
+      Eval.vMeasure(df, "a", "b").collect().toSeq)
   }
 }

@@ -705,4 +705,25 @@ class ProfileSpec extends SparkSpec {
       .collect().toSeq
     assert(streamed === expected)
   }
+
+  test("theilDecomposition: equal-mean groups, hand within via the e256 log") {
+    import org.apache.spark.sql.functions.col
+    // A: two equal units -> zero within; B: 50k/150k around the same
+    // 100k mean -> between = 0 on both sides (group means == global)
+    val df = Seq(("A", 100000L), ("A", 100000L),
+      ("B", 50000L), ("B", 150000L)).toDF("g", "v")
+    val out = Profile.theilDecomposition(df, "g", col("v")).collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("A").getAs[Long]("pop_share_ppm") === 500000L)
+    assert(out("A").getAs[Long]("val_share_ppm") === 500000L)
+    assert(out("A").getAs[Long]("within_me256") === 0L)
+    assert(out("A").getAs[Long]("between_me256") === 0L)
+    assert(out("A").getAs[Long]("mean_lr_e256") === 0L)
+    assert(out("B").getAs[Long]("between_me256") === 0L)
+    // hand e256 walk: lr(50k vs 100k) = -256 (exact octave),
+    // lr(150k vs 100k) = +128 (Mitchell midpoint of the octave),
+    // tw = 50000*(-256) + 150000*128 = 6.4e6,
+    // within = 1000*6.4e6 div 200000 = 32000
+    assert(out("B").getAs[Long]("within_me256") === 32000L)
+  }
 }
