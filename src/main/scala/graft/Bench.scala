@@ -27,6 +27,30 @@ object Bench {
       .split("\\s+").take(3).toSeq.map(_.toDouble)
     catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
 
+  /** Aggregate (busy, steal) jiffies from /proc/stat's first line.
+    * Hypervisor STEAL is the contention loadavg cannot see: the r14
+    * full-bench stateful cells read 118 k rec/s at loadavg 1.4 while
+    * top showed 5-32 % st — the box is a VM and neighbor load
+    * throttles barrier-heavy phases hardest. Each phase records its
+    * steal share so a degraded figure is attributable to host
+    * weather instead of reading as an engine regression.
+    */
+  def cpuJiffies(): (Long, Long) =
+    try {
+      // cpu user nice system idle iowait irq softirq steal ...
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().split("\\s+").drop(1).map(_.toLong)
+      (f.take(8).sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** steal_ppm over an interval: stolen / (busy+idle+stolen) jiffies. */
+  def stealPpm(before: (Long, Long), after: (Long, Long)): Long = {
+    if (before._1 < 0 || after._1 < 0) return -1L
+    val total = after._1 - before._1
+    val steal = after._2 - before._2
+    if (total <= 0) -1L else 1000000L * steal / total
+  }
+
   /** Sweep cell value: rec/s when all `required` batches completed
     * inside the deadline, else the -1 sentinel — a partial run under
     * host contention must be distinguishable from "measured zero"
@@ -61,6 +85,16 @@ object Bench {
       // read progress BEFORE stop(): even if the stop times out, the
       // completed batches' numbers survive into the JSON
       val measured = sq.recentProgress.filter(p => p.batchId >= 1 && p.batchId <= 4)
+      // per-batch trigger durations ALWAYS go to stderr (one compact
+      // line) — the r14 full-bench stateful cell read 118k rec/s with
+      // zero diagnostics because the per-batch breakdown only existed
+      // behind GRAFT_BENCH_DEBUG and the child stderr was deleted;
+      // a uniform-slow vs one-bad-batch profile distinguishes host
+      // contention from a state-store hiccup
+      System.err.println(s"[bench] $label batches " +
+        sq.recentProgress.map(p => s"${p.batchId}:" +
+          s"${p.durationMs.getOrDefault("triggerExecution", 0L)}ms")
+          .mkString(" "))
       if (sys.env.contains("GRAFT_BENCH_DEBUG"))
         sq.recentProgress.foreach(p => System.err.println(
           s"[bench-debug] $label batch=${p.batchId} " +
@@ -164,7 +198,16 @@ object Bench {
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
           a.startsWith("-agentpath") || a.startsWith("-Xrunjdwp"))
       val childTmp = java.nio.file.Files.createTempDirectory("graft-fork-tmp")
-      val errFile = childTmp.resolve("child-stderr.log").toFile
+      // stderr goes OUTSIDE childTmp and survives the cleanup: the
+      // per-batch timing lines are the only evidence when a child
+      // measures slow without failing (see the timeStream batches
+      // stamp) — childTmp itself is deleted because a halted child
+      // skips its own shutdown hooks
+      val keepDir = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-bench-childlogs")
+      java.nio.file.Files.createDirectories(keepDir)
+      val errFile = keepDir.resolve(
+        s"$mainClass-${System.currentTimeMillis / 1000}.stderr.log").toFile
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq(s"-Djava.io.tmpdir=$childTmp",
           "-cp", System.getProperty("java.class.path"), mainClass) ++ args
@@ -234,10 +277,17 @@ object Bench {
       artifact("stateful_rocksdb_by_batch_size"),
     "\"loadavg_start\":" + artifact("loadavg_start"),
     "\"loadavg_end\":" + artifact("loadavg_end"),
+    "\"steal_ppm\":" + artifact("steal_ppm"),
     "\"sf\":" + artifact("sf"),
     "\"phases_done\":\"" + phase + "\"").mkString("{", ",", "}")
 
   private def emit(phase: String): Unit = {
+    if (phaseJiffies._1 >= 0 && !phase.endsWith("_partial")) {
+      phaseSteal(phase) = stealPpm(phaseJiffies, cpuJiffies())
+      artifact("steal_ppm") = phaseSteal
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    }
     artifact("phases_done") = "\"" + phase + "\""
     // stderr stamp FIRST: nothing of ours may print after the compact
     // line — the driver scans a small combined-output tail for the
@@ -251,9 +301,18 @@ object Bench {
     System.out.flush()
   }
 
-  private def phaseStart(phase: String): Unit =
+  // per-phase hypervisor-steal ledger (see [[cpuJiffies]]): phaseStart
+  // snapshots, emit records the delta — "steal_ppm" in the artifact
+  // maps phase -> stolen-CPU share while it ran
+  private var phaseJiffies: (Long, Long) = (-1L, -1L)
+  private val phaseSteal =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+  private def phaseStart(phase: String): Unit = {
+    phaseJiffies = cpuJiffies()
     System.err.println(
       s"[bench] phase=$phase start t=${System.currentTimeMillis / 1000} load=${loadavg().head}")
+  }
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadavg()
@@ -523,6 +582,7 @@ object Bench {
     artifact("budget_sec") = budgetSec.toString
     artifact("extended_skipped") = "0"
     artifact("sf") = "\"" + sfDir + "\""
+    artifact("steal_ppm") = "{}"
     artifact("phases_done") = "\"none\""
 
     // ---- forked state-store phases FIRST (pristine box, no parent
@@ -547,7 +607,12 @@ object Bench {
           s"[bench] budget: skipped stateful fork (remaining=${remainingSec()}s)")
         List.empty[String]
       } else forkChild("graft.StatefulBench",
-        statefulSweepSizes.map(_.toString), timeoutMin = 6, cpus = cpus)
+        statefulSweepSizes.map(_.toString),
+        // 7 min covers warm + best-of-2 on the 2M cell even under
+        // heavy steal, but never at the expense of the phases still
+        // ahead: cap so ≥ ~5.5 min of budget survives the fork
+        timeoutMin = math.max(5L, math.min(7L,
+          (remainingSec() - 330) / 60)).toInt, cpus = cpus)
     val statefulParsed = statefulLines.flatMap { l =>
       val re = """rowsPerBatch=(\d+)\s+batches=(\d+) rows=(\d+) sec=([\d.]+) rec/s=(-?\d+)""".r
       re.findFirstMatchIn(l).map(m => (m.group(1).toLong, m.group(3).toLong,
@@ -590,7 +655,11 @@ object Bench {
         fallback
       } else {
         val out = forkChild("graft.RocksBench", Seq.empty,
-          timeoutMin = 6, cpus = cpus)
+          // same remaining-aware cap as the stateful fork: the
+          // best-of-2 2M cell may double, but headline/pipeline/
+          // streaming still need their ~4 min after this
+          timeoutMin = math.max(4L, math.min(7L,
+            (remainingSec() - 280) / 60)).toInt, cpus = cpus)
         out.reverseIterator.find(_.startsWith("ROCKS_SWEEP "))
           .map(_.stripPrefix("ROCKS_SWEEP ").trim)
           .getOrElse { System.err.println(

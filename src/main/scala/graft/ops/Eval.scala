@@ -1580,6 +1580,35 @@ object Eval {
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(v AS DECIMAL(38,0))")).as("s"),
         sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("q"))
+    cohensDFromMomentsDf(m, groupCol, baseline)
+  }
+
+  /** The Cohen's d readback over additive per-group (n, Σx, Σx²)
+    * moments — the streaming form of [[cohensD]]: the three moments
+    * fold across micro-batches, so a foreachBatch monitor accumulates
+    * them and emits the live effect sizes through the SAME pooled
+    * arithmetic.
+    */
+  def cohensDFromMoments(spark: org.apache.spark.sql.SparkSession,
+                         moments: Seq[(String, Long, Long, Long)],
+                         groupCol: String, baseline: String): DataFrame = {
+    import spark.implicits._
+    cohensDFromMomentsDf(
+      moments.toDF("g", "bn", "bs", "bq")
+        .groupBy("g")
+        .agg(sum("bn").as("n"),
+          sum(expr("CAST(bs AS DECIMAL(38,0))")).as("s"),
+          sum(expr("CAST(bq AS DECIMAL(38,0))")).as("q")),
+      groupCol, baseline)
+  }
+
+  /** The pooled-variance d arithmetic over a (g, n, s, q) moment
+    * table — shared VERBATIM by [[cohensD]] and
+    * [[cohensDFromMoments]].
+    */
+  private def cohensDFromMomentsDf(moments: DataFrame, groupCol: String,
+                                   baseline: String): DataFrame = {
+    val m = moments
       .localCheckpoint() // baseline row + comparison rows share it
     val base = m.where(col("g") === lit(baseline))
       .select(col("n").as("nb"), col("s").as("sb"), col("q").as("qb"))

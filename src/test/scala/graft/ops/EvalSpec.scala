@@ -1004,6 +1004,22 @@ class EvalSpec extends SparkSpec {
       .orderBy("g_a", "g_b").collect().toSeq === cExp)
   }
 
+  test("cohensD fromMoments: folded micro-batch moments == batch") {
+    val rows = Seq(("src0", 2000L), ("src0", 4000L), ("s1", 5000L),
+      ("s1", 7000L), ("s2", 1000L), ("s2", 1000L), ("s1", 6000L))
+    val exp = Eval.cohensD(rows.toDF("source", "n_chars"),
+      "source", col("n_chars"), "src0").orderBy("source")
+      .collect().toSeq
+    val (b1, b2) = rows.splitAt(3)
+    // per-batch (g, n, sum, sumsq) — the same group key appears in
+    // both batches so the fold must be additive
+    val folded = Seq(b1, b2).flatMap(_.groupBy(_._1).map {
+      case (g, xs) => (g, xs.size.toLong, xs.map(_._2).sum,
+        xs.map(v => v._2 * v._2).sum) })
+    assert(Eval.cohensDFromMoments(spark, folded, "source", "src0")
+      .orderBy("source").collect().toSeq === exp)
+  }
+
   test("adjustedRand: hand cases + brute-force pair counting") {
     // independent 2x2: every cell 1 -> RI = 2/6, ARI = -1/2 exactly
     val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
