@@ -389,17 +389,23 @@ object Bench {
         sys.env.getOrElse("GRAFT_PRIOR_BENCH_DIR", "."))
       val files = Option(dir.listFiles((_: java.io.File, n: String) =>
         n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
-      if (files.isEmpty) Map.empty
-      else {
-        val latest = files.maxBy(f =>
-          "\\d+".r.findFirstIn(f.getName).getOrElse("0").toInt)
-        System.err.println(s"[bench] drift guard vs ${latest.getName}")
-        val txt = scala.io.Source.fromFile(latest).mkString
-        "\"(q\\d+[A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?)[,}]".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toMap
-      }
+      // newest first, but SKIP artifacts with no per-query data — a
+      // killed round's file (BENCH_r13: rc=124, tail only) would
+      // otherwise silently disable the guard for the whole next round
+      files.sortBy(f => -"\\d+".r.findFirstIn(f.getName)
+          .getOrElse("0").toInt)
+        .iterator.map { f =>
+          val txt = scala.io.Source.fromFile(f).mkString
+          val m = "\"(q\\d+[A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?)[,}]".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0).toMap
+          (f.getName, m)
+        }
+        .collectFirst { case (name, m) if m.nonEmpty =>
+          System.err.println(s"[bench] drift guard vs $name")
+          m
+        }.getOrElse(Map.empty)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] drift guard unavailable: ${e.getMessage}")
       Map.empty
@@ -550,7 +556,7 @@ object Bench {
       "q328_wilcoxon", "q329_cliffs_delta", "q330_template_boilerplate",
       "q331_ljung_box", "q332_runs_test", "q333_theil", "q334_cohens_d",
       "q335_adjusted_rand", "q336_bcubed", "q337_vmeasure",
-      "q338_lsh_plan")
+      "q338_lsh_plan", "q339_mp4_probe")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -622,6 +622,7 @@ object OracleSql {
     "q336_bcubed" -> Gen.bcubedSql,
     "q337_vmeasure" -> Gen.vMeasureSql,
     "q338_lsh_plan" -> Gen.lshPlanSql,
+    "q339_mp4_probe" -> Gen.mp4ProbeSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -7157,6 +7158,42 @@ object OracleSql {
          |  CAST(s50 AS BIGINT) AS s50_x1000
          |FROM f ORDER BY bands, rows_per_band""".stripMargin
     }
+
+    /** Twin of q339_mp4_probe: the probed asset is a closed-form
+      * function of doc_id ([[graft.multimodal.Mp4Probe.testAsset]]),
+      * so the twin restates brand/timescale/duration/track grid from
+      * the same formulas — a hash match certifies the whole box walk
+      * including the 16.16 fixed-point dims and both mvhd/tkhd
+      * version layouts.
+      */
+    def mp4ProbeSql: String =
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+         |      AS major_brand,
+         |    CAST(doc_id % 100 AS BIGINT) AS minor_version,
+         |    CAST(1000 + (doc_id % 9) * 600 AS BIGINT) AS movie_timescale,
+         |    CAST((doc_id % 997 + 1) * 100 AS BIGINT) AS du,
+         |    CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
+         |  FROM documents),
+         |tn AS (SELECT unnest([1, 2, 3]) AS track_no),
+         |g AS (SELECT base.*, CAST(track_no AS BIGINT) AS track_id
+         |  FROM base CROSS JOIN tn WHERE track_no <= n_tracks)
+         |SELECT doc_id, major_brand, minor_version, movie_timescale,
+         |  CAST((1000 * du) // movie_timescale AS BIGINT) AS duration_ms,
+         |  n_tracks, track_id,
+         |  CASE track_id WHEN 1 THEN 'vide' WHEN 2 THEN 'soun'
+         |    ELSE 'text' END AS handler,
+         |  CASE WHEN track_id = 1 THEN
+         |      CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+         |        WHEN 2 THEN 'vp09' ELSE 'av01' END
+         |    WHEN track_id = 2 THEN
+         |      CASE doc_id % 2 WHEN 0 THEN 'mp4a' ELSE 'opus' END
+         |    ELSE 'tx3g' END AS codec,
+         |  CAST(CASE WHEN track_id = 1 THEN 320 + 16 * (doc_id % 40)
+         |    ELSE 0 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN track_id = 1 THEN 240 + 16 * (doc_id % 30)
+         |    ELSE 0 END AS BIGINT) AS height
+         |FROM g ORDER BY doc_id, track_id""".stripMargin
 
     /** Twin of q331_ljung_box: the q226 ACF CTE verbatim, then the
       * same per-lag integral divide and one-row fold per type.

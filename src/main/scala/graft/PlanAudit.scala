@@ -44,6 +44,34 @@ object PlanAudit {
     // ONE-row train-majority baseline cross-joined into the eval
     // flags, plus the q114 NB class-table scoring shape upstream
     "q325_cochran_q",
+    // pairs-of-groups comparison over the value-bounded count grid
+    // plus ONE-row per-pair totals — the q278 shape, broadcast by
+    // design
+    "q329_cliffs_delta",
+    // the q226 ACF surface's lag-grid rows cross-joined with the
+    // ONE-row per-type n — span-bounded both sides
+    "q331_ljung_box",
+    // ONE-row day-count total and ONE-row exact median cross-joined
+    // onto the span-bounded day grid — broadcast scalars by design
+    "q332_runs_test",
+    // ONE-row corpus total cross-joined into the bounded group table
+    // for the between-group half — broadcast scalar by design
+    "q333_theil",
+    // ONE-row baseline-group moments cross-joined into the bounded
+    // comparison-group table — broadcast scalar by design
+    "q334_cohens_d",
+    // ONE-row pair-count totals × row-margin fold × column-margin
+    // fold — all bounded by the label grid, broadcast by design
+    "q335_adjusted_rand",
+    // ONE-row corpus count × two ONE-row precision/recall folds —
+    // broadcast scalars by design
+    "q336_bcubed",
+    // ONE-row total × four ONE-row entropy folds off the bounded
+    // label grid — broadcast scalars by design
+    "q337_vmeasure",
+    // ≤20-bin similarity histogram × 6-row literal config grid —
+    // the whole planner fold is literal-bounded, broadcast by design
+    "q338_lsh_plan",
     // ONE-row privacy totals cross-joined into the 4-row per-k
     // report — broadcast scalar by design
     "q279_k_anonymity",

@@ -5012,6 +5012,42 @@ object Queries {
       "jaccard_x1000")
       .orderBy("bands", "rows_per_band")
 
+  /** MP4 / ISO-BMFF container probe ([[graft.multimodal.Mp4Probe]]):
+    * the video analog of q115's image-header probe — box-tree walk
+    * extracting brand, movie timescale/duration and per-track
+    * handler/codec/dimensions, the inventory stage a video corpus
+    * runs before any decode. Assets are deterministic closed-form
+    * functions of doc_id (the q192 CBOR discipline, both v0 and
+    * 64-bit v1 box layouts on the oracle path), so the twin restates
+    * every probed field and a hash match certifies the whole walk.
+    */
+  val q339_mp4_probe: Q = (s, d) => {
+    import graft.multimodal.Mp4Probe
+    val synth = udf((id: Long) => Mp4Probe.testAsset(id))
+    val dec = udf((b: Array[Byte]) => {
+      val m = Mp4Probe.probe(b)
+      if (m == null) null
+      else (m.majorBrand, m.minorVersion, m.timescale, m.durationMs,
+        m.tracks.size.toLong,
+        m.tracks.map(t => (t.trackId, t.handler, t.codec, t.width,
+          t.height)))
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), dec(synth(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("m.*"))
+      .toDF("doc_id", "major_brand", "minor_version", "movie_timescale",
+        "duration_ms", "n_tracks", "tracks")
+      .select(col("doc_id"), col("major_brand"), col("minor_version"),
+        col("movie_timescale"), col("duration_ms"), col("n_tracks"),
+        explode(col("tracks")).as("t"))
+      .select(col("doc_id"), col("major_brand"), col("minor_version"),
+        col("movie_timescale"), col("duration_ms"), col("n_tracks"),
+        col("t._1").as("track_id"), col("t._2").as("handler"),
+        col("t._3").as("codec"), col("t._4").as("width"),
+        col("t._5").as("height"))
+      .orderBy("doc_id", "track_id")
+  }
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5575,5 +5611,6 @@ object Queries {
     "q335_adjusted_rand" -> q335_adjusted_rand,
     "q336_bcubed" -> q336_bcubed,
     "q337_vmeasure" -> q337_vmeasure,
-    "q338_lsh_plan" -> q338_lsh_plan)
+    "q338_lsh_plan" -> q338_lsh_plan,
+    "q339_mp4_probe" -> q339_mp4_probe)
 }

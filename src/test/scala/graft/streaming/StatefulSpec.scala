@@ -1491,4 +1491,38 @@ class StatefulSpec extends SparkSpec {
     // every trigger that saw a user emitted a row
     assert(updates.count(_.user == 1L) === 3)
   }
+
+  test("streaming cluster-agreement monitor: folded cells ≡ batch " +
+    "ARI/B³/V over delivered pairs (differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    // a live labeling-quality monitor: (pred, truth) pairs arrive as
+    // a stream; the (a, b) contingency cells fold additively across
+    // triggers and all three agreement scores read back through the
+    // SAME arithmetic as the batch operators
+    val stream = MemoryStream[(String, String)]
+    val cells = mutable.Map.empty[(String, String), Long]
+    val q = stream.toDF().toDF("pred", "truth").writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+        cells.synchronized {
+          rows.foreach(k => cells(k) = cells.getOrElse(k, 0L) + 1L)
+        }
+        ()
+      }.start()
+    val batch1 = Seq(("x", "p"), ("x", "p"), ("y", "q"))
+    val batch2 = Seq(("x", "q"), ("y", "q"), ("z", "q"), ("x", "p"))
+    stream.addData(batch1: _*); q.processAllAvailable()
+    stream.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val folded = cells.toSeq.map { case ((a, b), n) => (a, b, n) }
+    val df = (batch1 ++ batch2).toDF("pred", "truth")
+    import graft.ops.Eval
+    assert(Eval.adjustedRandFromCounts(spark, folded).collect().toSeq ===
+      Eval.adjustedRand(df, "pred", "truth").collect().toSeq)
+    assert(Eval.bcubedFromCounts(spark, folded).collect().toSeq ===
+      Eval.bcubed(df, "pred", "truth").collect().toSeq)
+    assert(Eval.vMeasureFromCounts(spark, folded).collect().toSeq ===
+      Eval.vMeasure(df, "pred", "truth").collect().toSeq)
+  }
 }
