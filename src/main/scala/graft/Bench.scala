@@ -556,7 +556,7 @@ object Bench {
       "q328_wilcoxon", "q329_cliffs_delta", "q330_template_boilerplate",
       "q331_ljung_box", "q332_runs_test", "q333_theil", "q334_cohens_d",
       "q335_adjusted_rand", "q336_bcubed", "q337_vmeasure",
-      "q338_lsh_plan", "q339_mp4_probe")
+      "q338_lsh_plan", "q339_mp4_probe", "q340_webm_probe")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

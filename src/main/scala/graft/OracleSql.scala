@@ -623,6 +623,7 @@ object OracleSql {
     "q337_vmeasure" -> Gen.vMeasureSql,
     "q338_lsh_plan" -> Gen.lshPlanSql,
     "q339_mp4_probe" -> Gen.mp4ProbeSql,
+    "q340_webm_probe" -> Gen.webmProbeSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -7194,6 +7195,38 @@ object OracleSql {
          |  CAST(CASE WHEN track_id = 1 THEN 240 + 16 * (doc_id % 30)
          |    ELSE 0 END AS BIGINT) AS height
          |FROM g ORDER BY doc_id, track_id""".stripMargin
+
+    /** Twin of q340_webm_probe: the probed asset is a closed-form
+      * function of doc_id ([[graft.multimodal.EbmlProbe.testAsset]]) —
+      * the twin restates DocType/scale/duration/track grid from the
+      * same formulas, certifying the whole vint walk.
+      */
+    def webmProbeSql: String =
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+         |      AS doc_type,
+         |    CAST(1000000 AS BIGINT) AS timestamp_scale_ns,
+         |    CAST((doc_id % 997 + 1) * 250 AS BIGINT) AS duration_ms,
+         |    CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
+         |  FROM documents),
+         |tn AS (SELECT unnest([1, 2, 3]) AS track_no),
+         |g AS (SELECT base.*, CAST(track_no AS BIGINT) AS track_number
+         |  FROM base CROSS JOIN tn WHERE track_no <= n_tracks)
+         |SELECT doc_id, doc_type, timestamp_scale_ns, duration_ms,
+         |  n_tracks, track_number,
+         |  CASE track_number WHEN 1 THEN 'video' WHEN 2 THEN 'audio'
+         |    ELSE 'subtitle' END AS track_type,
+         |  CASE WHEN track_number = 1 THEN
+         |      CASE doc_id % 3 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
+         |        ELSE 'V_AV1' END
+         |    WHEN track_number = 2 THEN
+         |      CASE doc_id % 2 WHEN 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+         |    ELSE 'S_TEXT/UTF8' END AS codec,
+         |  CAST(CASE WHEN track_number = 1 THEN 320 + 16 * (doc_id % 40)
+         |    ELSE 0 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN track_number = 1 THEN 240 + 16 * (doc_id % 30)
+         |    ELSE 0 END AS BIGINT) AS height
+         |FROM g ORDER BY doc_id, track_number""".stripMargin
 
     /** Twin of q331_ljung_box: the q226 ACF CTE verbatim, then the
       * same per-lag integral divide and one-row fold per type.

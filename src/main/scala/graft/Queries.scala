@@ -5048,6 +5048,40 @@ object Queries {
       .orderBy("doc_id", "track_id")
   }
 
+  /** Matroska / WebM EBML probe ([[graft.multimodal.EbmlProbe]],
+    * RFC 8794): the vint-encoded half of the web-video inventory
+    * beside q339's fixed-layout ISO-BMFF walk — DocType, timestamp
+    * scale, duration, per-track type/codec/dimensions. Closed-form
+    * synthetic assets (the q192/q339 discipline); durations are
+    * integer-valued float64 ticks so the floor-to-ms is exact.
+    */
+  val q340_webm_probe: Q = (s, d) => {
+    import graft.multimodal.EbmlProbe
+    val synth = udf((id: Long) => EbmlProbe.testAsset(id))
+    val dec = udf((b: Array[Byte]) => {
+      val m = EbmlProbe.probe(b)
+      if (m == null) null
+      else (m.docType, m.timestampScaleNs, m.durationMs,
+        m.tracks.size.toLong,
+        m.tracks.map(t => (t.number, t.trackType, t.codec, t.width,
+          t.height)))
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), dec(synth(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("m.*"))
+      .toDF("doc_id", "doc_type", "timestamp_scale_ns", "duration_ms",
+        "n_tracks", "tracks")
+      .select(col("doc_id"), col("doc_type"), col("timestamp_scale_ns"),
+        col("duration_ms"), col("n_tracks"),
+        explode(col("tracks")).as("t"))
+      .select(col("doc_id"), col("doc_type"), col("timestamp_scale_ns"),
+        col("duration_ms"), col("n_tracks"),
+        col("t._1").as("track_number"), col("t._2").as("track_type"),
+        col("t._3").as("codec"), col("t._4").as("width"),
+        col("t._5").as("height"))
+      .orderBy("doc_id", "track_number")
+  }
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5612,5 +5646,6 @@ object Queries {
     "q336_bcubed" -> q336_bcubed,
     "q337_vmeasure" -> q337_vmeasure,
     "q338_lsh_plan" -> q338_lsh_plan,
-    "q339_mp4_probe" -> q339_mp4_probe)
+    "q339_mp4_probe" -> q339_mp4_probe,
+    "q340_webm_probe" -> q340_webm_probe)
 }

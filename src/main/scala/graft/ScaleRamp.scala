@@ -195,7 +195,7 @@ object ScaleRamp {
       "q328_wilcoxon", "q329_cliffs_delta", "q330_template_boilerplate",
       "q331_ljung_box", "q332_runs_test", "q333_theil", "q334_cohens_d",
       "q335_adjusted_rand", "q336_bcubed", "q337_vmeasure",
-      "q338_lsh_plan", "q339_mp4_probe")
+      "q338_lsh_plan", "q339_mp4_probe", "q340_webm_probe")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries
