@@ -1804,15 +1804,35 @@ object Dedup {
     Seq((32, 1), (16, 2), (8, 4), (16, 4), (4, 8), (8, 8))
 
   def lshPlan(pairs: DataFrame, simX1000Col: String,
-              grid: Seq[(Int, Int)] = DefaultLshPlanGrid): DataFrame = {
+              grid: Seq[(Int, Int)] = DefaultLshPlanGrid): DataFrame =
+    lshPlanFromBinsDf(
+      pairs.select(expr(s"least($simX1000Col div 50, 19)").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt")),
+      grid)
+
+  /** The planner readback over additive (bin, count) similarity
+    * histogram cells — the streaming form of [[lshPlan]]: a
+    * foreachBatch monitor folds each micro-batch's pair-similarity
+    * bins and re-prices the whole (bands, rows) grid live through the
+    * SAME arithmetic and the same single-source collision constants.
+    */
+  def lshPlanFromCounts(spark: org.apache.spark.sql.SparkSession,
+                        counts: Seq[(Long, Long)],
+                        grid: Seq[(Int, Int)] = DefaultLshPlanGrid)
+      : DataFrame = {
+    import spark.implicits._
+    lshPlanFromBinsDf(counts.toDF("bin", "cnt")
+      .groupBy("bin").agg(sum("cnt").as("cnt")), grid)
+  }
+
+  private def lshPlanFromBinsDf(binsDf: DataFrame,
+                                grid: Seq[(Int, Int)]): DataFrame = {
     require(grid.nonEmpty && grid.forall { case (b, r) =>
       b >= 1 && b <= 64 && r >= 1 && r <= 64 },
       "grid entries must be (bands, rowsPerBand) in [1, 64]")
-    val bins = pairs
-      .select(expr(s"least($simX1000Col div 50, 19)").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val bins = binsDf
       .localCheckpoint() // ≤ 20 rows feed every config fold
-    val spark = pairs.sparkSession
+    val spark = binsDf.sparkSession
     import spark.implicits._
     val configs = grid.map { case (b, r) =>
       val mids = (0 until 20).map(bin => 50L * bin + 25)

@@ -423,5 +423,12 @@ class DedupSpec extends SparkSpec {
     val r8 = out(0); val r16 = out(1)
     assert(r16.getAs[Long]("recall_x1000") >= r8.getAs[Long]("recall_x1000"))
     assert(r16.getAs[Long]("s50_x1000") <= r8.getAs[Long]("s50_x1000"))
+    // streaming readback: per-micro-batch (bin, count) cells fold
+    // additively — same key in both batches — and reprice identically
+    val folded = Seq(Seq(525L, 975L), Seq(525L, 525L, 675L)).flatMap(
+      _.map(j => math.min(j / 50, 19)).groupBy(identity)
+        .map { case (b, xs) => (b, xs.size.toLong) })
+    assert(Dedup.lshPlanFromCounts(spark, folded, grid)
+      .orderBy("bands").collect().toSeq === out.toSeq)
   }
 }
