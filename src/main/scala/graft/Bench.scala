@@ -213,6 +213,11 @@ object Bench {
           "-cp", System.getProperty("java.class.path"), mainClass) ++ args
       val pb = new ProcessBuilder(cmd.asJava)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // the child sheds its own work (shrunken deadlines, dropped
+      // retries) instead of being shot mid-pass by the watchdog —
+      // 30 s of slack covers JVM startup + session teardown
+      pb.environment().put("GRAFT_CHILD_BUDGET_SEC",
+        (timeoutMin * 60L - 30L).toString)
       pb.redirectError(ProcessBuilder.Redirect.to(errFile))
       val proc = pb.start()
       val watchdog = new Thread(() => {
@@ -556,7 +561,9 @@ object Bench {
       "q328_wilcoxon", "q329_cliffs_delta", "q330_template_boilerplate",
       "q331_ljung_box", "q332_runs_test", "q333_theil", "q334_cohens_d",
       "q335_adjusted_rand", "q336_bcubed", "q337_vmeasure",
-      "q338_lsh_plan", "q339_mp4_probe", "q340_webm_probe")
+      "q338_lsh_plan", "q339_mp4_probe", "q340_webm_probe",
+      "q341_changepoint", "q342_flac_probe", "q343_mp3_probe",
+      "q344_ogg_probe", "q345_seed_expansion", "q346_risk_coverage")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,
@@ -614,19 +621,24 @@ object Bench {
         List.empty[String]
       } else forkChild("graft.StatefulBench",
         statefulSweepSizes.map(_.toString),
-        // 7 min covers warm + best-of-2 on the 2M cell even under
-        // heavy steal, but never at the expense of the phases still
-        // ahead: cap so ≥ ~5.5 min of budget survives the fork
-        timeoutMin = math.max(5L, math.min(7L,
+        // 6 min covers warm + best-of-2 on the 2M cell under normal
+        // weather; under the steal bursts this box shows, the child's
+        // own budget (GRAFT_CHILD_BUDGET_SEC) sheds the retries and
+        // prints per-pass lines, so capping tighter costs nothing —
+        // the r14 dev run burned a full 7-min watchdog and lost
+        // EVERYTHING because results only printed at the end
+        timeoutMin = math.max(4L, math.min(6L,
           (remainingSec() - 330) / 60)).toInt, cpus = cpus)
     val statefulParsed = statefulLines.flatMap { l =>
       val re = """rowsPerBatch=(\d+)\s+batches=(\d+) rows=(\d+) sec=([\d.]+) rec/s=(-?\d+)""".r
       re.findFirstMatchIn(l).map(m => (m.group(1).toLong, m.group(3).toLong,
         m.group(4).toDouble, m.group(5).toDouble))
     }
+    // the child prints a line per PASS (kill-proofing) — keep the
+    // best rec/s per size
     val statefulSweep = statefulSweepSizes.map { n =>
-      statefulParsed.find(_._1 == n)
-        .getOrElse((n, 0L, 0.0, -1.0))
+      val passes = statefulParsed.filter(_._1 == n)
+      if (passes.isEmpty) (n, 0L, 0.0, -1.0) else passes.maxBy(_._4)
     }
     val statefulComplete = statefulSweep.filter(_._4 >= 0)
     val (_, statefulRows, statefulSec, statefulRecPerSec) =
@@ -655,7 +667,7 @@ object Bench {
     artifact("rocksdb_settle_sec") = settle(maxWaitSec = 45).toString
     val rocksSweepJson = {
       val fallback = "{\"1000000\":-1,\"2000000\":-1}"
-      if (remainingSec() < 350) {
+      if (remainingSec() < 300) {
         System.err.println(
           s"[bench] budget: skipped rocksdb fork (remaining=${remainingSec()}s)")
         fallback
@@ -663,8 +675,10 @@ object Bench {
         val out = forkChild("graft.RocksBench", Seq.empty,
           // same remaining-aware cap as the stateful fork: the
           // best-of-2 2M cell may double, but headline/pipeline/
-          // streaming still need their ~4 min after this
-          timeoutMin = math.max(4L, math.min(7L,
+          // streaming still need their ~4 min after this — and the
+          // child's own budget + incremental ROCKS_SWEEP prints mean
+          // a tight watchdog degrades cells, never loses them
+          timeoutMin = math.max(3L, math.min(6L,
             (remainingSec() - 280) / 60)).toInt, cpus = cpus)
         out.reverseIterator.find(_.startsWith("ROCKS_SWEEP "))
           .map(_.stripPrefix("ROCKS_SWEEP ").trim)
@@ -682,6 +696,11 @@ object Bench {
     // absorber — every high-value figure is already in the artifact
     // when budget pressure starts shedding queries) ----
 
+    // the forks leave 32 threads' worth of decaying load behind —
+    // the r14 dev run started the headline at loadavg 12.5 and its
+    // first trials read 2-5× slow; one bounded settle keeps the
+    // phase's figures attributable to the engine
+    artifact("headline_settle_sec") = settle(maxWaitSec = 45).toString
     phaseStart("headline")
     // warm-up: a FULL untimed pass of the headline set, not just q01
     // (r13 judge finding: the binary grew ~2.5× across rounds and the
@@ -689,14 +708,27 @@ object Bench {
     // the first timed trial of each query carries compile time, the
     // best-of-2 total reads ~2× its steady state, and round-over-
     // round totals stop being comparable; steady-state parity with
-    // r12 was judge-confirmed once warm)
-    headline.foreach { n =>
+    // r12 was judge-confirmed once warm). Under budget pressure
+    // (weather-slowed forks ahead of us) the warm pass drops and the
+    // trials go single-shot — logged and visible in the trials
+    // arrays, because a degraded-but-present headline beats an
+    // rc=124 that loses pipeline/streaming too.
+    val headlinePressure = remainingSec() < 220
+    if (headlinePressure) System.err.println(
+      s"[bench] budget: headline degraded mode (remaining=${remainingSec()}s)" +
+        " — no warm pass, single trials")
+    else headline.foreach { n =>
       try Queries.all(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    val results = headline.map(n => n -> trialsOf(n))
+    val results =
+      if (headlinePressure) headline.map(n => n ->
+        // under pressure even single trials stop at the margin — a
+        // 5×-slow box can eat 4 min on 13 "quick" queries
+        (if (remainingSec() > 60) Seq(run(n)) else Seq((-1.0, -1.0))))
+      else headline.map(n => n -> trialsOf(n))
     val total = results.map(r => bestOf(r._2)).filter(_ >= 0).sum
     artifact("value") = total.toString
     artifact("queries") = results
@@ -745,31 +777,41 @@ object Bench {
     // local[32] storage pool.
     // spread across all cores first — events is a single small parquet
     // file, so without this the decode stage would run on 1-2 partitions
-    val staged = records.repartition(cpus.toInt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val stagedPipeline = pipelineOver(staged)
-    val eventRows = staged.count()   // materializes the cache
-    stagedPipeline.write.format("noop").mode("overwrite").save()   // warm codegen
-    // best of 3 timed trials — single-trial numbers swing ±50% with
-    // JIT/GC in a fresh JVM; steady-state throughput is the max.
-    // Same contention-retry rule as the catalog trials: a >3× spread
-    // (BENCH_r08's pipeline trials spanned 129-641 s under external
-    // load) earns one extra sample — a 4-entry array is the marker.
-    def pipelineTrial(): Double = {
-      val t0 = System.nanoTime()
-      stagedPipeline.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    // budget guard (the r14 rc=124 lesson: pipeline + streaming ran
+    // unguarded after a weather-slowed fork window and the external
+    // kill took BOTH): skip with the -1 sentinels rather than start
+    // work the clock cannot hold
+    var staged: Option[org.apache.spark.sql.DataFrame] = None
+    if (remainingSec() < 100) System.err.println(
+      s"[bench] budget: skipped pipeline phase (remaining=${remainingSec()}s)")
+    else {
+      val s = records.repartition(cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      staged = Some(s)
+      val stagedPipeline = pipelineOver(s)
+      val eventRows = s.count()   // materializes the cache
+      stagedPipeline.write.format("noop").mode("overwrite").save()   // warm codegen
+      // best of 3 timed trials — single-trial numbers swing ±50% with
+      // JIT/GC in a fresh JVM; steady-state throughput is the max.
+      // Same contention-retry rule as the catalog trials: a >3× spread
+      // (BENCH_r08's pipeline trials spanned 129-641 s under external
+      // load) earns one extra sample — a 4-entry array is the marker.
+      def pipelineTrial(): Double = {
+        val t0 = System.nanoTime()
+        stagedPipeline.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val pipelineBase = (1 to 3).map(_ => pipelineTrial())
+      val pipelineTrials =
+        if (pipelineBase.max / pipelineBase.min.max(1e-9) > 3.0)
+          pipelineBase :+ pipelineTrial()
+        else pipelineBase
+      val pipelineSec = pipelineTrials.min
+      val recPerSec = if (pipelineSec > 0) eventRows / pipelineSec else 0.0
+      artifact("pipeline_trials_sec") = "[" + pipelineTrials.mkString(",") + "]"
+      artifact("pipeline_rec_per_sec") = recPerSec.round.toString
+      artifact("pipeline_rows") = eventRows.toString
     }
-    val pipelineBase = (1 to 3).map(_ => pipelineTrial())
-    val pipelineTrials =
-      if (pipelineBase.max / pipelineBase.min.max(1e-9) > 3.0)
-        pipelineBase :+ pipelineTrial()
-      else pipelineBase
-    val pipelineSec = pipelineTrials.min
-    val recPerSec = if (pipelineSec > 0) eventRows / pipelineSec else 0.0
-    artifact("pipeline_trials_sec") = "[" + pipelineTrials.mkString(",") + "]"
-    artifact("pipeline_rec_per_sec") = recPerSec.round.toString
-    artifact("pipeline_rows") = eventRows.toString
     artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
     emit("pipeline")
 
@@ -810,6 +852,10 @@ object Bench {
         array().cast("array<struct<key:string,value:binary>>").as("headers"))
       timeStream(ckpt => pipelineOver(kafkaShaped).writeStream
         .format("noop").option("checkpointLocation", ckpt).start(),
+        // deadline bends to the remaining budget (60 s reserved for
+        // drain + final emits) so a weather-slowed cell degrades to
+        // fewer measured batches instead of an external kill
+        deadlineSec = math.max(30L, math.min(180L, remainingSec() - 60)),
         label = s"stateless/$rowsPerBatch")
     }
     // two sizes, not three: the 250k cell prices per-trigger overhead,
@@ -818,7 +864,14 @@ object Bench {
     // wall-clock budget the SIGKILL hardening is trying to reclaim.
     // The 2M HEADLINE cell runs first; the 250k pricing cell is
     // optional under budget pressure (skip logged, -1 sentinel kept).
-    val streamCells = Seq(2000000L) ++
+    // whole-phase guard first (the pipeline-guard rationale): a
+    // streaming cell started with < 2 min left cannot finish its 4
+    // measured batches + drain before the external kill
+    val streamCells =
+      (if (remainingSec() > 120) Seq(2000000L)
+       else { System.err.println(
+         s"[bench] budget: skipped streaming phase (remaining=${remainingSec()}s)")
+         Seq.empty[Long] }) ++
       (if (remainingSec() > 330) Seq(250000L)
        else { System.err.println(
          s"[bench] budget: skipped 250k streaming cell (remaining=${remainingSec()}s)")
@@ -886,7 +939,7 @@ object Bench {
 
     // stop the session BEFORE the final emit so no Spark shutdown
     // logging can interleave after the last compact line
-    staged.unpersist(blocking = true)
+    staged.foreach(_.unpersist(blocking = true))
     spark.stop()
     emit("all")
   }

@@ -624,6 +624,12 @@ object OracleSql {
     "q338_lsh_plan" -> Gen.lshPlanSql,
     "q339_mp4_probe" -> Gen.mp4ProbeSql,
     "q340_webm_probe" -> Gen.webmProbeSql,
+    "q341_changepoint" -> Gen.changepointSql,
+    "q342_flac_probe" -> Gen.flacProbeSql,
+    "q343_mp3_probe" -> Gen.mp3ProbeSql,
+    "q344_ogg_probe" -> Gen.oggProbeSql,
+    "q345_seed_expansion" -> Gen.seedExpansionSql,
+    "q346_risk_coverage" -> Gen.riskCoverageSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6206,6 +6212,35 @@ object OracleSql {
          |SELECT bin, n, conf_ppm, acc_ppm, gap_ppm, ece_ppm
          |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
 
+    /** Twin of q346_risk_coverage: the q309 train/test forecast CTEs
+      * verbatim, then the ascending-score cumulative fold with both
+      * ppm divides mirrored.
+      */
+    def riskCoverageSql: String =
+      s"""WITH li AS (SELECT p_brand, l_shipdate,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |train AS (SELECT p_brand,
+         |    CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS p
+         |  FROM li WHERE l_shipdate < DATE '1995-06-01' GROUP BY 1),
+         |test AS (SELECT p, y FROM li JOIN train USING (p_brand)
+         |  WHERE l_shipdate >= DATE '1995-06-01'),
+         |c AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS e FROM test GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+         |cm AS (SELECT p, n,
+         |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+         |    CAST(sum(e) OVER w AS BIGINT) AS cum_e
+         |  FROM c WINDOW w AS (ORDER BY p
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT p AS score_ppm, n, cum_n,
+         |  CAST((1000000 * CAST(cum_n AS HUGEINT))
+         |    // greatest(n_total, 1) AS BIGINT) AS coverage_ppm,
+         |  cum_e AS cum_losses,
+         |  CAST((1000000 * CAST(cum_e AS HUGEINT))
+         |    // greatest(cum_n, 1) AS BIGINT) AS risk_ppm
+         |FROM cm CROSS JOIN tot ORDER BY score_ppm""".stripMargin
+
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,
       * shared Mitchell-log emitter), folded per source, then the
       * IDENTICAL generated exp2 CASE over the centered, clamped,
@@ -7227,6 +7262,213 @@ object OracleSql {
          |  CAST(CASE WHEN track_number = 1 THEN 240 + 16 * (doc_id % 30)
          |    ELSE 0 END AS BIGINT) AS height
          |FROM g ORDER BY doc_id, track_number""".stripMargin
+
+    /** Twin of q341_changepoint: the q199 zero-filled day grid, the
+      * same cumulative window, the exact common-denominator gain
+      * fold through HUGEINT (numerator ≥ 0 by Cauchy–Schwarz, so
+      * truncating `//` matches Spark `div`) and the same
+      * (gain DESC, day ASC) argmax.
+      */
+    def changepointSql: String =
+      s"""WITH b AS (SELECT event_type AS et,
+         |        date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+         |c AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+         |      FROM b GROUP BY et, d),
+         |days AS (SELECT DISTINCT d FROM c),
+         |ets AS (SELECT DISTINCT et FROM c),
+         |g AS (SELECT ets.et, days.d, coalesce(c.x, 0) AS x
+         |      FROM ets CROSS JOIN days
+         |      LEFT JOIN c ON c.et = ets.et AND c.d = days.d),
+         |tot AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+         |      CAST(sum(x) AS HUGEINT) AS s FROM g GROUP BY et),
+         |cum AS (SELECT et, d,
+         |      CAST(count(*) OVER w AS BIGINT) AS t,
+         |      CAST(sum(x) OVER w AS HUGEINT) AS sl
+         |    FROM g WINDOW w AS (PARTITION BY et ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |cuts AS (SELECT cum.et, cum.d, tot.n, tot.s, cum.t, cum.sl,
+         |      CAST((1000 * (sl * sl * (n - t) * n
+         |          + (s - sl) * (s - sl) * t * n
+         |          - s * s * t * (n - t)))
+         |        // (CAST(t AS HUGEINT) * (n - t) * n) AS BIGINT)
+         |        AS gain_x1000
+         |    FROM cum JOIN tot ON cum.et = tot.et WHERE cum.t < tot.n),
+         |best AS (SELECT et, max(gain_x1000) AS bg FROM cuts GROUP BY et),
+         |picked AS (SELECT cuts.et, min(d) AS split_day
+         |    FROM cuts JOIN best ON cuts.et = best.et
+         |      AND cuts.gain_x1000 = best.bg
+         |    GROUP BY cuts.et)
+         |SELECT cuts.et AS event_type, CAST(n AS BIGINT) AS n_days,
+         |  picked.split_day, CAST(t AS BIGINT) AS left_days,
+         |  CAST((1000 * sl) // t AS BIGINT) AS mean_left_milli,
+         |  CAST((1000 * (s - sl)) // (n - t) AS BIGINT)
+         |    AS mean_right_milli,
+         |  gain_x1000
+         |FROM cuts JOIN picked ON cuts.et = picked.et
+         |  AND cuts.d = picked.split_day
+         |ORDER BY event_type""".stripMargin
+
+    /** Twin of q342_flac_probe: the probed asset is a closed-form
+      * function of doc_id
+      * ([[graft.multimodal.AudioProbes.flacTestAsset]]) — the twin
+      * restates every STREAMINFO field and the block count from the
+      * same formulas, certifying the block walk and the 20/3/5/36
+      * bit unpack.
+      */
+    def flacProbeSql: String =
+      s"""WITH base AS (SELECT doc_id,
+         |    CAST(CASE doc_id % 8 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         |      WHEN 2 THEN 22050 WHEN 3 THEN 24000 WHEN 4 THEN 32000
+         |      WHEN 5 THEN 44100 WHEN 6 THEN 48000 ELSE 96000 END
+         |      AS BIGINT) AS sample_rate,
+         |    CAST((doc_id % 997 + 1) * 1000 AS BIGINT) AS total_samples
+         |  FROM documents)
+         |SELECT doc_id, CAST(4096 AS BIGINT) AS min_block,
+         |  CAST(4096 AS BIGINT) AS max_block, sample_rate,
+         |  CAST(1 + doc_id % 4 AS BIGINT) AS channels,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+         |    AS BIGINT) AS bits_per_sample,
+         |  total_samples,
+         |  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_blocks,
+         |  CAST((1000 * total_samples) // sample_rate AS BIGINT)
+         |    AS duration_ms
+         |FROM base ORDER BY doc_id""".stripMargin
+
+    /** Twin of q343_mp3_probe: closed-form tag shape
+      * ([[graft.multimodal.AudioProbes.mp3TestAsset]]) and the REAL
+      * Layer-III bitrate/sample-rate tables restated as CASE arms —
+      * a hash match certifies the syncsafe/big-endian size codecs,
+      * the frame-chain walk and both table lookups.
+      */
+    def mp3ProbeSql: String =
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS v,
+         |    CAST(1 + doc_id % 14 AS BIGINT) AS br_idx,
+         |    CAST((doc_id % 9) // 3 AS BIGINT) AS sr_idx,
+         |    CAST((1 + doc_id % 4) * (12 + doc_id % 7) + 6 AS BIGINT)
+         |      AS tag_size,
+         |    CAST(4 + (doc_id % 997 + 1) * 100 AS BIGINT) AS audio_bytes
+         |  FROM documents),
+         |dec AS (SELECT doc_id, tag_size, audio_bytes,
+         |    CASE WHEN doc_id % 2 = 0 THEN '2.4.0' ELSE '2.3.0' END
+         |      AS id3_version,
+         |    CAST(1 + doc_id % 4 AS BIGINT) AS n_id3_frames,
+         |    CAST(v AS BIGINT) AS mpeg_version,
+         |    CAST(3 AS BIGINT) AS layer,
+         |    CAST(CASE WHEN v = 1 THEN
+         |        CASE br_idx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+         |          WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+         |          WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+         |          WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+         |          WHEN 13 THEN 256 ELSE 320 END
+         |      ELSE
+         |        CASE br_idx WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 24
+         |          WHEN 4 THEN 32 WHEN 5 THEN 40 WHEN 6 THEN 48
+         |          WHEN 7 THEN 56 WHEN 8 THEN 64 WHEN 9 THEN 80
+         |          WHEN 10 THEN 96 WHEN 11 THEN 112 WHEN 12 THEN 128
+         |          WHEN 13 THEN 144 ELSE 160 END END AS BIGINT)
+         |      AS bitrate_kbps,
+         |    CAST(CASE WHEN v = 1 THEN
+         |        CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+         |          ELSE 32000 END
+         |      ELSE
+         |        CASE sr_idx WHEN 0 THEN 22050 WHEN 1 THEN 24000
+         |          ELSE 16000 END END AS BIGINT) AS sample_rate,
+         |    CASE doc_id % 4 WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint_stereo'
+         |      WHEN 2 THEN 'dual_channel' ELSE 'mono' END AS channel_mode
+         |  FROM base)
+         |SELECT doc_id, id3_version, tag_size, n_id3_frames,
+         |  mpeg_version, layer, bitrate_kbps, sample_rate, channel_mode,
+         |  audio_bytes,
+         |  CAST((audio_bytes * 8) // bitrate_kbps AS BIGINT)
+         |    AS duration_ms
+         |FROM dec ORDER BY doc_id""".stripMargin
+
+    /** Twin of q344_ogg_probe: the probed asset is a closed-form
+      * function of doc_id
+      * ([[graft.multimodal.AudioProbes.oggTestAsset]]) — the twin
+      * restates codec/serial/channels/rate/pre-skip/page count and
+      * the exact granule-derived duration (Opus ticks at 48 kHz
+      * minus pre-skip), certifying the lacing page walk and both
+      * identification-header decodes.
+      */
+    def oggProbeSql: String =
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+         |      AS codec,
+         |    CAST(7000 + doc_id % 89 AS BIGINT) AS serial,
+         |    CAST(1 + doc_id % 3 AS BIGINT) AS channels,
+         |    CAST(2 + doc_id % 3 AS BIGINT) AS n_pages,
+         |    CAST((doc_id % 997 + 1) * 960 AS BIGINT) AS samples
+         |  FROM documents),
+         |dec AS (SELECT doc_id, codec, serial, channels, n_pages, samples,
+         |    CAST(CASE WHEN codec = 'vorbis' THEN
+         |        CASE (doc_id % 8) // 2 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         |          WHEN 2 THEN 44100 ELSE 48000 END
+         |      ELSE 48000 END AS BIGINT) AS sample_rate,
+         |    CAST(CASE WHEN codec = 'opus' THEN 312 ELSE 0 END AS BIGINT)
+         |      AS pre_skip,
+         |    CAST(CASE WHEN codec = 'vorbis' THEN samples
+         |      ELSE 312 + samples END AS BIGINT) AS last_granule
+         |  FROM base)
+         |SELECT doc_id, codec, serial, channels, sample_rate, pre_skip,
+         |  n_pages, last_granule,
+         |  CAST(CASE WHEN codec = 'vorbis' THEN (1000 * samples) // sample_rate
+         |    ELSE (1000 * samples) // 48000 END AS BIGINT) AS duration_ms
+         |FROM dec ORDER BY doc_id""".stripMargin
+
+    /** Twin of q345_seed_expansion: the textRankSql graph CTEs
+      * verbatim, the same (wdeg DESC, word ASC) top-10 seed pick,
+      * the seed-only teleport with every floor division mirrored,
+      * 5 unrolled iterations.
+      */
+    def seedExpansionSql: String = {
+      val iters = 5
+      val scale = 1000000000000L
+      val iterCtes = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS node,
+           |  CAST(sum((r.r * e.share_ppm) // 1000000) AS BIGINT) AS s
+           |  FROM shp e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1),
+           |r$i AS (SELECT sd.node, sd.is_seed,
+           |  CAST(CASE WHEN sd.is_seed = 1
+           |      THEN (15 * $scale) // (100 * ns.n_seeds) ELSE 0 END
+           |    + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM sd CROSS JOIN ns LEFT JOIN c$i c ON c.node = sd.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH wd AS (SELECT doc_id, ${tokensE("text")} AS w FROM documents),
+         |bgl AS (SELECT unnest(${shinglesE("w", 2)}) AS bg FROM wd WHERE len(w) >= 2),
+         |bgp AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |          split_part(bg, ' ', 2) AS w2 FROM bgl),
+         |ed AS (SELECT w1, w2 FROM bgp WHERE w1 <> w2),
+         |dir AS (SELECT w1 AS src, w2 AS dst FROM ed
+         |        UNION ALL SELECT w2 AS src, w1 AS dst FROM ed),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM dir
+         |      GROUP BY 1, 2),
+         |dg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+         |shp AS (SELECT e.src, e.dst,
+         |          CAST((CAST(e.w AS HUGEINT) * 1000000) // dg.wdeg AS BIGINT)
+         |            AS share_ppm
+         |        FROM e JOIN dg USING (src)),
+         |nodes AS (SELECT src AS node FROM dg),
+         |seeds AS (SELECT src AS node FROM dg
+         |          ORDER BY wdeg DESC, src LIMIT 10),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM seeds),
+         |sd AS (SELECT nodes.node,
+         |        CASE WHEN seeds.node IS NULL THEN 0 ELSE 1 END AS is_seed
+         |       FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node),
+         |r0 AS (SELECT sd.node, sd.is_seed,
+         |        CAST(CASE WHEN sd.is_seed = 1 THEN $scale // ns.n_seeds
+         |          ELSE 0 END AS BIGINT) AS r
+         |       FROM sd CROSS JOIN ns),
+         |$iterCtes
+         |SELECT r.node AS word, r.r AS rank_p12, dg.wdeg,
+         |  CAST(r.is_seed AS BIGINT) AS is_seed
+         |FROM r$iters r JOIN dg ON dg.src = r.node
+         |ORDER BY rank_p12 DESC, word LIMIT 20""".stripMargin
+    }
 
     /** Twin of q331_ljung_box: the q226 ACF CTE verbatim, then the
       * same per-lag integral divide and one-row fold per type.

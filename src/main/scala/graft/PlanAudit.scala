@@ -314,6 +314,10 @@ object PlanAudit {
     // types × day-span grid (q196's shape); the O(days²) pair join
     // runs over the bounded grid
     "q199_mann_kendall",
+    // types × day-span grid (q199's shape); the cumulative window,
+    // the ONE-row-per-type totals and both argmax folds all run on
+    // the span-bounded series — broadcast by design
+    "q341_changepoint",
     // types × hour-span grid plus the 13-row lag list broadcast into
     // the span-bounded deviation table — bounded by design
     "q200_lead_lag",
@@ -530,6 +534,10 @@ object PlanAudit {
     // |d| midrank cumsum over the ($100-discretized) DIFF-value count
     // table — the q322 pooled value-domain-bounded rank class
     "q328_wilcoxon",
+    // risk–coverage cumsum over the score-VALUE-bounded (p → n, e)
+    // count table (the q92/q302 audited cumsum class), after the
+    // corpus reduced to per-score counts
+    "q346_risk_coverage",
     // median-rank cumsum over the daily-value count table and the
     // sign-change lag walk over the day grid — both span-bounded
     // (the q207/q233 audited classes), after the corpus reduced to

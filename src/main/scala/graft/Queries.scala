@@ -4655,6 +4655,28 @@ object Queries {
     graft.ops.Eval.calibrationBins(test, "p", col("y")).orderBy("bin")
   }
 
+  /** Risk–coverage curve over the q309 brand return-rate forecast
+    * ([[graft.ops.Eval.riskCoverage]], El-Yaniv & Wiener 2010):
+    * shipments accepted in ascending forecast-risk order, selective
+    * risk at every score cut — the abstention operating table where
+    * q309's ECE scores the probabilities and q289's conformal bands
+    * the residuals. Exact ppm; the cumulative window runs over the
+    * score-domain-bounded count table.
+    */
+  val q346_risk_coverage: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_shipdate"),
+        expr("CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END").as("y"))
+    val train = li.where(col("l_shipdate") < lit("1995-06-01"))
+      .groupBy("p_brand")
+      .agg(expr("CAST((1000000 * sum(y)) div count(*) AS BIGINT)").as("p"))
+    val test = li.where(col("l_shipdate") >= lit("1995-06-01"))
+      .join(broadcast(train), Seq("p_brand")) // brand dim is bounded
+    graft.ops.Eval.riskCoverage(test, "p", col("y")).orderBy("score_ppm")
+  }
+
   /** One DoReMi-style domain-reweighting step over sources
     * ([[graft.ops.Mixture.doremiStep]], Xie et al. 2023): sources
     * whose mean per-token bigram surprisal exceeds the corpus mean
@@ -5081,6 +5103,114 @@ object Queries {
         col("t._5").as("height"))
       .orderBy("doc_id", "track_number")
   }
+
+  /** Offline best-single-changepoint per event type over the daily
+    * count series ([[graft.ops.Funnel.bestChangepoint]]): binary
+    * segmentation's first split — where q197's CUSUM raises an
+    * ONLINE alarm, this names the day the level shifted after the
+    * fact, with exact ×1000 between-segment SSE gain and both
+    * segment means, argmax with earliest-day tie-break. All integer
+    * through DECIMAL(38); the candidate table is the span-bounded
+    * zero-filled day grid.
+    */
+  val q341_changepoint: Q = (s, d) =>
+    graft.ops.Funnel.bestChangepoint(Tables.events(s, d),
+        "event_type", "ts")
+      .orderBy("event_type")
+
+  /** FLAC STREAMINFO probe ([[graft.multimodal.AudioProbes]]): the
+    * lossless-audio inventory beside q116's WAV RIFF probe — block
+    * walk + 20/3/5/36-bit STREAMINFO unpack giving rate, channels,
+    * bit depth, total samples and exact duration. Closed-form
+    * synthetic assets (the q339 discipline), so the twin restates
+    * every probed field and a hash match certifies the walk
+    * including the last-block flag across 1/2/3-block layouts.
+    */
+  val q342_flac_probe: Q = (s, d) => {
+    import graft.multimodal.AudioProbes
+    val synth = udf((id: Long) => AudioProbes.flacTestAsset(id))
+    val dec = udf((b: Array[Byte]) => {
+      val m = AudioProbes.probeFlac(b)
+      if (m == null) null
+      else (m.minBlockSize, m.maxBlockSize, m.sampleRate, m.channels,
+        m.bitsPerSample, m.totalSamples, m.nMetadataBlocks, m.durationMs)
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), dec(synth(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("m.*"))
+      .toDF("doc_id", "min_block", "max_block", "sample_rate",
+        "channels", "bits_per_sample", "total_samples", "n_blocks",
+        "duration_ms")
+      .orderBy("doc_id")
+  }
+
+  /** ID3v2 + MPEG-frame MP3 probe
+    * ([[graft.multimodal.AudioProbes]]): tag version, syncsafe tag
+    * size, frame count (v2.4 syncsafe AND v2.3 big-endian frame-size
+    * codecs both on the oracle path), then the first MPEG audio
+    * frame header decoded through the REAL Layer-III bitrate and
+    * sample-rate tables, with the constant-bitrate duration
+    * estimate. Closed-form assets; the twin restates the tables as
+    * CASE arms, so a hash match certifies header parse + table
+    * lookups end to end.
+    */
+  val q343_mp3_probe: Q = (s, d) => {
+    import graft.multimodal.AudioProbes
+    val synth = udf((id: Long) => AudioProbes.mp3TestAsset(id))
+    val dec = udf((b: Array[Byte]) => {
+      val m = AudioProbes.probeMp3(b)
+      if (m == null) null
+      else (m.id3Version, m.tagSize, m.nId3Frames, m.mpegVersion,
+        m.layer, m.bitrateKbps, m.sampleRate, m.channelMode,
+        m.audioBytes, m.durationMs)
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), dec(synth(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("m.*"))
+      .toDF("doc_id", "id3_version", "tag_size", "n_id3_frames",
+        "mpeg_version", "layer", "bitrate_kbps", "sample_rate",
+        "channel_mode", "audio_bytes", "duration_ms")
+      .orderBy("doc_id")
+  }
+
+  /** Ogg container probe ([[graft.multimodal.AudioProbes]]): the
+    * page-structured third of the audio-container inventory beside
+    * q342's block-chained FLAC and q343's frame-chained MP3 — RFC
+    * 3533 page walk (lacing-value lengths, BOS/EOS flags, granule
+    * positions) + the BOS identification packet under BOTH codecs
+    * (`\x01vorbis` and `OpusHead`), with the exact final-granule
+    * duration (Opus granules tick at 48 kHz minus pre-skip). Closed
+    * -form assets; data pages lace ≥255-byte bodies so the
+    * multi-segment path is on the oracle path.
+    */
+  val q344_ogg_probe: Q = (s, d) => {
+    import graft.multimodal.AudioProbes
+    val synth = udf((id: Long) => AudioProbes.oggTestAsset(id))
+    val dec = udf((b: Array[Byte]) => {
+      val m = AudioProbes.probeOgg(b)
+      if (m == null) null
+      else (m.codec, m.serial, m.channels, m.sampleRate, m.preSkip,
+        m.nPages, m.lastGranule, m.durationMs)
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), dec(synth(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("m.*"))
+      .toDF("doc_id", "codec", "serial", "channels", "sample_rate",
+        "pre_skip", "n_pages", "last_granule", "duration_ms")
+      .orderBy("doc_id")
+  }
+
+  /** Personalized-PageRank seed expansion
+    * ([[graft.ops.TextStats.seedExpansion]]): q152's word graph with
+    * the damping teleport landing ONLY on the 10 highest-degree
+    * words — stationary mass measures proximity to the seed set, the
+    * graph-walk way to grow a trusted vocabulary (the curation
+    * complement to q134's hard negatives). Same 1e-12 fixed point,
+    * 5 iterations, every floor division mirrored in the twin.
+    */
+  val q345_seed_expansion: Q = (s, d) =>
+    TextStats.seedExpansion(Tables.documents(s, d), "doc_id", "text",
+      iters = 5, seedK = 10, k = 20)
 
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
@@ -5647,5 +5777,11 @@ object Queries {
     "q337_vmeasure" -> q337_vmeasure,
     "q338_lsh_plan" -> q338_lsh_plan,
     "q339_mp4_probe" -> q339_mp4_probe,
-    "q340_webm_probe" -> q340_webm_probe)
+    "q340_webm_probe" -> q340_webm_probe,
+    "q341_changepoint" -> q341_changepoint,
+    "q342_flac_probe" -> q342_flac_probe,
+    "q343_mp3_probe" -> q343_mp3_probe,
+    "q344_ogg_probe" -> q344_ogg_probe,
+    "q345_seed_expansion" -> q345_seed_expansion,
+    "q346_risk_coverage" -> q346_risk_coverage)
 }

@@ -42,33 +42,54 @@ object RocksBench {
     // measured pass already excludes its own batch 0, so per-cell
     // warm passes double-pay). A measured pass that misses its batch
     // count earns ONE retry (a loaded host should yield a number, not
-    // a -1) unless it already burned most of its deadline — a wedged
-    // host won't improve, and two full 300 s deadlines per cell would
-    // blow the parent's watchdog.
+    // a -1) unless it made ZERO progress or already burned most of
+    // its deadline — a wedged host won't improve, and two full 300 s
+    // deadlines per cell would blow the parent's watchdog.
+    // Kill-proofing (the r14 StatefulBench lesson): the sweep line
+    // re-prints after EVERY cell improvement, the child obeys
+    // GRAFT_CHILD_BUDGET_SEC by shrinking deadlines and shedding
+    // retries, and the parent keeps the LAST sweep line it sees.
+    val t0 = System.nanoTime()
+    val budgetSec = sys.env.get("GRAFT_CHILD_BUDGET_SEC").map(_.toLong)
+    def remainingSec(): Long = budgetSec
+      .map(b => b - (System.nanoTime() - t0) / 1000000000L)
+      .getOrElse(Long.MaxValue / 2)
     // warm at the largest cell, measure descending (the StatefulBench
     // rationale: the 2M figure is the headline)
-    Bench.measureStateful(spark, 2000000L, cpus.toInt, deadlineSec = 120L,
-      untilBatch = 2)
-    val cells = Seq(2000000L, 1000000L).map { n =>
-      def pass() = {
-        val (rows, sec, nBatches) =
-          Bench.measureStateful(spark, n, cpus.toInt, deadlineSec = 300L)
-        (Bench.sweepValue(rows, sec, nBatches, 4), sec)
-      }
-      val (v1, sec1) = pass()
-      // headline 2M cell: best-of-2 against hypervisor-steal bursts
-      // (the StatefulBench rationale); others retry only on -1
-      val best =
-        if (n == 2000000L && sec1 < 240) math.max(v1, pass()._1)
-        else if (v1 >= 0 || sec1 >= 240) v1
-        else pass()._1
-      n -> best
+    if (remainingSec() > 90)
+      Bench.measureStateful(spark, 2000000L, cpus.toInt,
+        deadlineSec = math.min(120L, remainingSec() - 60), untilBatch = 2)
+    val results = scala.collection.mutable.LinkedHashMap(
+      2000000L -> -1.0, 1000000L -> -1.0)
+    def printSweep(): Unit = {
+      val json = results.map { case (n, rps) =>
+        "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
+      }.mkString("{", ",", "}")
+      println("ROCKS_SWEEP " + json)
+      System.out.flush()
     }
-    val json = cells.map { case (n, rps) =>
-      "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
-    }.mkString("{", ",", "}")
-    println("ROCKS_SWEEP " + json)
-    System.out.flush()
+    Seq(2000000L, 1000000L).foreach { n =>
+      def pass() = {
+        val (rows, sec, nBatches) = Bench.measureStateful(spark, n,
+          cpus.toInt, deadlineSec = math.min(300L, remainingSec() - 30))
+        (Bench.sweepValue(rows, sec, nBatches, 4), sec, nBatches)
+      }
+      if (remainingSec() < 60) System.err.println(
+        s"[bench] child budget: skipped rocksdb $n cell (remaining=${remainingSec()}s)")
+      else {
+        val (v1, sec1, b1) = pass()
+        results(n) = v1
+        printSweep() // survives a watchdog kill mid-next-pass
+        // headline 2M cell: best-of-2 against hypervisor-steal bursts
+        // (the StatefulBench rationale); others retry only on a -1
+        // that showed SOME progress
+        val retry = (n == 2000000L && v1 >= 0) || (v1 < 0 && b1 > 0)
+        if (retry && sec1 < 240 && remainingSec() > 60 + sec1.toLong) {
+          val v2 = pass()._1
+          if (v2 > results(n)) { results(n) = v2; printSweep() }
+        }
+      }
+    }
     // halt, not exit: no shutdown hooks, no store unload, no JNI race
     Runtime.getRuntime.halt(0)
   }

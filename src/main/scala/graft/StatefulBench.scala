@@ -11,12 +11,28 @@ import org.apache.spark.sql.SparkSession
   * deployment uses once keyed state outgrows executor heap (state
   * lives off-heap/on-disk with changelog checkpointing; heap-backed
   * holds every key in JVM memory).
+  *
+  * Kill-proofing (the r14 lesson — the parent's watchdog killed a
+  * weather-slowed child at minute 7 with NOTHING printed, losing
+  * even the cells that HAD finished): every pass prints its own
+  * result line the moment it completes (the parent keeps the best
+  * line per size), `GRAFT_CHILD_BUDGET_SEC` lets the child shrink
+  * its own deadlines and shed retries instead of being shot
+  * mid-pass, and a first pass that completes ZERO batches is
+  * terminal for its cell — the box is too slow for the cell today,
+  * and retrying the biggest cell is exactly how the whole fork
+  * window got burned.
   */
 object StatefulBench {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong)
       else Seq(50000L, 100000L, 250000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val t0 = System.nanoTime()
+    val budgetSec = sys.env.get("GRAFT_CHILD_BUDGET_SEC").map(_.toLong)
+    def remainingSec(): Long = budgetSec
+      .map(b => b - (System.nanoTime() - t0) / 1000000000L)
+      .getOrElse(Long.MaxValue / 2)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,42 +52,56 @@ object StatefulBench {
           "true")
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // ONE short warm pass per child (batches 0-1 at the smallest
-    // size), then one measured pass per size. Rationale: every
-    // measured pass already EXCLUDES its own batch 0, so a per-size
-    // warm pass double-pays (the r13 best-of-2 at full length was
-    // ~40% of the fork's wall-clock and fed the BENCH_r13 rc=124
-    // budget overrun; a dev run on an idle box shows warm batches at
-    // 16s/12s collapsing to 2.4s steady — one warm pass absorbs the
-    // whole JIT/codegen tail). A measured pass that misses its batch
-    // count (deadline under transient load) earns ONE retry, so a
-    // loaded host still yields a number, not a -1.
-    // warm at the LARGEST size and measure in descending order: the
-    // biggest cell is the headline figure, and warming at a smaller
-    // size leaves its state/shuffle paths half-compiled (the r14 dev
-    // runs read the 2M cell 290k warm-at-500k vs ~420k fully warm)
-    Bench.measureStateful(spark, sizes.max, cpus.toInt, deadlineSec = 120L,
-      untilBatch = 2)
+    // ONE short warm pass per child (batches 0-1), then measured
+    // passes. Rationale: every measured pass already EXCLUDES its own
+    // batch 0, so a per-size warm pass double-pays (the r13 best-of-2
+    // at full length was ~40% of the fork's wall-clock and fed the
+    // BENCH_r13 rc=124 budget overrun). Warm at the LARGEST size and
+    // measure in descending order: the biggest cell is the headline
+    // figure, and warming at a smaller size leaves its state/shuffle
+    // paths half-compiled (the r14 dev runs read the 2M cell 290k
+    // warm-at-500k vs ~420k fully warm). Under a tight child budget
+    // the warm shrinks or drops — a cold measured pass still excludes
+    // its own batch 0, so it degrades to "slightly conservative", not
+    // to "lost".
+    if (remainingSec() > 90)
+      Bench.measureStateful(spark, sizes.max, cpus.toInt,
+        deadlineSec = math.min(120L, remainingSec() - 60),
+        untilBatch = 2)
+    else System.err.println(
+      s"[bench] child budget: skipped warm pass (remaining=${remainingSec()}s)")
+    def emit(n: Long, r: (Long, Double, Int, Double)): Unit =
+      println(f"rowsPerBatch=$n%-8d batches=${r._3} rows=${r._1} " +
+        f"sec=${r._2}%.2f rec/s=${r._4.round}")
     sizes.sortBy(-_).foreach { n =>
       def pass() = {
         // 2M cell headroom: it runs 10M docs through growing
         // per-bucket state
+        val base = if (n >= 2000000L) 300L else 180L
         val (rows, sec, batches) = Bench.measureStateful(spark, n,
-          cpus.toInt, deadlineSec = if (n >= 2000000L) 300L else 180L)
+          cpus.toInt, deadlineSec = math.min(base, remainingSec() - 30))
         (rows, sec, batches, Bench.sweepValue(rows, sec, batches, 4))
       }
-      val first = pass()
-      // the LARGEST cell is the headline figure: always best-of-2 —
-      // this box shows 5-32 % hypervisor steal in bursts (r14: the
-      // same 2M cell read 118 k in one bench run and 522-628 k in
-      // re-runs minutes apart), and a second pass decorrelates from a
-      // single bad weather window. Smaller cells retry only on -1.
-      val (rows, sec, batches, rps) =
-        if (n == sizes.max || first._4 < 0) {
+      if (remainingSec() < 60) {
+        System.err.println(
+          s"[bench] child budget: skipped $n cell (remaining=${remainingSec()}s)")
+      } else {
+        val first = pass()
+        emit(n, first) // survives a watchdog kill mid-next-pass
+        // the LARGEST cell is the headline figure: best-of-2 when the
+        // budget allows — this box shows 5-32 % hypervisor steal in
+        // bursts (r14: the same 2M cell read 118 k in one bench run
+        // and 522-628 k in re-runs minutes apart), and a second pass
+        // decorrelates from a single bad weather window. A -1 first
+        // pass retries only if it made SOME progress: zero completed
+        // batches means the cell cannot finish on this box today.
+        val retry = (n == sizes.max && first._4 >= 0) ||
+          (first._4 < 0 && first._3 > 0)
+        if (retry && remainingSec() > 60 + first._2.toLong) {
           val second = pass()
-          if (second._4 > first._4) second else first
-        } else first
-      println(f"rowsPerBatch=$n%-8d batches=$batches rows=$rows sec=$sec%.2f rec/s=${rps.round}")
+          if (second._4 > first._4) emit(n, second)
+        }
+      }
     }
     spark.stop()
   }

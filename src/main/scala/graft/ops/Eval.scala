@@ -1434,6 +1434,62 @@ object Eval {
     calibrationFromBinsDf(counts.toDF("bin", "n", "sp", "sy"))
   }
 
+  /** Risk–coverage curve (El-Yaniv & Wiener 2010's selective-risk
+    * lens; Geifman & El-Yaniv 2017's AURC companion): items are
+    * accepted in ascending forecast-risk order, and at every distinct
+    * score cut the curve reports coverage (share accepted) against
+    * selective risk (observed loss rate among the accepted) — the
+    * operating table behind "abstain on the risky tail", sharper than
+    * q309's ECE (which scores the probabilities themselves) and the
+    * forecast-side complement to q289's conformal band. Exact
+    * integer: one (score → n, losses) reduction, the cumulative
+    * window over the score-VALUE table, two ppm divides per cut.
+    *
+    * Scale shape: one corpus reduction to the score-domain-bounded
+    * count table (≤ 10⁶+1 ppm values — constant in corpus size); the
+    * cumulative window and the one-row total broadcast run over that
+    * bounded table (the q92/q302 audited cumsum class).
+    */
+  def riskCoverage(df: DataFrame, scorePpmCol: String,
+                   lossExpr: org.apache.spark.sql.Column): DataFrame =
+    riskCoverageFromCountsDf(
+      df.select(col(scorePpmCol).cast("bigint").as("p"),
+          lossExpr.cast("bigint").as("y"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n"), sum("y").as("e")))
+
+  /** [[riskCoverage]] from pre-reduced (score → n, losses) counts —
+    * the additive streaming readback (the [[chiSquaredFromCounts]]
+    * convention): a streaming job maintains the per-score counts
+    * (one bounded-domain aggregation state) and replays this fold
+    * per trigger, bit-identical to the batch operator over the same
+    * delivered items.
+    */
+  def riskCoverageFromCounts(spark: org.apache.spark.sql.SparkSession,
+                             counts: Seq[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    riskCoverageFromCountsDf(counts.toDF("p", "n", "e")
+      .groupBy("p").agg(sum("n").as("n"), sum("e").as("e")))
+  }
+
+  private def riskCoverageFromCountsDf(c0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = c0.localCheckpoint() // totals + window off one reduction
+    val tot = c.agg(sum("n").cast("bigint").as("n_total"))
+    val w = Window.orderBy("p") // score-domain-bounded by construction
+      .rowsBetween(Window.unboundedPreceding, 0)
+    c.withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_e", sum("e").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("p").as("score_ppm"), col("n").cast("bigint").as("n"),
+        col("cum_n").cast("bigint").as("cum_n"),
+        expr("CAST((1000000 * CAST(cum_n AS DECIMAL(38,0))) " +
+          "div greatest(n_total, 1) AS BIGINT)").as("coverage_ppm"),
+        col("cum_e").cast("bigint").as("cum_losses"),
+        expr("CAST((1000000 * CAST(cum_e AS DECIMAL(38,0))) " +
+          "div greatest(cum_n, 1) AS BIGINT)").as("risk_ppm"))
+  }
+
   /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe
     * 1974): one-way ANOVA on the absolute deviations from each
     * group's MEDIAN — "do the groups even have comparable spread",

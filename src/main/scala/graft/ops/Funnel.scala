@@ -267,6 +267,87 @@ object Funnel {
         col("n_pos"), col("n_neg"), col("n_tie"))
   }
 
+  /** Offline best-single-changepoint per event type over the daily
+    * count series (binary segmentation's first split — Scott & Knott
+    * 1974 lineage; the CORE step of every offline segmentation,
+    * where [[cusumShifts]] is the ONLINE alarm): for every candidate
+    * boundary t between day t and t+1, the between-segment explained
+    * sum of squares
+    *
+    *   gain(t) = S_L²/t + S_R²/(n−t) − S²/n
+    *
+    * (the SSE reduction of fitting two segment means instead of one
+    * — maximizing it IS minimizing two-segment SSE, without touching
+    * the Σx² term both costs share). Reported at the argmax with
+    * earliest-day tie-break, exact via the common-denominator form
+    *
+    *   gain_x1000 = (1000·(S_L²·(n−t)·n + S_R²·t·n − S²·t·(n−t)))
+    *                  div (t·(n−t)·n)
+    *
+    * through DECIMAL(38) — the numerator is ≥ 0 by Cauchy–Schwarz,
+    * so truncating `div` agrees across engines, and comparing the
+    * per-t truncated gains is deterministic (ties break to the
+    * earliest day). Segment means ship ×1000 the same way.
+    *
+    * Scale shape: one (type, day) count reduction from the corpus;
+    * the zero-filled grid, the cumulative window and both argmax
+    * folds run over the span-bounded series (the q197/q199 grid
+    * class) — at 100 TB only the first reduction touches rows.
+    */
+  def bestChangepoint(df: DataFrame, typeCol: String,
+                      tsCol: String): DataFrame = {
+    val c = df.select(col(typeCol).as("et"),
+        date_trunc("day", col(tsCol)).as("d"))
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+    changepointFromCounts(c).withColumnRenamed("et", typeCol)
+  }
+
+  /** [[bestChangepoint]] from a pre-reduced (et, d, x) daily count
+    * table — the additive readback seam: a streaming job maintains
+    * the counts incrementally (one `groupBy(et, day).count` state)
+    * and replays THIS bounded-table fold per trigger, bit-identical
+    * to the batch operator over the same delivered events.
+    */
+  def changepointFromCounts(c0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = c0.localCheckpoint() // grid keys + series off one reduction
+    val days = c.select("d").distinct()
+    val grid = c.select("et").distinct()
+      .crossJoin(broadcast(days)) // span-bounded day grid, zero-filled
+      .join(c, Seq("et", "d"), "left")
+      .na.fill(0L, Seq("x"))
+    val tot = grid.groupBy("et")
+      .agg(count(lit(1)).as("n"),
+        sum("x").cast("decimal(38,0)").as("s"))
+    val w = Window.partitionBy("et").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cuts = grid
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("sl", sum("x").over(w).cast("decimal(38,0)"))
+      .join(broadcast(tot), Seq("et"))
+      .where(col("t") < col("n")) // boundary AFTER day t, so t < n
+      .withColumn("gain_x1000", expr(
+        "CAST((1000 * (sl * sl * (n - t) * n " +
+          "+ (s - sl) * (s - sl) * t * n " +
+          "- s * s * t * (n - t))) " +
+          "div (CAST(t AS DECIMAL(38,0)) * (n - t) * n) AS BIGINT)"))
+      .localCheckpoint() // argmax + pick read the same bounded table
+    val best = cuts.groupBy("et").agg(max("gain_x1000").as("__g"))
+    // renamed keys: picked derives from cuts, and a same-lineage join
+    // trips DetectAmbiguousSelfJoin
+    val picked = cuts.join(broadcast(best), Seq("et"))
+      .where(col("gain_x1000") === col("__g"))
+      .groupBy(col("et").as("__pet")).agg(min("d").as("split_day"))
+    cuts.join(broadcast(picked),
+        col("et") === col("__pet") && col("d") === col("split_day"))
+      .select(col("et"), col("n").cast("bigint").as("n_days"),
+        col("split_day"), col("t").cast("bigint").as("left_days"),
+        expr("CAST((1000 * sl) div t AS BIGINT)").as("mean_left_milli"),
+        expr("CAST((1000 * (s - sl)) div (n - t) AS BIGINT)")
+          .as("mean_right_milli"),
+        col("gain_x1000"))
+  }
+
   /** Monthly revenue trend — the BI staple behind every exec
     * dashboard: per calendar month the order count and exact DECIMAL
     * cent revenue, with month-over-month and year-over-year growth

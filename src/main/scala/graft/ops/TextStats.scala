@@ -887,21 +887,7 @@ object TextStats {
   def textRank(df: DataFrame, idCol: String, textCol: String,
                iters: Int = 5, k: Int = 10): DataFrame = {
     val Scale = 1000000000000L // 1e12: rank fixed-point
-    val toks = lmToks(df, idCol, textCol, Seq.empty)
-    val bg = lmBigramRows(toks)
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .where(col("w1") =!= col("w2")) // no self-loops
-    val dir = bg.select(col("w1").as("src"), col("w2").as("dst"))
-      .unionAll(bg.select(col("w2").as("src"), col("w1").as("dst")))
-    val edges = dir.groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    val deg = edges.groupBy("src").agg(sum("w").as("wdeg"))
-    // vocab²-bounded and re-read every iteration — cut lineage once
-    val shares = edges.join(deg, "src")
-      .select(col("src"), col("dst"), expr(
-        "CAST((CAST(w AS DECIMAL(38,0)) * 1000000) div wdeg AS BIGINT)")
-        .as("share_ppm"))
-      .localCheckpoint()
-    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    val (shares, deg, nodes) = wordGraphShares(df, idCol, textCol)
     val nTot = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nTot))
       .select(col("node"), expr(s"CAST($Scale div n_nodes AS BIGINT)").as("r"))
@@ -918,6 +904,100 @@ object TextStats {
     }
     ranks.join(deg.select(col("src").as("node"), col("wdeg")), "node")
       .select(col("node").as("word"), col("r").as("rank_p12"), col("wdeg"))
+      .orderBy(desc("rank_p12"), col("word"))
+      .limit(k)
+  }
+
+  /** Shared word-co-occurrence graph builder for [[textRank]] and
+    * [[seedExpansion]]: bigram edges (2-shingles, the q124 split
+    * convention), undirected doubling, exact ⌊w·10⁶/wdeg⌋ transition
+    * shares through DECIMAL(38). Returns (shares, deg, nodes) — the
+    * first and third localCheckpointed, since the rank iterations
+    * re-read them.
+    */
+  private def wordGraphShares(df: DataFrame, idCol: String,
+                              textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = lmToks(df, idCol, textCol, Seq.empty)
+    val bg = lmBigramRows(toks)
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .where(col("w1") =!= col("w2")) // no self-loops
+    val dir = bg.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(bg.select(col("w2").as("src"), col("w1").as("dst")))
+    // vocab²-bounded and consumed by deg AND shares (and deg itself
+    // by seeds + the final report join) — checkpoint once so the
+    // corpus is scanned exactly once, never re-derived per branch
+    val edges = dir.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+      .localCheckpoint()
+    val shares = edges.join(deg, "src")
+      .select(col("src"), col("dst"), expr(
+        "CAST((CAST(w AS DECIMAL(38,0)) * 1000000) div wdeg AS BIGINT)")
+        .as("share_ppm"))
+      .localCheckpoint()
+    val nodes = deg.select(col("src").as("node"))
+    (shares, deg, nodes)
+  }
+
+  /** Personalized-PageRank seed expansion (Page et al. 1999 §6 /
+    * Haveliwala 2002's topic-sensitive variant) over the [[textRank]]
+    * word graph: the damping teleport lands ONLY on a seed set — here
+    * the `seedK` highest-weighted-degree words (wdeg DESC, word ASC
+    * tie-break, deterministic) — so the stationary mass measures
+    * random-walk PROXIMITY TO THE SEEDS rather than global
+    * centrality. The data-curation read: seed with a trusted
+    * vocabulary (or doc set) and the top non-seed ranks are the
+    * natural expansion candidates — the graph analog of q134's
+    * hard-negative mining.
+    *
+    * Same 1e-12 fixed point as [[textRank]] with the teleport term
+    * `[v ∈ S]·⌊0.15·SCALE/|S|⌋` replacing the uniform ⌊0.15·SCALE/N⌋
+    * — every floor division mirrored in the twin.
+    *
+    * Scale shape: ONE corpus scan (the shared graph builder); seeds
+    * come off the vocab-bounded degree table; `iters` node-keyed
+    * edge-table shuffles, the standard distributed PageRank shape.
+    */
+  def seedExpansion(df: DataFrame, idCol: String, textCol: String,
+                    iters: Int = 5, seedK: Int = 10,
+                    k: Int = 20): DataFrame = {
+    val Scale = 1000000000000L // 1e12: rank fixed-point
+    val (shares, deg, nodes) = wordGraphShares(df, idCol, textCol)
+    // vocab-bounded degree table: orderBy+limit here never sorts the
+    // corpus, only the vocabulary
+    val seeds = deg
+      .orderBy(desc("wdeg"), col("src"))
+      .limit(seedK)
+      .select(col("src").as("node"), lit(1L).as("is_seed"))
+      .localCheckpoint() // re-read every iteration (teleport mask)
+    val nSeeds = seeds.agg(count(lit(1)).as("n_seeds"))
+    // checkpointed: the per-iteration joins and the final report all
+    // re-read this bounded (node, is_seed) table, and a fresh lineage
+    // avoids same-attribute self-join ambiguity across iterations
+    val seeded = nodes.join(seeds, Seq("node"), "left")
+      .na.fill(0L, Seq("is_seed"))
+      .localCheckpoint()
+    var ranks = seeded.crossJoin(broadcast(nSeeds))
+      .select(col("node"), col("is_seed"), expr(
+        s"CAST(CASE WHEN is_seed = 1 THEN $Scale div n_seeds " +
+          "ELSE 0 END AS BIGINT)").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = shares.join(ranks, col("src") === col("node"))
+        .select(col("dst").as("__dnode"),
+          expr("CAST((r * share_ppm) div 1000000 AS BIGINT)").as("c"))
+        .groupBy("__dnode").agg(sum("c").as("s"))
+      ranks = seeded.join(contrib, col("node") === col("__dnode"), "left")
+        .crossJoin(broadcast(nSeeds))
+        .select(col("node"), col("is_seed"), expr(
+          s"CAST(CASE WHEN is_seed = 1 THEN (15 * $Scale) div (100 * n_seeds) " +
+            "ELSE 0 END + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 " +
+            "AS BIGINT)").as("r"))
+    }
+    ranks
+      .join(deg.select(col("src").as("node"), col("wdeg")), "node")
+      .select(col("node").as("word"), col("r").as("rank_p12"),
+        col("wdeg"), col("is_seed"))
       .orderBy(desc("rank_p12"), col("word"))
       .limit(k)
   }

@@ -1123,4 +1123,36 @@ class EvalSpec extends SparkSpec {
     assert(Eval.vMeasureFromCounts(spark, folded).collect().toSeq ===
       Eval.vMeasure(df, "a", "b").collect().toSeq)
   }
+
+  test("riskCoverage: hand curve, monotone coverage, degenerate" +
+    " one-score case") {
+    import org.apache.spark.sql.functions.col
+    // (score_ppm, loss): accepting in ascending score order
+    val df = Seq((100L, 0L), (100L, 0L), (300L, 1L), (300L, 0L),
+      (900L, 1L)).toDF("p", "y")
+    val out = Eval.riskCoverage(df, "p", col("y"))
+      .orderBy("score_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (100L, 2L, 2L, 400000L, 0L, 0L),
+      (300L, 2L, 4L, 800000L, 1L, 250000L),
+      (900L, 1L, 5L, 1000000L, 2L, 400000L)))
+    // coverage is strictly increasing, final row covers everything
+    assert(out.map(_._4).toSeq === out.map(_._4).sorted.toSeq)
+    // degenerate: one score value -> one full-coverage row
+    val one = Eval.riskCoverage(
+      Seq((500L, 1L), (500L, 0L)).toDF("p", "y"), "p", col("y"))
+      .collect()
+    assert(one.length === 1)
+    assert(one(0).getLong(3) === 1000000L && one(0).getLong(5) === 500000L)
+    // additive fromCounts readback: two micro-batches, overlapping
+    // score keys, fold == batch
+    val folded = Seq((100L, 1L, 0L), (300L, 1L, 1L), // batch 1
+      (100L, 1L, 0L), (300L, 1L, 0L), (900L, 1L, 1L)) // batch 2
+    assert(Eval.riskCoverageFromCounts(spark, folded)
+      .orderBy("score_ppm").collect().toSeq ===
+      Eval.riskCoverage(df, "p", col("y")).orderBy("score_ppm")
+        .collect().toSeq)
+  }
 }

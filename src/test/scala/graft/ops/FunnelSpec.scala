@@ -1102,4 +1102,73 @@ class FunnelSpec extends SparkSpec {
     assert(m.getAs[Long]("runs") === 2L)
     assert(m.getAs[Long]("z_x1000") === -1750L)
   }
+
+  test("bestChangepoint: hand gain at a clean level shift") {
+    import spark.implicits._
+    // type a: 1,1,1,5,5,5 daily events — split after day 3:
+    // S_L=3, S_R=15, S=18, n=6, t=3:
+    // gain = 9/3 + 225/3 - 324/6 = 3 + 75 - 54 = 24 -> 24000 ×1000
+    val rows = (1 to 6).flatMap { d =>
+      val n = if (d <= 3) 1 else 5
+      (1 to n).map(i => ("a", ts(f"2024-01-$d%02d 0$i:00:00")))
+    }
+    val out = Funnel.bestChangepoint(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()(0)
+    assert(out.getAs[Long]("n_days") === 6L)
+    assert(out.getAs[java.sql.Timestamp]("split_day") ===
+      ts("2024-01-03 00:00:00"))
+    assert(out.getAs[Long]("left_days") === 3L)
+    assert(out.getAs[Long]("mean_left_milli") === 1000L)
+    assert(out.getAs[Long]("mean_right_milli") === 5000L)
+    assert(out.getAs[Long]("gain_x1000") === 24000L)
+  }
+
+  test("bestChangepoint: constant series ties break to earliest day;" +
+    " zero-filled grid sees missing days") {
+    import spark.implicits._
+    // type c is constant (2/day over days 1..4): every gain is 0,
+    // earliest boundary wins. Type z has events only on days 1 and 4
+    // — the shared day grid zero-fills 2..3, so its best split is
+    // after day 1 (left mean 3000, right mean (0+0+3)/3=1000).
+    val rows =
+      (1 to 4).flatMap(d => Seq.fill(2)(("c", ts(f"2024-01-$d%02d 01:00:00")))) ++
+        Seq.fill(3)(("z", ts("2024-01-01 01:00:00"))) ++
+        Seq.fill(3)(("z", ts("2024-01-04 01:00:00")))
+    val out = Funnel.bestChangepoint(rows.toDF("event_type", "ts"),
+        "event_type", "ts")
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val c = out("c")
+    assert(c.getAs[Long]("gain_x1000") === 0L)
+    assert(c.getAs[java.sql.Timestamp]("split_day") ===
+      ts("2024-01-01 00:00:00"))
+    assert(c.getAs[Long]("left_days") === 1L)
+    val z = out("z")
+    assert(z.getAs[Long]("n_days") === 4L)
+    assert(z.getAs[java.sql.Timestamp]("split_day") ===
+      ts("2024-01-01 00:00:00"))
+    assert(z.getAs[Long]("mean_left_milli") === 3000L)
+    assert(z.getAs[Long]("mean_right_milli") === 1000L)
+    // gain = 9/1 + 9/3 - 36/4 = 9 + 3 - 9 = 3 -> 3000
+    assert(z.getAs[Long]("gain_x1000") === 3000L)
+  }
+
+  test("changepointFromCounts ≡ bestChangepoint over the same events" +
+    " (the additive streaming readback seam)") {
+    import spark.implicits._
+    val rows = (1 to 9).flatMap { d =>
+      val n = 1 + (d * d) % 5
+      (1 to n).map(i => (if (d % 2 == 0) "e" else "o",
+        ts(f"2024-02-$d%02d 0$i:00:00")))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val direct = Funnel.bestChangepoint(df, "event_type", "ts")
+      .orderBy("event_type").collect().toSeq
+    val counts = df.select(col("event_type").as("et"),
+        date_trunc("day", col("ts")).as("d"))
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+    val replay = Funnel.changepointFromCounts(counts)
+      .withColumnRenamed("et", "event_type")
+      .orderBy("event_type").collect().toSeq
+    assert(direct === replay)
+  }
 }

@@ -501,6 +501,43 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1) === (("B", 2L, 2L, 2L, 0L, 3000L, 1000L)))
   }
 
+  test("seedExpansion: teleport mass stays near the seeds") {
+    // two 3-word cliques bridged by one edge: seeds (top degree) land
+    // in the 'a' clique, so the a-side leaf must out-rank the
+    // symmetric b-side leaf — proximity, not global centrality
+    val docs = Seq(
+      (1L, "a1 a2"), (2L, "a2 a3"), (3L, "a3 a1"), (4L, "a1 a2"),
+      (5L, "b1 b2"), (6L, "b2 b3"), (7L, "b3 b1"),
+      (8L, "a1 b1"))
+      .toDF("id", "text")
+    val out = TextStats.seedExpansion(docs, "id", "text", iters = 5,
+        seedK = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // degrees: a1=5, a2=4 (doc 1+4 double the a1-a2 edge), others <4
+    assert(out.filter(_._4 == 1L).map(_._1).toSet === Set("a1", "a2"))
+    // mass conservation up to floor loss
+    val total = out.map(_._2).sum
+    assert(total <= 1000000000000L && total > 980000000000L)
+    // a3 touches both seeds; b2/b3 are ≥2 hops from any seed
+    val rank = out.map(r => r._1 -> r._2).toMap
+    assert(rank("a3") > rank("b2") && rank("a3") > rank("b3"),
+      s"seed-adjacent must out-rank distant: $rank")
+    // every rank positive (the graph is connected)
+    assert(out.forall(_._2 > 0))
+  }
+
+  test("seedExpansion is partition-invariant and deterministic") {
+    val docs = spark.range(0, 200).selectExpr("id",
+      "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
+        "' w', CAST(id % 11 AS STRING), ' w', CAST((id * 7) % 17 AS STRING)) AS text")
+    val a = TextStats.seedExpansion(docs, "id", "text", iters = 3,
+      seedK = 5, k = 15).collect()
+    val b = TextStats.seedExpansion(docs.repartition(9), "id", "text",
+      iters = 3, seedK = 5, k = 15).collect()
+    assert(a.toSeq === b.toSeq && a.nonEmpty)
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
