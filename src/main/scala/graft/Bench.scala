@@ -51,6 +51,29 @@ object Bench {
     if (total <= 0) -1L else 1000000L * steal / total
   }
 
+  /** Synchronous 32 MB write+fsync probe of java.io.tmpdir, MB/s —
+    * the IO half of the weather ledger beside [[stealPpm]]: the
+    * heap-backed state store commits FULL-store snapshots through
+    * this filesystem, so a noisy-neighbor disk craters the heap cell
+    * 10× while RocksDB's changelog deltas barely notice (r14: heap
+    * 2M read 43 k with 2 % steal while rocksdb read 399 k minutes
+    * later — only an IO stamp makes that attributable). ~0.1-1 s per
+    * call; failures return -1.
+    */
+  def diskMbPerS(): Long =
+    try {
+      val f = java.io.File.createTempFile("graft-disk-probe", ".bin")
+      val buf = new Array[Byte](1 << 20)
+      val out = new java.io.FileOutputStream(f)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 32) { out.write(buf); i += 1 }
+      out.getFD.sync(); out.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      f.delete()
+      if (sec <= 0) -1L else (32 / sec).round
+    } catch { case _: Throwable => -1L }
+
   /** Sweep cell value: rec/s when all `required` batches completed
     * inside the deadline, else the -1 sentinel — a partial run under
     * host contention must be distinguishable from "measured zero"
@@ -308,15 +331,23 @@ object Bench {
 
   // per-phase hypervisor-steal ledger (see [[cpuJiffies]]): phaseStart
   // snapshots, emit records the delta — "steal_ppm" in the artifact
-  // maps phase -> stolen-CPU share while it ran
+  // maps phase -> stolen-CPU share while it ran; "disk_mb_per_s"
+  // stamps the write+fsync probe at each phase start the same way
   private var phaseJiffies: (Long, Long) = (-1L, -1L)
   private val phaseSteal =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
+  private val phaseDisk =
     scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
   private def phaseStart(phase: String): Unit = {
     phaseJiffies = cpuJiffies()
+    phaseDisk(phase) = diskMbPerS()
+    artifact("disk_mb_per_s") = phaseDisk
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     System.err.println(
-      s"[bench] phase=$phase start t=${System.currentTimeMillis / 1000} load=${loadavg().head}")
+      s"[bench] phase=$phase start t=${System.currentTimeMillis / 1000} " +
+        s"load=${loadavg().head} disk=${phaseDisk(phase)}MB/s")
   }
 
   def main(args: Array[String]): Unit = {
@@ -366,6 +397,28 @@ object Bench {
       // AQE notices) printing after the last emit are tail-window
       // pollution — BENCH_r13's 2000-char tail was 100% WARN output
       s.sparkContext.setLogLevel("ERROR")
+      // budget watchdog: per-phase guards stop NEW work, but a job
+      // already in flight can outlive the whole budget on its own — a
+      // hypervisor-steal burst ran one 1.3 s pipeline trial for 168 s
+      // (r14 dev) and pushed the bench into the external kill with the
+      // final emits unprinted. Once the budget is spent, cancel every
+      // running job (repeatedly — stages launched after a cancel die
+      // too): the in-flight phase degrades to its catch-block sentinel
+      // and the remaining phases sprint to the final emits.
+      val watchdog = new Thread(() => {
+        try {
+          while (true) {
+            Thread.sleep(5000)
+            if (remainingSec() < 35) {
+              System.err.println(
+                s"[bench] budget watchdog: cancelling in-flight jobs " +
+                  s"(remaining=${remainingSec()}s)")
+              s.sparkContext.cancelAllJobs()
+            }
+          }
+        } catch { case _: Throwable => () }
+      })
+      watchdog.setDaemon(true); watchdog.start()
       s
     }
 
@@ -563,7 +616,8 @@ object Bench {
       "q335_adjusted_rand", "q336_bcubed", "q337_vmeasure",
       "q338_lsh_plan", "q339_mp4_probe", "q340_webm_probe",
       "q341_changepoint", "q342_flac_probe", "q343_mp3_probe",
-      "q344_ogg_probe", "q345_seed_expansion", "q346_risk_coverage")
+      "q344_ogg_probe", "q345_seed_expansion", "q346_risk_coverage",
+      "q347_tiff_probe", "q348_avi_probe")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,
@@ -596,6 +650,7 @@ object Bench {
     artifact("extended_skipped") = "0"
     artifact("sf") = "\"" + sfDir + "\""
     artifact("steal_ppm") = "{}"
+    artifact("disk_mb_per_s") = "{}"
     artifact("phases_done") = "\"none\""
 
     // ---- forked state-store phases FIRST (pristine box, no parent
@@ -784,7 +839,7 @@ object Bench {
     var staged: Option[org.apache.spark.sql.DataFrame] = None
     if (remainingSec() < 100) System.err.println(
       s"[bench] budget: skipped pipeline phase (remaining=${remainingSec()}s)")
-    else {
+    else try {
       val s = records.repartition(cpus.toInt)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       staged = Some(s)
@@ -801,9 +856,15 @@ object Bench {
         stagedPipeline.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val pipelineBase = (1 to 3).map(_ => pipelineTrial())
+      // budget-aware trials: a steal burst can run one 1.3 s trial for
+      // 168 s (r14 dev), so each further trial requires live budget —
+      // the first is unconditional (the phase guard already passed)
+      val pipelineBase = pipelineTrial() +:
+        (2 to 3).flatMap(_ =>
+          if (remainingSec() > 60) Some(pipelineTrial()) else None)
       val pipelineTrials =
-        if (pipelineBase.max / pipelineBase.min.max(1e-9) > 3.0)
+        if (pipelineBase.max / pipelineBase.min.max(1e-9) > 3.0 &&
+            remainingSec() > 60)
           pipelineBase :+ pipelineTrial()
         else pipelineBase
       val pipelineSec = pipelineTrials.min
@@ -811,6 +872,10 @@ object Bench {
       artifact("pipeline_trials_sec") = "[" + pipelineTrials.mkString(",") + "]"
       artifact("pipeline_rec_per_sec") = recPerSec.round.toString
       artifact("pipeline_rows") = eventRows.toString
+    } catch { case e: Throwable =>
+      // a watchdog cancel (or anything else) mid-phase degrades to the
+      // -1 sentinels — it must never take the final emits with it
+      System.err.println(s"[bench] pipeline phase failed: ${e.getMessage}")
     }
     artifact("loadavg_end") = "[" + loadavg().mkString(",") + "]"
     emit("pipeline")

@@ -630,6 +630,8 @@ object OracleSql {
     "q344_ogg_probe" -> Gen.oggProbeSql,
     "q345_seed_expansion" -> Gen.seedExpansionSql,
     "q346_risk_coverage" -> Gen.riskCoverageSql,
+    "q347_tiff_probe" -> Gen.tiffProbeSql,
+    "q348_avi_probe" -> Gen.aviProbeSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6240,6 +6242,53 @@ object OracleSql {
          |  CAST((1000000 * CAST(cum_e AS HUGEINT))
          |    // greatest(cum_n, 1) AS BIGINT) AS risk_ppm
          |FROM cm CROSS JOIN tot ORDER BY score_ppm""".stripMargin
+
+    /** Twin of q347_tiff_probe: closed-form IFD fields
+      * ([[graft.multimodal.ContainerProbes.tiffTestAsset]]) — both
+      * byte orders, the inline-vs-offset BitsPerSample arms and the
+      * thumbnail-IFD page count restated from the same formulas.
+      */
+    def tiffProbeSql: String =
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+         |  CAST(100 + doc_id % 400 AS BIGINT) AS width,
+         |  CAST(80 + doc_id % 300 AS BIGINT) AS height,
+         |  CAST(CASE doc_id % 3 WHEN 1 THEN 16 ELSE 8 END AS BIGINT)
+         |    AS bits_per_sample,
+         |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 5 ELSE 7 END
+         |    AS BIGINT) AS compression,
+         |  CAST(CASE doc_id % 3 WHEN 2 THEN 2 ELSE 1 END AS BIGINT)
+         |    AS photometric,
+         |  CAST(CASE doc_id % 3 WHEN 2 THEN 3 ELSE 1 END AS BIGINT)
+         |    AS samples_per_pixel,
+         |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+         |  CAST(7 AS BIGINT) AS n_entries,
+         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         |    AS n_ifds
+         |FROM documents ORDER BY doc_id""".stripMargin
+
+    /** Twin of q348_avi_probe: closed-form avih/strh fields
+      * ([[graft.multimodal.ContainerProbes.aviTestAsset]]) with the
+      * same 24/25/30/60 fps microseconds-per-frame literal table and
+      * both exact integral divides.
+      */
+    def aviProbeSql: String =
+      s"""WITH base AS (SELECT doc_id,
+         |    CAST(CASE doc_id % 4 WHEN 0 THEN 41666 WHEN 1 THEN 40000
+         |      WHEN 2 THEN 33333 ELSE 16666 END AS BIGINT) AS us_per_frame,
+         |    CAST((doc_id % 997 + 1) * 10 AS BIGINT) AS total_frames
+         |  FROM documents)
+         |SELECT doc_id, us_per_frame, total_frames,
+         |  CAST(320 + 16 * (doc_id % 40) AS BIGINT) AS width,
+         |  CAST(240 + 16 * (doc_id % 30) AS BIGINT) AS height,
+         |  CAST(1 + doc_id % 2 AS BIGINT) AS n_streams,
+         |  CASE doc_id % 4 WHEN 0 THEN 'MJPG' WHEN 1 THEN 'XVID'
+         |    WHEN 2 THEN 'H264' ELSE 'FMP4' END AS video_codec,
+         |  CAST(doc_id % 2 = 1 AS BOOLEAN) AS has_audio,
+         |  CAST(1000000000 // us_per_frame AS BIGINT) AS fps_milli,
+         |  CAST((us_per_frame * total_frames) // 1000 AS BIGINT)
+         |    AS duration_ms
+         |FROM base ORDER BY doc_id""".stripMargin
 
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,
       * shared Mitchell-log emitter), folded per source, then the

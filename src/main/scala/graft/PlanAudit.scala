@@ -44,6 +44,12 @@ object PlanAudit {
     // ONE-row train-majority baseline cross-joined into the eval
     // flags, plus the q114 NB class-table scoring shape upstream
     "q325_cochran_q",
+    // ONE-row seed-count scalar cross-joined onto the vocab-bounded
+    // node table (per PPR iteration) — broadcast scalar by design
+    "q345_seed_expansion",
+    // ONE-row corpus total cross-joined onto the score-VALUE-bounded
+    // cumulative table — the q92-class broadcast scalar
+    "q346_risk_coverage",
     // pairs-of-groups comparison over the value-bounded count grid
     // plus ONE-row per-pair totals — the q278 shape, broadcast by
     // design

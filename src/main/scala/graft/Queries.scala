@@ -5212,6 +5212,59 @@ object Queries {
     TextStats.seedExpansion(Tables.documents(s, d), "doc_id", "text",
       iters = 5, seedK = 10, k = 20)
 
+  /** TIFF IFD probe ([[graft.multimodal.ContainerProbes]]): the
+    * still-image container walker the q115 header probe lacks — TIFF
+    * 6.0 IFD entries under BOTH byte orders ("II" even ids, "MM"
+    * odd), inline SHORT/LONG values AND the offset-followed count-3
+    * BitsPerSample array (the multi-sample arm), plus the IFD-chain
+    * page count (half-size thumbnail IFD on ids ≡ 0 mod 4). Closed
+    * -form assets (the q339 discipline).
+    */
+  val q347_tiff_probe: Q = (s, d) => {
+    import graft.multimodal.ContainerProbes
+    val synth = udf((id: Long) => ContainerProbes.tiffTestAsset(id))
+    val dec = udf((b: Array[Byte]) => {
+      val m = ContainerProbes.probeTiff(b)
+      if (m == null) null
+      else (m.byteOrder, m.width, m.height, m.bitsPerSample,
+        m.compression, m.photometric, m.samplesPerPixel, m.orientation,
+        m.nEntries, m.nIfds)
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), dec(synth(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("m.*"))
+      .toDF("doc_id", "byte_order", "width", "height", "bits_per_sample",
+        "compression", "photometric", "samples_per_pixel", "orientation",
+        "n_entries", "n_ifds")
+      .orderBy("doc_id")
+  }
+
+  /** RIFF-AVI probe ([[graft.multimodal.ContainerProbes]]): the
+    * legacy-video inventory beside q339's ISO-BMFF and q340's EBML —
+    * nested LIST walk (hdrl → avih main header, per-stream strl →
+    * strh), first video codec fourcc, audio presence, and the exact
+    * integral duration off the 24/25/30/60 fps microseconds-per-frame
+    * literal table (restated in the twin, so the truncation IS the
+    * contract). Closed-form assets.
+    */
+  val q348_avi_probe: Q = (s, d) => {
+    import graft.multimodal.ContainerProbes
+    val synth = udf((id: Long) => ContainerProbes.aviTestAsset(id))
+    val dec = udf((b: Array[Byte]) => {
+      val m = ContainerProbes.probeAvi(b)
+      if (m == null) null
+      else (m.usPerFrame, m.totalFrames, m.width, m.height, m.nStreams,
+        m.videoCodec, m.hasAudio, m.fpsMilli, m.durationMs)
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), dec(synth(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("m.*"))
+      .toDF("doc_id", "us_per_frame", "total_frames", "width", "height",
+        "n_streams", "video_codec", "has_audio", "fps_milli",
+        "duration_ms")
+      .orderBy("doc_id")
+  }
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5783,5 +5836,7 @@ object Queries {
     "q343_mp3_probe" -> q343_mp3_probe,
     "q344_ogg_probe" -> q344_ogg_probe,
     "q345_seed_expansion" -> q345_seed_expansion,
-    "q346_risk_coverage" -> q346_risk_coverage)
+    "q346_risk_coverage" -> q346_risk_coverage,
+    "q347_tiff_probe" -> q347_tiff_probe,
+    "q348_avi_probe" -> q348_avi_probe)
 }

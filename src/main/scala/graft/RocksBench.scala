@@ -20,6 +20,8 @@ import org.apache.spark.sql.SparkSession
 object RocksBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // IO weather stamp (the StatefulBench child-side rationale)
+    System.err.println(s"[bench] child disk probe ${Bench.diskMbPerS()} MB/s")
     val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,10 +57,14 @@ object RocksBench {
       .map(b => b - (System.nanoTime() - t0) / 1000000000L)
       .getOrElse(Long.MaxValue / 2)
     // warm at the largest cell, measure descending (the StatefulBench
-    // rationale: the 2M figure is the headline)
-    if (remainingSec() > 90)
+    // rationale: the 2M figure is the headline). Warm only when the
+    // budget can hold warm AND a measured cell — this child's r14 run
+    // spent its whole 150 s budget warming and skipped every cell
+    if (remainingSec() > 210)
       Bench.measureStateful(spark, 2000000L, cpus.toInt,
-        deadlineSec = math.min(120L, remainingSec() - 60), untilBatch = 2)
+        deadlineSec = math.min(120L, remainingSec() - 150), untilBatch = 2)
+    else System.err.println(
+      s"[bench] child budget: skipped warm pass (remaining=${remainingSec()}s)")
     val results = scala.collection.mutable.LinkedHashMap(
       2000000L -> -1.0, 1000000L -> -1.0)
     def printSweep(): Unit = {

@@ -39,6 +39,10 @@ object StatefulBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stopTimeout", "15s")
       .config("spark.ui.enabled", "false")
+    // IO weather stamp (the parent's disk_mb_per_s ledger, child-side):
+    // the heap store's full-snapshot commits are disk-bound, so this
+    // line in the kept stderr log makes a cratered cell attributable
+    System.err.println(s"[bench] child disk probe ${Bench.diskMbPerS()} MB/s")
     val spark = (if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -64,9 +68,13 @@ object StatefulBench {
     // the warm shrinks or drops — a cold measured pass still excludes
     // its own batch 0, so it degrades to "slightly conservative", not
     // to "lost".
-    if (remainingSec() > 90)
+    // warm only when the budget can hold warm AND a measured cell —
+    // the r14 rocksdb child spent its whole 150 s budget warming and
+    // then skipped every cell; a cold measured pass (its own batch 0
+    // still excluded) beats a warm nothing
+    if (remainingSec() > 210)
       Bench.measureStateful(spark, sizes.max, cpus.toInt,
-        deadlineSec = math.min(120L, remainingSec() - 60),
+        deadlineSec = math.min(120L, remainingSec() - 150),
         untilBatch = 2)
     else System.err.println(
       s"[bench] child budget: skipped warm pass (remaining=${remainingSec()}s)")
