@@ -632,6 +632,7 @@ object OracleSql {
     "q346_risk_coverage" -> Gen.riskCoverageSql,
     "q347_tiff_probe" -> Gen.tiffProbeSql,
     "q348_avi_probe" -> Gen.aviProbeSql,
+    "q349_media_inventory" -> Gen.mediaInventorySql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6289,6 +6290,59 @@ object OracleSql {
          |  CAST((us_per_frame * total_frames) // 1000 AS BIGINT)
          |    AS duration_ms
          |FROM base ORDER BY doc_id""".stripMargin
+
+    /** Twin of q349_media_inventory: each doc's family is doc_id % 7
+      * and every family's duration is the closed form its probe twin
+      * already states — the rollup re-derives (format, duration) per
+      * doc and aggregates, certifying sniff + dispatch + all seven
+      * duration arithmetics in one hash.
+      */
+    def mediaInventorySql: String =
+      s"""WITH base AS (SELECT doc_id, doc_id % 7 AS arm FROM documents),
+         |d AS (SELECT doc_id, arm,
+         |    CASE arm WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+         |      WHEN 2 THEN 'flac' WHEN 3 THEN 'mp3' WHEN 4 THEN 'ogg'
+         |      WHEN 5 THEN 'tiff' ELSE 'avi' END AS format,
+         |    CAST(CASE arm
+         |      WHEN 0 THEN (1000 * ((doc_id % 997 + 1) * 100))
+         |        // (1000 + (doc_id % 9) * 600)
+         |      WHEN 1 THEN (doc_id % 997 + 1) * 250
+         |      WHEN 2 THEN (1000 * ((doc_id % 997 + 1) * 1000))
+         |        // (CASE doc_id % 8 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         |          WHEN 2 THEN 22050 WHEN 3 THEN 24000 WHEN 4 THEN 32000
+         |          WHEN 5 THEN 44100 WHEN 6 THEN 48000 ELSE 96000 END)
+         |      WHEN 3 THEN ((4 + (doc_id % 997 + 1) * 100) * 8)
+         |        // (CASE WHEN doc_id % 3 <> 0 THEN
+         |            CASE 1 + doc_id % 14 WHEN 1 THEN 32 WHEN 2 THEN 40
+         |              WHEN 3 THEN 48 WHEN 4 THEN 56 WHEN 5 THEN 64
+         |              WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+         |              WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+         |              WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END
+         |          ELSE
+         |            CASE 1 + doc_id % 14 WHEN 1 THEN 8 WHEN 2 THEN 16
+         |              WHEN 3 THEN 24 WHEN 4 THEN 32 WHEN 5 THEN 40
+         |              WHEN 6 THEN 48 WHEN 7 THEN 56 WHEN 8 THEN 64
+         |              WHEN 9 THEN 80 WHEN 10 THEN 96 WHEN 11 THEN 112
+         |              WHEN 12 THEN 128 WHEN 13 THEN 144 ELSE 160 END END)
+         |      WHEN 4 THEN (CASE WHEN doc_id % 2 = 0 THEN
+         |          (1000 * ((doc_id % 997 + 1) * 960))
+         |            // (CASE (doc_id % 8) // 2 WHEN 0 THEN 8000
+         |              WHEN 1 THEN 16000 WHEN 2 THEN 44100
+         |              ELSE 48000 END)
+         |          ELSE ((doc_id % 997 + 1) * 960) // 48 END)
+         |      WHEN 5 THEN -1
+         |      ELSE ((CASE doc_id % 4 WHEN 0 THEN 41666 WHEN 1 THEN 40000
+         |          WHEN 2 THEN 33333 ELSE 16666 END)
+         |        * ((doc_id % 997 + 1) * 10)) // 1000
+         |      END AS BIGINT) AS duration_ms
+         |  FROM base)
+         |SELECT format, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN duration_ms >= 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_with_duration,
+         |  CAST(sum(CASE WHEN duration_ms >= 0 THEN duration_ms
+         |    ELSE 0 END) AS BIGINT) AS total_duration_ms,
+         |  CAST(max(duration_ms) AS BIGINT) AS max_duration_ms
+         |FROM d GROUP BY format ORDER BY format""".stripMargin
 
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,
       * shared Mitchell-log emitter), folded per source, then the

@@ -5265,6 +5265,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Mixed-media inventory rollup
+    * ([[graft.multimodal.ContainerProbes.sniffFormat]] /
+    * `inventoryDurationMs`): the operator a 100 TB media corpus runs
+    * FIRST — one magic-byte sniff routes each blob to the right
+    * container walker (q339 MP4, q340 WebM, q342 FLAC, q343 MP3,
+    * q344 Ogg, q347 TIFF, q348 AVI), no probe ever parses a foreign
+    * format, and the per-format playback-hours rollup prices the
+    * decode fleet. The mixed corpus interleaves all seven families
+    * by doc_id; a hash match certifies sniff + dispatch + every
+    * family's duration arithmetic in one report.
+    */
+  val q349_media_inventory: Q = (s, d) => {
+    import graft.multimodal.{AudioProbes, ContainerProbes, EbmlProbe, Mp4Probe}
+    val synth = udf((id: Long) => (id % 7) match {
+      case 0 => Mp4Probe.testAsset(id)
+      case 1 => EbmlProbe.testAsset(id)
+      case 2 => AudioProbes.flacTestAsset(id)
+      case 3 => AudioProbes.mp3TestAsset(id)
+      case 4 => AudioProbes.oggTestAsset(id)
+      case 5 => ContainerProbes.tiffTestAsset(id)
+      case _ => ContainerProbes.aviTestAsset(id)
+    })
+    val dec = udf((b: Array[Byte]) => ContainerProbes.inventoryDurationMs(b))
+    Tables.documents(s, d)
+      .select(col("doc_id"), dec(synth(col("doc_id"))).as("m"))
+      .select(col("doc_id"), col("m._1").as("format"),
+        col("m._2").as("duration_ms"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("duration_ms") >= 0, 1L).otherwise(0L))
+          .as("n_with_duration"),
+        sum(when(col("duration_ms") >= 0, col("duration_ms"))
+          .otherwise(0L)).as("total_duration_ms"),
+        max(col("duration_ms")).as("max_duration_ms"))
+      .orderBy("format")
+  }
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5838,5 +5875,6 @@ object Queries {
     "q345_seed_expansion" -> q345_seed_expansion,
     "q346_risk_coverage" -> q346_risk_coverage,
     "q347_tiff_probe" -> q347_tiff_probe,
-    "q348_avi_probe" -> q348_avi_probe)
+    "q348_avi_probe" -> q348_avi_probe,
+    "q349_media_inventory" -> q349_media_inventory)
 }

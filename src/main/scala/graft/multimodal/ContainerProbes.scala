@@ -225,6 +225,60 @@ object ContainerProbes {
       videoCodec, hasAudio)
   }
 
+  // ------------------------------------------------------------------
+  // Format sniffing + unified inventory dispatch
+  // ------------------------------------------------------------------
+
+  /** Magic-byte format sniff — the dispatcher a 100 TB mixed-media
+    * corpus runs FIRST: one cheap prefix test routes each blob to the
+    * right container walker (no probe ever parses a foreign format).
+    * Returns the format tag or null for unrecognized bytes. Order
+    * matters only for RIFF (WAVE vs AVI share the outer magic).
+    */
+  def sniffFormat(b: Array[Byte]): String = {
+    if (b == null || b.length < 12) return null
+    def at(o: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (c, i) => b(o + i) == c.toByte }
+    if (at(0, "fLaC")) "flac"
+    else if (at(0, "ID3")) "mp3"
+    else if (at(0, "OggS")) "ogg"
+    else if (at(4, "ftyp")) "mp4"
+    else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) "webm"
+    else if (at(0, "II") && b(2) == 42 && b(3) == 0) "tiff"
+    else if (at(0, "MM") && b(2) == 0 && b(3) == 42) "tiff"
+    else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
+    else null
+  }
+
+  /** Unified inventory record: sniffed format + the one field every
+    * container family shares (playback duration; -1 for still
+    * images / unrecognized). The per-format detail stays with the
+    * dedicated probes — this is the routing + rollup stage.
+    */
+  def inventoryDurationMs(b: Array[Byte]): (String, Long) =
+    sniffFormat(b) match {
+      case "mp4" =>
+        val m = Mp4Probe.probe(b); ("mp4", if (m == null) -1 else m.durationMs)
+      case "webm" =>
+        val m = EbmlProbe.probe(b); ("webm", if (m == null) -1 else m.durationMs)
+      case "flac" =>
+        val m = AudioProbes.probeFlac(b)
+        ("flac", if (m == null) -1 else m.durationMs)
+      case "mp3" =>
+        val m = AudioProbes.probeMp3(b)
+        ("mp3", if (m == null) -1 else m.durationMs)
+      case "ogg" =>
+        val m = AudioProbes.probeOgg(b)
+        ("ogg", if (m == null) -1 else m.durationMs)
+      case "avi" =>
+        val m = probeAvi(b); ("avi", if (m == null) -1 else m.durationMs)
+      case "tiff" => ("tiff", -1L)
+      case "wav" => ("wav", -1L)
+      case _ => (null, -1L)
+    }
+
   // exact microseconds-per-frame literals for 24/25/30/60 fps — both
   // engines restate the same table, so the truncation IS the contract
   private val UsPerFrame = Vector(41666L, 40000L, 33333L, 16666L)

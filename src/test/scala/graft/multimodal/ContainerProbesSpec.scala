@@ -90,6 +90,46 @@ class ContainerProbesSpec extends AnyFunSuite {
     }
   }
 
+  test("sniffFormat + inventoryDurationMs: every family's asset routes" +
+    " to its own walker with the probe's duration") {
+    for (id <- 0L until 56L) {
+      val (bytes, fmt, wantDur) = (id % 7) match {
+        case 0 =>
+          val b = Mp4Probe.testAsset(id)
+          (b, "mp4", Mp4Probe.probe(b).durationMs)
+        case 1 =>
+          val b = EbmlProbe.testAsset(id)
+          (b, "webm", EbmlProbe.probe(b).durationMs)
+        case 2 =>
+          val b = AudioProbes.flacTestAsset(id)
+          (b, "flac", AudioProbes.probeFlac(b).durationMs)
+        case 3 =>
+          val b = AudioProbes.mp3TestAsset(id)
+          (b, "mp3", AudioProbes.probeMp3(b).durationMs)
+        case 4 =>
+          val b = AudioProbes.oggTestAsset(id)
+          (b, "ogg", AudioProbes.probeOgg(b).durationMs)
+        case 5 =>
+          (ContainerProbes.tiffTestAsset(id), "tiff", -1L)
+        case _ =>
+          val b = ContainerProbes.aviTestAsset(id)
+          (b, "avi", ContainerProbes.probeAvi(b).durationMs)
+      }
+      assert(ContainerProbes.sniffFormat(bytes) === fmt, s"id=$id")
+      assert(ContainerProbes.inventoryDurationMs(bytes) ===
+        ((fmt, wantDur)), s"id=$id")
+    }
+    // unrecognized bytes: (null, -1), never a throw
+    assert(ContainerProbes.sniffFormat("plain document text".getBytes)
+      === null)
+    assert(ContainerProbes.inventoryDurationMs(
+      "plain document text, long enough".getBytes) === ((null, -1L)))
+    // WAV routes as wav (the RIFF sibling of avi)
+    val wav = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVEfmt ".getBytes
+    assert(ContainerProbes.sniffFormat(wav) === "wav")
+  }
+
   test("subset policy: corpus garbage returns null, never throws") {
     assert(ContainerProbes.probeTiff(null) === null)
     assert(ContainerProbes.probeTiff(Array.emptyByteArray) === null)
