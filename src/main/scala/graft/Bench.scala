@@ -617,7 +617,8 @@ object Bench {
       "q338_lsh_plan", "q339_mp4_probe", "q340_webm_probe",
       "q341_changepoint", "q342_flac_probe", "q343_mp3_probe",
       "q344_ogg_probe", "q345_seed_expansion", "q346_risk_coverage",
-      "q347_tiff_probe", "q348_avi_probe", "q349_media_inventory")
+      "q347_tiff_probe", "q348_avi_probe", "q349_media_inventory",
+      "q350_curation_verdict")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -633,6 +633,7 @@ object OracleSql {
     "q347_tiff_probe" -> Gen.tiffProbeSql,
     "q348_avi_probe" -> Gen.aviProbeSql,
     "q349_media_inventory" -> Gen.mediaInventorySql,
+    "q350_curation_verdict" -> Gen.curationVerdictSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6343,6 +6344,71 @@ object OracleSql {
          |    ELSE 0 END) AS BIGINT) AS total_duration_ms,
          |  CAST(max(duration_ms) AS BIGINT) AS max_duration_ms
          |FROM d GROUP BY format ORDER BY format""".stripMargin
+
+    /** Twin of q350_curation_verdict: the q64 PII plant on ids ≡ 3
+      * (mod 7), the q119 Gopher flag CTE over the augmented text,
+      * the q130 blocklist hits, the q24 md5 min-id dup winner, and
+      * the same bit arithmetic for `reason_mask`.
+      */
+    def curationVerdictSql: String = {
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val stopSum = stops.map(s0 =>
+        s"(CASE WHEN list_contains(w, '$s0') THEN 1 ELSE 0 END)").mkString(" + ")
+      val email = graft.functions.TextFns.EMAIL_RE
+      val ssn = graft.functions.TextFns.SSN_RE
+      val phone = graft.functions.TextFns.PHONE_RE
+      s"""WITH docs0 AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || ' contact: user'
+         |      || doc_id || '@test.org call 555-867-5309 ssn 123-45-6789'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |wd AS (SELECT doc_id, lang, text, ${tokensE("text")} AS w
+         |  FROM docs0),
+         |b AS (SELECT doc_id, lang,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+         |  CAST(len(regexp_replace(text, '$WS+', '', 'g')) AS BIGINT) AS chars,
+         |  CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS hsh,
+         |  CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS ell,
+         |  CAST($stopSum AS BIGINT) AS stops
+         |  FROM wd),
+         |fl AS (SELECT doc_id, lang, n_tokens,
+         |  (n_tokens >= 10 AND n_tokens <= 10000) AS ok_words,
+         |  (3 * n_tokens <= chars AND chars <= 10 * n_tokens) AS ok_mean_len,
+         |  (10 * (hsh + ell) <= n_tokens) AS ok_symbols,
+         |  (stops >= 1) AS ok_stopwords,
+         |  (10 * (n_tokens - nd) <= 6 * n_tokens) AS ok_dup
+         |  FROM b),
+         |pi AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$email'))
+         |      + len(regexp_extract_all(text, '$ssn'))
+         |      + len(regexp_extract_all(text, '$phone')) AS BIGINT) AS pii
+         |  FROM docs0),
+         |tk AS (SELECT doc_id, lower(t) AS t FROM (
+         |  SELECT doc_id, unnest(w) AS t FROM wd) z),
+         |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM tk WHERE t IN ('slow', 'big', 'the') GROUP BY doc_id),
+         |dk AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+         |  FROM docs0 GROUP BY 1),
+         |dp AS (SELECT doc_id, (doc_id <> dk.keep_id) AS loser
+         |  FROM docs0 JOIN dk ON md5(docs0.text) = dk.fp),
+         |m AS (SELECT fl.doc_id, fl.lang, fl.n_tokens,
+         |    CAST((CASE WHEN NOT ok_words THEN 1 ELSE 0 END)
+         |      + (CASE WHEN NOT ok_mean_len THEN 2 ELSE 0 END)
+         |      + (CASE WHEN NOT ok_symbols THEN 4 ELSE 0 END)
+         |      + (CASE WHEN NOT ok_stopwords THEN 8 ELSE 0 END)
+         |      + (CASE WHEN NOT ok_dup THEN 16 ELSE 0 END)
+         |      + (CASE WHEN pi.pii > 0 THEN 32 ELSE 0 END)
+         |      + (CASE WHEN coalesce(h.n_hits, 0) > 2 THEN 64 ELSE 0 END)
+         |      + (CASE WHEN dp.loser THEN 128 ELSE 0 END) AS BIGINT)
+         |      AS reason_mask
+         |  FROM fl JOIN pi USING (doc_id)
+         |    LEFT JOIN h USING (doc_id)
+         |    JOIN dp USING (doc_id))
+         |SELECT doc_id, lang, n_tokens, reason_mask,
+         |  (reason_mask = 0) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
 
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,
       * shared Mitchell-log emitter), folded per source, then the

@@ -5302,6 +5302,27 @@ object Queries {
       .orderBy("format")
   }
 
+  /** End-to-end curation verdict
+    * ([[graft.ops.TextStats.curationVerdict]]): the keep/drop
+    * decision table a pipeline owner ships — q119's five Gopher
+    * gates + PII presence (planted on ids ≡ 3 mod 7, the q64
+    * fixture) + q130's blocklist cap + exact-dup loser marking
+    * (q24's min-id convention), each failure a bit in `reason_mask`
+    * so the drop ledger is queryable by reason. Four id-keyed joins
+    * of slim flag tables; only the dup gate shuffles fingerprints.
+    */
+  val q350_curation_verdict: Q = (s, d) => {
+    val aug = Tables.documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(7L)) === 3L,
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@test.org call 555-867-5309 ssn 123-45-6789")))
+        .otherwise(col("text")))
+    TextStats.curationVerdict(aug, "doc_id", "text", carry = Seq("lang"),
+        minWords = 10, maxWords = 10000, stopMin = 1,
+        blockTerms = Seq("slow", "big", "the"), maxBlockHits = 2)
+      .orderBy("doc_id")
+  }
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5876,5 +5897,6 @@ object Queries {
     "q346_risk_coverage" -> q346_risk_coverage,
     "q347_tiff_probe" -> q347_tiff_probe,
     "q348_avi_probe" -> q348_avi_probe,
-    "q349_media_inventory" -> q349_media_inventory)
+    "q349_media_inventory" -> q349_media_inventory,
+    "q350_curation_verdict" -> q350_curation_verdict)
 }

@@ -1564,6 +1564,63 @@ object TextStats {
         col("ok_symbols") && col("ok_stopwords") && col("ok_dup"))
   }
 
+  /** End-to-end curation verdict — the single keep/drop decision
+    * table a pipeline owner actually ships, composing the audited
+    * single-purpose gates: [[gopherRules]]' five quality checks,
+    * PII presence ([[graft.functions.TextFns]] regex counts), the
+    * [[blocklistGate]] term cap, and exact-duplicate LOSER marking
+    * (md5 fingerprint, min-id winner — the q24 convention). Each
+    * failed gate sets a bit in `reason_mask` (1 words / 2 mean-len /
+    * 4 symbols / 8 stopwords / 16 intra-doc dup / 32 PII /
+    * 64 blocklist / 128 exact-dup loser); `keep` = mask 0 — so the
+    * drop ledger is queryable by reason, which is what a curation
+    * review actually needs ("how much did the PII gate cost us").
+    *
+    * Scale shape: the quality/PII/blocklist gates are map-only over
+    * one scan each; the dup gate shuffles (fingerprint, id) pairs
+    * only; everything re-joins on the slim id key. Composition of
+    * individually-audited operators is deliberate — each gate keeps
+    * its own plan, specs and oracle, and the verdict stays a
+    * four-way id-keyed join of slim flag tables.
+    */
+  def curationVerdict(df: DataFrame, idCol: String, textCol: String,
+                      carry: Seq[String] = Seq.empty,
+                      minWords: Long = 50, maxWords: Long = 100000,
+                      stopMin: Int = 2,
+                      blockTerms: Seq[String] = Seq.empty,
+                      maxBlockHits: Long = 0): DataFrame = {
+    val g = gopherRules(df, idCol, textCol, carry, minWords, maxWords,
+      stopMin)
+    val pii = df.select(col(idCol),
+      (TextFns.piiCount(col(textCol), TextFns.EMAIL_RE) +
+        TextFns.piiCount(col(textCol), TextFns.SSN_RE) +
+        TextFns.piiCount(col(textCol), TextFns.PHONE_RE)).as("__pii"))
+    val bl =
+      if (blockTerms.isEmpty)
+        df.select(col(idCol), lit(0L).as("n_hits"))
+      else blocklistGate(df, idCol, textCol, blockTerms, maxBlockHits)
+        .select(col(idCol), col("n_hits"))
+    val dupKeep = df.select(col(idCol), md5(col(textCol)).as("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).as("__keep_id"))
+    val dup = df.select(col(idCol), md5(col(textCol)).as("__fp"))
+      .join(dupKeep, "__fp")
+      .select(col(idCol), (col(idCol) =!= col("__keep_id")).as("__loser"))
+    g.join(pii, Seq(idCol))
+      .join(bl, Seq(idCol))
+      .join(dup, Seq(idCol))
+      .withColumn("reason_mask",
+        when(!col("ok_words"), 1L).otherwise(0L) +
+          when(!col("ok_mean_len"), 2L).otherwise(0L) +
+          when(!col("ok_symbols"), 4L).otherwise(0L) +
+          when(!col("ok_stopwords"), 8L).otherwise(0L) +
+          when(!col("ok_dup"), 16L).otherwise(0L) +
+          when(col("__pii") > 0, 32L).otherwise(0L) +
+          when(col("n_hits") > maxBlockHits, 64L).otherwise(0L) +
+          when(col("__loser"), 128L).otherwise(0L))
+      .select(col(idCol) +: carry.map(col) :+ col("n_tokens") :+
+        col("reason_mask") :+ (col("reason_mask") === 0L).as("keep"): _*)
+  }
+
   /** Hill tail-index estimator (Hill 1975) over the word-frequency
     * distribution — puts a NUMBER on the Zipf plot (q170): the
     * power-law exponent α̂ = k / Σᵢ₌₁..ₖ ln(xᵢ/x₍ₖ₊₁₎) over the top

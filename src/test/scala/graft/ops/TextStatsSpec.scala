@@ -538,6 +538,29 @@ class TextStatsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq && a.nonEmpty)
   }
 
+  test("curationVerdict: clean keep, per-gate reason bits, dup winner" +
+    " vs loser") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps"),         // clean -> keep
+      (2L, "en", "the little pony runs fast"),         // dup winner
+      (3L, "en", "the little pony runs fast"),         // dup loser -> 128
+      (4L, "en", "the quick brown fox emails bob@x.com okay"), // PII -> 32
+      (5L, "en", "the badword badword fox runs"),      // blocklist -> 64
+      (6L, "en", "hi"))                    // short+meanlen+stops -> 1+2+8
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.curationVerdict(docs, "doc_id", "text",
+        carry = Seq("lang"), minWords = 3, maxWords = 100, stopMin = 1,
+        blockTerms = Seq("badword"), maxBlockHits = 0)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) === ((0L, true)))
+    assert(out(2L) === ((0L, true)))   // min-id dup wins
+    assert(out(3L) === ((128L, false)))
+    assert(out(4L) === ((32L, false)))
+    assert(out(5L) === ((64L, false)))
+    assert(out(6L) === ((11L, false))) // words + mean-len + stopwords
+  }
+
   test("textRank is partition-invariant and deterministic") {
     val docs = spark.range(0, 200).selectExpr("id",
       "concat('w', CAST(id % 17 AS STRING), ' w', CAST(id % 5 AS STRING), " +
