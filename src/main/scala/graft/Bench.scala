@@ -306,6 +306,7 @@ object Bench {
     "\"loadavg_start\":" + artifact("loadavg_start"),
     "\"loadavg_end\":" + artifact("loadavg_end"),
     "\"steal_ppm\":" + artifact("steal_ppm"),
+    "\"disk_mb_per_s\":" + artifact("disk_mb_per_s"),
     "\"sf\":" + artifact("sf"),
     "\"phases_done\":\"" + phase + "\"").mkString("{", ",", "}")
 
