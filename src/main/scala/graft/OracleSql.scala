@@ -634,6 +634,7 @@ object OracleSql {
     "q348_avi_probe" -> Gen.aviProbeSql,
     "q349_media_inventory" -> Gen.mediaInventorySql,
     "q350_curation_verdict" -> Gen.curationVerdictSql,
+    "q351_raking" -> Gen.rakingSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6408,6 +6409,43 @@ object OracleSql {
          |SELECT doc_id, lang, n_tokens, reason_mask,
          |  (reason_mask = 0) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
+    }
+
+    /** Twin of q351_raking: the same (lang, source) grid, uniform
+      * targets `(N·10⁶) // margin-count`, and 2 row+col IPF sweeps
+      * unrolled with every truncating divide mirrored through
+      * HUGEINT.
+      */
+    def rakingSql: String = {
+      val steps = (1 to 2).flatMap { i =>
+        val (pr, pc) = (s"w${2 * i - 2}", s"w${2 * i - 1}")
+        Seq(
+          s"""r${i}s AS (SELECT r, sum(CAST(n AS HUGEINT) * w) AS s
+             |  FROM $pr GROUP BY 1),
+             |$pc AS (SELECT p.r, p.c, p.n,
+             |    (p.w * ((dims.nn * 1000000) // dims.nr))
+             |      // greatest(m.s, 1) AS w
+             |  FROM $pr p JOIN r${i}s m USING (r) CROSS JOIN dims)""",
+          s"""c${i}s AS (SELECT c, sum(CAST(n AS HUGEINT) * w) AS s
+             |  FROM $pc GROUP BY 1),
+             |w${2 * i} AS (SELECT p.r, p.c, p.n,
+             |    (p.w * ((dims.nn * 1000000) // dims.nc))
+             |      // greatest(m.s, 1) AS w
+             |  FROM $pc p JOIN c${i}s m USING (c) CROSS JOIN dims)""")
+      }.mkString(",\n")
+      s"""WITH cells AS (SELECT lang AS r, source AS c,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |dims AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS nr,
+         |    CAST(count(DISTINCT c) AS BIGINT) AS nc,
+         |    CAST(sum(n) AS HUGEINT) AS nn FROM cells),
+         |w0 AS (SELECT r, c, n, CAST(1000000 AS HUGEINT) AS w
+         |  FROM cells),
+         |$steps
+         |SELECT r AS lang, c AS source, n, CAST(w AS BIGINT) AS weight_ppm,
+         |  CAST((CAST(n AS HUGEINT) * w) // 1000000 AS BIGINT)
+         |    AS weighted_n
+         |FROM w4 ORDER BY lang, source""".stripMargin
     }
 
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,

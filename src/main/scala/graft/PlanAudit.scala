@@ -47,6 +47,9 @@ object PlanAudit {
     // ONE-row seed-count scalar cross-joined onto the vocab-bounded
     // node table (per PPR iteration) — broadcast scalar by design
     "q345_seed_expansion",
+    // ONE-row (nr, nc, N) dims scalar cross-joined onto the bounded
+    // (lang × source) grid per IPF sweep step — broadcast by design
+    "q351_raking",
     // ONE-row corpus total cross-joined onto the score-VALUE-bounded
     // cumulative table — the q92-class broadcast scalar
     "q346_risk_coverage",

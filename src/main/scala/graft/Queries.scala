@@ -5323,6 +5323,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Survey raking of the lang × source grid
+    * ([[graft.ops.Mixture.rake]], Deming–Stephan IPF): per-cell ppm
+    * weights that balance BOTH margins at once — the cross-margin
+    * mixing step q138's one-axis temperature reweight cannot do.
+    * Two unrolled row+col sweeps, every truncating divide mirrored
+    * in the twin; the corpus is touched once (the grid reduction).
+    */
+  val q351_raking: Q = (s, d) =>
+    graft.ops.Mixture.rake(Tables.documents(s, d), "lang", "source",
+        iters = 2)
+      .orderBy("lang", "source")
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5898,5 +5910,6 @@ object Queries {
     "q347_tiff_probe" -> q347_tiff_probe,
     "q348_avi_probe" -> q348_avi_probe,
     "q349_media_inventory" -> q349_media_inventory,
-    "q350_curation_verdict" -> q350_curation_verdict)
+    "q350_curation_verdict" -> q350_curation_verdict,
+    "q351_raking" -> q351_raking)
 }

@@ -501,6 +501,62 @@ object Mixture {
     * proportional stage (shared with q106); everything after folds
     * the sources-bounded table with one-row broadcasts.
     */
+  /** Survey raking / iterative proportional fitting (Deming &
+    * Stephan 1940) of the (row × col) document-count grid toward
+    * UNIFORM margins: alternately rescale weights so every row, then
+    * every column, carries an equal weighted share — after a couple
+    * of sweeps the mixture matches both margins at once, which
+    * one-axis reweighting ([[temperatureRates]], [[doremiStep]])
+    * cannot do (balancing lang breaks source balance and vice
+    * versa). The classic cross-margin corpus-mixing tool.
+    *
+    * Exact integers: weights are ppm; each step multiplies by the
+    * target/current ratio as ONE truncating divide
+    * `w' = (w · (N·10⁶ div R)) div Σ(n·w)` through DECIMAL(38) —
+    * both engines mirror every floor. `iters` row+col sweeps are
+    * unrolled in the twin. Caveat (standard IPF): a near-empty
+    * margin inflates its weights by ~N/(margin count); pre-bucket
+    * degenerate margins before raking.
+    *
+    * Scale shape: ONE corpus reduction to the (row, col) grid
+    * (domain-bounded); every sweep is a grid-keyed aggregation +
+    * broadcast join on that bounded table — corpus rows are never
+    * touched again.
+    */
+  def rake(df: DataFrame, rowCol: String, colCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of range")
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // dims + every sweep read the bounded grid
+    val dims = cells.agg(countDistinct("r").as("nr"),
+      countDistinct("c").as("nc"),
+      sum("n").cast("decimal(38,0)").as("nn"))
+    var w = cells.crossJoin(broadcast(dims))
+      .select(col("r"), col("c"), col("n"), lit(1000000L).as("w"),
+        col("nr"), col("nc"), col("nn"))
+    for (_ <- 1 to iters) {
+      val rs = w.groupBy(col("r").as("__rr"))
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * w")).as("__sr"))
+      w = w.join(broadcast(rs), col("r") === col("__rr"))
+        .withColumn("w", expr(
+          "CAST((CAST(w AS DECIMAL(38,0)) * ((nn * 1000000) div nr)) " +
+            "div greatest(__sr, 1) AS BIGINT)"))
+        .drop("__rr", "__sr")
+      val cs = w.groupBy(col("c").as("__cc"))
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * w")).as("__sc"))
+      w = w.join(broadcast(cs), col("c") === col("__cc"))
+        .withColumn("w", expr(
+          "CAST((CAST(w AS DECIMAL(38,0)) * ((nn * 1000000) div nc)) " +
+            "div greatest(__sc, 1) AS BIGINT)"))
+        .drop("__cc", "__sc")
+    }
+    w.select(col("r").as(rowCol), col("c").as(colCol), col("n"),
+      col("w").as("weight_ppm"),
+      expr("CAST((CAST(n AS DECIMAL(38,0)) * w) div 1000000 AS BIGINT)")
+        .as("weighted_n"))
+  }
+
   def doremiStep(df: DataFrame, idCol: String, srcCol: String,
                  textCol: String, etaNum: Int = 1,
                  etaDen: Int = 1): DataFrame = {

@@ -386,4 +386,29 @@ class MixtureSpec extends SparkSpec {
       .orderBy("src").collect().toSeq
     assert(streamed === expected)
   }
+
+  test("rake: hand-computed 2x2 IPF weights after two sweeps") {
+    import spark.implicits._
+    // counts: (a,x)=3 (a,y)=1 (b,x)=1 (b,y)=1; N=6, targets 3e6 per
+    // row/col. Hand IPF (every divide truncating):
+    // sweep1 row: wa=750000, wb=1500000; col: ax=600000, bx=1200000,
+    //   ay=1000000, by=2000000
+    // sweep2 row: ax=642857, ay=1071428, bx=1125000, by=1875000;
+    //   col: ax=631578, bx=1105263, ay=1090908, by=1909091
+    //   (independently replicated in integer arithmetic)
+    val rows = Seq.fill(3)(("a", "x")) ++ Seq(("a", "y")) ++
+      Seq(("b", "x")) ++ Seq(("b", "y"))
+    val out = Mixture.rake(rows.toDF("r", "c"), "r", "c", iters = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(out(("a", "x")) === ((3L, 631578L, 1L)))
+    assert(out(("a", "y")) === ((1L, 1090908L, 1L)))
+    assert(out(("b", "x")) === ((1L, 1105263L, 1L)))
+    assert(out(("b", "y")) === ((1L, 1909091L, 1L)))
+    // both margins converge toward 3e6 weighted share: row sums of
+    // n*w within 5% of target after two sweeps
+    val rowSum = Seq(3L * 631578 + 1L * 1090908,
+      1L * 1105263 + 1L * 1909091)
+    rowSum.foreach(s0 => assert(math.abs(s0 - 3000000L) < 150000L, s0))
+  }
 }
