@@ -619,7 +619,7 @@ object Bench {
       "q341_changepoint", "q342_flac_probe", "q343_mp3_probe",
       "q344_ogg_probe", "q345_seed_expansion", "q346_risk_coverage",
       "q347_tiff_probe", "q348_avi_probe", "q349_media_inventory",
-      "q350_curation_verdict", "q351_raking")
+      "q350_curation_verdict", "q351_raking", "q352_raked_sample")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

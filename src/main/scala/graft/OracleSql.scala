@@ -635,6 +635,7 @@ object OracleSql {
     "q349_media_inventory" -> Gen.mediaInventorySql,
     "q350_curation_verdict" -> Gen.curationVerdictSql,
     "q351_raking" -> Gen.rakingSql,
+    "q352_raked_sample" -> Gen.rakedSampleSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6416,7 +6417,10 @@ object OracleSql {
       * unrolled with every truncating divide mirrored through
       * HUGEINT.
       */
-    def rakingSql: String = {
+    /** The q351 IPF CTE chain (cells → dims → w0 → … → w4) — shared
+      * verbatim by [[rakingSql]] and [[rakedSampleSql]].
+      */
+    private def rakeCtes: String = {
       val steps = (1 to 2).flatMap { i =>
         val (pr, pc) = (s"w${2 * i - 2}", s"w${2 * i - 1}")
         Seq(
@@ -6433,7 +6437,7 @@ object OracleSql {
              |      // greatest(m.s, 1) AS w
              |  FROM $pc p JOIN c${i}s m USING (c) CROSS JOIN dims)""")
       }.mkString(",\n")
-      s"""WITH cells AS (SELECT lang AS r, source AS c,
+      s"""cells AS (SELECT lang AS r, source AS c,
          |    CAST(count(*) AS BIGINT) AS n
          |  FROM documents GROUP BY 1, 2),
          |dims AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS nr,
@@ -6441,11 +6445,38 @@ object OracleSql {
          |    CAST(sum(n) AS HUGEINT) AS nn FROM cells),
          |w0 AS (SELECT r, c, n, CAST(1000000 AS HUGEINT) AS w
          |  FROM cells),
-         |$steps
+         |$steps"""
+    }
+
+    def rakingSql: String =
+      s"""WITH $rakeCtes,
+         |__final AS (SELECT * FROM w4)
          |SELECT r AS lang, c AS source, n, CAST(w AS BIGINT) AS weight_ppm,
          |  CAST((CAST(n AS HUGEINT) * w) // 1000000 AS BIGINT)
          |    AS weighted_n
-         |FROM w4 ORDER BY lang, source""".stripMargin
+         |FROM __final ORDER BY lang, source""".stripMargin
+
+    /** Twin of q352_raked_sample: the q351 IPF chain verbatim, then
+      * the md5-hash61 fractional gate and the epochs arithmetic.
+      */
+    def rakedSampleSql: String = {
+      val u = graft.functions.HashFns.duckHash61(
+        "'rake:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $rakeCtes,
+         |wt AS (SELECT r, c, n, CAST(w AS BIGINT) AS wp FROM w4),
+         |k AS (SELECT lang AS r, source AS c, doc_id,
+         |    $u % 1000000 AS u
+         |  FROM documents),
+         |s AS (SELECT wt.r, wt.c, wt.n, wt.wp,
+         |    CAST(sum(CASE WHEN k.u < wt.wp % 1000000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_sampled
+         |  FROM wt JOIN k ON k.r = wt.r AND k.c = wt.c
+         |  GROUP BY wt.r, wt.c, wt.n, wt.wp)
+         |SELECT r AS lang, c AS source, n, wp AS weight_ppm,
+         |  CAST(wp // 1000000 AS BIGINT) AS full_epochs,
+         |  n_sampled,
+         |  CAST(n * (wp // 1000000) + n_sampled AS BIGINT) AS n_kept
+         |FROM s ORDER BY lang, source""".stripMargin
     }
 
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,

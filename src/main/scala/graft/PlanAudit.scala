@@ -50,6 +50,9 @@ object PlanAudit {
     // ONE-row (nr, nc, N) dims scalar cross-joined onto the bounded
     // (lang × source) grid per IPF sweep step — broadcast by design
     "q351_raking",
+    // the q351 dims scalar inside the rake stage; the corpus gate
+    // itself is a broadcast-grid equi-join
+    "q352_raked_sample",
     // ONE-row corpus total cross-joined onto the score-VALUE-bounded
     // cumulative table — the q92-class broadcast scalar
     "q346_risk_coverage",

@@ -5335,6 +5335,19 @@ object Queries {
         iters = 2)
       .orderBy("lang", "source")
 
+  /** Raked sampling plan ([[graft.ops.Mixture.rakedSample]]): q351's
+    * IPF weights executed as a deterministic manifest — full epochs
+    * for weights above 10⁶, a hash-gated fractional pass for the
+    * remainder (the q99/q177 reproducible-membership convention) —
+    * per (lang, source) the n_kept a training-data loader consumes.
+    * One bounded-grid rake + one gated corpus scan with map-side
+    * partial counts.
+    */
+  val q352_raked_sample: Q = (s, d) =>
+    graft.ops.Mixture.rakedSample(Tables.documents(s, d), "lang",
+        "source", "doc_id", iters = 2)
+      .orderBy("lang", "source")
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5911,5 +5924,6 @@ object Queries {
     "q348_avi_probe" -> q348_avi_probe,
     "q349_media_inventory" -> q349_media_inventory,
     "q350_curation_verdict" -> q350_curation_verdict,
-    "q351_raking" -> q351_raking)
+    "q351_raking" -> q351_raking,
+    "q352_raked_sample" -> q352_raked_sample)
 }

@@ -199,7 +199,7 @@ object ScaleRamp {
       "q341_changepoint", "q342_flac_probe", "q343_mp3_probe",
       "q344_ogg_probe", "q345_seed_expansion", "q346_risk_coverage",
       "q347_tiff_probe", "q348_avi_probe", "q349_media_inventory",
-      "q350_curation_verdict", "q351_raking")
+      "q350_curation_verdict", "q351_raking", "q352_raked_sample")
     val rampQueries = sys.env.get("GRAFT_RAMP_QUERIES") match {
       case Some(qs) => qs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => defaultRampQueries

@@ -557,6 +557,39 @@ object Mixture {
         .as("weighted_n"))
   }
 
+  /** Execute [[rake]]'s weights as a deterministic sampling plan —
+    * the step that turns per-cell ppm weights into actual kept rows:
+    * a weight above 10⁶ means FULL EPOCHS (every row repeats
+    * `weight div 10⁶` times) plus a fractional pass; the fractional
+    * remainder samples rows by the [[sampleByRates]] hash-gate
+    * convention (`hash61(salt ++ id) % 10⁶ < frac`), so membership
+    * is reproducible on any partitioning at any scale. Emits the
+    * per-cell plan: n, weight_ppm, full_epochs, n_sampled (rows
+    * passing the fractional gate) and n_kept = n·epochs + sampled —
+    * the exact manifest a training-data loader consumes.
+    *
+    * Scale shape: [[rake]]'s bounded-grid sweeps, then ONE corpus
+    * scan gated by the broadcast weight grid with a map-side partial
+    * count — rows shuffle as (cell → counts), never individually.
+    */
+  def rakedSample(df: DataFrame, rowCol: String, colCol: String,
+                  idCol: String, iters: Int = 2,
+                  salt: String = "rake:"): DataFrame = {
+    val w = rake(df, rowCol, colCol, iters)
+      .select(col(rowCol), col(colCol), col("n"), col("weight_ppm"))
+    df.select(col(rowCol), col(colCol), col(idCol))
+      .join(broadcast(w), Seq(rowCol, colCol)) // grid is domain-bounded
+      .withColumn("__u", HashFns.hash61(
+        concat(lit(salt), col(idCol).cast("string"))) % 1000000L)
+      .groupBy(col(rowCol), col(colCol), col("n"), col("weight_ppm"))
+      .agg(sum(when(col("__u") < col("weight_ppm") % 1000000L, 1L)
+        .otherwise(0L)).cast("bigint").as("n_sampled"))
+      .select(col(rowCol), col(colCol), col("n"), col("weight_ppm"),
+        expr("weight_ppm div 1000000").as("full_epochs"),
+        col("n_sampled"),
+        expr("n * (weight_ppm div 1000000) + n_sampled").as("n_kept"))
+  }
+
   def doremiStep(df: DataFrame, idCol: String, srcCol: String,
                  textCol: String, etaNum: Int = 1,
                  etaDen: Int = 1): DataFrame = {

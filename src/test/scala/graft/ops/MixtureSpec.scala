@@ -411,4 +411,35 @@ class MixtureSpec extends SparkSpec {
       1L * 1105263 + 1L * 1909091)
     rowSum.foreach(s0 => assert(math.abs(s0 - 3000000L) < 150000L, s0))
   }
+
+  test("rakedSample: epochs + fractional gate agree with a driver-side" +
+    " replay of the same hash rule") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "a" else "b", if (i % 2 == 0) "x" else "y"))
+    val df = rows.toDF("id", "r", "c")
+    val w = Mixture.rake(df, "r", "c", iters = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(3))
+      .toMap
+    val out = Mixture.rakedSample(df, "r", "c", "id", iters = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getLong(6))).toMap
+    // driver-side replay: same hash61 gate over the same ids
+    val gate = df.select(col("id"), col("r"), col("c"),
+        graft.functions.HashFns.hash61(
+          concat(lit("rake:"), col("id").cast("string"))).as("h"))
+      .collect().map(x => (x.getString(1), x.getString(2),
+        x.getLong(3) % 1000000L))
+    out.foreach { case ((r, c), (n, wp, epochs, sampled, kept)) =>
+      assert(wp === w((r, c)))
+      assert(epochs === wp / 1000000L)
+      val expSampled = gate.count(g => g._1 == r && g._2 == c &&
+        g._3 < wp % 1000000L)
+      assert(sampled === expSampled.toLong, s"cell ($r,$c)")
+      assert(kept === n * epochs + sampled)
+    }
+    // the plan covers every cell of the grid
+    assert(out.keySet === rows.map(t => (t._2, t._3)).toSet)
+  }
 }
