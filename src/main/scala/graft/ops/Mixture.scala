@@ -524,10 +524,31 @@ object Mixture {
     * touched again.
     */
   def rake(df: DataFrame, rowCol: String, colCol: String,
-           iters: Int = 2): DataFrame = {
+           iters: Int = 2): DataFrame =
+    rakeFromCellsDf(
+      df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+        .agg(count(lit(1)).as("n")),
+      rowCol, colCol, iters)
+
+  /** [[rake]] from externally accumulated ((row, col) → n) grid
+    * counts — the additive streaming readback (the
+    * chiSquaredFromCounts convention): a foreachBatch folds the
+    * per-batch cell counts and replays the IPF sweeps, bit-identical
+    * to the batch operator over the same delivered rows.
+    */
+  def rakeFromCounts(spark: org.apache.spark.sql.SparkSession,
+                     counts: Seq[(String, String, Long)],
+                     rowCol: String = "r", colCol: String = "c",
+                     iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    rakeFromCellsDf(counts.toDF("r", "c", "n")
+      .groupBy("r", "c").agg(sum("n").as("n")), rowCol, colCol, iters)
+  }
+
+  private def rakeFromCellsDf(cells0: DataFrame, rowCol: String,
+                              colCol: String, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters=$iters out of range")
-    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
-      .agg(count(lit(1)).as("n"))
+    val cells = cells0
       .localCheckpoint() // dims + every sweep read the bounded grid
     val dims = cells.agg(countDistinct("r").as("nr"),
       countDistinct("c").as("nc"),

@@ -442,4 +442,22 @@ class MixtureSpec extends SparkSpec {
     // the plan covers every cell of the grid
     assert(out.keySet === rows.map(t => (t._2, t._3)).toSet)
   }
+
+  test("rakeFromCounts ≡ rake over the same rows (additive cells" +
+    " across micro-batches)") {
+    import spark.implicits._
+    val rows = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", if (i % 2 == 0) "x" else "y"))
+    val df = rows.toDF("id", "r", "c")
+    val batch = Mixture.rake(df, "r", "c", iters = 2)
+      .orderBy("r", "c").collect().toSeq
+    // two batches contribute overlapping cells — the fold must add
+    val (b1, b2) = rows.splitAt(11)
+    val folded = Seq(b1, b2).flatMap(_.groupBy(t => (t._2, t._3))
+      .map { case ((r, c), xs) => (r, c, xs.size.toLong) })
+    val streamed = Mixture.rakeFromCounts(spark, folded, "r", "c",
+        iters = 2)
+      .orderBy("r", "c").collect().toSeq
+    assert(streamed === batch)
+  }
 }
