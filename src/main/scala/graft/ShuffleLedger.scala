@@ -68,7 +68,13 @@ object ShuffleLedger {
       }
     }
 
-    val rows = Bench.headline.map { n =>
+    // GRAFT_SHUFFLE_QUERIES overrides the default headline set —
+    // e.g. the dedup/similarity family, whose "only fingerprints
+    // shuffle" claims are exactly what this ledger checks
+    val names = sys.env.get("GRAFT_SHUFFLE_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Bench.headline)
+    val rows = names.map { n =>
       val (ba, ra) = measure(dirA, n)
       val (bb, rb) = measure(dirB, n)
       val ratio =
