@@ -56,17 +56,22 @@ object RocksBench {
     def remainingSec(): Long = budgetSec
       .map(b => b - (System.nanoTime() - t0) / 1000000000L)
       .getOrElse(Long.MaxValue / 2)
+    // optional args restrict the sweep to specific cells — the
+    // parent's stamp-triggered retry re-runs ONLY the suspect sizes
+    val sizes: Seq[Long] =
+      if (args.nonEmpty) args.toSeq.map(_.toLong).sorted.reverse
+      else Seq(2000000L, 1000000L)
     // warm at the largest cell, measure descending (the StatefulBench
     // rationale: the 2M figure is the headline). Warm only when the
     // budget can hold warm AND a measured cell — this child's r14 run
     // spent its whole 150 s budget warming and skipped every cell
     if (remainingSec() > 210)
-      Bench.measureStateful(spark, 2000000L, cpus.toInt,
+      Bench.measureStateful(spark, sizes.head, cpus.toInt,
         deadlineSec = math.min(120L, remainingSec() - 150), untilBatch = 2)
     else System.err.println(
       s"[bench] child budget: skipped warm pass (remaining=${remainingSec()}s)")
     val results = scala.collection.mutable.LinkedHashMap(
-      2000000L -> -1.0, 1000000L -> -1.0)
+      sizes.map(_ -> -1.0): _*)
     def printSweep(): Unit = {
       val json = results.map { case (n, rps) =>
         "\"" + n + "\":" + (if (rps < 0) "-1" else rps.round.toString)
@@ -74,7 +79,7 @@ object RocksBench {
       println("ROCKS_SWEEP " + json)
       System.out.flush()
     }
-    Seq(2000000L, 1000000L).foreach { n =>
+    sizes.foreach { n =>
       def pass() = {
         val (rows, sec, nBatches) = Bench.measureStateful(spark, n,
           cpus.toInt, deadlineSec = math.min(300L, remainingSec() - 30))

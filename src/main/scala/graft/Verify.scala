@@ -43,6 +43,30 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Pinned-hash drift guard for the rows-only entries (no DuckDB
+    // twin): recompute the canonical hash and compare to the value
+    // committed in [[PinnedHashes]] — the result lands beside the
+    // parquet dumps as pinned_checks.json, and a mismatch is LOUD on
+    // stderr. Never throws: a pin failure must not take the oracle
+    // dump for the other 350+ queries with it.
+    val pins = PinnedHashes.forDir(sfDir).filter(kv => keep(kv._1))
+    if (pins.nonEmpty) {
+      val checks = pins.toSeq.sortBy(_._1).map { case (name, (eRows, eHash)) =>
+        val (rows, hash, err) =
+          try { val (r, h) = PinnedHashes.canonicalHash(
+              SparkEntry.queries(name)(spark, sfDir)); (r, h, null: String) }
+          catch { case e: Throwable => (-1L, "", e.getMessage) }
+        val ok = err == null && rows == eRows && hash == eHash
+        System.err.println(s"[verify] pinned $name: " +
+          (if (ok) "MATCH" else s"MISMATCH rows=$rows/$eRows " +
+            s"hash=$hash/$eHash err=$err"))
+        s"${q(name)}: {\"rows\": $rows, \"hash\": ${q(hash)}, " +
+          s"\"expected_rows\": $eRows, \"expected_hash\": ${q(eHash)}, " +
+          s"\"hash_match\": $ok}"
+      }
+      Files.writeString(Paths.get(s"$outDir/pinned_checks.json"),
+        checks.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }

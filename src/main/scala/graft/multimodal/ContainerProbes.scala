@@ -9,6 +9,23 @@ package graft.multimodal
   * never throws (the [[Mp4Probe]] subset policy).
   *
   * Scale shape: map-only, O(bytes) per blob, no shuffle.
+  *
+  * Execution seam (why the q339–q349 catalog entries wrap these in
+  * per-row scalar `udf`s while ImageDims is a codegen'd Catalyst
+  * expression): each probe is a stateful TOTAL parser — branchy
+  * chunk walks with data-dependent offsets, early-exit null paths
+  * and per-call local state — with no vectorizable or expression-
+  * template form; hand-writing `doGenCode` for it would inline a
+  * page of opaque Java into the generated class for zero gain (the
+  * cost is the walk itself, not the call). The per-row lambda call
+  * amortizes over kilobyte blobs (thousands of byte reads per
+  * invocation), the surrounding plan stays whole-stage-codegen on
+  * both sides of the call boundary, and the struct return feeds
+  * column pruning normally. `mapPartitions` would buy only the same
+  * per-row JVM call with worse composability (loses the Column
+  * seam). ImageDims earns its expression form because it reads a
+  * FIXED header prefix — a few branchless loads that codegen can
+  * actually fuse; these walkers do not.
   */
 object ContainerProbes {
 
@@ -167,6 +184,15 @@ object ContainerProbes {
                            width: Long, height: Long, nStreams: Long,
                            videoCodec: String, hasAudio: Boolean) {
     def durationMs: Long = usPerFrame * totalFrames / 1000
+    /** DERIVED frame rate, not a nominal label: the container stores
+      * only microseconds-per-frame, so fps_milli is the truncated
+      * integral 1e9/usPerFrame — 41666 µs reads 24000, 40000 reads
+      * 25000, 33333 reads 30000, but the 60 fps arm (16666 µs) reads
+      * 60002 because no integer µs value truncates to exactly 60000
+      * (16667 µs would read 59998). The oracle twin states the same
+      * integral divide, so the off-nominal value is deterministic
+      * and hash-stable on both engines.
+      */
     def fpsMilli: Long =
       if (usPerFrame <= 0) -1L else 1000000000L / usPerFrame
   }

@@ -1312,8 +1312,15 @@ object Eval {
     * Scale shape: one train reduction to the x-domain-bounded
     * predictor table (broadcast), one calibration reduction to the
     * residual-value histogram (value-domain-bounded; its cumsum is
-    * the audited bounded-window class), one test fold. The α-table
-    * inequality join runs against the bounded histogram.
+    * the audited bounded-window class), then ONE test-split pass: the
+    * ≤|α|-row q̂ table broadcasts against the test scan and every
+    * α's coverage count folds in the SAME aggregation
+    * (Σ when(r ≤ q̂ᵢ) per α via the tiny-side expand). NO
+    * checkpoint anywhere — the r14 form localCheckpointed the
+    * corpus-proportional test-residual table (a non-replicated
+    * executor-local materialization, the disk-fill/executor-loss
+    * hazard class) and probed it once per α; the three split scans
+    * now each re-read the source with the split filter pushed down.
     */
   def conformalIntervals(df: DataFrame, xCol: String, yCol: String,
                          splitCol: String,
@@ -1322,7 +1329,7 @@ object Eval {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(xCol).as("x"), col(yCol).as("y"),
-      col(splitCol).as("sp")).localCheckpoint()
+      col(splitCol).as("sp"))
     val pred = broadcast(base.where(col("sp") >= 2L)
       .groupBy("x")
       .agg(expr("CAST(sum(CAST(y AS DECIMAL(38,0))) div count(1) " +
@@ -1330,7 +1337,7 @@ object Eval {
     val resid = base.where(col("sp") === 1L).join(pred, Seq("x"))
       .select(abs(col("y") - col("yhat")).as("r"))
       .groupBy("r").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // n_cal + cumulative consumers
+      .localCheckpoint() // value-domain-bounded histogram, 2 consumers
     val nCal = resid.agg(sum("cnt").as("n_cal"))
     val w = Window.orderBy("r")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1348,15 +1355,20 @@ object Eval {
         min("r").as("qhat"))
     val test = base.where(col("sp") === 0L).join(pred, Seq("x"))
       .select(abs(col("y") - col("yhat")).as("r"))
-      .localCheckpoint() // one pass per alpha
-    broadcast(qhat).join(test, col("r") <= col("qhat"), "left")
-      .groupBy("alpha_ppm", "n_cal", "k", "qhat")
-      .agg(sum(when(col("r").isNotNull, 1L).otherwise(0L)).as("n_cov"))
-      .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test"))))
+    // one corpus pass: the |α|-row broadcast expands each test row to
+    // its α copies inside the same stage (BNLJ over a tiny build
+    // side), and count/Σwhen fold per α — n_test is the group count,
+    // so no second test scan either. The outer join back to qhat
+    // keeps every α row alive when the test split is empty.
+    val cov = test.crossJoin(broadcast(qhat))
+      .groupBy("alpha_ppm")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_cov"))
+    qhat.join(broadcast(cov), Seq("alpha_ppm"), "left")
       .select(col("alpha_ppm"), col("n_cal"), col("k"), col("qhat"),
-        col("n_test"),
-        expr("CAST(CASE WHEN n_test = 0 THEN 0 ELSE " +
-          "(1000000 * n_cov) div n_test END AS BIGINT)")
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        expr("CAST(CASE WHEN coalesce(n_test, 0) = 0 THEN 0 ELSE " +
+          "(1000000 * coalesce(n_cov, 0)) div n_test END AS BIGINT)")
           .as("coverage_ppm"))
   }
 

@@ -289,6 +289,15 @@ object Funnel {
     * per-t truncated gains is deterministic (ties break to the
     * earliest day). Segment means ship ×1000 the same way.
     *
+    * Output contract: ONE row per event type whose series spans at
+    * least TWO distinct days. A single-day type has no candidate
+    * boundary (the `t < n` filter leaves nothing to split) and emits
+    * NO row — by design, not silently: "no interior boundary exists"
+    * is different from "the best boundary has zero gain", and a
+    * sentinel row would force a fake split_day value into a date
+    * column. Callers needing the full type roster left-join this
+    * result back to `df.select(typeCol).distinct()`.
+    *
     * Scale shape: one (type, day) count reduction from the corpus;
     * the zero-filled grid, the cumulative window and both argmax
     * folds run over the span-bounded series (the q197/q199 grid

@@ -1600,10 +1600,14 @@ object TextStats {
         df.select(col(idCol), lit(0L).as("n_hits"))
       else blocklistGate(df, idCol, textCol, blockTerms, maxBlockHits)
         .select(col(idCol), col("n_hits"))
-    val dupKeep = df.select(col(idCol), md5(col(textCol)).as("__fp"))
-      .groupBy("__fp").agg(min(col(idCol)).as("__keep_id"))
+    // md5 over the full corpus is the dup gate's dominant projection
+    // — compute it ONCE: the min-id winner per fingerprint rides a
+    // fingerprint-partitioned window over the same (id, fp) scan
+    // instead of a groupBy + second-scan self-join (one shuffle of
+    // slim pairs either way; window partitions are dup-group-sized)
     val dup = df.select(col(idCol), md5(col(textCol)).as("__fp"))
-      .join(dupKeep, "__fp")
+      .withColumn("__keep_id", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
       .select(col(idCol), (col(idCol) =!= col("__keep_id")).as("__loser"))
     g.join(pii, Seq(idCol))
       .join(bl, Seq(idCol))
