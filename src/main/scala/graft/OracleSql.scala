@@ -636,6 +636,8 @@ object OracleSql {
     "q350_curation_verdict" -> Gen.curationVerdictSql,
     "q351_raking" -> Gen.rakingSql,
     "q352_raked_sample" -> Gen.rakedSampleSql,
+    "q353_html_extract" -> Gen.htmlExtractSql,
+    "q354_curated_web" -> Gen.curatedWebSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6352,7 +6354,22 @@ object OracleSql {
       * the q130 blocklist hits, the q24 md5 min-id dup winner, and
       * the same bit arithmetic for `reason_mask`.
       */
-    def curationVerdictSql: String = {
+    def curationVerdictSql: String = curationVerdictSqlOver(
+      """CASE WHEN doc_id % 7 = 3 THEN text || ' contact: user'
+        |      || doc_id || '@test.org call 555-867-5309 ssn 123-45-6789'
+        |      ELSE text END""".stripMargin)
+
+    /** The q350 verdict CTE chain over an arbitrary text EXPRESSION
+      * (in terms of `documents` columns) — shared with q354, whose
+      * input is the planted text run through the q353 extraction
+      * closed form instead of the raw column.
+      */
+    def curationVerdictSqlOver(textExpr: String): String = {
+      // flatten to ONE line before interpolation: the template below
+      // is stripMargin'd as a whole, and a multi-line expr whose
+      // continuation line starts with '||' would lose its first pipe
+      // to the margin strip (found the hard way by q354)
+      val te = textExpr.replaceAll("\\s*\\n\\s*", " ")
       val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       val stopSum = stops.map(s0 =>
         s"(CASE WHEN list_contains(w, '$s0') THEN 1 ELSE 0 END)").mkString(" + ")
@@ -6360,9 +6377,7 @@ object OracleSql {
       val ssn = graft.functions.TextFns.SSN_RE
       val phone = graft.functions.TextFns.PHONE_RE
       s"""WITH docs0 AS (SELECT doc_id, lang,
-         |    CASE WHEN doc_id % 7 = 3 THEN text || ' contact: user'
-         |      || doc_id || '@test.org call 555-867-5309 ssn 123-45-6789'
-         |      ELSE text END AS text
+         |    $te AS text
          |  FROM documents),
          |wd AS (SELECT doc_id, lang, text, ${tokensE("text")} AS w
          |  FROM docs0),
@@ -6478,6 +6493,68 @@ object OracleSql {
          |  CAST(n * (wp // 1000000) + n_sampled AS BIGINT) AS n_kept
          |FROM s ORDER BY lang, source""".stripMargin
     }
+
+    /** The q353/q354 extraction closed form over a text expression:
+      * [[graft.ops.Html.testAsset]] chunks the token stream into
+      * `<p>` blocks of 12, all of which the 50 % link gate keeps, so
+      * the expected `main_text` is the text with every 12th space
+      * replaced by a newline — one sequential-match regexp (each
+      * match consumes exactly 12 tokens + the trailing space).
+      */
+    private def chunked(textE: String): String =
+      s"""regexp_replace($textE, '((?:\\S+ ){11}\\S+) ', """ +
+        """'\1' || chr(10), 'g')"""
+
+    /** Twin of q353_html_extract: the fixture page is closed-form
+      * from (doc_id, text) ([[graft.ops.Html.testAsset]]), so the
+      * expected extraction is pure string arithmetic — main_text =
+      * the 12-token re-chunking ([[chunked]]); kept = ⌈n_tokens/12⌉
+      * paragraphs (every one under the 50 % link gate: the planted
+      * inline anchor's word is ≤ 8 chars of a ≥ 23-char block);
+      * dropped = nav + footer + promo (docs with even id); ppm from
+      * the builder's fixed boilerplate char counts — nav text is
+      * 7k−1 chars with 6k linked (k = 3 + id%4 links "home i"),
+      * promo 14/14, footer 13/12, paragraphs Σchars = len(text) −
+      * (paragraphs − 1) with l3 = len(3rd token) linked when the
+      * id≡0 (mod 3) anchor is planted (and nothing linked
+      * otherwise). The hex-entity arm (id≡0 mod 5) changes NOTHING
+      * here — decode must restore the original first char, which is
+      * exactly what the twin assumes.
+      */
+    def htmlExtractSql: String =
+      s"""WITH t AS (SELECT doc_id, text, ${tokensE("text")} AS w
+         |  FROM documents),
+         |b AS (SELECT doc_id, text,
+         |    CAST((len(w) + 11) // 12 AS BIGINT) AS np,
+         |    CAST(3 + doc_id % 4 AS BIGINT) AS k,
+         |    (doc_id % 2 = 0) AS promo,
+         |    CASE WHEN doc_id % 3 = 0 AND len(w) >= 3
+         |      THEN CAST(length(w[3]) AS BIGINT) ELSE 0 END AS l3
+         |  FROM t)
+         |SELECT doc_id,
+         |  ${chunked("text")} AS main_text,
+         |  np AS n_blocks_kept,
+         |  CAST(2 + CASE WHEN promo THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_blocks_dropped,
+         |  CAST((1000000 * (6 * k + 12
+         |      + CASE WHEN promo THEN 14 ELSE 0 END + l3))
+         |    // (7 * k - 1 + 13 + CASE WHEN promo THEN 14 ELSE 0 END
+         |      + length(text) - (np - 1)) AS BIGINT)
+         |    AS link_density_ppm
+         |FROM b ORDER BY doc_id""".stripMargin
+
+    /** Twin of q354_curated_web: the q350 verdict CTE chain
+      * ([[curationVerdictSqlOver]]) over the PII-planted text run
+      * through the q353 extraction closed form — the twin-side
+      * statement of "gate the EXTRACTED text". Tokenizer, stopword,
+      * PII and md5 gates all see the '\n'-chunked string, and both
+      * engines hash the same bytes only if the Spark extractor
+      * reproduced it exactly.
+      */
+    def curatedWebSql: String = curationVerdictSqlOver(chunked(
+      """CASE WHEN doc_id % 7 = 3 THEN text || ' contact: user'
+        |      || doc_id || '@test.org call 555-867-5309 ssn 123-45-6789'
+        |      ELSE text END""".stripMargin))
 
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,
       * shared Mitchell-log emitter), folded per source, then the

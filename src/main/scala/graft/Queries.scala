@@ -5348,6 +5348,57 @@ object Queries {
         "source", "doc_id", iters = 2)
       .orderBy("lang", "source")
 
+  /** HTML main-content extraction ([[graft.ops.Html]]) — the
+    * standard first stage of a web-scale pipeline the rest of the
+    * text catalog sits downstream of: jusText/Kohlschütter-class
+    * boilerplate removal (script/style/comment strip, block
+    * segmentation, entity decode, per-block link-density gate at
+    * 50 %) over closed-form synthesized pages (the q339 asset
+    * discipline: [[graft.ops.Html.testAsset]] wraps each document's
+    * text in a deterministic page with nav/promo/footer boilerplate,
+    * a hostile script/comment head, a planted hex entity and a
+    * planted inline anchor — so the DuckDB twin states the expected
+    * extraction in pure string arithmetic). Map-only, no shuffle;
+    * O(html bytes) per doc.
+    */
+  val q353_html_extract: Q = (s, d) =>
+    graft.ops.Html.extract(
+        graft.ops.Html.withTestAssets(Tables.documents(s, d),
+          "doc_id", "text"),
+        "html", maxLinkPpm = 500000L)
+      .select(col("doc_id"), col("main_text"), col("n_blocks_kept"),
+        col("n_blocks_dropped"), col("link_density_ppm"))
+      .orderBy("doc_id")
+
+  /** Curation verdict over EXTRACTED web content — q350's end-to-end
+    * keep/drop gate composed downstream of q353's HTML extraction,
+    * exactly the shape a real crawl pipeline ships (extract → gate):
+    * the q350 PII plant is applied to the raw text, the page is
+    * synthesized around it, [[graft.ops.Html.extract]] recovers the
+    * main text (now '\n'-chunked — the tokenizer and both PII/md5
+    * gates are whitespace-agnostic on both engines), and
+    * [[graft.ops.TextStats.curationVerdict]] runs with the q350
+    * thresholds. A wrong extraction anywhere (entity decode, anchor
+    * retention, boilerplate drop) breaks the md5 dup gate or the
+    * token gates and the hash goes red — the composition certifies
+    * the extractor through the verdict.
+    */
+  val q354_curated_web: Q = (s, d) => {
+    val aug = Tables.documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(7L)) === 3L,
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@test.org call 555-867-5309 ssn 123-45-6789")))
+        .otherwise(col("text")))
+    val extracted = graft.ops.Html.extract(
+      graft.ops.Html.withTestAssets(aug, "doc_id", "text"),
+      "html", maxLinkPpm = 500000L)
+    TextStats.curationVerdict(extracted, "doc_id", "main_text",
+        carry = Seq("lang"), minWords = 10, maxWords = 10000,
+        stopMin = 1, blockTerms = Seq("slow", "big", "the"),
+        maxBlockHits = 2)
+      .orderBy("doc_id")
+  }
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5925,5 +5976,7 @@ object Queries {
     "q349_media_inventory" -> q349_media_inventory,
     "q350_curation_verdict" -> q350_curation_verdict,
     "q351_raking" -> q351_raking,
-    "q352_raked_sample" -> q352_raked_sample)
+    "q352_raked_sample" -> q352_raked_sample,
+    "q353_html_extract" -> q353_html_extract,
+    "q354_curated_web" -> q354_curated_web)
 }
