@@ -638,6 +638,8 @@ object OracleSql {
     "q352_raked_sample" -> Gen.rakedSampleSql,
     "q353_html_extract" -> Gen.htmlExtractSql,
     "q354_curated_web" -> Gen.curatedWebSql,
+    "q355_html_outlinks" -> Gen.htmlOutlinksSql,
+    "q356_url_dedup" -> Gen.urlDedupSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6555,6 +6557,72 @@ object OracleSql {
       """CASE WHEN doc_id % 7 = 3 THEN text || ' contact: user'
         |      || doc_id || '@test.org call 555-867-5309 ssn 123-45-6789'
         |      ELSE text END""".stripMargin))
+
+    /** Twin of q355_html_outlinks: the fixture page's anchors are
+      * fully closed-form, so the twin ENUMERATES the edge list — nav
+      * via a per-row `range(k)` unnest, promo/inline/footer as
+      * guarded UNION ALL branches — with positions from the same
+      * arithmetic (nav 0..k−1, promo at k, inline after, footer
+      * last) and `from_main` true only for the planted inline
+      * anchor (its paragraph is the one content block carrying a
+      * link; every boilerplate block fails the 50 % gate).
+      */
+    def htmlOutlinksSql: String =
+      s"""WITH t AS (SELECT doc_id, ${tokensE("text")} AS w
+         |  FROM documents),
+         |base AS (SELECT doc_id,
+         |    CAST(3 + doc_id % 4 AS BIGINT) AS k,
+         |    (doc_id % 2 = 0) AS promo,
+         |    (doc_id % 3 = 0 AND len(w) >= 3) AS inl,
+         |    CASE WHEN doc_id % 3 = 0 AND len(w) >= 3
+         |      THEN w[3] ELSE '' END AS tok3
+         |  FROM t),
+         |nav AS (SELECT doc_id, unnest(range(k)) AS i FROM base),
+         |edges AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS link_pos,
+         |    '/h' || i AS href, 'home ' || i AS anchor_text,
+         |    false AS from_main
+         |  FROM nav
+         |  UNION ALL
+         |  SELECT doc_id, k, '/p', 'Click here now', false
+         |  FROM base WHERE promo
+         |  UNION ALL
+         |  SELECT doc_id, k + CASE WHEN promo THEN 1 ELSE 0 END,
+         |    '/w', tok3, true
+         |  FROM base WHERE inl
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    k + CASE WHEN promo THEN 1 ELSE 0 END
+         |      + CASE WHEN inl THEN 1 ELSE 0 END,
+         |    '/about', 'about', false
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    k + CASE WHEN promo THEN 1 ELSE 0 END
+         |      + CASE WHEN inl THEN 1 ELSE 0 END + 1,
+         |    '/contact', 'contact', false
+         |  FROM base)
+         |SELECT doc_id, link_pos, href, anchor_text, from_main
+         |FROM edges ORDER BY doc_id, link_pos""".stripMargin
+
+    /** Twin of q356_url_dedup: all four messy arms of
+      * [[graft.ops.Url.testUrl]] canonicalize to the one form stated
+      * here, so the twin groups the canonical expression directly;
+      * n_spellings = distinct arms present in the group (the raw
+      * spelling is a function of (id%50, id%7, id%4) and the group
+      * key pins the first two).
+      */
+    def urlDedupSql: String =
+      s"""WITH c AS (SELECT doc_id,
+         |    'http://www.example' || (doc_id % 50) || '.com/path'
+         |      || (doc_id % 7) || '?a=1&b=2' AS canonical_url,
+         |    doc_id % 4 AS arm
+         |  FROM documents)
+         |SELECT canonical_url,
+         |  CAST(count(*) AS BIGINT) AS n_variants,
+         |  CAST(count(DISTINCT arm) AS BIGINT) AS n_spellings,
+         |  CAST(min(doc_id) AS BIGINT) AS keep_id
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,
       * shared Mitchell-log emitter), folded per source, then the

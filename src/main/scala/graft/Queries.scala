@@ -5399,6 +5399,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Outlink edge extraction ([[graft.ops.Html.outlinks]]) — the
+    * crawl-graph side of q353: every anchor of every page in page
+    * order with its href, normalized anchor text, and a `from_main`
+    * flag from the SAME link-density boilerplate classification the
+    * extractor uses (a crawl frontier consumes all links; a content
+    * link graph filters `from_main`). Over the q353 fixture pages
+    * the full edge list is closed-form — nav/promo/footer edges plus
+    * the planted inline anchor — so the twin enumerates it with
+    * per-row `range` unnests and the hash certifies href capture,
+    * anchor-text normalization, ordering AND the block
+    * classification in one row set.
+    */
+  val q355_html_outlinks: Q = (s, d) =>
+    graft.ops.Html.outlinks(
+        graft.ops.Html.withTestAssets(Tables.documents(s, d),
+          "doc_id", "text"),
+        "doc_id", "html", maxLinkPpm = 500000L)
+      .orderBy("doc_id", "link_pos")
+
+  /** URL canonicalization + URL-level dedup ([[graft.ops.Url]]) —
+    * the crawl-side sibling of the content dedup family: RFC 3986 §6
+    * scheme/host lowercase, default-port strip, fragment drop,
+    * tracking-param strip + bytewise query sort, slash-run collapse
+    * and trailing-slash strip, then ONE canonical-key groupBy (the
+    * q24 min-id convention) reporting variant and spelling counts.
+    * Four deterministic messy-variant arms per doc
+    * ([[graft.ops.Url.testUrl]]) all collapse to the same canonical
+    * form the twin states directly.
+    */
+  val q356_url_dedup: Q = (s, d) =>
+    graft.ops.Url.dedupReport(
+        graft.ops.Url.withTestUrls(Tables.documents(s, d), "doc_id"),
+        "doc_id", "url")
+      .orderBy("canonical_url")
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -5978,5 +6013,7 @@ object Queries {
     "q351_raking" -> q351_raking,
     "q352_raked_sample" -> q352_raked_sample,
     "q353_html_extract" -> q353_html_extract,
-    "q354_curated_web" -> q354_curated_web)
+    "q354_curated_web" -> q354_curated_web,
+    "q355_html_outlinks" -> q355_html_outlinks,
+    "q356_url_dedup" -> q356_url_dedup)
 }

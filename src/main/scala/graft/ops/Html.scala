@@ -102,30 +102,47 @@ object Html {
     if (dec < 0 || dec > 0xFFFF) null else (dec.toChar, semi - i + 1)
   }
 
-  /** The extraction kernel — see the object Scaladoc for semantics. */
-  def extractMain(html: String, maxLinkPpm: Long = 300000L): Extracted = {
-    if (html == null) return Extracted("", 0L, 0L, 0L)
+  /** One segmented block: normalized text, chars inside anchors, and
+    * the anchors themselves in page order (href as written, text
+    * normalized) — the shared product [[extractMain]] and
+    * [[outlinksOf]] both derive from.
+    */
+  private final case class Block(text: String, linkChars: Long,
+      anchors: Vector[(String, String)])
+
+  /** The shared walker — see the object Scaladoc for semantics.
+    * Returns the candidate blocks (in-body when a body tag exists).
+    */
+  private def parse(html: String): Vector[Block] = {
     val n = html.length
     val lower = html.toLowerCase(java.util.Locale.ROOT)
     val sawBody = lower.contains("<body")
     var inBody = false
-    // candidate blocks: (normalized text, link chars)
-    val blocks = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val blocks = Vector.newBuilder[Block]
+    var nBlocks = 0
     val blockSb = new StringBuilder
     val anchorSb = new StringBuilder
     var anchorDepth = 0
     var blockLink = 0L
+    var curHref = ""
+    var blockAnchors = Vector.newBuilder[(String, String)]
 
     def closeAnchor(): Unit = {
-      blockLink += norm(anchorSb).length.toLong
-      anchorSb.clear()
+      val t = norm(anchorSb)
+      blockLink += t.length.toLong
+      blockAnchors += ((curHref, t))
+      anchorSb.clear(); curHref = ""
     }
     def flushBlock(): Unit = {
       if (anchorDepth > 0) { closeAnchor(); anchorDepth = 0 } // unclosed <a>
       val t = norm(blockSb)
-      if (t.nonEmpty && (inBody || !sawBody))
-        blocks += ((t, math.min(blockLink, t.length.toLong)))
+      if (t.nonEmpty && (inBody || !sawBody)) {
+        blocks += Block(t, math.min(blockLink, t.length.toLong),
+          blockAnchors.result())
+        nBlocks += 1
+      }
       blockSb.clear()
+      blockAnchors = Vector.newBuilder[(String, String)]
       blockLink = 0L
     }
     /** Skip an attribute list: forward to the closing '>' honoring
@@ -142,6 +159,41 @@ object Html {
         i += 1
       }
       n
+    }
+    /** Scan an `<a>` tag's attribute list for href: returns (value —
+      * quoted or bare, "" if absent) and the index AFTER '>'.
+      */
+    def hrefAttr(from: Int): (String, Int) = {
+      var i = from
+      var href = ""
+      while (i < n && html.charAt(i) != '>') {
+        while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
+        val ns = i
+        while (i < n && { val ch = html.charAt(i)
+          ch != '=' && ch != '>' && !Character.isWhitespace(ch) }) i += 1
+        val aname = lower.substring(ns, math.min(i, n))
+        while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
+        var v = ""
+        if (i < n && html.charAt(i) == '=') {
+          i += 1
+          while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
+          if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+            val q = html.charAt(i); val vs = i + 1
+            var e = vs
+            while (e < n && html.charAt(e) != q) e += 1
+            v = html.substring(vs, e)
+            i = math.min(e + 1, n)
+          } else {
+            val vs = i
+            while (i < n && { val ch = html.charAt(i)
+              ch != '>' && !Character.isWhitespace(ch) }) i += 1
+            v = html.substring(vs, i)
+          }
+        }
+        if (aname == "href" && href.isEmpty) href = v
+        if (ns == i) i += 1 // safety: never stall
+      }
+      (href, math.min(i + 1, n))
     }
 
     var i = 0
@@ -174,7 +226,15 @@ object Html {
             } else if (name == "a") {
               if (closing) { if (anchorDepth > 0) { anchorDepth -= 1
                 if (anchorDepth == 0) closeAnchor() } }
-              else anchorDepth += 1
+              else {
+                if (anchorDepth == 0) {
+                  // re-scan THIS tag's attrs for href (skipAttrs above
+                  // already consumed them; the rescan is bounded by
+                  // the tag length and only runs for anchors)
+                  curHref = hrefAttr(j)._1
+                }
+                anchorDepth += 1
+              }
             } else if (BlockTags.contains(name)) {
               flushBlock()
               if (name == "body") inBody = !closing
@@ -199,14 +259,46 @@ object Html {
       }
     }
     flushBlock()
+    blocks.result()
+  }
 
-    val kept = blocks.filter { case (t, l) =>
-      1000000L * l <= maxLinkPpm * t.length.toLong }
-    val totalChars = blocks.iterator.map(_._1.length.toLong).sum
-    val totalLink = blocks.iterator.map(_._2).sum
-    Extracted(kept.iterator.map(_._1).mkString("\n"),
+  /** A block passes the content gate iff its link density (ppm) is
+    * at most `maxLinkPpm`.
+    */
+  private def isContent(b: Block, maxLinkPpm: Long): Boolean =
+    1000000L * b.linkChars <= maxLinkPpm * b.text.length.toLong
+
+  /** The extraction kernel — see the object Scaladoc for semantics. */
+  def extractMain(html: String, maxLinkPpm: Long = 300000L): Extracted = {
+    if (html == null) return Extracted("", 0L, 0L, 0L)
+    val blocks = parse(html)
+    val kept = blocks.filter(isContent(_, maxLinkPpm))
+    val totalChars = blocks.iterator.map(_.text.length.toLong).sum
+    val totalLink = blocks.iterator.map(_.linkChars).sum
+    Extracted(kept.iterator.map(_.text).mkString("\n"),
       kept.length.toLong, (blocks.length - kept.length).toLong,
       if (totalChars == 0) 0L else 1000000L * totalLink / totalChars)
+  }
+
+  final case class Outlink(linkPos: Long, href: String,
+                           anchorText: String, fromMain: Boolean)
+
+  /** Outlink edge list of a page, in order of appearance: every
+    * anchor's href (as written — canonicalization is [[Url]]'s job),
+    * its normalized text, and whether it sits in a MAIN-CONTENT
+    * block under the same link-density gate as [[extractMain]] —
+    * a crawl frontier wants all of them, a content link graph
+    * filters `from_main`, and the split is exactly the boilerplate
+    * classification, computed once.
+    */
+  def outlinksOf(html: String, maxLinkPpm: Long = 300000L): Seq[Outlink] = {
+    if (html == null) return Seq.empty
+    var pos = 0L
+    parse(html).flatMap { b =>
+      val main = isContent(b, maxLinkPpm)
+      b.anchors.map { case (href, text) =>
+        val o = Outlink(pos, href, text, main); pos += 1; o }
+    }
   }
 
   /** DataFrame form: appends (main_text, n_blocks_kept,
@@ -224,6 +316,21 @@ object Html {
         col("__ex.nBlocksKept").as("n_blocks_kept") :+
         col("__ex.nBlocksDropped").as("n_blocks_dropped") :+
         col("__ex.linkDensityPpm").as("link_density_ppm"): _*)
+  }
+
+  /** Outlink edge table: one row per anchor of each page, in page
+    * order — (idCol, link_pos, href, anchor_text, from_main). The
+    * explode is the only row multiplication and it is output-sized
+    * (a page's links); no shuffle beyond the caller's ordering.
+    */
+  def outlinks(df: DataFrame, idCol: String, htmlCol: String,
+               maxLinkPpm: Long = 300000L): DataFrame = {
+    val kernel = udf((h: String) => outlinksOf(h, maxLinkPpm))
+    df.select(col(idCol), explode(kernel(col(htmlCol))).as("__l"))
+      .select(col(idCol), col("__l.linkPos").as("link_pos"),
+        col("__l.href").as("href"),
+        col("__l.anchorText").as("anchor_text"),
+        col("__l.fromMain").as("from_main"))
   }
 
   // ------------------------------------------------------------------

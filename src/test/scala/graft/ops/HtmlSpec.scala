@@ -119,6 +119,41 @@ class HtmlSpec extends SparkSpec {
     assert(r.linkDensityPpm === 1000000L * lsum / csum)
   }
 
+  test("outlinks capture hrefs in page order with block classification") {
+    val links = Html.outlinksOf(
+      """<body>
+        |<nav><a href="/one">first</a> <a href='/two'>second</a></nav>
+        |<p>long content sentence with an inline <a href=/bare>link</a> in it</p>
+        |<footer><a href="/last">last</a></footer>
+        |</body>""".stripMargin, maxLinkPpm = 300000L)
+    assert(links.map(_.href) === Seq("/one", "/two", "/bare", "/last"))
+    assert(links.map(_.linkPos) === Seq(0L, 1L, 2L, 3L))
+    assert(links.map(_.anchorText) === Seq("first", "second", "link", "last"))
+    assert(links.map(_.fromMain) === Seq(false, false, true, false))
+  }
+
+  test("outlinks: missing href, nested inline tags, entity in anchor text") {
+    val links = Html.outlinksOf(
+      "<body><p>pad pad pad pad pad pad <a>no href</a> and " +
+        "<a href=\"/b\"><b>bold</b> &amp; plain</a> tail</p></body>")
+    assert(links.map(_.href) === Seq("", "/b"))
+    assert(links.map(_.anchorText) === Seq("no href", "bold & plain"))
+  }
+
+  test("fixture outlinks match the twin's closed-form enumeration") {
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val id = 6L // even → promo; %3 → inline; k = 3 + 6%4 = 5
+    val links = Html.outlinksOf(testAsset(id, text), maxLinkPpm = 500000L)
+    val k = 5
+    assert(links.take(k).map(_.href) === (0 until k).map(i => s"/h$i"))
+    assert(links.take(k).map(_.anchorText) === (0 until k).map(i => s"home $i"))
+    assert(links(k).href === "/p" && !links(k).fromMain)
+    assert(links(k + 1).href === "/w" && links(k + 1).anchorText === "w3"
+      && links(k + 1).fromMain)
+    assert(links.takeRight(2).map(_.href) === Seq("/about", "/contact"))
+    assert(links.map(_.linkPos) === links.indices.map(_.toLong))
+  }
+
   test("DataFrame form carries existing columns and composes") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.documents(spark, sf).limit(20)
