@@ -449,26 +449,51 @@ object Bench {
     // an immediate isolated re-time, best-of. Scalar "name":secs
     // pairs only (the trials/loadavg arrays don't match the pattern);
     // missing/unreadable file degrades to no guard.
-    val priorBench: Map[String, Double] = try {
+    // The driver WRAPS the raw bench stdout: BENCH_r{N}.json is
+    // {"n":N, "rc":…, "tail": "<escaped last ~2000 chars>",
+    // "parsed": {compact line}} — quotes inside tail are \"-escaped
+    // and the parsed object puts a space after each colon, so the
+    // scalar pattern must accept BOTH spellings (the r14 run of this
+    // guard silently matched NOTHING against driver artifacts).
+    // Consequence accepted below: a driver artifact carries only the
+    // 13 headline figures plus whatever extended scalars survive the
+    // 2000-char tail — prior EXTENDED coverage is mostly unknowable
+    // from it, which is what the sweep-order parity fallback is for.
+    val priorScalar =
+      "\\\\?\"(q\\d+[A-Za-z0-9_]+)\\\\?\":\\s*(-?\\d+(?:\\.\\d+)?)[,}]".r
+    val priorFiles: Seq[(Int, java.io.File)] = try {
       val dir = new java.io.File(
         sys.env.getOrElse("GRAFT_PRIOR_BENCH_DIR", "."))
-      val files = Option(dir.listFiles((_: java.io.File, n: String) =>
+      Option(dir.listFiles((_: java.io.File, n: String) =>
         n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
+        .map(f => ("\\d+".r.findFirstIn(f.getName).getOrElse("0").toInt, f))
+        .sortBy(-_._1).toSeq
+    } catch { case _: Throwable => Seq.empty }
+    // inferred current round: newest prior artifact number + 1 — the
+    // driver writes BENCH_r{N}.json into the repo every round, so
+    // this is stable even when figures are not recoverable
+    val currentRound = priorFiles.headOption.map(_._1 + 1).getOrElse(1)
+    // raw text of the newest prior artifact (any rc): used to detect
+    // which catalog entries EXISTED last round (name mention, even in
+    // the escaped tail) — entries newer than every mention are this
+    // round's operators and always measure first
+    val priorRaw: String = priorFiles.headOption.map { case (_, f) =>
+      try scala.io.Source.fromFile(f).mkString
+      catch { case _: Throwable => "" }
+    }.getOrElse("")
+    val priorBench: Map[String, Double] = try {
       // newest first, but SKIP artifacts with no per-query data — a
       // killed round's file (BENCH_r13: rc=124, tail only) would
       // otherwise silently disable the guard for the whole next round
-      files.sortBy(f => -"\\d+".r.findFirstIn(f.getName)
-          .getOrElse("0").toInt)
-        .iterator.map { f =>
-          val txt = scala.io.Source.fromFile(f).mkString
-          val m = "\"(q\\d+[A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?)[,}]".r
-            .findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(_._2 > 0).toMap
-          (f.getName, m)
-        }
+      priorFiles.iterator.map { case (_, f) =>
+        val txt = scala.io.Source.fromFile(f).mkString
+        val m = priorScalar.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
+        (f.getName, m)
+      }
         .collectFirst { case (name, m) if m.nonEmpty =>
-          System.err.println(s"[bench] drift guard vs $name")
+          System.err.println(s"[bench] drift guard vs $name (${m.size} figures)")
           m
         }.getOrElse(Map.empty)
     } catch { case e: Throwable =>
@@ -1091,35 +1116,44 @@ object Bench {
         if (base.endsWith("sf0.1")) base.stripSuffix("sf0.1") + "sf0.01"
         else if (base.endsWith("sf0.01")) base.stripSuffix("sf0.01") + "sf0.001"
         else ""
+      // degraded mode: under budget pressure run the DEDUP-family
+      // subset only (the "only fingerprints shuffle" claims are the
+      // ledger's primary target) instead of dropping the whole phase
+      // — a 4-query partial ledger beats an empty key (this run's
+      // weather left 129 s and the r15 dev run lost the phase whole)
+      val ledgerNames =
+        if (remainingSec() >= 240) ShuffleLedger.benchNames
+        else {
+          System.err.println(s"[bench] budget: ledger degraded to dedup " +
+            s"family (remaining=${remainingSec()}s)")
+          Seq("q24_exact_dedup", "q121_containment", "q129_winnow_matches",
+            "q143_setsim_join", "q150_exact_decontam")
+        }
       if (dirA.isEmpty || !new java.io.File(dirA).isDirectory)
         System.err.println(s"[bench] shuffle ledger: no smaller sf dir for $sfDir")
-      else if (remainingSec() < 240)
+      else if (remainingSec() < 110)
         System.err.println(
           s"[bench] budget: skipped shuffle ledger (remaining=${remainingSec()}s)")
       else try {
-        val rows = ShuffleLedger.measureRows(spark, ShuffleLedger.benchNames,
-          dirA, sfDir, proceed = () => remainingSec() > 90)
+        val rows = ShuffleLedger.measureRows(spark, ledgerNames,
+          dirA, sfDir, proceed = () => remainingSec() > 70)
         artifact("shuffle_ledger") = rows.mkString("{", ",", "}")
         artifact("shuffle_ledger_dirs") =
           s"""{"a":"$dirA","b":"$sfDir"}"""
         // drift vs the newest prior artifact that carried a ledger:
         // flag ratios growing >1.5× (excluding the documented
         // output-driven entries) so a volume regression is one grep
+        // escape-tolerant like priorScalar: a driver-wrapped artifact
+        // carries the ledger (if at all) inside the \"-escaped tail
         val priorRatios: Map[String, Double] = try {
-          val dir = new java.io.File(
-            sys.env.getOrElse("GRAFT_PRIOR_BENCH_DIR", "."))
-          val files = Option(dir.listFiles((_: java.io.File, n: String) =>
-            n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
-          files.sortBy(f => -"\\d+".r.findFirstIn(f.getName)
-              .getOrElse("0").toInt)
-            .iterator.map { f =>
-              val txt = scala.io.Source.fromFile(f).mkString
-              ("\"(q\\d+[A-Za-z0-9_]+)\":\\{\"a_bytes\":[^{}]*" +
-                "\"ratio_x\":(-?\\d+(?:\\.\\d+)?)\\}").r
-                .findAllMatchIn(txt)
-                .map(m => m.group(1) -> m.group(2).toDouble)
-                .filter(_._2 > 0).toMap
-            }.find(_.nonEmpty).getOrElse(Map.empty)
+          priorFiles.iterator.map { case (_, f) =>
+            val txt = scala.io.Source.fromFile(f).mkString
+            ("\\\\?\"(q\\d+[A-Za-z0-9_]+)\\\\?\":\\{\\\\?\"a_bytes\\\\?\":" +
+              "[^{}]*\\\\?\"ratio_x\\\\?\":\\s*(-?\\d+(?:\\.\\d+)?)\\}").r
+              .findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filter(_._2 > 0).toMap
+          }.find(_.nonEmpty).getOrElse(Map.empty)
         } catch { case _: Throwable => Map.empty }
         val nowRatios = rows.flatMap { r =>
           ("\"(q\\d+[A-Za-z0-9_]+)\":\\{.*\"ratio_x\":" +
@@ -1165,11 +1199,37 @@ object Bench {
       "\"" + n + "\":" + extBuf.get(n).map(bestOf).getOrElse(-1.0)
     }.mkString("{", ",", "}")
     var lastPartialEmit = System.nanoTime()
-    val (staleFirst, freshAfter) =
-      extendedNames.reverse.partition(n => !priorBench.contains(n))
-    System.err.println(s"[bench] sweep order: ${staleFirst.size} " +
-      s"unmeasured-last-round first, then ${freshAfter.size} measured")
-    (staleFirst ++ freshAfter).foreach { n =>
+    // Sweep order, three layers (r14 ask #3 — the shed tail must
+    // rotate round-over-round):
+    //  1. THIS round's new operators first (names absent from the
+    //     newest prior artifact — catalog order is chronological, so
+    //     everything past the last mentioned name is new);
+    //  2. if the prior artifact yields real extended coverage (raw
+    //     stdout artifact, ≥1/3 of the names), stalest-first:
+    //     unmeasured-last-round before measured;
+    //  3. otherwise (driver-wrapped artifact: tail-truncated, prior
+    //     extended coverage unknowable) alternate the sweep DIRECTION
+    //     by round parity — odd rounds oldest-first, even rounds
+    //     newest-first — so any two consecutive constrained rounds
+    //     cover the catalog between them.
+    val lastKnownIdx = extendedNames.lastIndexWhere(priorRaw.contains)
+    val (oldOnes, newOnes) = extendedNames.splitAt(lastKnownIdx + 1)
+    val priorKnown = oldOnes.count(priorBench.contains)
+    val restOrder =
+      if (priorKnown >= oldOnes.size / 3) {
+        val (stale, fresh) =
+          oldOnes.reverse.partition(n => !priorBench.contains(n))
+        System.err.println(s"[bench] sweep order: ${newOnes.size} new, " +
+          s"${stale.size} unmeasured-last-round, then ${fresh.size} measured")
+        stale ++ fresh
+      } else {
+        val oldestFirst = currentRound % 2 == 1
+        System.err.println(s"[bench] sweep order: ${newOnes.size} new, " +
+          s"then parity ${if (oldestFirst) "oldest" else "newest"}-first " +
+          s"(round $currentRound, prior coverage $priorKnown/${oldOnes.size})")
+        if (oldestFirst) oldOnes else oldOnes.reverse
+      }
+    (newOnes.reverse ++ restOrder).foreach { n =>
       if (remainingSec() > extStopMarginSec) extBuf(n) = extTrialsOf(n)
       else { extSkipped += 1; extBuf(n) = Seq((-1.0, -1.0)) }
       if (System.nanoTime() - lastPartialEmit > 75L * 1000 * 1000 * 1000) {

@@ -318,6 +318,27 @@ object Html {
         col("__ex.linkDensityPpm").as("link_density_ppm"): _*)
   }
 
+  /** Streaming extraction — the [[graft.dedup.Dedup.decontamStream]]
+    * foreachBatch pattern: extraction is DOC-LOCAL (one kernel call
+    * per page, no cross-row state), so per-trigger micro-batches
+    * reproduce the batch operator bit-identically over the same
+    * delivered pages; the differential spec pins it. This is the
+    * crawl-ingest shape: pages arrive on a stream, extraction runs
+    * in-flight, and the downstream gates (q350/q354) consume the
+    * extracted text.
+    */
+  def extractStream(pages: DataFrame, htmlCol: String,
+                    checkpoint: String, maxLinkPpm: Long = 300000L)
+                   (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(extract(batch, htmlCol, maxLinkPpm))
+        ()
+      }
+      .start()
+
   /** Outlink edge table: one row per anchor of each page, in page
     * order — (idCol, link_pos, href, anchor_text, from_main). The
     * explode is the only row multiplication and it is output-sized

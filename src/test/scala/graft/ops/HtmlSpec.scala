@@ -154,6 +154,39 @@ class HtmlSpec extends SparkSpec {
     assert(links.map(_.linkPos) === links.indices.map(_.toLong))
   }
 
+  test("extractStream: per-trigger micro-batches == one batch extraction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf).limit(30)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pages = docs.map { case (id, t) => (id, Html.testAsset(id, t)) }
+    val expected = Html.extract(
+        pages.toSeq.toDF("doc_id", "html"), "html", maxLinkPpm = 500000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("main_text"), r.getAs[Long]("n_blocks_kept")))
+      .sortBy(_._1).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    val q = Html.extractStream(stream.toDF().toDF("doc_id", "html"),
+        "html",
+        java.nio.file.Files.createTempDirectory("graft-html-ck").toString,
+        maxLinkPpm = 500000L) { ex =>
+      val rows = ex.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("main_text"), r.getAs[Long]("n_blocks_kept")))
+      out.synchronized { out ++= rows; () }
+    }
+    stream.addData(pages.take(11).toIndexedSeq: _*)
+    q.processAllAvailable()
+    stream.addData(pages.drop(11).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(out.sortBy(_._1).toSeq === expected)
+    assert(out.nonEmpty)
+  }
+
   test("DataFrame form carries existing columns and composes") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.documents(spark, sf).limit(20)
