@@ -652,7 +652,7 @@ object Bench {
       "q347_tiff_probe", "q348_avi_probe", "q349_media_inventory",
       "q350_curation_verdict", "q351_raking", "q352_raked_sample",
       "q353_html_extract", "q354_curated_web", "q355_html_outlinks",
-      "q356_url_dedup")
+      "q356_url_dedup", "q357_line_dedup")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,

@@ -640,6 +640,7 @@ object OracleSql {
     "q354_curated_web" -> Gen.curatedWebSql,
     "q355_html_outlinks" -> Gen.htmlOutlinksSql,
     "q356_url_dedup" -> Gen.urlDedupSql,
+    "q357_line_dedup" -> Gen.lineDedupSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6623,6 +6624,35 @@ object OracleSql {
          |  CAST(count(DISTINCT arm) AS BIGINT) AS n_spellings,
          |  CAST(min(doc_id) AS BIGINT) AS keep_id
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+    /** Twin of q357_line_dedup: the q353 extraction closed form
+      * gives each doc's lines (the 12-token chunks), then the SAME
+      * line-document-frequency computation runs in SQL — parallel
+      * unnest zips line with position, one line-keyed DISTINCT-doc
+      * count, ordered string_agg of the survivors (CASE nulls skip,
+      * so dropped lines vanish without disturbing order), empty-doc
+      * coalesce to ''.
+      */
+    def lineDedupSql: String =
+      s"""WITH d0 AS (SELECT doc_id, ${chunked("text")} AS text
+         |  FROM documents),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lst
+         |  FROM d0),
+         |l AS (SELECT doc_id, unnest(lst) AS line,
+         |    unnest(range(len(lst))) AS pos
+         |  FROM ls),
+         |f AS (SELECT line, count(DISTINCT doc_id) AS line_df
+         |  FROM l GROUP BY 1),
+         |j AS (SELECT l.doc_id, l.pos, l.line, f.line_df
+         |  FROM l JOIN f USING (line))
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN line_df <= 2 THEN line END,
+         |    chr(10) ORDER BY pos), '') AS clean_text,
+         |  CAST(sum(CASE WHEN line_df <= 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_lines_kept,
+         |  CAST(sum(CASE WHEN line_df > 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_lines_dropped
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,
       * shared Mitchell-log emitter), folded per source, then the

@@ -5434,6 +5434,26 @@ object Queries {
         "doc_id", "url")
       .orderBy("canonical_url")
 
+  /** CCNet-style cross-corpus line dedup
+    * ([[graft.ops.TextStats.lineDedup]], Wenzek et al. 2020 §3.1)
+    * composed downstream of q353's extraction — the boilerplate that
+    * survives tag-level extraction repeats VERBATIM as whole lines
+    * across pages, so lines are counted by corpus-wide document
+    * frequency and every line in more than `maxDocFreq` docs drops
+    * from every doc. Over the fixture pages the lines are the
+    * 12-token chunks, so the planted exact-dup documents (the q24
+    * corpus) share ALL their lines and the twin restates the whole
+    * computation on the chunked closed form.
+    */
+  val q357_line_dedup: Q = (s, d) => {
+    val ex = graft.ops.Html.extract(
+      graft.ops.Html.withTestAssets(Tables.documents(s, d),
+        "doc_id", "text"),
+      "html", maxLinkPpm = 500000L)
+    TextStats.lineDedup(ex, "doc_id", "main_text", maxDocFreq = 2L)
+      .orderBy("doc_id")
+  }
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -6015,5 +6035,6 @@ object Queries {
     "q353_html_extract" -> q353_html_extract,
     "q354_curated_web" -> q354_curated_web,
     "q355_html_outlinks" -> q355_html_outlinks,
-    "q356_url_dedup" -> q356_url_dedup)
+    "q356_url_dedup" -> q356_url_dedup,
+    "q357_line_dedup" -> q357_line_dedup)
 }

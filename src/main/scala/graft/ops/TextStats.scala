@@ -2232,6 +2232,73 @@ object TextStats {
     * group-total table; the ≥ minDocs filter prunes the long tail
     * before anything else consumes it.
     */
+  /** Line-frequency table for [[lineDedup]]: each distinct LINE with
+    * its document frequency — the corpus-global half, reusable as a
+    * frozen artifact by the probe half (the q172/q193
+    * persisted-index convention: build once, probe per batch).
+    */
+  def lineFrequencies(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .groupBy("line").agg(countDistinct(col("__id")).as("line_df"))
+
+  /** The probe half of [[lineDedup]]: clean each document against a
+    * GIVEN line-frequency table — map-only per doc once the (line,
+    * line_df) pairs are joined in, so a streaming crawl can clean
+    * micro-batches against frozen corpus counts bit-identically to
+    * the batch operator over the same docs.
+    */
+  def lineDedupAgainst(docs: DataFrame, idCol: String, textCol: String,
+                       lineDf: DataFrame,
+                       maxDocFreq: Long = 2L): DataFrame = {
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "line")))
+    lines.join(lineDf, Seq("line"), "left")
+      .withColumn("__df", coalesce(col("line_df"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__df") <= maxDocFreq, 1L).otherwise(0L))
+          .as("n_lines_kept"),
+        // kept lines re-joined in position order; collect_list drops
+        // the when()'s nulls, and the per-doc array is line-count
+        // bounded, so the HOF pair runs on a tiny interpreted array
+        array_join(transform(array_sort(collect_list(
+            when(col("__df") <= maxDocFreq,
+              struct(col("__pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("n_lines_kept"),
+        (col("__n") - col("n_lines_kept")).as("n_lines_dropped"))
+  }
+
+  /** CCNet-style cross-corpus LINE dedup (Wenzek et al. LREC 2020,
+    * §3.1; the RefinedWeb/FineWeb pipelines keep the same stage):
+    * web boilerplate that survives tag-level extraction — cookie
+    * banners, nav crumbs, share bars — repeats VERBATIM as whole
+    * lines across many pages, so each line is counted by its
+    * document frequency corpus-wide and every line appearing in more
+    * than `maxDocFreq` documents is dropped from every document; the
+    * cleaned text re-joins the survivors in original order. The
+    * line-granular complement of q24 (whole-doc fingerprints), q80
+    * (n-gram spans) and q330 (per-source edge grams) — and the
+    * natural consumer of q353's '\n'-structured extraction output.
+    *
+    * Per doc: (clean_text, n_lines_kept, n_lines_dropped). A doc
+    * whose every line is common collapses to the empty string — the
+    * CCNet behavior (the doc then dies at the downstream length
+    * gate, which is the point).
+    *
+    * Scale shape: one (line, id) explode → one line-keyed count
+    * reduction with map-side partials → one join back + one per-doc
+    * fold. The shuffled key is the line text here for oracle
+    * exactness; the production knob is hashing lines to 64-bit
+    * fingerprints first (q24's convention) — same plan, 8-byte keys.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Long = 2L): DataFrame =
+    lineDedupAgainst(docs, idCol, textCol,
+      lineFrequencies(docs, idCol, textCol), maxDocFreq)
+
   def templateBoilerplate(docs: DataFrame, groupCol: String,
                           textCol: String, k: Int = 6,
                           minDocs: Long = 3L): DataFrame = {

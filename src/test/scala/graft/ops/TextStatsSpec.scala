@@ -1067,6 +1067,66 @@ class TextStatsSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("lineDedup: common lines drop everywhere, order survives, empty collapse") {
+    val docs = Seq(
+      (1L, "cookie banner\nunique one\nshare bar"),
+      (2L, "cookie banner\nunique two\nshare bar"),
+      (3L, "cookie banner\nunique three\nshare bar"),
+      (4L, "cookie banner\nshare bar"), // all lines common
+      (5L, "alone here"))
+      .toDF("id", "text")
+    val out = TextStats.lineDedup(docs, "id", "text", maxDocFreq = 2L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_lines_kept"),
+          r.getAs[Long]("n_lines_dropped"))).toMap
+    // "cookie banner" and "share bar" appear in 4 docs > 2 → dropped
+    assert(out(1L) === ("unique one", 1L, 2L))
+    assert(out(2L) === ("unique two", 1L, 2L))
+    assert(out(3L) === ("unique three", 1L, 2L))
+    assert(out(4L) === ("", 0L, 2L)) // CCNet empty collapse
+    assert(out(5L) === ("alone here", 1L, 0L))
+  }
+
+  test("lineDedup: maxDocFreq boundary keeps lines at exactly the cap") {
+    val docs = Seq((1L, "twice\na"), (2L, "twice\nb")).toDF("id", "text")
+    val out = TextStats.lineDedup(docs, "id", "text", maxDocFreq = 2L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(out(1L) === "twice\na") // df = 2 <= cap → kept
+    // df counts DISTINCT docs: a line twice in ONE doc is df=1
+    val rep = Seq((1L, "x\nx\nonly"), (2L, "z")).toDF("id", "text")
+    val out2 = TextStats.lineDedup(rep, "id", "text", maxDocFreq = 1L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(out2(1L) === "x\nx\nonly")
+  }
+
+  test("lineDedupAgainst frozen counts: micro-batch probes == batch over same docs") {
+    val docs = Seq(
+      (1L, "common\none"), (2L, "common\ntwo"), (3L, "common\nthree"))
+      .toDF("id", "text")
+    val counts = TextStats.lineFrequencies(docs, "id", "text")
+      .localCheckpoint() // the frozen artifact
+    val expected = TextStats.lineDedupAgainst(docs, "id", "text",
+        counts, maxDocFreq = 2L)
+      .orderBy("id").collect().toSeq
+    val streamed = Seq(Seq(1L), Seq(2L, 3L)).map { ids =>
+      TextStats.lineDedupAgainst(
+        docs.where(org.apache.spark.sql.functions.col("id")
+          .isin(ids: _*)), "id", "text",
+        counts, maxDocFreq = 2L)
+    }.reduce(_ unionByName _).orderBy("id").collect().toSeq
+    assert(streamed === expected)
+    // unseen lines (not in the frozen counts) are kept: df -> 0
+    val probe = TextStats.lineDedupAgainst(
+      Seq((9L, "common\nbrand new line")).toDF("id", "text"),
+      "id", "text", counts, maxDocFreq = 2L).collect()
+    // "common" carries df=3 in the frozen table → dropped even in
+    // the probe; the unseen line keeps (df → 0)
+    assert(probe.head.getAs[String]("clean_text") ===
+      "brand new line")
+  }
+
   test("templateBoilerplate: shared edge grams, short-doc clamp, minDocs gate") {
     val df = Seq(
       ("s1", "welcome to acme corp unique words one here today now"),
