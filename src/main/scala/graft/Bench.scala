@@ -652,7 +652,7 @@ object Bench {
       "q347_tiff_probe", "q348_avi_probe", "q349_media_inventory",
       "q350_curation_verdict", "q351_raking", "q352_raked_sample",
       "q353_html_extract", "q354_curated_web", "q355_html_outlinks",
-      "q356_url_dedup", "q357_line_dedup")
+      "q356_url_dedup", "q357_line_dedup", "q358_warc_extract")
 
     // sentinel-initialize EVERY artifact field up front so the first
     // emit — and any emit a kill interrupts after — is a complete,
@@ -763,8 +763,12 @@ object Bench {
         re.findFirstMatchIn(l).map(m => (m.group(1).toLong, m.group(3).toLong,
           m.group(4).toDouble, m.group(5).toDouble))
       }
+    // cap 5 (was 6): on a clean box the child finishes warm + both
+    // cells in ~240 s; under the heavy-steal windows this box shows,
+    // the extra minute only bought more -1 sentinels while starving
+    // the streaming + ledger phases behind it (two r15 dev runs)
     var statefulParsed = parseStateful(statefulFork(statefulSweepSizes,
-      minRemaining = 400, capMin = 6))
+      minRemaining = 400, capMin = 5))
     // stamp-triggered retry (see stateStoreFloor above): re-run ONLY
     // the suspect cells once after a settle and keep the best pass
     // per cell across both runs. A cell is suspect below the ~1×
@@ -854,7 +858,7 @@ object Bench {
     val rocksSizes = Seq(1000000L, 2000000L)
     var rocksBest: Map[Long, Long] =
       rocksSizes.map(_ -> -1L).toMap ++
-        rocksFork(Seq.empty, minRemaining = 300, capMin = 6)
+        rocksFork(Seq.empty, minRemaining = 300, capMin = 5)
           .map(rocksCells).getOrElse(Map.empty)
     // stamp-triggered retry, mirroring the stateful phase: suspect =
     // below the ~1× floor always, or below 500 k under a dirty stamp

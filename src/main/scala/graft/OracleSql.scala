@@ -641,6 +641,7 @@ object OracleSql {
     "q355_html_outlinks" -> Gen.htmlOutlinksSql,
     "q356_url_dedup" -> Gen.urlDedupSql,
     "q357_line_dedup" -> Gen.lineDedupSql,
+    "q358_warc_extract" -> Gen.warcExtractSql,
     "q124_pmi_collocations" -> Gen.pmiCollocationsSql,
     "q125_fuzzy_names" -> Gen.fuzzyNamesSql,
     "q126_skew_report" -> Gen.skewReportSql,
@@ -6653,6 +6654,36 @@ object OracleSql {
          |  CAST(sum(CASE WHEN line_df > 2 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_lines_dropped
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** Twin of q358_warc_extract: every response-record field is
+      * closed-form — the target URI is the RAW messy spelling of the
+      * q356 fixture arm (canonicalization is q356's job, not the
+      * parser's), status is the 404 plant on ids ≡ 0 (mod 9), the
+      * Content-Type literal is fixed by the builder, and main_text
+      * is the q353 extraction closed form. A wrong gzip inflate,
+      * record framing, type dispatch or HTTP split breaks one of
+      * these columns.
+      */
+    def warcExtractSql: String =
+      s"""WITH b AS (SELECT doc_id, text,
+         |    CAST(doc_id % 50 AS BIGINT) AS d,
+         |    CAST(doc_id % 7 AS BIGINT) AS p
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN 'HTTP://WWW.Example' || d || '.COM:80/path'
+         |      || p || '?b=2&a=1#section'
+         |    WHEN 1 THEN 'http://www.example' || d || '.com/path'
+         |      || p || '?utm_source=feed&a=1&b=2'
+         |    WHEN 2 THEN 'http://www.example' || d || '.com:80/path'
+         |      || p || '/?a=1&b=2&utm_campaign=x'
+         |    ELSE 'http://www.example' || d || '.com//path'
+         |      || p || '?fbclid=abc&b=2&a=1' END AS target_uri,
+         |  CAST(CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END
+         |    AS BIGINT) AS http_status,
+         |  'text/html; charset=utf-8' AS content_type,
+         |  ${chunked("text")} AS main_text
+         |FROM b ORDER BY doc_id""".stripMargin
 
     /** Twin of q310_doremi_step: the q106 LM CTEs (shared tokenizer,
       * shared Mitchell-log emitter), folded per source, then the

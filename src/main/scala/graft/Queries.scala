@@ -5454,6 +5454,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** WARC ingestion → extraction, the FULL web front door
+    * ([[graft.formats.Warc]], ISO 28500): each doc's fixture buffer
+    * is a 3-record WARC capture (request + response + metadata;
+    * odd ids as concatenated per-record gzip members — the Common
+    * Crawl layout — even ids plain), the parser frames records,
+    * skips the non-response types, splits the HTTP message (status,
+    * Content-Type, body), and q353's extractor recovers the main
+    * text from the body. One hash certifies gzip-member inflation,
+    * WARC framing, type dispatch, HTTP splitting AND extraction —
+    * the chain a 100 TB crawl actually runs before any text gate.
+    */
+  val q358_warc_extract: Q = (s, d) => {
+    val parse = udf((b: Array[Byte]) => graft.formats.Warc.parseAll(b))
+    val resp = graft.formats.Warc
+      .withTestAssets(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), explode(parse(col("warc"))).as("r"))
+      .where(col("r.warcType") === "response")
+      .select(col("doc_id"), col("r.targetUri").as("target_uri"),
+        col("r.httpStatus").as("http_status"),
+        col("r.httpContentType").as("content_type"),
+        col("r.body").as("body"))
+    graft.ops.Html.extract(resp, "body", maxLinkPpm = 500000L)
+      .select(col("doc_id"), col("target_uri"), col("http_status"),
+        col("content_type"), col("main_text"))
+      .orderBy("doc_id")
+  }
+
   /** 5-fold cross-validated NB confidence AUC
     * ([[graft.ops.Eval.cvAuc]]): the q256 single-split ranking gate
     * with an error bar — per-fold AUC over deterministic id-hash
@@ -6036,5 +6063,6 @@ object Queries {
     "q354_curated_web" -> q354_curated_web,
     "q355_html_outlinks" -> q355_html_outlinks,
     "q356_url_dedup" -> q356_url_dedup,
-    "q357_line_dedup" -> q357_line_dedup)
+    "q357_line_dedup" -> q357_line_dedup,
+    "q358_warc_extract" -> q358_warc_extract)
 }
