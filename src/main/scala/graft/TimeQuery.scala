@@ -33,6 +33,13 @@ object TimeQuery {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      // drop leaked localCheckpoint blocks: queries that eagerly
+      // checkpoint leave their RDD blocks in the storage pool for the
+      // rest of the session, and the accumulation degrades LATER
+      // queries' figures up to 10x (measured: q250 warm 49 s as the
+      // 15th query of a session vs 5.0 s isolated)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       println(f"$n%-28s cold ${times.head}%7.3f s  warm ${times.last}%7.3f s")
     }
     spark.stop()

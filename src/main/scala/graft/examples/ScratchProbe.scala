@@ -1,0 +1,82 @@
+package graft.examples
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway dev probe for timing operator variants in one JVM. */
+object ScratchProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    }
+
+    val li = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+    def ui = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("__u"), col("l_partkey").as("__it"))
+
+    // components of itemSimilarity variants
+    time("ui_distinct") { ui.distinct() }
+    time("baskets_collect_set") {
+      ui.groupBy("__u").agg(sort_array(collect_set(col("__it"))).as("__set"))
+        .where(size(col("__set")) <= 1000)
+    }
+    val baskets = ui.groupBy("__u")
+      .agg(sort_array(collect_set(col("__it"))).as("__set"))
+      .where(size(col("__set")) <= 1000).select(col("__set"))
+    time("pairs_from_slice") {
+      baskets.select(col("__set"), posexplode(col("__set")))
+        .select(col("col").as("a"),
+          explode(slice(col("__set"), col("pos") + lit(2), size(col("__set")))).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_co"))
+        .where(col("n_co") >= 3)
+    }
+    time("pairs_double_explode") {
+      baskets.select(explode(col("__set")).as("a"), col("__set"))
+        .select(col("a"), explode(col("__set")).as("b"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_co"))
+        .where(col("n_co") >= 3)
+    }
+    val uid = ui.distinct()
+    val sized = uid.groupBy("__u").agg(count(lit(1)).as("__b"))
+      .where(col("__b") <= 1000)
+    val kept = uid.join(sized.select("__u"), "__u")
+    time("pairs_smj_selfjoin") {
+      kept.as("i1").join(kept.as("i2"),
+          col("i1.__u") === col("i2.__u") && col("i1.__it") < col("i2.__it"))
+        .groupBy(col("i1.__it").as("a"), col("i2.__it").as("b"))
+        .agg(count(lit(1)).as("n_co"))
+        .where(col("n_co") >= 3)
+    }
+    val keptRows = baskets // exploded basket rows, partitioned by __u
+    time("pairs_smj_from_baskets") {
+      val ids = ui.groupBy(col("__u"))
+        .agg(sort_array(collect_set(col("__it"))).as("__set"))
+        .where(size(col("__set")) <= 1000)
+        .select(col("__u"), explode(col("__set")).as("__it"))
+      ids.as("i1").join(ids.as("i2"),
+          col("i1.__u") === col("i2.__u") && col("i1.__it") < col("i2.__it"))
+        .groupBy(col("i1.__it").as("a"), col("i2.__it").as("b"))
+        .agg(count(lit(1)).as("n_co"))
+        .where(col("n_co") >= 3)
+    }
+    spark.stop()
+  }
+}

@@ -2105,17 +2105,95 @@ object Eval {
   def cvAuc(docs: DataFrame, labelCol: String, idCol: String,
             textCol: String, folds: Int = 5): DataFrame = {
     require(folds >= 2, s"folds=$folds must be >= 2")
-    val perFold = (0 until folds).map { f =>
-      val scored = NaiveBayes.trainScore(
-        docs.where(pmod(col(idCol), lit(folds)) =!= f),
-        docs.where(pmod(col(idCol), lit(folds)) === f),
-        labelCol, idCol, textCol, Seq(labelCol))
-      rocAuc(
-        scored.select(lit(f.toLong).as("fold"),
-          expr("least(margin_e8 div 2, CAST(10 AS BIGINT))").as("conf_bin"),
-          (col(labelCol) === col("pred")).as("ok")),
-        "fold", "conf_bin", "ok")
-    }.reduce(_ unionByName _)
+    // Leave-one-fold-out counts from ONE corpus pass (r15): the naive
+    // form trained and scored k separate NaiveBayes models — k corpus
+    // tokenize+aggregate passes plus k scoring passes (7.6 s warm at
+    // sf0.1; 5× the corpus I/O at 100 TB). Counts are additive, so
+    // each fold's complement model is global − own-fold, derived from
+    // a single per-(fold, label, token) aggregation; scoring then runs
+    // once over the whole corpus with each doc joining its own fold's
+    // model. Bit-identical to NaiveBayes.train/score per fold: same
+    // add-one smoothing, same Mitchell e8 surprisal, same integer
+    // counts (complement counts are exact subtractions).
+    val k = folds.toLong
+    val shift = graft.ops.TextStats.LmShift
+    val two20 = s"CAST(${1L << shift} AS BIGINT)"
+    val base = docs.select(col(idCol).as("__id"),
+      pmod(col(idCol), lit(k)).as("__f"),
+      col(labelCol).as("__lab"),
+      graft.functions.TextFns.tokens(col(textCol)).as("__w"))
+    // grid-bounded count tables (folds × labels × vocab), checkpointed
+    // once — three consumers below
+    val cntF = base.select(col("__f"), col("__lab"), explode(col("__w")).as("t"))
+      .groupBy("__f", "__lab", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val foldsDf = docs.sparkSession.range(folds)
+      .select(col("id").as("__f"))
+    // per-fold complement (label, token) counts: global − own fold
+    val modelF = cntF.groupBy("__lab", "t").agg(sum("c").as("cg"))
+      .crossJoin(foldsDf)
+      .join(cntF, Seq("__f", "__lab", "t"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("__f"), col("__lab"), col("t"),
+        (col("cg") - col("c")).as("c"))
+      .where(col("c") > 0)
+    // per-fold complement vocabulary size (distinct tokens in ANY
+    // other fold)
+    val tf = cntF.select("__f", "t").distinct()
+    val vF = tf.as("x").crossJoin(foldsDf.as("ff"))
+      .where(col("x.__f") =!= col("ff.__f"))
+      .select(col("ff.__f").as("__f"), col("t")).distinct()
+      .groupBy("__f").agg(count(lit(1)).as("v"))
+    // per-fold complement class doc/token totals and priors
+    val clsF = base.groupBy("__f", "__lab")
+      .agg(count(lit(1)).as("nd"),
+        sum(size(col("__w")).cast("bigint")).as("nt"))
+      .localCheckpoint() // k × L rows
+    val clsModelF = clsF.groupBy("__lab")
+      .agg(sum("nd").as("ndg"), sum("nt").as("ntg"))
+      .crossJoin(foldsDf)
+      .join(clsF, Seq("__f", "__lab"), "left")
+      .na.fill(0L, Seq("nd", "nt"))
+      .select(col("__f"), col("__lab"),
+        (col("ndg") - col("nd")).as("n_docs"),
+        (col("ntg") - col("nt")).as("n_tokens"))
+      .where(col("n_docs") > 0)
+    val nAllF = clsModelF.groupBy("__f").agg(sum("n_docs").as("n_all"))
+    val classesF = clsModelF.join(vF, Seq("__f")).join(nAllF, Seq("__f"))
+      .withColumn("qp", expr(
+        s"greatest((CAST(n_all AS DECIMAL(38,0)) * ${1L << shift}) " +
+          s"div n_docs, $two20)"))
+      .withColumn("prior_e8", expr(
+        s"${graft.ops.TextStats.mitchellE8Sql("qp")} - ${8 * shift}"))
+      .select("__f", "__lab", "n_tokens", "v", "prior_e8")
+    // one scoring pass: every doc's tokens × its fold's model classes
+    val perTok = base.select(col("__f"), col("__id"), explode(col("__w")).as("t"))
+      .join(broadcast(classesF.select(col("__f"),
+        col("__lab").as("__cls"), col("n_tokens"), col("v"))), Seq("__f"))
+      .join(modelF.select(col("__f"), col("__lab").as("__cls"),
+        col("t"), col("c")), Seq("__f", "__cls", "t"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("q", expr(
+        s"greatest((CAST(n_tokens + v AS DECIMAL(38,0)) * ${1L << shift}) " +
+          s"div (c + 1), $two20)"))
+      .withColumn("m8", expr(graft.ops.TextStats.mitchellE8Sql("q")))
+      .groupBy("__id", "__cls")
+      .agg(sum(expr(s"m8 - ${8 * shift}")).as("tok_e8"))
+    val w = Window.partitionBy("__id")
+      .orderBy(col("s_e8").asc, col("__cls").asc)
+    val scored = base.select(col("__f"), col("__id"), col("__lab"))
+      .join(broadcast(classesF.select(col("__f"),
+        col("__lab").as("__cls"), col("prior_e8"))), Seq("__f"))
+      .join(perTok, Seq("__id", "__cls"), "left")
+      .withColumn("s_e8", col("prior_e8") + coalesce(col("tok_e8"), lit(0L)))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("nxt", lead(col("s_e8"), 1).over(w))
+      .where(col("rnk") === 1)
+      .select(col("__f").as("fold"),
+        expr("least(coalesce(nxt - s_e8, 0) div 2, CAST(10 AS BIGINT))")
+          .as("conf_bin"),
+        (col("__lab") === col("__cls")).as("ok"))
+    val perFold = rocAuc(scored, "fold", "conf_bin", "ok")
       .localCheckpoint() // k rows feed the report twice
     val mom = perFold.where(col("auc_x1e6") >= 0)
       .agg(count(lit(1)).as("nf"), sum("auc_x1e6").as("sa"),

@@ -757,6 +757,41 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("cvAuc: fused leave-one-fold-out pass ≡ naive per-fold train/score") {
+    // r15 optimization pin: cvAuc derives each fold's complement model
+    // from one global aggregation (global − own fold) instead of
+    // training k separate models — this differential spec holds the
+    // fused form to the naive NaiveBayes.trainScore loop bit-for-bit
+    val docs = (0L until 30L).map { i =>
+      val lab = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val text =
+        if (i < 21) (if (lab == "a") "alpha alef apple aleph " * 2
+                     else if (lab == "b") "beta bet banana " * 2
+                     else "gamma gimel grape " * 2)
+        else "alpha beta gamma shared alef bet tokens"
+      (i, lab, text)
+    }.toDF("doc_id", "lang", "text")
+    val folds = 3
+    val naive = (0 until folds).map { f =>
+      val scored = NaiveBayes.trainScore(
+        docs.where(pmod(col("doc_id"), lit(folds)) =!= f),
+        docs.where(pmod(col("doc_id"), lit(folds)) === f),
+        "lang", "doc_id", "text", Seq("lang"))
+      Eval.rocAuc(
+        scored.select(lit(f.toLong).as("fold"),
+          expr("least(margin_e8 div 2, CAST(10 AS BIGINT))").as("conf_bin"),
+          (col("lang") === col("pred")).as("ok")),
+        "fold", "conf_bin", "ok")
+    }.reduce(_ unionByName _).orderBy("fold")
+      .collect().map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("n_neg"), r.getAs[Long]("auc_x1e6"))).toSeq
+    val fused = Eval.cvAuc(docs, "lang", "doc_id", "text", folds)
+      .orderBy("fold")
+      .collect().map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("n_neg"), r.getAs[Long]("auc_x1e6"))).toSeq
+    assert(fused === naive)
+  }
+
   test("chiResiduals: hand 2x2 standardized residuals share magnitude sqrt(chi2)") {
     val df = (Seq.fill(30)(("r1", "a")) ++ Seq.fill(10)(("r1", "b")) ++
       Seq.fill(10)(("r2", "a")) ++ Seq.fill(10)(("r2", "b")))
