@@ -82,16 +82,32 @@ object Queries {
         decSum(col("c_acctbal"), "(18,2)").as("total_acctbal"))
       .orderBy("r_name")
 
-  /** Fact-fact shuffle join on the order key; AQE picks the join
-    * strategy at sf, shuffle-hash/sort-merge at 100 TB.
+  /** Fact-fact join on the order key, with the fact side pre-aggregated
+    * per order BEFORE the join (guide §2.3 "aggregate before you
+    * shuffle"): the r14 shape joined raw lineitem (broadcast orders at
+    * sf, SMJ at scale) and then paid a (priority, orderkey) exchange
+    * for the countDistinct — plus two keyless fanOut round-robins, one
+    * of which fed a broadcast and the other paid the
+    * sort-before-repartition. Now lineitem fans out BY the join key
+    * (one exchange serving both the spread and the per-order decimal
+    * aggregation), orders joins the 4×-smaller per-order table, and
+    * n_orders is a plain count (o_orderkey is unique, so the count of
+    * joined per-order rows IS the distinct order count). Exact decimal
+    * sums are associative — values identical to the r14 form; AQE
+    * picks the join strategy at sf, shuffle-hash/sort-merge at 100 TB.
     */
-  val q04_join_shuffle_agg: Q = (s, d) =>
-    Scale.fanOut(Tables.orders(s, d))
-      .join(Scale.fanOut(Tables.lineitem(s, d)), col("l_orderkey") === col("o_orderkey"))
+  val q04_join_shuffle_agg: Q = (s, d) => {
+    val perOrder = Scale.fanOutBy(Tables.lineitem(s, d), "l_orderkey")
+      .groupBy("l_orderkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(22,4)")).as("rev"))
+    Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      .join(perOrder, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(countDistinct("o_orderkey").as("n_orders"),
-        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), "(22,4)").as("revenue"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum("rev").cast("double").as("revenue"))
       .orderBy("o_orderpriority")
+  }
 
   /** Window top-N per key: single shuffle on the partition key. */
   val q05_window_topn: Q = (s, d) => {
@@ -337,12 +353,20 @@ object Queries {
     * doc; the only shuffled artifact of near-dup detection.
     */
   val q29_minhash_buckets: Q = (s, d) =>
-    Dedup.minhashBuckets(Scale.fanOut(Tables.documents(s, d)), "doc_id", "text")
+    // fanOutBy the doc id: the signature aggregation groups on it, so
+    // the spread exchange doubles as the aggregation exchange (one
+    // Exchange instead of round-robin + hash; alias-aware partitioning
+    // carries through the shingle explode)
+    Dedup.minhashBuckets(Scale.fanOutBy(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text")
       .orderBy("id", "band")
 
   /** 64-bit SimHash signatures (explode + codegen'd bit-sum aggregate). */
   val q30_simhash: Q = (s, d) =>
-    Dedup.simhashes(Scale.fanOut(Tables.documents(s, d)), "doc_id", "text")
+    // same keyed fan-out as q29: the 64-bit-sum aggregation groups on
+    // the doc id, so one exchange serves spread + aggregation
+    Dedup.simhashes(Scale.fanOutBy(Tables.documents(s, d), "doc_id"),
+        "doc_id", "text")
       .orderBy("id")
 
   /** LSH-bucketed ANN top-10 for the first 5 vectors as queries. */
@@ -372,7 +396,7 @@ object Queries {
     * threshold≈0.8).
     */
   val q34_near_dup_pairs: Q = (s, d) =>
-    Dedup.minhashNearDupPairs(Scale.fanOut(Tables.documents(s, d)), "doc_id", "text",
+    Dedup.minhashNearDupPairs(Scale.fanOutBy(Tables.documents(s, d), "doc_id"), "doc_id", "text",
         threshold = 0.2, numHashes = 32, bands = 8, shingleWidth = 2)
       .orderBy("id_a", "id_b")
 

@@ -527,13 +527,6 @@ object Dedup {
         .where(col("src") =!= col("dst"))
         .distinct()
     }
-    val initial = pairs.select(
-        greatest(col(idACol), col(idBCol)).as("src"),
-        least(col(idACol), col(idBCol)).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-    val allIds = pairs.select(col(idACol).as("id"))
-      .union(pairs.select(col(idBCol).as("id"))).distinct()
     // each round's plan references the previous round's ~4× (two star
     // ops, each reading its input twice), so lineage MUST be cut every
     // round — persist alone leaves an exponentially-growing logical
@@ -544,7 +537,21 @@ object Dedup {
       if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
-    var edges = cut(initial)
+    // ONE materialization of the caller's pairs subtree (r15): the old
+    // shape evaluated `pairs` twice — once for the initial edge set and
+    // once for the vertex set — and the caller's pair source is often
+    // the expensive stage (q263 re-ran its whole Fellegi–Sunter scorer
+    // for `allIds`). Self-loops are kept in the checkpointed table so
+    // the vertex set still sees ids whose only pair is (id, id); the
+    // edge set filters them out exactly as before.
+    val oriented = cut(pairs.select(
+        greatest(col(idACol), col(idBCol)).as("src"),
+        least(col(idACol), col(idBCol)).as("dst"))
+      .distinct())
+    val initial = oriented.where(col("src") =!= col("dst"))
+    val allIds = oriented.select(col("src").as("id"))
+      .union(oriented.select(col("dst").as("id"))).distinct()
+    var edges = initial
     var edgeCount = edges.count()
     var converged = edgeCount == 0
     var iter = 0

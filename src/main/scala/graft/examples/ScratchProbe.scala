@@ -26,6 +26,53 @@ object ScratchProbe {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
     }
 
+    // --- q263 stage breakdown ---
+    val c = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) + 100000")
+          .as("bal_shift_cents"))
+    import graft.dedup.Linkage
+    val fields = Seq(
+      Linkage.LinkField("name2", expr("right(c_name, 2)"), 950000L),
+      Linkage.LinkField("bal",
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000"),
+        900000L),
+      Linkage.LinkField("seg", col("c_mktsegment"), 850000L))
+    def pairs263 = Linkage.scorePairs(
+        c.where(pmod(col("c_custkey"), lit(2L)) === 0L),
+        c.where(pmod(col("c_custkey"), lit(2L)) === 1L),
+        "c_custkey", blockKey = col("c_nationkey"), fields = fields)
+      .where(col("score_e8") >= 0L)
+      .select("id_a", "id_b")
+    time("q263_blockjoin_raw") {
+      val aa = c.where(pmod(col("c_custkey"), lit(2L)) === 0L)
+        .select(col("c_custkey").as("id_a"), col("c_nationkey").as("__blk"),
+          expr("right(c_name, 2)").as("ka1"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("ka2"),
+          col("c_mktsegment").as("ka3"))
+      val bb = c.where(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .select(col("c_custkey").as("id_b"), col("c_nationkey").as("__blk"),
+          expr("right(c_name, 2)").as("kb1"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("kb2"),
+          col("c_mktsegment").as("kb3"))
+      aa.join(bb, Seq("__blk"))
+        .select(col("id_a"), col("id_b"),
+          (col("ka1") === col("kb1")).as("g1"),
+          (col("ka2") === col("kb2")).as("g2"),
+          (col("ka3") === col("kb3")).as("g3"))
+    }
+    time("q263_scorer_only") { pairs263 }
+    time("q263_cc_labels") {
+      graft.dedup.Dedup.connectedComponents(pairs263)._1 }
+    time("q263_full") {
+      Linkage.goldenRecords(c, "c_custkey", pairs263,
+        canonCols = Seq("c_name", "c_mktsegment"),
+        maxCols = Seq("bal_shift_cents"))
+    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
     val li = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_partkey"))
     val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
     def ui = li.join(o, col("l_orderkey") === col("o_orderkey"))

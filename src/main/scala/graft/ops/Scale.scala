@@ -28,6 +28,23 @@ object Scale {
     if (files > 0 && files < cores) df.repartition(cores) else df
   }
 
+  /** [[fanOut]] by KEY: same single-small-file guard, but the spread
+    * is a hash repartition on `cols` so a downstream aggregation or
+    * join on the same key reuses the partitioning instead of adding
+    * its own exchange (guide §2.4 "two operations keyed the same way
+    * share one exchange") — and unlike the keyless round-robin form
+    * it skips the sort-before-repartition every keyless
+    * `repartition(n)` pays. At real scale (files ≥ cores) this is a
+    * no-op and the downstream operator plans its usual exchange.
+    */
+  def fanOutBy(df: DataFrame, cols: String*): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val files = df.inputFiles.length
+    if (files > 0 && files < cores)
+      df.repartition(cores, cols.map(col): _*)
+    else df
+  }
+
   /** Salted join for skewed keys: the skewed (big) side gets a random
     * salt in [0, saltFactor); the small side is exploded saltFactor
     * ways so every (key, salt) bucket finds its match. One hot key
