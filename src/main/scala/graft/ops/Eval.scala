@@ -2163,8 +2163,8 @@ object Eval {
       .withColumn("qp", expr(
         s"greatest((CAST(n_all AS DECIMAL(38,0)) * ${1L << shift}) " +
           s"div n_docs, $two20)"))
-      .withColumn("prior_e8", expr(
-        s"${graft.ops.TextStats.mitchellE8Sql("qp")} - ${8 * shift}"))
+      .withColumn("prior_e8",
+        graft.functions.MitchellE8(col("qp")) - lit(8L * shift))
       .select("__f", "__lab", "n_tokens", "v", "prior_e8")
     // one scoring pass: every doc's tokens × its fold's model classes
     val perTok = base.select(col("__f"), col("__id"), explode(col("__w")).as("t"))
@@ -2176,7 +2176,7 @@ object Eval {
       .withColumn("q", expr(
         s"greatest((CAST(n_tokens + v AS DECIMAL(38,0)) * ${1L << shift}) " +
           s"div (c + 1), $two20)"))
-      .withColumn("m8", expr(graft.ops.TextStats.mitchellE8Sql("q")))
+      .withColumn("m8", graft.functions.MitchellE8(col("q")))
       .groupBy("__id", "__cls")
       .agg(sum(expr(s"m8 - ${8 * shift}")).as("tok_e8"))
     val w = Window.partitionBy("__id")

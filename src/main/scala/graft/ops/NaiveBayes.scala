@@ -89,7 +89,7 @@ object NaiveBayes {
       .withColumn("qp", expr(
         s"greatest((CAST(n_all AS DECIMAL(38,0)) * ${1L << Shift}) div n_docs, $Two20)"))
       .withColumn("prior_e8",
-        expr(s"${TextStats.mitchellE8Sql("qp")} - ${8 * Shift}"))
+        graft.functions.MitchellE8(col("qp")) - lit(8L * Shift))
       .select("label", "n_tokens", "v", "prior_e8")
 
     val toks = docs.select(col(idCol).as("__id") +: carry.map(col) :+
@@ -101,7 +101,10 @@ object NaiveBayes {
       .withColumn("q", expr(
         s"greatest((CAST(n_tokens + v AS DECIMAL(38,0)) * ${1L << Shift}) " +
           s"div (c + 1), $Two20)"))
-      .withColumn("m8", expr(TextStats.mitchellE8Sql("q")))
+      // native m8 (r15): one leading-zeros call per row instead of the
+      // ~130-branch CASE ladder — this runs per (token, class), the
+      // scoring path's hottest expression; bit-equal (MitchellE8Spec)
+      .withColumn("m8", graft.functions.MitchellE8(col("q")))
       .groupBy("__id", "label")
       .agg(sum(expr(s"m8 - ${8 * Shift}")).as("tok_e8"))
 

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-level repetition statistics — the Gopher-style "repetitive
@@ -1453,10 +1453,29 @@ object TextStats {
     val nc = df.groupBy(col(classCol).as("lang"))
       .agg(count(lit(1)).as("n_class"))
     val nTot = df.agg(count(lit(1)).as("n_total"))
+    // native G² (r15): the SQL emitter inlines 16 CASE-ladder logs
+    // (~2000 generated branches) — janino's 64 KB method limit failed
+    // the stage and dropped it to interpreted execution (observed:
+    // "Code grows beyond 64 KB" on exactly this projection). The
+    // native MitchellE8 expression is bit-equal to the emitter
+    // (MitchellE8Spec); the twin keeps [[dunningG2Sql]].
+    def lg(e: Column): Column = graft.functions.MitchellE8.log2E8(e)
+    def term(n: Column, r: Column, c0: Column): Column =
+      when(n > 0, n * (lg(n) + lg(col("n_total")) - lg(r) - lg(c0)))
+        .otherwise(lit(0L))
+    val g2 = (lit(2L) * (
+      term(col("n11"), col("df"), col("n_class")) +
+      term(col("df") - col("n11"), col("df"),
+        col("n_total") - col("n_class")) +
+      term(col("n_class") - col("n11"), col("n_total") - col("df"),
+        col("n_class")) +
+      term(col("n_total") - col("df") - col("n_class") + col("n11"),
+        col("n_total") - col("df"), col("n_total") - col("n_class"))))
+      .cast("bigint")
     val scored = n11t.join(dft, Seq("word"))
       .join(broadcast(nc), Seq("lang"))
       .crossJoin(broadcast(nTot))
-      .withColumn("g2_e8", expr(dunningG2Sql()))
+      .withColumn("g2_e8", g2)
     graft.plans.TopK.topKPerKey(scored, Seq("lang"), col("g2_e8"),
         Seq(col("word"), col("n11"), col("df"), col("n_class")), k)
       .select(col("lang"), col("rn"), col("word"), col("n11"), col("df"),
@@ -1589,29 +1608,59 @@ object TextStats {
                       stopMin: Int = 2,
                       blockTerms: Seq[String] = Seq.empty,
                       maxBlockHits: Long = 0): DataFrame = {
-    val g = gopherRules(df, idCol, textCol, carry, minWords, maxWords,
-      stopMin)
-    val pii = df.select(col(idCol),
-      (TextFns.piiCount(col(textCol), TextFns.EMAIL_RE) +
-        TextFns.piiCount(col(textCol), TextFns.SSN_RE) +
-        TextFns.piiCount(col(textCol), TextFns.PHONE_RE)).as("__pii"))
-    val bl =
-      if (blockTerms.isEmpty)
-        df.select(col(idCol), lit(0L).as("n_hits"))
-      else blocklistGate(df, idCol, textCol, blockTerms, maxBlockHits)
-        .select(col(idCol), col("n_hits"))
-    // md5 over the full corpus is the dup gate's dominant projection
-    // — compute it ONCE: the min-id winner per fingerprint rides a
-    // fingerprint-partitioned window over the same (id, fp) scan
-    // instead of a groupBy + second-scan self-join (one shuffle of
-    // slim pairs either way; window partitions are dup-group-sized)
-    val dup = df.select(col(idCol), md5(col(textCol)).as("__fp"))
+    // ONE evaluation of the text column (r15): the four gates are all
+    // per-row computations, so they fold into a single projection —
+    // the old four-branch shape re-evaluated `df` once per gate and
+    // re-joined the slim flag tables on id three times, which
+    // quadruples the upstream work when the input is itself derived
+    // (q354 re-ran the HTML synth + extract UDFs per branch). The
+    // blocklist count is exact per-row string arithmetic instead of
+    // the explode + broadcast-join + re-join: tokens joined with a
+    // DOUBLE space (each occurrence then owns its flanking spaces, so
+    // adjacent hits cannot overlap), lowercased once, and each term's
+    // occurrences counted by length delta — token-exact, identical to
+    // blocklistGate's per-token equality (multi-word terms match in
+    // neither form). The dup gate's min-id winner rides a
+    // fingerprint-partitioned window over the same projection — the
+    // only exchange, carrying flags + fp, never text.
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = col(textCol)
+    val w = TextFns.tokens(t)
+    val js = concat(lit("  "), lower(array_join(w, "  ")), lit("  "))
+    val nHits =
+      if (blockTerms.isEmpty) lit(0L)
+      else blockTerms.map(_.toLowerCase).distinct.map { term =>
+        val p = s" $term "
+        ((length(js) - length(replace(js, lit(p), lit("")))) /
+          lit(p.length)).cast("bigint")
+      }.reduce(_ + _)
+    val row = df.select(col(idCol) +: carry.map(col) :+
+      size(w).cast("bigint").as("n_tokens") :+
+      size(array_distinct(w)).cast("bigint").as("__nd") :+
+      length(regexp_replace(t, TextFns.WS_CLASS + "+", "")).cast("bigint").as("__chars") :+
+      (length(t) - length(replace(t, lit("#"), lit("")))).cast("bigint").as("__hash") :+
+      ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("bigint").as("__ell") :+
+      gopherStops.map(s0 => when(array_contains(w, lit(s0)), 1L).otherwise(0L))
+        .reduce(_ + _).as("__stops") :+
+      (TextFns.piiCount(t, TextFns.EMAIL_RE) +
+        TextFns.piiCount(t, TextFns.SSN_RE) +
+        TextFns.piiCount(t, TextFns.PHONE_RE)).as("__pii") :+
+      nHits.as("n_hits") :+
+      md5(t).as("__fp"): _*)
+    row
+      .withColumn("ok_words",
+        col("n_tokens") >= minWords && col("n_tokens") <= maxWords)
+      .withColumn("ok_mean_len",
+        lit(3) * col("n_tokens") <= col("__chars") &&
+          col("__chars") <= lit(10) * col("n_tokens"))
+      .withColumn("ok_symbols",
+        lit(10) * (col("__hash") + col("__ell")) <= col("n_tokens"))
+      .withColumn("ok_stopwords", col("__stops") >= stopMin)
+      .withColumn("ok_dup",
+        lit(10) * (col("n_tokens") - col("__nd")) <= lit(6) * col("n_tokens"))
       .withColumn("__keep_id", min(col(idCol)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
-      .select(col(idCol), (col(idCol) =!= col("__keep_id")).as("__loser"))
-    g.join(pii, Seq(idCol))
-      .join(bl, Seq(idCol))
-      .join(dup, Seq(idCol))
+      .withColumn("__loser", col(idCol) =!= col("__keep_id"))
       .withColumn("reason_mask",
         when(!col("ok_words"), 1L).otherwise(0L) +
           when(!col("ok_mean_len"), 2L).otherwise(0L) +
