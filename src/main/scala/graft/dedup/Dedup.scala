@@ -146,7 +146,10 @@ object Dedup {
       val bandSlice = slice(signature, b * rowsPerBand + 1, rowsPerBand)
       struct(
         lit(b).as("band"),
-        HashFns.hash61(array_join(transform(bandSlice, _.cast("string")), ","))
+        // native array cast, not transform(_.cast) — the lambda form is
+        // interpreted per element on the signature hot path (r15);
+        // elementwise Cast renders the identical strings
+        HashFns.hash61(array_join(bandSlice.cast("array<string>"), ","))
           .as("band_hash"))
     }: _*)
 

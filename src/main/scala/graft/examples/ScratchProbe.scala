@@ -26,6 +26,31 @@ object ScratchProbe {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
     }
 
+    // --- langId variants ---
+    locally {
+      import graft.functions.TextFns
+      val docs = Tables.documents(spark, d)
+      val markers = TextFns.LANG_MARKERS
+      def hofLang(text: org.apache.spark.sql.Column) = {
+        val t0 = transform(TextFns.tokens(text), w => lower(w))
+        val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+          struct(
+            size(filter(t0, w => array_contains(typedlit(words), w))).as("score"),
+            lit(lang).as("lang"))
+        }
+        val best = array_max(array(scored: _*))
+        when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+      }
+      time("langid_hof") {
+        docs.select(col("doc_id"), hofLang(col("text")).as("p")) }
+      time("langid_strcount") {
+        docs.select(col("doc_id"), TextFns.langId(col("text")).as("p")) }
+      time("langid_hof2") {
+        docs.select(col("doc_id"), hofLang(col("text")).as("p")) }
+      time("langid_strcount2") {
+        docs.select(col("doc_id"), TextFns.langId(col("text")).as("p")) }
+    }
+
     // --- q263 stage breakdown ---
     val c = Tables.customer(spark, d)
       .select(col("c_custkey"), col("c_nationkey"), col("c_name"),

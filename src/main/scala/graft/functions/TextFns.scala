@@ -160,11 +160,23 @@ object TextFns {
     * when nothing matches. Single projection, no shuffle.
     */
   def langId(text: Column, markers: Map[String, Seq[String]] = LANG_MARKERS): Column = {
-    val t = transform(tokens(text), w => lower(w))
+    // codegen'd marker counting (r15): the old form ran two
+    // higher-order-function lambdas (transform + per-language filter)
+    // interpreted per token × language — the round-11 HOF trap, 2.5 s
+    // for a map-only projection at sf0.1. Tokens joined with a DOUBLE
+    // space (each occurrence owns its flanking spaces, so adjacent
+    // hits cannot overlap), lowercased once; each marker's occurrences
+    // count by length delta — native string ops, whole-stage codegen.
+    // A token equals at most one marker and markers are distinct per
+    // language, so the per-marker sum equals the old filter count.
+    val js = concat(lit("  "), lower(array_join(tokens(text), "  ")),
+      lit("  "))
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        size(filter(t, w => array_contains(typedlit(words), w))).as("score"),
-        lit(lang).as("lang"))
+      val s = words.map { w0 =>
+        val p = s" ${w0.toLowerCase} "
+        (length(js) - length(replace(js, lit(p), lit("")))) / lit(p.length)
+      }.reduce(_ + _)
+      struct(s.cast("int").as("score"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
