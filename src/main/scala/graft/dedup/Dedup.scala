@@ -1307,9 +1307,8 @@ object Dedup {
       .where(size(col("ks")) <= maxDf)
     val sizes = grouped.select(explode(col("ks")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n"))
-    grouped.where(size(col("ks")) >= 2)
-      .select(explode(graft.ops.Sketch.pairStructs(col("ks"))).as("p"))
-      .groupBy(col("p.ia").as("id_a"), col("p.ib").as("id_b"))
+    graft.ops.Sketch.explodePairRows(grouped.where(size(col("ks")) >= 2), "ks")
+      .groupBy(col("ia").as("id_a"), col("ib").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
       .where(col("n_inter") >= minInter)
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
@@ -1426,9 +1425,8 @@ object Dedup {
     val grouped = fps.groupBy("h")
       .agg(sort_array(collect_set(col("id"))).as("ks"))
       .where(size(col("ks")).between(2, maxDf))
-    grouped
-      .select(explode(graft.ops.Sketch.pairStructs(col("ks"))).as("p"))
-      .groupBy(col("p.ia").as("id_a"), col("p.ib").as("id_b"))
+    graft.ops.Sketch.explodePairRows(grouped, "ks")
+      .groupBy(col("ia").as("id_a"), col("ib").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
@@ -1512,11 +1510,11 @@ object Dedup {
     * sources are a dimension), bounded pair expansion.
     */
   def sharedKeyMatrix(keyed: DataFrame): DataFrame =
-    keyed.distinct()
-      .groupBy("key").agg(sort_array(collect_set(col("src"))).as("ks"))
-      .where(size(col("ks")) >= 2)
-      .select(explode(graft.ops.Sketch.pairStructs(col("ks"))).as("p"))
-      .groupBy(col("p.ia").as("src_a"), col("p.ib").as("src_b"))
+    graft.ops.Sketch.explodePairRows(
+        keyed.distinct()
+          .groupBy("key").agg(sort_array(collect_set(col("src"))).as("ks"))
+          .where(size(col("ks")) >= 2), "ks")
+      .groupBy(col("ia").as("src_a"), col("ib").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
 
   /** Fuzzy value matching — the entity-resolution primitive ("same
@@ -1709,16 +1707,17 @@ object Dedup {
     // candidate set the verify join pays for (~300 k → ~10 k on the
     // sf0.1 corpus). The exact length band folds in here too — both
     // sizes ride the posting struct.
-    val cands = prefix.groupBy("t")
-      .agg(sort_array(collect_set(struct(col("id"), col("n"), col("rk")))).as("ks"))
-      .select(explode(graft.ops.Sketch.pairStructs(col("ks"))).as("p"))
+    val cands = graft.ops.Sketch.explodePairRows(
+        prefix.groupBy("t")
+          .agg(sort_array(collect_set(struct(col("id"), col("n"), col("rk"))))
+            .as("ks")), "ks")
       .withColumn("ub", lit(1L) +
-        least(col("p.ia.n") - col("p.ia.rk"), col("p.ib.n") - col("p.ib.rk")))
+        least(col("ia.n") - col("ia.rk"), col("ib.n") - col("ib.rk")))
       .where(lit(1000) * col("ub") >=
-        lit(tauX1000) * (col("p.ia.n") + col("p.ib.n") - col("ub")))
-      .where(col("p.ia.n") * tauX1000 <= col("p.ib.n") * 1000 &&
-        col("p.ib.n") * tauX1000 <= col("p.ia.n") * 1000)
-      .select(col("p.ia.id").as("id_a"), col("p.ib.id").as("id_b"))
+        lit(tauX1000) * (col("ia.n") + col("ib.n") - col("ub")))
+      .where(col("ia.n") * tauX1000 <= col("ib.n") * 1000 &&
+        col("ib.n") * tauX1000 <= col("ia.n") * 1000)
+      .select(col("ia.id").as("id_a"), col("ib.id").as("id_b"))
       .distinct()
     // long-keyed item sets verify through the codegen'd merge-scan
     // kernel (the arrays are sort_array(collect_set(...)) — sorted by

@@ -415,11 +415,26 @@ object Sketch {
       transform(slice(ks, i + lit(2), size(ks)),
         b => struct(a.as("ia"), b.as("ib")))))
 
+  /** (ia, ib) pair ROWS from a sorted-distinct array column — every
+    * unordered pair once (ia < ib by the array's sort order), via two
+    * chained native generators (posexplode + slice) instead of
+    * [[pairStructs]]' nested transform lambdas, which are interpreted
+    * per element and dominate the pair stage when millions of posting
+    * groups flow through (r15: q121's pair gen). Other columns of `df`
+    * are dropped — callers aggregate on the pair immediately.
+    */
+  def explodePairRows(df: DataFrame, ksCol: String): DataFrame =
+    df.select(col(ksCol).as("__ks"),
+        posexplode(col(ksCol)).as(Seq("__pi", "ia")))
+      .select(col("ia"),
+        explode(slice(col("__ks"), col("__pi") + lit(2),
+          size(col("__ks")))).as("ib"))
+
   def pairIntersections(hx: DataFrame, keyCol: String, xCol: String): DataFrame =
-    hx.groupBy(col(xCol))
-      .agg(sort_array(collect_set(col(keyCol))).as("ks"))
-      .select(explode(pairStructs(col("ks"))).as("p"))
-      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+    explodePairRows(
+      hx.groupBy(col(xCol))
+        .agg(sort_array(collect_set(col(keyCol))).as("ks")), "ks")
+      .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("ni"))
 
   /** |U ∩ A ∖ B|: of the union-sample hashes, how many sit in sketch A

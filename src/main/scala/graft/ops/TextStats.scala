@@ -1727,25 +1727,31 @@ object TextStats {
                  blockTokens: Int = 20): DataFrame = {
     require(blockTokens >= 1, s"blockTokens=$blockTokens must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val bt = docs
+    // ONE pass (r15): the old shape materialized the distinct
+    // (id, blk, token) table and consumed it three times (sizes ×2 +
+    // a blk/blk−1 self-join), recomputing the tokenize+explode+distinct
+    // subtree per branch. Block token SETS collapse all of it: one
+    // explode → collect_set per (id, blk) — the distinct — then a lead
+    // window by id pairs each block with its successor and
+    // array_intersect counts the common vocabulary natively. Blocks
+    // are contiguous by construction (pos div blockTokens), so
+    // lead(blk) is always blk+1 where it exists; same (na, nb, ix)
+    // and identical coh values.
+    val wBlk = Window.partitionBy("id").orderBy("blk")
+    val coh = docs
       .select(col(idCol).as("id"),
         posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "t")))
       .select(col("id"), expr(s"CAST(pos div $blockTokens AS BIGINT)")
         .as("blk"), col("t"))
-      .distinct()
-    val sz = bt.groupBy("id", "blk").agg(count(lit(1)).as("n"))
-    val inter = bt.select(col("id"), col("blk"), col("t"))
-      .join(bt.select(col("id"), (col("blk") - 1).as("blk"), col("t")),
-        Seq("id", "blk", "t"))
-      .groupBy("id", "blk").agg(count(lit(1)).as("ix"))
-    val coh = sz.select(col("id"), col("blk").as("gap"), col("n").as("na"))
-      .join(sz.select(col("id"), (col("blk") - 1).as("gap"),
-        col("n").as("nb")), Seq("id", "gap"))
-      .join(inter.select(col("id"), col("blk").as("gap"), col("ix")),
-        Seq("id", "gap"), "left")
+      .groupBy("id", "blk").agg(collect_set(col("t")).as("ts"))
+      .withColumn("nx", lead("ts", 1).over(wBlk))
+      .where(col("nx").isNotNull)
+      .select(col("id"), col("blk").as("gap"),
+        size(col("ts")).cast("bigint").as("na"),
+        size(col("nx")).cast("bigint").as("nb"),
+        size(array_intersect(col("ts"), col("nx"))).cast("bigint").as("ix"))
       .select(col("id"), col("gap"),
-        expr("CAST((1000 * coalesce(ix, CAST(0 AS BIGINT))) div " +
-          "(na + nb - coalesce(ix, CAST(0 AS BIGINT))) AS BIGINT)")
+        expr("CAST((1000 * ix) div (na + nb - ix) AS BIGINT)")
           .as("coh_x1000"))
     val w = Window.partitionBy("id").orderBy("gap")
     coh
