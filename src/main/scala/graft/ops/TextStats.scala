@@ -1977,18 +1977,26 @@ object TextStats {
       .localCheckpoint()
     var lab = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
-    val wSel = Window.partitionBy("dst").orderBy(desc("s"), col("lab"))
     for (_ <- 1 to iters) {
       val nbr = edges
         .join(lab.select(col("node").as("src"), col("lab")), "src")
         .select(col("dst"), col("lab"), col("w"))
       val self = lab.select(col("node").as("dst"), col("lab"),
         lit(1L).as("w"))
+      // r15, two changes per round: (1) the winning label is an argmax
+      // — min(struct(−s, lab)) picks (max s, tie min lab) exactly like
+      // the old row_number window over (desc s, asc lab) but as a hash
+      // aggregation instead of a full sort+window pass; (2) cut the
+      // lineage per round — each round consumes the prior label table
+      // TWICE (neighbor join + self vote), and the table is
+      // vocab-bounded, the same class as the checkpointed edges above
       lab = nbr.unionAll(self)
         .groupBy("dst", "lab").agg(sum("w").as("s"))
-        .withColumn("rn", row_number().over(wSel))
-        .where(col("rn") === 1)
-        .select(col("dst").as("node"), col("lab"))
+        .groupBy("dst")
+        .agg(min(struct((-col("s")).as("ns"), col("lab").as("lab")))
+          .as("__b"))
+        .select(col("dst").as("node"), col("__b.lab").as("lab"))
+        .localCheckpoint()
     }
     val labF = lab.localCheckpoint() // three downstream consumers
     val com = labF.groupBy("lab").agg(count(lit(1)).as("n_words"))
