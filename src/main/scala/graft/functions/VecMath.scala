@@ -97,6 +97,64 @@ object VecMath {
     }
     acc
   }
+
+  /** Int8 scalar quantization kernel (r15): element i maps to
+    * (long) floor(x_i · 127.0 / scales(i)), 0 where scales(i) == 0 —
+    * the same IEEE multiply-then-divide order as the transform-lambda
+    * form it replaces ([[graft.sim.Similarity.sqQuantize]]), so the
+    * codes are bit-identical. A null element stays null; an element
+    * past the scales array stays null (mirroring `get(s, i)` out of
+    * bounds). Called from generated code.
+    */
+  def sqQuantize(v: ArrayData, scales: Array[Double]): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && i < scales.length) {
+        val s = scales(i)
+        out(i) =
+          if (s == 0.0) java.lang.Long.valueOf(0L)
+          else java.lang.Long.valueOf(
+            math.floor(v.getDouble(i) * 127.0 / s).toLong)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native int8 scalar quantization of an array<double> vector — the
+  * codegen form of the per-element transform lambda, which was
+  * interpreted per (row × dimension) across the whole SQ family
+  * (q76/q108/q117/q118/q271/q294/q318…). Scales travel as a reference
+  * object into generated code.
+  */
+case class VecSqQuantize(child: Expression, scales: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<double> input, got ${t.catalogString}")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  override def prettyName: String = "graft_sq_quantize"
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.sqQuantize(input.asInstanceOf[ArrayData], scales)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqScales", scales, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecMath.sqQuantize($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): VecSqQuantize =
+    copy(child = newChild)
+}
+
+object VecSqQuantize {
+  def apply(v: Column, scales: Array[Double]): Column =
+    GraftBridge.column(VecSqQuantize(GraftBridge.expression(v), scales))
 }
 
 /** Shared shape of the two binary vector kernels. */

@@ -420,12 +420,12 @@ object Similarity {
     * and similarity reads below become INTEGER arithmetic — exact,
     * oracle-hashable, no float summation order anywhere.
     */
-  def sqQuantize(vec: Column, scales: Array[Double]): Column = {
-    val s = array(scales.map(lit): _*)
-    transform(toDouble(vec), (x, i) =>
-      when(get(s, i) === 0.0, lit(0L))
-        .otherwise(floor(x * lit(127.0) / get(s, i)).cast("long")))
-  }
+  def sqQuantize(vec: Column, scales: Array[Double]): Column =
+    // native kernel (r15): the transform lambda was interpreted per
+    // (row × dimension) across the whole SQ family; the expression
+    // runs the identical multiply-then-divide floor in generated code
+    // (bit-identical codes — VecMathSpec pins it to the lambda form)
+    graft.functions.VecSqQuantize(toDouble(vec), scales)
 
   /** Signed random projection (Johnson–Lindenstrauss / Achlioptas
     * ±1 variant) over the int8-quantized vectors: output dimension j

@@ -143,4 +143,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.all.size >= 15)
     assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
+
+  test("VecSqQuantize: native codes ≡ transform-lambda codes (r15 pin)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scales = Array(1.0, 0.0, 3.5, 0.25, 127.0)
+    val vecs = Seq(
+      Seq(0.5, 2.0, -3.5, 0.1, -126.9),
+      Seq(-1.0, 0.0, 3.5, 0.25, 127.0),
+      Seq(0.0, -7.0, 1.75, -0.25, 63.5))
+    val df = vecs.toDF("v").select(col("v").cast("array<double>").as("v"))
+    val s = array(scales.map(lit): _*)
+    val lambda = transform(col("v"), (x, i) =>
+      when(get(s, i) === 0.0, lit(0L))
+        .otherwise(floor(x * lit(127.0) / get(s, i)).cast("long")))
+    val rows = df.select(
+        graft.functions.VecSqQuantize(col("v"), scales).as("native"),
+        lambda.as("lam"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toList === r.getSeq[Long](1).toList)
+    }
+  }
 }
