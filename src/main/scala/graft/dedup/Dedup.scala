@@ -533,13 +533,11 @@ object Dedup {
     // each round's plan references the previous round's ~4× (two star
     // ops, each reading its input twice), so lineage MUST be cut every
     // round — persist alone leaves an exponentially-growing logical
-    // plan that the optimizer re-walks per round. Prefer the session's
-    // reliable checkpoint dir (survives executor loss); localCheckpoint
-    // otherwise — see the trade-off note on the final cut below.
-    def cut(df: DataFrame): DataFrame =
-      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    // plan that the optimizer re-walks per round. The dual-path
+    // (reliable checkpoint dir when set, localCheckpoint otherwise)
+    // is the shared [[graft.ops.Lineage.cut]] as of r16 — see the
+    // trade-off note on the final cut below.
+    def cut(df: DataFrame): DataFrame = graft.ops.Lineage.cut(df)
     // ONE materialization of the caller's pairs subtree (r15): the old
     // shape evaluated `pairs` twice — once for the initial edge set and
     // once for the vertex set — and the caller's pair source is often

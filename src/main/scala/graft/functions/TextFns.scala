@@ -157,18 +157,26 @@ object TextFns {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"))
 
   /** Language-ID: argmax of marker-word hit counts; "und" (undetermined)
-    * when nothing matches. Single projection, no shuffle.
+    * when nothing matches. Single projection, no shuffle. Native
+    * one-pass expression as of r16 ([[LangId]]): the r15 string
+    * arithmetic below generated 40 replace+length full-string scans
+    * per call — big enough that a stage composing langId with another
+    * wide operator (q180's agreement join) blew janino's 64 KB method
+    * limit and silently ran INTERPRETED.
     */
-  def langId(text: Column, markers: Map[String, Seq[String]] = LANG_MARKERS): Column = {
-    // codegen'd marker counting (r15): the old form ran two
-    // higher-order-function lambdas (transform + per-language filter)
-    // interpreted per token × language — the round-11 HOF trap, 2.5 s
-    // for a map-only projection at sf0.1. Tokens joined with a DOUBLE
-    // space (each occurrence owns its flanking spaces, so adjacent
-    // hits cannot overlap), lowercased once; each marker's occurrences
-    // count by length delta — native string ops, whole-stage codegen.
-    // A token equals at most one marker and markers are distinct per
-    // language, so the per-marker sum equals the old filter count.
+  def langId(text: Column, markers: Map[String, Seq[String]] = LANG_MARKERS): Column =
+    LangId(text, markers)
+
+  /** The double-space string-arithmetic construction of [[langId]]
+    * (r15) — kept as the independent cross-check the native [[LangId]]
+    * expression is differentially specced against (the
+    * [[shinglesRelational]] precedent). Tokens joined with a DOUBLE
+    * space (each occurrence owns its flanking spaces, so adjacent hits
+    * cannot overlap), lowercased once; each marker's occurrences count
+    * by length delta. A token equals at most one marker within a
+    * language, so the per-marker sum equals a per-token filter count.
+    */
+  def langIdRelational(text: Column, markers: Map[String, Seq[String]] = LANG_MARKERS): Column = {
     val js = concat(lit("  "), lower(array_join(tokens(text), "  ")),
       lit("  "))
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -102,20 +102,25 @@ object VecMath {
     * (long) floor(x_i · 127.0 / scales(i)), 0 where scales(i) == 0 —
     * the same IEEE multiply-then-divide order as the transform-lambda
     * form it replaces ([[graft.sim.Similarity.sqQuantize]]), so the
-    * codes are bit-identical. A null element stays null; an element
-    * past the scales array stays null (mirroring `get(s, i)` out of
-    * bounds). Called from generated code.
+    * codes are bit-identical. Null handling mirrors the lambda exactly
+    * (r16 — the r15 kernel returned null for a null element at a
+    * zero-scale dimension where the lambda's `when(get(s,i) === 0.0,
+    * 0L)` returned 0L without inspecting the element): scales(i) == 0
+    * emits 0L regardless of element nullity, a null element at a
+    * nonzero scale stays null, and an element past the scales array
+    * stays null (`get(s, i)` out of bounds). Called from generated
+    * code; pinned per-corner by GraftFunctionsSpec.
     */
   def sqQuantize(v: ArrayData, scales: Array[Double]): ArrayData = {
     val n = v.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      if (!v.isNullAt(i) && i < scales.length) {
+      if (i < scales.length) {
         val s = scales(i)
-        out(i) =
-          if (s == 0.0) java.lang.Long.valueOf(0L)
-          else java.lang.Long.valueOf(
+        if (s == 0.0) out(i) = java.lang.Long.valueOf(0L)
+        else if (!v.isNullAt(i))
+          out(i) = java.lang.Long.valueOf(
             math.floor(v.getDouble(i) * 127.0 / s).toLong)
       }
       i += 1

@@ -2098,9 +2098,12 @@ object Eval {
     * the mean/σ fold uses the same common-denominator variance +
     * floor(√) idiom as q313.
     *
-    * Scale shape: k model trains + scores (each the q114 shape — the
-    * documented k× multiplier IS the method); everything after runs
-    * on the k-row fold table.
+    * Scale shape (post r15/r16 fusions): ONE tokenize+aggregate pass
+    * builds the (fold, label, token) count grid, every per-fold
+    * complement model derives from it by subtraction, the surprisal
+    * arithmetic runs once per MODEL-GRID row (never per corpus
+    * token), and one scoring pass probes the broadcast grid per
+    * (token, class); everything after runs on the k-row fold table.
     */
   def cvAuc(docs: DataFrame, labelCol: String, idCol: String,
             textCol: String, folds: Int = 5): DataFrame = {
@@ -2122,11 +2125,12 @@ object Eval {
       pmod(col(idCol), lit(k)).as("__f"),
       col(labelCol).as("__lab"),
       graft.functions.TextFns.tokens(col(textCol)).as("__w"))
-    // grid-bounded count tables (folds × labels × vocab), checkpointed
-    // once — three consumers below
-    val cntF = base.select(col("__f"), col("__lab"), explode(col("__w")).as("t"))
-      .groupBy("__f", "__lab", "t").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // grid-bounded count tables (folds × labels × vocab), cut once
+    // (dual-path: reliable checkpoint under a checkpoint dir, r16) —
+    // three consumers below, released after the fold table lands
+    val cntF = Lineage.cut(
+      base.select(col("__f"), col("__lab"), explode(col("__w")).as("t"))
+        .groupBy("__f", "__lab", "t").agg(count(lit(1)).as("c")))
     val foldsDf = docs.sparkSession.range(folds)
       .select(col("id").as("__f"))
     // per-fold complement (label, token) counts: global − own fold
@@ -2138,17 +2142,29 @@ object Eval {
         (col("cg") - col("c")).as("c"))
       .where(col("c") > 0)
     // per-fold complement vocabulary size (distinct tokens in ANY
-    // other fold)
-    val tf = cntF.select("__f", "t").distinct()
-    val vF = tf.as("x").crossJoin(foldsDf.as("ff"))
-      .where(col("x.__f") =!= col("ff.__f"))
-      .select(col("ff.__f").as("__f"), col("t")).distinct()
-      .groupBy("__f").agg(count(lit(1)).as("v"))
-    // per-fold complement class doc/token totals and priors
-    val clsF = base.groupBy("__f", "__lab")
-      .agg(count(lit(1)).as("nd"),
-        sum(size(col("__w")).cast("bigint")).as("nt"))
-      .localCheckpoint() // k × L rows
+    // other fold) — r16: V_total − (tokens appearing ONLY in fold f),
+    // from one pass over the (fold, token) table instead of the old
+    // k× crossJoin + re-distinct; v = 0 folds are dropped exactly like
+    // the old inner join dropped folds with no complement vocabulary
+    val tft = cntF.select("__f", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("nf"), min("__f").as("f0"))
+    val vTot = tft.agg(count(lit(1)).as("vt"))
+    val onlyF = tft.where(col("nf") === 1)
+      .groupBy(col("f0").as("__f")).agg(count(lit(1)).as("only"))
+    val vF = foldsDf.crossJoin(broadcast(vTot))
+      .join(onlyF, Seq("__f"), "left")
+      .na.fill(0L, Seq("only"))
+      .select(col("__f"), (col("vt") - col("only")).as("v"))
+      .where(col("v") > 0)
+    // per-fold complement class doc/token totals and priors. r16: the
+    // class token totals fold out of cntF (Σ_t c ≡ Σ_docs size(__w),
+    // exactly) instead of re-tokenizing the corpus — one tokenize pass
+    // fewer; the doc counts read only (fold, label), never the text.
+    val clsF = Lineage.cut(
+      base.groupBy("__f", "__lab").agg(count(lit(1)).as("nd"))
+        .join(cntF.groupBy("__f", "__lab").agg(sum("c").as("nt")),
+          Seq("__f", "__lab"), "left")
+        .na.fill(0L, Seq("nt"))) // k × L rows
     val clsModelF = clsF.groupBy("__lab")
       .agg(sum("nd").as("ndg"), sum("nt").as("ntg"))
       .crossJoin(foldsDf)
@@ -2166,19 +2182,42 @@ object Eval {
       .withColumn("prior_e8",
         graft.functions.MitchellE8(col("qp")) - lit(8L * shift))
       .select("__f", "__lab", "n_tokens", "v", "prior_e8")
-    // one scoring pass: every doc's tokens × its fold's model classes
-    val perTok = base.select(col("__f"), col("__id"), explode(col("__w")).as("t"))
-      .join(broadcast(classesF.select(col("__f"),
-        col("__lab").as("__cls"), col("n_tokens"), col("v"))), Seq("__f"))
-      .join(modelF.select(col("__f"), col("__lab").as("__cls"),
-        col("t"), col("c")), Seq("__f", "__cls", "t"), "left")
-      .na.fill(0L, Seq("c"))
+    // one scoring pass (r16, the r15 verdict's #2 ask): the surprisal
+    // arithmetic moves OFF the corpus — the old shape ran the DECIMAL
+    // division + Mitchell log per (corpus token × class) and
+    // shuffle-joined every one of those rows against the model table.
+    // Both factors are functions of the VOCAB-BOUNDED model grid, so
+    // they precompute there once: m8tab carries the per-(fold, class,
+    // token) surprisal for seen tokens, u8tab the per-(fold, class)
+    // unseen-token constant (the c = 0 smoothing row, same expression
+    // with c pinned to 0). Scoring is then one broadcast hash probe +
+    // an integer add per (token, class) row, no shuffle before the
+    // per-(doc, class) partial aggregation. Bit-identical: identical
+    // q/m8 expressions over the identical (c, n_tokens, v) values,
+    // and the per-(doc, class) sum of longs is order-free. Broadcast
+    // bound: |vocab| × folds × labels rows — the same grid the
+    // checkpointed cntF already commits to; beyond broadcastable
+    // vocabularies the old shuffle join is the fallback shape.
+    val m8tab = modelF
+      .join(broadcast(classesF.select(col("__f"), col("__lab"),
+        col("n_tokens"), col("v"))), Seq("__f", "__lab"))
       .withColumn("q", expr(
         s"greatest((CAST(n_tokens + v AS DECIMAL(38,0)) * ${1L << shift}) " +
           s"div (c + 1), $two20)"))
-      .withColumn("m8", graft.functions.MitchellE8(col("q")))
+      .select(col("__f"), col("__lab").as("__cls"), col("t"),
+        (graft.functions.MitchellE8(col("q")) - lit(8L * shift)).as("m8v"))
+    val u8tab = classesF
+      .withColumn("c", lit(0L))
+      .withColumn("q", expr(
+        s"greatest((CAST(n_tokens + v AS DECIMAL(38,0)) * ${1L << shift}) " +
+          s"div (c + 1), $two20)"))
+      .select(col("__f"), col("__lab").as("__cls"),
+        (graft.functions.MitchellE8(col("q")) - lit(8L * shift)).as("u8v"))
+    val perTok = base.select(col("__f"), col("__id"), explode(col("__w")).as("t"))
+      .join(broadcast(u8tab), Seq("__f"))
+      .join(broadcast(m8tab), Seq("__f", "__cls", "t"), "left")
       .groupBy("__id", "__cls")
-      .agg(sum(expr(s"m8 - ${8 * shift}")).as("tok_e8"))
+      .agg(sum(coalesce(col("m8v"), col("u8v"))).as("tok_e8"))
     val w = Window.partitionBy("__id")
       .orderBy(col("s_e8").asc, col("__cls").asc)
     val scored = base.select(col("__f"), col("__id"), col("__lab"))
@@ -2193,8 +2232,14 @@ object Eval {
         expr("least(coalesce(nxt - s_e8, 0) div 2, CAST(10 AS BIGINT))")
           .as("conf_bin"),
         (col("__lab") === col("__cls")).as("ok"))
-    val perFold = rocAuc(scored, "fold", "conf_bin", "ok")
-      .localCheckpoint() // k rows feed the report twice
+    val perFold = Lineage.cut(
+      rocAuc(scored, "fold", "conf_bin", "ok")) // k rows feed the report twice
+    // every consumer of the count grids is materialized inside the
+    // perFold cut — release their storage now (ADVICE r15: operators
+    // own their checkpointed intermediates; the harness-level sweep
+    // cannot see a leak that lives and dies inside one call)
+    Lineage.release(cntF)
+    Lineage.release(clsF)
     val mom = perFold.where(col("auc_x1e6") >= 0)
       .agg(count(lit(1)).as("nf"), sum("auc_x1e6").as("sa"),
         sum(expr("CAST(auc_x1e6 AS DECIMAL(38,0)) * auc_x1e6")).as("qa"))

@@ -31,12 +31,16 @@ import org.apache.spark.sql.functions._
   * like the sketch and LM profile stores.
   *
   * Scale shape: training is two map-side-partial hash aggregations
-  * plus a distinct (one corpus scan). Scoring explodes the token
-  * stream × L classes (L = class count, small), left-joins the
-  * (class, token) count table by key — broadcast when the trained
-  * vocabulary is bounded, sort-merge otherwise — then one hash
-  * aggregation on (doc, class) and a per-doc window for the argmin.
-  * No driver-side state anywhere.
+  * plus a distinct (one corpus scan). Scoring precomputes the
+  * per-(class, token) surprisal on the VOCAB-BOUNDED model grid
+  * (plus the per-class unseen-token constant), broadcasts it, and
+  * runs the token stream × L classes (L = class count, small)
+  * through one broadcast hash probe + integer add per row into a
+  * map-side-partial (doc, class) aggregation, then a per-doc window
+  * for the argmin — the corpus is never shuffled before the
+  * aggregation (beyond broadcastable vocabularies the count-table
+  * shuffle join is the fallback shape). No driver-side state
+  * anywhere.
   */
 object NaiveBayes {
 
@@ -94,19 +98,41 @@ object NaiveBayes {
 
     val toks = docs.select(col(idCol).as("__id") +: carry.map(col) :+
       TextFns.tokens(col(textCol)).as("w"): _*)
-    val perTok = toks.select(col("__id"), explode(col("w")).as("t"))
-      .crossJoin(broadcast(classes.select("label", "n_tokens", "v")))
-      .join(model.tokenCounts, Seq("label", "t"), "left")
-      .na.fill(0L, Seq("c"))
+    // r16 (the cvAuc scoring rationale): the surprisal arithmetic is a
+    // function of the VOCAB-BOUNDED model grid, not of the corpus — so
+    // the DECIMAL division + Mitchell log precompute per (class, token)
+    // MODEL row (m8tab; u8tab carries the c = 0 unseen-token constant
+    // per class, the identical expression with c pinned to 0), and the
+    // corpus-side scoring pass is one broadcast hash probe + an integer
+    // add per (token, class) row — no shuffle before the per-(doc,
+    // class) partial aggregation, where the old shape sort-merge-joined
+    // every (corpus token × class) row against the count table.
+    // Bit-identical: same q/m8 expressions over the same (c, n_tokens,
+    // v) values; the per-(doc, class) sum of longs is order-free.
+    // Broadcast bound: trained vocab × L rows (the scaladoc's
+    // "broadcast when the trained vocabulary is bounded" case); beyond
+    // broadcastable vocabularies the old shuffle join is the fallback.
+    val m8tab = model.tokenCounts
+      .join(broadcast(classes.select("label", "n_tokens", "v")), Seq("label"))
       .withColumn("q", expr(
         s"greatest((CAST(n_tokens + v AS DECIMAL(38,0)) * ${1L << Shift}) " +
           s"div (c + 1), $Two20)"))
       // native m8 (r15): one leading-zeros call per row instead of the
-      // ~130-branch CASE ladder — this runs per (token, class), the
-      // scoring path's hottest expression; bit-equal (MitchellE8Spec)
-      .withColumn("m8", graft.functions.MitchellE8(col("q")))
+      // ~130-branch CASE ladder; bit-equal (MitchellE8Spec)
+      .select(col("label"), col("t"),
+        (graft.functions.MitchellE8(col("q")) - lit(8L * Shift)).as("m8v"))
+    val u8tab = classes
+      .withColumn("c", lit(0L))
+      .withColumn("q", expr(
+        s"greatest((CAST(n_tokens + v AS DECIMAL(38,0)) * ${1L << Shift}) " +
+          s"div (c + 1), $Two20)"))
+      .select(col("label"),
+        (graft.functions.MitchellE8(col("q")) - lit(8L * Shift)).as("u8v"))
+    val perTok = toks.select(col("__id"), explode(col("w")).as("t"))
+      .crossJoin(broadcast(u8tab))
+      .join(broadcast(m8tab), Seq("label", "t"), "left")
       .groupBy("__id", "label")
-      .agg(sum(expr(s"m8 - ${8 * Shift}")).as("tok_e8"))
+      .agg(sum(coalesce(col("m8v"), col("u8v"))).as("tok_e8"))
 
     val byClass = toks.select(col("__id") +: carry.map(col): _*)
       .crossJoin(broadcast(classes.select("label", "prior_e8")))

@@ -1560,28 +1560,53 @@ object TextStats {
                   carry: Seq[String] = Seq.empty,
                   minWords: Long = 50, maxWords: Long = 100000,
                   stopMin: Int = 2): DataFrame = {
-    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val t = col(textCol)
     val w = TextFns.tokens(t)
-    val base = df.select(col(idCol).as("__id") +: carry.map(col) :+
-      size(w).cast("bigint").as("n_tokens") :+
-      size(array_distinct(w)).cast("bigint").as("__nd") :+
-      length(regexp_replace(t, TextFns.WS_CLASS + "+", "")).cast("bigint").as("__chars") :+
-      (length(t) - length(replace(t, lit("#"), lit("")))).cast("bigint").as("__hash") :+
-      ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("bigint").as("__ell") :+
-      gopherStops.map(s0 => when(array_contains(w, lit(s0)), 1L).otherwise(0L))
-        .reduce(_ + _).as("__stops"): _*)
+    val base = df.select(col(idCol).as("__id") +: carry.map(col) :++
+      gopherStatCols(t, w): _*)
     base.select(col("__id").as(idCol) +: carry.map(col) :+
-      col("n_tokens") :+
-      (col("n_tokens") >= minWords && col("n_tokens") <= maxWords).as("ok_words") :+
-      (lit(3) * col("n_tokens") <= col("__chars") &&
-        col("__chars") <= lit(10) * col("n_tokens")).as("ok_mean_len") :+
-      (lit(10) * (col("__hash") + col("__ell")) <= col("n_tokens")).as("ok_symbols") :+
-      (col("__stops") >= stopMin).as("ok_stopwords") :+
-      (lit(10) * (col("n_tokens") - col("__nd")) <= lit(6) * col("n_tokens")).as("ok_dup"): _*)
+      col("n_tokens") :++ gopherFlagCols(minWords, maxWords, stopMin): _*)
       .withColumn("keep", col("ok_words") && col("ok_mean_len") &&
         col("ok_symbols") && col("ok_stopwords") && col("ok_dup"))
   }
+
+  /** The 8-word Gopher stop list — shared by [[gopherRules]] and
+    * [[curationVerdict]].
+    */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The per-row Gopher stat columns (token/char/symbol/stopword
+    * counts) over (text, tokens) — ONE definition, so the fused
+    * [[curationVerdict]] projection can never silently diverge from
+    * [[gopherRules]]' audited gates (the r15 fusion inlined copies).
+    */
+  private def gopherStatCols(t: Column, w: Column): Seq[Column] = Seq(
+    size(w).cast("bigint").as("n_tokens"),
+    size(array_distinct(w)).cast("bigint").as("__nd"),
+    length(regexp_replace(t, TextFns.WS_CLASS + "+", ""))
+      .cast("bigint").as("__chars"),
+    (length(t) - length(replace(t, lit("#"), lit(""))))
+      .cast("bigint").as("__hash"),
+    ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("bigint").as("__ell"),
+    GopherStops.map(s0 => when(array_contains(w, lit(s0)), 1L).otherwise(0L))
+      .reduce(_ + _).as("__stops"))
+
+  /** The five Gopher rule flags over [[gopherStatCols]]' columns —
+    * the other half of the shared-definition discipline above.
+    */
+  private def gopherFlagCols(minWords: Long, maxWords: Long,
+                             stopMin: Int): Seq[Column] = Seq(
+    (col("n_tokens") >= minWords && col("n_tokens") <= maxWords)
+      .as("ok_words"),
+    (lit(3) * col("n_tokens") <= col("__chars") &&
+      col("__chars") <= lit(10) * col("n_tokens")).as("ok_mean_len"),
+    (lit(10) * (col("__hash") + col("__ell")) <= col("n_tokens"))
+      .as("ok_symbols"),
+    (col("__stops") >= stopMin).as("ok_stopwords"),
+    (lit(10) * (col("n_tokens") - col("__nd")) <= lit(6) * col("n_tokens"))
+      .as("ok_dup"))
 
   /** End-to-end curation verdict — the single keep/drop decision
     * table a pipeline owner actually ships, composing the audited
@@ -1595,12 +1620,15 @@ object TextStats {
     * drop ledger is queryable by reason, which is what a curation
     * review actually needs ("how much did the PII gate cost us").
     *
-    * Scale shape: the quality/PII/blocklist gates are map-only over
-    * one scan each; the dup gate shuffles (fingerprint, id) pairs
-    * only; everything re-joins on the slim id key. Composition of
-    * individually-audited operators is deliberate — each gate keeps
-    * its own plan, specs and oracle, and the verdict stays a
-    * four-way id-keyed join of slim flag tables.
+    * Scale shape (the r15 one-pass fusion): every gate is a per-row
+    * computation, so all of them — the Gopher stats/flags (shared
+    * definitions with [[gopherRules]]: [[gopherStatCols]] /
+    * [[gopherFlagCols]], so the fused projection cannot diverge from
+    * the audited operator), the PII regex counts, and the
+    * token-delimited blocklist string arithmetic — fold into ONE
+    * map-only projection over one scan; the exact-dup winner rides a
+    * fingerprint-partitioned window over that projection, the only
+    * exchange, carrying flags + fp, never text.
     */
   def curationVerdict(df: DataFrame, idCol: String, textCol: String,
                       carry: Seq[String] = Seq.empty,
@@ -1623,7 +1651,6 @@ object TextStats {
     // neither form). The dup gate's min-id winner rides a
     // fingerprint-partitioned window over the same projection — the
     // only exchange, carrying flags + fp, never text.
-    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val t = col(textCol)
     val w = TextFns.tokens(t)
     val js = concat(lit("  "), lower(array_join(w, "  ")), lit("  "))
@@ -1634,30 +1661,15 @@ object TextStats {
         ((length(js) - length(replace(js, lit(p), lit("")))) /
           lit(p.length)).cast("bigint")
       }.reduce(_ + _)
-    val row = df.select(col(idCol) +: carry.map(col) :+
-      size(w).cast("bigint").as("n_tokens") :+
-      size(array_distinct(w)).cast("bigint").as("__nd") :+
-      length(regexp_replace(t, TextFns.WS_CLASS + "+", "")).cast("bigint").as("__chars") :+
-      (length(t) - length(replace(t, lit("#"), lit("")))).cast("bigint").as("__hash") :+
-      ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("bigint").as("__ell") :+
-      gopherStops.map(s0 => when(array_contains(w, lit(s0)), 1L).otherwise(0L))
-        .reduce(_ + _).as("__stops") :+
+    val row = df.select(col(idCol) +: carry.map(col) :++
+      gopherStatCols(t, w) :+
       (TextFns.piiCount(t, TextFns.EMAIL_RE) +
         TextFns.piiCount(t, TextFns.SSN_RE) +
         TextFns.piiCount(t, TextFns.PHONE_RE)).as("__pii") :+
       nHits.as("n_hits") :+
       md5(t).as("__fp"): _*)
     row
-      .withColumn("ok_words",
-        col("n_tokens") >= minWords && col("n_tokens") <= maxWords)
-      .withColumn("ok_mean_len",
-        lit(3) * col("n_tokens") <= col("__chars") &&
-          col("__chars") <= lit(10) * col("n_tokens"))
-      .withColumn("ok_symbols",
-        lit(10) * (col("__hash") + col("__ell")) <= col("n_tokens"))
-      .withColumn("ok_stopwords", col("__stops") >= stopMin)
-      .withColumn("ok_dup",
-        lit(10) * (col("n_tokens") - col("__nd")) <= lit(6) * col("n_tokens"))
+      .select(col("*") +: gopherFlagCols(minWords, maxWords, stopMin): _*)
       .withColumn("__keep_id", min(col(idCol)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
       .withColumn("__loser", col(idCol) =!= col("__keep_id"))
@@ -1977,7 +1989,7 @@ object TextStats {
       .localCheckpoint()
     var lab = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val nbr = edges
         .join(lab.select(col("node").as("src"), col("lab")), "src")
         .select(col("dst"), col("lab"), col("w"))
@@ -1989,16 +2001,26 @@ object TextStats {
       // aggregation instead of a full sort+window pass; (2) cut the
       // lineage per round — each round consumes the prior label table
       // TWICE (neighbor join + self vote), and the table is
-      // vocab-bounded, the same class as the checkpointed edges above
-      lab = nbr.unionAll(self)
+      // vocab-bounded, the same class as the checkpointed edges above.
+      // r16: the cut routes through the shared dual-path Lineage.cut
+      // (reliable checkpoint under a configured checkpoint dir — a
+      // bare localCheckpoint dies with its executor at scale), and
+      // round k−1's table is RELEASED once round k is materialized:
+      // the old shape leaked one vocab-bounded checkpoint per round
+      // inside a single job, which no between-query sweep can see.
+      val prev = lab
+      lab = Lineage.cut(nbr.unionAll(self)
         .groupBy("dst", "lab").agg(sum("w").as("s"))
         .groupBy("dst")
         .agg(min(struct((-col("s")).as("ns"), col("lab").as("lab")))
           .as("__b"))
-        .select(col("dst").as("node"), col("__b.lab").as("lab"))
-        .localCheckpoint()
+        .select(col("dst").as("node"), col("__b.lab").as("lab")))
+      if (round > 1) Lineage.release(prev)
     }
-    val labF = lab.localCheckpoint() // three downstream consumers
+    // the loop's last table is already an eager cut — re-checkpointing
+    // it (the r15 shape) only duplicated its blocks; the iters = 0
+    // corner still cuts, because three consumers re-read labF
+    val labF = if (iters >= 1) lab else Lineage.cut(lab)
     val com = labF.groupBy("lab").agg(count(lit(1)).as("n_words"))
     val intra = edges
       .join(labF.select(col("node").as("src"), col("lab").as("lab_s")),

@@ -165,4 +165,34 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(r.getSeq[Long](0).toList === r.getSeq[Long](1).toList)
     }
   }
+
+  test("VecSqQuantize: null-element and out-of-bounds corners ≡ lambda (r16 pin)") {
+    // the r15 kernel diverged from the lambda in one (unreachable in
+    // the catalog) corner: a NULL element at a zero-scale dimension —
+    // the lambda's when(get(s,i) === 0.0, 0L) emits 0L without reading
+    // the element, the old kernel emitted null. r16 aligns the kernel
+    // and pins every null corner: null@zero-scale → 0L, null@nonzero
+    // scale → null, element past the scales array → null.
+    import org.apache.spark.sql.functions._
+    val scales = Array(1.0, 0.0, 3.5)
+    val df = spark.sql(
+      "SELECT 1 AS i, CAST(array(0.5, NULL, NULL, 2.0) AS array<double>) AS v " +
+        "UNION ALL " +
+        "SELECT 2, CAST(array(NULL, 4.0, 1.75, NULL) AS array<double>)")
+    val s = array(scales.map(lit): _*)
+    val lambda = transform(col("v"), (x, i) =>
+      when(get(s, i) === 0.0, lit(0L))
+        .otherwise(floor(x * lit(127.0) / get(s, i)).cast("long")))
+    val rows = df.orderBy("i").select(
+        graft.functions.VecSqQuantize(col("v"), scales).as("native"),
+        lambda.as("lam"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[java.lang.Long](0).toList ===
+        r.getSeq[java.lang.Long](1).toList)
+    }
+    // spot-pin the corner values themselves, not just the equivalence
+    val first = rows.head.getSeq[java.lang.Long](0).toList
+    assert(first === List(63L, 0L, null, null))
+  }
 }

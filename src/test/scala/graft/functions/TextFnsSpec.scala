@@ -69,6 +69,36 @@ class TextFnsSpec extends SparkSpec {
     assert(one[String](TextFns.langId(col("t")), "zzz qqq xxx") === "und")
   }
 
+  test("native LangId ≡ the r15 string-arithmetic construction (r16 pin)") {
+    // deliberate hazards: multi-language markers ("de"/"la"/"un" score
+    // es AND fr), ties (array_max hands a score tie to the
+    // binary-greatest lang), case folding, repeated markers in one
+    // doc, non-space whitespace ends, empty / spaces-only / NULL text
+    // (the relational when(...) falls through to "und" on NULL — the
+    // native form must match, not return NULL)
+    val corpus: Seq[String] = Seq(
+      "the cat and the dog is here", "el perro y la casa de madrid",
+      "der hund ist nicht hier und das ist gut",
+      "le chat est dans la maison de paris",
+      "de la un", "DE LA UN los une", "zzz qqq xxx", "", "   ",
+      "\tthe\nla ", "the el der le", "the the the el el",
+      "The And Of", "que los se por dans une est",
+      null) ++
+      (0 until 300).map { i =>
+        val ws = Seq("the", "la", "de", "und", "est", "zz", "los",
+          "von", "it", "dans")
+        (0 until 6).map(j => ws((i * 7 + j * 3) % ws.length)).mkString(" ")
+      }
+    val both = corpus.toDF("t").select(
+      TextFns.langId(col("t")).as("native"),
+      TextFns.langIdRelational(col("t")).as("rel"))
+      .collect()
+    both.zip(corpus).foreach { case (r, text) =>
+      assert(r.getString(0) === r.getString(1),
+        s"text=${Option(text).map(_.take(40))}")
+    }
+  }
+
   test("qualityScore is bounded [0,1] and favors natural text") {
     val natural = one[Double](TextFns.qualityScore(col("t")),
       ("the quick brown fox jumps over the lazy dog and runs to the hill " * 8).trim)
