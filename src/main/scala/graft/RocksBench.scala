@@ -57,17 +57,23 @@ object RocksBench {
       .map(b => b - (System.nanoTime() - t0) / 1000000000L)
       .getOrElse(Long.MaxValue / 2)
     // optional args restrict the sweep to specific cells — the
-    // parent's stamp-triggered retry re-runs ONLY the suspect sizes
+    // parent's stamp-triggered retry re-runs ONLY the suspect sizes.
+    // Measure ASCENDING (r16, the StatefulBench rationale): the r15
+    // driver run burned the fork window on warm + the 2M cell and
+    // produced -1 for every cell; the cheap cell first guarantees at
+    // least one positive figure per provider.
     val sizes: Seq[Long] =
-      if (args.nonEmpty) args.toSeq.map(_.toLong).sorted.reverse
-      else Seq(2000000L, 1000000L)
-    // warm at the largest cell, measure descending (the StatefulBench
-    // rationale: the 2M figure is the headline). Warm only when the
-    // budget can hold warm AND a measured cell — this child's r14 run
-    // spent its whole 150 s budget warming and skipped every cell
+      if (args.nonEmpty) args.toSeq.map(_.toLong).sorted
+      else Seq(1000000L, 2000000L)
+    // warm at the largest cell (warming at a smaller size leaves the
+    // state/shuffle paths half-compiled). Warm only when the budget can
+    // hold warm AND a measured cell — this child's r14 run spent its
+    // whole 150 s budget warming and skipped every cell; the deadline
+    // also reserves ≥180 s for the measured cells (r16).
     if (remainingSec() > 210)
-      Bench.measureStateful(spark, sizes.head, cpus.toInt,
-        deadlineSec = math.min(120L, remainingSec() - 150), untilBatch = 2)
+      Bench.measureStateful(spark, sizes.max, cpus.toInt,
+        deadlineSec = math.max(30L, math.min(120L, remainingSec() - 180)),
+        untilBatch = 2)
     else System.err.println(
       s"[bench] child budget: skipped warm pass (remaining=${remainingSec()}s)")
     val results = scala.collection.mutable.LinkedHashMap(

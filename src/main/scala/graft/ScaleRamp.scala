@@ -26,21 +26,14 @@ import org.apache.spark.sql.functions._
   * Run: `sbt "runMain graft.ScaleRamp [srcDir] [outDir]"`.
   */
 object ScaleRamp {
-  def main(args: Array[String]): Unit = {
-    val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft-ramp"
-    val factor = sys.env.getOrElse("GRAFT_RAMP_FACTOR", "10").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-scale-ramp")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  /** Synthesize the `factor`× fixtures from `srcDir` into `outDir`
+    * (the header's remapped-key replication; embeddings jittered) —
+    * factored out of [[main]] (r16) so the bench's sf1 scaling cell
+    * reuses the exact ramp recipe. `reuse = true` skips the write when
+    * `outDir` already holds a ramped corpus.
+    */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+                 factor: Int, cpus: Int, reuse: Boolean): Unit = {
     // fact tables: replicate with remapped keys (FK pairs consistently,
     // so every replica joins exactly like the original)
     val remapKeys: Map[String, Seq[String]] = Map(
@@ -51,12 +44,6 @@ object ScaleRamp {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
     val copyOnly = Seq("nation", "region", "supplier", "part")
-
-    // GRAFT_RAMP_REUSE=1 skips fixture synthesis when outDir already
-    // holds a ramped corpus — re-sweeping a different query subset at
-    // 100× should not pay the multi-minute write again
-    val reuse = sys.env.get("GRAFT_RAMP_REUSE").contains("1") &&
-      new java.io.File(s"$outDir/lineitem.parquet").exists()
     if (reuse) System.err.println(s"[ramp] reusing fixtures in $outDir")
     (if (reuse) Map.empty[String, Seq[String]] else remapKeys).foreach { case (name, keys) =>
       val raw = spark.read.parquet(s"$srcDir/$name.parquet")
@@ -80,14 +67,38 @@ object ScaleRamp {
           transform(col("embedding"), (x, j) =>
             (x + ((pmod(xxhash64(col("vec_id"), col("__rep"), j), lit(1000))
               .cast("float") - 499.5f) / 999.0f) * 0.05f).cast("float")))
-      jittered.drop("__rep").repartition(cpus.toInt)
+      jittered.drop("__rep").repartition(cpus)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
     (if (reuse) Seq.empty[String] else copyOnly).foreach { name =>
       spark.read.parquet(s"$srcDir/$name.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
-    System.err.println(s"[ramp] wrote ${factor}x fixtures to $outDir")
+    if (!reuse)
+      System.err.println(s"[ramp] wrote ${factor}x fixtures to $outDir")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-ramp"
+    val factor = sys.env.getOrElse("GRAFT_RAMP_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-ramp")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // GRAFT_RAMP_REUSE=1 skips fixture synthesis when outDir already
+    // holds a ramped corpus — re-sweeping a different query subset at
+    // 100× should not pay the multi-minute write again
+    val reuse = sys.env.get("GRAFT_RAMP_REUSE").contains("1") &&
+      new java.io.File(s"$outDir/lineitem.parquet").exists()
+    synthesize(spark, srcDir, outDir, factor, cpus.toInt, reuse)
 
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -60,10 +60,9 @@ object StatefulBench {
     // passes. Rationale: every measured pass already EXCLUDES its own
     // batch 0, so a per-size warm pass double-pays (the r13 best-of-2
     // at full length was ~40% of the fork's wall-clock and fed the
-    // BENCH_r13 rc=124 budget overrun). Warm at the LARGEST size and
-    // measure in descending order: the biggest cell is the headline
-    // figure, and warming at a smaller size leaves its state/shuffle
-    // paths half-compiled (the r14 dev runs read the 2M cell 290k
+    // BENCH_r13 rc=124 budget overrun). Warm at the LARGEST size —
+    // warming at a smaller size leaves the state/shuffle paths
+    // half-compiled (the r14 dev runs read the 2M cell 290k
     // warm-at-500k vs ~420k fully warm). Under a tight child budget
     // the warm shrinks or drops — a cold measured pass still excludes
     // its own batch 0, so it degrades to "slightly conservative", not
@@ -71,17 +70,28 @@ object StatefulBench {
     // warm only when the budget can hold warm AND a measured cell —
     // the r14 rocksdb child spent its whole 150 s budget warming and
     // then skipped every cell; a cold measured pass (its own batch 0
-    // still excluded) beats a warm nothing
+    // still excluded) beats a warm nothing. The warm deadline also
+    // reserves ≥180 s for the measured cells (r16): a weather-slowed
+    // warm that burns 120 s used to leave the 2M cell a too-short
+    // deadline and the cheap cell nothing.
     if (remainingSec() > 210)
       Bench.measureStateful(spark, sizes.max, cpus.toInt,
-        deadlineSec = math.min(120L, remainingSec() - 150),
+        deadlineSec = math.max(30L, math.min(120L, remainingSec() - 180)),
         untilBatch = 2)
     else System.err.println(
       s"[bench] child budget: skipped warm pass (remaining=${remainingSec()}s)")
     def emit(n: Long, r: (Long, Double, Int, Double)): Unit =
       println(f"rowsPerBatch=$n%-8d batches=${r._3} rows=${r._1} " +
         f"sec=${r._2}%.2f rec/s=${r._4.round}")
-    sizes.sortBy(-_).foreach { n =>
+    // measure ASCENDING (r16 — the r15 driver run lost BOTH state-store
+    // figures to this): descending order put the expensive 2M cell
+    // first, so a slow fork window burned the whole child budget on
+    // warm + 2M and the cheap cell never ran — every cell read -1. The
+    // cheap cell completes even under a 10%-steal window (~2.5M rows
+    // inside its deadline), so ascending guarantees the artifact at
+    // least one positive figure per provider; the 2M headline cell
+    // still gets everything that remains.
+    sizes.sorted.foreach { n =>
       def pass() = {
         // 2M cell headroom: it runs 10M docs through growing
         // per-bucket state
