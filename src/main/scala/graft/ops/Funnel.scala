@@ -1215,7 +1215,15 @@ object Funnel {
       .distinct()
     val sized = ui.groupBy("__u").agg(count(lit(1)).as("__b"))
       .where(col("__b") <= maxBasket)
-    val kept = ui.join(sized.select("__u"), "__u")
+    // cut ONCE (r16): `kept` has THREE consumers (the item counts and
+    // both sides of the pair self-join) and `ui` two more inside this
+    // plan — the r15 ledger assumed AQE stage reuse deduped the
+    // repeated basket subtree at runtime, but an executed-plan capture
+    // at sf1 (plans/r16/q213_sf1_*.txt) shows ZERO ReusedQueryStage
+    // nodes: the corpus scan + distinct + size-filter join really ran
+    // per consumer. One materialization serves all three (the hits /
+    // connected-components edge-table discipline).
+    val kept = Lineage.cut(ui.join(sized.select("__u"), "__u"))
     val cA = kept.groupBy(col("__it").as("a")).agg(count(lit(1)).as("n_a"))
     val pairs = kept.as("i1")
       .join(kept.as("i2"), col("i1.__u") === col("i2.__u") &&
@@ -1834,35 +1842,52 @@ object Funnel {
     * twin unrolls the identical stages (the q152 discipline).
     *
     * Scale shape: ONE distinct reduction to the edge table (the only
-    * corpus-proportional stage, checkpointed — every iteration
-    * re-reads it); per iteration two edge-keyed joins + node-keyed
-    * folds, raw node tables checkpointed because each feeds BOTH its
-    * L1 total and the normalized scores; the totals are one-row
-    * broadcasts. Output: top-k per role, bounded-heap TakeOrdered.
+    * corpus-proportional stage, cut once — every iteration re-reads
+    * it); per iteration two edge-keyed joins + node-keyed folds, raw
+    * node tables cut because each feeds BOTH its L1 total and the
+    * normalized scores, and each round's tables are released once the
+    * next round lands (the label-prop discipline, r16); the totals
+    * are one-row broadcasts. Output: top-k per role, bounded-heap
+    * TakeOrdered. An r16 probe tried pre-partitioned+sorted edge
+    * copies with the layout re-declared through the cut so the
+    * iteration joins skip the edge exchange: shuffle dropped 62.9 →
+    * 41.7 MB (records 6.6 M → 4.2 M) at sf0.1 but wall-clock went
+    * 5.15 → 8.4 s warm (sf1 ramp: parity) — AQE's runtime coalescing
+    * and broadcast conversion on the re-shuffled shape is worth more
+    * than the exchange it removes, so the exchange stays.
     */
   def hitsBipartite(edges0: DataFrame, hubCol: String, authCol: String,
                     iters: Int = 4, k: Int = 10): DataFrame = {
     require(iters >= 1 && k >= 1, s"iters=$iters, k=$k must be >= 1")
     val Scale = 1000000000000L
-    val edges = edges0
+    val edges = Lineage.cut(edges0
       .select(col(hubCol).cast("bigint").as("h"),
         col(authCol).cast("bigint").as("a"))
-      .distinct().localCheckpoint()
+      .distinct())
     val nh = edges.select("h").distinct().agg(count(lit(1)).as("n"))
     var hub = edges.select("h").distinct()
       .crossJoin(broadcast(nh))
       .select(col("h"), expr(s"CAST($Scale div n AS BIGINT)").as("s"))
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
-      val araw = edges.join(hub, "h").groupBy("a")
-        .agg(sum("s").as("r")).localCheckpoint()
+    var prevH: DataFrame = null
+    for (i <- 1 to iters) {
+      val araw = Lineage.cut(edges.join(hub, "h").groupBy("a")
+        .agg(sum("s").as("r")))
+      // hub (derived from the prior round's hraw) is fully consumed
+      // by the araw cut; the final round's hraw still feeds topH
+      if (prevH != null) Lineage.release(prevH)
       val at = araw.agg(sum("r").as("t"))
       auth = araw.crossJoin(broadcast(at))
         .select(col("a"), expr(
           s"CAST((CAST(r AS DECIMAL(38,0)) * $Scale) div t AS BIGINT)")
           .as("s"))
-      val hraw = edges.join(auth, "a").groupBy("h")
-        .agg(sum("s").as("r")).localCheckpoint()
+      val hraw = Lineage.cut(edges.join(auth, "a").groupBy("h")
+        .agg(sum("s").as("r")))
+      // auth is consumed by the hraw cut — except the final round's,
+      // which topA re-reads from its araw (released by the caller's
+      // session sweep, like the final hraw feeding topH)
+      if (i < iters) Lineage.release(araw)
+      prevH = hraw
       val ht = hraw.agg(sum("r").as("t"))
       hub = hraw.crossJoin(broadcast(ht))
         .select(col("h"), expr(
