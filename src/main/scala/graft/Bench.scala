@@ -1169,6 +1169,11 @@ object Bench {
         val w = new java.io.PrintWriter(marker)
         try w.print(sfDir) finally w.close()
       }
+      // settle after the multi-hundred-MB fixture write — the first
+      // dev run forked c32 straight into the write's load/page-cache
+      // wake (load 12) and read 17.4 s for a 2.4 s query while the
+      // later c8 fork ran on a calm box (ratio 0.18, pure weather)
+      if (!reuse) settle(maxWaitSec = 45)
       val secs = scala.collection.mutable.Map[(String, String), Double]()
       Seq("32", "8").foreach { c =>
         if (remainingSec() < 140)
